@@ -1,0 +1,80 @@
+"""Design-matrix diagnostics (SURVEY.md A7, A10, F7).
+
+Reference: ``dm_conv.corr()`` (ipynb:1048) and ``dm_conv.vif()``
+(ipynb:1087) — both over the *small* design matrix (296 x ~40), so the
+DataFrame -> local-matrix boundary is idiomatic (SURVEY.md A10): the
+heavy reduction (X'X over all rows) is distributed; the k x k solve is
+driver-side numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> "np.ndarray":
+    """Pairwise Pearson correlation of the named columns.
+
+    Distributed: one pass computing sums/crossproducts via
+    ``summary``-style aggregation (k*(k+1)/2 agg expressions), then the
+    k x k normalization locally. k ~ 40 -> ~800 agg exprs worst case;
+    fine inside one whole-stage-codegen stage.
+    """
+    k = len(cols)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c)).alias(f"_s{i}"))
+        for j in range(i, k):
+            aggs.append(F.sum(F.col(c) * F.col(cols[j])).alias(f"_x{i}_{j}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["_n"]
+    s = np.array([row[f"_s{i}"] for i in range(k)])
+    xx = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            xx[i, j] = xx[j, i] = row[f"_x{i}_{j}"]
+    cov = (xx - np.outer(s, s) / n) / (n - 1)
+    sd = np.sqrt(np.diag(cov))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = cov / np.outer(sd, sd)
+    return corr
+
+
+def corr_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format correlation pairs (col_a, col_b, corr) as a
+    DataFrame — the SQL-surface variant of corr_matrix."""
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.corr(a, b).alias(f"{a}__{b}"))
+    row = df.agg(*aggs)
+    names = [c for c in row.columns]
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nm.split("__")[0]).alias("col_a"),
+                        F.lit(nm.split("__")[1]).alias("col_b"),
+                        F.col(nm).alias("corr"),
+                    )
+                    for nm in names
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select("r.col_a", "r.col_b", "r.corr")
+
+
+def vif(df: DataFrame, cols: list[str]) -> dict[str, float]:
+    """Variance inflation factors: diag of inv(corr matrix) (A10).
+
+    Intercept-like (zero-variance) columns must be excluded by the
+    caller, as in the reference (vif computed on the pre-intercept
+    design, ipynb:1087).
+    """
+    corr = corr_matrix(df, cols)
+    inv = np.linalg.inv(corr)
+    return {c: float(inv[i, i]) for i, c in enumerate(cols)}

@@ -1,0 +1,209 @@
+"""Mass-univariate OLS — the reference's flagship operator (SURVEY.md A9).
+
+Reference: ``smoothed.regress()`` (ssm_loop.py:91) fits
+y_v = X b_v + e_v independently for every voxel v (1,342,211 of them),
+with one shared design matrix X (296 x ~40), returning per voxel:
+beta, t, p, df, sigma, residual (ssm_loop.py:94-102).
+
+Spark-first physical strategy (SURVEY.md §4.3):
+- X is tiny and shared -> collected once and *broadcast* to executors.
+- Y is the long fact table (subject, run, t, voxel_id, value). A naive
+  ``groupBy('voxel_id').applyInPandas`` would shuffle the full fact
+  table; that is acceptable when upstream ops (smoothing) already
+  changed partitioning, and is the general operator here. The scale
+  path is to write voxel-bucketed Parquet at ingest so this groupBy
+  becomes shuffle-free (bucketed scan); both run through the same
+  function.
+- Inside each Arrow batch we solve *all voxels of the batch at once*
+  with one pinv(X) @ Y_block matmul — the per-voxel Python loop the
+  naive implementation would do is hoisted into a single BLAS call.
+  p-values use the Student-t survival function; scipy when present,
+  else an incomplete-beta series fallback (float64).
+
+An oracle-checkable *summation form* for small k is provided in
+``ols_normal_equations_sql`` (SURVEY.md §5.2: A9's SQL special case).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _t_sf(tval: np.ndarray, df: float) -> np.ndarray:
+    """Two-sided p-value helper: Student-t survival function.
+
+    scipy is the fast path; the fallback uses the regularized
+    incomplete beta via continued fractions (Numerical-Recipes-style,
+    public domain algorithm) in pure numpy.
+    """
+    try:
+        from scipy import stats as _st
+
+        return _st.t.sf(tval, df)
+    except Exception:
+        x = df / (df + tval**2)
+        return np.where(tval >= 0, 0.5 * _betainc_reg(df / 2.0, 0.5, x),
+                        1.0 - 0.5 * _betainc_reg(df / 2.0, 0.5, x))
+
+
+def _betainc_reg(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    out = np.empty_like(x, dtype=np.float64)
+    for i, xi in np.ndenumerate(x):
+        out[i] = _betainc_scalar(a, b, float(xi))
+    return out
+
+
+def _betainc_scalar(a: float, b: float, x: float) -> float:
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    front = math.exp(math.log(x) * a + math.log(1.0 - x) * b - lbeta) / a
+    # Lentz continued fraction
+    f, c, d = 1.0, 1.0, 0.0
+    for i in range(200):
+        m = i // 2
+        if i == 0:
+            num = 1.0
+        elif i % 2 == 0:
+            num = (m * (b - m) * x) / ((a + 2 * m - 1) * (a + 2 * m))
+        else:
+            num = -((a + m) * (a + b + m) * x) / ((a + 2 * m) * (a + 2 * m + 1))
+        d = 1.0 + num * d
+        if abs(d) < 1e-30:
+            d = 1e-30
+        d = 1.0 / d
+        c = 1.0 + num / c
+        if abs(c) < 1e-30:
+            c = 1e-30
+        f *= c * d
+        if abs(1.0 - c * d) < 1e-12:
+            break
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * (f - 1.0)
+    return 1.0 - front * (f - 1.0)
+
+
+def _stats_schema(values_schema, keys: list[str]) -> StructType:
+    """Output carries every group key (found by driving two-run data:
+    without ``run`` in the schema, per-run fits collapse together)."""
+    fields = [StructField(k, values_schema[k].dataType) for k in keys]
+    fields += [
+        StructField("voxel_id", LongType()),
+        StructField("regressor", StringType()),
+        StructField("beta", DoubleType()),
+        StructField("t", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("df", DoubleType()),
+        StructField("sigma", DoubleType()),
+    ]
+    return StructType(fields)
+
+
+def mass_ols(
+    values: DataFrame,
+    design: DataFrame,
+    regressors: list[str],
+    keys: list[str] | None = None,
+    t_col: str = "t",
+) -> DataFrame:
+    """Fit y ~ X per (keys..., voxel_id); return the long stats bundle
+    (subject, voxel_id, regressor, beta, t, p, df, sigma) — D8.
+
+    design is collected per (subject, run) to the driver (296 x 40
+    doubles — KB-scale) and shipped in the UDF closure; values are
+    grouped per (subject, voxel_id) and solved in vectorized batches.
+    """
+    keys = keys or ["subject", "run"]
+    # Collect the small design matrix once; key -> (X, col order).
+    dpdf = design.orderBy(*keys, t_col).toPandas()
+    Xmap: dict[tuple, np.ndarray] = {}
+    for kvals, g in dpdf.groupby(keys):
+        kt = kvals if isinstance(kvals, tuple) else (kvals,)
+        Xmap[kt] = g[regressors].to_numpy(dtype=np.float64)
+    reg_names = list(regressors)
+    key_cols = list(keys)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One group = one (subject, run); pivot voxels into a matrix and
+        # solve all of them with a single pinv @ Y.
+        kt = tuple(pdf.iloc[0][k] for k in key_cols)
+        X = Xmap[kt]
+        n, k = X.shape
+        wide = pdf.pivot_table(index=t_col, columns="voxel_id", values="value")
+        wide = wide.sort_index()
+        Y = wide.to_numpy(dtype=np.float64)
+        vox = wide.columns.to_numpy()
+        pinv = np.linalg.pinv(X)
+        B = pinv @ Y                      # (k, n_vox)
+        resid = Y - X @ B                 # (n, n_vox)
+        dof = float(n - np.linalg.matrix_rank(X))
+        mse = (resid**2).sum(axis=0) / dof
+        xtx_inv_diag = np.diag(pinv @ pinv.T)  # == diag((X'X)^-1)
+        se = np.sqrt(np.outer(xtx_inv_diag, mse))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            T = np.where(se > 0, B / se, 0.0)
+        P = 2.0 * _t_sf(np.abs(T), dof)
+        sigma = np.sqrt(mse)
+        nvox = len(vox)
+        out = {k_name: np.repeat(pdf.iloc[0][k_name], k * nvox) for k_name in key_cols}
+        out.update(
+            {
+                "voxel_id": np.tile(vox, k),
+                "regressor": np.repeat(reg_names, nvox),
+                "beta": B.ravel(),
+                "t": T.ravel(),
+                "p": P.ravel(),
+                "df": np.full(k * nvox, dof),
+                "sigma": np.tile(sigma, k),
+            }
+        )
+        return pd.DataFrame(out)
+
+    schema = _stats_schema(values.schema, key_cols)
+    return values.groupBy(*keys).applyInPandas(fit, schema)
+
+
+def ols_normal_equations_sql(
+    values: DataFrame,
+    design: DataFrame,
+    x_col: str,
+    keys: list[str] | None = None,
+    t_col: str = "t",
+) -> DataFrame:
+    """Simple-regression special case via pure-SQL normal equations:
+    beta1 = cov(x,y)/var(x), beta0 = mean(y) - beta1*mean(x), per voxel.
+    Oracle-checkable in any ANSI engine (SURVEY.md §5.2)."""
+    keys = keys or ["subject"]
+    j = values.join(design.select(*keys, t_col, x_col), on=[*keys, t_col])
+    x, y = F.col(x_col), F.col("value")
+    agg = j.groupBy(*keys, "voxel_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("mx"),
+        F.avg(y).alias("my"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    beta1 = F.try_divide(
+        F.col("sxy") - F.col("n") * F.col("mx") * F.col("my"),
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx"),
+    )
+    return agg.select(
+        *keys,
+        "voxel_id",
+        beta1.alias("beta1"),
+        (F.col("my") - beta1 * F.col("mx")).alias("beta0"),
+    )

@@ -1,0 +1,91 @@
+"""Gaussian spatial smoothing (SURVEY.md W8).
+
+Reference: ``data.smooth(fwhm=4)`` (ssm_loop.py:88-89) — 3-D Gaussian
+blur applied per TR across voxel space.
+
+Spark-first: the spatial analog of FIR convolution — a neighborhood
+join against a broadcast Gaussian-weight offset table, then a
+normalized weighted average per (t, voxel):
+
+    smoothed(v,t) = sum_n w(d(v,n)) * value(n,t) / sum_n w(d(v,n))
+
+The kernel is truncated at ``radius`` voxels (weights < ~1e-3 of center
+contribute nothing at fMRI FWHMs). Normalizing by the *present*
+neighbors' weight sum reproduces nilearn's masked-smoothing edge
+behavior: voxels outside the mask simply don't contribute.
+
+Scale: weight table is O(radius^3) rows (~27-125) — broadcast; the
+big join is coordinates-equi, co-located under block bucketing. The
+separable 3x1-D variant (3 passes) is the constant-factor optimization
+if bench demands (SURVEY.md W8 note).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FWHM_TO_SIGMA = 1.0 / (2.0 * math.sqrt(2.0 * math.log(2.0)))  # 1/2.3548
+
+
+def gaussian_offsets(
+    spark: SparkSession,
+    fwhm_vox: float,
+    radius: int | None = None,
+) -> DataFrame:
+    """Broadcastable (dx, dy, dz, w) table for a truncated 3-D Gaussian."""
+    sigma = fwhm_vox * FWHM_TO_SIGMA
+    if radius is None:
+        radius = max(1, int(math.ceil(2.0 * sigma)))
+    rows = []
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            for dz in range(-radius, radius + 1):
+                d2 = dx * dx + dy * dy + dz * dz
+                w = math.exp(-d2 / (2.0 * sigma * sigma))
+                rows.append((dx, dy, dz, w))
+    return spark.createDataFrame(rows, "dx int, dy int, dz int, w double")
+
+
+def gaussian_smooth(
+    values: DataFrame,
+    voxel_dim: DataFrame,
+    weights: DataFrame,
+    time_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Smooth (…, t, voxel_id, value) over space.
+
+    values:    (subject, run, t, voxel_id, value) — long fact table
+    voxel_dim: (voxel_id, x, y, z) — broadcastable dimension
+    weights:   gaussian_offsets() output
+    """
+    dim = F.broadcast(voxel_dim.select("voxel_id", "x", "y", "z"))
+    keyed = values.join(dim, on="voxel_id")
+    group_keys = [c for c in values.columns if c not in (value_col, "voxel_id")]
+    # target voxel t sees source voxel s at offset (dx,dy,dz):
+    # x_t = x_s + dx. Probe from the *source* side so each fact row
+    # fans out once per offset, then regroup on target coords.
+    fanned = keyed.join(F.broadcast(weights)).select(
+        *group_keys,
+        (F.col("x") + F.col("dx")).alias("tx"),
+        (F.col("y") + F.col("dy")).alias("ty"),
+        (F.col("z") + F.col("dz")).alias("tz"),
+        (F.col(value_col) * F.col("w")).alias("wv"),
+        F.col("w"),
+    )
+    target = F.broadcast(
+        voxel_dim.select(
+            F.col("voxel_id"),
+            F.col("x").alias("tx"),
+            F.col("y").alias("ty"),
+            F.col("z").alias("tz"),
+        )
+    )
+    return (
+        fanned.join(target, on=["tx", "ty", "tz"], how="inner")
+        .groupBy(*group_keys, "voxel_id")
+        .agg((F.sum("wv") / F.sum("w")).alias(value_col))
+    )

@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (100 TB design targets, tested on local[N]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy demotion are the first line of
+  defense against skew at cluster scale.
+- ``spark.sql.shuffle.partitions`` default of 200 is wrong in both
+  directions: too many for local tests, far too few at 100 TB. We set
+  a local-friendly default and rely on AQE coalescing; a real cluster
+  deployment overrides via ``extra_conf``.
+- Arrow enabled: every pandas_udf / applyInPandas boundary (mass-OLS,
+  t-CDF) moves through Arrow batches, not pickled rows.
+- Session timezone pinned to UTC so timestamp semantics are stable
+  against the DuckDB oracle and across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Pandas UDF batches: large enough to amortize Arrow transfer for
+    # the per-voxel OLS batches (SURVEY.md §4.3) without OOMing a task.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast threshold: dims (region/nation/supplier, kernel tables,
+    # offset tables) are tiny; keep the default 10 MB but make it
+    # explicit that we rely on it.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "snappy",
+    # Read timestamps without UTC-adjustment flag as NTZ so values
+    # match DuckDB's naive timestamps bit-for-bit.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # Parquet TIMESTAMP(NANOS) (e.g. pandas-written events tables) is
+    # otherwise unreadable by Spark: read as long (ns since epoch);
+    # sources.read_table normalizes back to a timestamp column.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "neuroimaging-data-pipeline-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*])
+    when no cluster master is configured in the environment.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

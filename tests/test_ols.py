@@ -1,0 +1,100 @@
+"""A9 mass OLS: planted-beta recovery + numpy lstsq parity
+(FIXTURES.md F-4; SURVEY.md §5.2#3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from neuroimaging_data_pipeline_spark.operators.ols import (
+    mass_ols,
+    ols_normal_equations_sql,
+)
+
+N, NVOX = 40, 30
+
+
+@pytest.fixture(scope="module")
+def planted(rng):
+    X = np.column_stack(
+        [np.ones(N), rng.normal(0, 1, N), rng.normal(0, 1, N)]
+    )
+    B = rng.normal(0, 2, (3, NVOX))
+    Y = X @ B + rng.normal(0, 0.1, (N, NVOX))
+    return X, B, Y
+
+
+@pytest.fixture(scope="module")
+def planted_dfs(spark, planted):
+    X, B, Y = planted
+    drows = pd.DataFrame(
+        {"subject": "sub-001", "run": 1, "t": np.arange(N),
+         "intercept": X[:, 0], "x1": X[:, 1], "x2": X[:, 2]}
+    )
+    vrows = pd.DataFrame(
+        {
+            "subject": "sub-001",
+            "run": 1,
+            "t": np.repeat(np.arange(N), NVOX),
+            "voxel_id": np.tile(np.arange(NVOX), N),
+            "value": Y.ravel(),
+        }
+    )
+    return spark.createDataFrame(drows), spark.createDataFrame(vrows)
+
+
+def test_mass_ols_matches_lstsq(spark, planted, planted_dfs):
+    X, B, Y = planted
+    design, values = planted_dfs
+    stats = mass_ols(values, design, ["intercept", "x1", "x2"]).toPandas()
+    assert set(stats["regressor"]) == {"intercept", "x1", "x2"}
+    assert stats.shape[0] == 3 * NVOX
+    got = stats.pivot_table(index="voxel_id", columns="regressor", values="beta")
+    lstsq = np.linalg.lstsq(X, Y, rcond=None)[0]
+    np.testing.assert_allclose(got["x1"], lstsq[1], atol=1e-9)
+    np.testing.assert_allclose(got["intercept"], lstsq[0], atol=1e-9)
+    # planted betas recovered within noise
+    np.testing.assert_allclose(got["x1"].to_numpy(), B[1], atol=0.15)
+    # t/p/df/sigma sanity vs direct formulas
+    resid = Y - X @ lstsq
+    dof = N - 3
+    mse = (resid**2).sum(axis=0) / dof
+    assert (stats["df"] == dof).all()
+    sig = stats[stats.regressor == "x1"].sort_values("voxel_id")["sigma"].to_numpy()
+    np.testing.assert_allclose(sig, np.sqrt(mse), atol=1e-9)
+    se = np.sqrt(np.diag(np.linalg.inv(X.T @ X))[1] * mse)
+    tvals = stats[stats.regressor == "x1"].sort_values("voxel_id")["t"].to_numpy()
+    np.testing.assert_allclose(tvals, lstsq[1] / se, atol=1e-8)
+    pvals = stats[stats.regressor == "x1"].sort_values("voxel_id")["p"].to_numpy()
+    assert ((pvals >= 0) & (pvals <= 1)).all()
+
+
+def test_ols_p_values_against_scipy(spark, planted, planted_dfs):
+    scipy = pytest.importorskip("scipy")
+    from scipy import stats as st
+
+    X, _, Y = planted
+    design, values = planted_dfs
+    stats = mass_ols(values, design, ["intercept", "x1", "x2"]).toPandas()
+    x1 = stats[stats.regressor == "x1"].sort_values("voxel_id")
+    expect = 2 * st.t.sf(np.abs(x1["t"].to_numpy()), N - 3)
+    np.testing.assert_allclose(x1["p"].to_numpy(), expect, atol=1e-12)
+
+
+def test_normal_equations_simple_regression(spark, planted, planted_dfs):
+    X, _, Y = planted
+    design, values = planted_dfs
+    out = (
+        ols_normal_equations_sql(values, design, "x1", keys=["subject", "run"])
+        .toPandas()
+        .sort_values("voxel_id")
+    )
+    x = X[:, 1]
+    for i, vox in enumerate(out["voxel_id"]):
+        y = Y[:, vox]
+        b1 = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+        np.testing.assert_allclose(out.iloc[i]["beta1"], b1, atol=1e-9)
+        np.testing.assert_allclose(
+            out.iloc[i]["beta0"], y.mean() - b1 * x.mean(), atol=1e-9
+        )

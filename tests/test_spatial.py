@@ -1,0 +1,125 @@
+"""J4/A8 stencil mode filter + W8 Gaussian smoothing + P7/P8/J3 masking
+vs numpy oracles (FIXTURES.md F-4/F-5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.operators.mask import (
+    ASEG_ROI_LABELS,
+    apply_mask,
+    binarize,
+    isin_label_mask,
+)
+from neuroimaging_data_pipeline_spark.operators.smooth import (
+    FWHM_TO_SIGMA,
+    gaussian_offsets,
+    gaussian_smooth,
+)
+from neuroimaging_data_pipeline_spark.operators.stencil import (
+    _OFFSETS_19,
+    mode_filter,
+    stencil_offsets,
+)
+
+GRID = 6  # 6x6x6 volume
+
+
+@pytest.fixture(scope="module")
+def volume_pdf(rng):
+    ids = np.arange(GRID**3)
+    x, y, z = np.unravel_index(ids, (GRID, GRID, GRID))
+    labels = rng.choice([0, 2, 11, 17, 50, 99], size=GRID**3)
+    return pd.DataFrame(
+        {"voxel_id": ids, "x": x, "y": y, "z": z,
+         "label": labels, "in_mask": (labels > 0).astype(int)}
+    )
+
+
+@pytest.fixture(scope="module")
+def volume(spark, volume_pdf):
+    return spark.createDataFrame(volume_pdf)
+
+
+def test_isin_and_binarize(spark, volume, volume_pdf):
+    out = volume.select(
+        "voxel_id",
+        isin_label_mask("label").alias("roi"),
+        binarize("label").alias("b"),
+    ).toPandas().sort_values("voxel_id")
+    expect_roi = np.where(
+        np.isin(volume_pdf.label, ASEG_ROI_LABELS), volume_pdf.label, 0
+    )
+    np.testing.assert_array_equal(out["roi"], expect_roi)
+    np.testing.assert_array_equal(out["b"], (volume_pdf.label > 0).astype(int))
+
+
+def test_mask_semi_join(spark, volume, volume_pdf):
+    vals = spark.createDataFrame(
+        pd.DataFrame({"voxel_id": np.arange(GRID**3), "value": 1.0})
+    )
+    kept = apply_mask(vals, volume)
+    assert kept.count() == int(volume_pdf.in_mask.sum())
+
+
+def test_mode_filter_matches_numpy(spark, volume, volume_pdf):
+    offsets = stencil_offsets(spark)
+    got = mode_filter(volume, offsets).toPandas().set_index("voxel_id")["mode_value"]
+    lab = np.full((GRID, GRID, GRID), -1, dtype=int)
+    lab[volume_pdf.x, volume_pdf.y, volume_pdf.z] = volume_pdf.label
+    for _, row in volume_pdf.sample(30, random_state=0).iterrows():
+        vals = []
+        for dx, dy, dz in _OFFSETS_19:
+            nx, ny, nz = row.x + dx, row.y + dy, row.z + dz
+            if 0 <= nx < GRID and 0 <= ny < GRID and 0 <= nz < GRID:
+                vals.append(lab[nx, ny, nz])
+        uniq, cnt = np.unique(vals, return_counts=True)
+        # tie-break: max count then smallest label
+        best = uniq[np.lexsort((uniq, -cnt))][0]
+        assert got[row.voxel_id] == best
+
+
+def test_gaussian_smooth_matches_numpy(spark, volume, volume_pdf, rng):
+    fwhm_vox = 2.0
+    weights = gaussian_offsets(spark, fwhm_vox)
+    vals_np = rng.normal(0, 1, GRID**3)
+    vals = spark.createDataFrame(
+        pd.DataFrame(
+            {"subject": "sub-001", "t": 0,
+             "voxel_id": np.arange(GRID**3), "value": vals_np}
+        )
+    )
+    got = (
+        gaussian_smooth(vals, volume, weights)
+        .toPandas()
+        .set_index("voxel_id")["value"]
+    )
+    sigma = fwhm_vox * FWHM_TO_SIGMA
+    radius = int(np.ceil(2 * sigma))
+    vol = vals_np.reshape(GRID, GRID, GRID)
+    for _, row in volume_pdf.sample(20, random_state=1).iterrows():
+        num = den = 0.0
+        for dx in range(-radius, radius + 1):
+            for dy in range(-radius, radius + 1):
+                for dz in range(-radius, radius + 1):
+                    nx, ny, nz = row.x + dx, row.y + dy, row.z + dz
+                    if 0 <= nx < GRID and 0 <= ny < GRID and 0 <= nz < GRID:
+                        w = np.exp(-(dx**2 + dy**2 + dz**2) / (2 * sigma**2))
+                        num += w * vol[nx, ny, nz]
+                        den += w
+        np.testing.assert_allclose(got[row.voxel_id], num / den, atol=1e-10)
+
+
+def test_smooth_preserves_constant(spark, volume):
+    """Property: smoothing a constant field returns the constant
+    (normalization correctness at volume edges)."""
+    weights = gaussian_offsets(spark, 2.0)
+    vals = spark.range(GRID**3).select(
+        F.lit("s").alias("subject"), F.lit(0).alias("t"),
+        F.col("id").alias("voxel_id"), F.lit(3.5).alias("value")
+    )
+    out = gaussian_smooth(vals, volume, weights).toPandas()
+    np.testing.assert_allclose(out["value"], 3.5, atol=1e-12)
