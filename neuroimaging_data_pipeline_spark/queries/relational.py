@@ -1,0 +1,741 @@
+"""Relational operator coverage on the TPC-H-ish tables
+(SURVEY.md §2.2-2.8, milestone M2).
+
+Every query is a (Spark DataFrame, DuckDB SQL) pair with identical
+column names and rounded numerics. Spark side is declarative
+DataFrame API — Catalyst gets full pushdown/pruning freedom; dims
+(region/nation/supplier/part at these SFs) ride the broadcast-join
+threshold, the lineitem/orders side is the scan that must stay
+pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --- P: projections / filters -------------------------------------------------
+
+def p1_projection_filter(spark, sf_dir):
+    """P1+P5: explicit column select + row predicate; pushdown-friendly."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+P1_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+"""
+
+
+def p6_like_predicate(spark, sf_dir):
+    """P6: glob/LIKE rule criteria analog on part attributes."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("%OMY%") | F.col("p_name").like("small%"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+P6_SQL = """
+SELECT p_partkey, p_name, p_type
+FROM part WHERE p_type LIKE '%OMY%' OR p_name LIKE 'small%'
+"""
+
+
+def p7_isin_label(spark, sf_dir):
+    """P7: set-membership mask — keep p_size iff in the ROI-like set, else 0
+    (amongst() semantics, preprocess_parallel.sh:59)."""
+    keep = [11, 12, 13, 17, 18, 26]
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_size").isin(keep), F.col("p_size"))
+        .otherwise(0)
+        .alias("roi_size"),
+    )
+
+
+P7_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_size IN (11,12,13,17,18,26) THEN p_size ELSE 0 END AS roi_size
+FROM part
+"""
+
+
+def p8_binarize(spark, sf_dir):
+    """P8: threshold/binarize (binarize_img semantics, ssm_loop.py:65)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000.0, 1).otherwise(0).alias("big_order"),
+    )
+
+
+P8_SQL = """
+SELECT o_orderkey,
+       CAST(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END AS INT) AS big_order
+FROM orders
+"""
+
+
+def p9_null_fill(spark, sf_dir):
+    """P9: null replacement (fillna(0), ssm_loop.py:49) — diff introduces
+    a leading null per partition, coalesced to 0."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.round(
+                F.coalesce(F.col("value") - F.lag("value", 1).over(w), F.lit(0.0)), 6
+            ).alias("value_diff"),
+        )
+    )
+
+
+P9_SQL = """
+SELECT event_id,
+       ROUND(COALESCE(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 0.0), 6) AS value_diff
+FROM events
+"""
+
+
+# --- J: joins -----------------------------------------------------------------
+
+def j1_aligned_concat(spark, sf_dir):
+    """J1: column-wise concat on aligned keys == 1:1 equi-join of two
+    derived tables (pd.concat axis=1 semantics, ssm_loop.py:85)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty")
+    )
+    price = li.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price")
+    )
+    return qty.join(price, on="l_orderkey")
+
+
+J1_SQL = """
+WITH qty AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 6) AS sum_qty FROM lineitem GROUP BY l_orderkey
+), price AS (
+  SELECT l_orderkey, ROUND(SUM(l_extendedprice), 6) AS sum_price FROM lineitem GROUP BY l_orderkey
+)
+SELECT qty.l_orderkey AS l_orderkey, sum_qty, sum_price
+FROM qty JOIN price ON qty.l_orderkey = price.l_orderkey
+"""
+
+
+def j3_semi_join(spark, sf_dir):
+    """J3: mask application == left-semi join (Brain_Data mask,
+    ssm_loop.py:69): customers that have at least one order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select("o_custkey"), cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+J3_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def j3b_anti_join(spark, sf_dir):
+    """Anti-join complement of J3 (the mask's else-branch)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select("o_custkey"), cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+J3B_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def j_broadcast_3way(spark, sf_dir):
+    """Star-schema 3-way broadcast join: revenue per region
+    (customer->nation->region dims all broadcast; lineitem never moves
+    until the final small-key aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+J_BROADCAST_SQL = """
+SELECT r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def j6_first_match_rules(spark, sf_dir):
+    """J6: ordered first-match rule classification (dcm2bids config.json
+    semantics) — broadcast LIKE theta-join + row_number over priority."""
+    from neuroimaging_data_pipeline_spark.operators.rulejoin import (
+        classify_first_match,
+    )
+
+    # criteria are globs, as in config.json (*task* style)
+    rules = spark.createDataFrame(
+        [
+            (0, "econ", "SeriesDescription", "*ECONOMY*"),
+            (1, "small", "SeriesDescription", "*SMALL*"),
+            (2, "sized", "SeriesDescription", "*M*"),
+            (3, "other", "SeriesDescription", "*"),
+        ],
+        "priority int, dataType string, criteria_field string, criteria_pattern string",
+    )
+    items = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_type").alias("SeriesDescription")
+    )
+    out = classify_first_match(items, rules, "p_partkey")
+    return out.select("p_partkey", "dataType", "priority")
+
+
+J6_SQL = """
+WITH rules(priority, dataType, pattern) AS (
+  VALUES (0, 'econ', '%ECONOMY%'), (1, 'small', '%SMALL%'),
+         (2, 'sized', '%M%'), (3, 'other', '%')
+), matched AS (
+  SELECT p_partkey, dataType, priority,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY priority) AS rn
+  FROM part JOIN rules ON p_type LIKE pattern
+)
+SELECT p_partkey, dataType, CAST(priority AS INT) AS priority FROM matched WHERE rn = 1
+"""
+
+
+# --- A: aggregations ----------------------------------------------------------
+
+def a1_pricing_summary(spark, sf_dir):
+    """A1-family: TPC-H Q1-shaped grouped aggregate (mean/std/sum/count)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                6,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+A1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def a4_count_distinct(spark, sf_dir):
+    """A4: count of distinct matching names per group (ncol of
+    starts_with('motion_outlier'), fmriprep_motion_hist.R:33-36)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+    )
+
+
+A4_SQL = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def a5_histogram(spark, sf_dir):
+    """A5: fixed-width binned histogram (binwidth analog of
+    geom_histogram(binwidth=5), fmriprep_motion_hist.R:43)."""
+    from neuroimaging_data_pipeline_spark.operators.histogram import histogram
+
+    return histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", binwidth=25000.0
+    )
+
+
+A5_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 25000.0) * 25000.0 AS DOUBLE) AS bin_start,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def a7_correlation(spark, sf_dir):
+    """A7: Pearson correlation per group (dm_conv.corr(), ipynb:1048)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        )
+    )
+
+
+A7_SQL = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a8_mode(spark, sf_dir):
+    """A8: deterministic mode (hmode semantics) — highest count, ties to
+    the lexically smallest value; never the engines' builtin mode()."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
+A8_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS mode_type, cnt FROM ranked WHERE rn = 1
+"""
+
+
+def a_rollup(spark, sf_dir):
+    """Grouping-sets surface (free in Spark, SURVEY.md §2.4 note):
+    order counts rolled up region -> nation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 6).alias("sum_bal"),
+        )
+    )
+
+
+A_ROLLUP_SQL = """
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       ROUND(SUM(c_acctbal), 6) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --- W: windows ---------------------------------------------------------------
+
+def w1_zscore(spark, sf_dir):
+    """W1: z-score within partition (zscore(), ssm_loop.py:47; ddof=1)."""
+    w = Window.partitionBy("event_type")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(
+            F.try_divide(
+                F.col("value") - F.avg("value").over(w),
+                F.stddev_samp("value").over(w),
+            ),
+            6,
+        ).alias("value_z"),
+    )
+
+
+W1_SQL = """
+SELECT event_id,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS value_z
+FROM events
+"""
+
+
+def w2_lag_diff(spark, sf_dir):
+    """W2: first difference over ordered axis (diff(), ssm_loop.py:48).
+    Null-preserving variant (P9-filled variant is p9_null_fill)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("d_value"),
+    )
+
+
+W2_SQL = """
+SELECT event_id,
+       ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS d_value
+FROM events
+"""
+
+
+def w4_fir_convolve(spark, sf_dir):
+    """W4: causal FIR convolution of a regular series with a literal
+    kernel (dm.convolve(), ssm_loop.py:54). Series = per-hour event
+    counts on a dense hour grid; kernel = 4-tap HRF-like [0.5,0.3,0.15,0.05]."""
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    bounds = hours.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    ).first()
+    grid = spark.range(bounds["h0"], bounds["h1"] + 1).toDF("hour")
+    counts = hours.groupBy("hour").agg(F.count(F.lit(1)).alias("c"))
+    series = grid.join(counts, on="hour", how="left").select(
+        "hour", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("x")
+    )
+    w = Window.orderBy("hour")
+    taps = [0.5, 0.3, 0.15, 0.05]
+    conv = None
+    for k, h in enumerate(taps):
+        term = F.coalesce(F.lag("x", k).over(w), F.lit(0.0)) * F.lit(h)
+        conv = term if conv is None else conv + term
+    return series.select("hour", F.round(conv, 6).alias("x_conv"))
+
+
+W4_SQL = """
+WITH hours AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour FROM events
+), bounds AS (
+  SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM hours
+), grid AS (
+  SELECT UNNEST(RANGE(h0, h1 + 1)) AS hour FROM bounds
+), counts AS (
+  SELECT hour, COUNT(*) AS c FROM hours GROUP BY hour
+), series AS (
+  SELECT g.hour AS hour, CAST(COALESCE(c, 0) AS DOUBLE) AS x
+  FROM grid g LEFT JOIN counts USING (hour)
+)
+SELECT hour,
+       ROUND(  0.5  * x
+             + 0.3  * COALESCE(LAG(x, 1) OVER (ORDER BY hour), 0.0)
+             + 0.15 * COALESCE(LAG(x, 2) OVER (ORDER BY hour), 0.0)
+             + 0.05 * COALESCE(LAG(x, 3) OVER (ORDER BY hour), 0.0), 6) AS x_conv
+FROM series
+"""
+
+
+def w5_dct_basis(spark, sf_dir):
+    """W5: DCT basis generation over the regular grid
+    (add_dct_basis, ssm_loop.py:55): cos(pi*f*(2t+1)/(2N))."""
+    import math
+
+    n = 296
+    grid = spark.range(0, n).toDF("t")
+    out = grid
+    for f_idx in (1, 2, 3):
+        out = out.withColumn(
+            f"cosine_{f_idx}",
+            F.round(
+                F.cos(
+                    F.lit(math.pi)
+                    * F.lit(float(f_idx))
+                    * (2.0 * F.col("t").cast("double") + 1.0)
+                    / F.lit(2.0 * n)
+                ),
+                6,
+            ),
+        )
+    return out
+
+
+W5_SQL = """
+SELECT t,
+       ROUND(COS(PI() * 1 * (2*t + 1) / 592.0), 6) AS cosine_1,
+       ROUND(COS(PI() * 2 * (2*t + 1) / 592.0), 6) AS cosine_2,
+       ROUND(COS(PI() * 3 * (2*t + 1) / 592.0), 6) AS cosine_3
+FROM (SELECT UNNEST(RANGE(0, 296)) AS t)
+"""
+
+
+def w6_poly_trend(spark, sf_dir):
+    """W6: intercept + normalized polynomial trend columns (add_poly,
+    ssm_loop.py:56)."""
+    n = 296
+    half = (n - 1) / 2.0
+    grid = spark.range(0, n).toDF("t")
+    tt = (F.col("t").cast("double") - half) / half
+    return grid.select(
+        "t",
+        F.lit(1.0).alias("poly_0"),
+        F.round(tt, 6).alias("poly_1"),
+        F.round(F.pow(tt, 2), 6).alias("poly_2"),
+    )
+
+
+W6_SQL = """
+SELECT t, 1.0 AS poly_0,
+       ROUND((t - 147.5) / 147.5, 6) AS poly_1,
+       ROUND(POW((t - 147.5) / 147.5, 2), 6) AS poly_2
+FROM (SELECT UNNEST(RANGE(0, 296)) AS t)
+"""
+
+
+# --- O/U: sorts, limits, set ops ---------------------------------------------
+
+def o2_topk(spark, sf_dir):
+    """O2: deterministic top-k (ORDER BY ... LIMIT with total tie-break)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+O2_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def u1_union(spark, sf_dir):
+    """U1: rbind/unionByName (fmriprep_motion_hist.R:38)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("side"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("side"),
+    )
+    return cust.unionByName(supp)
+
+
+U1_SQL = """
+SELECT c_custkey AS key, c_name AS name, 'customer' AS side FROM customer
+UNION ALL
+SELECT s_suppkey AS key, s_name AS name, 'supplier' AS side FROM supplier
+"""
+
+
+def u2_intersect(spark, sf_dir):
+    """U2: INTERSECT — nations that have both customers and suppliers."""
+    cust_n = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_n = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust_n.intersect(supp_n)
+
+
+U2_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --- F: scalar function families ---------------------------------------------
+
+def f2_string_funcs(spark, sf_dir):
+    """F2: regexp extraction, substring, concat, prefix predicates."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+        F.substring(F.col("p_brand"), -2, 2).alias("brand_num"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.col("p_name").startswith("a").cast("int").alias("starts_a"),
+    )
+
+
+F2_SQL = """
+SELECT p_partkey,
+       COALESCE(REGEXP_EXTRACT(p_name, '^(\\w+)', 1), '') AS first_word,
+       SUBSTRING(p_brand, LENGTH(p_brand) - 1, 2) AS brand_num,
+       CONCAT_WS('/', p_brand, p_type) AS brand_type,
+       CAST(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END AS INT) AS starts_a
+FROM part
+"""
+
+
+def f3_date_trunc(spark, sf_dir):
+    """F3: date/time functions — monthly order aggregation; month emitted
+    as a string for cross-engine hash stability."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("month_total"),
+        )
+    )
+
+
+F3_SQL = """
+SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS month_total
+FROM orders GROUP BY 1
+"""
+
+
+def f5_json_extract(spark, sf_dir):
+    """F5: JSON field access (sidecar metadata semantics,
+    preprocess_parallel.sh:110)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+F5_SQL = """
+SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def f6_array_ops(spark, sf_dir):
+    """F6: array transform/aggregate — L2 norm of each embedding
+    (flatten/reshape family; also the building block of similarity)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select(
+        "vec_id", F.round(F.sqrt(sq), 6).alias("l2_norm")
+    )
+
+
+F6_SQL = """
+SELECT vec_id,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+QUERIES = {
+    "p1_projection_filter": p1_projection_filter,
+    "p6_like_predicate": p6_like_predicate,
+    "p7_isin_label": p7_isin_label,
+    "p8_binarize": p8_binarize,
+    "p9_null_fill": p9_null_fill,
+    "j1_aligned_concat": j1_aligned_concat,
+    "j3_semi_join": j3_semi_join,
+    "j3b_anti_join": j3b_anti_join,
+    "j_broadcast_3way": j_broadcast_3way,
+    "j6_first_match_rules": j6_first_match_rules,
+    "a1_pricing_summary": a1_pricing_summary,
+    "a4_count_distinct": a4_count_distinct,
+    "a5_histogram": a5_histogram,
+    "a7_correlation": a7_correlation,
+    "a8_mode": a8_mode,
+    "a_rollup": a_rollup,
+    "w1_zscore": w1_zscore,
+    "w2_lag_diff": w2_lag_diff,
+    "w4_fir_convolve": w4_fir_convolve,
+    "w5_dct_basis": w5_dct_basis,
+    "w6_poly_trend": w6_poly_trend,
+    "o2_topk": o2_topk,
+    "u1_union": u1_union,
+    "u2_intersect": u2_intersect,
+    "f2_string_funcs": f2_string_funcs,
+    "f3_date_trunc": f3_date_trunc,
+    "f5_json_extract": f5_json_extract,
+    "f6_array_ops": f6_array_ops,
+}
+
+ORACLE = {
+    "p1_projection_filter": P1_SQL,
+    "p6_like_predicate": P6_SQL,
+    "p7_isin_label": P7_SQL,
+    "p8_binarize": P8_SQL,
+    "p9_null_fill": P9_SQL,
+    "j1_aligned_concat": J1_SQL,
+    "j3_semi_join": J3_SQL,
+    "j3b_anti_join": J3B_SQL,
+    "j_broadcast_3way": J_BROADCAST_SQL,
+    "j6_first_match_rules": J6_SQL,
+    "a1_pricing_summary": A1_SQL,
+    "a4_count_distinct": A4_SQL,
+    "a5_histogram": A5_SQL,
+    "a7_correlation": A7_SQL,
+    "a8_mode": A8_SQL,
+    "a_rollup": A_ROLLUP_SQL,
+    "w1_zscore": W1_SQL,
+    "w2_lag_diff": W2_SQL,
+    "w4_fir_convolve": W4_SQL,
+    "w5_dct_basis": W5_SQL,
+    "w6_poly_trend": W6_SQL,
+    "o2_topk": O2_SQL,
+    "u1_union": U1_SQL,
+    "u2_intersect": U2_SQL,
+    "f2_string_funcs": F2_SQL,
+    "f3_date_trunc": F3_SQL,
+    "f5_json_extract": F5_SQL,
+    "f6_array_ops": F6_SQL,
+}
