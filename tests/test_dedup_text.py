@@ -1,0 +1,168 @@
+"""Dedup / text-analysis / similarity operators: semantics pinned
+against exact local recomputation (covers the rows-only driver checks)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.dedup.exact import exact_dedup
+from neuroimaging_data_pipeline_spark.dedup.minhash import (
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+)
+from neuroimaging_data_pipeline_spark.dedup.simhash import (
+    simhash,
+    simhash_candidate_pairs,
+)
+from neuroimaging_data_pipeline_spark.similarity.cosine import (
+    cosine_topk,
+    lsh_topk,
+)
+from neuroimaging_data_pipeline_spark.text.analysis import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "der hund ist nicht der beste freund und so"),
+    (3, "completely unrelated text about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (5, "el que de los la casa es bonita"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) <= k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_exact_dedup_removes_exact_dup(spark, docs):
+    kept = exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert 4 not in ids and 0 in ids
+    assert len(ids) == 5
+
+
+def test_shingles_match_python(spark, docs):
+    got = (
+        shingles(docs.filter("doc_id = 0"), k=3)
+        .toPandas()["shingle"]
+        .tolist()
+    )
+    toks = DOCS[0][1].split()
+    expect = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert set(got) == expect
+
+
+def test_minhash_lsh_finds_neardup_and_jaccard_exact(spark, docs):
+    sh = shingles(docs, k=3)
+    sigs = minhash_signatures(sh, num_hashes=16)
+    cand = lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
+    verified = jaccard_verify(cand, sh, threshold=0.5).toPandas()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in verified.itertuples()}
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0
+    assert (0, 1) in pairs
+    np.testing.assert_allclose(
+        pairs[(0, 1)], _exact_jaccard(DOCS[0][1], DOCS[1][1]), atol=1e-12
+    )
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_neardups(spark, docs):
+    fps = simhash(docs)
+    pdf = fps.toPandas().set_index("doc_id")["simhash"]
+    assert pdf[0] == pdf[4]  # identical text -> identical fingerprint
+    pairs = simhash_candidate_pairs(fps, max_hamming=16).toPandas()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
+    assert got.get((0, 4)) == 0
+    # near-dup pair has smaller hamming than unrelated pair
+    h01 = bin(int(pdf[0]) ^ int(pdf[1])).count("1")
+    h03 = bin(int(pdf[0]) ^ int(pdf[3])).count("1")
+    assert h01 < h03
+
+
+def test_cosine_topk_matches_numpy(spark, rng):
+    n, dim = 40, 8
+    vecs = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf)
+    out = cosine_topk(emb, emb.filter("vec_id < 3"), k=4).toPandas()
+    vn = vecs / np.linalg.norm(vecs.astype(np.float64), axis=1, keepdims=True)
+    sims = vn @ vn.T
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        expect = np.argsort(-s, kind="stable")[:4]
+        got = out[out.query_id == q].sort_values("cosine", ascending=False)[
+            "vec_id"
+        ].to_numpy()
+        assert set(got) == set(expect)
+        np.testing.assert_allclose(
+            np.sort(out[out.query_id == q]["cosine"].to_numpy())[::-1],
+            np.sort(s[expect])[::-1],
+            atol=1e-6,
+        )
+
+
+def test_lsh_topk_recall(spark, rng):
+    """LSH with few planes on clustered data: recall vs exact top-k
+    should be well above chance. Determinism: same seed -> same result."""
+    n, dim = 60, 8
+    centers = rng.normal(0, 1, (3, dim))
+    vecs = np.vstack(
+        [centers[i % 3] + rng.normal(0, 0.1, dim) for i in range(n)]
+    ).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf)
+    queries = emb.filter("vec_id < 3")
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = lsh_topk(emb, queries, dim=dim, k=5, n_planes=4).toPandas()
+    approx2 = lsh_topk(emb, queries, dim=dim, k=5, n_planes=4).toPandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "vec_id"]).reset_index(drop=True),
+        approx2.sort_values(["query_id", "vec_id"]).reset_index(drop=True),
+    )
+    recall = 0.0
+    for q in range(3):
+        e = set(exact[exact.query_id == q]["vec_id"])
+        a = set(approx[approx.query_id == q]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 3 >= 0.6
+
+
+def test_text_analysis_columns(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        lang_id("text").alias("lang"),
+        F.round(quality_score("text"), 6).alias("q"),
+    ).toPandas().set_index("doc_id")
+    assert out.loc[0, "n"] == 9
+    assert out.loc[0, "lang"] == "en"
+    assert out.loc[2, "lang"] == "de"
+    assert out.loc[5, "lang"] == "es"
+    assert out.loc[3, "lang"] == "und" or out.loc[3, "lang"] == "en"
+    assert (out["q"] >= 0).all() and (out["q"] <= 1).all()

@@ -73,9 +73,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, rows_only = [], []
+    n_ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -115,7 +117,7 @@ def main() -> int:
             print(f"OK   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
 
     print(
-        f"\n{len(queries) - len(failures) - len(rows_only)} ok, "
+        f"\n{n_ran - len(failures) - len(rows_only)} ok, "
         f"{len(rows_only)} rows-only, {len(failures)} failed"
     )
     spark.stop()
