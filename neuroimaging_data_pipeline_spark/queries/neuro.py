@@ -1,4 +1,253 @@
-"""Placeholder — populated in later milestones."""
+"""Reference-shaped (neuro) query surface mapped onto the driver's
+``events`` table: interval->grid alignment (J2), global-signal
+aggregation (A2), summation-form mass OLS (A9), and the event-time
+windowing surface (§2.9) in its batch-checkable form.
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Time discipline: `ts` is naive/UTC across engines (see
+sources.tables.read_table); all grid math is done on integer epoch
+seconds anchored at the table's min(ts), keeping magnitudes small for
+float parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+
+def _with_onset(ev):
+    """(event row) + onset seconds since the first event + duration."""
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    return ev.crossJoin(F.broadcast(t0)).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.unix_timestamp("ts") - F.unix_timestamp("t0"))
+        .cast("double")
+        .alias("onset"),
+        (F.col("value") + 30.0).alias("duration"),
+    )
+
+
+def j2_interval_grid(spark, sf_dir):
+    """J2: interval->regular-grid alignment (onsets_to_dm semantics,
+    ssm_loop.py:43): count events active at each 10-minute grid point.
+    Broadcast range join — the grid side stays unshuffled."""
+    ev = _with_onset(read_table(spark, sf_dir, "events"))
+    n_bins = 1000
+    step = 600.0
+    grid = spark.range(0, n_bins).select(
+        F.col("id").alias("t"), (F.col("id") * step).alias("t_sec")
+    )
+    joined = grid.join(
+        F.broadcast(ev),
+        on=[
+            F.col("t_sec") >= F.col("onset"),
+            F.col("t_sec") < F.col("onset") + F.col("duration"),
+        ],
+        how="left",
+    )
+    return joined.groupBy("t").agg(
+        F.count(F.col("event_id")).alias("n_active"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("sum_value"),
+    )
+
+
+J2_SQL = """
+WITH anchored AS (
+  SELECT event_id, value,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) - (SELECT MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) FROM events) AS onset,
+         value + 30.0 AS duration
+  FROM events
+), grid AS (
+  SELECT UNNEST(RANGE(0, 1000)) AS t
+)
+SELECT g.t AS t,
+       CAST(COUNT(a.event_id) AS BIGINT) AS n_active,
+       ROUND(COALESCE(SUM(a.value), 0.0), 6) AS sum_value
+FROM grid g
+LEFT JOIN anchored a
+  ON g.t * 600.0 >= a.onset AND g.t * 600.0 < a.onset + a.duration
+GROUP BY g.t
+"""
+
+
+def a2_global_signal(spark, sf_dir):
+    """A2: 'global signal' — mean value per time bin across all series
+    (np.mean(axis=1) analog, ipynb:1451)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+        )
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+A2_SQL = """
+SELECT CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 3600) AS BIGINT) AS hour,
+       ROUND(AVG(value), 6) AS mean_value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+def a9_ols_normal_eq(spark, sf_dir):
+    """A9 summation form: per event_type, simple OLS of value on time
+    (days since first event) via normal equations — the SQL-checkable
+    special case of the mass-OLS operator (SURVEY.md §5.2#1)."""
+    ev = read_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    d = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        "value",
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp("t0")).cast("double")
+            / 86400.0
+        ).alias("x"),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("value").alias("my"),
+        F.sum(F.col("x") * F.col("value")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta1 = F.try_divide(
+        F.col("sxy") - F.col("n") * F.col("mx") * F.col("my"),
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx"),
+    )
+    return agg.select(
+        "event_type",
+        F.round(beta1, 6).alias("beta1"),
+        F.round(F.col("my") - beta1 * F.col("mx"), 6).alias("beta0"),
+        F.col("n"),
+    )
+
+
+A9_SQL = """
+WITH d AS (
+  SELECT event_type, value,
+         (CAST(FLOOR(EPOCH(ts)) AS BIGINT) - (SELECT MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) FROM events)) / 86400.0 AS x
+  FROM events
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(x) AS mx, AVG(value) AS my,
+         SUM(x * value) AS sxy, SUM(x * x) AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT event_type,
+       ROUND((sxy - n * mx * my) / (sxx - n * mx * mx), 6) AS beta1,
+       ROUND(my - ((sxy - n * mx * my) / (sxx - n * mx * mx)) * mx, 6) AS beta0,
+       n
+FROM agg
+"""
+
+
+def st_tumbling_window(spark, sf_dir):
+    """§2.9: event-time tumbling window (1 h) per event_type — the
+    batch-checkable twin of the streaming groupBy(window(...)).
+    Uses Spark's real window() operator; start emitted as epoch."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ST_TUMBLING_SQL = """
+SELECT CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def st_session_window(spark, sf_dir):
+    """§2.9: sessionization with a 30-minute inactivity gap per user —
+    gaps-and-islands form (identical semantics to streaming
+    session_window, checkable in ANSI SQL)."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = base.withColumn(
+        "new_session",
+        F.when(
+            F.col("sec") - F.lag("sec", 1).over(w) > 1800, 1
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("sec").alias("session_start"),
+        F.max("sec").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+ST_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, value, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+         CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT), 1)
+                     OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id, value, sec,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(sec) AS session_start,
+       MAX(sec) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "j2_interval_grid": j2_interval_grid,
+    "a2_global_signal": a2_global_signal,
+    "a9_ols_normal_eq": a9_ols_normal_eq,
+    "st_tumbling_window": st_tumbling_window,
+    "st_session_window": st_session_window,
+}
+
+ORACLE = {
+    "j2_interval_grid": J2_SQL,
+    "a2_global_signal": A2_SQL,
+    "a9_ols_normal_eq": A9_SQL,
+    "st_tumbling_window": ST_TUMBLING_SQL,
+    "st_session_window": ST_SESSION_SQL,
+}

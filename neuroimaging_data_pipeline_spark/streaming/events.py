@@ -1,0 +1,116 @@
+"""Structured Streaming surface (SURVEY.md §2.9, milestone M6).
+
+The reference's closest analog is micro-batch arrival of new subjects
+into a landing dir (convert2BIDS.sh:8,19). Engine mapping:
+
+- file-source ingest: ``stream_parquet_dir`` watches a landing
+  directory (new subject parquet = new micro-batch);
+- event-time processing on the ``events`` stream: tumbling windows +
+  watermark for late data, session windows for the block-design shape;
+- ``foreach_batch_pipeline`` runs an arbitrary batch pipeline (e.g.
+  M1-M4 design-matrix -> OLS) per micro-batch — the cohort runner.
+
+Scale: watermark + windowed aggs keep state bounded; the shuffle per
+micro-batch is the same keyed agg as the batch twin (the driver's
+correctness check runs the batch twins — st_tumbling_window /
+st_session_window in queries/neuro.py — over identical semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    schema: str = EVENTS_STREAM_SCHEMA,
+    ns_ts_col: str | None = "ts",
+) -> DataFrame:
+    """File-source stream over a landing directory of parquet files.
+
+    ``ns_ts_col`` mirrors sources.tables.read_table: TIMESTAMP(NANOS)
+    parquet columns arrive as long (nanosAsLong) and are converted to
+    proper timestamps here so event-time ops see TimestampType.
+    """
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    if ns_ts_col and ns_ts_col in df.columns:
+        df = df.withColumn(
+            ns_ts_col, F.timestamp_micros((F.col(ns_ts_col) / 1000).cast("long"))
+        )
+    return df
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Event-time tumbling aggregation with late-data watermark —
+    streaming twin of queries.neuro.st_tumbling_window."""
+    keys = keys if keys is not None else ["event_type"]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            *keys,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Built-in session_window sessionization (the MID block design is
+    session-window-shaped — SURVEY.md §2.9)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def foreach_batch_pipeline(
+    stream: DataFrame,
+    process: Callable[[DataFrame, int], None],
+) -> DataStreamWriter:
+    """Per-micro-batch cohort runner: each arriving batch of subjects
+    is pushed through an arbitrary batch pipeline (the E2 fan-out
+    replacement — xargs -P 4 becomes micro-batch scheduling)."""
+    return stream.writeStream.foreachBatch(process).outputMode("append")

@@ -1,0 +1,137 @@
+"""M6: Structured Streaming surface (real readStream -> windowed aggs
+-> memory sink, compared against the batch twin) + multimodal
+mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+    decode_features,
+    frame_sample_plan,
+    resize_plan,
+)
+from neuroimaging_data_pipeline_spark.streaming.events import (
+    foreach_batch_pipeline,
+    session_counts,
+    stream_parquet_dir,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def landing_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("landing")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events-000.parquet")
+    return str(d)
+
+
+def _run_to_memory(spark, sdf, name, output_mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_tumbling_matches_batch(spark, landing_dir):
+    stream = stream_parquet_dir(spark, landing_dir)
+    assert stream.isStreaming
+    # complete mode: append would hold back windows inside the watermark
+    # horizon at end-of-stream (by design) — complete emits all state.
+    got = _run_to_memory(
+        spark, tumbling_counts(stream), "t_tumble", output_mode="complete"
+    ).toPandas()
+    # batch twin on the same file
+    from neuroimaging_data_pipeline_spark.queries.neuro import st_tumbling_window
+
+    expect = st_tumbling_window(spark, SF_DIR).toPandas()
+    got_s = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    exp_s = expect.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s[["window_start", "event_type", "n", "sum_value"]],
+        exp_s[["window_start", "event_type", "n", "sum_value"]],
+        check_dtype=False,
+    )
+
+
+def test_stream_session_window(spark, landing_dir):
+    stream = stream_parquet_dir(spark, landing_dir)
+    got = _run_to_memory(
+        spark, session_counts(stream), "t_sess", output_mode="complete"
+    ).toPandas()
+    assert len(got) > 0
+    # each session's event count positive; totals match raw row count
+    assert (got["n_events"] > 0).all()
+    assert got["n_events"].sum() == 1000
+
+
+def test_foreach_batch_runs_pipeline(spark, landing_dir, tmp_path):
+    stream = stream_parquet_dir(spark, landing_dir)
+    out_dir = str(tmp_path / "out")
+    seen = []
+
+    def process(batch_df, batch_id):
+        n = batch_df.count()
+        seen.append((batch_id, n))
+        batch_df.groupBy("event_type").count().write.mode("overwrite").parquet(
+            out_dir
+        )
+
+    q = (
+        foreach_batch_pipeline(stream, process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(n for _, n in seen) == 1000
+    back = spark.read.parquet(out_dir)
+    assert back.agg(F.sum("count")).first()[0] == 1000
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, "image" if i % 3 else "video", bytes([i % 256]) * 64,
+         640 + i, 480, 100 + i, 0)
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, modality string, content binary, "
+        "width int, height int, n_frames int, sample_rate int",
+    )
+
+
+def test_decode_features_deterministic(spark, media):
+    f1 = decode_features(media).toPandas().set_index("media_id")
+    f2 = decode_features(media.repartition(7)).toPandas().set_index("media_id")
+    assert len(f1) == 20
+    for mid in f1.index:
+        np.testing.assert_allclose(f1.loc[mid, "features"], f2.loc[mid, "features"])
+    assert all(len(v) == 16 for v in f1["features"])
+
+
+def test_decode_unavailable_decoder_raises(spark, media):
+    with pytest.raises(NotImplementedError):
+        decode_features(media, decoder="pil")
+
+
+def test_resize_and_frame_sample_plans(spark, media):
+    r = resize_plan(media, 320, 240).toPandas().set_index("media_id")
+    assert (r["out_w"] <= 320).all() and (r["out_h"] <= 240).all()
+    fs = frame_sample_plan(media, every_n=25).toPandas()
+    vid = fs[fs.media_id == 3]
+    assert list(vid["frame_idx"]) == [0, 25, 50, 75, 100]
