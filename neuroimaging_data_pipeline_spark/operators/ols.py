@@ -119,13 +119,23 @@ def mass_ols(
     regressors: list[str],
     keys: list[str] | None = None,
     t_col: str = "t",
+    voxels_per_block: int = 2048,
 ) -> DataFrame:
     """Fit y ~ X per (keys..., voxel_id); return the long stats bundle
     (subject, voxel_id, regressor, beta, t, p, df, sigma) — D8.
 
     design is collected per (subject, run) to the driver (296 x 40
     doubles — KB-scale) and shipped in the UDF closure; values are
-    grouped per (subject, voxel_id) and solved in vectorized batches.
+    grouped per (keys..., voxel_block) and solved in vectorized
+    batches.
+
+    Scale note (SURVEY.md §4.3): grouping by subject alone would pull
+    a whole subject (296 x 1.34 M floats ~ 3.2 GB) into ONE pandas
+    batch. The voxel_block key caps each Arrow batch at
+    ``voxels_per_block`` series (~5 MB at 296 TRs / 2048 voxels) and
+    multiplies parallelism by n_blocks: 1000 executors all busy on one
+    cohort. The block id is a pure projection (voxel_id / N), so with
+    voxel-bucketed Parquet the shuffle disappears entirely.
     """
     keys = keys or ["subject", "run"]
     # Collect the small design matrix once; key -> (X, col order).
@@ -138,8 +148,8 @@ def mass_ols(
     key_cols = list(keys)
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        # One group = one (subject, run); pivot voxels into a matrix and
-        # solve all of them with a single pinv @ Y.
+        # One group = one (subject, run, voxel_block); pivot the block's
+        # voxels into a matrix and solve all of them with one pinv @ Y.
         kt = tuple(pdf.iloc[0][k] for k in key_cols)
         X = Xmap[kt]
         n, k = X.shape
@@ -174,7 +184,10 @@ def mass_ols(
         return pd.DataFrame(out)
 
     schema = _stats_schema(values.schema, key_cols)
-    return values.groupBy(*keys).applyInPandas(fit, schema)
+    blocked = values.withColumn(
+        "_voxel_block", F.floor(F.col("voxel_id") / F.lit(int(voxels_per_block)))
+    )
+    return blocked.groupBy(*keys, "_voxel_block").applyInPandas(fit, schema)
 
 
 def ols_normal_equations_sql(
