@@ -19,13 +19,15 @@ Determinism discipline (applies to every pair):
 from __future__ import annotations
 
 from neuroimaging_data_pipeline_spark.queries import (
+    misc,
     neuro,
     relational,
     simsearch,
+    spatial,
     textops,
 )
 
-_MODULES = [relational, neuro, textops, simsearch]
+_MODULES = [relational, neuro, spatial, misc, textops, simsearch]
 
 
 def all_queries():

@@ -1,0 +1,438 @@
+"""Remaining SURVEY.md §2 coverage: diagnostics (A10 VIF), design-matrix
+blocks (W3 motion expansion, W7 spike regressors), catalog/sidecar
+sources (S3 entity extraction, S10 JSON metadata update), scalar
+function families (F1 math, F4 conditional), the full mass-OLS operator
+(A9, Cramer-rule SQL oracle for k=3), and the multimodal binary digest
+(M1) — all on the driver tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --- A10: variance inflation factor ------------------------------------------
+
+def a10_vif(spark, sf_dir):
+    """A10: VIF per regressor (dm.vif() analog, ipynb:1087) for the
+    3-regressor design (l_quantity, l_extendedprice, l_discount) in
+    closed form from the pairwise correlations: VIF_j = diag(R^-1),
+    R^-1 via the 3x3 adjugate. The corr matrix is a tiny aggregate;
+    the inversion is scalar arithmetic — the idiomatic
+    DataFrame -> local-matrix boundary at k~40 (SURVEY.md A10)."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("r12"),
+        F.corr("l_quantity", "l_discount").alias("r13"),
+        F.corr("l_extendedprice", "l_discount").alias("r23"),
+    )
+    det = (
+        F.lit(1.0)
+        + 2.0 * F.col("r12") * F.col("r13") * F.col("r23")
+        - F.col("r12") ** 2
+        - F.col("r13") ** 2
+        - F.col("r23") ** 2
+    )
+    rows = [
+        ("l_quantity", (1.0 - F.col("r23") ** 2)),
+        ("l_extendedprice", (1.0 - F.col("r13") ** 2)),
+        ("l_discount", (1.0 - F.col("r12") ** 2)),
+    ]
+    out = None
+    for name, minor in rows:
+        sel = c.select(
+            F.lit(name).alias("regressor"),
+            F.round(minor / det, 6).alias("vif"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+A10_SQL = """
+WITH c AS (
+  SELECT CORR(l_quantity, l_extendedprice) AS r12,
+         CORR(l_quantity, l_discount) AS r13,
+         CORR(l_extendedprice, l_discount) AS r23
+  FROM lineitem
+), d AS (
+  SELECT *, 1.0 + 2.0*r12*r13*r23 - r12*r12 - r13*r13 - r23*r23 AS det FROM c
+)
+SELECT 'l_quantity' AS regressor, ROUND((1.0 - r23*r23) / det, 6) AS vif FROM d
+UNION ALL
+SELECT 'l_extendedprice', ROUND((1.0 - r13*r13) / det, 6) FROM d
+UNION ALL
+SELECT 'l_discount', ROUND((1.0 - r12*r12) / det, 6) FROM d
+"""
+
+
+# --- W3: motion-covariate expansion (z, z^2, dz, dz^2) -----------------------
+
+def w3_motion_expansion(spark, sf_dir):
+    """W3 (+W1/W2): the 24-motion-covariate block semantics
+    (ssm_loop.py:46-50) — per user series: z-score, its square, its
+    first difference, and the squared difference."""
+    ev = _t(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("event_id")
+    sd = F.stddev_samp("value").over(wp)
+    z = F.when(sd > 0, (F.col("value") - F.avg("value").over(wp)) / sd).otherwise(
+        0.0
+    )
+    base = ev.select("user_id", "event_id", z.alias("z"))
+    d = F.coalesce(F.col("z") - F.lag("z", 1).over(wo), F.lit(0.0))
+    return base.select(
+        "user_id",
+        "event_id",
+        F.round("z", 6).alias("z"),
+        F.round(F.col("z") ** 2, 6).alias("z2"),
+        F.round(d, 6).alias("dz"),
+        F.round(d ** 2, 6).alias("dz2"),
+    )
+
+
+W3_SQL = """
+WITH base AS (
+  SELECT user_id, event_id,
+         CASE WHEN STDDEV_SAMP(value) OVER (PARTITION BY user_id) > 0
+              THEN (value - AVG(value) OVER (PARTITION BY user_id))
+                   / STDDEV_SAMP(value) OVER (PARTITION BY user_id)
+              ELSE 0.0 END AS z
+  FROM events
+), diffed AS (
+  SELECT user_id, event_id, z,
+         COALESCE(z - LAG(z, 1) OVER (PARTITION BY user_id ORDER BY event_id), 0.0) AS dz
+  FROM base
+)
+SELECT user_id, event_id,
+       ROUND(z, 6) AS z, ROUND(z*z, 6) AS z2,
+       ROUND(dz, 6) AS dz, ROUND(dz*dz, 6) AS dz2
+FROM diffed
+"""
+
+
+# --- W7: spike regressors ----------------------------------------------------
+
+def w7_spike_regressors(spark, sf_dir):
+    """W7: one-hot spike regressor construction (motion_outlierNN
+    semantics, ssm_loop.py:77-84): the 5 busiest hours become spike
+    indices; emit the long one-hot (hour, spike_idx, flag)."""
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("hour"))
+    spikes = (
+        hours.withColumn("spike_idx", F.row_number().over(w))
+        .filter(F.col("spike_idx") <= 5)
+        .select("spike_idx", F.col("hour").alias("spike_hour"))
+    )
+    return (
+        hours.select("hour")
+        .crossJoin(F.broadcast(spikes))
+        .select(
+            "hour",
+            "spike_idx",
+            F.when(F.col("hour") == F.col("spike_hour"), 1)
+            .otherwise(0)
+            .alias("flag"),
+        )
+    )
+
+
+W7_SQL = """
+WITH hours AS (
+  SELECT CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 3600) AS BIGINT) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+), spikes AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, hour ASC) AS INT) AS spike_idx,
+         hour AS spike_hour
+  FROM hours QUALIFY spike_idx <= 5
+)
+SELECT h.hour, s.spike_idx,
+       CAST(CASE WHEN h.hour = s.spike_hour THEN 1 ELSE 0 END AS INT) AS flag
+FROM hours h CROSS JOIN spikes s
+"""
+
+
+# --- S3: catalog entity extraction -------------------------------------------
+
+def s3_catalog_entities(spark, sf_dir):
+    """S3/D6: BIDS-style entity extraction — synthesize file paths from
+    orders, regexp_extract the (subject, task, run) entities back
+    (layout.get(...) ≡ catalog.filter, ssm_loop.py:34,40), and count
+    files per entity combination."""
+    o = _t(spark, sf_dir, "orders")
+    subj = F.lpad((F.col("o_custkey") % 97).cast("string"), 3, "0")
+    task = F.when(F.col("o_orderstatus") == "F", "mid").otherwise("rest")
+    run = (F.col("o_orderkey") % 4 + 1).cast("string")
+    path = F.concat(
+        F.lit("sub-"), subj, F.lit("/func/sub-"), subj,
+        F.lit("_task-"), task, F.lit("_run-0"), run, F.lit("_bold.nii.gz"),
+    )
+    cat = o.select(path.alias("path")).select(
+        F.regexp_extract("path", r"sub-([0-9]+)", 1).alias("subject"),
+        F.regexp_extract("path", r"task-([a-z]+)", 1).alias("task"),
+        F.regexp_extract("path", r"run-([0-9]+)", 1).alias("run"),
+    )
+    return cat.groupBy("subject", "task", "run").agg(
+        F.count(F.lit(1)).alias("n_files")
+    )
+
+
+S3_SQL = """
+WITH paths AS (
+  SELECT 'sub-' || LPAD(CAST(o_custkey % 97 AS VARCHAR), 3, '0')
+         || '/func/sub-' || LPAD(CAST(o_custkey % 97 AS VARCHAR), 3, '0')
+         || '_task-' || (CASE WHEN o_orderstatus = 'F' THEN 'mid' ELSE 'rest' END)
+         || '_run-0' || CAST(o_orderkey % 4 + 1 AS VARCHAR)
+         || '_bold.nii.gz' AS path
+  FROM orders
+), cat AS (
+  SELECT regexp_extract(path, 'sub-([0-9]+)', 1) AS subject,
+         regexp_extract(path, 'task-([a-z]+)', 1) AS task,
+         regexp_extract(path, 'run-([0-9]+)', 1) AS run
+  FROM paths
+)
+SELECT subject, task, run, CAST(COUNT(*) AS BIGINT) AS n_files
+FROM cat GROUP BY subject, task, run
+"""
+
+
+# --- S10: JSON sidecar metadata update ---------------------------------------
+
+def s10_json_update(spark, sf_dir):
+    """S10 (+F5): the jq '.TaskName="rest"' sidecar edit
+    (preprocess_parallel.sh:109-116): build sidecar JSON per part,
+    rewrite the TaskName field, and read both fields back out."""
+    p = _t(spark, sf_dir, "part")
+    js = F.concat(
+        F.lit('{"TaskName":"'), F.col("p_brand"),
+        F.lit('","RepetitionTime":'), F.col("p_size").cast("string"),
+        F.lit("}"),
+    )
+    updated = F.regexp_replace(js, '"TaskName":"[^"]*"', '"TaskName":"rest"')
+    return p.select(
+        "p_partkey",
+        F.get_json_object(updated, "$.TaskName").alias("task_name"),
+        F.get_json_object(updated, "$.RepetitionTime")
+        .cast("long")
+        .alias("repetition_time"),
+    )
+
+
+S10_SQL = """
+WITH sidecars AS (
+  SELECT p_partkey,
+         regexp_replace('{"TaskName":"' || p_brand || '","RepetitionTime":'
+                        || CAST(p_size AS VARCHAR) || '}',
+                        '"TaskName":"[^"]*"', '"TaskName":"rest"') AS js
+  FROM part
+)
+SELECT p_partkey,
+       json_extract_string(js, '$.TaskName') AS task_name,
+       CAST(json_extract_string(js, '$.RepetitionTime') AS BIGINT) AS repetition_time
+FROM sidecars
+"""
+
+
+# --- F1 / F4: scalar function families ---------------------------------------
+
+def f1_math(spark, sf_dir):
+    """F1: math scalar family (exp/cos/sqrt/pow/mod — the convolution,
+    DCT, and Gaussian kernels' building blocks)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.exp("l_discount"), 6).alias("e_disc"),
+        F.round(F.cos("l_quantity"), 6).alias("cos_qty"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.pow(F.col("l_tax") + 1.0, 2), 6).alias("tax_sq"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+    )
+
+
+F1_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(EXP(l_discount), 6) AS e_disc,
+       ROUND(COS(l_quantity), 6) AS cos_qty,
+       ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+       ROUND(POWER(l_tax + 1.0, 2), 6) AS tax_sq,
+       l_orderkey % 7 AS mod7
+FROM lineitem
+"""
+
+
+def f4_conditional(spark, sf_dir):
+    """F4 (+P10): multi-branch existence routing (the T1/T2 branch,
+    preprocess_parallel.sh:41-46): route customers by order presence
+    and balance, then count per route."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    routed = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("n_orders").isNull(), "inactive")
+        .when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("n_orders") >= 10, "frequent")
+        .otherwise("regular")
+        .alias("route"),
+    )
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+    )
+
+
+F4_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey
+), routed AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         CASE WHEN o.n_orders IS NULL THEN 'inactive'
+              WHEN c.c_acctbal < 0 THEN 'debtor'
+              WHEN o.n_orders >= 10 THEN 'frequent'
+              ELSE 'regular' END AS route
+  FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+)
+SELECT route, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(c_acctbal), 6) AS avg_bal
+FROM routed GROUP BY route
+"""
+
+
+# --- A9: full mass-OLS operator (k=3, Cramer-rule oracle) --------------------
+
+_N_T = 7  # lineitem linenumbers 1..7
+
+
+def a9_mass_ols(spark, sf_dir):
+    """A9: the real distributed mass-OLS operator (operators/ols.py —
+    broadcast design + blocked applyInPandas pinv solve, the
+    smoothed.regress() flagship, ssm_loop.py:91) on the
+    lineitem-derived long fact table. One series per part
+    (t = l_linenumber, y = avg quantity), design X = [1, u, u^2] with
+    u = t/7; series missing any t are excluded (fMRI grids are
+    complete by construction; the driver tables are not). The oracle
+    solves the same normal equations by Cramer's rule in ANSI SQL."""
+    from neuroimaging_data_pipeline_spark.operators.ols import mass_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    y = li.groupBy(
+        F.col("l_partkey").alias("voxel_id"),
+        F.col("l_linenumber").cast("long").alias("t"),
+    ).agg(F.avg("l_quantity").alias("value"))
+    full = y.groupBy("voxel_id").agg(F.count(F.lit(1)).alias("nt")).filter(
+        F.col("nt") == _N_T
+    )
+    values = (
+        y.join(full.select("voxel_id"), on="voxel_id", how="left_semi")
+        .select(
+            F.lit("all").alias("subject"),
+            F.lit(0).alias("run"),
+            "t",
+            "voxel_id",
+            "value",
+        )
+    )
+    design = spark.createDataFrame(
+        [
+            ("all", 0, t, 1.0, t / float(_N_T), (t / float(_N_T)) ** 2)
+            for t in range(1, _N_T + 1)
+        ],
+        "subject string, run int, t long, intercept double, u double, u2 double",
+    )
+    stats = mass_ols(values, design, ["intercept", "u", "u2"])
+    return stats.select(
+        "voxel_id", "regressor", F.round("beta", 6).alias("beta")
+    )
+
+
+A9_FULL_SQL = """
+WITH y AS (
+  SELECT l_partkey AS voxel_id, CAST(l_linenumber AS BIGINT) AS t,
+         AVG(l_quantity) AS y
+  FROM lineitem GROUP BY 1, 2
+), full_series AS (
+  SELECT voxel_id FROM y GROUP BY voxel_id HAVING COUNT(*) = 7
+), d AS (
+  SELECT y.voxel_id, y.t / 7.0 AS u, y.y
+  FROM y JOIN full_series USING (voxel_id)
+), agg AS (
+  SELECT voxel_id,
+         CAST(COUNT(*) AS DOUBLE) AS s0,
+         SUM(u) AS s1, SUM(u*u) AS s2, SUM(u*u*u) AS s3, SUM(u*u*u*u) AS s4,
+         SUM(y) AS c0, SUM(u*y) AS c1, SUM(u*u*y) AS c2
+  FROM d GROUP BY voxel_id
+), solved AS (
+  SELECT voxel_id,
+    s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det,
+    c0*(s2*s4 - s3*s3) - s1*(c1*s4 - s3*c2) + s2*(c1*s3 - s2*c2) AS det0,
+    s0*(c1*s4 - s3*c2) - c0*(s1*s4 - s3*s2) + s2*(s1*c2 - c1*s2) AS det1,
+    s0*(s2*c2 - c1*s3) - s1*(s1*c2 - c1*s2) + c0*(s1*s3 - s2*s2) AS det2
+  FROM agg
+)
+SELECT voxel_id, 'intercept' AS regressor, ROUND(det0 / det, 6) AS beta FROM solved
+UNION ALL
+SELECT voxel_id, 'u', ROUND(det1 / det, 6) FROM solved
+UNION ALL
+SELECT voxel_id, 'u2', ROUND(det2 / det, 6) FROM solved
+"""
+
+
+# --- M1: multimodal binary digest --------------------------------------------
+
+def m1_binary_digest(spark, sf_dir):
+    """M1: opaque-binary column plumbing (multimodal/binaryops.py) in
+    its SQL-checkable form: payload byte length + md5 digest per
+    document."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+
+
+M1_SQL = """
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+QUERIES = {
+    "a10_vif": a10_vif,
+    "w3_motion_expansion": w3_motion_expansion,
+    "w7_spike_regressors": w7_spike_regressors,
+    "s3_catalog_entities": s3_catalog_entities,
+    "s10_json_update": s10_json_update,
+    "f1_math": f1_math,
+    "f4_conditional": f4_conditional,
+    "a9_mass_ols": a9_mass_ols,
+    "m1_binary_digest": m1_binary_digest,
+}
+
+ORACLE = {
+    "a10_vif": A10_SQL,
+    "w3_motion_expansion": W3_SQL,
+    "w7_spike_regressors": W7_SQL,
+    "s3_catalog_entities": S3_SQL,
+    "s10_json_update": S10_SQL,
+    "f1_math": F1_SQL,
+    "f4_conditional": F4_SQL,
+    "a9_mass_ols": A9_FULL_SQL,
+    "m1_binary_digest": M1_SQL,
+}
