@@ -139,7 +139,13 @@ def mass_ols(
     """
     keys = keys or ["subject", "run"]
     # Collect the small design matrix once; key -> (X, col order).
-    dpdf = design.orderBy(*keys, t_col).toPandas()
+    # design may be a pandas DataFrame (generated driver-side — skips a
+    # whole Spark job; a 7-row toPandas costs ~2 s of pure overhead) or
+    # a Spark DataFrame (collected once; KB-scale).
+    if isinstance(design, pd.DataFrame):
+        dpdf = design.sort_values([*keys, t_col])
+    else:
+        dpdf = design.orderBy(*keys, t_col).toPandas()
     Xmap: dict[tuple, np.ndarray] = {}
     for kvals, g in dpdf.groupby(keys):
         kt = kvals if isinstance(kvals, tuple) else (kvals,)

@@ -332,11 +332,13 @@ def a9_mass_ols(spark, sf_dir):
         F.col("l_partkey").alias("voxel_id"),
         F.col("l_linenumber").cast("long").alias("t"),
     ).agg(F.avg("l_quantity").alias("value"))
-    full = y.groupBy("voxel_id").agg(F.count(F.lit(1)).alias("nt")).filter(
-        F.col("nt") == _N_T
-    )
+    # completeness filter as one window count (a single shuffle on
+    # voxel_id) instead of agg + semi-join (three)
     values = (
-        y.join(full.select("voxel_id"), on="voxel_id", how="left_semi")
+        y.withColumn(
+            "nt", F.count(F.lit(1)).over(Window.partitionBy("voxel_id"))
+        )
+        .filter(F.col("nt") == _N_T)
         .select(
             F.lit("all").alias("subject"),
             F.lit(0).alias("run"),
@@ -345,12 +347,14 @@ def a9_mass_ols(spark, sf_dir):
             "value",
         )
     )
-    design = spark.createDataFrame(
+    import pandas as pd
+
+    design = pd.DataFrame(
         [
             ("all", 0, t, 1.0, t / float(_N_T), (t / float(_N_T)) ** 2)
             for t in range(1, _N_T + 1)
         ],
-        "subject string, run int, t long, intercept double, u double, u2 double",
+        columns=["subject", "run", "t", "intercept", "u", "u2"],
     )
     stats = mass_ols(values, design, ["intercept", "u", "u2"])
     return stats.select(

@@ -18,6 +18,7 @@ from neuroimaging_data_pipeline_spark.dedup.simhash import (
     simhash_candidate_pairs,
 )
 from neuroimaging_data_pipeline_spark.similarity.cosine import (
+    bucketed_neardup_pairs,
     cosine_topk,
     lsh_topk,
 )
@@ -39,7 +40,7 @@ _NORM_Q = (
 
 def s_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-5 for query vectors vec_id < 5."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk(emb, queries, k=5)
     return out.select(
@@ -64,38 +65,11 @@ SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine FROM ranked WHERE rn <= 5
 
 def d_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs within a label bucket
-    (label = the blocking key, as LSH buckets would be at scale)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("vb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return (
-        a.join(b, on=[F.col("label") == F.col("label_b"), F.col("id_a") < F.col("id_b")])
-        .select(
-            "id_a",
-            "id_b",
-            "label",
-            F.round(F.try_divide(dot, norm("va") * norm("vb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.2)
-    )
+    (label = the blocking key, as LSH buckets would be at scale).
+    One GEMM per bucket (similarity/cosine.py:bucketed_neardup_pairs)
+    — Arrow+BLAS instead of per-pair expression eval."""
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    return bucketed_neardup_pairs(emb, bucket_col="label", threshold=0.2)
 
 
 D_EMB_NEARDUP_SQL = """
@@ -116,7 +90,7 @@ FROM pairs WHERE ROUND(cos_raw, 6) >= 0.2
 def s_lsh_topk(spark, sf_dir):
     """Approximate top-5 via random-hyperplane LSH buckets (rows-only:
     hyperplane hashing has no DuckDB twin; recall pinned in pytest)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
     queries = emb.filter(F.col("vec_id") < 5)
     out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
@@ -125,7 +99,7 @@ def s_lsh_topk(spark, sf_dir):
 def d_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs on documents (rows-only: xxhash64
     permutations; Jaccard agreement pinned in pytest)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
     return minhash_dedup_pairs(docs, threshold=0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -133,7 +107,7 @@ def d_minhash_lsh(spark, sf_dir):
 
 def d_simhash(spark, sf_dir):
     """SimHash near-dup candidates (rows-only: xxhash64 bit hashing)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
     fps = simhash(docs)
     return simhash_candidate_pairs(fps, max_hamming=16)
 

@@ -28,7 +28,7 @@ _TOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
 def t_token_count(spark, sf_dir):
     """Whitespace token count per document."""
-    return read_table(spark, sf_dir, "documents").select(
+    return read_table(spark, sf_dir, "documents", min_partitions=16).select(
         "doc_id", token_count("text").alias("n_tokens")
     )
 
@@ -42,7 +42,7 @@ FROM documents
 def t_quality_signals(spark, sf_dir):
     """Quality-scoring signal columns: punctuation ratio, stopword
     ratio, mean word length (rounded for hash parity)."""
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
     return d.select(
         "doc_id",
         F.round(F.coalesce(punct_ratio("text"), F.lit(0.0)), 6).alias("punct_ratio"),
@@ -69,7 +69,7 @@ FROM documents
 
 def t_lang_id(spark, sf_dir):
     """Heuristic language ID via stopword-marker hits."""
-    return read_table(spark, sf_dir, "documents").select(
+    return read_table(spark, sf_dir, "documents", min_partitions=16).select(
         "doc_id", lang_id("text").alias("lang_pred")
     )
 
@@ -100,7 +100,7 @@ FROM scores
 
 def t_fingerprint(spark, sf_dir):
     """Content fingerprint (md5 of normalized 256-char prefix)."""
-    return read_table(spark, sf_dir, "documents").select(
+    return read_table(spark, sf_dir, "documents", min_partitions=16).select(
         "doc_id", fingerprint("text", 256).alias("fp")
     )
 
@@ -113,7 +113,7 @@ FROM documents
 
 def d_exact_dedup(spark, sf_dir):
     """Exact dedup groups: content hash -> (kept id, duplicate count)."""
-    return exact_dedup_keys(read_table(spark, sf_dir, "documents"))
+    return exact_dedup_keys(read_table(spark, sf_dir, "documents", min_partitions=16))
 
 
 D_EXACT_SQL = f"""
@@ -131,7 +131,7 @@ def d_ngram_jaccard(spark, sf_dir):
     space bounded like LSH would); emits pairs with jaccard >= 0.2."""
     from neuroimaging_data_pipeline_spark.dedup.minhash import shingles
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
     sh = shingles(docs, "doc_id", "text", k=3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     src = docs.select("doc_id", "source")

@@ -134,3 +134,63 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def bucketed_neardup_pairs(
+    emb: DataFrame,
+    bucket_col: str = "label",
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All near-duplicate pairs (cosine >= threshold) within each
+    bucket, via one dense GEMM per bucket (applyInPandas + numpy).
+
+    The blocking column (an LSH bucket / cluster id at scale) bounds
+    the pair space; inside a bucket the pairwise cosine matrix is a
+    single ``A_n @ A_n.T`` — Arrow-batched BLAS beats per-pair
+    zip_with/aggregate expression eval by ~10x and keeps every bucket
+    an independent task (1000 executors, 1000+ buckets: linear
+    scale-out). Emits (id_a, id_b, bucket, cosine) with id_a < id_b,
+    cosine rounded to 6 so results hash-match the relational oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    bucket_field = emb.schema[bucket_col]
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        A, ids = A[order], ids[order]
+        norms = np.sqrt((A * A).sum(axis=1))
+        norms[norms == 0] = np.inf
+        S = (A @ A.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = np.round(S[iu, ju], 6)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                bucket_col: np.repeat(pdf[bucket_col].iloc[0], int(keep.sum())),
+                "cosine": cos[keep],
+            }
+        )
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField(bucket_col, bucket_field.dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    return emb.groupBy(bucket_col).applyInPandas(pairs, schema)

@@ -17,8 +17,21 @@ from pyspark.sql import functions as F
 _NS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Read a driver table. ``min_partitions`` widens pathologically
+    narrow inputs (a single-row-group parquet file arrives as ONE
+    partition, serializing every downstream expression on one core —
+    the driver's documents/embeddings tables are exactly that). The
+    repartition is a no-op at real scale where the source is already
+    wide, and a cheap shuffle of the small table when it isn't."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
     for c in _NS_TS_COLS.get(name, []):
         field = df.schema[c] if c in df.columns else None
         if field is not None and field.dataType.simpleString() == "bigint":
