@@ -139,9 +139,21 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    persist_shingles: bool = True,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify."""
+    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify.
+
+    The shingle set feeds BOTH the signature path and the Jaccard
+    verification join; without persistence Spark recomputes the
+    regex/explode pipeline once per consumer — at corpus scale that is
+    the single largest cost in the DAG, so it is persisted
+    (memory-and-disk, spills instead of OOM) by default.
+    """
     sh = shingles(docs, id_col, text_col, k)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return jaccard_verify(cand, sh, id_col, threshold)

@@ -146,35 +146,75 @@ def mass_ols(
         dpdf = design.sort_values([*keys, t_col])
     else:
         dpdf = design.orderBy(*keys, t_col).toPandas()
-    Xmap: dict[tuple, np.ndarray] = {}
+    Xmap: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
     for kvals, g in dpdf.groupby(keys):
         kt = kvals if isinstance(kvals, tuple) else (kvals,)
-        Xmap[kt] = g[regressors].to_numpy(dtype=np.float64)
+        Xmap[kt] = (
+            g[regressors].to_numpy(dtype=np.float64),
+            g[t_col].to_numpy(),
+        )
     reg_names = list(regressors)
     key_cols = list(keys)
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        # One group = one (subject, run, voxel_block); pivot the block's
-        # voxels into a matrix and solve all of them with one pinv @ Y.
+        # One group = one (subject, run, voxel_block). Pivot the block's
+        # voxels into a (t x voxel) matrix, align rows to the design's
+        # time axis, and solve every complete voxel with ONE pinv @ Y.
+        # Voxels missing timepoints (never the case on a real fMRI
+        # grid, but legal input) fall to a per-voxel masked solve.
         kt = tuple(pdf.iloc[0][k] for k in key_cols)
-        X = Xmap[kt]
-        n, k = X.shape
+        X_full, t_axis = Xmap[kt]
         wide = pdf.pivot_table(index=t_col, columns="voxel_id", values="value")
         wide = wide.sort_index()
+        pos = {tv: i for i, tv in enumerate(t_axis)}
+        row_idx = np.fromiter(
+            (pos[tv] for tv in wide.index), dtype=np.int64, count=len(wide.index)
+        )
+        X = X_full[row_idx]
+        n, k = X.shape
         Y = wide.to_numpy(dtype=np.float64)
         vox = wide.columns.to_numpy()
-        pinv = np.linalg.pinv(X)
-        B = pinv @ Y                      # (k, n_vox)
-        resid = Y - X @ B                 # (n, n_vox)
-        dof = float(n - np.linalg.matrix_rank(X))
-        mse = (resid**2).sum(axis=0) / dof
-        xtx_inv_diag = np.diag(pinv @ pinv.T)  # == diag((X'X)^-1)
-        se = np.sqrt(np.outer(xtx_inv_diag, mse))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            T = np.where(se > 0, B / se, 0.0)
-        P = 2.0 * _t_sf(np.abs(T), dof)
-        sigma = np.sqrt(mse)
         nvox = len(vox)
+        B = np.empty((k, nvox))
+        SE = np.empty((k, nvox))
+        DOF = np.empty(nvox)
+        SIGMA = np.empty(nvox)
+        nanmask = np.isnan(Y)
+        complete = ~nanmask.any(axis=0)
+        if complete.any():
+            Yc = Y[:, complete]
+            pinv = np.linalg.pinv(X)
+            Bc = pinv @ Yc                  # (k, n_complete)
+            resid = Yc - X @ Bc             # (n, n_complete)
+            dof = float(n - np.linalg.matrix_rank(X))
+            mse = (resid**2).sum(axis=0) / dof
+            xtx_inv_diag = np.diag(pinv @ pinv.T)  # == diag((X'X)^-1)
+            B[:, complete] = Bc
+            SE[:, complete] = np.sqrt(np.outer(xtx_inv_diag, mse))
+            DOF[complete] = dof
+            SIGMA[complete] = np.sqrt(mse)
+        for j in np.nonzero(~complete)[0]:
+            m = ~nanmask[:, j]
+            Xi, yi = X[m], Y[m, j]
+            pinv_i = np.linalg.pinv(Xi)
+            bi = pinv_i @ yi
+            ri = yi - Xi @ bi
+            dof_i = float(len(yi) - np.linalg.matrix_rank(Xi))
+            mse_i = (ri**2).sum() / dof_i if dof_i > 0 else np.nan
+            B[:, j] = bi
+            SE[:, j] = np.sqrt(np.diag(pinv_i @ pinv_i.T) * mse_i)
+            DOF[j] = dof_i
+            SIGMA[j] = np.sqrt(mse_i)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            T = np.where(SE > 0, B / SE, 0.0)
+        P = np.empty_like(T)
+        for dv in np.unique(DOF):
+            mcol = DOF == dv
+            P[:, mcol] = (
+                2.0 * _t_sf(np.abs(T[:, mcol]), float(dv))
+                if dv > 0
+                else np.nan
+            )
         out = {k_name: np.repeat(pdf.iloc[0][k_name], k * nvox) for k_name in key_cols}
         out.update(
             {
@@ -183,8 +223,8 @@ def mass_ols(
                 "beta": B.ravel(),
                 "t": T.ravel(),
                 "p": P.ravel(),
-                "df": np.full(k * nvox, dof),
-                "sigma": np.tile(sigma, k),
+                "df": np.repeat(DOF[np.newaxis, :], k, axis=0).ravel(),
+                "sigma": np.repeat(SIGMA[np.newaxis, :], k, axis=0).ravel(),
             }
         )
         return pd.DataFrame(out)

@@ -322,9 +322,9 @@ def a9_mass_ols(spark, sf_dir):
     smoothed.regress() flagship, ssm_loop.py:91) on the
     lineitem-derived long fact table. One series per part
     (t = l_linenumber, y = avg quantity), design X = [1, u, u^2] with
-    u = t/7; series missing any t are excluded (fMRI grids are
-    complete by construction; the driver tables are not). The oracle
-    solves the same normal equations by Cramer's rule in ANSI SQL."""
+    u = t/7; series missing timepoints are solved on their present
+    rows (the operator's masked path). The oracle solves the same
+    per-voxel normal equations by Cramer's rule in ANSI SQL."""
     from neuroimaging_data_pipeline_spark.operators.ols import mass_ols
 
     li = _t(spark, sf_dir, "lineitem")
@@ -332,20 +332,12 @@ def a9_mass_ols(spark, sf_dir):
         F.col("l_partkey").alias("voxel_id"),
         F.col("l_linenumber").cast("long").alias("t"),
     ).agg(F.avg("l_quantity").alias("value"))
-    # completeness filter as one window count (a single shuffle on
-    # voxel_id) instead of agg + semi-join (three)
-    values = (
-        y.withColumn(
-            "nt", F.count(F.lit(1)).over(Window.partitionBy("voxel_id"))
-        )
-        .filter(F.col("nt") == _N_T)
-        .select(
-            F.lit("all").alias("subject"),
-            F.lit(0).alias("run"),
-            "t",
-            "voxel_id",
-            "value",
-        )
+    values = y.select(
+        F.lit("all").alias("subject"),
+        F.lit(0).alias("run"),
+        "t",
+        "voxel_id",
+        "value",
     )
     import pandas as pd
 
@@ -367,11 +359,8 @@ WITH y AS (
   SELECT l_partkey AS voxel_id, CAST(l_linenumber AS BIGINT) AS t,
          AVG(l_quantity) AS y
   FROM lineitem GROUP BY 1, 2
-), full_series AS (
-  SELECT voxel_id FROM y GROUP BY voxel_id HAVING COUNT(*) = 7
 ), d AS (
-  SELECT y.voxel_id, y.t / 7.0 AS u, y.y
-  FROM y JOIN full_series USING (voxel_id)
+  SELECT y.voxel_id, y.t / 7.0 AS u, y.y FROM y
 ), agg AS (
   SELECT voxel_id,
          CAST(COUNT(*) AS DOUBLE) AS s0,

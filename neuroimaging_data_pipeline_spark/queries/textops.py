@@ -131,8 +131,14 @@ def d_ngram_jaccard(spark, sf_dir):
     space bounded like LSH would); emits pairs with jaccard >= 0.2."""
     from neuroimaging_data_pipeline_spark.dedup.minhash import shingles
 
+    from pyspark import StorageLevel
+
     docs = read_table(spark, sf_dir, "documents", min_partitions=16)
-    sh = shingles(docs, "doc_id", "text", k=3)
+    # sh feeds the sizes agg and both sides of the pair join — persist
+    # once instead of recomputing the shingle pipeline three times
+    sh = shingles(docs, "doc_id", "text", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     src = docs.select("doc_id", "source")
     a = sh.join(src, "doc_id").select(
