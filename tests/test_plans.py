@@ -1,0 +1,115 @@
+"""Physical-plan regression gate (SURVEY.md §4).
+
+The reference achieves pushdown/pruning by hand (entity filters before
+reads, ssm_loop.py:40-41,60,72; 6-of-30 column selects, ssm_loop.py:73).
+Here those properties — plus the ones that only matter at cluster scale
+(bounded shuffle count, broadcast dims, no per-row Python) — are pinned
+as plan assertions so a refactor that silently regresses them fails CI
+before it ever reaches a benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from neuroimaging_data_pipeline_spark.plans.audit import (
+    assert_plan,
+    explain_str,
+    python_eval_count,
+    sortmerge_join_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_projection_filter_pushdown(spark, queries):
+    """P1: predicate and projection must reach the parquet scan."""
+    assert_plan(
+        queries["p1_projection_filter"](spark, SF_DIR),
+        max_exchanges=0,
+        require_pushed_filter="EqualTo(l_returnflag,R)",
+        max_scan_columns=5,
+        forbid=("SortMergeJoin", "BatchEvalPython"),
+    )
+
+
+def test_broadcast_3way_no_shuffle_join(spark, queries):
+    """J: dim joins broadcast; the fact scan is never shuffled for them."""
+    assert_plan(
+        queries["j_broadcast_3way"](spark, SF_DIR),
+        require=("BroadcastHashJoin",),
+        forbid=("SortMergeJoin", "ShuffledHashJoin"),
+    )
+
+
+def test_pricing_summary_single_agg_shuffle(spark, queries):
+    """A1: partial (map-side) aggregation first — one data shuffle for
+    the final agg, one for the output sort, nothing else."""
+    assert_plan(
+        queries["a1_pricing_summary"](spark, SF_DIR),
+        max_exchanges=2,
+        require=("HashAggregate",),
+        forbid=("SortMergeJoin", "BatchEvalPython"),
+    )
+
+
+def test_topk_avoids_global_sort(spark, queries):
+    """O2: LIMIT+ORDER BY must plan as top-k (TakeOrderedAndProject),
+    not a full sort shuffle of the table."""
+    plan = explain_str(queries["o2_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_stencil_join_broadcasts_offsets(spark, queries):
+    """J4: the 19-row offset table must broadcast — shuffling the voxel
+    side by (x+dx,y+dy,z+dz) would rewrite the whole volume at scale."""
+    assert_plan(
+        queries["j4_stencil_mode"](spark, SF_DIR),
+        require=("BroadcastHashJoin",),
+        forbid=("SortMergeJoin",),
+    )
+
+
+def test_smooth_kernel_broadcasts(spark, queries):
+    """W8: Gaussian kernel-offset join broadcasts the kernel table."""
+    assert_plan(
+        queries["w8_gaussian_smooth"](spark, SF_DIR),
+        require=("BroadcastHashJoin",),
+        forbid=("SortMergeJoin", "BatchEvalPython"),
+    )
+
+
+def test_mass_ols_is_arrow_not_row_python(spark, queries):
+    """A9: per-voxel OLS runs through Arrow-batched pandas machinery,
+    never row-pickling BatchEvalPython."""
+    plan = explain_str(queries["a9_mass_ols"](spark, SF_DIR))
+    assert python_eval_count(plan) == 0, plan
+
+
+def test_no_row_python_or_sortmerge_anywhere(spark, queries):
+    """Global gate: across every registered query, (a) no row-at-a-time
+    Python eval; (b) no SortMergeJoin — at the driver SFs every join
+    side that isn't the fact table fits the broadcast threshold, so a
+    SortMergeJoin appearing means a broadcast hint regressed.
+
+    Exception: d_ngram_jaccard's shingle-pair join is fact-to-fact
+    (both sides scale with the corpus) — SortMergeJoin is the right
+    strategy there at 100 TB and is allowed."""
+    smj_ok = {"d_ngram_jaccard"}
+    offenders: dict[str, list[str]] = {}
+    for name, fn in queries.items():
+        plan = explain_str(fn(spark, SF_DIR))
+        probs = []
+        if python_eval_count(plan):
+            probs.append("BatchEvalPython")
+        if sortmerge_join_count(plan) and name not in smj_ok:
+            probs.append("SortMergeJoin")
+        if probs:
+            offenders[name] = probs
+    assert not offenders, offenders
