@@ -19,6 +19,7 @@ Determinism discipline (applies to every pair):
 from __future__ import annotations
 
 from neuroimaging_data_pipeline_spark.queries import (
+    ingest,
     misc,
     neuro,
     relational,
@@ -27,7 +28,7 @@ from neuroimaging_data_pipeline_spark.queries import (
     textops,
 )
 
-_MODULES = [relational, neuro, spatial, misc, textops, simsearch]
+_MODULES = [relational, neuro, spatial, misc, textops, simsearch, ingest]
 
 
 def all_queries():

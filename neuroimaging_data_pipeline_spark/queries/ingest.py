@@ -1,0 +1,150 @@
+"""Ingest-boundary coverage: TSV scan (S1) and the reference's E3
+cohort-QA pipeline composed end-to-end.
+
+The reference reads every tabular input as TSV with ``n/a`` nulls
+(``ssm_loop.py:41,72``; ``fmriprep_motion_hist.R:29`` —
+``read.table(sep='\\t', header=TRUE, na.strings='n/a')``), then E3
+(fmriprep_motion_hist.R:21-44) selects ``starts_with('motion_outlier')``
+columns per subject, counts them, and bins the counts into a
+histogram. Here the same dataflow runs on a deterministic TSV fixture
+written at import time so both engines (Spark and the DuckDB oracle)
+scan the identical file: scan → unpivot (dynamic column family ->
+long, SURVEY.md §1.3) → name-predicate filter (P2) → per-subject agg
+(A4) → binned histogram join-back (A5).
+
+At scale the TSV scan is one ``spark.read.csv`` over a glob of
+thousands of per-subject files with ``input_file_name()`` providing
+the subject entity — schema-normalized to long at the boundary so the
+per-file dynamic ``motion_outlierNN`` family never leaks inward.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+_MOTION_COLS = ["motion_outlier00", "motion_outlier01", "motion_outlier02"]
+_SUBJECTS = ["sub-001", "sub-002", "sub-003"]
+_N_T = 8
+
+_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ndp_spark_fixtures", "confounds.tsv"
+)
+
+
+def _write_fixture() -> str:
+    """Deterministic confounds TSV: 3 subjects x 8 TRs, one-hot
+    motion-outlier columns, csf with 'n/a' nulls every 4th row."""
+    os.makedirs(os.path.dirname(_FIXTURE_PATH), exist_ok=True)
+    header = ["subject", "t", "trans_x", "csf", *_MOTION_COLS]
+    lines = ["\t".join(header)]
+    for si, subj in enumerate(_SUBJECTS):
+        for t in range(_N_T):
+            trans_x = f"{((si + 1) * (t * 7 % 5)) / 10:.3f}"
+            csf = "n/a" if t % 4 == 0 else f"{(t * 13 % 9) / 3:.3f}"
+            # subject i has i+1 flagged TRs spread over the run
+            flags = [
+                "1" if (t % _N_T) == (2 * j + si) % _N_T and j <= si else "0"
+                for j in range(len(_MOTION_COLS))
+            ]
+            lines.append("\t".join([subj, str(t), trans_x, csf, *flags]))
+    with open(_FIXTURE_PATH, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return _FIXTURE_PATH
+
+
+_write_fixture()
+
+
+def s1_tsv_scan(spark, sf_dir):
+    """S1: TSV scan with header + n/a-null semantics; nulls must land
+    as real NULLs (avg skips them), numerics as doubles."""
+    df = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("nullValue", "n/a")
+        .option("inferSchema", True)
+        .csv(_FIXTURE_PATH)
+    )
+    return df.groupBy("subject").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("csf").alias("n_csf_nonnull"),
+        F.round(F.avg("csf"), 6).alias("avg_csf"),
+        F.round(F.sum("trans_x"), 6).alias("sum_trans_x"),
+    )
+
+
+S1_SQL = f"""
+SELECT subject,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(csf) AS BIGINT) AS n_csf_nonnull,
+       ROUND(AVG(csf), 6) AS avg_csf,
+       ROUND(SUM(trans_x), 6) AS sum_trans_x
+FROM read_csv('{_FIXTURE_PATH}', delim='\t', header=true, nullstr='n/a')
+GROUP BY subject
+"""
+
+
+def e3_motion_outlier_hist(spark, sf_dir):
+    """E3 end-to-end: unpivot the motion_outlier column family (P2
+    name predicate on the long form), count flagged TRs per subject
+    (A4), bin width 2 (A5 histogram, binwidth=5 in the reference
+    scaled to fixture size)."""
+    df = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("nullValue", "n/a")
+        .option("inferSchema", True)
+        .csv(_FIXTURE_PATH)
+    )
+    n = len(_MOTION_COLS)
+    pairs = ", ".join(f"'{c}', {c}" for c in _MOTION_COLS)
+    long = df.select(
+        "subject",
+        "t",
+        F.expr(f"stack({n}, {pairs}) as (confound, flag)"),
+    )
+    per_subject = (
+        long.filter(F.col("confound").startswith("motion_outlier"))
+        .groupBy("subject")
+        .agg(F.sum("flag").cast("bigint").alias("n_outliers"))
+    )
+    return (
+        per_subject.groupBy(
+            F.floor(F.col("n_outliers") / 2).cast("bigint").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_subjects"))
+    )
+
+
+E3_SQL = f"""
+WITH long AS (
+  SELECT subject, t, 'motion_outlier00' AS confound, motion_outlier00 AS flag
+  FROM read_csv('{_FIXTURE_PATH}', delim='\t', header=true, nullstr='n/a')
+  UNION ALL
+  SELECT subject, t, 'motion_outlier01', motion_outlier01
+  FROM read_csv('{_FIXTURE_PATH}', delim='\t', header=true, nullstr='n/a')
+  UNION ALL
+  SELECT subject, t, 'motion_outlier02', motion_outlier02
+  FROM read_csv('{_FIXTURE_PATH}', delim='\t', header=true, nullstr='n/a')
+), per_subject AS (
+  SELECT subject, CAST(SUM(flag) AS BIGINT) AS n_outliers
+  FROM long WHERE confound LIKE 'motion_outlier%'
+  GROUP BY subject
+)
+SELECT CAST(FLOOR(n_outliers / 2) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_subjects
+FROM per_subject GROUP BY 1
+"""
+
+QUERIES = {
+    "s1_tsv_scan": s1_tsv_scan,
+    "e3_motion_outlier_hist": e3_motion_outlier_hist,
+}
+
+ORACLE = {
+    "s1_tsv_scan": S1_SQL,
+    "e3_motion_outlier_hist": E3_SQL,
+}

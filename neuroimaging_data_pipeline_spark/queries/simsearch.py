@@ -20,6 +20,7 @@ from neuroimaging_data_pipeline_spark.dedup.simhash import (
 from neuroimaging_data_pipeline_spark.similarity.cosine import (
     bucketed_neardup_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_topk,
 )
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
@@ -87,6 +88,63 @@ FROM pairs WHERE ROUND(cos_raw, 6) >= 0.2
 """
 
 
+def s_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: 8 deterministic centroid cells, nprobe=2
+    (similarity/cosine.py:ivf_topk). Fully oracle-checked — the
+    deterministic seeding makes cell assignment SQL-expressible."""
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, n_cells=8, nprobe=2, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_CDOT = (
+    "list_sum(list_transform(list_zip(v.embedding, c.cvec),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_CNORM_V = (
+    "sqrt(list_sum(list_transform(v.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_CNORM_C = (
+    "sqrt(list_sum(list_transform(c.cvec,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+S_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id ASC LIMIT 8
+), assign AS (
+  SELECT v.vec_id, v.embedding, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_CDOT} / ({_CNORM_V} * {_CNORM_C}) DESC, c.cid ASC
+         ) AS crn
+  FROM embeddings v CROSS JOIN cents c
+), cells AS (
+  SELECT vec_id, embedding, cid FROM assign WHERE crn = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cid
+  FROM assign WHERE vec_id < 5 AND crn <= 2
+), scored AS (
+  SELECT p.query_id, m.vec_id,
+         list_sum(list_transform(list_zip(m.embedding, p.qvec),
+                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(m.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(p.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_raw
+  FROM probes p JOIN cells m ON m.cid = p.cid AND m.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine FROM ranked WHERE rn <= 5
+"""
+
+
 def s_lsh_topk(spark, sf_dir):
     """Approximate top-5 via random-hyperplane LSH buckets (rows-only:
     hyperplane hashing has no DuckDB twin; recall pinned in pytest)."""
@@ -114,6 +172,7 @@ def d_simhash(spark, sf_dir):
 
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
+    "s_ivf_topk": s_ivf_topk,
     "d_embedding_neardup": d_embedding_neardup,
     "s_lsh_topk": s_lsh_topk,
     "d_minhash_lsh": d_minhash_lsh,
@@ -122,5 +181,6 @@ QUERIES = {
 
 ORACLE = {
     "s_cosine_topk": S_COSINE_SQL,
+    "s_ivf_topk": S_IVF_SQL,
     "d_embedding_neardup": D_EMB_NEARDUP_SQL,
 }

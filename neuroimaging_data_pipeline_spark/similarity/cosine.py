@@ -136,6 +136,85 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the cluster-scale path.
+
+    Deterministic seeding: the ``n_cells`` corpus vectors with the
+    smallest ids are the cell centroids (a k-means refinement would
+    drop in here; seeding keeps the operator oracle-checkable). Every
+    corpus vector is assigned to its nearest centroid by cosine
+    (tie-break: centroid id asc); a query probes its ``nprobe``
+    nearest cells and exact-cosine re-ranks only those candidates.
+
+    Scale shape: centroids broadcast (tiny); assignment is a map-only
+    pass over the corpus; the probe join is an equi-join on cell id,
+    so candidate work is ~``nprobe/n_cells`` of brute force and cells
+    partition across executors.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    )
+
+    def nearest_cells(df: DataFrame, vid, vvec, keep: int) -> DataFrame:
+        scored = df.join(cents).select(
+            "*",
+            F.try_divide(
+                _dot(F.col(vvec), F.col("_cvec")),
+                _norm(F.col(vvec)) * _norm(F.col("_cvec")),
+            ).alias("_ccos"),
+        )
+        w = Window.partitionBy(vid).orderBy(F.desc("_ccos"), F.asc("_cid"))
+        return (
+            scored.withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= keep)
+            .drop("_ccos", "_crn", "_cvec")
+        )
+
+    cells = nearest_cells(corpus, id_col, vec_col, 1)
+    probes = nearest_cells(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        ),
+        query_id_col,
+        "_qvec",
+        nprobe,
+    )
+    # probes = queries x nprobe rows (queries << corpus by contract):
+    # broadcast so the corpus-cells side never shuffles on cell id.
+    probes = F.broadcast(probes)
+    scored = cells.join(
+        probes,
+        on=[
+            cells["_cid"] == probes["_cid"],
+            F.col(id_col) != F.col(query_id_col),
+        ],
+    ).select(
+        query_id_col,
+        id_col,
+        F.try_divide(
+            _dot(F.col(vec_col), F.col("_qvec")),
+            _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def bucketed_neardup_pairs(
     emb: DataFrame,
     bucket_col: str = "label",

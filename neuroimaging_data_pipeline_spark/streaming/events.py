@@ -106,6 +106,65 @@ def session_counts(
     )
 
 
+def stateful_user_stats(
+    stream: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-key cumulative (count, sum, max) carried across micro-batches.
+
+    This is the engine's skeleton for data-driven QA flagging over a
+    stream (the reference imports ``find_spikes`` but never calls it —
+    ``ssm_loop.py:20`` — so the engine keeps the stateful surface
+    minimal: cumulative moments per key, from which a spike rule like
+    ``value > mean + k*std`` is a stateless post-filter). State is one
+    fixed-width tuple per key — bounded, shuffle-partitioned by key,
+    so 1e9 keys spread across executors with no per-event state
+    growth.
+
+    Emits one row per (key, micro-batch): cumulative n/sum/max plus
+    this batch's row count.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        if state.exists:
+            n, s, mx = state.get
+        else:
+            n, s, mx = 0, 0.0, float("-inf")
+        batch_n = 0
+        for pdf in pdf_iter:
+            v = pdf[value_col]
+            batch_n += len(pdf)
+            n += len(pdf)
+            s += float(v.sum())
+            if len(pdf):
+                mx = max(mx, float(v.max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_total": [n],
+                "sum_total": [round(s, 6)],
+                "max_value": [mx],
+                "n_batch": [batch_n],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key} long, n_total long, sum_total double, "
+            "max_value double, n_batch long"
+        ),
+        stateStructType="n long, s double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_pipeline(
     stream: DataFrame,
     process: Callable[[DataFrame, int], None],

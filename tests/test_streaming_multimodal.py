@@ -135,3 +135,68 @@ def test_resize_and_frame_sample_plans(spark, media):
     fs = frame_sample_plan(media, every_n=25).toPandas()
     vid = fs[fs.media_id == 3]
     assert list(vid["frame_idx"]) == [0, 25, 50, 75, 100]
+
+
+@pytest.fixture()
+def two_batch_landing(tmp_path, spark):
+    """Two parquet files + maxFilesPerTrigger=1 -> two micro-batches,
+    so cross-batch state carry is actually exercised."""
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a, b = df.filter("event_id % 2 = 0"), df.filter("event_id % 2 = 1")
+    a.coalesce(1).write.parquet(str(tmp_path / "a"))
+    b.coalesce(1).write.parquet(str(tmp_path / "b"))
+    d = tmp_path / "landing"
+    d.mkdir()
+    import glob
+    import shutil as sh
+
+    for i, src in enumerate(
+        sorted(glob.glob(str(tmp_path / "*" / "part-*.parquet")))
+    ):
+        sh.copy(src, d / f"events-{i:03d}.parquet")
+    return str(d)
+
+
+def test_stateful_user_stats_carries_state(spark, two_batch_landing):
+    from neuroimaging_data_pipeline_spark.streaming.events import (
+        stateful_user_stats,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(two_batch_landing)
+    )
+    sdf = stateful_user_stats(stream)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_stateful").toPandas()
+    # at least one user appears in >1 micro-batch with growing totals
+    multi = got.groupby("user_id").size()
+    assert (multi > 1).any()
+    # final cumulative totals per user match the batch ground truth
+    final = got.sort_values("n_total").groupby("user_id").last()
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("s"),
+            F.max("value").alias("mx"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    for uid, row in final.iterrows():
+        assert row["n_total"] == batch.loc[uid, "n"]
+        assert abs(row["sum_total"] - batch.loc[uid, "s"]) < 1e-6
+        assert abs(row["max_value"] - batch.loc[uid, "mx"]) < 1e-12
