@@ -11,7 +11,7 @@ an explicit priority column — never file order (SURVEY.md §7.4#5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -43,6 +43,12 @@ def classify_first_match(
     side is tiny (7 rows in config.json) -> broadcast; the LIKE
     theta-join is a BroadcastNestedLoopJoin, which at any scale is one
     map-side pass over items.
+
+    First-match selection is ``min_by(rule_col, priority)`` grouped by
+    the item row — a hash aggregate with map-side partial combine, so
+    the shuffle carries one row per item, not one per (item, matched
+    rule), and needs no sort. (A row_number window would shuffle AND
+    sort every matched row — strictly worse at scale.)
     """
     prepared = rules.withColumn(
         "_like_pattern",
@@ -68,9 +74,9 @@ def classify_first_match(
         on=F.expr(cond_sql),
         how="left",
     )
-    w = Window.partitionBy(item_key).orderBy(F.asc_nulls_last(priority_col))
-    return (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_like_pattern")
+    rule_cols = [c for c in rules.columns if c != priority_col]
+    item_cols = [c for c in items.columns if c != item_key]
+    return matched.groupBy(item_key, *item_cols).agg(
+        F.min(priority_col).alias(priority_col),
+        *[F.min_by(F.col(c), F.col(priority_col)).alias(c) for c in rule_cols],
     )

@@ -139,12 +139,79 @@ SELECT CAST(FLOOR(n_outliers / 2) AS BIGINT) AS bin,
 FROM per_subject GROUP BY 1
 """
 
+_SIDECAR_DIR = os.path.join(tempfile.gettempdir(), "ndp_spark_fixtures", "sidecars")
+
+_SIDECARS = {
+    "sub-001_task-mid_bold.json": '{"RepetitionTime": 2.0, "TaskName": "mid", "EchoTime": 0.03}',
+    "sub-001_task-rest_bold.json": '{"RepetitionTime": 1.5, "TaskName": "rest", "EchoTime": 0.025}',
+    "sub-002_task-mid_bold.json": '{"RepetitionTime": 2.0, "TaskName": "mid", "EchoTime": 0.03}',
+    "sub-002_task-rest_bold.json": '{"RepetitionTime": 1.5, "TaskName": "rest", "EchoTime": 0.025}',
+}
+
+
+def _write_sidecars() -> str:
+    os.makedirs(_SIDECAR_DIR, exist_ok=True)
+    for name, body in _SIDECARS.items():
+        with open(os.path.join(_SIDECAR_DIR, name), "w") as fh:
+            fh.write(body + "\n")
+    return _SIDECAR_DIR
+
+
+_write_sidecars()
+
+
+def s4_sidecar_lookup(spark, sf_dir):
+    """S4: scalar metadata lookup from BIDS sidecar JSONs
+    (layout.get_tr semantics, ssm_loop.py:39,74) — read the sidecar
+    dir, extract subject/task entities from the filename, return the
+    per-task repetition time. At scale this is the tiny dimension
+    every per-TR operator broadcasts."""
+    df = (
+        spark.read.option("multiLine", True)
+        .json(f"{_SIDECAR_DIR}/*.json")
+        .withColumn("_file", F.input_file_name())
+    )
+    return (
+        df.select(
+            F.regexp_extract("_file", r"sub-(\d+)", 1).alias("subject"),
+            F.regexp_extract("_file", r"task-([a-z]+)", 1).alias("task"),
+            F.col("RepetitionTime").cast("double").alias("tr"),
+            F.col("EchoTime").cast("double").alias("te"),
+        )
+        .groupBy("task")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("subject").alias("n_subjects"),
+            F.round(F.min("tr"), 6).alias("tr"),
+            F.round(F.min("te"), 6).alias("te"),
+        )
+    )
+
+
+S4_SQL = f"""
+WITH sidecars AS (
+  SELECT regexp_extract(filename, 'sub-([0-9]+)', 1) AS subject,
+         regexp_extract(filename, 'task-([a-z]+)', 1) AS task,
+         CAST(RepetitionTime AS DOUBLE) AS tr,
+         CAST(EchoTime AS DOUBLE) AS te
+  FROM read_json_auto('{_SIDECAR_DIR}/*.json', filename=true)
+)
+SELECT task,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects,
+       ROUND(MIN(tr), 6) AS tr,
+       ROUND(MIN(te), 6) AS te
+FROM sidecars GROUP BY task
+"""
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
+    "s4_sidecar_lookup": s4_sidecar_lookup,
     "e3_motion_outlier_hist": e3_motion_outlier_hist,
 }
 
 ORACLE = {
     "s1_tsv_scan": S1_SQL,
+    "s4_sidecar_lookup": S4_SQL,
     "e3_motion_outlier_hist": E3_SQL,
 }

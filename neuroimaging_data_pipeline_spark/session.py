@@ -17,6 +17,7 @@ Scale notes (100 TB design targets, tested on local[N]):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -43,6 +44,12 @@ _DEFAULTS: dict[str, str] = {
     # sources.read_table normalizes back to a timestamp column.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # Managed tables (the bucketed-layout path, sources/bucketing.py)
+    # land outside the repo; in-memory catalog, so table metadata is
+    # session-scoped — at deployment a real metastore replaces this.
+    "spark.sql.warehouse.dir": os.path.join(
+        tempfile.gettempdir(), "ndp_spark_warehouse"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
