@@ -8,8 +8,9 @@ Tungsten/AQE do the physical planning the reference did by hand
 (xargs -P 4, manual memory budgets — SURVEY.md §4.1).
 """
 
+from neuroimaging_data_pipeline_spark.api import GLMPipeline
 from neuroimaging_data_pipeline_spark.session import get_spark, stop_spark
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["GLMPipeline", "get_spark", "stop_spark"]
 
 __version__ = "0.1.0"
