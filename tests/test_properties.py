@@ -1,0 +1,104 @@
+"""Property tests (SURVEY.md §5.2#4): algebraic invariants of the
+time-series operators, hypothesis-generated inputs vs numpy oracles.
+
+Example counts are small: each example runs real Spark jobs; the
+invariants are linear-algebraic, so a handful of random draws plus the
+adversarial shrink phase covers the edge geometry (constant series,
+near-zero variance, single-spike series)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.functions.convolve import fir_convolve
+from neuroimaging_data_pipeline_spark.functions.timeseries import diff, zscore
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+series = arrays(
+    np.float64,
+    st.integers(min_value=4, max_value=24),
+    elements=st.floats(
+        min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+    ),
+)
+
+
+def _to_df(spark, xs: dict[str, np.ndarray]):
+    n = len(next(iter(xs.values())))
+    pdf = pd.DataFrame({"subject": "s", "run": 1, "t": np.arange(n)} | xs)
+    return spark.createDataFrame(pdf)
+
+
+@given(x=series)
+@settings(**_SETTINGS)
+def test_zscore_mean_zero_sd_one(spark, x):
+    df = zscore(_to_df(spark, {"x": x}), ["x"], ddof=1, suffix="_z")
+    got = df.toPandas().sort_values("t")["x_z"].to_numpy()
+    if np.std(x, ddof=1) == 0:
+        assert np.isnan(got).all()  # try_divide null on constant series
+    else:
+        assert abs(np.nanmean(got)) < 1e-8
+        assert abs(np.nanstd(got, ddof=1) - 1.0) < 1e-8
+
+
+@given(x=series, data=st.data())
+@settings(**_SETTINGS)
+def test_convolution_linearity(spark, x, data):
+    y = data.draw(
+        arrays(
+            np.float64,
+            len(x),
+            elements=st.floats(
+                min_value=-1e3,
+                max_value=1e3,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        )
+    )
+    a, b = 2.0, -0.5
+    kernel = [0.5, 0.3, 0.2]
+    df = _to_df(spark, {"x": x, "y": y, "z": a * x + b * y})
+    out = (
+        fir_convolve(df, ["x", "y", "z"], kernel)
+        .toPandas()
+        .sort_values("t")
+    )
+    np.testing.assert_allclose(
+        out["z_c0"],
+        a * out["x_c0"] + b * out["y_c0"],
+        rtol=1e-9,
+        atol=1e-6,
+    )
+
+
+@given(x=series)
+@settings(**_SETTINGS)
+def test_diff_cumsum_identity(spark, x):
+    """cumsum(diff(x, fill=0)) + x_0 == x (W2 + P9 round-trip)."""
+    df = diff(_to_df(spark, {"x": x}), ["x"], fill=0.0)
+    out = df.toPandas().sort_values("t")
+    rebuilt = out["x_d"].cumsum().to_numpy() + x[0]
+    np.testing.assert_allclose(rebuilt, x, rtol=1e-9, atol=1e-9)
+
+
+@given(x=series)
+@settings(**_SETTINGS)
+def test_convolution_matches_numpy(spark, x):
+    kernel = [1.0, -0.25, 0.125, 0.0625]
+    df = _to_df(spark, {"x": x})
+    got = (
+        fir_convolve(df, ["x"], kernel).toPandas().sort_values("t")["x_c0"]
+    )
+    expect = np.convolve(x, kernel, mode="full")[: len(x)]
+    np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-6)
