@@ -89,3 +89,73 @@ def gaussian_smooth(
         .groupBy(*group_keys, "voxel_id")
         .agg((F.sum("wv") / F.sum("w")).alias(value_col))
     )
+
+
+def gaussian_offsets_1d(
+    spark: SparkSession,
+    fwhm_vox: float,
+    radius: int | None = None,
+) -> DataFrame:
+    """1-D truncated Gaussian taps (d, w) — one axis of the separable
+    kernel. The 3-D cube kernel factors exactly:
+    exp(-(dx²+dy²+dz²)/2σ²) = w1(dx)·w1(dy)·w1(dz)."""
+    sigma = fwhm_vox * FWHM_TO_SIGMA
+    if radius is None:
+        radius = max(1, int(math.ceil(2.0 * sigma)))
+    rows = [
+        (d, math.exp(-(d * d) / (2.0 * sigma * sigma)))
+        for d in range(-radius, radius + 1)
+    ]
+    return spark.createDataFrame(rows, "d int, w double")
+
+
+def gaussian_smooth_separable(
+    values: DataFrame,
+    voxel_dim: DataFrame,
+    weights_1d: DataFrame,
+    time_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Separable Gaussian smoothing: three 1-D passes (x, y, z).
+
+    Identical results to :func:`gaussian_smooth` (same truncated cube
+    kernel; the masked-edge normalization is reproduced by smoothing an
+    indicator column through the same passes and dividing), but the
+    per-row fan-out is 3·(2r+1) instead of (2r+1)³ — at fwhm 4 mm /
+    radius 2 that is 15× less intermediate data than 125×; at cluster
+    scale this is the difference between a shuffle that fits and one
+    that doesn't. Each pass is a broadcast kernel join + regroup on
+    coordinates, all co-located under spatial bucketing.
+    """
+    k = F.broadcast(weights_1d)
+    dim = F.broadcast(voxel_dim.select("voxel_id", "x", "y", "z"))
+    group_keys = [c for c in values.columns if c not in (value_col, "voxel_id")]
+    cur = values.join(dim, on="voxel_id").select(
+        *group_keys,
+        "x",
+        "y",
+        "z",
+        F.col(value_col).alias("_wv"),
+        F.lit(1.0).alias("_wn"),
+    )
+    for axis in ("x", "y", "z"):
+        fanned = cur.join(k).select(
+            *group_keys,
+            *[
+                (F.col(a) + F.col("d")).alias(a) if a == axis else F.col(a)
+                for a in ("x", "y", "z")
+            ],
+            (F.col("_wv") * F.col("w")).alias("_wv"),
+            (F.col("_wn") * F.col("w")).alias("_wn"),
+        )
+        cur = fanned.groupBy(*group_keys, "x", "y", "z").agg(
+            F.sum("_wv").alias("_wv"), F.sum("_wn").alias("_wn")
+        )
+    return (
+        cur.join(dim, on=["x", "y", "z"], how="inner")
+        .select(
+            *group_keys,
+            "voxel_id",
+            F.try_divide(F.col("_wv"), F.col("_wn")).alias(value_col),
+        )
+    )

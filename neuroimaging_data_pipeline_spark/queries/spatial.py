@@ -113,6 +113,25 @@ def w8_gaussian_smooth(spark, sf_dir):
     return sm.select("voxel_id", F.round("value", 6).alias("smooth_value"))
 
 
+def w8b_gaussian_smooth_sep(spark, sf_dir):
+    """W8 separable variant: three 1-D passes with indicator
+    normalization (operators/smooth.py:gaussian_smooth_separable) —
+    3·(2r+1) fan-out instead of (2r+1)³, same results as the cube
+    kernel, checked against the SAME 3-D oracle."""
+    from neuroimaging_data_pipeline_spark.operators.smooth import (
+        gaussian_offsets_1d,
+        gaussian_smooth_separable,
+    )
+
+    vol = _volume(spark, sf_dir)
+    values = vol.select("voxel_id", "value")
+    dim = vol.select("voxel_id", "x", "y", "z")
+    sm = gaussian_smooth_separable(
+        values, dim, gaussian_offsets_1d(spark, _FWHM_VOX), value_col="value"
+    )
+    return sm.select("voxel_id", F.round("value", 6).alias("smooth_value"))
+
+
 W8_SQL = f"""
 WITH vol AS ({_VOLUME_SQL}),
 axis(d) AS (SELECT UNNEST(RANGE(-{_RADIUS}, {_RADIUS + 1}))),
@@ -193,6 +212,7 @@ FROM lineitem GROUP BY l_partkey
 QUERIES = {
     "j4_stencil_mode": j4_stencil_mode,
     "w8_gaussian_smooth": w8_gaussian_smooth,
+    "w8b_gaussian_smooth_sep": w8b_gaussian_smooth_sep,
     "j5_nearest_resample": j5_nearest_resample,
     "a3_mean_image": a3_mean_image,
 }
@@ -200,6 +220,7 @@ QUERIES = {
 ORACLE = {
     "j4_stencil_mode": J4_SQL,
     "w8_gaussian_smooth": W8_SQL,
+    "w8b_gaussian_smooth_sep": W8_SQL,
     "j5_nearest_resample": J5_SQL,
     "a3_mean_image": A3_SQL,
 }

@@ -123,3 +123,36 @@ def test_smooth_preserves_constant(spark, volume):
     )
     out = gaussian_smooth(vals, volume, weights).toPandas()
     np.testing.assert_allclose(out["value"], 3.5, atol=1e-12)
+
+
+def test_separable_smooth_equals_3d(spark, volume, volume_pdf, rng):
+    """Separable 3-pass smoothing == cube-kernel smoothing, including
+    masked-edge normalization (indicator-division trick), on a
+    sparse/masked value set."""
+    from neuroimaging_data_pipeline_spark.operators.smooth import (
+        gaussian_offsets_1d,
+        gaussian_smooth_separable,
+    )
+
+    fwhm_vox = 2.0
+    vals_np = rng.normal(0, 1, GRID**3)
+    keep = rng.random(GRID**3) > 0.3  # masked-out holes
+    pdf = pd.DataFrame(
+        {"subject": "s", "t": 0,
+         "voxel_id": np.arange(GRID**3)[keep], "value": vals_np[keep]}
+    )
+    vals = spark.createDataFrame(pdf)
+    got3d = (
+        gaussian_smooth(vals, volume, gaussian_offsets(spark, fwhm_vox))
+        .toPandas().set_index("voxel_id").sort_index()
+    )
+    gotsep = (
+        gaussian_smooth_separable(
+            vals, volume, gaussian_offsets_1d(spark, fwhm_vox)
+        )
+        .toPandas().set_index("voxel_id").sort_index()
+    )
+    assert list(got3d.index) == list(gotsep.index)
+    np.testing.assert_allclose(
+        gotsep["value"], got3d["value"], rtol=1e-9, atol=1e-12
+    )
