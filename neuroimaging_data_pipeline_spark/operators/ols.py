@@ -58,43 +58,67 @@ def _t_sf(tval: np.ndarray, df: float) -> np.ndarray:
                         1.0 - 0.5 * _betainc_reg(df / 2.0, 0.5, x))
 
 
-def _betainc_reg(a: float, b: float, x: np.ndarray) -> np.ndarray:
-    out = np.empty_like(x, dtype=np.float64)
-    for i, xi in np.ndenumerate(x):
-        out[i] = _betainc_scalar(a, b, float(xi))
-    return out
-
-
-def _betainc_scalar(a: float, b: float, x: float) -> float:
-    if x <= 0.0:
-        return 0.0
-    if x >= 1.0:
-        return 1.0
-    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
-    front = math.exp(math.log(x) * a + math.log(1.0 - x) * b - lbeta) / a
-    # Lentz continued fraction
-    f, c, d = 1.0, 1.0, 0.0
-    for i in range(200):
-        m = i // 2
-        if i == 0:
-            num = 1.0
-        elif i % 2 == 0:
-            num = (m * (b - m) * x) / ((a + 2 * m - 1) * (a + 2 * m))
-        else:
-            num = -((a + m) * (a + b + m) * x) / ((a + 2 * m) * (a + 2 * m + 1))
-        d = 1.0 + num * d
-        if abs(d) < 1e-30:
-            d = 1e-30
+def _betacf(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Vectorized modified-Lentz continued fraction for the regularized
+    incomplete beta (Numerical-Recipes betacf, array form). Runs the
+    whole array through each iteration — one numpy pass per step
+    instead of a Python loop per element."""
+    tiny = 1e-30
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < tiny, tiny, d)
+    d = 1.0 / d
+    h = d.copy()
+    for m in range(1, 200):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < tiny, tiny, d)
         d = 1.0 / d
-        c = 1.0 + num / c
-        if abs(c) < 1e-30:
-            c = 1e-30
-        f *= c * d
-        if abs(1.0 - c * d) < 1e-12:
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        h = h * d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        d = 1.0 / d
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        delta = d * c
+        h = h * delta
+        if np.all(np.abs(delta - 1.0) < 1e-12):
             break
-    if x < (a + 1.0) / (a + b + 2.0):
-        return front * (f - 1.0)
-    return 1.0 - front * (f - 1.0)
+    return h
+
+
+def _betainc_reg(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Regularized incomplete beta I_x(a, b), vectorized.
+
+    NR betai: for x < (a+1)/(a+b+2) evaluate the continued fraction
+    directly; otherwise via the symmetry I_x(a,b) = 1 - I_{1-x}(b,a)
+    (the swapped branch must re-derive BOTH the prefactor and the CF
+    with (b, a, 1-x) — using the direct-branch prefactor there gives
+    wrong values for small |t|)."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    zero, one = x <= 0.0, x >= 1.0
+    out[zero], out[one] = 0.0, 1.0
+    mid = ~(zero | one)
+    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    xm = x[mid]
+    direct = xm < (a + 1.0) / (a + b + 2.0)
+    res = np.empty_like(xm)
+    if direct.any():
+        xd = xm[direct]
+        bt = np.exp(a * np.log(xd) + b * np.log1p(-xd) - lbeta) / a
+        res[direct] = bt * _betacf(a, b, xd)
+    if (~direct).any():
+        xs = 1.0 - xm[~direct]
+        bt = np.exp(b * np.log(xs) + a * np.log1p(-xs) - lbeta) / b
+        res[~direct] = 1.0 - bt * _betacf(b, a, xs)
+    out[mid] = res
+    return out
 
 
 def _stats_schema(values_schema, keys: list[str]) -> StructType:
@@ -164,17 +188,26 @@ def mass_ols(
         # grid, but legal input) fall to a per-voxel masked solve.
         kt = tuple(pdf.iloc[0][k] for k in key_cols)
         X_full, t_axis = Xmap[kt]
-        wide = pdf.pivot_table(index=t_col, columns="voxel_id", values="value")
-        wide = wide.sort_index()
+        # (t, voxel) pairs are unique: scatter straight into a dense
+        # (t x voxel) matrix with numpy indexing — pivot_table's
+        # groupby machinery is ~20x slower on these block sizes.
         pos = {tv: i for i, tv in enumerate(t_axis)}
-        row_idx = np.fromiter(
-            (pos[tv] for tv in wide.index), dtype=np.int64, count=len(wide.index)
+        t_vals = pdf[t_col].to_numpy()
+        present_ts = np.unique(t_vals)
+        t_index = np.fromiter(
+            (pos[tv] for tv in present_ts), dtype=np.int64, count=len(present_ts)
         )
-        X = X_full[row_idx]
+        t_rank = {tv: i for i, tv in enumerate(present_ts)}
+        rows = np.fromiter(
+            (t_rank[tv] for tv in t_vals), dtype=np.int64, count=len(t_vals)
+        )
+        vox_codes, vox_idx = pd.factorize(pdf["voxel_id"], sort=True)
+        vox = np.asarray(vox_idx)
+        X = X_full[t_index]
         n, k = X.shape
-        Y = wide.to_numpy(dtype=np.float64)
-        vox = wide.columns.to_numpy()
         nvox = len(vox)
+        Y = np.full((n, nvox), np.nan)
+        Y[rows, vox_codes] = pdf["value"].to_numpy(dtype=np.float64)
         B = np.empty((k, nvox))
         SE = np.empty((k, nvox))
         DOF = np.empty(nvox)

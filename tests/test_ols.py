@@ -70,6 +70,30 @@ def test_mass_ols_matches_lstsq(spark, planted, planted_dfs):
     assert ((pvals >= 0) & (pvals <= 1)).all()
 
 
+def _t_sf_numeric(tval: float, df: float) -> float:
+    """Student-t survival function by numeric tail integration —
+    scipy-free oracle for the engine's incomplete-beta fallback."""
+    from math import exp, lgamma
+
+    c = exp(lgamma((df + 1) / 2) - lgamma(df / 2)) / np.sqrt(df * np.pi)
+    xs = np.linspace(abs(tval), abs(tval) + 80, 2_000_000)
+    pdf = c * (1 + xs**2 / df) ** (-(df + 1) / 2)
+    sf = float(np.trapz(pdf, xs))
+    return sf if tval >= 0 else 1.0 - sf
+
+
+def test_ols_p_values_against_numeric_tcdf(spark, planted, planted_dfs):
+    X, _, Y = planted
+    design, values = planted_dfs
+    stats = mass_ols(values, design, ["intercept", "x1", "x2"]).toPandas()
+    x1 = stats[stats.regressor == "x1"].sort_values("voxel_id")
+    tvals = x1["t"].to_numpy()
+    expect = np.array(
+        [2 * _t_sf_numeric(abs(t), N - 3) for t in tvals[:8]]
+    )
+    np.testing.assert_allclose(x1["p"].to_numpy()[:8], expect, atol=1e-6)
+
+
 def test_ols_p_values_against_scipy(spark, planted, planted_dfs):
     scipy = pytest.importorskip("scipy")
     from scipy import stats as st
