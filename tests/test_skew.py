@@ -1,0 +1,66 @@
+"""Salting rewrites are exact: salted results == unsalted results,
+including under heavy key skew."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.functions.skew import (
+    replicated_broadcast_join,
+    salted_count_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark, rng):
+    # one hot key (90% of rows), long tail of normal keys
+    n = 20_000
+    keys = ["hot" if r < 0.9 else f"k{int(r * 1000)}" for r in rng.random(n)]
+    vals = rng.integers(0, 500, n)
+    return spark.createDataFrame(
+        pd.DataFrame({"k": keys, "v": vals, "rowid": range(n)})
+    )
+
+
+def test_salted_count_distinct_exact(spark, skewed):
+    got = (
+        salted_count_distinct(skewed, ["k"], "v", n_salt=16)
+        .toPandas()
+        .set_index("k")["n_distinct"]
+        .sort_index()
+    )
+    expect = (
+        skewed.groupBy("k")
+        .agg(F.countDistinct("v").alias("n_distinct"))
+        .toPandas()
+        .set_index("k")["n_distinct"]
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(got, expect)
+
+
+def test_replicated_broadcast_join_exact(spark, skewed):
+    dim = skewed.select("k").distinct().withColumn(
+        "label", F.concat(F.lit("L:"), F.col("k"))
+    )
+    got = (
+        replicated_broadcast_join(
+            skewed, dim, on="k", n_salt=8, fact_salt_col=F.col("rowid")
+        )
+        .groupBy("k", "label")
+        .count()
+        .toPandas()
+        .sort_values(["k"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        skewed.join(dim, on="k")
+        .groupBy("k", "label")
+        .count()
+        .toPandas()
+        .sort_values(["k"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
