@@ -1,0 +1,100 @@
+"""Streaming dedup (dropDuplicatesWithinWatermark) + stream-stream
+join, driven through real file streams."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.streaming.dedup import (
+    dedup_stream_exact,
+    enrich_stream,
+)
+
+
+def _run(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@pytest.fixture()
+def doc_stream_dir(tmp_path, spark):
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "doc_id": i,
+                "ts": base + pd.Timedelta(minutes=i),
+                # every third doc repeats the content of i-1 -> dup
+                "text": f"document body {i - 1 if i % 3 == 2 else i}",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    src = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    d = tmp_path / "docs"
+    src.coalesce(2).write.parquet(str(d))
+    return str(d)
+
+
+def test_stream_dedup_drops_repeats(spark, doc_stream_dir):
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .parquet(doc_stream_dir)
+    )
+    out = _run(
+        spark, dedup_stream_exact(stream, watermark="30 minutes"), "t_dedup"
+    ).toPandas()
+    # 60 docs, 20 are content-repeats of the previous doc
+    assert len(out) == 40
+    assert out["_digest"].nunique() == 40
+
+
+def test_stream_stream_enrich(spark, tmp_path):
+    base = pd.Timestamp("2026-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(20),
+            "user_id": [i % 4 for i in range(20)],
+            "ts": [base + pd.Timedelta(minutes=10 + i) for i in range(20)],
+        }
+    )
+    meta = pd.DataFrame(
+        {
+            "user_id": [0, 1, 2, 3],
+            "mts": [base + pd.Timedelta(minutes=m) for m in (0, 5, 200, 5)],
+            "segment": ["a", "b", "c", "d"],
+        }
+    )
+    (tmp_path / "ev").mkdir()
+    (tmp_path / "meta").mkdir()
+    spark.createDataFrame(ev).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "ev")
+    )
+    spark.createDataFrame(meta).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "meta")
+    )
+    es = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(
+        str(tmp_path / "ev")
+    )
+    ms = spark.readStream.schema("user_id long, mts timestamp, segment string").parquet(
+        str(tmp_path / "meta")
+    )
+    out = _run(spark, enrich_stream(es, ms), "t_enrich").toPandas()
+    # user 2's metadata arrives at minute 200 — outside every event's
+    # [ts - 1h, ts] window -> its events never enrich; users 0/1/3 do.
+    assert set(out["segment"]) == {"a", "b", "d"}
+    got_users = set(out["user_id"])
+    assert got_users == {0, 1, 3}
+    # each enriched event matched exactly one metadata row
+    assert len(out) == len(ev[ev.user_id != 2])
