@@ -678,7 +678,23 @@ FROM embeddings
 """
 
 
+def a_approx_sketches(spark, sf_dir):
+    """Approximate sketch aggregations — the 100 TB summarization path
+    (HLL distinct + quantile sketch; one pass, bounded memory,
+    mergeable across partitions — what exact distinct/percentile can't
+    do at corpus scale). Rows-only: sketch internals are
+    engine-specific; relative-error bounds vs exact are pinned in
+    tests/test_sketches.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+    )
+
+
 QUERIES = {
+    "a_approx_sketches": a_approx_sketches,
     "p1_projection_filter": p1_projection_filter,
     "p6_like_predicate": p6_like_predicate,
     "p7_isin_label": p7_isin_label,
