@@ -14,7 +14,7 @@ bucketed by coordinate blocks (SURVEY.md §4.3 "stencil locality").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # The reference's 19-point stencil: 6-face + 12-edge neighbors + center
@@ -82,11 +82,13 @@ def mode_filter(
     counts = nbrs.groupBy("voxel_id", "neighbor_value").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy("voxel_id").orderBy(
-        F.desc("cnt"), F.asc("neighbor_value")
-    )
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("voxel_id", F.col("neighbor_value").alias("mode_value"))
+    # max_by over (cnt, -value): lexicographic max = highest count then
+    # smallest (numeric) label — a hash aggregate with map-side partial
+    # combine and no sort, vs row_number's shuffle-and-sort of every
+    # (voxel, label) pair.
+    return counts.groupBy("voxel_id").agg(
+        F.max_by(
+            "neighbor_value",
+            F.struct(F.col("cnt"), (-F.col("neighbor_value")).alias("nv")),
+        ).alias("mode_value")
     )
