@@ -135,9 +135,16 @@ def d_ngram_jaccard(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents", min_partitions=16)
     # sh feeds the sizes agg and both sides of the pair join — persist
-    # once instead of recomputing the shingle pipeline three times
-    sh = shingles(docs, "doc_id", "text", k=3).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # once instead of recomputing the shingle pipeline three times.
+    # Shingles are hashed to 8-byte longs before the join: the
+    # fact-to-fact shuffle then moves fixed-width longs instead of
+    # multi-word strings (~5x narrower), and equality compares are
+    # integer compares. Collisions (~n²/2^64) are negligible at any
+    # corpus size that fits a cluster.
+    sh = (
+        shingles(docs, "doc_id", "text", k=3)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     src = docs.select("doc_id", "source")
