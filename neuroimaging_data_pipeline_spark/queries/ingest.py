@@ -204,14 +204,52 @@ SELECT task,
 FROM sidecars GROUP BY task
 """
 
+def s2_dir_listing(spark, sf_dir):
+    """S2: directory-listing scan (list.dirs / ls|xargs analog,
+    fmriprep_motion_hist.R:8, convert2BIDS.sh:19) — enumerate the
+    sidecar landing dir via the binaryFile source, extract BIDS
+    entities from paths, count files per subject. At scale this IS the
+    catalog build: one distributed listing, no driver-side os.walk."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(f"{_SIDECAR_DIR}/*.json")
+        .select(
+            F.regexp_extract("path", r"sub-(\d+)", 1).alias("subject"),
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+            F.col("length").alias("n_bytes"),
+        )
+    )
+    return files.groupBy("subject").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("filename").alias("first_file"),
+    )
+
+
+S2_SQL = f"""
+WITH files AS (
+  SELECT regexp_extract(filename, 'sub-([0-9]+)', 1) AS subject,
+         regexp_extract(filename, '([^/]+)$', 1) AS filename,
+         size AS n_bytes
+  FROM read_blob('{_SIDECAR_DIR}/*.json')
+)
+SELECT subject,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(filename) AS first_file
+FROM files GROUP BY subject
+"""
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
+    "s2_dir_listing": s2_dir_listing,
     "s4_sidecar_lookup": s4_sidecar_lookup,
     "e3_motion_outlier_hist": e3_motion_outlier_hist,
 }
 
 ORACLE = {
     "s1_tsv_scan": S1_SQL,
+    "s2_dir_listing": S2_SQL,
     "s4_sidecar_lookup": S4_SQL,
     "e3_motion_outlier_hist": E3_SQL,
 }
