@@ -406,7 +406,60 @@ FROM documents
 """
 
 
+def g_group_ttest(spark, sf_dir):
+    """Group-level one-sample t-test (operators/group_level.py): the
+    second-level random-effects model over per-unit effect estimates.
+    Here: per-supplier mean quantity per part plays the per-subject
+    beta; the test asks, per part, whether the cohort mean differs
+    from 0. Pure grouped aggregation — SQL-oracle-checked."""
+    from neuroimaging_data_pipeline_spark.operators.group_level import (
+        group_ttest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    betas = (
+        li.groupBy(
+            F.col("l_partkey").alias("voxel_id"),
+            F.col("l_suppkey").alias("subject"),
+        )
+        .agg(F.avg("l_quantity").alias("beta"))
+        .withColumn("regressor", F.lit("qty"))
+    )
+    out = group_ttest(betas, keys=["voxel_id", "regressor"])
+    return (
+        out.filter(F.col("n") >= 3)
+        .select(
+            "voxel_id",
+            "n",
+            F.round("mean_beta", 6).alias("mean_beta"),
+            F.round("t", 6).alias("t"),
+            F.round("df", 6).alias("df"),
+        )
+    )
+
+
+G_TTEST_SQL = """
+WITH betas AS (
+  SELECT l_partkey AS voxel_id, l_suppkey AS subject,
+         AVG(l_quantity) AS beta
+  FROM lineitem GROUP BY 1, 2
+), agg AS (
+  SELECT voxel_id,
+         CAST(COUNT(subject) AS BIGINT) AS n,
+         AVG(beta) AS mean_beta,
+         STDDEV_SAMP(beta) AS sd_beta
+  FROM betas GROUP BY voxel_id
+)
+SELECT voxel_id, n,
+       ROUND(mean_beta, 6) AS mean_beta,
+       ROUND(mean_beta / (sd_beta / SQRT(CAST(n AS DOUBLE))), 6) AS t,
+       ROUND(CAST(n - 1 AS DOUBLE), 6) AS df
+FROM agg WHERE n >= 3
+"""
+
+
 QUERIES = {
+    "g_group_ttest": g_group_ttest,
     "a10_vif": a10_vif,
     "w3_motion_expansion": w3_motion_expansion,
     "w7_spike_regressors": w7_spike_regressors,
@@ -419,6 +472,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "g_group_ttest": G_TTEST_SQL,
     "a10_vif": A10_SQL,
     "w3_motion_expansion": W3_SQL,
     "w7_spike_regressors": W7_SQL,
