@@ -269,6 +269,73 @@ def mass_ols(
     return blocked.groupBy(*keys, "_voxel_block").applyInPandas(fit, schema)
 
 
+def contrast(
+    stats: DataFrame,
+    design: "pd.DataFrame | DataFrame",
+    regressors: list[str],
+    weights: dict[str, float],
+    keys: list[str] | None = None,
+    t_col: str = "t",
+) -> DataFrame:
+    """Linear contrast c'beta per voxel with its standard error — the
+    reference study's actual inference (Big vs Small condition
+    difference; the notebook fits Big_c0/Small_c0 precisely to compare
+    them).
+
+    est = sum_j c_j * beta_j;  se = sigma * sqrt(c' (X'X)^-1 c)
+
+    The quadratic form c'(X'X)^-1 c depends only on the design — one
+    scalar per (subject, run), computed driver-side from the same
+    design the fit used and broadcast-joined. The per-voxel part is a
+    grouped SUM over the stats bundle: map-side partial agg, one
+    shuffled row per voxel.
+    """
+    keys = keys or ["subject", "run"]
+    if isinstance(design, pd.DataFrame):
+        dpdf = design.sort_values([*keys, t_col])
+    else:
+        dpdf = design.orderBy(*keys, t_col).toPandas()
+    c = np.array([weights.get(r, 0.0) for r in regressors])
+    qrows = []
+    for kvals, g in dpdf.groupby(keys):
+        kt = kvals if isinstance(kvals, tuple) else (kvals,)
+        X = g[regressors].to_numpy(dtype=np.float64)
+        pinv = np.linalg.pinv(X)
+        quad = float(c @ (pinv @ pinv.T) @ c)  # c'(X'X)^-1 c
+        qrows.append((*kt, quad))
+    spark = stats.sparkSession
+    quad_df = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(qrows, columns=[*keys, "_quad"])
+        )
+    )
+    wmap = F.create_map(
+        *[x for r, w in weights.items() for x in (F.lit(r), F.lit(float(w)))]
+    )
+    per_vox = (
+        stats.filter(F.col("regressor").isin(list(weights)))
+        .groupBy(*keys, "voxel_id")
+        .agg(
+            F.sum(
+                F.col("beta") * wmap[F.col("regressor")]
+            ).alias("contrast"),
+            F.first("sigma").alias("_sigma"),
+            F.first("df").alias("df"),
+        )
+    )
+    out = per_vox.join(quad_df, on=keys).select(
+        *keys,
+        "voxel_id",
+        "contrast",
+        (F.col("_sigma") * F.sqrt(F.col("_quad"))).alias("se"),
+        F.try_divide(
+            F.col("contrast"), F.col("_sigma") * F.sqrt(F.col("_quad"))
+        ).alias("t"),
+        "df",
+    )
+    return out
+
+
 def ols_normal_equations_sql(
     values: DataFrame,
     design: DataFrame,

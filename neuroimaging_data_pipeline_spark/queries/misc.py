@@ -406,6 +406,67 @@ FROM documents
 """
 
 
+def c_contrast_estimate(spark, sf_dir):
+    """Contrast c'beta per voxel (operators/ols.py:contrast) on the
+    a9 mass-OLS series, c = (0, +1, -1) over [intercept, u, u2] — the
+    Big-vs-Small inference shape. Oracle: Cramer's rule on the same
+    normal equations, (det1 - det2)/det."""
+    from neuroimaging_data_pipeline_spark.operators.ols import contrast, mass_ols
+
+    import pandas as pd
+
+    li = _t(spark, sf_dir, "lineitem")
+    values = (
+        li.groupBy(
+            F.col("l_partkey").alias("voxel_id"),
+            F.col("l_linenumber").cast("long").alias("t"),
+        )
+        .agg(F.avg("l_quantity").alias("value"))
+        .select(
+            F.lit("all").alias("subject"),
+            F.lit(0).alias("run"),
+            "t",
+            "voxel_id",
+            "value",
+        )
+    )
+    design = pd.DataFrame(
+        [
+            ("all", 0, t, 1.0, t / float(_N_T), (t / float(_N_T)) ** 2)
+            for t in range(1, _N_T + 1)
+        ],
+        columns=["subject", "run", "t", "intercept", "u", "u2"],
+    )
+    regs = ["intercept", "u", "u2"]
+    stats = mass_ols(values, design, regs)
+    est = contrast(stats, design, regs, {"u": 1.0, "u2": -1.0})
+    return est.select("voxel_id", F.round("contrast", 6).alias("contrast"))
+
+
+C_CONTRAST_SQL = """
+WITH y AS (
+  SELECT l_partkey AS voxel_id, CAST(l_linenumber AS BIGINT) AS t,
+         AVG(l_quantity) AS y
+  FROM lineitem GROUP BY 1, 2
+), d AS (
+  SELECT y.voxel_id, y.t / 7.0 AS u, y.y FROM y
+), agg AS (
+  SELECT voxel_id,
+         CAST(COUNT(*) AS DOUBLE) AS s0,
+         SUM(u) AS s1, SUM(u*u) AS s2, SUM(u*u*u) AS s3, SUM(u*u*u*u) AS s4,
+         SUM(y) AS c0, SUM(u*y) AS c1, SUM(u*u*y) AS c2
+  FROM d GROUP BY voxel_id
+), solved AS (
+  SELECT voxel_id,
+    s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det,
+    s0*(c1*s4 - s3*c2) - c0*(s1*s4 - s3*s2) + s2*(s1*c2 - c1*s2) AS det1,
+    s0*(s2*c2 - c1*s3) - s1*(s1*c2 - c1*s2) + c0*(s1*s3 - s2*s2) AS det2
+  FROM agg
+)
+SELECT voxel_id, ROUND((det1 - det2) / det, 6) AS contrast FROM solved
+"""
+
+
 def g_group_ttest(spark, sf_dir):
     """Group-level one-sample t-test (operators/group_level.py): the
     second-level random-effects model over per-unit effect estimates.
@@ -460,6 +521,7 @@ FROM agg WHERE n >= 3
 
 QUERIES = {
     "g_group_ttest": g_group_ttest,
+    "c_contrast_estimate": c_contrast_estimate,
     "a10_vif": a10_vif,
     "w3_motion_expansion": w3_motion_expansion,
     "w7_spike_regressors": w7_spike_regressors,
@@ -473,6 +535,7 @@ QUERIES = {
 
 ORACLE = {
     "g_group_ttest": G_TTEST_SQL,
+    "c_contrast_estimate": C_CONTRAST_SQL,
     "a10_vif": A10_SQL,
     "w3_motion_expansion": W3_SQL,
     "w7_spike_regressors": W7_SQL,

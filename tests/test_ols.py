@@ -122,3 +122,28 @@ def test_normal_equations_simple_regression(spark, planted, planted_dfs):
         np.testing.assert_allclose(
             out.iloc[i]["beta0"], y.mean() - b1 * x.mean(), atol=1e-9
         )
+
+
+def test_contrast_matches_numpy(spark, planted, planted_dfs):
+    from neuroimaging_data_pipeline_spark.operators.ols import contrast
+
+    X, _, Y = planted
+    design, values = planted_dfs
+    regs = ["intercept", "x1", "x2"]
+    stats = mass_ols(values, design, regs)
+    c = np.array([0.0, 1.0, -1.0])
+    out = (
+        contrast(stats, design, regs, {"x1": 1.0, "x2": -1.0})
+        .toPandas()
+        .sort_values("voxel_id")
+        .reset_index(drop=True)
+    )
+    beta = np.linalg.lstsq(X, Y, rcond=None)[0]
+    resid = Y - X @ beta
+    mse = (resid**2).sum(axis=0) / (N - 3)
+    quad = float(c @ np.linalg.inv(X.T @ X) @ c)
+    expect_est = c @ beta
+    expect_se = np.sqrt(mse * quad)
+    np.testing.assert_allclose(out["contrast"], expect_est, atol=1e-9)
+    np.testing.assert_allclose(out["se"], expect_se, atol=1e-9)
+    np.testing.assert_allclose(out["t"], expect_est / expect_se, atol=1e-8)
