@@ -97,6 +97,9 @@ def simhash_candidate_pairs(
             "id_b",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the Hamming test is a map-side
+        # expression, so the dedup shuffle carries only surviving pairs
+        # instead of every multi-chunk candidate collision.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -205,11 +205,56 @@ WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= 0.2
 """
 
 
+
+
+def t_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document — the unigram
+    diversity quality signal (low entropy = repetitive/boilerplate
+    text, a standard pretraining-corpus filter). Pure aggregations:
+    token counts -> per-doc total -> -sum(p*log2(p))."""
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_unique_tokens"),
+        )
+    )
+
+
+T_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents,
+       UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t(tok)
+  WHERE tok <> ''
+), counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+), totals AS (
+  SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id
+)
+SELECT c.doc_id,
+       ROUND(-SUM((c.c / t.n) * LOG2(c.c / t.n)), 6) AS entropy,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_tokens
+FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "t_quality_signals": t_quality_signals,
     "t_lang_id": t_lang_id,
     "t_fingerprint": t_fingerprint,
+    "t_entropy": t_entropy,
     "d_exact_dedup": d_exact_dedup,
     "d_ngram_jaccard": d_ngram_jaccard,
 }
@@ -219,6 +264,7 @@ ORACLE = {
     "t_quality_signals": T_QUALITY_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,
+    "t_entropy": T_ENTROPY_SQL,
     "d_exact_dedup": D_EXACT_SQL,
     "d_ngram_jaccard": D_NGRAM_SQL,
 }
