@@ -92,9 +92,9 @@ def resize_plan(
     scale = F.least(
         F.lit(target_w) / F.col("width"), F.lit(target_h) / F.col("height")
     )
-    return media.withColumn("scale", F.round(scale, 6)).withColumn(
-        "out_w", F.round(F.col("width") * scale).cast("int")
-    ).withColumn("out_h", F.round(F.col("height") * scale).cast("int"))
+    return media.withColumn("scale", (F.round(scale, 6) + F.lit(0.0))).withColumn(
+        "out_w", (F.round(F.col("width") * scale) + F.lit(0.0)).cast("int")
+    ).withColumn("out_h", (F.round(F.col("height") * scale) + F.lit(0.0)).cast("int"))
 
 
 def frame_sample_plan(

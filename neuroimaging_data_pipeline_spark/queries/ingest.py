@@ -71,8 +71,8 @@ def s1_tsv_scan(spark, sf_dir):
     return df.groupBy("subject").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("csf").alias("n_csf_nonnull"),
-        F.round(F.avg("csf"), 6).alias("avg_csf"),
-        F.round(F.sum("trans_x"), 6).alias("sum_trans_x"),
+        (F.round(F.avg("csf"), 6) + F.lit(0.0)).alias("avg_csf"),
+        (F.round(F.sum("trans_x"), 6) + F.lit(0.0)).alias("sum_trans_x"),
     )
 
 
@@ -80,8 +80,8 @@ S1_SQL = f"""
 SELECT subject,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(csf) AS BIGINT) AS n_csf_nonnull,
-       ROUND(AVG(csf), 6) AS avg_csf,
-       ROUND(SUM(trans_x), 6) AS sum_trans_x
+       (ROUND(AVG(csf), 6) + 0.0) AS avg_csf,
+       (ROUND(SUM(trans_x), 6) + 0.0) AS sum_trans_x
 FROM read_csv('{_FIXTURE_PATH}', delim='\t', header=true, nullstr='n/a')
 GROUP BY subject
 """
@@ -182,8 +182,8 @@ def s4_sidecar_lookup(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.countDistinct("subject").alias("n_subjects"),
-            F.round(F.min("tr"), 6).alias("tr"),
-            F.round(F.min("te"), 6).alias("te"),
+            (F.round(F.min("tr"), 6) + F.lit(0.0)).alias("tr"),
+            (F.round(F.min("te"), 6) + F.lit(0.0)).alias("te"),
         )
     )
 
@@ -199,8 +199,8 @@ WITH sidecars AS (
 SELECT task,
        CAST(COUNT(*) AS BIGINT) AS n_files,
        CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects,
-       ROUND(MIN(tr), 6) AS tr,
-       ROUND(MIN(te), 6) AS te
+       (ROUND(MIN(tr), 6) + 0.0) AS tr,
+       (ROUND(MIN(te), 6) + 0.0) AS te
 FROM sidecars GROUP BY task
 """
 

@@ -49,7 +49,7 @@ def a10_vif(spark, sf_dir):
     for name, minor in rows:
         sel = c.select(
             F.lit(name).alias("regressor"),
-            F.round(minor / det, 6).alias("vif"),
+            (F.round(minor / det, 6) + F.lit(0.0)).alias("vif"),
         )
         out = sel if out is None else out.unionByName(sel)
     return out
@@ -64,11 +64,11 @@ WITH c AS (
 ), d AS (
   SELECT *, 1.0 + 2.0*r12*r13*r23 - r12*r12 - r13*r13 - r23*r23 AS det FROM c
 )
-SELECT 'l_quantity' AS regressor, ROUND((1.0 - r23*r23) / det, 6) AS vif FROM d
+SELECT 'l_quantity' AS regressor, (ROUND((1.0 - r23*r23) / det, 6) + 0.0) AS vif FROM d
 UNION ALL
-SELECT 'l_extendedprice', ROUND((1.0 - r13*r13) / det, 6) FROM d
+SELECT 'l_extendedprice', (ROUND((1.0 - r13*r13) / det, 6) + 0.0) FROM d
 UNION ALL
-SELECT 'l_discount', ROUND((1.0 - r12*r12) / det, 6) FROM d
+SELECT 'l_discount', (ROUND((1.0 - r12*r12) / det, 6) + 0.0) FROM d
 """
 
 
@@ -90,10 +90,10 @@ def w3_motion_expansion(spark, sf_dir):
     return base.select(
         "user_id",
         "event_id",
-        F.round("z", 6).alias("z"),
-        F.round(F.col("z") ** 2, 6).alias("z2"),
-        F.round(d, 6).alias("dz"),
-        F.round(d ** 2, 6).alias("dz2"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+        (F.round(F.col("z") ** 2, 6) + F.lit(0.0)).alias("z2"),
+        (F.round(d, 6) + F.lit(0.0)).alias("dz"),
+        (F.round(d ** 2, 6) + F.lit(0.0)).alias("dz2"),
     )
 
 
@@ -111,8 +111,8 @@ WITH base AS (
   FROM base
 )
 SELECT user_id, event_id,
-       ROUND(z, 6) AS z, ROUND(z*z, 6) AS z2,
-       ROUND(dz, 6) AS dz, ROUND(dz*dz, 6) AS dz2
+       (ROUND(z, 6) + 0.0) AS z, (ROUND(z*z, 6) + 0.0) AS z2,
+       (ROUND(dz, 6) + 0.0) AS dz, (ROUND(dz*dz, 6) + 0.0) AS dz2
 FROM diffed
 """
 
@@ -252,20 +252,20 @@ def f1_math(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.exp("l_discount"), 6).alias("e_disc"),
-        F.round(F.cos("l_quantity"), 6).alias("cos_qty"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
-        F.round(F.pow(F.col("l_tax") + 1.0, 2), 6).alias("tax_sq"),
+        (F.round(F.exp("l_discount"), 6) + F.lit(0.0)).alias("e_disc"),
+        (F.round(F.cos("l_quantity"), 6) + F.lit(0.0)).alias("cos_qty"),
+        (F.round(F.sqrt("l_extendedprice"), 6) + F.lit(0.0)).alias("sqrt_price"),
+        (F.round(F.pow(F.col("l_tax") + 1.0, 2), 6) + F.lit(0.0)).alias("tax_sq"),
         (F.col("l_orderkey") % 7).alias("mod7"),
     )
 
 
 F1_SQL = """
 SELECT l_orderkey, l_linenumber,
-       ROUND(EXP(l_discount), 6) AS e_disc,
-       ROUND(COS(l_quantity), 6) AS cos_qty,
-       ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
-       ROUND(POWER(l_tax + 1.0, 2), 6) AS tax_sq,
+       (ROUND(EXP(l_discount), 6) + 0.0) AS e_disc,
+       (ROUND(COS(l_quantity), 6) + 0.0) AS cos_qty,
+       (ROUND(SQRT(l_extendedprice), 6) + 0.0) AS sqrt_price,
+       (ROUND(POWER(l_tax + 1.0, 2), 6) + 0.0) AS tax_sq,
        l_orderkey % 7 AS mod7
 FROM lineitem
 """
@@ -290,7 +290,7 @@ def f4_conditional(spark, sf_dir):
     )
     return routed.groupBy("route").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        (F.round(F.avg("c_acctbal"), 6) + F.lit(0.0)).alias("avg_bal"),
     )
 
 
@@ -306,7 +306,7 @@ WITH o AS (
   FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
 )
 SELECT route, CAST(COUNT(*) AS BIGINT) AS n_customers,
-       ROUND(AVG(c_acctbal), 6) AS avg_bal
+       (ROUND(AVG(c_acctbal), 6) + 0.0) AS avg_bal
 FROM routed GROUP BY route
 """
 
@@ -350,7 +350,7 @@ def a9_mass_ols(spark, sf_dir):
     )
     stats = mass_ols(values, design, ["intercept", "u", "u2"])
     return stats.select(
-        "voxel_id", "regressor", F.round("beta", 6).alias("beta")
+        "voxel_id", "regressor", (F.round("beta", 6) + F.lit(0.0)).alias("beta")
     )
 
 
@@ -375,11 +375,11 @@ WITH y AS (
     s0*(s2*c2 - c1*s3) - s1*(s1*c2 - c1*s2) + c0*(s1*s3 - s2*s2) AS det2
   FROM agg
 )
-SELECT voxel_id, 'intercept' AS regressor, ROUND(det0 / det, 6) AS beta FROM solved
+SELECT voxel_id, 'intercept' AS regressor, (ROUND(det0 / det, 6) + 0.0) AS beta FROM solved
 UNION ALL
-SELECT voxel_id, 'u', ROUND(det1 / det, 6) FROM solved
+SELECT voxel_id, 'u', (ROUND(det1 / det, 6) + 0.0) FROM solved
 UNION ALL
-SELECT voxel_id, 'u2', ROUND(det2 / det, 6) FROM solved
+SELECT voxel_id, 'u2', (ROUND(det2 / det, 6) + 0.0) FROM solved
 """
 
 
@@ -440,7 +440,7 @@ def c_contrast_estimate(spark, sf_dir):
     regs = ["intercept", "u", "u2"]
     stats = mass_ols(values, design, regs)
     est = contrast(stats, design, regs, {"u": 1.0, "u2": -1.0})
-    return est.select("voxel_id", F.round("contrast", 6).alias("contrast"))
+    return est.select("voxel_id", (F.round("contrast", 6) + F.lit(0.0)).alias("contrast"))
 
 
 C_CONTRAST_SQL = """
@@ -463,7 +463,7 @@ WITH y AS (
     s0*(s2*c2 - c1*s3) - s1*(s1*c2 - c1*s2) + c0*(s1*s3 - s2*s2) AS det2
   FROM agg
 )
-SELECT voxel_id, ROUND((det1 - det2) / det, 6) AS contrast FROM solved
+SELECT voxel_id, (ROUND((det1 - det2) / det, 6) + 0.0) AS contrast FROM solved
 """
 
 
@@ -492,9 +492,9 @@ def g_group_ttest(spark, sf_dir):
         .select(
             "voxel_id",
             "n",
-            F.round("mean_beta", 6).alias("mean_beta"),
-            F.round("t", 6).alias("t"),
-            F.round("df", 6).alias("df"),
+            (F.round("mean_beta", 6) + F.lit(0.0)).alias("mean_beta"),
+            (F.round("t", 6) + F.lit(0.0)).alias("t"),
+            (F.round("df", 6) + F.lit(0.0)).alias("df"),
         )
     )
 
@@ -512,9 +512,9 @@ WITH betas AS (
   FROM betas GROUP BY voxel_id
 )
 SELECT voxel_id, n,
-       ROUND(mean_beta, 6) AS mean_beta,
-       ROUND(mean_beta / (sd_beta / SQRT(CAST(n AS DOUBLE))), 6) AS t,
-       ROUND(CAST(n - 1 AS DOUBLE), 6) AS df
+       (ROUND(mean_beta, 6) + 0.0) AS mean_beta,
+       (ROUND(mean_beta / (sd_beta / SQRT(CAST(n AS DOUBLE))), 6) + 0.0) AS t,
+       (ROUND(CAST(n - 1 AS DOUBLE), 6) + 0.0) AS df
 FROM agg WHERE n >= 3
 """
 

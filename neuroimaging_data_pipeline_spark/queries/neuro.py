@@ -52,7 +52,7 @@ def j2_interval_grid(spark, sf_dir):
     )
     return joined.groupBy("t").agg(
         F.count(F.col("event_id")).alias("n_active"),
-        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("sum_value"),
+        (F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6) + F.lit(0.0)).alias("sum_value"),
     )
 
 
@@ -67,7 +67,7 @@ WITH anchored AS (
 )
 SELECT g.t AS t,
        CAST(COUNT(a.event_id) AS BIGINT) AS n_active,
-       ROUND(COALESCE(SUM(a.value), 0.0), 6) AS sum_value
+       (ROUND(COALESCE(SUM(a.value), 0.0), 6) + 0.0) AS sum_value
 FROM grid g
 LEFT JOIN anchored a
   ON g.t * 600.0 >= a.onset AND g.t * 600.0 < a.onset + a.duration
@@ -84,7 +84,7 @@ def a2_global_signal(spark, sf_dir):
             F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
         )
         .agg(
-            F.round(F.avg("value"), 6).alias("mean_value"),
+            (F.round(F.avg("value"), 6) + F.lit(0.0)).alias("mean_value"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -92,7 +92,7 @@ def a2_global_signal(spark, sf_dir):
 
 A2_SQL = """
 SELECT CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 3600) AS BIGINT) AS hour,
-       ROUND(AVG(value), 6) AS mean_value,
+       (ROUND(AVG(value), 6) + 0.0) AS mean_value,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1
 """
@@ -125,8 +125,8 @@ def a9_ols_normal_eq(spark, sf_dir):
     )
     return agg.select(
         "event_type",
-        F.round(beta1, 6).alias("beta1"),
-        F.round(F.col("my") - beta1 * F.col("mx"), 6).alias("beta0"),
+        (F.round(beta1, 6) + F.lit(0.0)).alias("beta1"),
+        (F.round(F.col("my") - beta1 * F.col("mx"), 6) + F.lit(0.0)).alias("beta0"),
         F.col("n"),
     )
 
@@ -143,8 +143,8 @@ WITH d AS (
   FROM d GROUP BY event_type
 )
 SELECT event_type,
-       ROUND((sxy - n * mx * my) / (sxx - n * mx * mx), 6) AS beta1,
-       ROUND(my - ((sxy - n * mx * my) / (sxx - n * mx * mx)) * mx, 6) AS beta0,
+       (ROUND((sxy - n * mx * my) / (sxx - n * mx * mx), 6) + 0.0) AS beta1,
+       (ROUND(my - ((sxy - n * mx * my) / (sxx - n * mx * mx)) * mx, 6) + 0.0) AS beta0,
        n
 FROM agg
 """
@@ -159,7 +159,7 @@ def st_tumbling_window(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -174,7 +174,7 @@ ST_TUMBLING_SQL = """
 SELECT CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 6) AS sum_value
+       (ROUND(SUM(value), 6) + 0.0) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -208,7 +208,7 @@ def st_session_window(spark, sf_dir):
         F.min("sec").alias("session_start"),
         F.max("sec").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
     )
 
 
@@ -230,7 +230,7 @@ SELECT user_id, session_id,
        MIN(sec) AS session_start,
        MAX(sec) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
+       (ROUND(SUM(value), 6) + 0.0) AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 """

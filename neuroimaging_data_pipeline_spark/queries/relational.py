@@ -95,16 +95,16 @@ def p9_null_fill(spark, sf_dir):
         _t(spark, sf_dir, "events")
         .select(
             "event_id",
-            F.round(
+            (F.round(
                 F.coalesce(F.col("value") - F.lag("value", 1).over(w), F.lit(0.0)), 6
-            ).alias("value_diff"),
+            ) + F.lit(0.0)).alias("value_diff"),
         )
     )
 
 
 P9_SQL = """
 SELECT event_id,
-       ROUND(COALESCE(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 0.0), 6) AS value_diff
+       (ROUND(COALESCE(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 0.0), 6) + 0.0) AS value_diff
 FROM events
 """
 
@@ -116,19 +116,19 @@ def j1_aligned_concat(spark, sf_dir):
     derived tables (pd.concat axis=1 semantics, ssm_loop.py:85)."""
     li = _t(spark, sf_dir, "lineitem")
     qty = li.groupBy("l_orderkey").agg(
-        F.round(F.sum("l_quantity"), 6).alias("sum_qty")
+        (F.round(F.sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty")
     )
     price = li.groupBy("l_orderkey").agg(
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_price")
+        (F.round(F.sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_price")
     )
     return qty.join(price, on="l_orderkey")
 
 
 J1_SQL = """
 WITH qty AS (
-  SELECT l_orderkey, ROUND(SUM(l_quantity), 6) AS sum_qty FROM lineitem GROUP BY l_orderkey
+  SELECT l_orderkey, (ROUND(SUM(l_quantity), 6) + 0.0) AS sum_qty FROM lineitem GROUP BY l_orderkey
 ), price AS (
-  SELECT l_orderkey, ROUND(SUM(l_extendedprice), 6) AS sum_price FROM lineitem GROUP BY l_orderkey
+  SELECT l_orderkey, (ROUND(SUM(l_extendedprice), 6) + 0.0) AS sum_price FROM lineitem GROUP BY l_orderkey
 )
 SELECT qty.l_orderkey AS l_orderkey, sum_qty, sum_price
 FROM qty JOIN price ON qty.l_orderkey = price.l_orderkey
@@ -182,7 +182,7 @@ def j_broadcast_3way(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            (F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6) + F.lit(0.0)).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -192,7 +192,7 @@ def j_broadcast_3way(spark, sf_dir):
 
 J_BROADCAST_SQL = """
 SELECT r_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       (ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) + 0.0) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -249,22 +249,22 @@ def a1_pricing_summary(spark, sf_dir):
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(
+            (F.round(F.sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty"),
+            (F.round(F.sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_base_price"),
+            (F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("sum_disc_price"),
-            F.round(
+            ) + F.lit(0.0)).alias("sum_disc_price"),
+            (F.round(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
                 ),
                 6,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            ) + F.lit(0.0)).alias("sum_charge"),
+            (F.round(F.avg("l_quantity"), 6) + F.lit(0.0)).alias("avg_qty"),
+            (F.round(F.avg("l_extendedprice"), 6) + F.lit(0.0)).alias("avg_price"),
+            (F.round(F.avg("l_discount"), 6) + F.lit(0.0)).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -272,13 +272,13 @@ def a1_pricing_summary(spark, sf_dir):
 
 A1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 6) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       (ROUND(SUM(l_quantity), 6) + 0.0) AS sum_qty,
+       (ROUND(SUM(l_extendedprice), 6) + 0.0) AS sum_base_price,
+       (ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) + 0.0) AS sum_disc_price,
+       (ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) + 0.0) AS sum_charge,
+       (ROUND(AVG(l_quantity), 6) + 0.0) AS avg_qty,
+       (ROUND(AVG(l_extendedprice), 6) + 0.0) AS avg_price,
+       (ROUND(AVG(l_discount), 6) + 0.0) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -325,16 +325,16 @@ def a7_correlation(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qty_price"),
+            (F.round(F.stddev_samp("l_quantity"), 6) + F.lit(0.0)).alias("sd_qty"),
         )
     )
 
 
 A7_SQL = """
 SELECT l_returnflag,
-       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty
+       (ROUND(CORR(l_quantity, l_extendedprice), 6) + 0.0) AS corr_qty_price,
+       (ROUND(STDDEV_SAMP(l_quantity), 6) + 0.0) AS sd_qty
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -380,14 +380,14 @@ def a_rollup(spark, sf_dir):
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 6).alias("sum_bal"),
+            (F.round(F.sum("c_acctbal"), 6) + F.lit(0.0)).alias("sum_bal"),
         )
     )
 
 
 A_ROLLUP_SQL = """
 SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
-       ROUND(SUM(c_acctbal), 6) AS sum_bal
+       (ROUND(SUM(c_acctbal), 6) + 0.0) AS sum_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -402,20 +402,20 @@ def w1_zscore(spark, sf_dir):
     w = Window.partitionBy("event_type")
     return _t(spark, sf_dir, "events").select(
         "event_id",
-        F.round(
+        (F.round(
             F.try_divide(
                 F.col("value") - F.avg("value").over(w),
                 F.stddev_samp("value").over(w),
             ),
             6,
-        ).alias("value_z"),
+        ) + F.lit(0.0)).alias("value_z"),
     )
 
 
 W1_SQL = """
 SELECT event_id,
-       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
-             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS value_z
+       (ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) + 0.0) AS value_z
 FROM events
 """
 
@@ -426,13 +426,13 @@ def w2_lag_diff(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return _t(spark, sf_dir, "events").select(
         "event_id",
-        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("d_value"),
+        (F.round(F.col("value") - F.lag("value", 1).over(w), 6) + F.lit(0.0)).alias("d_value"),
     )
 
 
 W2_SQL = """
 SELECT event_id,
-       ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS d_value
+       (ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) + 0.0) AS d_value
 FROM events
 """
 
@@ -459,7 +459,7 @@ def w4_fir_convolve(spark, sf_dir):
     for k, h in enumerate(taps):
         term = F.coalesce(F.lag("x", k).over(w), F.lit(0.0)) * F.lit(h)
         conv = term if conv is None else conv + term
-    return series.select("hour", F.round(conv, 6).alias("x_conv"))
+    return series.select("hour", (F.round(conv, 6) + F.lit(0.0)).alias("x_conv"))
 
 
 W4_SQL = """
@@ -476,10 +476,10 @@ WITH hours AS (
   FROM grid g LEFT JOIN counts USING (hour)
 )
 SELECT hour,
-       ROUND(  0.5  * x
+       (ROUND(  0.5  * x
              + 0.3  * COALESCE(LAG(x, 1) OVER (ORDER BY hour), 0.0)
              + 0.15 * COALESCE(LAG(x, 2) OVER (ORDER BY hour), 0.0)
-             + 0.05 * COALESCE(LAG(x, 3) OVER (ORDER BY hour), 0.0), 6) AS x_conv
+             + 0.05 * COALESCE(LAG(x, 3) OVER (ORDER BY hour), 0.0), 6) + 0.0) AS x_conv
 FROM series
 """
 
@@ -495,7 +495,7 @@ def w5_dct_basis(spark, sf_dir):
     for f_idx in (1, 2, 3):
         out = out.withColumn(
             f"cosine_{f_idx}",
-            F.round(
+            (F.round(
                 F.cos(
                     F.lit(math.pi)
                     * F.lit(float(f_idx))
@@ -503,16 +503,16 @@ def w5_dct_basis(spark, sf_dir):
                     / F.lit(2.0 * n)
                 ),
                 6,
-            ),
+            ) + F.lit(0.0)),
         )
     return out
 
 
 W5_SQL = """
 SELECT t,
-       ROUND(COS(PI() * 1 * (2*t + 1) / 592.0), 6) AS cosine_1,
-       ROUND(COS(PI() * 2 * (2*t + 1) / 592.0), 6) AS cosine_2,
-       ROUND(COS(PI() * 3 * (2*t + 1) / 592.0), 6) AS cosine_3
+       (ROUND(COS(PI() * 1 * (2*t + 1) / 592.0), 6) + 0.0) AS cosine_1,
+       (ROUND(COS(PI() * 2 * (2*t + 1) / 592.0), 6) + 0.0) AS cosine_2,
+       (ROUND(COS(PI() * 3 * (2*t + 1) / 592.0), 6) + 0.0) AS cosine_3
 FROM (SELECT UNNEST(RANGE(0, 296)) AS t)
 """
 
@@ -527,15 +527,15 @@ def w6_poly_trend(spark, sf_dir):
     return grid.select(
         "t",
         F.lit(1.0).alias("poly_0"),
-        F.round(tt, 6).alias("poly_1"),
-        F.round(F.pow(tt, 2), 6).alias("poly_2"),
+        (F.round(tt, 6) + F.lit(0.0)).alias("poly_1"),
+        (F.round(F.pow(tt, 2), 6) + F.lit(0.0)).alias("poly_2"),
     )
 
 
 W6_SQL = """
 SELECT t, 1.0 AS poly_0,
-       ROUND((t - 147.5) / 147.5, 6) AS poly_1,
-       ROUND(POW((t - 147.5) / 147.5, 2), 6) AS poly_2
+       (ROUND((t - 147.5) / 147.5, 6) + 0.0) AS poly_1,
+       (ROUND(POW((t - 147.5) / 147.5, 2), 6) + 0.0) AS poly_2
 FROM (SELECT UNNEST(RANGE(0, 296)) AS t)
 """
 
@@ -629,7 +629,7 @@ def f3_date_trunc(spark, sf_dir):
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("month_total"),
+            (F.round(F.sum("o_totalprice"), 6) + F.lit(0.0)).alias("month_total"),
         )
     )
 
@@ -637,7 +637,7 @@ def f3_date_trunc(spark, sf_dir):
 F3_SQL = """
 SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 6) AS month_total
+       (ROUND(SUM(o_totalprice), 6) + 0.0) AS month_total
 FROM orders GROUP BY 1
 """
 
@@ -667,13 +667,13 @@ def f6_array_ops(spark, sf_dir):
         lambda acc, v: acc + v,
     )
     return emb.select(
-        "vec_id", F.round(F.sqrt(sq), 6).alias("l2_norm")
+        "vec_id", (F.round(F.sqrt(sq), 6) + F.lit(0.0)).alias("l2_norm")
     )
 
 
 F6_SQL = """
 SELECT vec_id,
-       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+       (ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) + 0.0) AS l2_norm
 FROM embeddings
 """
 

@@ -45,7 +45,7 @@ def s_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk(emb, queries, k=5)
     return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+        "query_id", "vec_id", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine")
     )
 
 
@@ -60,7 +60,7 @@ WITH scored AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rn
   FROM scored
 )
-SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine FROM ranked WHERE rn <= 5
+SELECT query_id, vec_id, (ROUND(cos_raw, 6) + 0.0) AS cosine FROM ranked WHERE rn <= 5
 """
 
 
@@ -83,8 +83,8 @@ WITH pairs AS (
   FROM embeddings a
   JOIN embeddings q ON a.label = q.label AND a.vec_id < q.vec_id
 )
-SELECT id_a, id_b, label, ROUND(cos_raw, 6) AS cosine
-FROM pairs WHERE ROUND(cos_raw, 6) >= 0.2
+SELECT id_a, id_b, label, (ROUND(cos_raw, 6) + 0.0) AS cosine
+FROM pairs WHERE (ROUND(cos_raw, 6) + 0.0) >= 0.2
 """
 
 
@@ -96,7 +96,7 @@ def s_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     out = ivf_topk(emb, queries, n_cells=8, nprobe=2, k=5)
     return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+        "query_id", "vec_id", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine")
     )
 
 
@@ -141,7 +141,7 @@ WITH cents AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rn
   FROM scored
 )
-SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine FROM ranked WHERE rn <= 5
+SELECT query_id, vec_id, (ROUND(cos_raw, 6) + 0.0) AS cosine FROM ranked WHERE rn <= 5
 """
 
 
@@ -151,7 +151,7 @@ def s_lsh_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
     queries = emb.filter(F.col("vec_id") < 5)
     out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
-    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    return out.select("query_id", "vec_id", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"))
 
 
 def d_minhash_lsh(spark, sf_dir):
@@ -159,7 +159,7 @@ def d_minhash_lsh(spark, sf_dir):
     permutations; Jaccard agreement pinned in pytest)."""
     docs = read_table(spark, sf_dir, "documents", min_partitions=16)
     return minhash_dedup_pairs(docs, threshold=0.2).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b", (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard")
     )
 
 

@@ -45,7 +45,7 @@ def _volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("p_partkey") / 16) % 16).alias("y"),
         F.floor(F.col("p_partkey") / 256).alias("z"),
         (F.col("p_size") % 7).cast("long").alias("label"),
-        F.round(F.col("p_retailprice") / 1000.0, 6).alias("value"),
+        (F.round(F.col("p_retailprice") / 1000.0, 6) + F.lit(0.0)).alias("value"),
     )
 
 
@@ -55,7 +55,7 @@ _VOLUME_SQL = """
          CAST(FLOOR(p_partkey / 16.0) AS BIGINT) % 16 AS y,
          CAST(FLOOR(p_partkey / 256.0) AS BIGINT) AS z,
          CAST(p_size % 7 AS BIGINT) AS label,
-         ROUND(p_retailprice / 1000.0, 6) AS value
+         (ROUND(p_retailprice / 1000.0, 6) + 0.0) AS value
   FROM part
 """
 
@@ -110,7 +110,7 @@ def w8_gaussian_smooth(spark, sf_dir):
     sm = gaussian_smooth(
         values, dim, gaussian_offsets(spark, _FWHM_VOX), value_col="value"
     )
-    return sm.select("voxel_id", F.round("value", 6).alias("smooth_value"))
+    return sm.select("voxel_id", (F.round("value", 6) + F.lit(0.0)).alias("smooth_value"))
 
 
 def w8b_gaussian_smooth_sep(spark, sf_dir):
@@ -129,7 +129,7 @@ def w8b_gaussian_smooth_sep(spark, sf_dir):
     sm = gaussian_smooth_separable(
         values, dim, gaussian_offsets_1d(spark, _FWHM_VOX), value_col="value"
     )
-    return sm.select("voxel_id", F.round("value", 6).alias("smooth_value"))
+    return sm.select("voxel_id", (F.round("value", 6) + F.lit(0.0)).alias("smooth_value"))
 
 
 W8_SQL = f"""
@@ -144,7 +144,7 @@ wts AS (
          s.value * w.w AS wv, w.w AS w
   FROM vol s CROSS JOIN wts w
 )
-SELECT t.voxel_id, ROUND(SUM(f.wv) / SUM(f.w), 6) AS smooth_value
+SELECT t.voxel_id, (ROUND(SUM(f.wv) / SUM(f.w), 6) + 0.0) AS smooth_value
 FROM fanned f
 JOIN vol t ON t.x = f.tx AND t.y = f.ty AND t.z = f.tz
 GROUP BY t.voxel_id
@@ -196,14 +196,14 @@ def a3_mean_image(spark, sf_dir):
     (voxel_id = l_partkey, t = l_linenumber, value = l_quantity)."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_partkey").alias("voxel_id")).agg(
-        F.round(F.avg("l_quantity"), 6).alias("mean_value"),
+        (F.round(F.avg("l_quantity"), 6) + F.lit(0.0)).alias("mean_value"),
         F.count(F.lit(1)).alias("n_obs"),
     )
 
 
 A3_SQL = """
 SELECT l_partkey AS voxel_id,
-       ROUND(AVG(l_quantity), 6) AS mean_value,
+       (ROUND(AVG(l_quantity), 6) + 0.0) AS mean_value,
        CAST(COUNT(*) AS BIGINT) AS n_obs
 FROM lineitem GROUP BY l_partkey
 """

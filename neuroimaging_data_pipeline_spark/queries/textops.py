@@ -45,11 +45,11 @@ def t_quality_signals(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents", min_partitions=16)
     return d.select(
         "doc_id",
-        F.round(F.coalesce(punct_ratio("text"), F.lit(0.0)), 6).alias("punct_ratio"),
-        F.round(F.coalesce(stopword_ratio("text"), F.lit(0.0)), 6).alias(
+        (F.round(F.coalesce(punct_ratio("text"), F.lit(0.0)), 6) + F.lit(0.0)).alias("punct_ratio"),
+        (F.round(F.coalesce(stopword_ratio("text"), F.lit(0.0)), 6) + F.lit(0.0)).alias(
             "stopword_ratio"
         ),
-        F.round(F.coalesce(mean_word_length("text"), F.lit(0.0)), 6).alias(
+        (F.round(F.coalesce(mean_word_length("text"), F.lit(0.0)), 6) + F.lit(0.0)).alias(
             "mean_word_len"
         ),
     )
@@ -57,12 +57,12 @@ def t_quality_signals(spark, sf_dir):
 
 T_QUALITY_SQL = f"""
 SELECT doc_id,
-  ROUND(COALESCE(CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-        / NULLIF(len(text), 0), 0.0), 6) AS punct_ratio,
-  ROUND(COALESCE(CAST(len(list_filter({_TOKS_SQL}, t -> t IN ('the','and','of','to','is'))) AS DOUBLE)
-        / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0), 0.0), 6) AS stopword_ratio,
-  ROUND(COALESCE(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> len(t))) AS DOUBLE)
-        / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0), 0.0), 6) AS mean_word_len
+  (ROUND(COALESCE(CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / NULLIF(len(text), 0), 0.0), 6) + 0.0) AS punct_ratio,
+  (ROUND(COALESCE(CAST(len(list_filter({_TOKS_SQL}, t -> t IN ('the','and','of','to','is'))) AS DOUBLE)
+        / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0), 0.0), 6) + 0.0) AS stopword_ratio,
+  (ROUND(COALESCE(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> len(t))) AS DOUBLE)
+        / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0), 0.0), 6) + 0.0) AS mean_word_len
 FROM documents
 """
 
@@ -168,11 +168,11 @@ def d_ngram_jaccard(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            F.round(
+            (F.round(
                 F.col("n_inter")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
                 6,
-            ).alias("jaccard"),
+            ) + F.lit(0.0)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)
     )
@@ -197,7 +197,7 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
+       (ROUND(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) + 0.0) AS jaccard
 FROM inter
 JOIN sizes za ON inter.id_a = za.doc_id
 JOIN sizes zb ON inter.id_b = zb.doc_id
@@ -224,7 +224,7 @@ def t_entropy(spark, sf_dir):
         counts.join(totals, "doc_id")
         .groupBy("doc_id")
         .agg(
-            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+            (F.round(-F.sum(p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy"),
             F.count(F.lit(1)).alias("n_unique_tokens"),
         )
     )
@@ -242,7 +242,7 @@ WITH toks AS (
   SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id
 )
 SELECT c.doc_id,
-       ROUND(-SUM((c.c / t.n) * LOG2(c.c / t.n)), 6) AS entropy,
+       (ROUND(-SUM((c.c / t.n) * LOG2(c.c / t.n)), 6) + 0.0) AS entropy,
        CAST(COUNT(*) AS BIGINT) AS n_unique_tokens
 FROM counts c JOIN totals t ON c.doc_id = t.doc_id
 GROUP BY c.doc_id

@@ -70,7 +70,7 @@ def tumbling_counts(
         .groupBy(F.window(ts_col, window).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -95,7 +95,7 @@ def session_counts(
         .groupBy(F.session_window(ts_col, gap).alias("w"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("session_start"),

@@ -36,9 +36,15 @@ def normalize(df):
             return ("null",)
         if isinstance(v, float):
             if math.isnan(v):
-                return ("null",)
-            # compare floats on 9 significant digits
-            return ("f", float(f"{v:.9g}"))
+                # NaN is NOT null: a driver value-hash distinguishes them.
+                return ("nan",)
+            # compare floats on 9 significant digits; zeros keep their
+            # sign bit (the driver's hash sees -0.0 != 0.0 — round-1
+            # regression on a9_mass_ols).
+            val = float(f"{v:.9g}")
+            if val == 0.0:
+                return ("f", 0.0, int(math.copysign(1.0, v)))
+            return ("f", val)
         if isinstance(v, (int,)):
             return ("i", int(v))
         if hasattr(v, "isoformat"):
