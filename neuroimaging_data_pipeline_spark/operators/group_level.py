@@ -38,7 +38,15 @@ def group_ttest(
     t statistic itself is).
     """
     keys = keys or ["voxel_id", "regressor"]
-    agg = stats.groupBy(*keys).agg(
+    # Pre-aggregate to ONE beta per unit: with multiple rows per subject
+    # (e.g. a multi-run mass_ols bundle) a plain row count would inflate
+    # n and df, overstating significance. The per-unit mean is exact and
+    # a no-op on already-unique input; partial aggregation keeps both
+    # groupBys map-side combinable on the same key prefix.
+    per_unit = stats.groupBy(*keys, unit_col).agg(
+        F.avg(beta_col).alias(beta_col)
+    )
+    agg = per_unit.groupBy(*keys).agg(
         F.count(unit_col).alias("n"),
         F.avg(beta_col).alias("mean_beta"),
         F.stddev_samp(beta_col).alias("sd_beta"),

@@ -207,6 +207,14 @@ def mass_ols(
         n, k = X.shape
         nvox = len(vox)
         Y = np.full((n, nvox), np.nan)
+        # The scatter keeps the LAST write on duplicate (t, voxel) pairs
+        # (the old pivot_table averaged them) — enforce the uniqueness
+        # precondition instead of silently depending on it.
+        if len(np.unique(rows * np.int64(nvox) + vox_codes)) != len(pdf):
+            raise ValueError(
+                "mass_ols: duplicate (t, voxel_id) rows in input; "
+                "aggregate to one value per (t, voxel_id) first"
+            )
         Y[rows, vox_codes] = pdf["value"].to_numpy(dtype=np.float64)
         B = np.empty((k, nvox))
         SE = np.empty((k, nvox))

@@ -76,7 +76,20 @@ def classify_first_match(
     )
     rule_cols = [c for c in rules.columns if c != priority_col]
     item_cols = [c for c in items.columns if c != item_key]
-    return matched.groupBy(item_key, *item_cols).agg(
+    # ONE min_by over a struct of all rule columns: independent per-column
+    # min_by calls could mix columns from different rules when two
+    # matching rules share a priority; the struct keeps the winning rule
+    # row coherent (ties broken by the struct's column order, total).
+    agg = matched.groupBy(item_key, *item_cols).agg(
         F.min(priority_col).alias(priority_col),
-        *[F.min_by(F.col(c), F.col(priority_col)).alias(c) for c in rule_cols],
+        F.min_by(
+            F.struct(*[F.col(c) for c in rule_cols]),
+            F.struct(F.col(priority_col), *[F.col(c) for c in rule_cols]),
+        ).alias("_rule"),
+    )
+    return agg.select(
+        item_key,
+        *item_cols,
+        priority_col,
+        *[F.col(f"_rule.{c}").alias(c) for c in rule_cols],
     )

@@ -71,21 +71,33 @@ def node_count(plan: str, token: str) -> int:
 
 
 def exchange_count(plan: str) -> int:
-    """Number of real shuffles: ``Exchange`` nodes minus reused ones.
+    """Number of real shuffle ``Exchange`` nodes.
 
-    ``ReusedExchange`` and AQE's ``ShuffleQueryStage`` wrappers are not
-    counted twice; broadcast exchanges are excluded (they move only the
-    small side).
+    ``BroadcastExchange``/``ReusedExchange`` never match ``\\bExchange\\b``
+    (no word boundary mid-identifier) and must NOT be subtracted — the
+    round-1 version did, undercounting real shuffles to 0 whenever a
+    broadcast was present. Shuffle-origin broadcasts
+    (``EXECUTOR_BROADCAST``) are excluded: they move only the small side.
+
+    Formatted mode lists every node twice (tree line + ``(N) Name``
+    detail section); we count detail sections only, and fall back to
+    per-line token counting for simple-mode plans.
     """
-    total = len(re.findall(r"\bExchange\b", plan))
-    reused = len(re.findall(r"\bReusedExchange\b", plan))
-    broadcast = len(re.findall(r"\bExchange SinglePartition\b", plan)) + len(
-        re.findall(r"Exchange[^\n]*EXECUTOR_BROADCAST", plan)
+    headers = list(re.finditer(r"(?m)^\(\d+\)\s+([A-Za-z]+)", plan))
+    if headers:
+        n = 0
+        for i, m in enumerate(headers):
+            if m.group(1) != "Exchange":
+                continue
+            end = headers[i + 1].start() if i + 1 < len(headers) else len(plan)
+            if "EXECUTOR_BROADCAST" not in plan[m.start():end]:
+                n += 1
+        return n
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.search(r"\bExchange\b", line) and "EXECUTOR_BROADCAST" not in line
     )
-    # formatted mode: 'Arguments: hashpartitioning(...)' lines belong to
-    # the same node, so plain token counting is enough.
-    broadcast += len(re.findall(r"\bBroadcastExchange\b", plan))
-    return max(total - reused - broadcast, 0)
 
 
 def broadcast_join_count(plan: str) -> int:
