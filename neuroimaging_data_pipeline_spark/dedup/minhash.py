@@ -60,9 +60,20 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures, bucket-join on (band, band_hash):
-    (id_a, id_b) candidate pairs with id_a < id_b."""
+    (id_a, id_b) candidate pairs with id_a < id_b.
+
+    ``max_bucket_size`` is the flood guard for corpus scale: a bucket
+    holding n docs contributes n² candidate rows, so one degenerate
+    bucket (boilerplate-dominated signatures) can flood a shuffle
+    partition. Buckets above the cap are dropped via a broadcast
+    anti-join (the flooded set has <= n_rows/cap members by
+    construction, so the broadcast is always small). This trades
+    bounded recall — a pair only hashed together in flooded buckets is
+    missed — for a hard ceiling on join fan-out; run exact dedup first
+    so identical-document floods never reach this operator."""
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         id_col,
@@ -83,6 +94,16 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+    if max_bucket_size is not None:
+        flooded = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(flooded), ["band", "band_hash"], "left_anti"
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_hash"
     )
@@ -140,6 +161,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.7,
     persist_shingles: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify.
 
@@ -155,5 +177,5 @@ def minhash_dedup_pairs(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket_size)
     return jaccard_verify(cand, sh, id_col, threshold)

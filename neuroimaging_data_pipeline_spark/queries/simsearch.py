@@ -156,9 +156,11 @@ def s_lsh_topk(spark, sf_dir):
 
 def d_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs on documents (rows-only: xxhash64
-    permutations; Jaccard agreement pinned in pytest)."""
+    permutations; Jaccard agreement pinned in pytest). The bucket-flood
+    guard (max_bucket_size) bounds candidate fan-out at corpus scale;
+    far above any bucket at test SFs, so results are unchanged here."""
     docs = read_table(spark, sf_dir, "documents", min_partitions=16)
-    return minhash_dedup_pairs(docs, threshold=0.2).select(
+    return minhash_dedup_pairs(docs, threshold=0.2, max_bucket_size=1000).select(
         "id_a", "id_b", (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard")
     )
 

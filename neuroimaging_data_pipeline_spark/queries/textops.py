@@ -125,56 +125,36 @@ GROUP BY 1
 """
 
 
-def d_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard similarity for document pairs sharing at
-    least one shingle and in the same source bucket (keeps the pair
-    space bounded like LSH would); emits pairs with jaccard >= 0.2."""
-    from neuroimaging_data_pipeline_spark.dedup.minhash import shingles
+#: Shingles appearing in more documents than this are boilerplate
+#: ("terms of service"-class) and are excluded from the Jaccard — in
+#: BOTH engines, so the semantics stay oracle-checkable. This is the
+#: hot-key ceiling: a shingle with df=n contributes n² rows to the pair
+#: join, so without the cap one boilerplate 3-gram floods a single
+#: shuffle partition at corpus scale.
+NGRAM_DF_CAP = 64
 
-    from pyspark import StorageLevel
+
+def d_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard over *discriminative* shingles (document
+    frequency <= NGRAM_DF_CAP) for document pairs in the same source
+    bucket; emits pairs with jaccard >= 0.2.
+
+    The df cap bounds the worst-case join fan-out at df_cap per shingle
+    occurrence regardless of corpus size; the hot set (df > cap) is by
+    construction tiny (<= n_shingle_rows / cap members), so it is
+    removed with a broadcast anti-join — a map-side filter, no extra
+    shuffle of the fact table (dedup/ngram.py; flood behavior pinned in
+    tests/test_dedup_text.py)."""
+    from neuroimaging_data_pipeline_spark.dedup.ngram import ngram_jaccard_pairs
 
     docs = read_table(spark, sf_dir, "documents", min_partitions=16)
-    # sh feeds the sizes agg and both sides of the pair join — persist
-    # once instead of recomputing the shingle pipeline three times.
-    # Shingles are hashed to 8-byte longs before the join: the
-    # fact-to-fact shuffle then moves fixed-width longs instead of
-    # multi-word strings (~5x narrower), and equality compares are
-    # integer compares. Collisions (~n²/2^64) are negligible at any
-    # corpus size that fits a cluster.
-    sh = (
-        shingles(docs, "doc_id", "text", k=3)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = ngram_jaccard_pairs(
+        docs, k=3, df_cap=NGRAM_DF_CAP, threshold=0.2, block_col="source"
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    src = docs.select("doc_id", "source")
-    a = sh.join(src, "doc_id").select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), "shingle"
-    )
-    b = sh.join(src, "doc_id").select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), "shingle"
-    )
-    inter = (
-        a.join(b, on=[a.shingle == b.shingle, a.src_a == b.src_b])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-                6,
-            ) + F.lit(0.0)).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.2)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard"),
     )
 
 
@@ -188,11 +168,15 @@ WITH toks AS (
                                  for i in generate_series(1, GREATEST(len(t) - 2, 1))])) AS DISTINCT_SHINGLE
     FROM toks
   ) WHERE DISTINCT_SHINGLE <> ''
+), kept AS (
+  SELECT sh.* FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {NGRAM_DF_CAP}) disc USING (shingle)
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.source = b.source
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )

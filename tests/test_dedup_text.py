@@ -166,3 +166,79 @@ def test_text_analysis_columns(spark, docs):
     assert out.loc[5, "lang"] == "es"
     assert out.loc[3, "lang"] == "und" or out.loc[3, "lang"] == "en"
     assert (out["q"] >= 0).all() and (out["q"] <= 1).all()
+
+
+def test_ngram_df_cap_drops_boilerplate_shingles(spark):
+    """The df cap excludes hot (boilerplate) shingles from BOTH the
+    intersection and the sizes, matching an exact local recomputation
+    over the discriminative shingle sets only."""
+    from neuroimaging_data_pipeline_spark.dedup.ngram import ngram_jaccard_pairs
+
+    boiler = "terms of service apply here"
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta epsilon"),
+        (1, f"{boiler} alpha beta gamma delta zeta"),
+        (2, f"{boiler} totally different words entirely now"),
+        (3, f"{boiler} more unrelated content over there"),
+        (4, f"{boiler} quite other tokens in this one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def caplocal(cap):
+        def sh(t):
+            toks = t.lower().split()
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        sets = {i: sh(t) for i, t in rows}
+        df = {}
+        for s in sets.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        kept = {i: {g for g in s if df[g] <= cap} for i, s in sets.items()}
+        out = {}
+        for i in kept:
+            for j in kept:
+                # the engine emits only pairs sharing >= 1 kept shingle
+                if i < j and kept[i] & kept[j]:
+                    out[(i, j)] = len(kept[i] & kept[j]) / len(kept[i] | kept[j])
+        return out
+
+    # cap=4: the 5-doc boilerplate shingles (df=5) are dropped.
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, df_cap=4, threshold=0.0).collect()
+    }
+    want = {k: v for k, v in caplocal(4).items() if v >= 0.0}
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+    # Sanity: docs 0/1 stay similar on discriminative shingles, while
+    # boilerplate-only overlaps (e.g. 2 vs 3) collapse to 0 pairs at a
+    # positive threshold.
+    assert got[(0, 1)] > 0.3
+    pos = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, df_cap=4, threshold=0.05).collect()
+    }
+    assert (2, 3) not in pos
+    # Without the cap, boilerplate makes everything look similar.
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, df_cap=None, threshold=0.0).collect()
+    }
+    assert uncapped[(2, 3)] > 0.2
+
+
+def test_lsh_bucket_flood_guard(spark):
+    """max_bucket_size drops flooded buckets (bounding join fan-out);
+    without it the same corpus yields the flood pairs."""
+    texts = [(i, "identical boilerplate document body here") for i in range(20)]
+    texts += [(100, "some genuinely unique text one"), (101, "another unique text two")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sh = shingles(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id", 16)
+    flood = lsh_candidate_pairs(sigs, "doc_id", 16, 4).count()
+    guarded = lsh_candidate_pairs(sigs, "doc_id", 16, 4, max_bucket_size=10).count()
+    assert flood >= 190  # 20 identical docs -> C(20,2) pairs
+    assert guarded < flood
+    assert guarded == 0 or guarded < 20
