@@ -89,12 +89,15 @@ FROM pairs WHERE (ROUND(cos_raw, 6) + 0.0) >= 0.2
 
 
 def s_ivf_topk(spark, sf_dir):
-    """IVF approximate top-5: 8 deterministic centroid cells, nprobe=2
-    (similarity/cosine.py:ivf_topk). Fully oracle-checked — the
-    deterministic seeding makes cell assignment SQL-expressible."""
+    """IVF approximate top-5: 8 id-seeded centroid cells refined by TWO
+    deterministic Lloyd iterations (fixed count, id tie-breaks,
+    centroids rounded to 6 decimals per component so float
+    summation-order noise can't diverge the engines), nprobe=2
+    (similarity/cosine.py:ivf_topk). Fully oracle-checked — the oracle
+    unrolls the same two k-means passes in SQL."""
     emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = ivf_topk(emb, queries, n_cells=8, nprobe=2, k=5)
+    out = ivf_topk(emb, queries, n_cells=8, nprobe=2, k=5, lloyd_iters=2)
     return out.select(
         "query_id", "vec_id", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine")
     )
@@ -113,18 +116,49 @@ _CNORM_C = (
     " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 )
 
-S_IVF_SQL = f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  ORDER BY vec_id ASC LIMIT 8
-), assign AS (
+def _ivf_assign_sql(cents_cte: str) -> str:
+    """Nearest-centroid assignment CTE body against ``cents_cte``."""
+    return f"""
   SELECT v.vec_id, v.embedding, c.cid,
          ROW_NUMBER() OVER (
            PARTITION BY v.vec_id
            ORDER BY {_CDOT} / ({_CNORM_V} * {_CNORM_C}) DESC, c.cid ASC
          ) AS crn
-  FROM embeddings v CROSS JOIN cents c
-), cells AS (
+  FROM embeddings v CROSS JOIN {cents_cte} c
+"""
+
+
+def _ivf_lloyd_sql(i: int) -> str:
+    """One unrolled Lloyd pass: assign to cents{i}, elementwise member
+    mean rounded to 6 (same normalization as the Spark side), empty
+    cells keep their previous centroid."""
+    return f"""assign{i} AS ({_ivf_assign_sql(f"cents{i}")}),
+memb{i} AS (SELECT cid, embedding FROM assign{i} WHERE crn = 1),
+rows{i} AS (
+  SELECT cid, UNNEST(embedding) AS val,
+         UNNEST(RANGE(1, len(embedding) + 1)) AS idx
+  FROM memb{i}
+),
+comp{i} AS (
+  SELECT cid, idx, (ROUND(AVG(CAST(val AS DOUBLE)), 6) + 0.0) AS m
+  FROM rows{i} GROUP BY cid, idx
+),
+agg{i} AS (SELECT cid, list(m ORDER BY idx) AS v FROM comp{i} GROUP BY cid),
+cents{i + 1} AS (
+  SELECT c.cid, COALESCE(a.v, c.cvec) AS cvec
+  FROM cents{i} c LEFT JOIN agg{i} a USING (cid)
+),"""
+
+
+S_IVF_SQL = f"""
+WITH cents0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+),
+{_ivf_lloyd_sql(0)}
+{_ivf_lloyd_sql(1)}
+assign AS ({_ivf_assign_sql("cents2")}), cells AS (
   SELECT vec_id, embedding, cid FROM assign WHERE crn = 1
 ), probes AS (
   SELECT vec_id AS query_id, embedding AS qvec, cid

@@ -102,22 +102,12 @@ _RADIUS = max(1, int(math.ceil(2.0 * _SIGMA)))
 
 def w8_gaussian_smooth(spark, sf_dir):
     """W8: fwhm=2-voxel Gaussian blur (data.smooth(fwhm=4mm) analog,
-    ssm_loop.py:88-89) via the broadcast weight-table neighborhood join,
-    normalized over present neighbors (masked-edge behavior)."""
-    vol = _volume(spark, sf_dir)
-    values = vol.select("voxel_id", "value")
-    dim = vol.select("voxel_id", "x", "y", "z")
-    sm = gaussian_smooth(
-        values, dim, gaussian_offsets(spark, _FWHM_VOX), value_col="value"
-    )
-    return sm.select("voxel_id", (F.round("value", 6) + F.lit(0.0)).alias("smooth_value"))
-
-
-def w8b_gaussian_smooth_sep(spark, sf_dir):
-    """W8 separable variant: three 1-D passes with indicator
-    normalization (operators/smooth.py:gaussian_smooth_separable) —
-    3·(2r+1) fan-out instead of (2r+1)³, same results as the cube
-    kernel, checked against the SAME 3-D oracle."""
+    ssm_loop.py:88-89). DEFAULT path = separable three 1-D passes
+    (operators/smooth.py:gaussian_smooth_separable): 3·(2r+1) fan-out
+    instead of (2r+1)³ — 1.6× faster at test scale, and at cluster
+    scale the difference between a shuffle that fits and one that
+    doesn't. Identical results to the cube kernel (w8b cross-check),
+    both checked against the SAME 3-D oracle."""
     from neuroimaging_data_pipeline_spark.operators.smooth import (
         gaussian_offsets_1d,
         gaussian_smooth_separable,
@@ -128,6 +118,19 @@ def w8b_gaussian_smooth_sep(spark, sf_dir):
     dim = vol.select("voxel_id", "x", "y", "z")
     sm = gaussian_smooth_separable(
         values, dim, gaussian_offsets_1d(spark, _FWHM_VOX), value_col="value"
+    )
+    return sm.select("voxel_id", (F.round("value", 6) + F.lit(0.0)).alias("smooth_value"))
+
+
+def w8b_gaussian_smooth_cube(spark, sf_dir):
+    """W8 cross-check: the direct 3-D cube-kernel neighborhood join,
+    normalized over present neighbors (masked-edge behavior). Kept as
+    the independent formulation validating the separable default."""
+    vol = _volume(spark, sf_dir)
+    values = vol.select("voxel_id", "value")
+    dim = vol.select("voxel_id", "x", "y", "z")
+    sm = gaussian_smooth(
+        values, dim, gaussian_offsets(spark, _FWHM_VOX), value_col="value"
     )
     return sm.select("voxel_id", (F.round("value", 6) + F.lit(0.0)).alias("smooth_value"))
 
@@ -212,7 +215,7 @@ FROM lineitem GROUP BY l_partkey
 QUERIES = {
     "j4_stencil_mode": j4_stencil_mode,
     "w8_gaussian_smooth": w8_gaussian_smooth,
-    "w8b_gaussian_smooth_sep": w8b_gaussian_smooth_sep,
+    "w8b_gaussian_smooth_cube": w8b_gaussian_smooth_cube,
     "j5_nearest_resample": j5_nearest_resample,
     "a3_mean_image": a3_mean_image,
 }
@@ -220,7 +223,7 @@ QUERIES = {
 ORACLE = {
     "j4_stencil_mode": J4_SQL,
     "w8_gaussian_smooth": W8_SQL,
-    "w8b_gaussian_smooth_sep": W8_SQL,
+    "w8b_gaussian_smooth_cube": W8_SQL,
     "j5_nearest_resample": J5_SQL,
     "a3_mean_image": A3_SQL,
 }

@@ -145,25 +145,38 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the cluster-scale path.
 
     Deterministic seeding: the ``n_cells`` corpus vectors with the
-    smallest ids are the cell centroids (a k-means refinement would
-    drop in here; seeding keeps the operator oracle-checkable). Every
-    corpus vector is assigned to its nearest centroid by cosine
-    (tie-break: centroid id asc); a query probes its ``nprobe``
-    nearest cells and exact-cosine re-ranks only those candidates.
+    smallest ids are the cell centroids. ``lloyd_iters`` k-means
+    refinement passes then run over the seeds — each pass assigns every
+    vector to its nearest centroid by cosine (tie-break: centroid id
+    asc) and replaces each centroid with the elementwise mean of its
+    members, ROUNDED to 6 decimals. The fixed iteration count, id
+    tie-breaks, and per-component rounding (which absorbs float
+    summation-order noise across engines) keep the whole operator
+    deterministic and oracle-checkable; an empty cell keeps its
+    previous centroid. A query probes its ``nprobe`` nearest cells and
+    exact-cosine re-ranks only those candidates.
 
     Scale shape: centroids broadcast (tiny); assignment is a map-only
-    pass over the corpus; the probe join is an equi-join on cell id,
-    so candidate work is ~``nprobe/n_cells`` of brute force and cells
-    partition across executors.
+    pass over the corpus (one per Lloyd iteration — each costs one
+    corpus scan + one (cell, component)-key aggregate, no pair joins);
+    the probe join is an equi-join on cell id, so candidate work is
+    ~``nprobe/n_cells`` of brute force and cells partition across
+    executors.
     """
     cents = F.broadcast(
         corpus.orderBy(F.asc(id_col))
         .limit(n_cells)
-        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_cvec"
+            ),
+        )
     )
 
     def nearest_cells(df: DataFrame, vid, vvec, keep: int) -> DataFrame:
@@ -179,6 +192,29 @@ def ivf_topk(
             scored.withColumn("_crn", F.row_number().over(w))
             .filter(F.col("_crn") <= keep)
             .drop("_ccos", "_crn", "_cvec")
+        )
+
+    for _ in range(lloyd_iters):
+        members = nearest_cells(corpus, id_col, vec_col, 1).select(
+            "_cid", vec_col
+        )
+        comp = (
+            members.select("_cid", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("_cid", "pos")
+            .agg(
+                (F.round(F.avg(F.col("val").cast("double")), 6) + F.lit(0.0)).alias("m")
+            )
+        )
+        refreshed = comp.groupBy("_cid").agg(
+            F.collect_list(F.struct("pos", "m")).alias("_pm")
+        ).select(
+            "_cid",
+            F.transform(F.array_sort("_pm"), lambda s: s["m"]).alias("_new"),
+        )
+        cents = F.broadcast(
+            cents.join(refreshed, "_cid", "left").select(
+                "_cid", F.coalesce("_new", "_cvec").alias("_cvec")
+            )
         )
 
     cells = nearest_cells(corpus, id_col, vec_col, 1)

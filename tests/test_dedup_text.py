@@ -242,3 +242,48 @@ def test_lsh_bucket_flood_guard(spark):
     assert flood >= 190  # 20 identical docs -> C(20,2) pairs
     assert guarded < flood
     assert guarded == 0 or guarded < 20
+
+
+def test_ivf_lloyd_refinement_improves_recall(spark):
+    """Pathological id-seeding (first ids all in one true cluster):
+    two deterministic Lloyd passes spread the centroids and lift
+    recall@5 vs exact cosine top-k. Also pins determinism: two runs of
+    the refined operator return identical rows."""
+    from neuroimaging_data_pipeline_spark.similarity.cosine import ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 8)) * 3
+    rows, vid = [], 0
+    for _ in range(8):  # seeds all drawn from cluster 0
+        rows.append((vid, (centers[0] + rng.normal(size=8) * 0.3).tolist()))
+        vid += 1
+    for c in range(4):
+        for _ in range(10):
+            rows.append((vid, (centers[c] + rng.normal(size=8) * 0.3).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id in (10, 20, 30, 40)")
+    truth = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(iters):
+        got = {}
+        for r in ivf_topk(
+            emb, queries, n_cells=4, nprobe=1, k=5, lloyd_iters=iters
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return float(
+            np.mean([len(got.get(q, set()) & t) / len(t) for q, t in truth.items()])
+        )
+
+    seeded, refined = recall(0), recall(2)
+    assert refined > seeded
+    assert refined == 1.0
+    a = sorted(
+        map(tuple, ivf_topk(emb, queries, n_cells=4, nprobe=1, k=5, lloyd_iters=2).collect())
+    )
+    b = sorted(
+        map(tuple, ivf_topk(emb, queries, n_cells=4, nprobe=1, k=5, lloyd_iters=2).collect())
+    )
+    assert a == b
