@@ -236,12 +236,80 @@ GROUP BY user_id, session_id
 """
 
 
+def st_watermark_late_discard(spark, sf_dir):
+    """§2.9: watermark / late-data semantics, batch-checkable twin.
+
+    Arrival is simulated as micro-batches of 1000 events in event_id
+    order, with deterministic stragglers: every 97th event arrives one
+    micro-batch LATE (the driver's events are perfectly time-ordered by
+    event_id, so without stragglers the late path would never bind and
+    the check would be trivially green). The watermark before batch b
+    is max(event time) over all earlier batches minus 2 h; events below
+    it are dropped — exactly what ``withWatermark("ts", "2 hours")``
+    does at the batch boundary. Output = the tumbling per-hour counts
+    over surviving events, directly comparable against
+    st_tumbling_window (which keeps everything).
+
+    Scale shape: the running max runs over per-batch aggregates (rows =
+    n_batches, thousands at most), then broadcast-joins back to the
+    fact — no global sort of the event stream."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+        F.expr(
+            "event_id div 1000"
+            " + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END"
+        ).alias("batch"),
+    )
+    bstats = ev.groupBy("batch").agg(F.max("sec").alias("bmax"))
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bstats.select("batch", F.max("bmax").over(w).alias("wm_max"))
+    kept = ev.join(F.broadcast(wm), "batch").filter(
+        F.col("wm_max").isNull() | (F.col("sec") >= F.col("wm_max") - 7200)
+    )
+    return kept.groupBy(
+        (F.expr("sec div 3600") * 3600).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+    )
+
+
+ST_WATERMARK_SQL = """
+WITH ev AS (
+  SELECT event_type, value,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+         event_id // 1000
+           + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS batch
+  FROM events
+), bstats AS (
+  SELECT batch, MAX(sec) AS bmax FROM ev GROUP BY batch
+), wm AS (
+  SELECT batch,
+         MAX(bmax) OVER (ORDER BY batch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm_max
+  FROM bstats
+)
+SELECT (e.sec // 3600) * 3600 AS window_start,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (ROUND(SUM(e.value), 6) + 0.0) AS sum_value
+FROM ev e JOIN wm USING (batch)
+WHERE wm.wm_max IS NULL OR e.sec >= wm.wm_max - 7200
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "j2_interval_grid": j2_interval_grid,
     "a2_global_signal": a2_global_signal,
     "a9_ols_normal_eq": a9_ols_normal_eq,
     "st_tumbling_window": st_tumbling_window,
     "st_session_window": st_session_window,
+    "st_watermark_late_discard": st_watermark_late_discard,
 }
 
 ORACLE = {
@@ -250,4 +318,5 @@ ORACLE = {
     "a9_ols_normal_eq": A9_SQL,
     "st_tumbling_window": ST_TUMBLING_SQL,
     "st_session_window": ST_SESSION_SQL,
+    "st_watermark_late_discard": ST_WATERMARK_SQL,
 }

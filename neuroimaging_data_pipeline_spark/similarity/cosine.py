@@ -211,8 +211,9 @@ def ivf_topk(
             "_cid",
             F.transform(F.array_sort("_pm"), lambda s: s["m"]).alias("_new"),
         )
+        # left outer: only the non-preserved (right) side can broadcast
         cents = F.broadcast(
-            cents.join(refreshed, "_cid", "left").select(
+            cents.join(F.broadcast(refreshed), "_cid", "left").select(
                 "_cid", F.coalesce("_new", "_cvec").alias("_cvec")
             )
         )

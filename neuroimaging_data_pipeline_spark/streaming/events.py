@@ -49,8 +49,9 @@ def stream_parquet_dir(
         .parquet(path)
     )
     if ns_ts_col and ns_ts_col in df.columns:
+        # integer div, not /: double division loses low bits at ~1.7e18
         df = df.withColumn(
-            ns_ts_col, F.timestamp_micros((F.col(ns_ts_col) / 1000).cast("long"))
+            ns_ts_col, F.timestamp_micros(F.expr(f"`{ns_ts_col}` div 1000"))
         )
     return df
 
