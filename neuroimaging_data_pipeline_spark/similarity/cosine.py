@@ -168,7 +168,7 @@ def ivf_topk(
     ~``nprobe/n_cells`` of brute force and cells partition across
     executors.
     """
-    cents = F.broadcast(
+    seed_df = (
         corpus.orderBy(F.asc(id_col))
         .limit(n_cells)
         .select(
@@ -178,6 +178,21 @@ def ivf_topk(
             ),
         )
     )
+    if lloyd_iters > 0:
+        # Iterative refinement: hold the centroid table (n_cells x dim
+        # doubles — KB-scale at any corpus size) on the driver between
+        # passes, the standard Spark iterative-algorithm shape (cf.
+        # MLlib k-means). One Spark job per iteration; keeping the
+        # lineage lazy instead would nest iteration i's corpus scan
+        # inside every later iteration's plan.
+        cent_map = {r["_cid"]: list(r["_cvec"]) for r in seed_df.collect()}
+        cents = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                sorted(cent_map.items()), "_cid long, _cvec array<double>"
+            )
+        )
+    else:
+        cents = F.broadcast(seed_df)
 
     def nearest_cells(df: DataFrame, vid, vvec, keep: int) -> DataFrame:
         scored = df.join(cents).select(
@@ -187,6 +202,23 @@ def ivf_topk(
                 _norm(F.col(vvec)) * _norm(F.col("_cvec")),
             ).alias("_ccos"),
         )
+        if keep == 1:
+            # argmax as ONE max_by aggregate (partial-aggregable, no
+            # per-key sort) instead of a row_number window — this runs
+            # once per Lloyd iteration over the whole corpus, so it is
+            # the hot path. Tie-break cosine desc then cid asc == max of
+            # (cosine, -cid).
+            rest = [c for c in df.columns if c != vid]
+            payload = F.struct(*[F.col(c) for c in rest], F.col("_cid"))
+            order = F.struct(F.col("_ccos"), (-F.col("_cid")).alias("_nc"))
+            best = scored.groupBy(vid).agg(
+                F.max_by(payload, order).alias("_best")
+            )
+            return best.select(
+                vid,
+                *[F.col(f"_best.{c}").alias(c) for c in rest],
+                F.col("_best._cid").alias("_cid"),
+            )
         w = Window.partitionBy(vid).orderBy(F.desc("_ccos"), F.asc("_cid"))
         return (
             scored.withColumn("_crn", F.row_number().over(w))
@@ -205,16 +237,15 @@ def ivf_topk(
                 (F.round(F.avg(F.col("val").cast("double")), 6) + F.lit(0.0)).alias("m")
             )
         )
-        refreshed = comp.groupBy("_cid").agg(
-            F.collect_list(F.struct("pos", "m")).alias("_pm")
-        ).select(
-            "_cid",
-            F.transform(F.array_sort("_pm"), lambda s: s["m"]).alias("_new"),
-        )
-        # left outer: only the non-preserved (right) side can broadcast
+        new_vecs: dict[int, dict[int, float]] = {}
+        for r in comp.collect():
+            new_vecs.setdefault(r["_cid"], {})[r["pos"]] = r["m"]
+        for cid, comps in new_vecs.items():
+            # empty cells are absent from new_vecs -> keep previous
+            cent_map[cid] = [v for _, v in sorted(comps.items())]
         cents = F.broadcast(
-            cents.join(F.broadcast(refreshed), "_cid", "left").select(
-                "_cid", F.coalesce("_new", "_cvec").alias("_cvec")
+            corpus.sparkSession.createDataFrame(
+                sorted(cent_map.items()), "_cid long, _cvec array<double>"
             )
         )
 
