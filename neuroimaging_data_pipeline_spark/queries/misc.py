@@ -162,6 +162,63 @@ FROM hours h CROSS JOIN spikes s
 """
 
 
+# --- W7b: data-driven spike detection (find_spikes) --------------------------
+
+def w7b_find_spikes(spark, sf_dir):
+    """W7b: nltools find_spikes parity (operators/spikes.py) — the
+    data-driven QA diagnostic the reference imports (ssm_loop.py:20)
+    but never calls, closing the last notebook diagnostic (global
+    signal at ipynb:1451). Per event_type series of hourly global
+    means: flag hours where |z(global)| > 3 or |z(frame diff)| > 3.
+    Non-trivial on the driver data: 45 + 41 flags at sf0.01."""
+    from neuroimaging_data_pipeline_spark.operators.spikes import find_spikes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 3600").alias("hour"),
+        "value",
+    )
+    out = find_spikes(
+        ev, keys=["event_type"], time_col="hour", value_col="value"
+    )
+    return out.select(
+        "event_type",
+        "hour",
+        (F.round("global_mean", 6) + F.lit(0.0)).alias("global_mean"),
+        (F.round("gs_z", 6) + F.lit(0.0)).alias("gs_z"),
+        (F.round("diff_z", 6) + F.lit(0.0)).alias("diff_z"),
+        "spike_global",
+        "spike_diff",
+    )
+
+
+W7B_SQL = """
+WITH gs AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hour,
+         AVG(value) AS gm
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT *, gm - LAG(gm) OVER (PARTITION BY event_type ORDER BY hour) AS df
+  FROM gs
+), z AS (
+  SELECT event_type, hour, gm,
+         (gm - AVG(gm) OVER (PARTITION BY event_type))
+           / STDDEV_SAMP(gm) OVER (PARTITION BY event_type) AS gz,
+         (df - AVG(df) OVER (PARTITION BY event_type))
+           / STDDEV_SAMP(df) OVER (PARTITION BY event_type) AS dz
+  FROM d
+)
+SELECT event_type, hour,
+       (ROUND(gm, 6) + 0.0) AS global_mean,
+       (ROUND(gz, 6) + 0.0) AS gs_z,
+       (ROUND(dz, 6) + 0.0) AS diff_z,
+       CAST(CASE WHEN abs(gz) > 3.0 THEN 1 ELSE 0 END AS INT) AS spike_global,
+       CAST(CASE WHEN abs(dz) > 3.0 THEN 1 ELSE 0 END AS INT) AS spike_diff
+FROM z
+"""
+
+
 # --- S3: catalog entity extraction -------------------------------------------
 
 def s3_catalog_entities(spark, sf_dir):
@@ -525,6 +582,7 @@ QUERIES = {
     "a10_vif": a10_vif,
     "w3_motion_expansion": w3_motion_expansion,
     "w7_spike_regressors": w7_spike_regressors,
+    "w7b_find_spikes": w7b_find_spikes,
     "s3_catalog_entities": s3_catalog_entities,
     "s10_json_update": s10_json_update,
     "f1_math": f1_math,
@@ -539,6 +597,7 @@ ORACLE = {
     "a10_vif": A10_SQL,
     "w3_motion_expansion": W3_SQL,
     "w7_spike_regressors": W7_SQL,
+    "w7b_find_spikes": W7B_SQL,
     "s3_catalog_entities": S3_SQL,
     "s10_json_update": S10_SQL,
     "f1_math": F1_SQL,

@@ -81,3 +81,46 @@ def test_motion_outlier_count_pipeline(spark):
     )
     got = {r["subject"]: r["n_outliers"] for r in counts.collect()}
     assert got == {"sub-001": 2, "sub-002": 1}
+
+
+def test_find_spikes_flags_injected_outlier(spark):
+    """A single injected global-signal jump is flagged by both the
+    global and the diff criterion; clean timepoints are not."""
+    import numpy as np
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.operators.spikes import (
+        find_spikes,
+        spike_regressors,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for t in range(40):
+        base = 100.0 + (50.0 if t == 25 else 0.0)  # spike at t=25
+        for v in range(20):
+            rows.append(("s1", t, float(base + rng.normal(0, 1.0))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subject", "t", "value"])
+    )
+    out = (
+        find_spikes(df, keys=["subject"], global_cutoff=3.0, diff_cutoff=3.0)
+        .toPandas()
+        .set_index("t")
+        .sort_index()
+    )
+    assert out.loc[25, "spike_global"] == 1
+    assert out.loc[25, "spike_diff"] == 1
+    assert out["spike_global"].sum() == 1
+    # t=26 drops back down -> diff flags it too; nothing else flagged
+    assert set(out.index[out["spike_diff"] == 1]) <= {25, 26}
+    regs = spike_regressors(
+        spark.createDataFrame(out.reset_index()).withColumn(
+            "subject", F.lit("s1")
+        ),
+        keys=["subject"],
+    ).toPandas()
+    # one-hot: each spike column is 1 exactly once, at its timepoint
+    for idx, grp in regs.groupby("spike_idx"):
+        assert grp["v"].sum() == 1
+        assert grp.loc[grp["v"] == 1, "t"].iloc[0] in {25, 26}
