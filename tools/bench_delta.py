@@ -21,12 +21,29 @@ ROOT = Path(__file__).resolve().parent.parent
 
 
 def _load(path: Path) -> dict:
-    # bench output is ONE json line, possibly surrounded by log noise
-    for line in path.read_text().splitlines():
+    text = path.read_text()
+    try:  # driver files may be pretty-printed multi-line JSON
+        doc = json.loads(text)
+        if "queries" in doc:
+            return doc
+        # driver wrapper: the bench line is embedded in a "tail" string
+        tail = doc.get("tail", "")
+        i = tail.find('{"metric"')
+        if i >= 0:
+            inner, _ = json.JSONDecoder().raw_decode(tail[i:])
+            return inner
+        return doc
+    except json.JSONDecodeError:
+        pass
+    # bench.py output is ONE json line, possibly surrounded by log noise
+    for line in text.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
-    raise ValueError(f"no JSON line in {path}")
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    raise ValueError(f"no JSON object in {path}")
 
 
 def main() -> int:
