@@ -36,8 +36,15 @@ def find_spikes(
     grouping at scale) — windows never cross series, so the plan stays
     partition-parallel.
     """
+    # Order-independent mean: double summation order differs between
+    # partial-agg trees (and engines), and a 1-ulp difference can land
+    # exactly on a rounding boundary downstream. Exact decimal SUM is
+    # associative-exact, so the mean is bit-stable at any parallelism.
     gs = df.groupBy(*keys, time_col).agg(
-        F.avg(value_col).alias("global_mean")
+        F.try_divide(
+            F.sum(F.col(value_col).cast("decimal(28,10)")).cast("double"),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("global_mean")
     )
     w = Window.partitionBy(*keys)
     wo = Window.partitionBy(*keys).orderBy(time_col)

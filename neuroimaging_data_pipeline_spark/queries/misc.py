@@ -196,7 +196,7 @@ W7B_SQL = """
 WITH gs AS (
   SELECT event_type,
          CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hour,
-         AVG(value) AS gm
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS gm
   FROM events GROUP BY 1, 2
 ), d AS (
   SELECT *, gm - LAG(gm) OVER (PARTITION BY event_type ORDER BY hour) AS df
