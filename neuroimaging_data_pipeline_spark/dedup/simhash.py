@@ -29,24 +29,25 @@ def simhash(
         F.col(id_col), F.explode(F.split(norm, " ")).alias("tok")
     ).filter(F.col("tok") != "")
     h = F.xxhash64("tok")
-    # per-bit contribution: +1 if bit set else -1
+    # Per-bit ±1 sign sum, computed branch-free: with S_b = sum of raw
+    # bit b over tokens and n = token count, the sign sum is 2*S_b - n,
+    # so sign_b > 0  <=>  2*S_b > n. Summing the raw bit is one AND +
+    # shift per (token, bit) — half the expression work of a CASE, and
+    # the groupBy stays map-side combinable (64 longs + count per doc).
     contribs = toks.select(
         id_col,
         *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{b}")
+            F.shiftright(h, b).bitwiseAND(F.lit(1)).alias(f"b{b}")
             for b in range(bits)
         ],
     )
     sums = contribs.groupBy(id_col).agg(
-        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)]
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)],
     )
     fp = None
     for b in range(bits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = (2 * F.col(f"b{b}") > F.col("_n")).cast("long")
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)
     return sums.select(id_col, fp.alias("simhash"))
