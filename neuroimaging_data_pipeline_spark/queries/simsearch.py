@@ -180,11 +180,12 @@ SELECT query_id, vec_id, (ROUND(cos_raw, 6) + 0.0) AS cosine FROM ranked WHERE r
 
 
 def s_lsh_topk(spark, sf_dir):
-    """Approximate top-5 via random-hyperplane LSH buckets (rows-only:
-    hyperplane hashing has no DuckDB twin; recall pinned in pytest)."""
+    """Approximate top-5 via random-hyperplane LSH, 3 independent
+    tables OR-ed for recall (rows-only: hyperplane hashing has no
+    DuckDB twin; recall pinned in pytest)."""
     emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=3)
     return out.select("query_id", "vec_id", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"))
 
 

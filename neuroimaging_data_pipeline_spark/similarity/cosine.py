@@ -106,21 +106,58 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket; exact cosine
-    re-rank within candidates. Recall grows with fewer planes /
-    multiple tables; this is the single-table scale skeleton."""
-    planes = random_hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias(query_id_col),
-            F.col(vec_col).alias("_qvec"),
-        ).withColumn("_bucket", lsh_bucket(F.col("_qvec"), planes))
+    """Approximate top-k: candidates = same LSH bucket in ANY of
+    ``n_tables`` independent hyperplane tables; exact cosine re-rank
+    within candidates. Recall grows with fewer planes per table and
+    with more tables (miss probability decays as
+    (1 - p^n_planes)^n_tables); candidate volume grows ~linearly with
+    tables.
+
+    Scale shape: bucket ids for all tables are computed in ONE map pass
+    (each is a few dot products against literal hyperplanes), the
+    corpus explodes x n_tables into (table, bucket) keys, and the
+    per-table bucket join is a single equi-join on (table, bucket)
+    against the broadcast query side; candidate de-dup before scoring
+    keeps the re-rank exact-once per (query, candidate)."""
+    c = corpus
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    scored = c.join(
-        q, on=[c["_bucket"] == q["_bucket"], F.col(id_col) != F.col(query_id_col)]
-    ).select(
+    tables = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        tables.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    qtables = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        qtables.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(F.col("_qvec"), planes).alias("bucket"),
+            )
+        )
+    cb = c.select(
+        id_col, vec_col, F.explode(F.array(*tables)).alias("_tb")
+    ).select(id_col, vec_col, "_tb.table", "_tb.bucket")
+    qb = F.broadcast(
+        q.select(
+            query_id_col, "_qvec", F.explode(F.array(*qtables)).alias("_tb")
+        ).select(query_id_col, "_qvec", "_tb.table", "_tb.bucket")
+    )
+    cand = (
+        cb.join(qb, on=["table", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
         query_id_col,
         id_col,
         F.try_divide(

@@ -287,3 +287,36 @@ def test_ivf_lloyd_refinement_improves_recall(spark):
         map(tuple, ivf_topk(emb, queries, n_cells=4, nprobe=1, k=5, lloyd_iters=2).collect())
     )
     assert a == b
+
+
+def test_lsh_multi_table_recall_dominates_single(spark, rng):
+    """OR-ing independent hyperplane tables can only add candidates:
+    recall(3 tables) >= recall(1 table), and candidates stay exact-once
+    per (query, id) after dedup."""
+    n, dim = 80, 8
+    centers = rng.normal(0, 1, (4, dim))
+    vecs = np.vstack(
+        [centers[i % 4] + rng.normal(0, 0.15, dim) for i in range(n)]
+    ).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf)
+    queries = emb.filter("vec_id < 4")
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+
+    def recall(tables):
+        approx = lsh_topk(
+            emb, queries, dim=dim, k=5, n_planes=6, n_tables=tables
+        ).toPandas()
+        assert not approx.duplicated(["query_id", "vec_id"]).any()
+        r = 0.0
+        for q in range(4):
+            e = set(exact[exact.query_id == q]["vec_id"])
+            a = set(approx[approx.query_id == q]["vec_id"])
+            r += len(e & a) / len(e)
+        return r / 4
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 >= 0.8
