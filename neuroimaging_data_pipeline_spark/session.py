@@ -36,6 +36,11 @@ _DEFAULTS: dict[str, str] = {
     # explicit that we rely on it.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.parquet.compression.codec": "snappy",
+    # Subset-key co-partitioning: a table bucketed on (bx,by,bz) can
+    # feed a join on (bx,by,bz,nx,ny,nz) without reshuffling — the
+    # halo-exchange stencil path (operators/stencil.py) depends on it.
+    # Spark's default (true) reshuffles BOTH sides on the full key set.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # Read timestamps without UTC-adjustment flag as NTZ so values
     # match DuckDB's naive timestamps bit-for-bit.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",

@@ -156,3 +156,123 @@ def test_separable_smooth_equals_3d(spark, volume, volume_pdf, rng):
     np.testing.assert_allclose(
         gotsep["value"], got3d["value"], rtol=1e-9, atol=1e-12
     )
+
+
+def test_blocked_stencil_matches_global(spark):
+    """Halo-exchange blocked stencil == coordinate-equi-join stencil on
+    every voxel, including block-boundary voxels (the halo), for both
+    radius-1 (19-point) and an asymmetric-coverage volume."""
+    from neuroimaging_data_pipeline_spark.operators.stencil import (
+        mode_filter,
+        neighborhood_join,
+        neighborhood_join_blocked,
+        stencil_offsets,
+    )
+
+    # 20x20x4 volume with gaps -> plenty of block boundaries at block=8
+    rows = [
+        (x + 20 * y + 400 * z, x, y, z, (x * 7 + y * 3 + z) % 5)
+        for x in range(20)
+        for y in range(20)
+        for z in range(4)
+        if (x + y + z) % 7 != 0  # holes: masked-volume behavior
+    ]
+    vol = spark.createDataFrame(
+        rows, "voxel_id long, x long, y long, z long, label long"
+    )
+    offs = stencil_offsets(spark)
+    a = (
+        neighborhood_join(vol, offs, "label")
+        .groupBy("voxel_id")
+        .count()
+        .toPandas()
+        .set_index("voxel_id")["count"]
+        .sort_index()
+    )
+    b = (
+        neighborhood_join_blocked(vol, offs, "label", block=8)
+        .groupBy("voxel_id")
+        .count()
+        .toPandas()
+        .set_index("voxel_id")["count"]
+        .sort_index()
+    )
+    assert a.equals(b)
+    ma = mode_filter(vol, offs).toPandas().set_index("voxel_id").sort_index()
+    mb = (
+        mode_filter(vol, offs, blocked=True)
+        .toPandas()
+        .set_index("voxel_id")
+        .sort_index()
+    )
+    assert ma.equals(mb)
+
+
+def test_blocked_stencil_probe_side_uses_bucketed_layout(spark, tmp_path):
+    """With the volume stored bucketed by home block, the probe side of
+    the blocked stencil (volume x 19 rows — the BIG side) joins straight
+    off its storage clustering: EXACTLY one shuffle remains, and it is
+    the ghost (halo) side's hashpartitioning(bx, by, bz). Broadcast is
+    disabled so the shuffle structure is observable (at test scale AQE
+    would otherwise broadcast everything and prove nothing)."""
+    from neuroimaging_data_pipeline_spark.operators.stencil import (
+        neighborhood_join_blocked,
+        stencil_offsets,
+    )
+    from neuroimaging_data_pipeline_spark.plans.audit import (
+        exchange_count,
+        explain_str,
+    )
+    from neuroimaging_data_pipeline_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    rows = [
+        (x + 16 * y + 256 * z, x, y, z, (x + y + z) % 5)
+        for x in range(16)
+        for y in range(16)
+        for z in range(4)
+    ]
+    vol = spark.createDataFrame(
+        rows, "voxel_id long, x long, y long, z long, label long"
+    )
+    volb = vol.select(
+        "*",
+        F.floor(F.col("x") / 8).cast("long").alias("bx"),
+        F.floor(F.col("y") / 8).cast("long").alias("by"),
+        F.floor(F.col("z") / 8).cast("long").alias("bz"),
+    )
+    write_bucketed(
+        volb, "t_stencil_vol", bucket_cols=["bx", "by", "bz"], n_buckets=8
+    )
+    stored = read_bucketed(spark, "t_stencil_vol")
+    offs = stencil_offsets(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = neighborhood_join_blocked(vol, offs, "label", block=8)
+        bucketed = neighborhood_join_blocked(stored, offs, "label", block=8)
+        n_plain = exchange_count(explain_str(plain))
+        n_bucketed = exchange_count(explain_str(bucketed))
+        bplan = explain_str(bucketed)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert n_bucketed == 1, f"want exactly the halo shuffle:\n{bplan}"
+    assert n_plain == 2, f"unbucketed should shuffle both sides: {n_plain}"
+    assert "Bucketed: true" in bplan
+    # results identical through the stored-block fast path
+    a = (
+        neighborhood_join_blocked(vol, offs, "label", block=8)
+        .groupBy("voxel_id").count().toPandas()
+        .set_index("voxel_id")["count"].sort_index()
+    )
+    b = (
+        neighborhood_join_blocked(stored, offs, "label", block=8)
+        .groupBy("voxel_id").count().toPandas()
+        .set_index("voxel_id")["count"].sort_index()
+    )
+    assert a.equals(b)
