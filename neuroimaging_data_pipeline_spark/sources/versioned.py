@@ -1,0 +1,113 @@
+"""Versioned parquet tables: copy-on-write mutation + time travel.
+
+The reference mutates metadata in place (S10: jq-rewrite of sidecar
+JSON, ``preprocess_parallel.sh:110``; fieldmap IntendedFor updates).
+In-place mutation doesn't exist in a distributed object store, so the
+engine provides the standard lakehouse shape instead (a minimal
+Delta/Iceberg-style layer, self-contained — no external packages):
+
+- every write is a NEW immutable version directory ``v=N`` under the
+  table root, committed by atomically renaming a manifest file;
+- readers resolve the manifest (latest or pinned ``version=`` — time
+  travel) and scan exactly one version's parquet;
+- ``update_where`` / ``delete_where`` are copy-on-write: read latest,
+  apply the mutation as a DataFrame transform, write the next version.
+
+Scale notes: the commit point is a single driver-side manifest rename
+(object-store PUT) — data files stream through executors as a normal
+distributed parquet write; no listing races because readers never
+glob, they read the manifest. Concurrent writers: last manifest wins
+(single-writer discipline assumed, like Delta without a log store).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+_MANIFEST = "_manifest.json"
+
+
+def _read_manifest(root: str) -> dict:
+    p = os.path.join(root, _MANIFEST)
+    if not os.path.exists(p):
+        return {"versions": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_manifest(root: str, doc: dict) -> None:
+    tmp = os.path.join(root, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=2)
+    os.replace(tmp, os.path.join(root, _MANIFEST))  # atomic commit
+
+
+def table_versions(root: str) -> list[int]:
+    return [v["version"] for v in _read_manifest(root)["versions"]]
+
+
+def write_version(df: DataFrame, root: str, operation: str = "write") -> int:
+    """Write ``df`` as the table's next version; returns the version."""
+    os.makedirs(root, exist_ok=True)
+    doc = _read_manifest(root)
+    next_v = max(table_versions(root), default=-1) + 1
+    path = os.path.join(root, f"v={next_v}")
+    df.write.mode("errorifexists").parquet(path)
+    doc["versions"].append(
+        {
+            "version": next_v,
+            "path": f"v={next_v}",
+            "operation": operation,
+            "committed_at": int(time.time()),
+        }
+    )
+    _commit_manifest(root, doc)
+    return next_v
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest version, or a pinned one (time travel)."""
+    doc = _read_manifest(root)
+    if not doc["versions"]:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    versions = {v["version"]: v for v in doc["versions"]}
+    v = max(versions) if version is None else version
+    if v not in versions:
+        raise ValueError(
+            f"version {v} not in table (have {sorted(versions)})"
+        )
+    return spark.read.parquet(os.path.join(root, versions[v]["path"]))
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    condition: Column,
+    set_exprs: dict[str, Column],
+) -> int:
+    """Copy-on-write UPDATE ... SET ... WHERE: rows matching
+    ``condition`` get ``set_exprs`` applied; all rows carry forward."""
+    from pyspark.sql import functions as F
+
+    cur = read_version(spark, root)
+    out = cur.select(
+        *[
+            F.when(condition, set_exprs[c]).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in cur.columns
+        ]
+    )
+    return write_version(out, root, operation="update")
+
+
+def delete_where(spark: SparkSession, root: str, condition: Column) -> int:
+    """Copy-on-write DELETE WHERE."""
+    cur = read_version(spark, root)
+    return write_version(cur.filter(~condition), root, operation="delete")

@@ -1,0 +1,87 @@
+"""Versioned copy-on-write tables: commit, time travel, update, delete."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.sources.versioned import (
+    delete_where,
+    read_version,
+    table_versions,
+    update_where,
+    write_version,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_versioned_write_read_time_travel(spark, root):
+    df0 = spark.range(5).select(
+        F.col("id"), (F.col("id") * 10).alias("val")
+    )
+    assert write_version(df0, root) == 0
+    v1 = update_where(
+        spark, root, F.col("id") >= 3, {"val": F.col("val") + 1}
+    )
+    assert v1 == 1
+    v2 = delete_where(spark, root, F.col("id") == 0)
+    assert v2 == 2
+    assert table_versions(root) == [0, 1, 2]
+
+    latest = {
+        r.id: r.val for r in read_version(spark, root).collect()
+    }
+    assert latest == {1: 10, 2: 20, 3: 31, 4: 41}
+    # time travel: v0 unchanged by later mutations
+    v0 = {r.id: r.val for r in read_version(spark, root, 0).collect()}
+    assert v0 == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40}
+    v1r = {r.id: r.val for r in read_version(spark, root, 1).collect()}
+    assert v1r == {0: 0, 1: 10, 2: 20, 3: 31, 4: 41}
+
+
+def test_versioned_errors(spark, root):
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root)
+    write_version(spark.range(3), root)
+    with pytest.raises(ValueError):
+        read_version(spark, root, 7)
+
+
+def test_versioned_sidecar_update_s10_shape(spark, root):
+    """The reference's S10 mutation (IntendedFor rewrite in sidecar
+    JSON) as a versioned update: json field rewritten for matching
+    rows, old version still readable."""
+    side = spark.createDataFrame(
+        [
+            (1, '{"IntendedFor": "run-1"}'),
+            (2, '{"IntendedFor": "run-1"}'),
+            (3, '{"IntendedFor": "run-2"}'),
+        ],
+        "file_id long, sidecar string",
+    )
+    write_version(side, root)
+    update_where(
+        spark,
+        root,
+        F.get_json_object("sidecar", "$.IntendedFor") == "run-1",
+        {
+            "sidecar": F.to_json(
+                F.struct(F.lit("run-1b").alias("IntendedFor"))
+            )
+        },
+    )
+    out = {
+        r.file_id: r.sidecar
+        for r in read_version(spark, root).collect()
+    }
+    assert out[1] == '{"IntendedFor":"run-1b"}'
+    assert out[3] == '{"IntendedFor": "run-2"}'
+    old = {
+        r.file_id: r.sidecar
+        for r in read_version(spark, root, 0).collect()
+    }
+    assert old[1] == '{"IntendedFor": "run-1"}'
