@@ -75,9 +75,9 @@ def find_spikes(
         "global_mean",
         "gs_z",
         "diff_z",
-        (F.abs(F.col("gs_z")) > global_cutoff)
-        .cast("int")
-        .alias("spike_global"),
+        F.coalesce(
+            (F.abs(F.col("gs_z")) > global_cutoff).cast("int"), F.lit(0)
+        ).alias("spike_global"),
         F.coalesce(
             (F.abs(F.col("diff_z")) > diff_cutoff).cast("int"), F.lit(0)
         ).alias("spike_diff"),

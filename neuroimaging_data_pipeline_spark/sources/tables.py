@@ -56,8 +56,16 @@ def _pyarrow_rewrite(path: str) -> str:
     import pyarrow.parquet as pq
     import pyarrow as pa
 
-    mtime = int(os.stat(path).st_mtime)
-    key = f"{abs(hash((os.path.abspath(path), mtime))):x}"
+    # Stable, collision-resistant cache key: builtin hash() of a str is
+    # randomized per process (PYTHONHASHSEED), which would orphan one
+    # cache file per run; st_mtime_ns + size also beats 1-second mtime
+    # resolution for same-second overwrites.
+    import hashlib
+
+    st = os.stat(path)
+    key = hashlib.sha256(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:32]
     out = os.path.join(
         tempfile.gettempdir(), "ndp_spark_ns_cache", f"{key}.parquet"
     )
@@ -90,7 +98,18 @@ def read_table(
     partition, serializing every downstream expression on one core —
     the driver's documents/embeddings tables are exactly that). The
     repartition is a no-op at real scale where the source is already
-    wide, and a cheap shuffle of the small table when it isn't."""
+    wide, and a cheap shuffle of the small table when it isn't.
+
+    SESSION SIDE EFFECT (deliberate, persistent): this call sets
+    ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's
+    session and does NOT restore them. Every engine query and oracle
+    comparison is defined against UTC timestamp semantics, and results
+    must stay UTC-stable for DataFrames *consumed after* read_table
+    returns — a save/restore would silently re-render those lazily
+    evaluated timestamps in the caller's original zone. Callers that
+    need a different session timezone for unrelated work must set it
+    back themselves."""
     _ensure_read_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     try:

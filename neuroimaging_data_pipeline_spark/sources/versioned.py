@@ -108,6 +108,14 @@ def update_where(
 
 
 def delete_where(spark: SparkSession, root: str, condition: Column) -> int:
-    """Copy-on-write DELETE WHERE."""
+    """Copy-on-write DELETE WHERE.
+
+    NULL-predicate rows are RETAINED, matching SQL DELETE semantics:
+    ``~condition`` alone would evaluate NULL for them and silently drop
+    them from the filter, so the condition is coalesced to FALSE first.
+    """
+    from pyspark.sql import functions as F
+
     cur = read_version(spark, root)
-    return write_version(cur.filter(~condition), root, operation="delete")
+    keep = ~F.coalesce(condition, F.lit(False))
+    return write_version(cur.filter(keep), root, operation="delete")

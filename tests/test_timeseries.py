@@ -124,3 +124,21 @@ def test_find_spikes_flags_injected_outlier(spark):
     for idx, grp in regs.groupby("spike_idx"):
         assert grp["v"].sum() == 1
         assert grp.loc[grp["v"] == 1, "t"].iloc[0] in {25, 26}
+
+
+def test_find_spikes_constant_series_flags_zero(spark):
+    """Constant global signal -> stddev 0 -> z NULL: both spike flags
+    must coalesce to 0 (not NULL), matching the W7B oracle's CASE/ELSE 0
+    convention (ADVICE r2: spike_global lacked the coalesce)."""
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.operators.spikes import find_spikes
+
+    rows = [("s1", t, 5.0) for t in range(10) for _ in range(4)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subject", "t", "value"])
+    )
+    out = find_spikes(df, keys=["subject"]).toPandas()
+    assert (out["spike_global"] == 0).all()
+    assert (out["spike_diff"] == 0).all()
+    assert out["spike_global"].notna().all()

@@ -43,6 +43,18 @@ def test_versioned_write_read_time_travel(spark, root):
     assert v1r == {0: 0, 1: 10, 2: 20, 3: 31, 4: 41}
 
 
+def test_delete_where_retains_null_predicate_rows(spark, root):
+    """SQL DELETE WHERE keeps rows where the predicate is NULL; a bare
+    filter(~cond) would silently delete them (ADVICE r2)."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3)], "id long, x int"
+    )
+    write_version(df, root)
+    delete_where(spark, root, F.col("x") > 5)
+    out = {r.id for r in read_version(spark, root).collect()}
+    assert out == {2, 3}  # id=2 (x NULL) survives, id=1 (x=10) deleted
+
+
 def test_versioned_errors(spark, root):
     with pytest.raises(FileNotFoundError):
         read_version(spark, root)
