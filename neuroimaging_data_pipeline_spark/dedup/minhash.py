@@ -7,9 +7,14 @@ Spark-first design for 100 TB:
   candidates only, never all-pairs;
 - Jaccard verification joins shingle sets only for candidate pairs.
 
-Portable hashing: we use ``xxhash64`` (seeded) for the minhash
-permutation family — deterministic, JVM-side, 64-bit. (md5-substring
-is the DuckDB-parity variant used in the oracle queries.)
+Portable hashing (oracle parity): the permutation family is
+``md5(f"{i}:" + shingle)`` compared AS A HEX STRING — the
+lexicographic min of a fixed-width lowercase-hex string is exactly
+the numeric min of the 128-bit hash, and DuckDB's ``md5()`` produces
+byte-identical hex, so the whole signature (and the band keys, which
+are md5 of the concatenated band slice) is recomputable in the oracle
+SQL. JVM-side throughput is fine: md5 of short strings is
+codegen'd, and the min-agg is map-side combinable either way.
 """
 
 from __future__ import annotations
@@ -43,10 +48,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, sig: array<long>) — sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). One groupBy; map-side partial min."""
+    """(id, sig: array<string>) — sig[i] = min over shingles of
+    md5(f"{i}:" + shingle), compared as hex strings (== numeric min of
+    the 128-bit hash). One groupBy; map-side partial min."""
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     wide = sh.groupBy(id_col).agg(*aggs)
@@ -82,11 +88,17 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
+                        # md5 of the '|'-joined band slice: a compact
+                        # 32-char join key DuckDB reproduces exactly
+                        # (vs F.hash/murmur, which has no SQL twin)
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("band_hash"),
                     )
                     for b in range(bands)

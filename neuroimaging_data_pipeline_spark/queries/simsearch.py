@@ -189,22 +189,195 @@ def s_lsh_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"))
 
 
+#: LSH band-bucket flood cap for d_minhash_lsh — above any bucket at
+#: test SFs, mirrored in the oracle SQL.
+MINHASH_BUCKET_CAP = 1000
+
+
 def d_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs on documents (rows-only: xxhash64
-    permutations; Jaccard agreement pinned in pytest). The bucket-flood
-    guard (max_bucket_size) bounds candidate fan-out at corpus scale;
-    far above any bucket at test SFs, so results are unchanged here."""
+    """MinHash+LSH near-dup pairs on documents.
+
+    Oracle-checked since r3: the permutation family is
+    ``min(md5(f"{i}:" + shingle))`` compared as hex strings and the
+    band keys are ``md5('|'.join(band slice))`` (dedup/minhash.py), so
+    DuckDB recomputes the identical signatures, buckets, candidate
+    pairs, and exact-Jaccard verification. The bucket-flood guard
+    (max_bucket_size) bounds candidate fan-out at corpus scale; far
+    above any bucket at test SFs, so results are unchanged here."""
     docs = read_table(spark, sf_dir, "documents", min_partitions=16)
-    return minhash_dedup_pairs(docs, threshold=0.2, max_bucket_size=1000).select(
+    return minhash_dedup_pairs(
+        docs, threshold=0.2, max_bucket_size=MINHASH_BUCKET_CAP
+    ).select(
         "id_a", "id_b", (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard")
     )
 
 
+def _minhash_sql(
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    cap: int = MINHASH_BUCKET_CAP,
+) -> str:
+    """DuckDB twin of d_minhash_lsh, generated to mirror
+    dedup/minhash.py exactly: same shingling (k-word, distinct,
+    non-empty), same md5 hex-string permutation mins, same md5 band
+    keys, same flood guard, same exact-Jaccard verification."""
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_keys = ",\n                 ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + "))"
+        for b in range(bands)
+    )
+    band_ids = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i + 1, i + {k}), ' ') AS shingle
+  FROM base, UNNEST(range(0, greatest(len(toks) - {k}, 0) + 1)) AS t(i)
+  WHERE array_to_string(list_slice(toks, i + 1, i + {k}), ' ') <> ''
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+), exploded AS (
+  SELECT doc_id,
+         UNNEST([{band_ids}]) AS band,
+         UNNEST([{band_keys}]) AS band_key
+  FROM sigs
+), kept AS (
+  SELECT e.* FROM exploded e
+  JOIN (SELECT band, band_key FROM exploded
+        GROUP BY band, band_key HAVING COUNT(*) <= {cap}) g
+    USING (band, band_key)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT i.id_a, i.id_b,
+       (ROUND(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) + 0.0) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= {threshold}
+"""
+
+
+D_MINHASH_SQL = _minhash_sql()
+
+
+#: Chunk-bucket flood cap for d_simhash — above the largest observed
+#: bucket at test SFs (291 at sf0.1), so no recall loss there; mirrored
+#: in the oracle SQL so the semantics stay checkable even if a bucket
+#: ever floods.
+SIMHASH_BUCKET_CAP = 1000
+
+
 def d_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (rows-only: xxhash64 bit hashing)."""
+    """SimHash near-dup pairs (id_a, id_b, hamming), hamming <= 3.
+
+    Oracle-checked since r3: token bits come from md5 hex (see
+    dedup/simhash.py) so DuckDB recomputes the identical fingerprints;
+    the chunk-bucket flood guard is mirrored in the SQL. max_hamming=3
+    is the classic 64-bit SimHash setting (Manku et al., WWW'07) and
+    exactly what the 4x16-bit chunk bucketing makes COMPLETE by
+    pigeonhole — every qualifying pair shares at least one chunk — so
+    the operator is exact within its declared semantics, not a recall
+    heuristic."""
     docs = read_table(spark, sf_dir, "documents", min_partitions=16)
     fps = simhash(docs)
-    return simhash_candidate_pairs(fps, max_hamming=16)
+    return simhash_candidate_pairs(
+        fps, max_hamming=3, max_bucket_size=SIMHASH_BUCKET_CAP
+    )
+
+
+def _simhash_sql(max_hamming: int = 3, cap: int = SIMHASH_BUCKET_CAP) -> str:
+    """DuckDB twin of d_simhash, generated to mirror dedup/simhash.py
+    bit-for-bit: nibble j = hex char j+1 of md5(token); token-hash bit
+    b = (nib[15 - b//4] >> (b%4)) & 1 (b = 0 is the LSB of the LAST
+    hex char, matching Spark's big-endian conv); fingerprint bit b set
+    iff 2*S_b > n; chunk c = fingerprint bits [16c, 16c+15]."""
+    nib = lambda j: (
+        f"(CASE WHEN ascii(substring(m, {j + 1}, 1)) >= 97"
+        f" THEN ascii(substring(m, {j + 1}, 1)) - 87"
+        f" ELSE ascii(substring(m, {j + 1}, 1)) - 48 END)"
+    )
+    bitsums = ",\n         ".join(
+        f"SUM(({nib(15 - b // 4)} >> {b % 4}) & 1) AS s{b}" for b in range(64)
+    )
+    fbits = ",\n         ".join(
+        f"(CASE WHEN 2 * s{b} > n THEN 1 ELSE 0 END) AS f{b}"
+        for b in range(64)
+    )
+    chunk_cols = ",\n         ".join(
+        "("
+        + " + ".join(f"(f{16 * c + s} << {s})" for s in range(16))
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(ca.c{c}, cb.c{c}))" for c in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents,
+       UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t(tok)
+  WHERE tok <> ''
+), hexs AS (
+  SELECT doc_id, md5(tok) AS m FROM toks
+), sums AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {bitsums}
+  FROM hexs GROUP BY doc_id
+), fps AS (
+  SELECT doc_id,
+         {fbits}
+  FROM sums
+), chunks AS (
+  SELECT doc_id,
+         {chunk_cols}
+  FROM fps
+), exploded AS (
+  SELECT doc_id, UNNEST([0, 1, 2, 3]) AS chunk,
+         UNNEST([c0, c1, c2, c3]) AS chunk_val
+  FROM chunks
+), kept AS (
+  SELECT e.* FROM exploded e
+  JOIN (SELECT chunk, chunk_val FROM exploded
+        GROUP BY chunk, chunk_val HAVING COUNT(*) <= {cap}) g
+    USING (chunk, chunk_val)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b, CAST({ham} AS INT) AS hamming
+FROM pairs p
+JOIN chunks ca ON ca.doc_id = p.id_a
+JOIN chunks cb ON cb.doc_id = p.id_b
+WHERE {ham} <= {max_hamming}
+"""
+
+
+D_SIMHASH_SQL = _simhash_sql()
 
 
 QUERIES = {
@@ -220,4 +393,6 @@ ORACLE = {
     "s_cosine_topk": S_COSINE_SQL,
     "s_ivf_topk": S_IVF_SQL,
     "d_embedding_neardup": D_EMB_NEARDUP_SQL,
+    "d_simhash": D_SIMHASH_SQL,
+    "d_minhash_lsh": D_MINHASH_SQL,
 }

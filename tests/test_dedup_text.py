@@ -100,6 +100,24 @@ def test_simhash_neardups(spark, docs):
     assert h01 < h03
 
 
+def test_simhash_bucket_flood_guard(spark):
+    """max_bucket_size drops flooded 16-bit chunk buckets, bounding the
+    self-join fan-out (mirror of the minhash guard): 20 identical docs
+    collapse to one chunk value per chunk -> C(20,2) pairs unguarded,
+    bounded/zero when the cap excludes the flooded buckets."""
+    texts = [(i, "identical boilerplate document body here") for i in range(20)]
+    texts += [(100, "some genuinely unique text one"), (101, "another unique text two")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    fps = simhash(docs)
+    flood = simhash_candidate_pairs(fps, max_hamming=16).count()
+    guarded = simhash_candidate_pairs(
+        fps, max_hamming=16, max_bucket_size=10
+    ).count()
+    assert flood >= 190  # 20 identical docs -> C(20,2) pairs
+    assert guarded < flood
+    assert guarded < 20
+
+
 def test_cosine_topk_matches_numpy(spark, rng):
     n, dim = 40, 8
     vecs = rng.normal(0, 1, (n, dim)).astype(np.float32)
