@@ -1,11 +1,11 @@
 """Similarity search + hash-based near-dup query surface over
 ``embeddings``/``documents``.
 
-``s_cosine_topk`` and ``d_embedding_neardup`` are exact and
-oracle-checked. The LSH / MinHash / SimHash paths use Spark's
-xxhash64/hash (no DuckDB equivalent) and are registered WITHOUT
-oracles -> the driver records rows-only checks; their semantics are
-pinned by pytest against exact recomputation instead.
+All queries here are oracle-checked (since r3): the hash families are
+md5-based (DuckDB recomputes them byte-identically) and the LSH
+hyperplanes / IVF Lloyd passes are deterministic literals unrolled
+into the oracle SQL. Recall/cost trade-offs of the approximate paths
+are additionally pinned by pytest against exact ground truth.
 """
 
 from __future__ import annotations
@@ -179,14 +179,101 @@ SELECT query_id, vec_id, (ROUND(cos_raw, 6) + 0.0) AS cosine FROM ranked WHERE r
 """
 
 
+#: LSH config for s_lsh_topk, chosen from a measured recall/cost grid
+#: on the sf0.1 embeddings (r3): the corpus is isotropic (no cluster
+#: structure), the worst case for hyperplane LSH, so recall is bought
+#: with bucket collision probability. planes=3/tables=4 gives
+#: recall@5=0.80 at ~0.49s — vs 0.28 at ~0.46s for the previous
+#: 6-plane/3-table config: strictly better recall at equal cost.
+#: (Full grid: 3p/1t .44, 3p/2t .56, 3p/3t .68, 3p/4t .80; 4p/4t .56;
+#: 5p/4t .40 — pinned in tests/test_dedup_text.py.) At corpus scale,
+#: planes must GROW with n (buckets ~ n/2^planes) — this config is
+#: sized for the test corpus, not a universal constant.
+LSH_N_PLANES = 3
+LSH_N_TABLES = 4
+
+
 def s_lsh_topk(spark, sf_dir):
-    """Approximate top-5 via random-hyperplane LSH, 3 independent
-    tables OR-ed for recall (rows-only: hyperplane hashing has no
-    DuckDB twin; recall pinned in pytest)."""
+    """Approximate top-5 via random-hyperplane LSH, independent tables
+    OR-ed for recall.
+
+    Oracle-checked since r3: the seed-42 hyperplanes are Python-side
+    deterministic literals (similarity/cosine.py:random_hyperplanes),
+    inlined verbatim into the oracle SQL — both engines compute the
+    same sign-bit buckets, the same candidate set, and the same exact
+    cosine re-rank."""
     emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=3)
+    out = lsh_topk(
+        emb, queries, dim=64, k=5,
+        n_planes=LSH_N_PLANES, n_tables=LSH_N_TABLES,
+    )
     return out.select("query_id", "vec_id", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"))
+
+
+def _lsh_topk_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = LSH_N_PLANES,
+    n_tables: int = LSH_N_TABLES,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of s_lsh_topk: the same seed-42 hyperplanes that
+    lsh_topk bakes into the Spark plan as F.lit literals are inlined
+    here as SQL list literals (same floats via repr round-trip), so
+    bucket ids, candidates, and the re-rank match exactly."""
+    from neuroimaging_data_pipeline_spark.similarity.cosine import (
+        random_hyperplanes,
+    )
+
+    def dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(v) for v in plane)
+        return (
+            "list_sum(list_transform(list_zip(embedding, ["
+            + lits
+            + "]), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        bits = " + ".join(
+            f"((CASE WHEN {dot(p)} >= 0 THEN 1 ELSE 0 END) << {i})"
+            for i, p in enumerate(planes)
+        )
+        bucket_exprs.append(f"({bits}) AS b{t}")
+    buckets = ",\n         ".join(bucket_exprs)
+    tbl_ids = ", ".join(str(t) for t in range(n_tables))
+    tbl_cols = ", ".join(f"b{t}" for t in range(n_tables))
+    return f"""
+WITH buck AS (
+  SELECT vec_id, embedding,
+         {buckets}
+  FROM embeddings
+), exploded AS (
+  SELECT vec_id, UNNEST([{tbl_ids}]) AS tbl, UNNEST([{tbl_cols}]) AS bucket
+  FROM buck
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+  FROM exploded c JOIN exploded q
+    ON c.tbl = q.tbl AND c.bucket = q.bucket
+   AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         {_DOT} / ({_NORM_A} * {_NORM_Q}) AS cos_raw
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.vec_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, (ROUND(cos_raw, 6) + 0.0) AS cosine FROM ranked WHERE rn <= {k}
+"""
+
+
+S_LSH_SQL = _lsh_topk_sql()
 
 
 #: LSH band-bucket flood cap for d_minhash_lsh — above any bucket at
@@ -395,4 +482,5 @@ ORACLE = {
     "d_embedding_neardup": D_EMB_NEARDUP_SQL,
     "d_simhash": D_SIMHASH_SQL,
     "d_minhash_lsh": D_MINHASH_SQL,
+    "s_lsh_topk": S_LSH_SQL,
 }

@@ -307,6 +307,36 @@ def test_ivf_lloyd_refinement_improves_recall(spark):
     assert a == b
 
 
+def test_lsh_config_recall_on_real_embeddings(spark):
+    """Pin the measured recall@5 of the shipped s_lsh_topk config
+    (LSH_N_PLANES/LSH_N_TABLES) on the real sf0.01 embeddings table
+    against exact ground truth. The corpus is isotropic — hyperplane
+    LSH's worst case — so this is the honest floor the config was
+    chosen against (r3 grid: 3p/4t = 0.80 recall at sf0.1, vs 0.28
+    for the previous 6p/3t at equal cost)."""
+    from neuroimaging_data_pipeline_spark.queries.simsearch import (
+        LSH_N_PLANES,
+        LSH_N_TABLES,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    truth: dict = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got: dict = {}
+    for r in lsh_topk(
+        emb, queries, dim=64, k=5,
+        n_planes=LSH_N_PLANES, n_tables=LSH_N_TABLES,
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = sum(
+        len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ) / len(truth)
+    assert recall >= 0.5
+
+
 def test_lsh_multi_table_recall_dominates_single(spark, rng):
     """OR-ing independent hyperplane tables can only add candidates:
     recall(3 tables) >= recall(1 table), and candidates stay exact-once
