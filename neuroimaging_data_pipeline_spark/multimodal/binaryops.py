@@ -8,12 +8,15 @@ frame-sample run as Arrow-batched ``mapInPandas`` — one Python worker
 per partition, batches sized by spark.sql.execution.arrow.
 maxRecordsPerBatch, no per-row overhead.
 
-The actual codec step is STUBBED (image/audio libraries are not in
-this container): ``decoder='fake'`` is a deterministic stand-in that
-derives "pixels" from the payload hash, so the Spark-side plumbing —
-schema, batch shape, partition behavior — is real and tested;
-``decoder='pil'``/'ffmpeg' raise NotImplementedError until the
-libraries are provisioned.
+Codec status: AUDIO IS REAL — WAV (RIFF/PCM16) encode + decode via
+the stdlib ``wave`` module (``encode_wav_pcm16`` / ``decode_wav`` /
+``wav_features``), end-to-end through real binary parquet-shaped
+columns and Arrow batches. Image/video remain stubbed
+(``decoder='fake'`` is a deterministic stand-in deriving "pixels"
+from the payload hash; ``decoder='pil'``/'ffmpeg' raise
+NotImplementedError until the libraries are provisioned) — the
+Spark-side plumbing (schema, batch shape, partition behavior) is
+identical and tested either way.
 """
 
 from __future__ import annotations
@@ -79,6 +82,98 @@ def decode_features(
             )
 
     return media.mapInPandas(decode_batches, out_schema)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Real WAV (RIFF) container: mono PCM16 little-endian via the
+    stdlib ``wave`` module — no external media libraries needed."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Real WAV decode (stdlib ``wave``): (sample_rate, int16 samples)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    return sr, np.frombuffer(raw, dtype="<i2")
+
+
+def synthesize_wav_clips(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic audio fixture: one real WAV clip per document,
+    32 PCM16 samples derived from the nibbles of md5(text)
+    (sample j = nibble_j * 4096 - 32768). The derivation is pure SQL
+    math, so an oracle can recompute the decoded features without any
+    codec — while the clip itself is a genuine RIFF container the real
+    decoder must parse. (media_id, content binary)."""
+    import hashlib as _hl
+
+    out_schema = "media_id long, content binary"
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                hexd = _hl.md5((text or "").encode("utf-8")).hexdigest()
+                samples = np.array(
+                    [int(c, 16) * 4096 - 32768 for c in hexd], dtype=np.int16
+                )
+                payloads.append(encode_wav_pcm16(samples, sample_rate))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "content": payloads}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(encode_batches, out_schema)
+
+
+def wav_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode WAV binary columns with the REAL stdlib codec and emit
+    per-clip audio features: (media_id, sample_rate, n_samples, rms).
+    Same Arrow-batched mapInPandas boundary as decode_features — narrow
+    over the scan, nothing shuffles."""
+    out_schema = (
+        f"{id_col} long, sample_rate int, n_samples int, rms double"
+    )
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, ns, rms = [], [], []
+            for payload in pdf[content_col]:
+                sr, samples = decode_wav(bytes(payload))
+                srs.append(sr)
+                ns.append(len(samples))
+                x = samples.astype(np.float64)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": srs,
+                    "n_samples": ns,
+                    "rms": rms,
+                }
+            )
+
+    return media.mapInPandas(feat_batches, out_schema)
 
 
 def resize_plan(

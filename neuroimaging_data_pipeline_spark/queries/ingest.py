@@ -240,11 +240,58 @@ SELECT subject,
 FROM files GROUP BY subject
 """
 
+def sv_time_travel(spark, sf_dir):
+    """S10+: versioned-table TIME TRAVEL (sources/versioned.py).
+
+    Builds a 3-version copy-on-write table from ``documents``:
+    v0 = (doc_id, lang, n_chars); v1 = delete_where(n_chars < 300);
+    v2 = update_where(lang -> 'xx' for every row). The query reads
+    PINNED ``version=1`` — proving the time-travel read sees the v1
+    delete but NOT the later v2 update (a latest-read would return
+    all-'xx' langs and hash-mismatch). Oracle recomputes v1's state in
+    pure SQL from the source table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from neuroimaging_data_pipeline_spark.sources.versioned import (
+        delete_where,
+        read_version,
+        update_where,
+        write_version,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ndp_spark_warehouse",
+        f"sv_tt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_version(docs, root, operation="create")                     # v0
+    delete_where(spark, root, F.col("n_chars") < 300)                 # v1
+    update_where(spark, root, F.lit(True), {"lang": F.lit("xx")})     # v2
+    return read_version(spark, root, version=1)
+
+
+SV_TT_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE NOT (n_chars < 300)
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s2_dir_listing": s2_dir_listing,
     "s4_sidecar_lookup": s4_sidecar_lookup,
     "e3_motion_outlier_hist": e3_motion_outlier_hist,
+    "sv_time_travel": sv_time_travel,
 }
 
 ORACLE = {
@@ -252,4 +299,5 @@ ORACLE = {
     "s2_dir_listing": S2_SQL,
     "s4_sidecar_lookup": S4_SQL,
     "e3_motion_outlier_hist": E3_SQL,
+    "sv_time_travel": SV_TT_SQL,
 }

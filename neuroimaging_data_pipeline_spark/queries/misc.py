@@ -463,6 +463,48 @@ FROM documents
 """
 
 
+def m2_wav_rms(spark, sf_dir):
+    """M2: REAL audio codec end-to-end (multimodal/binaryops.py).
+
+    Per document, a genuine RIFF/PCM16 WAV clip is synthesized (32
+    samples = md5(text) nibbles affine-mapped to int16, stdlib ``wave``
+    encoder), carried as an opaque binary column, then decoded back by
+    the real stdlib decoder inside an Arrow-batched mapInPandas, which
+    emits per-clip features. The oracle recomputes the features from
+    the same deterministic sample definition in pure SQL — so a codec
+    bug (header, endianness, width) breaks the hash match."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        synthesize_wav_clips,
+        wav_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_wav_clips(d, id_col="doc_id", text_col="text")
+    feats = wav_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        (F.round("rms", 6) + F.lit(0.0)).alias("rms"),
+    )
+
+
+M2_SQL = """
+WITH nibs AS (
+  SELECT doc_id,
+         (CASE WHEN ascii(substring(md5(text), i, 1)) >= 97
+               THEN ascii(substring(md5(text), i, 1)) - 87
+               ELSE ascii(substring(md5(text), i, 1)) - 48 END) AS nib
+  FROM documents, UNNEST(range(1, 33)) AS t(i)
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(32 AS INT) AS n_samples,
+       (ROUND(sqrt(AVG(POW(nib * 4096.0 - 32768.0, 2))), 6) + 0.0) AS rms
+FROM nibs GROUP BY doc_id
+"""
+
+
 def c_contrast_estimate(spark, sf_dir):
     """Contrast c'beta per voxel (operators/ols.py:contrast) on the
     a9 mass-OLS series, c = (0, +1, -1) over [intercept, u, u2] — the
@@ -589,6 +631,7 @@ QUERIES = {
     "f4_conditional": f4_conditional,
     "a9_mass_ols": a9_mass_ols,
     "m1_binary_digest": m1_binary_digest,
+    "m2_wav_rms": m2_wav_rms,
 }
 
 ORACLE = {
@@ -604,4 +647,5 @@ ORACLE = {
     "f4_conditional": F4_SQL,
     "a9_mass_ols": A9_FULL_SQL,
     "m1_binary_digest": M1_SQL,
+    "m2_wav_rms": M2_SQL,
 }

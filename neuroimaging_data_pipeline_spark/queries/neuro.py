@@ -303,6 +303,50 @@ GROUP BY 1, 2
 """
 
 
+def sd_stream_dedup(spark, sf_dir):
+    """§2.9: batch-checkable twin of streaming/dedup.py
+    ``dedup_stream_exact`` — first arrival per content digest
+    (md5 of event_type|props). 'First' = min (event-second, event_id):
+    event_id is the total-order tie-break, and whole seconds avoid the
+    ns-vs-us truncation asymmetry between the engines. One groupBy on
+    the digest, min-of-struct (no window) — map-side combinable, the
+    same keyed-state shape the streaming op keeps per digest."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.md5(F.concat_ws("|", "event_type", "props")).alias("digest"),
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    agg = d.groupBy("digest").agg(
+        F.min(F.struct("sec", "event_id")).alias("_first"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return agg.select(
+        "digest",
+        F.col("_first.event_id").alias("keep_id"),
+        F.col("_first.sec").alias("first_sec"),
+        "n_dups",
+    )
+
+
+SD_DEDUP_SQL = """
+WITH d AS (
+  SELECT md5(concat(event_type, '|', props)) AS digest,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+         event_id
+  FROM events
+), r AS (
+  SELECT digest, sec, event_id,
+         ROW_NUMBER() OVER (PARTITION BY digest ORDER BY sec, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY digest) AS n
+  FROM d
+)
+SELECT digest, event_id AS keep_id, sec AS first_sec,
+       CAST(n AS BIGINT) AS n_dups
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "j2_interval_grid": j2_interval_grid,
     "a2_global_signal": a2_global_signal,
@@ -310,6 +354,7 @@ QUERIES = {
     "st_tumbling_window": st_tumbling_window,
     "st_session_window": st_session_window,
     "st_watermark_late_discard": st_watermark_late_discard,
+    "sd_stream_dedup": sd_stream_dedup,
 }
 
 ORACLE = {
@@ -319,4 +364,5 @@ ORACLE = {
     "st_tumbling_window": ST_TUMBLING_SQL,
     "st_session_window": ST_SESSION_SQL,
     "st_watermark_late_discard": ST_WATERMARK_SQL,
+    "sd_stream_dedup": SD_DEDUP_SQL,
 }

@@ -124,6 +124,51 @@ def test_decode_features_deterministic(spark, media):
     assert all(len(v) == 16 for v in f1["features"])
 
 
+def test_wav_codec_roundtrip_local():
+    """The REAL stdlib WAV codec: arbitrary int16 samples survive an
+    encode->decode round trip bit-exactly, including the header fields."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1234, -4321], dtype=np.int16)
+    payload = encode_wav_pcm16(samples, sample_rate=16000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    sr, decoded = decode_wav(payload)
+    assert sr == 16000
+    np.testing.assert_array_equal(decoded, samples)
+
+
+def test_wav_features_spark_roundtrip(spark):
+    """synthesize_wav_clips -> wav_features through Spark: the decoded
+    RMS matches a local recomputation from the same md5-nibble sample
+    definition, for every row and across repartitioning."""
+    import hashlib
+
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        synthesize_wav_clips,
+        wav_features,
+    )
+
+    rows = [(i, f"document number {i} body text") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        wav_features(synthesize_wav_clips(docs.repartition(3)))
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert len(out) == 10
+    for i, text in rows:
+        hexd = hashlib.md5(text.encode()).hexdigest()
+        s = np.array([int(c, 16) * 4096 - 32768 for c in hexd], dtype=np.float64)
+        assert out.loc[i, "sample_rate"] == 8000
+        assert out.loc[i, "n_samples"] == 32
+        np.testing.assert_allclose(
+            out.loc[i, "rms"], float(np.sqrt(np.mean(s * s))), rtol=1e-12
+        )
+
+
 def test_decode_unavailable_decoder_raises(spark, media):
     with pytest.raises(NotImplementedError):
         decode_features(media, decoder="pil")
