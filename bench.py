@@ -43,11 +43,18 @@ def main() -> None:
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)
 
-    # warm the JVM/codegen + Python-UDF worker paths once
-    for wname in ("a1_pricing_summary", "a9_mass_ols"):
-        entrymod.queries()[wname](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    # Full untimed warm-up pass: every query runs once BEFORE any
+    # timing, so one-off costs (JVM JIT, codegen, scan caches, Python
+    # worker spawn, fixture writes, cache materialization) land here
+    # and the timed numbers are steady-state regardless of
+    # registration order. Round-2 lesson: warming only two queries
+    # left 2-3x cold-start noise on whichever queries ran first,
+    # swamping per-query regression tracking.
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass  # the timed loop below reports the error
 
     for name, fn in entrymod.queries().items():
         try:

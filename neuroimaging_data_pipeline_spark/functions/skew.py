@@ -19,6 +19,17 @@ cover the two other hot paths:
 
 Both are algebraic rewrites — results are exactly equal to the
 unsalted forms (pinned in tests/test_skew.py).
+
+Engine consumers: ``queries.relational.a4_count_distinct`` runs
+through ``salted_count_distinct`` (oracle-checked — the rewrite is
+exact). The one SortMergeJoin in the engine (d_ngram_jaccard's
+fact-fact shingle pair join) is deliberately NOT salted: its df-cap
+already bounds every join key at <= cap (64) rows per side — no hot
+key survives to salt — and 2-D salting a self-join would replicate
+both sides n_salt x for zero residual skew. ``replicated_broadcast_
+join`` remains the prescribed shape for a skewed fact-dim join whose
+dim is too large for a plain broadcast-everywhere; every current
+engine dim is small enough that plain ``F.broadcast`` wins.
 """
 
 from __future__ import annotations

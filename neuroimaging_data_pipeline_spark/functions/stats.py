@@ -14,6 +14,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dec_sum(col) -> F.Column:
+    """Order-independent SUM of a double column: exact decimal
+    accumulation (each addend rounded once to 10 decimals, then summed
+    associatively), cast back to double. Partial-agg tree shape,
+    partitioning, and engine can no longer move a rounded output across
+    a rounding boundary (the w7b lesson). DuckDB twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)``."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.sum(c.cast("decimal(28,10)")).cast("double")
+
+
+def dec_avg(col) -> F.Column:
+    """Order-independent AVG built on ``dec_sum``; NULL on empty input
+    like AVG. DuckDB twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(x)``."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.try_divide(dec_sum(c), F.count(c).cast("double"))
+
+
 def corr_matrix(df: DataFrame, cols: list[str]) -> "np.ndarray":
     """Pairwise Pearson correlation of the named columns.
 

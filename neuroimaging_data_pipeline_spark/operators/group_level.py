@@ -46,10 +46,33 @@ def group_ttest(
     per_unit = stats.groupBy(*keys, unit_col).agg(
         F.avg(beta_col).alias(beta_col)
     )
+    # Explicit decimal moments instead of avg/stddev_samp: the sums are
+    # associative-exact, so the (rounded) cohort mean and t cannot move
+    # with the partial-agg tree, and both engines evaluate the SAME
+    # closed form (no implementation-defined Welford merge). The
+    # cancellation form is safe here: betas are O(1)-O(100) effect
+    # estimates, not large-offset raw data.
+    from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
+
     agg = per_unit.groupBy(*keys).agg(
         F.count(unit_col).alias("n"),
-        F.avg(beta_col).alias("mean_beta"),
-        F.stddev_samp(beta_col).alias("sd_beta"),
+        dec_sum(F.col(beta_col)).alias("_s1"),
+        dec_sum(F.col(beta_col) * F.col(beta_col)).alias("_s2"),
+    )
+    nd = F.col("n").cast("double")
+    agg = agg.select(
+        *keys,
+        "n",
+        (F.col("_s1") / nd).alias("mean_beta"),
+        F.sqrt(
+            F.greatest(
+                F.try_divide(
+                    F.col("_s2") - F.col("_s1") * F.col("_s1") / nd,
+                    nd - 1.0,
+                ),
+                F.lit(0.0),
+            )
+        ).alias("sd_beta"),
     )
     out = agg.select(
         *keys,

@@ -13,7 +13,19 @@ Determinism discipline (applies to every pair):
   total key; ``mode``-style aggs use count + row_number with explicit
   tie-breaks;
 - integer aggregates cast to BIGINT on the DuckDB side (DuckDB sums
-  integers into HUGEINT, Spark into LONG).
+  integers into HUGEINT, Spark into LONG);
+- INVARIANT (r3, the w7b lesson generalized): no bare ``ROUND(SUM(``
+  / ``ROUND(AVG(`` over a double column in oracle SQL — every rounded
+  sum/mean of doubles uses the exact decimal-sum pattern on BOTH
+  sides (``functions.stats.dec_sum``/``dec_avg`` in Spark,
+  ``CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)`` in DuckDB), so
+  summation order can never move a rounded output across a boundary.
+  Two justified exceptions, where the engines deliberately compute by
+  DIFFERENT formulas and the round-6 absorbs the difference (decimal
+  sums cannot create parity there): the IVF Lloyd centroid mean
+  (numpy mean in applyInPandas vs SQL AVG — divergence absorbed by
+  rounding centroids to 6 per component between passes), and the w8
+  Gaussian smooth (separable 3-pass vs the oracle's direct cube).
 """
 
 from __future__ import annotations

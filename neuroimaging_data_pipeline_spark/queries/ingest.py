@@ -25,6 +25,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from neuroimaging_data_pipeline_spark.functions.stats import dec_avg, dec_sum
+
 _MOTION_COLS = ["motion_outlier00", "motion_outlier01", "motion_outlier02"]
 _SUBJECTS = ["sub-001", "sub-002", "sub-003"]
 _N_T = 8
@@ -71,8 +73,8 @@ def s1_tsv_scan(spark, sf_dir):
     return df.groupBy("subject").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("csf").alias("n_csf_nonnull"),
-        (F.round(F.avg("csf"), 6) + F.lit(0.0)).alias("avg_csf"),
-        (F.round(F.sum("trans_x"), 6) + F.lit(0.0)).alias("sum_trans_x"),
+        (F.round(dec_avg("csf"), 6) + F.lit(0.0)).alias("avg_csf"),
+        (F.round(dec_sum("trans_x"), 6) + F.lit(0.0)).alias("sum_trans_x"),
     )
 
 
@@ -80,8 +82,8 @@ S1_SQL = f"""
 SELECT subject,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(csf) AS BIGINT) AS n_csf_nonnull,
-       (ROUND(AVG(csf), 6) + 0.0) AS avg_csf,
-       (ROUND(SUM(trans_x), 6) + 0.0) AS sum_trans_x
+       (ROUND(CAST(SUM(CAST(csf AS DECIMAL(28,10))) AS DOUBLE) / COUNT(csf), 6) + 0.0) AS avg_csf,
+       (ROUND(CAST(SUM(CAST(trans_x AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_trans_x
 FROM read_csv('{_FIXTURE_PATH}', delim='\t', header=true, nullstr='n/a')
 GROUP BY subject
 """

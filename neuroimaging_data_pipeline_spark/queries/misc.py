@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from neuroimaging_data_pipeline_spark.functions.stats import dec_avg, dec_sum
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
 
@@ -347,7 +348,7 @@ def f4_conditional(spark, sf_dir):
     )
     return routed.groupBy("route").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        (F.round(F.avg("c_acctbal"), 6) + F.lit(0.0)).alias("avg_bal"),
+        (F.round(dec_avg("c_acctbal"), 6) + F.lit(0.0)).alias("avg_bal"),
     )
 
 
@@ -363,7 +364,7 @@ WITH o AS (
   FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
 )
 SELECT route, CAST(COUNT(*) AS BIGINT) AS n_customers,
-       (ROUND(AVG(c_acctbal), 6) + 0.0) AS avg_bal
+       (ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / COUNT(c_acctbal), 6) + 0.0) AS avg_bal
 FROM routed GROUP BY route
 """
 
@@ -606,15 +607,20 @@ WITH betas AS (
 ), agg AS (
   SELECT voxel_id,
          CAST(COUNT(subject) AS BIGINT) AS n,
-         AVG(beta) AS mean_beta,
-         STDDEV_SAMP(beta) AS sd_beta
+         CAST(SUM(CAST(beta AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(beta * beta AS DECIMAL(28,10))) AS DOUBLE) AS s2
   FROM betas GROUP BY voxel_id
+), m AS (
+  SELECT voxel_id, n,
+         s1 / n AS mean_beta,
+         SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd_beta
+  FROM agg
 )
 SELECT voxel_id, n,
        (ROUND(mean_beta, 6) + 0.0) AS mean_beta,
        (ROUND(mean_beta / (sd_beta / SQRT(CAST(n AS DOUBLE))), 6) + 0.0) AS t,
        (ROUND(CAST(n - 1 AS DOUBLE), 6) + 0.0) AS df
-FROM agg WHERE n >= 3
+FROM m WHERE n >= 3
 """
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
 
@@ -52,7 +53,7 @@ def j2_interval_grid(spark, sf_dir):
     )
     return joined.groupBy("t").agg(
         F.count(F.col("event_id")).alias("n_active"),
-        (F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6) + F.lit(0.0)).alias("sum_value"),
+        (F.round(F.coalesce(dec_sum("value"), F.lit(0.0)), 6) + F.lit(0.0)).alias("sum_value"),
     )
 
 
@@ -67,7 +68,7 @@ WITH anchored AS (
 )
 SELECT g.t AS t,
        CAST(COUNT(a.event_id) AS BIGINT) AS n_active,
-       (ROUND(COALESCE(SUM(a.value), 0.0), 6) + 0.0) AS sum_value
+       (ROUND(COALESCE(CAST(SUM(CAST(a.value AS DECIMAL(28,10))) AS DOUBLE), 0.0), 6) + 0.0) AS sum_value
 FROM grid g
 LEFT JOIN anchored a
   ON g.t * 600.0 >= a.onset AND g.t * 600.0 < a.onset + a.duration
@@ -84,7 +85,20 @@ def a2_global_signal(spark, sf_dir):
             F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
         )
         .agg(
-            (F.round(F.avg("value"), 6) + F.lit(0.0)).alias("mean_value"),
+            # exact decimal sum: associative, so the mean is bit-stable
+            # under any partial-agg tree / engine (w7b lesson)
+            (
+                F.round(
+                    F.try_divide(
+                        F.sum(F.col("value").cast("decimal(28,10)")).cast(
+                            "double"
+                        ),
+                        F.count(F.lit(1)).cast("double"),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_value"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -92,7 +106,7 @@ def a2_global_signal(spark, sf_dir):
 
 A2_SQL = """
 SELECT CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 3600) AS BIGINT) AS hour,
-       (ROUND(AVG(value), 6) + 0.0) AS mean_value,
+       (ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_value,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1
 """
@@ -114,10 +128,13 @@ def a9_ols_normal_eq(spark, sf_dir):
     )
     agg = d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("x").alias("mx"),
-        F.avg("value").alias("my"),
-        F.sum(F.col("x") * F.col("value")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # all four moments as exact decimal sums: the normal-equation
+        # ratios are rounded to 6 downstream, and summation order must
+        # not be able to move them across a boundary
+        F.try_divide(dec_sum("x"), F.count(F.lit(1)).cast("double")).alias("mx"),
+        F.try_divide(dec_sum("value"), F.count(F.lit(1)).cast("double")).alias("my"),
+        dec_sum(F.col("x") * F.col("value")).alias("sxy"),
+        dec_sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     beta1 = F.try_divide(
         F.col("sxy") - F.col("n") * F.col("mx") * F.col("my"),
@@ -138,8 +155,10 @@ WITH d AS (
   FROM events
 ), agg AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-         AVG(x) AS mx, AVG(value) AS my,
-         SUM(x * value) AS sxy, SUM(x * x) AS sxx
+         CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mx,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS my,
+         CAST(SUM(CAST(x * value AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx
   FROM d GROUP BY event_type
 )
 SELECT event_type,
@@ -159,7 +178,7 @@ def st_tumbling_window(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+            (F.round(dec_sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -174,7 +193,7 @@ ST_TUMBLING_SQL = """
 SELECT CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       (ROUND(SUM(value), 6) + 0.0) AS sum_value
+       (ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -208,7 +227,7 @@ def st_session_window(spark, sf_dir):
         F.min("sec").alias("session_start"),
         F.max("sec").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+        (F.round(dec_sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
     )
 
 
@@ -230,7 +249,7 @@ SELECT user_id, session_id,
        MIN(sec) AS session_start,
        MAX(sec) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       (ROUND(SUM(value), 6) + 0.0) AS sum_value
+       (ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 """
@@ -273,7 +292,7 @@ def st_watermark_late_discard(spark, sf_dir):
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+        (F.round(dec_sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
     )
 
 
@@ -296,7 +315,7 @@ WITH ev AS (
 SELECT (e.sec // 3600) * 3600 AS window_start,
        e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       (ROUND(SUM(e.value), 6) + 0.0) AS sum_value
+       (ROUND(CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_value
 FROM ev e JOIN wm USING (batch)
 WHERE wm.wm_max IS NULL OR e.sec >= wm.wm_max - 7200
 GROUP BY 1, 2

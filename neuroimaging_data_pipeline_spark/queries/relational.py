@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from neuroimaging_data_pipeline_spark.functions.stats import dec_avg, dec_sum
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
 
@@ -116,19 +117,19 @@ def j1_aligned_concat(spark, sf_dir):
     derived tables (pd.concat axis=1 semantics, ssm_loop.py:85)."""
     li = _t(spark, sf_dir, "lineitem")
     qty = li.groupBy("l_orderkey").agg(
-        (F.round(F.sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty")
+        (F.round(dec_sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty")
     )
     price = li.groupBy("l_orderkey").agg(
-        (F.round(F.sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_price")
+        (F.round(dec_sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_price")
     )
     return qty.join(price, on="l_orderkey")
 
 
 J1_SQL = """
 WITH qty AS (
-  SELECT l_orderkey, (ROUND(SUM(l_quantity), 6) + 0.0) AS sum_qty FROM lineitem GROUP BY l_orderkey
+  SELECT l_orderkey, (ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_qty FROM lineitem GROUP BY l_orderkey
 ), price AS (
-  SELECT l_orderkey, (ROUND(SUM(l_extendedprice), 6) + 0.0) AS sum_price FROM lineitem GROUP BY l_orderkey
+  SELECT l_orderkey, (ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_price FROM lineitem GROUP BY l_orderkey
 )
 SELECT qty.l_orderkey AS l_orderkey, sum_qty, sum_price
 FROM qty JOIN price ON qty.l_orderkey = price.l_orderkey
@@ -190,7 +191,7 @@ def j_broadcast_3way(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            (F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6) + F.lit(0.0)).alias(
+            (F.round(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6) + F.lit(0.0)).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -200,7 +201,7 @@ def j_broadcast_3way(spark, sf_dir):
 
 J_BROADCAST_SQL = """
 SELECT r_name,
-       (ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) + 0.0) AS revenue,
+       (ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -257,22 +258,22 @@ def a1_pricing_summary(spark, sf_dir):
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.round(F.sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty"),
-            (F.round(F.sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_base_price"),
+            (F.round(dec_sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty"),
+            (F.round(dec_sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_base_price"),
             (F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ) + F.lit(0.0)).alias("sum_disc_price"),
             (F.round(
-                F.sum(
+                dec_sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
                 ),
                 6,
             ) + F.lit(0.0)).alias("sum_charge"),
-            (F.round(F.avg("l_quantity"), 6) + F.lit(0.0)).alias("avg_qty"),
-            (F.round(F.avg("l_extendedprice"), 6) + F.lit(0.0)).alias("avg_price"),
-            (F.round(F.avg("l_discount"), 6) + F.lit(0.0)).alias("avg_disc"),
+            (F.round(dec_avg("l_quantity"), 6) + F.lit(0.0)).alias("avg_qty"),
+            (F.round(dec_avg("l_extendedprice"), 6) + F.lit(0.0)).alias("avg_price"),
+            (F.round(dec_avg("l_discount"), 6) + F.lit(0.0)).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -280,13 +281,13 @@ def a1_pricing_summary(spark, sf_dir):
 
 A1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       (ROUND(SUM(l_quantity), 6) + 0.0) AS sum_qty,
-       (ROUND(SUM(l_extendedprice), 6) + 0.0) AS sum_base_price,
-       (ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) + 0.0) AS sum_disc_price,
-       (ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) + 0.0) AS sum_charge,
-       (ROUND(AVG(l_quantity), 6) + 0.0) AS avg_qty,
-       (ROUND(AVG(l_extendedprice), 6) + 0.0) AS avg_price,
-       (ROUND(AVG(l_discount), 6) + 0.0) AS avg_disc,
+       (ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_qty,
+       (ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_base_price,
+       (ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_disc_price,
+       (ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_charge,
+       (ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(l_quantity)), 6) + 0.0) AS avg_qty,
+       (ROUND((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / COUNT(l_extendedprice)), 6) + 0.0) AS avg_price,
+       (ROUND((CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / COUNT(l_discount)), 6) + 0.0) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -296,11 +297,24 @@ GROUP BY l_returnflag, l_linestatus
 
 def a4_count_distinct(spark, sf_dir):
     """A4: count of distinct matching names per group (ncol of
-    starts_with('motion_outlier'), fmriprep_motion_hist.R:33-36)."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.countDistinct("event_type").alias("n_types"))
+    starts_with('motion_outlier'), fmriprep_motion_hist.R:33-36).
+
+    Runs through ``functions.skew.salted_count_distinct``: the
+    distinct-set build for a hot key spreads over n_salt tasks (the
+    salt is a function of the VALUE, so per-salt partial distinct sets
+    are disjoint and sum exactly — an algebraic rewrite, same oracle).
+    At 100 TB a plain groupBy-countDistinct serializes each hot user's
+    distinct set on one task; this is the skew-safe form."""
+    from neuroimaging_data_pipeline_spark.functions.skew import (
+        salted_count_distinct,
+    )
+
+    return salted_count_distinct(
+        _t(spark, sf_dir, "events"),
+        keys=["user_id"],
+        col="event_type",
+        n_salt=8,
+        out_col="n_types",
     )
 
 
@@ -388,14 +402,14 @@ def a_rollup(spark, sf_dir):
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            (F.round(F.sum("c_acctbal"), 6) + F.lit(0.0)).alias("sum_bal"),
+            (F.round(dec_sum("c_acctbal"), 6) + F.lit(0.0)).alias("sum_bal"),
         )
     )
 
 
 A_ROLLUP_SQL = """
 SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
-       (ROUND(SUM(c_acctbal), 6) + 0.0) AS sum_bal
+       (ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -637,7 +651,7 @@ def f3_date_trunc(spark, sf_dir):
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.round(F.sum("o_totalprice"), 6) + F.lit(0.0)).alias("month_total"),
+            (F.round(dec_sum("o_totalprice"), 6) + F.lit(0.0)).alias("month_total"),
         )
     )
 
@@ -645,7 +659,7 @@ def f3_date_trunc(spark, sf_dir):
 F3_SQL = """
 SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       (ROUND(SUM(o_totalprice), 6) + 0.0) AS month_total
+       (ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS month_total
 FROM orders GROUP BY 1
 """
 

@@ -202,15 +202,29 @@ def t_entropy(spark, sf_dir):
         "doc_id", F.explode(F.split(norm, " ")).alias("tok")
     ).filter(F.col("tok") != "")
     counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    p = F.col("c") / F.col("n")
-    return (
-        counts.join(totals, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            (F.round(-F.sum(p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy"),
-            F.count(F.lit(1)).alias("n_unique_tokens"),
-        )
+    # Log identity H = log2(n) - (sum c*log2 c)/n folds the old
+    # counts-join-totals (3 shuffles) into ONE two-level aggregate —
+    # no join, no broadcast, 2 exchanges total. The inner sum is an
+    # exact decimal sum so partial-agg order can't move the round-6
+    # output (w7b lesson).
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum((F.col("c") * F.log2("c")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sclc"),
+        F.count(F.lit(1)).alias("n_unique_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        (
+            F.round(
+                F.log2("n")
+                - F.try_divide(F.col("sclc"), F.col("n").cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("entropy"),
+        "n_unique_tokens",
     )
 
 
@@ -222,14 +236,16 @@ WITH toks AS (
   WHERE tok <> ''
 ), counts AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
-), totals AS (
-  SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id
+), agg AS (
+  SELECT doc_id, SUM(c) AS n,
+         CAST(SUM(CAST(c * LOG2(c) AS DECIMAL(28,10))) AS DOUBLE) AS sclc,
+         COUNT(*) AS nu
+  FROM counts GROUP BY doc_id
 )
-SELECT c.doc_id,
-       (ROUND(-SUM((c.c / t.n) * LOG2(c.c / t.n)), 6) + 0.0) AS entropy,
-       CAST(COUNT(*) AS BIGINT) AS n_unique_tokens
-FROM counts c JOIN totals t ON c.doc_id = t.doc_id
-GROUP BY c.doc_id
+SELECT doc_id,
+       (ROUND(LOG2(n) - sclc / n, 6) + 0.0) AS entropy,
+       CAST(nu AS BIGINT) AS n_unique_tokens
+FROM agg
 """
 
 

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
+from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
+
 
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
@@ -71,7 +73,9 @@ def tumbling_counts(
         .groupBy(F.window(ts_col, window).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+            # exact decimal sum — bit-identical to the batch twin
+            # regardless of micro-batch partial-agg order (w7b lesson)
+            (F.round(dec_sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -96,7 +100,9 @@ def session_counts(
         .groupBy(F.session_window(ts_col, gap).alias("w"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+            # exact decimal sum — bit-identical to the batch twin
+            # regardless of micro-batch partial-agg order (w7b lesson)
+            (F.round(dec_sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("session_start"),
