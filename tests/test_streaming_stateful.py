@@ -45,6 +45,60 @@ def event_stream_dir(tmp_path, spark):
     return str(d)
 
 
+def test_judge_and_update_kernel_exact():
+    """Drive the shared per-batch kernel directly (no Spark, no
+    protobuf): this is the math BOTH the transformWithState and the
+    applyInPandasWithState paths execute, so the TWS branch's kernel
+    is covered even where its protobuf dependency is absent.
+
+    Pins: (a) warm-up rows emit z=None/spike=0; (b) after min_history,
+    z equals the z-score against PRIOR history only (never including
+    the row itself); (c) Welford state equals numpy moments exactly;
+    (d) state carries across batch boundaries; (e) within-batch order
+    is by id regardless of input row order."""
+    from neuroimaging_data_pipeline_spark.streaming.stateful import (
+        _judge_and_update,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(5.0, 2.0, 12)
+    vals[9] = 80.0  # outlier, judged against 9 prior values
+
+    # batch 1 (shuffled input order), then batch 2 continuing the state
+    b1 = pd.DataFrame(
+        {"event_id": [3, 1, 2, 0, 4, 5], "value": vals[[3, 1, 2, 0, 4, 5]]}
+    )
+    b2 = pd.DataFrame({"event_id": range(6, 12), "value": vals[6:]})
+
+    out1, n, mean, m2 = _judge_and_update(
+        b1, "event_id", "value", 7, "user_id", 0, 0.0, 0.0,
+        cutoff=3.0, min_history=5,
+    )
+    assert [r[1] for r in out1] == [0, 1, 2, 3, 4, 5]  # (e)
+    # (a): first 5 rows are warm-up; row id=5 is the first judged
+    assert all(r[3] is None and r[4] == 0 for r in out1[:5])
+    z5 = (vals[5] - np.mean(vals[:5])) / np.std(vals[:5], ddof=1)
+    np.testing.assert_allclose(out1[5][3], z5, rtol=1e-12)  # (b)
+    # (c): Welford state after batch 1 == numpy moments of vals[:6]
+    assert n == 6
+    np.testing.assert_allclose(mean, np.mean(vals[:6]), rtol=1e-12)
+    np.testing.assert_allclose(
+        m2, np.sum((vals[:6] - np.mean(vals[:6])) ** 2), rtol=1e-10
+    )
+
+    out2, n, mean, m2 = _judge_and_update(
+        b2, "event_id", "value", 7, "user_id", n, mean, m2,
+        cutoff=3.0, min_history=5,
+    )
+    # (d): row 9 judged against vals[:9] (prior history spans batches)
+    z9 = (vals[9] - np.mean(vals[:9])) / np.std(vals[:9], ddof=1)
+    np.testing.assert_allclose(out2[3][3], z9, rtol=1e-12)
+    assert out2[3][4] == 1  # the outlier is flagged
+    assert [r[4] for r in out2] == [0, 0, 0, 1, 0, 0]  # only the outlier
+    assert n == 12
+    np.testing.assert_allclose(mean, np.mean(vals), rtol=1e-12)
+
+
 def test_streaming_spikes_flag_only_the_outlier(spark, event_stream_dir):
     """Runs the transformWithState path when its protobuf dependency is
     present, else the applyInPandasWithState path — same semantics."""
