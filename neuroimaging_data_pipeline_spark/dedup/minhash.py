@@ -7,20 +7,40 @@ Spark-first design for 100 TB:
   candidates only, never all-pairs;
 - Jaccard verification joins shingle sets only for candidate pairs.
 
-Portable hashing (oracle parity): the permutation family is
-``md5(f"{i}:" + shingle)`` compared AS A HEX STRING — the
-lexicographic min of a fixed-width lowercase-hex string is exactly
-the numeric min of the 128-bit hash, and DuckDB's ``md5()`` produces
-byte-identical hex, so the whole signature (and the band keys, which
-are md5 of the concatenated band slice) is recomputable in the oracle
-SQL. JVM-side throughput is fine: md5 of short strings is
-codegen'd, and the min-agg is map-side combinable either way.
+Portable hashing (oracle parity), one md5 per shingle: each distinct
+shingle is hashed ONCE to a 60-bit integer ``h`` (first 15 hex chars
+of md5, parsed big-endian — Spark ``conv``, DuckDB
+``('0x'||substr(md5(s),1,15))::BIGINT``). The permutation family is
+the classic Broder affine family ``(a_i * (h % p) + b_i) % p`` over
+the Mersenne prime p = 2^31-1 with fixed seeded coefficients — pure
+64-bit integer arithmetic both engines evaluate identically, 16x less
+hashing than an md5-per-permutation design (r3: the md5x16 variant
+was the slowest query in the bench). The Jaccard verification join
+also runs on ``h`` (an 8-byte long) instead of the shingle string.
 """
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Mersenne prime for the affine permutation family.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(
+    num_hashes: int = 16, seed: int = 1234
+) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine family — shared by
+    the Spark plan and the generated oracle SQL, so both engines use
+    byte-identical permutations."""
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MINHASH_P), rnd.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
 
 
 def shingles(
@@ -43,19 +63,33 @@ def shingles(
     )
 
 
+def hash_shingles(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle string) -> (id, h long): ONE md5 per shingle, the
+    first 15 hex chars parsed as a 60-bit big-endian integer. All
+    downstream joins and permutations run on the 8-byte long."""
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    return sh.select(id_col, h.alias("shingle"))
+
+
+def _is_hashed(sh: DataFrame) -> bool:
+    return dict(sh.dtypes)["shingle"] == "bigint"
+
+
 def minhash_signatures(
     sh: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, sig: array<string>) — sig[i] = min over shingles of
-    md5(f"{i}:" + shingle), compared as hex strings (== numeric min of
-    the 128-bit hash). One groupBy; map-side partial min."""
+    """(id, sig: array<long>) — sig[i] = min over shingles of
+    (a_i * (h % p) + b_i) % p. Accepts either raw (string) or hashed
+    (long) shingles. One groupBy; map-side partial min."""
+    hashed = sh if _is_hashed(sh) else hash_shingles(sh, id_col)
+    hm = F.col("shingle") % MINHASH_P
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * hm + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    wide = sh.groupBy(id_col).agg(*aggs)
+    wide = hashed.groupBy(id_col).agg(*aggs)
     return wide.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -90,7 +124,8 @@ def lsh_candidate_pairs(
                         F.lit(b).alias("band"),
                         # md5 of the '|'-joined band slice: a compact
                         # 32-char join key DuckDB reproduces exactly
-                        # (vs F.hash/murmur, which has no SQL twin)
+                        # (vs F.hash/murmur, which has no SQL twin);
+                        # per-doc not per-shingle, so cost is noise
                         F.md5(
                             F.concat_ws(
                                 "|",
@@ -137,7 +172,9 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs:
-    |A ∩ B| / |A ∪ B| via a shingle equi-join restricted to candidates."""
+    |A ∩ B| / |A ∪ B| via a shingle equi-join restricted to candidates.
+    Accepts raw (string) or hashed (long) shingles — hashed longs make
+    the equi-join key 8 bytes instead of a ~20-char string."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -175,15 +212,17 @@ def minhash_dedup_pairs(
     persist_shingles: bool = True,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: shingle -> minhash -> LSH -> verify.
+    """End-to-end near-dup pairs: shingle -> hash -> minhash -> LSH ->
+    verify.
 
-    The shingle set feeds BOTH the signature path and the Jaccard
-    verification join; without persistence Spark recomputes the
-    regex/explode pipeline once per consumer — at corpus scale that is
-    the single largest cost in the DAG, so it is persisted
-    (memory-and-disk, spills instead of OOM) by default.
+    The HASHED shingle set (8-byte longs, one md5 per shingle) feeds
+    BOTH the signature path and the Jaccard verification join; without
+    persistence Spark recomputes the regex/explode/md5 pipeline once
+    per consumer — at corpus scale that is the single largest cost in
+    the DAG, so it is persisted (memory-and-disk, spills instead of
+    OOM) by default.
     """
-    sh = shingles(docs, id_col, text_col, k)
+    sh = hash_shingles(shingles(docs, id_col, text_col, k), id_col)
     if persist_shingles:
         from pyspark import StorageLevel
 

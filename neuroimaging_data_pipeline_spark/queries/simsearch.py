@@ -308,11 +308,19 @@ def _minhash_sql(
 ) -> str:
     """DuckDB twin of d_minhash_lsh, generated to mirror
     dedup/minhash.py exactly: same shingling (k-word, distinct,
-    non-empty), same md5 hex-string permutation mins, same md5 band
-    keys, same flood guard, same exact-Jaccard verification."""
+    non-empty), same one-md5-per-shingle 60-bit hash h, same affine
+    permutation family (a_i*(h%p)+b_i)%p with the same seeded
+    coefficients, same md5 band keys, same flood guard, same
+    exact-Jaccard verification over h."""
+    from neuroimaging_data_pipeline_spark.dedup.minhash import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
     rpb = num_hashes // bands
     mins = ",\n         ".join(
-        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+        f"MIN(({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     band_keys = ",\n                 ".join(
         "md5(concat_ws('|', "
@@ -326,15 +334,19 @@ WITH base AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
   FROM documents
-), sh AS (
+), shs AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(toks, i + 1, i + {k}), ' ') AS shingle
   FROM base, UNNEST(range(0, greatest(len(toks) - {k}, 0) + 1)) AS t(i)
   WHERE array_to_string(list_slice(toks, i + 1, i + {k}), ' ') <> ''
+), sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+  FROM shs
 ), sigs AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM (SELECT doc_id, shingle AS h FROM sh) GROUP BY doc_id
 ), exploded AS (
   SELECT doc_id,
          UNNEST([{band_ids}]) AS band,
