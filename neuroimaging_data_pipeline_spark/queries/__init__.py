@@ -14,12 +14,19 @@ Determinism discipline (applies to every pair):
   tie-breaks;
 - integer aggregates cast to BIGINT on the DuckDB side (DuckDB sums
   integers into HUGEINT, Spark into LONG);
-- INVARIANT (r3, the w7b lesson generalized): no bare ``ROUND(SUM(``
-  / ``ROUND(AVG(`` over a double column in oracle SQL — every rounded
-  sum/mean of doubles uses the exact decimal-sum pattern on BOTH
-  sides (``functions.stats.dec_sum``/``dec_avg`` in Spark,
-  ``CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)`` in DuckDB), so
-  summation order can never move a rounded output across a boundary.
+- INVARIANT (r3, the w7b lesson generalized): every rounded sum/mean
+  of doubles is order-independent on BOTH sides, via the cheapest
+  exact form for the column class: integer-valued doubles (e.g.
+  l_quantity) keep plain SUM/AVG (double sums of integers are exact
+  at any order, ≤ 2^53); fixed-decimal "money" doubles use
+  ``functions.stats.money_sum``/``money_avg`` (exact scaled-int LONG
+  sums — as fast as plain, DuckDB twin
+  ``SUM(CAST(ROUND(x*scale) AS BIGINT))/scale.0``); true
+  full-mantissa doubles (products, transcendentals, the events value
+  column) use ``dec_sum``/``dec_avg``
+  (``CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)``). Summation
+  order can never move a rounded output across a boundary in any of
+  the three forms.
   Two justified exceptions, where the engines deliberately compute by
   DIFFERENT formulas and the round-6 absorbs the difference (decimal
   sums cannot create parity there): the IVF Lloyd centroid mean

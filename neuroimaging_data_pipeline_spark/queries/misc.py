@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from neuroimaging_data_pipeline_spark.functions.stats import dec_avg, dec_sum
+from neuroimaging_data_pipeline_spark.functions.stats import money_avg
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
 
@@ -348,7 +348,7 @@ def f4_conditional(spark, sf_dir):
     )
     return routed.groupBy("route").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        (F.round(dec_avg("c_acctbal"), 6) + F.lit(0.0)).alias("avg_bal"),
+        (F.round(money_avg("c_acctbal"), 6) + F.lit(0.0)).alias("avg_bal"),
     )
 
 
@@ -364,7 +364,7 @@ WITH o AS (
   FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
 )
 SELECT route, CAST(COUNT(*) AS BIGINT) AS n_customers,
-       (ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / COUNT(c_acctbal), 6) + 0.0) AS avg_bal
+       (ROUND((SUM(CAST(ROUND((c_acctbal) * 100) AS BIGINT)) / 100.0) / COUNT(c_acctbal), 6) + 0.0) AS avg_bal
 FROM routed GROUP BY route
 """
 

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from neuroimaging_data_pipeline_spark.functions.stats import dec_avg, dec_sum
+from neuroimaging_data_pipeline_spark.functions.stats import (
+    dec_sum,
+    money_avg,
+    money_sum,
+)
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
 
@@ -117,19 +121,19 @@ def j1_aligned_concat(spark, sf_dir):
     derived tables (pd.concat axis=1 semantics, ssm_loop.py:85)."""
     li = _t(spark, sf_dir, "lineitem")
     qty = li.groupBy("l_orderkey").agg(
-        (F.round(dec_sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty")
+        (F.round(F.sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty")
     )
     price = li.groupBy("l_orderkey").agg(
-        (F.round(dec_sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_price")
+        (F.round(money_sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_price")
     )
     return qty.join(price, on="l_orderkey")
 
 
 J1_SQL = """
 WITH qty AS (
-  SELECT l_orderkey, (ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_qty FROM lineitem GROUP BY l_orderkey
+  SELECT l_orderkey, (ROUND(SUM(l_quantity), 6) + 0.0) AS sum_qty FROM lineitem GROUP BY l_orderkey
 ), price AS (
-  SELECT l_orderkey, (ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_price FROM lineitem GROUP BY l_orderkey
+  SELECT l_orderkey, (ROUND((SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / 100.0), 6) + 0.0) AS sum_price FROM lineitem GROUP BY l_orderkey
 )
 SELECT qty.l_orderkey AS l_orderkey, sum_qty, sum_price
 FROM qty JOIN price ON qty.l_orderkey = price.l_orderkey
@@ -191,7 +195,7 @@ def j_broadcast_3way(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            (F.round(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6) + F.lit(0.0)).alias(
+            (F.round(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000), 6) + F.lit(0.0)).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -201,7 +205,7 @@ def j_broadcast_3way(spark, sf_dir):
 
 J_BROADCAST_SQL = """
 SELECT r_name,
-       (ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS revenue,
+       (ROUND((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0), 6) + 0.0) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -258,8 +262,8 @@ def a1_pricing_summary(spark, sf_dir):
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.round(dec_sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty"),
-            (F.round(dec_sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_base_price"),
+            (F.round(F.sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty"),
+            (F.round(money_sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_base_price"),
             (F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ) + F.lit(0.0)).alias("sum_disc_price"),
@@ -271,9 +275,9 @@ def a1_pricing_summary(spark, sf_dir):
                 ),
                 6,
             ) + F.lit(0.0)).alias("sum_charge"),
-            (F.round(dec_avg("l_quantity"), 6) + F.lit(0.0)).alias("avg_qty"),
-            (F.round(dec_avg("l_extendedprice"), 6) + F.lit(0.0)).alias("avg_price"),
-            (F.round(dec_avg("l_discount"), 6) + F.lit(0.0)).alias("avg_disc"),
+            (F.round(F.avg("l_quantity"), 6) + F.lit(0.0)).alias("avg_qty"),
+            (F.round(money_avg("l_extendedprice"), 6) + F.lit(0.0)).alias("avg_price"),
+            (F.round(money_avg("l_discount"), 6) + F.lit(0.0)).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -281,13 +285,13 @@ def a1_pricing_summary(spark, sf_dir):
 
 A1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       (ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_qty,
-       (ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_base_price,
-       (ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_disc_price,
+       (ROUND(SUM(l_quantity), 6) + 0.0) AS sum_qty,
+       (ROUND((SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / 100.0), 6) + 0.0) AS sum_base_price,
+       (ROUND((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0), 6) + 0.0) AS sum_disc_price,
        (ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_charge,
-       (ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(l_quantity)), 6) + 0.0) AS avg_qty,
-       (ROUND((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / COUNT(l_extendedprice)), 6) + 0.0) AS avg_price,
-       (ROUND((CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / COUNT(l_discount)), 6) + 0.0) AS avg_disc,
+       (ROUND(AVG(l_quantity), 6) + 0.0) AS avg_qty,
+       (ROUND(((SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / 100.0) / COUNT(l_extendedprice)), 6) + 0.0) AS avg_price,
+       (ROUND(((SUM(CAST(ROUND((l_discount) * 100) AS BIGINT)) / 100.0) / COUNT(l_discount)), 6) + 0.0) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -402,14 +406,14 @@ def a_rollup(spark, sf_dir):
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            (F.round(dec_sum("c_acctbal"), 6) + F.lit(0.0)).alias("sum_bal"),
+            (F.round(money_sum("c_acctbal"), 6) + F.lit(0.0)).alias("sum_bal"),
         )
     )
 
 
 A_ROLLUP_SQL = """
 SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
-       (ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS sum_bal
+       (ROUND((SUM(CAST(ROUND((c_acctbal) * 100) AS BIGINT)) / 100.0), 6) + 0.0) AS sum_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -651,7 +655,7 @@ def f3_date_trunc(spark, sf_dir):
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.round(dec_sum("o_totalprice"), 6) + F.lit(0.0)).alias("month_total"),
+            (F.round(money_sum("o_totalprice"), 6) + F.lit(0.0)).alias("month_total"),
         )
     )
 
@@ -659,7 +663,7 @@ def f3_date_trunc(spark, sf_dir):
 F3_SQL = """
 SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       (ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0) AS month_total
+       (ROUND((SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) / 100.0), 6) + 0.0) AS month_total
 FROM orders GROUP BY 1
 """
 

@@ -33,7 +33,6 @@ from neuroimaging_data_pipeline_spark.operators.stencil import (
     mode_filter,
     stencil_offsets,
 )
-from neuroimaging_data_pipeline_spark.functions.stats import dec_avg
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
 
@@ -200,14 +199,16 @@ def a3_mean_image(spark, sf_dir):
     (voxel_id = l_partkey, t = l_linenumber, value = l_quantity)."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_partkey").alias("voxel_id")).agg(
-        (F.round(dec_avg("l_quantity"), 6) + F.lit(0.0)).alias("mean_value"),
+        # l_quantity is integer-valued: double sums are exact in any
+        # order, so plain AVG is already bit-stable (no decimal needed)
+        (F.round(F.avg("l_quantity"), 6) + F.lit(0.0)).alias("mean_value"),
         F.count(F.lit(1)).alias("n_obs"),
     )
 
 
 A3_SQL = """
 SELECT l_partkey AS voxel_id,
-       (ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(l_quantity), 6) + 0.0) AS mean_value,
+       (ROUND(AVG(l_quantity), 6) + 0.0) AS mean_value,
        CAST(COUNT(*) AS BIGINT) AS n_obs
 FROM lineitem GROUP BY l_partkey
 """
