@@ -8,12 +8,14 @@ frame-sample run as Arrow-batched ``mapInPandas`` — one Python worker
 per partition, batches sized by spark.sql.execution.arrow.
 maxRecordsPerBatch, no per-row overhead.
 
-Codec status: AUDIO IS REAL — WAV (RIFF/PCM16) encode + decode via
-the stdlib ``wave`` module (``encode_wav_pcm16`` / ``decode_wav`` /
-``wav_features``), end-to-end through real binary parquet-shaped
-columns and Arrow batches. Image/video remain stubbed
-(``decoder='fake'`` is a deterministic stand-in deriving "pixels"
-from the payload hash; ``decoder='pil'``/'ffmpeg' raise
+Codec status: AUDIO AND IMAGE ARE REAL — WAV (RIFF/PCM16) encode +
+decode via the stdlib ``wave`` module (``encode_wav_pcm16`` /
+``decode_wav`` / ``wav_features``) and PPM/P6 images via pure
+header+raw-bytes parsing (``encode_ppm`` / ``decode_ppm`` /
+``ppm_features``), both end-to-end through real binary
+parquet-shaped columns and Arrow batches. Compressed-format decode
+(JPEG/PNG/MP4) remains stubbed (``decoder='fake'`` is a
+deterministic stand-in; ``decoder='pil'``/'ffmpeg' raise
 NotImplementedError until the libraries are provisioned) — the
 Spark-side plumbing (schema, batch shape, partition behavior) is
 identical and tested either way.
@@ -170,6 +172,93 @@ def wav_features(
                     "sample_rate": srs,
                     "n_samples": ns,
                     "rms": rms,
+                }
+            )
+
+    return media.mapInPandas(feat_batches, out_schema)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Real PPM (P6) image container: ASCII header + raw RGB bytes —
+    decodable by any image tool, no external libraries needed.
+    ``pixels`` is (H, W, 3) uint8."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real PPM (P6) decode: parse the header, return (H, W, 3) uint8."""
+    magic, dims, maxval, raw = bytes(payload).split(b"\n", 3)
+    if magic != b"P6":
+        raise ValueError(f"not a P6 PPM payload: {magic!r}")
+    w, h = map(int, dims.split())
+    if int(maxval) != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def synthesize_ppm_images(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 6,
+) -> DataFrame:
+    """Deterministic image fixture: one real PPM per document with
+    pixel (y, x, c) = (id*7 + y*131 + x*17 + c*59) % 256 — a pure
+    integer formula an oracle can recompute without any codec, while
+    the image itself is a genuine P6 container the real decoder must
+    parse. (media_id, content binary)."""
+    out_schema = "media_id long, content binary"
+    ys = np.arange(height)[:, None, None]
+    xs = np.arange(width)[None, :, None]
+    cs = np.arange(3)[None, None, :]
+    base = ys * 131 + xs * 17 + cs * 59
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_ppm(((int(i) * 7 + base) % 256).astype(np.uint8))
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
+
+    return docs.select(id_col).mapInPandas(encode_batches, out_schema)
+
+
+def ppm_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode PPM binaries with the REAL stdlib-only codec and emit
+    per-image features: (media_id, width, height, mean_r, mean_g,
+    mean_b). Same narrow Arrow-batched mapInPandas boundary as
+    wav_features."""
+    out_schema = (
+        f"{id_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, mr, mg, mb = [], [], [], [], []
+            for payload in pdf[content_col]:
+                arr = decode_ppm(payload)
+                h, w, _ = arr.shape
+                ws.append(w)
+                hs.append(h)
+                means = arr.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                mr.append(float(means[0]))
+                mg.append(float(means[1]))
+                mb.append(float(means[2]))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
                 }
             )
 

@@ -490,6 +490,57 @@ def m2_wav_rms(spark, sf_dir):
     )
 
 
+def m3_ppm_stats(spark, sf_dir):
+    """M3: REAL image codec end-to-end (multimodal/binaryops.py).
+
+    Per document, a genuine PPM/P6 image (8x6 RGB, pixels from a pure
+    integer formula) is encoded with the stdlib-only writer, carried
+    as an opaque binary column, then decoded by the real parser inside
+    Arrow-batched mapInPandas, which emits per-image channel means.
+    The oracle recomputes the means from the same pixel formula in
+    pure SQL — a codec bug (header, layout, channel order) breaks the
+    hash match. With m2 (WAV), two modalities are now real end-to-end;
+    only pil/ffmpeg decoders remain declared stubs."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        ppm_features,
+        synthesize_ppm_images,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_ppm_images(d, id_col="doc_id")
+    feats = ppm_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_r", 6) + F.lit(0.0)).alias("mean_r"),
+        (F.round("mean_g", 6) + F.lit(0.0)).alias("mean_g"),
+        (F.round("mean_b", 6) + F.lit(0.0)).alias("mean_b"),
+    )
+
+
+M3_SQL = """
+WITH px AS (
+  SELECT doc_id, c.c AS c,
+         (doc_id * 7 + y.y * 131 + x.x * 17 + c.c * 59) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 6)) AS y(y),
+       UNNEST(range(0, 8)) AS x(x),
+       UNNEST(range(0, 3)) AS c(c)
+), chan AS (
+  SELECT doc_id, c, AVG(CAST(v AS DOUBLE)) AS m
+  FROM px GROUP BY doc_id, c
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(6 AS INT) AS height,
+       (ROUND(MAX(CASE WHEN c = 0 THEN m END), 6) + 0.0) AS mean_r,
+       (ROUND(MAX(CASE WHEN c = 1 THEN m END), 6) + 0.0) AS mean_g,
+       (ROUND(MAX(CASE WHEN c = 2 THEN m END), 6) + 0.0) AS mean_b
+FROM chan GROUP BY doc_id
+"""
+
+
 M2_SQL = """
 WITH nibs AS (
   SELECT doc_id,
@@ -638,6 +689,7 @@ QUERIES = {
     "a9_mass_ols": a9_mass_ols,
     "m1_binary_digest": m1_binary_digest,
     "m2_wav_rms": m2_wav_rms,
+    "m3_ppm_stats": m3_ppm_stats,
 }
 
 ORACLE = {
@@ -654,4 +706,5 @@ ORACLE = {
     "a9_mass_ols": A9_FULL_SQL,
     "m1_binary_digest": M1_SQL,
     "m2_wav_rms": M2_SQL,
+    "m3_ppm_stats": M3_SQL,
 }

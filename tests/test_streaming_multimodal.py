@@ -169,6 +169,53 @@ def test_wav_features_spark_roundtrip(spark):
         )
 
 
+def test_ppm_codec_roundtrip_local():
+    """The REAL stdlib-only PPM codec: arbitrary RGB pixels survive an
+    encode->decode round trip bit-exactly, including header parsing."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(9)
+    pixels = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    payload = encode_ppm(pixels)
+    assert payload.startswith(b"P6\n7 5\n255\n")
+    np.testing.assert_array_equal(decode_ppm(payload), pixels)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_ppm_features_spark_roundtrip(spark):
+    """synthesize_ppm_images -> ppm_features through Spark: decoded
+    channel means match the pixel formula exactly, across partitions."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        ppm_features,
+        synthesize_ppm_images,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    out = (
+        ppm_features(synthesize_ppm_images(docs.repartition(4)))
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert len(out) == 9
+    ys = np.arange(6)[:, None, None]
+    xs = np.arange(8)[None, :, None]
+    cs = np.arange(3)[None, None, :]
+    for i in range(9):
+        px = (i * 7 + ys * 131 + xs * 17 + cs * 59) % 256
+        means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
+        assert out.loc[i, "width"] == 8 and out.loc[i, "height"] == 6
+        np.testing.assert_allclose(
+            [out.loc[i, "mean_r"], out.loc[i, "mean_g"], out.loc[i, "mean_b"]],
+            means,
+            rtol=0,
+            atol=0,
+        )
+
+
 def test_decode_unavailable_decoder_raises(spark, media):
     with pytest.raises(NotImplementedError):
         decode_features(media, decoder="pil")
