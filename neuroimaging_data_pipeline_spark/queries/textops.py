@@ -1,9 +1,9 @@
 """Text-analysis + dedup query surface over ``documents``
 (training-data pipeline operators; SURVEY.md engine additions).
 
-Oracle-checkable subset here; the xxhash-based MinHash/SimHash paths
-(no DuckDB twin for Spark's hash functions) are registered rows-only
-in ``simsearch``/tests.
+Every query here is oracle-checked; the MinHash/SimHash/LSH paths
+(md5-parity hashing since r3) live in ``simsearch`` and are
+oracle-checked too.
 """
 
 from __future__ import annotations
@@ -249,12 +249,96 @@ FROM agg
 """
 
 
+def t_winnow(spark, sf_dir):
+    """Winnowed fingerprints (MOSS, Schleimer et al. SIGMOD'03) per
+    document, summarized: fingerprint-set size, min/max fingerprint,
+    and selection density vs gram count (expected ~2/(w+1)).
+    text/analysis.py:winnow_fingerprints; fully oracle-checked — the
+    window-min selection is plain SQL window functions."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        winnow_fingerprints,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    fps = winnow_fingerprints(d, k=4, w=5)
+    grams = d.select(
+        "doc_id",
+        (
+            F.greatest(
+                F.size(
+                    F.split(
+                        F.regexp_replace(
+                            F.lower(F.trim(F.col("text"))), r"\s+", " "
+                        ),
+                        " ",
+                    )
+                )
+                - 4,
+                F.lit(0),
+            )
+            + 1
+        ).alias("n_grams"),
+    )
+    agg = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+    return agg.join(grams, "doc_id").select(
+        "doc_id",
+        "n_fps",
+        "min_fp",
+        "max_fp",
+        (
+            F.round(
+                F.col("n_fps") / F.col("n_grams").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("density"),
+    )
+
+
+T_WINNOW_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(toks, i + 1, i + 4), ' ') AS gram
+  FROM base, UNNEST(range(0, greatest(len(toks) - 4, 0) + 1)) AS t(i)
+  WHERE array_to_string(list_slice(toks, i + 1, i + 4), ' ') <> ''
+), hashed AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+  FROM grams
+), wins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM hashed
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+         MIN(fp) AS min_fp, MAX(fp) AS max_fp
+  FROM fps GROUP BY doc_id
+), ng AS (
+  SELECT doc_id, greatest(len(toks) - 4, 0) + 1 AS n_grams FROM base
+)
+SELECT a.doc_id, a.n_fps, a.min_fp, a.max_fp,
+       (ROUND(CAST(a.n_fps AS DOUBLE) / ng.n_grams, 6) + 0.0) AS density
+FROM agg a JOIN ng USING (doc_id)
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "t_quality_signals": t_quality_signals,
     "t_lang_id": t_lang_id,
     "t_fingerprint": t_fingerprint,
     "t_entropy": t_entropy,
+    "t_winnow": t_winnow,
     "d_exact_dedup": d_exact_dedup,
     "d_ngram_jaccard": d_ngram_jaccard,
 }
@@ -265,6 +349,7 @@ ORACLE = {
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,
     "t_entropy": T_ENTROPY_SQL,
+    "t_winnow": T_WINNOW_SQL,
     "d_exact_dedup": D_EXACT_SQL,
     "d_ngram_jaccard": D_NGRAM_SQL,
 }

@@ -115,3 +115,52 @@ def fingerprint(text: str | Column, prefix_len: int = 256) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(F.substring(norm, 1, prefix_len))
+
+
+def winnow_fingerprints(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+):
+    """Winnowed document fingerprints (Schleimer, Wilkerson, Aiken —
+    the MOSS local fingerprinting algorithm): hash every k-gram, then
+    for each window of ``w`` consecutive k-gram hashes keep the
+    minimum; the DISTINCT kept hashes are the document's fingerprint
+    set. Guarantee: any shared run of >= w + k - 1 tokens between two
+    documents shares at least one fingerprint — the standard
+    plagiarism/near-dup primitive with output density ~2/(w+1).
+
+    Windows are anchored at every gram position and shrink at the tail
+    (the last gram is always selected) — a well-defined variant
+    mirrored exactly in the DuckDB oracle. Hashes are md5-derived
+    60-bit longs (oracle-parity, dedup/minhash.py convention).
+
+    Spark shape: one narrow pass (split -> transform -> posexplode ->
+    running window min per doc) + one groupBy doc — no joins, no
+    Python. Returns (id, fp) rows, one per selected distinct hash.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    pos = (
+        docs.select(F.col(id_col), F.posexplode(grams).alias("i", "gram"))
+        .filter(F.col("gram") != "")
+        .select(
+            id_col,
+            "i",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    return (
+        pos.select(id_col, F.min("h").over(win).alias("fp"))
+        .distinct()
+    )

