@@ -366,6 +366,52 @@ FROM r WHERE rn = 1
 """
 
 
+def st_enrich_join(spark, sf_dir):
+    """§2.9: batch-checkable twin of streaming/dedup.py
+    ``enrich_stream`` — the stream-stream inner join with an
+    event-time bound. Each event picks up 'metadata' rows (signup
+    events of the same user) whose timestamp lies within
+    [event - 1 h, event]; both sides watermarked in the streaming
+    form so state stays finite. Summarized per event (count + latest
+    metadata second) to keep the result compact and totally ordered."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    meta = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("m_user"),
+        F.unix_timestamp("ts").alias("mts"),
+    )
+    joined = base.join(
+        meta,
+        (F.col("user_id") == F.col("m_user"))
+        & (F.col("mts") >= F.col("sec") - 3600)
+        & (F.col("mts") <= F.col("sec")),
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_meta"),
+        F.max("mts").alias("latest_mts"),
+    )
+
+
+ST_ENRICH_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+  FROM events
+), meta AS (
+  SELECT user_id AS m_user, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS mts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT b.event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_meta,
+       MAX(m.mts) AS latest_mts
+FROM base b JOIN meta m
+  ON b.user_id = m.m_user
+ AND m.mts >= b.sec - 3600 AND m.mts <= b.sec
+GROUP BY b.event_id
+"""
+
+
 QUERIES = {
     "j2_interval_grid": j2_interval_grid,
     "a2_global_signal": a2_global_signal,
@@ -374,6 +420,7 @@ QUERIES = {
     "st_session_window": st_session_window,
     "st_watermark_late_discard": st_watermark_late_discard,
     "sd_stream_dedup": sd_stream_dedup,
+    "st_enrich_join": st_enrich_join,
 }
 
 ORACLE = {
@@ -384,4 +431,5 @@ ORACLE = {
     "st_session_window": ST_SESSION_SQL,
     "st_watermark_late_discard": ST_WATERMARK_SQL,
     "sd_stream_dedup": SD_DEDUP_SQL,
+    "st_enrich_join": ST_ENRICH_SQL,
 }

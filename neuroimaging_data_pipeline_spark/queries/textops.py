@@ -27,14 +27,27 @@ _TOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
 
 def t_token_count(spark, sf_dir):
-    """Whitespace token count per document."""
+    """Token counts per document: whitespace tokens AND the BPE-ish
+    word-piece estimate (maximal runs of word chars or of
+    non-word-non-space chars). The Spark side splits on \\w/\\W
+    boundaries + whitespace and filters blanks; the oracle counts the
+    equivalent maximal runs with RE2-safe ``regexp_extract_all``
+    (DuckDB's RE2 has no lookarounds) — same count by construction."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        bpe_ish_token_count,
+    )
+
     return read_table(spark, sf_dir, "documents", min_partitions=16).select(
-        "doc_id", token_count("text").alias("n_tokens")
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
     )
 
 
 T_TOKEN_SQL = f"""
-SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS INT) AS n_bpe_ish
 FROM documents
 """
 
