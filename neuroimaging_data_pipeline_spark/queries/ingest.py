@@ -284,7 +284,7 @@ def sv_time_travel(spark, sf_dir):
 SV_TT_SQL = """
 SELECT doc_id, lang, n_chars
 FROM documents
-WHERE NOT (n_chars < 300)
+WHERE n_chars >= 300 OR n_chars IS NULL
 """
 
 

@@ -544,9 +544,9 @@ FROM chan GROUP BY doc_id
 M2_SQL = """
 WITH nibs AS (
   SELECT doc_id,
-         (CASE WHEN ascii(substring(md5(text), i, 1)) >= 97
-               THEN ascii(substring(md5(text), i, 1)) - 87
-               ELSE ascii(substring(md5(text), i, 1)) - 48 END) AS nib
+         (CASE WHEN ascii(substring(md5(COALESCE(text, '')), i, 1)) >= 97
+               THEN ascii(substring(md5(COALESCE(text, '')), i, 1)) - 87
+               ELSE ascii(substring(md5(COALESCE(text, '')), i, 1)) - 48 END) AS nib
   FROM documents, UNNEST(range(1, 33)) AS t(i)
 )
 SELECT doc_id,

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
+from neuroimaging_data_pipeline_spark.functions.stats import dec_avg, dec_sum
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
 
@@ -85,20 +85,10 @@ def a2_global_signal(spark, sf_dir):
             F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
         )
         .agg(
-            # exact decimal sum: associative, so the mean is bit-stable
-            # under any partial-agg tree / engine (w7b lesson)
-            (
-                F.round(
-                    F.try_divide(
-                        F.sum(F.col("value").cast("decimal(28,10)")).cast(
-                            "double"
-                        ),
-                        F.count(F.lit(1)).cast("double"),
-                    ),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("mean_value"),
+            # dec_avg: exact decimal sum / COUNT(value) — the same
+            # NULL-skipping mean as plain AVG, bit-stable under any
+            # partial-agg tree / engine (w7b lesson)
+            (F.round(dec_avg("value"), 6) + F.lit(0.0)).alias("mean_value"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -106,7 +96,7 @@ def a2_global_signal(spark, sf_dir):
 
 A2_SQL = """
 SELECT CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 3600) AS BIGINT) AS hour,
-       (ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_value,
+       (ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(value), 6) + 0.0) AS mean_value,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1
 """
@@ -331,8 +321,17 @@ def sd_stream_dedup(spark, sf_dir):
     the digest, min-of-struct (no window) — map-side combinable, the
     same keyed-state shape the streaming op keeps per digest."""
     ev = read_table(spark, sf_dir, "events")
+    # Explicit NULL-as-'' on BOTH sides: concat_ws would silently drop
+    # a NULL argument AND its separator (diverging from SQL concat,
+    # and colliding ('click', NULL) with 'click').
     d = ev.select(
-        F.md5(F.concat_ws("|", "event_type", "props")).alias("digest"),
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("event_type"), F.lit("")),
+                F.lit("|"),
+                F.coalesce(F.col("props"), F.lit("")),
+            )
+        ).alias("digest"),
         F.unix_timestamp("ts").alias("sec"),
         "event_id",
     )
@@ -350,7 +349,7 @@ def sd_stream_dedup(spark, sf_dir):
 
 SD_DEDUP_SQL = """
 WITH d AS (
-  SELECT md5(concat(event_type, '|', props)) AS digest,
+  SELECT md5(concat(COALESCE(event_type, ''), '|', COALESCE(props, ''))) AS digest,
          CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
          event_id
   FROM events

@@ -265,7 +265,7 @@ def a1_pricing_summary(spark, sf_dir):
             (F.round(F.sum("l_quantity"), 6) + F.lit(0.0)).alias("sum_qty"),
             (F.round(money_sum("l_extendedprice"), 6) + F.lit(0.0)).alias("sum_base_price"),
             (F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000), 6
             ) + F.lit(0.0)).alias("sum_disc_price"),
             (F.round(
                 dec_sum(
