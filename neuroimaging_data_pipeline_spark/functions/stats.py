@@ -33,27 +33,36 @@ def dec_avg(col) -> F.Column:
     return F.try_divide(dec_sum(c), F.count(c).cast("double"))
 
 
-def money_sum(col, scale: int = 100) -> F.Column:
+def money_sum(col, scale: int = 100, wide: bool = False) -> F.Column:
     """Order-independent SUM for fixed-decimal ("money") doubles: each
     addend maps deterministically to the integer ROUND(x*scale) (IEEE
     multiply + round are engine-identical), the LONG sum is exact and
     associative, and the result is rescaled. As fast as a plain double
     sum (single-long codegen adds — r3 measured 0.24s vs 0.40s for
     DECIMAL(28,10) on the 600k-row a1 agg) with the same
-    order-independence guarantee. Headroom: scale 100 on ~1e5-magnitude
-    values overflows LONG at ~1e12 rows per group; use ``dec_sum`` for
-    wider products or when group sizes can reach that.
-    DuckDB twin: ``SUM(CAST(ROUND(x * scale) AS BIGINT)) / scale.0``."""
+    order-independence guarantee. Headroom: LONG overflows at ~9.2e18 /
+    (scale * magnitude) rows per group — e.g. ~9e7 rows at scale 1e6 on
+    1e5-magnitude values; ANSI mode throws rather than wrapping.
+    ``wide=True`` accumulates the SAME scaled ints in DECIMAL(20,0)
+    (headroom ~1e38, still exact/associative, decimal-add cost) — the
+    100 TB deployment switch for hot groups past the LONG bound.
+    DuckDB twin: ``SUM(CAST(ROUND(x * scale) AS BIGINT)) / scale.0``
+    (DuckDB sums BIGINT into HUGEINT, so its twin never overflows)."""
     c = col if isinstance(col, F.Column) else F.col(col)
-    return F.sum(F.round(c * scale).cast("long")) / float(scale)
+    scaled = F.round(c * scale).cast("long")
+    if wide:
+        return (
+            F.sum(scaled.cast("decimal(20,0)")).cast("double") / float(scale)
+        )
+    return F.sum(scaled) / float(scale)
 
 
-def money_avg(col, scale: int = 100) -> F.Column:
+def money_avg(col, scale: int = 100, wide: bool = False) -> F.Column:
     """Order-independent AVG for fixed-decimal doubles (see
     ``money_sum``); NULL on empty input like AVG. DuckDB twin:
     ``(SUM(CAST(ROUND(x*scale) AS BIGINT)) / scale.0) / COUNT(x)``."""
     c = col if isinstance(col, F.Column) else F.col(col)
-    return F.try_divide(money_sum(c, scale), F.count(c).cast("double"))
+    return F.try_divide(money_sum(c, scale, wide), F.count(c).cast("double"))
 
 
 def corr_matrix(df: DataFrame, cols: list[str]) -> "np.ndarray":

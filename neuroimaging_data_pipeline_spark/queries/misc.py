@@ -566,7 +566,14 @@ def c_contrast_estimate(spark, sf_dir):
 
     import pandas as pd
 
-    li = _t(spark, sf_dir, "lineitem")
+    # NOTE (measured r4, sf0.1): unlike g_group_ttest, a pre-agg
+    # repartition does NOT pay here — mass_ols re-shuffles on its own
+    # (subject, run, _voxel_block) key regardless, so the extra 600k-row
+    # shuffle is additive (0.97s) while the map-side partial agg already
+    # crushes 600k -> 140k rows before the groupBy exchange (0.74s).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_linenumber", "l_quantity"
+    )
     values = (
         li.groupBy(
             F.col("l_partkey").alias("voxel_id"),
@@ -628,7 +635,18 @@ def g_group_ttest(spark, sf_dir):
         group_ttest,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    # Same single-row-group mitigation as c_contrast_estimate: narrow
+    # 3-column repartition on l_partkey alone parallelizes the partial
+    # agg AND (subset-key clustering) serves both this groupBy and
+    # group_ttest's downstream (voxel_id, regressor) agg — the whole
+    # query runs with ONE exchange (measured 0.81 -> 0.58s at sf0.1).
+    li = li.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        F.col("l_partkey"),
+    )
     betas = (
         li.groupBy(
             F.col("l_partkey").alias("voxel_id"),

@@ -86,6 +86,27 @@ def test_money_sum_matches_duckdb_twin_and_is_invariant(spark):
         )
 
 
+def test_money_sum_wide_matches_long_path_and_survives_big_totals(spark):
+    """wide=True: DECIMAL(20,0) accumulation of the same scaled ints —
+    identical results where LONG suffices, and still exact where the
+    LONG path would overflow (the 100 TB hot-group switch)."""
+    rng = np.random.default_rng(7)
+    cents = rng.integers(-10_000_000, 10_000_000, 2000)
+    pdf = pd.DataFrame(
+        {"g": np.arange(2000) % 3, "x": cents.astype(np.float64) / 100.0}
+    )
+    df = spark.createDataFrame(pdf)
+    narrow = _collect(df.groupBy("g").agg(money_sum("x").alias("s")))
+    wide = _collect(df.groupBy("g").agg(money_sum("x", wide=True).alias("s")))
+    assert narrow == wide  # bitwise
+    # per-addend scaled magnitude ~9.2e18/2: two addends overflow LONG
+    big = spark.createDataFrame(
+        pd.DataFrame({"g": [0, 0], "x": [4.6e16, 4.6e16]})
+    )
+    out = _collect(big.groupBy("g").agg(money_sum("x", wide=True).alias("s")))
+    assert out[0] == pytest.approx(9.2e16, rel=1e-12)
+
+
 def test_avg_variants_null_and_empty_semantics(spark):
     pdf = pd.DataFrame(
         {"g": [0, 0, 1, 1], "x": [1.25, None, None, None]}
