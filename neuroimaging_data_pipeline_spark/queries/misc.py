@@ -519,6 +519,56 @@ def m3_ppm_stats(spark, sf_dir):
     )
 
 
+def s5_nifti_stats(spark, sf_dir):
+    """S5: REAL NIfTI-1 codec end-to-end (sources/nifti.py).
+
+    Per document, a genuine single-file .nii volume (4x3x2x2, int16
+    storage with scl_slope/scl_inter, voxels from a pure integer
+    formula) is encoded by the stdlib-only writer, carried as an
+    opaque binary column, then decoded by the real 348-byte-header
+    parser inside Arrow-batched mapInPandas, which emits per-volume
+    stats. The oracle recomputes the stats from the same voxel formula
+    in pure SQL — a codec bug (header offsets, Fortran order,
+    datatype, slope/inter) breaks the hash match. Upgrades S5 from
+    pytest-only to oracle-checked; the reference's input format
+    (nib.load, ssm_loop.py:40) is now decoded for real."""
+    from neuroimaging_data_pipeline_spark.sources.nifti import (
+        nifti_volume_stats,
+        synthesize_nifti_volumes,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_nifti_volumes(d, id_col="doc_id")
+    stats = nifti_volume_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "nx", "ny", "nz", "nt", "n_vox",
+        (F.round("mean_value", 6) + F.lit(0.0)).alias("mean_value"),
+        (F.round("max_value", 6) + F.lit(0.0)).alias("max_value"),
+    )
+
+
+S5_NIFTI_SQL = """
+WITH vox AS (
+  SELECT doc_id,
+         CAST((doc_id * 13 + x.x * 7 + y.y * 31 + z.z * 3 + t.t * 17) % 97
+              AS DOUBLE) * 0.5 + 10.0 AS v
+  FROM documents,
+       UNNEST(range(0, 4)) AS x(x),
+       UNNEST(range(0, 3)) AS y(y),
+       UNNEST(range(0, 2)) AS z(z),
+       UNNEST(range(0, 2)) AS t(t)
+)
+SELECT doc_id,
+       CAST(4 AS INT) AS nx, CAST(3 AS INT) AS ny,
+       CAST(2 AS INT) AS nz, CAST(2 AS INT) AS nt,
+       CAST(COUNT(*) AS BIGINT) AS n_vox,
+       (ROUND(AVG(v), 6) + 0.0) AS mean_value,
+       (ROUND(MAX(v), 6) + 0.0) AS max_value
+FROM vox GROUP BY doc_id
+"""
+
+
 M3_SQL = """
 WITH px AS (
   SELECT doc_id, c.c AS c,
@@ -708,6 +758,7 @@ QUERIES = {
     "m1_binary_digest": m1_binary_digest,
     "m2_wav_rms": m2_wav_rms,
     "m3_ppm_stats": m3_ppm_stats,
+    "s5_nifti_stats": s5_nifti_stats,
 }
 
 ORACLE = {
@@ -725,4 +776,5 @@ ORACLE = {
     "m1_binary_digest": M1_SQL,
     "m2_wav_rms": M2_SQL,
     "m3_ppm_stats": M3_SQL,
+    "s5_nifti_stats": S5_NIFTI_SQL,
 }
