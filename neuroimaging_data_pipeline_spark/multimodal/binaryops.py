@@ -8,17 +8,19 @@ frame-sample run as Arrow-batched ``mapInPandas`` — one Python worker
 per partition, batches sized by spark.sql.execution.arrow.
 maxRecordsPerBatch, no per-row overhead.
 
-Codec status: AUDIO AND IMAGE ARE REAL — WAV (RIFF/PCM16) encode +
-decode via the stdlib ``wave`` module (``encode_wav_pcm16`` /
-``decode_wav`` / ``wav_features``) and PPM/P6 images via pure
-header+raw-bytes parsing (``encode_ppm`` / ``decode_ppm`` /
-``ppm_features``), both end-to-end through real binary
-parquet-shaped columns and Arrow batches. Compressed-format decode
-(JPEG/PNG/MP4) remains stubbed (``decoder='fake'`` is a
-deterministic stand-in; ``decoder='pil'``/'ffmpeg' raise
-NotImplementedError until the libraries are provisioned) — the
-Spark-side plumbing (schema, batch shape, partition behavior) is
-identical and tested either way.
+Codec status: AUDIO, RAW IMAGE AND COMPRESSED IMAGE ARE REAL — WAV
+(RIFF/PCM16) encode + decode via the stdlib ``wave`` module
+(``encode_wav_pcm16`` / ``decode_wav`` / ``wav_features``), PPM/P6
+images via pure header+raw-bytes parsing (``encode_ppm`` /
+``decode_ppm`` / ``ppm_features``), and PNG (8-bit RGB, DEFLATE,
+all five scanline filters, CRC-checked chunks) via stdlib ``zlib`` +
+``struct`` (``encode_png`` / ``decode_png`` / ``png_features``) —
+all end-to-end through real binary parquet-shaped columns and Arrow
+batches. Only decoders that genuinely need external libraries
+(JPEG/MP4) remain stubbed (``decoder='fake'`` is a deterministic
+stand-in; ``decoder='pil'``/'ffmpeg' raise NotImplementedError until
+the libraries are provisioned) — the Spark-side plumbing (schema,
+batch shape, partition behavior) is identical and tested either way.
 """
 
 from __future__ import annotations
@@ -259,6 +261,234 @@ def ppm_features(
                     "mean_r": mr,
                     "mean_g": mg,
                     "mean_b": mb,
+                }
+            )
+
+    return media.mapInPandas(feat_batches, out_schema)
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec 9.4), vectorized over a scanline."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Real PNG writer, stdlib-only (``zlib`` DEFLATE + ``struct``):
+    8-bit RGB (color type 2), non-interlaced, CRC-checked chunks.
+
+    Scanline filter types deliberately CYCLE 0..4 by row (None, Sub,
+    Up, Average, Paeth) so any decoder of these payloads must
+    implement the full PNG filter suite — a None-only writer would
+    let a partial decoder pass. ``pixels`` is (H, W, 3) uint8.
+    """
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    zero3 = np.zeros(3, dtype=np.int16)
+    prev = np.zeros(w * 3, dtype=np.int16)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([zero3, row[:-3]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - ((left + prev) >> 1)
+        else:
+            up_left = np.concatenate([zero3, prev[:-3]])
+            filt = row - _paeth_vec(left, prev, up_left)
+        raw.append(ft)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(bytes(raw), 9)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode, stdlib-only: signature + chunk walk with CRC
+    verification, IHDR validation, multi-IDAT concatenation, zlib
+    inflate, and full scanline un-filtering (None/Sub/Up/Average/
+    Paeth). Supports the 8-bit RGB non-interlaced profile the writer
+    emits; anything else raises. Returns (H, W, 3) uint8.
+
+    Sub/Average/Paeth reconstruction is sequential in the left
+    neighbor, so those rows run a per-byte loop — fine for the small
+    fixtures here; a production path would push wide images through
+    a C-level unfilter. Ancillary chunks (tEXt, pHYs, ...) are
+    skipped after their CRC check, per spec."""
+    import struct
+    import zlib
+
+    data = bytes(payload)
+    if data[:8] != PNG_SIG:
+        raise ValueError(f"not a PNG payload: {data[:8]!r}")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit RGB non-interlaced PNG supported, got "
+                    f"depth={depth} color={ctype} interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat.extend(chunk)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += stride
+        if ft == 0:
+            recon = line
+        elif ft == 2:
+            recon = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            recon = line.copy()
+            for i in range(stride):
+                a = recon[i - 3] if i >= 3 else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + prev[i]) >> 1
+                else:
+                    b = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on row {y}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out.reshape(h, w, 3)
+
+
+def synthesize_png_images(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 10,
+) -> DataFrame:
+    """Deterministic compressed-image fixture: one real PNG per
+    document with pixel (y, x, c) = (id*11 + y*37 + x*23 + c*71) % 256
+    — a pure integer formula an oracle can recompute without any
+    codec, while the payload is a genuine DEFLATE-compressed PNG whose
+    rows cycle through all five filter types (height 10 = each filter
+    twice). (media_id, content binary)."""
+    out_schema = "media_id long, content binary"
+    ys = np.arange(height)[:, None, None]
+    xs = np.arange(width)[None, :, None]
+    cs = np.arange(3)[None, None, :]
+    base = ys * 37 + xs * 23 + cs * 71
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(((int(i) * 11 + base) % 256).astype(np.uint8))
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
+
+    return docs.select(id_col).mapInPandas(encode_batches, out_schema)
+
+
+def png_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode PNG binaries with the REAL stdlib-only codec and emit
+    per-image features: (media_id, width, height, mean_r, mean_g,
+    mean_b, sum_px). sum_px (total of all pixel bytes) makes the
+    oracle sensitive to every single pixel, not only channel means.
+    Same narrow Arrow-batched mapInPandas boundary as ppm_features."""
+    out_schema = (
+        f"{id_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, sum_px long"
+    )
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, mr, mg, mb, sp = [], [], [], [], [], []
+            for payload in pdf[content_col]:
+                arr = decode_png(payload)
+                h, w, _ = arr.shape
+                ws.append(w)
+                hs.append(h)
+                flat = arr.reshape(-1, 3).astype(np.float64)
+                means = flat.mean(axis=0)
+                mr.append(float(means[0]))
+                mg.append(float(means[1]))
+                mb.append(float(means[2]))
+                sp.append(int(flat.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                    "sum_px": sp,
                 }
             )
 

@@ -132,3 +132,61 @@ def test_streaming_spikes_flag_only_the_outlier(spark, event_stream_dir):
     by_user = out[out.user_id == 2].sort_values("event_id")
     assert by_user["z"].head(10).isna().all()
     assert by_user["z"].tail(10).notna().all()
+
+
+def test_stateful_over_real_events_ingest(spark, tmp_path):
+    """VERDICT r3 #6: the stateful path run against the REAL events
+    table through the r4 footer-probing ingest (stream_parquet_dir),
+    not a synthetic value-only landing dir. Two claims pinned:
+    (a) event times seen by the same stream are 2024-range, never the
+    1970 the r3 unit-guess produced; (b) the stateful spike operator
+    completes over that stream and judges values against genuine
+    per-user history (z null until min_history, then populated)."""
+    import datetime
+    import os
+    import shutil
+
+    from neuroimaging_data_pipeline_spark.streaming.events import (
+        stream_parquet_dir,
+    )
+    from neuroimaging_data_pipeline_spark.streaming.stateful import (
+        streaming_spike_flags,
+    )
+
+    src = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    src_file = os.path.join(src, "events.parquet")
+    if not os.path.exists(src_file):
+        pytest.skip("driver testdata not present")
+    # the file stream source wants a landing DIRECTORY; the driver
+    # table is a single file — stage it as a one-file landing dir
+    landing = tmp_path / "events_landing"
+    landing.mkdir()
+    shutil.copy(src_file, landing / "events.parquet")
+    events = str(landing)
+
+    stream = stream_parquet_dir(spark, events)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+    flags = streaming_spike_flags(
+        stream, key="user_id", value_col="value", min_history=5
+    )
+    got = _run(spark, flags, "real_ingest_spikes").toPandas()
+    ts_range = _run(
+        spark,
+        stream_parquet_dir(spark, events).select("ts"),
+        "real_ingest_ts",
+    ).toPandas()
+
+    lo, hi = ts_range["ts"].min(), ts_range["ts"].max()
+    assert lo >= datetime.datetime(2024, 1, 1), lo
+    assert hi < datetime.datetime(2026, 1, 1), hi
+
+    batch = spark.read.parquet(events)
+    assert len(got) == batch.count()
+    judged = got[got["z"].notna()]
+    # every user with >min_history events must have judged rows
+    assert len(judged) > 0
+    per_user = got.groupby("user_id").size()
+    deep_users = per_user[per_user > 10].index
+    judged_users = set(judged["user_id"])
+    assert set(deep_users) <= judged_users
