@@ -345,8 +345,101 @@ FROM agg a JOIN ng USING (doc_id)
 """
 
 
+def t_repetition(spark, sf_dir):
+    """Repetition-based quality filters (the Gopher/RefinedWeb family
+    adapted to word level — this corpus has no line structure):
+    duplicate-word fraction, top-word occurrence share, top-bigram
+    occurrence share. All three are pure nested higher-order column
+    expressions (array_distinct + per-distinct-element count + max) —
+    JVM-side, zero shuffle, linear scan at 100 TB. The oracle
+    recomputes them relationally (UNNEST words/bigrams, GROUP BY,
+    MAX) — two entirely different formulations that must agree."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        _max_run_length,
+        tokens,
+        word_bigrams_of,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    # Materialize the token array ONCE as an attribute: the regex
+    # split is expensive and referenced by every signal, and Catalyst
+    # only avoids duplicating it across Project boundaries when it is
+    # an attribute, not an inline expression (measured 3.2 s -> see
+    # PLANS notes) .
+    ws = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("ws"))
+    arrs = ws.select(
+        "doc_id",
+        F.size("ws").alias("n"),
+        F.size(F.array_distinct("ws")).alias("nd"),
+        F.array_sort("ws").alias("sws"),
+        F.array_sort(word_bigrams_of(F.col("ws"))).alias("sbgs"),
+    )
+    return arrs.select(
+        "doc_id",
+        (
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) - F.try_divide("nd", "n"), F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_word_frac"),
+        (
+            F.round(
+                F.coalesce(
+                    F.try_divide(_max_run_length(F.col("sws")), F.col("n")),
+                    F.lit(0.0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("top_word_frac"),
+        (
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        _max_run_length(F.col("sbgs")), F.size("sbgs")
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )
+
+
+T_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS ws FROM documents
+), words AS (
+  SELECT doc_id, ws[i] AS w
+  FROM base, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+), wagg AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS topw
+  FROM wc GROUP BY doc_id
+), bigrams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM base, UNNEST(range(1, len(ws))) AS t(i)
+), bc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+), bagg AS (
+  SELECT doc_id, SUM(c) AS nb, MAX(c) AS topb FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id,
+       (ROUND(1.0 - nd / CAST(n AS DOUBLE), 6) + 0.0) AS dup_word_frac,
+       (ROUND(topw / CAST(n AS DOUBLE), 6) + 0.0) AS top_word_frac,
+       (ROUND(COALESCE(topb / CAST(nb AS DOUBLE), 0.0), 6) + 0.0) AS top_bigram_frac
+FROM wagg w LEFT JOIN bagg b USING (doc_id)
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
+    "t_repetition": t_repetition,
     "t_quality_signals": t_quality_signals,
     "t_lang_id": t_lang_id,
     "t_fingerprint": t_fingerprint,
@@ -358,6 +451,7 @@ QUERIES = {
 
 ORACLE = {
     "t_token_count": T_TOKEN_SQL,
+    "t_repetition": T_REPETITION_SQL,
     "t_quality_signals": T_QUALITY_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,

@@ -66,6 +66,92 @@ def mean_word_length(text: str | Column) -> Column:
     return F.try_divide(total, F.size(toks))
 
 
+def dup_word_frac(text: str | Column) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier
+    word: 1 - distinct/total. The word-level analog of the
+    duplicate-line fraction in published repetition filters (Gopher,
+    RefinedWeb) — high values flag boilerplate/keyword-stuffed docs.
+    Pure column expression (array_distinct), no shuffle."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(toks)), F.size(toks)
+    )
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — i.e.
+    the count of the most frequent element — as ONE aggregate pass.
+
+    Deliberately NOT the obvious
+    ``transform(array_distinct(a), e -> size(filter(a, x -> x = e)))``:
+    Catalyst inlines the array-construction expression into every
+    lambda occurrence (no CSE across higher-order functions), turning
+    that form into O(distinct x n x cost(build)) per row — measured
+    32 s for 5k docs at sf0.1. The sort + single-pass fold is
+    O(n log n) with the array built exactly once (sub-second same
+    data). NULL init for ``prev`` makes the first element start a run
+    of 1 (NULL-safe: x == NULL is NULL, so the when() falls through)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def top_word_frac(text: str | Column) -> Column:
+    """Occurrence share of the single most frequent word — the
+    top-1-gram fraction repetition signal. Fully JVM-side: sort the
+    token array, one fold for the max run length; zero shuffle."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return F.try_divide(_max_run_length(F.array_sort(toks)), F.size(toks))
+
+
+def word_bigrams(text: str | Column) -> Column:
+    """Adjacent-word bigram array ('a b', 'b c', ...), empty for
+    single-word docs.
+
+    Pass a pre-materialized token ARRAY column here when combining
+    with other token-array consumers (see t_repetition): ``tokens()``
+    is a regex split, and Catalyst inlines a non-attribute expression
+    into every ``element_at`` lambda occurrence — re-splitting the
+    text per element. Against an attribute reference the split runs
+    once per row."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return word_bigrams_of(toks)
+
+
+def word_bigrams_of(toks: Column) -> Column:
+    """word_bigrams over an existing token-array column."""
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+
+
+def top_bigram_frac(text: str | Column) -> Column:
+    """Occurrence share of the most frequent adjacent-word bigram —
+    the top-2-gram repetition signal; catches looped phrases that
+    single-word stats miss. Same sort + single-fold shape as
+    top_word_frac (see _max_run_length for why)."""
+    bgs = word_bigrams(text)
+    return F.try_divide(_max_run_length(F.array_sort(bgs)), F.size(bgs))
+
+
 def quality_score(text: str | Column) -> Column:
     """Composite quality score in [0,1]: rewards prose-like length,
     low punctuation density, stopword presence, sane word lengths.

@@ -215,6 +215,43 @@ def test_text_analysis_columns(spark, docs):
     assert (out["q"] >= 0).all() and (out["q"] <= 1).all()
 
 
+def test_repetition_signals_hand_computed(spark):
+    """dup_word_frac / top_word_frac / top_bigram_frac against
+    hand-computed values, including the degenerate single-word and
+    fully-repeated cases."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        dup_word_frac,
+        top_bigram_frac,
+        top_word_frac,
+    )
+
+    rows = [
+        (0, "a b a b a"),        # 5 words {a:3,b:2}; bigrams: ab,ba,ab,ba
+        (1, "x x x x"),           # all same word
+        (2, "one two three four"),  # all distinct
+        (3, "solo"),              # single word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        df.select(
+            "doc_id",
+            F.round(dup_word_frac("text"), 6).alias("dw"),
+            F.round(top_word_frac("text"), 6).alias("tw"),
+            F.coalesce(F.round(top_bigram_frac("text"), 6), F.lit(0.0)).alias("tb"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "dw"] == round(1 - 2 / 5, 6)
+    assert out.loc[0, "tw"] == 0.6          # 'a' 3/5
+    assert out.loc[0, "tb"] == 0.5          # 'a b' 2/4
+    assert out.loc[1, "dw"] == 0.75 and out.loc[1, "tw"] == 1.0
+    assert out.loc[1, "tb"] == 1.0          # 'x x' 3/3
+    assert out.loc[2, "dw"] == 0.0 and out.loc[2, "tw"] == 0.25
+    assert out.loc[3, "dw"] == 0.0 and out.loc[3, "tw"] == 1.0
+    assert out.loc[3, "tb"] == 0.0          # no bigrams -> null -> 0
+
+
 def test_ngram_df_cap_drops_boilerplate_shingles(spark):
     """The df cap excludes hot (boilerplate) shingles from BOTH the
     intersection and the sizes, matching an exact local recomputation
