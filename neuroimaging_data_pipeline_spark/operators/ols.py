@@ -328,12 +328,6 @@ def contrast(
         pinv = np.linalg.pinv(X)
         quad = float(c @ (pinv @ pinv.T) @ c)  # c'(X'X)^-1 c
         qrows.append((*kt, quad))
-    spark = stats.sparkSession
-    quad_df = F.broadcast(
-        spark.createDataFrame(
-            pd.DataFrame(qrows, columns=[*keys, "_quad"])
-        )
-    )
     wmap = F.create_map(
         *[x for r, w in weights.items() for x in (F.lit(r), F.lit(float(w)))]
     )
@@ -348,7 +342,21 @@ def contrast(
             F.first("df").alias("df"),
         )
     )
-    out = per_vox.join(quad_df, on=keys).select(
+    if len(qrows) == 1:
+        # One design group (the whole-cohort case): the quadratic form
+        # is a single scalar — attach it as a literal instead of
+        # building + broadcast-joining a one-row DataFrame (saves a
+        # driver-side createDataFrame and a join stage per call).
+        per_vox = per_vox.withColumn("_quad", F.lit(qrows[0][-1]))
+    else:
+        spark = stats.sparkSession
+        quad_df = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(qrows, columns=[*keys, "_quad"])
+            )
+        )
+        per_vox = per_vox.join(quad_df, on=keys)
+    out = per_vox.select(
         *keys,
         "voxel_id",
         "contrast",
