@@ -288,10 +288,67 @@ WHERE n_chars >= 300 OR n_chars IS NULL
 """
 
 
+# --- S11: remote text fetch --------------------------------------------------
+
+_REMOTE_DIR = os.path.join(
+    tempfile.gettempdir(), "ndp_spark_fixtures", "remote_atlas"
+)
+
+
+def _write_remote_fixture() -> str:
+    """Deterministic 'remote' atlas-label resources (the kind of small
+    text lookup the reference notebook fetches over HTTP): 4 files,
+    file i holding 5+i tab-separated (index, label) lines."""
+    os.makedirs(_REMOTE_DIR, exist_ok=True)
+    for i in range(4):
+        lines = [f"{j}\tregion_{i}_{j * 7 % 11}" for j in range(5 + i)]
+        with open(os.path.join(_REMOTE_DIR, f"atlas_{i}.txt"), "w") as fh:
+            fh.write("\n".join(lines))
+    return _REMOTE_DIR
+
+
+_write_remote_fixture()
+
+
+def s11_remote_fetch(spark, sf_dir):
+    """S11: remote text fetch (notebook cell 2, ssm_loop.py:26) as a
+    DISTRIBUTED source: a URI table fanned out via mapInPandas, each
+    executor fetching its partition's URIs with stdlib urllib —
+    errors-as-data, size-capped (sources/fetch.py). file:// URIs run
+    the identical code path as http(s) hermetically; the oracle reads
+    the same files with DuckDB read_text and must reproduce status,
+    byte counts, line counts and the full-content md5."""
+    from neuroimaging_data_pipeline_spark.sources.fetch import fetch_text
+
+    names = sorted(os.listdir(_REMOTE_DIR))
+    uris = spark.createDataFrame(
+        [(f"file://{_REMOTE_DIR}/{n}",) for n in names], "uri string"
+    ).repartition(4)
+    fetched = fetch_text(uris)
+    return fetched.select(
+        F.regexp_extract("uri", r"([^/]+)$", 1).alias("name"),
+        "status",
+        "n_bytes",
+        F.size(F.split("content", "\n", -1)).alias("n_lines"),
+        F.md5(F.encode("content", "UTF-8")).alias("digest"),
+    )
+
+
+S11_SQL = f"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
+       CAST(200 AS INT) AS status,
+       CAST(len(content) AS INT) AS n_bytes,
+       CAST(len(string_split(content, chr(10))) AS INT) AS n_lines,
+       md5(content) AS digest
+FROM read_text('{_REMOTE_DIR}/*.txt')
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s2_dir_listing": s2_dir_listing,
     "s4_sidecar_lookup": s4_sidecar_lookup,
+    "s11_remote_fetch": s11_remote_fetch,
     "e3_motion_outlier_hist": e3_motion_outlier_hist,
     "sv_time_travel": sv_time_travel,
 }
@@ -300,6 +357,7 @@ ORACLE = {
     "s1_tsv_scan": S1_SQL,
     "s2_dir_listing": S2_SQL,
     "s4_sidecar_lookup": S4_SQL,
+    "s11_remote_fetch": S11_SQL,
     "e3_motion_outlier_hist": E3_SQL,
     "sv_time_travel": SV_TT_SQL,
 }

@@ -542,7 +542,9 @@ def m4_png_stats(spark, sf_dir):
         synthesize_png_images,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # single-row-group documents scan -> spread so the Python codec
+    # stages run on all cores, not one worker
+    d = read_table(spark, sf_dir, "documents", min_partitions=32)
     media = synthesize_png_images(d, id_col="doc_id")
     feats = png_features(media)
     return feats.select(
@@ -599,7 +601,7 @@ def m5_jpeg_stats(spark, sf_dir):
         synthesize_jpeg_images,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", min_partitions=32)
     media = synthesize_jpeg_images(d, id_col="doc_id")
     feats = jpeg_features(media)
     return feats.select(

@@ -1,0 +1,73 @@
+"""S11 distributed text fetch: real urllib code path over file://,
+errors-as-data, size cap."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_fetch_text_file_scheme_and_errors(spark, tmp_path):
+    from neuroimaging_data_pipeline_spark.sources.fetch import fetch_text
+
+    ok = tmp_path / "ok.txt"
+    ok.write_text("alpha\nbeta\n")
+    big = tmp_path / "big.txt"
+    big.write_text("x" * 1000)
+
+    uris = spark.createDataFrame(
+        [
+            (f"file://{ok}",),
+            (f"file://{tmp_path}/missing.txt",),
+            ("notascheme://nope",),
+            (f"file://{big}",),
+        ],
+        "uri string",
+    ).repartition(2)
+    out = {
+        r["uri"]: r
+        for r in fetch_text(uris, max_bytes=100).collect()
+    }
+    assert len(out) == 4
+
+    good = out[f"file://{ok}"]
+    assert good["status"] == 200
+    assert good["content"] == "alpha\nbeta\n"
+    assert good["n_bytes"] == 11
+    assert good["error"] is None
+
+    missing = out[f"file://{tmp_path}/missing.txt"]
+    assert missing["status"] == -1
+    assert missing["content"] is None
+    assert missing["error"] is not None
+
+    bad_scheme = out["notascheme://nope"]
+    assert bad_scheme["status"] == -1 and bad_scheme["error"] is not None
+
+    truncated = out[f"file://{big}"]
+    assert truncated["status"] == 200
+    assert len(truncated["content"]) == 100
+    assert "truncated" in truncated["error"]
+
+
+def test_fetch_plan_is_narrow(spark, tmp_path):
+    """One mapInPandas over the URI table — no shuffle added by the
+    fetcher itself."""
+    from neuroimaging_data_pipeline_spark.sources.fetch import fetch_text
+
+    p = tmp_path / "a.txt"
+    p.write_text("hi")
+    uris = spark.createDataFrame([(f"file://{p}",)], "uri string")
+    plan = (
+        fetch_text(uris)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+@pytest.mark.skip(reason="network-gated: http(s) runs the same urllib "
+                  "branch; no egress in this environment")
+def test_fetch_http():  # pragma: no cover
+    pass
