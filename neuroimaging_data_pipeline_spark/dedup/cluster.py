@@ -1,0 +1,79 @@
+"""Near-duplicate CLUSTER formation: connected components over
+candidate-pair edges (the step after pairwise dedup detection — a
+training-data pipeline keeps one representative per duplicate
+cluster, not per pair, or transitive chains A~B~C leak both A and C).
+
+Algorithm: hash-min label propagation — every node starts labeled
+with its own id; each round, every node takes the min label among
+itself and its neighbors; converges when no label changes. Rounds
+needed = graph diameter, which for near-dup clusters (dense blobs of
+rewrites of the same source) is small. Each round is two shuffles of
+the edge list — the standard iterative-DataFrame shape (same as the
+IVF Lloyd passes in ``similarity/cosine.py``): a driver loop over
+LAZY plans with a one-scalar convergence check per round, lineage
+truncated per round so plans stay flat.
+
+Scale: O(E) per round with map-side combine on the min-agg. For
+pathological long-chain graphs (diameter >> 10) the published fix is
+the large-star/small-star contraction of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SOCC'14), which converges in
+O(log^2 n) rounds; near-dup edge sets don't need it, so this module
+implements plain hash-min and documents the upgrade path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the MIN node id reachable from it
+    (undirected). Returns (id, cluster_id). Nodes absent from any
+    edge keep their own id — singleton clusters are explicit, so the
+    output is a total labeling of ``nodes``.
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .union(
+            edges.select(
+                F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")
+            )
+        )
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    )
+    # Edges are reused every round — keep them materialized once.
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels, sym["_s"] == labels["id"], "inner"
+        ).select(F.col("_d").alias("id"), F.col("lbl"))
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)  # flat lineage per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

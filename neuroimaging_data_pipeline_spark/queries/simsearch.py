@@ -383,6 +383,57 @@ WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= {threshold}
 D_MINHASH_SQL = _minhash_sql()
 
 
+def d_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components (dedup/cluster.py
+    hash-min label propagation) over the SAME MinHash+LSH verified
+    pairs d_minhash_lsh emits. Every document gets a cluster_id = min
+    doc_id reachable through near-dup edges (singletons keep their own
+    id) — the keep-one-representative step of a dedup pipeline, where
+    transitive chains A~B~C must collapse to ONE cluster even though
+    (A, C) was never a candidate pair. The oracle recomputes the
+    closure with a recursive CTE over the identical pair set."""
+    from neuroimaging_data_pipeline_spark.dedup.cluster import (
+        connected_components,
+    )
+    from neuroimaging_data_pipeline_spark.dedup.minhash import (
+        minhash_dedup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    pairs = minhash_dedup_pairs(
+        docs, threshold=0.2, max_bucket_size=MINHASH_BUCKET_CAP
+    ).select("id_a", "id_b")
+    out = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    )
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _dup_clusters_sql() -> str:
+    """Recursive-CTE twin: the d_minhash_lsh pair pipeline (verbatim,
+    as a subquery) symmetrized into an edge list, then transitive
+    closure via WITH RECURSIVE, then MIN(label) per node."""
+    pairs_sql = _minhash_sql().strip().rstrip()
+    return f"""
+WITH RECURSIVE vp AS (
+  SELECT id_a, id_b FROM ({pairs_sql})
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM vp
+), reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+D_CLUSTERS_SQL = _dup_clusters_sql()
+
+
 #: Chunk-bucket flood cap for d_simhash — above the largest observed
 #: bucket at test SFs (291 at sf0.1), so no recall loss there; mirrored
 #: in the oracle SQL so the semantics stay checkable even if a bucket
@@ -486,6 +537,7 @@ QUERIES = {
     "s_lsh_topk": s_lsh_topk,
     "d_minhash_lsh": d_minhash_lsh,
     "d_simhash": d_simhash,
+    "d_dup_clusters": d_dup_clusters,
 }
 
 ORACLE = {
@@ -495,4 +547,5 @@ ORACLE = {
     "d_simhash": D_SIMHASH_SQL,
     "d_minhash_lsh": D_MINHASH_SQL,
     "s_lsh_topk": S_LSH_SQL,
+    "d_dup_clusters": D_CLUSTERS_SQL,
 }

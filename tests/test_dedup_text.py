@@ -215,6 +215,28 @@ def test_text_analysis_columns(spark, docs):
     assert (out["q"] >= 0).all() and (out["q"] <= 1).all()
 
 
+def test_connected_components_hand_built(spark):
+    """Hash-min CC on a graph with a transitive chain, a cycle, an
+    isolated pair and singletons — labels must equal the min id of
+    each true component, including nodes with no edges."""
+    from neuroimaging_data_pipeline_spark.dedup.cluster import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    # chain 1-2-3-4 (1,4 never directly linked), cycle 5-6-7-5,
+    # pair 8-9, singletons 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5), (9, 8)],
+        "src long, dst long",
+    )
+    out = dict(
+        connected_components(nodes, edges).orderBy("id").collect()
+    )
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1,
+                   5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
 def test_repetition_signals_hand_computed(spark):
     """dup_word_frac / top_word_frac / top_bigram_frac against
     hand-computed values, including the degenerate single-word and
