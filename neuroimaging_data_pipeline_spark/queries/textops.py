@@ -437,9 +437,95 @@ FROM wagg w LEFT JOIN bagg b USING (doc_id)
 """
 
 
+def e2_corpus_pipeline(spark, sf_dir):
+    """E2: the training-corpus preparation flow composed END-TO-END as
+    ONE lazy plan — the engine's 'run your whole pipeline' showcase:
+
+      documents
+        -> exact dedup, keep the min-id representative per content hash
+        -> quality scoring (length / punctuation / stopword / word-len
+           composite), keep round(score,6) >= 0.5
+        -> heuristic language ID
+        -> per-language corpus stats (docs kept, total whitespace
+           tokens, mean quality)
+
+    Every stage is the same operator the standalone queries exercise
+    (dedup/exact.py, text/analysis.py), so the oracle reuses their
+    already-proven SQL twins CTE-by-CTE; the per-language aggregate
+    seals the whole flow under one hash check. Plan: scan -> hash-agg
+    dedup (one shuffle) -> narrow column expressions -> final partial
+    agg; nothing row-Python, nothing driver-side."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        quality_score,
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    keep = exact_dedup_keys(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = docs.join(keep, on="doc_id", how="left_semi")
+    scored = kept.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        token_count("text").alias("n_tokens"),
+        F.round(quality_score("text"), 6).alias("q"),
+    ).filter(F.col("q") >= 0.5)
+    return scored.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+        (F.round(F.avg("q"), 6) + F.lit(0.0)).alias("avg_quality"),
+    )
+
+
+_QSCORE_SQL = f"""(
+  least(len(text) / 500.0, 1.0)
+  + greatest(0.0, 1.0 - COALESCE(CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / NULLIF(len(text), 0), 0.0) * 5.0)
+  + least(COALESCE(CAST(len(list_filter({_TOKS_SQL}, t -> t IN ('the','and','of','to','is'))) AS DOUBLE)
+        / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0), 0.0) * 3.0, 1.0)
+  + CASE WHEN COALESCE(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> len(t))) AS DOUBLE)
+        / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0), 0.0) BETWEEN 3.0 AND 10.0
+    THEN 1.0 ELSE 0.5 END
+) / 4.0"""
+
+
+E2_PIPE_SQL = f"""
+WITH kept AS (
+  SELECT * FROM documents
+  QUALIFY doc_id = MIN(doc_id) OVER (
+    PARTITION BY md5(substring({_NORM_SQL}, 1, 1000000))
+  )
+), scores AS (
+  SELECT doc_id,
+         {_lang_hits_sql('de')} AS s_de,
+         {_lang_hits_sql('en')} AS s_en,
+         {_lang_hits_sql('es')} AS s_es,
+         {_lang_hits_sql('fr')} AS s_fr,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         ROUND({_QSCORE_SQL}, 6) AS q
+  FROM kept
+), scored AS (
+  SELECT CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+              WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred,
+         n_tokens, q
+  FROM scores WHERE q >= 0.5
+)
+SELECT lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       (ROUND(AVG(q), 6) + 0.0) AS avg_quality
+FROM scored GROUP BY lang_pred
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "t_repetition": t_repetition,
+    "e2_corpus_pipeline": e2_corpus_pipeline,
     "t_quality_signals": t_quality_signals,
     "t_lang_id": t_lang_id,
     "t_fingerprint": t_fingerprint,
@@ -452,6 +538,7 @@ QUERIES = {
 ORACLE = {
     "t_token_count": T_TOKEN_SQL,
     "t_repetition": T_REPETITION_SQL,
+    "e2_corpus_pipeline": E2_PIPE_SQL,
     "t_quality_signals": T_QUALITY_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,
