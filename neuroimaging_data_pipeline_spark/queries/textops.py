@@ -14,6 +14,7 @@ from neuroimaging_data_pipeline_spark.dedup.exact import exact_dedup_keys
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 from neuroimaging_data_pipeline_spark.text.analysis import (
     LANG_MARKERS,
+    PII_PATTERNS,
     fingerprint,
     lang_id,
     mean_word_length,
@@ -522,10 +523,70 @@ FROM scored GROUP BY lang_pred
 """
 
 
+def t_pii_signals(spark, sf_dir):
+    """PII-surface counts per document (emails / IPv4 / intl phone
+    shapes) — the redaction-triage filter. Patterns are RE2-safe so
+    both engines count identical non-overlapping matches; the pytest
+    side proves nonzero counts on planted PII (this corpus is clean,
+    so the driver rows are honest zeros)."""
+    from neuroimaging_data_pipeline_spark.text.analysis import pii_counts
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    counts = pii_counts("text")
+    cols = [counts[k].alias(f"n_{k}") for k in sorted(counts)]
+    total = None
+    for k in sorted(counts):
+        total = counts[k] if total is None else total + counts[k]
+    return d.select("doc_id", *cols, total.alias("n_pii_total"))
+
+
+def _pii_sql_count(pat: str) -> str:
+    esc = pat.replace("\\", "\\\\").replace("'", "''")
+    return f"CAST(len(regexp_extract_all(text, '{esc}')) AS INT)"
+
+
+T_PII_SQL = f"""
+SELECT doc_id,
+       {_pii_sql_count(PII_PATTERNS['emails'])} AS n_emails,
+       {_pii_sql_count(PII_PATTERNS['intl_phones'])} AS n_intl_phones,
+       {_pii_sql_count(PII_PATTERNS['ipv4'])} AS n_ipv4,
+       {_pii_sql_count(PII_PATTERNS['emails'])}
+       + {_pii_sql_count(PII_PATTERNS['ipv4'])}
+       + {_pii_sql_count(PII_PATTERNS['intl_phones'])} AS n_pii_total
+FROM documents
+"""
+
+
+def t_sample(spark, sf_dir):
+    """Deterministic 1-in-10 corpus sample via content-addressed
+    hash buckets (text/analysis.py hash_bucket) — reproducible across
+    engines/runs/partitionings, unlike rand() sampling; the primitive
+    behind leak-free train/eval splits. Keeps bucket 0 of 10."""
+    from neuroimaging_data_pipeline_spark.text.analysis import hash_bucket
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return d.select(
+        "doc_id", hash_bucket("doc_id", 10).alias("bucket")
+    ).filter(F.col("bucket") == 0)
+
+
+T_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket FROM b WHERE bucket = 0
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "t_repetition": t_repetition,
     "e2_corpus_pipeline": e2_corpus_pipeline,
+    "t_pii_signals": t_pii_signals,
+    "t_sample": t_sample,
     "t_quality_signals": t_quality_signals,
     "t_lang_id": t_lang_id,
     "t_fingerprint": t_fingerprint,
@@ -539,6 +600,8 @@ ORACLE = {
     "t_token_count": T_TOKEN_SQL,
     "t_repetition": T_REPETITION_SQL,
     "e2_corpus_pipeline": E2_PIPE_SQL,
+    "t_pii_signals": T_PII_SQL,
+    "t_sample": T_SAMPLE_SQL,
     "t_quality_signals": T_QUALITY_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,

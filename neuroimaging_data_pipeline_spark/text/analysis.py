@@ -194,6 +194,45 @@ def lang_id(text: str | Column) -> Column:
     return expr
 
 
+#: PII-surface detectors, deliberately RE2-safe (no lookarounds, no
+#: backreferences) so Spark's Java regex and an RE2-based oracle
+#: (DuckDB) count the same non-overlapping matches.
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "intl_phones": r"\+\d{7,15}",
+}
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Per-pattern non-overlapping match counts — the redaction-
+    triage signal a safety filter runs before training. Pure JVM
+    regexp_count columns, zero shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.regexp_count(c, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def hash_bucket(
+    col: str | Column, n_buckets: int, salt: str = "s42"
+) -> Column:
+    """Deterministic content-addressed bucket in [0, n_buckets):
+    60-bit md5 prefix of (salt:value) mod n. The engine's sampling /
+    split primitive — unlike rand()-based sampling it is reproducible
+    across engines, runs, and partitionings (the md5-parity discipline
+    the MinHash family already uses), so train/eval splits never leak
+    rows when a pipeline is re-run."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(int(n_buckets))
+
+
 def fingerprint(text: str | Column, prefix_len: int = 256) -> Column:
     """Document fingerprint: md5 of the normalized (lowercased,
     whitespace-collapsed) text prefix — the cheap stable content key

@@ -215,6 +215,49 @@ def test_text_analysis_columns(spark, docs):
     assert (out["q"] >= 0).all() and (out["q"] <= 1).all()
 
 
+def test_pii_counts_on_planted_text(spark):
+    """The corpus is clean, so the driver rows are zeros — prove the
+    detectors on planted PII here: known counts per pattern, clean
+    text scores zero everywhere."""
+    from neuroimaging_data_pipeline_spark.text.analysis import pii_counts
+
+    rows = [
+        (0, "contact a.smith+spam@mail-host.co.uk or bob@x.io today"),
+        (1, "server at 10.0.0.1 and 192.168.254.3, call +4915123456789"),
+        (2, "plain prose with no identifiers at all"),
+        (3, "ip 999.1.2.3 still matches the shape; mail@ nope; +123 too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts("text")
+    out = (
+        df.select("doc_id", *[counts[k].alias(k) for k in sorted(counts)])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0].to_dict() == {"emails": 2, "intl_phones": 0, "ipv4": 0}
+    assert out.loc[1].to_dict() == {"emails": 0, "intl_phones": 1, "ipv4": 2}
+    assert out.loc[2].sum() == 0
+    # shape-detectors, not validators: 999.x matches ipv4 shape;
+    # 'mail@ nope' is not an email; '+123' is below the phone floor
+    assert out.loc[3].to_dict() == {"emails": 0, "intl_phones": 0, "ipv4": 1}
+
+
+def test_hash_bucket_deterministic_and_balanced(spark):
+    """hash_bucket: stable across repartitionings (same rows chosen),
+    roughly uniform across buckets, and bucket counts must sum to n."""
+    from neuroimaging_data_pipeline_spark.text.analysis import hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a = df.select("id", hash_bucket("id", 10).alias("b"))
+    b = df.repartition(7).select("id", hash_bucket("id", 10).alias("b"))
+    pa = a.toPandas().set_index("id")["b"]
+    pb = b.toPandas().set_index("id")["b"]
+    assert (pa.sort_index() == pb.sort_index()).all()
+    sizes = pa.value_counts()
+    assert len(sizes) == 10 and sizes.sum() == 2000
+    assert sizes.min() > 120 and sizes.max() < 280  # ~200 each
+
+
 def test_connected_components_hand_built(spark):
     """Hash-min CC on a graph with a transitive chain, a cycle, an
     isolated pair and singletons — labels must equal the min id of
