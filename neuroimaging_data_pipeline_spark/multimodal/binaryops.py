@@ -497,6 +497,61 @@ def png_features(
     return media.mapInPandas(feat_batches, out_schema)
 
 
+def synthesize_gzip_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Real gzip-compressed text shards (stdlib ``gzip``): the storage
+    format most training corpora actually arrive in (.jsonl.gz /
+    .txt.gz). One genuine RFC 1952 member per document, carried as an
+    opaque binary column. (media_id, content binary)."""
+    import gzip as _gz
+
+    out_schema = "media_id long, content binary"
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _gz.compress((t or "").encode("utf-8"), compresslevel=6, mtime=0)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(encode_batches, out_schema)
+
+
+def gzip_text_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decompress gzip binaries with the REAL stdlib codec and emit
+    per-doc features over the RECOVERED text: (media_id, n_chars,
+    digest md5-of-text). The compressed byte size is deliberately NOT
+    in the output — gzip output bytes depend on the compressor
+    level/implementation, so an oracle cannot recompute them; the
+    decompressed-content digest is what seals the round trip. Same
+    narrow Arrow mapInPandas boundary as the other codecs."""
+    import gzip as _gz
+    import hashlib as _hl
+
+    out_schema = f"{id_col} long, n_chars int, digest string"
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, digs = [], []
+            for payload in pdf[content_col]:
+                text = _gz.decompress(bytes(payload)).decode("utf-8")
+                ns.append(len(text))
+                digs.append(_hl.md5(text.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_chars": ns, "digest": digs}
+            )
+
+    return media.mapInPandas(feat_batches, out_schema)
+
+
 def resize_plan(
     media: DataFrame,
     target_w: int,

@@ -630,6 +630,37 @@ FROM blk GROUP BY doc_id
 """
 
 
+def m6_gzip_text(spark, sf_dir):
+    """M6: REAL gzip text-shard round trip (multimodal/binaryops.py).
+
+    Per document, the text is compressed into a genuine RFC 1952 gzip
+    member (stdlib, deterministic mtime=0), carried as an opaque
+    binary column — the exact shape of a .txt.gz training shard —
+    then decompressed inside Arrow-batched mapInPandas. The oracle
+    recomputes length and md5 of the ORIGINAL text, so any corruption
+    through compress -> binary column -> Arrow -> decompress breaks
+    the hash match."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        gzip_text_features,
+        synthesize_gzip_docs,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=32)
+    media = synthesize_gzip_docs(d, id_col="doc_id", text_col="text")
+    feats = gzip_text_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"), "n_chars", "digest"
+    )
+
+
+M6_SQL = """
+SELECT doc_id,
+       CAST(len(text) AS INT) AS n_chars,
+       md5(text) AS digest
+FROM documents
+"""
+
+
 def s5_nifti_stats(spark, sf_dir):
     """S5: REAL NIfTI-1 codec end-to-end (sources/nifti.py).
 
@@ -871,6 +902,7 @@ QUERIES = {
     "m3_ppm_stats": m3_ppm_stats,
     "m4_png_stats": m4_png_stats,
     "m5_jpeg_stats": m5_jpeg_stats,
+    "m6_gzip_text": m6_gzip_text,
     "s5_nifti_stats": s5_nifti_stats,
 }
 
@@ -891,5 +923,6 @@ ORACLE = {
     "m3_ppm_stats": M3_SQL,
     "m4_png_stats": M4_SQL,
     "m5_jpeg_stats": M5_SQL,
+    "m6_gzip_text": M6_SQL,
     "s5_nifti_stats": S5_NIFTI_SQL,
 }

@@ -353,6 +353,32 @@ def test_jpeg_features_spark_roundtrip(spark):
         )
 
 
+def test_gzip_text_roundtrip(spark):
+    """gzip shard round trip through Spark: decompressed text digests
+    match local recomputation; payloads are genuine gzip members and
+    actually compress repetitive text."""
+    import gzip
+    import hashlib
+
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        gzip_text_features,
+        synthesize_gzip_docs,
+    )
+
+    rows = [(i, ("token%d " % (i % 3)) * 50) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = synthesize_gzip_docs(docs.repartition(3))
+    payloads = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for i, text in rows:
+        assert payloads[i][:2] == b"\x1f\x8b"  # gzip magic
+        assert len(payloads[i]) < len(text)     # really compressed
+        assert gzip.decompress(payloads[i]).decode() == text
+    out = gzip_text_features(media).toPandas().set_index("media_id")
+    for i, text in rows:
+        assert out.loc[i, "n_chars"] == len(text)
+        assert out.loc[i, "digest"] == hashlib.md5(text.encode()).hexdigest()
+
+
 def test_decode_unavailable_decoder_raises(spark, media):
     with pytest.raises(NotImplementedError):
         decode_features(media, decoder="pil")
