@@ -106,3 +106,87 @@ def test_convolution_matches_numpy(spark, x):
     )
     expect = np.convolve(x, kernel, mode="full")[: len(x)]
     np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-6)
+
+
+# --- codec round-trip properties (no Spark: pure codec kernels, so
+# hypothesis can afford many examples and a real shrink phase) -------
+
+rgb_images = st.integers(min_value=1, max_value=12).flatmap(
+    lambda h: st.integers(min_value=1, max_value=12).map(lambda w: (h, w))
+).flatmap(
+    lambda hw: arrays(
+        np.uint8, (hw[0], hw[1], 3),
+        elements=st.integers(min_value=0, max_value=255),
+    )
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(px=rgb_images)
+def test_png_roundtrip_property(px):
+    """ANY uint8 RGB image survives PNG encode->decode bit-exactly
+    (the writer cycles all five filter types by row)."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        decode_png,
+        encode_png,
+    )
+
+    np.testing.assert_array_equal(decode_png(encode_png(px)), px)
+
+
+gray_images = st.integers(min_value=1, max_value=20).flatmap(
+    lambda h: st.integers(min_value=1, max_value=20).map(lambda w: (h, w))
+).flatmap(
+    lambda hw: arrays(
+        np.uint8, hw,
+        elements=st.integers(min_value=0, max_value=255),
+    )
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(img=gray_images)
+def test_jpeg_roundtrip_property(img):
+    """ANY uint8 grayscale image survives baseline-JPEG encode->decode
+    within +/-1 at unit quantization (DCT float rounding only),
+    including non-multiple-of-8 dims (pad + crop)."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    out = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(text=st.text(max_size=2000))
+def test_gzip_text_roundtrip_property(text):
+    """ANY unicode text survives the gzip shard round trip exactly."""
+    import gzip
+
+    payload = gzip.compress(text.encode("utf-8"), compresslevel=6, mtime=0)
+    assert gzip.decompress(payload).decode("utf-8") == text
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    samples=arrays(
+        np.int16,
+        st.integers(min_value=1, max_value=200),
+        elements=st.integers(min_value=-32768, max_value=32767),
+    ),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, sr):
+    """ANY int16 sample vector survives the WAV round trip exactly at
+    any standard rate."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    got_sr, got = decode_wav(encode_wav_pcm16(samples, sample_rate=sr))
+    assert got_sr == sr
+    np.testing.assert_array_equal(got, samples)
