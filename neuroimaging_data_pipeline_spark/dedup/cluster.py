@@ -56,6 +56,7 @@ def connected_components(
     )
     # Edges are reused every round — keep them materialized once.
     sym = sym.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nbr = sym.join(
             labels, sym["_s"] == labels["id"], "inner"
@@ -75,5 +76,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Returning unconverged labels would silently split one true
+        # cluster into several — the exact leak this operator exists
+        # to prevent. Diameter > max_iter means the graph needs either
+        # a higher max_iter or the star-contraction variant.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter "
+            "or use a star-contraction algorithm for long-chain graphs"
+        )
     return labels.select("id", F.col("lbl").alias("cluster_id"))

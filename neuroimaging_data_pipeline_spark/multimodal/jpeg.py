@@ -118,6 +118,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop consumed high bits — an unmasked acc grows into an
+        # unbounded bigint whose full-width shifts make the encoder
+        # O(n^2) in scan size
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -186,20 +190,17 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
     out += b"\xff\xd8"  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, px.shape[0], px.shape[1], 1) + b"\x01\x11\x00")
+    # SOF0 carries the TRUE dimensions per T.81 — MCU count is
+    # ceil(dim/8) and decoders crop the partial-MCU padding; writing
+    # padded dims here would make standard decoders return the
+    # padding as image.
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     out += scan
     out += b"\xff\xd9"  # EOI
-    # stash true dims so the decoder can crop the edge padding
-    return bytes(out) if (ph, pw) == (0, 0) else _with_crop_comment(bytes(out), h, w)
-
-
-def _with_crop_comment(payload: bytes, h: int, w: int) -> bytes:
-    """COM segment carrying pre-padding dims (SOF dims are padded)."""
-    com = struct.pack(">HHHH", 0xFFFE, 6, h, w)
-    return payload[:2] + com + payload[2:]
+    return bytes(out)
 
 
 class _BitReader:
@@ -228,6 +229,7 @@ class _BitReader:
             self._fill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1  # same O(n^2) guard as the writer
         return v
 
     def huff(self, table: dict[tuple[int, int], int]) -> int:
@@ -258,7 +260,6 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    crop: tuple[int, int] | None = None
     qid = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -304,8 +305,6 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError(f"non-baseline SOF 0x{marker:04X} unsupported")
-        elif marker == 0xFFFE and len(seg) == 4:
-            crop = struct.unpack(">HH", seg)
         elif marker == 0xFFDA:
             dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0xF
             if h is None:
@@ -344,12 +343,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                     coef[_ZIGZAG] = zz * qflat
                     block = _C.T @ coef.reshape(8, 8) @ _C
                     out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            # SOF dims are the true dims; crop the partial-MCU padding
             img = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
-            if crop is not None:
-                img = img[: crop[0], : crop[1]]
-            else:
-                img = img[:h, :w]
-            return img
+            return img[:h, :w]
     raise ValueError("JPEG missing SOS scan")
 
 

@@ -334,6 +334,9 @@ def s11_remote_fetch(spark, sf_dir):
     )
 
 
+# NOTE: the oracle's len(content) counts CHARACTERS while the engine
+# reports fetched BYTES — equal only because the fixture is ASCII by
+# construction (keep it so).
 S11_SQL = f"""
 SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
        CAST(200 AS INT) AS status,

@@ -655,8 +655,8 @@ def m6_gzip_text(spark, sf_dir):
 
 M6_SQL = """
 SELECT doc_id,
-       CAST(len(text) AS INT) AS n_chars,
-       md5(text) AS digest
+       CAST(len(COALESCE(text, '')) AS INT) AS n_chars,
+       md5(COALESCE(text, '')) AS digest
 FROM documents
 """
 

@@ -541,7 +541,11 @@ def t_pii_signals(spark, sf_dir):
 
 
 def _pii_sql_count(pat: str) -> str:
-    esc = pat.replace("\\", "\\\\").replace("'", "''")
+    # DuckDB single-quoted strings do NOT process backslash escapes —
+    # embed the regex verbatim (doubling backslashes would turn \d
+    # into a literal-backslash-d RE2 atom and the oracle would count 0
+    # on real PII, making the twin check vacuous). Only ' needs care.
+    esc = pat.replace("'", "''")
     return f"CAST(len(regexp_extract_all(text, '{esc}')) AS INT)"
 
 

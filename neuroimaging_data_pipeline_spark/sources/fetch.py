@@ -46,13 +46,14 @@ def fetch_text(
     """
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import http.client
         import urllib.error
         import urllib.request
 
         for pdf in batches:
             out = {k: [] for k in ("uri", "status", "n_bytes", "content", "error")}
             for uri in pdf[uri_col]:
-                status, content, error = -1, None, None
+                status, n_bytes, content, error = -1, 0, None, None
                 try:
                     with urllib.request.urlopen(uri, timeout=timeout) as resp:
                         raw = resp.read(max_bytes + 1)
@@ -61,14 +62,26 @@ def fetch_text(
                             error = f"truncated at {max_bytes} bytes"
                         # file:// responses carry no HTTP status
                         status = getattr(resp, "status", None) or 200
+                        # bytes actually fetched, NOT the re-encoded
+                        # length of the decoded text (errors='replace'
+                        # maps undecodable bytes to U+FFFD, which
+                        # would inflate a re-encoded count)
+                        n_bytes = len(raw)
                         content = raw.decode("utf-8", errors="replace")
-                except (urllib.error.URLError, ValueError, OSError) as e:
+                except (
+                    urllib.error.URLError,
+                    # malformed status line / truncated chunked body —
+                    # HTTPException does NOT subclass OSError, and the
+                    # contract here is failures-as-data, never a task
+                    # abort
+                    http.client.HTTPException,
+                    ValueError,
+                    OSError,
+                ) as e:
                     error = str(e)
                 out["uri"].append(uri)
                 out["status"].append(status)
-                out["n_bytes"].append(
-                    len(content.encode("utf-8")) if content is not None else 0
-                )
+                out["n_bytes"].append(n_bytes)
                 out["content"].append(content)
                 out["error"].append(error)
             yield pd.DataFrame(out)

@@ -66,9 +66,19 @@ def _events_schema_for(path: str, ts_col: str) -> str:
             ts_type = "timestamp"
         else:
             ts_type = "timestamp_ntz"
-    return EVENTS_STREAM_SCHEMA.replace(
-        f"{ts_col} timestamp_ntz", f"{ts_col} {ts_type}", 1
-    )
+    # Rewrite the ts_col entry wherever it sits in the schema — a
+    # bare str.replace keyed on "ts timestamp_ntz" would silently
+    # no-op for any other ts_col, discarding the footer probe and
+    # returning a schema without the requested column.
+    fields = [f.strip() for f in EVENTS_STREAM_SCHEMA.split(",")]
+    names = [f.split()[0] for f in fields]
+    if ts_col not in names:
+        raise ValueError(
+            f"ts_col {ts_col!r} is not a column of the events stream "
+            f"schema ({', '.join(names)})"
+        )
+    fields[names.index(ts_col)] = f"{ts_col} {ts_type}"
+    return ", ".join(fields)
 
 
 def stream_parquet_dir(
