@@ -16,13 +16,15 @@ images via pure header+raw-bytes parsing (``encode_ppm`` /
 all five scanline filters, CRC-checked chunks) via stdlib ``zlib`` +
 ``struct`` (``encode_png`` / ``decode_png`` / ``png_features``) —
 all end-to-end through real binary parquet-shaped columns and Arrow
-batches. Baseline JPEG (grayscale) is real too — see the sibling
-``multimodal/jpeg.py``. Only decoders that genuinely need external
-libraries (color JPEG via PIL, MP4 via ffmpeg) remain stubbed
-(``decoder='fake'`` is a deterministic stand-in; ``decoder='pil'``/
-'ffmpeg' raise NotImplementedError until the libraries are
-provisioned) — the Spark-side plumbing (schema, batch shape,
-partition behavior) is identical and tested either way.
+batches. Baseline JPEG — grayscale AND 3-component color (YCbCr
+4:4:4, interleaved MCUs) — is real too, see the sibling
+``multimodal/jpeg.py``; gzip text shards round-trip via the stdlib
+``gzip`` helpers below. Only decoders that genuinely need external
+libraries (subsampled/progressive JPEG via PIL, MP4 via ffmpeg)
+remain stubbed (``decoder='fake'`` is a deterministic stand-in;
+``decoder='pil'``/'ffmpeg' raise NotImplementedError until the
+libraries are provisioned) — the Spark-side plumbing (schema, batch
+shape, partition behavior) is identical and tested either way.
 """
 
 from __future__ import annotations

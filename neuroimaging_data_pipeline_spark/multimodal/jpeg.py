@@ -134,6 +134,51 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v else 0
 
 
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    qflat: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + entropy-code one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    coef = _C @ block @ _C.T
+    zz = np.round(coef.reshape(-1)[_ZIGZAG] / qflat).astype(np.int64)
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    s = _category(diff)
+    bw.put(*dc_codes[s])
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])
+            run -= 16
+        s = _category(v)
+        bw.put(*ac_codes[(run << 4) | s])
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        bw.put(*ac_codes[0x00])  # EOB
+    return prev_dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _pad8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, -h % 8), (0, -w % 8)), mode="edge")
+
+
 def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     """Real baseline JPEG writer for (H, W) uint8 grayscale. Default
     quantization table is all ones — maximal fidelity, so constant 8x8
@@ -144,9 +189,7 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
         if qtable is None
         else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
     )
-    # edge-pad to multiples of 8
-    ph, pw = -h % 8, -w % 8
-    px = np.pad(pixels, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    px = _pad8(pixels).astype(np.float64) - 128.0
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
@@ -155,51 +198,122 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
     qflat = q.reshape(-1)[_ZIGZAG]
     for by in range(px.shape[0] // 8):
         for bx in range(px.shape[1] // 8):
-            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _C @ block @ _C.T
-            zz = np.round(coef.reshape(-1)[_ZIGZAG] / qflat).astype(np.int64)
-            # DC
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _category(diff)
-            bw.put(*dc_codes[s])
-            if s:
-                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            # AC: run-length of zeros + size
-            run = 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.put(*ac_codes[0xF0])
-                    run -= 16
-                s = _category(v)
-                bw.put(*ac_codes[(run << 4) | s])
-                bw.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if run:
-                bw.put(*ac_codes[0x00])  # EOB
+            prev_dc = _encode_block(
+                bw,
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                qflat,
+                dc_codes,
+                ac_codes,
+                prev_dc,
+            )
     scan = bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
     # SOF0 carries the TRUE dimensions per T.81 — MCU count is
     # ceil(dim/8) and decoders crop the partial-MCU padding; writing
     # padded dims here would make standard decoders return the
     # padding as image.
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """JFIF RGB -> YCbCr, rounded + clipped to uint8 planes."""
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr -> RGB, rounded + clipped to uint8."""
+    y = planes[..., 0].astype(np.float64)
+    cb = planes[..., 1].astype(np.float64) - 128.0
+    cr = planes[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def encode_jpeg_color(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """Real baseline COLOR JPEG writer: (H, W, 3) uint8 RGB -> JFIF
+    YCbCr 4:4:4, three interleaved components per MCU with per-
+    component DC prediction, luminance quant/Huffman tables as table 0
+    and chroma as table 1 (same contents by default — any spec-valid
+    DHT decodes, and the decoder reads tables from the stream).
+
+    Color JPEG is doubly lossy (YCbCr rounding + DCT quantization);
+    for GRAY-valued RGB (R=G=B) the color convert is exact (Y=v,
+    Cb=Cr=128), so constant gray blocks round-trip bit-exactly through
+    the full 3-component machinery — the oracle fixture's profile."""
+    h, w, ncomp = pixels.shape
+    if ncomp != 3:
+        raise ValueError(f"expected (H, W, 3) RGB, got {pixels.shape}")
+    q = (
+        np.ones((8, 8), dtype=np.int64)
+        if qtable is None
+        else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
+    )
+    ycc = _rgb_to_ycbcr(pixels)
+    planes = [
+        _pad8(ycc[..., c]).astype(np.float64) - 128.0 for c in range(3)
+    ]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    qflat = q.reshape(-1)[_ZIGZAG]
+    for by in range(planes[0].shape[0] // 8):
+        for bx in range(planes[0].shape[1] // 8):
+            for c in range(3):  # interleaved MCU: Y, Cb, Cr
+                prev_dc[c] = _encode_block(
+                    bw,
+                    planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    qflat,
+                    dc_codes,
+                    ac_codes,
+                    prev_dc[c],
+                )
+    scan = bw.flush()
+
+    qbytes = q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + qbytes + b"\x01" + qbytes)
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00"  # Y: id 1, 1x1 sampling, qtable 0
+        + b"\x02\x11\x01"  # Cb: id 2, 1x1, qtable 1
+        + b"\x03\x11\x01",  # Cr: id 3, 1x1, qtable 1
+    )
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFC4, b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, b"\x11" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(
+        0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    )  # Y->tables 0/0, Cb/Cr->tables 1/1
+    out += scan
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -246,12 +360,13 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Real baseline JPEG decode for the grayscale profile the writer
-    emits (and any spec-conforming single-component baseline file):
-    marker walk, DQT/DHT from the stream, Huffman + DC-prediction
-    entropy decode with stuffed-byte handling, dequantize, de-zigzag,
-    IDCT, level shift, clamp. Multi-component / progressive files
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real baseline JPEG decode for 4:4:4-sampled baseline files:
+    marker walk, DQT/DHT from the stream, Huffman + per-component
+    DC-prediction entropy decode with stuffed-byte handling,
+    dequantize, de-zigzag, IDCT, level shift, clamp; YCbCr -> RGB for
+    3-component scans. Returns (H, W) uint8 for grayscale or
+    (H, W, 3) uint8 RGB for color. Subsampled / progressive files
     raise (honest capability gate, not silent wrong output)."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
@@ -260,7 +375,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    qid = 0
+    comp_q: dict[int, int] = {}  # component id -> quant table id
+    comp_order: list[int] = []
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -294,59 +410,98 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 s += 17 + n
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    f"only 8-bit single-component baseline supported, got "
+                    f"only 8-bit 1- or 3-component baseline supported, got "
                     f"precision={prec} components={ncomp}"
                 )
-            if seg[7] != 0x11:
-                raise ValueError("subsampled grayscale unsupported")
-            qid = seg[8]
+            for c in range(ncomp):
+                cid, sampling, cqid = seg[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comp_q[cid] = cqid
+                comp_order.append(cid)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError(f"non-baseline SOF 0x{marker:04X} unsupported")
         elif marker == 0xFFDA:
-            dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0xF
             if h is None:
                 raise ValueError("SOS before SOF")
-            dc_tbl, ac_tbl = huff[(0, dc_tid)], huff[(1, ac_tid)]
-            q = qtables[qid]
+            ns = seg[0]
+            if ns != len(comp_order):
+                raise ValueError("partial-scan SOS unsupported (baseline)")
+            # per-component entropy tables in scan order
+            scan_tbls = {}
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                tbyte = seg[2 + 2 * c]
+                scan_tbls[cid] = (huff[(0, tbyte >> 4)], huff[(1, tbyte & 0xF)])
             br = _BitReader(data[pos:])
             bh, bw_ = (h + 7) // 8, (w + 7) // 8
-            out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
-            prev_dc = 0
-            qflat = q.reshape(-1)[_ZIGZAG].astype(np.float64)
+            planes = np.zeros((bh * 8, bw_ * 8, ns), dtype=np.float64)
+            prev_dc = {cid: 0 for cid in comp_order}
+            qflats = {
+                cid: qtables[comp_q[cid]].reshape(-1)[_ZIGZAG].astype(np.float64)
+                for cid in comp_order
+            }
             for by in range(bh):
                 for bx in range(bw_):
-                    zz = np.zeros(64, dtype=np.float64)
-                    s = br.huff(dc_tbl)
-                    diff = _extend(br.bits(s), s) if s else 0
-                    prev_dc += diff
-                    zz[0] = prev_dc
-                    i = 1
-                    while i < 64:
-                        sym = br.huff(ac_tbl)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size = sym >> 4, sym & 0xF
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError(f"bad AC symbol 0x{sym:02X}")
-                            i += 16  # ZRL
-                            continue
-                        i += run
-                        if i >= 64:
-                            raise ValueError("AC run overflows block")
-                        zz[i] = _extend(br.bits(size), size)
-                        i += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[_ZIGZAG] = zz * qflat
-                    block = _C.T @ coef.reshape(8, 8) @ _C
-                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                    for ci, cid in enumerate(comp_order):  # interleaved MCU
+                        dc_tbl, ac_tbl = scan_tbls[cid]
+                        qflat = qflats[cid]
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = br.huff(dc_tbl)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev_dc[cid] += diff
+                        zz[0] = prev_dc[cid]
+                        i = 1
+                        while i < 64:
+                            sym = br.huff(ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(f"bad AC symbol 0x{sym:02X}")
+                                i += 16  # ZRL
+                                continue
+                            i += run
+                            if i >= 64:
+                                raise ValueError("AC run overflows block")
+                            zz[i] = _extend(br.bits(size), size)
+                            i += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * qflat
+                        block = _C.T @ coef.reshape(8, 8) @ _C
+                        planes[
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci
+                        ] = block
             # SOF dims are the true dims; crop the partial-MCU padding
-            img = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
-            return img[:h, :w]
+            samples = np.clip(np.round(planes + 128.0), 0, 255).astype(
+                np.uint8
+            )[:h, :w, :]
+            if ns == 1:
+                return samples[..., 0]
+            return _ycbcr_to_rgb(samples)
     raise ValueError("JPEG missing SOS scan")
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """decode_jpeg restricted to single-component files -> (H, W)."""
+    img = decode_jpeg(payload)
+    if img.ndim != 2:
+        raise ValueError(
+            f"expected grayscale JPEG, decoded {img.shape[-1]} components"
+        )
+    return img
+
+
+def decode_jpeg_color(payload: bytes) -> np.ndarray:
+    """decode_jpeg restricted to 3-component files -> (H, W, 3) RGB."""
+    img = decode_jpeg(payload)
+    if img.ndim != 3:
+        raise ValueError("expected color JPEG, decoded a grayscale scan")
+    return img
 
 
 def synthesize_jpeg_images(
@@ -376,6 +531,78 @@ def synthesize_jpeg_images(
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 
     return docs.select(id_col).mapInPandas(encode_batches, out_schema)
+
+
+def synthesize_jpeg_color_images(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    blocks_x: int = 2,
+    blocks_y: int = 3,
+) -> DataFrame:
+    """Deterministic COLOR-JPEG fixture: gray-valued RGB (R=G=B) from
+    constant 8x8 blocks, block (by, bx) = (id*17 + by*43 + bx*31) %
+    256 — exact through the doubly-lossy color pipeline (YCbCr of
+    gray is exact: Y=v, Cb=Cr=128; DC-only blocks at unit quant), so
+    the oracle recomputes decoded channel stats from the formula
+    while the full 3-component interleaved machinery runs for real."""
+    out_schema = "media_id long, content binary"
+    bys = np.arange(blocks_y)[:, None]
+    bxs = np.arange(blocks_x)[None, :]
+    base = bys * 43 + bxs * 31
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                blocks = ((int(i) * 17 + base) % 256).astype(np.uint8)
+                gray = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                rgb = np.stack([gray, gray, gray], axis=-1)
+                payloads.append(encode_jpeg_color(rgb))
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
+
+    return docs.select(id_col).mapInPandas(encode_batches, out_schema)
+
+
+def jpeg_color_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode color-JPEG binaries with the REAL stdlib-only codec and
+    emit per-image features: (media_id, width, height, mean_r, mean_g,
+    mean_b, sum_px)."""
+    out_schema = (
+        f"{id_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, sum_px long"
+    )
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, mr, mg, mb, sp = [], [], [], [], [], []
+            for payload in pdf[content_col]:
+                img = decode_jpeg_color(payload)
+                ih, iw, _ = img.shape
+                ws.append(iw)
+                hs.append(ih)
+                flat = img.reshape(-1, 3).astype(np.float64)
+                means = flat.mean(axis=0)
+                mr.append(float(means[0]))
+                mg.append(float(means[1]))
+                mb.append(float(means[2]))
+                sp.append(int(flat.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                    "sum_px": sp,
+                }
+            )
+
+    return media.mapInPandas(feat_batches, out_schema)
 
 
 def jpeg_features(

@@ -630,6 +630,57 @@ FROM blk GROUP BY doc_id
 """
 
 
+def m7_jpeg_color(spark, sf_dir):
+    """M7: REAL baseline COLOR JPEG end-to-end (multimodal/jpeg.py).
+
+    Per document, a genuine 3-component JFIF (YCbCr 4:4:4, interleaved
+    MCUs, per-component DC prediction, separate luma/chroma table
+    slots) is encoded stdlib-only and decoded by the generalized
+    multi-component parser inside Arrow-batched mapInPandas. The
+    fixture is gray-valued RGB from constant blocks, which survives
+    the doubly-lossy color pipeline bit-exactly (YCbCr of gray is
+    exact, DC-only blocks at unit quant) — so the oracle recomputes
+    every channel stat from the block formula; lossy behavior on
+    arbitrary color is pinned in pytest with a measured bound. This
+    retires the 'color JPEG needs PIL' capability gate."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        jpeg_color_features,
+        synthesize_jpeg_color_images,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=32)
+    media = synthesize_jpeg_color_images(d, id_col="doc_id")
+    feats = jpeg_color_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_r", 6) + F.lit(0.0)).alias("mean_r"),
+        (F.round("mean_g", 6) + F.lit(0.0)).alias("mean_g"),
+        (F.round("mean_b", 6) + F.lit(0.0)).alias("mean_b"),
+        "sum_px",
+    )
+
+
+M7_SQL = """
+WITH blk AS (
+  SELECT doc_id,
+         (doc_id * 17 + by.by * 43 + bx.bx * 31) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 3)) AS by(by),
+       UNNEST(range(0, 2)) AS bx(bx)
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_r,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_g,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_b,
+       CAST(SUM(v) * 64 * 3 AS BIGINT) AS sum_px
+FROM blk GROUP BY doc_id
+"""
+
+
 def m6_gzip_text(spark, sf_dir):
     """M6: REAL gzip text-shard round trip (multimodal/binaryops.py).
 
@@ -903,6 +954,7 @@ QUERIES = {
     "m4_png_stats": m4_png_stats,
     "m5_jpeg_stats": m5_jpeg_stats,
     "m6_gzip_text": m6_gzip_text,
+    "m7_jpeg_color": m7_jpeg_color,
     "s5_nifti_stats": s5_nifti_stats,
 }
 
@@ -924,5 +976,6 @@ ORACLE = {
     "m4_png_stats": M4_SQL,
     "m5_jpeg_stats": M5_SQL,
     "m6_gzip_text": M6_SQL,
+    "m7_jpeg_color": M7_SQL,
     "s5_nifti_stats": S5_NIFTI_SQL,
 }

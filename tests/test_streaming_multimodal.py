@@ -353,6 +353,40 @@ def test_jpeg_features_spark_roundtrip(spark):
         )
 
 
+def test_jpeg_color_codec_local():
+    """The 3-component baseline JPEG path: gray-valued RGB round-trips
+    BIT-EXACTLY (YCbCr of gray is exact + DC-only blocks), arbitrary
+    color within a measured bound (YCbCr + DCT rounding), odd dims
+    pad+crop, and the gray/color wrappers reject cross-type input."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(23)
+    blocks = rng.integers(0, 256, (3, 2), dtype=np.uint8)
+    gray = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    np.testing.assert_array_equal(
+        decode_jpeg_color(encode_jpeg_color(rgb)), rgb
+    )
+
+    arb = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    out = decode_jpeg_color(encode_jpeg_color(arb))
+    assert np.abs(out.astype(int) - arb.astype(int)).max() <= 3
+
+    odd = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    assert decode_jpeg_color(encode_jpeg_color(odd)).shape == (11, 9, 3)
+
+    g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="expected color"):
+        decode_jpeg_color(encode_jpeg_gray(g))
+    with pytest.raises(ValueError, match="expected grayscale"):
+        decode_jpeg_gray(encode_jpeg_color(odd))
+
+
 def test_gzip_text_roundtrip(spark):
     """gzip shard round trip through Spark: decompressed text digests
     match local recomputation; payloads are genuine gzip members and
