@@ -57,7 +57,10 @@ def connected_components(
     # Edges are reused every round — keep them materialized once.
     sym = sym.localCheckpoint(eager=True)
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: a graph that needs exactly max_iter productive
+    # rounds still gets the confirming changed==0 round — otherwise
+    # effective capacity would silently be max_iter - 1
+    for _ in range(max_iter + 1):
         nbr = sym.join(
             labels, sym["_s"] == labels["id"], "inner"
         ).select(F.col("_d").alias("id"), F.col("lbl"))

@@ -456,9 +456,11 @@ def e2_corpus_pipeline(spark, sf_dir):
     seals the whole flow under one hash check. Plan: scan -> hash-agg
     dedup (one shuffle) -> narrow column expressions -> final partial
     agg; nothing row-Python, nothing driver-side."""
+    from neuroimaging_data_pipeline_spark.functions.stats import dec_avg
     from neuroimaging_data_pipeline_spark.text.analysis import (
-        quality_score,
-        token_count,
+        lang_id_of,
+        quality_score_of,
+        tokens,
     )
 
     docs = read_table(spark, sf_dir, "documents", min_partitions=16)
@@ -466,16 +468,28 @@ def e2_corpus_pipeline(spark, sf_dir):
         F.col("keep_id").alias("doc_id")
     )
     kept = docs.join(keep, on="doc_id", how="left_semi")
-    scored = kept.select(
+    # tokenize ONCE (one split + per-token lower), then feed the
+    # attributes into every signal — the same Catalyst-inlining trap
+    # t_repetition documents (a text-taking signal re-splits the
+    # document per consumer, ~7x here)
+    base = kept.select(
+        "doc_id", "text", tokens(F.col("text")).alias("ws")
+    ).withColumn("wl", F.transform(F.col("ws"), lambda t: F.lower(t)))
+    scored = base.select(
         "doc_id",
-        lang_id("text").alias("lang_pred"),
-        token_count("text").alias("n_tokens"),
-        F.round(quality_score("text"), 6).alias("q"),
+        lang_id_of(F.col("wl")).alias("lang_pred"),
+        F.size("ws").alias("n_tokens"),
+        F.round(
+            quality_score_of(F.col("text"), F.col("ws"), F.col("wl")), 6
+        ).alias("q"),
     ).filter(F.col("q") >= 0.5)
+    # q is a round-6 fixed-decimal double: dec_avg keeps the rounded
+    # mean summation-order-independent (registry INVARIANT; plain avg
+    # could flip a boundary case between engines/partitionings)
     return scored.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
-        (F.round(F.avg("q"), 6) + F.lit(0.0)).alias("avg_quality"),
+        (F.round(dec_avg("q"), 6) + F.lit(0.0)).alias("avg_quality"),
     )
 
 
@@ -518,7 +532,7 @@ WITH kept AS (
 SELECT lang_pred,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       (ROUND(AVG(q), 6) + 0.0) AS avg_quality
+       (ROUND(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS DOUBLE) / COUNT(q), 6) + 0.0) AS avg_quality
 FROM scored GROUP BY lang_pred
 """
 

@@ -170,6 +170,65 @@ def quality_score(text: str | Column) -> Column:
     return (len_score + punct_pen + sw_score + wl_score) / 4.0
 
 
+# --- tokenize-once variants ---------------------------------------------------
+# The regex split is the expensive part of every token-derived signal,
+# and Catalyst inlines non-attribute expressions into each consumer
+# (see _max_run_length's docstring for the measured cost). When a query
+# combines several signals, materialize the token array(s) ONCE as
+# attributes and feed these *_of variants. Semantics match the
+# text-taking forms exactly: lowercasing per token equals lowercasing
+# the text before splitting (Unicode lowercasing never creates or
+# removes \s+ boundaries).
+
+
+def stopword_ratio_of(toks_low: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    hits = F.size(F.filter(toks_low, lambda t: F.array_contains(sw_arr, t)))
+    return F.try_divide(hits, F.size(toks_low))
+
+
+def mean_word_length_of(toks: Column) -> Column:
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    return F.try_divide(total, F.size(toks))
+
+
+def lang_scores_of(toks_low: Column) -> dict[str, Column]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks_low, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id_of(toks_low: Column) -> Column:
+    scores = lang_scores_of(toks_low)
+    langs = sorted(scores)
+    mx = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(mx <= 0, F.lit("und"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == mx, F.lit(lang))
+    return expr
+
+
+def quality_score_of(text: Column, toks: Column, toks_low: Column) -> Column:
+    """quality_score over pre-materialized token arrays — identical
+    arithmetic, the text column only for length/punctuation."""
+    n = F.length(text)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.coalesce(punct_ratio(text), F.lit(0.0)) * 5.0
+    )
+    sw_score = F.least(
+        F.coalesce(stopword_ratio_of(toks_low), F.lit(0.0)) * 3.0, F.lit(1.0)
+    )
+    wl = F.coalesce(mean_word_length_of(toks), F.lit(0.0))
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
+    return (len_score + punct_pen + sw_score + wl_score) / 4.0
+
+
 def lang_scores(text: str | Column) -> dict[str, Column]:
     """Stopword-hit count per candidate language."""
     toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))

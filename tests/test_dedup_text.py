@@ -280,6 +280,31 @@ def test_connected_components_hand_built(spark):
                    5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
 
 
+def test_connected_components_convergence_boundary(spark):
+    """A chain needing EXACTLY max_iter productive rounds must
+    converge (the gate allows a confirming round on top); one round
+    fewer must raise instead of returning split clusters."""
+    import pytest as _pytest
+
+    from neuroimaging_data_pipeline_spark.dedup.cluster import (
+        connected_components,
+    )
+
+    n = 6  # chain 0-1-2-3-4-5: min label needs 5 productive rounds
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = dict(
+        connected_components(nodes, edges, max_iter=n - 1)
+        .orderBy("id")
+        .collect()
+    )
+    assert out == {i: 0 for i in range(n)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=n - 2)
+
+
 def test_repetition_signals_hand_computed(spark):
     """dup_word_frac / top_word_frac / top_bigram_frac against
     hand-computed values, including the degenerate single-word and

@@ -148,8 +148,11 @@ gray_images = st.integers(min_value=1, max_value=20).flatmap(
 @given(img=gray_images)
 def test_jpeg_roundtrip_property(img):
     """ANY uint8 grayscale image survives baseline-JPEG encode->decode
-    within +/-1 at unit quantization (DCT float rounding only),
-    including non-multiple-of-8 dims (pad + crop)."""
+    within a small bound at unit quantization (DCT float rounding
+    only), including non-multiple-of-8 dims (pad + crop). Bound is 2,
+    not 1: per-pixel reconstruction error is a weighted sum of 64
+    coefficient roundings (std ~0.29), so an occasional |err|=2 pixel
+    is expected across fresh random examples — a 1-bound would flake."""
     from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
         decode_jpeg_gray,
         encode_jpeg_gray,
@@ -157,7 +160,7 @@ def test_jpeg_roundtrip_property(img):
 
     out = decode_jpeg_gray(encode_jpeg_gray(img))
     assert out.shape == img.shape
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
 
 
 @settings(max_examples=50, deadline=None)
