@@ -19,12 +19,16 @@ all end-to-end through real binary parquet-shaped columns and Arrow
 batches. Baseline JPEG — grayscale AND 3-component color (YCbCr
 4:4:4, interleaved MCUs) — is real too, see the sibling
 ``multimodal/jpeg.py``; gzip text shards round-trip via the stdlib
-``gzip`` helpers below. Only decoders that genuinely need external
-libraries (subsampled/progressive JPEG via PIL, MP4 via ffmpeg)
-remain stubbed (``decoder='fake'`` is a deterministic stand-in;
-``decoder='pil'``/'ffmpeg' raise NotImplementedError until the
-libraries are provisioned) — the Spark-side plumbing (schema, batch
-shape, partition behavior) is identical and tested either way.
+``gzip`` helpers below; and the MP4 (ISO-BMFF) CONTAINER — box
+tree, mvhd/mdhd/hdlr metadata, stts/stsc/stsz/stco sample tables,
+frame-sample byte-range extraction — is real in the sibling
+``multimodal/mp4.py``. Only decoders that genuinely need external
+libraries (subsampled/progressive JPEG via PIL, H.264 frame-payload
+decode via ffmpeg) remain stubbed (``decoder='fake'`` is a
+deterministic stand-in; ``decoder='pil'``/'ffmpeg' raise
+NotImplementedError until the libraries are provisioned) — the
+Spark-side plumbing (schema, batch shape, partition behavior) is
+identical and tested either way.
 """
 
 from __future__ import annotations

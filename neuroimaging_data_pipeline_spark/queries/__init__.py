@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from neuroimaging_data_pipeline_spark.queries import (
     ingest,
+    media,
     misc,
     neuro,
     relational,
@@ -56,7 +57,10 @@ from neuroimaging_data_pipeline_spark.queries import (
 # query reads events through the r4 ts re-pin; streaming twins ordered
 # first within the module). The r1-proven, untouched scan/text/ANN
 # modules rotate out of the window this round.
-_MODULES = [relational, misc, neuro, ingest, textops, simsearch, spatial]
+# media (new MP4 m8/m8b) registers right after the window like the
+# other brand-new r4 queries — its green rows are the sf0.01 + sf0.1
+# replica runs recorded in SURVEY §8.
+_MODULES = [relational, misc, neuro, media, ingest, textops, simsearch, spatial]
 
 
 def all_queries():
