@@ -599,8 +599,66 @@ SELECT doc_id, bucket FROM b WHERE bucket = 0
 """
 
 
+def d_passage_dedup(spark, sf_dir):
+    """Passage-level dedup (dedup/passage.py): CCNet/RefinedWeb-style
+    sub-document dedup — consecutive 10-word passages are hashed,
+    first occurrence corpus-wide wins (ordered by (doc_id, idx)), and
+    each document reports how many of its passages/words survive.
+    Unlike whole-document dedup this strips repeated boilerplate
+    spans while keeping the unique remainder. The shuffle carries
+    only (md5, doc_id, idx); the keep choice is a min-struct
+    aggregate (map-side partial), not a corpus-wide window."""
+    from neuroimaging_data_pipeline_spark.dedup.passage import (
+        passage_dedup_stats,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return passage_dedup_stats(d).select(
+        "doc_id", "n_passages", "n_kept", "n_words_kept"
+    )
+
+
+D_PASSAGE_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+), p AS (
+  SELECT doc_id, i.i AS passage_idx,
+         array_to_string(ws[i.i * 10 + 1 : i.i * 10 + 10], ' ') AS passage
+  FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i(i)
+  WHERE len(ws) > 0
+), h AS (
+  SELECT doc_id, passage_idx, md5(passage) AS passage_hash,
+         len(string_split(passage, ' ')) AS n_words
+  FROM p
+), f AS (
+  SELECT passage_hash,
+         MIN(doc_id * 100000 + passage_idx) AS first_key
+  FROM h GROUP BY passage_hash
+), v AS (
+  SELECT h.doc_id, h.n_words,
+         (h.doc_id * 100000 + h.passage_idx = f.first_key) AS kept
+  FROM h JOIN f USING (passage_hash)
+), s AS (
+  SELECT doc_id,
+         COUNT(*) AS n_passages,
+         SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+         SUM(CASE WHEN kept THEN n_words ELSE 0 END) AS n_words_kept
+  FROM v GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_passages, 0) AS BIGINT) AS n_passages,
+       CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(s.n_words_kept, 0) AS BIGINT) AS n_words_kept
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
+    "d_passage_dedup": d_passage_dedup,
     "t_repetition": t_repetition,
     "e2_corpus_pipeline": e2_corpus_pipeline,
     "t_pii_signals": t_pii_signals,
@@ -616,6 +674,7 @@ QUERIES = {
 
 ORACLE = {
     "t_token_count": T_TOKEN_SQL,
+    "d_passage_dedup": D_PASSAGE_SQL,
     "t_repetition": T_REPETITION_SQL,
     "e2_corpus_pipeline": E2_PIPE_SQL,
     "t_pii_signals": T_PII_SQL,

@@ -1,0 +1,79 @@
+"""Passage-level dedup (dedup/passage.py): planted-boilerplate
+semantics, empty-document handling, and partitioning invariance."""
+
+from __future__ import annotations
+
+from neuroimaging_data_pipeline_spark.dedup.passage import (
+    passage_dedup_stats,
+    passages,
+)
+
+BOILER = "all rights reserved no part may be reproduced without permission"
+UNIQUE = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    "one two three four five six seven eight nine ten",
+    "red orange yellow green blue indigo violet black white gray",
+]
+
+
+def test_passages_unit(spark):
+    """10-word chunking: word counts, trailing short passage, empty
+    doc yields no rows."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),  # 12 words -> 10 + 2
+            (2, ""),
+            (3, None),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    p = passages(docs).toPandas().sort_values(["doc_id", "passage_idx"])
+    assert list(p["doc_id"]) == [1, 1, 4]
+    assert list(p["n_words"]) == [10, 2, 1]
+
+
+def test_boilerplate_stripped_but_documents_survive(spark):
+    """Three documents share a leading boilerplate passage; each keeps
+    its unique tail, and only the FIRST doc (min doc_id) keeps the
+    boilerplate — the span-level semantics whole-doc dedup cannot
+    express."""
+    rows = [(i, f"{BOILER} {u}") for i, u in enumerate(UNIQUE)]
+    rows.append((99, ""))  # empty doc must not vanish
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        passage_dedup_stats(docs.repartition(3))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 4
+    # each non-empty doc = 2 passages (10-word boiler + 10-word unique)
+    assert list(out.loc[[0, 1, 2], "n_passages"]) == [2, 2, 2]
+    # doc 0 keeps both; docs 1,2 lose the boilerplate, keep the unique
+    assert list(out.loc[[0, 1, 2], "n_kept"]) == [2, 1, 1]
+    assert list(out.loc[[0, 1, 2], "n_words_kept"]) == [20, 10, 10]
+    assert out.loc[99, "n_passages"] == 0
+    assert out.loc[99, "n_kept"] == 0
+
+
+def test_partitioning_invariance(spark):
+    """First-occurrence is ordered by (doc_id, idx), not partition
+    layout: results identical at 1 and 7 partitions."""
+    rows = [(i, f"{UNIQUE[i % 3]} {BOILER}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = (
+        passage_dedup_stats(docs.coalesce(1))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        passage_dedup_stats(docs.repartition(7))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # 3 distinct unique-passages + 1 boilerplate = 4 kept corpus-wide
+    assert int(a["n_kept"].sum()) == 4
