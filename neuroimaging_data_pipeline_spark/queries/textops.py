@@ -656,9 +656,100 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """
 
 
+def t_tfidf(spark, sf_dir):
+    """Corpus-level TF-IDF: the keyword-extraction / relevance-scoring
+    primitive. Terms are lowercased whitespace tokens; tf = raw count
+    per (doc, term); df = number of docs containing the term (the tf
+    table is already distinct per (doc, term), so df is a plain count
+    — no countDistinct shuffle); idf = ln((N+1)/(df+1)) + 1 with N
+    from a broadcast 1-row aggregate (stays lazy, no driver action).
+    Top-3 terms per doc selected by the INTEGER ordering (tf desc,
+    df asc, term asc) — rarity-broken and engine-deterministic, no
+    float-rank flips from last-ulp ln() differences; the float score
+    is emitted round-6 like every transcendental in this repo.
+
+    Scale: explode is JVM-side codegen; two hash aggs (map-side
+    partial) + one equi-join on term (AQE skew-safe); the per-doc
+    top-3 window partitions by doc_id — millions of small groups, no
+    global sort."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df_t").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_t",
+            "rank",
+            (
+                F.round(
+                    F.col("tf")
+                    * (
+                        F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0))
+                        + 1.0
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+    )
+
+
+T_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term AS term
+  FROM documents,
+       UNNEST(list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                          x -> x <> '')) AS t(term)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfreq.df_t ASC, tf.term ASC
+         ) AS rank,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0) AS raw
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df_t AS BIGINT) AS df_t,
+       CAST(rank AS INT) AS rank,
+       (ROUND(raw, 6) + 0.0) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "d_passage_dedup": d_passage_dedup,
+    "t_tfidf": t_tfidf,
     "t_repetition": t_repetition,
     "e2_corpus_pipeline": e2_corpus_pipeline,
     "t_pii_signals": t_pii_signals,
@@ -675,6 +766,7 @@ QUERIES = {
 ORACLE = {
     "t_token_count": T_TOKEN_SQL,
     "d_passage_dedup": D_PASSAGE_SQL,
+    "t_tfidf": T_TFIDF_SQL,
     "t_repetition": T_REPETITION_SQL,
     "e2_corpus_pipeline": E2_PIPE_SQL,
     "t_pii_signals": T_PII_SQL,
