@@ -251,60 +251,108 @@ def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg_color(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+def encode_jpeg_color(
+    pixels: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
     """Real baseline COLOR JPEG writer: (H, W, 3) uint8 RGB -> JFIF
-    YCbCr 4:4:4, three interleaved components per MCU with per-
-    component DC prediction, luminance quant/Huffman tables as table 0
-    and chroma as table 1 (same contents by default — any spec-valid
-    DHT decodes, and the decoder reads tables from the stream).
+    YCbCr, three interleaved components per MCU with per-component DC
+    prediction, luminance quant/Huffman tables as table 0 and chroma
+    as table 1 (same contents by default — any spec-valid DHT decodes,
+    and the decoder reads tables from the stream).
+
+    ``subsampling='444'``: 1x1 sampling everywhere, MCU = one block
+    per component. ``subsampling='420'``: Y at 2x2, chroma averaged
+    over 2x2 pixel cells — MCU = 16x16 pixels carrying 4 Y blocks
+    (raster order within the MCU) + 1 Cb + 1 Cr, the layout virtually
+    every camera/web JPEG uses.
 
     Color JPEG is doubly lossy (YCbCr rounding + DCT quantization);
     for GRAY-valued RGB (R=G=B) the color convert is exact (Y=v,
-    Cb=Cr=128), so constant gray blocks round-trip bit-exactly through
-    the full 3-component machinery — the oracle fixture's profile."""
+    Cb=Cr=128 — and averaging a constant 128 chroma plane is still
+    exact under 4:2:0), so constant blocks round-trip bit-exactly
+    through the full machinery — the oracle fixtures' profile."""
     h, w, ncomp = pixels.shape
     if ncomp != 3:
         raise ValueError(f"expected (H, W, 3) RGB, got {pixels.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     q = (
         np.ones((8, 8), dtype=np.int64)
         if qtable is None
         else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
     )
     ycc = _rgb_to_ycbcr(pixels)
-    planes = [
-        _pad8(ycc[..., c]).astype(np.float64) - 128.0 for c in range(3)
-    ]
+
+    if subsampling == "444":
+        factors = [(1, 1), (1, 1), (1, 1)]  # (H, V) per component
+        planes = [ycc[..., c].astype(np.float64) for c in range(3)]
+    else:
+        factors = [(2, 2), (1, 1), (1, 1)]
+        # chroma: mean over 2x2 pixel cells (pad odd dims by edge
+        # replication first so every cell is full)
+        ch, cw = -h % 2, -w % 2
+        full = np.pad(ycc, ((0, ch), (0, cw), (0, 0)), mode="edge").astype(
+            np.float64
+        )
+        sub = [
+            np.round(
+                full[..., c].reshape((h + ch) // 2, 2, (w + cw) // 2, 2)
+                .mean(axis=(1, 3))
+            )
+            for c in (1, 2)
+        ]
+        planes = [ycc[..., 0].astype(np.float64), sub[0], sub[1]]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad each plane to its MCU-covered block grid
+    padded = []
+    for (fh, fv), plane in zip(factors, planes):
+        th, tw = mcus_y * fv * 8, mcus_x * fh * 8
+        ph, pw = plane.shape
+        padded.append(
+            np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge") - 128.0
+        )
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
     qflat = q.reshape(-1)[_ZIGZAG]
-    for by in range(planes[0].shape[0] // 8):
-        for bx in range(planes[0].shape[1] // 8):
-            for c in range(3):  # interleaved MCU: Y, Cb, Cr
-                prev_dc[c] = _encode_block(
-                    bw,
-                    planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                    qflat,
-                    dc_codes,
-                    ac_codes,
-                    prev_dc[c],
-                )
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c, (fh, fv) in enumerate(factors):
+                for iv in range(fv):  # blocks raster-ordered in MCU
+                    for ih in range(fh):
+                        by, bx = my * fv + iv, mx * fh + ih
+                        prev_dc[c] = _encode_block(
+                            bw,
+                            padded[c][
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ],
+                            qflat,
+                            dc_codes,
+                            ac_codes,
+                            prev_dc[c],
+                        )
     scan = bw.flush()
 
     qbytes = q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    sof_comps = b"".join(
+        bytes([cid, (fh << 4) | fv, qid])
+        for cid, (fh, fv), qid in zip(
+            (1, 2, 3), factors, (0, 1, 1)
+        )
+    )
     out = bytearray()
     out += b"\xff\xd8"
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xFFDB, b"\x00" + qbytes + b"\x01" + qbytes)
-    out += _seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x11\x00"  # Y: id 1, 1x1 sampling, qtable 0
-        + b"\x02\x11\x01"  # Cb: id 2, 1x1, qtable 1
-        + b"\x03\x11\x01",  # Cr: id 3, 1x1, qtable 1
-    )
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
     out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
     out += _seg(0xFFC4, b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS))
@@ -361,12 +409,14 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Real baseline JPEG decode for 4:4:4-sampled baseline files:
-    marker walk, DQT/DHT from the stream, Huffman + per-component
-    DC-prediction entropy decode with stuffed-byte handling,
-    dequantize, de-zigzag, IDCT, level shift, clamp; YCbCr -> RGB for
-    3-component scans. Returns (H, W) uint8 for grayscale or
-    (H, W, 3) uint8 RGB for color. Subsampled / progressive files
+    """Real baseline JPEG decode: marker walk, DQT/DHT from the
+    stream, Huffman + per-component DC-prediction entropy decode with
+    stuffed-byte handling, dequantize, de-zigzag, IDCT, level shift,
+    clamp; YCbCr -> RGB for 3-component scans. Sampling factors 1 and
+    2 supported — 4:4:4, 4:2:2 AND 4:2:0 MCU layouts, with
+    replicated-pixel chroma upsampling (libjpeg non-fancy mode) and
+    partial-MCU crop to the SOF dims. Returns (H, W) uint8 for
+    grayscale or (H, W, 3) uint8 RGB for color. Progressive files
     raise (honest capability gate, not silent wrong output)."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
@@ -376,6 +426,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
     comp_q: dict[int, int] = {}  # component id -> quant table id
+    comp_samp: dict[int, tuple[int, int]] = {}  # cid -> (H, V) factors
     comp_order: list[int] = []
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -417,9 +468,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
             for c in range(ncomp):
                 cid, sampling, cqid = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                fh, fv = sampling >> 4, sampling & 0xF
+                if fh not in (1, 2) or fv not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {fh}x{fv} unsupported "
+                        "(1 and 2 only — covers 4:4:4/4:2:2/4:2:0)"
+                    )
                 comp_q[cid] = cqid
+                comp_samp[cid] = (fh, fv)
                 comp_order.append(cid)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
@@ -437,49 +493,73 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tbyte = seg[2 + 2 * c]
                 scan_tbls[cid] = (huff[(0, tbyte >> 4)], huff[(1, tbyte & 0xF)])
             br = _BitReader(data[pos:])
-            bh, bw_ = (h + 7) // 8, (w + 7) // 8
-            planes = np.zeros((bh * 8, bw_ * 8, ns), dtype=np.float64)
+            hmax = max(f[0] for f in comp_samp.values())
+            vmax = max(f[1] for f in comp_samp.values())
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            # per-component SUBSAMPLED planes at their own block grid
+            cplanes = {
+                cid: np.zeros(
+                    (mcus_y * fv * 8, mcus_x * fh * 8), dtype=np.float64
+                )
+                for cid, (fh, fv) in comp_samp.items()
+            }
             prev_dc = {cid: 0 for cid in comp_order}
             qflats = {
                 cid: qtables[comp_q[cid]].reshape(-1)[_ZIGZAG].astype(np.float64)
                 for cid in comp_order
             }
-            for by in range(bh):
-                for bx in range(bw_):
-                    for ci, cid in enumerate(comp_order):  # interleaved MCU
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid in comp_order:  # interleaved MCU
+                        fh, fv = comp_samp[cid]
                         dc_tbl, ac_tbl = scan_tbls[cid]
                         qflat = qflats[cid]
-                        zz = np.zeros(64, dtype=np.float64)
-                        s = br.huff(dc_tbl)
-                        diff = _extend(br.bits(s), s) if s else 0
-                        prev_dc[cid] += diff
-                        zz[0] = prev_dc[cid]
-                        i = 1
-                        while i < 64:
-                            sym = br.huff(ac_tbl)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError(f"bad AC symbol 0x{sym:02X}")
-                                i += 16  # ZRL
-                                continue
-                            i += run
-                            if i >= 64:
-                                raise ValueError("AC run overflows block")
-                            zz[i] = _extend(br.bits(size), size)
-                            i += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz * qflat
-                        block = _C.T @ coef.reshape(8, 8) @ _C
-                        planes[
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci
-                        ] = block
-            # SOF dims are the true dims; crop the partial-MCU padding
-            samples = np.clip(np.round(planes + 128.0), 0, 255).astype(
-                np.uint8
-            )[:h, :w, :]
+                        for iv in range(fv):  # raster order within MCU
+                            for ih in range(fh):
+                                zz = np.zeros(64, dtype=np.float64)
+                                s = br.huff(dc_tbl)
+                                diff = _extend(br.bits(s), s) if s else 0
+                                prev_dc[cid] += diff
+                                zz[0] = prev_dc[cid]
+                                i = 1
+                                while i < 64:
+                                    sym = br.huff(ac_tbl)
+                                    if sym == 0x00:  # EOB
+                                        break
+                                    run, size = sym >> 4, sym & 0xF
+                                    if size == 0:
+                                        if run != 15:
+                                            raise ValueError(
+                                                f"bad AC symbol 0x{sym:02X}"
+                                            )
+                                        i += 16  # ZRL
+                                        continue
+                                    i += run
+                                    if i >= 64:
+                                        raise ValueError("AC run overflows block")
+                                    zz[i] = _extend(br.bits(size), size)
+                                    i += 1
+                                coef = np.zeros(64, dtype=np.float64)
+                                coef[_ZIGZAG] = zz * qflat
+                                block = _C.T @ coef.reshape(8, 8) @ _C
+                                by, bx = my * fv + iv, mx * fh + ih
+                                cplanes[cid][
+                                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                                ] = block
+            # upsample subsampled components by pixel replication
+            # (libjpeg's non-fancy mode), then crop the MCU padding to
+            # the true SOF dims
+            full = np.zeros((h, w, ns), dtype=np.float64)
+            for ci, cid in enumerate(comp_order):
+                fh, fv = comp_samp[cid]
+                plane = cplanes[cid]
+                if (fh, fv) != (hmax, vmax):
+                    plane = np.repeat(
+                        np.repeat(plane, vmax // fv, axis=0), hmax // fh, axis=1
+                    )
+                full[..., ci] = plane[:h, :w]
+            samples = np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)
             if ns == 1:
                 return samples[..., 0]
             return _ycbcr_to_rgb(samples)
@@ -558,6 +638,38 @@ def synthesize_jpeg_color_images(
                 gray = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
                 rgb = np.stack([gray, gray, gray], axis=-1)
                 payloads.append(encode_jpeg_color(rgb))
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
+
+    return docs.select(id_col).mapInPandas(encode_batches, out_schema)
+
+
+def synthesize_jpeg_420_images(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    macro_x: int = 2,
+    macro_y: int = 2,
+) -> DataFrame:
+    """Deterministic 4:2:0-SUBSAMPLED JPEG fixture: gray-valued RGB
+    from constant 16x16 MACROblocks (one full MCU each), macroblock
+    (My, Mx) = (id*19 + My*47 + Mx*37) % 256 — exact through the
+    subsampled pipeline (YCbCr of gray is exact, 2x2 chroma averaging
+    of a constant plane is exact, DC-only blocks at unit quant, and
+    replication upsampling of constant chroma is exact), so the
+    oracle recomputes decoded stats from the formula while the full
+    4-Y+Cb+Cr interleaved MCU machinery runs for real."""
+    out_schema = "media_id long, content binary"
+    mys = np.arange(macro_y)[:, None]
+    mxs = np.arange(macro_x)[None, :]
+    base = mys * 47 + mxs * 37
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                macros = ((int(i) * 19 + base) % 256).astype(np.uint8)
+                gray = np.kron(macros, np.ones((16, 16), dtype=np.uint8))
+                rgb = np.stack([gray, gray, gray], axis=-1)
+                payloads.append(encode_jpeg_color(rgb, subsampling="420"))
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 
     return docs.select(id_col).mapInPandas(encode_batches, out_schema)

@@ -126,12 +126,65 @@ GROUP BY s.doc_id, s.i, s.sz
 """
 
 
+def m9_jpeg_420(spark, sf_dir):
+    """M9: REAL 4:2:0-SUBSAMPLED baseline JPEG end-to-end
+    (multimodal/jpeg.py). Per document, a genuine JFIF with 2x2 luma
+    sampling (MCU = 4 Y blocks + Cb + Cr interleaved, the layout
+    virtually every camera/web JPEG uses) is encoded stdlib-only and
+    decoded by the generalized sampling-factor-aware parser inside
+    Arrow-batched mapInPandas. The fixture's constant 16x16
+    macroblocks survive the subsampled pipeline bit-exactly (gray
+    YCbCr + constant-plane chroma averaging + DC-only blocks +
+    replication upsampling are each exact), so the oracle recomputes
+    every channel stat from the macroblock formula; lossy behavior on
+    arbitrary color is pinned in pytest. This retires the
+    'subsampled JPEG needs PIL' capability gate."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        jpeg_color_features,
+        synthesize_jpeg_420_images,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_jpeg_420_images(d, id_col="doc_id")
+    feats = jpeg_color_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_r", 6) + F.lit(0.0)).alias("mean_r"),
+        (F.round("mean_g", 6) + F.lit(0.0)).alias("mean_g"),
+        (F.round("mean_b", 6) + F.lit(0.0)).alias("mean_b"),
+        "sum_px",
+    )
+
+
+M9_SQL = """
+WITH mb AS (
+  SELECT doc_id,
+         (doc_id * 19 + my.my * 47 + mx.mx * 37) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 2)) AS my(my),
+       UNNEST(range(0, 2)) AS mx(mx)
+)
+SELECT doc_id,
+       CAST(32 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_r,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_g,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_b,
+       CAST(SUM(v) * 256 * 3 AS BIGINT) AS sum_px
+FROM mb GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m8b_mp4_frames": m8b_mp4_frames,
+    "m9_jpeg_420": m9_jpeg_420,
 }
 
 ORACLE = {
     "m8_mp4_meta": M8_SQL,
     "m8b_mp4_frames": M8B_SQL,
+    "m9_jpeg_420": M9_SQL,
 }

@@ -387,6 +387,45 @@ def test_jpeg_color_codec_local():
         decode_jpeg_gray(encode_jpeg_color(odd))
 
 
+def test_jpeg_420_codec_local():
+    """The 4:2:0-subsampled path (generalized sampling factors):
+    constant-16x16-macroblock gray RGB round-trips BIT-EXACTLY
+    through the 4-Y+Cb+Cr interleaved MCU layout; luma survives
+    nearly exactly on arbitrary color (chroma carries the
+    subsampling loss); odd/non-MCU-multiple dims pad+crop; and the
+    SOF sampling bytes really say 2x2."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(31)
+    macros = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    gray = np.kron(macros, np.ones((16, 16), dtype=np.uint8))
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    payload = encode_jpeg_color(rgb, subsampling="420")
+    # SOF0 component spec: Y sampling byte must be 0x22
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 11] == 0x22 and payload[sof + 14] == 0x11
+    # smaller than the 4:4:4 encoding of the same image (that's the point)
+    assert len(payload) < len(encode_jpeg_color(rgb, subsampling="444"))
+    np.testing.assert_array_equal(decode_jpeg_color(payload), rgb)
+
+    # arbitrary SMOOTH color: chroma varies slowly, so subsampling
+    # loss stays small end-to-end
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = np.stack(
+        [(yy * 2) % 256, (xx * 2) % 256, ((yy + xx)) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg_color(encode_jpeg_color(smooth, subsampling="420"))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 8
+
+    odd = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    assert decode_jpeg_color(
+        encode_jpeg_color(odd, subsampling="420")
+    ).shape == (19, 21, 3)
+
+
 def test_gzip_text_roundtrip(spark):
     """gzip shard round trip through Spark: decompressed text digests
     match local recomputation; payloads are genuine gzip members and
