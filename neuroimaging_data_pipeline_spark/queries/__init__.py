@@ -38,6 +38,7 @@ Determinism discipline (applies to every pair):
 from __future__ import annotations
 
 from neuroimaging_data_pipeline_spark.queries import (
+    eventsops,
     ingest,
     media,
     misc,
@@ -60,7 +61,7 @@ from neuroimaging_data_pipeline_spark.queries import (
 # media (new MP4 m8/m8b) registers right after the window like the
 # other brand-new r4 queries — its green rows are the sf0.01 + sf0.1
 # replica runs recorded in SURVEY §8.
-_MODULES = [relational, misc, neuro, media, ingest, textops, simsearch, spatial]
+_MODULES = [relational, misc, neuro, media, eventsops, ingest, textops, simsearch, spatial]
 
 
 def all_queries():

@@ -1,0 +1,157 @@
+"""Event-analytics operators over the ``events`` table: ordered
+funnel conversion and cohort retention — the two canonical
+product-analytics shapes a general engine must express (and a
+training-data pipeline reuses them verbatim for e.g. document
+lifecycle tracking: crawled -> cleaned -> deduped stages are a
+funnel; recrawl activity by first-seen week is retention).
+
+Scale notes:
+- the funnel is THREE filtered per-user min aggregates chained by
+  strictly-later-than joins — each agg is a hash aggregate with
+  map-side partials on user_id; the user-level intermediate tables
+  are |users| rows (tiny next to |events|), so the chaining joins
+  are cheap and AQE will broadcast them;
+- retention distincts (user, cohort_day, offset) BEFORE counting, so
+  the heavy dedup shuffle carries three small ints per row and the
+  final count is a partial-aggregated groupBy;
+- no windows over the whole event stream, no per-user sorting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def ev_funnel(spark, sf_dir):
+    """Ordered funnel per user: first 'view', first 'click' STRICTLY
+    AFTER that view, first 'purchase' strictly after that click —
+    the timestamps must be ordered, not merely present (a purchase
+    before the first view does not convert). One row per user who
+    entered the funnel: (user_id, reached_view, reached_click,
+    reached_purchase)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.lit(True).alias("reached_view"),
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       TRUE AS reached_view,
+       (c.t_click IS NOT NULL) AS reached_click,
+       (p.t_purchase IS NOT NULL) AS reached_purchase
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+def ev_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day; for day
+    offsets 0..7, how many of each cohort were active again on
+    cohort_day + offset. (cohort_day date, day_offset, n_users).
+    The (user, cohort, offset) triple is distinct-ed before counting
+    so multiple same-day events don't inflate retention."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        # date emitted as a string for cross-engine hash stability
+        # (same convention as f3_date_trunc)
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+EV_RETENTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+), active AS (
+  SELECT DISTINCT ev.user_id, first.cohort_day,
+         (ev.day - first.cohort_day) AS day_offset
+  FROM ev JOIN first ON ev.user_id = first.user_id
+  WHERE (ev.day - first.cohort_day) <= {RETENTION_MAX_OFFSET}
+)
+SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active GROUP BY cohort_day, day_offset
+"""
+
+
+QUERIES = {
+    "ev_funnel": ev_funnel,
+    "ev_retention": ev_retention,
+}
+
+ORACLE = {
+    "ev_funnel": EV_FUNNEL_SQL,
+    "ev_retention": EV_RETENTION_SQL,
+}

@@ -1,0 +1,73 @@
+"""Event-analytics semantics (queries/eventsops.py): the funnel's
+strict ordering requirement and retention's same-day dedup, pinned on
+planted fixtures the synthetic events table may not exercise."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.queries.eventsops import (
+    ev_funnel,
+    ev_retention,
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, h), u, t, 1.0, "{}")
+            for i, (u, t, d, h) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "events.parquet")
+    )
+    return str(sf)
+
+
+def test_funnel_requires_strict_order(spark, tmp_path):
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", 1, 1), (1, "click", 1, 2), (1, "purchase", 1, 3),
+        # user 2: purchase BEFORE view -> no conversion past view
+        (2, "purchase", 1, 1), (2, "view", 1, 2),
+        # user 3: click before view, click after view too -> converts
+        (3, "click", 1, 1), (3, "view", 1, 2), (3, "click", 1, 3),
+        # user 4: never viewed -> not in funnel at all
+        (4, "click", 1, 1), (4, "purchase", 1, 2),
+        # user 5: view and click at the SAME instant -> strict '>' fails
+        (5, "view", 2, 1), (5, "click", 2, 1),
+    ]
+    out = (
+        ev_funnel(spark, _write_events(spark, tmp_path, rows))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3, 5]  # user 4 absent
+    assert out.loc[1, "reached_purchase"]
+    assert not out.loc[2, "reached_click"]
+    assert not out.loc[2, "reached_purchase"]
+    assert out.loc[3, "reached_click"] and not out.loc[3, "reached_purchase"]
+    assert not out.loc[5, "reached_click"]
+
+
+def test_retention_dedups_same_day_activity(spark, tmp_path):
+    rows = [
+        # user 1: 3 events on cohort day, 2 on day+1 -> counts once each
+        (1, "view", 1, 1), (1, "click", 1, 2), (1, "error", 1, 3),
+        (1, "view", 2, 1), (1, "view", 2, 5),
+        # user 2: same cohort day, returns day+1 and day+9 (beyond window)
+        (2, "view", 1, 4), (2, "view", 2, 9), (2, "view", 10, 1),
+    ]
+    out = ev_retention(spark, _write_events(spark, tmp_path, rows)).toPandas()
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()
+    }
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 2}
