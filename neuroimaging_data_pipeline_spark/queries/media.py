@@ -177,14 +177,73 @@ FROM mb GROUP BY doc_id
 """
 
 
+def m10_audio_frames(spark, sf_dir):
+    """M10: frame-level audio features through the REAL WAV codec
+    (multimodal/binaryops.py wav_frame_features) — the audio analog
+    of m8b's video frame sampling, and the windowed shape VAD /
+    silence-trim / loudness pipelines start from. Each 32-sample clip
+    (md5-nibble definition, same as m2) splits into four 8-sample
+    frames; per frame: RMS and the zero-crossing count. The oracle
+    recomputes both from the nibble formula with a lag window — a
+    codec bug OR a frame-boundary bug breaks the hash match."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        synthesize_wav_clips,
+        wav_frame_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_wav_clips(d, id_col="doc_id", text_col="text")
+    frames = wav_frame_features(media, frame_len=8)
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "n_in_frame",
+        (F.round("rms", 6) + F.lit(0.0)).alias("rms"),
+        "n_zero_cross",
+    )
+
+
+M10_SQL = """
+WITH nibs AS (
+  SELECT doc_id, t.i AS i,
+         CAST((t.i - 1) // 8 AS INT) AS frame_idx,
+         (CASE WHEN ascii(substring(md5(COALESCE(text, '')), t.i, 1)) >= 97
+               THEN ascii(substring(md5(COALESCE(text, '')), t.i, 1)) - 87
+               ELSE ascii(substring(md5(COALESCE(text, '')), t.i, 1)) - 48
+          END) AS nib
+  FROM documents, UNNEST(range(1, 33)) AS t(i)
+), s AS (
+  SELECT doc_id, i, frame_idx,
+         nib * 4096.0 - 32768.0 AS v,
+         (nib >= 8) AS nonneg
+  FROM nibs
+), z AS (
+  SELECT doc_id, frame_idx, v, nonneg,
+         LAG(nonneg) OVER (
+           PARTITION BY doc_id, frame_idx ORDER BY i
+         ) AS prev
+  FROM s
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(COUNT(*) AS INT) AS n_in_frame,
+       (ROUND(sqrt(AVG(v * v)), 6) + 0.0) AS rms,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND nonneg <> prev
+                     THEN 1 ELSE 0 END) AS INT) AS n_zero_cross
+FROM z GROUP BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
+    "m10_audio_frames": m10_audio_frames,
     "m8b_mp4_frames": m8b_mp4_frames,
     "m9_jpeg_420": m9_jpeg_420,
 }
 
 ORACLE = {
     "m8_mp4_meta": M8_SQL,
+    "m10_audio_frames": M10_SQL,
     "m8b_mp4_frames": M8B_SQL,
     "m9_jpeg_420": M9_SQL,
 }

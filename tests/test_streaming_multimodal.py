@@ -387,6 +387,47 @@ def test_jpeg_color_codec_local():
         decode_jpeg_gray(encode_jpeg_color(odd))
 
 
+def test_wav_frame_features(spark):
+    """Frame-level audio features: boundaries split exactly at
+    frame_len, zero-crossings count only WITHIN a frame (a sign flip
+    across the frame boundary is not counted), trailing short frame
+    keeps its true length."""
+    import io
+    import wave
+
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        encode_wav_pcm16,
+        wav_frame_features,
+    )
+
+    # 10 samples, frame_len=4 -> frames of 4, 4, 2.
+    # frame 0: + + - -  -> 1 crossing
+    # frame 1: - + - +  -> 3 crossings (the -)(- boundary flip from
+    #          frame 0's last '-' to frame 1's '-' is no flip; but
+    #          frame 1 starts '-' after frame 0 ends '-')
+    # frame 2: + +      -> 0 crossings; boundary flip (+ after +) none
+    samples = np.array(
+        [100, 200, -100, -200, -50, 60, -70, 80, 90, 10], dtype=np.int16
+    )
+    payload = encode_wav_pcm16(samples, sample_rate=8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    out = (
+        wav_frame_features(media, frame_len=4)
+        .toPandas()
+        .sort_values("frame_idx")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_in_frame"]) == [4, 4, 2]
+    assert list(out["n_zero_cross"]) == [1, 3, 0]
+    expected_rms = [
+        float(np.sqrt(np.mean(samples[i : i + 4].astype(float) ** 2)))
+        for i in (0, 4, 8)
+    ]
+    np.testing.assert_allclose(out["rms"].tolist(), expected_rms, rtol=1e-12)
+
+
 def test_jpeg_420_codec_local():
     """The 4:2:0-subsampled path (generalized sampling factors):
     constant-16x16-macroblock gray RGB round-trips BIT-EXACTLY
