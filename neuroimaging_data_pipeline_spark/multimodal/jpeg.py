@@ -123,10 +123,21 @@ class _BitWriter:
         # O(n^2) in scan size
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad with 1s to a byte boundary (per spec) without ending
+        the scan — used before emitting a restart marker."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+            self.put((1 << pad) - 1, pad)
+
+    def put_marker(self, marker: int) -> None:
+        """Emit a raw two-byte marker into the scan (NOT byte-stuffed
+        — markers are the one place a bare 0xFF belongs)."""
+        self.align()
+        self.out += bytes([0xFF, marker & 0xFF])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -179,10 +190,19 @@ def _pad8(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, -h % 8), (0, -w % 8)), mode="edge")
 
 
-def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+def encode_jpeg_gray(
+    pixels: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """Real baseline JPEG writer for (H, W) uint8 grayscale. Default
     quantization table is all ones — maximal fidelity, so constant 8x8
-    blocks round-trip exactly (see module docstring)."""
+    blocks round-trip exactly (see module docstring).
+
+    ``restart_interval=N`` (MCUs) emits a DRI segment and RST0..7
+    markers every N MCUs with DC-prediction resets — the feature that
+    makes large real-world JPEGs error-recoverable and parallel-
+    decodable."""
     h, w = pixels.shape
     q = (
         np.ones((8, 8), dtype=np.int64)
@@ -196,8 +216,13 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
     bw = _BitWriter()
     prev_dc = 0
     qflat = q.reshape(-1)[_ZIGZAG]
+    n_mcus_x = px.shape[1] // 8
+    mcu = 0
     for by in range(px.shape[0] // 8):
-        for bx in range(px.shape[1] // 8):
+        for bx in range(n_mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.put_marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                prev_dc = 0
             prev_dc = _encode_block(
                 bw,
                 px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
@@ -206,12 +231,15 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
                 ac_codes,
                 prev_dc,
             )
+            mcu += 1
     scan = bw.flush()
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xFFDB, b"\x00" + q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     # SOF0 carries the TRUE dimensions per T.81 — MCU count is
     # ceil(dim/8) and decoders crop the partial-MCU padding; writing
     # padded dims here would make standard decoders return the
@@ -255,6 +283,7 @@ def encode_jpeg_color(
     pixels: np.ndarray,
     qtable: np.ndarray | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Real baseline COLOR JPEG writer: (H, W, 3) uint8 RGB -> JFIF
     YCbCr, three interleaved components per MCU with per-component DC
@@ -323,8 +352,13 @@ def encode_jpeg_color(
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
     qflat = q.reshape(-1)[_ZIGZAG]
+    mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.put_marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                prev_dc = [0, 0, 0]
+            mcu += 1
             for c, (fh, fv) in enumerate(factors):
                 for iv in range(fv):  # blocks raster-ordered in MCU
                     for ih in range(fh):
@@ -352,6 +386,8 @@ def encode_jpeg_color(
     out += b"\xff\xd8"
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xFFDB, b"\x00" + qbytes + b"\x01" + qbytes)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
     out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -403,6 +439,26 @@ class _BitReader:
                 return table[(code, length)]
         raise ValueError("invalid Huffman code in JPEG scan")
 
+    def restart(self, expected_m: int) -> None:
+        """Consume an RSTm marker at a restart boundary: discard the
+        pad bits to the byte boundary, then require 0xFFD0+m with the
+        right modulo-8 counter (a wrong counter means lost sync)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG truncated at restart boundary")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError(
+                f"expected restart marker, got 0x{b0:02X}{b1:02X}"
+            )
+        if b1 - 0xD0 != expected_m:
+            raise ValueError(
+                f"restart marker out of sequence: RST{b1 - 0xD0}, "
+                f"expected RST{expected_m}"
+            )
+        self.pos += 2
+
 
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -428,6 +484,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comp_q: dict[int, int] = {}  # component id -> quant table id
     comp_samp: dict[int, tuple[int, int]] = {}  # cid -> (H, V) factors
     comp_order: list[int] = []
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -477,6 +534,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp_q[cid] = cqid
                 comp_samp[cid] = (fh, fv)
                 comp_order.append(cid)
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError(f"non-baseline SOF 0x{marker:04X} unsupported")
@@ -509,8 +568,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid: qtables[comp_q[cid]].reshape(-1)[_ZIGZAG].astype(np.float64)
                 for cid in comp_order
             }
+            mcu = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    if (
+                        restart_interval
+                        and mcu
+                        and mcu % restart_interval == 0
+                    ):
+                        br.restart((mcu // restart_interval - 1) % 8)
+                        prev_dc = {cid: 0 for cid in comp_order}
+                    mcu += 1
                     for cid in comp_order:  # interleaved MCU
                         fh, fv = comp_samp[cid]
                         dc_tbl, ac_tbl = scan_tbls[cid]
@@ -595,7 +663,10 @@ def synthesize_jpeg_images(
     block (by, bx) = (id*13 + by*41 + bx*29) % 256 — exact through the
     lossy pipeline (DC-only blocks, unit quant table), so an oracle
     recomputes decoded features from the formula while the Huffman/
-    DCT machinery runs for real. (media_id, content binary)."""
+    DCT machinery runs for real. Written with restart_interval=2
+    (since r4): the 6-MCU scan carries two RSTn markers with DC
+    resets, so DRI/RSTn handling sits under the oracle seal too.
+    (media_id, content binary)."""
     out_schema = "media_id long, content binary"
     bys = np.arange(blocks_y)[:, None]
     bxs = np.arange(blocks_x)[None, :]
@@ -607,7 +678,7 @@ def synthesize_jpeg_images(
             for i in pdf[id_col]:
                 blocks = ((int(i) * 13 + base) % 256).astype(np.uint8)
                 img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-                payloads.append(encode_jpeg_gray(img))
+                payloads.append(encode_jpeg_gray(img, restart_interval=2))
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 
     return docs.select(id_col).mapInPandas(encode_batches, out_schema)

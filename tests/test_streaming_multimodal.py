@@ -387,6 +387,52 @@ def test_jpeg_color_codec_local():
         decode_jpeg_gray(encode_jpeg_color(odd))
 
 
+def test_jpeg_restart_markers():
+    """DRI/RSTn: restart intervals round-trip bit-exactly on constant
+    blocks (gray, 4:4:4 color AND 4:2:0), RST counters wrap mod 8
+    past 8 restarts, and an out-of-sequence marker raises instead of
+    silently desyncing."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(41)
+    gray = np.kron(
+        rng.integers(0, 256, (4, 3), dtype=np.uint8),
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    for ri in (1, 2, 5):
+        payload = encode_jpeg_gray(gray, restart_interval=ri)
+        assert b"\xff\xdd" in payload  # DRI present
+        np.testing.assert_array_equal(decode_jpeg_gray(payload), gray)
+
+    g2 = np.kron(
+        rng.integers(0, 256, (2, 2), dtype=np.uint8),
+        np.ones((16, 16), dtype=np.uint8),
+    )
+    rgb = np.stack([g2] * 3, axis=-1)
+    for sub in ("444", "420"):
+        payload = encode_jpeg_color(rgb, subsampling=sub, restart_interval=1)
+        np.testing.assert_array_equal(decode_jpeg_color(payload), rgb)
+
+    # 24 MCUs at interval 1 -> RST counter wraps 0..7 repeatedly
+    tall = np.kron(
+        rng.integers(0, 256, (12, 2), dtype=np.uint8),
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    payload = encode_jpeg_gray(tall, restart_interval=1)
+    np.testing.assert_array_equal(decode_jpeg_gray(payload), tall)
+
+    corrupted = bytearray(payload)
+    i = corrupted.index(b"\xff\xd0")
+    corrupted[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_gray(bytes(corrupted))
+
+
 def test_wav_frame_features(spark):
     """Frame-level audio features: boundaries split exactly at
     frame_len, zero-crossings count only WITHIN a frame (a sign flip
