@@ -1,17 +1,30 @@
-"""Baseline JPEG codec, stdlib-only (SURVEY-mandated multimodal
-engine addition; closes VERDICT r3 gap #1 "a training corpus is JPEG").
+"""JPEG codec, stdlib-only (SURVEY-mandated multimodal engine
+addition; closes VERDICT r3 gap #1 "a training corpus is JPEG").
 
-Real ITU-T T.81 baseline sequential DCT, grayscale (one component):
+Real ITU-T T.81 coverage (grown r4 round by round):
 
+- BASELINE sequential DCT, grayscale and 3-component YCbCr color at
+  4:4:4, 4:2:2 and 4:2:0 sampling (interleaved MCUs, per-component
+  DC prediction, replicated-pixel chroma upsampling), with optional
+  DRI/RSTn restart markers (mod-8 counter verified, out-of-sequence
+  raises);
+- PROGRESSIVE (SOF2) spectral selection: interleaved DC scan + per-
+  component AC band scans with EOBn run symbols from a custom
+  spec-valid Huffman table; multi-scan coefficient accumulation in
+  the decoder, IDCT once at the end. Spectral selection is lossless
+  relative to baseline, pinned by bit-equality tests;
 - encoder: level shift, 8x8 forward DCT (matrix form), quantization,
   zigzag, differential-DC + run-length-AC Huffman entropy coding with
-  byte stuffing, standard JFIF marker stream (SOI, APP0, DQT, SOF0,
-  DHT, SOS, EOI);
-- decoder: marker walk, DQT/DHT/SOF0/SOS parsing, canonical Huffman
+  byte stuffing, standard JFIF marker stream;
+- decoder: marker walk, DQT/DHT/SOF/SOS parsing, canonical Huffman
   table reconstruction FROM THE BITSTREAM's DHT segments (no
   hardcoded-table shortcut — any spec-valid table decodes), stuffed-
   byte-aware bit reader, DC prediction, dequantize, de-zigzag,
   inverse DCT, level shift, clamp, edge-padding crop.
+
+Remaining declared gates (raise, never silent): successive-
+approximation progressive scans, subsampled progressive, arithmetic
+coding, 12-bit precision.
 
 JPEG is lossy in general, so the oracle-checked fixture uses images
 whose 8x8 blocks are CONSTANT: a constant block's DCT is DC-only with
@@ -401,6 +414,167 @@ def encode_jpeg_color(
     return bytes(out)
 
 
+# Progressive AC table: EOBn run symbols (n<<4, n=0..14) do not exist
+# in the Annex K baseline table, so progressive scans carry their own
+# spec-valid canonical table — every needed symbol at code length 8
+# (176 symbols, Kraft sum 176/256 < 1, no all-ones code assigned).
+_PROG_AC_VALS = (
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _quantized_blocks(plane: np.ndarray, qflat: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8x8 block of a level-shifted plane:
+    returns (bh, bw, 64) int64 zigzag-ordered coefficients."""
+    ph, pw = plane.shape
+    bh, bw = ph // 8, pw // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            coef = _C @ plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _C.T
+            out[by, bx] = np.round(coef.reshape(-1)[_ZIGZAG] / qflat).astype(
+                np.int64
+            )
+    return out
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    qtable: np.ndarray | None = None,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Real PROGRESSIVE JPEG writer (SOF2, spectral selection):
+    grayscale (H, W) or 4:4:4 color (H, W, 3) uint8. Scan 1 carries
+    every component's DC (interleaved); then one AC scan per
+    component per spectral band, coded with progressive EOBn
+    run-length symbols (runs of up-to-32767 all-zero bands collapse
+    into one EOBn code) — the coarse-to-fine transmission order the
+    web's progressive JPEGs use. Successive approximation (Ah/Al) is
+    deliberately not emitted: spectral-selection-only is a complete,
+    spec-valid progressive profile, and it keeps the pipeline
+    LOSSLESS relative to baseline — the same quantized coefficients
+    travel in a different scan order, so progressive and baseline
+    decodes of the same image are bit-identical (pinned in tests)."""
+    if pixels.ndim == 2:
+        h, w = pixels.shape
+        planes_u8 = [pixels]
+    else:
+        h, w, ncomp = pixels.shape
+        if ncomp != 3:
+            raise ValueError(f"expected (H, W) or (H, W, 3), got {pixels.shape}")
+        ycc = _rgb_to_ycbcr(pixels)
+        planes_u8 = [ycc[..., c] for c in range(3)]
+    for s, e in bands:
+        if not (1 <= s <= e <= 63):
+            raise ValueError(f"bad spectral band ({s}, {e})")
+    q = (
+        np.ones((8, 8), dtype=np.int64)
+        if qtable is None
+        else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
+    )
+    qflat = q.reshape(-1)[_ZIGZAG].astype(np.float64)
+    comps = [
+        _quantized_blocks(_pad8(p).astype(np.float64) - 128.0, qflat)
+        for p in planes_u8
+    ]
+    ncomp = len(comps)
+    bh, bw_ = comps[0].shape[:2]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    # scan 1: interleaved DC for all components
+    bw = _BitWriter()
+    prev_dc = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw_):
+            for c in range(ncomp):
+                diff = int(comps[c][by, bx, 0]) - prev_dc[c]
+                prev_dc[c] = int(comps[c][by, bx, 0])
+                s = _category(diff)
+                bw.put(*dc_codes[s])
+                if s:
+                    bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scans = [
+        (
+            bytes([ncomp])
+            + b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
+            + bytes([0, 0, 0]),
+            bw.flush(),
+        )
+    ]
+
+    # then per-component AC band scans (non-interleaved, per spec)
+    for c in range(ncomp):
+        for ss, se in bands:
+            bw = _BitWriter()
+            eobrun = 0
+
+            def flush_eobrun(bw=bw):
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    bw.put(*ac_codes[n << 4])
+                    if n:
+                        bw.put(eobrun - (1 << n), n)
+                    eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bw_):
+                    band = comps[c][by, bx, ss : se + 1]
+                    nz = np.nonzero(band)[0]
+                    if len(nz) == 0:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    run = 0
+                    last_nz = nz[-1]
+                    for k in range(last_nz + 1):
+                        v = int(band[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            bw.put(*ac_codes[0xF0])
+                            run -= 16
+                        s = _category(v)
+                        bw.put(*ac_codes[(run << 4) | s])
+                        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if last_nz < se - ss:  # trailing zeros -> starts an EOB run
+                        eobrun += 1
+            flush_eobrun()
+            scans.append(
+                (
+                    bytes([1, c + 1, 0x00, ss, se, 0x00]),
+                    bw.flush(),
+                )
+            )
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    sof_comps = b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+    )
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(
+        0xFFC4, b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    )
+    for header, scan_data in scans:
+        out += _seg(0xFFDA, header)
+        out += scan_data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -485,6 +659,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comp_samp: dict[int, tuple[int, int]] = {}  # cid -> (H, V) factors
     comp_order: list[int] = []
     restart_interval = 0
+    progressive = False
+    coef_store: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) quantized
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -516,11 +692,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     for sym, (code, length) in _canonical_codes(bits, vals).items()
                 }
                 s += 17 + n
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    f"only 8-bit 1- or 3-component baseline supported, got "
+                    f"only 8-bit 1- or 3-component supported, got "
                     f"precision={prec} components={ncomp}"
                 )
             for c in range(ncomp):
@@ -531,14 +708,89 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"sampling factors {fh}x{fv} unsupported "
                         "(1 and 2 only — covers 4:4:4/4:2:2/4:2:0)"
                     )
+                if progressive and (fh, fv) != (1, 1):
+                    raise ValueError(
+                        "subsampled progressive JPEG unsupported (4:4:4 only)"
+                    )
                 comp_q[cid] = cqid
                 comp_samp[cid] = (fh, fv)
                 comp_order.append(cid)
+            if progressive:
+                bh_, bw_ = (h + 7) // 8, (w + 7) // 8
+                coef_store = {
+                    cid: np.zeros((bh_, bw_, 64), dtype=np.int64)
+                    for cid in comp_order
+                }
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError(f"non-baseline SOF 0x{marker:04X} unsupported")
+        elif marker == 0xFFDA and progressive:
+            ns = seg[0]
+            scan_cids = [seg[1 + 2 * c] for c in range(ns)]
+            scan_tsel = {seg[1 + 2 * c]: seg[2 + 2 * c] for c in range(ns)}
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if ah or al:
+                raise ValueError(
+                    "successive-approximation progressive unsupported "
+                    "(spectral selection only)"
+                )
+            if restart_interval:
+                raise ValueError("restart markers in progressive scans unsupported")
+            br = _BitReader(data[pos:])
+            bh_, bw_ = (h + 7) // 8, (w + 7) // 8
+            if ss == 0:
+                # DC scan: interleaved over the scan's components
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                dc_tbls = {
+                    cid: huff[(0, scan_tsel[cid] >> 4)] for cid in scan_cids
+                }
+                prev_dc = {cid: 0 for cid in scan_cids}
+                for by in range(bh_):
+                    for bx in range(bw_):
+                        for cid in scan_cids:
+                            s = br.huff(dc_tbls[cid])
+                            diff = _extend(br.bits(s), s) if s else 0
+                            prev_dc[cid] += diff
+                            coef_store[cid][by, bx, 0] = prev_dc[cid]
+            else:
+                # AC scan: single component, EOBn run-length coding
+                if ns != 1:
+                    raise ValueError("progressive AC scans are per-component")
+                cid = scan_cids[0]
+                ac_tbl = huff[(1, scan_tsel[cid] & 0xF)]
+                eobrun = 0
+                for by in range(bh_):
+                    for bx in range(bw_):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = br.huff(ac_tbl)
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                # EOBn: run of 2^run + extra all-zero bands
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += br.bits(run)
+                                break
+                            k += run
+                            if k > se:
+                                raise ValueError("AC run overflows band")
+                            coef_store[cid][by, bx, k] = _extend(
+                                br.bits(size), size
+                            )
+                            k += 1
+                if eobrun:
+                    raise ValueError("EOB run overflows scan")
+            pos += br.pos  # entropy data consumed; next marker follows
         elif marker == 0xFFDA:
             if h is None:
                 raise ValueError("SOS before SOF")
@@ -631,6 +883,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if ns == 1:
                 return samples[..., 0]
             return _ycbcr_to_rgb(samples)
+    if progressive and coef_store:
+        # all scans accumulated; dequantize + IDCT once at the end
+        bh_, bw_ = (h + 7) // 8, (w + 7) // 8
+        full = np.zeros((h, w, len(comp_order)), dtype=np.float64)
+        for ci, cid in enumerate(comp_order):
+            qflat = qtables[comp_q[cid]].reshape(-1)[_ZIGZAG].astype(np.float64)
+            plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
+            for by in range(bh_):
+                for bx in range(bw_):
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_ZIGZAG] = coef_store[cid][by, bx] * qflat
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _C.T @ coef.reshape(8, 8) @ _C
+                    )
+            full[..., ci] = plane[:h, :w]
+        samples = np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)
+        if len(comp_order) == 1:
+            return samples[..., 0]
+        return _ycbcr_to_rgb(samples)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -709,6 +980,35 @@ def synthesize_jpeg_color_images(
                 gray = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
                 rgb = np.stack([gray, gray, gray], axis=-1)
                 payloads.append(encode_jpeg_color(rgb))
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
+
+    return docs.select(id_col).mapInPandas(encode_batches, out_schema)
+
+
+def synthesize_jpeg_progressive_images(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    blocks_x: int = 2,
+    blocks_y: int = 3,
+) -> DataFrame:
+    """Deterministic PROGRESSIVE-JPEG fixture: 16x24 grayscale from
+    constant 8x8 blocks, block (by, bx) = (id*23 + by*53 + bx*59) %
+    256. Constant blocks are DC-only, so every AC band scan is pure
+    EOBn runs — the progressive entropy coder's run machinery is
+    exercised on every image while the decode stays bit-exact for the
+    formula-recomputing oracle."""
+    out_schema = "media_id long, content binary"
+    bys = np.arange(blocks_y)[:, None]
+    bxs = np.arange(blocks_x)[None, :]
+    base = bys * 53 + bxs * 59
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                blocks = ((int(i) * 23 + base) % 256).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_jpeg_progressive(img))
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 
     return docs.select(id_col).mapInPandas(encode_batches, out_schema)

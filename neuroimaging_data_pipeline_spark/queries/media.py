@@ -234,11 +234,61 @@ FROM z GROUP BY doc_id, frame_idx
 """
 
 
+def m11_jpeg_progressive(spark, sf_dir):
+    """M11: REAL PROGRESSIVE JPEG (SOF2, spectral selection)
+    end-to-end (multimodal/jpeg.py encode_jpeg_progressive /
+    decode_jpeg). Per document a genuine multi-scan progressive file
+    (interleaved DC scan, then per-band AC scans with EOBn run
+    symbols from a custom spec-valid Huffman table) is encoded
+    stdlib-only and decoded by the multi-scan coefficient-
+    accumulating parser inside Arrow-batched mapInPandas. Spectral
+    selection is lossless relative to baseline, and the fixture's
+    constant blocks are additionally DC-only, so the oracle
+    recomputes every stat from the block formula; progressive ==
+    baseline bit-equality on arbitrary images is pinned in pytest.
+    This retires the 'progressive JPEG needs PIL' capability gate
+    (successive approximation and subsampled progressive remain
+    declared gates)."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        jpeg_features,
+        synthesize_jpeg_progressive_images,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_jpeg_progressive_images(d, id_col="doc_id")
+    feats = jpeg_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_gray", 6) + F.lit(0.0)).alias("mean_gray"),
+        "sum_px",
+    )
+
+
+M11_SQL = """
+WITH blk AS (
+  SELECT doc_id,
+         (doc_id * 23 + by.by * 53 + bx.bx * 59) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 3)) AS by(by),
+       UNNEST(range(0, 2)) AS bx(bx)
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_gray,
+       CAST(SUM(v) * 64 AS BIGINT) AS sum_px
+FROM blk GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m10_audio_frames": m10_audio_frames,
     "m8b_mp4_frames": m8b_mp4_frames,
     "m9_jpeg_420": m9_jpeg_420,
+    "m11_jpeg_progressive": m11_jpeg_progressive,
 }
 
 ORACLE = {
@@ -246,4 +296,5 @@ ORACLE = {
     "m10_audio_frames": M10_SQL,
     "m8b_mp4_frames": M8B_SQL,
     "m9_jpeg_420": M9_SQL,
+    "m11_jpeg_progressive": M11_SQL,
 }

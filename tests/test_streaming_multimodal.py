@@ -387,6 +387,58 @@ def test_jpeg_color_codec_local():
         decode_jpeg_gray(encode_jpeg_color(odd))
 
 
+def test_jpeg_progressive_codec_local():
+    """Progressive (SOF2, spectral selection): decode of a
+    progressive encoding is BIT-IDENTICAL to the baseline decode of
+    the same image — the same quantized coefficients travel in a
+    different scan order — for arbitrary gray, arbitrary 4:4:4
+    color, long EOBn runs, and several band layouts; successive-
+    approximation scans raise the declared gate."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg,
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(47)
+    arb = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    baseline = decode_jpeg_gray(encode_jpeg_gray(arb))
+    payload = encode_jpeg_progressive(arb)
+    assert b"\xff\xc2" in payload  # really SOF2
+    assert payload.count(b"\xff\xda") >= 3  # really multi-scan
+    np.testing.assert_array_equal(decode_jpeg(payload), baseline)
+
+    arbc = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(arbc)),
+        decode_jpeg_color(encode_jpeg_color(arbc)),
+    )
+
+    # one busy block in a flat field -> EOBn runs spanning many blocks
+    flat = np.full((64, 64), 200, dtype=np.uint8)
+    flat[24:32, 40:48] = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat)),
+        decode_jpeg_gray(encode_jpeg_gray(flat)),
+    )
+
+    for bands in (((1, 63),), ((1, 2), (3, 10), (11, 63))):
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg_progressive(arb, bands=bands)), baseline
+        )
+
+    # successive approximation is a declared gate, not silent output
+    sa = bytearray(encode_jpeg_progressive(arb))
+    sos = sa.index(b"\xff\xda")
+    (ln,) = __import__("struct").unpack(">H", sa[sos + 2 : sos + 4])
+    sa[sos + 2 + ln - 1] = 0x10  # Ah=1 on the DC scan
+    with pytest.raises(ValueError, match="successive"):
+        decode_jpeg(bytes(sa))
+
+
 def test_jpeg_restart_markers():
     """DRI/RSTn: restart intervals round-trip bit-exactly on constant
     blocks (gray, 4:4:4 color AND 4:2:0), RST counters wrap mod 8
