@@ -23,9 +23,9 @@ batches. Baseline JPEG — grayscale AND 3-component color (YCbCr
 tree, mvhd/mdhd/hdlr metadata, stts/stsc/stsz/stco sample tables,
 frame-sample byte-range extraction — is real in the sibling
 ``multimodal/mp4.py``. Subsampled (4:2:0/4:2:2) and progressive
-(SOF2 spectral-selection) JPEG are real too since r4 — only decoders
-that genuinely need external libraries (successive-approximation
-progressive via PIL, H.264 frame-payload decode via ffmpeg) remain
+(SOF2, spectral selection AND successive approximation) JPEG are
+real too since r4 — only decoders that genuinely need external
+libraries (H.264 frame-payload decode via ffmpeg) remain
 stubbed (``decoder='fake'`` is a
 deterministic stand-in; ``decoder='pil'``/'ffmpeg' raise
 NotImplementedError until the libraries are provisioned) — the

@@ -8,11 +8,15 @@ Real ITU-T T.81 coverage (grown r4 round by round):
   DC prediction, replicated-pixel chroma upsampling), with optional
   DRI/RSTn restart markers (mod-8 counter verified, out-of-sequence
   raises);
-- PROGRESSIVE (SOF2) spectral selection: interleaved DC scan + per-
-  component AC band scans with EOBn run symbols from a custom
-  spec-valid Huffman table; multi-scan coefficient accumulation in
-  the decoder, IDCT once at the end. Spectral selection is lossless
-  relative to baseline, pinned by bit-equality tests;
+- PROGRESSIVE (SOF2), BOTH dimensions: spectral selection (per-band
+  AC scans with EOBn run symbols from a custom spec-valid Huffman
+  table) AND successive approximation (coarse-bits-first DC/AC
+  scans plus bit-at-a-time refinement scans following the T.81
+  G.1.2.3 correction-bit protocol — the profile libjpeg's default
+  progressive emits and virtually every web progressive JPEG uses);
+  multi-scan coefficient accumulation in the decoder, IDCT once at
+  the end. Both profiles are lossless relative to baseline once all
+  scans arrive, pinned by bit-equality tests;
 - encoder: level shift, 8x8 forward DCT (matrix form), quantization,
   zigzag, differential-DC + run-length-AC Huffman entropy coding with
   byte stuffing, standard JFIF marker stream;
@@ -22,9 +26,9 @@ Real ITU-T T.81 coverage (grown r4 round by round):
   byte-aware bit reader, DC prediction, dequantize, de-zigzag,
   inverse DCT, level shift, clamp, edge-padding crop.
 
-Remaining declared gates (raise, never silent): successive-
-approximation progressive scans, subsampled progressive, arithmetic
-coding, 12-bit precision.
+Remaining declared gates (raise, never silent): subsampled
+progressive, arithmetic coding, 12-bit precision, restart markers
+inside progressive scans.
 
 JPEG is lossy in general, so the oracle-checked fixture uses images
 whose 8x8 blocks are CONSTANT: a constant block's DCT is DC-only with
@@ -441,23 +445,227 @@ def _quantized_blocks(plane: np.ndarray, qflat: np.ndarray) -> np.ndarray:
     return out
 
 
+def spectral_script(
+    ncomp: int, bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63))
+) -> list[tuple[list[int], int, int, int, int]]:
+    """Spectral-selection-only scan script: interleaved DC scan, then
+    one AC scan per component per band. Entries are
+    (component_indices, Ss, Se, Ah, Al)."""
+    script: list[tuple[list[int], int, int, int, int]] = [
+        (list(range(ncomp)), 0, 0, 0, 0)
+    ]
+    for c in range(ncomp):
+        for ss, se in bands:
+            script.append(([c], ss, se, 0, 0))
+    return script
+
+
+def sa_script(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
+    """Successive-approximation scan script in the shape of libjpeg's
+    default progressive: coarse DC, coarse AC bands at 2 bits down,
+    then bit-at-a-time refinement scans until full precision —
+    ten scans for grayscale, the profile real-world progressive
+    JPEGs actually use."""
+    script: list[tuple[list[int], int, int, int, int]] = [
+        (list(range(ncomp)), 0, 0, 0, 1)  # DC first, 1 bit held back
+    ]
+    for c in range(ncomp):
+        script.append(([c], 1, 5, 0, 2))
+        script.append(([c], 6, 63, 0, 2))
+    for c in range(ncomp):
+        script.append(([c], 1, 63, 2, 1))  # AC refine 2 -> 1
+    script.append((list(range(ncomp)), 0, 0, 1, 0))  # DC refine
+    for c in range(ncomp):
+        script.append(([c], 1, 63, 1, 0))  # AC refine 1 -> 0
+    return script
+
+
+def _point_transform(v: int, al: int) -> int:
+    """AC point transform per T.81: divide by 2^Al truncating TOWARD
+    ZERO (arithmetic shift would floor negatives)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_dc_scan(
+    bw: _BitWriter,
+    comps: list[np.ndarray],
+    comp_idx: list[int],
+    ah: int,
+    al: int,
+    dc_codes: dict,
+) -> None:
+    bh, bw_ = comps[0].shape[:2]
+    if ah == 0:
+        prev_dc = {c: 0 for c in comp_idx}
+        for by in range(bh):
+            for bx in range(bw_):
+                for c in comp_idx:
+                    v = int(comps[c][by, bx, 0]) >> al  # arithmetic shift
+                    diff = v - prev_dc[c]
+                    prev_dc[c] = v
+                    s = _category(diff)
+                    bw.put(*dc_codes[s])
+                    if s:
+                        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    else:
+        # refinement: one raw bit per block per component
+        for by in range(bh):
+            for bx in range(bw_):
+                for c in comp_idx:
+                    bw.put((int(comps[c][by, bx, 0]) >> al) & 1, 1)
+
+
+def _encode_ac_first_scan(
+    bw: _BitWriter,
+    blocks: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+) -> None:
+    bh, bw_ = blocks.shape[:2]
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            bw.put(*ac_codes[n << 4])
+            if n:
+                bw.put(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw_):
+            band = [
+                _point_transform(int(blocks[by, bx, k]), al)
+                for k in range(ss, se + 1)
+            ]
+            nz = [k for k, v in enumerate(band) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for k in range(nz[-1] + 1):
+                v = band[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_codes[0xF0])
+                    run -= 16
+                s = _category(v)
+                bw.put(*ac_codes[(run << 4) | s])
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun += 1
+    flush_eobrun()
+
+
+def _encode_ac_refine_scan(
+    bw: _BitWriter,
+    blocks: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3 /
+    libjpeg encode_mcu_AC_refine): newly-significant coefficients
+    (magnitude becomes 1 at this precision) are coded as (run, 1)
+    symbols whose runs count only zero-history positions; already-
+    significant coefficients contribute buffered correction bits
+    appended after the next emitted symbol; trailing blocks with no
+    newly-significant coefficients collapse into EOBn runs that also
+    carry their pending correction bits."""
+    bh, bw_ = blocks.shape[:2]
+    eobrun = 0
+    pending_bits: list[int] = []  # correction bits owed with next EOBn
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun or pending_bits:
+            n = eobrun.bit_length() - 1 if eobrun else 0
+            if eobrun:
+                bw.put(*ac_codes[n << 4])
+                if n:
+                    bw.put(eobrun - (1 << n), n)
+            for b in pending_bits:
+                bw.put(b, 1)
+            pending_bits.clear()
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw_):
+            absvals = []
+            eob_idx = -1  # last index whose magnitude becomes exactly 1
+            for i, k in enumerate(range(ss, se + 1)):
+                t = abs(int(blocks[by, bx, k])) >> al
+                absvals.append(t)
+                if t == 1:
+                    eob_idx = i
+            run = 0
+            block_bits: list[int] = []  # correction bits since last symbol
+            for i, k in enumerate(range(ss, se + 1)):
+                t = absvals[i]
+                if t == 0:
+                    run += 1
+                    continue
+                # the ZRL check runs at EVERY nonzero position (also
+                # already-significant ones) and only inside the span
+                # that still has newly-significant coefficients —
+                # beyond eob_idx the zeros fold into the EOB run
+                while run > 15 and i <= eob_idx:
+                    flush_eobrun()
+                    bw.put(*ac_codes[0xF0])
+                    for b in block_bits:
+                        bw.put(b, 1)
+                    block_bits.clear()
+                    run -= 16
+                if t > 1:  # already significant: buffer correction bit
+                    block_bits.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                flush_eobrun()
+                bw.put(*ac_codes[(run << 4) | 1])
+                bw.put(0 if int(blocks[by, bx, k]) < 0 else 1, 1)
+                for b in block_bits:
+                    bw.put(b, 1)
+                block_bits.clear()
+                run = 0
+            if run > 0 or block_bits:
+                # band tail has no newly-significant coeffs: the block
+                # ends in an EOB whose correction bits ride on the
+                # next EOBn flush
+                eobrun += 1
+                pending_bits.extend(block_bits)
+                if eobrun == 32767:
+                    flush_eobrun()
+    flush_eobrun()
+
+
 def encode_jpeg_progressive(
     pixels: np.ndarray,
     qtable: np.ndarray | None = None,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    script: list[tuple[list[int], int, int, int, int]] | None = None,
 ) -> bytes:
-    """Real PROGRESSIVE JPEG writer (SOF2, spectral selection):
-    grayscale (H, W) or 4:4:4 color (H, W, 3) uint8. Scan 1 carries
-    every component's DC (interleaved); then one AC scan per
-    component per spectral band, coded with progressive EOBn
-    run-length symbols (runs of up-to-32767 all-zero bands collapse
-    into one EOBn code) — the coarse-to-fine transmission order the
-    web's progressive JPEGs use. Successive approximation (Ah/Al) is
-    deliberately not emitted: spectral-selection-only is a complete,
-    spec-valid progressive profile, and it keeps the pipeline
-    LOSSLESS relative to baseline — the same quantized coefficients
-    travel in a different scan order, so progressive and baseline
-    decodes of the same image are bit-identical (pinned in tests)."""
+    """Real PROGRESSIVE JPEG writer (SOF2): grayscale (H, W) or 4:4:4
+    color (H, W, 3) uint8, driven by a SCAN SCRIPT of
+    (component_indices, Ss, Se, Ah, Al) entries. Default script is
+    spectral selection over ``bands``; pass ``sa_script(ncomp)`` for
+    the full successive-approximation profile (coarse bits first,
+    refinement scans after — the layout libjpeg's default progressive
+    emits and virtually every web progressive JPEG uses). Both
+    profiles are LOSSLESS relative to baseline once all scans are
+    read: the same quantized coefficients arrive bit by bit, so
+    progressive and baseline decodes of one image are bit-identical
+    (pinned in tests). AC scans code EOBn runs; refinement scans
+    follow the T.81 G.1.2.3 correction-bit protocol."""
     if pixels.ndim == 2:
         h, w = pixels.shape
         planes_u8 = [pixels]
@@ -467,9 +675,16 @@ def encode_jpeg_progressive(
             raise ValueError(f"expected (H, W) or (H, W, 3), got {pixels.shape}")
         ycc = _rgb_to_ycbcr(pixels)
         planes_u8 = [ycc[..., c] for c in range(3)]
-    for s, e in bands:
-        if not (1 <= s <= e <= 63):
-            raise ValueError(f"bad spectral band ({s}, {e})")
+    ncomp = len(planes_u8)
+    if script is None:
+        script = spectral_script(ncomp, bands)
+    for comp_idx, ss, se, ah, al in script:
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if ss > 0 and len(comp_idx) != 1:
+            raise ValueError("AC scans are per-component")
+        if not (0 <= ss <= se <= 63):
+            raise ValueError(f"bad spectral band ({ss}, {se})")
     q = (
         np.ones((8, 8), dtype=np.int64)
         if qtable is None
@@ -480,81 +695,27 @@ def encode_jpeg_progressive(
         _quantized_blocks(_pad8(p).astype(np.float64) - 128.0, qflat)
         for p in planes_u8
     ]
-    ncomp = len(comps)
-    bh, bw_ = comps[0].shape[:2]
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
 
-    # scan 1: interleaved DC for all components
-    bw = _BitWriter()
-    prev_dc = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw_):
-            for c in range(ncomp):
-                diff = int(comps[c][by, bx, 0]) - prev_dc[c]
-                prev_dc[c] = int(comps[c][by, bx, 0])
-                s = _category(diff)
-                bw.put(*dc_codes[s])
-                if s:
-                    bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-    scans = [
-        (
-            bytes([ncomp])
-            + b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
-            + bytes([0, 0, 0]),
-            bw.flush(),
-        )
-    ]
-
-    # then per-component AC band scans (non-interleaved, per spec)
-    for c in range(ncomp):
-        for ss, se in bands:
-            bw = _BitWriter()
-            eobrun = 0
-
-            def flush_eobrun(bw=bw):
-                nonlocal eobrun
-                if eobrun:
-                    n = eobrun.bit_length() - 1
-                    bw.put(*ac_codes[n << 4])
-                    if n:
-                        bw.put(eobrun - (1 << n), n)
-                    eobrun = 0
-
-            for by in range(bh):
-                for bx in range(bw_):
-                    band = comps[c][by, bx, ss : se + 1]
-                    nz = np.nonzero(band)[0]
-                    if len(nz) == 0:
-                        eobrun += 1
-                        if eobrun == 32767:
-                            flush_eobrun()
-                        continue
-                    flush_eobrun()
-                    run = 0
-                    last_nz = nz[-1]
-                    for k in range(last_nz + 1):
-                        v = int(band[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            bw.put(*ac_codes[0xF0])
-                            run -= 16
-                        s = _category(v)
-                        bw.put(*ac_codes[(run << 4) | s])
-                        bw.put(v if v > 0 else v + (1 << s) - 1, s)
-                        run = 0
-                    if last_nz < se - ss:  # trailing zeros -> starts an EOB run
-                        eobrun += 1
-            flush_eobrun()
-            scans.append(
-                (
-                    bytes([1, c + 1, 0x00, ss, se, 0x00]),
-                    bw.flush(),
-                )
+    scans = []
+    for comp_idx, ss, se, ah, al in script:
+        bw = _BitWriter()
+        if ss == 0:
+            _encode_dc_scan(bw, comps, comp_idx, ah, al, dc_codes)
+        elif ah == 0:
+            _encode_ac_first_scan(bw, comps[comp_idx[0]], ss, se, al, ac_codes)
+        else:
+            _encode_ac_refine_scan(
+                bw, comps[comp_idx[0]], ss, se, al, ac_codes
             )
+        header = (
+            bytes([len(comp_idx)])
+            + b"".join(bytes([c + 1, 0x00]) for c in comp_idx)
+            + bytes([ss, se, (ah << 4) | al])
+        )
+        scans.append((header, bw.flush()))
 
     out = bytearray()
     out += b"\xff\xd8"
@@ -732,17 +893,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan_tsel = {seg[1 + 2 * c]: seg[2 + 2 * c] for c in range(ns)}
             ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             ah, al = a >> 4, a & 0xF
-            if ah or al:
-                raise ValueError(
-                    "successive-approximation progressive unsupported "
-                    "(spectral selection only)"
-                )
             if restart_interval:
                 raise ValueError("restart markers in progressive scans unsupported")
             br = _BitReader(data[pos:])
             bh_, bw_ = (h + 7) // 8, (w + 7) // 8
-            if ss == 0:
-                # DC scan: interleaved over the scan's components
+            if ss == 0 and ah == 0:
+                # DC first scan (interleaved); Al>0 holds back low bits
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se=0")
                 dc_tbls = {
@@ -755,9 +911,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             s = br.huff(dc_tbls[cid])
                             diff = _extend(br.bits(s), s) if s else 0
                             prev_dc[cid] += diff
-                            coef_store[cid][by, bx, 0] = prev_dc[cid]
-            else:
-                # AC scan: single component, EOBn run-length coding
+                            coef_store[cid][by, bx, 0] = prev_dc[cid] << al
+            elif ss == 0:
+                # DC refinement: one raw bit appends the Al-th bit
+                # (two's-complement OR reconstructs negatives exactly)
+                for by in range(bh_):
+                    for bx in range(bw_):
+                        for cid in scan_cids:
+                            if br.bits(1):
+                                coef_store[cid][by, bx, 0] |= 1 << al
+            elif ah == 0:
+                # AC first scan: single component, EOBn run-length
+                # coding, values arrive at Al-bit-truncated precision
                 if ns != 1:
                     raise ValueError("progressive AC scans are per-component")
                 cid = scan_cids[0]
@@ -784,12 +949,79 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             k += run
                             if k > se:
                                 raise ValueError("AC run overflows band")
-                            coef_store[cid][by, bx, k] = _extend(
-                                br.bits(size), size
+                            coef_store[cid][by, bx, k] = (
+                                _extend(br.bits(size), size) << al
                             )
                             k += 1
                 if eobrun:
                     raise ValueError("EOB run overflows scan")
+            else:
+                # AC refinement scan (T.81 G.1.2.3): newly-significant
+                # coefficients arrive as (run, 1) symbols whose runs
+                # count zero-history positions only; already-
+                # significant coefficients take one correction bit
+                # each as the decoder advances; EOBn runs carry the
+                # correction bits for the bands they cover
+                if ns != 1:
+                    raise ValueError("progressive AC scans are per-component")
+                cid = scan_cids[0]
+                ac_tbl = huff[(1, scan_tsel[cid] & 0xF)]
+                store = coef_store[cid]
+                p1 = 1 << al
+                eobrun = 0
+
+                def correct(blk: np.ndarray, k: int) -> None:
+                    if br.bits(1) and not (abs(int(blk[k])) & p1):
+                        blk[k] += p1 if blk[k] >= 0 else -p1
+
+                for by in range(bh_):
+                    for bx in range(bw_):
+                        blk = store[by, bx]
+                        if eobrun:
+                            for k in range(ss, se + 1):
+                                if blk[k]:
+                                    correct(blk, k)
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = br.huff(ac_tbl)
+                            run, size = sym >> 4, sym & 0xF
+                            newval = 0
+                            if size:
+                                if size != 1:
+                                    raise ValueError(
+                                        "refinement scan size must be 1"
+                                    )
+                                newval = p1 if br.bits(1) else -p1
+                            elif run != 15:
+                                # EOBn: corrections for the rest of
+                                # this band, then eobrun-1 full bands
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += br.bits(run)
+                                while k <= se:
+                                    if blk[k]:
+                                        correct(blk, k)
+                                    k += 1
+                                break
+                            # advance over `run` zero-history coeffs,
+                            # correcting significant ones on the way
+                            while k <= se:
+                                if blk[k]:
+                                    correct(blk, k)
+                                else:
+                                    if run == 0:
+                                        break
+                                    run -= 1
+                                k += 1
+                            if size:
+                                if k > se:
+                                    raise ValueError(
+                                        "refinement run overflows band"
+                                    )
+                                blk[k] = newval
+                            k += 1
             pos += br.pos  # entropy data consumed; next marker follows
         elif marker == 0xFFDA:
             if h is None:
@@ -993,10 +1225,13 @@ def synthesize_jpeg_progressive_images(
 ) -> DataFrame:
     """Deterministic PROGRESSIVE-JPEG fixture: 16x24 grayscale from
     constant 8x8 blocks, block (by, bx) = (id*23 + by*53 + bx*59) %
-    256. Constant blocks are DC-only, so every AC band scan is pure
-    EOBn runs — the progressive entropy coder's run machinery is
-    exercised on every image while the decode stays bit-exact for the
-    formula-recomputing oracle."""
+    256, written with the full successive-approximation scan script
+    (sa_script: coarse DC, coarse AC bands, DC refinement bit, AC
+    refinement passes). Constant blocks are DC-only, so the AC scans
+    are pure EOBn runs while the DC successive-approximation first +
+    refine bits reconstruct every value exactly — the whole SA
+    machinery runs on every image and the decode stays bit-exact for
+    the formula-recomputing oracle."""
     out_schema = "media_id long, content binary"
     bys = np.arange(blocks_y)[:, None]
     bxs = np.arange(blocks_x)[None, :]
@@ -1008,7 +1243,9 @@ def synthesize_jpeg_progressive_images(
             for i in pdf[id_col]:
                 blocks = ((int(i) * 23 + base) % 256).astype(np.uint8)
                 img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-                payloads.append(encode_jpeg_progressive(img))
+                payloads.append(
+                    encode_jpeg_progressive(img, script=sa_script(1))
+                )
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 
     return docs.select(id_col).mapInPandas(encode_batches, out_schema)

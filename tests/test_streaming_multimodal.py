@@ -430,13 +430,71 @@ def test_jpeg_progressive_codec_local():
             decode_jpeg(encode_jpeg_progressive(arb, bands=bands)), baseline
         )
 
-    # successive approximation is a declared gate, not silent output
-    sa = bytearray(encode_jpeg_progressive(arb))
-    sos = sa.index(b"\xff\xda")
-    (ln,) = __import__("struct").unpack(">H", sa[sos + 2 : sos + 4])
-    sa[sos + 2 + ln - 1] = 0x10  # Ah=1 on the DC scan
-    with pytest.raises(ValueError, match="successive"):
-        decode_jpeg(bytes(sa))
+
+def test_jpeg_successive_approximation():
+    """Successive approximation (the profile libjpeg's default
+    progressive emits): SA-scripted encodes decode BIT-IDENTICAL to
+    baseline — all coefficient bits eventually arrive — for gray,
+    color, sparse long-EOB-run content, deep 3-bit refinement
+    ladders, and randomized spectral/SA scripts."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg,
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        sa_script,
+    )
+
+    rng = np.random.default_rng(53)
+    arb = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    baseline = decode_jpeg_gray(encode_jpeg_gray(arb))
+    payload = encode_jpeg_progressive(arb, script=sa_script(1))
+    assert payload.count(b"\xff\xda") == 6  # really multi-scan SA
+    np.testing.assert_array_equal(decode_jpeg(payload), baseline)
+
+    arbc = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(arbc, script=sa_script(3))),
+        decode_jpeg_color(encode_jpeg_color(arbc)),
+    )
+
+    # sparse detail in a flat field: EOBn runs with pending
+    # correction bits crossing many blocks
+    flat = np.full((80, 80), 3, dtype=np.uint8)
+    flat[64:72, 8:16] = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    flat[0:8, 72:80] = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, script=sa_script(1))),
+        decode_jpeg_gray(encode_jpeg_gray(flat)),
+    )
+
+    # deep refinement ladder: 3 bits held back, refined one at a time
+    deep = [
+        ([0], 0, 0, 0, 3), ([0], 1, 63, 0, 3),
+        ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+    ]
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(arb, script=deep)), baseline
+    )
+
+    # randomized scripts: random band splits, random Al depth
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        img = r.integers(0, 256, (r.integers(9, 40), r.integers(9, 40)),
+                         dtype=np.uint8)
+        al = int(r.integers(0, 3))
+        split = int(r.integers(2, 62))
+        script = [([0], 0, 0, 0, al)]
+        script += [([0], 1, split, 0, al), ([0], split + 1, 63, 0, al)]
+        for a in range(al, 0, -1):
+            script.append(([0], 0, 0, a, a - 1))
+            script.append(([0], 1, 63, a, a - 1))
+        got = decode_jpeg(encode_jpeg_progressive(img, script=script))
+        want = decode_jpeg_gray(encode_jpeg_gray(img))
+        np.testing.assert_array_equal(got, want, err_msg=f"seed={seed}")
 
 
 def test_jpeg_restart_markers():
