@@ -143,20 +143,29 @@ def a9_ols_normal_eq(spark, sf_dir):
     d = ev.crossJoin(F.broadcast(t0)).select(
         "event_type",
         "value",
-        (
-            (F.unix_timestamp("ts") - F.unix_timestamp("t0")).cast("double")
-            / 86400.0
-        ).alias("x"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("t0")).alias("sec"),
     )
+    # exact-sum discipline at the cheapest tier per column class
+    # (queries/__init__ invariant): the x moments are INTEGER-second
+    # sums (plain LONG arithmetic, exact at any order; sec <= 2.6e6 so
+    # sum(sec^2) stays under 2^63 for ~1.4e6 rows/group — ANSI mode
+    # throws loudly beyond, never silently wrong), divided by the
+    # 86400 scale only at the end; the value-bearing sums keep
+    # dec_sum (full-mantissa doubles). Halves the DECIMAL(28,10) tax
+    # that made this the 2.9x-vs-r1 bench outlier.
     agg = d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        # all four moments as exact decimal sums: the normal-equation
-        # ratios are rounded to 6 downstream, and summation order must
-        # not be able to move them across a boundary
-        F.try_divide(dec_sum("x"), F.count(F.lit(1)).cast("double")).alias("mx"),
+        (
+            F.sum("sec").cast("double") / 86400.0 / F.count(F.lit(1))
+        ).alias("mx"),
         F.try_divide(dec_sum("value"), F.count(F.lit(1)).cast("double")).alias("my"),
-        dec_sum(F.col("x") * F.col("value")).alias("sxy"),
-        dec_sum(F.col("x") * F.col("x")).alias("sxx"),
+        (
+            dec_sum(F.col("sec").cast("double") * F.col("value")) / 86400.0
+        ).alias("sxy"),
+        (
+            F.sum(F.col("sec") * F.col("sec")).cast("double")
+            / (86400.0 * 86400.0)
+        ).alias("sxx"),
     )
     beta1 = F.try_divide(
         F.col("sxy") - F.col("n") * F.col("mx") * F.col("my"),
@@ -173,14 +182,14 @@ def a9_ols_normal_eq(spark, sf_dir):
 A9_SQL = """
 WITH d AS (
   SELECT event_type, value,
-         (CAST(FLOOR(EPOCH(ts)) AS BIGINT) - (SELECT MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) FROM events)) / 86400.0 AS x
+         (CAST(FLOOR(EPOCH(ts)) AS BIGINT) - (SELECT MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) FROM events)) AS sec
   FROM events
 ), agg AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mx,
+         CAST(SUM(sec) AS DOUBLE) / 86400.0 / COUNT(*) AS mx,
          CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS my,
-         CAST(SUM(CAST(x * value AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx
+         CAST(SUM(CAST(CAST(sec AS DOUBLE) * value AS DECIMAL(28,10))) AS DOUBLE) / 86400.0 AS sxy,
+         CAST(SUM(sec * sec) AS DOUBLE) / (86400.0 * 86400.0) AS sxx
   FROM d GROUP BY event_type
 )
 SELECT event_type,
