@@ -146,12 +146,81 @@ FROM active GROUP BY cohort_day, day_offset
 """
 
 
+def j7_asof_join(spark, sf_dir):
+    """AS-OF JOIN: each 'purchase' matched to the user's most recent
+    'view' at-or-before it — the canonical temporal join (trades
+    backtesting, sensor alignment, attribution).
+
+    Spark has no asof operator, and the naive inequality join is
+    O(n*m) per user. The scale-correct form used here is
+    union-then-window: tag both sides, union, ONE shuffle partitioned
+    by user ordered by (time, tag, id) — views sort before purchases
+    at the same instant, giving inclusive <= semantics — and a
+    running last_value(ignorenulls) carries the latest view forward
+    to every purchase row. Linear, one shuffle, no range explosion.
+
+    The oracle is DuckDB's NATIVE ASOF LEFT JOIN — a completely
+    independent implementation of the same semantics — so agreement
+    here is a real cross-engine check, not a restatement."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+    )
+    v = ev.filter(F.col("event_type") == "view")
+    p = ev.filter(F.col("event_type") == "purchase")
+    from pyspark.sql import Window
+
+    unioned = v.select(
+        "user_id", "tus", F.lit(0).alias("tag"), F.col("event_id").alias("src_id")
+    ).unionAll(
+        p.select(
+            "user_id", "tus", F.lit(1).alias("tag"),
+            F.col("event_id").alias("src_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "tag", "src_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_tus = F.last(
+        F.when(F.col("tag") == 0, F.col("tus")), ignorenulls=True
+    ).over(w)
+    return (
+        unioned.withColumn("view_us", view_tus)
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("src_id").alias("event_id"),
+            "user_id",
+            F.col("tus").alias("purchase_us"),
+            "view_us",
+            (F.col("tus") - F.col("view_us")).alias("gap_us"),
+        )
+    )
+
+
+J7_ASOF_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_retention": ev_retention,
+    "j7_asof_join": j7_asof_join,
 }
 
 ORACLE = {
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_retention": EV_RETENTION_SQL,
+    "j7_asof_join": J7_ASOF_SQL,
 }

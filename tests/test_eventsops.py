@@ -58,6 +58,45 @@ def test_funnel_requires_strict_order(spark, tmp_path):
     assert not out.loc[5, "reached_click"]
 
 
+def test_asof_join_edges(spark, tmp_path):
+    """As-of semantics pinned on planted rows: latest-not-any view
+    wins, same-instant view matches (inclusive <=), no-prior-view
+    yields NULL, later views never leak backwards."""
+    from neuroimaging_data_pipeline_spark.queries.eventsops import (
+        j7_asof_join,
+    )
+
+    rows = [
+        # user 1: views at d1h1, d1h3; purchase d1h4 -> matches h3;
+        # purchase d1h2 -> matches h1
+        (1, "view", 1, 1), (1, "view", 1, 3),
+        (1, "purchase", 1, 4), (1, "purchase", 1, 2),
+        # user 2: view and purchase at the SAME instant -> inclusive
+        (2, "view", 2, 5), (2, "purchase", 2, 5),
+        # user 3: view only AFTER the purchase -> NULL match
+        (3, "purchase", 3, 1), (3, "view", 3, 2),
+    ]
+    out = (
+        j7_asof_join(spark, _write_events(spark, tmp_path, rows))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    us = lambda d, h: int(
+        dt.datetime(2024, 1, d, h, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    assert len(out) == 4
+    got = {
+        (r.user_id, r.purchase_us): r.view_us for r in out.itertuples()
+    }
+    assert got[(1, us(1, 4))] == us(1, 3)
+    assert got[(1, us(1, 2))] == us(1, 1)
+    assert got[(2, us(2, 5))] == us(2, 5)
+    import math
+
+    assert math.isnan(got[(3, us(3, 1))]) or got[(3, us(3, 1))] is None
+
+
 def test_retention_dedups_same_day_activity(spark, tmp_path):
     rows = [
         # user 1: 3 events on cohort day, 2 on day+1 -> counts once each
