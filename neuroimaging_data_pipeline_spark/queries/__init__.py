@@ -46,6 +46,7 @@ from neuroimaging_data_pipeline_spark.queries import (
     relational,
     simsearch,
     spatial,
+    sqlsurface,
     textops,
 )
 
@@ -61,7 +62,7 @@ from neuroimaging_data_pipeline_spark.queries import (
 # media (new MP4 m8/m8b) registers right after the window like the
 # other brand-new r4 queries — its green rows are the sf0.01 + sf0.1
 # replica runs recorded in SURVEY §8.
-_MODULES = [relational, misc, neuro, media, eventsops, ingest, textops, simsearch, spatial]
+_MODULES = [relational, misc, neuro, media, eventsops, sqlsurface, ingest, textops, simsearch, spatial]
 
 
 def all_queries():

@@ -434,6 +434,107 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def a_cube(spark, sf_dir):
+    """CUBE grouping (all 2^k subtotal combinations) with an explicit
+    grouping_id so every subtotal row is self-describing — the other
+    half of the grouping-sets surface next to a_rollup. One shuffle:
+    Spark expands the cube map-side and partial-aggregates each
+    grouping set before exchanging."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus")
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n", "sum_qty"
+        )
+    )
+
+
+A_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def a_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (quartiles + p95) per return
+    flag — Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    implement the same h = (n-1)p linear interpolation, verified
+    value-exact here. The per-group sort this requires is the honest
+    cost of EXACT quantiles; the approx_percentile sketch in
+    a_approx_sketches is the scale path when error tolerance
+    allows."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.lit(qs)).alias("q"))
+        .select(
+            "l_returnflag",
+            *[
+                (F.round(F.col("q")[i], 6) + F.lit(0.0)).alias(f"p{int(p*100)}")
+                for i, p in enumerate(qs)
+            ],
+        )
+    )
+
+
+A_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       (ROUND(quantile_cont(l_extendedprice, 0.25), 6) + 0.0) AS p25,
+       (ROUND(quantile_cont(l_extendedprice, 0.50), 6) + 0.0) AS p50,
+       (ROUND(quantile_cont(l_extendedprice, 0.75), 6) + 0.0) AS p75,
+       (ROUND(quantile_cont(l_extendedprice, 0.95), 6) + 0.0) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def o4_window_ranks(spark, sf_dir):
+    """The ranking-window-function family in one query: rank,
+    dense_rank, percent_rank, cume_dist and ntile over each nation's
+    customers by account balance (ties broken by custkey for
+    determinism). Ranks are integer-deterministic; percent_rank/
+    cume_dist are emitted UNROUNDED — k/n divisions of the same ints
+    are bit-identical doubles in both engines, while rounding them
+    would reintroduce a half-up-vs-half-even discrepancy on exact
+    dyadic rationals like 41/640."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        (F.percent_rank().over(w) + F.lit(0.0)).alias("prnk"),
+        (F.cume_dist().over(w) + F.lit(0.0)).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+O4_RANKS_SQL = """
+SELECT c_custkey, c_nationkey,
+       CAST(RANK() OVER w AS INT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+       (PERCENT_RANK() OVER w + 0.0) AS prnk,
+       (CUME_DIST() OVER w + 0.0) AS cume,
+       CAST(NTILE(4) OVER w AS INT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 # --- W: windows ---------------------------------------------------------------
 
 def w1_zscore(spark, sf_dir):

@@ -1,0 +1,34 @@
+"""Late-r4 SQL-surface registrations: CUBE grouping, exact
+interpolated percentiles, and the ranking-window-function family.
+
+The implementations live in ``queries/relational.py`` (they are
+relational operators); they register HERE, after the window-priority
+modules, so the driver's bounded 50-query correctness window keeps
+the ts-repinned event-time queries this round planned for it
+(VERDICT r3 #2). Their green rows are the sf0.01 + sf0.1 replica
+runs recorded in SURVEY §8 — same policy as every other brand-new
+late-r4 query.
+"""
+
+from __future__ import annotations
+
+from neuroimaging_data_pipeline_spark.queries.relational import (
+    A_CUBE_SQL,
+    A_PERCENTILES_SQL,
+    O4_RANKS_SQL,
+    a_cube,
+    a_percentiles,
+    o4_window_ranks,
+)
+
+QUERIES = {
+    "a_cube": a_cube,
+    "a_percentiles": a_percentiles,
+    "o4_window_ranks": o4_window_ranks,
+}
+
+ORACLE = {
+    "a_cube": A_CUBE_SQL,
+    "a_percentiles": A_PERCENTILES_SQL,
+    "o4_window_ranks": O4_RANKS_SQL,
+}
