@@ -746,10 +746,51 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def d_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy near-duplicate pairs by bounded edit distance
+    (dedup/fuzzy.py): blocked (length-bucket, prefix) self-join with
+    a flood cap, JVM-side levenshtein on 48-char normalized prefixes,
+    pairs at distance <= 8. Catches the OCR/typo/template-drift
+    near-dups whose single-character edits break every shingle that
+    token-set MinHash relies on. Both engines run the textbook DP
+    levenshtein, so the oracle recomputes distances exactly."""
+    from neuroimaging_data_pipeline_spark.dedup.fuzzy import fuzzy_pairs
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return fuzzy_pairs(d, max_dist=8)
+
+
+D_FUZZY_SQL = """
+WITH base AS (
+  SELECT doc_id AS _id,
+         regexp_replace(lower(trim(COALESCE(text, ''))), '\\s+', ' ', 'g')
+           AS _norm
+  FROM documents
+), b AS (
+  SELECT _id,
+         substr(_norm, 1, 48) AS _prefix,
+         CAST(len(_norm) // 16 AS INT) AS lb,
+         substr(_norm, 1, 12) AS pfx
+  FROM base
+), ok AS (
+  SELECT lb, pfx FROM b GROUP BY lb, pfx
+  HAVING COUNT(*) > 1 AND COUNT(*) <= 64
+), blocked AS (
+  SELECT b._id, b._prefix, b.lb, b.pfx FROM b JOIN ok USING (lb, pfx)
+)
+SELECT DISTINCT a._id AS id_a, c._id AS id_b,
+       CAST(levenshtein(a._prefix, c._prefix) AS INT) AS dist
+FROM blocked a
+JOIN blocked c ON a.lb = c.lb AND a.pfx = c.pfx AND a._id < c._id
+WHERE levenshtein(a._prefix, c._prefix) <= 8
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "d_passage_dedup": d_passage_dedup,
     "t_tfidf": t_tfidf,
+    "d_fuzzy_pairs": d_fuzzy_pairs,
     "t_repetition": t_repetition,
     "e2_corpus_pipeline": e2_corpus_pipeline,
     "t_pii_signals": t_pii_signals,
@@ -767,6 +808,7 @@ ORACLE = {
     "t_token_count": T_TOKEN_SQL,
     "d_passage_dedup": D_PASSAGE_SQL,
     "t_tfidf": T_TFIDF_SQL,
+    "d_fuzzy_pairs": D_FUZZY_SQL,
     "t_repetition": T_REPETITION_SQL,
     "e2_corpus_pipeline": E2_PIPE_SQL,
     "t_pii_signals": T_PII_SQL,

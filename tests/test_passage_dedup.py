@@ -57,6 +57,29 @@ def test_boilerplate_stripped_but_documents_survive(spark):
     assert out.loc[99, "n_kept"] == 0
 
 
+def test_fuzzy_pairs_semantics(spark):
+    """Edit-distance pairing: typo'd near-dups pair within their
+    block, distance is the true levenshtein, unrelated docs don't
+    pair, and a flooded block is dropped by the cap."""
+    from neuroimaging_data_pipeline_spark.dedup.fuzzy import fuzzy_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    typo = "the quick brwon fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, typo),  # one transposition -> dist 2 on the 48-prefix
+        (3, "completely different content that matches nothing else at all"),
+    ]
+    # flood block: 70 same-prefix docs exceed max_block=64 -> dropped
+    rows += [(100 + i, f"flood flood flood flood flood doc {i}") for i in range(70)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fuzzy_pairs(docs.repartition(4), max_dist=8).toPandas()
+    pairs = {(r.id_a, r.id_b): r.dist for r in out.itertuples()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 2
+    assert all(a not in (3,) and b not in (3,) for a, b in pairs)
+    assert not any(a >= 100 for a, b in pairs)  # flooded block dropped
+
+
 def test_partitioning_invariance(spark):
     """First-occurrence is ordered by (doc_id, idx), not partition
     layout: results identical at 1 and 7 partitions."""
