@@ -452,10 +452,59 @@ GROUP BY b.event_id
 """
 
 
+def st_sliding_window(spark, sf_dir):
+    """§2.9: event-time SLIDING (hopping) window — 1 h windows every
+    15 min, so each event lands in exactly four overlapping windows.
+    Completes the window-type coverage next to tumbling and session.
+    Uses Spark's real window(ts, size, slide) operator (the streaming
+    plan is identical under readStream); the oracle enumerates the
+    four candidate starts per event with a generate_series and keeps
+    those whose [start, start+1h) span contains the event."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(dec_sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ST_SLIDING_SQL = """
+WITH e AS (
+  SELECT event_type, value,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+  FROM events
+), hop AS (
+  SELECT event_type, value,
+         (sec // 900) * 900 - k.k * 900 AS window_start,
+         sec
+  FROM e, UNNEST(range(0, 4)) AS k(k)
+  WHERE sec - ((sec // 900) * 900 - k.k * 900) < 3600
+)
+SELECT CAST(window_start AS BIGINT) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0)
+         AS sum_value
+FROM hop GROUP BY 1, 2
+"""
+
+
 # Registration order matters downstream: the driver's correctness
 # window checks the first 50 registered queries, and this module sits
 # on the cutoff. Streaming twins first (their ingest path changed in
-# r4); j2 last — r1-proven and value-stable under the ts re-pin.
+# r4); j2 last — r1-proven and value-stable under the ts re-pin;
+# st_sliding (late-r4) appended at the END so the first-two cutoff
+# composition is unchanged.
 QUERIES = {
     "st_tumbling_window": st_tumbling_window,
     "st_session_window": st_session_window,
@@ -465,6 +514,7 @@ QUERIES = {
     "a9_ols_normal_eq": a9_ols_normal_eq,
     "a2_global_signal": a2_global_signal,
     "j2_interval_grid": j2_interval_grid,
+    "st_sliding_window": st_sliding_window,
 }
 
 ORACLE = {
@@ -476,4 +526,5 @@ ORACLE = {
     "st_watermark_late_discard": ST_WATERMARK_SQL,
     "sd_stream_dedup": SD_DEDUP_SQL,
     "st_enrich_join": ST_ENRICH_SQL,
+    "st_sliding_window": ST_SLIDING_SQL,
 }

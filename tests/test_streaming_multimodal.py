@@ -66,6 +66,45 @@ def test_stream_tumbling_matches_batch(spark, landing_dir):
     )
 
 
+def test_stream_sliding_matches_batch(spark, landing_dir):
+    """Sliding (hopping) windows under a LIVE readStream equal the
+    batch twin: every event in exactly four overlapping 1h/15min
+    windows, stream and batch bit-equal after rounding."""
+    stream = stream_parquet_dir(spark, landing_dir)
+    windowed = (
+        stream.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    got = _run_to_memory(
+        spark, windowed, "t_slide", output_mode="complete"
+    ).toPandas()
+    from neuroimaging_data_pipeline_spark.queries.neuro import (
+        st_sliding_window,
+    )
+
+    expect = st_sliding_window(spark, SF_DIR).toPandas()
+    got_s = got.sort_values(["window_start", "event_type"]).reset_index(
+        drop=True
+    )
+    exp_s = expect.sort_values(["window_start", "event_type"]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        got_s[["window_start", "event_type", "n"]],
+        exp_s[["window_start", "event_type", "n"]],
+        check_dtype=False,
+    )
+    # each event contributes to exactly 4 windows
+    assert got["n"].sum() == 4000
+
+
 def test_stream_session_window(spark, landing_dir):
     stream = stream_parquet_dir(spark, landing_dir)
     got = _run_to_memory(
