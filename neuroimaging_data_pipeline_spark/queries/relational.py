@@ -535,6 +535,66 @@ WINDOW w AS (PARTITION BY c_nationkey
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def p11_pivot(spark, sf_dir):
+    """PIVOT: long -> wide reshaping with an explicit value list (the
+    explicit list keeps the plan a single pass — Spark's two-pass
+    value discovery and its nondeterministic column order are exactly
+    what you avoid at scale). One row per user, one count column per
+    event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+P11_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def p12_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: wide -> long reshaping — the ingest-normalization
+    step that turns per-file wide schemas into the engine's long
+    format (SURVEY §7.4#2). Three lineitem measure columns melt into
+    (key, measure, value) rows; map-side only, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+P12_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+)
+"""
+
+
 # --- W: windows ---------------------------------------------------------------
 
 def w1_zscore(spark, sf_dir):

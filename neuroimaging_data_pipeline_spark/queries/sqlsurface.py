@@ -16,19 +16,27 @@ from neuroimaging_data_pipeline_spark.queries.relational import (
     A_CUBE_SQL,
     A_PERCENTILES_SQL,
     O4_RANKS_SQL,
+    P11_PIVOT_SQL,
+    P12_UNPIVOT_SQL,
     a_cube,
     a_percentiles,
     o4_window_ranks,
+    p11_pivot,
+    p12_unpivot,
 )
 
 QUERIES = {
     "a_cube": a_cube,
     "a_percentiles": a_percentiles,
     "o4_window_ranks": o4_window_ranks,
+    "p11_pivot": p11_pivot,
+    "p12_unpivot": p12_unpivot,
 }
 
 ORACLE = {
     "a_cube": A_CUBE_SQL,
     "a_percentiles": A_PERCENTILES_SQL,
     "o4_window_ranks": O4_RANKS_SQL,
+    "p11_pivot": P11_PIVOT_SQL,
+    "p12_unpivot": P12_UNPIVOT_SQL,
 }
