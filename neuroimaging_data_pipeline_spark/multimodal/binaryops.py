@@ -23,8 +23,8 @@ batches. Baseline JPEG — grayscale AND 3-component color (YCbCr
 tree, mvhd/mdhd/hdlr metadata, stts/stsc/stsz/stco sample tables,
 frame-sample byte-range extraction — is real in the sibling
 ``multimodal/mp4.py``. Subsampled (4:2:0/4:2:2) and progressive
-(SOF2, spectral selection AND successive approximation) JPEG are
-real too since r4 — only decoders that genuinely need external
+(SOF2 — spectral selection AND successive approximation, at 4:4:4
+and 4:2:0 alike) JPEG are real too since r4 — only decoders that genuinely need external
 libraries (H.264 frame-payload decode via ffmpeg) remain
 stubbed (``decoder='fake'`` is a
 deterministic stand-in; ``decoder='pil'``/'ffmpeg' raise

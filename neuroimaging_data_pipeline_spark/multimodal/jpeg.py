@@ -12,11 +12,14 @@ Real ITU-T T.81 coverage (grown r4 round by round):
   AC scans with EOBn run symbols from a custom spec-valid Huffman
   table) AND successive approximation (coarse-bits-first DC/AC
   scans plus bit-at-a-time refinement scans following the T.81
-  G.1.2.3 correction-bit protocol — the profile libjpeg's default
-  progressive emits and virtually every web progressive JPEG uses);
-  multi-scan coefficient accumulation in the decoder, IDCT once at
-  the end. Both profiles are lossless relative to baseline once all
-  scans arrive, pinned by bit-equality tests;
+  G.1.2.3 correction-bit protocol), at 4:4:4 AND 4:2:0 subsampling
+  (non-interleaved scans walk each component's own grid per the
+  T.81 interleaving rule) — 420+SA is the exact profile libjpeg's
+  default progressive emits and virtually every web progressive
+  JPEG uses; multi-scan coefficient accumulation in the decoder,
+  IDCT once at the end. Every profile is lossless relative to the
+  same-subsampling baseline once all scans arrive, pinned by
+  bit-equality tests;
 - encoder: level shift, 8x8 forward DCT (matrix form), quantization,
   zigzag, differential-DC + run-length-AC Huffman entropy coding with
   byte stuffing, standard JFIF marker stream;
@@ -26,9 +29,8 @@ Real ITU-T T.81 coverage (grown r4 round by round):
   byte-aware bit reader, DC prediction, dequantize, de-zigzag,
   inverse DCT, level shift, clamp, edge-padding crop.
 
-Remaining declared gates (raise, never silent): subsampled
-progressive, arithmetic coding, 12-bit precision, restart markers
-inside progressive scans.
+Remaining declared gates (raise, never silent): arithmetic coding,
+12-bit precision, restart markers inside progressive scans.
 
 JPEG is lossy in general, so the oracle-checked fixture uses images
 whose 8x8 blocks are CONSTANT: a constant block's DCT is DC-only with
@@ -296,6 +298,35 @@ def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
     )
 
 
+def _color_planes(
+    pixels: np.ndarray, subsampling: str
+) -> tuple[list[np.ndarray], list[tuple[int, int]]]:
+    """RGB -> per-component YCbCr sample planes + sampling factors.
+    420 averages chroma over 2x2 pixel cells (odd dims edge-padded
+    first). Shared by the baseline and progressive encoders so both
+    produce IDENTICAL quantized coefficients for the same image."""
+    h, w, _ = pixels.shape
+    ycc = _rgb_to_ycbcr(pixels)
+    if subsampling == "444":
+        return [ycc[..., c].astype(np.float64) for c in range(3)], [
+            (1, 1), (1, 1), (1, 1),
+        ]
+    ch, cw = -h % 2, -w % 2
+    full = np.pad(ycc, ((0, ch), (0, cw), (0, 0)), mode="edge").astype(
+        np.float64
+    )
+    sub = [
+        np.round(
+            full[..., c].reshape((h + ch) // 2, 2, (w + cw) // 2, 2)
+            .mean(axis=(1, 3))
+        )
+        for c in (1, 2)
+    ]
+    return [ycc[..., 0].astype(np.float64), sub[0], sub[1]], [
+        (2, 2), (1, 1), (1, 1),
+    ]
+
+
 def encode_jpeg_color(
     pixels: np.ndarray,
     qtable: np.ndarray | None = None,
@@ -329,28 +360,7 @@ def encode_jpeg_color(
         if qtable is None
         else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
     )
-    ycc = _rgb_to_ycbcr(pixels)
-
-    if subsampling == "444":
-        factors = [(1, 1), (1, 1), (1, 1)]  # (H, V) per component
-        planes = [ycc[..., c].astype(np.float64) for c in range(3)]
-    else:
-        factors = [(2, 2), (1, 1), (1, 1)]
-        # chroma: mean over 2x2 pixel cells (pad odd dims by edge
-        # replication first so every cell is full)
-        ch, cw = -h % 2, -w % 2
-        full = np.pad(ycc, ((0, ch), (0, cw), (0, 0)), mode="edge").astype(
-            np.float64
-        )
-        sub = [
-            np.round(
-                full[..., c].reshape((h + ch) // 2, 2, (w + cw) // 2, 2)
-                .mean(axis=(1, 3))
-            )
-            for c in (1, 2)
-        ]
-        planes = [ycc[..., 0].astype(np.float64), sub[0], sub[1]]
-
+    planes, factors = _color_planes(pixels, subsampling)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -486,6 +496,33 @@ def _point_transform(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
+def _dc_block_order(
+    comp_idx: list[int],
+    factors: list[tuple[int, int]],
+    mcus_y: int,
+    mcus_x: int,
+    true_grid: dict[int, tuple[int, int]],
+) -> Iterator[tuple[int, int, int]]:
+    """Yield (comp, by, bx) in DC-scan order: MCU-interleaved with
+    fvxfh raster per component when the scan carries several
+    components, the component's own (non-MCU-padded) grid when it
+    carries one — the T.81 interleaving rule."""
+    if len(comp_idx) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in comp_idx:
+                    fh, fv = factors[c]
+                    for iv in range(fv):
+                        for ih in range(fh):
+                            yield c, my * fv + iv, mx * fh + ih
+    else:
+        c = comp_idx[0]
+        tb_h, tb_w = true_grid[c]
+        for by in range(tb_h):
+            for bx in range(tb_w):
+                yield c, by, bx
+
+
 def _encode_dc_scan(
     bw: _BitWriter,
     comps: list[np.ndarray],
@@ -493,26 +530,26 @@ def _encode_dc_scan(
     ah: int,
     al: int,
     dc_codes: dict,
+    factors: list[tuple[int, int]],
+    mcus_y: int,
+    mcus_x: int,
+    true_grid: dict[int, tuple[int, int]],
 ) -> None:
-    bh, bw_ = comps[0].shape[:2]
+    order = _dc_block_order(comp_idx, factors, mcus_y, mcus_x, true_grid)
     if ah == 0:
         prev_dc = {c: 0 for c in comp_idx}
-        for by in range(bh):
-            for bx in range(bw_):
-                for c in comp_idx:
-                    v = int(comps[c][by, bx, 0]) >> al  # arithmetic shift
-                    diff = v - prev_dc[c]
-                    prev_dc[c] = v
-                    s = _category(diff)
-                    bw.put(*dc_codes[s])
-                    if s:
-                        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        for c, by, bx in order:
+            v = int(comps[c][by, bx, 0]) >> al  # arithmetic shift
+            diff = v - prev_dc[c]
+            prev_dc[c] = v
+            s = _category(diff)
+            bw.put(*dc_codes[s])
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
     else:
         # refinement: one raw bit per block per component
-        for by in range(bh):
-            for bx in range(bw_):
-                for c in comp_idx:
-                    bw.put((int(comps[c][by, bx, 0]) >> al) & 1, 1)
+        for c, by, bx in order:
+            bw.put((int(comps[c][by, bx, 0]) >> al) & 1, 1)
 
 
 def _encode_ac_first_scan(
@@ -522,8 +559,9 @@ def _encode_ac_first_scan(
     se: int,
     al: int,
     ac_codes: dict,
+    grid: tuple[int, int] | None = None,
 ) -> None:
-    bh, bw_ = blocks.shape[:2]
+    bh, bw_ = grid if grid is not None else blocks.shape[:2]
     eobrun = 0
 
     def flush_eobrun() -> None:
@@ -573,6 +611,7 @@ def _encode_ac_refine_scan(
     se: int,
     al: int,
     ac_codes: dict,
+    grid: tuple[int, int] | None = None,
 ) -> None:
     """AC successive-approximation refinement (T.81 G.1.2.3 /
     libjpeg encode_mcu_AC_refine): newly-significant coefficients
@@ -582,7 +621,7 @@ def _encode_ac_refine_scan(
     appended after the next emitted symbol; trailing blocks with no
     newly-significant coefficients collapse into EOBn runs that also
     carry their pending correction bits."""
-    bh, bw_ = blocks.shape[:2]
+    bh, bw_ = grid if grid is not None else blocks.shape[:2]
     eobrun = 0
     pending_bits: list[int] = []  # correction bits owed with next EOBn
 
@@ -653,29 +692,34 @@ def encode_jpeg_progressive(
     qtable: np.ndarray | None = None,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     script: list[tuple[list[int], int, int, int, int]] | None = None,
+    subsampling: str = "444",
 ) -> bytes:
-    """Real PROGRESSIVE JPEG writer (SOF2): grayscale (H, W) or 4:4:4
-    color (H, W, 3) uint8, driven by a SCAN SCRIPT of
-    (component_indices, Ss, Se, Ah, Al) entries. Default script is
-    spectral selection over ``bands``; pass ``sa_script(ncomp)`` for
-    the full successive-approximation profile (coarse bits first,
-    refinement scans after — the layout libjpeg's default progressive
-    emits and virtually every web progressive JPEG uses). Both
-    profiles are LOSSLESS relative to baseline once all scans are
+    """Real PROGRESSIVE JPEG writer (SOF2): grayscale (H, W) or color
+    (H, W, 3) uint8 at 4:4:4 or 4:2:0 chroma subsampling, driven by a
+    SCAN SCRIPT of (component_indices, Ss, Se, Ah, Al) entries.
+    Default script is spectral selection over ``bands``; pass
+    ``sa_script(ncomp)`` for the full successive-approximation
+    profile. ``subsampling='420'`` + ``sa_script(3)`` is the exact
+    shape libjpeg's default progressive emits — the profile virtually
+    every web progressive JPEG uses. All profiles are LOSSLESS
+    relative to the same-subsampling baseline once all scans are
     read: the same quantized coefficients arrive bit by bit, so
     progressive and baseline decodes of one image are bit-identical
-    (pinned in tests). AC scans code EOBn runs; refinement scans
-    follow the T.81 G.1.2.3 correction-bit protocol."""
+    (pinned in tests). AC scans code EOBn runs over each component's
+    OWN (non-MCU-padded) block grid per T.81's non-interleaved rule;
+    only the interleaved DC scan walks the padded MCU grid."""
     if pixels.ndim == 2:
         h, w = pixels.shape
-        planes_u8 = [pixels]
+        planes = [pixels.astype(np.float64)]
+        factors = [(1, 1)]
     else:
         h, w, ncomp = pixels.shape
         if ncomp != 3:
             raise ValueError(f"expected (H, W) or (H, W, 3), got {pixels.shape}")
-        ycc = _rgb_to_ycbcr(pixels)
-        planes_u8 = [ycc[..., c] for c in range(3)]
-    ncomp = len(planes_u8)
+        if subsampling not in ("444", "420"):
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        planes, factors = _color_planes(pixels, subsampling)
+    ncomp = len(planes)
     if script is None:
         script = spectral_script(ncomp, bands)
     for comp_idx, ss, se, ah, al in script:
@@ -691,10 +735,20 @@ def encode_jpeg_progressive(
         else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
     )
     qflat = q.reshape(-1)[_ZIGZAG].astype(np.float64)
-    comps = [
-        _quantized_blocks(_pad8(p).astype(np.float64) - 128.0, qflat)
-        for p in planes_u8
-    ]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    true_grid: dict[int, tuple[int, int]] = {}
+    for c, ((fh, fv), plane) in enumerate(zip(factors, planes)):
+        th, tw = mcus_y * fv * 8, mcus_x * fh * 8
+        ph, pw = plane.shape
+        padded = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
+        comps.append(_quantized_blocks(padded - 128.0, qflat))
+        # non-interleaved scans iterate the component's OWN grid
+        true_grid[c] = ((ph + 7) // 8, (pw + 7) // 8)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
@@ -703,12 +757,19 @@ def encode_jpeg_progressive(
     for comp_idx, ss, se, ah, al in script:
         bw = _BitWriter()
         if ss == 0:
-            _encode_dc_scan(bw, comps, comp_idx, ah, al, dc_codes)
+            _encode_dc_scan(
+                bw, comps, comp_idx, ah, al, dc_codes,
+                factors, mcus_y, mcus_x, true_grid,
+            )
         elif ah == 0:
-            _encode_ac_first_scan(bw, comps[comp_idx[0]], ss, se, al, ac_codes)
+            _encode_ac_first_scan(
+                bw, comps[comp_idx[0]], ss, se, al, ac_codes,
+                grid=true_grid[comp_idx[0]],
+            )
         else:
             _encode_ac_refine_scan(
-                bw, comps[comp_idx[0]], ss, se, al, ac_codes
+                bw, comps[comp_idx[0]], ss, se, al, ac_codes,
+                grid=true_grid[comp_idx[0]],
             )
         header = (
             bytes([len(comp_idx)])
@@ -722,7 +783,8 @@ def encode_jpeg_progressive(
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xFFDB, b"\x00" + q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
     sof_comps = b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+        bytes([cid + 1, (factors[cid][0] << 4) | factors[cid][1], 0])
+        for cid in range(ncomp)
     )
     out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
     out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
@@ -869,18 +931,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"sampling factors {fh}x{fv} unsupported "
                         "(1 and 2 only — covers 4:4:4/4:2:2/4:2:0)"
                     )
-                if progressive and (fh, fv) != (1, 1):
-                    raise ValueError(
-                        "subsampled progressive JPEG unsupported (4:4:4 only)"
-                    )
                 comp_q[cid] = cqid
                 comp_samp[cid] = (fh, fv)
                 comp_order.append(cid)
             if progressive:
-                bh_, bw_ = (h + 7) // 8, (w + 7) // 8
+                # per-component stores sized to the padded MCU grid
+                # (the interleaved DC scan covers it); non-interleaved
+                # scans iterate only the true per-component grid
+                hmax_p = max(f[0] for f in comp_samp.values())
+                vmax_p = max(f[1] for f in comp_samp.values())
+                mcus_x_p = (w + 8 * hmax_p - 1) // (8 * hmax_p)
+                mcus_y_p = (h + 8 * vmax_p - 1) // (8 * vmax_p)
                 coef_store = {
-                    cid: np.zeros((bh_, bw_, 64), dtype=np.int64)
-                    for cid in comp_order
+                    cid: np.zeros(
+                        (mcus_y_p * fv, mcus_x_p * fh, 64), dtype=np.int64
+                    )
+                    for cid, (fh, fv) in comp_samp.items()
+                }
+                comp_true_grid = {
+                    cid: (
+                        ((h * fv + vmax_p - 1) // vmax_p + 7) // 8,
+                        ((w * fh + hmax_p - 1) // hmax_p + 7) // 8,
+                    )
+                    for cid, (fh, fv) in comp_samp.items()
                 }
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -896,30 +969,46 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if restart_interval:
                 raise ValueError("restart markers in progressive scans unsupported")
             br = _BitReader(data[pos:])
-            bh_, bw_ = (h + 7) // 8, (w + 7) // 8
+
+            def scan_block_order():
+                """DC-scan block order: MCU-interleaved (fv x fh
+                raster per component) for multi-component scans, the
+                component's own non-padded grid otherwise — mirrors
+                T.81's interleaving rule and the encoder."""
+                if len(scan_cids) > 1:
+                    for my in range(mcus_y_p):
+                        for mx in range(mcus_x_p):
+                            for cid in scan_cids:
+                                fh, fv = comp_samp[cid]
+                                for iv in range(fv):
+                                    for ih in range(fh):
+                                        yield cid, my * fv + iv, mx * fh + ih
+                else:
+                    cid = scan_cids[0]
+                    tb_h, tb_w = comp_true_grid[cid]
+                    for by in range(tb_h):
+                        for bx in range(tb_w):
+                            yield cid, by, bx
+
             if ss == 0 and ah == 0:
-                # DC first scan (interleaved); Al>0 holds back low bits
+                # DC first scan; Al>0 holds back low bits
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se=0")
                 dc_tbls = {
                     cid: huff[(0, scan_tsel[cid] >> 4)] for cid in scan_cids
                 }
                 prev_dc = {cid: 0 for cid in scan_cids}
-                for by in range(bh_):
-                    for bx in range(bw_):
-                        for cid in scan_cids:
-                            s = br.huff(dc_tbls[cid])
-                            diff = _extend(br.bits(s), s) if s else 0
-                            prev_dc[cid] += diff
-                            coef_store[cid][by, bx, 0] = prev_dc[cid] << al
+                for cid, by, bx in scan_block_order():
+                    s = br.huff(dc_tbls[cid])
+                    diff = _extend(br.bits(s), s) if s else 0
+                    prev_dc[cid] += diff
+                    coef_store[cid][by, bx, 0] = prev_dc[cid] << al
             elif ss == 0:
                 # DC refinement: one raw bit appends the Al-th bit
                 # (two's-complement OR reconstructs negatives exactly)
-                for by in range(bh_):
-                    for bx in range(bw_):
-                        for cid in scan_cids:
-                            if br.bits(1):
-                                coef_store[cid][by, bx, 0] |= 1 << al
+                for cid, by, bx in scan_block_order():
+                    if br.bits(1):
+                        coef_store[cid][by, bx, 0] |= 1 << al
             elif ah == 0:
                 # AC first scan: single component, EOBn run-length
                 # coding, values arrive at Al-bit-truncated precision
@@ -927,9 +1016,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("progressive AC scans are per-component")
                 cid = scan_cids[0]
                 ac_tbl = huff[(1, scan_tsel[cid] & 0xF)]
+                tb_h, tb_w = comp_true_grid[cid]
                 eobrun = 0
-                for by in range(bh_):
-                    for bx in range(bw_):
+                for by in range(tb_h):
+                    for bx in range(tb_w):
                         if eobrun:
                             eobrun -= 1
                             continue
@@ -967,6 +1057,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid = scan_cids[0]
                 ac_tbl = huff[(1, scan_tsel[cid] & 0xF)]
                 store = coef_store[cid]
+                tb_h, tb_w = comp_true_grid[cid]
                 p1 = 1 << al
                 eobrun = 0
 
@@ -974,8 +1065,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     if br.bits(1) and not (abs(int(blk[k])) & p1):
                         blk[k] += p1 if blk[k] >= 0 else -p1
 
-                for by in range(bh_):
-                    for bx in range(bw_):
+                for by in range(tb_h):
+                    for bx in range(tb_w):
                         blk = store[by, bx]
                         if eobrun:
                             for k in range(ss, se + 1):
@@ -1116,19 +1207,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 return samples[..., 0]
             return _ycbcr_to_rgb(samples)
     if progressive and coef_store:
-        # all scans accumulated; dequantize + IDCT once at the end
-        bh_, bw_ = (h + 7) // 8, (w + 7) // 8
+        # all scans accumulated; dequantize + IDCT once at the end,
+        # then replication-upsample subsampled components and crop —
+        # the same tail as the baseline path
+        hmax_p = max(f[0] for f in comp_samp.values())
+        vmax_p = max(f[1] for f in comp_samp.values())
         full = np.zeros((h, w, len(comp_order)), dtype=np.float64)
         for ci, cid in enumerate(comp_order):
+            fh, fv = comp_samp[cid]
             qflat = qtables[comp_q[cid]].reshape(-1)[_ZIGZAG].astype(np.float64)
-            plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
-            for by in range(bh_):
-                for bx in range(bw_):
+            cb_h, cb_w = coef_store[cid].shape[:2]
+            plane = np.zeros((cb_h * 8, cb_w * 8), dtype=np.float64)
+            for by in range(cb_h):
+                for bx in range(cb_w):
                     coef = np.zeros(64, dtype=np.float64)
                     coef[_ZIGZAG] = coef_store[cid][by, bx] * qflat
                     plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                         _C.T @ coef.reshape(8, 8) @ _C
                     )
+            if (fh, fv) != (hmax_p, vmax_p):
+                plane = np.repeat(
+                    np.repeat(plane, vmax_p // fv, axis=0),
+                    hmax_p // fh,
+                    axis=1,
+                )
             full[..., ci] = plane[:h, :w]
         samples = np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)
         if len(comp_order) == 1:

@@ -519,6 +519,28 @@ def test_jpeg_successive_approximation():
         decode_jpeg(encode_jpeg_progressive(arb, script=deep)), baseline
     )
 
+    # SUBSAMPLED progressive: 4:2:0 + SA is the exact shape libjpeg's
+    # default progressive emits — must equal the baseline 4:2:0
+    # decode bit-for-bit, including odd/non-MCU-multiple dims where
+    # the padded MCU grid exceeds the per-component scan grids
+    for shape in ((16, 24, 3), (17, 23, 3), (24, 40, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        b420 = decode_jpeg_color(encode_jpeg_color(img, subsampling="420"))
+        np.testing.assert_array_equal(
+            decode_jpeg(
+                encode_jpeg_progressive(
+                    img, subsampling="420", script=sa_script(3)
+                )
+            ),
+            b420,
+            err_msg=f"shape={shape}",
+        )
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, subsampling="420")),
+            b420,
+            err_msg=f"shape={shape} (spectral)",
+        )
+
     # randomized scripts: random band splits, random Al depth
     for seed in range(6):
         r = np.random.default_rng(seed)
