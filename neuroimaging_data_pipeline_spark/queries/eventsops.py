@@ -213,14 +213,164 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def w10_sessionize(spark, sf_dir):
+    """Session-ID assignment: events of a user belong to the same
+    session while gaps stay under 30 minutes; a longer gap starts a
+    new session. Two window passes over ONE user-partitioned sort:
+    lag() marks session starts, a running sum of the start flags
+    numbers them. This is the per-EVENT labeling primitive that
+    session_window's per-SESSION aggregates can't give you (you need
+    it to join session ids back onto raw events). Output one row per
+    event: (event_id, user_id, session_id, session_idx)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    new_sess = (
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    return (
+        ev.withColumn("_ns", new_sess)
+        .withColumn(
+            "session_idx",
+            F.sum("_ns").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.concat_ws(
+                "-", F.col("user_id"), F.col("session_idx")
+            ).alias("session_id"),
+            F.col("session_idx").cast("int").alias("session_idx"),
+        )
+    )
+
+
+W10_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+), g AS (
+  SELECT event_id, user_id, tus,
+         CASE WHEN tus - LAG(tus) OVER w IS NULL
+                OR tus - LAG(tus) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+), s AS (
+  SELECT event_id, user_id,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT event_id, user_id,
+       user_id || '-' || session_idx AS session_id,
+       CAST(session_idx AS INT) AS session_idx
+FROM s
+"""
+
+
+def w9_locf_resample(spark, sf_dir):
+    """Gap-filling resample onto a regular grid with
+    last-observation-carried-forward — the time-series alignment
+    primitive (sensor fusion, metric dashboards, feature snapshots).
+    Each user's 'value' is sampled at 6-hour grid points over the
+    30-day span; the value at each grid point is the user's latest
+    event at-or-before it (NULL before their first event).
+
+    Scale shape: the grid is users x grid-points (tiny next to the
+    event table) and the LOCF match is the SAME union-then-window
+    as-of pattern as j7 — one shuffle on user, no inequality join.
+    Oracle: DuckDB's native ASOF LEFT JOIN again (independent
+    implementation)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    bounds = ev.agg(
+        F.min("tus").alias("lo"), F.max("tus").alias("hi")
+    )
+    step = 6 * 3600 * 1_000_000
+    grid_pts = bounds.select(
+        F.explode(
+            F.sequence(
+                (F.ceil(F.col("lo") / step) * step).cast("long"),
+                F.col("hi"),
+                F.lit(step),
+            )
+        ).alias("gus")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(grid_pts))
+    # union-then-window LOCF: observations (tag 0) before grid points
+    # (tag 1) at equal instants -> inclusive at-or-before semantics
+    obs = ev.select(
+        "user_id", F.col("tus").alias("t"), F.lit(0).alias("tag"), "value"
+    )
+    probes = grid.select(
+        "user_id",
+        F.col("gus").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        obs.unionAll(probes)
+        .withColumn(
+            "locf",
+            F.last(F.when(F.col("tag") == 0, F.col("value")), True).over(w),
+        )
+        .filter(F.col("tag") == 1)
+    )
+    return filled.select(
+        "user_id",
+        F.col("t").alias("grid_us"),
+        (F.round("locf", 6) + F.lit(0.0)).alias("value_locf"),
+    )
+
+
+W9_LOCF_SQL = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+), grid AS (
+  SELECT u.user_id, g.gus
+  FROM (SELECT DISTINCT user_id FROM events) u,
+       b,
+       UNNEST(range(CAST(ceil(b.lo / 21600000000.0) AS BIGINT) * 21600000000,
+                    b.hi + 1, 21600000000)) AS g(gus)
+), obs AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+)
+SELECT grid.user_id,
+       grid.gus AS grid_us,
+       (ROUND(o.value, 6) + 0.0) AS value_locf
+FROM grid
+ASOF LEFT JOIN obs o
+  ON grid.user_id = o.user_id AND o.tus <= grid.gus
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_retention": ev_retention,
     "j7_asof_join": j7_asof_join,
+    "w10_sessionize": w10_sessionize,
+    "w9_locf_resample": w9_locf_resample,
 }
 
 ORACLE = {
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_retention": EV_RETENTION_SQL,
     "j7_asof_join": J7_ASOF_SQL,
+    "w10_sessionize": W10_SESSIONIZE_SQL,
+    "w9_locf_resample": W9_LOCF_SQL,
 }

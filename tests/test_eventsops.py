@@ -97,6 +97,56 @@ def test_asof_join_edges(spark, tmp_path):
     assert math.isnan(got[(3, us(3, 1))]) or got[(3, us(3, 1))] is None
 
 
+def test_sessionize_gap_semantics(spark, tmp_path):
+    """30-min-gap sessionization: same-session under the threshold,
+    new session over it, sessions numbered 1..k per user, ids unique
+    across users."""
+    from neuroimaging_data_pipeline_spark.queries.eventsops import (
+        w10_sessionize,
+    )
+
+    rows = [
+        # user 1: events at 10:00, 10:20, 11:30 -> sessions 1,1,2
+        (1, "view", 1, 10), (1, "click", 1, 10), (1, "view", 1, 11),
+        # user 2: single event -> session 1
+        (2, "view", 1, 10),
+    ]
+
+    def _w(spark, tmp_path, rows):
+        import datetime as dtm
+
+        ev = spark.createDataFrame(
+            [
+                (i, dtm.datetime(2024, 1, d, h, m), u, t, 1.0, "{}")
+                for i, (u, t, d, h, m) in enumerate(
+                    [
+                        (1, "view", 1, 10, 0),
+                        (1, "click", 1, 10, 20),
+                        (1, "view", 1, 11, 30),
+                        (2, "view", 1, 10, 0),
+                    ]
+                )
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sf = tmp_path / "sfs"
+        sf.mkdir(exist_ok=True)
+        ev.coalesce(1).write.mode("overwrite").parquet(
+            str(sf / "events.parquet")
+        )
+        return str(sf)
+
+    out = (
+        w10_sessionize(spark, _w(spark, tmp_path, rows))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["session_idx"]) == [1, 1, 2, 1]
+    assert out["session_id"].tolist() == ["1-1", "1-1", "1-2", "2-1"]
+
+
 def test_retention_dedups_same_day_activity(spark, tmp_path):
     rows = [
         # user 1: 3 events on cohort day, 2 on day+1 -> counts once each
