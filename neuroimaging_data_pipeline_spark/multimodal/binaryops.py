@@ -347,21 +347,18 @@ def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Real PNG writer, stdlib-only (``zlib`` DEFLATE + ``struct``):
-    8-bit RGB (color type 2), non-interlaced, CRC-checked chunks.
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Scanline filter types deliberately CYCLE 0..4 by row (None, Sub,
-    Up, Average, Paeth) so any decoder of these payloads must
-    implement the full PNG filter suite — a None-only writer would
-    let a partial decoder pass. ``pixels`` is (H, W, 3) uint8.
-    """
-    import struct
-    import zlib
 
-    h, w, _ = pixels.shape
-    px = pixels.astype(np.uint8)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+def _filter_rows(px: np.ndarray) -> bytes:
+    """Filter one (sub)image's scanlines, filter types cycling 0..4
+    (None, Sub, Up, Average, Paeth) so every filter is exercised.
+    Returns filter-byte-prefixed raw scanline bytes."""
+    h, w, _ = px.shape
     raw = bytearray()
     zero3 = np.zeros(3, dtype=np.int16)
     prev = np.zeros(w * 3, dtype=np.int16)
@@ -383,62 +380,12 @@ def encode_png(pixels: np.ndarray) -> bytes:
         raw.append(ft)
         raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
         prev = row
-    idat = zlib.compress(bytes(raw), 9)
-    return (
-        PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", idat)
-        + _png_chunk(b"IEND", b"")
-    )
+    return bytes(raw)
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Real PNG decode, stdlib-only: signature + chunk walk with CRC
-    verification, IHDR validation, multi-IDAT concatenation, zlib
-    inflate, and full scanline un-filtering (None/Sub/Up/Average/
-    Paeth). Supports the 8-bit RGB non-interlaced profile the writer
-    emits; anything else raises. Returns (H, W, 3) uint8.
-
-    Sub/Average/Paeth reconstruction is sequential in the left
-    neighbor, so those rows run a per-byte loop — fine for the small
-    fixtures here; a production path would push wide images through
-    a C-level unfilter. Ancillary chunks (tEXt, pHYs, ...) are
-    skipped after their CRC check, per spec."""
-    import struct
-    import zlib
-
-    data = bytes(payload)
-    if data[:8] != PNG_SIG:
-        raise ValueError(f"not a PNG payload: {data[:8]!r}")
-    pos = 8
-    w = h = None
-    idat = bytearray()
-    while pos + 12 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(
-            ">I", data[pos + 8 + length : pos + 12 + length]
-        )
-        if zlib.crc32(tag + chunk) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG CRC mismatch in chunk {tag!r}")
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
-            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise ValueError(
-                    "only 8-bit RGB non-interlaced PNG supported, got "
-                    f"depth={depth} color={ctype} interlace={interlace}"
-                )
-        elif tag == b"IDAT":
-            idat.extend(chunk)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+def _unfilter_rows(raw: bytes, h: int, w: int) -> np.ndarray:
+    """Reverse the scanline filtering of one (sub)image: full
+    None/Sub/Up/Average/Paeth reconstruction. Returns (h, w, 3)."""
     stride = w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError(
@@ -480,6 +427,108 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Real PNG writer, stdlib-only (``zlib`` DEFLATE + ``struct``):
+    8-bit RGB (color type 2), CRC-checked chunks, filter types
+    cycling 0..4 per scanline so any decoder of these payloads must
+    implement the full filter suite. ``interlace=True`` writes
+    ADAM7: seven independently-filtered sub-images (empty passes
+    skipped per spec) in one DEFLATE stream — the progressive-render
+    layout real web PNGs use. ``pixels`` is (H, W, 3) uint8."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        raw = b"".join(
+            _filter_rows(px[y0::dy, x0::dx])
+            for x0, y0, dx, dy in ADAM7
+            if px[y0::dy, x0::dx].size
+        )
+    else:
+        raw = _filter_rows(px)
+    idat = zlib.compress(raw, 9)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode, stdlib-only: signature + chunk walk with CRC
+    verification, IHDR validation, multi-IDAT concatenation, zlib
+    inflate, full scanline un-filtering (None/Sub/Up/Average/Paeth),
+    and BOTH interlace modes — sequential and ADAM7 (seven
+    independently-filtered sub-images scattered back onto the pixel
+    grid, empty passes skipped per spec). Supports the 8-bit RGB
+    profile the writer emits; anything else raises. Returns
+    (H, W, 3) uint8.
+
+    Sub/Average/Paeth reconstruction is sequential in the left
+    neighbor, so those rows run a per-byte loop — fine for the small
+    fixtures here; a production path would push wide images through
+    a C-level unfilter. Ancillary chunks (tEXt, pHYs, ...) are
+    skipped after their CRC check, per spec."""
+    import struct
+    import zlib
+
+    data = bytes(payload)
+    if data[:8] != PNG_SIG:
+        raise ValueError(f"not a PNG payload: {data[:8]!r}")
+    pos = 8
+    w = h = None
+    interlace = 0
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if (depth, ctype, comp, filt) != (8, 2, 0, 0) or interlace > 1:
+                raise ValueError(
+                    "only 8-bit RGB PNG supported, got "
+                    f"depth={depth} color={ctype} interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat.extend(chunk)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        return _unfilter_rows(raw, h, w)
+    # ADAM7: carve the stream into per-pass sub-images and scatter
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in ADAM7:
+        ph = (h - y0 + dy - 1) // dy
+        pw = (w - x0 + dx - 1) // dx
+        if ph <= 0 or pw <= 0:
+            continue
+        size = ph * (pw * 3 + 1)
+        out[y0::dy, x0::dx] = _unfilter_rows(raw[off : off + size], ph, pw)
+        off += size
+    if off != len(raw):
+        raise ValueError(
+            f"ADAM7 stream has {len(raw) - off} trailing bytes"
+        )
+    return out
+
+
 def synthesize_png_images(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -502,6 +551,37 @@ def synthesize_png_images(
         for pdf in batches:
             payloads = [
                 encode_png(((int(i) * 11 + base) % 256).astype(np.uint8))
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
+
+    return docs.select(id_col).mapInPandas(encode_batches, out_schema)
+
+
+def synthesize_png_interlaced(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 12,
+    height: int = 9,
+) -> DataFrame:
+    """Deterministic ADAM7-interlaced PNG fixture: pixel (y, x, c) =
+    (id*29 + y*41 + x*13 + c*67) % 256 at 12x9 — the odd height makes
+    the seven passes uneven (different sub-image dims per pass), so
+    the pass-geometry arithmetic is genuinely exercised on every
+    image. (media_id, content binary)."""
+    out_schema = "media_id long, content binary"
+    ys = np.arange(height)[:, None, None]
+    xs = np.arange(width)[None, :, None]
+    cs = np.arange(3)[None, None, :]
+    base = ys * 41 + xs * 13 + cs * 67
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    ((int(i) * 29 + base) % 256).astype(np.uint8),
+                    interlace=True,
+                )
                 for i in pdf[id_col]
             ]
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})

@@ -283,9 +283,62 @@ FROM blk GROUP BY doc_id
 """
 
 
+def m12_png_interlaced(spark, sf_dir):
+    """M12: REAL ADAM7-INTERLACED PNG end-to-end
+    (multimodal/binaryops.py). Per document a genuine interlaced PNG
+    (seven independently-filtered sub-images in one DEFLATE stream,
+    uneven pass dims from the 12x9 shape) is encoded stdlib-only and
+    decoded by the pass-carving/scattering parser inside Arrow
+    mapInPandas. PNG is lossless, so the oracle recomputes every
+    channel stat + the total-pixel checksum from the pixel formula —
+    a bug in any pass's geometry, filtering or scatter breaks the
+    hash match. This retires the non-interlaced-only PNG gate."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        png_features,
+        synthesize_png_interlaced,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_png_interlaced(d, id_col="doc_id")
+    feats = png_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_r", 6) + F.lit(0.0)).alias("mean_r"),
+        (F.round("mean_g", 6) + F.lit(0.0)).alias("mean_g"),
+        (F.round("mean_b", 6) + F.lit(0.0)).alias("mean_b"),
+        "sum_px",
+    )
+
+
+M12_SQL = """
+WITH px AS (
+  SELECT doc_id, c.c AS c,
+         (doc_id * 29 + y.y * 41 + x.x * 13 + c.c * 67) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 9)) AS y(y),
+       UNNEST(range(0, 12)) AS x(x),
+       UNNEST(range(0, 3)) AS c(c)
+), chan AS (
+  SELECT doc_id, c, AVG(CAST(v AS DOUBLE)) AS m, SUM(v) AS s
+  FROM px GROUP BY doc_id, c
+)
+SELECT doc_id,
+       CAST(12 AS INT) AS width,
+       CAST(9 AS INT) AS height,
+       (ROUND(MAX(CASE WHEN c = 0 THEN m END), 6) + 0.0) AS mean_r,
+       (ROUND(MAX(CASE WHEN c = 1 THEN m END), 6) + 0.0) AS mean_g,
+       (ROUND(MAX(CASE WHEN c = 2 THEN m END), 6) + 0.0) AS mean_b,
+       CAST(SUM(s) AS BIGINT) AS sum_px
+FROM chan GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m10_audio_frames": m10_audio_frames,
+    "m12_png_interlaced": m12_png_interlaced,
     "m8b_mp4_frames": m8b_mp4_frames,
     "m9_jpeg_420": m9_jpeg_420,
     "m11_jpeg_progressive": m11_jpeg_progressive,
@@ -294,6 +347,7 @@ QUERIES = {
 ORACLE = {
     "m8_mp4_meta": M8_SQL,
     "m10_audio_frames": M10_SQL,
+    "m12_png_interlaced": M12_SQL,
     "m8b_mp4_frames": M8B_SQL,
     "m9_jpeg_420": M9_SQL,
     "m11_jpeg_progressive": M11_SQL,

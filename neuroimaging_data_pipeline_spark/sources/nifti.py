@@ -256,8 +256,10 @@ def synthesize_nifti_volumes(
     integer math an oracle recomputes without any codec — stored as
     int16 with scl_slope=0.5 / scl_inter=10.0, so decoding exercises
     the full header path (dims, datatype, vox_offset, slope/inter)
-    losslessly (0.5 and 10.0 are exact in binary). (media_id,
-    content binary)."""
+    losslessly (0.5 and 10.0 are exact in binary). Odd doc_ids are
+    gzip-compressed (.nii.gz — the format fMRI data actually ships
+    in, ssm_loop.py:40) and even ones raw .nii, so BOTH container
+    framings sit under the oracle seal. (media_id, content binary)."""
     nx, ny, nz, nt = dims
     out_schema = "media_id long, content binary"
     xs = np.arange(nx)[:, None, None, None]
@@ -273,7 +275,11 @@ def synthesize_nifti_volumes(
                 arr = ((int(did) * 13 + base) % 97) * 0.5 + 10.0
                 payloads.append(
                     encode_nifti1(
-                        arr, dtype="i2", scl_slope=0.5, scl_inter=10.0
+                        arr,
+                        dtype="i2",
+                        scl_slope=0.5,
+                        scl_inter=10.0,
+                        compress=bool(int(did) % 2),
                     )
                 )
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
