@@ -59,9 +59,13 @@ from neuroimaging_data_pipeline_spark.queries import (
 # query reads events through the r4 ts re-pin; streaming twins ordered
 # first within the module). The r1-proven, untouched scan/text/ANN
 # modules rotate out of the window this round.
-# media (new MP4 m8/m8b) registers right after the window like the
-# other brand-new r4 queries — its green rows are the sf0.01 + sf0.1
-# replica runs recorded in SURVEY §8.
+# The brand-new late-r4 modules (media: MP4/JPEG-progressive/ADAM7
+# codecs; eventsops: funnel/retention/asof/sessionize/LOCF;
+# sqlsurface: cube/percentiles/ranks/pivot/unpivot) register right
+# after the window — their green rows are the sf0.01 + sf0.1 replica
+# runs recorded in SURVEY §8; the window cutoff composition
+# (relational 29 + misc 19 + neuro's first two streaming twins)
+# stays exactly as planned for the ts re-pin.
 _MODULES = [relational, misc, neuro, media, eventsops, sqlsurface, ingest, textops, simsearch, spatial]
 
 
