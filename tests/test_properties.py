@@ -193,3 +193,74 @@ def test_wav_roundtrip_property(samples, sr):
     got_sr, got = decode_wav(encode_wav_pcm16(samples, sample_rate=sr))
     assert got_sr == sr
     np.testing.assert_array_equal(got, samples)
+
+
+@settings(max_examples=40, deadline=None)
+@given(px=rgb_images)
+def test_png_adam7_roundtrip_property(px):
+    """ANY uint8 RGB image survives the ADAM7-interlaced PNG round
+    trip bit-exactly — small shapes here mean many examples have
+    EMPTY or single-pixel passes, the geometry worth fuzzing."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        decode_png,
+        encode_png,
+    )
+
+    np.testing.assert_array_equal(
+        decode_png(encode_png(px, interlace=True)), px
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(img=gray_images, data=st.data())
+def test_jpeg_progressive_equals_baseline_property(img, data):
+    """For ANY grayscale image and a RANDOM valid scan script
+    (random band split, random successive-approximation depth),
+    progressive decode is BIT-IDENTICAL to baseline decode — the
+    strongest statement of the multi-scan entropy coder's
+    correctness, because every coefficient bit must arrive exactly
+    once through EOBn runs, ZRL spans and refinement correction
+    bits."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    al = data.draw(st.integers(min_value=0, max_value=3))
+    split = data.draw(st.integers(min_value=1, max_value=62))
+    script = [([0], 0, 0, 0, al)]
+    script += [([0], 1, split, 0, al), ([0], split + 1, 63, 0, al)]
+    for a in range(al, 0, -1):
+        script.append(([0], 0, 0, a, a - 1))
+        script.append(([0], 1, 63, a, a - 1))
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, script=script)),
+        decode_jpeg_gray(encode_jpeg_gray(img)),
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc_id=st.integers(min_value=0, max_value=10**12))
+def test_mp4_roundtrip_property(doc_id):
+    """ANY doc id's MP4 fixture parses back to exactly the generating
+    sample plan — durations, sizes, chunk-resolved byte ranges — so
+    the box writer and the stts/stsc/stsz/stco walker agree across
+    the whole id space (1- and 2-chunk layouts, all run-length
+    shapes)."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp4 import (
+        _sample_payload,
+        _sample_plan,
+        decode_mp4_meta,
+        encode_mp4,
+    )
+
+    payload = encode_mp4(doc_id)
+    m = decode_mp4_meta(payload)
+    durs, sizes = _sample_plan(doc_id)
+    assert m["duration"] == sum(durs) == m["media_duration"]
+    assert m["n_samples"] == len(durs)
+    assert m["total_sample_bytes"] == sum(sizes)
+    for i, (off, size) in enumerate(m["sample_ranges"]):
+        assert payload[off : off + size] == _sample_payload(doc_id, i, size)
