@@ -158,3 +158,124 @@ def _spike_flags_tws(stream, key, value_col, id_col, cutoff, min_history):
         outputMode="append",
         timeMode="None",
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, tus long, session_idx long"
+)
+
+
+def _assign_sessions(pdf, id_col, ts_col, key_val, key, last_tus, sidx,
+                     gap_us):
+    """Shared per-batch kernel: gap-threshold session assignment over
+    the batch's rows in (ts, id) order, state carried in/out. Same
+    ordering as the batch twin (queries/eventsops.py w10_sessionize),
+    so on in-order input the stream reproduces it exactly."""
+    out = []
+    pdf = pdf.sort_values([ts_col, id_col])
+    for eid, tus in zip(pdf[id_col], pdf[ts_col]):
+        tus = int(tus)
+        if last_tus is None or tus - last_tus > gap_us:
+            sidx += 1
+        out.append((key_val, int(eid), tus, sidx))
+        last_tus = tus
+    return out, last_tus, sidx
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "tus",
+    id_col: str = "event_id",
+    gap_us: int = 30 * 60 * 1_000_000,
+    api: str = "auto",
+) -> DataFrame:
+    """Per-EVENT session-ID assignment as a live stateful stream —
+    the streaming twin of ``queries/eventsops.py w10_sessionize``:
+    state is (last event time, session counter) per key, carried
+    across micro-batches, so a session spanning a batch boundary
+    keeps its id and a cross-batch gap opens a new one. Unlike
+    ``session_window`` (per-SESSION aggregates), this labels every
+    event — the join-back shape.
+
+    Input needs a ``tus`` epoch-microseconds long column (the footer-
+    probed ingest provides event time; callers convert with
+    unix_micros). Same dual-API capability gate as the spike
+    detector: transformWithStateInPandas when protobuf is available,
+    applyInPandasWithState otherwise. State: two longs per key."""
+    if api == "auto":
+        api = "tws" if tws_available() else "applyInPandas"
+    if api == "tws":
+        return _sessionize_tws(stream, key, ts_col, id_col, gap_us)
+    return _sessionize_gs(stream, key, ts_col, id_col, gap_us)
+
+
+def _sessionize_gs(stream, key, ts_col, id_col, gap_us):
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        if state.exists:
+            last_tus, sidx = state.get
+        else:
+            last_tus, sidx = None, 0
+        rows = []
+        for pdf in pdf_iter:
+            out, last_tus, sidx = _assign_sessions(
+                pdf, id_col, ts_col, key_tuple[0], key, last_tus, sidx,
+                gap_us,
+            )
+            rows.extend(out)
+        state.update((last_tus, sidx))
+        yield pd.DataFrame(
+            rows, columns=[key, id_col, ts_col, "session_idx"]
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType="last_tus long, sidx long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _sessionize_tws(stream, key, ts_col, id_col, gap_us):
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "sess", "last_tus long, sidx long"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            if self._st.exists():
+                last_tus, sidx = self._st.get()
+            else:
+                last_tus, sidx = None, 0
+            collected = []
+            for pdf in rows:
+                out, last_tus, sidx = _assign_sessions(
+                    pdf, id_col, ts_col, key_tuple[0], key, last_tus, sidx,
+                    gap_us,
+                )
+                collected.extend(out)
+            self._st.update((last_tus, sidx))
+            yield pd.DataFrame(
+                collected, columns=[key, id_col, ts_col, "session_idx"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
