@@ -309,12 +309,23 @@ def decode_mp4_meta(payload: bytes) -> dict:
     if count != n_samples:
         raise ValueError(f"stsz count {count} != stts samples {n_samples}")
 
-    s, _ = idx[b"stco"][0]
-    _, p = _full_header(data, s)
-    (n_chunks,) = struct.unpack(">I", data[p : p + 4])
-    offsets = list(
-        struct.unpack(f">{n_chunks}I", data[p + 4 : p + 4 + 4 * n_chunks])
-    )
+    if b"stco" in idx:
+        s, _ = idx[b"stco"][0]
+        _, p = _full_header(data, s)
+        (n_chunks,) = struct.unpack(">I", data[p : p + 4])
+        offsets = list(
+            struct.unpack(f">{n_chunks}I", data[p + 4 : p + 4 + 4 * n_chunks])
+        )
+    elif b"co64" in idx:
+        # 64-bit chunk offsets — what real >4 GB MP4s carry
+        s, _ = idx[b"co64"][0]
+        _, p = _full_header(data, s)
+        (n_chunks,) = struct.unpack(">I", data[p : p + 4])
+        offsets = list(
+            struct.unpack(f">{n_chunks}Q", data[p + 4 : p + 4 + 8 * n_chunks])
+        )
+    else:
+        raise ValueError("MP4 missing chunk offset box (stco/co64)")
 
     s, _ = idx[b"stsc"][0]
     _, p = _full_header(data, s)

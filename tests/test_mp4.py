@@ -98,6 +98,36 @@ def test_decode_mvhd_version1():
     assert m1["payload_sum"] == m0["payload_sum"]
 
 
+def test_decode_co64_chunk_offsets():
+    """co64 (64-bit chunk offsets, the >4 GB form): rebuilding the
+    fixture's stco as co64 parses to identical metadata and byte
+    ranges."""
+    payload = encode_mp4(7)
+    m0 = decode_mp4_meta(payload)
+    pos = payload.index(b"stco") - 4
+    (size,) = struct.unpack(">I", payload[pos : pos + 4])
+    old = payload[pos : pos + size]
+    (n_chunks,) = struct.unpack(">I", old[12:16])
+    offsets = struct.unpack(f">{n_chunks}I", old[16 : 16 + 4 * n_chunks])
+    co64 = _full(
+        b"co64",
+        0,
+        0,
+        struct.pack(">I", n_chunks)
+        + b"".join(struct.pack(">Q", o) for o in offsets),
+    )
+    # replace inside stbl; all ancestor box sizes must grow
+    delta = len(co64) - size
+    patched = bytearray(payload[:pos] + co64 + payload[pos + size :])
+    for tag in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        p = bytes(patched).index(tag) - 4
+        (sz,) = struct.unpack(">I", patched[p : p + 4])
+        patched[p : p + 4] = struct.pack(">I", sz + delta)
+    m1 = decode_mp4_meta(bytes(patched))
+    assert m1["payload_sum"] == m0["payload_sum"]
+    assert m1["sample_ranges"] == m0["sample_ranges"]
+
+
 def test_decode_rejects_garbage_and_truncation():
     with pytest.raises(ValueError, match="ftyp"):
         decode_mp4_meta(b"not an mp4 at all")

@@ -561,6 +561,23 @@ def test_jpeg_successive_approximation():
             err_msg=f"shape={shape} (spectral)",
         )
 
+    # coarse quantization tables produce LONG zero-history runs, so
+    # the AC-refinement ZRL + buffered-correction-bit interplay (the
+    # subtlest part of G.1.2.3) is genuinely exercised — rare at unit
+    # quant where blocks are dense
+    for q in (16, 80):
+        qt = np.full((8, 8), q, dtype=np.int64)
+        img = rng.integers(0, 256, (40, 24), dtype=np.uint8)
+        base_q = decode_jpeg_gray(encode_jpeg_gray(img, qtable=qt))
+        for script in (None, sa_script(1)):
+            np.testing.assert_array_equal(
+                decode_jpeg(
+                    encode_jpeg_progressive(img, qtable=qt, script=script)
+                ),
+                base_q,
+                err_msg=f"q={q} script={'sa' if script else 'spectral'}",
+            )
+
     # randomized scripts: random band splits, random Al depth
     for seed in range(6):
         r = np.random.default_rng(seed)
