@@ -311,19 +311,23 @@ def _color_planes(
         return [ycc[..., c].astype(np.float64) for c in range(3)], [
             (1, 1), (1, 1), (1, 1),
         ]
-    ch, cw = -h % 2, -w % 2
+    # 422: halve chroma horizontally only; 420: both axes
+    cell_h = 2 if subsampling == "420" else 1
+    ch, cw = -h % cell_h, -w % 2
     full = np.pad(ycc, ((0, ch), (0, cw), (0, 0)), mode="edge").astype(
         np.float64
     )
     sub = [
         np.round(
-            full[..., c].reshape((h + ch) // 2, 2, (w + cw) // 2, 2)
+            full[..., c]
+            .reshape((h + ch) // cell_h, cell_h, (w + cw) // 2, 2)
             .mean(axis=(1, 3))
         )
         for c in (1, 2)
     ]
+    y_factor = (2, 2) if subsampling == "420" else (2, 1)
     return [ycc[..., 0].astype(np.float64), sub[0], sub[1]], [
-        (2, 2), (1, 1), (1, 1),
+        y_factor, (1, 1), (1, 1),
     ]
 
 
@@ -340,10 +344,11 @@ def encode_jpeg_color(
     and the decoder reads tables from the stream).
 
     ``subsampling='444'``: 1x1 sampling everywhere, MCU = one block
-    per component. ``subsampling='420'``: Y at 2x2, chroma averaged
-    over 2x2 pixel cells — MCU = 16x16 pixels carrying 4 Y blocks
-    (raster order within the MCU) + 1 Cb + 1 Cr, the layout virtually
-    every camera/web JPEG uses.
+    per component. ``'422'``: Y at 2x1, chroma halved horizontally
+    (16x8 MCUs — the broadcast/video-frame layout). ``'420'``: Y at
+    2x2, chroma averaged over 2x2 pixel cells — MCU = 16x16 pixels
+    carrying 4 Y blocks (raster order within the MCU) + 1 Cb + 1 Cr,
+    the layout virtually every camera/web JPEG uses.
 
     Color JPEG is doubly lossy (YCbCr rounding + DCT quantization);
     for GRAY-valued RGB (R=G=B) the color convert is exact (Y=v,
@@ -353,7 +358,7 @@ def encode_jpeg_color(
     h, w, ncomp = pixels.shape
     if ncomp != 3:
         raise ValueError(f"expected (H, W, 3) RGB, got {pixels.shape}")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     q = (
         np.ones((8, 8), dtype=np.int64)
@@ -695,7 +700,8 @@ def encode_jpeg_progressive(
     subsampling: str = "444",
 ) -> bytes:
     """Real PROGRESSIVE JPEG writer (SOF2): grayscale (H, W) or color
-    (H, W, 3) uint8 at 4:4:4 or 4:2:0 chroma subsampling, driven by a
+    (H, W, 3) uint8 at 4:4:4, 4:2:2 or 4:2:0 chroma subsampling,
+    driven by a
     SCAN SCRIPT of (component_indices, Ss, Se, Ah, Al) entries.
     Default script is spectral selection over ``bands``; pass
     ``sa_script(ncomp)`` for the full successive-approximation
@@ -716,7 +722,7 @@ def encode_jpeg_progressive(
         h, w, ncomp = pixels.shape
         if ncomp != 3:
             raise ValueError(f"expected (H, W) or (H, W, 3), got {pixels.shape}")
-        if subsampling not in ("444", "420"):
+        if subsampling not in ("444", "422", "420"):
             raise ValueError(f"unsupported subsampling {subsampling!r}")
         planes, factors = _color_planes(pixels, subsampling)
     ncomp = len(planes)

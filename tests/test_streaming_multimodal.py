@@ -823,3 +823,46 @@ def test_stateful_user_stats_carries_state(spark, two_batch_landing):
         assert row["n_total"] == batch.loc[uid, "n"]
         assert abs(row["sum_total"] - batch.loc[uid, "s"]) < 1e-6
         assert abs(row["max_value"] - batch.loc[uid, "mx"]) < 1e-12
+
+
+def test_jpeg_422_codec():
+    """4:2:2 (horizontal-only chroma halving, the broadcast layout):
+    SOF says 2x1, constant 8x16 blocks round-trip bit-exactly through
+    baseline AND progressive+SA, smooth color stays bounded."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg,
+        decode_jpeg_color,
+        encode_jpeg_color,
+        encode_jpeg_progressive,
+        sa_script,
+    )
+
+    rng = np.random.default_rng(61)
+    gray = np.kron(
+        rng.integers(0, 256, (3, 2), dtype=np.uint8),
+        np.ones((8, 16), dtype=np.uint8),
+    )
+    rgb = np.stack([gray] * 3, axis=-1)
+    payload = encode_jpeg_color(rgb, subsampling="422")
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 11] == 0x21  # Y sampling 2x1
+    np.testing.assert_array_equal(decode_jpeg_color(payload), rgb)
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = np.stack(
+        [(yy * 3) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg_color(encode_jpeg_color(smooth, subsampling="422"))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 8
+
+    for shape in ((16, 24, 3), (17, 23, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_jpeg(
+                encode_jpeg_progressive(
+                    img, subsampling="422", script=sa_script(3)
+                )
+            ),
+            decode_jpeg_color(encode_jpeg_color(img, subsampling="422")),
+            err_msg=f"shape={shape}",
+        )
