@@ -335,10 +335,104 @@ FROM chan GROUP BY doc_id
 """
 
 
+def e4_multimodal_pipeline(spark, sf_dir):
+    """E4: a MULTIMODAL curation pipeline composed end-to-end as ONE
+    lazy plan — the image+audio+text join shape CLIP-style data prep
+    runs:
+
+      documents
+        -> exact dedup, keep the min-id representative
+        -> REAL PNG decode of each kept doc's image -> channel means
+        -> REAL WAV decode of each kept doc's clip  -> RMS
+        -> join all three modalities on doc_id
+        -> keep docs whose image is bright (mean_r > 120) AND whose
+           audio is loud (rms > 18000) — the cross-modal filter
+        -> (doc_id, n_tokens, mean_r, rms)
+
+    Every stage is an operator the standalone queries already seal
+    (m4's PNG codec, m2's WAV codec, d_exact_dedup), so the oracle
+    reuses their proven SQL twins CTE-by-CTE and the final join +
+    filter is checked as one hash. Plan: one dedup hash-agg shuffle,
+    two narrow Arrow codec chains, two equi-joins on doc_id (AQE
+    broadcasts the smaller sides), no row-Python anywhere."""
+    from neuroimaging_data_pipeline_spark.dedup.exact import (
+        exact_dedup_keys,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        png_features,
+        synthesize_png_images,
+        synthesize_wav_clips,
+        wav_features,
+    )
+    from neuroimaging_data_pipeline_spark.text.analysis import token_count
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=8)
+    keep = exact_dedup_keys(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id", "left_semi")
+    img = png_features(synthesize_png_images(kept, id_col="doc_id")).select(
+        F.col("media_id").alias("doc_id"), "mean_r"
+    )
+    aud = wav_features(
+        synthesize_wav_clips(kept, id_col="doc_id", text_col="text")
+    ).select(F.col("media_id").alias("doc_id"), "rms")
+    return (
+        kept.select("doc_id", token_count("text").alias("n_tokens"))
+        .join(img, "doc_id")
+        .join(aud, "doc_id")
+        .filter((F.col("mean_r") > 120.0) & (F.col("rms") > 18000.0))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.round("mean_r", 6) + F.lit(0.0)).alias("mean_r"),
+            (F.round("rms", 6) + F.lit(0.0)).alias("rms"),
+        )
+    )
+
+
+E4_SQL = """
+WITH norm AS (
+  SELECT doc_id, text,
+         md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       1, 1000000)) AS content_hash
+  FROM documents
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY content_hash
+), kept AS (
+  SELECT n.doc_id, n.text FROM norm n JOIN keep k ON n.doc_id = k.doc_id
+), img AS (
+  SELECT doc_id, AVG(CAST((doc_id * 11 + y.y * 37 + x.x * 23) % 256
+                          AS DOUBLE)) AS mean_r
+  FROM kept, UNNEST(range(0, 10)) AS y(y), UNNEST(range(0, 8)) AS x(x)
+  GROUP BY doc_id
+), nibs AS (
+  SELECT doc_id,
+         (CASE WHEN ascii(substring(md5(COALESCE(text, '')), i, 1)) >= 97
+               THEN ascii(substring(md5(COALESCE(text, '')), i, 1)) - 87
+               ELSE ascii(substring(md5(COALESCE(text, '')), i, 1)) - 48
+          END) AS nib
+  FROM kept, UNNEST(range(1, 33)) AS t(i)
+), aud AS (
+  SELECT doc_id,
+         sqrt(AVG(POW(nib * 4096.0 - 32768.0, 2))) AS rms
+  FROM nibs GROUP BY doc_id
+)
+SELECT k.doc_id,
+       CAST(len(regexp_split_to_array(trim(k.text), '\\s+')) AS INT)
+         AS n_tokens,
+       (ROUND(img.mean_r, 6) + 0.0) AS mean_r,
+       (ROUND(aud.rms, 6) + 0.0) AS rms
+FROM kept k
+JOIN img ON k.doc_id = img.doc_id
+JOIN aud ON k.doc_id = aud.doc_id
+WHERE img.mean_r > 120.0 AND aud.rms > 18000.0
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m10_audio_frames": m10_audio_frames,
     "m12_png_interlaced": m12_png_interlaced,
+    "e4_multimodal_pipeline": e4_multimodal_pipeline,
     "m8b_mp4_frames": m8b_mp4_frames,
     "m9_jpeg_420": m9_jpeg_420,
     "m11_jpeg_progressive": m11_jpeg_progressive,
@@ -348,6 +442,7 @@ ORACLE = {
     "m8_mp4_meta": M8_SQL,
     "m10_audio_frames": M10_SQL,
     "m12_png_interlaced": M12_SQL,
+    "e4_multimodal_pipeline": E4_SQL,
     "m8b_mp4_frames": M8B_SQL,
     "m9_jpeg_420": M9_SQL,
     "m11_jpeg_progressive": M11_SQL,
