@@ -258,7 +258,7 @@ def _full_header(data: bytes, s: int) -> tuple[int, int]:
     return data[s], s + 4
 
 
-def decode_mp4_meta(payload: bytes) -> dict:
+def decode_mp4_meta(payload: bytes, verify_payload: bool = True) -> dict:
     """REAL MP4 metadata extraction: walk the box tree, parse
     mvhd/mdhd (v0 AND v1), hdlr, and the full sample-table suite
     (stts/stsc/stsz/stco), then resolve every sample's absolute byte
@@ -361,9 +361,10 @@ def decode_mp4_meta(payload: bytes) -> dict:
             raise ValueError(
                 f"sample range [{off}, {off + size}) outside mdat [{mdat_s}, {mdat_e})"
             )
-        payload_sum += int(
-            np.frombuffer(data[off : off + size], dtype=np.uint8).sum()
-        )
+        if verify_payload:
+            payload_sum += int(
+                np.frombuffer(data[off : off + size], dtype=np.uint8).sum()
+            )
 
     return {
         "major_brand": major_brand,
@@ -466,7 +467,10 @@ def mp4_sample_frames(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[content_col]):
-                m = decode_mp4_meta(payload)
+                # frame extraction only needs the ranges; skip the
+                # full payload_sum byte pass (it would double the
+                # bytes touched per file on this hot path)
+                m = decode_mp4_meta(payload, verify_payload=False)
                 data = m["data"]
                 for i in range(0, m["n_samples"], every_n):
                     off, size = m["sample_ranges"][i]

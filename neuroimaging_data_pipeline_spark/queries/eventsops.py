@@ -289,20 +289,29 @@ def w9_locf_resample(spark, sf_dir):
     implementation)."""
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("tus"), "value"
+    # one observation per (user, instant): same-microsecond ties are
+    # reduced with MAX before the as-of, in BOTH engines — otherwise
+    # the carried value would depend on shuffle order (and on
+    # DuckDB's own arbitrary ASOF tie choice)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("tus"), "value")
+        .groupBy("user_id", "tus")
+        .agg(F.max("value").alias("value"))
     )
     bounds = ev.agg(
         F.min("tus").alias("lo"), F.max("tus").alias("hi")
     )
     step = 6 * 3600 * 1_000_000
+    start = (F.ceil(F.col("lo") / step) * step).cast("long")
     grid_pts = bounds.select(
         F.explode(
-            F.sequence(
-                (F.ceil(F.col("lo") / step) * step).cast("long"),
-                F.col("hi"),
-                F.lit(step),
-            )
+            # a span with no aligned instant (start > hi) yields an
+            # empty grid, not a sequence() boundary error
+            F.when(
+                start <= F.col("hi"),
+                F.sequence(start, F.col("hi"), F.lit(step)),
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("gus")
     )
     users = ev.select("user_id").distinct()
@@ -348,7 +357,8 @@ WITH b AS (
        UNNEST(range(CAST(ceil(b.lo / 21600000000.0) AS BIGINT) * 21600000000,
                     b.hi + 1, 21600000000)) AS g(gus)
 ), obs AS (
-  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+  SELECT user_id, epoch_us(ts) AS tus, MAX(value) AS value
+  FROM events GROUP BY user_id, epoch_us(ts)
 )
 SELECT grid.user_id,
        grid.gus AS grid_us,

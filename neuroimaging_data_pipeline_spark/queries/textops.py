@@ -634,12 +634,16 @@ WITH w AS (
          len(string_split(passage, ' ')) AS n_words
   FROM p
 ), f AS (
+  -- linearized (doc_id, passage_idx) key: the 1e9 multiplier keeps
+  -- it lexicographic as long as a document has < 1e9 passages
+  -- (~1e10 words — physically impossible); the Spark side uses a
+  -- true struct-min
   SELECT passage_hash,
-         MIN(doc_id * 100000 + passage_idx) AS first_key
+         MIN(doc_id * 1000000000 + passage_idx) AS first_key
   FROM h GROUP BY passage_hash
 ), v AS (
   SELECT h.doc_id, h.n_words,
-         (h.doc_id * 100000 + h.passage_idx = f.first_key) AS kept
+         (h.doc_id * 1000000000 + h.passage_idx = f.first_key) AS kept
   FROM h JOIN f USING (passage_hash)
 ), s AS (
   SELECT doc_id,

@@ -160,17 +160,15 @@ def _spike_flags_tws(stream, key, value_col, id_col, cutoff, min_history):
     )
 
 
-SESSION_OUTPUT_SCHEMA = (
-    "user_id long, event_id long, tus long, session_idx long"
-)
-
-
-def _assign_sessions(pdf, id_col, ts_col, key_val, key, last_tus, sidx,
+def _assign_sessions(pdf, id_col, ts_col, key_val, last_tus, sidx,
                      gap_us):
-    """Shared per-batch kernel: gap-threshold session assignment over
-    the batch's rows in (ts, id) order, state carried in/out. Same
-    ordering as the batch twin (queries/eventsops.py w10_sessionize),
-    so on in-order input the stream reproduces it exactly."""
+    """Shared kernel: gap-threshold session assignment over ONE
+    key's WHOLE micro-batch in (ts, id) order, state carried in/out.
+    Same ordering as the batch twin (queries/eventsops.py
+    w10_sessionize), so on in-order input the stream reproduces it
+    exactly. Callers MUST pass the key's full micro-batch in one
+    DataFrame (concat the Arrow chunks first): sorting per chunk
+    would mis-session any key whose batch spans multiple chunks."""
     out = []
     pdf = pdf.sort_values([ts_col, id_col])
     for eid, tus in zip(pdf[id_col], pdf[ts_col]):
@@ -205,12 +203,15 @@ def streaming_sessionize(
     applyInPandasWithState otherwise. State: two longs per key."""
     if api == "auto":
         api = "tws" if tws_available() else "applyInPandas"
+    schema = (
+        f"{key} long, {id_col} long, {ts_col} long, session_idx long"
+    )
     if api == "tws":
-        return _sessionize_tws(stream, key, ts_col, id_col, gap_us)
-    return _sessionize_gs(stream, key, ts_col, id_col, gap_us)
+        return _sessionize_tws(stream, key, ts_col, id_col, gap_us, schema)
+    return _sessionize_gs(stream, key, ts_col, id_col, gap_us, schema)
 
 
-def _sessionize_gs(stream, key, ts_col, id_col, gap_us):
+def _sessionize_gs(stream, key, ts_col, id_col, gap_us, schema):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -219,13 +220,16 @@ def _sessionize_gs(stream, key, ts_col, id_col, gap_us):
             last_tus, sidx = state.get
         else:
             last_tus, sidx = None, 0
-        rows = []
-        for pdf in pdf_iter:
-            out, last_tus, sidx = _assign_sessions(
-                pdf, id_col, ts_col, key_tuple[0], key, last_tus, sidx,
-                gap_us,
-            )
-            rows.extend(out)
+        # concat ALL Arrow chunks before sorting: a key whose batch
+        # spans chunks would otherwise be sessionized per chunk in
+        # arbitrary shuffle order
+        chunks = [pdf for pdf in pdf_iter]
+        if not chunks:  # timeout invocations carry no rows
+            return
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        rows, last_tus, sidx = _assign_sessions(
+            batch, id_col, ts_col, key_tuple[0], last_tus, sidx, gap_us
+        )
         state.update((last_tus, sidx))
         yield pd.DataFrame(
             rows, columns=[key, id_col, ts_col, "session_idx"]
@@ -233,14 +237,14 @@ def _sessionize_gs(stream, key, ts_col, id_col, gap_us):
 
     return stream.groupBy(key).applyInPandasWithState(
         fn,
-        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputStructType=schema,
         stateStructType="last_tus long, sidx long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
-def _sessionize_tws(stream, key, ts_col, id_col, gap_us):
+def _sessionize_tws(stream, key, ts_col, id_col, gap_us, schema):
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -258,13 +262,13 @@ def _sessionize_tws(stream, key, ts_col, id_col, gap_us):
                 last_tus, sidx = self._st.get()
             else:
                 last_tus, sidx = None, 0
-            collected = []
-            for pdf in rows:
-                out, last_tus, sidx = _assign_sessions(
-                    pdf, id_col, ts_col, key_tuple[0], key, last_tus, sidx,
-                    gap_us,
-                )
-                collected.extend(out)
+            chunks = [pdf for pdf in rows]  # concat before sorting
+            if not chunks:
+                return
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            collected, last_tus, sidx = _assign_sessions(
+                batch, id_col, ts_col, key_tuple[0], last_tus, sidx, gap_us
+            )
             self._st.update((last_tus, sidx))
             yield pd.DataFrame(
                 collected, columns=[key, id_col, ts_col, "session_idx"]
@@ -275,7 +279,7 @@ def _sessionize_tws(stream, key, ts_col, id_col, gap_us):
 
     return stream.groupBy(key).transformWithStateInPandas(
         statefulProcessor=SessionProcessor(),
-        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputStructType=schema,
         outputMode="append",
         timeMode="None",
     )

@@ -451,8 +451,8 @@ def test_jpeg_progressive_codec_local():
     progressive encoding is BIT-IDENTICAL to the baseline decode of
     the same image — the same quantized coefficients travel in a
     different scan order — for arbitrary gray, arbitrary 4:4:4
-    color, long EOBn runs, and several band layouts; successive-
-    approximation scans raise the declared gate."""
+    color, long EOBn runs, and several band layouts (successive
+    approximation has its own test below)."""
     from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
         decode_jpeg,
         decode_jpeg_color,
