@@ -92,3 +92,62 @@ def connected_components(
             "or use a star-contraction algorithm for long-chain graphs"
         )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def pagerank(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph — the
+    importance score of the duplicate-cluster world: which document
+    sits at the CENTER of a near-dup neighborhood (the natural
+    keep-representative tiebreak beyond min-id).
+
+    Deliberately FIXED iteration count (not convergence-tested): a
+    fixed count unrolls into plain SQL, so the oracle can recompute
+    it CTE-by-CTE — the same checkability trade the IVF k-means makes
+    with its two fixed Lloyd passes. Dangling mass is not
+    redistributed (simplified PR); both engines share that choice.
+
+    Scale shape: per iteration one equi-join edge->rank (AQE-broadcast
+    rank side at dup-graph sizes, shuffle join at web scale) and one
+    map-side-combinable decimal-sum aggregate; the rank vector is one
+    double per node. The symmetrized edge list is localCheckpoint-ed
+    ONCE (same discipline as the CC operator above): it is referenced
+    2 x n_iter times, and leaving it lazy would recompute the whole
+    upstream pair pipeline (MinHash bands etc.) on every reference."""
+    from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
+
+    sym = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).unionAll(
+        pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    base = nodes.select(F.col(id_col).alias("id")).crossJoin(F.broadcast(n))
+    pr = base.select("id", "n_nodes", (1.0 / F.col("n_nodes")).alias("pr"))
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(pr.select("id", "pr"), sym.s == F.col("id"))
+            .join(deg, "s")
+            .select(F.col("d"), (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        sums = contrib.groupBy("d").agg(dec_sum("c").alias("in_sum"))
+        pr = (
+            base.join(sums, base.id == sums.d, "left")
+            .select(
+                "id",
+                "n_nodes",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("id", "pr")

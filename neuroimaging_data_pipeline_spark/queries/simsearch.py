@@ -434,6 +434,75 @@ SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
 D_CLUSTERS_SQL = _dup_clusters_sql()
 
 
+def g_pagerank3(spark, sf_dir):
+    """3-iteration PageRank (dedup/cluster.py pagerank) over the SAME
+    MinHash near-dup pair graph as d_dup_clusters — scoring which
+    document sits at the CENTER of its duplicate neighborhood, the
+    keep-representative tiebreak beyond min-id. Fixed iteration count
+    so the oracle can unroll the recurrence into three chained CTEs;
+    per-iteration in-sums are decimal-exact in both engines so the
+    round-6 output is summation-order-independent."""
+    from neuroimaging_data_pipeline_spark.dedup.cluster import pagerank
+    from neuroimaging_data_pipeline_spark.dedup.minhash import (
+        minhash_dedup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    pairs = minhash_dedup_pairs(
+        docs, threshold=0.2, max_bucket_size=MINHASH_BUCKET_CAP
+    ).select("id_a", "id_b")
+    out = pagerank(docs.select("doc_id"), pairs, n_iter=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        (F.round("pr", 6) + F.lit(0.0)).alias("pagerank"),
+    )
+
+
+def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-CTE twin of g_pagerank3 over the verbatim minhash
+    pair subquery: per iteration, LEFT JOIN the decimal-exact in-sum
+    back onto every document."""
+    pairs_sql = _minhash_sql().strip()
+    its = []
+    prev = "pr0"
+    for k in range(1, n_iter + 1):
+        its.append(f"""it{k} AS (
+  SELECT b.doc_id AS id,
+         (1.0 - {damping}) / b.c + {damping} * COALESCE(sm.s, 0.0) AS pr
+  FROM (SELECT doc_id, n.c FROM documents, n) b
+  LEFT JOIN (
+    SELECT e.d AS id,
+           CAST(SUM(CAST(p.pr / dg.deg AS DECIMAL(28,10))) AS DOUBLE) AS s
+    FROM edges e
+    JOIN {prev} p ON e.s = p.id
+    JOIN deg dg ON e.s = dg.s
+    GROUP BY e.d
+  ) sm ON b.doc_id = sm.id
+)""")
+        prev = f"it{k}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH vp AS (
+  SELECT id_a, id_b FROM ({pairs_sql})
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM vp
+), n AS (
+  SELECT COUNT(*) AS c FROM documents
+), deg AS (
+  SELECT s, COUNT(*) AS deg FROM edges GROUP BY s
+), pr0 AS (
+  SELECT doc_id AS id, 1.0 / n.c AS pr FROM documents, n
+),
+{its_sql}
+SELECT id AS doc_id, (ROUND(pr, 6) + 0.0) AS pagerank FROM {prev}
+"""
+
+
+G_PAGERANK_SQL = _pagerank_sql()
+
+
 #: Chunk-bucket flood cap for d_simhash — above the largest observed
 #: bucket at test SFs (291 at sf0.1), so no recall loss there; mirrored
 #: in the oracle SQL so the semantics stay checkable even if a bucket
@@ -538,6 +607,7 @@ QUERIES = {
     "d_minhash_lsh": d_minhash_lsh,
     "d_simhash": d_simhash,
     "d_dup_clusters": d_dup_clusters,
+    "g_pagerank3": g_pagerank3,
 }
 
 ORACLE = {
@@ -548,4 +618,5 @@ ORACLE = {
     "d_minhash_lsh": D_MINHASH_SQL,
     "s_lsh_topk": S_LSH_SQL,
     "d_dup_clusters": D_CLUSTERS_SQL,
+    "g_pagerank3": G_PAGERANK_SQL,
 }

@@ -100,3 +100,40 @@ def test_partitioning_invariance(spark):
     assert a.equals(b)
     # 3 distinct unique-passages + 1 boilerplate = 4 kept corpus-wide
     assert int(a["n_kept"].sum()) == 4
+
+
+def test_pagerank_hand_computed(spark):
+    """3-iteration PageRank on a path graph A-B-C plus isolated D:
+    matches the recurrence computed by hand; the center node B
+    outranks the ends; the isolated node holds the teleport floor."""
+    from neuroimaging_data_pipeline_spark.dedup.cluster import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long"
+    )
+    out = (
+        pagerank(nodes, pairs, n_iter=3)
+        .toPandas()
+        .set_index("id")["pr"]
+        .to_dict()
+    )
+    # hand recurrence: N=4, d=0.85; deg A=1 B=2 C=1, D isolated
+    n, d = 4, 0.85
+    pr = {v: 1 / n for v in range(4)}
+    for _ in range(3):
+        nxt = {}
+        for v in range(4):
+            if v == 0:
+                s = pr[1] / 2
+            elif v == 1:
+                s = pr[0] / 1 + pr[2] / 1
+            elif v == 2:
+                s = pr[1] / 2
+            else:
+                s = 0.0
+            nxt[v] = (1 - d) / n + d * s
+        pr = nxt
+    for v in range(4):
+        assert abs(out[v] - pr[v]) < 1e-9, (v, out[v], pr[v])
+    assert out[1] > out[0] == out[2] > out[3]
