@@ -798,6 +798,27 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+def u3_except_all(spark, sf_dir):
+    """U3: EXCEPT ALL — BAG difference with multiplicities (the form
+    that answers 'how many non-returned lines does each order still
+    have': each order's linenumber bag minus its returned-line bag;
+    plain EXCEPT would collapse an order's remaining lines to one
+    row). Completes the set-op family next to u1/u2."""
+    li = _t(spark, sf_dir, "lineitem")
+    all_lines = li.select("l_orderkey", "l_linenumber")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber"
+    )
+    return all_lines.exceptAll(returned)
+
+
+U3_SQL = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+EXCEPT ALL
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
 # --- F: scalar function families ---------------------------------------------
 
 def f2_string_funcs(spark, sf_dir):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from neuroimaging_data_pipeline_spark.queries.relational import (
     A_CUBE_SQL,
+    U3_SQL,
     A_PERCENTILES_SQL,
     O4_RANKS_SQL,
     P11_PIVOT_SQL,
@@ -23,6 +24,7 @@ from neuroimaging_data_pipeline_spark.queries.relational import (
     o4_window_ranks,
     p11_pivot,
     p12_unpivot,
+    u3_except_all,
 )
 
 QUERIES = {
@@ -31,6 +33,7 @@ QUERIES = {
     "o4_window_ranks": o4_window_ranks,
     "p11_pivot": p11_pivot,
     "p12_unpivot": p12_unpivot,
+    "u3_except_all": u3_except_all,
 }
 
 ORACLE = {
@@ -39,4 +42,5 @@ ORACLE = {
     "o4_window_ranks": O4_RANKS_SQL,
     "p11_pivot": P11_PIVOT_SQL,
     "p12_unpivot": P12_UNPIVOT_SQL,
+    "u3_except_all": U3_SQL,
 }
