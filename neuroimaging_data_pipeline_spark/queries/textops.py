@@ -790,11 +790,61 @@ WHERE levenshtein(a._prefix, c._prefix) <= 8
 """
 
 
+def d_contamination(spark, sf_dir):
+    """Benchmark-contamination report (dedup/contamination.py): the
+    n-gram collision check every LLM data pipeline runs before
+    training — docs 0..9 stand in for an evaluation set, and every
+    OTHER document reports how many of its distinct 8-word shingles
+    appear in that probe set. The probe's shingle set broadcasts
+    (benchmarks are small by definition), so the check is one
+    linear pass + one aggregate shuffle regardless of corpus size."""
+    from neuroimaging_data_pipeline_spark.dedup.contamination import (
+        contamination_overlap,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    probe = d.filter(F.col("doc_id") < 10)
+    train = d.filter(F.col("doc_id") >= 10)
+    return contamination_overlap(train, probe, k=8)
+
+
+D_CONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, S AS shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_distinct([array_to_string(t[i:i+7], ' ')
+                                 for i in generate_series(1, GREATEST(len(t) - 7, 1))])) AS S
+    FROM toks
+  ) WHERE S <> ''
+), probe AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < 10
+), train AS (
+  SELECT * FROM sh WHERE doc_id >= 10
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hits
+  FROM train t JOIN probe p ON t.shingle = p.shingle
+  GROUP BY t.doc_id
+)
+SELECT totals.doc_id,
+       CAST(totals.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       (ROUND(COALESCE(hits.n_hits, 0) / CAST(totals.n_shingles AS DOUBLE), 6) + 0.0)
+         AS overlap_frac
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "d_passage_dedup": d_passage_dedup,
     "t_tfidf": t_tfidf,
     "d_fuzzy_pairs": d_fuzzy_pairs,
+    "d_contamination": d_contamination,
     "t_repetition": t_repetition,
     "e2_corpus_pipeline": e2_corpus_pipeline,
     "t_pii_signals": t_pii_signals,
@@ -813,6 +863,7 @@ ORACLE = {
     "d_passage_dedup": D_PASSAGE_SQL,
     "t_tfidf": T_TFIDF_SQL,
     "d_fuzzy_pairs": D_FUZZY_SQL,
+    "d_contamination": D_CONTAM_SQL,
     "t_repetition": T_REPETITION_SQL,
     "e2_corpus_pipeline": E2_PIPE_SQL,
     "t_pii_signals": T_PII_SQL,

@@ -137,3 +137,34 @@ def test_pagerank_hand_computed(spark):
     for v in range(4):
         assert abs(out[v] - pr[v]) < 1e-9, (v, out[v], pr[v])
     assert out[1] > out[0] == out[2] > out[3]
+
+
+def test_contamination_planted(spark):
+    """Contamination detection: a training doc embedding a probe's
+    exact 8-gram is flagged with the right hit count; clean docs
+    report zero; partial (7-word) overlaps do NOT count."""
+    from neuroimaging_data_pipeline_spark.dedup.contamination import (
+        contamination_overlap,
+    )
+
+    bench = "the quick brown fox jumps over the lazy dog every day"
+    rows_probe = [(0, bench)]
+    rows_train = [
+        # contains the probe's words 1..8 verbatim (one 8-gram hit,
+        # plus the 8-gram starting at word 2 = words 2..9 -> 2 hits)
+        (10, "prefix words " + bench + " suffix"),
+        # shares only 7 consecutive words -> ZERO 8-gram hits
+        (11, "the quick brown fox jumps over the cat sat here now"),
+        (12, "completely unrelated text with nothing shared at all here ok"),
+    ]
+    probe = spark.createDataFrame(rows_probe, "doc_id long, text string")
+    train = spark.createDataFrame(rows_train, "doc_id long, text string")
+    out = (
+        contamination_overlap(train, probe, k=8)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[10, "n_hits"] == 4  # probe has 4 distinct 8-grams, all present
+    assert out.loc[11, "n_hits"] == 0
+    assert out.loc[12, "n_hits"] == 0
+    assert out.loc[10, "overlap_frac"] > 0
