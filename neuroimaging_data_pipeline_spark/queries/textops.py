@@ -839,12 +839,96 @@ FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
 """
 
 
+def t_bigram_xent(spark, sf_dir):
+    """Per-document cross-entropy under the CORPUS's own word-bigram
+    model — the KenLM-style fluency/quality signal (high = the doc's
+    word transitions are unusual for the corpus; the perplexity
+    filter's core). MLE probabilities P(w2|w1) = C(w1,w2)/C(w1,*)
+    from the full corpus (every observed doc bigram has positive
+    probability by construction, so no smoothing is needed for
+    finiteness); per-doc score = -mean ln P over the doc's bigram
+    OCCURRENCES (multiplicities kept).
+
+    Scale: one bigram explode (JVM-side), two map-side-partial count
+    aggregates for the model, one equi-join of doc bigrams against
+    the model (AQE-skew-safe — 'of the' is a hot key), one per-doc
+    aggregate with decimal-exact log sums."""
+    from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    bg = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .filter(F.col("bg").contains(" "))
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+    )
+    pair_c = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1_c = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    return (
+        bg.join(pair_c, "bg")
+        .join(w1_c, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.round(
+                    -F.try_divide(
+                        dec_sum(
+                            F.log(
+                                F.col("c_bg") / F.col("c_w1").cast("double")
+                            )
+                        ),
+                        F.count(F.lit(1)).cast("double"),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("xent"),
+        )
+    )
+
+
+T_BIGRAM_XENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, B AS bg, string_split(B, ' ')[1] AS w1 FROM (
+    SELECT doc_id,
+           UNNEST([array_to_string(t[i:i+1], ' ')
+                   for i in generate_series(1, GREATEST(len(t) - 1, 1))]) AS B
+    FROM toks
+  ) WHERE contains(B, ' ')
+), pair_c AS (
+  SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg
+), w1_c AS (
+  SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY w1
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       (ROUND(-(CAST(SUM(CAST(ln(pair_c.c_bg / CAST(w1_c.c_w1 AS DOUBLE))
+                              AS DECIMAL(28,10))) AS DOUBLE))
+              / COUNT(*), 6) + 0.0) AS xent
+FROM bg
+JOIN pair_c USING (bg)
+JOIN w1_c USING (w1)
+GROUP BY bg.doc_id
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "d_passage_dedup": d_passage_dedup,
     "t_tfidf": t_tfidf,
     "d_fuzzy_pairs": d_fuzzy_pairs,
     "d_contamination": d_contamination,
+    "t_bigram_xent": t_bigram_xent,
     "t_repetition": t_repetition,
     "e2_corpus_pipeline": e2_corpus_pipeline,
     "t_pii_signals": t_pii_signals,
@@ -864,6 +948,7 @@ ORACLE = {
     "t_tfidf": T_TFIDF_SQL,
     "d_fuzzy_pairs": D_FUZZY_SQL,
     "d_contamination": D_CONTAM_SQL,
+    "t_bigram_xent": T_BIGRAM_XENT_SQL,
     "t_repetition": T_REPETITION_SQL,
     "e2_corpus_pipeline": E2_PIPE_SQL,
     "t_pii_signals": T_PII_SQL,
