@@ -288,6 +288,72 @@ WHERE n_chars >= 300 OR n_chars IS NULL
 """
 
 
+def sv_merge(spark, sf_dir):
+    """S10++: versioned-table MERGE/upsert (sources/versioned.py
+    merge_into — the Delta-style WHEN MATCHED UPDATE SET * / WHEN NOT
+    MATCHED INSERT * default, completing the copy-on-write DML set
+    next to update/delete/time-travel).
+
+    v0 = (doc_id, lang, n_chars) of every document; the merge source
+    REPLACES every doc_id % 7 == 0 row (lang 'zz', n_chars + 1000)
+    and INSERTS five brand-new rows (doc_id + 1000000, lang 'new').
+    The query reads the post-merge latest version; the oracle
+    recomputes the merged state in pure SQL — a wrong match, a
+    dropped survivor or a missed insert all hash-mismatch."""
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.sources.versioned import (
+        merge_into,
+        read_version,
+        write_version,
+    )
+
+    root = os.path.join(
+        _tf.gettempdir(),
+        "ndp_spark_warehouse",
+        f"sv_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_version(docs, root, operation="create")  # v0
+    updates = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.lit("zz").alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        )
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit("new").alias("lang"),
+            F.lit(0).cast("long").alias("n_chars"),
+        )
+    )
+    merge_into(spark, root, updates.unionByName(inserts), on=["doc_id"])
+    return read_version(spark, root)
+
+
+SV_MERGE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS lang,
+       CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+         AS n_chars
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, CAST(0 AS BIGINT)
+FROM documents WHERE doc_id < 5
+"""
+
+
 # --- S11: remote text fetch --------------------------------------------------
 
 _REMOTE_DIR = os.path.join(
@@ -354,6 +420,7 @@ QUERIES = {
     "s11_remote_fetch": s11_remote_fetch,
     "e3_motion_outlier_hist": e3_motion_outlier_hist,
     "sv_time_travel": sv_time_travel,
+    "sv_merge": sv_merge,
 }
 
 ORACLE = {
@@ -363,4 +430,5 @@ ORACLE = {
     "s11_remote_fetch": S11_SQL,
     "e3_motion_outlier_hist": E3_SQL,
     "sv_time_travel": SV_TT_SQL,
+    "sv_merge": SV_MERGE_SQL,
 }

@@ -119,3 +119,24 @@ def delete_where(spark: SparkSession, root: str, condition: Column) -> int:
     cur = read_version(spark, root)
     keep = ~F.coalesce(condition, F.lit(False))
     return write_version(cur.filter(keep), root, operation="delete")
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+) -> int:
+    """Copy-on-write MERGE (upsert): rows matching ``on`` keys are
+    REPLACED by the source row (WHEN MATCHED UPDATE SET *), unmatched
+    source rows are inserted (WHEN NOT MATCHED INSERT *), everything
+    else carries forward — the Delta-style default upsert. The
+    current side moves through a left-anti join on the bare keys
+    (compact shuffle), then one unionByName with the source."""
+    cur = read_version(spark, root)
+    survivors = cur.join(source.select(on), on, "left_anti")
+    return write_version(
+        survivors.unionByName(source.select(cur.columns)),
+        root,
+        operation="merge",
+    )

@@ -97,3 +97,39 @@ def test_versioned_sidecar_update_s10_shape(spark, root):
         for r in read_version(spark, root, 0).collect()
     }
     assert old[1] == '{"IntendedFor": "run-1"}'
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    """MERGE semantics: matched keys replaced wholesale by the source
+    row, unmatched current rows survive untouched, source-only keys
+    insert, and the merge lands as a new version (time travel still
+    sees the pre-merge state)."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.sources.versioned import (
+        merge_into,
+        read_version,
+        write_version,
+    )
+
+    root = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, tag string, v long",
+    )
+    write_version(base, root, operation="create")
+    source = spark.createDataFrame(
+        [(2, "B2", 99), (4, "d", 40)], "id long, tag string, v long"
+    )
+    ver = merge_into(spark, root, source, on=["id"])
+    got = {
+        r["id"]: (r["tag"], r["v"])
+        for r in read_version(spark, root).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B2", 99), 3: ("c", 30), 4: ("d", 40)}
+    # pre-merge version intact
+    pre = {
+        r["id"]: r["tag"]
+        for r in read_version(spark, root, version=ver - 1).collect()
+    }
+    assert pre == {1: "a", 2: "b", 3: "c"}
