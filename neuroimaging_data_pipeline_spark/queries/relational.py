@@ -465,6 +465,54 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def a_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the general form cube/rollup are
+    special cases of: ((returnflag, linestatus), (shipmode), ()) mixes
+    two unrelated grouping dimensions plus a grand total in ONE pass.
+    Same single-shuffle shape as a_cube: Spark expands each row into
+    its grouping sets map-side and partial-aggregates before the
+    exchange, so the cost is ~sets x map work, not sets x scans."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    return (
+        li.groupingSets(
+            [
+                ["l_returnflag", "l_linestatus"],
+                ["ship_year"],
+                [],
+            ],
+            "l_returnflag",
+            "l_linestatus",
+            "ship_year",
+        )
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus", "ship_year")
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "ship_year", "gid", "n", "sum_qty"
+        )
+    )
+
+
+A_GROUPING_SETS_SQL = """
+WITH li AS (
+  SELECT *, CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus, ship_year,
+       CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM li
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+"""
+
+
 def a_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (quartiles + p95) per return
     flag — Spark's ``percentile`` and DuckDB's ``quantile_cont``

@@ -14,12 +14,14 @@ from __future__ import annotations
 
 from neuroimaging_data_pipeline_spark.queries.relational import (
     A_CUBE_SQL,
+    A_GROUPING_SETS_SQL,
     U3_SQL,
     A_PERCENTILES_SQL,
     O4_RANKS_SQL,
     P11_PIVOT_SQL,
     P12_UNPIVOT_SQL,
     a_cube,
+    a_grouping_sets,
     a_percentiles,
     o4_window_ranks,
     p11_pivot,
@@ -29,6 +31,7 @@ from neuroimaging_data_pipeline_spark.queries.relational import (
 
 QUERIES = {
     "a_cube": a_cube,
+    "a_grouping_sets": a_grouping_sets,
     "a_percentiles": a_percentiles,
     "o4_window_ranks": o4_window_ranks,
     "p11_pivot": p11_pivot,
@@ -38,6 +41,7 @@ QUERIES = {
 
 ORACLE = {
     "a_cube": A_CUBE_SQL,
+    "a_grouping_sets": A_GROUPING_SETS_SQL,
     "a_percentiles": A_PERCENTILES_SQL,
     "o4_window_ranks": O4_RANKS_SQL,
     "p11_pivot": P11_PIVOT_SQL,
