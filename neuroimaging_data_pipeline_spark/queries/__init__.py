@@ -44,6 +44,7 @@ from neuroimaging_data_pipeline_spark.queries import (
     misc,
     neuro,
     relational,
+    retrieval,
     simsearch,
     spatial,
     sqlsurface,
@@ -66,7 +67,7 @@ from neuroimaging_data_pipeline_spark.queries import (
 # runs recorded in SURVEY §8; the window cutoff composition
 # (relational 29 + misc 19 + neuro's first two streaming twins)
 # stays exactly as planned for the ts re-pin.
-_MODULES = [relational, misc, neuro, media, eventsops, sqlsurface, ingest, textops, simsearch, spatial]
+_MODULES = [relational, misc, neuro, media, eventsops, sqlsurface, ingest, textops, simsearch, retrieval, spatial]
 
 
 def all_queries():

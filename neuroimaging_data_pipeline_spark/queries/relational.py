@@ -467,7 +467,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 def a_grouping_sets(spark, sf_dir):
     """Arbitrary GROUPING SETS — the general form cube/rollup are
-    special cases of: ((returnflag, linestatus), (shipmode), ()) mixes
+    special cases of: ((returnflag, linestatus), (ship_year), ()) mixes
     two unrelated grouping dimensions plus a grand total in ONE pass.
     Same single-shuffle shape as a_cube: Spark expands each row into
     its grouping sets map-side and partial-aggregates before the

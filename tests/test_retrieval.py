@@ -1,0 +1,82 @@
+"""BM25 retrieval semantics (text/retrieval.py): hand-computed scores
+on a tiny corpus, rarity and length normalization behavior."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.text.retrieval import bm25_topk
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumns(
+        {"lang": F.lit("en"), "source": F.lit("s"), "n_chars": F.lit(1)}
+    )
+
+
+def test_bm25_hand_computed(spark):
+    # 4 docs; "rare" in one doc, "common" in all
+    rows = [
+        (0, "rare common common"),
+        (1, "common alpha beta"),
+        (2, "common common common"),
+        (3, "common"),
+    ]
+    docs = _mkdocs(spark, rows)
+    out = bm25_topk(docs, [(0, "rare"), (1, "common")], k=4).toPandas()
+
+    n, avgdl = 4, (3 + 3 + 3 + 1) / 4.0
+    # query 0: only doc 0 contains "rare"
+    q0 = out[out.query_id == 0]
+    assert list(q0.doc_id) == [0]
+    np.testing.assert_allclose(
+        q0.score.iloc[0], round(_bm25(1, 1, n, 3, avgdl), 6), atol=1e-9
+    )
+    # query 1: every doc matches; higher tf wins, shorter doc wins at
+    # equal tf (doc 3: tf=1, dl=1 beats doc 1: tf=1, dl=3)
+    q1 = out[out.query_id == 1].sort_values("score", ascending=False)
+    assert len(q1) == 4
+    assert q1.doc_id.iloc[0] == 2  # tf=3
+    scores = {r.doc_id: r.score for r in q1.itertuples()}
+    assert scores[3] > scores[1]
+    np.testing.assert_allclose(
+        scores[2], round(_bm25(3, 4, n, 3, avgdl), 6), atol=1e-9
+    )
+
+
+def test_bm25_multi_term_sum_and_k(spark):
+    rows = [
+        (0, "x y"),
+        (1, "x x x x"),
+        (2, "y"),
+        (3, "z z"),
+    ]
+    docs = _mkdocs(spark, rows)
+    out = bm25_topk(docs, [(7, "x y")], k=2).toPandas()
+    # doc 0 matches both terms -> its score is the SUM of both
+    # contributions and beats the single-term docs; k=2 truncates.
+    assert len(out) == 2
+    assert out.sort_values("score", ascending=False).doc_id.iloc[0] == 0
+    n, avgdl = 4, (2 + 4 + 1 + 2) / 4.0
+    want = round(
+        _bm25(1, 2, n, 2, avgdl) + _bm25(1, 2, n, 2, avgdl), 6
+    )
+    np.testing.assert_allclose(out.score.max(), want, atol=1e-9)
+
+
+def test_bm25_ignores_dup_query_terms_and_case(spark):
+    rows = [(0, "alpha beta"), (1, "beta")]
+    docs = _mkdocs(spark, rows)
+    a = bm25_topk(docs, [(0, "Alpha ALPHA alpha")], k=5).toPandas()
+    b = bm25_topk(docs, [(0, "alpha")], k=5).toPandas()
+    assert a.equals(b)
