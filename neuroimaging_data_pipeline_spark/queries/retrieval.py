@@ -47,10 +47,53 @@ def s_bm25_topk(spark, sf_dir):
 S_BM25_SQL = bm25_topk_sql(BM25_PROBES, k=5)
 
 
+def s_knn_graph(spark, sf_dir):
+    """Exact top-3 neighbor graph over all embeddings
+    (similarity/cosine.py:knn_graph): sharded brute force — one BLAS
+    GEMM per (query-shard, corpus-shard) cell, local top-k inside the
+    cell, global merge over n_blocks*k candidates per vector. Rank
+    keys are the ROUNDED cosines in both engines so GEMM ulp noise
+    cannot flip a rank."""
+    from neuroimaging_data_pipeline_spark.similarity.cosine import knn_graph
+
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    return knn_graph(emb, k=3, n_blocks=4)
+
+
+_KG_DOT = (
+    "list_sum(list_transform(list_zip(a.embedding, q.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_KG_NORM_A = (
+    "sqrt(list_sum(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_KG_NORM_Q = (
+    "sqrt(list_sum(list_transform(q.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+S_KNN_GRAPH_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS vec_id, a.vec_id AS nbr_id,
+         (ROUND({_KG_DOT} / ({_KG_NORM_A} * {_KG_NORM_Q}), 6) + 0.0) AS cosine
+  FROM embeddings a
+  JOIN embeddings q ON a.vec_id <> q.vec_id
+), ranked AS (
+  SELECT vec_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, nbr_id, cosine FROM ranked WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "s_bm25_topk": s_bm25_topk,
+    "s_knn_graph": s_knn_graph,
 }
 
 ORACLE = {
     "s_bm25_topk": S_BM25_SQL,
+    "s_knn_graph": S_KNN_GRAPH_SQL,
 }

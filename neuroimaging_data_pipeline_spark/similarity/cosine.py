@@ -329,6 +329,117 @@ def ivf_topk(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph over the whole corpus:
+    (vec_id, nbr_id, cosine) with each vector's top-k neighbors —
+    the input structure SemDeDup-style pruning and graph-based
+    clustering consume.
+
+    Scale shape (sharded brute force, the FAISS-flat layout): rows
+    are hash-split into ``n_blocks`` shards on both the query and the
+    corpus axis; each (query-shard, corpus-shard) cell is ONE dense
+    GEMM in an independent applyInPandas task (Arrow + BLAS — no
+    per-pair expression eval, no corpus-wide pair explosion in the
+    shuffle). Each cell emits only its LOCAL top-k per query row
+    (ordering on the same (rounded cosine desc, id asc) total key the
+    global merge uses, so the merge is exact), and the final window
+    ranks just ``n_blocks * k`` candidates per vector. Shuffle volume
+    is therefore 2 * n_blocks replicas of the corpus in, and
+    n_blocks * k small rows per vector out — the quadratic part stays
+    inside BLAS. At 1000-executor scale n_blocks grows ~sqrt(tasks)
+    so every GEMM cell stays memory-sized; brute-force exactness is
+    the contract here (the approximate scale paths are lsh_topk /
+    ivf_topk).
+
+    Cosines are rounded to 6 BEFORE ranking in both this and the
+    oracle so BLAS-vs-sequential summation ulp noise cannot flip a
+    rank (same discipline as bucketed_neardup_pairs' threshold).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    blocks = F.array(*[F.lit(b) for b in range(n_blocks)])
+    own = (F.col(id_col) % n_blocks).cast("int")
+    qside = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        own.alias("qb"),
+        F.explode(blocks).alias("cb"),
+        F.lit("q").alias("role"),
+    )
+    cside = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.explode(blocks).alias("qb"),
+        own.alias("cb"),
+        F.lit("c").alias("role"),
+    )
+    u = qside.unionByName(cside)
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = pdf[pdf["role"] == "q"]
+        cm = pdf[pdf["role"] == "c"]
+        if qm.empty or cm.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "nbr_id": [], "cosine": []}
+            ).astype({"vec_id": "int64", "nbr_id": "int64", "cosine": "float64"})
+        Q = np.array(qm["_vec"].tolist(), dtype=np.float64)
+        C = np.array(cm["_vec"].tolist(), dtype=np.float64)
+        qid = qm["_id"].to_numpy()
+        cid = cm["_id"].to_numpy()
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        cn = np.sqrt((C * C).sum(axis=1))
+        qn[qn == 0] = np.inf
+        cn[cn == 0] = np.inf
+        S = np.round((Q @ C.T) / np.outer(qn, cn), 6)
+        # self-matches out of contention
+        S[qid[:, None] == cid[None, :]] = -np.inf
+        out_q, out_n, out_c = [], [], []
+        kk = min(k, S.shape[1])
+        for i in range(S.shape[0]):
+            row = S[i]
+            # total order: cosine desc, id asc
+            order = np.lexsort((cid, -row))[:kk]
+            keep = row[order] > -np.inf
+            out_q.append(np.repeat(qid[i], keep.sum()))
+            out_n.append(cid[order][keep])
+            out_c.append(row[order][keep])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q),
+                "nbr_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("nbr_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    cand = u.groupBy("qb", "cb").applyInPandas(cell_topk, schema)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def bucketed_neardup_pairs(
     emb: DataFrame,
     bucket_col: str = "label",

@@ -80,3 +80,63 @@ def test_bm25_ignores_dup_query_terms_and_case(spark):
     a = bm25_topk(docs, [(0, "Alpha ALPHA alpha")], k=5).toPandas()
     b = bm25_topk(docs, [(0, "alpha")], k=5).toPandas()
     assert a.equals(b)
+
+
+def _knn_brute(V, ids, k):
+    """Reference top-k with the same (rounded cosine desc, id asc) key."""
+    import numpy as np
+
+    n = np.sqrt((V * V).sum(axis=1))
+    S = np.round((V @ V.T) / np.outer(n, n), 6)
+    out = set()
+    for i in range(len(ids)):
+        cand = [
+            (-S[i, j], ids[j]) for j in range(len(ids)) if ids[j] != ids[i]
+        ]
+        for negc, nid in sorted(cand)[:k]:
+            out.add((ids[i], nid, -negc))
+    return out
+
+
+def test_knn_graph_matches_brute_force(spark):
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.similarity.cosine import knn_graph
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(40, 8))
+    # plant an exact duplicate pair: 13 is a copy of 5
+    V[13] = V[5]
+    ids = list(range(40))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_id, r.nbr_id, r.cosine)
+        for r in knn_graph(emb, k=3, n_blocks=3).collect()
+    }
+    want = _knn_brute(V, ids, 3)
+    assert got == want
+    # the planted duplicate is its twin's top neighbor at cosine 1.0
+    assert (5, 13, 1.0) in got and (13, 5, 1.0) in got
+
+
+def test_knn_graph_block_count_invariance(spark):
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.similarity.cosine import knn_graph
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(25, 6))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {
+        tuple(r) for r in knn_graph(emb, k=2, n_blocks=1).collect()
+    }
+    b = {
+        tuple(r) for r in knn_graph(emb, k=2, n_blocks=5).collect()
+    }
+    assert a == b
