@@ -88,12 +88,67 @@ SELECT vec_id, nbr_id, cosine FROM ranked WHERE rn <= 3
 """
 
 
+def d_semdedup(spark, sf_dir):
+    """SemDeDup (dedup/semantic.py): k-means-blocked semantic dedup —
+    8 cells, two deterministic Lloyd passes (the s_ivf_topk machinery),
+    one BLAS GEMM per cluster for the within-cluster pair scan, and
+    keep-the-smallest-id per near-dup group. The oracle unrolls the
+    identical Lloyd passes in SQL and recomputes the same drop set."""
+    from neuroimaging_data_pipeline_spark.dedup.semantic import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    return semantic_dedup(emb, n_cells=8, lloyd_iters=2, threshold=0.2)
+
+
+def _semdedup_sql(threshold: float = 0.2) -> str:
+    """DuckDB twin of d_semdedup: the s_ivf_topk Lloyd CTEs (imported
+    from queries/simsearch.py — literally the same SQL text), then
+    within-cell pairs on rounded cosine, then NOT EXISTS keep."""
+    from neuroimaging_data_pipeline_spark.queries.simsearch import (
+        _ivf_assign_sql,
+        _ivf_lloyd_sql,
+    )
+
+    return f"""
+WITH cents0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+),
+{_ivf_lloyd_sql(0)}
+{_ivf_lloyd_sql(1)}
+assign AS ({_ivf_assign_sql("cents2")}), cells AS (
+  SELECT vec_id, embedding, cid FROM assign WHERE crn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, q.vec_id AS id_b
+  FROM cells a
+  JOIN cells q ON a.cid = q.cid AND a.vec_id < q.vec_id
+  WHERE (ROUND(
+           list_sum(list_transform(list_zip(a.embedding, q.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) + 0.0) >= {threshold}
+), dropped AS (
+  SELECT DISTINCT id_b FROM pairs
+)
+SELECT c.vec_id, c.cid,
+       CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.id_b
+"""
+
+
+D_SEMDEDUP_SQL = _semdedup_sql()
+
+
 QUERIES = {
     "s_bm25_topk": s_bm25_topk,
     "s_knn_graph": s_knn_graph,
+    "d_semdedup": d_semdedup,
 }
 
 ORACLE = {
     "s_bm25_topk": S_BM25_SQL,
     "s_knn_graph": S_KNN_GRAPH_SQL,
+    "d_semdedup": D_SEMDEDUP_SQL,
 }

@@ -182,6 +182,103 @@ def lsh_topk(
     )
 
 
+def assign_nearest(
+    df: DataFrame, cents: DataFrame, vid: str, vvec: str, keep: int
+) -> DataFrame:
+    """Assign each row of ``df`` to its ``keep`` nearest centroids by
+    cosine (tie-break: centroid id asc). ``cents`` is the broadcast
+    (_cid, _cvec) table. keep=1 uses a max_by aggregate (partial-agg,
+    no per-key sort — the hot path, one pass per Lloyd iteration);
+    keep>1 uses a row_number window."""
+    scored = df.join(cents).select(
+        "*",
+        F.try_divide(
+            _dot(F.col(vvec), F.col("_cvec")),
+            _norm(F.col(vvec)) * _norm(F.col("_cvec")),
+        ).alias("_ccos"),
+    )
+    if keep == 1:
+        # argmax as ONE max_by aggregate (partial-aggregable, no
+        # per-key sort) instead of a row_number window. Tie-break
+        # cosine desc then cid asc == max of (cosine, -cid).
+        rest = [c for c in df.columns if c != vid]
+        payload = F.struct(*[F.col(c) for c in rest], F.col("_cid"))
+        order = F.struct(F.col("_ccos"), (-F.col("_cid")).alias("_nc"))
+        best = scored.groupBy(vid).agg(F.max_by(payload, order).alias("_best"))
+        return best.select(
+            vid,
+            *[F.col(f"_best.{c}").alias(c) for c in rest],
+            F.col("_best._cid").alias("_cid"),
+        )
+    w = Window.partitionBy(vid).orderBy(F.desc("_ccos"), F.asc("_cid"))
+    return (
+        scored.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= keep)
+        .drop("_ccos", "_crn", "_cvec")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    lloyd_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means centroid table (broadcast (_cid, _cvec)).
+
+    Seeding: the ``n_cells`` smallest-id corpus vectors. Each Lloyd
+    pass assigns every vector to its nearest centroid by cosine
+    (tie-break cid asc) and replaces centroids with the elementwise
+    member mean ROUNDED to 6 decimals (absorbing float summation-order
+    noise across engines); empty cells keep their previous centroid.
+    Centroid state lives on the driver between passes — KB-scale at
+    any corpus size, the standard Spark iterative-algorithm shape (cf.
+    MLlib k-means); one Spark job per iteration so iteration i's scan
+    never nests inside iteration i+1's plan."""
+    seed_df = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_cvec"
+            ),
+        )
+    )
+    if lloyd_iters == 0:
+        return F.broadcast(seed_df)
+    cent_map = {r["_cid"]: list(r["_cvec"]) for r in seed_df.collect()}
+    cents = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            sorted(cent_map.items()), "_cid long, _cvec array<double>"
+        )
+    )
+    for _ in range(lloyd_iters):
+        members = assign_nearest(corpus, cents, id_col, vec_col, 1).select(
+            "_cid", vec_col
+        )
+        comp = (
+            members.select("_cid", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("_cid", "pos")
+            .agg(
+                (F.round(F.avg(F.col("val").cast("double")), 6) + F.lit(0.0)).alias("m")
+            )
+        )
+        new_vecs: dict[int, dict[int, float]] = {}
+        for r in comp.collect():
+            new_vecs.setdefault(r["_cid"], {})[r["pos"]] = r["m"]
+        for cid, comps in new_vecs.items():
+            # empty cells are absent from new_vecs -> keep previous
+            cent_map[cid] = [v for _, v in sorted(comps.items())]
+        cents = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                sorted(cent_map.items()), "_cid long, _cvec array<double>"
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -214,92 +311,16 @@ def ivf_topk(
     ~``nprobe/n_cells`` of brute force and cells partition across
     executors.
     """
-    seed_df = (
-        corpus.orderBy(F.asc(id_col))
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("_cid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "_cvec"
-            ),
-        )
+    cents = kmeans_centroids(
+        corpus, n_cells=n_cells, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
     )
-    if lloyd_iters > 0:
-        # Iterative refinement: hold the centroid table (n_cells x dim
-        # doubles — KB-scale at any corpus size) on the driver between
-        # passes, the standard Spark iterative-algorithm shape (cf.
-        # MLlib k-means). One Spark job per iteration; keeping the
-        # lineage lazy instead would nest iteration i's corpus scan
-        # inside every later iteration's plan.
-        cent_map = {r["_cid"]: list(r["_cvec"]) for r in seed_df.collect()}
-        cents = F.broadcast(
-            corpus.sparkSession.createDataFrame(
-                sorted(cent_map.items()), "_cid long, _cvec array<double>"
-            )
-        )
-    else:
-        cents = F.broadcast(seed_df)
-
-    def nearest_cells(df: DataFrame, vid, vvec, keep: int) -> DataFrame:
-        scored = df.join(cents).select(
-            "*",
-            F.try_divide(
-                _dot(F.col(vvec), F.col("_cvec")),
-                _norm(F.col(vvec)) * _norm(F.col("_cvec")),
-            ).alias("_ccos"),
-        )
-        if keep == 1:
-            # argmax as ONE max_by aggregate (partial-aggregable, no
-            # per-key sort) instead of a row_number window — this runs
-            # once per Lloyd iteration over the whole corpus, so it is
-            # the hot path. Tie-break cosine desc then cid asc == max of
-            # (cosine, -cid).
-            rest = [c for c in df.columns if c != vid]
-            payload = F.struct(*[F.col(c) for c in rest], F.col("_cid"))
-            order = F.struct(F.col("_ccos"), (-F.col("_cid")).alias("_nc"))
-            best = scored.groupBy(vid).agg(
-                F.max_by(payload, order).alias("_best")
-            )
-            return best.select(
-                vid,
-                *[F.col(f"_best.{c}").alias(c) for c in rest],
-                F.col("_best._cid").alias("_cid"),
-            )
-        w = Window.partitionBy(vid).orderBy(F.desc("_ccos"), F.asc("_cid"))
-        return (
-            scored.withColumn("_crn", F.row_number().over(w))
-            .filter(F.col("_crn") <= keep)
-            .drop("_ccos", "_crn", "_cvec")
-        )
-
-    for _ in range(lloyd_iters):
-        members = nearest_cells(corpus, id_col, vec_col, 1).select(
-            "_cid", vec_col
-        )
-        comp = (
-            members.select("_cid", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("_cid", "pos")
-            .agg(
-                (F.round(F.avg(F.col("val").cast("double")), 6) + F.lit(0.0)).alias("m")
-            )
-        )
-        new_vecs: dict[int, dict[int, float]] = {}
-        for r in comp.collect():
-            new_vecs.setdefault(r["_cid"], {})[r["pos"]] = r["m"]
-        for cid, comps in new_vecs.items():
-            # empty cells are absent from new_vecs -> keep previous
-            cent_map[cid] = [v for _, v in sorted(comps.items())]
-        cents = F.broadcast(
-            corpus.sparkSession.createDataFrame(
-                sorted(cent_map.items()), "_cid long, _cvec array<double>"
-            )
-        )
-
-    cells = nearest_cells(corpus, id_col, vec_col, 1)
-    probes = nearest_cells(
+    cells = assign_nearest(corpus, cents, id_col, vec_col, 1)
+    probes = assign_nearest(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
         ),
+        cents,
         query_id_col,
         "_qvec",
         nprobe,

@@ -122,6 +122,54 @@ def test_knn_graph_matches_brute_force(spark):
     assert (5, 13, 1.0) in got and (13, 5, 1.0) in got
 
 
+def test_semdedup_keeps_one_representative(spark):
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.dedup.semantic import semantic_dedup
+
+    # two orthogonal directions -> two k-means cells (seeds = ids 0,1);
+    # near-dup groups only form within a direction
+    a = np.array([1.0, 0.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = [
+        (0, [float(x) for x in a]),
+        (1, [float(x) for x in b]),
+        (2, [float(x) for x in a * 3]),    # dup of 0 -> dropped (0 < 2)
+        (3, [float(x) for x in b * 0.5]),  # dup of 1 -> dropped
+        (4, [0.0, 0.9, 0.1, 0.0]),  # near 1 (cos ~ .994) -> dropped
+        (5, [0.7, 0.0, 0.714, 0.0]),  # cos to a ~ .70: survives at t=.9
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.vec_id: (r.cid, r.kept)
+        for r in semantic_dedup(
+            emb, n_cells=2, lloyd_iters=0, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 6
+    # threshold .9: 2 dups 0, 3 and 4 dup 1; 5 (cos .70 to a) survives
+    assert out[0][1] == 1 and out[1][1] == 1 and out[5][1] == 1
+    assert out[2][1] == 0 and out[3][1] == 0 and out[4][1] == 0
+    # cluster blocking: same-direction vectors share a cell
+    assert out[0][0] == out[2][0] == out[5][0]
+    assert out[1][0] == out[3][0] == out[4][0]
+
+
+def test_semdedup_identical_corpus_keeps_min_id(spark):
+    from neuroimaging_data_pipeline_spark.dedup.semantic import semantic_dedup
+
+    v = [0.5, 0.5, 0.5]
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(9)], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(emb, n_cells=3, lloyd_iters=1, threshold=0.99)
+    kept = sorted(r.vec_id for r in out.filter("kept = 1").collect())
+    # identical vectors all land in one cell; only the smallest id survives
+    assert kept == [0]
+
+
 def test_knn_graph_block_count_invariance(spark):
     import numpy as np
 
