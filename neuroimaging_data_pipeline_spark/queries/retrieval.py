@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
+from neuroimaging_data_pipeline_spark.text.mixing import (
+    mixture_sample_sql,
+)
 from neuroimaging_data_pipeline_spark.text.retrieval import (
     bm25_topk,
     bm25_topk_sql,
@@ -141,14 +144,48 @@ FROM cells c LEFT JOIN dropped d ON c.vec_id = d.id_b
 D_SEMDEDUP_SQL = _semdedup_sql()
 
 
+#: Mixture weights for t_mix_sample — integer thresholds out of 1000
+#: (src0 kept whole, src1 halved, ..., sources outside the allowlist
+#: dropped). Literal by contract: a mixture config is a KB-sized dim.
+MIX_THRESHOLDS = {
+    "src0": 1000,
+    "src1": 500,
+    "src2": 250,
+    "src3": 100,
+    "src5": 750,
+    "src8": 333,
+    "src13": 50,
+}
+
+
+def t_mix_sample(spark, sf_dir):
+    """Mixture-weighted deterministic sampling (text/mixing.py): each
+    source downsampled to its target rate by content-addressed md5
+    bucket — the Pile/Dolma domain-reweighting step, reproducible
+    across engines/runs/partitionings (no rand()). Map-only: the
+    broadcast mixture dim joins in, one md5 compare per row, zero
+    shuffle."""
+    from neuroimaging_data_pipeline_spark.text.mixing import mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return mixture_sample(docs, MIX_THRESHOLDS).select(
+        "doc_id", "source", "bucket"
+    )
+
+
+T_MIX_SAMPLE_SQL = mixture_sample_sql(MIX_THRESHOLDS)
+
+
 QUERIES = {
     "s_bm25_topk": s_bm25_topk,
     "s_knn_graph": s_knn_graph,
     "d_semdedup": d_semdedup,
+    "t_mix_sample": t_mix_sample,
 }
 
 ORACLE = {
     "s_bm25_topk": S_BM25_SQL,
     "s_knn_graph": S_KNN_GRAPH_SQL,
     "d_semdedup": D_SEMDEDUP_SQL,
+    "t_mix_sample": T_MIX_SAMPLE_SQL,
 }

@@ -1,0 +1,82 @@
+"""Deterministic mixture-weighted corpus sampling (domain reweighting).
+
+The data-mixing step of training-corpus assembly (Pile/Dolma-style
+domain weights): each source/domain gets a target sampling rate, and
+rows are kept by content-addressed hash bucket — NOT rand() — so the
+mixture is reproducible across engines, runs, and partitionings, and
+composable with the train/eval split primitive (text/analysis.py
+hash_bucket, same md5 discipline).
+
+Scale shape: the weight table is a broadcast dim (a mixture config is
+KB-sized at any corpus scale); the keep decision is one md5 + compare
+per row, map-only — no shuffle at all, the filter composes into
+whatever plan consumes the sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neuroimaging_data_pipeline_spark.text.analysis import hash_bucket
+
+#: Bucket granularity for mixture rates (rate resolution = 1/1000).
+MIX_BUCKETS = 1000
+
+
+def mixture_sample(
+    df: DataFrame,
+    thresholds: dict[str, int],
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    default_threshold: int = 0,
+) -> DataFrame:
+    """Keep a row iff its content hash bucket (0..MIX_BUCKETS-1 over
+    ``key_col``) is below its group's integer threshold — i.e. group g
+    is downsampled to thresholds[g]/MIX_BUCKETS of its rows. Groups
+    absent from ``thresholds`` get ``default_threshold`` (0 = dropped:
+    an explicit mixture is an allowlist). Thresholds are INTEGERS so
+    both engines compare exact values, never a float rate."""
+    spark = df.sparkSession
+    dim = F.broadcast(
+        spark.createDataFrame(
+            sorted(thresholds.items()), f"{group_col} string, _thresh int"
+        )
+    )
+    return (
+        df.withColumn("_bucket", hash_bucket(key_col, MIX_BUCKETS))
+        .join(dim, group_col, "left")
+        .filter(
+            F.col("_bucket")
+            < F.coalesce(F.col("_thresh"), F.lit(int(default_threshold)))
+        )
+        .drop("_thresh")
+        .withColumnRenamed("_bucket", "bucket")
+    )
+
+
+def mixture_sample_sql(
+    thresholds: dict[str, int],
+    columns: str = "doc_id, source, bucket",
+    table: str = "documents",
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    default_threshold: int = 0,
+) -> str:
+    """DuckDB twin: identical md5 bucket (60-bit prefix, salt 's42')
+    and identical integer-threshold allowlist semantics."""
+    values = ", ".join(
+        f"('{g}', {int(t)})" for g, t in sorted(thresholds.items())
+    )
+    return f"""
+WITH mix({group_col}, thresh) AS (VALUES {values}),
+b AS (
+  SELECT t.*,
+         CAST(('0x' || substr(md5('s42:' || CAST({key_col} AS VARCHAR)), 1, 15))
+              AS BIGINT) % {MIX_BUCKETS} AS bucket
+  FROM {table} t
+)
+SELECT {columns}
+FROM b LEFT JOIN mix USING ({group_col})
+WHERE bucket < COALESCE(thresh, {int(default_threshold)})
+"""

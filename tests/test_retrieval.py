@@ -170,6 +170,33 @@ def test_semdedup_identical_corpus_keeps_min_id(spark):
     assert kept == [0]
 
 
+def test_mixture_sample_semantics(spark):
+    from neuroimaging_data_pipeline_spark.text.mixing import (
+        MIX_BUCKETS,
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(
+        df, {"a": MIX_BUCKETS, "b": MIX_BUCKETS // 2}
+    ).toPandas()
+    # full-rate group keeps everything; halved group keeps ~half,
+    # and exactly the rows whose bucket < 500
+    assert (out[out.source == "a"].shape[0]) == 200
+    nb = out[out.source == "b"].shape[0]
+    assert 60 <= nb <= 140
+    assert (out.bucket < MIX_BUCKETS).all()
+    # absent group = dropped (allowlist semantics)
+    out2 = mixture_sample(df, {"a": MIX_BUCKETS}).toPandas()
+    assert set(out2.source) == {"a"}
+    # determinism under repartitioning
+    out3 = mixture_sample(
+        df.repartition(13), {"a": MIX_BUCKETS, "b": MIX_BUCKETS // 2}
+    ).toPandas()
+    assert sorted(out3.doc_id) == sorted(out.doc_id)
+
+
 def test_knn_graph_block_count_invariance(spark):
     import numpy as np
 
