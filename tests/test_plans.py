@@ -108,7 +108,12 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
     # NOT broadcastable anyway: the shuffle join co-partitioned on
     # the edge key is the canonical distributed-PageRank shape. AQE
     # still converts it to broadcast at bench sizes at runtime.
-    smj_ok = {"d_ngram_jaccard", "g_pagerank3"}
+    # d_semdedup: the kept-flag join (cells LEFT JOIN dropped on
+    # vec_id) is fact-to-fact — the dropped set is a corpus FRACTION
+    # (every near-duplicate id), so broadcasting it would be wrong at
+    # 100 TB; the co-partitioned shuffle join is the scale shape and
+    # AQE broadcasts it at bench sizes at runtime.
+    smj_ok = {"d_ngram_jaccard", "g_pagerank3", "d_semdedup"}
     offenders: dict[str, list[str]] = {}
     for name, fn in queries.items():
         plan = explain_str(fn(spark, SF_DIR))
