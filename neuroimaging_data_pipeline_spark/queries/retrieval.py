@@ -176,11 +176,140 @@ def t_mix_sample(spark, sf_dir):
 T_MIX_SAMPLE_SQL = mixture_sample_sql(MIX_THRESHOLDS)
 
 
+#: Merge rounds for the BPE queries — small enough to keep the
+#: unrolled oracle readable, large enough to cross several merge
+#: "generations" (char+char, then subword+char, then subword+subword).
+BPE_N_MERGES = 8
+
+
+def t_bpe_train(spark, sf_dir):
+    """Distributed BPE TRAINING on the documents corpus
+    (text/bpe.py): the corpus collapses to a (word, freq) vocab table
+    in one pass, then each of the 8 merge rounds is an exact integer
+    pair-count + argmax + one replace() apply over that table — the
+    k-means/PageRank iterative shape, with one KB-sized best-pair row
+    on the driver per round. Output is the learned merge table
+    (rank, a, b, cnt); the oracle unrolls the identical 8 rounds in
+    SQL, so TRAINING is oracle-checked round-for-round."""
+    from neuroimaging_data_pipeline_spark.text.bpe import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    merges = bpe_train(docs, BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(m["rank"], m["a"], m["b"], int(m["cnt"])) for m in merges],
+        "rank int, a string, b string, cnt long",
+    )
+
+
+def t_bpe_tokens(spark, sf_dir):
+    """BPE train-then-tokenize end-to-end: learn the 8 merges, then
+    count subword tokens per document with the zero-shuffle
+    expression-only apply pass (each merge is ONE framed-pair string
+    replace — no Python in the hot path). Oracle = the train rounds'
+    CTEs feeding the same replace chain per document."""
+    from neuroimaging_data_pipeline_spark.text.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    merges = bpe_train(docs, BPE_N_MERGES)
+    return bpe_token_counts(docs, [(m["a"], m["b"]) for m in merges])
+
+
+_BPE_TOKS = (
+    "list_filter(string_split(regexp_replace(lower(trim(text)),"
+    " '\\s+', ' ', 'g'), ' '), t -> t <> '')"
+)
+
+
+def _bpe_rounds_sql(n: int) -> str:
+    """WITH-clause body unrolling n BPE training rounds: vocab0 is the
+    framed (word, freq) vocabulary; each round derives adjacent pairs
+    by index, argmaxes with the (cnt desc, a asc, b asc) tie-break,
+    and applies the winner with the same framed-pair replace the
+    engine uses (left-to-right non-overlapping scan in both)."""
+    parts = [f"""words AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, UNNEST({_BPE_TOKS}) AS u(tok)
+  GROUP BY tok
+), vocab0 AS (
+  SELECT word, freq,
+         array_to_string(list_transform(string_split(word, ''),
+                         c -> chr(2) || c || chr(3)), '')
+         || chr(2) || '</w>' || chr(3) AS enc
+  FROM words
+)"""]
+    for i in range(n):
+        parts.append(f"""syms{i} AS (
+  SELECT freq, string_split(substr(enc, 2, len(enc) - 2), chr(3) || chr(2)) AS syms
+  FROM vocab{i}
+), pairs{i} AS (
+  SELECT s.syms[i] AS a, s.syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM syms{i} s, UNNEST(range(1, len(s.syms))) AS t(i)
+  GROUP BY s.syms[i], s.syms[i + 1]
+), best{i} AS (
+  SELECT a, b, cnt FROM pairs{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+), vocab{i + 1} AS (
+  SELECT v.word, v.freq,
+         replace(v.enc,
+                 chr(2) || b.a || chr(3) || chr(2) || b.b || chr(3),
+                 chr(2) || b.a || b.b || chr(3)) AS enc
+  FROM vocab{i} v CROSS JOIN best{i} b
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(n: int = BPE_N_MERGES) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, a, b, cnt FROM best{i}" for i in range(n)
+    )
+    return f"""
+WITH {_bpe_rounds_sql(n)}
+SELECT CAST(rank AS INT) AS rank, a, b, cnt FROM ({union})
+"""
+
+
+def _bpe_tokens_sql(n: int = BPE_N_MERGES) -> str:
+    # the apply chain: every best{i} cross-joined in as a scalar row,
+    # nested replaces in rank order, token count = STX count
+    rep = "e"
+    for i in range(n):
+        rep = (
+            f"replace({rep}, chr(2) || b{i}.a || chr(3) || chr(2) || b{i}.b || chr(3),"
+            f" chr(2) || b{i}.a || b{i}.b || chr(3))"
+        )
+    crosses = " ".join(f"CROSS JOIN best{i} b{i}" for i in range(n))
+    return f"""
+WITH {_bpe_rounds_sql(n)},
+docs_enc AS (
+  SELECT doc_id,
+         list_transform({_BPE_TOKS},
+           w -> array_to_string(list_transform(string_split(w, ''),
+                                c -> chr(2) || c || chr(3)), '')
+                || chr(2) || '</w>' || chr(3)) AS encs
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(len(d.encs) AS BIGINT) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(d.encs,
+              e -> len({rep}) - len(replace({rep}, chr(2), '')))), 0) AS BIGINT)
+         AS n_bpe_tokens
+FROM docs_enc d {crosses}
+"""
+
+
+T_BPE_TRAIN_SQL = _bpe_train_sql()
+T_BPE_TOKENS_SQL = _bpe_tokens_sql()
+
+
 QUERIES = {
     "s_bm25_topk": s_bm25_topk,
     "s_knn_graph": s_knn_graph,
     "d_semdedup": d_semdedup,
     "t_mix_sample": t_mix_sample,
+    "t_bpe_train": t_bpe_train,
+    "t_bpe_tokens": t_bpe_tokens,
 }
 
 ORACLE = {
@@ -188,4 +317,6 @@ ORACLE = {
     "s_knn_graph": S_KNN_GRAPH_SQL,
     "d_semdedup": D_SEMDEDUP_SQL,
     "t_mix_sample": T_MIX_SAMPLE_SQL,
+    "t_bpe_train": T_BPE_TRAIN_SQL,
+    "t_bpe_tokens": T_BPE_TOKENS_SQL,
 }
