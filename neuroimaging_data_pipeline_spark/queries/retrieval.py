@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from neuroimaging_data_pipeline_spark.operators.drift import ks_drift_sql
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 from neuroimaging_data_pipeline_spark.text.mixing import (
     mixture_sample_sql,
@@ -303,6 +304,22 @@ T_BPE_TRAIN_SQL = _bpe_train_sql()
 T_BPE_TOKENS_SQL = _bpe_tokens_sql()
 
 
+def t_ks_drift(spark, sf_dir):
+    """Exact two-sample KS drift per source (operators/drift.py):
+    each source's doc-length distribution against the rest of the
+    corpus, assembled in pure integer arithmetic (only the final max
+    is divided/rounded) — the distribution-free source-QA monitor.
+    Window work runs on the bounded distinct-value grid, never the
+    corpus rows."""
+    from neuroimaging_data_pipeline_spark.operators.drift import ks_drift
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return ks_drift(docs, "n_chars", "source")
+
+
+T_KS_DRIFT_SQL = ks_drift_sql("n_chars", "source")
+
+
 QUERIES = {
     "s_bm25_topk": s_bm25_topk,
     "s_knn_graph": s_knn_graph,
@@ -310,6 +327,7 @@ QUERIES = {
     "t_mix_sample": t_mix_sample,
     "t_bpe_train": t_bpe_train,
     "t_bpe_tokens": t_bpe_tokens,
+    "t_ks_drift": t_ks_drift,
 }
 
 ORACLE = {
@@ -319,4 +337,5 @@ ORACLE = {
     "t_mix_sample": T_MIX_SAMPLE_SQL,
     "t_bpe_train": T_BPE_TRAIN_SQL,
     "t_bpe_tokens": T_BPE_TOKENS_SQL,
+    "t_ks_drift": T_KS_DRIFT_SQL,
 }

@@ -197,6 +197,51 @@ def test_mixture_sample_semantics(spark):
     assert sorted(out3.doc_id) == sorted(out.doc_id)
 
 
+def _ks_ref(a, b):
+    """Reference exact two-sample KS on integer samples."""
+    import numpy as np
+
+    pts = sorted(set(a) | set(b))
+    a, b = np.asarray(a), np.asarray(b)
+    return max(
+        abs((a <= v).mean() - (b <= v).mean()) for v in pts
+    )
+
+
+def test_ks_drift_matches_reference(spark):
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.operators.drift import ks_drift
+
+    rng = np.random.default_rng(3)
+    rows = []
+    samples = {
+        "g0": rng.integers(0, 50, 200),     # uniform low
+        "g1": rng.integers(25, 75, 150),    # shifted
+        "g2": rng.integers(0, 50, 100),     # same law as g0
+    }
+    for g, vals in samples.items():
+        rows += [(g, int(v)) for v in vals]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.source: (r.n, r.ks) for r in ks_drift(df, "n_chars", "source").collect()}
+    for g, vals in samples.items():
+        rest = np.concatenate([v for k, v in samples.items() if k != g])
+        want = round(_ks_ref(list(vals), list(rest)), 6)
+        assert got[g][0] == len(vals)
+        assert abs(got[g][1] - want) < 1e-9, (g, got[g], want)
+    # shifted group drifts much harder than the twin groups
+    assert got["g1"][1] > got["g0"][1] and got["g1"][1] > got["g2"][1]
+
+
+def test_ks_drift_disjoint_is_one(spark):
+    from neuroimaging_data_pipeline_spark.operators.drift import ks_drift
+
+    rows = [("a", v) for v in range(10)] + [("b", v + 100) for v in range(10)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.source: r.ks for r in ks_drift(df, "n_chars", "source").collect()}
+    assert got == {"a": 1.0, "b": 1.0}
+
+
 def test_knn_graph_block_count_invariance(spark):
     import numpy as np
 
