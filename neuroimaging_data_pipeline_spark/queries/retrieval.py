@@ -320,8 +320,42 @@ def t_ks_drift(spark, sf_dir):
 T_KS_DRIFT_SQL = ks_drift_sql("n_chars", "source")
 
 
+def t_chunk(spark, sf_dir):
+    """RAG-style sliding-window chunking (text/chunking.py): 32-token
+    chunks at stride 24 per document, chunk identity = content md5 so
+    chunk-level dedup composes with the hash families. Map-only, zero
+    shuffle."""
+    from neuroimaging_data_pipeline_spark.text.chunking import chunk_sliding
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return chunk_sliding(docs, chunk_size=32, stride=24)
+
+
+def t_pack_blocks(spark, sf_dir):
+    """Concat-and-chop context packing (text/chunking.py): per-source
+    token streams (docs concatenated in id order) chopped into
+    128-token blocks; each doc reports its token interval and block
+    span. One window cumsum per stream — streams are the parallelism
+    unit, exactly how packing shards at corpus scale."""
+    from neuroimaging_data_pipeline_spark.text.chunking import pack_blocks
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return pack_blocks(docs, block_size=128)
+
+
+from neuroimaging_data_pipeline_spark.text.chunking import (  # noqa: E402
+    chunk_sliding_sql,
+    pack_blocks_sql,
+)
+
+T_CHUNK_SQL = chunk_sliding_sql(chunk_size=32, stride=24)
+T_PACK_SQL = pack_blocks_sql(block_size=128)
+
+
 QUERIES = {
     "s_bm25_topk": s_bm25_topk,
+    "t_chunk": t_chunk,
+    "t_pack_blocks": t_pack_blocks,
     "s_knn_graph": s_knn_graph,
     "d_semdedup": d_semdedup,
     "t_mix_sample": t_mix_sample,
@@ -332,6 +366,8 @@ QUERIES = {
 
 ORACLE = {
     "s_bm25_topk": S_BM25_SQL,
+    "t_chunk": T_CHUNK_SQL,
+    "t_pack_blocks": T_PACK_SQL,
     "s_knn_graph": S_KNN_GRAPH_SQL,
     "d_semdedup": D_SEMDEDUP_SQL,
     "t_mix_sample": T_MIX_SAMPLE_SQL,

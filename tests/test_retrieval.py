@@ -197,6 +197,51 @@ def test_mixture_sample_semantics(spark):
     assert sorted(out3.doc_id) == sorted(out.doc_id)
 
 
+def test_chunk_sliding_semantics(spark):
+    from neuroimaging_data_pipeline_spark.text.chunking import chunk_sliding
+
+    text = " ".join(f"w{i}" for i in range(33))  # 33 tokens
+    docs = spark.createDataFrame(
+        [(0, text), (1, "a b"), (2, "   ")], "doc_id long, text string"
+    )
+    out = chunk_sliding(docs, chunk_size=32, stride=24).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("chunk_idx")
+    # starts 0 and 24: [0..32) full, [24..33) short
+    assert list(d0.start_tok) == [0, 24]
+    assert list(d0.n_tokens) == [32, 9]
+    # short doc -> one short chunk; empty doc -> no chunks
+    d1 = out[out.doc_id == 1]
+    assert list(d1.n_tokens) == [2]
+    assert (out.doc_id == 2).sum() == 0
+    # chunk content hash matches the slice it claims
+    import hashlib
+
+    toks = text.split()
+    want = hashlib.md5(" ".join(toks[24:33]).encode()).hexdigest()
+    assert d0[d0.chunk_idx == 1].chunk_md5.iloc[0] == want
+
+
+def test_pack_blocks_semantics(spark):
+    from neuroimaging_data_pipeline_spark.text.chunking import pack_blocks
+
+    rows = [
+        (0, "s", " ".join(["x"] * 100)),
+        (1, "s", " ".join(["x"] * 50)),
+        (2, "s", " ".join(["x"] * 10)),
+        (3, "t", " ".join(["x"] * 5)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r for r in pack_blocks(docs, block_size=64).collect()
+    }
+    # stream s: doc0 [0,100) blocks 0-1; doc1 [100,150) blocks 1-2;
+    # doc2 [150,160) block 2. stream t packs independently.
+    assert (out[0].start_tok, out[0].first_block, out[0].last_block) == (0, 0, 1)
+    assert (out[1].start_tok, out[1].first_block, out[1].last_block) == (100, 1, 2)
+    assert (out[2].start_tok, out[2].first_block, out[2].last_block) == (150, 2, 2)
+    assert (out[3].start_tok, out[3].first_block, out[3].last_block) == (0, 0, 0)
+
+
 def _ks_ref(a, b):
     """Reference exact two-sample KS on integer samples."""
     import numpy as np
