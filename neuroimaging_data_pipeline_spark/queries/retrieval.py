@@ -320,6 +320,42 @@ def t_ks_drift(spark, sf_dir):
 T_KS_DRIFT_SQL = ks_drift_sql("n_chars", "source")
 
 
+def t_source_cap(spark, sf_dir):
+    """Per-domain cap (text/mixing.py:source_cap): keep at most 10
+    docs per source by deterministic md5 priority — the
+    over-represented-domain limiter next to rate-based t_mix_sample.
+    One row_number window on the group key; the kept subset is an
+    unbiased, engine/run/partitioning-stable sample."""
+    from neuroimaging_data_pipeline_spark.text.mixing import source_cap
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return source_cap(docs, cap=10)
+
+
+def s_quantize_int8(spark, sf_dir):
+    """Int8 scalar quantization summary (similarity/quantize.py):
+    per-vector (min, max, integer code checksum, mean reconstruction
+    error) — the FAISS-SQ8-style 4x compression an ANN index applies
+    before sharding at 100 TB. Map-only, zero shuffle, no Python."""
+    from neuroimaging_data_pipeline_spark.similarity.quantize import (
+        quantize_int8_summary,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    return quantize_int8_summary(emb)
+
+
+from neuroimaging_data_pipeline_spark.similarity.quantize import (  # noqa: E402
+    quantize_int8_sql,
+)
+from neuroimaging_data_pipeline_spark.text.mixing import (  # noqa: E402
+    source_cap_sql,
+)
+
+T_SOURCE_CAP_SQL = source_cap_sql(cap=10)
+S_QUANTIZE_SQL = quantize_int8_sql()
+
+
 def t_chunk(spark, sf_dir):
     """RAG-style sliding-window chunking (text/chunking.py): 32-token
     chunks at stride 24 per document, chunk identity = content md5 so
@@ -362,6 +398,8 @@ QUERIES = {
     "t_bpe_train": t_bpe_train,
     "t_bpe_tokens": t_bpe_tokens,
     "t_ks_drift": t_ks_drift,
+    "t_source_cap": t_source_cap,
+    "s_quantize_int8": s_quantize_int8,
 }
 
 ORACLE = {
@@ -374,4 +412,6 @@ ORACLE = {
     "t_bpe_train": T_BPE_TRAIN_SQL,
     "t_bpe_tokens": T_BPE_TOKENS_SQL,
     "t_ks_drift": T_KS_DRIFT_SQL,
+    "t_source_cap": T_SOURCE_CAP_SQL,
+    "s_quantize_int8": S_QUANTIZE_SQL,
 }

@@ -55,6 +55,50 @@ def mixture_sample(
     )
 
 
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cap each group at ``cap`` rows — the over-represented-domain
+    limiter next to rate-based mixture_sample. Selection is by md5
+    priority of the row key (a deterministic uniform shuffle), so the
+    kept subset is an unbiased sample that is stable across engines,
+    runs, and partitionings. One row_number window per group (single
+    shuffle on the group key); emits (key, group, rk) with rk the
+    1-based priority rank."""
+    from pyspark.sql import Window
+
+    pri = F.md5(F.concat(F.lit("cap42:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(pri.asc(), F.col(key_col).asc())
+    return (
+        df.select(key_col, group_col)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(cap))
+    )
+
+
+def source_cap_sql(
+    cap: int,
+    table: str = "documents",
+    key_col: str = "doc_id",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin: identical md5 priority and tie-break."""
+    return f"""
+WITH ranked AS (
+  SELECT {key_col}, {group_col},
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5('cap42:' || CAST({key_col} AS VARCHAR)) ASC, {key_col} ASC
+         ) AS INT) AS rk
+  FROM {table}
+)
+SELECT {key_col}, {group_col}, rk FROM ranked WHERE rk <= {int(cap)}
+"""
+
+
 def mixture_sample_sql(
     thresholds: dict[str, int],
     columns: str = "doc_id, source, bucket",

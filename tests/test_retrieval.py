@@ -242,6 +242,47 @@ def test_pack_blocks_semantics(spark):
     assert (out[3].start_tok, out[3].first_block, out[3].last_block) == (0, 0, 0)
 
 
+def test_source_cap_semantics(spark):
+    from neuroimaging_data_pipeline_spark.text.mixing import source_cap
+
+    rows = [(i, "big" if i < 30 else "small") for i in range(35)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_cap(df, cap=10).toPandas()
+    assert (out.source == "big").sum() == 10      # capped
+    assert (out.source == "small").sum() == 5     # under cap: all kept
+    assert out.rk.max() <= 10
+    # deterministic across partitionings
+    out2 = source_cap(df.repartition(7), cap=10).toPandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.similarity.quantize import (
+        quantize_int8_summary,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (0, [float(x) for x in rng.normal(size=16)]),
+        (1, [2.5] * 8),                      # constant vector
+        (2, [float(i) for i in range(256)]),  # exactly representable grid
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_int8_summary(emb).collect()}
+    # error bounded by half a quantization step
+    v0 = np.array(rows[0][1])
+    step = (v0.max() - v0.min()) / 255.0
+    assert out[0].mean_abs_err <= step / 2 + 1e-12
+    # constant vector: zero codes, zero error
+    assert out[1].code_sum == 0 and out[1].mean_abs_err == 0.0
+    assert out[1].vmin == 2.5 and out[1].vmax == 2.5
+    # 0..255 grid quantizes exactly: codes 0..255, zero error
+    assert out[2].code_sum == sum(range(256))
+    assert out[2].mean_abs_err == 0.0
+
+
 def _ks_ref(a, b):
     """Reference exact two-sample KS on integer samples."""
     import numpy as np
