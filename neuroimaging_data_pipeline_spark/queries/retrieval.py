@@ -356,6 +356,65 @@ T_SOURCE_CAP_SQL = source_cap_sql(cap=10)
 S_QUANTIZE_SQL = quantize_int8_sql()
 
 
+#: Feature/label expressions for a_logreg_gd, form-identical in both
+#: engines (intercept, scaled doc length, scaled token count; label =
+#: is-English). The OPERATOR is the point — a fastText-style quality/
+#: filter classifier trained in-engine; the toy feature set keeps the
+#: oracle readable.
+_LR_TOKN = (
+    "len(list_filter(string_split(regexp_replace(lower(trim(text)),"
+    " '\\s+', ' ', 'g'), ' '), t -> t <> ''))"
+)
+_LR_FEATS_CTE = f"""feats AS (
+  SELECT 1.0 AS x0,
+         n_chars / 100.0 AS x1,
+         {_LR_TOKN} / 10.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)"""
+
+
+def a_logreg_gd(spark, sf_dir):
+    """Distributed logistic regression by full-batch gradient descent
+    (operators/logreg.py): 3 iterations, each ONE corpus aggregate of
+    DECIMAL-summed gradient components with the weight vector as KB
+    driver state — the model-based quality-filter trainer. Output is
+    the weight trajectory after each iteration; the oracle unrolls
+    the identical updates as chained CTEs, so the whole optimization
+    path is oracle-checked."""
+    from neuroimaging_data_pipeline_spark.operators.logreg import logreg_gd
+    from neuroimaging_data_pipeline_spark.text.bpe import _norm_words
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    feats = docs.select(
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / F.lit(100.0)).alias("x1"),
+        (F.size(_norm_words(F.col("text"))) / F.lit(10.0)).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    traj = logreg_gd(feats, ["x0", "x1", "x2"], "y", n_iters=3, lr=0.1)
+    raw = spark.createDataFrame(
+        [(i + 1, *w) for i, w in enumerate(traj)],
+        "iter int, r0 double, r1 double, r2 double",
+    )
+    return raw.select(
+        "iter",
+        *[
+            (F.round(F.col(f"r{j}"), 6) + F.lit(0.0)).alias(f"w{j}")
+            for j in range(3)
+        ],
+    )
+
+
+from neuroimaging_data_pipeline_spark.operators.logreg import (  # noqa: E402
+    logreg_gd_sql,
+)
+
+A_LOGREG_SQL = logreg_gd_sql(
+    _LR_FEATS_CTE, ["x0", "x1", "x2"], "y", n_iters=3, lr=0.1
+)
+
+
 def t_chunk(spark, sf_dir):
     """RAG-style sliding-window chunking (text/chunking.py): 32-token
     chunks at stride 24 per document, chunk identity = content md5 so
@@ -400,6 +459,7 @@ QUERIES = {
     "t_ks_drift": t_ks_drift,
     "t_source_cap": t_source_cap,
     "s_quantize_int8": s_quantize_int8,
+    "a_logreg_gd": a_logreg_gd,
 }
 
 ORACLE = {
@@ -414,4 +474,5 @@ ORACLE = {
     "t_ks_drift": T_KS_DRIFT_SQL,
     "t_source_cap": T_SOURCE_CAP_SQL,
     "s_quantize_int8": S_QUANTIZE_SQL,
+    "a_logreg_gd": A_LOGREG_SQL,
 }

@@ -283,6 +283,39 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     assert out[2].mean_abs_err == 0.0
 
 
+def test_logreg_gd_matches_numpy(spark):
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.operators.logreg import logreg_gd
+
+    rng = np.random.default_rng(9)
+    X = np.column_stack(
+        [np.ones(120), rng.normal(size=120), rng.normal(size=120)]
+    )
+    true_w = np.array([0.3, -1.2, 0.7])
+    y = (1 / (1 + np.exp(-(X @ true_w))) > 0.5).astype(float)
+    feats = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(t)) for a, b, c, t in
+         np.column_stack([X, y])],
+        "x0 double, x1 double, x2 double, y double",
+    )
+    traj = logreg_gd(feats, ["x0", "x1", "x2"], "y", n_iters=5, lr=0.5)
+
+    # numpy reference of the same full-batch GD
+    w = np.zeros(3)
+    ref = []
+    for _ in range(5):
+        g = ((y - 1 / (1 + np.exp(-(X @ w))))[:, None] * X).sum(axis=0)
+        w = w + 0.5 * (g / len(y))
+        ref.append(w.copy())
+    for got, want in zip(traj, ref):
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+    # training moves toward the separator: accuracy improves over w=0
+    final = np.asarray(traj[-1])
+    acc = ((1 / (1 + np.exp(-(X @ final))) > 0.5) == (y > 0.5)).mean()
+    assert acc > 0.85
+
+
 def _ks_ref(a, b):
     """Reference exact two-sample KS on integer samples."""
     import numpy as np
