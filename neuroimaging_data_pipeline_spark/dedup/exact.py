@@ -34,6 +34,49 @@ def exact_dedup_keys(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus index — the
+    production shape: a crawl snapshot lands and must not re-admit
+    content the corpus already holds, nor its own within-batch
+    repeats. Returns one row per batch doc:
+    (id, content_hash, status) with status
+    'dup_of_index'  — content already in the index (checked first),
+    'dup_in_batch'  — repeat of a smaller-id batch doc not in index,
+    'new'           — first occurrence anywhere.
+
+    Scale shape: both sides reduce to (hash, id) map-side before any
+    shuffle; the batch-vs-index check is a hash equi-join of two
+    hash-keyed tables (co-partitionable; neither side broadcast —
+    both scale with the corpus), and the within-batch keep decision
+    is a min() aggregate, not a window."""
+    bh = batch.select(
+        F.col(id_col), fingerprint(text_col).alias("content_hash")
+    )
+    ih = index.select(
+        fingerprint(text_col).alias("content_hash")
+    ).distinct()
+    first_in_batch = bh.groupBy("content_hash").agg(
+        F.min(id_col).alias("_first_id")
+    )
+    return (
+        bh.join(ih.withColumn("_in_index", F.lit(1)), "content_hash", "left")
+        .join(first_in_batch, "content_hash")
+        .select(
+            id_col,
+            "content_hash",
+            F.when(F.col("_in_index").isNotNull(), "dup_of_index")
+            .when(F.col(id_col) != F.col("_first_id"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
+
+
 def exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

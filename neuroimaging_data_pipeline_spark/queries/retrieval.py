@@ -1,15 +1,25 @@
-"""Retrieval + embedding-curation query surface (late-r4, sixth pass):
-BM25 probe-query retrieval, the exact k-NN graph, SemDeDup-style
-semantic dedup, and mixture-weighted corpus sampling.
+"""Retrieval + corpus-curation query surface (late-r4, sixth pass).
 
-These are the remaining first-class training-data-pipeline shapes the
-engine had not yet registered: ranking retrieval (decontamination /
-quality audits by query), the all-pairs neighbor graph (input to
-graph dedup and SemDeDup), cluster-blocked semantic dedup (Abbas et
-al. 2023), and deterministic mixture sampling (domain reweighting a
-la Pile/Dolma). Registered after the window-priority modules — their
-driver-window slots stay with the ts-repinned event-time queries;
-green rows come from the sf0.01 + sf0.1 replica runs in SURVEY §8.
+The remaining first-class training-data-pipeline shapes the engine
+had not yet registered:
+
+- ranking retrieval: ``s_bm25_topk`` (decontamination / quality
+  audits by probe query);
+- neighbor structure: ``s_knn_graph`` (exact blocked-GEMM k-NN
+  graph), ``d_semdedup`` (SemDeDup, Abbas et al. 2023),
+  ``s_quantize_int8`` (SQ8 vector compression);
+- corpus composition: ``t_mix_sample`` (Pile/Dolma-style mixture
+  rates), ``t_source_cap`` (per-domain cap), ``t_chunk`` (RAG
+  sliding windows), ``t_pack_blocks`` (GPT concat-and-chop packing);
+- tokenization: ``t_bpe_train`` / ``t_bpe_tokens`` (distributed BPE,
+  training oracle-checked round-for-round);
+- corpus QA / models: ``t_ks_drift`` (exact two-sample KS per
+  source), ``a_logreg_gd`` (full-batch-GD quality classifier with an
+  unrolled-CTE oracle).
+
+Registered after the window-priority modules — their driver-window
+slots stay with the ts-repinned event-time queries; green rows come
+from the sf0.01 + sf0.1 replica runs in SURVEY §8.
 """
 
 from __future__ import annotations
@@ -415,6 +425,53 @@ A_LOGREG_SQL = logreg_gd_sql(
 )
 
 
+def d_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a landing batch against the existing
+    corpus index (dedup/exact.py:incremental_dedup) — the production
+    shape: hash-bucket 0 of documents plays the new crawl snapshot,
+    buckets 1-9 the already-ingested corpus. Both sides reduce to
+    (hash, id) map-side; the batch-vs-index check is a hash equi-join
+    of two hash-keyed tables (neither broadcastable at corpus scale)
+    and the within-batch keep decision is a min() aggregate."""
+    from neuroimaging_data_pipeline_spark.dedup.exact import (
+        incremental_dedup,
+    )
+    from neuroimaging_data_pipeline_spark.text.analysis import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    b = docs.withColumn("_bkt", hash_bucket("doc_id", 10))
+    batch = b.filter(F.col("_bkt") == 0).drop("_bkt")
+    index = b.filter(F.col("_bkt") != 0).drop("_bkt")
+    return incremental_dedup(batch, index)
+
+
+D_INCR_DEDUP_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 AS bkt
+  FROM documents
+), bh AS (
+  SELECT doc_id,
+         md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 256)) AS content_hash
+  FROM b WHERE bkt = 0
+), ih AS (
+  SELECT DISTINCT
+         md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 256)) AS content_hash
+  FROM b WHERE bkt <> 0
+), firsts AS (
+  SELECT content_hash, MIN(doc_id) AS first_id FROM bh GROUP BY content_hash
+)
+SELECT bh.doc_id, bh.content_hash,
+       CASE WHEN ih.content_hash IS NOT NULL THEN 'dup_of_index'
+            WHEN bh.doc_id <> f.first_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM bh
+LEFT JOIN ih ON bh.content_hash = ih.content_hash
+JOIN firsts f ON bh.content_hash = f.content_hash
+"""
+
+
 def t_chunk(spark, sf_dir):
     """RAG-style sliding-window chunking (text/chunking.py): 32-token
     chunks at stride 24 per document, chunk identity = content md5 so
@@ -460,6 +517,7 @@ QUERIES = {
     "t_source_cap": t_source_cap,
     "s_quantize_int8": s_quantize_int8,
     "a_logreg_gd": a_logreg_gd,
+    "d_incremental_dedup": d_incremental_dedup,
 }
 
 ORACLE = {
@@ -475,4 +533,5 @@ ORACLE = {
     "t_source_cap": T_SOURCE_CAP_SQL,
     "s_quantize_int8": S_QUANTIZE_SQL,
     "a_logreg_gd": A_LOGREG_SQL,
+    "d_incremental_dedup": D_INCR_DEDUP_SQL,
 }

@@ -316,6 +316,36 @@ def test_logreg_gd_matches_numpy(spark):
     assert acc > 0.85
 
 
+def test_incremental_dedup_statuses(spark):
+    from neuroimaging_data_pipeline_spark.dedup.exact import incremental_dedup
+
+    index = spark.createDataFrame(
+        [(100, "old news here"), (101, "other old text")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, "Old   NEWS here"),   # normalizes to an index doc
+            (1, "fresh content"),     # new
+            (2, "fresh  CONTENT"),    # within-batch repeat of 1
+            (3, "fresh content"),     # another repeat of 1
+            (4, "also unseen"),       # new
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.status
+        for r in incremental_dedup(batch, index).collect()
+    }
+    assert got == {
+        0: "dup_of_index",
+        1: "new",
+        2: "dup_in_batch",
+        3: "dup_in_batch",
+        4: "new",
+    }
+
+
 def _ks_ref(a, b):
     """Reference exact two-sample KS on integer samples."""
     import numpy as np
