@@ -504,8 +504,119 @@ T_CHUNK_SQL = chunk_sliding_sql(chunk_size=32, stride=24)
 T_PACK_SQL = pack_blocks_sql(block_size=128)
 
 
+def e5_shard_pipeline(spark, sf_dir):
+    """E5: training-SHARD assembly composed end-to-end as ONE lazy
+    plan — the corpus-composition counterpart to e2's quality flow:
+
+      documents
+        -> mixture-weighted sampling (domain reweighting, md5 rates)
+        -> per-domain cap (at most 15 sampled docs per source)
+        -> exact dedup, keep the min-id representative
+        -> sliding-window chunking (32/24)
+        -> per-source shard stats (docs, chunks, chunk tokens,
+           distinct chunk hashes)
+
+    Every stage is the operator its standalone query exercises
+    (text/mixing.py, dedup/exact.py, text/chunking.py), so the oracle
+    chains their proven SQL forms CTE-by-CTE and the final aggregate
+    seals the whole flow under one hash check. Plan: map-only sample
+    -> one cap window -> one dedup hash-agg -> map-only chunk ->
+    small per-source aggregates."""
+    from neuroimaging_data_pipeline_spark.dedup.exact import exact_dedup
+    from neuroimaging_data_pipeline_spark.text.chunking import chunk_sliding
+    from neuroimaging_data_pipeline_spark.text.mixing import (
+        mixture_sample,
+        source_cap,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    sampled = mixture_sample(docs, MIX_THRESHOLDS)
+    capped = sampled.join(
+        source_cap(sampled, 15).select("doc_id"), "doc_id", "left_semi"
+    )
+    kept = exact_dedup(capped)
+    chunks = chunk_sliding(kept, chunk_size=32, stride=24)
+    doc_stats = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    chunk_stats = (
+        chunks.join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_chunk_tokens"),
+            F.countDistinct("chunk_md5").alias("n_uniq_chunks"),
+        )
+    )
+    return (
+        doc_stats.join(chunk_stats, "source", "left")
+        .na.fill({"n_chunks": 0, "n_chunk_tokens": 0, "n_uniq_chunks": 0})
+    )
+
+
+def _e5_sql() -> str:
+    values = ", ".join(
+        f"('{g}', {int(t)})" for g, t in sorted(MIX_THRESHOLDS.items())
+    )
+    return f"""
+WITH mix(source, thresh) AS (VALUES {values}),
+b AS (
+  SELECT t.*,
+         CAST(('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 AS bucket
+  FROM documents t
+), sampled AS (
+  SELECT b.* FROM b LEFT JOIN mix USING (source)
+  WHERE bucket < COALESCE(thresh, 0)
+), capped AS (
+  SELECT * FROM (
+    SELECT s.*,
+           ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5('cap42:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ) AS rk
+    FROM sampled s
+  ) WHERE rk <= 15
+), hashes AS (
+  SELECT doc_id, source, text,
+         md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 1000000)) AS h
+  FROM capped
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM hashes GROUP BY h
+), kept AS (
+  SELECT h.doc_id, h.source, h.text FROM hashes h
+  WHERE h.doc_id IN (SELECT doc_id FROM keepers)
+), toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                     t -> t <> '') AS toks
+  FROM kept
+), chunks AS (
+  SELECT doc_id, source,
+         list_slice(toks, i * 24 + 1, i * 24 + 32) AS chunk
+  FROM (SELECT doc_id, source, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+       UNNEST(range(0, CAST(floor((n - 1) / 24) AS BIGINT) + 1)) AS t(i)
+), doc_stats AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM kept GROUP BY source
+), chunk_stats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(len(chunk)) AS BIGINT) AS n_chunk_tokens,
+         CAST(COUNT(DISTINCT md5(array_to_string(chunk, ' '))) AS BIGINT) AS n_uniq_chunks
+  FROM chunks GROUP BY source
+)
+SELECT d.source, d.n_docs,
+       COALESCE(c.n_chunks, 0) AS n_chunks,
+       COALESCE(c.n_chunk_tokens, 0) AS n_chunk_tokens,
+       COALESCE(c.n_uniq_chunks, 0) AS n_uniq_chunks
+FROM doc_stats d LEFT JOIN chunk_stats c USING (source)
+"""
+
+
+E5_SQL = _e5_sql()
+
+
 QUERIES = {
     "s_bm25_topk": s_bm25_topk,
+    "e5_shard_pipeline": e5_shard_pipeline,
     "t_chunk": t_chunk,
     "t_pack_blocks": t_pack_blocks,
     "s_knn_graph": s_knn_graph,
@@ -522,6 +633,7 @@ QUERIES = {
 
 ORACLE = {
     "s_bm25_topk": S_BM25_SQL,
+    "e5_shard_pipeline": E5_SQL,
     "t_chunk": T_CHUNK_SQL,
     "t_pack_blocks": T_PACK_SQL,
     "s_knn_graph": S_KNN_GRAPH_SQL,
