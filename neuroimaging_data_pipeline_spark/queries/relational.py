@@ -513,6 +513,88 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
 """
 
 
+def j9_correlated_scalar(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery — revenue of
+    small-quantity lineitems, where 'small' means below 0.5x that
+    PART's average quantity. Decorrelated the way Catalyst (and every
+    planner) does: the per-part average is a separate aggregate
+    joined back on the correlation key — one partial-aggregable
+    groupBy + one co-partitioned join, both on l_partkey, so at
+    corpus scale the two sides share a partitioning and AQE picks
+    broadcast when the part dim is small."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("_half_avg")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            (F.round(money_sum("l_extendedprice"), 6) + F.lit(0.0)).alias(
+                "small_revenue"
+            ),
+        )
+    )
+
+
+J9_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       (ROUND((SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / 100.0), 6) + 0.0) AS small_revenue
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.5 * AVG(l_quantity) FROM lineitem li WHERE li.l_partkey = l.l_partkey
+)
+"""
+
+
+def j10_having_join(spark, sf_dir):
+    """TPC-H Q18 shape: large-order customers — aggregate lineitem
+    per order, keep orders above a quantity threshold (HAVING), join
+    back to orders+customer for attribution, top-20 by a total key.
+    The HAVING filter runs map-side-combinable BEFORE the join, so
+    only qualifying order keys (a tiny fraction) reach the join —
+    the aggregate-then-join ordering that matters at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 25)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            (F.round(F.col("total_qty"), 6) + F.lit(0.0)).alias("total_qty"),
+            (F.round(F.col("o_totalprice"), 6) + F.lit(0.0)).alias(
+                "o_totalprice"
+            ),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+J10_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       (ROUND(total_qty, 6) + 0.0) AS total_qty,
+       (ROUND(o_totalprice, 6) + 0.0) AS o_totalprice
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 25
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
 def a_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (quartiles + p95) per return
     flag — Spark's ``percentile`` and DuckDB's ``quantile_cont``

@@ -15,6 +15,8 @@ from __future__ import annotations
 from neuroimaging_data_pipeline_spark.queries.relational import (
     A_CUBE_SQL,
     A_GROUPING_SETS_SQL,
+    J9_SQL,
+    J10_SQL,
     U3_SQL,
     A_PERCENTILES_SQL,
     O4_RANKS_SQL,
@@ -22,6 +24,8 @@ from neuroimaging_data_pipeline_spark.queries.relational import (
     P12_UNPIVOT_SQL,
     a_cube,
     a_grouping_sets,
+    j9_correlated_scalar,
+    j10_having_join,
     a_percentiles,
     o4_window_ranks,
     p11_pivot,
@@ -32,6 +36,8 @@ from neuroimaging_data_pipeline_spark.queries.relational import (
 QUERIES = {
     "a_cube": a_cube,
     "a_grouping_sets": a_grouping_sets,
+    "j9_correlated_scalar": j9_correlated_scalar,
+    "j10_having_join": j10_having_join,
     "a_percentiles": a_percentiles,
     "o4_window_ranks": o4_window_ranks,
     "p11_pivot": p11_pivot,
@@ -42,6 +48,8 @@ QUERIES = {
 ORACLE = {
     "a_cube": A_CUBE_SQL,
     "a_grouping_sets": A_GROUPING_SETS_SQL,
+    "j9_correlated_scalar": J9_SQL,
+    "j10_having_join": J10_SQL,
     "a_percentiles": A_PERCENTILES_SQL,
     "o4_window_ranks": O4_RANKS_SQL,
     "p11_pivot": P11_PIVOT_SQL,
