@@ -104,6 +104,108 @@ def ks_drift(
     )
 
 
+def auc_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(group, n, auc) — exact Mann-Whitney AUC of each group against
+    the rest: P(group value > rest value) + 0.5 * P(tie), the
+    stochastic-dominance EFFECT SIZE next to ks_drift's max-deviation
+    statistic (0.5 = no shift). Assembled entirely in integers:
+    U2x = sum over values of a_cnt * (2 * rest_cum_below + rest_at),
+    auc = U2x / (2 * n_g * n_rest); only the final division is
+    floating point. Same bounded distinct-value grid as ks_drift."""
+    counts = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    groups = counts.groupBy(group_col).agg(F.sum("cnt").alias("n_g"))
+    total = counts.agg(F.sum("cnt").alias("n_all"))
+    wg = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gcum = (
+        counts.groupBy(value_col)
+        .agg(F.sum("cnt").alias("vcnt"))
+        .withColumn("g_cum", F.sum("vcnt").over(wg))
+        .select(value_col, "vcnt", "g_cum")
+    )
+    wv = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = (
+        counts.withColumn("c_g", F.sum("cnt").over(wv))
+        .join(F.broadcast(gcum), value_col)
+        .join(F.broadcast(total))
+        .withColumn("rest_at", F.col("vcnt") - F.col("cnt"))
+        .withColumn(
+            "rest_below",
+            (F.col("g_cum") - F.col("vcnt")) - (F.col("c_g") - F.col("cnt")),
+        )
+        .withColumn(
+            "u2x",
+            F.col("cnt")
+            * (F.lit(2) * F.col("rest_below") + F.col("rest_at")),
+        )
+    )
+    return (
+        cdf.groupBy(group_col)
+        .agg(
+            F.max(F.col("n_all")).alias("_n_all"),
+            F.sum("cnt").alias("n"),
+            F.sum("u2x").alias("_u2x"),
+        )
+        .select(
+            group_col,
+            "n",
+            (
+                F.round(
+                    F.try_divide(
+                        F.col("_u2x").cast("double"),
+                        (F.lit(2) * F.col("n") * (F.col("_n_all") - F.col("n"))).cast("double"),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("auc"),
+        )
+    )
+
+
+def auc_drift_sql(
+    value_col: str, group_col: str, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`auc_drift` — identical integer assembly."""
+    return f"""
+WITH counts AS (
+  SELECT {group_col} AS grp, {value_col} AS val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table} GROUP BY 1, 2
+), total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_all FROM counts
+), gcum AS (
+  SELECT val, vcnt,
+         CAST(SUM(vcnt) OVER (ORDER BY val
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS g_cum
+  FROM (SELECT val, CAST(SUM(cnt) AS BIGINT) AS vcnt FROM counts GROUP BY val)
+), cdf AS (
+  SELECT c.grp, c.val, c.cnt,
+         CAST(SUM(c.cnt) OVER (PARTITION BY c.grp ORDER BY c.val
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_g,
+         g.vcnt, g.g_cum, t.n_all
+  FROM counts c JOIN gcum g ON c.val = g.val CROSS JOIN total t
+)
+SELECT grp AS {group_col},
+       CAST(SUM(cnt) AS BIGINT) AS n,
+       (ROUND(CAST(SUM(cnt * (2 * ((g_cum - vcnt) - (c_g - cnt)) + (vcnt - cnt))) AS DOUBLE)
+              / CAST(2 * SUM(cnt) * (MAX(n_all) - SUM(cnt)) AS DOUBLE), 6) + 0.0) AS auc
+FROM cdf
+GROUP BY grp
+"""
+
+
 def ks_drift_sql(
     value_col: str, group_col: str, table: str = "documents"
 ) -> str:

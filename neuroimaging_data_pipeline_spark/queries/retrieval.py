@@ -26,7 +26,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from neuroimaging_data_pipeline_spark.operators.drift import ks_drift_sql
+from neuroimaging_data_pipeline_spark.operators.drift import (
+    auc_drift_sql,
+    ks_drift_sql,
+)
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 from neuroimaging_data_pipeline_spark.text.mixing import (
     mixture_sample_sql,
@@ -330,6 +333,22 @@ def t_ks_drift(spark, sf_dir):
 T_KS_DRIFT_SQL = ks_drift_sql("n_chars", "source")
 
 
+def t_auc_drift(spark, sf_dir):
+    """Mann-Whitney AUC drift per source (operators/drift.py
+    auc_drift): P(source value > rest) + half-ties — the
+    stochastic-dominance EFFECT SIZE next to t_ks_drift's
+    max-deviation statistic (0.5 = no shift). Pure integer rank
+    assembly on the bounded distinct-value grid; only the final
+    division is floating point."""
+    from neuroimaging_data_pipeline_spark.operators.drift import auc_drift
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return auc_drift(docs, "n_chars", "source")
+
+
+T_AUC_DRIFT_SQL = auc_drift_sql("n_chars", "source")
+
+
 def t_source_cap(spark, sf_dir):
     """Per-domain cap (text/mixing.py:source_cap): keep at most 10
     docs per source by deterministic md5 priority — the
@@ -625,6 +644,7 @@ QUERIES = {
     "t_bpe_train": t_bpe_train,
     "t_bpe_tokens": t_bpe_tokens,
     "t_ks_drift": t_ks_drift,
+    "t_auc_drift": t_auc_drift,
     "t_source_cap": t_source_cap,
     "s_quantize_int8": s_quantize_int8,
     "a_logreg_gd": a_logreg_gd,
@@ -642,6 +662,7 @@ ORACLE = {
     "t_bpe_train": T_BPE_TRAIN_SQL,
     "t_bpe_tokens": T_BPE_TOKENS_SQL,
     "t_ks_drift": T_KS_DRIFT_SQL,
+    "t_auc_drift": T_AUC_DRIFT_SQL,
     "t_source_cap": T_SOURCE_CAP_SQL,
     "s_quantize_int8": S_QUANTIZE_SQL,
     "a_logreg_gd": A_LOGREG_SQL,

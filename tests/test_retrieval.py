@@ -382,6 +382,35 @@ def test_ks_drift_matches_reference(spark):
     assert got["g1"][1] > got["g0"][1] and got["g1"][1] > got["g2"][1]
 
 
+def test_auc_drift_matches_reference(spark):
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.operators.drift import auc_drift
+
+    rng = np.random.default_rng(13)
+    samples = {
+        "lo": rng.integers(0, 40, 120),
+        "hi": rng.integers(20, 60, 90),
+        "mid": rng.integers(10, 50, 100),
+    }
+    rows = [(g, int(v)) for g, vals in samples.items() for v in vals]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.source: (r.n, r.auc) for r in auc_drift(df, "n_chars", "source").collect()}
+
+    def ref_auc(a, rest):
+        a = np.asarray(a)[:, None]
+        r = np.asarray(rest)[None, :]
+        return ((a > r).sum() + 0.5 * (a == r).sum()) / (a.size * r.size)
+
+    for g, vals in samples.items():
+        rest = np.concatenate([v for k, v in samples.items() if k != g])
+        want = round(float(ref_auc(vals, rest)), 6)
+        assert got[g][0] == len(vals)
+        assert abs(got[g][1] - want) < 1e-9, (g, got[g][1], want)
+    # directionality: the high group dominates (auc > .5), low is below
+    assert got["hi"][1] > 0.5 > got["lo"][1]
+
+
 def test_ks_drift_disjoint_is_one(spark):
     from neuroimaging_data_pipeline_spark.operators.drift import ks_drift
 
