@@ -264,3 +264,77 @@ def test_mp4_roundtrip_property(doc_id):
     assert m["total_sample_bytes"] == sum(sizes)
     for i, (off, size) in enumerate(m["sample_ranges"]):
         assert payload[off : off + size] == _sample_payload(doc_id, i, size)
+
+
+# --- sixth-pass operators: BPE / chunking / packing invariants ------
+
+words_corpus = st.lists(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=5), min_size=1, max_size=8
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(corpus=words_corpus, n_merges=st.integers(min_value=0, max_value=6))
+@settings(**_SETTINGS)
+def test_bpe_train_matches_pure_python_reference(spark, corpus, n_merges):
+    """Distributed BPE training == the dict-based Sennrich reference
+    on arbitrary corpora (tie-heavy by construction: 4-letter
+    alphabet forces frequent equal pair counts, exercising the
+    (cnt desc, a asc, b asc) tie-break)."""
+    from neuroimaging_data_pipeline_spark.text.bpe import bpe_train
+    from tests.test_bpe import _word_freqs, ref_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges)
+    want = ref_train(_word_freqs(corpus), n_merges)
+    assert [(m["a"], m["b"], m["cnt"]) for m in got] == want
+
+
+@given(corpus=words_corpus)
+@settings(**_SETTINGS)
+def test_chunking_covers_every_token_exactly_under_stride(spark, corpus):
+    """With stride == chunk_size (no overlap) chunks PARTITION the
+    token stream: chunk sizes sum to the doc's token count."""
+    from neuroimaging_data_pipeline_spark.text.chunking import chunk_sliding
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    out = chunk_sliding(docs, chunk_size=4, stride=4).toPandas()
+    for i, t in enumerate(corpus):
+        n = len(t.split())
+        chunks = out[out.doc_id == i]
+        assert chunks.n_tokens.sum() == n
+        assert (chunks.n_tokens <= 4).all()
+
+
+@given(corpus=words_corpus)
+@settings(**_SETTINGS)
+def test_pack_blocks_intervals_tile_the_stream(spark, corpus):
+    """Packing invariants per stream: intervals are contiguous
+    (start_i+1 = start_i + n_i in id order), total equals the token
+    sum, and block spans are consistent with the intervals."""
+    from neuroimaging_data_pipeline_spark.text.chunking import pack_blocks
+
+    docs = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(corpus)],
+        "doc_id long, source string, text string",
+    )
+    out = (
+        pack_blocks(docs, block_size=5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect_start = 0
+    for _, r in out.iterrows():
+        assert r.start_tok == expect_start
+        assert r.first_block == r.start_tok // 5
+        last = r.start_tok + max(r.n_tokens, 1) - 1
+        assert r.last_block == last // 5
+        expect_start += r.n_tokens
