@@ -214,8 +214,45 @@ FROM lineitem GROUP BY l_partkey
 """
 
 
+def j11_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key per voxel
+    (sources/bucketing.py:morton3): the spatial-locality sort/range-
+    partition key that co-locates stencil neighborhoods in file
+    splits at volume scale. Map-only integer bit interleave; the
+    octant id (zkey >> 3) is emitted alongside to surface the
+    recursive-octant clustering property the layout relies on."""
+    from neuroimaging_data_pipeline_spark.sources.bucketing import morton3
+
+    vol = _volume(spark, sf_dir)
+    return vol.select(
+        "voxel_id",
+        "x",
+        "y",
+        "z",
+        morton3("x", "y", "z").alias("zkey"),
+        F.shiftright(morton3("x", "y", "z"), 3).alias("octant"),
+    )
+
+
+def _j11_sql() -> str:
+    from neuroimaging_data_pipeline_spark.sources.bucketing import morton3_sql
+
+    m = morton3_sql("x", "y", "z")
+    return f"""
+WITH vol AS ({_VOLUME_SQL})
+SELECT voxel_id, x, y, z,
+       {m} AS zkey,
+       CAST(({m}) >> 3 AS BIGINT) AS octant
+FROM vol
+"""
+
+
+J11_SQL = _j11_sql()
+
+
 QUERIES = {
     "j4_stencil_mode": j4_stencil_mode,
+    "j11_zorder_key": j11_zorder_key,
     "w8_gaussian_smooth": w8_gaussian_smooth,
     "w8b_gaussian_smooth_cube": w8b_gaussian_smooth_cube,
     "j5_nearest_resample": j5_nearest_resample,
@@ -224,6 +261,7 @@ QUERIES = {
 
 ORACLE = {
     "j4_stencil_mode": J4_SQL,
+    "j11_zorder_key": J11_SQL,
     "w8_gaussian_smooth": W8_SQL,
     "w8b_gaussian_smooth_cube": W8_SQL,
     "j5_nearest_resample": J5_SQL,

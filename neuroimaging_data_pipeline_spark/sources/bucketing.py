@@ -66,3 +66,41 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     enabled`` (Spark default true) for the scan to expose its
     clustering to the planner."""
     return spark.table(table)
+
+
+def morton3(x, y, z, bits: int = 8):
+    """Z-order (Morton) key for a 3-D voxel coordinate: bit-interleave
+    x, y, z into one BIGINT. Sorting / range-partitioning a volume by
+    this key clusters spatial NEIGHBORS into the same file splits, so
+    the stencil/smoothing joins (operators/stencil.py) read their
+    19/27-neighborhoods from co-located blocks instead of scattering
+    across the whole table — the standard spatial-locality layout for
+    a 100 TB volume (the recursive-octant property: codes agree on
+    their high 3(b-1) bits iff the voxels share the parent octant).
+
+    Pure integer bit expressions — identical in both engines.
+    """
+    from pyspark.sql import functions as F
+
+    cx = x if not isinstance(x, str) else F.col(x)
+    cy = y if not isinstance(y, str) else F.col(y)
+    cz = z if not isinstance(z, str) else F.col(z)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(cx.cast("long"), b).bitwiseAND(F.lit(1)), 3 * b)
+            + F.shiftleft(F.shiftright(cy.cast("long"), b).bitwiseAND(F.lit(1)), 3 * b + 1)
+            + F.shiftleft(F.shiftright(cz.cast("long"), b).bitwiseAND(F.lit(1)), 3 * b + 2)
+        )
+    return key
+
+
+def morton3_sql(x: str, y: str, z: str, bits: int = 8) -> str:
+    """DuckDB twin expression text of :func:`morton3`."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {3 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {3 * b + 1})")
+        terms.append(f"((({z} >> {b}) & 1) << {3 * b + 2})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -276,3 +276,32 @@ def test_blocked_stencil_probe_side_uses_bucketed_layout(spark, tmp_path):
         .set_index("voxel_id")["count"].sort_index()
     )
     assert a.equals(b)
+
+
+def test_morton3_matches_reference_and_octant_property(spark):
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.sources.bucketing import morton3
+
+    def ref(x, y, z, bits=8):
+        k = 0
+        for b in range(bits):
+            k |= ((x >> b) & 1) << (3 * b)
+            k |= ((y >> b) & 1) << (3 * b + 1)
+            k |= ((z >> b) & 1) << (3 * b + 2)
+        return k
+
+    coords = list(itertools.product(range(8), range(8), range(4)))
+    df = spark.createDataFrame(coords, "x long, y long, z long")
+    got = {
+        (r.x, r.y, r.z): r.k
+        for r in df.select("x", "y", "z", morton3("x", "y", "z").alias("k")).collect()
+    }
+    for x, y, z in coords:
+        assert got[(x, y, z)] == ref(x, y, z)
+        # recursive octant: high bits are the parent cell's code
+        assert got[(x, y, z)] >> 3 == ref(x // 2, y // 2, z // 2)
+    # bijective on the grid
+    assert len(set(got.values())) == len(coords)
