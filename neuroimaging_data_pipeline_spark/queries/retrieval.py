@@ -381,6 +381,25 @@ from neuroimaging_data_pipeline_spark.text.mixing import (  # noqa: E402
     source_cap_sql,
 )
 
+def t_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (text/mixing.py
+    weighted_sample): 8 docs per source, probability proportional to
+    doc length — Efraimidis-Spirakis priorities on content-addressed
+    md5 uniforms, so the importance sample is deterministic across
+    engines/runs/partitionings. One row_number window per group."""
+    from neuroimaging_data_pipeline_spark.text.mixing import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return weighted_sample(docs, k=8, weight_col="n_chars")
+
+
+from neuroimaging_data_pipeline_spark.text.mixing import (  # noqa: E402
+    weighted_sample_sql,
+)
+
+T_WEIGHTED_SAMPLE_SQL = weighted_sample_sql(k=8, weight_col="n_chars")
+
+
 T_SOURCE_CAP_SQL = source_cap_sql(cap=10)
 S_QUANTIZE_SQL = quantize_int8_sql()
 
@@ -646,6 +665,7 @@ QUERIES = {
     "t_ks_drift": t_ks_drift,
     "t_auc_drift": t_auc_drift,
     "t_source_cap": t_source_cap,
+    "t_weighted_sample": t_weighted_sample,
     "s_quantize_int8": s_quantize_int8,
     "a_logreg_gd": a_logreg_gd,
     "d_incremental_dedup": d_incremental_dedup,
@@ -664,6 +684,7 @@ ORACLE = {
     "t_ks_drift": T_KS_DRIFT_SQL,
     "t_auc_drift": T_AUC_DRIFT_SQL,
     "t_source_cap": T_SOURCE_CAP_SQL,
+    "t_weighted_sample": T_WEIGHTED_SAMPLE_SQL,
     "s_quantize_int8": S_QUANTIZE_SQL,
     "a_logreg_gd": A_LOGREG_SQL,
     "d_incremental_dedup": D_INCR_DEDUP_SQL,

@@ -99,6 +99,77 @@ SELECT {key_col}, {group_col}, rk FROM ranked WHERE rk <= {int(cap)}
 """
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per group —
+    importance sampling by a quality/length weight (the
+    sample-good-docs-more curation step). Efraimidis-Spirakis A-ES:
+    each row gets priority u^(1/w) (equivalently ln(u)/w maximized)
+    with u a content-addressed md5 uniform in (0, 1] — deterministic
+    across engines/runs/partitionings, unlike rand(). Rows with
+    weight <= 0 are excluded (standard A-ES domain). One row_number
+    window per group; emits (key, group, weight, rk)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws42:"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / 2^60
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_pri"), F.asc(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            key_col, group_col, F.col(weight_col).alias("weight"),
+            pri.alias("_pri"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .drop("_pri")
+    )
+
+
+def weighted_sample_sql(
+    k: int,
+    weight_col: str,
+    table: str = "documents",
+    key_col: str = "doc_id",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin: identical md5 uniform, priority, and tie-break."""
+    return f"""
+WITH pri AS (
+  SELECT {key_col}, {group_col}, CAST({weight_col} AS BIGINT) AS weight,
+         ln((CAST(('0x' || substr(md5('ws42:' || CAST({key_col} AS VARCHAR)), 1, 15))
+              AS BIGINT) + 1) / {float(2**60)!r})
+           / CAST({weight_col} AS DOUBLE) AS p
+  FROM {table} WHERE {weight_col} > 0
+)
+SELECT {key_col}, {group_col}, weight,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {group_col} ORDER BY p DESC, {key_col} ASC
+  ) AS rk
+  FROM pri
+) WHERE rk <= {int(k)}
+"""
+
+
 def mixture_sample_sql(
     thresholds: dict[str, int],
     columns: str = "doc_id, source, bucket",

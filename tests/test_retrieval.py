@@ -283,6 +283,44 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     assert out[2].mean_abs_err == 0.0
 
 
+def test_weighted_sample_semantics(spark):
+    import collections
+
+    from neuroimaging_data_pipeline_spark.text.mixing import weighted_sample
+
+    rows = [(i, "g", 1000 if i < 5 else 1) for i in range(105)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = weighted_sample(df, k=10, weight_col="n_chars").toPandas()
+    assert len(out) == 10
+    # 1000x weight: the 5 heavy docs are near-certainly all sampled
+    heavy = set(out[out.doc_id < 5].doc_id)
+    assert heavy == {0, 1, 2, 3, 4}
+    # determinism across partitionings
+    out2 = weighted_sample(
+        df.repartition(9), k=10, weight_col="n_chars"
+    ).toPandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)
+    # zero/negative weights excluded
+    df0 = spark.createDataFrame(
+        [(0, "g", 0), (1, "g", -3), (2, "g", 7)],
+        "doc_id long, source string, n_chars long",
+    )
+    out3 = weighted_sample(df0, k=5, weight_col="n_chars").toPandas()
+    assert list(out3.doc_id) == [2]
+
+    # frequency sanity over many disjoint groups: heavier doc wins
+    # its group most of the time (w=4 vs 1 -> P(win) = 4/5)
+    rows = []
+    for g in range(200):
+        rows += [(2 * g, f"s{g}", 4), (2 * g + 1, f"s{g}", 1)]
+    big = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    won = collections.Counter(
+        "heavy" if r.doc_id % 2 == 0 else "light"
+        for r in weighted_sample(big, k=1, weight_col="n_chars").collect()
+    )
+    assert 130 <= won["heavy"] <= 190  # E=160, sd~5.7
+
+
 def test_logreg_gd_matches_numpy(spark):
     import numpy as np
 
