@@ -573,11 +573,12 @@ def e5_shard_pipeline(spark, sf_dir):
         source_cap(sampled, 15).select("doc_id"), "doc_id", "left_semi"
     )
     kept = exact_dedup(capped)
-    chunks = chunk_sliding(kept, chunk_size=32, stride=24)
+    # source is carried through chunking map-side — joining chunks
+    # back to kept to recover it would be a fact-to-fact shuffle
+    chunks = chunk_sliding(kept, chunk_size=32, stride=24, carry_cols=["source"])
     doc_stats = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     chunk_stats = (
-        chunks.join(kept.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        chunks.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n_tokens").alias("n_chunk_tokens"),
@@ -585,7 +586,7 @@ def e5_shard_pipeline(spark, sf_dir):
         )
     )
     return (
-        doc_stats.join(chunk_stats, "source", "left")
+        doc_stats.join(F.broadcast(chunk_stats), "source", "left")
         .na.fill({"n_chunks": 0, "n_chunk_tokens": 0, "n_uniq_chunks": 0})
     )
 

@@ -36,23 +36,34 @@ def chunk_sliding(
     stride: int = 24,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, chunk_idx, start_tok, n_tokens, chunk_md5) — one row per
-    sliding window: starts at multiples of ``stride`` while the start
-    is inside the document; the last chunk may be short. Empty docs
-    yield no chunks."""
-    d = docs.select(F.col(id_col), _toks(F.col(text_col)).alias("toks"))
+    """(id, [carry_cols...], chunk_idx, start_tok, n_tokens,
+    chunk_md5) — one row per sliding window: starts at multiples of
+    ``stride`` while the start is inside the document; the last chunk
+    may be short. Empty docs yield no chunks.
+
+    ``carry_cols`` are passed through map-side so downstream per-group
+    aggregates never need to join chunks back to the document table —
+    at corpus scale that re-join is a fact-to-fact shuffle this
+    parameter exists to delete."""
+    carry = list(carry_cols or [])
+    d = docs.select(
+        F.col(id_col), *carry, _toks(F.col(text_col)).alias("toks")
+    )
     d = d.withColumn("n", F.size("toks")).filter(F.col("n") > 0)
     idx = F.sequence(
         F.lit(0), F.floor((F.col("n") - 1) / stride).cast("int")
     )
     out = d.select(
         id_col,
+        *carry,
         "toks",
         "n",
         F.explode(idx).alias("chunk_idx"),
     ).select(
         id_col,
+        *carry,
         "chunk_idx",
         (F.col("chunk_idx") * stride).alias("start_tok"),
         F.slice(
@@ -61,6 +72,7 @@ def chunk_sliding(
     )
     return out.select(
         id_col,
+        *carry,
         "chunk_idx",
         "start_tok",
         F.size("_chunk").cast("long").alias("n_tokens"),

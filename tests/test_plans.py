@@ -113,7 +113,13 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
     # (every near-duplicate id), so broadcasting it would be wrong at
     # 100 TB; the co-partitioned shuffle join is the scale shape and
     # AQE broadcasts it at bench sizes at runtime.
-    smj_ok = {"d_ngram_jaccard", "g_pagerank3", "d_semdedup"}
+    # e5_shard_pipeline: composes source_cap and exact_dedup, whose
+    # keep-set semi-joins are id-keyed fact-to-fact (the keep set is a
+    # corpus fraction, never broadcastable at 100 TB) — the same class
+    # as d_semdedup's declared join. The post-window/post-agg sides
+    # have no stats, so the static planner picks SMJ; AQE broadcasts
+    # them at bench sizes at runtime.
+    smj_ok = {"d_ngram_jaccard", "g_pagerank3", "d_semdedup", "e5_shard_pipeline"}
     offenders: dict[str, list[str]] = {}
     for name, fn in queries.items():
         plan = explain_str(fn(spark, SF_DIR))
