@@ -428,8 +428,75 @@ WHERE img.mean_r > 120.0 AND aud.rms > 18000.0
 """
 
 
+def m13_tar_samples(spark, sf_dir):
+    """M13: REAL WebDataset-style TAR shard codec (multimodal/tar.py).
+
+    Per document, a genuine (odd ids: gzipped) USTAR shard holding one
+    {key}.txt/{key}.cls[/{key}.bin] sample is built, carried as an
+    opaque binary column, then decoded by the real block-walking
+    parser inside Arrow mapInPandas: every header checksum is
+    re-verified, members are grouped into samples by the WebDataset
+    key rule, and archive_blocks seals the 512-byte padding/trailer
+    arithmetic — so ANY framing error anywhere breaks the hash match
+    against the formula-recomputing oracle. Zero shuffle; this is the
+    shard-ingest shape a tar-packed multimodal corpus reads with."""
+    from neuroimaging_data_pipeline_spark.multimodal.tar import (
+        synthesize_tar_shards,
+        tar_sample_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_tar_shards(d, id_col="doc_id")
+    feats = tar_sample_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_key",
+        "n_members",
+        "total_member_bytes",
+        "txt_sum",
+        "cls_val",
+        "bin_sum",
+        "archive_blocks",
+    )
+
+
+# mirrors _sample_members/encode_shard in multimodal/tar.py:
+# txt_len = 20 + id%40, txt_j = (id*17+j*11)%256; cls = id%10;
+# bin iff id%3!=0, bin_len = 5 + (id*7)%10, bin_j = (id*29+j*13)%256.
+# blocks: txt spans 1 hdr + 1 data block (len<=59), cls 1+1, bin 1+1,
+# trailer 2 -> 6 + (bin present ? 2 : 0).
+M13_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         20 + doc_id % 40 AS txt_len,
+         CASE WHEN doc_id % 3 <> 0 THEN 5 + (doc_id * 7) % 10 END AS bin_len
+  FROM documents
+), txt AS (
+  SELECT doc_id, SUM((doc_id * 17 + j.j * 11) % 256) AS txt_sum
+  FROM t, UNNEST(range(0, 60)) AS j(j)
+  WHERE j.j < txt_len GROUP BY doc_id
+), bin AS (
+  SELECT doc_id, SUM((doc_id * 29 + j.j * 13) % 256) AS bin_sum
+  FROM t, UNNEST(range(0, 15)) AS j(j)
+  WHERE bin_len IS NOT NULL AND j.j < bin_len GROUP BY doc_id
+)
+SELECT t.doc_id,
+       printf('%06d', t.doc_id) AS sample_key,
+       CAST(CASE WHEN t.bin_len IS NULL THEN 2 ELSE 3 END AS INT) AS n_members,
+       CAST(t.txt_len + 1 + COALESCE(t.bin_len, 0) AS BIGINT) AS total_member_bytes,
+       CAST(txt.txt_sum AS BIGINT) AS txt_sum,
+       CAST(t.doc_id % 10 AS INT) AS cls_val,
+       CAST(COALESCE(bin.bin_sum, 0) AS BIGINT) AS bin_sum,
+       CAST(6 + CASE WHEN t.bin_len IS NULL THEN 0 ELSE 2 END AS INT) AS archive_blocks
+FROM t
+JOIN txt ON t.doc_id = txt.doc_id
+LEFT JOIN bin ON t.doc_id = bin.doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
+    "m13_tar_samples": m13_tar_samples,
     "m10_audio_frames": m10_audio_frames,
     "m12_png_interlaced": m12_png_interlaced,
     "e4_multimodal_pipeline": e4_multimodal_pipeline,
@@ -440,6 +507,7 @@ QUERIES = {
 
 ORACLE = {
     "m8_mp4_meta": M8_SQL,
+    "m13_tar_samples": M13_SQL,
     "m10_audio_frames": M10_SQL,
     "m12_png_interlaced": M12_SQL,
     "e4_multimodal_pipeline": E4_SQL,
