@@ -599,8 +599,88 @@ WHERE {ham} <= {max_hamming}
 D_SIMHASH_SQL = _simhash_sql()
 
 
+def s_pq_codes(spark, sf_dir):
+    """Product quantization (similarity/pq.py): 4 subspaces x 8-code
+    codebooks trained by one deterministic Lloyd pass under L2, then
+    every vector encoded as its per-subspace nearest centroid — the
+    FAISS-style compression path (64 floats -> 4 codes) that makes a
+    billion-vector ANN index fit in RAM. Codebooks are KB driver
+    state (the MLlib iterative shape); training is one shuffle per
+    pass; encoding is map-only against the broadcast codebooks. The
+    oracle unrolls the identical seed + Lloyd pass + assignment in
+    SQL, landing on identical codes and rounded quantization errors."""
+    from neuroimaging_data_pipeline_spark.similarity.pq import (
+        pq_codebooks,
+        pq_codes,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    cbs = pq_codebooks(emb, m=4, k=8, lloyd_iters=1)
+    return pq_codes(emb, cbs)
+
+
+def _pq_sql(m: int = 4, sub: int = 16, k: int = 8) -> str:
+    """DuckDB twin of s_pq_codes: seed = k smallest-id vectors'
+    subvectors; one Lloyd pass (rounded-L2 argmin w/ cid tie-break,
+    member means rounded to 6, empty cells keep the seed); final
+    assignment under the updated codebooks."""
+    l2 = (
+        "(ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) + 0.0)"
+    )
+    return f"""
+WITH sub AS (
+  SELECT e.vec_id, s.s AS s,
+         list_transform(list_slice(e.embedding, s.s * {sub} + 1, s.s * {sub} + {sub}),
+                        x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings e, UNNEST(range(0, {m})) AS s(s)
+), cb0 AS (
+  SELECT s.s AS s, e.vec_id AS cid,
+         list_transform(list_slice(e.embedding, s.s * {sub} + 1, s.s * {sub} + {sub}),
+                        x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT {k}) e,
+       UNNEST(range(0, {m})) AS s(s)
+), a0 AS (
+  SELECT sub.vec_id, sub.s, sub.v, cb.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY sub.vec_id, sub.s
+           ORDER BY {l2.format(a="sub.v", b="cb.cvec")} ASC, cb.cid ASC
+         ) AS rn
+  FROM sub JOIN cb0 cb ON sub.s = cb.s
+), m0 AS (
+  SELECT t.s, t.cid, p.p AS pos,
+         (ROUND(AVG(t.v[p.p + 1]), 6) + 0.0) AS mval
+  FROM (SELECT s, cid, v FROM a0 WHERE rn = 1) t,
+       UNNEST(range(0, {sub})) AS p(p)
+  GROUP BY t.s, t.cid, p.p
+), cb1 AS (
+  SELECT cb0.s, cb0.cid, COALESCE(mm.mv, cb0.cvec) AS cvec
+  FROM cb0 LEFT JOIN (
+    SELECT s, cid, list(mval ORDER BY pos ASC) AS mv FROM m0 GROUP BY s, cid
+  ) mm ON cb0.s = mm.s AND cb0.cid = mm.cid
+), s1 AS (
+  SELECT sub.vec_id, sub.s, cb.cid,
+         {l2.format(a="sub.v", b="cb.cvec")} AS d
+  FROM sub JOIN cb1 cb ON sub.s = cb.s
+), a1 AS (
+  SELECT vec_id, s, cid, d,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, s ORDER BY d ASC, cid ASC
+         ) AS rn
+  FROM s1
+)
+SELECT vec_id, CAST(s AS INT) AS subspace, CAST(cid AS BIGINT) AS code,
+       d AS sq_err
+FROM a1 WHERE rn = 1
+"""
+
+
+S_PQ_SQL = _pq_sql()
+
+
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
+    "s_pq_codes": s_pq_codes,
     "s_ivf_topk": s_ivf_topk,
     "d_embedding_neardup": d_embedding_neardup,
     "s_lsh_topk": s_lsh_topk,
@@ -612,6 +692,7 @@ QUERIES = {
 
 ORACLE = {
     "s_cosine_topk": S_COSINE_SQL,
+    "s_pq_codes": S_PQ_SQL,
     "s_ivf_topk": S_IVF_SQL,
     "d_embedding_neardup": D_EMB_NEARDUP_SQL,
     "d_simhash": D_SIMHASH_SQL,

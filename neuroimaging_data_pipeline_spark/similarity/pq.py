@@ -1,0 +1,152 @@
+"""Product quantization (PQ) — the FAISS-style vector-compression
+path of billion-scale ANN (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011).
+
+The embedding is split into ``m`` contiguous subspaces; each subspace
+gets its own ``k``-centroid codebook trained by Lloyd's algorithm
+under **L2** (PQ's metric, unlike the cosine used by the IVF/SemDeDup
+machinery in ``similarity/cosine.py``); a vector's code is its nearest
+centroid id per subspace — ``m`` small ints replacing d floats (here
+4x8 codes for 64 floats; at 100 TB this is the difference between an
+in-RAM ANN index and none).
+
+Scale shape (mirrors kmeans_centroids): codebooks are m*k rows of
+KB-scale driver state between Lloyd passes — the standard Spark
+iterative-algorithm shape; each pass is ONE shuffle (the per-cell
+member mean, partial-aggregable); assignment itself is map-only
+against the broadcast codebook table, pure JVM column expressions
+(zip_with/aggregate — no Python row ops anywhere).
+
+Determinism discipline (same as IVF): seeding = the k smallest-id
+vectors' subvectors; distances ROUNDED to 6 decimals before the
+argmin with centroid-id tie-break; centroid means ROUNDED to 6
+between passes — so the oracle can unroll the identical passes in SQL
+and land on identical codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _l2sq(a, b):
+    """Squared L2 distance between two equal-length double arrays,
+    JVM-side (zip_with + aggregate fold in position order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(
+    df: DataFrame, m: int, sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, s, v) — one row per (vector, subspace), v the double-cast
+    length-``sub`` slice. Map-only."""
+    slices = F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), s * sub + 1, sub),
+                lambda x: x.cast("double"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("s", "v")
+    )
+
+
+def _assign(sub: DataFrame, cbs: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codebook centroid per (vector, subspace) by ROUNDED L2,
+    tie-break cid asc — one max_by aggregate (partial-agg, no per-key
+    sort). Returns (id, s, code, sq_err, v)."""
+    scored = sub.join(cbs, "s").withColumn(
+        "_d", F.round(_l2sq(F.col("v"), F.col("cvec")), 6) + F.lit(0.0)
+    )
+    # min(d, cid) == max of (-d, -cid)
+    order = F.struct((-F.col("_d")).alias("nd"), (-F.col("cid")).alias("nc"))
+    payload = F.struct(F.col("cid"), F.col("_d"), F.col("v"))
+    best = scored.groupBy(id_col, "s").agg(F.max_by(payload, order).alias("_b"))
+    return best.select(
+        id_col,
+        "s",
+        F.col("_b.cid").alias("code"),
+        F.col("_b._d").alias("sq_err"),
+        F.col("_b.v").alias("v"),
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks; returns the broadcast
+    (s, cid, cvec) table. Empty cells keep their previous centroid.
+    All m subspaces train inside the SAME jobs (subspace is just a
+    key), so a Lloyd pass costs one scan + one shuffle regardless of
+    m."""
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seeds = _subvectors(
+        corpus.orderBy(F.asc(id_col)).limit(k), m, sub, id_col, vec_col
+    ).select(
+        "s", F.col(id_col).alias("cid"), F.col("v").alias("cvec")
+    )
+    cb = {(r["s"], r["cid"]): list(r["cvec"]) for r in seeds.collect()}
+
+    def _broadcast_cb():
+        rows = [(s, cid, vec) for (s, cid), vec in sorted(cb.items())]
+        return F.broadcast(
+            spark.createDataFrame(
+                rows, "s int, cid long, cvec array<double>"
+            )
+        )
+
+    subv = _subvectors(corpus, m, sub, id_col, vec_col)
+    for _ in range(lloyd_iters):
+        members = _assign(subv, _broadcast_cb(), id_col)
+        comp = (
+            members.select("s", "code", F.posexplode("v").alias("pos", "val"))
+            .groupBy("s", "code", "pos")
+            .agg((F.round(F.avg("val"), 6) + F.lit(0.0)).alias("mval"))
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in comp.collect():
+            upd.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["mval"]
+        for key, comps in upd.items():
+            cb[key] = [comps[p] for p in range(sub)]
+    return _broadcast_cb()
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, subspace, code, sq_err) — one row per (vector, subspace):
+    the PQ code and the rounded squared quantization error. Map-only
+    against the broadcast codebooks; the long skinny output is the
+    hash-friendly form (a per-vector code array is one groupBy away
+    when a consumer wants it)."""
+    dim_row = corpus.select(vec_col).first()[0]
+    m = 1 + codebooks.agg(F.max("s")).first()[0]
+    sub = len(dim_row) // m
+    subv = _subvectors(corpus, m, sub, id_col, vec_col)
+    out = _assign(subv, codebooks, id_col)
+    return out.select(
+        id_col,
+        F.col("s").cast("int").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+        F.col("sq_err").alias("sq_err"),
+    )
