@@ -369,8 +369,70 @@ ASOF LEFT JOIN obs o
 """
 
 
+def ev_ohlc(spark, sf_dir):
+    """OHLC bars: per (event_type, hour) — open/close = value of the
+    first/last event in the bar (total order: ts, then event_id, so
+    no engine tie-break dependence), high/low = max/min, plus the
+    event count. The time-series downsampling shape (market bars,
+    metric rollups) as ONE hash aggregate: open/close are min_by/
+    max_by over the (ts, event_id) struct — partial-aggregable, no
+    per-bar sort, one shuffle on the bar key."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    o = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("event_type", "h")
+        .agg(
+            F.min_by("value", o).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", o).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("bar_hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+EV_OHLC_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, h
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, h
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:00') AS bar_hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM r
+GROUP BY event_type, h
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
+    "ev_ohlc": ev_ohlc,
     "ev_retention": ev_retention,
     "j7_asof_join": j7_asof_join,
     "w10_sessionize": w10_sessionize,
@@ -379,6 +441,7 @@ QUERIES = {
 
 ORACLE = {
     "ev_funnel": EV_FUNNEL_SQL,
+    "ev_ohlc": EV_OHLC_SQL,
     "ev_retention": EV_RETENTION_SQL,
     "j7_asof_join": J7_ASOF_SQL,
     "w10_sessionize": W10_SESSIONIZE_SQL,
