@@ -430,9 +430,86 @@ GROUP BY event_type, h
 """
 
 
+#: EWMA decay and lookback for w11 (windowed, adjust-style
+#: normalization over the frame actually present).
+EWMA_ALPHA = 0.25
+EWMA_LOOKBACK = 16  # rows incl. current; (1-a)^16 ~ 1% tail truncated
+
+
+def w11_ewma(spark, sf_dir):
+    """Windowed EWMA per user: exponentially weighted moving average
+    of event values over the trailing 16 events (total order: ts,
+    event_id), pandas adjust=True style — weights (1-a)^j normalized
+    over the frame actually present, so early rows are exact, not
+    zero-padded. The streaming-metrics smoothing shape.
+
+    Plan: ONE window (single shuffle on user_id, sort within) whose
+    frame collects the trailing values in order; the weighted sum is
+    a pure JVM fold (zip_with + aggregate) — no Python, no second
+    pass. The bounded frame is the scale contract: state per row is
+    16 doubles regardless of history length (an unbounded exact EWMA
+    is inherently sequential — that shape belongs to the stateful
+    streaming operator, not a batch window)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_LOOKBACK - 1), 0)
+    )
+    arr = F.collect_list("value").over(w)  # frame order: oldest..current
+    decay = F.lit(1.0 - EWMA_ALPHA)
+    # weight of element i in an n-frame: (1-a)^(n-1-i)
+    exps = F.sequence(F.size("arr") - 1, F.lit(0), F.lit(-1))
+    wsum = F.aggregate(
+        F.zip_with(F.col("arr"), exps, lambda x, j: x * F.pow(decay, j)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.aggregate(
+        F.transform(exps, lambda j: F.pow(decay, j)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ev.withColumn("arr", arr)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.round(wsum / norm, 6) + F.lit(0.0)).alias("ewma"),
+        )
+    )
+
+
+EV_EWMA_SQL = f"""
+WITH fr AS (
+  SELECT user_id, event_id, value,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING AND CURRENT ROW
+         ) AS arr
+  FROM events
+)
+SELECT user_id, event_id, value,
+       (ROUND(
+          list_sum(list_transform(
+            list_zip(arr, list_reverse(range(0, len(arr)))),
+            p -> p[1] * pow({1.0 - EWMA_ALPHA}, p[2])))
+          / list_sum(list_transform(
+            range(0, len(arr)), j -> pow({1.0 - EWMA_ALPHA}, j))),
+        6) + 0.0) AS ewma
+FROM fr
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_ohlc": ev_ohlc,
+    "w11_ewma": w11_ewma,
     "ev_retention": ev_retention,
     "j7_asof_join": j7_asof_join,
     "w10_sessionize": w10_sessionize,
@@ -442,6 +519,7 @@ QUERIES = {
 ORACLE = {
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_ohlc": EV_OHLC_SQL,
+    "w11_ewma": EV_EWMA_SQL,
     "ev_retention": EV_RETENTION_SQL,
     "j7_asof_join": J7_ASOF_SQL,
     "w10_sessionize": W10_SESSIONIZE_SQL,

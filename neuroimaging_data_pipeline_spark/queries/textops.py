@@ -922,8 +922,129 @@ GROUP BY bg.doc_id
 """
 
 
+def d_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup (text/urls.py) — the first dedup
+    pass of a crawl pipeline: the same resource hides behind case,
+    default ports, utm_* tracking params, parameter order, fragments
+    and trailing slashes; canonicalize, then hash-group on the
+    canonical key. Map-only string expressions + one partial-agg
+    shuffle on the canonical URL.
+
+    The fixture builds adversarial URLs from doc_id formulas (each
+    rule exercised); BOTH engines canonicalize independently — the
+    engine with text/urls.py column expressions, the oracle with
+    DuckDB string/list functions — so the rules themselves are what
+    is being matched, not a shared implementation."""
+    from neuroimaging_data_pipeline_spark.text.urls import canonical_url
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    scheme = (
+        F.when(n % 3 == 0, "HTTP").when(n % 3 == 1, "https").otherwise("HtTpS")
+    )
+    host = F.when(
+        n % 2 == 0,
+        F.concat(F.lit("WWW.SITE"), s(n % 40), F.lit(".ORG")),
+    ).otherwise(F.concat(F.lit("www.site"), s(n % 40), F.lit(".org")))
+    port = (
+        F.when(n % 5 == 0, ":443")
+        .when(n % 5 == 1, ":80")
+        .when(n % 5 == 2, ":8080")
+        .otherwise("")
+    )
+    path = (
+        F.when(n % 4 == 0, F.concat(F.lit("/a/b"), s(n % 7), F.lit("/")))
+        .when(n % 4 == 1, F.concat(F.lit("/a/b"), s(n % 7)))
+        .when(n % 4 == 2, "")
+        .otherwise("/")
+    )
+    query = (
+        F.when(
+            n % 3 == 0,
+            F.concat(F.lit("?utm_source=tw&id="), s(n % 9), F.lit("&ref=x")),
+        )
+        .when(n % 3 == 1, F.concat(F.lit("?ref=x&id="), s(n % 9)))
+        .otherwise("")
+    )
+    frag = F.when(n % 2 == 0, "#frag").otherwise("")
+    url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    return (
+        d.select("doc_id", canonical_url(url).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+D_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTpS' END)
+    || '://' ||
+    (CASE doc_id % 2 WHEN 0 THEN 'WWW.SITE' || CAST(doc_id % 40 AS VARCHAR) || '.ORG'
+                     ELSE 'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.org' END)
+    || (CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+                        WHEN 2 THEN ':8080' ELSE '' END)
+    || (CASE doc_id % 4 WHEN 0 THEN '/a/b' || CAST(doc_id % 7 AS VARCHAR) || '/'
+                        WHEN 1 THEN '/a/b' || CAST(doc_id % 7 AS VARCHAR)
+                        WHEN 2 THEN '' ELSE '/' END)
+    || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=tw&id=' || CAST(doc_id % 9 AS VARCHAR) || '&ref=x'
+                        WHEN 1 THEN '?ref=x&id=' || CAST(doc_id % 9 AS VARCHAR)
+                        ELSE '' END)
+    || (CASE doc_id % 2 WHEN 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM u
+), s2 AS (
+  SELECT doc_id,
+         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM s1
+), s3 AS (
+  SELECT *,
+         split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+         substr(rest, len(split_part(split_part(rest, '/', 1), '?', 1)) + 1) AS pathq
+  FROM s2
+), s4 AS (
+  SELECT *,
+         lower(split_part(hostport, ':', 1)) AS host,
+         CASE WHEN contains(hostport, ':')
+              THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+         split_part(pathq, '?', 1) AS path,
+         CASE WHEN contains(pathq, '?')
+              THEN substr(pathq, len(split_part(pathq, '?', 1)) + 2)
+              ELSE '' END AS query
+  FROM s3
+), s5 AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE ':' || port END AS portpart,
+         CASE WHEN regexp_replace(path, '/+$', '') = ''
+              THEN '/' ELSE regexp_replace(path, '/+$', '') END AS pathn,
+         list_sort(list_filter(string_split(query, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params
+  FROM s4
+), canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || portpart || pathn ||
+         CASE WHEN len(params) > 0
+              THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+  FROM s5
+)
+SELECT canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS keep_id
+FROM canon GROUP BY canon_url
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
+    "d_url_dedup": d_url_dedup,
     "d_passage_dedup": d_passage_dedup,
     "t_tfidf": t_tfidf,
     "d_fuzzy_pairs": d_fuzzy_pairs,
@@ -944,6 +1065,7 @@ QUERIES = {
 
 ORACLE = {
     "t_token_count": T_TOKEN_SQL,
+    "d_url_dedup": D_URL_SQL,
     "d_passage_dedup": D_PASSAGE_SQL,
     "t_tfidf": T_TFIDF_SQL,
     "d_fuzzy_pairs": D_FUZZY_SQL,
