@@ -678,9 +678,97 @@ FROM a1 WHERE rn = 1
 S_PQ_SQL = _pq_sql()
 
 
+def g_triangles(spark, sf_dir):
+    """Triangle counting over the symmetrized exact 3-NN graph —
+    the canonical distributed graph-analytics kernel (clustering
+    coefficients, community density) running on the similarity
+    structure the ANN family already builds.
+
+    Shape: knn_graph's sharded-GEMM edges are symmetrized to a
+    (lo, hi) edge set; triangles enumerate via the two-join wedge
+    closure with a<b<c (each triangle counted exactly once, no
+    orientation double-count), then one explode+groupBy credits each
+    vertex. The edge<->edge joins are fact-to-fact co-partitioned on
+    the wedge key — the standard distributed-triangle shape (edges
+    are never broadcastable at corpus scale); AQE broadcasts them at
+    bench sizes."""
+    from neuroimaging_data_pipeline_spark.similarity.cosine import knn_graph
+
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    g = knn_graph(emb, k=3, n_blocks=4)
+    e = (
+        g.select(
+            F.least("vec_id", "nbr_id").alias("a"),
+            F.greatest("vec_id", "nbr_id").alias("b"),
+        )
+        .distinct()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# the knn CTE mirrors S_KNN_GRAPH_SQL (queries/retrieval.py) —
+# inlined rather than imported to keep the module graph acyclic
+G_TRIANGLES_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS vec_id, a.vec_id AS nbr_id,
+         (ROUND(
+            list_sum(list_transform(list_zip(a.embedding, q.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          6) + 0.0) AS cosine
+  FROM embeddings a
+  JOIN embeddings q ON a.vec_id <> q.vec_id
+), knn AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT vec_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, nbr_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 3
+),
+e AS (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
+  FROM knn
+), tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), verts AS (
+  SELECT a AS vec_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
     "s_pq_codes": s_pq_codes,
+    "g_triangles": g_triangles,
     "s_ivf_topk": s_ivf_topk,
     "d_embedding_neardup": d_embedding_neardup,
     "s_lsh_topk": s_lsh_topk,
@@ -693,6 +781,7 @@ QUERIES = {
 ORACLE = {
     "s_cosine_topk": S_COSINE_SQL,
     "s_pq_codes": S_PQ_SQL,
+    "g_triangles": G_TRIANGLES_SQL,
     "s_ivf_topk": S_IVF_SQL,
     "d_embedding_neardup": D_EMB_NEARDUP_SQL,
     "d_simhash": D_SIMHASH_SQL,

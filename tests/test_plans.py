@@ -119,7 +119,17 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
     # as d_semdedup's declared join. The post-window/post-agg sides
     # have no stats, so the static planner picks SMJ; AQE broadcasts
     # them at bench sizes at runtime.
-    smj_ok = {"d_ngram_jaccard", "g_pagerank3", "d_semdedup", "e5_shard_pipeline"}
+    # g_triangles: the edge<->edge wedge-closure joins are
+    # fact-to-fact co-partitioned on the wedge key — the canonical
+    # distributed triangle-counting shape (an edge list is never
+    # broadcastable at corpus scale); AQE broadcasts at bench sizes.
+    smj_ok = {
+        "d_ngram_jaccard",
+        "g_pagerank3",
+        "d_semdedup",
+        "e5_shard_pipeline",
+        "g_triangles",
+    }
     offenders: dict[str, list[str]] = {}
     for name, fn in queries.items():
         plan = explain_str(fn(spark, SF_DIR))
