@@ -866,3 +866,52 @@ def test_jpeg_422_codec():
             decode_jpeg_color(encode_jpeg_color(img, subsampling="422")),
             err_msg=f"shape={shape}",
         )
+
+
+def test_stream_stream_enrich_join_matches_batch(spark, landing_dir):
+    """LIVE stream-stream inner join (streaming/dedup.py
+    enrich_stream): two readStream sources over the landing dir —
+    the full event stream and its signup-filtered metadata stream —
+    joined with the [event - 1h, event] time bound. Inner
+    stream-stream joins emit matches eagerly (the watermark bounds
+    STATE, not output), so append mode must reproduce the batch join
+    exactly, row for row."""
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.streaming.dedup import enrich_stream
+    from neuroimaging_data_pipeline_spark.streaming.events import (
+        stream_parquet_dir,
+    )
+
+    ev = stream_parquet_dir(spark, landing_dir).select(
+        "event_id", "user_id", "ts"
+    )
+    meta = (
+        stream_parquet_dir(spark, landing_dir)
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("mts"))
+    )
+    joined = enrich_stream(ev, meta)
+    assert joined.isStreaming
+    got = _run_to_memory(
+        spark, joined, "t_enrich_live", output_mode="append"
+    ).toPandas()
+
+    b = read_table(spark, SF_DIR, "events")
+    base = b.select("event_id", "user_id", "ts")
+    m = b.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("mu"), F.col("ts").alias("mts")
+    )
+    expect = (
+        base.join(
+            m,
+            (base.user_id == m.mu)
+            & (F.col("mts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("mts") <= F.col("ts")),
+        )
+        .select("event_id", "mts")
+        .toPandas()
+    )
+    assert len(got) == len(expect) > 0
+    got_pairs = sorted(zip(got["event_id"], got["mts"]))
+    exp_pairs = sorted(zip(expect["event_id"], expect["mts"]))
+    assert got_pairs == exp_pairs
