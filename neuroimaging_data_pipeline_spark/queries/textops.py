@@ -1042,9 +1042,127 @@ FROM canon GROUP BY canon_url
 """
 
 
+def e6_decontam_split(spark, sf_dir):
+    """E6: leak-free train/eval split assembled end-to-end as ONE
+    lazy plan — the step every LLM data pipeline must run before a
+    benchmark number can be trusted:
+
+      documents
+        -> deterministic 10% eval split (content-addressed md5
+           bucket, the t_sample primitive — never rand())
+        -> decontaminate train: drop any training doc sharing an
+           8-word shingle with the eval side (the d_contamination
+           machinery, probe = the eval split itself)
+        -> per-source report: eval size, kept/dropped train docs,
+           surviving token budget.
+
+    Scale: the split is map-only; eval's distinct shingle set
+    broadcasts (10% split of benchmark-ish size); the flagged-id
+    anti-join is id-keyed fact-to-fact (a contaminated set is a
+    corpus fraction in the worst case — same declared-SMJ class as
+    the other keep-set joins); stats are per-source dims."""
+    from neuroimaging_data_pipeline_spark.dedup.contamination import (
+        contamination_overlap,
+    )
+    from neuroimaging_data_pipeline_spark.text.analysis import hash_bucket
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    b = d.withColumn("bucket", hash_bucket("doc_id", 10))
+    ev = b.filter(F.col("bucket") == 0)
+    tr = b.filter(F.col("bucket") != 0)
+    flagged = (
+        contamination_overlap(tr, ev, k=8)
+        .filter(F.col("n_hits") > 0)
+        .select("doc_id")
+    )
+    kept = tr.join(flagged, "doc_id", "left_anti")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_kept"),
+        F.sum(F.size(F.split(norm, " ")).cast("long")).alias("kept_tokens"),
+    )
+    dropped = (
+        tr.join(flagged, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train_dropped"))
+    )
+    eval_stats = ev.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_eval")
+    )
+    spine = d.select("source").distinct()
+    return (
+        spine.join(F.broadcast(eval_stats), "source", "left")
+        .join(F.broadcast(kept_stats), "source", "left")
+        .join(F.broadcast(dropped), "source", "left")
+        .na.fill(
+            {
+                "n_eval": 0,
+                "n_train_kept": 0,
+                "kept_tokens": 0,
+                "n_train_dropped": 0,
+            }
+        )
+    )
+
+
+E6_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source, text,
+         CAST(('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 AS bucket
+  FROM documents
+), toks AS (
+  SELECT doc_id, bucket, regexp_split_to_array({_NORM_SQL}, ' ') AS t FROM b
+), sh AS (
+  SELECT doc_id, bucket, S AS shingle FROM (
+    SELECT doc_id, bucket,
+           UNNEST(list_distinct([array_to_string(t[i:i+7], ' ')
+                                 for i in generate_series(1, GREATEST(len(t) - 7, 1))])) AS S
+    FROM toks
+  ) WHERE S <> ''
+), probe AS (
+  SELECT DISTINCT shingle FROM sh WHERE bucket = 0
+), flagged AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN probe p ON s.shingle = p.shingle
+  WHERE s.bucket <> 0
+), tr AS (
+  SELECT * FROM b WHERE bucket <> 0
+), kept AS (
+  SELECT t.* FROM tr t
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM flagged)
+), kept_stats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_train_kept,
+         CAST(SUM(len(regexp_split_to_array({_NORM_SQL}, ' '))) AS BIGINT)
+           AS kept_tokens
+  FROM kept GROUP BY source
+), dropped AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_dropped
+  FROM tr WHERE doc_id IN (SELECT doc_id FROM flagged)
+  GROUP BY source
+), eval_stats AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_eval
+  FROM b WHERE bucket = 0 GROUP BY source
+), spine AS (
+  SELECT DISTINCT source FROM b
+)
+SELECT spine.source,
+       COALESCE(eval_stats.n_eval, 0) AS n_eval,
+       COALESCE(kept_stats.n_train_kept, 0) AS n_train_kept,
+       COALESCE(kept_stats.kept_tokens, 0) AS kept_tokens,
+       COALESCE(dropped.n_train_dropped, 0) AS n_train_dropped
+FROM spine
+LEFT JOIN eval_stats ON spine.source = eval_stats.source
+LEFT JOIN kept_stats ON spine.source = kept_stats.source
+LEFT JOIN dropped ON spine.source = dropped.source
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "d_url_dedup": d_url_dedup,
+    "e6_decontam_split": e6_decontam_split,
     "d_passage_dedup": d_passage_dedup,
     "t_tfidf": t_tfidf,
     "d_fuzzy_pairs": d_fuzzy_pairs,
@@ -1066,6 +1184,7 @@ QUERIES = {
 ORACLE = {
     "t_token_count": T_TOKEN_SQL,
     "d_url_dedup": D_URL_SQL,
+    "e6_decontam_split": E6_SQL,
     "d_passage_dedup": D_PASSAGE_SQL,
     "t_tfidf": T_TFIDF_SQL,
     "d_fuzzy_pairs": D_FUZZY_SQL,

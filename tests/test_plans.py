@@ -123,12 +123,16 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
     # fact-to-fact co-partitioned on the wedge key — the canonical
     # distributed triangle-counting shape (an edge list is never
     # broadcastable at corpus scale); AQE broadcasts at bench sizes.
+    # e6_decontam_split: the flagged-id anti/semi joins are id-keyed
+    # fact-to-fact (a contaminated set is a corpus fraction in the
+    # worst case) — same keep-set class as d_semdedup/e5.
     smj_ok = {
         "d_ngram_jaccard",
         "g_pagerank3",
         "d_semdedup",
         "e5_shard_pipeline",
         "g_triangles",
+        "e6_decontam_split",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in queries.items():
