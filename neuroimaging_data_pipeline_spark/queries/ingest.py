@@ -413,8 +413,90 @@ FROM read_text('{_REMOTE_DIR}/*.txt')
 """
 
 
+_PQMETA_PATH = os.path.join(
+    tempfile.gettempdir(), "ndp_spark_fixtures", "rowgroups.parquet"
+)
+
+
+def _write_pqmeta_fixture() -> str:
+    """Deterministic 3-row-group parquet (3000 rows, row_group_size
+    1000, three columns) — the artifact BOTH engines' parquet readers
+    inspect."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    os.makedirs(os.path.dirname(_PQMETA_PATH), exist_ok=True)
+    n = 3000
+    tbl = pa.table(
+        {
+            "id": pa.array(range(n), type=pa.int64()),
+            "val": pa.array([(i * 7 % 101) / 4.0 for i in range(n)]),
+            "name": pa.array([f"row-{i % 37:03d}" for i in range(n)]),
+        }
+    )
+    papq.write_table(tbl, _PQMETA_PATH, row_group_size=1000)
+    return _PQMETA_PATH
+
+
+_write_pqmeta_fixture()
+
+
+def s12_parquet_meta(spark, sf_dir):
+    """S12: REAL parquet footer decode (sources/parquet_meta.py) —
+    the engine parses the Thrift compact-protocol FileMetaData itself
+    (varints, zigzag, delta field ids, nested structs/lists) and
+    emits per-row-group planner statistics. Row-group stats are the
+    scan-pruning machinery at 100 TB; the parse is O(KB) per file and
+    embarrassingly parallel over a corpus (binaryFile + mapInPandas,
+    zero shuffle). The oracle reads the SAME fixture through DuckDB's
+    own parquet_metadata() — two independent parquet implementations
+    agreeing on one artifact (pytest adds pyarrow as a third across
+    every testdata table)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.sources.parquet_meta import (
+        parse_footer,
+    )
+
+    files = spark.read.format("binaryFile").load(_PQMETA_PATH)
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                meta = parse_footer(bytes(content))
+                for gi, (nr, tbs, nc) in enumerate(meta["row_groups"]):
+                    rows.append((gi, nr, tbs, nc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "row_group_id",
+                    "num_rows",
+                    "total_byte_size",
+                    "n_columns",
+                ],
+            )
+
+    return files.select("content").mapInPandas(
+        meta_batches,
+        "row_group_id int, num_rows long, total_byte_size long, n_columns int",
+    )
+
+
+S12_SQL = f"""
+SELECT DISTINCT CAST(row_group_id AS INT) AS row_group_id,
+       CAST(row_group_num_rows AS BIGINT) AS num_rows,
+       CAST(row_group_bytes AS BIGINT) AS total_byte_size,
+       CAST(row_group_num_columns AS INT) AS n_columns
+FROM parquet_metadata('{_PQMETA_PATH}')
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
+    "s12_parquet_meta": s12_parquet_meta,
     "s2_dir_listing": s2_dir_listing,
     "s4_sidecar_lookup": s4_sidecar_lookup,
     "s11_remote_fetch": s11_remote_fetch,
@@ -425,6 +507,7 @@ QUERIES = {
 
 ORACLE = {
     "s1_tsv_scan": S1_SQL,
+    "s12_parquet_meta": S12_SQL,
     "s2_dir_listing": S2_SQL,
     "s4_sidecar_lookup": S4_SQL,
     "s11_remote_fetch": S11_SQL,
