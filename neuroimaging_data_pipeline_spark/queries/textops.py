@@ -1159,10 +1159,65 @@ LEFT JOIN dropped ON spine.source = dropped.source
 """
 
 
+def d_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup report (dedup/cdc.py): chunk
+    boundaries chosen by a window-content hash (md5-parity, 16-char
+    window, divisor 64) so an insertion only disturbs the chunks it
+    touches — the shift-resistant complement to fixed-stride passage
+    dedup (the rsync/LBFS principle). Per doc: chunk count, mean
+    chunk length, and how many chunks are corpus-unique. Chunking is
+    map-only; the single shuffle is the chunk-frequency aggregate on
+    compact (md5, count) pairs."""
+    from neuroimaging_data_pipeline_spark.dedup.cdc import cdc_dedup_stats
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return cdc_dedup_stats(d)
+
+
+D_CDC_SQL = f"""
+WITH dd AS (
+  SELECT doc_id, {_NORM_SQL} AS s, len({_NORM_SQL}) AS L
+  FROM documents WHERE len({_NORM_SQL}) > 0
+), cutl AS (
+  SELECT doc_id, s, L,
+         list_sort(list_distinct(list_append(
+           list_filter(
+             [CASE WHEN CAST(('0x' || substr(md5(substr(s, i, 16)), 1, 4))
+                        AS BIGINT) % 64 = 0
+                   THEN i + 15 ELSE -1 END
+              for i in generate_series(1, GREATEST(L - 15, 0))],
+             x -> x <> -1),
+           L))) AS ends
+  FROM dd
+), chunks AS (
+  SELECT doc_id, k.k AS chunk_idx,
+         substr(s,
+                CASE WHEN k.k = 0 THEN 1 ELSE ends[k.k] + 1 END,
+                ends[k.k + 1]
+                  - (CASE WHEN k.k = 0 THEN 1 ELSE ends[k.k] + 1 END) + 1
+         ) AS chunk
+  FROM cutl, UNNEST(range(0, len(ends))) AS k(k)
+), h AS (
+  SELECT doc_id, md5(chunk) AS chunk_md5, len(chunk) AS chunk_len
+  FROM chunks
+), freq AS (
+  SELECT chunk_md5, COUNT(*) AS n_occ FROM h GROUP BY chunk_md5
+)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       (ROUND(AVG(h.chunk_len), 6) + 0.0) AS avg_chunk_len,
+       CAST(SUM(CASE WHEN freq.n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corpus_unique
+FROM h JOIN freq ON h.chunk_md5 = freq.chunk_md5
+GROUP BY h.doc_id
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "d_url_dedup": d_url_dedup,
     "e6_decontam_split": e6_decontam_split,
+    "d_cdc_chunks": d_cdc_chunks,
     "d_passage_dedup": d_passage_dedup,
     "t_tfidf": t_tfidf,
     "d_fuzzy_pairs": d_fuzzy_pairs,
@@ -1185,6 +1240,7 @@ ORACLE = {
     "t_token_count": T_TOKEN_SQL,
     "d_url_dedup": D_URL_SQL,
     "e6_decontam_split": E6_SQL,
+    "d_cdc_chunks": D_CDC_SQL,
     "d_passage_dedup": D_PASSAGE_SQL,
     "t_tfidf": T_TFIDF_SQL,
     "d_fuzzy_pairs": D_FUZZY_SQL,
