@@ -688,6 +688,57 @@ def gzip_text_features(
     return media.mapInPandas(feat_batches, out_schema)
 
 
+def synthesize_jsonl_shards(
+    lines: "DataFrame",
+    shard_col: str = "shard_id",
+    line_col: str = "payload",
+) -> "DataFrame":
+    """Real .jsonl.gz shards: ``lines`` carries one pre-built JSONL
+    payload string per shard (JSON serialization stays JVM-side via
+    to_json; only the byte compression runs here). One genuine
+    RFC 1952 member per shard. (media_id, content binary)."""
+    import gzip as _gz
+
+    out_schema = "media_id long, content binary"
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _gz.compress((t or "").encode("utf-8"), compresslevel=6, mtime=0)
+                for t in pdf[line_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[shard_col], "content": payloads})
+
+    return lines.select(shard_col, line_col).mapInPandas(
+        encode_batches, out_schema
+    )
+
+
+def gunzip_text(
+    media: "DataFrame",
+    id_col: str = "media_id",
+    content_col: str = "content",
+    out_col: str = "payload",
+) -> "DataFrame":
+    """Inflate gzip binaries back to text and STOP — unlike
+    gzip_text_features this emits the raw recovered payload so the
+    downstream parse (JSON lines, TSV, ...) stays in JVM expressions
+    (from_json / split), keeping Python to the byte codec only."""
+    import gzip as _gz
+
+    out_schema = f"{id_col} long, {out_col} string"
+
+    def inflate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [
+                _gz.decompress(bytes(p)).decode("utf-8")
+                for p in pdf[content_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: texts})
+
+    return media.mapInPandas(inflate_batches, out_schema)
+
+
 def resize_plan(
     media: DataFrame,
     target_w: int,

@@ -494,9 +494,82 @@ LEFT JOIN bin ON t.doc_id = bin.doc_id
 """
 
 
+def m14_jsonl_shards(spark, sf_dir):
+    """M14: REAL .jsonl.gz shard round trip — the storage shape text
+    corpora actually ship in. Five documents per shard are serialized
+    to JSON Lines JVM-side (to_json), gzip-compressed into genuine
+    RFC 1952 members (stdlib, deterministic mtime=0), carried as an
+    opaque binary column, inflated back in Arrow mapInPandas, and
+    re-parsed ENTIRELY in JVM expressions (split + from_json inside
+    array transforms — Python touches only the byte codec). Per-shard
+    stats over the RECOVERED records seal the whole frame: any
+    corruption in serialize -> gzip -> Arrow -> inflate -> parse
+    breaks the hash match against the oracle recomputing from the
+    original table."""
+    from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+        gunzip_text,
+        synthesize_jsonl_shards,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    line = F.to_json(F.struct("doc_id", "lang", "source", "text"))
+    shards = (
+        d.select(
+            F.floor(F.col("doc_id") / 5).cast("long").alias("shard_id"),
+            F.struct(F.col("doc_id"), line.alias("line")).alias("rec"),
+        )
+        .groupBy("shard_id")
+        .agg(F.array_sort(F.collect_list("rec")).alias("recs"))
+        .select(
+            "shard_id",
+            F.array_join(
+                F.transform("recs", lambda r: r["line"]), "\n"
+            ).alias("payload"),
+        )
+    )
+    media = synthesize_jsonl_shards(shards)
+    inflated = gunzip_text(media)
+    rec_schema = "doc_id long, lang string, source string, text string"
+    parsed = F.transform(
+        F.split("payload", "\n"), lambda l: F.from_json(l, rec_schema)
+    )
+    p = F.col("parsed")
+    return (
+        inflated.select(F.col("media_id").alias("shard_id"), parsed.alias("parsed"))
+        .select(
+            "shard_id",
+            F.size(p).cast("long").alias("n_docs"),
+            F.aggregate(
+                p,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.length(F.coalesce(x["text"], F.lit(""))).cast("long"),
+            ).alias("total_chars"),
+            F.aggregate(
+                p, F.lit(0).cast("long"), lambda acc, x: acc + x["doc_id"]
+            ).alias("sum_doc_id"),
+            F.size(
+                F.array_distinct(F.transform(p, lambda x: x["lang"]))
+            ).cast("long").alias("n_langs"),
+        )
+    )
+
+
+M14_SQL = """
+SELECT CAST(doc_id // 5 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m13_tar_samples": m13_tar_samples,
+    "m14_jsonl_shards": m14_jsonl_shards,
     "m10_audio_frames": m10_audio_frames,
     "m12_png_interlaced": m12_png_interlaced,
     "e4_multimodal_pipeline": e4_multimodal_pipeline,
@@ -508,6 +581,7 @@ QUERIES = {
 ORACLE = {
     "m8_mp4_meta": M8_SQL,
     "m13_tar_samples": M13_SQL,
+    "m14_jsonl_shards": M14_SQL,
     "m10_audio_frames": M10_SQL,
     "m12_png_interlaced": M12_SQL,
     "e4_multimodal_pipeline": E4_SQL,
