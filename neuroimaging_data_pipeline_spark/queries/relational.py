@@ -1175,10 +1175,49 @@ FROM long GROUP BY col_name
 T_PROFILE_SQL = _profile_sql()
 
 
+def a_key_skew(spark, sf_dir):
+    """Join-key skew diagnosis: the top-10 heaviest l_partkey values
+    with their share of all lineitem rows — the report that decides
+    whether a join needs salting/AQE skew handling BEFORE it runs
+    (functions/skew.py is the cure; this is the diagnosis). One
+    partial-agg shuffle on the key; the global top-10 is
+    TakeOrderedAndProject on the (count desc, key asc) total order;
+    the one-row total broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        counts.orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(10)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "n",
+            (F.round(F.col("n") / F.col("_tot"), 6) + F.lit(0.0)).alias(
+                "share"
+            ),
+        )
+    )
+
+
+A_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT SUM(n) AS t FROM counts
+)
+SELECT l_partkey, n,
+       (ROUND(n / CAST(tot.t AS DOUBLE), 6) + 0.0) AS share
+FROM (SELECT * FROM counts ORDER BY n DESC, l_partkey ASC LIMIT 10), tot
+"""
+
+
 QUERIES = {
     "p9_null_fill": p9_null_fill,
     "a_mad_outliers": a_mad_outliers,
     "t_profile": t_profile,
+    "a_key_skew": a_key_skew,
     "a4_count_distinct": a4_count_distinct,
     "a8_mode": a8_mode,
     "w1_zscore": w1_zscore,
@@ -1213,6 +1252,7 @@ ORACLE = {
     "p1_projection_filter": P1_SQL,
     "a_mad_outliers": A_MAD_SQL,
     "t_profile": T_PROFILE_SQL,
+    "a_key_skew": A_SKEW_SQL,
     "p6_like_predicate": P6_SQL,
     "p7_isin_label": P7_SQL,
     "p8_binarize": P8_SQL,
