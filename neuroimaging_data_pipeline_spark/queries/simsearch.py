@@ -619,17 +619,21 @@ def s_pq_codes(spark, sf_dir):
     return pq_codes(emb, cbs)
 
 
-def _pq_sql(m: int = 4, sub: int = 16, k: int = 8) -> str:
-    """DuckDB twin of s_pq_codes: seed = k smallest-id vectors'
-    subvectors; one Lloyd pass (rounded-L2 argmin w/ cid tie-break,
-    member means rounded to 6, empty cells keep the seed); final
-    assignment under the updated codebooks."""
-    l2 = (
-        "(ROUND(list_sum(list_transform(list_zip({a}, {b}),"
-        " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) + 0.0)"
-    )
-    return f"""
-WITH sub AS (
+_PQ_L2 = (
+    "(ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) + 0.0)"
+)
+
+
+def _pq_ctes(m: int = 4, sub: int = 16, k: int = 8) -> str:
+    """Shared PQ CTE chain (sub/cb0/a0/m0/cb1/s1/a1): seed = k
+    smallest-id vectors' subvectors; one Lloyd pass (rounded-L2
+    argmin w/ cid tie-break, member means rounded to 6, empty cells
+    keep the seed); final assignment under the updated codebooks.
+    Reused verbatim by the standalone s_pq_codes oracle and inside
+    the composed s_ivfpq_topk oracle."""
+    l2 = _PQ_L2
+    return f"""sub AS (
   SELECT e.vec_id, s.s AS s,
          list_transform(list_slice(e.embedding, s.s * {sub} + 1, s.s * {sub} + {sub}),
                         x -> CAST(x AS DOUBLE)) AS v
@@ -668,7 +672,12 @@ WITH sub AS (
            PARTITION BY vec_id, s ORDER BY d ASC, cid ASC
          ) AS rn
   FROM s1
-)
+)"""
+
+
+def _pq_sql() -> str:
+    return f"""
+WITH {_pq_ctes()}
 SELECT vec_id, CAST(s AS INT) AS subspace, CAST(cid AS BIGINT) AS code,
        d AS sq_err
 FROM a1 WHERE rn = 1
@@ -765,9 +774,84 @@ FROM verts GROUP BY vec_id
 """
 
 
+def s_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ approximate top-5 (similarity/pq.py:ivfpq_topk) — the
+    composed FAISS index: an 8-cell coarse IVF quantizer (one
+    deterministic Lloyd pass, cosine) prunes each query to nprobe=2
+    cells, and candidates are scored by PQ asymmetric distance (the
+    query's exact subvectors against each candidate's 4x8 CODE
+    centroids) — the scan touches m small ints per candidate, never
+    raw vectors. The oracle composes the proven IVF Lloyd CTEs with
+    the proven PQ CTE chain and recomputes the identical ADC
+    ranking."""
+    from neuroimaging_data_pipeline_spark.similarity.pq import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        emb, queries, n_cells=8, nprobe=2, m=4, k_codes=8, k=5
+    )
+
+
+def _ivfpq_sql() -> str:
+    adc_l2 = _PQ_L2.format(a="sub.v", b="cb.cvec")
+    return f"""
+WITH cents0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+),
+{_ivf_lloyd_sql(0)}
+assign_c AS ({_ivf_assign_sql("cents1")}),
+cells AS (
+  SELECT vec_id, cid AS cell FROM assign_c WHERE crn = 1
+),
+{_pq_ctes()},
+codes AS (
+  SELECT vec_id, s, cid AS code FROM a1 WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_CDOT} / ({_CNORM_V} * {_CNORM_C}) DESC, c.cid ASC
+           ) AS crn
+    FROM embeddings v CROSS JOIN cents1 c
+    WHERE v.vec_id < 5
+  ) WHERE crn <= 2
+), adc AS (
+  SELECT sub.vec_id AS query_id, cb.s, cb.cid AS code,
+         {adc_l2} AS ad
+  FROM sub JOIN cb1 cb ON sub.s = cb.s
+  WHERE sub.vec_id < 5
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         (ROUND(SUM(adc.ad), 6) + 0.0) AS approx_l2sq
+  FROM cells c
+  JOIN probe p ON c.cell = p.cell
+  JOIN codes k2 ON k2.vec_id = c.vec_id
+  JOIN adc ON adc.query_id = p.query_id
+          AND adc.s = k2.s AND adc.code = k2.code
+  WHERE c.vec_id <> p.query_id
+  GROUP BY p.query_id, c.vec_id
+)
+SELECT query_id, vec_id, approx_l2sq FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY approx_l2sq ASC, vec_id ASC
+         ) AS rn2
+  FROM scored
+) WHERE rn2 <= 5
+"""
+
+
+S_IVFPQ_SQL = _ivfpq_sql()
+
+
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
     "s_pq_codes": s_pq_codes,
+    "s_ivfpq_topk": s_ivfpq_topk,
     "g_triangles": g_triangles,
     "s_ivf_topk": s_ivf_topk,
     "d_embedding_neardup": d_embedding_neardup,
@@ -781,6 +865,7 @@ QUERIES = {
 ORACLE = {
     "s_cosine_topk": S_COSINE_SQL,
     "s_pq_codes": S_PQ_SQL,
+    "s_ivfpq_topk": S_IVFPQ_SQL,
     "g_triangles": G_TRIANGLES_SQL,
     "s_ivf_topk": S_IVF_SQL,
     "d_embedding_neardup": D_EMB_NEARDUP_SQL,

@@ -150,3 +150,91 @@ def pq_codes(
         F.col("code").cast("long").alias("code"),
         F.col("sq_err").alias("sq_err"),
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed FAISS index shape: a
+    coarse IVF quantizer prunes the corpus to ``nprobe`` cells per
+    query, and candidates are scored by PQ asymmetric distance
+    computation (ADC: the query's exact subvectors against each
+    candidate's CODE centroids) instead of touching raw vectors.
+
+    This is what makes billion-scale ANN tractable: the scan reads
+    m small ints per candidate, the ADC table is queries x m x
+    k_codes rounded distances (KB — broadcast), and only
+    ~nprobe/n_cells of the corpus is scored per query. (Classic
+    IVF-PQ quantizes residuals; this composition quantizes raw
+    vectors — the IVFFlat+ADC hybrid — so the PQ codebooks are
+    exactly the oracle-checked s_pq_codes artifacts.)
+
+    Scale shape: cells + codes are one-time build products (driver
+    KB state for centroids/codebooks, map-only assignment); the
+    query-time plan is cell equi-join -> code equi-join -> broadcast
+    ADC lookup -> one partial-agg sum per (query, candidate) -> per-
+    query top-k window over the pruned candidate set only."""
+    from neuroimaging_data_pipeline_spark.similarity.cosine import (
+        assign_nearest,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(
+        corpus, n_cells=n_cells, lloyd_iters=1, id_col=id_col, vec_col=vec_col
+    )
+    cells = assign_nearest(corpus, cents, id_col, vec_col, 1).select(
+        id_col, F.col("_cid").alias("cell")
+    )
+    cbs = pq_codebooks(corpus, m=m, k=k_codes, lloyd_iters=1,
+                       id_col=id_col, vec_col=vec_col)
+    codes = pq_codes(corpus, cbs, id_col=id_col, vec_col=vec_col).select(
+        id_col, F.col("subspace").alias("s"), "code"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probed = assign_nearest(q, cents, "query_id", "qvec", nprobe).select(
+        "query_id", F.col("_cid").alias("cell")
+    )
+    dim = len(corpus.select(vec_col).first()[0])
+    qsub = _subvectors(q, m, dim // m, "query_id", "qvec")
+    adc = F.broadcast(
+        qsub.join(cbs, "s").select(
+            "query_id",
+            "s",
+            F.col("cid").alias("code"),
+            (F.round(_l2sq(F.col("v"), F.col("cvec")), 6) + F.lit(0.0)).alias(
+                "ad"
+            ),
+        )
+    )
+    cand = (
+        # a query batch is bounded at any corpus scale -> broadcast
+        cells.join(F.broadcast(probed), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    scored = (
+        cand.join(codes, id_col)
+        .join(adc, ["query_id", "s", "code"])
+        .groupBy("query_id", id_col)
+        .agg((F.round(F.sum("ad"), 6) + F.lit(0.0)).alias("approx_l2sq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_l2sq"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "approx_l2sq")
+    )

@@ -89,3 +89,39 @@ def test_lloyd_pass_reduces_total_error(spark, emb):
     codes = pq_codes(emb, pq_codebooks(emb, m=M, k=K, lloyd_iters=1))
     n_vec = emb.count()
     assert codes.count() == n_vec * M  # one code per (vector, subspace)
+
+
+def test_ivfpq_recall_and_shape(spark, emb):
+    """IVF-PQ returns k pruned-and-quantized neighbors per query and
+    keeps usable recall against the exact L2 brute force (quality is
+    bounded by nprobe pruning + 4x8 quantization — pinned to a floor,
+    not to exactness, which is the whole point of the approximation)."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.similarity.pq import ivfpq_topk
+
+    queries = emb.filter("vec_id < 5")
+    got = ivfpq_topk(emb, queries, n_cells=8, nprobe=2, m=M, k_codes=K, k=5)
+    rows = got.collect()
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(len(v) for v in by_q.values()) == {5}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    recalls = []
+    for qid, approx in by_q.items():
+        d = {
+            vid: float(((v - vecs[qid]) ** 2).sum())
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        exact = [vid for vid, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:5]]
+        recalls.append(len(set(approx) & set(exact)) / 5)
+    # Floor, not exactness: at this toy scale (60 vectors, 8-vector
+    # seeded codebooks, nprobe=2 of 8 cells) pruning+quantization is
+    # deliberately lossy — the floor is far above random (5/59≈0.08)
+    # and the oracle pins the EXACT ADC semantics separately.
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
