@@ -288,6 +288,53 @@ WHERE n_chars >= 300 OR n_chars IS NULL
 """
 
 
+def sv_vacuum(spark, sf_dir):
+    """S10+: versioned-table VACUUM (sources/versioned.py) — the
+    Delta-style retention step that completes the copy-on-write DML
+    family: all but the newest 2 versions are expired (bytes deleted,
+    manifest history kept auditable). The query builds the same
+    3-version table as sv_time_travel, vacuums keep_last=2 (v0's data
+    is GONE), and returns the LATEST state — proving vacuum removed
+    history without touching the current version. The expired-read
+    error and manifest audit trail are pinned in pytest."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.sources.versioned import (
+        delete_where,
+        read_version,
+        update_where,
+        vacuum,
+        write_version,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ndp_spark_warehouse",
+        f"sv_vac_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_version(docs, root, operation="create")                     # v0
+    delete_where(spark, root, F.col("n_chars") < 300)                 # v1
+    update_where(spark, root, F.lit(True), {"lang": F.lit("xx")})     # v2
+    expired = vacuum(root, keep_last=2)
+    assert expired == [0], expired
+    return read_version(spark, root)  # latest (v2), untouched
+
+
+SV_VAC_SQL = """
+SELECT doc_id, 'xx' AS lang, n_chars
+FROM documents
+WHERE n_chars >= 300 OR n_chars IS NULL
+"""
+
+
 def sv_merge(spark, sf_dir):
     """S10++: versioned-table MERGE/upsert (sources/versioned.py
     merge_into — the Delta-style WHEN MATCHED UPDATE SET * / WHEN NOT
@@ -503,6 +550,7 @@ QUERIES = {
     "e3_motion_outlier_hist": e3_motion_outlier_hist,
     "sv_time_travel": sv_time_travel,
     "sv_merge": sv_merge,
+    "sv_vacuum": sv_vacuum,
 }
 
 ORACLE = {
@@ -514,4 +562,5 @@ ORACLE = {
     "e3_motion_outlier_hist": E3_SQL,
     "sv_time_travel": SV_TT_SQL,
     "sv_merge": SV_MERGE_SQL,
+    "sv_vacuum": SV_VAC_SQL,
 }

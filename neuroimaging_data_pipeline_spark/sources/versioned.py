@@ -77,11 +77,14 @@ def read_version(
     if not doc["versions"]:
         raise FileNotFoundError(f"no committed versions under {root}")
     versions = {v["version"]: v for v in doc["versions"]}
-    v = max(versions) if version is None else version
+    live = [n for n, v in versions.items() if not v.get("expired")]
+    v = max(live) if version is None else version
     if v not in versions:
         raise ValueError(
             f"version {v} not in table (have {sorted(versions)})"
         )
+    if versions[v].get("expired"):
+        raise ValueError(f"version {v} was vacuumed (expired)")
     return spark.read.parquet(os.path.join(root, versions[v]["path"]))
 
 
@@ -140,3 +143,28 @@ def merge_into(
         root,
         operation="merge",
     )
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[int]:
+    """Expire all but the newest ``keep_last`` versions: their data
+    directories are deleted and their manifest entries marked
+    ``expired`` (the history of operations stays auditable, the bytes
+    are gone — Delta VACUUM semantics). Returns the expired version
+    numbers. Reading an expired version raises; latest reads are
+    untouched. The commit point is the same single atomic manifest
+    rename as every other mutation."""
+    import shutil
+
+    doc = _read_manifest(root)
+    live = [v for v in doc["versions"] if not v.get("expired")]
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    to_expire = sorted(live, key=lambda v: v["version"])[:-keep_last]
+    expired = []
+    for v in to_expire:
+        shutil.rmtree(os.path.join(root, v["path"]), ignore_errors=True)
+        v["expired"] = True
+        v["expired_at"] = int(time.time())
+        expired.append(v["version"])
+    _commit_manifest(root, doc)
+    return expired

@@ -133,3 +133,37 @@ def test_merge_into_upsert(spark, tmp_path):
         for r in read_version(spark, root, version=ver - 1).collect()
     }
     assert pre == {1: "a", 2: "b", 3: "c"}
+
+
+def test_vacuum_expires_history_keeps_latest(spark, tmp_path):
+    import pytest as _pt
+
+    from neuroimaging_data_pipeline_spark.sources.versioned import (
+        _read_manifest,
+        read_version,
+        table_versions,
+        vacuum,
+        write_version,
+    )
+
+    root = str(tmp_path / "vac")
+    for n in (1, 2, 3):
+        write_version(
+            spark.range(n).withColumnRenamed("id", "k"), root
+        )
+    assert vacuum(root, keep_last=1) == [0, 1]
+    # latest read untouched
+    assert read_version(spark, root).count() == 3
+    # expired reads raise a clean error (not a file-not-found)
+    with _pt.raises(ValueError, match="vacuumed"):
+        read_version(spark, root, version=0)
+    # audit trail survives: manifest still lists all three versions
+    assert table_versions(root) == [0, 1, 2]
+    doc = _read_manifest(root)
+    assert [v.get("expired", False) for v in doc["versions"]] == [
+        True,
+        True,
+        False,
+    ]
+    # vacuuming again is a no-op
+    assert vacuum(root, keep_last=1) == []
