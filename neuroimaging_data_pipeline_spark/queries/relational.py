@@ -949,6 +949,79 @@ SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
 """
 
 
+def u4_intersect_all(spark, sf_dir):
+    """U4: INTERSECT ALL — BAG intersection with multiplicities (how
+    many of an order's line numbers appear BOTH among its returned
+    and its non-full-price lines, counted as many times as both bags
+    hold them). Completes the bag-semantics pair with u3's EXCEPT
+    ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber"
+    )
+    discounted = li.filter(F.col("l_discount") > 0).select(
+        "l_orderkey", "l_linenumber"
+    )
+    return returned.intersectAll(discounted)
+
+
+U4_SQL = """
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0
+"""
+
+
+def w12_range_frame(spark, sf_dir):
+    """W12: time-RANGE window frame — each event's trailing 10-minute
+    sum/count of values for the same user (RANGE BETWEEN, not ROWS:
+    the frame is defined by event-time distance, so bursts with many
+    events and quiet stretches with few get the same wall-clock
+    horizon). One window shuffle on user_id ordered by epoch seconds;
+    decimal-exact sums so rounding is order-independent."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    # dec_sum's decimal accumulation, attached at the window level
+    # (the cast wrapper must sit OUTSIDE the OVER clause)
+    dsum = F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.round(dsum, 6) + F.lit(0.0)).alias("sum_10min"),
+        F.count(F.lit(1)).over(w).alias("n_10min"),
+    )
+
+
+W12_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, value
+  FROM events
+)
+SELECT user_id, event_id,
+       (ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER (
+          PARTITION BY user_id ORDER BY sec
+          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+        ) AS DOUBLE), 6) + 0.0) AS sum_10min,
+       CAST(COUNT(*) OVER (
+          PARTITION BY user_id ORDER BY sec
+          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS n_10min
+FROM e
+"""
+
+
 # --- F: scalar function families ---------------------------------------------
 
 def f2_string_funcs(spark, sf_dir):
@@ -1218,6 +1291,8 @@ QUERIES = {
     "a_mad_outliers": a_mad_outliers,
     "t_profile": t_profile,
     "a_key_skew": a_key_skew,
+    "u4_intersect_all": u4_intersect_all,
+    "w12_range_frame": w12_range_frame,
     "a4_count_distinct": a4_count_distinct,
     "a8_mode": a8_mode,
     "w1_zscore": w1_zscore,
@@ -1253,6 +1328,8 @@ ORACLE = {
     "a_mad_outliers": A_MAD_SQL,
     "t_profile": T_PROFILE_SQL,
     "a_key_skew": A_SKEW_SQL,
+    "u4_intersect_all": U4_SQL,
+    "w12_range_frame": W12_SQL,
     "p6_like_predicate": P6_SQL,
     "p7_isin_label": P7_SQL,
     "p8_binarize": P8_SQL,
