@@ -566,10 +566,54 @@ GROUP BY 1
 """
 
 
+def m15_bmp_stats(spark, sf_dir):
+    """M15: REAL BMP/DIB codec (multimodal/bmp.py) — full
+    BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp BGR with 4-byte row
+    padding, and BOTH row orders (odd ids use the negative-height
+    top-down layout, even ids bottom-up), so the decoder's row flip
+    is oracle-sealed. Channel means recomputed from the pixel formula
+    in SQL; narrow zero-shuffle codec plan like its siblings."""
+    from neuroimaging_data_pipeline_spark.multimodal.bmp import (
+        bmp_features,
+        synthesize_bmp_images,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    feats = bmp_features(synthesize_bmp_images(d, id_col="doc_id"))
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_r", 6) + F.lit(0.0)).alias("mean_r"),
+        (F.round("mean_g", 6) + F.lit(0.0)).alias("mean_g"),
+        (F.round("mean_b", 6) + F.lit(0.0)).alias("mean_b"),
+    )
+
+
+# mirrors _pixel in multimodal/bmp.py over the 10x7 grid
+M15_SQL = """
+WITH px AS (
+  SELECT doc_id, x.x AS x, y.y AS y,
+         (doc_id * 3 + x.x * 5 + y.y * 11) % 256 AS r,
+         (doc_id * 7 + x.x * 13 + y.y * 3) % 256 AS g,
+         (doc_id * 11 + x.x * 2 + y.y * 7) % 256 AS b
+  FROM documents, UNNEST(range(0, 10)) AS x(x), UNNEST(range(0, 7)) AS y(y)
+)
+SELECT doc_id,
+       CAST(10 AS INT) AS width,
+       CAST(7 AS INT) AS height,
+       (ROUND(AVG(r), 6) + 0.0) AS mean_r,
+       (ROUND(AVG(g), 6) + 0.0) AS mean_g,
+       (ROUND(AVG(b), 6) + 0.0) AS mean_b
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m13_tar_samples": m13_tar_samples,
     "m14_jsonl_shards": m14_jsonl_shards,
+    "m15_bmp_stats": m15_bmp_stats,
     "m10_audio_frames": m10_audio_frames,
     "m12_png_interlaced": m12_png_interlaced,
     "e4_multimodal_pipeline": e4_multimodal_pipeline,
@@ -582,6 +626,7 @@ ORACLE = {
     "m8_mp4_meta": M8_SQL,
     "m13_tar_samples": M13_SQL,
     "m14_jsonl_shards": M14_SQL,
+    "m15_bmp_stats": M15_SQL,
     "m10_audio_frames": M10_SQL,
     "m12_png_interlaced": M12_SQL,
     "e4_multimodal_pipeline": E4_SQL,

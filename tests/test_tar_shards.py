@@ -74,3 +74,29 @@ def test_gzip_framing_and_block_count():
     # block arithmetic: hdr+data per member (all payloads < 512 here) + trailer
     assert tar_block_count(raw) == 2 + 2 + 2 + 2  # txt, cls, bin, trailer
     assert tar_block_count(encode_shard(0)) == 2 + 2 + 2  # id%3==0: no bin
+
+
+def test_bmp_roundtrip_both_orders_and_padding():
+    """BMP codec (multimodal/bmp.py): bottom-up and top-down layouts
+    decode to the same logical pixels; odd widths exercise the 4-byte
+    row padding; corrupt magic raises."""
+    import pytest as _pt
+
+    from neuroimaging_data_pipeline_spark.multimodal.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = [[(x * 9 % 256, y * 31 % 256, (x + y) % 256) for x in range(5)]
+          for y in range(4)]
+    up = encode_bmp(px, top_down=False)
+    down = encode_bmp(px, top_down=True)
+    assert up != down  # genuinely different byte layouts
+    assert decode_bmp(up) == decode_bmp(down) == px
+    # odd width: 3*3=9-byte rows pad to 12
+    px2 = [[(1, 2, 3)] * 3 for _ in range(2)]
+    buf = encode_bmp(px2)
+    assert (len(buf) - 54) % 4 == 0
+    assert decode_bmp(buf) == px2
+    with _pt.raises(ValueError, match="BM magic"):
+        decode_bmp(b"XX" + up[2:])
