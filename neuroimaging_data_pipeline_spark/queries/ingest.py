@@ -541,9 +541,56 @@ FROM parquet_metadata('{_PQMETA_PATH}')
 """
 
 
+def s13_avro_scan(spark, sf_dir):
+    """S13: REAL Avro Object Container codec (sources/avro.py) — the
+    row-oriented ingest format CDC/Kafka drops arrive in. The binary
+    encoding (zigzag varints, length-prefixed strings, LE doubles)
+    and container framing (metadata map, per-block sync markers,
+    null AND deflate codecs — odd ids deflate, block size 4 forcing
+    multi-block files) are parsed by the stdlib-only reader inside
+    Arrow mapInPandas; per-file aggregates over the recovered records
+    seal every layer against the formula-recomputing oracle."""
+    from neuroimaging_data_pipeline_spark.sources.avro import (
+        avro_features,
+        synthesize_avro_files,
+    )
+
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    feats = avro_features(synthesize_avro_files(d, id_col="doc_id"))
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_records",
+        "sum_rec_id",
+        "n_tags",
+        (F.round("sum_score", 6) + F.lit(0.0)).alias("sum_score"),
+    )
+
+
+# mirrors _fixture_records in sources/avro.py
+S13_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         doc_id * 100 + j.j AS rec_id,
+         'tag' || CAST((doc_id + j.j) % 7 AS VARCHAR) AS tag,
+         CAST((doc_id * 13 + j.j * 29) % 1000 AS DOUBLE) AS score
+  FROM documents, UNNEST(range(0, 11)) AS j(j)
+  WHERE j.j < 6 + doc_id % 5
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_records,
+       CAST(SUM(rec_id) AS BIGINT) AS sum_rec_id,
+       CAST(COUNT(DISTINCT tag) AS INT) AS n_tags,
+       (ROUND(SUM(score), 6) + 0.0) AS sum_score
+FROM r GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
+    "s13_avro_scan": s13_avro_scan,
     "s2_dir_listing": s2_dir_listing,
     "s4_sidecar_lookup": s4_sidecar_lookup,
     "s11_remote_fetch": s11_remote_fetch,
@@ -556,6 +603,7 @@ QUERIES = {
 ORACLE = {
     "s1_tsv_scan": S1_SQL,
     "s12_parquet_meta": S12_SQL,
+    "s13_avro_scan": S13_SQL,
     "s2_dir_listing": S2_SQL,
     "s4_sidecar_lookup": S4_SQL,
     "s11_remote_fetch": S11_SQL,
