@@ -506,10 +506,92 @@ FROM fr
 """
 
 
+def j8_interval_overlap(spark, sf_dir):
+    """J8: generic interval-interval overlap join (the two-sided
+    form of j2's interval->grid): per error event, how many click
+    intervals of the SAME user overlap it (half-open [s, s+value)
+    windows).
+
+    NOT an inequality join (BNLJ, O(|A| x |B|) per user at scale):
+    both sides explode to their covered 10-minute bins, the join is
+    an EQUI-join on (user, bin), the exact overlap predicate is
+    re-checked on the joined rows, and each qualifying pair counts
+    exactly ONCE via the canonical-bin rule (only the bin containing
+    the overlap start, floor(max(s_a, s_b)/step), keeps the pair —
+    the standard dedup for bin-partitioned interval joins). The
+    co-partitioned (user, bin) equi-join is the 100 TB shape; left
+    join back preserves zero-overlap events."""
+    step = 600.0
+    ev = read_table(spark, sf_dir, "events", min_partitions=32).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("double").alias("s"),
+        (F.unix_timestamp("ts") + F.col("value")).alias("e"),
+    )
+
+    def bins(df, prefix):
+        lo = F.floor(F.col("s") / step).cast("long")
+        hi = F.floor(F.col("e") / step).cast("long")
+        return df.withColumn("bin", F.explode(F.sequence(lo, hi))).select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("s").alias(f"{prefix}_s"),
+            F.col("e").alias(f"{prefix}_e"),
+            "bin",
+        )
+
+    a = ev.filter(F.col("event_type") == "error")
+    b = ev.filter(F.col("event_type") == "click")
+    pairs = (
+        bins(a, "a")
+        .join(bins(b, "b"), ["user_id", "bin"])
+        .filter(
+            (F.col("a_s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a_e"))
+            & (
+                F.floor(F.greatest("a_s", "b_s") / step).cast("long")
+                == F.col("bin")
+            )
+        )
+    )
+    counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
+    return (
+        a.select(F.col("event_id").alias("a_id"))
+        .join(counts, "a_id", "left")
+        .select(
+            F.col("a_id").alias("event_id"),
+            F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+        )
+    )
+
+
+J8_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS DOUBLE) AS s,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) + value AS e
+  FROM events
+), a AS (
+  SELECT * FROM ev WHERE event_type = 'error'
+), b AS (
+  SELECT * FROM ev WHERE event_type = 'click'
+), o AS (
+  SELECT a.event_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a JOIN b ON a.user_id = b.user_id
+               AND a.s < b.e AND b.s < a.e
+  GROUP BY a.event_id
+)
+SELECT a.event_id, COALESCE(o.n, 0) AS n_overlaps
+FROM a LEFT JOIN o ON a.event_id = o.event_id
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_ohlc": ev_ohlc,
     "w11_ewma": w11_ewma,
+    "j8_interval_overlap": j8_interval_overlap,
     "ev_retention": ev_retention,
     "j7_asof_join": j7_asof_join,
     "w10_sessionize": w10_sessionize,
@@ -520,6 +602,7 @@ ORACLE = {
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_ohlc": EV_OHLC_SQL,
     "w11_ewma": EV_EWMA_SQL,
+    "j8_interval_overlap": J8_SQL,
     "ev_retention": EV_RETENTION_SQL,
     "j7_asof_join": J7_ASOF_SQL,
     "w10_sessionize": W10_SESSIONIZE_SQL,

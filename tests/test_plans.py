@@ -126,6 +126,9 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
     # e6_decontam_split: the flagged-id anti/semi joins are id-keyed
     # fact-to-fact (a contaminated set is a corpus fraction in the
     # worst case) — same keep-set class as d_semdedup/e5.
+    # s_ivfpq_topk: the candidate<->code join is fact-to-fact (both
+    # sides scale with the corpus; co-partitioned on vec_id is the
+    # scale shape). The query-batch probe side IS broadcast.
     smj_ok = {
         "d_ngram_jaccard",
         "g_pagerank3",
@@ -133,6 +136,11 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
         "e5_shard_pipeline",
         "g_triangles",
         "e6_decontam_split",
+        "s_ivfpq_topk",
+        # j8_interval_overlap: both interval sets scale with the fact
+        # table; the co-partitioned (user, bin) equi-join IS the
+        # 100 TB interval-join shape (neither side broadcastable).
+        "j8_interval_overlap",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in queries.items():
