@@ -42,8 +42,16 @@ from pyspark.sql import DataFrame
 # ---------------------------------------------------------------- writer
 
 def _octal(n: int, width: int) -> bytes:
-    """Zero-padded octal field of ``width`` bytes incl. trailing NUL."""
-    return ("%0*o" % (width - 1, n)).encode("ascii") + b"\0"
+    """Zero-padded octal field of ``width`` bytes incl. trailing NUL.
+    Raises if the value doesn't fit in width-1 octal digits (mirrors
+    the name-length check): a silent overflow would grow the 512-byte
+    header via slice assignment and shift every later field offset."""
+    s = "%0*o" % (width - 1, n)
+    if len(s) > width - 1:
+        raise ValueError(
+            f"value {n} exceeds {width - 1}-digit octal USTAR field"
+        )
+    return s.encode("ascii") + b"\0"
 
 
 def _header(name: str, size: int) -> bytes:

@@ -34,7 +34,16 @@ def ks_drift(
 ) -> DataFrame:
     """(group, n, ks) — exact KS statistic of each group's value
     distribution against the REST of the corpus (leave-one-group-out).
-    Groups covering the whole corpus (no rest) yield ks NULL."""
+    Groups covering the whole corpus (no rest) yield ks NULL.
+
+    NULL contract: rows whose ``value_col`` is NULL are EXCLUDED from
+    the test (and from ``n``) up front. A KS statistic is defined over
+    an ordered domain NULL does not belong to; silently folding NULLs
+    into either CDF (or only into the totals, as a null-unsafe grid
+    join would) skews D. The SQL twin applies the identical filter, and
+    it also removes the engines' NULLS FIRST (Spark) vs NULLS LAST
+    (DuckDB) window-ordering divergence."""
+    df = df.na.drop(subset=[value_col])
     counts = (
         df.groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -115,7 +124,11 @@ def auc_drift(
     statistic (0.5 = no shift). Assembled entirely in integers:
     U2x = sum over values of a_cnt * (2 * rest_cum_below + rest_at),
     auc = U2x / (2 * n_g * n_rest); only the final division is
-    floating point. Same bounded distinct-value grid as ks_drift."""
+    floating point. Same bounded distinct-value grid as ks_drift,
+    same NULL contract: NULL values are excluded up front (in both
+    engines) — Mann-Whitney is an order statistic and NULL has no
+    place in the ranking."""
+    df = df.na.drop(subset=[value_col])
     counts = (
         df.groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -178,11 +191,12 @@ def auc_drift(
 def auc_drift_sql(
     value_col: str, group_col: str, table: str = "documents"
 ) -> str:
-    """DuckDB twin of :func:`auc_drift` — identical integer assembly."""
+    """DuckDB twin of :func:`auc_drift` — identical integer assembly,
+    identical NULL-exclusion contract."""
     return f"""
 WITH counts AS (
   SELECT {group_col} AS grp, {value_col} AS val, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
 ), total AS (
   SELECT CAST(SUM(cnt) AS BIGINT) AS n_all FROM counts
 ), gcum AS (
@@ -209,11 +223,12 @@ GROUP BY grp
 def ks_drift_sql(
     value_col: str, group_col: str, table: str = "documents"
 ) -> str:
-    """DuckDB twin: identical integer assembly, identical grid."""
+    """DuckDB twin: identical integer assembly, identical grid,
+    identical NULL-exclusion contract."""
     return f"""
 WITH counts AS (
   SELECT {group_col} AS grp, {value_col} AS val, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
 ), groups AS (
   SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_g FROM counts GROUP BY grp
 ), total AS (

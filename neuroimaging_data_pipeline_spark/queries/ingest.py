@@ -468,7 +468,11 @@ _PQMETA_PATH = os.path.join(
 def _write_pqmeta_fixture() -> str:
     """Deterministic 3-row-group parquet (3000 rows, row_group_size
     1000, three columns) — the artifact BOTH engines' parquet readers
-    inspect."""
+    inspect. Written lazily from s12_parquet_meta (write-if-missing),
+    NOT at import time: importing the package must not require pyarrow
+    or a writable tempdir (ADVICE r4)."""
+    if os.path.exists(_PQMETA_PATH):
+        return _PQMETA_PATH
     import pyarrow as pa
     import pyarrow.parquet as papq
 
@@ -483,9 +487,6 @@ def _write_pqmeta_fixture() -> str:
     )
     papq.write_table(tbl, _PQMETA_PATH, row_group_size=1000)
     return _PQMETA_PATH
-
-
-_write_pqmeta_fixture()
 
 
 def s12_parquet_meta(spark, sf_dir):
@@ -507,6 +508,7 @@ def s12_parquet_meta(spark, sf_dir):
         parse_footer,
     )
 
+    _write_pqmeta_fixture()
     files = spark.read.format("binaryFile").load(_PQMETA_PATH)
 
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -458,6 +458,59 @@ def test_ks_drift_disjoint_is_one(spark):
     assert got == {"a": 1.0, "b": 1.0}
 
 
+def test_drift_null_values_excluded(spark):
+    """ADVICE r4 (medium): NULLs in value_col must be EXCLUDED — not
+    dropped from one CDF while still counted in n_g/g_cum, and not
+    subject to the engines' opposite NULL ordering. Contract: result
+    on a nullable column == result on the pre-filtered column, and
+    the DuckDB twin agrees on the same data."""
+    import duckdb
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.operators.drift import (
+        auc_drift,
+        auc_drift_sql,
+        ks_drift,
+        ks_drift_sql,
+    )
+
+    rows = (
+        [("a", v) for v in range(20)]
+        + [("b", v + 10) for v in range(15)]
+        + [("a", None)] * 7          # NULL-heavy group
+        + [("b", None)] * 2
+    )
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    clean = df.na.drop(subset=["n_chars"])
+
+    for op in (ks_drift, auc_drift):
+        with_nulls = {
+            tuple(r) for r in op(df, "n_chars", "source").collect()
+        }
+        without = {
+            tuple(r) for r in op(clean, "n_chars", "source").collect()
+        }
+        assert with_nulls == without, op.__name__
+        # n excludes the NULL rows
+        ns = {r[0]: r[1] for r in with_nulls}
+        assert ns == {"a": 20, "b": 15}, op.__name__
+
+    # oracle twin parity on the identical nullable data
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["source", "n_chars"])
+    con.register("documents", pdf)
+    for op, sql in (
+        (ks_drift, ks_drift_sql("n_chars", "source")),
+        (auc_drift, auc_drift_sql("n_chars", "source")),
+    ):
+        eng = {tuple(r) for r in op(df, "n_chars", "source").collect()}
+        ora = {
+            tuple(r)
+            for r in con.execute(sql).df().itertuples(index=False)
+        }
+        assert eng == ora, op.__name__
+
+
 def test_knn_graph_block_count_invariance(spark):
     import numpy as np
 
