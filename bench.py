@@ -64,17 +64,46 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver records only the LAST 2000 chars of stdout and
+    # json-parses that (r4's full 152-query line was ~4 KB -> the
+    # recorded tail was unparseable, BENCH_r04.json "parsed": null).
+    # Contract: stdout is EXACTLY one compact JSON line that fits the
+    # window — summary totals plus the slowest queries; the complete
+    # per-query map goes to a file (and stderr) instead.
+    full = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    try:
+        full_path.write_text(json.dumps(full, separators=(",", ":")))
+    except OSError:
+        pass
+    print(json.dumps(full, separators=(",", ":")), file=sys.stderr)
+
+    line = {}
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])
     )
+    while True:
+        line = {
+            "metric": "total_query_runtime",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "queries_full": str(full_path),
+            "queries": slowest,
+            "sf": sf_val,
+        }
+        if len(json.dumps(line, separators=(",", ":"))) <= 1800:
+            break
+        slowest = dict(list(slowest.items())[: max(1, len(slowest) - 10)])
+    print(json.dumps(line, separators=(",", ":")))
     spark.stop()
 
 

@@ -52,22 +52,19 @@ from neuroimaging_data_pipeline_spark.queries import (
 )
 
 # Registration order is driver-visible (bounded correctness window —
-# the driver checks the first 50 registered). Modules whose queries
-# were modified this round or last come first so every recent change
-# gets a DRIVER verdict, not only the local replica (VERDICT r3 #2):
-# relational (r3-modified tail: a1, j1, j_broadcast_3way, u2, f3, a7),
-# misc (r4-modified group-level pair + new codec queries), neuro (every
-# query reads events through the r4 ts re-pin; streaming twins ordered
-# first within the module). The r1-proven, untouched scan/text/ANN
-# modules rotate out of the window this round.
-# The brand-new late-r4 modules (media: MP4/JPEG-progressive/ADAM7
-# codecs; eventsops: funnel/retention/asof/sessionize/LOCF;
-# sqlsurface: cube/percentiles/ranks/pivot/unpivot) register right
-# after the window — their green rows are the sf0.01 + sf0.1 replica
-# runs recorded in SURVEY §8; the window cutoff composition
-# (relational 29 + misc 19 + neuro's first two streaming twins)
-# stays exactly as planned for the ts re-pin.
-_MODULES = [relational, misc, neuro, media, eventsops, sqlsurface, ingest, textops, simsearch, retrieval, spatial]
+# the driver checks the first 50 registered). Round-5 rotation
+# (VERDICT r4 #2): maximize NEVER-driver-checked queries in the
+# window, computed against the union of CORRECTNESS_r01-r04 rows —
+# media (10 fresh: MP4/TAR/JSONL/BMP/JPEG-progressive codecs),
+# eventsops (8 fresh: funnel/OHLC/asof/sessionize/LOCF/EWMA),
+# sqlsurface (9 fresh: cube/grouping-sets/percentiles/ranks/pivot),
+# retrieval (16 fresh: BM25/kNN-graph/SemDeDup/BPE/KS-drift/logreg/
+# incremental-dedup/e5) = 43 all-fresh, topped up by textops' first 7
+# (incl. the r5-rewritten d_cdc_chunks, url/passage dedup, e6).
+# relational + misc rotate OUT (driver-green twice, r3 + r4); neuro/
+# spatial/ingest queries were driver-checked in r1/r2 and stay on
+# replica coverage this round.
+_MODULES = [media, eventsops, sqlsurface, retrieval, textops, simsearch, ingest, neuro, spatial, relational, misc]
 
 
 def all_queries():
