@@ -89,3 +89,40 @@ def test_shift_resistance(chunk_of):
 def test_short_doc_single_chunk(chunk_of):
     got = chunk_of(["tiny"])[0]
     assert got == [(4, hashlib.md5(b"tiny").hexdigest())]
+
+
+def test_vectorized_md5_kernel_matches_hashlib():
+    """The r5 numpy-vectorized single-block MD5 boundary kernel is
+    bit-exact against per-window hashlib, including batch slicing
+    (no window may cross a document boundary), empties, sub-window
+    docs, and the non-ASCII fallback path."""
+    import random
+    import string
+
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.dedup.cdc import (
+        _cut_ends,
+        _cut_ends_batch,
+        _md5_prefix16_all_windows,
+    )
+
+    rng = random.Random(99)
+    s = "".join(rng.choice(string.printable[:95]) for _ in range(400))
+    pref = _md5_prefix16_all_windows(
+        np.frombuffer(s.encode(), dtype=np.uint8), CDC_W
+    )
+    for p in range(len(s) - CDC_W + 1):
+        want = int.from_bytes(
+            hashlib.md5(s[p : p + CDC_W].encode()).digest()[:2], "big"
+        )
+        assert int(pref[p]) == want, p
+
+    texts = [
+        "".join(
+            rng.choice(string.ascii_lowercase + " .,")
+            for _ in range(rng.randint(0, 800))
+        )
+        for _ in range(60)
+    ] + ["", "tiny", "x" * CDC_W, "y" * (CDC_W - 1), "naïve façade " * 20]
+    assert _cut_ends_batch(texts) == [_cut_ends(t) for t in texts]
