@@ -83,7 +83,28 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket id from dot products against fixed hyperplanes."""
+    """Sign-bit bucket id from dot products against fixed hyperplanes.
+
+    When given a column NAME the whole bucket expression is assembled
+    as ONE SQL string (float literals string-cast so repr round-trips
+    bit-exactly): the Column-graph form creates dim x n_planes py4j
+    objects, which made DataFrame CONSTRUCTION (driver-side, before
+    any execution) take seconds per lsh_topk call. Same expression
+    tree, same IEEE fold order, so bucket ids are unchanged."""
+    if isinstance(vec_col, str):
+        bits = []
+        for i, p in enumerate(planes):
+            arr = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in p)
+            dot = (
+                f"aggregate(zip_with({vec_col}, array({arr}), "
+                "(x, y) -> CAST(x AS DOUBLE) * y), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bits.append(
+                f"shiftleft(CAST(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END"
+                f" AS BIGINT), {i})"
+            )
+        return F.expr("(" + " | ".join(bits) + ")")
     bucket = None
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(float(v)) for v in p])
@@ -115,17 +136,23 @@ def lsh_topk(
     (1 - p^n_planes)^n_tables); candidate volume grows ~linearly with
     tables.
 
-    Scale shape: bucket ids for all tables are computed in ONE map pass
-    (each is a few dot products against literal hyperplanes), the
-    corpus explodes x n_tables into (table, bucket) keys, and the
-    per-table bucket join is a single equi-join on (table, bucket)
-    against the broadcast query side. The OR-of-tables de-dup runs on
-    BARE (query, candidate) id pairs — the embedding arrays are
-    re-attached afterwards via a join back to the corpus (the tiny
-    candidate side broadcasts under AQE) — so the dedup shuffle
-    carries two longs per pair instead of two dim-length float
-    arrays; measured ~25% faster here and the byte savings grow with
-    dim at scale."""
+    Scale shape (r5): ONE corpus scan. Bucket ids for all tables are
+    computed in one map pass (each is a few dot products against
+    literal hyperplanes), the corpus explodes x n_tables into
+    (table, bucket) keys CARRYING its embedding, and the per-table
+    bucket join is a single equi-join against the broadcast query
+    side (query vectors ride along in the broadcast). The
+    OR-of-tables de-dup then shuffles candidate rows with their
+    vectors attached — candidates x dim floats, bounded by
+    queries x bucket occupancy, NOT by corpus size — and the exact
+    cosine re-rank + top-k window run on that same shuffled set.
+    r4's alternative (dedup bare id pairs, then join embeddings back)
+    shrank the dedup shuffle but paid a SECOND full corpus scan and
+    two more joins; at 100 TB a second scan of the corpus dwarfs a
+    query-bounded array shuffle, and at bench scale the stage count
+    dominated (measured 4.8x slower in-session). The plan is:
+    scan -> broadcast-join -> one exchange (dedup) -> one exchange
+    (top-k window)."""
     c = corpus
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
@@ -136,7 +163,7 @@ def lsh_topk(
         tables.append(
             F.struct(
                 F.lit(t).alias("table"),
-                lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                lsh_bucket(vec_col, planes).alias("bucket"),
             )
         )
     qtables = []
@@ -145,34 +172,29 @@ def lsh_topk(
         qtables.append(
             F.struct(
                 F.lit(t).alias("table"),
-                lsh_bucket(F.col("_qvec"), planes).alias("bucket"),
+                lsh_bucket("_qvec", planes).alias("bucket"),
             )
         )
     cb = c.select(
-        id_col, F.explode(F.array(*tables)).alias("_tb")
-    ).select(id_col, "_tb.table", "_tb.bucket")
+        id_col, vec_col, F.explode(F.array(*tables)).alias("_tb")
+    ).select(id_col, vec_col, "_tb.table", "_tb.bucket")
     qb = F.broadcast(
         q.select(
-            query_id_col, F.explode(F.array(*qtables)).alias("_tb")
-        ).select(query_id_col, "_tb.table", "_tb.bucket")
+            query_id_col, "_qvec", F.explode(F.array(*qtables)).alias("_tb")
+        ).select(query_id_col, "_qvec", "_tb.table", "_tb.bucket")
     )
     cand = (
         cb.join(qb, on=["table", "bucket"])
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col)
-        .dropDuplicates()
+        .dropDuplicates([query_id_col, id_col])
     )
-    scored = (
-        cand.join(c.select(id_col, vec_col), id_col)
-        .join(F.broadcast(q), query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            F.try_divide(
-                _dot(F.col(vec_col), F.col("_qvec")),
-                _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
-            ).alias("cosine"),
-        )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.try_divide(
+            _dot(F.col(vec_col), F.col("_qvec")),
+            _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
