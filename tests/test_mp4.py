@@ -178,3 +178,56 @@ def test_mp4_features_spark_roundtrip(spark):
             pay = np.frombuffer(_sample_payload(i, k, sizes[k]), np.uint8)
             assert sub.loc[k, "frame_size"] == sizes[k]
             assert sub.loc[k, "frame_sum"] == int(pay.sum())
+
+
+def test_mjpeg_roundtrip_constant_frames():
+    """MJPEG profile: real JPEG frames inside the real MP4 container
+    decode back to exact pixels (DC-only constant blocks)."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_gray,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.mp4 import (
+        decode_mp4_meta,
+        encode_mjpeg,
+        mjpeg_frame_value,
+    )
+
+    for d in (0, 3, 42, 101):
+        m = decode_mp4_meta(encode_mjpeg(d))
+        assert m["n_samples"] == 4 + d % 5
+        for i in range(m["n_samples"]):
+            off, size = m["sample_ranges"][i]
+            px = decode_jpeg_gray(bytes(m["data"][off : off + size]))
+            assert px.shape == (8, 8)
+            assert (px == mjpeg_frame_value(d, i)).all()
+
+
+def test_mjpeg_container_payload_transparency():
+    """Arbitrary (non-constant) JPEG frames survive the container
+    byte-for-byte: container-extracted payload decodes identically to
+    direct decode of the original encoding."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.mp4 import (
+        decode_mp4_meta,
+        encode_mp4,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        encode_jpeg_gray(rng.integers(0, 256, (16, 16)).astype(np.uint8))
+        for _ in range(3)
+    ]
+    m = decode_mp4_meta(encode_mp4(9, payloads=frames, codec=b"jpeg"))
+    assert m["n_samples"] == 3
+    for i, orig in enumerate(frames):
+        off, size = m["sample_ranges"][i]
+        extracted = bytes(m["data"][off : off + size])
+        assert extracted == orig
+        assert (decode_jpeg_gray(extracted) == decode_jpeg_gray(orig)).all()
