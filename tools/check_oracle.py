@@ -7,7 +7,12 @@ comparison (exact for non-floats, near-exact for floats — stricter
 than any plausible driver hash, so passing here should imply passing
 there).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json PATH] [sf_dir] [query ...]
+
+``--json PATH`` additionally writes one machine-readable record per
+query — {name: {status, secs, rows}} plus a summary — so a full-
+battery replica at any SF is ONE committed artifact (e.g.
+ORACLE_SF01_r5.json) instead of scattered per-commit notes.
 """
 
 from __future__ import annotations
@@ -59,8 +64,13 @@ def normalize(df):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if args and args[0] == "--json":
+        json_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
@@ -79,6 +89,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, rows_only = [], []
+    records: dict[str, dict] = {}
     n_ran = 0
     for name, fn in queries.items():
         if only and name not in only:
@@ -89,16 +100,28 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
+            records[name] = {
+                "status": "fail", "secs": round(time.time() - t0, 2),
+                "err": f"spark error: {e}"[:300],
+            }
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
             rows_only.append(name)
+            records[name] = {
+                "status": "rows_only", "secs": round(time.time() - t0, 2),
+                "rows": len(sdf),
+            }
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
+            records[name] = {
+                "status": "fail", "secs": round(time.time() - t0, 2),
+                "err": f"duckdb error: {e}"[:300],
+            }
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
@@ -118,14 +141,38 @@ def main() -> int:
                 problems.append("value mismatch" + detail)
         if problems:
             failures.append((name, "; ".join(problems)))
+            records[name] = {
+                "status": "fail", "secs": round(time.time() - t0, 2),
+                "rows": len(sdf), "err": "; ".join(problems)[:300],
+            }
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
+            records[name] = {
+                "status": "ok", "secs": round(time.time() - t0, 2),
+                "rows": len(sdf),
+            }
             print(f"OK   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
 
     print(
         f"\n{n_ran - len(failures) - len(rows_only)} ok, "
         f"{len(rows_only)} rows-only, {len(failures)} failed"
     )
+    if json_path:
+        import json
+
+        Path(json_path).write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": n_ran,
+                    "n_ok": n_ran - len(failures) - len(rows_only),
+                    "n_rows_only": len(rows_only),
+                    "n_failed": len(failures),
+                    "results": records,
+                },
+                indent=1,
+            )
+        )
     spark.stop()
     return 1 if failures else 0
 
