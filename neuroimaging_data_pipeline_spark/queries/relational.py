@@ -1117,6 +1117,45 @@ def a_approx_sketches(spark, sf_dir):
     )
 
 
+def a_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-user count per event type
+    (operators/sketches.py) — the one-pass, mergeable, bounded-memory
+    cardinality estimator that replaces exact COUNT(DISTINCT) at
+    100 TB (Spark's approx_count_distinct is the production built-in;
+    this md5-pinned variant makes the ENTIRE sketch path — bucketing,
+    rho, registers, bias-corrected estimate — value-hash checkable
+    against DuckDB, which a_approx_sketches' engine-internal sketch
+    cannot be). 256 registers, ~6.5% rel. error; one compact-key
+    shuffle with map-side max partials."""
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", "event_type")
+
+
+def d_bloom_probe(spark, sf_dir):
+    """Deterministic Bloom-filter join pruning
+    (operators/sketches.py): the customers holding a big order
+    (o_totalprice > 400000) set K=3 md5-salted bits in an 8192-bit
+    filter; every customer row is then flagged 'maybe present' by
+    probing all K bits — the predicate a 100 TB pipeline pushes ahead
+    of an expensive join so the shuffle only carries probable
+    matches (false positives possible and IDENTICAL in both engines,
+    false negatives impossible). The set-bit table is a <= M-row dim
+    broadcast to the probe scan; no probe-side shuffle."""
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        bloom_build_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return bloom_build_probe(orders, cust, "o_custkey", "c_custkey")
+
+
 # Registration order is driver-visible: the correctness gate checks
 # queries in registration order with a bounded window (round 1: first
 # 50 of 67). Queries needing a fresh driver verdict (newly fixed or
@@ -1302,6 +1341,8 @@ QUERIES = {
     "j3b_anti_join": j3b_anti_join,
     "j6_first_match_rules": j6_first_match_rules,
     "a_approx_sketches": a_approx_sketches,
+    "a_hll_distinct": a_hll_distinct,
+    "d_bloom_probe": d_bloom_probe,
     "p1_projection_filter": p1_projection_filter,
     "p6_like_predicate": p6_like_predicate,
     "p7_isin_label": p7_isin_label,
@@ -1323,7 +1364,25 @@ QUERIES = {
     "f6_array_ops": f6_array_ops,
 }
 
+def _sketch_oracles() -> dict[str, str]:
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        bloom_probe_sql,
+        hll_distinct_sql,
+    )
+
+    return {
+        "a_hll_distinct": hll_distinct_sql("user_id", "event_type", "events"),
+        "d_bloom_probe": bloom_probe_sql(
+            "o_custkey",
+            "c_custkey",
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)",
+            "customer",
+        ),
+    }
+
+
 ORACLE = {
+    **_sketch_oracles(),
     "p1_projection_filter": P1_SQL,
     "a_mad_outliers": A_MAD_SQL,
     "t_profile": T_PROFILE_SQL,

@@ -30,3 +30,65 @@ def test_sketches_within_error_bounds(spark):
         assert abs(g.approx_parts - e.parts) / e.parts < 0.05
         assert abs(g.approx_median - e["median"]) / e["median"] < 0.01
         assert abs(g.approx_p95 - e.p95) / e.p95 < 0.01
+
+
+def test_hll_deterministic_accuracy(spark):
+    """The md5-pinned HLL estimate lands within ~3 standard errors
+    (256 registers -> 6.5% rel. error) of the true cardinality, and
+    is exactly reproducible across partitionings (deterministic
+    hash -> deterministic registers)."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    n_true = 5000
+    df = spark.range(n_true * 3).select(
+        (F.col("id") % n_true).alias("v"),
+        (F.col("id") % 2).cast("string").alias("g"),
+    )
+    out = {r.g: r.estimate for r in hll_distinct(df, "v", "g").collect()}
+    # n_true is even, so each parity group only ever sees values of
+    # its own parity: 2500 distinct per group.
+    for g, est in out.items():
+        assert abs(est - 2500) / 2500 < 0.2, (g, est)
+    out2 = {
+        r.g: r.estimate
+        for r in hll_distinct(df.repartition(17), "v", "g").collect()
+    }
+    assert out == out2
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities take the linear-counting branch and stay
+    within a few percent."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    df = spark.range(40).select(F.col("id").alias("v"))
+    est = hll_distinct(df, "v").collect()[0].estimate
+    assert abs(est - 40) <= 4, est
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every build-side value probes as a hit (Bloom's hard
+    guarantee); non-members may false-positive but at M=8192/K=3 and
+    200 build keys the rate stays low."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        bloom_build_probe,
+    )
+
+    build = spark.range(200).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(2000).select((F.col("id") * 7).alias("k"))
+    out = {r.k: r.bloom_hit for r in
+           bloom_build_probe(build, probe, "k", "k").collect()}
+    members = {i * 7 for i in range(200)}
+    assert all(out[k] == 1 for k in members)
+    fp = sum(v for k, v in out.items() if k not in members)
+    assert fp / (len(out) - len(members)) < 0.05, fp
