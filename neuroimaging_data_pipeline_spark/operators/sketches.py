@@ -24,7 +24,7 @@ and bit arrays are KB-scale dims. No Python rows anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: HLL: m = 2^P registers. P=8 -> 256 registers, ~6.5% rel. error.
@@ -234,4 +234,117 @@ WITH bits AS (
 SELECT {probe_col},
        CAST(CASE WHEN {checks} THEN 1 ELSE 0 END AS INT) AS bloom_hit
 FROM {probe_from}
+"""
+
+
+#: Count-min sketch: D salted hash rows, W counters per row.
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_pos(col, d: int) -> F.Column:
+    """Row-d counter index: 16-bit slice [1+4d, 4+4d) of the salted
+    md5, mod W — same exact-small-integer discipline as Bloom."""
+    salted = F.md5(F.concat(F.lit("cms:"), col.cast("string")))
+    return (
+        F.conv(F.substring(salted, 1 + 4 * d, 4), 16, 10).cast("long")
+        % F.lit(CMS_W)
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, value_col: str, k: int = 10
+) -> DataFrame:
+    """Count-min heavy hitters with a FIXED md5 hash family: every
+    value increments one counter per row (D x W table, KB-scale, one
+    partial-aggregable shuffle); a value's frequency estimate is the
+    MIN of its D counters (over-estimate only — collisions can
+    inflate, never deflate). Returns the top-``k`` distinct values by
+    (estimate DESC, value ASC) with their estimates and, at this
+    checkable scale, the true counts alongside.
+
+    This is the bounded-memory frequency/heavy-hitter primitive at
+    100 TB (trending keys, hot-shard detection, vocabulary heads)
+    where exact per-key counts would be a corpus-wide shuffle on an
+    unbounded key domain: the sketch is D*W counters regardless of
+    cardinality and merges by cell-wise addition. Deterministic hash
+    -> both engines compute identical counters, estimates, and
+    top-k."""
+    counters = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("_d"),
+                            _cms_pos(F.col(value_col), d).alias("_w"),
+                        )
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("_c")
+        )
+        .groupBy("_c._d", "_c._w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("true_count"))
+    probed = vals.select(
+        value_col,
+        "true_count",
+        *[_cms_pos(F.col(value_col), d).alias(f"_p{d}") for d in range(CMS_D)],
+    )
+    out = probed
+    for d in range(CMS_D):
+        out = out.join(
+            F.broadcast(
+                counters.filter(F.col("_d") == d).select(
+                    F.col("_w").alias(f"_p{d}"), F.col("_n").alias(f"_n{d}")
+                )
+            ),
+            f"_p{d}",
+        )
+    est = F.least(*[F.col(f"_n{d}") for d in range(CMS_D)])
+    ranked = out.select(
+        value_col, est.alias("estimate"), "true_count"
+    )
+    w = Window.orderBy(F.desc("estimate"), F.asc(value_col))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def cms_heavy_hitters_sql(value_col: str, table: str, k: int = 10) -> str:
+    """DuckDB twin: identical salted positions, counters, min-estimate
+    and top-k key."""
+    def pos(col, d):
+        return (
+            f"(CAST(('0x' || substr(md5('cms:' || CAST({col} AS VARCHAR)),"
+            f" {1 + 4 * d}, 4)) AS BIGINT) % {CMS_W})"
+        )
+
+    cnt_union = " UNION ALL ".join(
+        f"SELECT {d} AS _d, {pos(value_col, d)} AS _w FROM {table}"
+        for d in range(CMS_D)
+    )
+    est = "LEAST(" + ", ".join(
+        f"(SELECT _n FROM counters c WHERE c._d = {d}"
+        f" AND c._w = {pos('v.' + value_col, d)})"
+        for d in range(CMS_D)
+    ) + ")"
+    return f"""
+WITH cells AS (
+  {cnt_union}
+), counters AS (
+  SELECT _d, _w, CAST(COUNT(*) AS BIGINT) AS _n FROM cells GROUP BY _d, _w
+), vals AS (
+  SELECT {value_col}, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM {table} GROUP BY {value_col}
+), ranked AS (
+  SELECT v.{value_col}, {est} AS estimate, v.true_count,
+         ROW_NUMBER() OVER (ORDER BY {est} DESC, v.{value_col} ASC) AS rn
+  FROM vals v
+)
+SELECT {value_col}, estimate, true_count FROM ranked WHERE rn <= {k}
 """

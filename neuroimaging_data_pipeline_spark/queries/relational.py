@@ -1156,6 +1156,26 @@ def d_bloom_probe(spark, sf_dir):
     return bloom_build_probe(orders, cust, "o_custkey", "c_custkey")
 
 
+def a_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketches.py): the
+    top-10 most active users by CMS frequency ESTIMATE (min over 4
+    salted counter rows of 1024 cells) — the bounded-memory
+    frequency primitive for unbounded key domains at 100 TB (hot-key
+    detection, vocabulary heads, trending entities), where exact
+    per-key counts would shuffle the corpus by an unbounded key. The
+    sketch is 4x1024 counters regardless of cardinality and merges
+    cell-wise; the md5-pinned hash family makes counters, estimates
+    and the top-k all value-hash checkable against DuckDB. True
+    counts ride along so the over-estimate-only guarantee is visible
+    in the output."""
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", k=10)
+
+
 # Registration order is driver-visible: the correctness gate checks
 # queries in registration order with a bounded window (round 1: first
 # 50 of 67). Queries needing a fresh driver verdict (newly fixed or
@@ -1343,6 +1363,7 @@ QUERIES = {
     "a_approx_sketches": a_approx_sketches,
     "a_hll_distinct": a_hll_distinct,
     "d_bloom_probe": d_bloom_probe,
+    "a_cms_heavy_hitters": a_cms_heavy_hitters,
     "p1_projection_filter": p1_projection_filter,
     "p6_like_predicate": p6_like_predicate,
     "p7_isin_label": p7_isin_label,
@@ -1370,6 +1391,10 @@ def _sketch_oracles() -> dict[str, str]:
         hll_distinct_sql,
     )
 
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        cms_heavy_hitters_sql,
+    )
+
     return {
         "a_hll_distinct": hll_distinct_sql("user_id", "event_type", "events"),
         "d_bloom_probe": bloom_probe_sql(
@@ -1377,6 +1402,9 @@ def _sketch_oracles() -> dict[str, str]:
             "c_custkey",
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)",
             "customer",
+        ),
+        "a_cms_heavy_hitters": cms_heavy_hitters_sql(
+            "user_id", "events", k=10
         ),
     }
 

@@ -92,3 +92,29 @@ def test_bloom_no_false_negatives(spark):
     assert all(out[k] == 1 for k in members)
     fp = sum(v for k, v in out.items() if k not in members)
     assert fp / (len(out) - len(members)) < 0.05, fp
+
+
+def test_cms_overestimate_only_and_exactness(spark):
+    """Count-min estimates are >= true counts (collisions only
+    inflate), exact for keys whose cells are collision-free, and
+    deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    # skewed: key 0 appears 500x, keys 1..99 appear (k % 7) + 1 times
+    rows = [(0,)] * 500 + [(k,) for k in range(1, 100) for _ in range(k % 7 + 1)]
+    df = spark.createDataFrame(rows, "v long")
+    out = {r.v: (r.estimate, r.true_count)
+           for r in cms_heavy_hitters(df, "v", k=100).collect()}
+    assert out[0][1] == 500
+    for v, (est, true) in out.items():
+        assert est >= true, (v, est, true)
+    # the heavy hitter tops the ranking
+    top = cms_heavy_hitters(df, "v", k=1).collect()[0]
+    assert top.v == 0 and top.estimate >= 500
+    out2 = {r.v: (r.estimate, r.true_count)
+            for r in cms_heavy_hitters(df.repartition(13), "v", k=100).collect()}
+    assert out == out2
