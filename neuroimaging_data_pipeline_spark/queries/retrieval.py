@@ -653,7 +653,33 @@ FROM doc_stats d LEFT JOIN chunk_stats c USING (source)
 E5_SQL = _e5_sql()
 
 
+def t_nb_lang(spark, sf_dir):
+    """In-engine multinomial naive-Bayes language classifier
+    (text/nbayes.py): trained on the labeled corpus (class = lang,
+    Laplace alpha=1) and self-scored — per document the argmax class
+    and its decimal-exact log-likelihood score. Training IS two
+    partial-aggregable count aggregates (no iterations, no driver
+    state beyond the KB model tables), the canonical closed-form
+    counting model next to a_logreg_gd's gradient family; scoring
+    joins token occurrences against the broadcast model per class.
+    Two shuffles at any corpus size."""
+    from neuroimaging_data_pipeline_spark.text.nbayes import nb_train_score
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    return nb_train_score(d)
+
+
+def _nb_sql() -> str:
+    from neuroimaging_data_pipeline_spark.text.nbayes import nb_sql
+
+    return nb_sql()
+
+
+T_NB_SQL = _nb_sql()
+
+
 QUERIES = {
+    "t_nb_lang": t_nb_lang,
     "s_bm25_topk": s_bm25_topk,
     "e5_shard_pipeline": e5_shard_pipeline,
     "t_chunk": t_chunk,
@@ -673,6 +699,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t_nb_lang": T_NB_SQL,
     "s_bm25_topk": S_BM25_SQL,
     "e5_shard_pipeline": E5_SQL,
     "t_chunk": T_CHUNK_SQL,

@@ -564,3 +564,28 @@ def test_ivfpq_refine_recall_clustered(spark):
     hits = sum(len(set(got.get(q, [])) & set(truth[q])) for q in qids)
     recall = hits / (5 * len(qids))
     assert recall >= 0.8, recall
+
+
+def test_naive_bayes_classifies_separable_corpus(spark):
+    """NB trained on a clearly separable labeled corpus predicts the
+    training labels back (self-scoring sanity) and matches a
+    hand-computed score on a tiny case."""
+    import math
+
+    from neuroimaging_data_pipeline_spark.text.nbayes import nb_train_score
+
+    rows = (
+        [(i, "le chat mange du pain", "fr") for i in range(5)]
+        + [(10 + i, "the dog eats some bread", "en") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: (r.predicted, r.score)
+           for r in nb_train_score(docs).collect()}
+    for i in range(5):
+        assert out[i][0] == "fr", out[i]
+        assert out[10 + i][0] == "en", out[10 + i]
+    # hand-check doc 0: V=10 distinct words, N_fr=25 tokens,
+    # every fr token count = 5 -> ll = 5 * ln(6/35); prior = ln(0.5)
+    want = round(5 * round(math.log(6 / 35) * 1e10) / 1e10
+                 + math.log(0.5), 6)
+    assert abs(out[0][1] - want) < 2e-6, (out[0][1], want)
