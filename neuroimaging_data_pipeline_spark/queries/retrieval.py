@@ -678,8 +678,75 @@ def _nb_sql() -> str:
 T_NB_SQL = _nb_sql()
 
 
+def e7_classifier_filter(spark, sf_dir):
+    """E7 — model-in-the-loop curation as ONE lazy plan: train the
+    naive-Bayes language classifier on the labeled corpus, self-score
+    every document, and keep only documents whose PREDICTED class
+    agrees with their label (the classifier-agreement filter that
+    catches label noise / misrouted crawl content — the same shape as
+    quality-classifier filtering in GPT-3/LLaMA-style corpus prep,
+    with the model trained IN the engine rather than imported). Per
+    source: docs in, docs kept, docs dropped, kept token mass. The
+    oracle chains the proven nb_sql as a derived table and recomputes
+    the identical report."""
+    from neuroimaging_data_pipeline_spark.text.nbayes import (
+        _tokens,
+        nb_train_score,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    nb = nb_train_score(d)
+    joined = d.join(nb, "doc_id").withColumn(
+        "_kept", (F.col("predicted") == F.col("lang")).cast("int")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_kept").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("_kept")).alias("n_dropped"),
+            F.sum(
+                F.when(
+                    F.col("_kept") == 1,
+                    F.size(F.filter(_tokens(F.col("text")), lambda w: w != "")),
+                ).otherwise(0)
+            ).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _e7_sql() -> str:
+    from neuroimaging_data_pipeline_spark.text.nbayes import nb_sql
+
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH nbres AS (
+  SELECT * FROM ({nb_sql()})
+), joined AS (
+  SELECT d.source,
+         CASE WHEN n.predicted = d.lang THEN 1 ELSE 0 END AS _kept,
+         len(list_filter(string_split({norm}, ' '), w -> w <> '')) AS _ntok
+  FROM documents d JOIN nbres n USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(_kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(_kept) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN _kept = 1 THEN _ntok ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM joined
+GROUP BY source
+ORDER BY source
+"""
+
+
+E7_SQL = _e7_sql()
+
+
 QUERIES = {
     "t_nb_lang": t_nb_lang,
+    "e7_classifier_filter": e7_classifier_filter,
     "s_bm25_topk": s_bm25_topk,
     "e5_shard_pipeline": e5_shard_pipeline,
     "t_chunk": t_chunk,
@@ -700,6 +767,7 @@ QUERIES = {
 
 ORACLE = {
     "t_nb_lang": T_NB_SQL,
+    "e7_classifier_filter": E7_SQL,
     "s_bm25_topk": S_BM25_SQL,
     "e5_shard_pipeline": E5_SQL,
     "t_chunk": T_CHUNK_SQL,
