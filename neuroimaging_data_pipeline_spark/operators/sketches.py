@@ -63,8 +63,20 @@ def hll_distinct(
 
     One shuffle on (group, bucket) compact keys with map-side max
     partials; the register table is <= m rows per group (KB)."""
+    return hll_estimate(
+        hll_registers(df, value_col, group_col), group_col
+    )
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_col: str | None = None
+) -> DataFrame:
+    """The sketch STATE: (group?, _b, _mj) register rows. This is the
+    mergeable artifact — two register tables over disjoint (or
+    overlapping!) data merge by max per bucket, which is what makes
+    HLL incremental across micro-batches, shards, and days at 100 TB;
+    pinned in tests/test_sketches.py (foreachBatch merge == one-shot)."""
     keys = [group_col] if group_col else []
-    m = 1 << HLL_P
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 13), 16, 10
     ).cast("long")
@@ -73,12 +85,31 @@ def hll_distinct(
     rho = F.when(F.col("_w") == 0, F.lit(HLL_W + 1)).otherwise(
         F.lit(HLL_W + 1) - F.length(F.conv(F.col("_w"), 10, 2))
     )
-    regs = (
+    return (
         df.select(*keys, bucket.alias("_b"), w.alias("_w"))
         .withColumn("_rho", rho)
         .groupBy(*keys, "_b")
         .agg(F.max("_rho").alias("_mj"))
     )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Merge two register tables (max per bucket) — the sketch-union
+    operation; associative, commutative, idempotent."""
+    keys = [group_col] if group_col else []
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "_b")
+        .agg(F.max("_mj").alias("_mj"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_col: str | None = None
+) -> DataFrame:
+    """(group?, used_registers, estimate) from a register table."""
+    keys = [group_col] if group_col else []
+    m = 1 << HLL_P
     alpha = _hll_alpha(m)
     agg = (
         regs.groupBy(*keys)

@@ -118,3 +118,32 @@ def test_cms_overestimate_only_and_exactness(spark):
     out2 = {r.v: (r.estimate, r.true_count)
             for r in cms_heavy_hitters(df.repartition(13), "v", k=100).collect()}
     assert out == out2
+
+
+def test_hll_mergeable_incremental(spark):
+    """THE scale property: register tables merge by max per bucket —
+    associative, commutative, idempotent — so an incremental
+    micro-batch build equals the one-shot sketch exactly. Simulates
+    the foreachBatch shape: three disjoint (plus one OVERLAPPING)
+    batches merged register-by-register."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    full = spark.range(3000).select((F.col("id") % 1100).alias("v"))
+    # three micro-batches by id range + a fourth that REPEATS batch 1
+    b1 = spark.range(0, 1000).select((F.col("id") % 1100).alias("v"))
+    b2 = spark.range(1000, 2000).select((F.col("id") % 1100).alias("v"))
+    b3 = spark.range(2000, 3000).select((F.col("id") % 1100).alias("v"))
+    state = hll_registers(b1, "v")
+    for b in (b2, b3, b1):  # re-processing b1 = at-least-once delivery
+        state = hll_merge(state, hll_registers(b, "v"))
+    inc = hll_estimate(state).collect()[0]
+    one_shot = hll_distinct(full, "v").collect()[0]
+    assert inc.estimate == one_shot.estimate
+    assert inc.used_registers == one_shot.used_registers
