@@ -64,6 +64,101 @@ SELECT query_id, vec_id, (ROUND(cos_raw, 6) + 0.0) AS cosine FROM ranked WHERE r
 """
 
 
+def s_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-rank (similarity/mmr.py): greedy
+    lambda*relevance - (1-lambda)*max-sim-to-picked selection of 5
+    results from each query's top-20 cosine pool (queries vec_id<3,
+    lambda=0.7) — the Carbonell-Goldstein fix for retrieval returning
+    near-identical hits, and the selection shape RAG diversification
+    uses. The objective is SCALED-INTEGER (7*rel_i - 3*ms_i on
+    round(cos*1e6) BIGINTs; see similarity/mmr.py — a float objective
+    provably half-way-rounds differently in the two engines), so the
+    oracle's unrolled 5-step CTE chain reproduces the exact greedy
+    sequence. Post-pool work is queries x pool rows per step; no
+    driver collect."""
+    from neuroimaging_data_pipeline_spark.similarity.mmr import mmr_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return mmr_rerank(emb, queries, k=5, pool=20)
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, lam_num: int = 7) -> str:
+    """Unrolled k-step twin of mmr_rerank's scaled-integer objective:
+    rel_i/ms_i = round(cosine * 1e6) BIGINTs, mmr_i = lam_num*rel_i -
+    (10-lam_num)*ms_i, output = mmr_i / 1e7 (same integer, same
+    division, both engines)."""
+    dot_rs = (
+        "list_sum(list_transform(list_zip(er.embedding, es.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    norm_r = (
+        "sqrt(list_sum(list_transform(er.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    norm_s = (
+        "sqrt(list_sum(list_transform(es.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    sim_i = f"CAST(ROUND({dot_rs} / ({norm_r} * {norm_s}) * 1e6) AS BIGINT)"
+    oml = 10 - lam_num
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f"""sc{i} AS (
+  SELECT p.query_id, p.vec_id, p.rel_i, MAX({sim_i}) AS ms_i
+  FROM pool p
+  JOIN selu{i - 1} s ON s.query_id = p.query_id
+  JOIN embeddings er ON er.vec_id = p.vec_id
+  JOIN embeddings es ON es.vec_id = s.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM selu{i - 1} x
+                    WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+  GROUP BY p.query_id, p.vec_id, p.rel_i
+), pick{i} AS (
+  SELECT query_id, {i} AS rank, vec_id, mmr_i FROM (
+    SELECT query_id, vec_id,
+           ({lam_num} * rel_i - {oml} * ms_i) AS mmr_i,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ({lam_num} * rel_i - {oml} * ms_i) DESC, vec_id ASC
+           ) AS rn
+    FROM sc{i}
+  ) WHERE rn = 1
+), selu{i} AS (
+  SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM pick{i}
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH pool AS (
+  SELECT query_id, vec_id, rel_i FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+           CAST(ROUND({_DOT} / ({_NORM_A} * {_NORM_Q}) * 1e6) AS BIGINT)
+             AS rel_i,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT} / ({_NORM_A} * {_NORM_Q}) DESC, a.vec_id ASC
+           ) AS rn
+    FROM embeddings a
+    JOIN embeddings q ON q.vec_id < 3 AND a.vec_id <> q.vec_id
+  ) WHERE rn <= {pool}
+), selu1 AS (
+  SELECT query_id, 1 AS rank, vec_id,
+         CAST({lam_num} * rel_i AS BIGINT) AS mmr_i
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel_i DESC, vec_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+{chain}
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       (CAST(mmr_i AS DOUBLE) / 1e7) AS mmr
+FROM selu{k}
+"""
+
+
+S_MMR_SQL = _mmr_sql()
+
+
 def d_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs within a label bucket
     (label = the blocking key, as LSH buckets would be at scale).
@@ -889,6 +984,7 @@ S_IVFPQ_SQL = _ivfpq_sql()
 
 QUERIES = {
     "s_cosine_topk": s_cosine_topk,
+    "s_mmr_rerank": s_mmr_rerank,
     "s_pq_codes": s_pq_codes,
     "s_ivfpq_topk": s_ivfpq_topk,
     "g_triangles": g_triangles,
@@ -903,6 +999,7 @@ QUERIES = {
 
 ORACLE = {
     "s_cosine_topk": S_COSINE_SQL,
+    "s_mmr_rerank": S_MMR_SQL,
     "s_pq_codes": S_PQ_SQL,
     "s_ivfpq_topk": S_IVFPQ_SQL,
     "g_triangles": G_TRIANGLES_SQL,

@@ -589,3 +589,37 @@ def test_naive_bayes_classifies_separable_corpus(spark):
     want = round(5 * round(math.log(6 / 35) * 1e10) / 1e10
                  + math.log(0.5), 6)
     assert abs(out[0][1] - want) < 2e-6, (out[0][1], want)
+
+
+def test_mmr_diversifies_near_duplicate_pool(spark):
+    """Planted structure: the top of the relevance pool is a cluster
+    of near-identical vectors plus one moderately relevant but
+    DIFFERENT vector. Plain top-k returns the clones; MMR (lambda=.7)
+    must pull the diverse vector in early and never pick two clones
+    back to back at ranks 1-2."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.similarity.mmr import mmr_rerank
+
+    # Worked numbers at lambda=.7: identical clones at rel=.9 score
+    # .7*.9 - .3*1.0 = .33 once one is picked; the diverse vector at
+    # rel=.85 with sim-to-clone = .85*.9 = .765 scores
+    # .7*.85 - .3*.765 = .3655 > .33 -> MMR must take it at rank 2,
+    # which plain top-k never would (all clones outrank it on rel).
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(8)]  # noqa: E731
+    clone = [0.9, 0.0, (1 - 0.81) ** 0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
+    diverse = [0.85, (1 - 0.7225) ** 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [(0, e(0))]
+    rows += [(i, list(clone)) for i in range(1, 6)]
+    rows.append((6, diverse))
+    rows += [(i, e(3 + i % 4)) for i in range(7, 12)]  # irrelevant filler
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0")
+    out = sorted(
+        (r.rank, r.vec_id)
+        for r in mmr_rerank(emb, queries, k=3, pool=10).collect()
+    )
+    picked = [v for _, v in out]
+    assert picked[0] == 1, picked       # highest-rel clone, id tie-break
+    assert picked[1] == 6, picked       # diversity beats the twin clones
+    assert picked[2] in {2, 3, 4, 5}, picked
