@@ -587,8 +587,46 @@ FROM a LEFT JOIN o ON a.event_id = o.event_id
 """
 
 
+def j12_salted_join(spark, sf_dir):
+    """Explicitly SALTED skewed equi-join (operators/salting.py):
+    every event row is enriched with its (user, event_type) activity
+    total, but instead of joining on the raw key — where one hot user
+    concentrates a partition — the per-key totals are replicated 8
+    ways and each event spreads to a salt sub-key by an md5 hash of
+    its event_id. Results are IDENTICAL to the plain join (the oracle
+    IS the plain join), which is exactly the point: salting is a
+    physical rewrite, not a semantic one. This is the planned-skew
+    fix AQE's runtime skew-join cannot provide for streaming stateful
+    joins or pre-bucketed layouts; the cost model (small side x S)
+    and the S-sizing rule live in the operator docstring."""
+    from neuroimaging_data_pipeline_spark.operators.salting import (
+        salted_equi_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_type_events")
+    )
+    return salted_equi_join(
+        ev, dim, ["user_id", "event_type"], "event_id", n_salt=8
+    )
+
+
+J12_SALTED_SQL = """
+WITH dim AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_type_events
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.event_type, d.n_type_events
+FROM events e JOIN dim d USING (user_id, event_type)
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
+    "j12_salted_join": j12_salted_join,
     "ev_ohlc": ev_ohlc,
     "w11_ewma": w11_ewma,
     "j8_interval_overlap": j8_interval_overlap,
@@ -600,6 +638,7 @@ QUERIES = {
 
 ORACLE = {
     "ev_funnel": EV_FUNNEL_SQL,
+    "j12_salted_join": J12_SALTED_SQL,
     "ev_ohlc": EV_OHLC_SQL,
     "w11_ewma": EV_EWMA_SQL,
     "j8_interval_overlap": J8_SQL,

@@ -147,3 +147,46 @@ def test_hll_mergeable_incremental(spark):
     one_shot = hll_distinct(full, "v").collect()[0]
     assert inc.estimate == one_shot.estimate
     assert inc.used_registers == one_shot.used_registers
+
+
+def test_cms_mergeable_incremental(spark):
+    """CMS counters merge by cell-wise ADDITION (disjoint batches) —
+    incremental micro-batch counter tables summed cell-wise equal the
+    one-shot sketch, so estimates and top-k match exactly."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _cms_pos,
+        cms_heavy_hitters,
+    )
+
+    full = spark.range(4000).select((F.col("id") % 300).alias("v"))
+
+    def counters(df):
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(d).alias("_d"),
+                                _cms_pos(F.col("v"), d).alias("_w"),
+                            )
+                            for d in range(CMS_D)
+                        ]
+                    )
+                ).alias("_c")
+            )
+            .groupBy("_c._d", "_c._w")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+
+    one_shot = {(r._d, r._w): r._n for r in counters(full).collect()}
+    merged: dict = {}
+    for lo, hi in ((0, 1500), (1500, 3000), (3000, 4000)):
+        part = spark.range(lo, hi).select((F.col("id") % 300).alias("v"))
+        for r in counters(part).collect():
+            merged[(r._d, r._w)] = merged.get((r._d, r._w), 0) + r._n
+    assert merged == one_shot

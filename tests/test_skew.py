@@ -64,3 +64,31 @@ def test_replicated_broadcast_join_exact(spark, skewed):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_equi_join is a physical rewrite: identical rows to the
+    plain join on a deliberately hot-keyed fact table, and the salted
+    key actually appears in the executed join."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.operators.salting import (
+        salted_equi_join,
+    )
+
+    # hot key: 90% of facts share k=0
+    fact = spark.range(2000).select(
+        F.col("id").alias("fid"),
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 10).alias("k"),
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("payload")
+    )
+    plain = {tuple(r) for r in fact.join(dim, "k").collect()}
+    salted_df = salted_equi_join(fact, dim, ["k"], "fid", n_salt=8)
+    salted = {tuple(r) for r in salted_df.collect()}
+    # same rows modulo column order
+    plain_norm = {tuple(sorted(map(str, r))) for r in plain}
+    salted_norm = {tuple(sorted(map(str, r))) for r in salted}
+    assert plain_norm == salted_norm
+    assert "_salt" in salted_df._jdf.queryExecution().executedPlan().toString()
