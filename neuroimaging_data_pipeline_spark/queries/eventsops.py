@@ -624,9 +624,60 @@ FROM events e JOIN dim d USING (user_id, event_type)
 """
 
 
+def sv_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/incremental.py) —
+    the materialized-view refresh shape: the per-(user, event_type)
+    aggregate table is built from the 'historical' 3/4 of events,
+    then the remaining 1/4 arrives as a DELTA and is folded in by
+    monoid merge (count/sum add, min least, max greatest) WITHOUT
+    re-reading history. The oracle recomputes the aggregate over ALL
+    events from scratch — incremental == full recompute is the
+    refresh invariant, checked end-to-end. Delta pass is one
+    partial-agg shuffle over the new data only; the merge is one
+    key-join against the (distinct-keys-sized) state table."""
+    from neuroimaging_data_pipeline_spark.operators.incremental import (
+        agg_state,
+        refresh,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).withColumn("_tlen", F.length("event_type"))
+    measures = {
+        "n_events": ("count", ""),
+        "sum_tlen": ("sum", "_tlen"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+    hist = ev.filter(F.col("event_id") % 4 != 0)
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+    state = agg_state(hist, ["user_id", "event_type"], measures)
+    out = refresh(state, delta, ["user_id", "event_type"], measures)
+    return out.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        "sum_tlen",
+        (F.round("min_value", 6) + F.lit(0.0)).alias("min_value"),
+        (F.round("max_value", 6) + F.lit(0.0)).alias("max_value"),
+    )
+
+
+SV_INCR_AGG_SQL = """
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(length(event_type)) AS BIGINT) AS sum_tlen,
+       (ROUND(MIN(value), 6) + 0.0) AS min_value,
+       (ROUND(MAX(value), 6) + 0.0) AS max_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "j12_salted_join": j12_salted_join,
+    "sv_incremental_agg": sv_incremental_agg,
     "ev_ohlc": ev_ohlc,
     "w11_ewma": w11_ewma,
     "j8_interval_overlap": j8_interval_overlap,
@@ -639,6 +690,7 @@ QUERIES = {
 ORACLE = {
     "ev_funnel": EV_FUNNEL_SQL,
     "j12_salted_join": J12_SALTED_SQL,
+    "sv_incremental_agg": SV_INCR_AGG_SQL,
     "ev_ohlc": EV_OHLC_SQL,
     "w11_ewma": EV_EWMA_SQL,
     "j8_interval_overlap": J8_SQL,

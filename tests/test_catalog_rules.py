@@ -106,3 +106,45 @@ def test_sidecar_roundtrip(spark, tmp_path):
     assert get_scalar(sc, "RepetitionTime", TaskName="MID") == 2.0
     upd = update_sidecar_field(sc, "TaskName", "rest")
     assert [r["TaskName"] for r in upd.collect()] == ["rest", "rest"]
+
+
+def test_incremental_refresh_equals_full_recompute(spark):
+    """Monoid refresh invariant: folding deltas batch-by-batch equals
+    aggregating everything at once, including keys that appear ONLY
+    in a delta, only in history, or in both; min/max merge handles
+    either-side NULL."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.operators.incremental import (
+        agg_state,
+        refresh,
+    )
+
+    full = spark.range(900).select(
+        (F.col("id") % 30).alias("k"),
+        (F.col("id") * 3 % 17).alias("x"),
+    )
+    measures = {
+        "n": ("count", ""),
+        "sx": ("sum", "x"),
+        "mn": ("min", "x"),
+        "mx": ("max", "x"),
+    }
+    want = {tuple(r) for r in agg_state(full, ["k"], measures).collect()}
+    state = agg_state(full.filter("id < 300"), ["k"], measures)
+    for lo, hi in ((300, 600), (600, 900)):
+        state = refresh(
+            state,
+            full.filter(f"id >= {lo} AND id < {hi}"),
+            ["k"],
+            measures,
+        )
+    got = {tuple(r) for r in state.collect()}
+    assert got == want
+    # delta-only key: refresh with a key history never saw
+    extra = spark.createDataFrame([(999, 5)], "k long, x long")
+    got2 = {
+        tuple(r)
+        for r in refresh(state, extra, ["k"], measures).collect()
+    }
+    assert (999, 1, 5, 5, 5) in got2
