@@ -657,9 +657,58 @@ FROM f
 """
 
 
+def m17_gif_frames(spark, sf_dir):
+    """M17: REAL animated GIF end-to-end (multimodal/gif.py) — the
+    tenth real media format, and with MJPEG the second true
+    multi-frame/animation decode. Per document a GIF89a is written
+    (8-color global palette, NETSCAPE loop extension the parser must
+    skip, per-frame graphic-control delays) and decoded back: the
+    LZW streams (variable 3..12-bit codes, LSB-first packing,
+    CLEAR/EOI, 4096-entry dictionary resets) are fully decoded to
+    palette indices and mapped through the color table. LZW is
+    lossless, so the oracle recomputes frame counts, delays, index
+    sums and red-channel sums from the fixture formulas in pure SQL.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.gif import (
+        gif_frame_stats,
+        synthesize_gifs,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_gifs(d, id_col="doc_id")
+    return gif_frame_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "delay_cs",
+        "width",
+        "height",
+        "idx_sum",
+        "r_sum",
+    )
+
+
+M17_SQL = """
+WITH f AS (
+  SELECT doc_id, i.i AS i,
+         (doc_id * 7 + i.i * 3) % 8 AS v
+  FROM documents, UNNEST(range(0, 4)) AS i(i)
+  WHERE i.i < 2 + doc_id % 3
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(10 * (i + 1) AS INT) AS delay_cs,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       CAST(192 * v AS BIGINT) AS idx_sum,
+       CAST(192 * ((v * 31) % 256) AS BIGINT) AS r_sum
+FROM f
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
+    "m17_gif_frames": m17_gif_frames,
     "m13_tar_samples": m13_tar_samples,
     "m14_jsonl_shards": m14_jsonl_shards,
     "m15_bmp_stats": m15_bmp_stats,
@@ -674,6 +723,7 @@ QUERIES = {
 ORACLE = {
     "m8_mp4_meta": M8_SQL,
     "m16_mjpeg_frames": M16_SQL,
+    "m17_gif_frames": M17_SQL,
     "m13_tar_samples": M13_SQL,
     "m14_jsonl_shards": M14_SQL,
     "m15_bmp_stats": M15_SQL,
