@@ -1176,6 +1176,47 @@ def a_cms_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(ev, "user_id", k=10)
 
 
+def a_equidepth_hist(spark, sf_dir):
+    """Equi-DEPTH histogram (8 buckets of equal row count) of
+    l_extendedprice via NTILE over the total (value, rowkey) order —
+    the optimizer-statistics artifact (selectivity estimation wants
+    equal-mass buckets, unlike a5's equal-width bins which starve on
+    skew). Per bucket: row count and the value range it spans. The
+    exact form pays one total sort; the approx-quantile sketch is the
+    scale path (a_approx_sketches), same trade as a_percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_extendedprice",
+            F.ntile(8).over(w).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.min("l_extendedprice"), 6) + F.lit(0.0)).alias("lo"),
+            (F.round(F.max("l_extendedprice"), 6) + F.lit(0.0)).alias("hi"),
+        )
+    )
+
+
+A_EQUIDEPTH_SQL = """
+WITH t AS (
+  SELECT l_extendedprice,
+         NTILE(8) OVER (ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                        l_linenumber ASC) AS bucket
+  FROM lineitem
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (ROUND(MIN(l_extendedprice), 6) + 0.0) AS lo,
+       (ROUND(MAX(l_extendedprice), 6) + 0.0) AS hi
+FROM t GROUP BY bucket
+"""
+
+
 # Registration order is driver-visible: the correctness gate checks
 # queries in registration order with a bounded window (round 1: first
 # 50 of 67). Queries needing a fresh driver verdict (newly fixed or
@@ -1364,6 +1405,7 @@ QUERIES = {
     "a_hll_distinct": a_hll_distinct,
     "d_bloom_probe": d_bloom_probe,
     "a_cms_heavy_hitters": a_cms_heavy_hitters,
+    "a_equidepth_hist": a_equidepth_hist,
     "p1_projection_filter": p1_projection_filter,
     "p6_like_predicate": p6_like_predicate,
     "p7_isin_label": p7_isin_label,
@@ -1411,6 +1453,7 @@ def _sketch_oracles() -> dict[str, str]:
 
 ORACLE = {
     **_sketch_oracles(),
+    "a_equidepth_hist": A_EQUIDEPTH_SQL,
     "p1_projection_filter": P1_SQL,
     "a_mad_outliers": A_MAD_SQL,
     "t_profile": T_PROFILE_SQL,

@@ -1213,8 +1213,74 @@ GROUP BY h.doc_id
 """
 
 
+def t_inverted_index(spark, sf_dir):
+    """Inverted-index build — the retrieval-infrastructure artifact
+    BM25/keyword search reads at query time: per term, its document
+    frequency, total term frequency, and the top-3 posting entries by
+    (tf desc, doc_id asc). Restricted to terms with df >= 50 so the
+    output is the dictionary HEAD (the part that matters for caching;
+    the full index is the same plan without the filter). Shape: one
+    tokenize explode, one (term, doc) count aggregate with map-side
+    partials, one per-term window for the posting head — all on
+    compact (term, doc_id, tf) triples."""
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    head = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    return (
+        head.join(stats, "term")
+        .filter(F.col("df") >= 50)
+        .select("term", "df", "total_tf", "rank", "doc_id", "tf")
+    )
+
+
+T_INVIDX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w.w AS term
+  FROM documents, UNNEST(string_split({_NORM_SQL}, ' ')) AS w(w)
+  WHERE w.w <> ''
+), tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+), stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY term
+), head AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (
+           PARTITION BY term ORDER BY tf DESC, doc_id ASC
+         ) AS rank
+  FROM tf
+)
+SELECT h.term, s.df, s.total_tf, CAST(h.rank AS INT) AS rank,
+       h.doc_id, h.tf
+FROM head h JOIN stats s USING (term)
+WHERE h.rank <= 3 AND s.df >= 50
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
+    "t_inverted_index": t_inverted_index,
     "d_url_dedup": d_url_dedup,
     "e6_decontam_split": e6_decontam_split,
     "d_cdc_chunks": d_cdc_chunks,
@@ -1238,6 +1304,7 @@ QUERIES = {
 
 ORACLE = {
     "t_token_count": T_TOKEN_SQL,
+    "t_inverted_index": T_INVIDX_SQL,
     "d_url_dedup": D_URL_SQL,
     "e6_decontam_split": E6_SQL,
     "d_cdc_chunks": D_CDC_SQL,
