@@ -790,6 +790,78 @@ WHERE levenshtein(a._prefix, c._prefix) <= 8
 """
 
 
+def e8_entity_resolution(spark, sf_dir):
+    """E8 — entity resolution as ONE composed plan: two independent
+    evidence channels produce candidate same-entity edges — exact
+    normalized-content-hash groups (the cheap channel) and bounded
+    edit-distance fuzzy pairs (the OCR/typo channel, blocked +
+    flood-capped) — their union feeds hash-min connected components,
+    and every document gets a transitive entity label. This is the
+    canonical record-linkage shape (block -> match -> cluster), and
+    the transitive step is what pairwise dedup outputs cannot give:
+    A~B (exact) and B~C (fuzzy) must land A, C in one entity. Oracle:
+    the same two edge channels as SQL subqueries, symmetrized, then
+    transitive closure via WITH RECURSIVE + MIN(label)."""
+    from neuroimaging_data_pipeline_spark.dedup.cluster import (
+        connected_components,
+    )
+    from neuroimaging_data_pipeline_spark.dedup.fuzzy import fuzzy_pairs
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    h = d.select(
+        "doc_id",
+        F.md5(F.substring(_norm_col(), 1, 1000000)).alias("_h"),
+    )
+    keep = h.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    exact_edges = (
+        h.join(keep, "_h")
+        .filter(F.col("doc_id") != F.col("_keep"))
+        .select(F.col("_keep").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    fz = fuzzy_pairs(d, max_dist=8).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = exact_edges.unionByName(fz)
+    cc = connected_components(
+        d.select("doc_id"), edges, id_col="doc_id"
+    )
+    return cc.select(F.col("id").alias("doc_id"), F.col("cluster_id").alias("entity_id"))
+
+
+def _norm_col():
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+E8_SQL = f"""
+WITH RECURSIVE fz AS (
+  SELECT id_a AS src, id_b AS dst FROM (
+{{fuzzy_body}}
+  )
+), ex AS (
+  SELECT k._keep AS src, h.doc_id AS dst FROM (
+    SELECT doc_id, md5(substring({_NORM_SQL}, 1, 1000000)) AS _h
+    FROM documents
+  ) h JOIN (
+    SELECT _h, MIN(doc_id) AS _keep FROM (
+      SELECT doc_id, md5(substring({_NORM_SQL}, 1, 1000000)) AS _h
+      FROM documents
+    ) GROUP BY _h
+  ) k USING (_h)
+  WHERE h.doc_id <> k._keep
+), edges AS (
+  SELECT src AS s, dst AS d FROM ex UNION ALL SELECT dst, src FROM ex
+  UNION ALL
+  SELECT src, dst FROM fz UNION ALL SELECT dst, src FROM fz
+), reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS entity_id FROM reach GROUP BY id
+"""
+E8_SQL = E8_SQL.replace("{fuzzy_body}", D_FUZZY_SQL.strip())
+
+
 def d_contamination(spark, sf_dir):
     """Benchmark-contamination report (dedup/contamination.py): the
     n-gram collision check every LLM data pipeline runs before
@@ -1287,6 +1359,7 @@ QUERIES = {
     "d_passage_dedup": d_passage_dedup,
     "t_tfidf": t_tfidf,
     "d_fuzzy_pairs": d_fuzzy_pairs,
+    "e8_entity_resolution": e8_entity_resolution,
     "d_contamination": d_contamination,
     "t_bigram_xent": t_bigram_xent,
     "t_repetition": t_repetition,
@@ -1311,6 +1384,7 @@ ORACLE = {
     "d_passage_dedup": D_PASSAGE_SQL,
     "t_tfidf": T_TFIDF_SQL,
     "d_fuzzy_pairs": D_FUZZY_SQL,
+    "e8_entity_resolution": E8_SQL,
     "d_contamination": D_CONTAM_SQL,
     "t_bigram_xent": T_BIGRAM_XENT_SQL,
     "t_repetition": T_REPETITION_SQL,

@@ -524,3 +524,40 @@ def test_lsh_multi_table_recall_dominates_single(spark, rng):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 >= 0.8
+
+
+def test_entity_resolution_transitive_across_channels(spark):
+    """A~B via exact content hash, B~C via edit distance: A and C
+    must land in ONE entity even though no single channel links them
+    — the transitive property pairwise dedup lacks."""
+    from neuroimaging_data_pipeline_spark.dedup.cluster import (
+        connected_components,
+    )
+    from neuroimaging_data_pipeline_spark.dedup.fuzzy import fuzzy_pairs
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.upper()),            # exact dup of 1 after normalize
+        (3, base.replace("dog", "dgo")),  # 2 edits from 2's normal form
+        (4, "completely different content about training pipelines"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    h = d.select("doc_id", F.md5(norm).alias("_h"))
+    keep = h.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    exact = (
+        h.join(keep, "_h")
+        .filter(F.col("doc_id") != F.col("_keep"))
+        .select(F.col("_keep").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    fz = fuzzy_pairs(d, max_dist=8).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(
+        d.select("doc_id"), exact.unionByName(fz), id_col="doc_id"
+    )
+    got = {r.id: r.cluster_id for r in cc.collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4
