@@ -589,10 +589,66 @@ FROM r GROUP BY doc_id
 """
 
 
+def s14_tarshard_source(spark, sf_dir):
+    """S14: WebDataset TAR shards through Spark's OFFICIAL Python
+    DataSource API (sources/datasource.py) — a registered
+    ``spark.read.format('ndp_tarshard')`` with declared schema and
+    EXPLICIT partition planning (one input partition per shard file,
+    the parallelism unit of a tar-packed corpus; verified one task
+    per shard in pytest). The reader runs the same real USTAR parser
+    as m13 (every header checksum re-verified, gzip framing sniffed
+    per shard) executor-side. The fixture shards are built from the
+    m13 formula fixture, so the oracle recomputes every member row —
+    names, sizes, payload sums — in pure SQL."""
+    from neuroimaging_data_pipeline_spark.sources.datasource import (
+        register,
+        write_fixture_shards,
+    )
+
+    d = write_fixture_shards()
+    register(spark)
+    return spark.read.format("ndp_tarshard").option("path", d).load()
+
+
+S14_SQL = """
+WITH ids AS (
+  SELECT i.i AS i FROM UNNEST(range(0, 64)) AS i(i)
+), base AS (
+  SELECT i,
+         'shard-' || lpad(CAST(i AS VARCHAR), 5, '0')
+           || CASE WHEN i % 2 = 1 THEN '.tar.gz' ELSE '.tar' END AS shard,
+         lpad(CAST(i AS VARCHAR), 6, '0') AS key
+  FROM ids
+), txt_sum AS (
+  SELECT b.i, CAST(SUM((b.i * 17 + j.j * 11) % 256) AS BIGINT) AS s
+  FROM base b, UNNEST(range(0, 60)) AS j(j)
+  WHERE j.j < 20 + b.i % 40
+  GROUP BY b.i
+), bin_sum AS (
+  SELECT b.i, CAST(SUM((b.i * 29 + j.j * 13) % 256) AS BIGINT) AS s
+  FROM base b, UNNEST(range(0, 15)) AS j(j)
+  WHERE b.i % 3 <> 0 AND j.j < 5 + (b.i * 7) % 10
+  GROUP BY b.i
+)
+SELECT shard, key AS sample_key, key || '.txt' AS member,
+       CAST(20 + i % 40 AS BIGINT) AS size, t.s AS payload_sum
+FROM base JOIN txt_sum t USING (i)
+UNION ALL
+SELECT shard, key, key || '.cls', CAST(1 AS BIGINT),
+       CAST(i % 10 AS BIGINT)
+FROM base
+UNION ALL
+SELECT shard, key, key || '.bin',
+       CAST(5 + (i * 7) % 10 AS BIGINT), bs.s
+FROM base JOIN bin_sum bs USING (i)
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
     "s13_avro_scan": s13_avro_scan,
+    "s14_tarshard_source": s14_tarshard_source,
     "s2_dir_listing": s2_dir_listing,
     "s4_sidecar_lookup": s4_sidecar_lookup,
     "s11_remote_fetch": s11_remote_fetch,
@@ -606,6 +662,7 @@ ORACLE = {
     "s1_tsv_scan": S1_SQL,
     "s12_parquet_meta": S12_SQL,
     "s13_avro_scan": S13_SQL,
+    "s14_tarshard_source": S14_SQL,
     "s2_dir_listing": S2_SQL,
     "s4_sidecar_lookup": S4_SQL,
     "s11_remote_fetch": S11_SQL,

@@ -71,3 +71,40 @@ def test_fetch_plan_is_narrow(spark, tmp_path):
                   "branch; no egress in this environment")
 def test_fetch_http():  # pragma: no cover
     pass
+
+
+def test_tarshard_datasource_partitioning_and_pruning(spark):
+    """The custom DataSource plans one input partition per shard file
+    and its declared schema supports column pruning; row content
+    matches the direct parse_tar of each fixture shard."""
+    import gzip
+    import os
+
+    from neuroimaging_data_pipeline_spark.multimodal.tar import parse_tar
+    from neuroimaging_data_pipeline_spark.sources.datasource import (
+        register,
+        write_fixture_shards,
+    )
+
+    d = write_fixture_shards(6)
+    register(spark)
+    df = (
+        spark.read.format("ndp_tarshard").option("path", d).load()
+        .filter("shard like 'shard-0000%'")
+    )
+    # partition planning: one task per shard file
+    full = spark.read.format("ndp_tarshard").option("path", d).load()
+    assert full.rdd.getNumPartitions() >= 6
+    got = {
+        (r.shard, r.member): (r.size, r.payload_sum) for r in full.collect()
+    }
+    for i in range(6):
+        ext = "tar.gz" if i % 2 == 1 else "tar"
+        name = f"shard-{i:05d}.{ext}"
+        raw = open(os.path.join(d, name), "rb").read()
+        if raw[:2] == b"\x1f\x8b":
+            raw = gzip.decompress(raw)
+        for member, payload in parse_tar(raw):
+            assert got[(name, member)] == (len(payload), sum(payload))
+    # pruned projection executes
+    assert full.select("member").distinct().count() > 0
