@@ -283,3 +283,80 @@ def _sessionize_tws(stream, key, ts_col, id_col, gap_us, schema):
         outputMode="append",
         timeMode="None",
     )
+
+
+TREND_OUTPUT_SCHEMA = (
+    "event_type string, best_user long, best_est long, n_seen long"
+)
+
+
+def streaming_trending(
+    stream: DataFrame,
+    key: str = "event_type",
+    value_col: str = "user_id",
+) -> DataFrame:
+    """THIRD custom stateful operator: streaming trending-key
+    detection with BOUNDED sketch state. Per key group, the state is
+    a count-min sketch (operators/sketches.py geometry: CMS_D x CMS_W
+    counters, 'cms:'-salted md5 positions — byte-identical to the
+    batch operator) plus the running (best_user, best_est) champion.
+    Each micro-batch folds its rows into the counters, re-estimates
+    only the users SEEN in that batch (the candidate-tracking trick
+    that makes CMS usable for top-k: the champion can only change on
+    an arrival), and emits one row per (key, batch) with the current
+    champion. State stays CMS_D*CMS_W longs per key FOREVER —
+    unbounded stream, bounded memory, the property that makes this
+    deployable where an exact per-user count map would grow without
+    limit. GroupState API (applyInPandasWithState); estimates are
+    over-estimates only, exactly as in the batch operator."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from neuroimaging_data_pipeline_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+    )
+
+    def positions(u) -> list[int]:
+        h = hashlib.md5(f"cms:{u}".encode()).hexdigest()
+        return [int(h[4 * d : 4 * d + 4], 16) % CMS_W for d in range(CMS_D)]
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        if state.exists:
+            flat, best_user, best_est, n_seen = state.get
+            counts = np.asarray(flat, dtype=np.int64).reshape(CMS_D, CMS_W)
+        else:
+            counts = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+            best_user, best_est, n_seen = -1, 0, 0
+        batch_users: set[int] = set()
+        for pdf in pdf_iter:
+            for u in pdf[value_col]:
+                u = int(u)
+                batch_users.add(u)
+                n_seen += 1
+                for d, p in enumerate(positions(u)):
+                    counts[d, p] += 1
+        for u in sorted(batch_users):
+            est = int(min(counts[d, p] for d, p in enumerate(positions(u))))
+            if est > best_est or (est == best_est and u < best_user):
+                best_user, best_est = u, est
+        state.update(
+            ([int(x) for x in counts.reshape(-1)], best_user, best_est, n_seen)
+        )
+        yield pd.DataFrame(
+            [(key_tuple[0], best_user, best_est, n_seen)],
+            columns=[key, "best_user", "best_est", "n_seen"],
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=TREND_OUTPUT_SCHEMA,
+        stateStructType=(
+            "flat array<long>, best_user long, best_est long, n_seen long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
