@@ -60,3 +60,36 @@ def enrich_stream(
     )
     meta_cols = [c for c in meta.columns if c != key]
     return joined.select("e.*", *[F.col(f"m.{c}") for c in meta_cols])
+
+
+def enrich_stream_outer(
+    events: DataFrame,
+    meta: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    meta_ts_col: str = "mts",
+    watermark: str = "10 minutes",
+    max_lag: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the enrich shape that must
+    also emit events whose metadata never arrives (with NULL meta
+    columns), which is the half of the join surface the inner form
+    cannot express. Same time-bound condition as
+    :func:`enrich_stream`; the outer semantics are WHY both sides
+    need watermarks: an unmatched event can only be emitted once the
+    watermark proves its match window [ts - max_lag, ts] can no
+    longer receive metadata, so NULL rows appear with watermark
+    latency, never wrongly-early. State on both sides expires at the
+    same bound."""
+    e = events.withWatermark(ts_col, watermark).alias("e")
+    m = meta.withWatermark(meta_ts_col, watermark).alias("m")
+    joined = e.join(
+        m,
+        on=F.expr(
+            f"e.{key} = m.{key} AND m.{meta_ts_col} >= e.{ts_col} - {max_lag} "
+            f"AND m.{meta_ts_col} <= e.{ts_col}"
+        ),
+        how="left_outer",
+    )
+    meta_cols = [c for c in meta.columns if c != key]
+    return joined.select("e.*", *[F.col(f"m.{c}") for c in meta_cols])

@@ -98,3 +98,72 @@ def test_stream_stream_enrich(spark, tmp_path):
     assert got_users == {0, 1, 3}
     # each enriched event matched exactly one metadata row
     assert len(out) == len(ev[ev.user_id != 2])
+
+
+def test_stream_stream_left_outer_enrich(spark, tmp_path):
+    """LEFT OUTER stream-stream join: events with in-window metadata
+    enrich exactly as the inner form; events whose metadata never
+    arrives (user 2: metadata lands outside every window) are still
+    EMITTED with NULL meta columns once the watermark proves the
+    window closed. Sentinel far-future rows on both sides advance the
+    watermark so the finite availableNow run flushes the outer state;
+    the result (sans sentinels) equals the equivalent batch left
+    join."""
+    from neuroimaging_data_pipeline_spark.streaming.dedup import (
+        enrich_stream_outer,
+    )
+
+    base = pd.Timestamp("2026-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(20),
+            "user_id": [i % 4 for i in range(20)],
+            "ts": [base + pd.Timedelta(minutes=10 + i) for i in range(20)],
+        }
+    )
+    meta = pd.DataFrame(
+        {
+            "user_id": [0, 1, 2, 3],
+            "mts": [base + pd.Timedelta(minutes=m) for m in (0, 5, 200, 5)],
+            "segment": ["a", "b", "c", "d"],
+        }
+    )
+    (tmp_path / "ev").mkdir()
+    (tmp_path / "meta").mkdir()
+    edf = spark.createDataFrame(ev)
+    edf.coalesce(1).write.mode("append").parquet(str(tmp_path / "ev"))
+    # two watermark-advancing sentinel batches per side
+    for mins in (600, 601):
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"event_id": [9000 + mins], "user_id": [99],
+                 "ts": [base + pd.Timedelta(minutes=mins)]}
+            )
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "ev"))
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"user_id": [99], "mts": [base + pd.Timedelta(minutes=mins)],
+                 "segment": ["z"]}
+            )
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "meta"))
+    spark.createDataFrame(meta).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "meta")
+    )
+    es = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "ev"))
+    ms = spark.readStream.schema(
+        "user_id long, mts timestamp, segment string"
+    ).parquet(str(tmp_path / "meta"))
+    out = _run(
+        spark, enrich_stream_outer(es, ms), "t_enrich_outer"
+    ).toPandas()
+    out = out[out.user_id != 99]
+    # every original event emitted exactly once
+    assert sorted(out.event_id) == list(range(20))
+    # user 2's events carry NULL meta; others enriched
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 5 and u2.segment.isna().all()
+    rest = out[out.user_id != 2]
+    assert rest.segment.notna().all()
+    assert set(rest.segment) == {"a", "b", "d"}
