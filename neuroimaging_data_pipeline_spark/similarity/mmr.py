@@ -85,16 +85,22 @@ def mmr_rerank(
         )
     )
     for step in range(2, k + 1):
+        # selected is <= k rows per query at every step — broadcast
+        # both its uses (anti-join filter and the pairwise-sim join);
+        # without the hint the post-union side has no stats and the
+        # static planner falls back to SortMergeJoin.
         rem = cand.join(
-            selected.select("query_id", id_col),
+            F.broadcast(selected.select("query_id", id_col)),
             ["query_id", id_col],
             "left_anti",
         )
         sims = (
             rem.alias("r")
             .join(
-                selected.select(
-                    "query_id", F.col(vec_col).alias("_svec")
+                F.broadcast(
+                    selected.select(
+                        "query_id", F.col(vec_col).alias("_svec")
+                    )
                 ).alias("s"),
                 "query_id",
             )

@@ -141,6 +141,12 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
         # table; the co-partitioned (user, bin) equi-join IS the
         # 100 TB interval-join shape (neither side broadcastable).
         "j8_interval_overlap",
+        # sv_incremental_agg: the state<->delta merge is a FULL OUTER
+        # join (keys may exist on either side only), which Spark can
+        # never execute as broadcast; both sides are distinct-key
+        # aggregate tables that scale with the key domain, so the
+        # co-partitioned shuffle join is also the 100 TB shape.
+        "sv_incremental_agg",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in queries.items():
