@@ -69,6 +69,10 @@ def mmr_rerank(
             ),
         )
         .join(F.broadcast(corpus.select(id_col, vec_col)), id_col)
+        # the pool (queries x pool rows, KB) is referenced by every
+        # greedy step — materialize once or each step re-runs the
+        # corpus-wide relevance scan (measured 4x on the whole query)
+        .localCheckpoint(eager=True)
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("rel_i"), F.asc(id_col)
@@ -130,7 +134,10 @@ def mmr_rerank(
                 F.col(vec_col),
             )
         )
-        selected = selected.unionByName(pick)
+        # flat lineage per step: selected is <= k*queries rows and is
+        # referenced three times by the NEXT step — without the eager
+        # checkpoint the plan depth grows geometrically with k
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected.select(
         "query_id",
         "rank",
