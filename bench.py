@@ -63,15 +63,34 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
+    full, line = summarize(timings, sf)
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    try:
+        full_path.write_text(json.dumps(full, separators=(",", ":")))
+    except OSError:
+        pass
+    print(json.dumps(full, separators=(",", ":")), file=sys.stderr)
+    print(json.dumps(line, separators=(",", ":")))
+    spark.stop()
+
+
+#: the driver records only the last this-many chars of stdout
+DRIVER_CAPTURE_WINDOW = 2000
+#: headroom under the window for the single stdout line
+LINE_BUDGET = 1800
+
+
+def summarize(timings: dict[str, float], sf: str) -> tuple[dict, dict]:
+    """(full_record, stdout_line). The driver records only the LAST
+    2000 chars of stdout and json-parses that (r4's full 152-query
+    line was ~4 KB -> the recorded tail was unparseable,
+    BENCH_r04.json "parsed": null). Contract: stdout is EXACTLY one
+    compact JSON line that fits the window — summary totals plus as
+    many slowest-query timings as fit — while the complete per-query
+    map goes to BENCH_FULL.json (and stderr). Pinned in
+    tests/test_bench_output.py against the real registry size."""
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-
-    # The driver records only the LAST 2000 chars of stdout and
-    # json-parses that (r4's full 152-query line was ~4 KB -> the
-    # recorded tail was unparseable, BENCH_r04.json "parsed": null).
-    # Contract: stdout is EXACTLY one compact JSON line that fits the
-    # window — summary totals plus the slowest queries; the complete
-    # per-query map goes to a file (and stderr) instead.
     full = {
         "metric": "total_query_runtime",
         "value": total,
@@ -80,16 +99,7 @@ def main() -> None:
         "sf": sf_val,
     }
     full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    try:
-        full_path.write_text(json.dumps(full, separators=(",", ":")))
-    except OSError:
-        pass
-    print(json.dumps(full, separators=(",", ":")), file=sys.stderr)
-
-    line = {}
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])
-    )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     while True:
         line = {
             "metric": "total_query_runtime",
@@ -100,11 +110,9 @@ def main() -> None:
             "queries": slowest,
             "sf": sf_val,
         }
-        if len(json.dumps(line, separators=(",", ":"))) <= 1800:
-            break
+        if len(json.dumps(line, separators=(",", ":"))) <= LINE_BUDGET:
+            return full, line
         slowest = dict(list(slowest.items())[: max(1, len(slowest) - 10)])
-    print(json.dumps(line, separators=(",", ":")))
-    spark.stop()
 
 
 if __name__ == "__main__":
