@@ -38,7 +38,11 @@ _FIXTURE_PATH = os.path.join(
 
 def _write_fixture() -> str:
     """Deterministic confounds TSV: 3 subjects x 8 TRs, one-hot
-    motion-outlier columns, csf with 'n/a' nulls every 4th row."""
+    motion-outlier columns, csf with 'n/a' nulls every 4th row.
+    Written lazily (write-if-missing) from the queries that read it —
+    no import-time filesystem side effects (ADVICE r4 generalized)."""
+    if os.path.exists(_FIXTURE_PATH):
+        return _FIXTURE_PATH
     os.makedirs(os.path.dirname(_FIXTURE_PATH), exist_ok=True)
     header = ["subject", "t", "trans_x", "csf", *_MOTION_COLS]
     lines = ["\t".join(header)]
@@ -57,12 +61,10 @@ def _write_fixture() -> str:
     return _FIXTURE_PATH
 
 
-_write_fixture()
-
-
 def s1_tsv_scan(spark, sf_dir):
     """S1: TSV scan with header + n/a-null semantics; nulls must land
     as real NULLs (avg skips them), numerics as doubles."""
+    _write_fixture()
     df = (
         spark.read.option("sep", "\t")
         .option("header", True)
@@ -94,6 +96,7 @@ def e3_motion_outlier_hist(spark, sf_dir):
     name predicate on the long form), count flagged TRs per subject
     (A4), bin width 2 (A5 histogram, binwidth=5 in the reference
     scaled to fixture size)."""
+    _write_fixture()
     df = (
         spark.read.option("sep", "\t")
         .option("header", True)
@@ -152,14 +155,13 @@ _SIDECARS = {
 
 
 def _write_sidecars() -> str:
+    if os.path.isdir(_SIDECAR_DIR) and len(os.listdir(_SIDECAR_DIR)) >= len(_SIDECARS):
+        return _SIDECAR_DIR
     os.makedirs(_SIDECAR_DIR, exist_ok=True)
     for name, body in _SIDECARS.items():
         with open(os.path.join(_SIDECAR_DIR, name), "w") as fh:
             fh.write(body + "\n")
     return _SIDECAR_DIR
-
-
-_write_sidecars()
 
 
 def s4_sidecar_lookup(spark, sf_dir):
@@ -168,6 +170,7 @@ def s4_sidecar_lookup(spark, sf_dir):
     dir, extract subject/task entities from the filename, return the
     per-task repetition time. At scale this is the tiny dimension
     every per-TR operator broadcasts."""
+    _write_sidecars()
     df = (
         spark.read.option("multiLine", True)
         .json(f"{_SIDECAR_DIR}/*.json")
@@ -285,6 +288,79 @@ SV_TT_SQL = """
 SELECT doc_id, lang, n_chars
 FROM documents
 WHERE n_chars >= 300 OR n_chars IS NULL
+"""
+
+
+def sv_version_diff(spark, sf_dir):
+    """S10+: CHANGE DATA CAPTURE between two table versions — the
+    Delta-style table_changes/CDF read: a full-outer key join of the
+    v0 and v2 snapshots classifies every doc_id as deleted (the v1
+    delete removed it), updated (the v2 lang rewrite touched it), or
+    unchanged-key-with-changed-payload. Downstream incremental
+    consumers (sync jobs, the monoid refresh in
+    operators/incremental.py) subscribe to exactly this diff instead
+    of re-reading snapshots. Oracle recomputes both versions' states
+    from the source table and diffs them in pure SQL."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from neuroimaging_data_pipeline_spark.sources.versioned import (
+        delete_where,
+        read_version,
+        update_where,
+        write_version,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ndp_spark_warehouse",
+        f"sv_diff_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_version(docs, root, operation="create")                     # v0
+    delete_where(spark, root, F.col("n_chars") < 300)                 # v1
+    update_where(spark, root, F.lit(True), {"lang": F.lit("xx")})     # v2
+    old = read_version(spark, root, version=0).alias("o")
+    new = read_version(spark, root, version=2).alias("n")
+    j = old.join(new, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("n.doc_id").isNull(), F.lit("delete"))
+        .when(F.col("o.doc_id").isNull(), F.lit("insert"))
+        .when(
+            (F.col("o.lang") != F.col("n.lang"))
+            | (F.col("o.n_chars") != F.col("n.n_chars")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+        F.col("o.lang").alias("old_lang"),
+        F.col("n.lang").alias("new_lang"),
+    )
+
+
+SV_DIFF_SQL = """
+WITH v0 AS (
+  SELECT doc_id, lang, n_chars FROM documents
+), v2 AS (
+  SELECT doc_id, 'xx' AS lang, n_chars FROM documents
+  WHERE n_chars >= 300 OR n_chars IS NULL
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN n.doc_id IS NULL THEN 'delete'
+            WHEN o.doc_id IS NULL THEN 'insert'
+            WHEN o.lang <> n.lang OR o.n_chars <> n.n_chars THEN 'update'
+            ELSE 'unchanged' END AS change,
+       o.lang AS old_lang,
+       n.lang AS new_lang
+FROM v0 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
 """
 
 
@@ -411,16 +487,16 @@ _REMOTE_DIR = os.path.join(
 def _write_remote_fixture() -> str:
     """Deterministic 'remote' atlas-label resources (the kind of small
     text lookup the reference notebook fetches over HTTP): 4 files,
-    file i holding 5+i tab-separated (index, label) lines."""
+    file i holding 5+i tab-separated (index, label) lines. Lazy
+    write-if-missing — no import-time side effects."""
+    if os.path.isdir(_REMOTE_DIR) and len(os.listdir(_REMOTE_DIR)) >= 4:
+        return _REMOTE_DIR
     os.makedirs(_REMOTE_DIR, exist_ok=True)
     for i in range(4):
         lines = [f"{j}\tregion_{i}_{j * 7 % 11}" for j in range(5 + i)]
         with open(os.path.join(_REMOTE_DIR, f"atlas_{i}.txt"), "w") as fh:
             fh.write("\n".join(lines))
     return _REMOTE_DIR
-
-
-_write_remote_fixture()
 
 
 def s11_remote_fetch(spark, sf_dir):
@@ -431,6 +507,7 @@ def s11_remote_fetch(spark, sf_dir):
     the identical code path as http(s) hermetically; the oracle reads
     the same files with DuckDB read_text and must reproduce status,
     byte counts, line counts and the full-content md5."""
+    _write_remote_fixture()
     from neuroimaging_data_pipeline_spark.sources.fetch import fetch_text
 
     names = sorted(os.listdir(_REMOTE_DIR))
@@ -654,6 +731,7 @@ QUERIES = {
     "s11_remote_fetch": s11_remote_fetch,
     "e3_motion_outlier_hist": e3_motion_outlier_hist,
     "sv_time_travel": sv_time_travel,
+    "sv_version_diff": sv_version_diff,
     "sv_merge": sv_merge,
     "sv_vacuum": sv_vacuum,
 }
@@ -668,6 +746,7 @@ ORACLE = {
     "s11_remote_fetch": S11_SQL,
     "e3_motion_outlier_hist": E3_SQL,
     "sv_time_travel": SV_TT_SQL,
+    "sv_version_diff": SV_DIFF_SQL,
     "sv_merge": SV_MERGE_SQL,
     "sv_vacuum": SV_VAC_SQL,
 }
