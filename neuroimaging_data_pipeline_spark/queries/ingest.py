@@ -721,11 +721,76 @@ FROM base JOIN bin_sum bs USING (i)
 """
 
 
+def s15_rowgroup_prune(spark, sf_dir):
+    """S15: row-group PRUNING straight from the Thrift footer
+    (sources/parquet_meta.py parse_column_stats/prune_row_groups) —
+    the planner decision itself: per row group, the id column's
+    [min, max] statistics and whether a ``id >= 1500`` range
+    predicate lets the scan SKIP the group's bytes entirely. This is
+    what makes partition/row-group layout matter at 100 TB: the
+    pruning verdict costs one KB footer read per file, never a data
+    read. The engine decodes the Statistics min/max binaries by
+    physical type from the compact-protocol footer; the oracle reads
+    the SAME file through DuckDB's parquet_metadata() and recomputes
+    the identical verdicts — two independent parquet implementations
+    agreeing on the planning decision, not just the layout."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.sources.parquet_meta import (
+        prune_row_groups,
+    )
+
+    _write_pqmeta_fixture()
+    files = spark.read.format("binaryFile").load(_PQMETA_PATH)
+
+    def prune_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for r in prune_row_groups(bytes(content), "id", lo=1500):
+                    rows.append(
+                        (
+                            r["row_group"],
+                            r["min"],
+                            r["max"],
+                            r["num_values"],
+                            r["survives"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "row_group", "min_id", "max_id", "num_values", "survives",
+                ],
+            )
+
+    return files.select("content").mapInPandas(
+        prune_batches,
+        "row_group int, min_id long, max_id long, num_values long, "
+        "survives int",
+    )
+
+
+S15_SQL = f"""
+SELECT CAST(row_group_id AS INT) AS row_group,
+       CAST(stats_min_value AS BIGINT) AS min_id,
+       CAST(stats_max_value AS BIGINT) AS max_id,
+       CAST(num_values AS BIGINT) AS num_values,
+       CAST(CASE WHEN CAST(stats_max_value AS BIGINT) < 1500
+                 THEN 0 ELSE 1 END AS INT) AS survives
+FROM parquet_metadata('{_PQMETA_PATH}')
+WHERE path_in_schema = 'id'
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
     "s13_avro_scan": s13_avro_scan,
     "s14_tarshard_source": s14_tarshard_source,
+    "s15_rowgroup_prune": s15_rowgroup_prune,
     "s2_dir_listing": s2_dir_listing,
     "s4_sidecar_lookup": s4_sidecar_lookup,
     "s11_remote_fetch": s11_remote_fetch,
@@ -741,6 +806,7 @@ ORACLE = {
     "s12_parquet_meta": S12_SQL,
     "s13_avro_scan": S13_SQL,
     "s14_tarshard_source": S14_SQL,
+    "s15_rowgroup_prune": S15_SQL,
     "s2_dir_listing": S2_SQL,
     "s4_sidecar_lookup": S4_SQL,
     "s11_remote_fetch": S11_SQL,

@@ -154,3 +154,99 @@ def parse_footer(data: bytes) -> dict:
 def parse_footer_file(path: str) -> dict:
     with open(path, "rb") as fh:
         return parse_footer(fh.read())
+
+
+# parquet physical types (format/Types.thrift)
+_PT_INT32 = 1
+_PT_INT64 = 2
+_PT_FLOAT = 4
+_PT_DOUBLE = 5
+_PT_BYTE_ARRAY = 6
+
+
+def _decode_stat(raw: bytes | None, ptype: int):
+    """Decode a Statistics min/max binary per the column's physical
+    type (plain encoding per the parquet spec)."""
+    if raw is None:
+        return None
+    if ptype == _PT_INT32:
+        return _struct.unpack("<i", raw)[0]
+    if ptype == _PT_INT64:
+        return _struct.unpack("<q", raw)[0]
+    if ptype == _PT_FLOAT:
+        return float(_struct.unpack("<f", raw)[0])
+    if ptype == _PT_DOUBLE:
+        return _struct.unpack("<d", raw)[0]
+    if ptype == _PT_BYTE_ARRAY:
+        return raw.decode("utf-8", "replace")
+    return raw
+
+
+def parse_column_stats(data: bytes) -> list[dict]:
+    """Per (row group, column) planner statistics straight from the
+    Thrift footer: one dict with row_group, column (dotted path),
+    num_values, null_count, min, max — min/max decoded per the
+    column's physical type. This is the raw material of row-group
+    PRUNING: a predicate that excludes [min, max] skips the whole
+    group's bytes."""
+    if data[-4:] != b"PAR1":
+        raise ValueError("not a parquet file: missing PAR1 trailer")
+    (flen,) = _struct.unpack_from("<I", data, len(data) - 8)
+    md = _Reader(data[len(data) - 8 - flen : len(data) - 8]).read_struct()
+    out = []
+    for gi, rg in enumerate(md.get(4, [])):
+        for col in rg[1]:  # ColumnChunk list
+            cm = col.get(3)  # ColumnMetaData
+            if not isinstance(cm, dict):
+                continue
+            ptype = cm.get(1)
+            path = ".".join(
+                p.decode("utf-8") if isinstance(p, bytes) else p
+                for p in cm.get(3, [])
+            )
+            st = cm.get(12) or {}
+            # Statistics: 5=max_value/6=min_value (new), 1=max/2=min
+            mx = st.get(5, st.get(1))
+            mn = st.get(6, st.get(2))
+            out.append(
+                {
+                    "row_group": gi,
+                    "column": path,
+                    "num_values": cm.get(5, 0),
+                    "null_count": st.get(3),
+                    "min": _decode_stat(mn, ptype),
+                    "max": _decode_stat(mx, ptype),
+                }
+            )
+    return out
+
+
+def prune_row_groups(
+    data: bytes, column: str, lo=None, hi=None
+) -> list[dict]:
+    """Planner-style row-group pruning decision for a range predicate
+    ``lo <= column <= hi`` (either bound optional): per row group,
+    the column's [min, max] and whether the group SURVIVES (may
+    contain matches) or is skipped outright. Conservative: a group
+    with missing stats survives."""
+    rows = []
+    for s in parse_column_stats(data):
+        if s["column"] != column:
+            continue
+        mn, mx = s["min"], s["max"]
+        survives = True
+        if mn is not None and mx is not None:
+            if lo is not None and mx < lo:
+                survives = False
+            if hi is not None and mn > hi:
+                survives = False
+        rows.append(
+            {
+                "row_group": s["row_group"],
+                "min": mn,
+                "max": mx,
+                "num_values": s["num_values"],
+                "survives": int(survives),
+            }
+        )
+    return rows

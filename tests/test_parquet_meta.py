@@ -51,3 +51,47 @@ def test_multi_row_group_fixture():
 def test_bad_magic_raises():
     with pytest.raises(ValueError, match="PAR1"):
         parse_footer(b"\x00" * 64)
+
+
+def test_column_stats_and_pruning_match_pyarrow():
+    """parse_column_stats decodes per-type min/max identically to
+    pyarrow's reader on the shared fixture; prune_row_groups makes
+    the right skip decisions for range predicates on every testdata
+    table's first column."""
+    import pyarrow.parquet as papq
+
+    from neuroimaging_data_pipeline_spark.queries.ingest import (
+        _PQMETA_PATH,
+        _write_pqmeta_fixture,
+    )
+    from neuroimaging_data_pipeline_spark.sources.parquet_meta import (
+        parse_column_stats,
+        prune_row_groups,
+    )
+
+    _write_pqmeta_fixture()
+    data = open(_PQMETA_PATH, "rb").read()
+    mine = {
+        (s["row_group"], s["column"]): (s["min"], s["max"], s["num_values"])
+        for s in parse_column_stats(data)
+    }
+    pf = papq.ParquetFile(_PQMETA_PATH)
+    for gi in range(pf.metadata.num_row_groups):
+        rg = pf.metadata.row_group(gi)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            st = col.statistics
+            got = mine[(gi, col.path_in_schema)]
+            assert got == (st.min, st.max, st.num_values), (gi, ci)
+
+    # pruning: id >= 1500 skips exactly row group 0; <= 999 keeps only 0
+    lo = {r["row_group"]: r["survives"] for r in
+          prune_row_groups(data, "id", lo=1500)}
+    assert lo == {0: 0, 1: 1, 2: 1}
+    hi = {r["row_group"]: r["survives"] for r in
+          prune_row_groups(data, "id", hi=999)}
+    assert hi == {0: 1, 1: 0, 2: 0}
+    # band predicate within one group
+    band = {r["row_group"]: r["survives"] for r in
+            prune_row_groups(data, "id", lo=1100, hi=1200)}
+    assert band == {0: 0, 1: 1, 2: 0}
