@@ -674,10 +674,52 @@ GROUP BY user_id, event_type
 """
 
 
+def w13_event_dedup(spark, sf_dir):
+    """Event-time windowed dedup: keep the FIRST event per (user,
+    event_type) in every 5-minute tumbling bucket — the idempotency
+    filter in front of metering/alerting consumers that must not
+    double-count client retries (the batch twin of the streaming
+    dropDuplicates-within-watermark shape). One window shuffle on the
+    (user, type, bucket) key; first = min by (ts, event_id) total
+    order."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    bucket = (F.unix_micros("ts") / F.lit(300_000_000)).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        "user_id", "event_type", "_bucket"
+    ).orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("_bucket", bucket)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", "_bucket")
+        .withColumnRenamed("_bucket", "bucket")
+    )
+
+
+W13_DEDUP_SQL = """
+WITH b AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) // 300000000 AS BIGINT) AS bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type,
+                        epoch_us(ts) // 300000000
+           ORDER BY ts ASC, event_id ASC
+         ) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type, bucket FROM b WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "j12_salted_join": j12_salted_join,
     "sv_incremental_agg": sv_incremental_agg,
+    "w13_event_dedup": w13_event_dedup,
     "ev_ohlc": ev_ohlc,
     "w11_ewma": w11_ewma,
     "j8_interval_overlap": j8_interval_overlap,
@@ -691,6 +733,7 @@ ORACLE = {
     "ev_funnel": EV_FUNNEL_SQL,
     "j12_salted_join": J12_SALTED_SQL,
     "sv_incremental_agg": SV_INCR_AGG_SQL,
+    "w13_event_dedup": W13_DEDUP_SQL,
     "ev_ohlc": EV_OHLC_SQL,
     "w11_ewma": EV_EWMA_SQL,
     "j8_interval_overlap": J8_SQL,
