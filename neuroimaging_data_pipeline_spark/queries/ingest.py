@@ -215,6 +215,7 @@ def s2_dir_listing(spark, sf_dir):
     sidecar landing dir via the binaryFile source, extract BIDS
     entities from paths, count files per subject. At scale this IS the
     catalog build: one distributed listing, no driver-side os.walk."""
+    _write_sidecars()
     files = (
         spark.read.format("binaryFile")
         .load(f"{_SIDECAR_DIR}/*.json")

@@ -147,6 +147,10 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
         # aggregate tables that scale with the key domain, so the
         # co-partitioned shuffle join is also the 100 TB shape.
         "sv_incremental_agg",
+        # sv_version_diff: the CDC snapshot diff is the same FULL
+        # OUTER class — two whole table versions, neither
+        # broadcastable at scale.
+        "sv_version_diff",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in queries.items():
