@@ -111,3 +111,47 @@ def test_stream_mp4_container_parse(spark, tmp_path):
     assert len(got) == 8
     assert got.equals(want)
     assert (got["payload_sum"] > 0).all()
+
+
+def test_stream_gif_decode_matches_batch(spark, tmp_path):
+    """The animated-GIF/LZW decoder runs unchanged under readStream:
+    real GIF payloads stream through gif_frame_stats and every frame
+    row (delays, pixel sums through the LZW decode and palette map)
+    matches the batch decode."""
+    from neuroimaging_data_pipeline_spark.multimodal.gif import (
+        gif_frame_stats,
+        synthesize_gifs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    media = synthesize_gifs(docs)
+    landing = tmp_path / "gifland"
+    media.coalesce(3).write.parquet(str(landing))
+    stream = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = (
+        gif_frame_stats(stream)
+        .writeStream.format("memory")
+        .queryName("gif_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("gif_stream")
+        .toPandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        gif_frame_stats(media)
+        .toPandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) >= 18  # 9 clips x 2-4 frames
+    assert got.equals(want)
