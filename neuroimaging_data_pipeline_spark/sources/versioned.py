@@ -168,3 +168,55 @@ def vacuum(root: str, keep_last: int = 1) -> list[int]:
         expired.append(v["version"])
     _commit_manifest(root, doc)
     return expired
+
+
+def append_txn(df: DataFrame, root: str, txn_id: str) -> int | None:
+    """EXACTLY-ONCE append: write ``df`` as the next version tagged
+    with ``txn_id``; if a version carrying that txn_id is already
+    committed, DO NOTHING and return None (idempotent replay). This
+    is the sink contract a Structured Streaming ``foreachBatch``
+    needs — micro-batches are delivered at-least-once on failure
+    recovery, and the (query_id, batch_id) pair as txn_id turns that
+    into exactly-once table state: a replayed batch hits the
+    manifest check and is dropped before any data write. The check
+    and the manifest append are both against the atomically-replaced
+    manifest file, so a half-written data directory without a
+    manifest entry is invisible (the same commit protocol the other
+    DML ops use)."""
+    os.makedirs(root, exist_ok=True)
+    doc = _read_manifest(root)
+    for v in doc["versions"]:
+        if v.get("txn_id") == txn_id:
+            return None
+    next_v = max(table_versions(root), default=-1) + 1
+    path = os.path.join(root, f"v={next_v}")
+    df.write.mode("overwrite").parquet(path)  # replay-safe data write
+    doc = _read_manifest(root)  # re-read: writer may have raced
+    for v in doc["versions"]:
+        if v.get("txn_id") == txn_id:
+            return None
+    doc["versions"].append(
+        {
+            "version": next_v,
+            "path": f"v={next_v}",
+            "operation": "append",
+            "txn_id": txn_id,
+            "committed_at": int(time.time()),
+        }
+    )
+    _commit_manifest(root, doc)
+    return next_v
+
+
+def read_all_appends(spark: SparkSession, root: str) -> DataFrame:
+    """Union of every committed append version — the consumer view of
+    an append-only exactly-once table."""
+    doc = _read_manifest(root)
+    paths = [
+        os.path.join(root, v["path"])
+        for v in doc["versions"]
+        if not v.get("expired")
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    return spark.read.parquet(*paths)
