@@ -1217,6 +1217,42 @@ FROM t GROUP BY bucket
 """
 
 
+#: ONE portable ANSI string executed verbatim by BOTH engines — the
+#: spark.sql() entry surface (SURVEY §3 entry point 2) demonstrated at
+#: its strongest: no per-engine twin at all. Money discipline in
+#: portable SQL: scaled-integer ROUND before the sum, exact BIGINT
+#: accumulation, one final division.
+ANSI_SURFACE_SQL = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         / CAST(100 AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_ansi_sql_surface(spark, sf_dir):
+    """The literal ``spark.sql(...)`` entry point over registered temp
+    views (sources/tables.register_views) — the engine's second query
+    surface next to the DataFrame API. The SQL text is shared
+    VERBATIM with the DuckDB oracle: one portable ANSI string, two
+    engines, identical results — which is exactly the portability
+    contract a user migrating SQL workloads onto this engine relies
+    on. Catalyst still plans it like any DataFrame query (the nation
+    dim broadcasts; the orders<->customer join is the only
+    shuffle)."""
+    from neuroimaging_data_pipeline_spark.sources.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ["orders", "customer", "nation"])
+    return spark.sql(ANSI_SURFACE_SQL)
+
+
 # Registration order is driver-visible: the correctness gate checks
 # queries in registration order with a bounded window (round 1: first
 # 50 of 67). Queries needing a fresh driver verdict (newly fixed or
@@ -1406,6 +1442,7 @@ QUERIES = {
     "d_bloom_probe": d_bloom_probe,
     "a_cms_heavy_hitters": a_cms_heavy_hitters,
     "a_equidepth_hist": a_equidepth_hist,
+    "q_ansi_sql_surface": q_ansi_sql_surface,
     "p1_projection_filter": p1_projection_filter,
     "p6_like_predicate": p6_like_predicate,
     "p7_isin_label": p7_isin_label,
@@ -1454,6 +1491,7 @@ def _sketch_oracles() -> dict[str, str]:
 ORACLE = {
     **_sketch_oracles(),
     "a_equidepth_hist": A_EQUIDEPTH_SQL,
+    "q_ansi_sql_surface": ANSI_SURFACE_SQL,
     "p1_projection_filter": P1_SQL,
     "a_mad_outliers": A_MAD_SQL,
     "t_profile": T_PROFILE_SQL,
