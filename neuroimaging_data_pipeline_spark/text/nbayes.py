@@ -59,8 +59,13 @@ def nb_train_score(
     class_tok = toks.groupBy("_cls", "_w").agg(
         F.count(F.lit(1)).alias("_cwc")
     )
-    class_tot = toks.groupBy("_cls").agg(F.count(F.lit(1)).alias("_nc"))
-    vocab = toks.select("_w").distinct().agg(
+    # class totals and vocab size DERIVE from the (class, token)
+    # counts — aggregating the KB-scale model table instead of
+    # re-tokenizing the corpus cuts the corpus passes from 4 to 2
+    # (model count + scoring), which is the difference that matters
+    # at 100 TB; identical values by construction.
+    class_tot = class_tok.groupBy("_cls").agg(F.sum("_cwc").alias("_nc"))
+    vocab = class_tok.select("_w").distinct().agg(
         F.count(F.lit(1)).alias("_v")
     )
     doc_cnt = docs.groupBy(class_col).agg(
