@@ -108,3 +108,30 @@ def test_tarshard_datasource_partitioning_and_pruning(spark):
             assert got[(name, member)] == (len(payload), sum(payload))
     # pruned projection executes
     assert full.select("member").distinct().count() > 0
+
+
+def test_tarshard_datasource_error_paths(spark, tmp_path):
+    """Missing path option and empty shard dirs fail loudly at plan
+    time; a corrupt shard fails inside its own task (checksum
+    re-verification), not silently."""
+    import pytest
+
+    from neuroimaging_data_pipeline_spark.multimodal.tar import parse_tar
+    from neuroimaging_data_pipeline_spark.sources.datasource import register
+
+    register(spark)
+    with pytest.raises(Exception):
+        spark.read.format("ndp_tarshard").load().collect()
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(Exception):
+        spark.read.format("ndp_tarshard").option(
+            "path", str(empty)
+        ).load().collect()
+    # corrupt checksum rejected by the parser itself
+    from neuroimaging_data_pipeline_spark.multimodal.tar import write_tar
+
+    good = bytearray(write_tar([("a.txt", b"hello")]))
+    good[150] ^= 0xFF  # flip a checksum byte
+    with pytest.raises(Exception):
+        parse_tar(bytes(good))
