@@ -146,10 +146,13 @@ def encode_gif(
     frames: list[np.ndarray],
     palette: list[tuple[int, int, int]],
     delays_cs: list[int] | None = None,
+    local_palettes: list[list[tuple[int, int, int]] | None] | None = None,
 ) -> bytes:
     """GIF89a with one graphic-control extension + image descriptor
     per frame. ``frames`` are (H, W) uint8 palette indices; palette
-    length must be a power of two in [2, 256]."""
+    length must be a power of two in [2, 256]. ``local_palettes``
+    (per frame, None = use global) emits real LOCAL color tables so
+    the decoder's per-frame palette resolution is exercised."""
     n_colors = len(palette)
     bits = max(2, (n_colors - 1).bit_length())
     if n_colors != 1 << bits and n_colors not in (2, 4, 8, 16, 32, 64, 128, 256):
@@ -165,10 +168,19 @@ def encode_gif(
         out += bytes((r, g, b))
     # NETSCAPE looping extension (exercises app-extension skipping)
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
-    for fr, delay in zip(frames, delays):
+    lcts = local_palettes or [None] * len(frames)
+    for fr, delay, lct in zip(frames, delays, lcts):
         assert fr.shape == (h, w)
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        if lct is None:
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        else:
+            lbits = max(2, (len(lct) - 1).bit_length())
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+                [0x80 | (lbits - 1)]
+            )
+            for r, g, b in lct:
+                out += bytes((r, g, b))
         min_code = max(2, bits)
         out += bytes([min_code])
         lz = lzw_encode(fr.astype(np.uint8).tobytes(), min_code)
@@ -195,6 +207,7 @@ def decode_gif(data: bytes) -> dict:
             palette.append(tuple(data[pos + 3 * i : pos + 3 * i + 3]))
         pos += 3 * n
     frames: list[tuple[int, np.ndarray]] = []
+    frame_palettes: list[list[tuple[int, int, int]]] = []
     delay = 0
     while True:
         b0 = data[pos]
@@ -221,8 +234,18 @@ def decode_gif(data: bytes) -> dict:
                 "<HHHHB", data[pos : pos + 9]
             )
             pos += 9
-            if iflags & 0x80:  # local color table (unused by writer)
-                pos += 3 * (2 << (iflags & 7))
+            # a frame with a LOCAL color table must be mapped through
+            # it, not the global palette (GIF89a §21) — skipping the
+            # bytes but using the global colors would silently
+            # miscolor every LCT frame
+            frame_pal = palette
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                frame_pal = [
+                    tuple(data[pos + 3 * i : pos + 3 * i + 3])
+                    for i in range(n)
+                ]
+                pos += 3 * n
             min_code = data[pos]
             pos += 1
             lz = bytearray()
@@ -239,9 +262,16 @@ def decode_gif(data: bytes) -> dict:
             frames.append(
                 (delay, np.frombuffer(px, dtype=np.uint8).reshape(fh, fw))
             )
+            frame_palettes.append(frame_pal)
             continue
         raise ValueError(f"unknown GIF block 0x{b0:02x}")
-    return {"width": w, "height": h, "palette": palette, "frames": frames}
+    return {
+        "width": w,
+        "height": h,
+        "palette": palette,
+        "frames": frames,
+        "frame_palettes": frame_palettes,
+    }
 
 
 # ------------------------------------------------- fixture + operators
@@ -296,8 +326,11 @@ def gif_frame_stats(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[content_col]):
                 g = decode_gif(bytes(payload))
-                pal_r = np.array([p[0] for p in g["palette"]], dtype=np.int64)
                 for i, (delay, px) in enumerate(g["frames"]):
+                    pal_r = np.array(
+                        [p[0] for p in g["frame_palettes"][i]],
+                        dtype=np.int64,
+                    )
                     rows.append(
                         (
                             mid,

@@ -66,3 +66,26 @@ def test_gif_rejects_garbage():
 
     with pytest.raises(ValueError):
         decode_gif(b"NOTAGIF" + b"\x00" * 20)
+
+
+def test_gif_local_color_table_resolution():
+    """A frame carrying its own LOCAL color table must be mapped
+    through it, not the global palette — the indices decode the same,
+    but the colors differ (GIF89a section 21)."""
+    import numpy as np
+
+    frames = [
+        np.full((4, 4), 2, dtype=np.uint8),
+        np.full((4, 4), 2, dtype=np.uint8),
+    ]
+    glob = gif_palette()
+    # local table: reversed global -> index 2 maps to a different color
+    local = list(reversed(glob))
+    g = decode_gif(
+        encode_gif(frames, glob, [10, 10], local_palettes=[None, local])
+    )
+    assert g["frame_palettes"][0] == glob
+    assert g["frame_palettes"][1] == local
+    assert g["frame_palettes"][0][2] != g["frame_palettes"][1][2]
+    for _, px in g["frames"]:
+        assert (px == 2).all()  # indices identical either way
