@@ -147,12 +147,15 @@ def encode_gif(
     palette: list[tuple[int, int, int]],
     delays_cs: list[int] | None = None,
     local_palettes: list[list[tuple[int, int, int]] | None] | None = None,
+    interlaced: bool = False,
 ) -> bytes:
     """GIF89a with one graphic-control extension + image descriptor
     per frame. ``frames`` are (H, W) uint8 palette indices; palette
     length must be a power of two in [2, 256]. ``local_palettes``
     (per frame, None = use global) emits real LOCAL color tables so
-    the decoder's per-frame palette resolution is exercised."""
+    the decoder's per-frame palette resolution is exercised;
+    ``interlaced`` transmits rows in the 4-pass GIF89a §20 schedule
+    (the decoder de-interlaces)."""
     n_colors = len(palette)
     bits = max(2, (n_colors - 1).bit_length())
     if n_colors != 1 << bits and n_colors not in (2, 4, 8, 16, 32, 64, 128, 256):
@@ -172,24 +175,42 @@ def encode_gif(
     for fr, delay, lct in zip(frames, delays, lcts):
         assert fr.shape == (h, w)
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        iflags = 0x40 if interlaced else 0x00
         if lct is None:
-            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+                [iflags]
+            )
         else:
             lbits = max(2, (len(lct) - 1).bit_length())
             out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
-                [0x80 | (lbits - 1)]
+                [0x80 | iflags | (lbits - 1)]
             )
             for r, g, b in lct:
                 out += bytes((r, g, b))
         min_code = max(2, bits)
         out += bytes([min_code])
-        lz = lzw_encode(fr.astype(np.uint8).tobytes(), min_code)
+        payload = fr.astype(np.uint8)
+        if interlaced:  # transmit rows in the 4-pass schedule
+            payload = payload[_interlace_rows(h)]
+        lz = lzw_encode(payload.tobytes(), min_code)
         for i in range(0, len(lz), 255):
             chunk = lz[i : i + 255]
             out += bytes([len(chunk)]) + chunk
         out += b"\x00"  # block terminator
     out += b"\x3b"  # trailer
     return bytes(out)
+
+
+def _interlace_rows(h: int) -> list[int]:
+    """GIF interlace row schedule (GIF89a §20): the i-th TRANSMITTED
+    row lands at the returned display row — passes start at rows
+    0, 4, 2, 1 with strides 8, 8, 4, 2."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
 
 
 def decode_gif(data: bytes) -> dict:
@@ -259,9 +280,14 @@ def decode_gif(data: bytes) -> dict:
                 raise ValueError(
                     f"frame pixel count {len(px)} != {fw}x{fh}"
                 )
-            frames.append(
-                (delay, np.frombuffer(px, dtype=np.uint8).reshape(fh, fw))
-            )
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(fh, fw)
+            if iflags & 0x40:  # interlaced: 4-pass row order (§20)
+                out_rows = np.empty_like(arr)
+                order = _interlace_rows(fh)
+                for src, dst in enumerate(order):
+                    out_rows[dst] = arr[src]
+                arr = out_rows
+            frames.append((delay, arr))
             frame_palettes.append(frame_pal)
             continue
         raise ValueError(f"unknown GIF block 0x{b0:02x}")

@@ -89,3 +89,31 @@ def test_gif_local_color_table_resolution():
     assert g["frame_palettes"][0][2] != g["frame_palettes"][1][2]
     for _, px in g["frames"]:
         assert (px == 2).all()  # indices identical either way
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlaced frames transmit rows in the 4-pass GIF89a schedule;
+    the decoder de-interlaces back to display order — round-trip
+    exact across odd/even/small heights."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.multimodal.gif import (
+        _interlace_rows,
+    )
+
+    rng = np.random.default_rng(21)
+    for h in (1, 2, 3, 5, 8, 12, 17):
+        order = _interlace_rows(h)
+        assert sorted(order) == list(range(h))  # permutation
+        frames = [rng.integers(0, 8, (h, 6)).astype(np.uint8)
+                  for _ in range(2)]
+        g = decode_gif(
+            encode_gif(frames, gif_palette(), [10, 10], interlaced=True)
+        )
+        for a, (_, b) in zip(frames, g["frames"]):
+            assert (a == b).all(), h
+    # a non-interlaced stream of the same frames decodes identically
+    frames = [rng.integers(0, 8, (12, 6)).astype(np.uint8)]
+    plain = decode_gif(encode_gif(frames, gif_palette()))
+    inter = decode_gif(encode_gif(frames, gif_palette(), interlaced=True))
+    assert (plain["frames"][0][1] == inter["frames"][0][1]).all()
