@@ -123,6 +123,10 @@ def lzw_decode(data: bytes, min_code_size: int) -> bytes:
         if code == eoi:
             break
         if prev is None:
+            if code >= clear:  # first code after CLEAR must be a literal
+                raise ValueError(
+                    f"LZW first code {code} is not a literal (< {clear})"
+                )
             entry = table[code]
         elif code < len(table):
             entry = table[code]

@@ -117,3 +117,20 @@ def test_gif_interlaced_roundtrip():
     plain = decode_gif(encode_gif(frames, gif_palette()))
     inter = decode_gif(encode_gif(frames, gif_palette(), interlaced=True))
     assert (plain["frames"][0][1] == inter["frames"][0][1]).all()
+
+
+def test_lzw_malformed_streams_raise():
+    import pytest
+
+    from neuroimaging_data_pipeline_spark.multimodal.gif import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    good = lzw_encode(b"\x00\x01\x02" * 50, 2)
+    with pytest.raises(ValueError):
+        lzw_decode(good[: len(good) // 2], 2)  # truncated mid-stream
+    # a code far beyond the dictionary is rejected, not mis-decoded
+    with pytest.raises(ValueError):
+        # craft: width-3 bits, first code = 7 (beyond clear+1+0 entries)
+        lzw_decode(bytes([0b00111111]), 2)
