@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 FIXTURE_DIR = os.path.join(
@@ -53,6 +54,9 @@ class TarShardDataSource(DataSource):
 
     def reader(self, schema) -> "TarShardReader":
         return TarShardReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "TarShardStreamReader":
+        return TarShardStreamReader(self.options)
 
 
 class _ShardPartition(InputPartition):
@@ -110,4 +114,56 @@ def register(spark) -> None:
     try:
         spark.dataSource.register(TarShardDataSource)
     except Exception:  # noqa: BLE001 — already registered
+        pass
+
+
+class TarShardStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the format: TAIL a shard landing directory.
+    The offset is {"count": n} — the number of shards (in sorted-name
+    order) already consumed; a micro-batch reads the files beyond it.
+    Shards are immutable and the listing is sorted, so
+    readBetweenOffsets REPLAYS any batch deterministically — exactly
+    the contract Structured Streaming needs for recovery. This is the
+    corpus-landing-feed shape: new tar shards appear, each micro-batch
+    drains the new ones, offsets checkpoint the high-water mark."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ndp_tarshard requires option 'path'")
+
+    def _files(self):
+        return sorted(
+            _glob.glob(os.path.join(self.path, "*.tar"))
+            + _glob.glob(os.path.join(self.path, "*.tar.gz"))
+        )
+
+    def initialOffset(self):
+        return {"count": 0}
+
+    def _rows(self, files):
+        from neuroimaging_data_pipeline_spark.multimodal.tar import parse_tar
+
+        out = []
+        for f in files:
+            with open(f, "rb") as fh:
+                raw = fh.read()
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            shard = os.path.basename(f)
+            for name, payload in parse_tar(raw):
+                key, _, _ext = name.rpartition(".")
+                out.append((shard, key, name, len(payload), sum(payload)))
+        return out
+
+    def read(self, start):
+        files = self._files()
+        n0 = start["count"]
+        return iter(self._rows(files[n0:])), {"count": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files()
+        return iter(self._rows(files[start["count"] : end["count"]]))
+
+    def commit(self, end):
         pass
