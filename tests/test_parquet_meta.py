@@ -95,3 +95,31 @@ def test_column_stats_and_pruning_match_pyarrow():
     band = {r["row_group"]: r["survives"] for r in
             prune_row_groups(data, "id", lo=1100, hi=1200)}
     assert band == {0: 0, 1: 1, 2: 0}
+
+
+def test_string_column_stats_and_unsupported_kind():
+    """BYTE_ARRAY statistics decode as strings (the 'name' column of
+    the shared fixture); agg_state rejects unknown aggregate kinds."""
+    import pytest
+
+    from neuroimaging_data_pipeline_spark.operators.incremental import (
+        agg_state,
+    )
+    from neuroimaging_data_pipeline_spark.queries.ingest import (
+        _PQMETA_PATH,
+        _write_pqmeta_fixture,
+    )
+    from neuroimaging_data_pipeline_spark.sources.parquet_meta import (
+        parse_column_stats,
+    )
+
+    _write_pqmeta_fixture()
+    data = open(_PQMETA_PATH, "rb").read()
+    names = [s for s in parse_column_stats(data) if s["column"] == "name"]
+    assert len(names) == 3
+    for s in names:
+        assert isinstance(s["min"], str) and s["min"].startswith("row-")
+        assert isinstance(s["max"], str) and s["max"] >= s["min"]
+
+    with pytest.raises(ValueError, match="unsupported aggregate kind"):
+        agg_state(None, ["k"], {"bad": ("median", "x")})
