@@ -92,3 +92,27 @@ def test_salted_join_equals_plain_join(spark):
     salted_norm = {tuple(sorted(map(str, r))) for r in salted}
     assert plain_norm == salted_norm
     assert "_salt" in salted_df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_left_outer_variant(spark):
+    """how='left' keeps unmatched big-side rows (salting must not
+    change outer semantics: every big row picks exactly one salt, so
+    an unmatched key emits exactly one NULL row, not n_salt)."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.operators.salting import (
+        salted_equi_join,
+    )
+
+    fact = spark.range(100).select(
+        F.col("id").alias("fid"), (F.col("id") % 12).alias("k")
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 5).alias("p")
+    )
+    out = salted_equi_join(fact, dim, ["k"], "fid", n_salt=4, how="left")
+    assert out.count() == 100  # one row per fact row, matched or not
+    unmatched = out.filter(F.col("p").isNull())
+    assert {r.k for r in unmatched.collect()} == {10, 11}
+    # keys 10 and 11 appear 8x each among ids 0..99
+    assert unmatched.count() == 16
