@@ -171,7 +171,10 @@ def encode_gif(
     out += b"GIF89a"
     # logical screen descriptor: global color table, bits-1 size field
     out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
-    for r, g, b in palette:
+    # the size field declares 1<<bits entries — pad short palettes
+    # (a 2-entry palette under the bits>=2 floor) so the table length
+    # matches what the descriptor promises
+    for r, g, b in palette + [(0, 0, 0)] * ((1 << bits) - n_colors):
         out += bytes((r, g, b))
     # NETSCAPE looping extension (exercises app-extension skipping)
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
@@ -189,7 +192,7 @@ def encode_gif(
             out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
                 [0x80 | iflags | (lbits - 1)]
             )
-            for r, g, b in lct:
+            for r, g, b in lct + [(0, 0, 0)] * ((1 << lbits) - len(lct)):
                 out += bytes((r, g, b))
         min_code = max(2, bits)
         out += bytes([min_code])

@@ -24,10 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: monoid merge expressions per supported aggregate kind
+#: monoid merge expressions per supported aggregate kind.
+#: SUM must propagate NULL when BOTH sides are NULL (a group whose
+#: measure values are all NULL has SUM NULL under a full recompute;
+#: coalescing both sides to 0 would refresh it to 0 and break the
+#: incremental == recompute invariant). count(*) is never NULL for a
+#: present group, so plain coalesce-add is exact there.
 _MERGE = {
     "count": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
-    "sum": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    "sum": lambda a, b: F.when(
+        a.isNull() & b.isNull(), F.lit(None)
+    ).otherwise(F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))),
     "min": lambda a, b: F.least(a, b),
     "max": lambda a, b: F.greatest(a, b),
 }

@@ -39,17 +39,28 @@ def salted_equi_join(
     """Join ``big`` (skewed on ``keys``) with ``small`` on ``keys``
     via ``n_salt``-way salting. ``discriminator`` is any big-side
     column whose values spread within a hot key (an event id, an
-    offset — NOT the join key itself)."""
+    offset — NOT the join key itself).
+
+    Only ``how`` in {"inner", "left"} is supported: the small side is
+    replicated ``n_salt`` ways, so right/full-outer would surface each
+    unmatched small-side row once per replica — a silent contract
+    break rather than a plain-join equivalent.
+
+    NULL discriminators are salted to a sentinel bucket (coalesce
+    before hashing) so those rows still meet their key's replica —
+    without this, md5(NULL) is NULL and the rows silently drop under
+    inner / null-extend under left.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_equi_join supports how='inner'/'left' only, got {how!r}: "
+            "the exploded small side would duplicate unmatched rows "
+            f"{n_salt}x under right/full outer joins"
+        )
+    disc = F.coalesce(F.col(discriminator).cast("string"), F.lit("\x00null\x00"))
     salt = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("salt:"), F.col(discriminator).cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("long")
+        F.conv(F.substring(F.md5(F.concat(F.lit("salt:"), disc)), 1, 4), 16, 10)
+        .cast("long")
         % F.lit(n_salt)
     ).cast("int")
     b = big.withColumn("_salt", salt)

@@ -119,13 +119,18 @@ def register(spark) -> None:
 
 class TarShardStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of the format: TAIL a shard landing directory.
-    The offset is {"count": n} — the number of shards (in sorted-name
-    order) already consumed; a micro-batch reads the files beyond it.
-    Shards are immutable and the listing is sorted, so
-    readBetweenOffsets REPLAYS any batch deterministically — exactly
-    the contract Structured Streaming needs for recovery. This is the
-    corpus-landing-feed shape: new tar shards appear, each micro-batch
-    drains the new ones, offsets checkpoint the high-water mark."""
+    The offset is {"last": name} — the highest shard FILENAME already
+    consumed; a micro-batch reads files with basename strictly greater.
+    Name-anchored offsets (not positional counts) make replay robust:
+    a shard landing late with a name that sorts before already-consumed
+    files cannot shift the window, it is simply picked up by the next
+    batch's > comparison... only if it sorts after the high-water mark;
+    late out-of-order names below the mark are SKIPPED by design (the
+    landing contract is monotone shard names, which write_fixture_shards
+    and any sane shard writer satisfy) rather than silently duplicating
+    rows the way index arithmetic did. readBetweenOffsets REPLAYS any
+    (start, end] name window deterministically — exactly the contract
+    Structured Streaming needs for recovery."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -139,7 +144,19 @@ class TarShardStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self):
-        return {"count": 0}
+        return {"last": ""}
+
+    @staticmethod
+    def _mark(offset):
+        # legacy {"count": n} checkpoints (pre-name-anchored offsets)
+        # are not convertible without the original listing; reject them
+        # loudly instead of guessing a window.
+        if "last" not in offset:
+            raise ValueError(
+                f"unsupported ndp_tarshard offset {offset!r}; "
+                "expected {'last': <filename>}"
+            )
+        return offset["last"]
 
     def _rows(self, files):
         from neuroimaging_data_pipeline_spark.multimodal.tar import parse_tar
@@ -157,13 +174,17 @@ class TarShardStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start):
-        files = self._files()
-        n0 = start["count"]
-        return iter(self._rows(files[n0:])), {"count": len(files)}
+        mark = self._mark(start)
+        fresh = [f for f in self._files() if os.path.basename(f) > mark]
+        new_mark = os.path.basename(fresh[-1]) if fresh else mark
+        return iter(self._rows(fresh)), {"last": new_mark}
 
     def readBetweenOffsets(self, start, end):
-        files = self._files()
-        return iter(self._rows(files[start["count"] : end["count"]]))
+        lo, hi = self._mark(start), self._mark(end)
+        files = [
+            f for f in self._files() if lo < os.path.basename(f) <= hi
+        ]
+        return iter(self._rows(files))
 
     def commit(self, end):
         pass
