@@ -52,19 +52,90 @@ from neuroimaging_data_pipeline_spark.queries import (
 )
 
 # Registration order is driver-visible (bounded correctness window —
-# the driver checks the first 50 registered). Round-5 rotation
-# (VERDICT r4 #2): maximize NEVER-driver-checked queries in the
-# window, computed against the union of CORRECTNESS_r01-r04 rows —
-# media (10 fresh: MP4/TAR/JSONL/BMP/JPEG-progressive codecs),
-# eventsops (8 fresh: funnel/OHLC/asof/sessionize/LOCF/EWMA),
-# sqlsurface (9 fresh: cube/grouping-sets/percentiles/ranks/pivot),
-# retrieval (16 fresh: BM25/kNN-graph/SemDeDup/BPE/KS-drift/logreg/
-# incremental-dedup/e5) = 43 all-fresh, topped up by textops' first 7
-# (incl. the r5-rewritten d_cdc_chunks, url/passage dedup, e6).
-# relational + misc rotate OUT (driver-green twice, r3 + r4); neuro/
-# spatial/ingest queries were driver-checked in r1/r2 and stay on
-# replica coverage this round.
+# the driver checks the first 50 registered). Round-6 rotation
+# (VERDICT r5 #2): ordering is now COMPUTED, not hand-sorted — every
+# query is ranked by the last round a driver CORRECTNESS artifact
+# checked it (frozen below from CORRECTNESS_r01–r05), never-checked
+# first. The r6 window therefore contains: all 38 never-checked
+# queries + every query ADDED this round (absent from the history ⇒
+# rank 0) + the explicit re-check list (operators whose code changed
+# in r6: salting, incremental merge, GIF writer — plus the two
+# perf-watch queries s_lsh_topk / s_quantize_int8), topped up with the
+# oldest-coverage rows (r1/r3 vintage). After r6 every registered
+# query has had a driver row in some round.
 _MODULES = [media, eventsops, sqlsurface, retrieval, textops, simsearch, ingest, neuro, spatial, relational, misc]
+
+# name -> last driver round with a CORRECTNESS row (union of
+# CORRECTNESS_r01..r05; absent = never driver-checked).
+_LAST_DRIVER_ROUND = {}
+for _r, _names in {
+    1: ["w8b_gaussian_smooth_sep"],
+    3: [
+        "j2_interval_grid", "a2_global_signal", "a9_ols_normal_eq",
+        "st_tumbling_window", "st_session_window", "j4_stencil_mode",
+        "w8_gaussian_smooth", "j5_nearest_resample", "a3_mean_image",
+        "s1_tsv_scan", "s2_dir_listing", "s4_sidecar_lookup",
+        "e3_motion_outlier_hist", "t_token_count", "t_quality_signals",
+        "t_lang_id", "t_fingerprint", "t_entropy", "d_exact_dedup",
+        "d_ngram_jaccard", "s_cosine_topk", "s_ivf_topk",
+        "d_embedding_neardup", "s_lsh_topk", "d_minhash_lsh",
+        "d_simhash", "st_watermark_late_discard",
+        "w8b_gaussian_smooth_cube", "sv_time_travel", "t_winnow",
+        "sd_stream_dedup", "st_enrich_join",
+    ],
+    4: [
+        "a_approx_sketches", "p1_projection_filter", "p6_like_predicate",
+        "p7_isin_label", "p8_binarize", "p9_null_fill",
+        "j1_aligned_concat", "j3_semi_join", "j3b_anti_join",
+        "j_broadcast_3way", "j6_first_match_rules", "a1_pricing_summary",
+        "a4_count_distinct", "a5_histogram", "a7_correlation", "a8_mode",
+        "a_rollup", "w1_zscore", "w2_lag_diff", "w4_fir_convolve",
+        "w5_dct_basis", "w6_poly_trend", "o2_topk", "u1_union",
+        "u2_intersect", "f2_string_funcs", "f3_date_trunc",
+        "f5_json_extract", "f6_array_ops", "g_group_ttest",
+        "c_contrast_estimate", "a10_vif", "w3_motion_expansion",
+        "w7_spike_regressors", "s3_catalog_entities", "s10_json_update",
+        "f1_math", "f4_conditional", "a9_mass_ols", "m1_binary_digest",
+        "w7b_find_spikes", "m2_wav_rms", "m3_ppm_stats", "a_mad_outliers",
+        "t_profile", "a_key_skew", "u4_intersect_all", "w12_range_frame",
+        "m4_png_stats", "m5_jpeg_stats",
+    ],
+    5: [
+        "m8_mp4_meta", "m16_mjpeg_frames", "m17_gif_frames",
+        "m13_tar_samples", "m14_jsonl_shards", "m15_bmp_stats",
+        "m10_audio_frames", "m12_png_interlaced", "e4_multimodal_pipeline",
+        "m8b_mp4_frames", "m9_jpeg_420", "m11_jpeg_progressive",
+        "ev_funnel", "j12_salted_join", "sv_incremental_agg",
+        "w13_event_dedup", "ev_ohlc", "w11_ewma", "j8_interval_overlap",
+        "ev_retention", "j7_asof_join", "w10_sessionize",
+        "w9_locf_resample", "a_cube", "a_grouping_sets",
+        "j9_correlated_scalar", "j10_having_join", "a_percentiles",
+        "o4_window_ranks", "p11_pivot", "p12_unpivot", "u3_except_all",
+        "t_nb_lang", "e7_classifier_filter", "s_bm25_topk",
+        "e5_shard_pipeline", "t_chunk", "t_pack_blocks", "s_knn_graph",
+        "d_semdedup", "t_mix_sample", "t_bpe_train", "t_bpe_tokens",
+        "t_ks_drift", "t_auc_drift", "t_source_cap", "t_weighted_sample",
+        "s_quantize_int8", "a_logreg_gd", "d_incremental_dedup",
+    ],
+}.items():
+    for _n in _names:
+        _LAST_DRIVER_ROUND[_n] = _r
+
+# r6-modified operators (salted join, incremental sum merge, GIF
+# palette writer) + standing perf-watch queries: re-check right after
+# the never-checked block.
+_RECHECK_R6 = [
+    "j12_salted_join", "sv_incremental_agg", "m17_gif_frames",
+    "s_lsh_topk", "s_quantize_int8",
+]
+
+
+def _window_rank(name: str) -> int:
+    if name not in _LAST_DRIVER_ROUND:
+        return 0  # never driver-checked (or added this round)
+    if name in _RECHECK_R6:
+        return 1
+    return 1 + _LAST_DRIVER_ROUND[name]
 
 
 def all_queries():
@@ -74,11 +145,16 @@ def all_queries():
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    return out
+    reg_idx = {n: i for i, n in enumerate(out)}
+    names = sorted(out, key=lambda n: (_window_rank(n), reg_idx[n]))
+    return {n: out[n] for n in names}
 
 
 def all_oracles():
     out = {}
     for m in _MODULES:
         out.update(m.ORACLE)
-    return out
+    ranks = {n: i for i, n in enumerate(all_queries())}
+    return dict(
+        sorted(out.items(), key=lambda kv: ranks.get(kv[0], len(ranks)))
+    )
