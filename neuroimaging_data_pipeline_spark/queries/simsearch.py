@@ -302,6 +302,7 @@ def s_lsh_topk(spark, sf_dir):
     out = lsh_topk(
         emb, queries, dim=64, k=5,
         n_planes=LSH_N_PLANES, n_tables=LSH_N_TABLES,
+        strategy="or_broadcast",  # 5 queries: BNLJ beats explode+dedup
     )
     return out.select("query_id", "vec_id", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"))
 

