@@ -24,12 +24,13 @@ tree, mvhd/mdhd/hdlr metadata, stts/stsc/stsz/stco sample tables,
 frame-sample byte-range extraction — is real in the sibling
 ``multimodal/mp4.py``. Subsampled (4:2:0/4:2:2) and progressive
 (SOF2 — spectral selection AND successive approximation, at 4:4:4
-and 4:2:0 alike) JPEG are real too since r4 — only decoders that genuinely need external
-libraries (H.264 frame-payload decode via ffmpeg) remain
-stubbed (``decoder='fake'`` is a
-deterministic stand-in; ``decoder='pil'``/'ffmpeg' raise
-NotImplementedError until the libraries are provisioned) — the
-Spark-side plumbing (schema, batch shape, partition behavior) is
+and 4:2:0 alike) JPEG are real too since r4. H.264 frame-payload
+decode genuinely needs an external codec: ``decoder='ffmpeg'`` (r6)
+runs the SAME plan with real decode through the ffmpeg binary when it
+is on PATH (capability-gated pytest, like the scipy/protobuf gates)
+and raises a clear NotImplementedError when it is not;
+``decoder='fake'`` is the always-available deterministic stand-in —
+the Spark-side plumbing (schema, batch shape, partition behavior) is
 identical and tested either way.
 """
 
@@ -60,6 +61,38 @@ def _fake_decode(payload: bytes, out_pixels: int) -> np.ndarray:
     return rng.random(out_pixels)
 
 
+def ffmpeg_available() -> bool:
+    """True when an ``ffmpeg`` binary is on PATH (capability gate —
+    mirrors the scipy/protobuf optional-dependency pattern)."""
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def _ffmpeg_decode(payload: bytes, out_pixels: int) -> np.ndarray:
+    """REAL decode via the ffmpeg binary: pipe the container bytes in,
+    read gray8 rawvideo out (any codec ffmpeg knows — H.264, MJPEG,
+    VP9 ...), and reduce the pixel stream to ``out_pixels`` chunk
+    means in [0, 1]. Deterministic for a deterministic decoder."""
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-i", "pipe:0",
+            "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1",
+        ],
+        input=payload or b"",
+        capture_output=True,
+        check=True,
+    )
+    px = np.frombuffer(proc.stdout, np.uint8).astype(np.float64) / 255.0
+    if px.size == 0:
+        raise ValueError("ffmpeg produced no pixels")
+    return np.array(
+        [c.mean() if c.size else 0.0 for c in np.array_split(px, out_pixels)]
+    )
+
+
 def decode_features(
     media: DataFrame,
     decoder: str = "fake",
@@ -68,15 +101,31 @@ def decode_features(
     """binary content -> fixed-dim feature vector per media row:
     (media_id, modality, features array<double>).
 
+    ``decoder='fake'`` is the deterministic stand-in (always
+    available); ``decoder='ffmpeg'`` runs the SAME plan with real
+    codec decode through the ffmpeg binary when it is on PATH
+    (capability-gated, like the scipy t-CDF and protobuf state
+    gates). ``decoder='pil'`` stays an honest NotImplementedError.
+
     Real plan shape: narrow mapInPandas over the scan — at scale the
     parquet reader streams binary pages straight into Arrow batches;
     nothing shuffles.
     """
-    if decoder not in ("fake",):
+    if decoder == "fake":
+        decode_one = _fake_decode
+    elif decoder == "ffmpeg":
+        if not ffmpeg_available():
+            raise NotImplementedError(
+                "decoder 'ffmpeg' requires the ffmpeg binary on PATH; "
+                "it is not present in this environment (the 'fake' "
+                "decoder runs the identical plumbing)"
+            )
+        decode_one = _ffmpeg_decode
+    else:
         raise NotImplementedError(
             f"decoder '{decoder}' requires media libraries not present in "
-            "this environment; only the deterministic 'fake' decoder is "
-            "available (plumbing is identical)"
+            "this environment; 'fake' (deterministic) and 'ffmpeg' "
+            "(gated on the binary) are the available decoders"
         )
 
     out_schema = "media_id long, modality string, features array<double>"
@@ -84,7 +133,7 @@ def decode_features(
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(payload, feature_dim).tolist()
+                decode_one(payload, feature_dim).tolist()
                 for payload in pdf["content"]
             ]
             yield pd.DataFrame(

@@ -64,6 +64,13 @@ def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         w = bytes([ch])
     if w:
         out_bits.append((table[w], width))
+        # the decoder appends one more table entry while processing
+        # this final (flush) code — which has no paired insert here —
+        # and grows its read width if that append fills the current
+        # code space; EOI must be emitted at the width the decoder
+        # will actually read it with
+        if next_code == (1 << width) and width < 12:
+            width += 1
     out_bits.append((eoi, width))
 
     # LSB-first bit packing

@@ -87,6 +87,37 @@ def test_lzw_fuzz_roundtrip(vals, nbits):
     assert lzw_decode(lzw_encode(data, max(2, nbits)), max(2, nbits)) == data
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(0, 2**31),
+    st.sampled_from([2, 4, 8]),
+    st.integers(1, 6),
+    st.integers(0, 40),
+)
+def test_lzw_fuzz_width12_reset_boundaries(seed, nbits, n_motifs, jitter):
+    """Randomized dictionary-reset fuzz (VERDICT r5 #8): COMPRESSIBLE
+    streams (repeated random motifs) drive the code width to 12 and
+    across multiple 4096-entry resets, with per-example jitter so the
+    reset lands at a different phrase offset every time; random bytes
+    alone rarely reach width 12 before overflowing."""
+    from neuroimaging_data_pipeline_spark.multimodal.gif import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = random.Random(seed)
+    motifs = [
+        bytes(rng.randrange(1 << nbits) for _ in range(rng.randint(1, 9)))
+        for _ in range(n_motifs)
+    ]
+    # long enough to cross >= 2 resets even at slow dict growth
+    stream = bytearray(rng.randrange(1 << nbits) for _ in range(jitter))
+    while len(stream) < 30_000:
+        stream += rng.choice(motifs)
+    data = bytes(stream)
+    assert lzw_decode(lzw_encode(data, max(2, nbits)), max(2, nbits)) == data
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.integers(0, 2**31))
 def test_salt_positions_spread_hot_key(seed):
