@@ -1362,23 +1362,16 @@ WHERE h.rank <= 3 AND s.df >= 50
 """
 
 
-def t_html_extract(spark, sf_dir):
-    """HTML tag-strip + boilerplate-density extraction (text/html.py;
-    VERDICT r5 missing #1). Raw pages are generated DETERMINISTICALLY
-    from ``documents`` (entity-escaped body, script/style/comment
-    noise, a nav link-farm every 5th doc, a truncated body every 7th)
-    so both engines strip the identical markup independently; the
-    clean text is md5-pinned, so the extraction itself is
-    value-hash-checked, not just counted. One narrow zero-shuffle
-    pass: every feature is a JVM regexp/replace column over the scan —
-    at 100 TB this is the ingest map stage, no Python, no exchange."""
-    from neuroimaging_data_pipeline_spark.text.html import (
-        anchor_text_chars,
-        n_links,
-        strip_html,
-    )
-
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+def _gen_pages(d):
+    """Deterministic raw-HTML pages from ``documents`` — the shared
+    fixture generator for t_html_extract and e9_web_pipeline (the
+    DuckDB twin is _HTML_GEN_CTES). Markup noise per page: a script
+    (with the doc id inside — stripped content must not leak it), a
+    style block, a comment, entity-escaped body text; every 5th doc a
+    nav link-farm, every 3rd a related-link paragraph, every 7th a
+    truncated body. All VISIBLE text is either the escaped body or
+    constant strings, so two docs with equal text and equal modulo
+    classes extract to equal clean text (what exact dedup keys on)."""
     sid = F.col("doc_id").cast("string")
     esc = F.replace(
         F.replace(
@@ -1407,9 +1400,8 @@ def t_html_extract(spark, sf_dir):
         ),
     ).otherwise(F.lit(""))
     html = F.concat(
-        F.lit("<html><head><title>Doc "),
-        sid,
-        F.lit('</title><script type="text/javascript">var id='),
+        F.lit("<html><head><title>Corpus page</title>"),
+        F.lit('<script type="text/javascript">var id='),
         sid,
         F.lit(";</script><style>.m{color:red}</style></head><body>"),
         nav,
@@ -1421,7 +1413,27 @@ def t_html_extract(spark, sf_dir):
         related,
         F.lit("<footer>Footer &nbsp;text</footer></body></html>"),
     )
-    pages = d.select("doc_id", html.alias("html")).select(
+    return d.select("doc_id", "source", html.alias("html"))
+
+
+def t_html_extract(spark, sf_dir):
+    """HTML tag-strip + boilerplate-density extraction (text/html.py;
+    VERDICT r5 missing #1). Raw pages are generated DETERMINISTICALLY
+    from ``documents`` (entity-escaped body, script/style/comment
+    noise, a nav link-farm every 5th doc, a truncated body every 7th)
+    so both engines strip the identical markup independently; the
+    clean text is md5-pinned, so the extraction itself is
+    value-hash-checked, not just counted. One narrow zero-shuffle
+    pass: every feature is a JVM regexp/replace column over the scan —
+    at 100 TB this is the ingest map stage, no Python, no exchange."""
+    from neuroimaging_data_pipeline_spark.text.html import (
+        anchor_text_chars,
+        n_links,
+        strip_html,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    pages = _gen_pages(d).select(
         "doc_id",
         "html",
         strip_html("html").alias("clean"),
@@ -1454,16 +1466,18 @@ def t_html_extract(spark, sf_dir):
     )
 
 
-T_HTML_SQL = r"""
-WITH esc AS (
-  SELECT doc_id,
+#: shared DuckDB CTE chain for the deterministic page fixture +
+#: extraction (twin of _gen_pages + text/html.strip_html); reused by
+#: T_HTML_SQL and E9_WEB_SQL
+_HTML_GEN_CTES = r"""esc AS (
+  SELECT doc_id, source,
          replace(replace(replace(text, '&', '&amp;'),
                  '<', '&lt;'), '>', '&gt;') AS e
   FROM documents
 ), gen AS (
-  SELECT doc_id,
-    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-    '</title><script type="text/javascript">var id=' ||
+  SELECT doc_id, source,
+    '<html><head><title>Corpus page</title>' ||
+    '<script type="text/javascript">var id=' ||
     CAST(doc_id AS VARCHAR) ||
     ';</script><style>.m{color:red}</style></head><body>' ||
     CASE WHEN doc_id % 5 = 0 THEN
@@ -1482,7 +1496,7 @@ WITH esc AS (
     '<footer>Footer &nbsp;text</footer></body></html>' AS html
   FROM esc
 ), stripped AS (
-  SELECT doc_id, html,
+  SELECT doc_id, source, html,
     trim(regexp_replace(
       replace(replace(replace(replace(replace(replace(
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -1496,13 +1510,16 @@ WITH esc AS (
       '\s+', ' ', 'g')) AS clean
   FROM gen
 ), feats AS (
-  SELECT doc_id, html, clean,
+  SELECT doc_id, source, html, clean,
     COALESCE(list_sum(list_transform(
       regexp_extract_all(html, '(?s)<a[^>]*>(.*?)</a>', 1),
       x -> len(x))), 0) AS link_chars,
     len(regexp_extract_all(html, '<a[\s>]')) AS nl
   FROM stripped
-)
+)"""
+
+T_HTML_SQL = f"""
+WITH {_HTML_GEN_CTES}
 SELECT doc_id,
   md5(clean) AS clean_md5,
   CAST(len(clean) AS INT) AS clean_len,
@@ -1518,8 +1535,83 @@ FROM feats
 """
 
 
+def e9_web_pipeline(spark, sf_dir):
+    """E9: the WEB-corpus ingest flow composed end-to-end as ONE lazy
+    plan — the html-ingest twin of e2's clean-text pipeline:
+
+      raw pages (deterministic fixture from ``documents``)
+        -> tag-strip / entity-decode extraction (text/html.py)
+        -> boilerplate filter (link-density <= 0.25) + min-length 40
+        -> exact dedup of the EXTRACTED text, keep min-doc_id
+           representative per clean-text md5
+        -> per-source stats (pages kept, clean chars, mean rounded
+           link density)
+
+    Every stage is the operator the standalone queries exercise
+    (t_html_extract's extraction, d_exact_dedup's keep-representative
+    shape), and the oracle reuses the shared _HTML_GEN_CTES chain
+    CTE-by-CTE. Plan: scan -> narrow regexp columns -> hash-agg dedup
+    (one shuffle on the md5 key) -> per-source partial agg; no
+    Python, no driver loop."""
+    from neuroimaging_data_pipeline_spark.functions.stats import dec_avg
+    from neuroimaging_data_pipeline_spark.text.html import strip_html
+    from neuroimaging_data_pipeline_spark.text.html import (
+        anchor_text_chars,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    ext = _gen_pages(d).select(
+        "doc_id",
+        "source",
+        strip_html("html").alias("clean"),
+        anchor_text_chars("html").alias("link_chars"),
+    )
+    link_frac = F.try_divide(F.col("link_chars"), F.length("clean"))
+    kept = (
+        ext.withColumn("lf6", F.round(F.coalesce(link_frac, F.lit(0.0)), 6))
+        .filter(
+            F.coalesce(link_frac <= 0.25, F.lit(True))
+            & (F.length("clean") >= 40)
+        )
+        .withColumn("h", F.md5(F.col("clean")))
+    )
+    winners = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    dedup = kept.join(winners, ["h", "doc_id"], "left_semi")
+    return dedup.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.length("clean").cast("long")).alias("clean_chars"),
+        (F.round(dec_avg("lf6"), 6) + F.lit(0.0)).alias("avg_link_frac"),
+    )
+
+
+E9_WEB_SQL = f"""
+WITH {_HTML_GEN_CTES}, lf AS (
+  SELECT doc_id, source, clean,
+         CAST(link_chars AS DOUBLE) / NULLIF(len(clean), 0) AS link_frac
+  FROM feats
+), kept AS (
+  SELECT doc_id, source, clean,
+         ROUND(COALESCE(link_frac, 0.0), 6) AS lf6,
+         md5(clean) AS h
+  FROM lf
+  WHERE COALESCE(link_frac <= 0.25, TRUE) AND len(clean) >= 40
+), winners AS (
+  SELECT h, MIN(doc_id) AS doc_id FROM kept GROUP BY h
+), dedup AS (
+  SELECT kept.* FROM kept JOIN winners USING (h, doc_id)
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(SUM(len(clean)) AS BIGINT) AS clean_chars,
+  (ROUND(CAST(SUM(CAST(lf6 AS DECIMAL(28,10))) AS DOUBLE)
+         / COUNT(lf6), 6) + 0.0) AS avg_link_frac
+FROM dedup GROUP BY source
+"""
+
+
 QUERIES = {
     "t_html_extract": t_html_extract,
+    "e9_web_pipeline": e9_web_pipeline,
     "t_token_count": t_token_count,
     "t_inverted_index": t_inverted_index,
     "d_url_dedup": d_url_dedup,
@@ -1546,6 +1638,7 @@ QUERIES = {
 
 ORACLE = {
     "t_html_extract": T_HTML_SQL,
+    "e9_web_pipeline": E9_WEB_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_inverted_index": T_INVIDX_SQL,
     "d_url_dedup": D_URL_SQL,
