@@ -1609,9 +1609,99 @@ FROM dedup GROUP BY source
 """
 
 
+#: rolling-gram width / minimum reported span for d_dup_spans
+DUP_SPAN_K = 24
+DUP_SPAN_MIN = 40
+
+
+def d_dup_spans(spark, sf_dir):
+    """SUBSTRING-level exact dedup — maximal cross-document duplicated
+    character spans (the 'Deduplicating Training Data Makes Language
+    Models Better' primitive, re-expressed for a shuffle engine):
+
+      1. every char offset emits an md5 of its K=24-char rolling gram
+         (JVM transform over a position sequence — no Python);
+      2. a gram hash is DUPLICATED when >= 2 distinct docs contain it
+         (count-distinct agg with map-side partials);
+      3. per doc, consecutive duplicated offsets merge into maximal
+         islands (pos - row_number grouping) and spans shorter than
+         MIN=40 chars are dropped.
+
+    Output: (doc_id, span_start, span_len) — the byte ranges a
+    substring-dedup pass would cut. 100 TB posture: the gram explode
+    is ~16 bytes/char of shuffle — the distributed analogue of the
+    suffix-array sort the reference-paper implementation pays; at
+    corpus scale you run the cheap winnowed-fingerprint screen
+    (t_winnow) first and this exact pass over the candidate subset
+    only. Both stages are here and compose."""
+    K, MINLEN = DUP_SPAN_K, DUP_SPAN_MIN
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    positions = F.sequence(F.lit(1), F.length("text") - K + 1)
+    g = (
+        d.filter(F.length("text") >= K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    positions,
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.md5(F.substring(F.col("text"), i, K)).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.pos", "g.h")
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = g.join(dup, "h").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") - F.min("pos") + K).cast("int").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= MINLEN)
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+D_DUP_SPANS_SQL = f"""
+WITH g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(substr(text, CAST(i AS INT), {DUP_SPAN_K})) AS h
+  FROM documents, UNNEST(range(1, len(text) - {DUP_SPAN_K} + 2)) AS r(i)
+  WHERE len(text) >= {DUP_SPAN_K}
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + {DUP_SPAN_K} AS INT) AS span_len
+FROM isl GROUP BY doc_id, grp
+HAVING MAX(pos) - MIN(pos) + {DUP_SPAN_K} >= {DUP_SPAN_MIN}
+"""
+
+
 QUERIES = {
     "t_html_extract": t_html_extract,
     "e9_web_pipeline": e9_web_pipeline,
+    "d_dup_spans": d_dup_spans,
     "t_token_count": t_token_count,
     "t_inverted_index": t_inverted_index,
     "d_url_dedup": d_url_dedup,
@@ -1639,6 +1729,7 @@ QUERIES = {
 ORACLE = {
     "t_html_extract": T_HTML_SQL,
     "e9_web_pipeline": E9_WEB_SQL,
+    "d_dup_spans": D_DUP_SPANS_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_inverted_index": T_INVIDX_SQL,
     "d_url_dedup": D_URL_SQL,
