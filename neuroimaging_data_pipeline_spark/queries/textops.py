@@ -1619,9 +1619,11 @@ def d_dup_spans(spark, sf_dir):
     character spans (the 'Deduplicating Training Data Makes Language
     Models Better' primitive, re-expressed for a shuffle engine):
 
-      1. every char offset emits an md5 of its K=24-char rolling gram
-         (JVM transform over a position sequence — no Python);
-      2. a gram hash is DUPLICATED when >= 2 distinct docs contain it
+      1. every char offset emits its K=24-char rolling gram (JVM
+         transform over a position sequence — no Python; the RAW gram
+         is the group key: at K=24 it is the same width as a hex
+         digest, so hashing would only add CPU);
+      2. a gram is DUPLICATED when >= 2 distinct docs contain it
          (count-distinct agg with map-side partials);
       3. per doc, consecutive duplicated offsets merge into maximal
          islands (pos - row_number grouping) and spans shorter than
@@ -1646,17 +1648,19 @@ def d_dup_spans(spark, sf_dir):
                     positions,
                     lambda i: F.struct(
                         i.cast("int").alias("pos"),
-                        F.md5(F.substring(F.col("text"), i, K)).alias("h"),
+                        F.substring(F.col("text"), i, K).alias("h"),
                     ),
                 )
             ).alias("g"),
         )
         .select("doc_id", "g.pos", "g.h")
     )
+    # >=2 distinct docs <=> min(doc_id) != max(doc_id): plain min/max
+    # partials are cheaper than count-distinct's dedup pass
     dup = (
         g.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
     hits = g.join(dup, "h").select("doc_id", "pos")
@@ -1678,7 +1682,7 @@ def d_dup_spans(spark, sf_dir):
 D_DUP_SPANS_SQL = f"""
 WITH g AS (
   SELECT doc_id, CAST(i AS INT) AS pos,
-         md5(substr(text, CAST(i AS INT), {DUP_SPAN_K})) AS h
+         substr(text, CAST(i AS INT), {DUP_SPAN_K}) AS h
   FROM documents, UNNEST(range(1, len(text) - {DUP_SPAN_K} + 2)) AS r(i)
   WHERE len(text) >= {DUP_SPAN_K}
 ), dup AS (
