@@ -29,8 +29,15 @@ Real ITU-T T.81 coverage (grown r4 round by round):
   byte-aware bit reader, DC prediction, dequantize, de-zigzag,
   inverse DCT, level shift, clamp, edge-padding crop.
 
-Remaining declared gates (raise, never silent): arithmetic coding,
-12-bit precision, restart markers inside progressive scans.
+- 12-BIT EXTENDED SEQUENTIAL (SOF1, r6): grayscale 12-bit samples
+  with 16-bit (Pq=1) quantization tables and optimal two-pass
+  Huffman tables (encoder in ``jpeg12.py``; this decoder handles
+  the deeper DC/AC categories, level shift 2048 and uint16 output
+  natively).
+
+Remaining declared gates (raise, never silent): arithmetic coding
+interop (see ``jpeg_arith.py`` for the syntax+coder coverage),
+12-bit progressive/color, restart markers inside progressive scans.
 
 JPEG is lossy in general, so the oracle-checked fixture uses images
 whose 8x8 blocks are CONSTANT: a constant block's DCT is DC-only with
@@ -889,6 +896,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comp_order: list[int] = []
     restart_interval = 0
     progressive = False
+    precision = 8
     coef_store: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) quantized
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -903,12 +911,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             s = 0
             while s < len(seg):
                 prec, tid = seg[s] >> 4, seg[s] & 0xF
-                if prec != 0:
-                    raise ValueError("16-bit quant tables unsupported (baseline)")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = np.frombuffer(seg[s + 1 : s + 65], dtype=np.uint8)
+                if prec == 0:
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        seg[s + 1 : s + 65], dtype=np.uint8
+                    )
+                    s += 65
+                elif prec == 1:
+                    # 16-bit big-endian entries (Pq=1) — required by
+                    # 12-bit extended sequential, legal everywhere
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        seg[s + 1 : s + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    s += 129
+                else:
+                    raise ValueError(f"bad DQT precision {prec}")
                 qtables[tid] = tbl.reshape(8, 8)
-                s += 65
         elif marker == 0xFFC4:
             s = 0
             while s < len(seg):
@@ -921,14 +939,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     for sym, (code, length) in _canonical_codes(bits, vals).items()
                 }
                 s += 17 + n
-        elif marker in (0xFFC0, 0xFFC2):
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8 or ncomp not in (1, 3):
+            if prec not in (8, 12) or ncomp not in (1, 3):
                 raise ValueError(
-                    f"only 8-bit 1- or 3-component supported, got "
+                    f"only 8/12-bit 1- or 3-component supported, got "
                     f"precision={prec} components={ncomp}"
                 )
+            if prec == 12 and marker != 0xFFC1:
+                # T.81 restricts baseline (SOF0) to 8-bit; 12-bit
+                # progressive stays a declared gate
+                raise ValueError(
+                    "12-bit samples supported for extended sequential "
+                    "(SOF1) only"
+                )
+            if prec == 12 and ncomp != 1:
+                raise ValueError(
+                    "12-bit color unsupported (grayscale only)"
+                )
+            precision = prec
             for c in range(ncomp):
                 cid, sampling, cqid = seg[6 + 3 * c : 9 + 3 * c]
                 fh, fv = sampling >> 4, sampling & 0xF
@@ -963,7 +993,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 }
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError(f"non-baseline SOF 0x{marker:04X} unsupported")
         elif marker == 0xFFDA and progressive:
@@ -1208,7 +1238,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         np.repeat(plane, vmax // fv, axis=0), hmax // fh, axis=1
                     )
                 full[..., ci] = plane[:h, :w]
-            samples = np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)
+            mid = float(1 << (precision - 1))
+            maxv = (1 << precision) - 1
+            samples = np.clip(np.round(full + mid), 0, maxv).astype(
+                np.uint8 if precision == 8 else np.uint16
+            )
             if ns == 1:
                 return samples[..., 0]
             return _ycbcr_to_rgb(samples)

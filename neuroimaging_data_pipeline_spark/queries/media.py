@@ -705,6 +705,54 @@ FROM f
 """
 
 
+def m18_jpeg12_stats(spark, sf_dir):
+    """M18: REAL 12-BIT extended-sequential JPEG end-to-end
+    (multimodal/jpeg12.py + the SOF1/Pq=1 decoder paths in jpeg.py)
+    — closes the declared '12-bit precision' capability gate. Per
+    document a genuine SOF1 JPEG (12-bit samples, 16-bit DQT,
+    OPTIMAL two-pass K.2/K.3 Huffman tables carried in DHT) is
+    encoded stdlib-only and decoded by the same generalized marker-
+    walking parser inside Arrow-batched mapInPandas. Constant 8x8
+    blocks at unit quant are bit-exact, so the oracle recomputes the
+    decoded 12-bit stats from the block formula in pure SQL; max_px
+    exceeding 255 on nearly every image proves the deep dynamic
+    range flowed through decode rather than an 8-bit fallback.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg12 import (
+        jpeg12_features,
+        synthesize_jpeg12_images,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_jpeg12_images(d, id_col="doc_id")
+    return jpeg12_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_gray", 6) + F.lit(0.0)).alias("mean_gray"),
+        "sum_px",
+        "max_px",
+    )
+
+
+M18_SQL = """
+WITH blk AS (
+  SELECT doc_id,
+         (doc_id * 29 + by.by * 67 + bx.bx * 61) % 4096 AS v
+  FROM documents,
+       UNNEST(range(0, 3)) AS by(by),
+       UNNEST(range(0, 2)) AS bx(bx)
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_gray,
+       CAST(SUM(v) * 64 AS BIGINT) AS sum_px,
+       CAST(MAX(v) AS INT) AS max_px
+FROM blk GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -718,6 +766,7 @@ QUERIES = {
     "m8b_mp4_frames": m8b_mp4_frames,
     "m9_jpeg_420": m9_jpeg_420,
     "m11_jpeg_progressive": m11_jpeg_progressive,
+    "m18_jpeg12_stats": m18_jpeg12_stats,
 }
 
 ORACLE = {
@@ -733,4 +782,5 @@ ORACLE = {
     "m8b_mp4_frames": M8B_SQL,
     "m9_jpeg_420": M9_SQL,
     "m11_jpeg_progressive": M11_SQL,
+    "m18_jpeg12_stats": M18_SQL,
 }
