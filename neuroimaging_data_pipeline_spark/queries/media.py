@@ -753,6 +753,55 @@ FROM blk GROUP BY doc_id
 """
 
 
+def m19_jpeg_arith(spark, sf_dir):
+    """M19: ARITHMETIC-CODED JPEG (T.81 SOF9 extended sequential,
+    multimodal/jpeg_arith.py) — narrows the declared 'arithmetic
+    coding' capability gate. Per document a 12-BIT SOF9 stream (DQT/
+    SOF9/DAC/SOS markers, byte-stuffed entropy segment) is encoded by
+    the context-adaptive binary arithmetic coder (F.1.4-structured
+    DC/AC decision model over a QM-style estimation state machine;
+    register discipline and state constants are declared
+    reconstructions — see module docstring) and decoded back inside
+    Arrow-batched mapInPandas. Constant 8x8 blocks at unit quant are
+    bit-exact, so the oracle recomputes the decoded 12-bit stats from
+    the block formula; pytest separately pins that the adaptive coder
+    compresses natural content tighter than the Huffman coder.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg_arith import (
+        jpeg_arith_features,
+        synthesize_jpeg_arith_images,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_jpeg_arith_images(d, id_col="doc_id")
+    return jpeg_arith_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_gray", 6) + F.lit(0.0)).alias("mean_gray"),
+        "sum_px",
+        "max_px",
+    )
+
+
+M19_SQL = """
+WITH blk AS (
+  SELECT doc_id,
+         (doc_id * 31 + by.by * 71 + bx.bx * 73) % 4096 AS v
+  FROM documents,
+       UNNEST(range(0, 3)) AS by(by),
+       UNNEST(range(0, 2)) AS bx(bx)
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_gray,
+       CAST(SUM(v) * 64 AS BIGINT) AS sum_px,
+       CAST(MAX(v) AS INT) AS max_px
+FROM blk GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -767,6 +816,7 @@ QUERIES = {
     "m9_jpeg_420": m9_jpeg_420,
     "m11_jpeg_progressive": m11_jpeg_progressive,
     "m18_jpeg12_stats": m18_jpeg12_stats,
+    "m19_jpeg_arith": m19_jpeg_arith,
 }
 
 ORACLE = {
@@ -783,4 +833,5 @@ ORACLE = {
     "m9_jpeg_420": M9_SQL,
     "m11_jpeg_progressive": M11_SQL,
     "m18_jpeg12_stats": M18_SQL,
+    "m19_jpeg_arith": M19_SQL,
 }
