@@ -24,11 +24,19 @@ tree, mvhd/mdhd/hdlr metadata, stts/stsc/stsz/stco sample tables,
 frame-sample byte-range extraction — is real in the sibling
 ``multimodal/mp4.py``. Subsampled (4:2:0/4:2:2) and progressive
 (SOF2 — spectral selection AND successive approximation, at 4:4:4
-and 4:2:0 alike) JPEG are real too since r4. H.264 frame-payload
-decode genuinely needs an external codec: ``decoder='ffmpeg'`` (r6)
-runs the SAME plan with real decode through the ffmpeg binary when it
-is on PATH (capability-gated pytest, like the scipy/protobuf gates)
-and raises a clear NotImplementedError when it is not;
+and 4:2:0 alike) JPEG are real too since r4; 12-bit extended
+sequential (SOF1) and arithmetic-coded (SOF9) JPEG since r6
+(``jpeg12.py`` / ``jpeg_arith.py``). H.264 is now real for the
+codec's own lossless raw mode: Annex B NAL streams of I_PCM
+macroblocks encode + decode stdlib-only in ``multimodal/h264.py``
+(full SPS/PPS/IDR-slice syntax, emulation prevention, frame
+cropping; ffmpeg cross-checks the bitstream where present).
+PREDICTED H.264 macroblocks (intra prediction, CAVLC/CABAC
+residuals, inter frames) genuinely need an external codec:
+``decoder='ffmpeg'`` (r6) runs the SAME plan with real decode
+through the ffmpeg binary when it is on PATH (capability-gated
+pytest, like the scipy/protobuf gates) and raises a clear
+NotImplementedError when it is not;
 ``decoder='fake'`` is the always-available deterministic stand-in —
 the Spark-side plumbing (schema, batch shape, partition behavior) is
 identical and tested either way.

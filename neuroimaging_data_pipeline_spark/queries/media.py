@@ -802,6 +802,65 @@ FROM blk GROUP BY doc_id
 """
 
 
+def m20_h264_ipcm(spark, sf_dir):
+    """M20: REAL H.264/AVC decode (multimodal/h264.py) — the
+    remaining 'H.264 frame-payload decode' gap, closed for the
+    codec's own lossless raw mode. Per document a conformant Annex B
+    byte stream (NAL start codes + emulation prevention, Exp-Golomb
+    SPS/PPS with frame cropping, IDR slice header, I_PCM macroblock
+    layer with 4:2:0 chroma) is written and parsed back field-for-
+    field inside Arrow-batched mapInPandas. I_PCM is bit-exact for
+    ARBITRARY content, so the fixture uses per-pixel formulas (no
+    constant-block workaround) and the oracle recomputes every
+    decoded luma/chroma sample in pure SQL; where ffmpeg exists, a
+    gated pytest asserts ffmpeg decodes the same bytes to identical
+    samples. Predicted macroblocks remain the declared ffmpeg gate.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264 import (
+        h264_frame_features,
+        synthesize_h264_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_h264_frames(d, id_col="doc_id")
+    return h264_frame_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_y", 6) + F.lit(0.0)).alias("mean_y"),
+        "sum_y",
+        "sum_cb",
+        "sum_cr",
+    )
+
+
+M20_SQL = """
+WITH luma AS (
+  SELECT doc_id, SUM((doc_id * 7 + y.y * 13 + x.x * 17) % 256) AS sy
+  FROM documents,
+       UNNEST(range(0, 24)) AS y(y),
+       UNNEST(range(0, 16)) AS x(x)
+  GROUP BY doc_id
+), chroma AS (
+  SELECT doc_id,
+         SUM((doc_id * 3 + r.r * 5 + c.c * 11) % 256) AS scb,
+         SUM((doc_id * 5 + r.r * 7 + c.c * 3) % 256) AS scr
+  FROM documents,
+       UNNEST(range(0, 12)) AS r(r),
+       UNNEST(range(0, 8)) AS c(c)
+  GROUP BY doc_id
+)
+SELECT luma.doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       (ROUND(CAST(sy AS DOUBLE) / 384, 6) + 0.0) AS mean_y,
+       CAST(sy AS BIGINT) AS sum_y,
+       CAST(scb AS BIGINT) AS sum_cb,
+       CAST(scr AS BIGINT) AS sum_cr
+FROM luma JOIN chroma USING (doc_id)
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -817,6 +876,7 @@ QUERIES = {
     "m11_jpeg_progressive": m11_jpeg_progressive,
     "m18_jpeg12_stats": m18_jpeg12_stats,
     "m19_jpeg_arith": m19_jpeg_arith,
+    "m20_h264_ipcm": m20_h264_ipcm,
 }
 
 ORACLE = {
@@ -834,4 +894,5 @@ ORACLE = {
     "m11_jpeg_progressive": M11_SQL,
     "m18_jpeg12_stats": M18_SQL,
     "m19_jpeg_arith": M19_SQL,
+    "m20_h264_ipcm": M20_SQL,
 }
