@@ -786,6 +786,99 @@ WHERE path_in_schema = 'id'
 """
 
 
+def s16_orc_roundtrip(spark, sf_dir):
+    """S16: ORC source/sink coverage — the second columnar format
+    real lakes carry (Hive-era tables, Trino/Presto warehouses).
+    Spark-native both ways, the idiomatic answer: write ``documents``
+    partitioned by lang to ORC, read it back with a partition-
+    pruning lang predicate AND an ORC-pushdown n_chars predicate,
+    aggregate per (lang, source). At 100 TB the lang predicate never
+    lists non-matching partition directories and the n_chars filter
+    evaluates against ORC stripe statistics before row decode — both
+    verified free behaviors of the declarative plan. Oracle
+    recomputes the aggregate from the parquet twin in DuckDB."""
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ndp_spark_warehouse",
+        f"s16_orc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.partitionBy("lang").orc(root)
+    back = spark.read.orc(root).where(
+        F.col("lang").isin("en", "de") & (F.col("n_chars") >= 200)
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+S16_SQL = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE lang IN ('en', 'de') AND n_chars >= 200
+GROUP BY lang, source
+"""
+
+
+def s17_xml_source(spark, sf_dir):
+    """S17: XML source/sink coverage — the enterprise-dump ingest
+    shape (feeds, sitemaps, legacy exports). Spark 4's NATIVE xml
+    data source both ways: write ``documents`` rows as <doc> elements,
+    read them back with rowTag streaming parse + schema inference,
+    filter and aggregate per lang. No third-party package, no
+    driver-side parsing — the XML tokenizer runs distributed in the
+    scan like any other FileFormat, so a 100 TB XML drop splits and
+    scales exactly as CSV/JSON do. Oracle recomputes the aggregate
+    from the parquet twin."""
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ndp_spark_warehouse",
+        f"s17_xml_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.write.format("xml").option("rowTag", "doc").save(root)
+    back = (
+        spark.read.format("xml").option("rowTag", "doc").load(root)
+    ).where(F.col("n_chars") > 300)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+S17_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE n_chars > 300
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -800,6 +893,8 @@ QUERIES = {
     "sv_version_diff": sv_version_diff,
     "sv_merge": sv_merge,
     "sv_vacuum": sv_vacuum,
+    "s16_orc_roundtrip": s16_orc_roundtrip,
+    "s17_xml_source": s17_xml_source,
 }
 
 ORACLE = {
@@ -816,4 +911,6 @@ ORACLE = {
     "sv_version_diff": SV_DIFF_SQL,
     "sv_merge": SV_MERGE_SQL,
     "sv_vacuum": SV_VAC_SQL,
+    "s16_orc_roundtrip": S16_SQL,
+    "s17_xml_source": S17_SQL,
 }
