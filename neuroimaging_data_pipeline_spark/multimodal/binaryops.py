@@ -27,12 +27,16 @@ frame-sample byte-range extraction — is real in the sibling
 and 4:2:0 alike) JPEG are real too since r4; 12-bit extended
 sequential (SOF1) and arithmetic-coded (SOF9) JPEG since r6
 (``jpeg12.py`` / ``jpeg_arith.py``). H.264 is now real for the
-codec's own lossless raw mode: Annex B NAL streams of I_PCM
+codec's own lossless raw mode — Annex B NAL streams of I_PCM
 macroblocks encode + decode stdlib-only in ``multimodal/h264.py``
 (full SPS/PPS/IDR-slice syntax, emulation prevention, frame
-cropping; ffmpeg cross-checks the bitstream where present).
-PREDICTED H.264 macroblocks (intra prediction, CAVLC/CABAC
-residuals, inter frames) genuinely need an external codec:
+cropping) — AND, since r6, for PREDICTED Intra_16x16 macroblocks:
+``multimodal/h264_intra.py`` implements all four intra-16x16 luma
+prediction modes, chroma DC prediction, the 4x4 integer transform /
+Hadamard / quantization ladder at any QP, and full CAVLC entropy
+coding in both directions (ffmpeg cross-checks both bitstreams where
+present). What still genuinely needs an external codec: I_4x4/I_8x8
+prediction, CABAC streams, and inter (P/B) frames:
 ``decoder='ffmpeg'`` (r6) runs the SAME plan with real decode
 through the ffmpeg binary when it is on PATH (capability-gated
 pytest, like the scipy/protobuf gates) and raises a clear

@@ -28,10 +28,11 @@ information-loss workaround at all. Where ffmpeg IS present, a
 capability-gated pytest feeds this encoder's bytes to ffmpeg and
 asserts sample-identical output — the conformance cross-check.
 
-Honest remaining gate (raise, never silent): predicted macroblocks
-(I_4x4/I_16x16 intra prediction, CAVLC/CABAC residuals, inter
-slices) — the decoder raises NotImplementedError pointing at the
-``decoder='ffmpeg'`` path in ``binaryops.py``.
+Predicted macroblocks: Intra_16x16 prediction + CAVLC residuals are
+REAL since r6 in the sibling ``multimodal/h264_intra.py`` (which
+reuses this module's NAL/SPS/PPS/slice framing). The remaining
+honest gate (raise, never silent): I_4x4/I_8x8 prediction, CABAC,
+inter slices — pointed at ``decoder='ffmpeg'`` in ``binaryops.py``.
 
 Scale: opaque binary + Arrow ``mapInPandas``, narrow, zero shuffle.
 """
@@ -152,15 +153,13 @@ def _nal(ref_idc: int, ntype: int, rbsp: bytes) -> bytes:
 # --- encoder ----------------------------------------------------------------
 
 
-def encode_h264_ipcm(
+def _check_planes(
     y: np.ndarray,
-    cb: np.ndarray | None = None,
-    cr: np.ndarray | None = None,
-) -> bytes:
-    """Annex B H.264 byte stream for one IDR frame of I_PCM
-    macroblocks: (H, W) uint8 luma (even dims) plus optional
-    (H/2, W/2) 4:2:0 chroma planes (default mid-gray 128).
-    Lossless by construction."""
+    cb: np.ndarray | None,
+    cr: np.ndarray | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Validate/normalize 4:2:0 planes (shared by I_PCM and the
+    Intra_16x16 encoder in h264_intra.py)."""
     y = np.asarray(y, dtype=np.uint8)
     h, w = y.shape
     if h % 2 or w % 2:
@@ -178,12 +177,12 @@ def encode_h264_ipcm(
     )
     if cb.shape != (ch, cw) or cr.shape != (ch, cw):
         raise ValueError("chroma planes must be (H/2, W/2)")
-    mbw, mbh = -(-w // 16), -(-h // 16)
-    # pad planes to the MB grid (edge replicate; cropped back via SPS)
-    yp = np.pad(y, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
-    cbp = np.pad(cb, ((0, mbh * 8 - ch), (0, mbw * 8 - cw)), mode="edge")
-    crp = np.pad(cr, ((0, mbh * 8 - ch), (0, mbw * 8 - cw)), mode="edge")
+    return y, cb, cr
 
+
+def _sps_rbsp(mbw: int, mbh: int, w: int, h: int) -> bytes:
+    """Baseline-profile SPS RBSP for a frame-MBs-only 4:2:0 stream of
+    mbw x mbh macroblocks cropped to w x h (shared with h264_intra)."""
     sps = _BitW()
     sps.u(66, 8)  # profile_idc: baseline
     sps.u(0xE0, 8)  # constraint_set0..2, reserved
@@ -208,7 +207,11 @@ def encode_h264_ipcm(
         sps.u(0, 1)
     sps.u(0, 1)  # vui_parameters_present_flag
     sps.trailing()
+    return sps.bytes_()
 
+
+def _pps_rbsp() -> bytes:
+    """CAVLC-mode PPS RBSP (no FMO, all offsets zero)."""
     pps = _BitW()
     pps.ue(0)  # pic_parameter_set_id
     pps.ue(0)  # seq_parameter_set_id
@@ -226,8 +229,12 @@ def encode_h264_ipcm(
     pps.u(0, 1)  # constrained_intra_pred_flag
     pps.u(0, 1)  # redundant_pic_cnt_present_flag
     pps.trailing()
+    return pps.bytes_()
 
-    sl = _BitW()
+
+def _slice_header(sl: _BitW, qp: int = 26) -> None:
+    """IDR I-slice header (single slice per picture, QP via
+    slice_qp_delta against pic_init_qp 26)."""
     sl.ue(0)  # first_mb_in_slice
     sl.ue(7)  # slice_type: I (all slices)
     sl.ue(0)  # pic_parameter_set_id
@@ -236,7 +243,29 @@ def encode_h264_ipcm(
     # dec_ref_pic_marking (IDR, nal_ref_idc != 0)
     sl.u(0, 1)  # no_output_of_prior_pics_flag
     sl.u(0, 1)  # long_term_reference_flag
-    sl.se(0)  # slice_qp_delta
+    sl.se(qp - 26)  # slice_qp_delta
+
+
+def encode_h264_ipcm(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+) -> bytes:
+    """Annex B H.264 byte stream for one IDR frame of I_PCM
+    macroblocks: (H, W) uint8 luma (even dims) plus optional
+    (H/2, W/2) 4:2:0 chroma planes (default mid-gray 128).
+    Lossless by construction."""
+    y, cb, cr = _check_planes(y, cb, cr)
+    h, w = y.shape
+    ch, cw = h // 2, w // 2
+    mbw, mbh = -(-w // 16), -(-h // 16)
+    # pad planes to the MB grid (edge replicate; cropped back via SPS)
+    yp = np.pad(y, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    cbp = np.pad(cb, ((0, mbh * 8 - ch), (0, mbw * 8 - cw)), mode="edge")
+    crp = np.pad(cr, ((0, mbh * 8 - ch), (0, mbw * 8 - cw)), mode="edge")
+
+    sl = _BitW()
+    _slice_header(sl)
     for my in range(mbh):
         for mx in range(mbw):
             sl.ue(25)  # mb_type: I_PCM
@@ -251,8 +280,8 @@ def encode_h264_ipcm(
     sl.trailing()
 
     return (
-        _nal(3, 7, sps.bytes_())
-        + _nal(3, 8, pps.bytes_())
+        _nal(3, 7, _sps_rbsp(mbw, mbh, w, h))
+        + _nal(3, 8, _pps_rbsp())
         + _nal(3, 5, sl.bytes_())
     )
 
@@ -282,56 +311,78 @@ def _split_nals(data: bytes) -> list[bytes]:
     return nals
 
 
+def _parse_sps(rbsp: bytes) -> dict:
+    """Parse the SPS fields this codec family needs (shared with
+    h264_intra). Raises on high-profile / interlaced streams."""
+    r = _BitR(rbsp)
+    profile = r.u(8)
+    r.u(8)  # constraint flags
+    r.u(8)  # level
+    r.ue()  # sps id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise ValueError("high-profile SPS unsupported")
+    log2_mfn = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)
+    mbw = r.ue() + 1
+    mbh_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        raise ValueError("interlaced streams unsupported")
+    r.u(1)  # direct_8x8
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):
+        crop_l, crop_r = r.ue(), r.ue()
+        crop_t, crop_b = r.ue(), r.ue()
+    return dict(
+        log2_mfn=log2_mfn,
+        mbw=mbw,
+        mbh=mbh_units,
+        w=mbw * 16 - 2 * (crop_l + crop_r),
+        h=mbh_units * 16 - 2 * (crop_t + crop_b),
+        x0=2 * crop_l,
+        y0=2 * crop_t,
+    )
+
+
+def _parse_slice_header(r: _BitR, sps: dict) -> int:
+    """Parse an IDR I-slice header; returns the slice QP."""
+    if r.ue() != 0:
+        raise ValueError("multi-slice pictures unsupported")
+    stype = r.ue()
+    if stype % 5 != 2:
+        raise ValueError("non-I slice in IDR decode")
+    r.ue()  # pps id
+    r.u(sps["log2_mfn"])  # frame_num
+    r.ue()  # idr_pic_id
+    r.u(1)
+    r.u(1)  # dec_ref_pic_marking
+    return 26 + r.se()  # pic_init_qp 26 + slice_qp_delta
+
+
 def decode_h264_ipcm(
     payload: bytes,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode an Annex B H.264 stream of I_PCM macroblocks back to
-    (Y, Cb, Cr) planes. Predicted macroblock types raise the declared
-    ffmpeg gate."""
+    (Y, Cb, Cr) planes. Predicted macroblock types raise a pointer at
+    the FULL decoder (h264_intra.decode_h264_frame handles
+    Intra_16x16 CAVLC) and the ffmpeg gate beyond that."""
     sps = None
     planes = None
     for nal in _split_nals(bytes(payload)):
         ntype = nal[0] & 0x1F
         rbsp = _ep_remove(nal[1:])
         if ntype == 7:
-            r = _BitR(rbsp)
-            profile = r.u(8)
-            r.u(8)  # constraint flags
-            r.u(8)  # level
-            r.ue()  # sps id
-            if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
-                raise ValueError("high-profile SPS unsupported")
-            log2_mfn = r.ue() + 4
-            poc_type = r.ue()
-            if poc_type == 0:
-                r.ue()
-            elif poc_type == 1:
-                r.u(1)
-                r.se()
-                r.se()
-                for _ in range(r.ue()):
-                    r.se()
-            r.ue()  # max_num_ref_frames
-            r.u(1)
-            mbw = r.ue() + 1
-            mbh_units = r.ue() + 1
-            frame_mbs_only = r.u(1)
-            if not frame_mbs_only:
-                raise ValueError("interlaced streams unsupported")
-            r.u(1)  # direct_8x8
-            crop_l = crop_r = crop_t = crop_b = 0
-            if r.u(1):
-                crop_l, crop_r = r.ue(), r.ue()
-                crop_t, crop_b = r.ue(), r.ue()
-            sps = dict(
-                log2_mfn=log2_mfn,
-                mbw=mbw,
-                mbh=mbh_units,
-                w=mbw * 16 - 2 * (crop_l + crop_r),
-                h=mbh_units * 16 - 2 * (crop_t + crop_b),
-                x0=2 * crop_l,
-                y0=2 * crop_t,
-            )
+            sps = _parse_sps(rbsp)
         elif ntype == 8:
             r = _BitR(rbsp)
             r.ue()
@@ -342,17 +393,7 @@ def decode_h264_ipcm(
             if sps is None:
                 raise ValueError("IDR slice before SPS")
             r = _BitR(rbsp)
-            if r.ue() != 0:
-                raise ValueError("multi-slice pictures unsupported")
-            stype = r.ue()
-            if stype % 5 != 2:
-                raise ValueError("non-I slice in IDR decode")
-            r.ue()  # pps id
-            r.u(sps["log2_mfn"])  # frame_num
-            r.ue()  # idr_pic_id
-            r.u(1)
-            r.u(1)  # dec_ref_pic_marking
-            r.se()  # slice_qp_delta
+            _parse_slice_header(r, sps)
             mbw, mbh = sps["mbw"], sps["mbh"]
             yp = np.zeros((mbh * 16, mbw * 16), np.uint8)
             cbp = np.zeros((mbh * 8, mbw * 8), np.uint8)
@@ -362,9 +403,10 @@ def decode_h264_ipcm(
                     mb_type = r.ue()
                     if mb_type != 25:
                         raise NotImplementedError(
-                            f"predicted macroblock (mb_type {mb_type}) "
-                            "needs intra prediction + CAVLC — use "
-                            "decoder='ffmpeg' in binaryops.decode_features"
+                            f"predicted macroblock (mb_type {mb_type}): "
+                            "use h264_intra.decode_h264_frame (Intra_16x16 "
+                            "CAVLC) or decoder='ffmpeg' in "
+                            "binaryops.decode_features"
                         )
                     r.align()
                     for yy in range(16):

@@ -861,6 +861,57 @@ FROM luma JOIN chroma USING (doc_id)
 """
 
 
+def m21_h264_intra(spark, sf_dir):
+    """M21: H.264 PREDICTED-macroblock decode (multimodal/
+    h264_intra.py) — Intra_16x16 DC prediction + CAVLC entropy
+    coding, the half of the H.264 gate that I_PCM (m20) left open.
+    Per document a conformant Annex B IDR frame of Intra_16x16
+    macroblocks is encoded at QP 0 (mb_type 3, coeff_token/level/
+    total_zeros/run_before VLCs, luma-DC Hadamard path, chroma DC
+    prediction) and decoded back through intra prediction +
+    dequantization + inverse transforms. Per-MB-constant content
+    makes the DC-only residual path PROVEN bit-exact at QP 0 (pytest
+    scans every residual in [-255,255]), so the oracle recomputes
+    every decoded sample from the fixture formula in pure SQL —
+    decoded chroma 128 exercises the prediction-only (CBP=0) path.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+        h264_intra_frame_features,
+        synthesize_h264_intra_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_h264_intra_frames(d, id_col="doc_id")
+    return h264_intra_frame_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_y", 6) + F.lit(0.0)).alias("mean_y"),
+        "sum_y",
+        "sum_cb",
+        "sum_cr",
+    )
+
+
+M21_SQL = """
+WITH mb AS (
+  SELECT doc_id,
+         (doc_id * 11 + my.my * 37 + mx.mx * 29) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 2)) AS my(my),
+       UNNEST(range(0, 2)) AS mx(mx)
+)
+SELECT doc_id,
+       CAST(32 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       (ROUND(SUM(v) / 4.0, 6) + 0.0) AS mean_y,
+       CAST(SUM(v) * 256 AS BIGINT) AS sum_y,
+       CAST(32768 AS BIGINT) AS sum_cb,
+       CAST(32768 AS BIGINT) AS sum_cr
+FROM mb GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -877,6 +928,7 @@ QUERIES = {
     "m18_jpeg12_stats": m18_jpeg12_stats,
     "m19_jpeg_arith": m19_jpeg_arith,
     "m20_h264_ipcm": m20_h264_ipcm,
+    "m21_h264_intra": m21_h264_intra,
 }
 
 ORACLE = {
@@ -895,4 +947,5 @@ ORACLE = {
     "m18_jpeg12_stats": M18_SQL,
     "m19_jpeg_arith": M19_SQL,
     "m20_h264_ipcm": M20_SQL,
+    "m21_h264_intra": M21_SQL,
 }

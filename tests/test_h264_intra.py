@@ -1,0 +1,207 @@
+"""Intra_16x16 + CAVLC H.264 codec (multimodal/h264_intra.py): the
+predicted-macroblock half of the H.264 gate. Pins (1) the QP-0
+constant-residual DC path exact over the ENTIRE residual range, (2)
+decode == encoder-reconstruction for arbitrary content at many QPs
+(the conformance contract a real decoder owes a real encoder), (3)
+prefix-freeness of every transcribed VLC table, (4) the level codec
+escape ladder, (5) the narrowed NotImplementedError gates, and (6) an
+ffmpeg cross-check where the binary exists (same capability-gate
+pattern as I_PCM / scipy / protobuf)."""
+
+from __future__ import annotations
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from neuroimaging_data_pipeline_spark.multimodal import h264_intra as hi
+from neuroimaging_data_pipeline_spark.multimodal.binaryops import (
+    ffmpeg_available,
+)
+from neuroimaging_data_pipeline_spark.multimodal.h264 import (
+    encode_h264_ipcm,
+)
+from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+    decode_h264_frame,
+    decode_residual_block,
+    encode_h264_i16x16,
+    encode_residual_block,
+)
+
+
+def test_qp0_constant_mb_exact_over_full_residual_range():
+    """The property the m21 oracle rests on: at QP 0, a constant
+    residual r in [-255, 255] round-trips the DC Hadamard + quant +
+    dequant + inverse transform path bit-exactly — EVERY value
+    scanned at the function level, then end-to-end on a frame whose
+    MB chain drives every residual magnitude through both signs."""
+    for r in range(-255, 256):
+        dc = np.full((4, 4), 16 * r, np.int64)  # per-4x4 DC of const r
+        zdc = hi._quant_dc4((hi._H4 @ dc @ hi._H4) // 2, 0)
+        dcq = hi._dequant_dc4(zdc, 0)
+        wm = np.zeros((4, 4), np.int64)
+        wm[0, 0] = dcq[0, 0]
+        blk = (hi._inv4x4(wm) + 32) >> 6
+        assert (blk == r).all(), f"residual {r} not exact at QP 0"
+    # end-to-end: zigzag value sequence 0,255,1,254,... makes the
+    # left-neighbor DC prediction chain hit diffs ±255, ∓254, ...
+    seq = []
+    lo, hi_ = 0, 255
+    while lo <= hi_:
+        seq.append(lo)
+        if lo != hi_:
+            seq.append(hi_)
+        lo, hi_ = lo + 1, hi_ - 1
+    for vals in (seq, seq[::-1]):
+        y = np.zeros((16, 16 * len(vals)), np.uint8)
+        for k, v in enumerate(vals):
+            y[:, k * 16 : (k + 1) * 16] = v
+        stream, ry, _, _ = encode_h264_i16x16(y, qp=0)
+        assert (ry == y).all()
+        dy, _, _ = decode_h264_frame(stream)
+        assert (dy == y).all()
+
+
+def test_decode_matches_encoder_recon_random_content():
+    rng = np.random.default_rng(11)
+    for qp in (0, 7, 17, 26, 33, 44, 51):
+        y = rng.integers(0, 256, (48, 32), np.uint8)
+        cb = rng.integers(0, 256, (24, 16), np.uint8)
+        cr = rng.integers(0, 256, (24, 16), np.uint8)
+        stream, ry, rcb, rcr = encode_h264_i16x16(y, cb, cr, qp=qp)
+        dy, dcb, dcr = decode_h264_frame(stream)
+        assert (dy == ry).all()
+        assert (dcb == rcb).all()
+        assert (dcr == rcr).all()
+
+
+def test_rate_falls_and_distortion_rises_with_qp():
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 256, (32, 32), np.uint8)
+    sizes, errs = [], []
+    for qp in (0, 20, 40):
+        stream, ry, _, _ = encode_h264_i16x16(y, qp=qp)
+        sizes.append(len(stream))
+        errs.append(float(np.abs(ry.astype(int) - y.astype(int)).mean()))
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert errs[0] < errs[1] < errs[2]
+
+
+def test_cropped_dimensions_roundtrip():
+    rng = np.random.default_rng(2)
+    y = rng.integers(0, 256, (20, 36), np.uint8)
+    stream, ry, rcb, rcr = encode_h264_i16x16(y, qp=12)
+    dy, dcb, dcr = decode_h264_frame(stream)
+    assert dy.shape == (20, 36) and dcb.shape == (10, 18)
+    assert (dy == ry).all() and (dcb == rcb).all() and (dcr == rcr).all()
+
+
+def test_full_decoder_handles_ipcm_streams():
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, (32, 48), np.uint8)
+    cb = rng.integers(0, 256, (16, 24), np.uint8)
+    cr = rng.integers(0, 256, (16, 24), np.uint8)
+    dy, dcb, dcr = decode_h264_frame(encode_h264_ipcm(y, cb, cr))
+    assert (dy == y).all() and (dcb == cb).all() and (dcr == cr).all()
+
+
+def _assert_prefix_free(codes, name):
+    codes = list(codes)
+    assert len(set(codes)) == len(codes), f"{name}: duplicate codeword"
+    for a in codes:
+        for b in codes:
+            if a != b and b.startswith(a):
+                pytest.fail(f"{name}: {a!r} is a prefix of {b!r}")
+
+
+def test_all_vlc_tables_prefix_free():
+    for name, tab in (
+        ("coeff_token nC<2", hi._CT_N0),
+        ("coeff_token nC<4", hi._CT_N2),
+        ("coeff_token nC<8", hi._CT_N4),
+        ("coeff_token chromaDC", hi._CT_CDC),
+    ):
+        _assert_prefix_free(tab.values(), name)
+    for tc, row in hi._TZ4.items():
+        _assert_prefix_free(row, f"total_zeros4x4[{tc}]")
+    for tc, row in hi._TZC.items():
+        _assert_prefix_free(row, f"total_zeros_chromaDC[{tc}]")
+    for zl, row in hi._RUN.items():
+        _assert_prefix_free(row, f"run_before[{zl}]")
+
+
+def test_level_codec_escape_ladder_roundtrip():
+    for suffix_len in range(7):
+        for lv in list(range(-6000, 6001, 7)) + [-2, -1, 1, 2]:
+            if lv == 0:
+                continue
+            w = hi._BitW()
+            hi._encode_level(w, lv, suffix_len)
+            w.trailing()
+            assert hi._decode_level(hi._BitR(w.bytes_()), suffix_len) == lv
+
+
+def test_residual_block_roundtrip_randomized():
+    """Whole-block CAVLC roundtrip across densities, magnitudes and
+    every nC context class (incl. chroma DC and the >=8 FLC path)."""
+    rng = np.random.default_rng(17)
+    for max_coeff in (16, 15, 4):
+        ncs = (-1,) if max_coeff == 4 else (0, 1, 2, 3, 5, 9, 20)
+        for nc in ncs:
+            for density in (0.0, 0.1, 0.4, 0.9):
+                for _ in range(25):
+                    coeffs = [
+                        int(rng.integers(-900, 900))
+                        if rng.random() < density
+                        else 0
+                        for _ in range(max_coeff)
+                    ]
+                    w = hi._BitW()
+                    total = encode_residual_block(w, coeffs, nc, max_coeff)
+                    w.trailing()
+                    got, tot = decode_residual_block(
+                        hi._BitR(w.bytes_()), nc, max_coeff
+                    )
+                    assert got == coeffs and tot == total
+
+
+def test_gates_raise_not_implemented():
+    y = np.full((16, 16), 77, np.uint8)
+    stream, _, _, _ = encode_h264_i16x16(y, qp=0)
+    # corrupt mb_type to 0 (I_4x4): slice RBSP starts after the fixed
+    # 26-bit header written by _slice_header at QP 0 -> rewrite bits
+    # is fiddly, so instead drive the gate through the PPS CABAC flag
+    pps_cabac = bytearray(stream)
+    # find PPS NAL (type 8) and flip entropy_coding_mode_flag: PPS
+    # RBSP is ue(0) ue(0) u(1)... = bits 1,1,then flag at bit 2
+    idx = stream.find(b"\x00\x00\x00\x01\x68")
+    pps_cabac[idx + 5] = 0b11100000 | (pps_cabac[idx + 5] & 0x0F)
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        decode_h264_frame(bytes(pps_cabac))
+    with pytest.raises(ValueError, match="QP"):
+        encode_h264_i16x16(y, qp=52)
+
+
+@pytest.mark.skipif(not ffmpeg_available(), reason="ffmpeg not on PATH")
+def test_ffmpeg_decodes_intra_bitstream_identically():
+    """Conformance cross-check of the VLC-table transcription and the
+    transform/quant ladder: ffmpeg must reconstruct exactly the planes
+    our encoder reconstructed."""
+    rng = np.random.default_rng(23)
+    y = rng.integers(0, 256, (32, 32), np.uint8)
+    cb = rng.integers(0, 256, (16, 16), np.uint8)
+    cr = rng.integers(0, 256, (16, 16), np.uint8)
+    stream, ry, rcb, rcr = encode_h264_i16x16(y, cb, cr, qp=20)
+    out = subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "h264", "-i", "pipe:0",
+         "-f", "rawvideo", "-pix_fmt", "yuv420p", "pipe:1"],
+        input=stream, capture_output=True, check=True,
+    ).stdout
+    n = 32 * 32
+    got_y = np.frombuffer(out[:n], np.uint8).reshape(32, 32)
+    got_cb = np.frombuffer(out[n : n + n // 4], np.uint8).reshape(16, 16)
+    got_cr = np.frombuffer(out[n + n // 4 :], np.uint8).reshape(16, 16)
+    assert (got_y == ry).all()
+    assert (got_cb == rcb).all()
+    assert (got_cr == rcr).all()
