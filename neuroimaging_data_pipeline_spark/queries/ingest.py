@@ -879,6 +879,41 @@ GROUP BY lang
 """
 
 
+def s18_warc_ingest(spark, sf_dir):
+    """S18: REAL WARC/1.0 web-archive ingest (sources/warc.py) — the
+    container web corpora actually arrive in. Documents are packed
+    into deterministic WARC shards (warcinfo + one full HTTP/1.1
+    response record per doc; ODD shards use the Common Crawl
+    gzip-member-per-record layout, EVEN shards plain concatenation,
+    so both parse paths execute) and parsed back out: version lines,
+    Content-Length framing, record terminators, multi-member gunzip,
+    HTTP status/header/body split, and a re-verified
+    WARC-Payload-Digest (sha1) on every record. The oracle recomputes
+    status/length/md5 straight from the documents table, so ANY
+    framing or digest error anywhere breaks the hash match. One keyed
+    shuffle for shard packing (what any distributed shard writer
+    needs), then narrow mapInPandas parse."""
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.sources.warc import (
+        synthesize_warc_shards,
+        warc_records,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    shards = synthesize_warc_shards(d, id_col="doc_id", text_col="text")
+    return warc_records(shards)
+
+
+S18_SQL = """
+SELECT doc_id,
+       'response' AS warc_type,
+       CAST(200 AS INT) AS http_status,
+       CAST(n_chars AS BIGINT) AS content_length,
+       md5(text) AS body_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -895,6 +930,7 @@ QUERIES = {
     "sv_vacuum": sv_vacuum,
     "s16_orc_roundtrip": s16_orc_roundtrip,
     "s17_xml_source": s17_xml_source,
+    "s18_warc_ingest": s18_warc_ingest,
 }
 
 ORACLE = {
@@ -913,4 +949,5 @@ ORACLE = {
     "sv_vacuum": SV_VAC_SQL,
     "s16_orc_roundtrip": S16_SQL,
     "s17_xml_source": S17_SQL,
+    "s18_warc_ingest": S18_SQL,
 }
