@@ -132,13 +132,25 @@ _RECHECK_R6 = [
     "s_lsh_topk", "s_quantize_int8",
 ]
 
+# Queries added AFTER the r6 window was sized (the 47-query rank-0
+# block above): they are never-driver-checked too, but rank BEHIND
+# that block so that if the 50-slot window overflows it is these
+# newcomers that wait for r7 — never one of the r1–r5 backlog whose
+# full coverage VERDICT r5 #2 asks r6 to complete. Replica coverage
+# (sf0.01 + committed sf0.1 artifact) still checks them this round.
+_ADDED_R6_LATE = [
+    "m21_h264_intra", "s18_warc_ingest", "m22_pdf_text",
+]
+
 
 def _window_rank(name: str) -> int:
-    if name not in _LAST_DRIVER_ROUND:
-        return 0  # never driver-checked (or added this round)
-    if name in _RECHECK_R6:
+    if name in _ADDED_R6_LATE:
         return 1
-    return 1 + _LAST_DRIVER_ROUND[name]
+    if name not in _LAST_DRIVER_ROUND:
+        return 0  # never driver-checked (the pre-sizing block)
+    if name in _RECHECK_R6:
+        return 2
+    return 2 + _LAST_DRIVER_ROUND[name]
 
 
 def all_queries():

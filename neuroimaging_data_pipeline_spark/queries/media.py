@@ -912,6 +912,45 @@ FROM mb GROUP BY doc_id
 """
 
 
+def m22_pdf_text(spark, sf_dir):
+    """M22: REAL PDF text extraction (multimodal/pdf.py) — the
+    document format a corpus mines papers/reports from. Per document
+    a well-formed PDF 1.4 is written (catalog/page tree, 1 + id%3
+    pages, FlateDecode content streams, byte-accurate xref + trailer)
+    and parsed back via the xref walk: every object visited at its
+    recorded byte offset, streams inflated, and the BT/ET text
+    operators (Tj literals with the full escape set AND TJ kerning
+    arrays — both paths on every page) reassembled into the exact
+    original string. The oracle checks md5(text) straight against the
+    documents table plus the structural counts from the fixture
+    formula, so a framing/xref/inflate/escape bug anywhere breaks the
+    hash match. Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.pdf import (
+        pdf_text_features,
+        synthesize_pdfs,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_pdfs(d, id_col="doc_id", text_col="text")
+    return pdf_text_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "n_pages",
+        "n_objects",
+        "n_chars",
+        "text_md5",
+    )
+
+
+M22_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS INT) AS n_pages,
+       CAST(3 + 2 * (1 + doc_id % 3) AS INT) AS n_objects,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -929,6 +968,7 @@ QUERIES = {
     "m19_jpeg_arith": m19_jpeg_arith,
     "m20_h264_ipcm": m20_h264_ipcm,
     "m21_h264_intra": m21_h264_intra,
+    "m22_pdf_text": m22_pdf_text,
 }
 
 ORACLE = {
@@ -948,4 +988,5 @@ ORACLE = {
     "m19_jpeg_arith": M19_SQL,
     "m20_h264_ipcm": M20_SQL,
     "m21_h264_intra": M21_SQL,
+    "m22_pdf_text": M22_SQL,
 }
