@@ -1702,10 +1702,109 @@ HAVING MAX(pos) - MIN(pos) + {DUP_SPAN_K} >= {DUP_SPAN_MIN}
 """
 
 
+def t_gopher_repetition(spark, sf_dir):
+    """Gopher-rule repetition signals (Rae et al. 2021 §A1.1 — the
+    quality filters every large-corpus curation pass applies before
+    training): per document the top-word fraction, the
+    duplicate-word-occurrence fraction (1 - distinct/total) and the
+    top adjacent-bigram fraction, with deterministic tie-breaks (max
+    count, then lexicographically LAST token, pinned identically in
+    both engines via struct-max / filtered-max). All JVM: split ->
+    explode -> two doc-keyed partial-agg counts -> one join; bigrams
+    built with an index-aware array transform, no self-join. At
+    100 TB this is the standard doc-keyed aggregation shape — AQE
+    handles the long-doc skew, nothing is quadratic in doc length."""
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    words = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("ws"),
+    )
+    uni = words.select("doc_id", F.explode("ws").alias("tok"))
+    big = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (w, i) -> concat(w, ' ', ws[i + 1]))"
+            )
+        ).alias("tok"),
+    )
+
+    def top_frac(toks, prefix):
+        c = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+        return c.groupBy("doc_id").agg(
+            F.sum("cnt").alias(f"{prefix}_n"),
+            F.countDistinct("tok").alias(f"{prefix}_nd"),
+            F.max(F.struct("cnt", "tok")).alias(f"{prefix}_top"),
+        )
+    u = top_frac(uni, "w")
+    b = top_frac(big, "b")
+    return (
+        u.join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("w_n").alias("n_words"),
+            F.col("w_top.tok").alias("top_word"),
+            (F.round(F.col("w_top.cnt") / F.col("w_n"), 6) + F.lit(0.0))
+            .alias("top_word_frac"),
+            (F.round(F.lit(1.0) - F.col("w_nd") / F.col("w_n"), 6)
+             + F.lit(0.0)).alias("dup_word_frac"),
+            F.col("b_top.tok").alias("top_bigram"),
+            (F.round(
+                F.coalesce(F.col("b_top.cnt") / F.col("b_n"), F.lit(0.0)), 6
+            ) + F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+T_GOPHER_SQL = f"""
+WITH w AS (
+  SELECT doc_id, t AS tok
+  FROM documents, UNNEST({_TOKS_SQL}) AS u(t)
+), wc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+), wt AS (
+  SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS nd, MAX(cnt) AS mx
+  FROM wc GROUP BY 1
+), wtop AS (
+  SELECT wc.doc_id, MAX(wc.tok) AS top_tok
+  FROM wc JOIN wt ON wc.doc_id = wt.doc_id AND wc.cnt = wt.mx
+  GROUP BY 1
+), toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ws FROM documents
+), b AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS tok
+  FROM toks, UNNEST(range(1, len(ws))) AS r(i)
+), bc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+), bt AS (
+  SELECT doc_id, SUM(cnt) AS n, MAX(cnt) AS mx FROM bc GROUP BY 1
+), btop AS (
+  SELECT bc.doc_id, MAX(bc.tok) AS top_tok
+  FROM bc JOIN bt ON bc.doc_id = bt.doc_id AND bc.cnt = bt.mx
+  GROUP BY 1
+)
+SELECT wt.doc_id,
+       CAST(wt.n AS BIGINT) AS n_words,
+       wtop.top_tok AS top_word,
+       (ROUND(CAST(wt.mx AS DOUBLE) / wt.n, 6) + 0.0) AS top_word_frac,
+       (ROUND(1.0 - CAST(wt.nd AS DOUBLE) / wt.n, 6) + 0.0)
+         AS dup_word_frac,
+       btop.top_tok AS top_bigram,
+       (ROUND(COALESCE(CAST(bt.mx AS DOUBLE) / bt.n, 0.0), 6) + 0.0)
+         AS top_bigram_frac
+FROM wt
+JOIN wtop ON wt.doc_id = wtop.doc_id
+LEFT JOIN bt ON wt.doc_id = bt.doc_id
+LEFT JOIN btop ON wt.doc_id = btop.doc_id
+"""
+
+
 QUERIES = {
     "t_html_extract": t_html_extract,
     "e9_web_pipeline": e9_web_pipeline,
     "d_dup_spans": d_dup_spans,
+    "t_gopher_repetition": t_gopher_repetition,
     "t_token_count": t_token_count,
     "t_inverted_index": t_inverted_index,
     "d_url_dedup": d_url_dedup,
@@ -1750,6 +1849,7 @@ ORACLE = {
     "t_pii_signals": T_PII_SQL,
     "t_sample": T_SAMPLE_SQL,
     "t_quality_signals": T_QUALITY_SQL,
+    "t_gopher_repetition": T_GOPHER_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,
     "t_entropy": T_ENTROPY_SQL,
