@@ -951,6 +951,66 @@ FROM documents
 """
 
 
+def m23_mulaw_audio(spark, sf_dir):
+    """M23: REAL G.711 mu-law audio codec (multimodal/mulaw.py) —
+    the telephony companding format, carried in a genuine RIFF/WAVE
+    container with wFormatTag 7 (the stdlib wave module cannot write
+    it, so the chunk walk is explicit). Per document 40 linear
+    samples spanning the full 14-bit range are companded to 8-bit
+    codes and decoded back via the 256-entry LUT; decode(encode(x))
+    is pure integer segment/mantissa arithmetic, so the oracle
+    recomputes every decoded sample in SQL with floor(log2())
+    segment finds — a wrong bias, segment bound, complement or sign
+    anywhere breaks the hash match. Narrow scan -> mapInPandas,
+    zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.mulaw import (
+        mulaw_clip_features,
+        synthesize_mulaw_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_mulaw_clips(d, id_col="doc_id")
+    return mulaw_clip_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "n_samples",
+        "sample_rate",
+        "sum_decoded",
+        "sum_abs",
+        "max_abs",
+    )
+
+
+M23_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         (doc_id * 131 + j.j * 617) % 16319 - 8159 AS x
+  FROM documents, UNNEST(range(0, 40)) AS j(j)
+), q AS (
+  SELECT doc_id, x,
+         LEAST(ABS(x) + 33, 8191) AS m0
+  FROM s
+), e AS (
+  SELECT doc_id, x,
+         CAST(FLOOR(LOG2(m0)) AS INT) - 5 AS ex,
+         m0
+  FROM q
+), d AS (
+  SELECT doc_id,
+         CASE WHEN x < 0 THEN -1 ELSE 1 END *
+         ((2 * (CAST(FLOOR(m0 / POW(2, ex + 1)) AS INT) % 16) + 33)
+          * CAST(POW(2, ex) AS INT) - 33) AS dec
+  FROM e
+)
+SELECT doc_id,
+       CAST(40 AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(SUM(dec) AS BIGINT) AS sum_decoded,
+       CAST(SUM(ABS(dec)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(dec)) AS INT) AS max_abs
+FROM d GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -969,6 +1029,7 @@ QUERIES = {
     "m20_h264_ipcm": m20_h264_ipcm,
     "m21_h264_intra": m21_h264_intra,
     "m22_pdf_text": m22_pdf_text,
+    "m23_mulaw_audio": m23_mulaw_audio,
 }
 
 ORACLE = {
@@ -989,4 +1050,5 @@ ORACLE = {
     "m20_h264_ipcm": M20_SQL,
     "m21_h264_intra": M21_SQL,
     "m22_pdf_text": M22_SQL,
+    "m23_mulaw_audio": M23_SQL,
 }
