@@ -140,7 +140,7 @@ _RECHECK_R6 = [
 # (sf0.01 + committed sf0.1 artifact) still checks them this round.
 _ADDED_R6_LATE = [
     "m21_h264_intra", "s18_warc_ingest", "m22_pdf_text",
-    "t_gopher_repetition", "m23_mulaw_audio",
+    "t_gopher_repetition", "m23_mulaw_audio", "s19_mbox_ingest",
 ]
 
 

@@ -914,6 +914,39 @@ FROM documents
 """
 
 
+def s19_mbox_ingest(spark, sf_dir):
+    """S19: mbox + MIME email ingest (sources/mbox.py) — the
+    mailing-list-archive corpus source. Documents become
+    multipart/alternative messages (text/plain + text/html, base64
+    CTE for odd ids, quoted-printable for even) inside mboxrd
+    containers with REAL ^>*From  quoting, then are split, unquoted,
+    MIME-walked and CTE-decoded back out. The oracle recomputes part
+    counts, the id-determined transfer encoding, and md5 of the
+    decoded text/plain body straight from the documents table — a
+    framing, quoting or decode bug anywhere breaks the hash match.
+    One keyed shuffle for shard packing, then narrow mapInPandas."""
+    from neuroimaging_data_pipeline_spark.sources.mbox import (
+        mbox_messages,
+        synthesize_mbox_shards,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    shards = synthesize_mbox_shards(d, id_col="doc_id", text_col="text")
+    return mbox_messages(shards)
+
+
+S19_SQL = """
+SELECT doc_id,
+       CAST(2 AS INT) AS n_parts,
+       CASE WHEN doc_id % 2 = 1 THEN 'base64'
+            ELSE 'quoted-printable' END AS cte,
+       CAST(n_chars AS BIGINT) AS plain_len,
+       md5(text) AS plain_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -931,6 +964,7 @@ QUERIES = {
     "s16_orc_roundtrip": s16_orc_roundtrip,
     "s17_xml_source": s17_xml_source,
     "s18_warc_ingest": s18_warc_ingest,
+    "s19_mbox_ingest": s19_mbox_ingest,
 }
 
 ORACLE = {
@@ -950,4 +984,5 @@ ORACLE = {
     "s16_orc_roundtrip": S16_SQL,
     "s17_xml_source": S17_SQL,
     "s18_warc_ingest": S18_SQL,
+    "s19_mbox_ingest": S19_SQL,
 }
