@@ -947,6 +947,38 @@ FROM documents
 """
 
 
+def s20_avro_shards(spark, sf_dir):
+    """S20: REAL Avro Object Container Files (sources/avro_ocf.py) —
+    the data-engineering interchange row format, implemented
+    from-scratch per the Avro 1.11 spec since Spark's avro module is
+    an external jar absent here (same stance as the Thrift
+    parquet-footer parser). Documents are packed into OCF shards
+    (zigzag varints, nullable-union label, multi-block framing with
+    re-verified sync markers; EVEN shards codec null, ODD deflate)
+    and decoded back BY THE EMBEDDED WRITER SCHEMA. The oracle
+    recomputes the nullable label, lengths and text md5 from the
+    documents table — any varint/union/block/codec bug breaks the
+    hash match. One keyed shuffle to pack, then narrow mapInPandas."""
+    from neuroimaging_data_pipeline_spark.sources.avro_ocf import (
+        avro_documents,
+        synthesize_avro_shards,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    shards = synthesize_avro_shards(d, id_col="doc_id")
+    return avro_documents(shards)
+
+
+S20_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS label,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -965,6 +997,7 @@ QUERIES = {
     "s17_xml_source": s17_xml_source,
     "s18_warc_ingest": s18_warc_ingest,
     "s19_mbox_ingest": s19_mbox_ingest,
+    "s20_avro_shards": s20_avro_shards,
 }
 
 ORACLE = {
@@ -985,4 +1018,5 @@ ORACLE = {
     "s17_xml_source": S17_SQL,
     "s18_warc_ingest": S18_SQL,
     "s19_mbox_ingest": S19_SQL,
+    "s20_avro_shards": S20_SQL,
 }
