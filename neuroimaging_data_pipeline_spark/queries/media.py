@@ -1011,6 +1011,56 @@ FROM d GROUP BY doc_id
 """
 
 
+def m24_jpeg_exif(spark, sf_dir):
+    """M24: EXIF metadata extraction (multimodal/exif.py) — TIFF 6.0
+    IFDs inside a JPEG APP1 segment, the metadata stage an image
+    corpus runs before pixels (orientation fixing, capture-time
+    dedup, camera stratification). Per document a REAL grayscale JPEG
+    (multimodal/jpeg.py) gets a spliced Exif block — little-endian
+    'II' TIFF for even ids, big-endian 'MM' for odd, inline SHORT/
+    LONG values, offset-stored ASCII and RATIONAL values, and the
+    chained 0x8769 Exif sub-IFD — and the parser walks it all back
+    out (the same bytes still decode to pixels, pinned in pytest).
+    The oracle recomputes every field from the fixture formulas, so
+    an endianness/inline-offset/IFD-chain bug breaks the hash match.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.exif import (
+        exif_features,
+        synthesize_exif_jpegs,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_exif_jpegs(d, id_col="doc_id")
+    return exif_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "byte_order",
+        "make",
+        "model",
+        "orientation",
+        "datetime",
+        "iso",
+        "exposure_den",
+        "pixel_x",
+        "pixel_y",
+    )
+
+
+M24_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       'CamCo' AS make,
+       'M' || CAST(doc_id % 10 AS VARCHAR) AS model,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       '2026:01:01 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+         AS datetime,
+       CAST(100 * (1 + doc_id % 32) AS INT) AS iso,
+       CAST(1 + doc_id % 1000 AS INT) AS exposure_den,
+       CAST(16 AS INT) AS pixel_x,
+       CAST(16 AS INT) AS pixel_y
+FROM documents
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -1030,6 +1080,7 @@ QUERIES = {
     "m21_h264_intra": m21_h264_intra,
     "m22_pdf_text": m22_pdf_text,
     "m23_mulaw_audio": m23_mulaw_audio,
+    "m24_jpeg_exif": m24_jpeg_exif,
 }
 
 ORACLE = {
@@ -1051,4 +1102,5 @@ ORACLE = {
     "m21_h264_intra": M21_SQL,
     "m22_pdf_text": M22_SQL,
     "m23_mulaw_audio": M23_SQL,
+    "m24_jpeg_exif": M24_SQL,
 }
