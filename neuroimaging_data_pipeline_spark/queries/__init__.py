@@ -141,7 +141,7 @@ _RECHECK_R6 = [
 _ADDED_R6_LATE = [
     "m21_h264_intra", "s18_warc_ingest", "m22_pdf_text",
     "t_gopher_repetition", "m23_mulaw_audio", "s19_mbox_ingest",
-    "s20_avro_shards", "m24_jpeg_exif",
+    "s20_avro_shards", "m24_jpeg_exif", "t_robots_filter",
 ]
 
 

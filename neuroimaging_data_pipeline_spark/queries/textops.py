@@ -1800,11 +1800,97 @@ LEFT JOIN btop ON wt.doc_id = btop.doc_id
 """
 
 
+_ROBOTS_RULES = [
+    ("/", 1),
+    ("/private", 0),
+    ("/private/pub", 1),
+    ("/tmp", 0),
+    ("/p", 0),
+    ("/dual", 0),
+    ("/dual", 1),  # equal-length allow/disallow tie -> allow (RFC 9309)
+]
+_ROBOTS_PATHS = [
+    "/", "/private/x", "/private/pub/x", "/tmp/y", "/pub", "/dual/z",
+]
+
+
+def t_robots_filter(spark, sf_dir):
+    """Robots-exclusion filtering (RFC 9309 longest-match semantics)
+    — the fetch-policy stage of a web-corpus pipeline, next to URL
+    dedup and WARC ingest. Each document gets a crawl path from a
+    fixed menu; a tiny allow/disallow prefix-rule dimension is
+    BROADCAST and matched with a startswith theta-join (the correct
+    plan for a KB rule set: BroadcastNestedLoopJoin, no shuffle of
+    the fact side); the per-URL winner is the longest matching rule,
+    allow beating disallow on equal length (the /dual rules pin that
+    tie), unmatched URLs default to allowed. The winner is picked
+    with max(struct(len, allow)) under groupBy — a PARTIAL-AGGREGABLE
+    form (map-side combine before the one doc-keyed exchange), not a
+    row_number window whose per-partition sort a 100 TB URL table
+    cannot afford."""
+    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    paths = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
+    urls = d.select(
+        "doc_id",
+        F.element_at(paths, (F.col("doc_id") % len(_ROBOTS_PATHS) + 1)
+                     .cast("int")).alias("path"),
+    )
+    rules = spark.createDataFrame(_ROBOTS_RULES, "prefix string, allow int")
+    j = urls.join(
+        F.broadcast(rules),
+        F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    # (len, allow) ties only between identical prefixes, so the
+    # 2-key struct max IS the RFC order; prefix rides along for output
+    best = j.groupBy("doc_id", "path").agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("allow").alias("allow"),
+                F.col("prefix").alias("prefix"),
+            )
+        ).alias("win")
+    )
+    return best.select(
+        "doc_id",
+        "path",
+        F.col("win.prefix").alias("matched_prefix"),
+        F.coalesce(F.col("win.allow"), F.lit(1)).alias("allowed"),
+    )
+
+
+_ROBOTS_RULES_SQL = ", ".join(f"('{p}', {a})" for p, a in _ROBOTS_RULES)
+_ROBOTS_PATHS_SQL = ", ".join(f"'{p}'" for p in _ROBOTS_PATHS)
+
+T_ROBOTS_SQL = f"""
+WITH rules(prefix, allow) AS (VALUES {_ROBOTS_RULES_SQL}),
+urls AS (
+  SELECT doc_id,
+         ([{_ROBOTS_PATHS_SQL}])[CAST(doc_id % {len(_ROBOTS_PATHS)} + 1
+                                      AS INT)] AS path
+  FROM documents
+), matched AS (
+  SELECT u.doc_id, u.path, r.prefix, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY LEN(r.prefix) DESC, r.allow DESC, r.prefix
+         ) AS rn
+  FROM urls u LEFT JOIN rules r ON u.path LIKE r.prefix || '%'
+)
+SELECT doc_id, path,
+       prefix AS matched_prefix,
+       CAST(COALESCE(allow, 1) AS INT) AS allowed
+FROM matched WHERE rn = 1
+"""
+
+
 QUERIES = {
     "t_html_extract": t_html_extract,
     "e9_web_pipeline": e9_web_pipeline,
     "d_dup_spans": d_dup_spans,
     "t_gopher_repetition": t_gopher_repetition,
+    "t_robots_filter": t_robots_filter,
     "t_token_count": t_token_count,
     "t_inverted_index": t_inverted_index,
     "d_url_dedup": d_url_dedup,
@@ -1850,6 +1936,7 @@ ORACLE = {
     "t_sample": T_SAMPLE_SQL,
     "t_quality_signals": T_QUALITY_SQL,
     "t_gopher_repetition": T_GOPHER_SQL,
+    "t_robots_filter": T_ROBOTS_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,
     "t_entropy": T_ENTROPY_SQL,
