@@ -41,10 +41,17 @@ construction; a capability-gated pytest feeds the bitstream to
 ffmpeg where present to cross-check conformance of the transcription
 (the same gate pattern as I_PCM).
 
-Remaining honest gate (raise, never silent): I_4x4 / I_8x8
-prediction, CABAC entropy coding, inter (P/B) slices, and chroma
-prediction modes other than DC — decoder raises NotImplementedError
-pointing at decoder='ffmpeg' in binaryops.
+Since late r6 the module ALSO implements the I_4x4 macroblock layer
+(mb_type 0): all nine 4x4 luma prediction modes with exact
+decoding-order availability for top-right samples, the
+prev_intra4x4_pred_mode flag/rem coding, the Table 9-4 me(v)
+coded_block_pattern mapping, and sixteen chained per-block
+reconstructions per macroblock — CAVLC I-frame coverage is complete
+across I_PCM + Intra_16x16 + I_4x4. Remaining honest gate (raise,
+never silent): I_8x8 (High profile), CABAC entropy coding, inter
+(P/B) slices, and chroma prediction modes other than DC — decoder
+raises NotImplementedError pointing at decoder='ffmpeg' in
+binaryops.
 
 Scale: opaque binary + Arrow ``mapInPandas``, narrow, zero shuffle —
 the same adapter split the reference applies at its NIfTI boundary
@@ -527,6 +534,179 @@ def decode_residual_block(
     return coeffs, total
 
 
+# --- I_4x4 support (clauses 8.3.1, 9.1.2 me(v), 7.3.5 mb_type 0) -------------
+
+# Table 9-4, Intra_4x4 column: codeNum -> coded_block_pattern
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
+
+
+def _pred4(
+    plane: np.ndarray,
+    gx: int,
+    gy: int,
+    mode: int,
+    blocks_w: int,
+    decoded_before,
+) -> np.ndarray:
+    """Intra 4x4 prediction (clause 8.3.1.2) for the block at global
+    4x4-grid position (gx, gy) from reconstructed neighbor samples.
+    ``decoded_before(gx, gy)`` says whether a grid block is already
+    reconstructed in decoding order (exact availability — no lookup
+    table). All nine modes; unavailable-neighbor use raises."""
+    x0, y0 = gx * 4, gy * 4
+    has_top = gy > 0
+    has_left = gx > 0
+    top = plane[y0 - 1, x0 : x0 + 4].astype(np.int64) if has_top else None
+    left = plane[y0 : y0 + 4, x0 - 1].astype(np.int64) if has_left else None
+    corner = int(plane[y0 - 1, x0 - 1]) if has_top and has_left else None
+    # top-right samples p[4..7,-1] with the substitution rule
+    tr_ok = (
+        has_top
+        and gx + 1 < blocks_w
+        and decoded_before(gx + 1, gy - 1)
+    )
+    if has_top:
+        if tr_ok:
+            tright = plane[y0 - 1, x0 + 4 : x0 + 8].astype(np.int64)
+        else:
+            tright = np.full(4, int(top[3]), np.int64)
+        p_top = np.concatenate([top, tright])  # p[0..7, -1]
+    if mode == 0:  # Vertical
+        if not has_top:
+            raise ValueError("4x4 Vertical without top")
+        return np.tile(top, (4, 1))
+    if mode == 1:  # Horizontal
+        if not has_left:
+            raise ValueError("4x4 Horizontal without left")
+        return np.tile(left[:, None], (1, 4))
+    if mode == 2:  # DC
+        if has_top and has_left:
+            dc = (int(top.sum()) + int(left.sum()) + 4) >> 3
+        elif has_top:
+            dc = (int(top.sum()) + 2) >> 2
+        elif has_left:
+            dc = (int(left.sum()) + 2) >> 2
+        else:
+            dc = 128
+        return np.full((4, 4), dc, np.int64)
+    out = np.empty((4, 4), np.int64)
+    if mode == 3:  # Diagonal-Down-Left
+        if not has_top:
+            raise ValueError("4x4 DDL without top")
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y, x] = (p_top[6] + 3 * p_top[7] + 2) >> 2
+                else:
+                    out[y, x] = (
+                        p_top[x + y] + 2 * p_top[x + y + 1]
+                        + p_top[x + y + 2] + 2
+                    ) >> 2
+        return out
+    if mode in (4, 5, 6) and (not has_top or not has_left):
+        raise ValueError(f"4x4 mode {mode} needs top+left")
+    if mode == 4:  # Diagonal-Down-Right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    out[y, x] = (
+                        p_top[x - y - 2] + 2 * p_top[x - y - 1]
+                        + p_top[x - y] + 2
+                    ) >> 2
+                elif x < y:
+                    out[y, x] = (
+                        left[y - x - 2] + 2 * left[y - x - 1]
+                        + left[y - x] + 2
+                    ) >> 2
+                else:
+                    out[y, x] = (p_top[0] + 2 * corner + left[0] + 2) >> 2
+        return out
+    if mode == 5:  # Vertical-Right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    out[y, x] = (
+                        (corner if i - 1 < 0 else p_top[i - 1])
+                        + p_top[i] + 1
+                    ) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    a = corner if i - 2 < 0 else p_top[i - 2]
+                    b = corner if i - 1 < 0 else p_top[i - 1]
+                    out[y, x] = (a + 2 * b + p_top[i] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (left[0] + 2 * corner + p_top[0] + 2) >> 2
+                else:
+                    out[y, x] = (
+                        left[y - 1] + 2 * left[y - 2]
+                        + (corner if y - 3 < 0 else left[y - 3]) + 2
+                    ) >> 2
+        return out
+    if mode == 6:  # Horizontal-Down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    out[y, x] = (
+                        (corner if i - 1 < 0 else left[i - 1])
+                        + left[i] + 1
+                    ) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    a = corner if i - 2 < 0 else left[i - 2]
+                    b = corner if i - 1 < 0 else left[i - 1]
+                    out[y, x] = (a + 2 * b + left[i] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (left[0] + 2 * corner + p_top[0] + 2) >> 2
+                else:
+                    out[y, x] = (
+                        p_top[x - 1] + 2 * p_top[x - 2]
+                        + (corner if x - 3 < 0 else p_top[x - 3]) + 2
+                    ) >> 2
+        return out
+    if mode == 7:  # Vertical-Left
+        if not has_top:
+            raise ValueError("4x4 VL without top")
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y, x] = (p_top[i] + p_top[i + 1] + 1) >> 1
+                else:
+                    out[y, x] = (
+                        p_top[i] + 2 * p_top[i + 1] + p_top[i + 2] + 2
+                    ) >> 2
+        return out
+    if mode == 8:  # Horizontal-Up
+        if not has_left:
+            raise ValueError("4x4 HU without left")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z in (0, 2, 4):
+                    i = y + (x >> 1)
+                    out[y, x] = (left[i] + left[i + 1] + 1) >> 1
+                elif z in (1, 3):
+                    i = y + (x >> 1)
+                    out[y, x] = (
+                        left[i] + 2 * left[i + 1] + left[i + 2] + 2
+                    ) >> 2
+                elif z == 5:
+                    out[y, x] = (left[2] + 3 * left[3] + 2) >> 2
+                else:
+                    out[y, x] = left[3]
+        return out
+    raise ValueError(f"bad 4x4 prediction mode {mode}")
+
+
 # --- intra prediction (clauses 8.3.3 / 8.3.4) ---------------------------------
 
 
@@ -790,6 +970,228 @@ def encode_h264_i16x16(
     )
 
 
+# --- I_4x4 encoder -------------------------------------------------------------
+
+_ZIDX = {bxy: k for k, bxy in enumerate(_ZBLK)}
+
+_MODE_NEEDS = {  # mode -> (needs_top, needs_left)
+    0: (True, False), 1: (False, True), 2: (False, False),
+    3: (True, False), 4: (True, True), 5: (True, True),
+    6: (True, True), 7: (True, False), 8: (False, True),
+}
+
+
+def _decoded_before_factory(mbw: int):
+    def key(gx: int, gy: int) -> tuple[int, int]:
+        return ((gy // 4) * mbw + gx // 4, _ZIDX[(gx % 4, gy % 4)])
+
+    def decoded_before(gx: int, gy: int, cur_gx: int, cur_gy: int) -> bool:
+        return key(gx, gy) < key(cur_gx, cur_gy)
+
+    return decoded_before
+
+
+def encode_h264_i4x4(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    qp: int = 0,
+    mode: int = 2,
+) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode one IDR frame as I_4x4 macroblocks (mb_type 0): per-4x4
+    intra prediction chained through the reconstruction, full-block
+    CAVLC residuals, coded_block_pattern via the Table 9-4 me(v)
+    mapping. ``mode`` is the preferred luma prediction mode; blocks
+    whose neighbors can't support it fall back to DC. Returns
+    (annex_b_bytes, recon planes) like the I16x16 encoder."""
+    if not 0 <= qp <= 51:
+        raise ValueError("QP must be in 0..51")
+    if mode not in _MODE_NEEDS:
+        raise ValueError("luma 4x4 mode must be 0..8")
+    y, cb, cr = _check_planes(y, cb, cr)
+    h, w = y.shape
+    ch, cw = h // 2, w // 2
+    mbw, mbh = -(-w // 16), -(-h // 16)
+    yp = np.pad(y, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    cbp_ = np.pad(cb, ((0, mbh * 8 - ch), (0, mbw * 8 - cw)), mode="edge")
+    crp_ = np.pad(cr, ((0, mbh * 8 - ch), (0, mbw * 8 - cw)), mode="edge")
+    qpc = _chroma_qp(qp)
+
+    ry = np.zeros((mbh * 16, mbw * 16), np.int64)
+    rcb = np.zeros((mbh * 8, mbw * 8), np.int64)
+    rcr = np.zeros((mbh * 8, mbw * 8), np.int64)
+    luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
+    cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
+            1: np.zeros((mbh * 2, mbw * 2), np.int64)}
+    modes = np.full((mbh * 4, mbw * 4), -1, np.int64)
+    before = _decoded_before_factory(mbw)
+
+    sl = _BitW()
+    _slice_header(sl, qp)
+    for my in range(mbh):
+        for mx in range(mbw):
+            # pass 1: predict/transform/reconstruct each 4x4 in
+            # z-order (recon feeds the next block's prediction)
+            coefs = {}
+            chosen = {}
+            for bx, by in _ZBLK:
+                gx, gy = mx * 4 + bx, my * 4 + by
+                m = mode
+                need_t, need_l = _MODE_NEEDS[m]
+                if (need_t and gy == 0) or (need_l and gx == 0):
+                    m = 2
+                chosen[(bx, by)] = m
+                modes[gy, gx] = m
+                pred = _pred4(
+                    ry, gx, gy, m, mbw * 4,
+                    lambda a, b, _gx=gx, _gy=gy: before(a, b, _gx, _gy),
+                )
+                src = yp[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4]
+                z = _quant(_fwd4x4(src.astype(np.int64) - pred), qp)
+                coefs[(bx, by)] = z
+                blk = (_inv4x4(_dequant_ac(z, qp)) + 32) >> 6
+                ry[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(
+                    pred + blk, 0, 255
+                )
+            cbp_luma = 0
+            for g in range(4):
+                if any(
+                    coefs[_ZBLK[g * 4 + k]].any() for k in range(4)
+                ):
+                    cbp_luma |= 1 << g
+            # an 8x8 bit is unset iff all four blocks quantized to
+            # zero, so dropped blocks were reconstructed as pure
+            # prediction already — encoder and decoder agree
+            # chroma (same machinery as I16x16)
+            cpred = {}
+            cdcz = {}
+            cacz = {}
+            for pi, (srcp, reconp) in enumerate(
+                ((cbp_, rcb), (crp_, rcr))
+            ):
+                cp = _pred8_chroma_dc(reconp, my, mx)
+                cres = srcp[my * 8 : my * 8 + 8,
+                            mx * 8 : mx * 8 + 8].astype(np.int64) - cp
+                dc2 = np.zeros((2, 2), np.int64)
+                az = np.zeros((2, 2, 4, 4), np.int64)
+                for by in range(2):
+                    for bx in range(2):
+                        wm = _fwd4x4(cres[by * 4 : by * 4 + 4,
+                                          bx * 4 : bx * 4 + 4])
+                        dc2[by, bx] = wm[0, 0]
+                        zc = _quant(wm, qpc)
+                        zc[0, 0] = 0
+                        az[by, bx] = zc
+                qbits = 15 + qpc // 6
+                f = (1 << qbits) // 3
+                yd = _H2 @ dc2 @ _H2
+                zd = np.sign(yd) * (
+                    (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
+                )
+                cpred[pi], cdcz[pi], cacz[pi] = cp, zd, az
+            any_cac = any(cacz[p].any() for p in (0, 1))
+            any_cdc = any(cdcz[p].any() for p in (0, 1))
+            cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+            cbp = cbp_luma | (cbp_chroma << 4)
+            # --- syntax ---
+            sl.ue(0)  # mb_type: I_4x4
+            for bx, by in _ZBLK:
+                gx, gy = mx * 4 + bx, my * 4 + by
+                ma = modes[gy, gx - 1] if gx > 0 else -1
+                mb_ = modes[gy - 1, gx] if gy > 0 else -1
+                pred_mode = min(
+                    2 if ma < 0 else int(ma), 2 if mb_ < 0 else int(mb_)
+                )
+                m = chosen[(bx, by)]
+                if m == pred_mode:
+                    sl.u(1, 1)
+                else:
+                    sl.u(0, 1)
+                    sl.u(m - (1 if m > pred_mode else 0), 3)
+            sl.ue(0)  # intra_chroma_pred_mode: DC
+            sl.ue(_CBP_INTRA_INV[cbp])  # coded_block_pattern, me(v)
+            if cbp:
+                sl.se(0)  # mb_qp_delta
+            for g in range(4):
+                if not cbp_luma & (1 << g):
+                    for k in range(4):
+                        bx, by = _ZBLK[g * 4 + k]
+                        luma_nnz[my * 4 + by, mx * 4 + bx] = 0
+                    continue
+                for k in range(4):
+                    bx, by = _ZBLK[g * 4 + k]
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    nc = _nc_for(luma_nnz, gx, gy)
+                    coeffs = [
+                        int(coefs[(bx, by)].flat[i]) for i in _ZIG
+                    ]
+                    luma_nnz[gy, gx] = encode_residual_block(
+                        sl, coeffs, nc, 16
+                    )
+            if cbp_chroma > 0:
+                for pi in (0, 1):
+                    zd = cdcz[pi]
+                    encode_residual_block(
+                        sl,
+                        [int(zd[0, 0]), int(zd[0, 1]),
+                         int(zd[1, 0]), int(zd[1, 1])],
+                        -1, 4,
+                    )
+            if cbp_chroma > 1:
+                for pi in (0, 1):
+                    for by in range(2):
+                        for bx in range(2):
+                            gx, gy = mx * 2 + bx, my * 2 + by
+                            nc = _nc_for(cnnz[pi], gx, gy)
+                            coeffs = [
+                                int(cacz[pi][by, bx].flat[i])
+                                for i in _ZIG[1:]
+                            ]
+                            cnnz[pi][gy, gx] = encode_residual_block(
+                                sl, coeffs, nc, 15
+                            )
+            else:
+                for pi in (0, 1):
+                    cnnz[pi][my * 2 : my * 2 + 2,
+                             mx * 2 : mx * 2 + 2] = 0
+            # --- chroma reconstruction ---
+            for pi, reconp in ((0, rcb), (1, rcr)):
+                dq2 = (
+                    _dequant_dc2(cdcz[pi], qpc)
+                    if cbp_chroma > 0
+                    else np.zeros((2, 2), np.int64)
+                )
+                for by in range(2):
+                    for bx in range(2):
+                        wm = (
+                            _dequant_ac(cacz[pi][by, bx], qpc)
+                            if cbp_chroma > 1
+                            else np.zeros((4, 4), np.int64)
+                        )
+                        wm[0, 0] = dq2[by, bx]
+                        blk = (_inv4x4(wm) + 32) >> 6
+                        reconp[
+                            my * 8 + by * 4 : my * 8 + by * 4 + 4,
+                            mx * 8 + bx * 4 : mx * 8 + bx * 4 + 4,
+                        ] = np.clip(
+                            cpred[pi][by * 4 : by * 4 + 4,
+                                      bx * 4 : bx * 4 + 4] + blk,
+                            0, 255,
+                        )
+    sl.trailing()
+    stream = (
+        _nal(3, 7, _sps_rbsp(mbw, mbh, w, h))
+        + _nal(3, 8, _pps_rbsp())
+        + _nal(3, 5, sl.bytes_())
+    )
+    return (
+        stream,
+        ry[:h, :w].astype(np.uint8),
+        rcb[:ch, :cw].astype(np.uint8),
+        rcr[:ch, :cw].astype(np.uint8),
+    )
+
+
 # --- decoder ------------------------------------------------------------------
 
 
@@ -797,10 +1199,10 @@ def decode_h264_frame(
     payload: bytes,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full-decoder entry for this codec family: Annex B streams of
-    I_PCM (mb_type 25) AND Intra_16x16 CAVLC macroblocks (mb_type
-    1..24, all four luma prediction modes, chroma DC). I_4x4 (mb_type
-    0), CABAC streams and inter slices raise the declared ffmpeg
-    gate."""
+    I_PCM (mb_type 25), Intra_16x16 CAVLC macroblocks (mb_type 1..24,
+    all four luma prediction modes, chroma DC) AND I_4x4 CAVLC
+    macroblocks (mb_type 0, all nine 4x4 prediction modes). I_8x8,
+    CABAC streams and inter slices raise the declared ffmpeg gate."""
     sps = None
     planes = None
     for nal in _split_nals(bytes(payload)):
@@ -830,6 +1232,8 @@ def decode_h264_frame(
             luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
             cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
                     1: np.zeros((mbh * 2, mbw * 2), np.int64)}
+            modes4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+            before = _decoded_before_factory(mbw)
             for my in range(mbh):
                 for mx in range(mbw):
                     mb_type = r.ue()
@@ -849,11 +1253,121 @@ def decode_h264_frame(
                             cnnz[pi][my * 2 : my * 2 + 2,
                                      mx * 2 : mx * 2 + 2] = 16
                         continue
-                    if mb_type == 0 or mb_type > 25:
+                    if mb_type > 25:
                         raise NotImplementedError(
-                            f"mb_type {mb_type} (I_4x4/invalid) — use "
-                            "decoder='ffmpeg' in binaryops.decode_features"
+                            f"mb_type {mb_type} (invalid in I slices) — "
+                            "use decoder='ffmpeg' in "
+                            "binaryops.decode_features"
                         )
+                    if mb_type == 0:  # I_4x4
+                        for bx, by in _ZBLK:
+                            gx, gy = mx * 4 + bx, my * 4 + by
+                            ma = modes4[gy, gx - 1] if gx > 0 else -1
+                            mb_ = modes4[gy - 1, gx] if gy > 0 else -1
+                            pm4 = min(
+                                2 if ma < 0 else int(ma),
+                                2 if mb_ < 0 else int(mb_),
+                            )
+                            if r.u(1):
+                                modes4[gy, gx] = pm4
+                            else:
+                                rem = r.u(3)
+                                modes4[gy, gx] = (
+                                    rem if rem < pm4 else rem + 1
+                                )
+                        if r.ue() != 0:
+                            raise NotImplementedError(
+                                "chroma prediction mode != DC — use "
+                                "decoder='ffmpeg'"
+                            )
+                        cbp = _CBP_INTRA[r.ue()]
+                        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                        if cbp:
+                            qp = (qp + r.se() + 52) % 52
+                            qpc = _chroma_qp(qp)
+                        coefs4 = {}
+                        for g in range(4):
+                            for k in range(4):
+                                bx, by = _ZBLK[g * 4 + k]
+                                gx, gy = mx * 4 + bx, my * 4 + by
+                                if not cbp_luma & (1 << g):
+                                    coefs4[(bx, by)] = np.zeros(
+                                        (4, 4), np.int64
+                                    )
+                                    luma_nnz[gy, gx] = 0
+                                    continue
+                                nc = _nc_for(luma_nnz, gx, gy)
+                                cf, tot = decode_residual_block(r, nc, 16)
+                                z = np.zeros(16, np.int64)
+                                z[_ZIG] = cf
+                                coefs4[(bx, by)] = z.reshape(4, 4)
+                                luma_nnz[gy, gx] = tot
+                        cdcz = {0: np.zeros((2, 2), np.int64),
+                                1: np.zeros((2, 2), np.int64)}
+                        cacz = {0: np.zeros((2, 2, 4, 4), np.int64),
+                                1: np.zeros((2, 2, 4, 4), np.int64)}
+                        if cbp_chroma > 0:
+                            for pi in (0, 1):
+                                cf, _ = decode_residual_block(r, -1, 4)
+                                cdcz[pi] = np.array(
+                                    [[cf[0], cf[1]], [cf[2], cf[3]]],
+                                    np.int64,
+                                )
+                        if cbp_chroma > 1:
+                            for pi in (0, 1):
+                                for by in range(2):
+                                    for bx in range(2):
+                                        gx = mx * 2 + bx
+                                        gy = my * 2 + by
+                                        nc = _nc_for(cnnz[pi], gx, gy)
+                                        cf, tot = decode_residual_block(
+                                            r, nc, 15
+                                        )
+                                        z = np.zeros(16, np.int64)
+                                        z[_ZIG[1:]] = cf
+                                        cacz[pi][by, bx] = z.reshape(4, 4)
+                                        cnnz[pi][gy, gx] = tot
+                        else:
+                            for pi in (0, 1):
+                                cnnz[pi][my * 2 : my * 2 + 2,
+                                         mx * 2 : mx * 2 + 2] = 0
+                        # --- luma recon, z-order, prediction chained
+                        for bx, by in _ZBLK:
+                            gx, gy = mx * 4 + bx, my * 4 + by
+                            pred = _pred4(
+                                ry, gx, gy, int(modes4[gy, gx]), mbw * 4,
+                                lambda a, b, _gx=gx, _gy=gy: before(
+                                    a, b, _gx, _gy
+                                ),
+                            )
+                            blk = (
+                                _inv4x4(_dequant_ac(coefs4[(bx, by)], qp))
+                                + 32
+                            ) >> 6
+                            ry[
+                                gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4
+                            ] = np.clip(pred + blk, 0, 255)
+                        for pi, reconp in ((0, rcb), (1, rcr)):
+                            cp = _pred8_chroma_dc(reconp, my, mx)
+                            dq2 = _dequant_dc2(cdcz[pi], qpc)
+                            for by in range(2):
+                                for bx in range(2):
+                                    wm = _dequant_ac(
+                                        cacz[pi][by, bx], qpc
+                                    )
+                                    wm[0, 0] = dq2[by, bx]
+                                    blk = (_inv4x4(wm) + 32) >> 6
+                                    reconp[
+                                        my * 8 + by * 4 : my * 8
+                                        + by * 4 + 4,
+                                        mx * 8 + bx * 4 : mx * 8
+                                        + bx * 4 + 4,
+                                    ] = np.clip(
+                                        cp[by * 4 : by * 4 + 4,
+                                           bx * 4 : bx * 4 + 4] + blk,
+                                        0, 255,
+                                    )
+                        continue
                     t = mb_type - 1
                     cbpl = 15 if t >= 12 else 0
                     t %= 12
@@ -990,6 +1504,38 @@ def synthesize_h264_intra_frames(
                         ) % 256
                 stream, ry, _, _ = encode_h264_i16x16(y, qp=0)
                 assert (ry == y).all(), "QP0 constant-MB path must be exact"
+                payloads.append(stream)
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
+
+    return docs.select(id_col).mapInPandas(encode_batches, out_schema)
+
+
+def synthesize_h264_i4x4_frames(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic I_4x4 fixture: one CAVLC-coded IDR macroblock
+    per document at QP 0, luma constant per 4x4 BLOCK with value
+    (id*13 + by*41 + bx*59) % 256 and chroma 128 — sixteen chained
+    intra-4x4 DC predictions per frame, each residual proven exact
+    at QP 0, so the oracle recomputes every decoded sample in SQL."""
+    out_schema = "media_id long, content binary"
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                y = np.zeros((16, 16), np.uint8)
+                for by in range(4):
+                    for bx in range(4):
+                        y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                            i * 13 + by * 41 + bx * 59
+                        ) % 256
+                stream, ry, _, _ = encode_h264_i4x4(y, qp=0)
+                assert (ry == y).all(), "QP0 constant-4x4 path must be exact"
                 payloads.append(stream)
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 

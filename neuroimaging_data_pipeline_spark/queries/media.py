@@ -1061,6 +1061,56 @@ FROM documents
 """
 
 
+def m25_h264_i4x4(spark, sf_dir):
+    """M25: H.264 I_4x4 macroblock decode (multimodal/h264_intra.py)
+    — the finest-grained intra mode, completing CAVLC I-frame
+    coverage next to m21's Intra_16x16: mb_type 0, per-4x4 prediction
+    modes coded with prev_intra4x4_pred_mode flags, the Table 9-4
+    me(v) coded_block_pattern mapping, full-16-coefficient CAVLC
+    residual blocks, and SIXTEEN chained intra predictions per
+    macroblock, each feeding the next block's reconstruction. The
+    decoder implements all nine 4x4 prediction modes (exact
+    decoding-order availability for top-right samples, substitution
+    rule included); per-4x4-constant content is PROVEN exact at QP 0,
+    so the oracle recomputes every decoded sample in pure SQL.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+        h264_intra_frame_features,
+        synthesize_h264_i4x4_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_h264_i4x4_frames(d, id_col="doc_id")
+    return h264_intra_frame_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        (F.round("mean_y", 6) + F.lit(0.0)).alias("mean_y"),
+        "sum_y",
+        "sum_cb",
+        "sum_cr",
+    )
+
+
+M25_SQL = """
+WITH blk AS (
+  SELECT doc_id,
+         (doc_id * 13 + by.by * 41 + bx.bx * 59) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 4)) AS by(by),
+       UNNEST(range(0, 4)) AS bx(bx)
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       (ROUND(SUM(v) / 16.0, 6) + 0.0) AS mean_y,
+       CAST(SUM(v) * 16 AS BIGINT) AS sum_y,
+       CAST(8192 AS BIGINT) AS sum_cb,
+       CAST(8192 AS BIGINT) AS sum_cr
+FROM blk GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -1081,6 +1131,7 @@ QUERIES = {
     "m22_pdf_text": m22_pdf_text,
     "m23_mulaw_audio": m23_mulaw_audio,
     "m24_jpeg_exif": m24_jpeg_exif,
+    "m25_h264_i4x4": m25_h264_i4x4,
 }
 
 ORACLE = {
@@ -1103,4 +1154,5 @@ ORACLE = {
     "m22_pdf_text": M22_SQL,
     "m23_mulaw_audio": M23_SQL,
     "m24_jpeg_exif": M24_SQL,
+    "m25_h264_i4x4": M25_SQL,
 }

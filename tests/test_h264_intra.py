@@ -205,3 +205,76 @@ def test_ffmpeg_decodes_intra_bitstream_identically():
     assert (got_y == ry).all()
     assert (got_cb == rcb).all()
     assert (got_cr == rcr).all()
+
+
+# --- I_4x4 layer --------------------------------------------------------------
+
+
+def test_i4x4_qp0_constant_block_exact_and_decodes():
+    y = np.zeros((16, 16), np.uint8)
+    for by in range(4):
+        for bx in range(4):
+            y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                13 + by * 41 + bx * 59
+            ) % 256
+    stream, ry, rcb, rcr = hi.encode_h264_i4x4(y, qp=0)
+    assert (ry == y).all()
+    dy, dcb, dcr = decode_h264_frame(stream)
+    assert (dy == y).all() and (dcb == 128).all() and (dcr == 128).all()
+
+
+def test_i4x4_qp0_full_residual_range_exact():
+    """Function-level scan: a full-4x4 block (no DC split) with
+    constant residual r round-trips quant -> dequant -> inverse
+    exactly at QP 0 for every r in [-255, 255]."""
+    for r in range(-255, 256):
+        z = hi._quant(hi._fwd4x4(np.full((4, 4), r, np.int64)), 0)
+        blk = (hi._inv4x4(hi._dequant_ac(z, 0)) + 32) >> 6
+        assert (blk == r).all(), f"residual {r} not exact"
+
+
+def test_i4x4_decode_matches_encoder_recon_random():
+    rng = np.random.default_rng(29)
+    for qp in (0, 13, 28, 45):
+        y = rng.integers(0, 256, (32, 48), np.uint8)
+        cb = rng.integers(0, 256, (16, 24), np.uint8)
+        cr = rng.integers(0, 256, (16, 24), np.uint8)
+        stream, ry, rcb, rcr = hi.encode_h264_i4x4(y, cb, cr, qp=qp)
+        dy, dcb, dcr = decode_h264_frame(stream)
+        assert (dy == ry).all()
+        assert (dcb == rcb).all() and (dcr == rcr).all()
+
+
+def test_i4x4_all_nine_prediction_modes_roundtrip():
+    rng = np.random.default_rng(31)
+    for m in range(9):
+        y = rng.integers(0, 256, (32, 32), np.uint8)
+        stream, ry, _, _ = hi.encode_h264_i4x4(y, qp=20, mode=m)
+        dy, _, _ = decode_h264_frame(stream)
+        assert (dy == ry).all(), f"mode {m}"
+
+
+def test_i4x4_cbp_mapping_is_a_permutation():
+    assert sorted(hi._CBP_INTRA) == list(range(48))
+
+
+def test_i4x4_guards():
+    y = np.full((16, 16), 50, np.uint8)
+    with pytest.raises(ValueError, match="mode"):
+        hi.encode_h264_i4x4(y, mode=9)
+    with pytest.raises(ValueError, match="QP"):
+        hi.encode_h264_i4x4(y, qp=-1)
+
+
+@pytest.mark.skipif(not ffmpeg_available(), reason="ffmpeg not on PATH")
+def test_ffmpeg_decodes_i4x4_bitstream_identically():
+    rng = np.random.default_rng(37)
+    y = rng.integers(0, 256, (32, 32), np.uint8)
+    stream, ry, rcb, rcr = hi.encode_h264_i4x4(y, qp=22)
+    out = subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "h264", "-i", "pipe:0",
+         "-f", "rawvideo", "-pix_fmt", "yuv420p", "pipe:1"],
+        input=stream, capture_output=True, check=True,
+    ).stdout
+    n = 32 * 32
+    assert (np.frombuffer(out[:n], np.uint8).reshape(32, 32) == ry).all()
