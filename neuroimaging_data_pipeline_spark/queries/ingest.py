@@ -979,6 +979,40 @@ FROM documents
 """
 
 
+def s21_arrow_ipc(spark, sf_dir):
+    """S21: Arrow IPC stream shards (sources/arrow_ipc.py) — the
+    Arrow-ecosystem interchange format ML dataloaders and feature
+    stores hand around, read/written with the pyarrow Spark itself
+    ships. Documents are packed into multi-batch IPC streams (16 rows
+    per record batch) and decoded back zero-copy inside Arrow
+    workers; every row carries its shard's BATCH COUNT so the
+    multi-batch framing is oracle-visible (ceil(shard_rows/16)),
+    and the reader re-verifies the embedded schema. One keyed
+    shuffle to pack, then narrow mapInPandas."""
+    from neuroimaging_data_pipeline_spark.sources.arrow_ipc import (
+        ipc_documents,
+        synthesize_ipc_shards,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    shards = synthesize_ipc_shards(d, id_col="doc_id")
+    return ipc_documents(shards)
+
+
+S21_SQL = """
+WITH shard AS (
+  SELECT doc_id // 64 AS shard_id, COUNT(*) AS n
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       md5(d.text) AS text_md5,
+       CAST(CEIL(s.n / 16.0) AS INT) AS n_batches
+FROM documents d JOIN shard s ON d.doc_id // 64 = s.shard_id
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -998,6 +1032,7 @@ QUERIES = {
     "s18_warc_ingest": s18_warc_ingest,
     "s19_mbox_ingest": s19_mbox_ingest,
     "s20_avro_shards": s20_avro_shards,
+    "s21_arrow_ipc": s21_arrow_ipc,
 }
 
 ORACLE = {
@@ -1019,4 +1054,5 @@ ORACLE = {
     "s18_warc_ingest": S18_SQL,
     "s19_mbox_ingest": S19_SQL,
     "s20_avro_shards": S20_SQL,
+    "s21_arrow_ipc": S21_SQL,
 }
