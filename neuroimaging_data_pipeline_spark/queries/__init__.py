@@ -142,7 +142,7 @@ _ADDED_R6_LATE = [
     "m21_h264_intra", "s18_warc_ingest", "m22_pdf_text",
     "t_gopher_repetition", "m23_mulaw_audio", "s19_mbox_ingest",
     "s20_avro_shards", "m24_jpeg_exif", "t_robots_filter",
-    "m25_h264_i4x4", "s21_arrow_ipc",
+    "m25_h264_i4x4", "s21_arrow_ipc", "m26_mp3_meta",
 ]
 
 

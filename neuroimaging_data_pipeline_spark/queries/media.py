@@ -1111,6 +1111,57 @@ FROM blk GROUP BY doc_id
 """
 
 
+def m26_mp3_meta(spark, sf_dir):
+    """M26: MP3 container metadata (multimodal/mp3.py) — ID3v2.3 tag
+    extraction (syncsafe sizes, text-frame walk) plus MPEG-1 Layer
+    III frame-header WALKING: the parser hops frame to frame by the
+    144*bitrate/samplerate+padding length arithmetic, re-verifying
+    the 11-bit sync at every hop, so a single wrong length desyncs
+    loudly. Per document a VBR stream (bitrates cycling 128/160/192
+    kbps, padding toggling) yields frame counts, byte totals,
+    sample-exact durations and the bitrate sum — all recomputed by
+    the oracle from the fixture formulas. Frame PAYLOAD decode stays
+    honestly gated on ffmpeg, like H.264 inter frames.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp3 import (
+        mp3_meta_features,
+        synthesize_mp3s,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    media = synthesize_mp3s(d, id_col="doc_id")
+    return mp3_meta_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "title",
+        "track",
+        "n_frames",
+        "audio_bytes",
+        "sample_rate",
+        "duration_samples",
+        "sum_kbps",
+    )
+
+
+M26_SQL = """
+WITH f AS (
+  SELECT doc_id, k.k AS k,
+         ([128, 160, 192])[CAST((doc_id + k.k) % 3 AS INT) + 1] AS br,
+         k.k % 2 AS pad
+  FROM documents, UNNEST(range(0, 9)) AS k(k)
+  WHERE k.k < 4 + doc_id % 5
+)
+SELECT doc_id,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(doc_id % 100 AS INT) AS track,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(SUM(144000 * br // 44100 + pad) AS BIGINT) AS audio_bytes,
+       CAST(44100 AS INT) AS sample_rate,
+       CAST(COUNT(*) * 1152 AS BIGINT) AS duration_samples,
+       CAST(SUM(br) AS BIGINT) AS sum_kbps
+FROM f GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -1132,6 +1183,7 @@ QUERIES = {
     "m23_mulaw_audio": m23_mulaw_audio,
     "m24_jpeg_exif": m24_jpeg_exif,
     "m25_h264_i4x4": m25_h264_i4x4,
+    "m26_mp3_meta": m26_mp3_meta,
 }
 
 ORACLE = {
@@ -1155,4 +1207,5 @@ ORACLE = {
     "m23_mulaw_audio": M23_SQL,
     "m24_jpeg_exif": M24_SQL,
     "m25_h264_i4x4": M25_SQL,
+    "m26_mp3_meta": M26_SQL,
 }
