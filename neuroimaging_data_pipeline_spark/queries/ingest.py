@@ -1013,6 +1013,37 @@ FROM documents d JOIN shard s ON d.doc_id // 64 = s.shard_id
 """
 
 
+def s22_zip_shards(spark, sf_dir):
+    """S22: ZIP archive shards (sources/zipshard.py) — the
+    random-access archive format: members are located ONLY through
+    the end-of-central-directory record and central-directory
+    offsets (the property that lets an object-store reader range-GET
+    one member from a 100 TB corpus), with CRC-32 re-verified per
+    member and central/local header agreement cross-checked. Even
+    ids stored, odd deflated, so both methods stay hot; pytest pins
+    byte-level interop with the stdlib zipfile in BOTH directions.
+    The oracle recomputes method, length and text md5 per document.
+    One keyed shuffle to pack, then narrow mapInPandas."""
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.sources.zipshard import (
+        synthesize_zip_shards,
+        zip_documents,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    shards = synthesize_zip_shards(d, id_col="doc_id", text_col="text")
+    return zip_documents(shards)
+
+
+S22_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'stored' END AS method,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -1033,6 +1064,7 @@ QUERIES = {
     "s19_mbox_ingest": s19_mbox_ingest,
     "s20_avro_shards": s20_avro_shards,
     "s21_arrow_ipc": s21_arrow_ipc,
+    "s22_zip_shards": s22_zip_shards,
 }
 
 ORACLE = {
@@ -1055,4 +1087,5 @@ ORACLE = {
     "s19_mbox_ingest": S19_SQL,
     "s20_avro_shards": S20_SQL,
     "s21_arrow_ipc": S21_SQL,
+    "s22_zip_shards": S22_SQL,
 }

@@ -1,0 +1,190 @@
+"""ZIP shard source, stdlib-only (struct + zlib — the container walk
+is from scratch, same stance as the USTAR parser in multimodal/
+tar.py): ZIP is the other archive format corpora arrive in, and the
+central-directory design is what makes it RANDOM-ACCESS — a reader
+seeks the end-of-central-directory record, walks the directory, and
+can fetch one member without streaming the archive, exactly the
+property a 100 TB object-store corpus wants (range-GET one member).
+
+What is REAL here, both directions:
+
+- local file headers (PK\\x03\\x04), central directory entries
+  (PK\\x01\\x02) with local-header offsets, and the end-of-central-
+  directory record (PK\\x05\\x06) located by tail scan;
+- both common methods: STORED (0) and DEFLATE (8, raw wbits=-15),
+  alternating by member so both stay hot;
+- CRC-32 RE-VERIFIED on every member after decompression, and the
+  central-directory offsets are the ONLY way members are located —
+  a wrong offset or a corrupted byte fails loudly (pinned in
+  pytest);
+- directory-vs-local cross-checks: name, method and sizes must
+  agree between the central entry and the local header it points at.
+
+Scale: shard packing is one keyed shuffle; parsing is a narrow
+``mapInPandas`` over opaque shard blobs, zero further shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_LOCAL = b"PK\x03\x04"
+_CENTRAL = b"PK\x01\x02"
+_EOCD = b"PK\x05\x06"
+
+
+def write_zip(members: list[tuple[str, bytes, int]]) -> bytes:
+    """members: (name, data, method) with method 0 (stored) or 8
+    (deflate, raw)."""
+    out = bytearray()
+    central = bytearray()
+    for name, data, method in members:
+        if method not in (0, 8):
+            raise ValueError("method must be 0 (stored) or 8 (deflate)")
+        nm = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            blob = co.compress(data) + co.flush()
+        else:
+            blob = data
+        offset = len(out)
+        out += _LOCAL + struct.pack(
+            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc,
+            len(blob), len(data), len(nm), 0,
+        ) + nm + blob
+        central += _CENTRAL + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc,
+            len(blob), len(data), len(nm), 0, 0, 0, 0, 0, offset,
+        ) + nm
+    cd_at = len(out)
+    out += central
+    out += _EOCD + struct.pack(
+        "<HHHHIIH", 0, 0, len(members), len(members),
+        len(central), cd_at, 0,
+    )
+    return bytes(out)
+
+
+def read_zip(buf: bytes) -> list[tuple[str, bytes, int]]:
+    """Walk the central directory and extract every member via its
+    recorded local-header offset; CRC and directory/local agreement
+    are verified. Returns (name, data, method) triples."""
+    buf = bytes(buf)
+    eocd_at = buf.rfind(_EOCD)
+    if eocd_at < 0:
+        raise ValueError("no end-of-central-directory record")
+    (_, _, n_here, n_total, cd_size, cd_at, _comment) = struct.unpack_from(
+        "<HHHHIIH", buf, eocd_at + 4
+    )
+    if n_here != n_total:
+        raise NotImplementedError("multi-disk archives unsupported")
+    members = []
+    pos = cd_at
+    for _ in range(n_total):
+        if buf[pos : pos + 4] != _CENTRAL:
+            raise ValueError("central directory entry signature missing")
+        (
+            _made, _need, _flags, method, _t, _d, crc, csize, usize,
+            nlen, xlen, clen, _disk, _iattr, _eattr, offset,
+        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", buf, pos + 4)
+        name = buf[pos + 46 : pos + 46 + nlen].decode()
+        pos += 46 + nlen + xlen + clen
+        # follow the offset to the local header and cross-check
+        if buf[offset : offset + 4] != _LOCAL:
+            raise ValueError(f"bad local-header offset for {name!r}")
+        (
+            _ver, _lflags, lmethod, _lt, _ld, lcrc, lcsize, lusize,
+            lnlen, lxlen,
+        ) = struct.unpack_from("<HHHHHIIIHH", buf, offset + 4)
+        lname = buf[offset + 30 : offset + 30 + lnlen].decode()
+        if (lname, lmethod, lcsize, lusize) != (name, method, csize, usize):
+            raise ValueError(f"central/local mismatch for {name!r}")
+        data_at = offset + 30 + lnlen + lxlen
+        blob = buf[data_at : data_at + csize]
+        if len(blob) != csize:
+            raise ValueError(f"truncated member {name!r}")
+        if method == 8:
+            data = zlib.decompress(blob, wbits=-15)
+        elif method == 0:
+            data = blob
+        else:
+            raise NotImplementedError(f"compression method {method}")
+        if len(data) != usize:
+            raise ValueError(f"size mismatch for {name!r}")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch for {name!r}")
+        members.append((name, data, method))
+    return members
+
+
+# --- Spark surface ---------------------------------------------------------------
+
+
+def synthesize_zip_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 64,
+) -> DataFrame:
+    """Pack documents into ZIP shards ({id}.txt members; even ids
+    stored, odd ids deflated)."""
+    out_schema = "shard_id long, content binary"
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        shard_id = int(pdf["_shard"].iloc[0])
+        members = [
+            (
+                f"{int(i)}.txt",
+                ("" if t is None else str(t)).encode(),
+                8 if int(i) % 2 else 0,
+            )
+            for i, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        return pd.DataFrame(
+            {"shard_id": [shard_id], "content": [write_zip(members)]}
+        )
+
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        id_col, text_col,
+        (F.col(id_col) / docs_per_shard).cast("long").alias("_shard"),
+    )
+    return keyed.groupBy("_shard").applyInPandas(build, out_schema)
+
+
+def zip_documents(
+    shards: DataFrame,
+    content_col: str = "content",
+) -> DataFrame:
+    out_schema = "doc_id long, method string, n_chars long, text_md5 string"
+
+    def parse_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, methods, ncs, md5s = [], [], [], []
+            for content in pdf[content_col]:
+                for name, data, method in read_zip(content):
+                    ids.append(int(name.removesuffix(".txt")))
+                    methods.append("deflate" if method == 8 else "stored")
+                    ncs.append(len(data))
+                    md5s.append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "method": pd.Series(methods, dtype=object),
+                    "n_chars": pd.Series(ncs, dtype="int64"),
+                    "text_md5": pd.Series(md5s, dtype=object),
+                }
+            )
+
+    return shards.mapInPandas(parse_batches, out_schema)
