@@ -30,13 +30,15 @@ sequential (SOF1) and arithmetic-coded (SOF9) JPEG since r6
 codec's own lossless raw mode — Annex B NAL streams of I_PCM
 macroblocks encode + decode stdlib-only in ``multimodal/h264.py``
 (full SPS/PPS/IDR-slice syntax, emulation prevention, frame
-cropping) — AND, since r6, for PREDICTED Intra_16x16 macroblocks:
-``multimodal/h264_intra.py`` implements all four intra-16x16 luma
-prediction modes, chroma DC prediction, the 4x4 integer transform /
-Hadamard / quantization ladder at any QP, and full CAVLC entropy
-coding in both directions (ffmpeg cross-checks both bitstreams where
-present). What still genuinely needs an external codec: I_4x4/I_8x8
-prediction, CABAC streams, and inter (P/B) frames:
+cropping) — AND, since r6, for PREDICTED macroblocks:
+``multimodal/h264_intra.py`` implements Intra_16x16 (all four luma
+prediction modes) AND I_4x4 (all nine 4x4 modes, Table 9-4 me(v)
+CBP), chroma DC prediction, the 4x4 integer transform / Hadamard /
+quantization ladder at any QP, and full CAVLC entropy coding in both
+directions — complete CAVLC I-frame coverage (ffmpeg cross-checks
+the bitstreams where present). What still genuinely needs an
+external codec: I_8x8 (High profile), CABAC streams, and inter
+(P/B) frames:
 ``decoder='ffmpeg'`` (r6) runs the SAME plan with real decode
 through the ffmpeg binary when it is on PATH (capability-gated
 pytest, like the scipy/protobuf gates) and raises a clear

@@ -137,19 +137,27 @@ def _fwd4x4(x: np.ndarray) -> np.ndarray:
     return _CF @ x.astype(np.int64) @ _CF.T
 
 
+def _ipass(m: np.ndarray) -> np.ndarray:
+    """One inverse-butterfly pass along axis -2 (batched: works on
+    (..., 4, N)). The >>1 half-pel terms are arithmetic shifts on
+    whole rows, which keeps the spec's per-term flooring exact."""
+    m0, m1, m2, m3 = m[..., 0, :], m[..., 1, :], m[..., 2, :], m[..., 3, :]
+    h1, h3 = m1 >> 1, m3 >> 1
+    return np.stack(
+        [m0 + m2 + m1 + h3, m0 - m2 + h1 - m3,
+         m0 - m2 - h1 + m3, m0 + m2 - m1 - h3],
+        axis=-2,
+    )
+
+
 def _inv4x4(w: np.ndarray) -> np.ndarray:
     """Inverse core transform with the spec's half-pel butterflies,
-    WITHOUT the final (x+32)>>6 rounding (caller applies it)."""
-    w = w.astype(np.int64)
-
-    def pass_(m: np.ndarray) -> np.ndarray:
-        e0 = m[0] + m[2]
-        e1 = m[0] - m[2]
-        e2 = (m[1] >> 1) - m[3]
-        e3 = m[1] + (m[3] >> 1)
-        return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
-
-    return pass_(pass_(w).T).T
+    WITHOUT the final (x+32)>>6 rounding (caller applies it).
+    Accepts a single (4, 4) block or a batched (..., 4, 4) stack —
+    the batched form is ~10x faster per block (one numpy dispatch
+    for a whole macroblock instead of sixteen)."""
+    w = np.asarray(w, np.int64)
+    return _ipass(_ipass(w).swapaxes(-1, -2)).swapaxes(-1, -2)
 
 
 def _quant(w: np.ndarray, qp: int) -> np.ndarray:
@@ -802,6 +810,42 @@ def _nc_for(nnz: np.ndarray, bx: int, by: int) -> int:
     return 0
 
 
+def _recon_mb16(
+    pred: np.ndarray, acz: np.ndarray | None, zdc: np.ndarray, qp: int
+) -> np.ndarray:
+    """Batched Intra_16x16 luma reconstruction: dequant the (4,4,4,4)
+    quantized AC stack (None = CBP 0), splice the dequantized DC
+    Hadamard block in, inverse-transform all sixteen blocks at once,
+    add the prediction, clip."""
+    wr = (
+        _dequant_ac(acz, qp)
+        if acz is not None
+        else np.zeros((4, 4, 4, 4), np.int64)
+    )
+    wr[..., 0, 0] = _dequant_dc4(zdc, qp)
+    blk = (_inv4x4(wr) + 32) >> 6
+    return np.clip(pred + blk.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
+
+
+def _recon_chroma8(
+    pred: np.ndarray,
+    acz: np.ndarray | None,
+    dcz: np.ndarray | None,
+    qpc: int,
+) -> np.ndarray:
+    """Batched 8x8 chroma-plane reconstruction (2x2 DC Hadamard +
+    four 4x4 blocks in one inverse)."""
+    wr = (
+        _dequant_ac(acz, qpc)
+        if acz is not None
+        else np.zeros((2, 2, 4, 4), np.int64)
+    )
+    if dcz is not None:
+        wr[..., 0, 0] = _dequant_dc2(dcz, qpc)
+    blk = (_inv4x4(wr) + 32) >> 6
+    return np.clip(pred + blk.transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
+
+
 # --- encoder ------------------------------------------------------------------
 
 
@@ -841,16 +885,12 @@ def encode_h264_i16x16(
             pred = _pred16(ry, my, mx, 2)
             resid = yp[my * 16 : my * 16 + 16,
                        mx * 16 : mx * 16 + 16].astype(np.int64) - pred
-            dc = np.zeros((4, 4), np.int64)
-            acz = np.zeros((4, 4, 4, 4), np.int64)
-            for by in range(4):
-                for bx in range(4):
-                    wm = _fwd4x4(resid[by * 4 : by * 4 + 4,
-                                       bx * 4 : bx * 4 + 4])
-                    dc[by, bx] = wm[0, 0]
-                    z = _quant(wm, qp)
-                    z[0, 0] = 0
-                    acz[by, bx] = z
+            # all sixteen 4x4 sub-blocks transformed in one batch
+            blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+            wm = np.matmul(np.matmul(_CF, blocks), _CF.T)
+            dc = wm[..., 0, 0]
+            acz = _quant(wm, qp)
+            acz[..., 0, 0] = 0
             zdc = _quant_dc4((_H4 @ dc @ _H4) // 2, qp)
             cbpl = 15 if acz.any() else 0
             # chroma (DC prediction, mode 0)
@@ -861,16 +901,11 @@ def encode_h264_i16x16(
                 cp = _pred8_chroma_dc(reconp, my, mx)
                 cres = srcp[my * 8 : my * 8 + 8,
                             mx * 8 : mx * 8 + 8].astype(np.int64) - cp
-                dc2 = np.zeros((2, 2), np.int64)
-                az = np.zeros((2, 2, 4, 4), np.int64)
-                for by in range(2):
-                    for bx in range(2):
-                        wm = _fwd4x4(cres[by * 4 : by * 4 + 4,
-                                          bx * 4 : bx * 4 + 4])
-                        dc2[by, bx] = wm[0, 0]
-                        z = _quant(wm, qpc)
-                        z[0, 0] = 0
-                        az[by, bx] = z
+                cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+                wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
+                dc2 = wmc[..., 0, 0]
+                az = _quant(wmc, qpc)
+                az[..., 0, 0] = 0
                 qbits = 15 + qpc // 6
                 f = (1 << qbits) // 3
                 yd = _H2 @ dc2 @ _H2
@@ -920,42 +955,19 @@ def encode_h264_i16x16(
                             cnnz[pi][gy, gx] = encode_residual_block(
                                 sl, coeffs, nc, 15
                             )
-            # --- reconstruction (decoder-mirrored) ---
-            dcq = _dequant_dc4(zdc, qp)
-            for by in range(4):
-                for bx in range(4):
-                    wm = _dequant_ac(acz[by, bx], qp) if cbpl else \
-                        np.zeros((4, 4), np.int64)
-                    wm[0, 0] = dcq[by, bx]
-                    blk = (_inv4x4(wm) + 32) >> 6
-                    ry[my * 16 + by * 4 : my * 16 + by * 4 + 4,
-                       mx * 16 + bx * 4 : mx * 16 + bx * 4 + 4] = np.clip(
-                        pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + blk,
-                        0, 255,
-                    )
+            # --- reconstruction (decoder-mirrored, batched) ---
+            ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                _recon_mb16(pred, acz if cbpl else None, zdc, qp)
+            )
             for pi, reconp in ((0, rcb), (1, rcr)):
-                dq2 = (
-                    _dequant_dc2(cdcz[pi], qpc)
-                    if cbpc > 0
-                    else np.zeros((2, 2), np.int64)
+                reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    _recon_chroma8(
+                        cpred[pi],
+                        cacz[pi] if cbpc > 1 else None,
+                        cdcz[pi] if cbpc > 0 else None,
+                        qpc,
+                    )
                 )
-                for by in range(2):
-                    for bx in range(2):
-                        wm = (
-                            _dequant_ac(cacz[pi][by, bx], qpc)
-                            if cbpc > 1
-                            else np.zeros((4, 4), np.int64)
-                        )
-                        wm[0, 0] = dq2[by, bx]
-                        blk = (_inv4x4(wm) + 32) >> 6
-                        reconp[
-                            my * 8 + by * 4 : my * 8 + by * 4 + 4,
-                            mx * 8 + bx * 4 : mx * 8 + bx * 4 + 4,
-                        ] = np.clip(
-                            cpred[pi][by * 4 : by * 4 + 4,
-                                      bx * 4 : bx * 4 + 4] + blk,
-                            0, 255,
-                        )
     sl.trailing()
     stream = (
         _nal(3, 7, _sps_rbsp(mbw, mbh, w, h))
@@ -1072,16 +1084,11 @@ def encode_h264_i4x4(
                 cp = _pred8_chroma_dc(reconp, my, mx)
                 cres = srcp[my * 8 : my * 8 + 8,
                             mx * 8 : mx * 8 + 8].astype(np.int64) - cp
-                dc2 = np.zeros((2, 2), np.int64)
-                az = np.zeros((2, 2, 4, 4), np.int64)
-                for by in range(2):
-                    for bx in range(2):
-                        wm = _fwd4x4(cres[by * 4 : by * 4 + 4,
-                                          bx * 4 : bx * 4 + 4])
-                        dc2[by, bx] = wm[0, 0]
-                        zc = _quant(wm, qpc)
-                        zc[0, 0] = 0
-                        az[by, bx] = zc
+                cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+                wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
+                dc2 = wmc[..., 0, 0]
+                az = _quant(wmc, qpc)
+                az[..., 0, 0] = 0
                 qbits = 15 + qpc // 6
                 f = (1 << qbits) // 3
                 yd = _H2 @ dc2 @ _H2
@@ -1154,30 +1161,16 @@ def encode_h264_i4x4(
                 for pi in (0, 1):
                     cnnz[pi][my * 2 : my * 2 + 2,
                              mx * 2 : mx * 2 + 2] = 0
-            # --- chroma reconstruction ---
+            # --- chroma reconstruction (batched) ---
             for pi, reconp in ((0, rcb), (1, rcr)):
-                dq2 = (
-                    _dequant_dc2(cdcz[pi], qpc)
-                    if cbp_chroma > 0
-                    else np.zeros((2, 2), np.int64)
+                reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    _recon_chroma8(
+                        cpred[pi],
+                        cacz[pi] if cbp_chroma > 1 else None,
+                        cdcz[pi] if cbp_chroma > 0 else None,
+                        qpc,
+                    )
                 )
-                for by in range(2):
-                    for bx in range(2):
-                        wm = (
-                            _dequant_ac(cacz[pi][by, bx], qpc)
-                            if cbp_chroma > 1
-                            else np.zeros((4, 4), np.int64)
-                        )
-                        wm[0, 0] = dq2[by, bx]
-                        blk = (_inv4x4(wm) + 32) >> 6
-                        reconp[
-                            my * 8 + by * 4 : my * 8 + by * 4 + 4,
-                            mx * 8 + bx * 4 : mx * 8 + bx * 4 + 4,
-                        ] = np.clip(
-                            cpred[pi][by * 4 : by * 4 + 4,
-                                      bx * 4 : bx * 4 + 4] + blk,
-                            0, 255,
-                        )
     sl.trailing()
     stream = (
         _nal(3, 7, _sps_rbsp(mbw, mbh, w, h))
@@ -1349,24 +1342,10 @@ def decode_h264_frame(
                             ] = np.clip(pred + blk, 0, 255)
                         for pi, reconp in ((0, rcb), (1, rcr)):
                             cp = _pred8_chroma_dc(reconp, my, mx)
-                            dq2 = _dequant_dc2(cdcz[pi], qpc)
-                            for by in range(2):
-                                for bx in range(2):
-                                    wm = _dequant_ac(
-                                        cacz[pi][by, bx], qpc
-                                    )
-                                    wm[0, 0] = dq2[by, bx]
-                                    blk = (_inv4x4(wm) + 32) >> 6
-                                    reconp[
-                                        my * 8 + by * 4 : my * 8
-                                        + by * 4 + 4,
-                                        mx * 8 + bx * 4 : mx * 8
-                                        + bx * 4 + 4,
-                                    ] = np.clip(
-                                        cp[by * 4 : by * 4 + 4,
-                                           bx * 4 : bx * 4 + 4] + blk,
-                                        0, 255,
-                                    )
+                            reconp[my * 8 : my * 8 + 8,
+                                   mx * 8 : mx * 8 + 8] = _recon_chroma8(
+                                cp, cacz[pi], cdcz[pi], qpc
+                            )
                         continue
                     t = mb_type - 1
                     cbpl = 15 if t >= 12 else 0
@@ -1426,38 +1405,18 @@ def decode_h264_frame(
                         for pi in (0, 1):
                             cnnz[pi][my * 2 : my * 2 + 2,
                                      mx * 2 : mx * 2 + 2] = 0
-                    # --- reconstruction ---
+                    # --- reconstruction (batched) ---
                     pred = _pred16(ry, my, mx, pm)
-                    dcq = _dequant_dc4(zdc, qp)
-                    for by in range(4):
-                        for bx in range(4):
-                            wm = _dequant_ac(acz[by, bx], qp)
-                            wm[0, 0] = dcq[by, bx]
-                            blk = (_inv4x4(wm) + 32) >> 6
-                            ry[
-                                my * 16 + by * 4 : my * 16 + by * 4 + 4,
-                                mx * 16 + bx * 4 : mx * 16 + bx * 4 + 4,
-                            ] = np.clip(
-                                pred[by * 4 : by * 4 + 4,
-                                     bx * 4 : bx * 4 + 4] + blk,
-                                0, 255,
-                            )
+                    ry[my * 16 : my * 16 + 16,
+                       mx * 16 : mx * 16 + 16] = _recon_mb16(
+                        pred, acz, zdc, qp
+                    )
                     for pi, reconp in ((0, rcb), (1, rcr)):
                         cp = _pred8_chroma_dc(reconp, my, mx)
-                        dq2 = _dequant_dc2(cdcz[pi], qpc)
-                        for by in range(2):
-                            for bx in range(2):
-                                wm = _dequant_ac(cacz[pi][by, bx], qpc)
-                                wm[0, 0] = dq2[by, bx]
-                                blk = (_inv4x4(wm) + 32) >> 6
-                                reconp[
-                                    my * 8 + by * 4 : my * 8 + by * 4 + 4,
-                                    mx * 8 + bx * 4 : mx * 8 + bx * 4 + 4,
-                                ] = np.clip(
-                                    cp[by * 4 : by * 4 + 4,
-                                       bx * 4 : bx * 4 + 4] + blk,
-                                    0, 255,
-                                )
+                        reconp[my * 8 : my * 8 + 8,
+                               mx * 8 : mx * 8 + 8] = _recon_chroma8(
+                            cp, cacz[pi], cdcz[pi], qpc
+                        )
             x0, y0, w, h = sps["x0"], sps["y0"], sps["w"], sps["h"]
             planes = (
                 ry[y0 : y0 + h, x0 : x0 + w].astype(np.uint8),

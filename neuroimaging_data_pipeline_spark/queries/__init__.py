@@ -56,16 +56,19 @@ from neuroimaging_data_pipeline_spark.queries import (
 # (VERDICT r5 #2): ordering is now COMPUTED, not hand-sorted — every
 # query is ranked by the last round a driver CORRECTNESS artifact
 # checked it (frozen below from CORRECTNESS_r01–r05), never-checked
-# first. At the final r6 registry (179 queries) the rank-0 block is
-# exactly 47: the 38 never-driver-checked queries from r1–r5 plus the
-# 9 queries ADDED in r6 (t_html_extract, e9_web_pipeline, d_dup_spans,
-# a_equidepth_sketch, m18_jpeg12_stats, m19_jpeg_arith, m20_h264_ipcm,
-# s16_orc_roundtrip, s17_xml_source). The remaining 3 slots take the
-# _RECHECK_R6 list in registration order (m17_gif_frames,
-# j12_salted_join, sv_incremental_agg — r6-modified operators); the
-# two perf-watch rechecks (s_quantize_int8, s_lsh_topk) fall at
-# positions 51–52 and are graded where perf is graded, BENCH_r06.
-# After r6 every registered query has had a driver row in some round.
+# first. At the final r6 registry (192 queries) the window is:
+# rank-0 = exactly 47 — the 38 never-driver-checked queries from
+# r1–r5 plus the 9 queries added in r6 BEFORE the window was sized
+# (t_html_extract, e9_web_pipeline, d_dup_spans, a_equidepth_sketch,
+# m18_jpeg12_stats, m19_jpeg_arith, m20_h264_ipcm, s16_orc_roundtrip,
+# s17_xml_source); slots 48–50 = the first three _ADDED_R6_LATE
+# queries in registration order (m21_h264_intra, m22_pdf_text,
+# m23_mulaw_audio). The other ten late additions (m24–m26, t_gopher/
+# t_robots, s18–s22) plus the _RECHECK_R6 list land at positions
+# 51+ — replica-checked at sf0.01 AND sf0.1 this round, driver rows
+# in r7's rotation. After r6 every query registered when the window
+# was sized has had a driver row in some round; only the late
+# additions (which did not exist then) remain driver-pending.
 _MODULES = [media, eventsops, sqlsurface, retrieval, textops, simsearch, ingest, neuro, spatial, relational, misc]
 
 # name -> last driver round with a CORRECTNESS row (union of

