@@ -522,7 +522,7 @@ def j8_interval_overlap(spark, sf_dir):
     co-partitioned (user, bin) equi-join is the 100 TB shape; left
     join back preserves zero-overlap events."""
     step = 600.0
-    ev = read_table(spark, sf_dir, "events", min_partitions=32).select(
+    ev = read_table(spark, sf_dir, "events", min_partitions="cores").select(
         "user_id",
         "event_id",
         "event_type",

@@ -637,7 +637,7 @@ def s13_avro_scan(spark, sf_dir):
 
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     feats = avro_features(synthesize_avro_files(d, id_col="doc_id"))
     return feats.select(
         F.col("media_id").alias("doc_id"),
@@ -899,7 +899,7 @@ def s18_warc_ingest(spark, sf_dir):
         warc_records,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     shards = synthesize_warc_shards(d, id_col="doc_id", text_col="text")
     return warc_records(shards)
 
@@ -931,7 +931,7 @@ def s19_mbox_ingest(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     shards = synthesize_mbox_shards(d, id_col="doc_id", text_col="text")
     return mbox_messages(shards)
 
@@ -965,7 +965,7 @@ def s20_avro_shards(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     shards = synthesize_avro_shards(d, id_col="doc_id")
     return avro_documents(shards)
 
@@ -995,7 +995,7 @@ def s21_arrow_ipc(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     shards = synthesize_ipc_shards(d, id_col="doc_id")
     return ipc_documents(shards)
 
@@ -1030,7 +1030,7 @@ def s22_zip_shards(spark, sf_dir):
         zip_documents,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     shards = synthesize_zip_shards(d, id_col="doc_id", text_col="text")
     return zip_documents(shards)
 

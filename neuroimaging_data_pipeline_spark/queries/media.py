@@ -43,9 +43,10 @@ def m8_mp4_meta(spark, sf_dir):
     )
 
     # single-row-group documents scan -> spread so the Python codec
-    # stages run on several cores, not one worker (8-way: measured
-    # cheaper than 32-way for sub-second stages, see BENCH_DELTA r4)
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    # stages run on every core, not one worker ("cores" resolves to
+    # defaultParallelism; the heavy codecs ran ~1.5x faster at full
+    # width vs the old fixed 8-way, see BENCH_FULL at this commit)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_mp4_clips(d, id_col="doc_id")
     feats = mp4_meta_features(media)
     return feats.select(
@@ -104,7 +105,7 @@ def m8b_mp4_frames(spark, sf_dir):
         synthesize_mp4_clips,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_mp4_clips(d, id_col="doc_id")
     frames = mp4_sample_frames(media, every_n=2)
     return frames.select(
@@ -151,7 +152,7 @@ def m9_jpeg_420(spark, sf_dir):
         synthesize_jpeg_420_images,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_jpeg_420_images(d, id_col="doc_id")
     feats = jpeg_color_features(media)
     return feats.select(
@@ -198,7 +199,7 @@ def m10_audio_frames(spark, sf_dir):
         wav_frame_features,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_wav_clips(d, id_col="doc_id", text_col="text")
     frames = wav_frame_features(media, frame_len=8)
     return frames.select(
@@ -261,7 +262,7 @@ def m11_jpeg_progressive(spark, sf_dir):
         synthesize_jpeg_progressive_images,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_jpeg_progressive_images(d, id_col="doc_id")
     feats = jpeg_features(media)
     return feats.select(
@@ -305,7 +306,7 @@ def m12_png_interlaced(spark, sf_dir):
         synthesize_png_interlaced,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_png_interlaced(d, id_col="doc_id")
     feats = png_features(media)
     return feats.select(
@@ -373,7 +374,7 @@ def e4_multimodal_pipeline(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.text.analysis import token_count
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=8)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     keep = exact_dedup_keys(docs).select(F.col("keep_id").alias("doc_id"))
     kept = docs.join(keep, "doc_id", "left_semi")
     img = png_features(synthesize_png_images(kept, id_col="doc_id")).select(
@@ -452,7 +453,7 @@ def m13_tar_samples(spark, sf_dir):
         tar_sample_features,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_tar_shards(d, id_col="doc_id")
     feats = tar_sample_features(media)
     return feats.select(
@@ -518,7 +519,7 @@ def m14_jsonl_shards(spark, sf_dir):
         synthesize_jsonl_shards,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     line = F.to_json(F.struct("doc_id", "lang", "source", "text"))
     shards = (
         d.select(
@@ -585,7 +586,7 @@ def m15_bmp_stats(spark, sf_dir):
         synthesize_bmp_images,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     feats = bmp_features(synthesize_bmp_images(d, id_col="doc_id"))
     return feats.select(
         F.col("media_id").alias("doc_id"),
@@ -636,7 +637,7 @@ def m16_mjpeg_frames(spark, sf_dir):
         synthesize_mjpeg_clips,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_mjpeg_clips(d, id_col="doc_id")
     frames = mjpeg_frame_stats(media, every_n=2)
     return frames.select(
@@ -681,7 +682,7 @@ def m17_gif_frames(spark, sf_dir):
         synthesize_gifs,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_gifs(d, id_col="doc_id")
     return gif_frame_stats(media).select(
         F.col("media_id").alias("doc_id"),
@@ -730,7 +731,7 @@ def m18_jpeg12_stats(spark, sf_dir):
         synthesize_jpeg12_images,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_jpeg12_images(d, id_col="doc_id")
     return jpeg12_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -779,7 +780,7 @@ def m19_jpeg_arith(spark, sf_dir):
         synthesize_jpeg_arith_images,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_jpeg_arith_images(d, id_col="doc_id")
     return jpeg_arith_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -828,7 +829,7 @@ def m20_h264_ipcm(spark, sf_dir):
         synthesize_h264_frames,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_h264_frames(d, id_col="doc_id")
     return h264_frame_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -887,7 +888,7 @@ def m21_h264_intra(spark, sf_dir):
         synthesize_h264_intra_frames,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_h264_intra_frames(d, id_col="doc_id")
     return h264_intra_frame_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -937,7 +938,7 @@ def m22_pdf_text(spark, sf_dir):
         synthesize_pdfs,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_pdfs(d, id_col="doc_id", text_col="text")
     return pdf_text_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -975,7 +976,7 @@ def m23_mulaw_audio(spark, sf_dir):
         synthesize_mulaw_clips,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_mulaw_clips(d, id_col="doc_id")
     return mulaw_clip_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -1036,7 +1037,7 @@ def m24_jpeg_exif(spark, sf_dir):
         synthesize_exif_jpegs,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_exif_jpegs(d, id_col="doc_id")
     return exif_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -1086,7 +1087,7 @@ def m25_h264_i4x4(spark, sf_dir):
         synthesize_h264_i4x4_frames,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_h264_i4x4_frames(d, id_col="doc_id")
     return h264_intra_frame_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -1135,7 +1136,7 @@ def m26_mp3_meta(spark, sf_dir):
         synthesize_mp3s,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_mp3s(d, id_col="doc_id")
     return mp3_meta_features(media).select(
         F.col("media_id").alias("doc_id"),

@@ -544,7 +544,7 @@ def m4_png_stats(spark, sf_dir):
 
     # single-row-group documents scan -> spread so the Python codec
     # stages run on all cores, not one worker
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_png_images(d, id_col="doc_id")
     feats = png_features(media)
     return feats.select(
@@ -601,7 +601,7 @@ def m5_jpeg_stats(spark, sf_dir):
         synthesize_jpeg_images,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_jpeg_images(d, id_col="doc_id")
     feats = jpeg_features(media)
     return feats.select(
@@ -648,7 +648,7 @@ def m7_jpeg_color(spark, sf_dir):
         synthesize_jpeg_color_images,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_jpeg_color_images(d, id_col="doc_id")
     feats = jpeg_color_features(media)
     return feats.select(
@@ -696,7 +696,7 @@ def m6_gzip_text(spark, sf_dir):
         synthesize_gzip_docs,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=8)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     media = synthesize_gzip_docs(d, id_col="doc_id", text_col="text")
     feats = gzip_text_features(media)
     return feats.select(

@@ -51,7 +51,7 @@ def j2_interval_grid(spark, sf_dir):
     # scan; spread it so the explode+partial-agg runs on all cores
     # (narrow 100k-row shuffle, amortized by everything downstream).
     ev = _with_onset(
-        read_table(spark, sf_dir, "events", min_partitions=32)
+        read_table(spark, sf_dir, "events", min_partitions="cores")
     )
     n_bins = 1000
     step = 600.0

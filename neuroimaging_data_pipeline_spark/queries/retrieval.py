@@ -57,7 +57,7 @@ def s_bm25_topk(spark, sf_dir):
     query-term list; df/totals are broadcast-sized aggregates; scores
     are DECIMAL-summed and ranked on the rounded value with doc-id
     tie-breaks, so the DuckDB twin ranks identical keys."""
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return bm25_topk(docs, BM25_PROBES, k=5)
 
 
@@ -73,7 +73,7 @@ def s_knn_graph(spark, sf_dir):
     cannot flip a rank."""
     from neuroimaging_data_pipeline_spark.similarity.cosine import knn_graph
 
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     return knn_graph(emb, k=3, n_blocks=4)
 
 
@@ -113,7 +113,7 @@ def d_semdedup(spark, sf_dir):
     identical Lloyd passes in SQL and recomputes the same drop set."""
     from neuroimaging_data_pipeline_spark.dedup.semantic import semantic_dedup
 
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     return semantic_dedup(emb, n_cells=8, lloyd_iters=2, threshold=0.2)
 
 
@@ -181,7 +181,7 @@ def t_mix_sample(spark, sf_dir):
     shuffle."""
     from neuroimaging_data_pipeline_spark.text.mixing import mixture_sample
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return mixture_sample(docs, MIX_THRESHOLDS).select(
         "doc_id", "source", "bucket"
     )
@@ -207,7 +207,7 @@ def t_bpe_train(spark, sf_dir):
     SQL, so TRAINING is oracle-checked round-for-round."""
     from neuroimaging_data_pipeline_spark.text.bpe import bpe_train
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     merges = bpe_train(docs, BPE_N_MERGES)
     return spark.createDataFrame(
         [(m["rank"], m["a"], m["b"], int(m["cnt"])) for m in merges],
@@ -226,7 +226,7 @@ def t_bpe_tokens(spark, sf_dir):
         bpe_train,
     )
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     merges = bpe_train(docs, BPE_N_MERGES)
     return bpe_token_counts(docs, [(m["a"], m["b"]) for m in merges])
 
@@ -326,7 +326,7 @@ def t_ks_drift(spark, sf_dir):
     corpus rows."""
     from neuroimaging_data_pipeline_spark.operators.drift import ks_drift
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return ks_drift(docs, "n_chars", "source")
 
 
@@ -342,7 +342,7 @@ def t_auc_drift(spark, sf_dir):
     division is floating point."""
     from neuroimaging_data_pipeline_spark.operators.drift import auc_drift
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return auc_drift(docs, "n_chars", "source")
 
 
@@ -357,7 +357,7 @@ def t_source_cap(spark, sf_dir):
     unbiased, engine/run/partitioning-stable sample."""
     from neuroimaging_data_pipeline_spark.text.mixing import source_cap
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return source_cap(docs, cap=10)
 
 
@@ -370,7 +370,7 @@ def s_quantize_int8(spark, sf_dir):
         quantize_int8_summary,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     return quantize_int8_summary(emb)
 
 
@@ -389,7 +389,7 @@ def t_weighted_sample(spark, sf_dir):
     engines/runs/partitionings. One row_number window per group."""
     from neuroimaging_data_pipeline_spark.text.mixing import weighted_sample
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return weighted_sample(docs, k=8, weight_col="n_chars")
 
 
@@ -433,7 +433,7 @@ def a_logreg_gd(spark, sf_dir):
     from neuroimaging_data_pipeline_spark.operators.logreg import logreg_gd
     from neuroimaging_data_pipeline_spark.text.bpe import _norm_words
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     feats = docs.select(
         F.lit(1.0).alias("x0"),
         (F.col("n_chars") / F.lit(100.0)).alias("x1"),
@@ -476,7 +476,7 @@ def d_incremental_dedup(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.text.analysis import hash_bucket
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     b = docs.withColumn("_bkt", hash_bucket("doc_id", 10))
     batch = b.filter(F.col("_bkt") == 0).drop("_bkt")
     index = b.filter(F.col("_bkt") != 0).drop("_bkt")
@@ -517,7 +517,7 @@ def t_chunk(spark, sf_dir):
     shuffle."""
     from neuroimaging_data_pipeline_spark.text.chunking import chunk_sliding
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return chunk_sliding(docs, chunk_size=32, stride=24)
 
 
@@ -529,7 +529,7 @@ def t_pack_blocks(spark, sf_dir):
     unit, exactly how packing shards at corpus scale."""
     from neuroimaging_data_pipeline_spark.text.chunking import pack_blocks
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return pack_blocks(docs, block_size=128)
 
 
@@ -567,7 +567,7 @@ def e5_shard_pipeline(spark, sf_dir):
         source_cap,
     )
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     sampled = mixture_sample(docs, MIX_THRESHOLDS)
     capped = sampled.join(
         source_cap(sampled, 15).select("doc_id"), "doc_id", "left_semi"
@@ -665,7 +665,7 @@ def t_nb_lang(spark, sf_dir):
     Two shuffles at any corpus size."""
     from neuroimaging_data_pipeline_spark.text.nbayes import nb_train_score
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return nb_train_score(d)
 
 
@@ -694,7 +694,7 @@ def e7_classifier_filter(spark, sf_dir):
         nb_train_score,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     nb = nb_train_score(d)
     joined = d.join(nb, "doc_id").withColumn(
         "_kept", (F.col("predicted") == F.col("lang")).cast("int")

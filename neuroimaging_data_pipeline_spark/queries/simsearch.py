@@ -41,7 +41,7 @@ _NORM_Q = (
 
 def s_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-5 for query vectors vec_id < 5."""
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk(emb, queries, k=5)
     return out.select(
@@ -78,7 +78,7 @@ def s_mmr_rerank(spark, sf_dir):
     driver collect."""
     from neuroimaging_data_pipeline_spark.similarity.mmr import mmr_rerank
 
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     queries = emb.filter(F.col("vec_id") < 3)
     return mmr_rerank(emb, queries, k=5, pool=20)
 
@@ -164,7 +164,7 @@ def d_embedding_neardup(spark, sf_dir):
     (label = the blocking key, as LSH buckets would be at scale).
     One GEMM per bucket (similarity/cosine.py:bucketed_neardup_pairs)
     — Arrow+BLAS instead of per-pair expression eval."""
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     return bucketed_neardup_pairs(emb, bucket_col="label", threshold=0.2)
 
 
@@ -190,7 +190,7 @@ def s_ivf_topk(spark, sf_dir):
     summation-order noise can't diverge the engines), nprobe=2
     (similarity/cosine.py:ivf_topk). Fully oracle-checked — the oracle
     unrolls the same two k-means passes in SQL."""
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     queries = emb.filter(F.col("vec_id") < 5)
     out = ivf_topk(emb, queries, n_cells=8, nprobe=2, k=5, lloyd_iters=2)
     return out.select(
@@ -297,7 +297,7 @@ def s_lsh_topk(spark, sf_dir):
     inlined verbatim into the oracle SQL — both engines compute the
     same sign-bit buckets, the same candidate set, and the same exact
     cosine re-rank."""
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     queries = emb.filter(F.col("vec_id") < 5)
     out = lsh_topk(
         emb, queries, dim=64, k=5,
@@ -387,7 +387,7 @@ def d_minhash_lsh(spark, sf_dir):
     pairs, and exact-Jaccard verification. The bucket-flood guard
     (max_bucket_size) bounds candidate fan-out at corpus scale; far
     above any bucket at test SFs, so results are unchanged here."""
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return minhash_dedup_pairs(
         docs, threshold=0.2, max_bucket_size=MINHASH_BUCKET_CAP
     ).select(
@@ -495,7 +495,7 @@ def d_dup_clusters(spark, sf_dir):
         minhash_dedup_pairs,
     )
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     pairs = minhash_dedup_pairs(
         docs, threshold=0.2, max_bucket_size=MINHASH_BUCKET_CAP
     ).select("id_a", "id_b")
@@ -543,7 +543,7 @@ def g_pagerank3(spark, sf_dir):
         minhash_dedup_pairs,
     )
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     pairs = minhash_dedup_pairs(
         docs, threshold=0.2, max_bucket_size=MINHASH_BUCKET_CAP
     ).select("id_a", "id_b")
@@ -617,7 +617,7 @@ def d_simhash(spark, sf_dir):
     pigeonhole — every qualifying pair shares at least one chunk — so
     the operator is exact within its declared semantics, not a recall
     heuristic."""
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     fps = simhash(docs)
     return simhash_candidate_pairs(
         fps, max_hamming=3, max_bucket_size=SIMHASH_BUCKET_CAP
@@ -710,7 +710,7 @@ def s_pq_codes(spark, sf_dir):
         pq_codes,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     cbs = pq_codebooks(emb, m=4, k=8, lloyd_iters=1)
     return pq_codes(emb, cbs)
 
@@ -799,7 +799,7 @@ def g_triangles(spark, sf_dir):
     bench sizes."""
     from neuroimaging_data_pipeline_spark.similarity.cosine import knn_graph
 
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     g = knn_graph(emb, k=3, n_blocks=4)
     e = (
         g.select(
@@ -899,7 +899,7 @@ def s_ivfpq_topk(spark, sf_dir):
     tests/test_retrieval.py::test_ivfpq_refine_recall_clustered."""
     from neuroimaging_data_pipeline_spark.similarity.pq import ivfpq_topk
 
-    emb = read_table(spark, sf_dir, "embeddings", min_partitions=16)
+    emb = read_table(spark, sf_dir, "embeddings", min_partitions="cores")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivfpq_topk(
         emb, queries, n_cells=16, nprobe=2, m=4, k_codes=32, k=5,

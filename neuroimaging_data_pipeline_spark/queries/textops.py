@@ -38,7 +38,7 @@ def t_token_count(spark, sf_dir):
         bpe_ish_token_count,
     )
 
-    return read_table(spark, sf_dir, "documents", min_partitions=16).select(
+    return read_table(spark, sf_dir, "documents", min_partitions="cores").select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_ish"),
@@ -56,7 +56,7 @@ FROM documents
 def t_quality_signals(spark, sf_dir):
     """Quality-scoring signal columns: punctuation ratio, stopword
     ratio, mean word length (rounded for hash parity)."""
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return d.select(
         "doc_id",
         (F.round(F.coalesce(punct_ratio("text"), F.lit(0.0)), 6) + F.lit(0.0)).alias("punct_ratio"),
@@ -83,7 +83,7 @@ FROM documents
 
 def t_lang_id(spark, sf_dir):
     """Heuristic language ID via stopword-marker hits."""
-    return read_table(spark, sf_dir, "documents", min_partitions=16).select(
+    return read_table(spark, sf_dir, "documents", min_partitions="cores").select(
         "doc_id", lang_id("text").alias("lang_pred")
     )
 
@@ -114,7 +114,7 @@ FROM scores
 
 def t_fingerprint(spark, sf_dir):
     """Content fingerprint (md5 of normalized 256-char prefix)."""
-    return read_table(spark, sf_dir, "documents", min_partitions=16).select(
+    return read_table(spark, sf_dir, "documents", min_partitions="cores").select(
         "doc_id", fingerprint("text", 256).alias("fp")
     )
 
@@ -127,7 +127,7 @@ FROM documents
 
 def d_exact_dedup(spark, sf_dir):
     """Exact dedup groups: content hash -> (kept id, duplicate count)."""
-    return exact_dedup_keys(read_table(spark, sf_dir, "documents", min_partitions=16))
+    return exact_dedup_keys(read_table(spark, sf_dir, "documents", min_partitions="cores"))
 
 
 D_EXACT_SQL = f"""
@@ -161,7 +161,7 @@ def d_ngram_jaccard(spark, sf_dir):
     tests/test_dedup_text.py)."""
     from neuroimaging_data_pipeline_spark.dedup.ngram import ngram_jaccard_pairs
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     pairs = ngram_jaccard_pairs(
         docs, k=3, df_cap=NGRAM_DF_CAP, threshold=0.2, block_col="source"
     )
@@ -210,7 +210,7 @@ def t_entropy(spark, sf_dir):
     diversity quality signal (low entropy = repetitive/boilerplate
     text, a standard pretraining-corpus filter). Pure aggregations:
     token counts -> per-doc total -> -sum(p*log2(p))."""
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = d.select(
         "doc_id", F.explode(F.split(norm, " ")).alias("tok")
@@ -273,7 +273,7 @@ def t_winnow(spark, sf_dir):
         winnow_fingerprints,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     fps = winnow_fingerprints(d, k=4, w=5)
     grams = d.select(
         "doc_id",
@@ -361,7 +361,7 @@ def t_repetition(spark, sf_dir):
         word_bigrams_of,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     # Materialize the token array ONCE as an attribute: the regex
     # split is expensive and referenced by every signal, and Catalyst
     # only avoids duplicating it across Project boundaries when it is
@@ -463,7 +463,7 @@ def e2_corpus_pipeline(spark, sf_dir):
         tokens,
     )
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions=16)
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
     keep = exact_dedup_keys(docs).select(
         F.col("keep_id").alias("doc_id")
     )
@@ -545,7 +545,7 @@ def t_pii_signals(spark, sf_dir):
     so the driver rows are honest zeros)."""
     from neuroimaging_data_pipeline_spark.text.analysis import pii_counts
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     counts = pii_counts("text")
     cols = [counts[k].alias(f"n_{k}") for k in sorted(counts)]
     total = None
@@ -582,7 +582,7 @@ def t_sample(spark, sf_dir):
     behind leak-free train/eval splits. Keeps bucket 0 of 10."""
     from neuroimaging_data_pipeline_spark.text.analysis import hash_bucket
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return d.select(
         "doc_id", hash_bucket("doc_id", 10).alias("bucket")
     ).filter(F.col("bucket") == 0)
@@ -612,7 +612,7 @@ def d_passage_dedup(spark, sf_dir):
         passage_dedup_stats,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return passage_dedup_stats(d).select(
         "doc_id", "n_passages", "n_kept", "n_words_kept"
     )
@@ -678,7 +678,7 @@ def t_tfidf(spark, sf_dir):
     global sort."""
     from pyspark.sql import Window
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
         lambda w: w != "",
@@ -760,7 +760,7 @@ def d_fuzzy_pairs(spark, sf_dir):
     levenshtein, so the oracle recomputes distances exactly."""
     from neuroimaging_data_pipeline_spark.dedup.fuzzy import fuzzy_pairs
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return fuzzy_pairs(d, max_dist=8)
 
 
@@ -807,7 +807,7 @@ def e8_entity_resolution(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.dedup.fuzzy import fuzzy_pairs
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     h = d.select(
         "doc_id",
         F.md5(F.substring(_norm_col(), 1, 1000000)).alias("_h"),
@@ -874,7 +874,7 @@ def d_contamination(spark, sf_dir):
         contamination_overlap,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     probe = d.filter(F.col("doc_id") < 10)
     train = d.filter(F.col("doc_id") >= 10)
     return contamination_overlap(train, probe, k=8)
@@ -939,7 +939,7 @@ def t_bigram_xent(spark, sf_dir):
     variance, discharged."""
     from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
     )
@@ -1150,7 +1150,7 @@ def e6_decontam_split(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.text.analysis import hash_bucket
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     b = d.withColumn("bucket", hash_bucket("doc_id", 10))
     ev = b.filter(F.col("bucket") == 0)
     tr = b.filter(F.col("bucket") != 0)
@@ -1254,7 +1254,7 @@ def d_cdc_chunks(spark, sf_dir):
     compact (md5, count) pairs."""
     from neuroimaging_data_pipeline_spark.dedup.cdc import cdc_dedup_stats
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     return cdc_dedup_stats(d)
 
 
@@ -1307,7 +1307,7 @@ def t_inverted_index(spark, sf_dir):
     tokenize explode, one (term, doc) count aggregate with map-side
     partials, one per-term window for the posting head — all on
     compact (term, doc_id, tf) triples."""
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     toks = d.select(
         "doc_id",
         F.explode(
@@ -1432,7 +1432,7 @@ def t_html_extract(spark, sf_dir):
         strip_html,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     pages = _gen_pages(d).select(
         "doc_id",
         "html",
@@ -1559,7 +1559,7 @@ def e9_web_pipeline(spark, sf_dir):
         anchor_text_chars,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     ext = _gen_pages(d).select(
         "doc_id",
         "source",
@@ -1637,7 +1637,7 @@ def d_dup_spans(spark, sf_dir):
     (t_winnow) first and this exact pass over the candidate subset
     only. Both stages are here and compose."""
     K, MINLEN = DUP_SPAN_K, DUP_SPAN_MIN
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     positions = F.sequence(F.lit(1), F.length("text") - K + 1)
     g = (
         d.filter(F.length("text") >= K)
@@ -1714,7 +1714,7 @@ def t_gopher_repetition(spark, sf_dir):
     built with an index-aware array transform, no self-join. At
     100 TB this is the standard doc-keyed aggregation shape — AQE
     handles the long-doc skew, nothing is quadratic in doc length."""
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     words = d.select(
         "doc_id",
         F.split(F.trim(F.lower("text")), r"\s+").alias("ws"),
@@ -1828,7 +1828,7 @@ def t_robots_filter(spark, sf_dir):
     form (map-side combine before the one doc-keyed exchange), not a
     row_number window whose per-partition sort a 100 TB URL table
     cannot afford."""
-    d = read_table(spark, sf_dir, "documents", min_partitions=16)
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
     paths = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
     urls = d.select(
         "doc_id",

@@ -137,7 +137,7 @@ def read_table(
     spark: SparkSession,
     sf_dir: str,
     name: str,
-    min_partitions: int | None = None,
+    min_partitions: int | str | None = None,
 ) -> DataFrame:
     """Read a driver table. ``min_partitions`` widens pathologically
     narrow inputs (a single-row-group parquet file arrives as ONE
@@ -145,6 +145,12 @@ def read_table(
     the driver's documents/embeddings tables are exactly that). The
     repartition is a no-op at real scale where the source is already
     wide, and a cheap shuffle of the small table when it isn't.
+    ``min_partitions="cores"`` resolves to the session's
+    defaultParallelism — the right floor for CPU-bound per-row work
+    (codec decode, hashing): a fixed literal either leaves cores idle
+    locally (8 on a 32-thread pool ran the codec family ~2x slow) or
+    over-shards a small cluster; the scheduler's own width does
+    neither.
 
     SESSION SIDE EFFECT (deliberate, persistent): this call sets
     ``spark.sql.session.timeZone=UTC`` and
@@ -167,6 +173,8 @@ def read_table(
         if "PARQUET_TYPE_ILLEGAL" not in str(e):
             raise
         df = spark.read.parquet(_pyarrow_rewrite(path))
+    if min_partitions == "cores":
+        min_partitions = spark.sparkContext.defaultParallelism
     if min_partitions and df.rdd.getNumPartitions() < min_partitions:
         df = df.repartition(min_partitions)
     for c in _PINNED_TS_COLS.get(name, []):
