@@ -1044,6 +1044,41 @@ FROM documents
 """
 
 
+def s23_sqlite_shards(spark, sf_dir):
+    """S23: SQLite database shards (sources/sqlitefile.py) — the
+    single-file b-tree container dataset metadata ships in. Both
+    directions are from scratch: the writer emits leaf pages, an
+    interior level when rows spill past one page, and the page-1
+    sqlite_master schema row (stdlib ``sqlite3`` opens the raw bytes
+    and passes PRAGMA integrity_check — pinned in pytest); the reader
+    locates the table ONLY through sqlite_master, walks interior/leaf
+    pages in rowid order, decodes every record serial type, and
+    follows payload-overflow chains with the exact local-split
+    formula. doc_id rides the rowid (INTEGER PRIMARY KEY alias —
+    stored as NULL in the record, per the format). The oracle
+    recomputes length and text md5 per document (the per-shard page
+    count is packing-dependent, so the b-tree fan-out is pinned in
+    pytest instead, not here). One keyed shuffle to pack, then narrow
+    mapInPandas."""
+    from neuroimaging_data_pipeline_spark.sources.sqlitefile import (
+        sqlite_documents,
+        synthesize_sqlite_shards,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    shards = synthesize_sqlite_shards(d, id_col="doc_id", text_col="text")
+    return sqlite_documents(shards).select("doc_id", "n_chars", "text_md5")
+
+
+S23_SQL = """
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -1065,6 +1100,7 @@ QUERIES = {
     "s20_avro_shards": s20_avro_shards,
     "s21_arrow_ipc": s21_arrow_ipc,
     "s22_zip_shards": s22_zip_shards,
+    "s23_sqlite_shards": s23_sqlite_shards,
 }
 
 ORACLE = {
@@ -1088,4 +1124,5 @@ ORACLE = {
     "s20_avro_shards": S20_SQL,
     "s21_arrow_ipc": S21_SQL,
     "s22_zip_shards": S22_SQL,
+    "s23_sqlite_shards": S23_SQL,
 }

@@ -1,0 +1,140 @@
+"""SQLite file source (sources/sqlitefile.py): varint/record codec,
+b-tree walk with interior pages and overflow chains, from-scratch
+writer validated by the stdlib sqlite3 (integrity_check), stdlib
+interop both directions."""
+
+from __future__ import annotations
+
+import os
+import random
+import sqlite3
+import struct
+import tempfile
+
+import pytest
+
+from neuroimaging_data_pipeline_spark.sources.sqlitefile import (
+    _decode_record,
+    _encode_record,
+    _read_varint,
+    _write_varint,
+    read_sqlite_table,
+    write_sqlite,
+)
+
+
+def test_varint_roundtrip_including_9_byte_form():
+    cases = [0, 1, 127, 128, 16383, 16384, (1 << 56) - 1, 1 << 56, (1 << 64) - 1]
+    for v in cases:
+        enc = _write_varint(v)
+        got, pos = _read_varint(enc, 0)
+        assert (got, pos) == (v, len(enc)), v
+    assert len(_write_varint(1 << 56)) == 9  # the all-8-bits 9th byte
+
+
+def test_record_codec_all_serial_types():
+    vals = [None, 0, 1, -1, 127, -128, 32767, 1 << 40, -(1 << 40),
+            3.5, "héllo", b"\x00\xff", ""]
+    assert _decode_record(_encode_record(vals)) == vals
+    # stdlib-only serials 8/9 (schema format 4 constants) decode too
+    payload = bytes([3, 8, 9]) + b""
+    assert _decode_record(payload) == [0, 1]
+
+
+def test_roundtrip_multi_leaf_with_interior_level():
+    rng = random.Random(7)
+    rows = [(i, [f"t{i}-" + "x" * rng.randint(0, 300)]) for i in range(1, 1500)]
+    blob = write_sqlite("docs", ["doc_id", "text"], rows)
+    got = read_sqlite_table(blob, "docs")
+    assert [(r, v[1]) for r, v in got] == [(r, v[0]) for r, v in rows]
+    # rowid-alias column is stored as NULL in the record, per format
+    assert all(v[0] is None for _, v in got)
+    # multi-page: page 1 + >1 leaves + interior root
+    assert len(blob) // 4096 > 3
+
+
+def test_stdlib_opens_our_bytes_and_integrity_checks():
+    rows = [(i, [f"row {i}"]) for i in range(1, 700)]
+    blob = write_sqlite("docs", ["doc_id", "text"], rows)
+    with tempfile.NamedTemporaryFile(suffix=".db", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    try:
+        con = sqlite3.connect(path)
+        assert con.execute("PRAGMA integrity_check").fetchone()[0] == "ok"
+        assert con.execute(
+            "SELECT count(*), min(doc_id), max(doc_id) FROM docs"
+        ).fetchone() == (699, 1, 699)
+        assert con.execute(
+            "SELECT text FROM docs WHERE doc_id = 123"
+        ).fetchone() == ("row 123",)
+        con.close()
+    finally:
+        os.unlink(path)
+
+
+def test_we_read_stdlib_bytes_with_overflow_and_interior_pages():
+    with tempfile.NamedTemporaryFile(suffix=".db", delete=False) as f:
+        path = f.name
+    try:
+        con = sqlite3.connect(path)
+        con.execute("PRAGMA page_size=1024")
+        con.execute(
+            "CREATE TABLE t(id INTEGER PRIMARY KEY, a TEXT, b REAL,"
+            " c BLOB, d INTEGER)"
+        )
+        big = "Z" * 9000  # >> 1 KiB page: forces an overflow chain
+        data = [
+            (i, big if i % 97 == 0 else f"row{i}", i / 7.0,
+             bytes([i % 256]) * (i % 50), -i * i)
+            for i in range(1, 3000)
+        ]
+        con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", data)
+        con.commit()
+        con.close()
+        buf = open(path, "rb").read()
+    finally:
+        os.unlink(path)
+    got = read_sqlite_table(buf, "t")
+    assert len(got) == len(data)
+    for (rowid, rec), exp in zip(got, data):
+        assert rowid == exp[0]
+        assert rec[0] is None
+        assert (rec[1], rec[2], rec[3], rec[4]) == exp[1:]
+
+
+def test_unknown_table_and_corrupt_magic_raise():
+    blob = write_sqlite("docs", ["doc_id", "text"], [(1, ["x"])])
+    with pytest.raises(KeyError, match="nope"):
+        read_sqlite_table(blob, "nope")
+    with pytest.raises(ValueError, match="not an SQLite"):
+        read_sqlite_table(b"junk" + blob[4:], "docs")
+
+
+def test_truncated_overflow_chain_raises():
+    # stdlib-written db with one overflowing row, then cut the file
+    # after the first overflow page: the declared payload length must
+    # fail loudly, not return short data
+    with tempfile.NamedTemporaryFile(suffix=".db", delete=False) as f:
+        path = f.name
+    try:
+        con = sqlite3.connect(path)
+        con.execute("PRAGMA page_size=512")
+        con.execute("CREATE TABLE t(id INTEGER PRIMARY KEY, a TEXT)")
+        con.execute("INSERT INTO t VALUES (1, ?)", ("Q" * 5000,))
+        con.commit()
+        con.close()
+        buf = open(path, "rb").read()
+    finally:
+        os.unlink(path)
+    assert read_sqlite_table(buf, "t")[0][1][1] == "Q" * 5000
+    with pytest.raises(ValueError, match="out of range|short of declared"):
+        read_sqlite_table(buf[: len(buf) // 2], "t")
+
+
+def test_page1_header_fields_are_load_bearing():
+    blob = bytearray(write_sqlite("docs", ["doc_id", "text"], [(1, ["x"])]))
+    # flip the declared text encoding to UTF-16le: reader must refuse
+    struct.pack_into(">I", blob, 56, 2)
+    with pytest.raises(NotImplementedError, match="encoding"):
+        read_sqlite_table(bytes(blob), "docs")
