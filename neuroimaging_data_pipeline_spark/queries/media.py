@@ -1,11 +1,12 @@
-"""Media-container and codec queries (m8–m26): the multimodal
+"""Media-container and codec queries (m8–m27): the multimodal
 surface, every format implemented stdlib-only in ``multimodal/``.
 
 Containers: MP4/ISO-BMFF (m8/m8b/m16), TAR WebDataset (m13), GIF
 (m17), RIFF/WAVE incl. mu-law format 7 (m10/m23), MP3 with ID3v2
 (m26). Image codecs: PPM, PNG (incl. interlaced), BMP, baseline /
 4:2:0 / progressive / 12-bit / arithmetic JPEG (m3–m5, m9, m11/m12,
-m15, m18/m19), EXIF TIFF-IFD metadata (m24). Video: H.264 I_PCM
+m15, m18/m19), EXIF TIFF-IFD metadata (m24), strip-based TIFF with
+early-change LZW (m27). Video: H.264 I_PCM
 (m20), Intra_16x16 CAVLC (m21) and I_4x4 CAVLC (m25) — complete
 CAVLC I-frame coverage. Documents: PDF text extraction (m22).
 
@@ -1170,6 +1171,55 @@ FROM f GROUP BY doc_id
 """
 
 
+def m27_tiff_stats(spark, sf_dir):
+    """M27: TIFF 6.0 raster codec (multimodal/tiff.py) — strip-based
+    storage located only through the StripOffsets/StripByteCounts
+    arrays, both byte orders, and TIFF-variant LZW (MSB-first,
+    EARLY-CHANGE code widths, ClearCode table resets) with the
+    horizontal-differencing predictor — the variant pair to the GIF
+    module's LSB-first late-change LZW, pinned apart in pytest. Odd
+    ids compress, even ids don't; byte order flips every two ids.
+    The oracle recomputes width/height/strip-count and the pixel
+    mean/sum from the pure integer pixel formula, so a byte-order,
+    IFD, strip-offset, LZW-width or predictor bug breaks the hash.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.tiff import (
+        synthesize_tiff_images,
+        tiff_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_tiff_images(d, id_col="doc_id")
+    feats = tiff_features(media)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "compression",
+        "n_strips",
+        (F.round("mean_px", 6) + F.lit(0.0)).alias("mean_px"),
+        "sum_px",
+    )
+
+
+M27_SQL = """
+WITH px AS (
+  SELECT doc_id, (doc_id * 13 + y.y * 31 + x.x * 7) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 12)) AS y(y),
+       UNNEST(range(0, 16)) AS x(x)
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       CASE WHEN doc_id % 2 = 1 THEN 'lzw' ELSE 'none' END AS compression,
+       CAST(3 AS BIGINT) AS n_strips,
+       (ROUND(AVG(CAST(v AS DOUBLE)), 6) + 0.0) AS mean_px,
+       CAST(SUM(v) AS BIGINT) AS sum_px
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -1192,6 +1242,7 @@ QUERIES = {
     "m24_jpeg_exif": m24_jpeg_exif,
     "m25_h264_i4x4": m25_h264_i4x4,
     "m26_mp3_meta": m26_mp3_meta,
+    "m27_tiff_stats": m27_tiff_stats,
 }
 
 ORACLE = {
@@ -1216,4 +1267,5 @@ ORACLE = {
     "m24_jpeg_exif": M24_SQL,
     "m25_h264_i4x4": M25_SQL,
     "m26_mp3_meta": M26_SQL,
+    "m27_tiff_stats": M27_SQL,
 }
