@@ -1885,12 +1885,55 @@ FROM matched WHERE rn = 1
 """
 
 
+def t_encoding_repair(spark, sf_dir):
+    """Charset sanitation (text/encoding.py) — the stage crawled
+    bytes pass before any text operator: a from-scratch RFC 3629
+    UTF-8 validator (overlongs, surrogates, >U+10FFFF all rejected;
+    fuzz-pinned against the stdlib decoder), the double-encoding
+    mojibake probe (decoded text that round-trips through Latin-1
+    back into valid multibyte UTF-8 was saved twice — the round-trip
+    IS the repair), and the CP1252-vs-Latin-1 split on the 0x80-0x9F
+    punctuation block. Each document's text is deterministically
+    scrambled by id % 4 (clean UTF-8 / Latin-1 / mojibake / CP1252,
+    each with a per-case non-ASCII suffix), so the oracle recomputes
+    charset, mojibake flag, non-ASCII count and the repaired md5 per
+    document — a validator, probe-order or repair bug breaks the
+    hash. Narrow mapInPandas both ways, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.text.encoding import (
+        encoding_repair,
+        synthesize_encoded_docs,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    raw = synthesize_encoded_docs(d, id_col="doc_id", text_col="text")
+    return encoding_repair(raw)
+
+
+# suffixes mirror text/encoding.py SUFFIXES; md5 is over the repaired
+# (canonical) text, which detection recovers exactly in all 4 cases
+T_ENCODING_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 1 THEN 'latin-1' WHEN 3 THEN 'cp1252'
+            ELSE 'utf-8' END AS charset,
+       (doc_id % 4 = 2) AS mojibake,
+       CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 4 ELSE 3 END AS BIGINT)
+         AS n_nonascii,
+       md5(text || CASE doc_id % 4
+             WHEN 0 THEN ' — naïve café №0'
+             WHEN 1 THEN ' café déjà ±1'
+             WHEN 2 THEN ' — smörgåsbord'
+             ELSE ' “quoted” – dash' END) AS repaired_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "t_html_extract": t_html_extract,
     "e9_web_pipeline": e9_web_pipeline,
     "d_dup_spans": d_dup_spans,
     "t_gopher_repetition": t_gopher_repetition,
     "t_robots_filter": t_robots_filter,
+    "t_encoding_repair": t_encoding_repair,
     "t_token_count": t_token_count,
     "t_inverted_index": t_inverted_index,
     "d_url_dedup": d_url_dedup,
@@ -1937,6 +1980,7 @@ ORACLE = {
     "t_quality_signals": T_QUALITY_SQL,
     "t_gopher_repetition": T_GOPHER_SQL,
     "t_robots_filter": T_ROBOTS_SQL,
+    "t_encoding_repair": T_ENCODING_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,
     "t_entropy": T_ENTROPY_SQL,
