@@ -32,6 +32,7 @@ from neuroimaging_data_pipeline_spark.operators.drift import (
 )
 from neuroimaging_data_pipeline_spark.sources.tables import read_table
 from neuroimaging_data_pipeline_spark.text.mixing import (
+    epoch_shuffle_sql,
     mixture_sample_sql,
 )
 from neuroimaging_data_pipeline_spark.text.retrieval import (
@@ -188,6 +189,26 @@ def t_mix_sample(spark, sf_dir):
 
 
 T_MIX_SAMPLE_SQL = mixture_sample_sql(MIX_THRESHOLDS)
+
+
+def t_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (text/mixing.py epoch_shuffle) —
+    the before-every-epoch global permutation a training pipeline
+    runs: order key = content-addressed md5 of (epoch seed, doc_id),
+    reproducible across runs/engines/partitionings (rand() is none of
+    those, and a resumed epoch must not re-deal what loaders already
+    read); shard = 60-bit hash prefix mod 8 (uniform, no loader
+    skew); pos = rank within shard. ONE shuffle at any scale:
+    partition by shard + sort within partition is exactly this
+    window's plan. The oracle recomputes key, shard and rank."""
+    from neuroimaging_data_pipeline_spark.text.mixing import epoch_shuffle
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    return epoch_shuffle(docs, key_col="doc_id")
+
+
+T_EPOCH_SHUFFLE_SQL = epoch_shuffle_sql()
+
 
 
 #: Merge rounds for the BPE queries — small enough to keep the
@@ -754,6 +775,7 @@ QUERIES = {
     "s_knn_graph": s_knn_graph,
     "d_semdedup": d_semdedup,
     "t_mix_sample": t_mix_sample,
+    "t_epoch_shuffle": t_epoch_shuffle,
     "t_bpe_train": t_bpe_train,
     "t_bpe_tokens": t_bpe_tokens,
     "t_ks_drift": t_ks_drift,
@@ -775,6 +797,7 @@ ORACLE = {
     "s_knn_graph": S_KNN_GRAPH_SQL,
     "d_semdedup": D_SEMDEDUP_SQL,
     "t_mix_sample": T_MIX_SAMPLE_SQL,
+    "t_epoch_shuffle": T_EPOCH_SHUFFLE_SQL,
     "t_bpe_train": T_BPE_TRAIN_SQL,
     "t_bpe_tokens": T_BPE_TOKENS_SQL,
     "t_ks_drift": T_KS_DRIFT_SQL,

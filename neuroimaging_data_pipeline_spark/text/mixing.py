@@ -195,3 +195,59 @@ SELECT {columns}
 FROM b LEFT JOIN mix USING ({group_col})
 WHERE bucket < COALESCE(thresh, {int(default_threshold)})
 """
+
+
+def epoch_shuffle(
+    df,
+    key_col: str = "doc_id",
+    seed: str = "epoch7",
+    n_shards: int = 8,
+):
+    """Deterministic global shuffle — the before-every-epoch permute a
+    training pipeline needs, made reproducible: each row's order key
+    is a content-addressed md5 of (seed, key), so the permutation is
+    identical across runs, engines and partitionings (``rand()`` is
+    none of those, and re-shuffling an epoch after a failure must not
+    change what the loaders already read). The corpus splits into
+    ``n_shards`` loader shards by the hash, with the row's position
+    within its shard by md5 order.
+
+    At 100 TB this is ONE shuffle: partition by shard, sort within
+    partition by the key (the window below is exactly that plan);
+    n_shards scales to loader count and the md5 is uniform, so no
+    shard skews. Emits (key, shuffle_key, shard, pos)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    h = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return (
+        df.select(
+            key_col,
+            key.alias("shuffle_key"),
+            (h % int(n_shards)).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def epoch_shuffle_sql(
+    seed: str = "epoch7",
+    n_shards: int = 8,
+    table: str = "documents",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: identical md5 order key, 60-bit shard hash, and
+    rank-within-shard."""
+    return f"""
+WITH k AS (
+  SELECT {key_col},
+         md5('{seed}:' || CAST({key_col} AS VARCHAR)) AS shuffle_key,
+         CAST(CAST(('0x' || substr(md5('{seed}:' || CAST({key_col} AS VARCHAR)), 1, 15))
+              AS BIGINT) % {int(n_shards)} AS INT) AS shard
+  FROM {table}
+)
+SELECT {key_col}, shuffle_key, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key) AS INT) AS pos
+FROM k
+"""

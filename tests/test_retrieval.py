@@ -623,3 +623,30 @@ def test_mmr_diversifies_near_duplicate_pool(spark):
     assert picked[0] == 1, picked       # highest-rel clone, id tie-break
     assert picked[1] == 6, picked       # diversity beats the twin clones
     assert picked[2] in {2, 3, 4, 5}, picked
+
+
+def test_epoch_shuffle_semantics(spark):
+    from neuroimaging_data_pipeline_spark.text.mixing import epoch_shuffle
+
+    rows = [(i,) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    out = epoch_shuffle(df, key_col="doc_id").toPandas()
+    # a permutation: every input row exactly once
+    assert sorted(out.doc_id) == list(range(500))
+    # pos ranks are dense 1..n within each shard, in shuffle_key order
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("pos")
+        assert list(grp.pos) == list(range(1, len(grp) + 1))
+        assert list(grp.shuffle_key) == sorted(grp.shuffle_key)
+    # md5 hash is uniform: no shard is empty or hot at n=500, k=8
+    sizes = out.groupby("shard").size()
+    assert len(sizes) == 8 and sizes.min() > 30 and sizes.max() < 100
+    # determinism under repartitioning (rand() would fail this)
+    out2 = epoch_shuffle(df.repartition(17), key_col="doc_id").toPandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("", "_b"))
+    assert (merged.shard == merged.shard_b).all()
+    assert (merged.pos == merged.pos_b).all()
+    # a different epoch seed is a different permutation
+    out3 = epoch_shuffle(df, key_col="doc_id", seed="epoch8").toPandas()
+    m3 = out.merge(out3, on="doc_id", suffixes=("", "_c"))
+    assert not ((m3.shard == m3.shard_c) & (m3.pos == m3.pos_c)).all()
