@@ -1079,6 +1079,38 @@ FROM documents
 """
 
 
+def s24_cbor_shards(spark, sf_dir):
+    """S24: CBOR shards (sources/cbor.py) — RFC 8949, the binary JSON
+    telemetry/COSE/config payloads ship in; the schemaless sibling to
+    the Avro OCF (s20) and Arrow IPC (s21) sources. The codec is
+    pinned against the RFC's Appendix A examples as literal hex in
+    BOTH directions (an external conformance pin), emits preferred
+    (shortest-form) serialization incl. a from-scratch binary16, and
+    decodes indefinite-length forms. Every 3rd doc id rides inside a
+    tag 1 wrapper so tagged decode stays hot on the query path; the
+    record's own n field is cross-checked against the text. The
+    oracle recomputes tag presence, length and text md5 per document.
+    One keyed shuffle to pack, then narrow mapInPandas."""
+    from neuroimaging_data_pipeline_spark.sources.cbor import (
+        cbor_documents,
+        synthesize_cbor_shards,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    shards = synthesize_cbor_shards(d, id_col="doc_id", text_col="text")
+    return cbor_documents(shards)
+
+
+S24_SQL = """
+SELECT doc_id,
+       (doc_id % 3 = 0) AS tagged,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -1101,6 +1133,7 @@ QUERIES = {
     "s21_arrow_ipc": s21_arrow_ipc,
     "s22_zip_shards": s22_zip_shards,
     "s23_sqlite_shards": s23_sqlite_shards,
+    "s24_cbor_shards": s24_cbor_shards,
 }
 
 ORACLE = {
@@ -1125,4 +1158,5 @@ ORACLE = {
     "s21_arrow_ipc": S21_SQL,
     "s22_zip_shards": S22_SQL,
     "s23_sqlite_shards": S23_SQL,
+    "s24_cbor_shards": S24_SQL,
 }
