@@ -1927,6 +1927,47 @@ FROM documents
 """
 
 
+def t_idn_hosts(spark, sf_dir):
+    """IDN host canonicalization (text/idn.py) — the URL-dedup gap
+    internationalized domains open: the same host spelled unicode vs
+    ACE ("münchen.example" vs "xn--mnchen-3ya.example") must
+    canonicalize together. Full RFC 3492 bootstring both directions,
+    from scratch, fuzz-pinned byte-for-byte against the stdlib
+    punycode codec in pytest. Hosts are synthesized per doc with an
+    id%4 decoration label (ASCII / German / Cyrillic / Japanese); the
+    query ACE-encodes then decodes BACK, and the oracle recomputes
+    label counts, the exact ACE length and the md5 of the
+    round-tripped unicode host — an off-by-one anywhere in the
+    insertion-ordering state machine breaks the hash. Narrow
+    mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.text.idn import (
+        idn_canonicalize,
+        synthesize_idn_hosts,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    hosts = synthesize_idn_hosts(d, id_col="doc_id")
+    return idn_canonicalize(hosts)
+
+
+# ACE label lengths are constants of the fixture decorations:
+# xn--mnchen-3ya = 14, xn--e1afmkfd = 12, xn--r8jz45g = 11
+T_IDN_SQL = """
+SELECT doc_id,
+       (doc_id % 4 <> 0) AS needs_idn,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 3 END AS INT) AS n_labels,
+       CAST(LENGTH('w' || CAST(doc_id AS VARCHAR)) +
+            CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 23
+                 WHEN 2 THEN 21 ELSE 20 END AS BIGINT) AS ascii_len,
+       md5('w' || CAST(doc_id AS VARCHAR) ||
+           CASE doc_id % 4 WHEN 0 THEN '.example'
+                WHEN 1 THEN '.münchen.example'
+                WHEN 2 THEN '.пример.example'
+                ELSE '.例え.example' END) AS host_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "t_html_extract": t_html_extract,
     "e9_web_pipeline": e9_web_pipeline,
@@ -1934,6 +1975,7 @@ QUERIES = {
     "t_gopher_repetition": t_gopher_repetition,
     "t_robots_filter": t_robots_filter,
     "t_encoding_repair": t_encoding_repair,
+    "t_idn_hosts": t_idn_hosts,
     "t_token_count": t_token_count,
     "t_inverted_index": t_inverted_index,
     "d_url_dedup": d_url_dedup,
@@ -1981,6 +2023,7 @@ ORACLE = {
     "t_gopher_repetition": T_GOPHER_SQL,
     "t_robots_filter": T_ROBOTS_SQL,
     "t_encoding_repair": T_ENCODING_SQL,
+    "t_idn_hosts": T_IDN_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,
     "t_entropy": T_ENTROPY_SQL,
