@@ -1,9 +1,10 @@
-"""Media-container and codec queries (m8–m27): the multimodal
+"""Media-container and codec queries (m8–m28): the multimodal
 surface, every format implemented stdlib-only in ``multimodal/``.
 
 Containers: MP4/ISO-BMFF (m8/m8b/m16), TAR WebDataset (m13), GIF
 (m17), RIFF/WAVE incl. mu-law format 7 (m10/m23), MP3 with ID3v2
-(m26). Image codecs: PPM, PNG (incl. interlaced), BMP, baseline /
+(m26), FLAC with CRC-verified frames and the STREAMINFO PCM MD5
+(m28). Image codecs: PPM, PNG (incl. interlaced), BMP, baseline /
 4:2:0 / progressive / 12-bit / arithmetic JPEG (m3–m5, m9, m11/m12,
 m15, m18/m19), EXIF TIFF-IFD metadata (m24), strip-based TIFF with
 early-change LZW (m27). Video: H.264 I_PCM
@@ -1220,6 +1221,53 @@ FROM px GROUP BY doc_id
 """
 
 
+def m28_flac_audio(spark, sf_dir):
+    """M28: FLAC lossless audio (multimodal/flac.py) — the container
+    walked for real: STREAMINFO's packed rate/channels/bits/total
+    field and its spec-mandated MD5 OF THE RAW PCM (re-verified
+    against every decoded sample — the oracle-visible pcm_md5_ok),
+    little-endian Vorbis comments, and genuine frames with the 14-bit
+    sync, UTF-8-coded frame numbers, CRC-8 headers and CRC-16
+    footers, CONSTANT and VERBATIM subframes both hot (even frames
+    flat, odd frames ramps). FIXED/LPC prediction stays an honest
+    NotImplementedError gate. The oracle recomputes frame counts,
+    totals and the PCM sample sum from the pure integer formula.
+    Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        flac_features,
+        synthesize_flac_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_flac_clips(d, id_col="doc_id")
+    return flac_features(media)
+
+
+M28_SQL = """
+WITH fr AS (
+  SELECT doc_id, f.f AS f
+  FROM documents, UNNEST(range(0, 9)) AS f(f)
+  WHERE f.f < 4 + doc_id % 5
+), per AS (
+  SELECT fr.doc_id, fr.f,
+         SUM(CASE WHEN fr.f % 2 = 0
+                  THEN (fr.doc_id * 7 + fr.f * 29) % 4096 - 2048
+                  ELSE (fr.doc_id * 7 + fr.f * 29 + k.k * 13) % 4096 - 2048
+             END) AS fsum
+  FROM fr, UNNEST(range(0, 16)) AS k(k)
+  GROUP BY fr.doc_id, fr.f
+)
+SELECT doc_id,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(44100 AS INT) AS sample_rate,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(COUNT(*) * 16 AS BIGINT) AS n_samples,
+       CAST(SUM(fsum) AS BIGINT) AS sum_samples,
+       TRUE AS pcm_md5_ok
+FROM per GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -1243,6 +1291,7 @@ QUERIES = {
     "m25_h264_i4x4": m25_h264_i4x4,
     "m26_mp3_meta": m26_mp3_meta,
     "m27_tiff_stats": m27_tiff_stats,
+    "m28_flac_audio": m28_flac_audio,
 }
 
 ORACLE = {
@@ -1268,4 +1317,5 @@ ORACLE = {
     "m25_h264_i4x4": M25_SQL,
     "m26_mp3_meta": M26_SQL,
     "m27_tiff_stats": M27_SQL,
+    "m28_flac_audio": M28_SQL,
 }
