@@ -147,7 +147,7 @@ _ADDED_R6_LATE = [
     "s20_avro_shards", "m24_jpeg_exif", "t_robots_filter",
     "m25_h264_i4x4", "s21_arrow_ipc", "m26_mp3_meta",
     "s22_zip_shards", "s23_sqlite_shards", "m27_tiff_stats",
-    "t_encoding_repair", "t_epoch_shuffle", "s24_cbor_shards", "t_idn_hosts", "m28_flac_audio",
+    "t_encoding_repair", "t_epoch_shuffle", "s24_cbor_shards", "t_idn_hosts", "m28_flac_audio", "j13_cidr_join",
 ]
 
 

@@ -715,9 +715,82 @@ SELECT event_id, user_id, event_type, bucket FROM b WHERE rn = 1
 """
 
 
+#: CIDR prefix table for j13 — overlapping/nested on purpose so the
+#: LONGEST match is load-bearing, with a /0 default catching the rest.
+CIDR_PREFIXES = [
+    ("0.0.0.0/0", "default"),
+    ("0.0.0.0/2", "low-quarter"),
+    ("10.0.0.0/8", "corp"),
+    ("10.16.0.0/12", "corp-east"),
+    ("10.16.32.0/19", "corp-east-dc2"),
+    ("64.0.0.0/2", "q2"),
+    ("128.0.0.0/1", "high-half"),
+    ("192.0.0.0/3", "q4-low"),
+    ("192.168.0.0/16", "rfc1918-192"),
+    ("203.0.113.0/24", "test-net-3"),
+    ("240.0.0.0/4", "reserved"),
+]
+
+
+def j13_cidr_join(spark, sf_dir):
+    """J13: longest-prefix-match CIDR join (operators/lpm.py) — the
+    IP-to-network geo/ASN/bot-range tagging stage, re-expressed from
+    the naive BNLJ range join into ONE broadcast equi-join: each of
+    the distinct prefix LENGTHS (known at plan time) contributes one
+    ip >> (32-len) candidate key per row, and a partial-aggregable
+    struct-max picks the longest hit. Per distinct user a
+    deterministic IP (Knuth multiplicative hash of user_id, oracle-
+    expressible) lands in a deliberately NESTED prefix table, so
+    longest-match is load-bearing. The oracle does the same LPM with
+    shifted-equality + rank. Broadcast dim, one keyed agg, no BNLJ,
+    no row-Python."""
+    from neuroimaging_data_pipeline_spark.operators.lpm import lpm_join
+
+    ev = read_table(spark, sf_dir, "events", min_partitions="cores")
+    users = ev.select("user_id").distinct().withColumn(
+        "ip", (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+    )
+    return lpm_join(users, CIDR_PREFIXES, ip_col="ip").select(
+        "user_id", "ip", "prefix_len", "cidr", "label"
+    )
+
+
+def _cidr_values_sql() -> str:
+    from neuroimaging_data_pipeline_spark.operators.lpm import parse_cidr
+
+    rows = []
+    for cidr, label in CIDR_PREFIXES:
+        net, plen = parse_cidr(cidr)
+        shifted = net >> (32 - plen) if plen else 0
+        rows.append(f"({plen}, {shifted}, '{cidr}', '{label}')")
+    return ", ".join(rows)
+
+
+J13_CIDR_SQL = f"""
+WITH pfx(prefix_len, shifted, cidr, label) AS (VALUES {_cidr_values_sql()}),
+u AS (SELECT DISTINCT user_id FROM events),
+ips AS (
+  SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip FROM u
+),
+m AS (
+  SELECT ips.user_id, ips.ip, pfx.prefix_len, pfx.cidr, pfx.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY ips.user_id ORDER BY pfx.prefix_len DESC
+         ) AS rn
+  FROM ips JOIN pfx
+    ON (CASE WHEN pfx.prefix_len = 0 THEN 0
+             ELSE ips.ip // POWER(2, 32 - pfx.prefix_len)::BIGINT END)
+       = pfx.shifted
+)
+SELECT user_id, CAST(ip AS BIGINT) AS ip, prefix_len, cidr, label
+FROM m WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "j12_salted_join": j12_salted_join,
+    "j13_cidr_join": j13_cidr_join,
     "sv_incremental_agg": sv_incremental_agg,
     "w13_event_dedup": w13_event_dedup,
     "ev_ohlc": ev_ohlc,
@@ -732,6 +805,7 @@ QUERIES = {
 ORACLE = {
     "ev_funnel": EV_FUNNEL_SQL,
     "j12_salted_join": J12_SALTED_SQL,
+    "j13_cidr_join": J13_CIDR_SQL,
     "sv_incremental_agg": SV_INCR_AGG_SQL,
     "w13_event_dedup": W13_DEDUP_SQL,
     "ev_ohlc": EV_OHLC_SQL,
