@@ -63,12 +63,13 @@ from neuroimaging_data_pipeline_spark.queries import (
 # m18_jpeg12_stats, m19_jpeg_arith, m20_h264_ipcm, s16_orc_roundtrip,
 # s17_xml_source); slots 48–50 = the first three _ADDED_R6_LATE
 # queries in registration order (m21_h264_intra, m22_pdf_text,
-# m23_mulaw_audio). The other ten late additions (m24–m26, t_gopher/
-# t_robots, s18–s22) plus the _RECHECK_R6 list land at positions
-# 51+ — replica-checked at sf0.01 AND sf0.1 this round, driver rows
-# in r7's rotation. After r6 every query registered when the window
-# was sized has had a driver row in some round; only the late
-# additions (which did not exist then) remain driver-pending.
+# m23_mulaw_audio). The other EIGHTEEN late additions (m24–m28,
+# t_gopher/t_robots, s18–s24, t_encoding_repair, t_epoch_shuffle,
+# t_idn_hosts, j13_cidr_join) plus the _RECHECK_R6 list land at
+# positions 51+ — replica-checked at sf0.01 AND sf0.1 this round,
+# driver rows in r7's rotation. After r6 every query registered when
+# the window was sized has had a driver row in some round; only the
+# late additions (which did not exist then) remain driver-pending.
 _MODULES = [media, eventsops, sqlsurface, retrieval, textops, simsearch, ingest, neuro, spatial, relational, misc]
 
 # name -> last driver round with a CORRECTNESS row (union of
