@@ -17,10 +17,16 @@ What is REAL here, both directions:
   UTF-8-style coded frame number, CRC-8 over the header and CRC-16
   over the whole frame (polynomials 0x07 and 0x8005, both verified
   on decode) — a flipped bit anywhere fails loudly;
-- two subframe types: CONSTANT (flat block, one sample) and VERBATIM
-  (raw samples) — byte-exact lossless round-trip; FIXED/LPC
-  prediction with Rice-coded residuals is the gap left open, and
-  decode raises on those types rather than guessing.
+- three subframe types, all lossless: CONSTANT (flat block, one
+  sample), VERBATIM (raw samples), and FIXED — the four fixed
+  predictors (orders 0-4) with RICE-CODED residuals: zigzag fold,
+  libFLAC unary convention (q zeros then a one), per-partition 4/5-bit
+  parameters chosen by exact bit cost, the 2^k partition layout and
+  the escape-to-raw-width form all decoded; the encoder picks
+  FIXED-vs-VERBATIM by measured encoded size, so ramps compress
+  (order-2 zeroes a linear ramp) while noise stays verbatim. LPC
+  remains the honest gap — decode raises on those types rather than
+  guessing.
 
 The m28 oracle recomputes frame counts, total samples and the PCM
 sample sum from the pure integer sample formula; the PCM MD5 check
@@ -122,6 +128,102 @@ def _vorbis_comment(fields: dict[str, str]) -> bytes:
     return out
 
 
+class _Bits:
+    """MSB-first bit writer for subframe payloads (FLAC frames are
+    bit-packed and padded back to byte alignment before the CRC-16)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, width: int) -> None:
+        if width and not 0 <= value < 1 << width:
+            raise ValueError("bit value out of range")
+        self.acc = (self.acc << width) | value
+        self.n += width
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def unary(self, q: int) -> None:  # q zeros then a one (libFLAC order)
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.out.append((self.acc << (8 - self.n)) & 0xFF)
+        return bytes(self.out)
+
+
+class _BitsIn:
+    def __init__(self, buf: bytes, at: int) -> None:
+        self.buf = buf
+        self.pos = at
+        self.acc = 0
+        self.n = 0
+
+    def read(self, width: int) -> int:
+        while self.n < width:
+            if self.pos >= len(self.buf):
+                raise ValueError("FLAC frame truncated mid-subframe")
+            self.acc = (self.acc << 8) | self.buf[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= width
+        v = (self.acc >> self.n) & ((1 << width) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> int:
+        """Drop the sub-byte remainder; -> byte position."""
+        self.n = 0
+        self.acc = 0
+        return self.pos
+
+
+# fixed-predictor coefficient rows, order 0..4 (FLAC section 9.2.2)
+_FIXED_COEF = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _fixed_residuals(samples: list[int], order: int) -> list[int]:
+    coef = _FIXED_COEF[order]
+    return [
+        samples[t] - sum(c * samples[t - 1 - j] for j, c in enumerate(coef))
+        for t in range(order, len(samples))
+    ]
+
+
+def _zigzag(e: int) -> int:
+    return e * 2 if e >= 0 else -e * 2 - 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if u % 2 == 0 else -(u >> 1) - 1
+
+
+def _rice_bits(residuals: list[int], r: int) -> int:
+    return sum((_zigzag(e) >> r) + 1 + r for e in residuals)
+
+
+def _best_rice(residuals: list[int]) -> tuple[int, int]:
+    best_r, best_bits = 0, _rice_bits(residuals, 0)
+    for r in range(1, 15):
+        b = _rice_bits(residuals, r)
+        if b < best_bits:
+            best_r, best_bits = r, b
+    return best_r, best_bits
+
+
 def _frame(idx: int, samples: list[int]) -> bytes:
     if len(samples) != _BLOCK:
         raise ValueError("fixed blocksize: every frame is _BLOCK samples")
@@ -131,15 +233,37 @@ def _frame(idx: int, samples: list[int]) -> bytes:
     hdr += _utf8_frame_number(idx)
     hdr.append(_BLOCK - 1)  # the 8-bit blocksize-1 field
     hdr.append(crc8(bytes(hdr)))
-    body = bytearray()
+    bits = _Bits()
     if len(set(samples)) == 1:  # CONSTANT subframe
-        body.append(0b000000 << 1)  # type CONSTANT, no wasted bits
-        body += int(samples[0]).to_bytes(2, "big", signed=True)
-    else:  # VERBATIM subframe
-        body.append(0b000001 << 1)
-        for s in samples:
-            body += int(s).to_bytes(2, "big", signed=True)
-    frame = bytes(hdr) + bytes(body)
+        bits.write(0b000000 << 1, 8)  # pad 0 + type + wasted 0
+        bits.write(int(samples[0]) & 0xFFFF, 16)
+    else:
+        # pick the best FIXED order by rice-coded size; keep VERBATIM
+        # when prediction doesn't actually pay (noisy blocks)
+        best = None  # (bits, order, r, residuals)
+        for order in range(5):
+            res = _fixed_residuals(samples, order)
+            r, nbits = _best_rice(res)
+            total = 16 * order + 2 + 4 + 4 + nbits
+            if best is None or total < best[0]:
+                best = (total, order, r, res)
+        if best[0] < 16 * _BLOCK:  # FIXED wins over VERBATIM
+            _, order, r, res = best
+            bits.write((0b001000 | order) << 1, 8)
+            for s in samples[:order]:  # warm-up, 16-bit
+                bits.write(int(s) & 0xFFFF, 16)
+            bits.write(0, 2)   # residual method 0: 4-bit rice
+            bits.write(0, 4)   # partition order 0: one partition
+            bits.write(r, 4)
+            for e in res:
+                u = _zigzag(e)
+                bits.unary(u >> r)
+                bits.write(u & ((1 << r) - 1), r)
+        else:  # VERBATIM subframe
+            bits.write(0b000001 << 1, 8)
+            for s in samples:
+                bits.write(int(s) & 0xFFFF, 16)
+    frame = bytes(hdr) + bits.done()
     return frame + crc16(frame).to_bytes(2, "big")
 
 
@@ -244,9 +368,49 @@ def decode_flac(buf: bytes) -> dict:
                 for k in range(blocksize)
             ]
             at += 2 * blocksize
+        elif 0b001000 <= stype <= 0b001100:  # FIXED, order 0..4
+            order = stype & 0x07
+            br = _BitsIn(buf, at)
+            warm = []
+            for _ in range(order):
+                w = br.read(16)
+                warm.append(w - 0x10000 if w & 0x8000 else w)
+            method = br.read(2)
+            if method > 1:
+                raise ValueError(f"reserved residual method {method}")
+            pbits = 5 if method else 4
+            escape = (1 << pbits) - 1
+            part_order = br.read(4)
+            n_parts = 1 << part_order
+            if blocksize % n_parts or (blocksize >> part_order) <= order:
+                raise ValueError("partition order does not divide the block")
+            res: list[int] = []
+            for p in range(n_parts):
+                count = (blocksize >> part_order) - (order if p == 0 else 0)
+                param = br.read(pbits)
+                if param == escape:  # raw fixed-width signed residuals
+                    width = br.read(5)
+                    for _ in range(count):
+                        v = br.read(width) if width else 0
+                        if width and v & (1 << (width - 1)):
+                            v -= 1 << width
+                        res.append(v)
+                else:
+                    for _ in range(count):
+                        q = br.unary()
+                        u = (q << param) | (br.read(param) if param else 0)
+                        res.append(_unzigzag(u))
+            at = br.align()
+            coef = _FIXED_COEF[order]
+            frame_samples = list(warm)
+            for e in res:
+                pred = sum(
+                    c * frame_samples[-1 - j] for j, c in enumerate(coef)
+                )
+                frame_samples.append(e + pred)
         else:
             raise NotImplementedError(
-                f"subframe type {stype} (FIXED/LPC not implemented)"
+                f"subframe type {stype} (LPC not implemented)"
             )
         if crc16(buf[start:at]) != int.from_bytes(buf[at : at + 2], "big"):
             raise ValueError(f"frame CRC-16 mismatch at {start}")
@@ -270,19 +434,27 @@ def decode_flac(buf: bytes) -> dict:
 
 
 def _doc_samples(doc_id: int) -> list[int]:
-    """(4 + id%5) frames; even frames flat (CONSTANT path), odd
-    frames a ramp (VERBATIM path). Pure integer formula the oracle
-    recomputes: s = (id*7 + f*29 + k*13) % 4096 - 2048 for ramp
-    frames, s = (id*7 + f*29) % 4096 - 2048 held for flat frames."""
+    """(4 + id%5) frames cycling three textures so every subframe
+    type stays hot on the query path: f%3==0 flat (CONSTANT), f%3==1
+    a linear ramp (FIXED — the order-2 predictor zeroes it out),
+    f%3==2 hash-noisy (VERBATIM — prediction can't pay). Pure integer
+    formulas the oracle recomputes."""
     n_frames = 4 + doc_id % 5
     out = []
     for f in range(n_frames):
         base = (doc_id * 7 + f * 29) % 4096 - 2048
-        if f % 2 == 0:
+        if f % 3 == 0:
             out += [base] * _BLOCK
-        else:
+        elif f % 3 == 1:
             out += [
                 (doc_id * 7 + f * 29 + k * 13) % 4096 - 2048
+                for k in range(_BLOCK)
+            ]
+        else:
+            # full-16-bit-range hash noise: rice can't beat 16 bits/
+            # sample here, so the encoder's cost model picks VERBATIM
+            out += [
+                (doc_id * 7 + f * 29 + k * 48271) % 65536 - 32768
                 for k in range(_BLOCK)
             ]
     return out

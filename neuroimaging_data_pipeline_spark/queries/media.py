@@ -1250,9 +1250,10 @@ WITH fr AS (
   WHERE f.f < 4 + doc_id % 5
 ), per AS (
   SELECT fr.doc_id, fr.f,
-         SUM(CASE WHEN fr.f % 2 = 0
-                  THEN (fr.doc_id * 7 + fr.f * 29) % 4096 - 2048
-                  ELSE (fr.doc_id * 7 + fr.f * 29 + k.k * 13) % 4096 - 2048
+         SUM(CASE fr.f % 3
+             WHEN 0 THEN (fr.doc_id * 7 + fr.f * 29) % 4096 - 2048
+             WHEN 1 THEN (fr.doc_id * 7 + fr.f * 29 + k.k * 13) % 4096 - 2048
+             ELSE (fr.doc_id * 7 + fr.f * 29 + k.k * 48271) % 65536 - 32768
              END) AS fsum
   FROM fr, UNNEST(range(0, 16)) AS k(k)
   GROUP BY fr.doc_id, fr.f

@@ -74,20 +74,128 @@ def test_header_crc8_corruption_fails_loudly():
         decode_flac(bytes(blob))
 
 
-def test_unimplemented_subframe_type_raises_not_implemented():
+def test_lpc_subframe_type_raises_not_implemented():
     samples = [3] * _BLOCK
     blob = bytearray(encode_flac(samples, {}))
     at = blob.find(b"\xff\xf8", 4)
     # subframe header byte sits after: 4 fixed header bytes + 1-byte
     # UTF-8 frame number + 1-byte blocksize-1 + 1-byte CRC-8
     sub_at = at + 7
-    blob[sub_at] = 0b001000 << 1  # FIXED order 0
+    blob[sub_at] = 0b100000 << 1  # LPC order 1
     # re-seal both CRCs so the type gate (not the CRC) is what fires
     blob[at + 6] = crc8(bytes(blob[at : at + 6]))
     end = len(blob) - 2
     struct.pack_into(">H", blob, end, crc16(bytes(blob[at:end])))
-    with pytest.raises(NotImplementedError, match="FIXED/LPC"):
+    with pytest.raises(NotImplementedError, match="LPC"):
         decode_flac(bytes(blob))
+
+
+# --- FIXED subframes / rice residuals ---------------------------------------------
+
+
+def _stype(frame: bytes) -> int:
+    # 4 fixed header bytes + 1-byte UTF-8 frame number (index 0) +
+    # 1-byte blocksize-1 + 1-byte CRC-8 -> subframe header at byte 7
+    return (frame[7] >> 1) & 0x3F
+
+
+def test_encoder_picks_subframe_type_by_texture():
+    from neuroimaging_data_pipeline_spark.multimodal.flac import _frame
+
+    flat = [5] * _BLOCK
+    ramp = [(100 + k * 13) - 2048 for k in range(_BLOCK)]
+    noise = [(7 + 2 * 29 + k * 48271) % 65536 - 32768 for k in range(_BLOCK)]
+    assert _stype(_frame(0, flat)) == 0                 # CONSTANT
+    assert 0b001000 <= _stype(_frame(0, ramp)) <= 0b001100  # FIXED
+    assert _stype(_frame(0, noise)) == 1                # VERBATIM
+    # a linear ramp is zeroed by the order-2 predictor: tiny frame
+    assert len(_frame(0, ramp)) < len(_frame(0, noise)) / 2
+
+
+def _hand_frame(body_bits: list[tuple[int, int]]) -> bytes:
+    """Assemble a frame around hand-written subframe bits."""
+    hdr = bytearray(b"\xff\xf8\x69\x08\x00")  # frame number 0
+    hdr.append(_BLOCK - 1)
+    hdr.append(crc8(bytes(hdr)))
+    acc, n = 0, 0
+    out = bytearray()
+    for v, w in body_bits:
+        acc = (acc << w) | v
+        n += w
+        while n >= 8:
+            n -= 8
+            out.append((acc >> n) & 0xFF)
+            acc &= (1 << n) - 1
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    frame = bytes(hdr) + bytes(out)
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+def _wrap(frame: bytes, samples_expected: list[int]) -> bytes:
+    """A minimal FLAC file holding one hand-built frame; STREAMINFO
+    md5 computed from the expected samples so md5_ok pins decode."""
+    import hashlib as _h
+
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        _pcm_bytes,
+        _streaminfo,
+    )
+
+    si = _streaminfo(len(samples_expected),
+                     _h.md5(_pcm_bytes(samples_expected)).digest())
+    return (b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+            + frame)
+
+
+def test_hand_built_fixed_order1_rice_stream_decodes():
+    # order-1, warm-up 5, fifteen residuals of +2 at rice param 1:
+    # zigzag(+2)=4, q=2 (two 0s then a 1), remainder bit 0
+    bits = [(0b001001 << 1, 8), (5, 16), (0, 2), (0, 4), (1, 4)]
+    bits += [(0b0010, 4)] * (_BLOCK - 1)
+    samples = [5 + 2 * k for k in range(_BLOCK)]
+    d = decode_flac(_wrap(_hand_frame(bits), samples))
+    assert d["samples"] == samples
+    assert d["md5_ok"]
+
+
+def test_hand_built_partition_order_1_decodes():
+    # order 0, partition order 1: two partitions of 8 residuals each,
+    # first at rice 0 (value +1 -> zigzag 2 -> 001), second at rice 2
+    # (value -3 -> zigzag 5 -> q=1,rem=01 -> 0 1 01)
+    bits = [(0b001000 << 1, 8), (0, 2), (1, 4)]
+    bits += [(0, 4)] + [(0b001, 3)] * 8
+    bits += [(2, 4)] + [(0b0101, 4)] * 8
+    samples = [1] * 8 + [-3] * 8
+    d = decode_flac(_wrap(_hand_frame(bits), samples))
+    assert d["samples"] == samples
+    assert d["md5_ok"]
+
+
+def test_hand_built_escape_partition_decodes():
+    # order 0, one partition, rice param 15 = ESCAPE -> 5-bit width 6,
+    # sixteen raw 6-bit two's-complement residuals
+    vals = [(-32 + 3 * k) for k in range(_BLOCK)]
+    bits = [(0b001000 << 1, 8), (0, 2), (0, 4), (15, 4), (6, 5)]
+    bits += [(v & 0x3F, 6) for v in vals]
+    d = decode_flac(_wrap(_hand_frame(bits), vals))
+    assert d["samples"] == vals
+    assert d["md5_ok"]
+
+
+def test_fixed_roundtrip_stress_random_and_smooth():
+    import math
+    import random
+
+    rng = random.Random(3)
+    for _ in range(200):
+        s = [rng.randrange(-32768, 32768) for _ in range(_BLOCK)]
+        d = decode_flac(encode_flac(s, {}))
+        assert d["samples"] == s and d["md5_ok"]
+    for ph in range(50):  # smooth: exercises orders 2-4, small params
+        s = [int(2000 * math.sin(0.2 * k + ph)) for k in range(_BLOCK)]
+        d = decode_flac(encode_flac(s, {}))
+        assert d["samples"] == s and d["md5_ok"]
 
 
 def test_lost_sync_detected():
