@@ -138,3 +138,33 @@ def test_page1_header_fields_are_load_bearing():
     struct.pack_into(">I", blob, 56, 2)
     with pytest.raises(NotImplementedError, match="encoding"):
         read_sqlite_table(bytes(blob), "docs")
+
+
+def test_writer_leaf_capacity_boundary_sweep():
+    """Deterministic sweep across the single-cell-per-leaf and
+    payload-fits-exactly edges: text lengths walk the region around
+    the one-leaf capacity and the per-cell local-payload maximum
+    (X = usable - 35), so off-by-ones in cell packing, pointer-array
+    accounting, or the overflow refusal all surface. Every size both
+    round-trips through our reader AND passes stdlib integrity."""
+    usable = 4096
+    x_max = usable - 35
+    # record overhead: header varint + [NULL, text serial] + body
+    for n in [0, 1, 100, 3900, 3980, x_max - 30, x_max - 25]:
+        rows = [(1, ["a" * n]), (2, ["b" * min(n, 50)])]
+        blob = write_sqlite("docs", ["doc_id", "text"], rows)
+        got = read_sqlite_table(blob, "docs")
+        assert [(r, v[1]) for r, v in got] == [(1, "a" * n), (2, "b" * min(n, 50))]
+        with tempfile.NamedTemporaryFile(suffix=".db", delete=False) as f:
+            f.write(blob)
+            path = f.name
+        try:
+            con = sqlite3.connect(path)
+            assert con.execute("PRAGMA integrity_check").fetchone()[0] == "ok", n
+            con.close()
+        finally:
+            os.unlink(path)
+    # past the local-payload maximum the writer must refuse loudly
+    # (overflow chains are reader-side only)
+    with pytest.raises(ValueError, match="overflow"):
+        write_sqlite("docs", ["doc_id", "text"], [(1, ["z" * x_max])])
