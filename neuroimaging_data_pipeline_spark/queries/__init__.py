@@ -63,9 +63,10 @@ from neuroimaging_data_pipeline_spark.queries import (
 # m18_jpeg12_stats, m19_jpeg_arith, m20_h264_ipcm, s16_orc_roundtrip,
 # s17_xml_source); slots 48–50 = the first three _ADDED_R6_LATE
 # queries in registration order (m21_h264_intra, m22_pdf_text,
-# m23_mulaw_audio). The other EIGHTEEN late additions (m24–m28,
+# m23_mulaw_audio). The other NINETEEN late additions (m24–m28,
 # t_gopher/t_robots, s18–s24, t_encoding_repair, t_epoch_shuffle,
-# t_idn_hosts, j13_cidr_join) plus the _RECHECK_R6 list land at
+# t_idn_hosts, j13_cidr_join, e10_release_pipeline) plus the
+# _RECHECK_R6 list land at
 # positions 51+ — replica-checked at sf0.01 AND sf0.1 this round,
 # driver rows in r7's rotation. After r6 every query registered when
 # the window was sized has had a driver row in some round; only the
@@ -149,6 +150,7 @@ _ADDED_R6_LATE = [
     "m25_h264_i4x4", "s21_arrow_ipc", "m26_mp3_meta",
     "s22_zip_shards", "s23_sqlite_shards", "m27_tiff_stats",
     "t_encoding_repair", "t_epoch_shuffle", "s24_cbor_shards", "t_idn_hosts", "m28_flac_audio", "j13_cidr_join",
+    "e10_release_pipeline",
 ]
 
 

@@ -1968,6 +1968,93 @@ FROM documents
 """
 
 
+def e10_release_pipeline(spark, sf_dir):
+    """E10: the corpus RELEASE-PREP flow composed end-to-end as ONE
+    lazy plan from this round's sanitation operators:
+
+      raw crawled bytes (deterministic charset scrambling, id %% 4)
+        -> charset detect + mojibake repair (text/encoding.py)
+        -> IDN host canonicalization (text/idn.py) joined per doc
+        -> exact dedup on the REPAIRED text md5, keep min-doc_id
+        -> deterministic epoch shuffle of the kept docs into 8
+           loader shards (text/mixing.py)
+        -> per-shard release stats
+
+    Every stage is the operator its standalone query exercises
+    (t_encoding_repair, t_idn_hosts, d_exact_dedup's winner shape,
+    t_epoch_shuffle), and the oracle recomputes the whole chain from
+    the fixture formulas. max_pos == n_docs pins that the shard ranks
+    were computed over exactly the deduped set. Plan: two narrow
+    Arrow stages -> one dedup shuffle -> one shard window -> one
+    final agg; no driver loop."""
+    from neuroimaging_data_pipeline_spark.text.encoding import (
+        encoding_repair,
+        synthesize_encoded_docs,
+    )
+    from neuroimaging_data_pipeline_spark.text.idn import (
+        idn_canonicalize,
+        synthesize_idn_hosts,
+    )
+    from neuroimaging_data_pipeline_spark.text.mixing import epoch_shuffle
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    repaired = encoding_repair(synthesize_encoded_docs(d))
+    hosts = idn_canonicalize(synthesize_idn_hosts(d)).select(
+        "doc_id", "needs_idn"
+    )
+    enriched = repaired.join(hosts, "doc_id")
+    winners = enriched.groupBy("repaired_md5").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = enriched.join(winners, ["repaired_md5", "doc_id"], "left_semi")
+    sharded = kept.join(epoch_shuffle(kept.select("doc_id")), "doc_id")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("mojibake").cast("long")).alias("n_mojibake"),
+        F.sum(F.col("needs_idn").cast("long")).alias("n_idn"),
+        F.sum("n_nonascii").alias("sum_nonascii"),
+        F.max("pos").cast("long").alias("max_pos"),
+    )
+
+
+E10_SQL = """
+WITH rep AS (
+  SELECT doc_id,
+         (doc_id % 4 = 2) AS mojibake,
+         (doc_id % 4 <> 0) AS needs_idn,
+         CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 4 ELSE 3 END AS BIGINT)
+           AS n_nonascii,
+         md5(text || CASE doc_id % 4
+               WHEN 0 THEN ' — naïve café №0'
+               WHEN 1 THEN ' café déjà ±1'
+               WHEN 2 THEN ' — smörgåsbord'
+               ELSE ' “quoted” – dash' END) AS repaired_md5
+  FROM documents
+), kept AS (
+  SELECT * FROM rep
+  WHERE doc_id = (SELECT MIN(r2.doc_id) FROM rep r2
+                  WHERE r2.repaired_md5 = rep.repaired_md5)
+), sharded AS (
+  SELECT kept.*,
+         md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CAST(CAST(('0x' || substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS INT) AS shard
+  FROM kept
+), ranked AS (
+  SELECT sharded.*,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key) AS pos
+  FROM sharded
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN mojibake THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake,
+       CAST(SUM(CASE WHEN needs_idn THEN 1 ELSE 0 END) AS BIGINT) AS n_idn,
+       CAST(SUM(n_nonascii) AS BIGINT) AS sum_nonascii,
+       CAST(MAX(pos) AS BIGINT) AS max_pos
+FROM ranked GROUP BY shard
+"""
+
+
 QUERIES = {
     "t_html_extract": t_html_extract,
     "e9_web_pipeline": e9_web_pipeline,
@@ -1976,6 +2063,7 @@ QUERIES = {
     "t_robots_filter": t_robots_filter,
     "t_encoding_repair": t_encoding_repair,
     "t_idn_hosts": t_idn_hosts,
+    "e10_release_pipeline": e10_release_pipeline,
     "t_token_count": t_token_count,
     "t_inverted_index": t_inverted_index,
     "d_url_dedup": d_url_dedup,
@@ -2024,6 +2112,7 @@ ORACLE = {
     "t_robots_filter": T_ROBOTS_SQL,
     "t_encoding_repair": T_ENCODING_SQL,
     "t_idn_hosts": T_IDN_SQL,
+    "e10_release_pipeline": E10_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,
     "t_entropy": T_ENTROPY_SQL,

@@ -151,6 +151,13 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
         # OUTER class — two whole table versions, neither
         # broadcastable at scale.
         "sv_version_diff",
+        # e10_release_pipeline: composes ONLY already-declared join
+        # classes — per-doc enrich joins (repaired<->hosts and
+        # kept<->shard assignment, both one row per corpus document,
+        # co-partitioned on doc_id, never broadcastable at 100 TB)
+        # and the exact-dedup keep-set semi-join (same class as
+        # d_semdedup/e5/e6). AQE broadcasts them at bench sizes.
+        "e10_release_pipeline",
     }
     offenders: dict[str, list[str]] = {}
     for name, fn in queries.items():
