@@ -76,9 +76,25 @@ def crc16(data: bytes) -> int:
 
 
 def _utf8_frame_number(n: int) -> bytes:
-    """FLAC's UTF-8-style extension code for frame numbers (plain
-    UTF-8 below U+10FFFF, which covers every corpus here)."""
-    return chr(n).encode("utf-8")
+    """FLAC's extended-UTF-8 coding for frame numbers (RFC 9639 §9.1.1,
+    same shape as UTF-8 but defined over raw integers up to 36 bits).
+    Explicit bit arithmetic, NOT chr().encode(): Python's codec rejects
+    the surrogate range 0xD800-0xDFFF, which a ~20 s clip's frame index
+    reaches (55296 frames at the 16-sample blocksize), and FLAC's
+    coding has no such hole."""
+    if n < 0x80:
+        return bytes([n])
+    # count continuation bytes needed: each carries 6 payload bits,
+    # the lead byte carries (6 - n_more) bits under an (n_more+1)-bit
+    # prefix of ones.
+    n_more = 1
+    while n >= (1 << (6 - n_more)) << (6 * n_more):
+        n_more += 1
+    lead_prefix = (0xFF << (7 - n_more)) & 0xFF
+    out = [lead_prefix | (n >> (6 * n_more))]
+    for k in range(n_more - 1, -1, -1):
+        out.append(0x80 | ((n >> (6 * k)) & 0x3F))
+    return bytes(out)
 
 
 def _read_utf8_number(buf: bytes, at: int) -> tuple[int, int]:

@@ -64,8 +64,11 @@ def lpm_join(
     dim = spark.createDataFrame(
         parsed, "prefix_len int, shifted long, cidr string, label string"
     )
+    # unique per-row key BEFORE the explode, so the post-join collapse
+    # preserves duplicate fact rows (see groupBy note below)
+    facts_keyed = facts.withColumn("_row", F.monotonically_increasing_id())
     # one candidate key per distinct prefix length, known at plan time
-    cand = facts.withColumn(
+    cand = facts_keyed.withColumn(
         "_cand",
         F.explode(
             F.array(
@@ -82,12 +85,19 @@ def lpm_join(
                 ]
             )
         ),
-    ).select(*facts.columns, "_cand.prefix_len", "_cand.shifted")
+    ).select("_row", *facts.columns, "_cand.prefix_len", "_cand.shifted")
     hit = cand.join(F.broadcast(dim), ["prefix_len", "shifted"])
     best = F.max(F.struct("prefix_len", "cidr", "label")).alias("_best")
+    # Re-collapse the per-length candidates on the synthetic unique
+    # row id, NOT on facts.columns: grouping by every fact column
+    # would merge duplicate fact rows into one output row (silently
+    # changing multiplicity) and fails outright for non-groupable
+    # column types like maps. first() per fact column is exact here —
+    # all candidate rows of one _row carry identical fact values.
+    firsts = [F.first(c).alias(c) for c in facts.columns]
     return (
-        hit.groupBy(*facts.columns)
-        .agg(best)
+        hit.groupBy("_row")
+        .agg(*firsts, best)
         .select(
             *facts.columns,
             F.col("_best.prefix_len").alias("prefix_len"),

@@ -52,25 +52,18 @@ from neuroimaging_data_pipeline_spark.queries import (
 )
 
 # Registration order is driver-visible (bounded correctness window —
-# the driver checks the first 50 registered). Round-6 rotation
-# (VERDICT r5 #2): ordering is now COMPUTED, not hand-sorted — every
+# the driver checks the first 50 registered). Ordering is COMPUTED,
+# not hand-sorted (rotation policy since r6 / VERDICT r5 #2): every
 # query is ranked by the last round a driver CORRECTNESS artifact
-# checked it (frozen below from CORRECTNESS_r01–r05), never-checked
-# first. At the final r6 registry (192 queries) the window is:
-# rank-0 = exactly 47 — the 38 never-driver-checked queries from
-# r1–r5 plus the 9 queries added in r6 BEFORE the window was sized
-# (t_html_extract, e9_web_pipeline, d_dup_spans, a_equidepth_sketch,
-# m18_jpeg12_stats, m19_jpeg_arith, m20_h264_ipcm, s16_orc_roundtrip,
-# s17_xml_source); slots 48–50 = the first three _ADDED_R6_LATE
-# queries in registration order (m21_h264_intra, m22_pdf_text,
-# m23_mulaw_audio). The other NINETEEN late additions (m24–m28,
-# t_gopher/t_robots, s18–s24, t_encoding_repair, t_epoch_shuffle,
-# t_idn_hosts, j13_cidr_join, e10_release_pipeline) plus the
-# _RECHECK_R6 list land at
-# positions 51+ — replica-checked at sf0.01 AND sf0.1 this round,
-# driver rows in r7's rotation. After r6 every query registered when
-# the window was sized has had a driver row in some round; only the
-# late additions (which did not exist then) remain driver-pending.
+# checked it (frozen below from CORRECTNESS_r01–r06), never-checked
+# first. Entering r7: rank 0 = the 19 queries added after the r6
+# window was sized (m24–m28, s18–s24, t_encoding_repair,
+# t_epoch_shuffle, t_idn_hosts, t_gopher_repetition, t_robots_filter,
+# j13_cidr_join, e10_release_pipeline — all replica-green at sf0.01
+# and sf0.1 in r6, VERDICT r6 #1 asks r7 to give them driver rows);
+# rank 1 = _ADDED_R7 newcomers; rank 2 = _RECHECK_R7; remaining
+# window slots fall to the queries with the OLDEST driver rows
+# (r1/r3 first), so coverage keeps rotating.
 _MODULES = [media, eventsops, sqlsurface, retrieval, textops, simsearch, ingest, neuro, spatial, relational, misc]
 
 # name -> last driver round with a CORRECTNESS row (union of
@@ -125,41 +118,51 @@ for _r, _names in {
         "t_ks_drift", "t_auc_drift", "t_source_cap", "t_weighted_sample",
         "s_quantize_int8", "a_logreg_gd", "d_incremental_dedup",
     ],
+    # frozen from CORRECTNESS_r06.json (all 50 green) — VERDICT r6 #1:
+    # m21/m22/m23 got driver rows in r6, so they must stop occupying
+    # rank-1 slots the 19 never-checked late queries need.
+    6: [
+        "a_cms_heavy_hitters", "a_equidepth_hist", "a_equidepth_sketch",
+        "a_hll_distinct", "d_bloom_probe", "d_cdc_chunks",
+        "d_contamination", "d_dup_clusters", "d_dup_spans",
+        "d_fuzzy_pairs", "d_passage_dedup", "d_url_dedup",
+        "e2_corpus_pipeline", "e6_decontam_split", "e8_entity_resolution",
+        "e9_web_pipeline", "g_pagerank3", "g_triangles", "j11_zorder_key",
+        "m18_jpeg12_stats", "m19_jpeg_arith", "m20_h264_ipcm",
+        "m21_h264_intra", "m22_pdf_text", "m23_mulaw_audio",
+        "m6_gzip_text", "m7_jpeg_color", "q_ansi_sql_surface",
+        "s11_remote_fetch", "s12_parquet_meta", "s13_avro_scan",
+        "s14_tarshard_source", "s15_rowgroup_prune", "s16_orc_roundtrip",
+        "s17_xml_source", "s5_nifti_stats", "s_ivfpq_topk",
+        "s_mmr_rerank", "s_pq_codes", "st_sliding_window", "sv_merge",
+        "sv_vacuum", "sv_version_diff", "t_bigram_xent", "t_html_extract",
+        "t_inverted_index", "t_pii_signals", "t_repetition", "t_sample",
+        "t_tfidf",
+    ],
 }.items():
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _r
 
-# r6-modified operators (salted join, incremental sum merge, GIF
-# palette writer) + standing perf-watch queries: re-check right after
-# the never-checked block.
-_RECHECK_R6 = [
-    "j12_salted_join", "sv_incremental_agg", "m17_gif_frames",
-    "s_lsh_topk", "s_quantize_int8",
-]
+# r7-modified operators + standing perf-watch queries: re-check right
+# after the never-checked blocks. (The min_partitions perf cluster —
+# m6/m8/m10/m13–m15/s13/e4 — is graded from the driver BENCH, which
+# runs all queries, so it needs no correctness-window slots.)
+_RECHECK_R7 = []
 
-# Queries added AFTER the r6 window was sized (the 47-query rank-0
-# block above): they are never-driver-checked too, but rank BEHIND
-# that block so that if the 50-slot window overflows it is these
-# newcomers that wait for r7 — never one of the r1–r5 backlog whose
-# full coverage VERDICT r5 #2 asks r6 to complete. Replica coverage
-# (sf0.01 + committed sf0.1 artifact) still checks them this round.
-_ADDED_R6_LATE = [
-    "m21_h264_intra", "s18_warc_ingest", "m22_pdf_text",
-    "t_gopher_repetition", "m23_mulaw_audio", "s19_mbox_ingest",
-    "s20_avro_shards", "m24_jpeg_exif", "t_robots_filter",
-    "m25_h264_i4x4", "s21_arrow_ipc", "m26_mp3_meta",
-    "s22_zip_shards", "s23_sqlite_shards", "m27_tiff_stats",
-    "t_encoding_repair", "t_epoch_shuffle", "s24_cbor_shards", "t_idn_hosts", "m28_flac_audio", "j13_cidr_join",
-    "e10_release_pipeline",
-]
+# Queries added in round 7, AFTER CORRECTNESS_r06 froze the backlog:
+# never-driver-checked too, but ranked BEHIND the 19-query r6-late
+# backlog so that if the 50-slot window overflows it is these
+# newcomers that wait for r8 — never one of the r6 backlog whose
+# driver coverage VERDICT r6 #1 asks r7 to complete.
+_ADDED_R7 = []
 
 
 def _window_rank(name: str) -> int:
-    if name in _ADDED_R6_LATE:
-        return 1
     if name not in _LAST_DRIVER_ROUND:
-        return 0  # never driver-checked (the pre-sizing block)
-    if name in _RECHECK_R6:
+        # never driver-checked: the 19 r6-late queries lead (rank 0),
+        # r7 additions queue behind them (rank 1).
+        return 1 if name in _ADDED_R7 else 0
+    if name in _RECHECK_R7:
         return 2
     return 2 + _LAST_DRIVER_ROUND[name]
 

@@ -908,8 +908,12 @@ S18_SQL = """
 SELECT doc_id,
        'response' AS warc_type,
        CAST(200 AS INT) AS http_status,
-       CAST(n_chars AS BIGINT) AS content_length,
-       md5(text) AS body_md5
+       -- strlen = OCTET length: content_length is HTTP semantics
+       -- (bytes of the encoded body), not character count, so the
+       -- pair stays correct for non-ASCII corpora too
+       CAST(strlen(text) AS BIGINT) AS content_length,
+       md5(text) AS body_md5,
+       CAST(1 AS INT) AS n_warcinfo
 FROM documents
 """
 

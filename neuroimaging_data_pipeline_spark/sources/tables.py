@@ -133,6 +133,32 @@ def _pyarrow_rewrite(path: str) -> str:
     return out
 
 
+# "auto" width: one task per this many source bytes (compressed
+# parquet). Chosen by same-session A/B at sf0.1 (see BENCH_DELTA.md
+# r7): light-parse queries over the 594 KB documents table are
+# fastest at single-digit widths — 32 tasks of ~150 rows each pay
+# more scheduler+Arrow-batch overhead than the parse costs. At real
+# scale the source is already wider than bytes//target and the floor
+# is a no-op, so this constant only matters for small inputs.
+_AUTO_TARGET_BYTES = 128 * 1024
+
+
+def _source_bytes(path: str) -> int:
+    """On-disk size of a parquet file or directory of part files.
+    Driver-side os.stat walk of ONE directory listing — O(#files),
+    no data read, safe at any scale."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def read_table(
     spark: SparkSession,
     sf_dir: str,
@@ -145,12 +171,21 @@ def read_table(
     the driver's documents/embeddings tables are exactly that). The
     repartition is a no-op at real scale where the source is already
     wide, and a cheap shuffle of the small table when it isn't.
-    ``min_partitions="cores"`` resolves to the session's
-    defaultParallelism — the right floor for CPU-bound per-row work
-    (codec decode, hashing): a fixed literal either leaves cores idle
-    locally (8 on a 32-thread pool ran the codec family ~2x slow) or
-    over-shards a small cluster; the scheduler's own width does
-    neither.
+    Two symbolic widths, chosen by the call site's per-row work:
+
+    - ``min_partitions="cores"`` resolves to the session's
+      defaultParallelism — the right floor for CPU-BOUND per-row work
+      (codec decode, LSH hashing, OLS): a fixed literal either leaves
+      cores idle locally (8 on a 32-thread pool ran the codec family
+      ~2x slow) or over-shards a small cluster; the scheduler's own
+      width does neither.
+    - ``min_partitions="auto"`` resolves to
+      ``clamp(source_bytes // 128 KiB, 1, defaultParallelism)`` — the
+      right floor for LIGHT parse/scan work (metadata probes, jsonl
+      shard listing, string ops), where the r6 uniform "cores" policy
+      made ~8 sub-second queries 1.5-1.9x slower at sf0.1: 5000-row
+      fixtures spread 32 ways pay task overhead per partition that the
+      parse itself never amortizes (VERDICT r6 "What's wrong" #2).
 
     SESSION SIDE EFFECT (deliberate, persistent): this call sets
     ``spark.sql.session.timeZone=UTC`` and
@@ -175,6 +210,11 @@ def read_table(
         df = spark.read.parquet(_pyarrow_rewrite(path))
     if min_partitions == "cores":
         min_partitions = spark.sparkContext.defaultParallelism
+    elif min_partitions == "auto":
+        min_partitions = min(
+            spark.sparkContext.defaultParallelism,
+            max(1, _source_bytes(path) // _AUTO_TARGET_BYTES),
+        )
     if min_partitions and df.rdd.getNumPartitions() < min_partitions:
         df = df.repartition(min_partitions)
     for c in _PINNED_TS_COLS.get(name, []):

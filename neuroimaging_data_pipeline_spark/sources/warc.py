@@ -224,21 +224,29 @@ def warc_records(
 ) -> DataFrame:
     """Parse WARC shards into one row per HTTP response record:
     (doc_id from the target URI, warc_type, http_status,
-    content_length of the body, body_md5). Digest verification runs
-    inside the parse; warcinfo records are counted per shard and
-    folded in as n_warcinfo so a framing bug cannot hide."""
+    content_length of the body in OCTETS — HTTP Content-Length
+    semantics, matched by strlen() on the oracle side, not character
+    count — body_md5, and n_warcinfo = the count of warcinfo records
+    seen in the row's shard, folded onto every response row so a
+    framing bug that drops the shard header is oracle-visible (the
+    synthesizer writes exactly one per shard)."""
     out_schema = (
         "doc_id long, warc_type string, http_status int, "
-        "content_length long, body_md5 string"
+        "content_length long, body_md5 string, n_warcinfo int"
     )
 
     def parse_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, types, stats, lens, md5s = [], [], [], [], []
+            ids, types, stats, lens, md5s, nwis = [], [], [], [], [], []
             for content in pdf[content_col]:
+                n_warcinfo = 0
+                first = len(ids)
                 for headers, payload in parse_warc(content):
+                    if headers["warc-type"] == "warcinfo":
+                        n_warcinfo += 1
+                        continue
                     if headers["warc-type"] != "response":
                         continue
                     uri = headers["warc-target-uri"]
@@ -248,6 +256,7 @@ def warc_records(
                     stats.append(status)
                     lens.append(len(body))
                     md5s.append(hashlib.md5(body).hexdigest())
+                nwis.extend([n_warcinfo] * (len(ids) - first))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -255,6 +264,7 @@ def warc_records(
                     "http_status": pd.Series(stats, dtype="int32"),
                     "content_length": pd.Series(lens, dtype="int64"),
                     "body_md5": pd.Series(md5s, dtype=object),
+                    "n_warcinfo": pd.Series(nwis, dtype="int32"),
                 }
             )
 

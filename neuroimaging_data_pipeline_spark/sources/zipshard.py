@@ -176,7 +176,11 @@ def zip_documents(
                 for name, data, method in read_zip(content):
                     ids.append(int(name.removesuffix(".txt")))
                     methods.append("deflate" if method == 8 else "stored")
-                    ncs.append(len(data))
+                    # column is n_CHARS: decode before counting, so the
+                    # oracle's character-count column stays correct for
+                    # non-ASCII member text (len(bytes) only happened to
+                    # agree on the ASCII fixture corpus)
+                    ncs.append(len(data.decode()))
                     md5s.append(hashlib.md5(data).hexdigest())
             yield pd.DataFrame(
                 {

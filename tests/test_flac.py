@@ -204,3 +204,23 @@ def test_lost_sync_detected():
     blob[at] = 0x00
     with pytest.raises(ValueError, match="sync"):
         decode_flac(bytes(blob))
+
+
+def test_utf8_frame_number_covers_surrogates_and_high_planes():
+    # FLAC's extended UTF-8 (RFC 9639 9.1.1) has no surrogate hole and
+    # extends past U+10FFFF: chr().encode() would raise at 0xD800
+    # (frame 55296 = ~20 s of audio at the 16-sample blocksize)
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        _read_utf8_number,
+        _utf8_frame_number,
+    )
+
+    for n in [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xD800, 0xDBFF, 0xDFFF,
+              0xFFFF, 0x10000, 0x10FFFF, 0x110000, 2**21 - 1, 2**21,
+              2**26 - 1, 2**26, 2**31 - 1, 55296]:
+        coded = _utf8_frame_number(n)
+        value, end = _read_utf8_number(coded, 0)
+        assert (value, end) == (n, len(coded)), (n, coded)
+        if n < 0xD800 or 0xE000 <= n <= 0x10FFFF:
+            # where real UTF-8 is defined the codings must be identical
+            assert coded == chr(n).encode("utf-8")

@@ -76,3 +76,18 @@ def test_plan_is_broadcast_equi_join_not_bnlj(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_fact_rows_keep_multiplicity(spark):
+    # the collapse after the per-length explode must key on a synthetic
+    # row id, not the fact columns: two IDENTICAL fact rows are two
+    # output rows, and map-typed fact columns must not break groupBy
+    ip = _ip(10, 16, 32, 7)
+    df = spark.createDataFrame(
+        [(ip, {"k": "v"}), (ip, {"k": "v"}), (ip, {"k": "w"})],
+        "ip long, attrs map<string,string>",
+    )
+    rows = lpm_join(df, PFX).collect()
+    assert len(rows) == 3
+    assert all(r.label == "corp-east-dc2" for r in rows)
+    assert sorted(r.attrs["k"] for r in rows) == ["v", "v", "w"]
