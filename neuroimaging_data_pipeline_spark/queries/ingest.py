@@ -637,7 +637,7 @@ def s13_avro_scan(spark, sf_dir):
 
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     feats = avro_features(synthesize_avro_files(d, id_col="doc_id"))
     return feats.select(
         F.col("media_id").alias("doc_id"),
@@ -899,7 +899,7 @@ def s18_warc_ingest(spark, sf_dir):
         warc_records,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     shards = synthesize_warc_shards(d, id_col="doc_id", text_col="text")
     return warc_records(shards)
 
@@ -935,7 +935,7 @@ def s19_mbox_ingest(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     shards = synthesize_mbox_shards(d, id_col="doc_id", text_col="text")
     return mbox_messages(shards)
 
@@ -969,7 +969,7 @@ def s20_avro_shards(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     shards = synthesize_avro_shards(d, id_col="doc_id")
     return avro_documents(shards)
 
@@ -999,7 +999,7 @@ def s21_arrow_ipc(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     shards = synthesize_ipc_shards(d, id_col="doc_id")
     return ipc_documents(shards)
 
@@ -1034,7 +1034,7 @@ def s22_zip_shards(spark, sf_dir):
         zip_documents,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     shards = synthesize_zip_shards(d, id_col="doc_id", text_col="text")
     return zip_documents(shards)
 
@@ -1070,7 +1070,7 @@ def s23_sqlite_shards(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     shards = synthesize_sqlite_shards(d, id_col="doc_id", text_col="text")
     return sqlite_documents(shards).select("doc_id", "n_chars", "text_md5")
 
@@ -1101,7 +1101,7 @@ def s24_cbor_shards(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.sources.tables import read_table
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     shards = synthesize_cbor_shards(d, id_col="doc_id", text_col="text")
     return cbor_documents(shards)
 

@@ -48,7 +48,7 @@ def m8_mp4_meta(spark, sf_dir):
     # stages run on every core, not one worker ("cores" resolves to
     # defaultParallelism; the heavy codecs ran ~1.5x faster at full
     # width vs the old fixed 8-way, see BENCH_FULL at this commit)
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     media = synthesize_mp4_clips(d, id_col="doc_id")
     feats = mp4_meta_features(media)
     return feats.select(
@@ -107,7 +107,7 @@ def m8b_mp4_frames(spark, sf_dir):
         synthesize_mp4_clips,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     media = synthesize_mp4_clips(d, id_col="doc_id")
     frames = mp4_sample_frames(media, every_n=2)
     return frames.select(
@@ -201,7 +201,7 @@ def m10_audio_frames(spark, sf_dir):
         wav_frame_features,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     media = synthesize_wav_clips(d, id_col="doc_id", text_col="text")
     frames = wav_frame_features(media, frame_len=8)
     return frames.select(
@@ -376,7 +376,7 @@ def e4_multimodal_pipeline(spark, sf_dir):
     )
     from neuroimaging_data_pipeline_spark.text.analysis import token_count
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    docs = read_table(spark, sf_dir, "documents", min_partitions="auto")
     keep = exact_dedup_keys(docs).select(F.col("keep_id").alias("doc_id"))
     kept = docs.join(keep, "doc_id", "left_semi")
     img = png_features(synthesize_png_images(kept, id_col="doc_id")).select(
@@ -455,7 +455,7 @@ def m13_tar_samples(spark, sf_dir):
         tar_sample_features,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     media = synthesize_tar_shards(d, id_col="doc_id")
     feats = tar_sample_features(media)
     return feats.select(
@@ -521,7 +521,7 @@ def m14_jsonl_shards(spark, sf_dir):
         synthesize_jsonl_shards,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     line = F.to_json(F.struct("doc_id", "lang", "source", "text"))
     shards = (
         d.select(
@@ -588,7 +588,7 @@ def m15_bmp_stats(spark, sf_dir):
         synthesize_bmp_images,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     feats = bmp_features(synthesize_bmp_images(d, id_col="doc_id"))
     return feats.select(
         F.col("media_id").alias("doc_id"),
@@ -940,7 +940,7 @@ def m22_pdf_text(spark, sf_dir):
         synthesize_pdfs,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     media = synthesize_pdfs(d, id_col="doc_id", text_col="text")
     return pdf_text_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -978,7 +978,7 @@ def m23_mulaw_audio(spark, sf_dir):
         synthesize_mulaw_clips,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     media = synthesize_mulaw_clips(d, id_col="doc_id")
     return mulaw_clip_features(media).select(
         F.col("media_id").alias("doc_id"),
@@ -1138,7 +1138,7 @@ def m26_mp3_meta(spark, sf_dir):
         synthesize_mp3s,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     media = synthesize_mp3s(d, id_col="doc_id")
     return mp3_meta_features(media).select(
         F.col("media_id").alias("doc_id"),

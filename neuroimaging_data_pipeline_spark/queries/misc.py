@@ -696,7 +696,7 @@ def m6_gzip_text(spark, sf_dir):
         synthesize_gzip_docs,
     )
 
-    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     media = synthesize_gzip_docs(d, id_col="doc_id", text_col="text")
     feats = gzip_text_features(media)
     return feats.select(

@@ -588,7 +588,7 @@ def e5_shard_pipeline(spark, sf_dir):
         source_cap,
     )
 
-    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    docs = read_table(spark, sf_dir, "documents", min_partitions="auto")
     sampled = mixture_sample(docs, MIX_THRESHOLDS)
     capped = sampled.join(
         source_cap(sampled, 15).select("doc_id"), "doc_id", "left_semi"

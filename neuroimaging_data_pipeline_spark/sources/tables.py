@@ -140,7 +140,7 @@ def _pyarrow_rewrite(path: str) -> str:
 # more scheduler+Arrow-batch overhead than the parse costs. At real
 # scale the source is already wider than bytes//target and the floor
 # is a no-op, so this constant only matters for small inputs.
-_AUTO_TARGET_BYTES = 128 * 1024
+_AUTO_TARGET_BYTES = 64 * 1024
 
 
 def _source_bytes(path: str) -> int:
@@ -180,7 +180,7 @@ def read_table(
       ~2x slow) or over-shards a small cluster; the scheduler's own
       width does neither.
     - ``min_partitions="auto"`` resolves to
-      ``clamp(source_bytes // 128 KiB, 1, defaultParallelism)`` — the
+      ``clamp(source_bytes // 64 KiB, 1, defaultParallelism)`` — the
       right floor for LIGHT parse/scan work (metadata probes, jsonl
       shard listing, string ops), where the r6 uniform "cores" policy
       made ~8 sub-second queries 1.5-1.9x slower at sf0.1: 5000-row
