@@ -17,16 +17,22 @@ What is REAL here, both directions:
   UTF-8-style coded frame number, CRC-8 over the header and CRC-16
   over the whole frame (polynomials 0x07 and 0x8005, both verified
   on decode) — a flipped bit anywhere fails loudly;
-- three subframe types, all lossless: CONSTANT (flat block, one
-  sample), VERBATIM (raw samples), and FIXED — the four fixed
-  predictors (orders 0-4) with RICE-CODED residuals: zigzag fold,
-  libFLAC unary convention (q zeros then a one), per-partition 4/5-bit
-  parameters chosen by exact bit cost, the 2^k partition layout and
-  the escape-to-raw-width form all decoded; the encoder picks
-  FIXED-vs-VERBATIM by measured encoded size, so ramps compress
-  (order-2 zeroes a linear ramp) while noise stays verbatim. LPC
-  remains the honest gap — decode raises on those types rather than
-  guessing.
+- ALL FOUR subframe types, all lossless: CONSTANT (flat block, one
+  sample), VERBATIM (raw samples), FIXED — the four fixed predictors
+  (orders 0-4) — and LPC (RFC 9639 section 9.2.3): covariance-method
+  coefficient estimation, libFLAC-style quantization to 12-bit signed
+  coefficients with an error-feedback loop and an unsigned 5-bit
+  shift, spec-mandated arithmetic-right-shift integer prediction on
+  decode. FIXED and LPC share the RICE-CODED residual section: zigzag
+  fold, libFLAC unary convention (q zeros then a one), per-partition
+  4/5-bit parameters chosen by exact bit cost, the 2^k partition
+  layout and the escape-to-raw-width form all decoded. The encoder
+  picks per block by measured encoded size among FIXED 0-4, LPC
+  2/3/4 and VERBATIM, so ramps compress via FIXED (order 2 zeroes a
+  linear ramp), sinusoid-plus-offset blocks via LPC (order 3 captures
+  the non-integer recurrence FIXED cannot), and noise stays verbatim.
+  Residuals are computed from the QUANTIZED predictor, so the round
+  trip is bit-exact regardless of how the float fit behaved.
 
 The m28 oracle recomputes frame counts, total samples and the PCM
 sample sum from the pure integer sample formula; the PCM MD5 check
@@ -219,6 +225,113 @@ def _fixed_residuals(samples: list[int], order: int) -> list[int]:
     ]
 
 
+# --- LPC (RFC 9639 section 9.2.3) ------------------------------------------------
+
+_LPC_PRECISION = 12  # quantized coefficient precision (bits), 1..15
+
+
+def _lpc_coeffs(samples: list[int], order: int) -> list[float] | None:
+    """Covariance-method linear prediction: least-squares fit of
+    s[t] ~= sum a_j * s[t-1-j] over t = order..n-1, solved by Gaussian
+    elimination with partial pivoting on the normal equations. The
+    covariance method (not Levinson-Durbin over the windowless
+    autocorrelation) matters at this blocksize: on 16-sample blocks
+    the rectangular autocorrelation's edge bias wrecks the fit, while
+    least squares recovers a signal's true recurrence exactly --
+    libFLAC gets the same effect with long blocks plus a Tukey window.
+    None when the system is singular / the fit is unstable, which the
+    caller treats as 'LPC does not apply to this block'."""
+    n = len(samples)
+    if order >= n:
+        return None
+    # normal equations: mat[j][k] = sum s[t-1-j]s[t-1-k],
+    # rhs[j] = sum s[t]s[t-1-j]  (sums over t = order..n-1)
+    mat = [
+        [
+            float(
+                sum(
+                    samples[t - 1 - j] * samples[t - 1 - k]
+                    for t in range(order, n)
+                )
+            )
+            for k in range(order)
+        ]
+        for j in range(order)
+    ]
+    rhs = [
+        float(sum(samples[t] * samples[t - 1 - j] for t in range(order, n)))
+        for j in range(order)
+    ]
+    scale = max(abs(mat[j][j]) for j in range(order))
+    if scale == 0.0:
+        return None
+    # Gaussian elimination with partial pivoting
+    for col in range(order):
+        piv = max(range(col, order), key=lambda r: abs(mat[r][col]))
+        if abs(mat[piv][col]) < 1e-9 * scale:
+            return None  # singular: signal spans < order dimensions
+        if piv != col:
+            mat[col], mat[piv] = mat[piv], mat[col]
+            rhs[col], rhs[piv] = rhs[piv], rhs[col]
+        inv = 1.0 / mat[col][col]
+        for r in range(col + 1, order):
+            f = mat[r][col] * inv
+            if f:
+                for c in range(col, order):
+                    mat[r][c] -= f * mat[col][c]
+                rhs[r] -= f * rhs[col]
+    a = [0.0] * order
+    for r in range(order - 1, -1, -1):
+        acc = rhs[r] - sum(mat[r][c] * a[c] for c in range(r + 1, order))
+        a[r] = acc / mat[r][r]
+    # an unstable/degenerate fit quantizes uselessly -- let FIXED win
+    if any(abs(c) > 32.0 for c in a):
+        return None
+    return a
+
+
+def _quantize_lpc(coefs: list[float]) -> tuple[list[int], int] | None:
+    """Quantize float coefficients to _LPC_PRECISION-bit signed ints
+    plus a right-shift, libFLAC-style: shift chosen so the largest
+    coefficient uses the full precision, clamped to the format's
+    unsigned 5-bit shift field."""
+    cmax = max(abs(c) for c in coefs)
+    if cmax == 0.0:
+        return None
+    import math
+
+    # largest shift keeping max coef inside (precision-1) magnitude bits
+    shift = _LPC_PRECISION - 1 - (math.floor(math.log2(cmax)) + 1)
+    shift = max(0, min(31, shift))
+    lim = 1 << (_LPC_PRECISION - 1)
+    q = []
+    e = 0.0  # error feedback, carries rounding error to the next coef
+    for c in coefs:
+        v = c * (1 << shift) + e
+        qi = int(round(v))
+        qi = max(-lim, min(lim - 1, qi))
+        e = v - qi
+        q.append(qi)
+    return q, shift
+
+
+def _lpc_residuals(
+    samples: list[int], qcoef: list[int], shift: int
+) -> list[int]:
+    """Residuals under the QUANTIZED predictor (integer, arithmetic
+    right shift) — exactly what the decoder will invert, so the
+    round trip is bit-exact no matter how the floats were derived."""
+    order = len(qcoef)
+    return [
+        samples[t]
+        - (
+            sum(qcoef[j] * samples[t - 1 - j] for j in range(order))
+            >> shift
+        )
+        for t in range(order, len(samples))
+    ]
+
+
 def _zigzag(e: int) -> int:
     return e * 2 if e >= 0 else -e * 2 - 1
 
@@ -250,31 +363,63 @@ def _frame(idx: int, samples: list[int]) -> bytes:
     hdr.append(_BLOCK - 1)  # the 8-bit blocksize-1 field
     hdr.append(crc8(bytes(hdr)))
     bits = _Bits()
+
+    def write_rice(res: list[int], r: int) -> None:
+        bits.write(0, 2)   # residual method 0: 4-bit rice
+        bits.write(0, 4)   # partition order 0: one partition
+        bits.write(r, 4)
+        for e in res:
+            u = _zigzag(e)
+            bits.unary(u >> r)
+            bits.write(u & ((1 << r) - 1), r)
+
     if len(set(samples)) == 1:  # CONSTANT subframe
         bits.write(0b000000 << 1, 8)  # pad 0 + type + wasted 0
         bits.write(int(samples[0]) & 0xFFFF, 16)
     else:
-        # pick the best FIXED order by rice-coded size; keep VERBATIM
-        # when prediction doesn't actually pay (noisy blocks)
-        best = None  # (bits, order, r, residuals)
+        # pick the cheapest of FIXED orders 0-4 and LPC orders 2/3/4
+        # by exact rice-coded size; keep VERBATIM when prediction
+        # doesn't actually pay (noisy blocks). LPC candidates use the
+        # residuals of the QUANTIZED predictor, so the costed size is
+        # the emitted size.
+        best = None  # (bits, kind, order, r, residuals, qcoef, shift)
         for order in range(5):
             res = _fixed_residuals(samples, order)
             r, nbits = _best_rice(res)
             total = 16 * order + 2 + 4 + 4 + nbits
             if best is None or total < best[0]:
-                best = (total, order, r, res)
-        if best[0] < 16 * _BLOCK:  # FIXED wins over VERBATIM
-            _, order, r, res = best
-            bits.write((0b001000 | order) << 1, 8)
+                best = (total, "fixed", order, r, res, None, 0)
+        for order in (2, 3, 4):
+            coefs = _lpc_coeffs(samples, order)
+            if coefs is None:
+                continue
+            qs = _quantize_lpc(coefs)
+            if qs is None:
+                continue
+            qcoef, shift = qs
+            res = _lpc_residuals(samples, qcoef, shift)
+            r, nbits = _best_rice(res)
+            total = (
+                16 * order + 4 + 5 + _LPC_PRECISION * order
+                + 2 + 4 + 4 + nbits
+            )
+            if total < best[0]:
+                best = (total, "lpc", order, r, res, qcoef, shift)
+        if best[0] < 16 * _BLOCK:  # prediction wins over VERBATIM
+            _, kind, order, r, res, qcoef, shift = best
+            if kind == "fixed":
+                bits.write((0b001000 | order) << 1, 8)
+            else:
+                bits.write((0b100000 | (order - 1)) << 1, 8)
             for s in samples[:order]:  # warm-up, 16-bit
                 bits.write(int(s) & 0xFFFF, 16)
-            bits.write(0, 2)   # residual method 0: 4-bit rice
-            bits.write(0, 4)   # partition order 0: one partition
-            bits.write(r, 4)
-            for e in res:
-                u = _zigzag(e)
-                bits.unary(u >> r)
-                bits.write(u & ((1 << r) - 1), r)
+            if kind == "lpc":
+                bits.write(_LPC_PRECISION - 1, 4)
+                bits.write(shift, 5)
+                for c in qcoef:
+                    bits.write(c & ((1 << _LPC_PRECISION) - 1),
+                               _LPC_PRECISION)
+            write_rice(res, r)
         else:  # VERBATIM subframe
             bits.write(0b000001 << 1, 8)
             for s in samples:
@@ -302,6 +447,42 @@ def encode_flac(samples: list[int], comments: dict[str, str]) -> bytes:
 
 
 # --- decoder ---------------------------------------------------------------------
+
+
+def _signed16(v: int) -> int:
+    return v - 0x10000 if v & 0x8000 else v
+
+
+def _read_residuals(br: _BitsIn, blocksize: int, order: int) -> list[int]:
+    """Shared coded-residual section (RFC 9639 9.2.7): rice method
+    0/1, 2^k partitions, escape-to-raw-width — used verbatim by both
+    FIXED and LPC subframes."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual method {method}")
+    pbits = 5 if method else 4
+    escape = (1 << pbits) - 1
+    part_order = br.read(4)
+    n_parts = 1 << part_order
+    if blocksize % n_parts or (blocksize >> part_order) <= order:
+        raise ValueError("partition order does not divide the block")
+    res: list[int] = []
+    for p in range(n_parts):
+        count = (blocksize >> part_order) - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:  # raw fixed-width signed residuals
+            width = br.read(5)
+            for _ in range(count):
+                v = br.read(width) if width else 0
+                if width and v & (1 << (width - 1)):
+                    v -= 1 << width
+                res.append(v)
+        else:
+            for _ in range(count):
+                q = br.unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                res.append(_unzigzag(u))
+    return res
 
 
 def decode_flac(buf: bytes) -> dict:
@@ -387,35 +568,8 @@ def decode_flac(buf: bytes) -> dict:
         elif 0b001000 <= stype <= 0b001100:  # FIXED, order 0..4
             order = stype & 0x07
             br = _BitsIn(buf, at)
-            warm = []
-            for _ in range(order):
-                w = br.read(16)
-                warm.append(w - 0x10000 if w & 0x8000 else w)
-            method = br.read(2)
-            if method > 1:
-                raise ValueError(f"reserved residual method {method}")
-            pbits = 5 if method else 4
-            escape = (1 << pbits) - 1
-            part_order = br.read(4)
-            n_parts = 1 << part_order
-            if blocksize % n_parts or (blocksize >> part_order) <= order:
-                raise ValueError("partition order does not divide the block")
-            res: list[int] = []
-            for p in range(n_parts):
-                count = (blocksize >> part_order) - (order if p == 0 else 0)
-                param = br.read(pbits)
-                if param == escape:  # raw fixed-width signed residuals
-                    width = br.read(5)
-                    for _ in range(count):
-                        v = br.read(width) if width else 0
-                        if width and v & (1 << (width - 1)):
-                            v -= 1 << width
-                        res.append(v)
-                else:
-                    for _ in range(count):
-                        q = br.unary()
-                        u = (q << param) | (br.read(param) if param else 0)
-                        res.append(_unzigzag(u))
+            warm = [_signed16(br.read(16)) for _ in range(order)]
+            res = _read_residuals(br, blocksize, order)
             at = br.align()
             coef = _FIXED_COEF[order]
             frame_samples = list(warm)
@@ -424,10 +578,33 @@ def decode_flac(buf: bytes) -> dict:
                     c * frame_samples[-1 - j] for j, c in enumerate(coef)
                 )
                 frame_samples.append(e + pred)
+        elif stype & 0b100000:  # LPC, order 1..32 (RFC 9639 9.2.3)
+            order = (stype & 0x1F) + 1
+            br = _BitsIn(buf, at)
+            warm = [_signed16(br.read(16)) for _ in range(order)]
+            prec = br.read(4) + 1
+            if prec == 16:
+                raise ValueError("invalid LPC coefficient precision 0b1111")
+            shift = br.read(5)  # unsigned per RFC 9639 (never negative)
+            qcoef = []
+            for _ in range(order):
+                c = br.read(prec)
+                if c & (1 << (prec - 1)):
+                    c -= 1 << prec
+                qcoef.append(c)
+            res = _read_residuals(br, blocksize, order)
+            at = br.align()
+            frame_samples = list(warm)
+            for e in res:
+                # spec-mandated ARITHMETIC right shift of the (possibly
+                # negative) coefficient dot product — Python's >> is
+                # exactly that
+                pred = sum(
+                    c * frame_samples[-1 - j] for j, c in enumerate(qcoef)
+                ) >> shift
+                frame_samples.append(e + pred)
         else:
-            raise NotImplementedError(
-                f"subframe type {stype} (LPC not implemented)"
-            )
+            raise NotImplementedError(f"reserved subframe type {stype}")
         if crc16(buf[start:at]) != int.from_bytes(buf[at : at + 2], "big"):
             raise ValueError(f"frame CRC-16 mismatch at {start}")
         at += 2
@@ -449,23 +626,36 @@ def decode_flac(buf: bytes) -> dict:
 # --- Spark surface ---------------------------------------------------------------
 
 
+# period-8 quantized sine, amplitude 8192 (5793 = round(8192*sin 45°));
+# sums to zero over a period, so an LPC frame's sample sum is exactly
+# 16*base — closed-form for the oracle. A sinusoid-plus-constant obeys
+# a 3rd-order linear recurrence with NON-integer coefficients
+# ((1-z^-1)(1-sqrt(2) z^-1+z^-2)), so the integer FIXED predictors
+# leave ~13-bit residuals while quantized LPC leaves only the table's
+# rounding noise — the cost model picks LPC on this texture.
+_SINE8 = [0, 5793, 8192, 5793, 0, -5793, -8192, -5793]
+
+
 def _doc_samples(doc_id: int) -> list[int]:
-    """(4 + id%5) frames cycling three textures so every subframe
-    type stays hot on the query path: f%3==0 flat (CONSTANT), f%3==1
-    a linear ramp (FIXED — the order-2 predictor zeroes it out),
-    f%3==2 hash-noisy (VERBATIM — prediction can't pay). Pure integer
-    formulas the oracle recomputes."""
+    """(4 + id%5) frames cycling FOUR textures so every subframe type
+    stays hot on the query path: f%4==0 flat (CONSTANT), f%4==1 a
+    linear ramp (FIXED — the order-2 predictor zeroes it out), f%4==2
+    base-offset quantized sine (LPC — see _SINE8), f%4==3 hash-noisy
+    (VERBATIM — prediction can't pay). Pure integer formulas the
+    oracle recomputes; n_frames >= 4 so every clip hits all four."""
     n_frames = 4 + doc_id % 5
     out = []
     for f in range(n_frames):
         base = (doc_id * 7 + f * 29) % 4096 - 2048
-        if f % 3 == 0:
+        if f % 4 == 0:
             out += [base] * _BLOCK
-        elif f % 3 == 1:
+        elif f % 4 == 1:
             out += [
                 (doc_id * 7 + f * 29 + k * 13) % 4096 - 2048
                 for k in range(_BLOCK)
             ]
+        elif f % 4 == 2:
+            out += [base + _SINE8[k % 8] for k in range(_BLOCK)]
         else:
             # full-16-bit-range hash noise: rice can't beat 16 bits/
             # sample here, so the encoder's cost model picks VERBATIM

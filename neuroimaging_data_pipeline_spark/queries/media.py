@@ -1228,10 +1228,13 @@ def m28_flac_audio(spark, sf_dir):
     against every decoded sample — the oracle-visible pcm_md5_ok),
     little-endian Vorbis comments, and genuine frames with the 14-bit
     sync, UTF-8-coded frame numbers, CRC-8 headers and CRC-16
-    footers, CONSTANT and VERBATIM subframes both hot (even frames
-    flat, odd frames ramps). FIXED/LPC prediction stays an honest
-    NotImplementedError gate. The oracle recomputes frame counts,
-    totals and the PCM sample sum from the pure integer formula.
+    footers. ALL FOUR subframe types are hot on the query path via
+    the f%4 texture cycle: CONSTANT (flat), FIXED order 2 (ramp), LPC
+    order 3 (base-offset quantized sine — covariance-method fit,
+    12-bit quantized coefficients, arithmetic-shift prediction), and
+    VERBATIM (hash noise). The oracle recomputes frame counts, totals
+    and the PCM sample sum from the pure integer formulas (the sine
+    table sums to zero per block, keeping the LPC frames closed-form).
     Narrow scan -> mapInPandas, zero shuffle."""
     from neuroimaging_data_pipeline_spark.multimodal.flac import (
         flac_features,
@@ -1249,10 +1252,14 @@ WITH fr AS (
   FROM documents, UNNEST(range(0, 9)) AS f(f)
   WHERE f.f < 4 + doc_id % 5
 ), per AS (
+  -- four textures (f%4): 0 flat, 1 ramp, 2 base+period-8 sine
+  -- (the sine table sums to zero over the 16-sample block, so the
+  -- LPC frame's sum is exactly 16*base), 3 hash noise
   SELECT fr.doc_id, fr.f,
-         SUM(CASE fr.f % 3
+         SUM(CASE fr.f % 4
              WHEN 0 THEN (fr.doc_id * 7 + fr.f * 29) % 4096 - 2048
              WHEN 1 THEN (fr.doc_id * 7 + fr.f * 29 + k.k * 13) % 4096 - 2048
+             WHEN 2 THEN (fr.doc_id * 7 + fr.f * 29) % 4096 - 2048
              ELSE (fr.doc_id * 7 + fr.f * 29 + k.k * 48271) % 65536 - 32768
              END) AS fsum
   FROM fr, UNNEST(range(0, 16)) AS k(k)

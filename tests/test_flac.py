@@ -74,19 +74,19 @@ def test_header_crc8_corruption_fails_loudly():
         decode_flac(bytes(blob))
 
 
-def test_lpc_subframe_type_raises_not_implemented():
+def test_reserved_subframe_type_raises():
     samples = [3] * _BLOCK
     blob = bytearray(encode_flac(samples, {}))
     at = blob.find(b"\xff\xf8", 4)
     # subframe header byte sits after: 4 fixed header bytes + 1-byte
     # UTF-8 frame number + 1-byte blocksize-1 + 1-byte CRC-8
     sub_at = at + 7
-    blob[sub_at] = 0b100000 << 1  # LPC order 1
+    blob[sub_at] = 0b000010 << 1  # reserved type (2-7, 16-31 unused)
     # re-seal both CRCs so the type gate (not the CRC) is what fires
     blob[at + 6] = crc8(bytes(blob[at : at + 6]))
     end = len(blob) - 2
     struct.pack_into(">H", blob, end, crc16(bytes(blob[at:end])))
-    with pytest.raises(NotImplementedError, match="LPC"):
+    with pytest.raises(NotImplementedError, match="reserved subframe"):
         decode_flac(bytes(blob))
 
 
@@ -100,16 +100,25 @@ def _stype(frame: bytes) -> int:
 
 
 def test_encoder_picks_subframe_type_by_texture():
-    from neuroimaging_data_pipeline_spark.multimodal.flac import _frame
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        _SINE8,
+        _frame,
+    )
 
     flat = [5] * _BLOCK
     ramp = [(100 + k * 13) - 2048 for k in range(_BLOCK)]
+    sine = [700 + _SINE8[k % 8] for k in range(_BLOCK)]
     noise = [(7 + 2 * 29 + k * 48271) % 65536 - 32768 for k in range(_BLOCK)]
     assert _stype(_frame(0, flat)) == 0                 # CONSTANT
     assert 0b001000 <= _stype(_frame(0, ramp)) <= 0b001100  # FIXED
+    assert _stype(_frame(0, sine)) & 0b100000           # LPC
     assert _stype(_frame(0, noise)) == 1                # VERBATIM
     # a linear ramp is zeroed by the order-2 predictor: tiny frame
     assert len(_frame(0, ramp)) < len(_frame(0, noise)) / 2
+    # sinusoid+offset: integer FIXED predictors cannot capture the
+    # sqrt(2) recurrence, quantized LPC leaves only table rounding
+    # (the 4+5+12*order header bits keep the win below the ramp's)
+    assert len(_frame(0, sine)) < len(_frame(0, noise)) * 2 / 3
 
 
 def _hand_frame(body_bits: list[tuple[int, int]]) -> bytes:
@@ -224,3 +233,94 @@ def test_utf8_frame_number_covers_surrogates_and_high_planes():
         if n < 0xD800 or 0xE000 <= n <= 0x10FFFF:
             # where real UTF-8 is defined the codings must be identical
             assert coded == chr(n).encode("utf-8")
+
+
+# --- LPC subframes (RFC 9639 9.2.3) ------------------------------------------------
+
+
+def test_hand_built_lpc_order1_identity_coef_decodes():
+    # order-1 LPC with qcoef [1], shift 0 -> predictor s[t-1], same
+    # signal as the FIXED-1 pin but through the LPC path: warm-up 5,
+    # precision 2 (field 1), fifteen +2 residuals at rice 1
+    bits = [(0b100000 << 1, 8), (5, 16), (1, 4), (0, 5), (1, 2),
+            (0, 2), (0, 4), (1, 4)]
+    bits += [(0b0010, 4)] * (_BLOCK - 1)
+    samples = [5 + 2 * k for k in range(_BLOCK)]
+    d = decode_flac(_wrap(_hand_frame(bits), samples))
+    assert d["samples"] == samples
+    assert d["md5_ok"]
+
+
+def test_hand_built_lpc_shift_and_arithmetic_right_shift():
+    # order-1 LPC, coef 3 at shift 1 (a1 = 1.5), all residuals zero:
+    # s[t] = (3*s[t-1]) >> 1. Positive start 4 walks the odd-product
+    # floor (27>>1=13); negative start -5 pins the ARITHMETIC shift
+    # ((-15)>>1 = -8, not the C-truncation -7).
+    def stream(s0):
+        bits = [(0b100000 << 1, 8), (s0 & 0xFFFF, 16), (2, 4), (1, 5),
+                (3, 3), (0, 2), (0, 4), (0, 4)]
+        bits += [(1, 1)] * (_BLOCK - 1)
+        return bits
+
+    def walk(s0):
+        out = [s0]
+        for _ in range(_BLOCK - 1):
+            out.append((3 * out[-1]) >> 1)
+        return out
+
+    pos = walk(4)
+    assert pos[:6] == [4, 6, 9, 13, 19, 28]
+    d = decode_flac(_wrap(_hand_frame(stream(4)), pos))
+    assert d["samples"] == pos and d["md5_ok"]
+
+    neg = walk(-5)
+    assert neg[:4] == [-5, -8, -12, -18]  # floor division, not trunc
+    d = decode_flac(_wrap(_hand_frame(stream(-5)), neg))
+    assert d["samples"] == neg and d["md5_ok"]
+
+
+def test_lpc_invalid_precision_raises():
+    # precision field 0b1111 (precision 16) is explicitly invalid
+    bits = [(0b100000 << 1, 8), (5, 16), (15, 4), (0, 5), (1, 2),
+            (0, 2), (0, 4), (0, 4)]
+    bits += [(1, 1)] * (_BLOCK - 1)
+    with pytest.raises(ValueError, match="precision"):
+        decode_flac(_wrap(_hand_frame(bits), [5] * _BLOCK))
+
+
+def test_lpc_roundtrip_stress_sinusoids_with_offsets():
+    import math
+
+    for ph in range(40):
+        # offset sinusoids at varying frequency: covariance-method LPC
+        # territory; every clip must round-trip bit-exact with the
+        # format's own PCM MD5 verifying
+        s = [
+            (ph * 37 % 1500 - 750)
+            + int(6000 * math.sin(2 * math.pi * k / (3 + ph % 6) + ph))
+            for k in range(_BLOCK)
+        ]
+        d = decode_flac(encode_flac(s, {}))
+        assert d["samples"] == s and d["md5_ok"]
+
+
+def test_encoder_lpc_is_chosen_and_smaller_on_fixture_sine_frames():
+    # the m28 fixture's f%4==2 frames must actually be LPC-coded (the
+    # query path keeps all four subframe types hot) and pay for the
+    # 4+5+12*order header bits they carry
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        _doc_samples,
+        _frame,
+    )
+
+    seen_lpc = 0
+    for doc_id in range(12):
+        s = _doc_samples(doc_id)
+        for i in range(0, len(s), _BLOCK):
+            block = s[i : i + _BLOCK]
+            f = i // _BLOCK
+            if f % 4 == 2:
+                st = _stype(_frame(f, block))
+                assert st & 0b100000, (doc_id, f, st)
+                seen_lpc += 1
+    assert seen_lpc >= 12
