@@ -154,7 +154,9 @@ _RECHECK_R7 = []
 # backlog so that if the 50-slot window overflows it is these
 # newcomers that wait for r8 — never one of the r6 backlog whose
 # driver coverage VERDICT r6 #1 asks r7 to complete.
-_ADDED_R7 = []
+_ADDED_R7 = [
+    "t_pii_redact",
+]
 
 
 def _window_rank(name: str) -> int:

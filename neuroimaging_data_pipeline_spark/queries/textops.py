@@ -575,6 +575,114 @@ FROM documents
 """
 
 
+def _plant_pii_col():
+    """Deterministic planted PII per document (email always, IPv4 for
+    doc_id%3>0, intl phone for even ids) appended to the clean corpus
+    text — makes the redaction row NON-vacuous: the md5 below hashes
+    text that genuinely went through rewrite, not an identity pass."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact doc"), did.cast("string"), F.lit("@example.com"),
+        F.when(
+            did % 3 > 0,
+            F.concat(F.lit(" from 10."), (did % 200).cast("string"),
+                     F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" tel +9115550"),
+                     F.lpad((did % 100000).cast("string"), 5, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def t_pii_redact(spark, sf_dir):
+    """PII REDACTION per document — the transform twin of
+    t_pii_signals' triage counts: every detector match rewritten to
+    its placeholder token (<EMAIL>/<IP>/<PHONE>) in the contract
+    order emails -> IPs -> phones (text/analysis.py pii_redact).
+    Deterministic PII is planted per doc first, so n_pii_before,
+    the redacted text's md5 and length, and the zero n_pii_after all
+    certify an actual rewrite. Pure JVM regexp_replace chain: one
+    narrow pass, zero shuffle, no Python."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        pii_counts,
+        pii_redact,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    planted = d.withColumn("_planted", _plant_pii_col())
+    red = planted.withColumn("_red", pii_redact(F.col("_planted")))
+
+    def total(col):
+        cs = pii_counts(col)
+        out = None
+        for k in sorted(cs):
+            out = cs[k] if out is None else out + cs[k]
+        return out
+
+    return red.select(
+        "doc_id",
+        total(F.col("_planted")).alias("n_pii_before"),
+        total(F.col("_red")).alias("n_pii_after"),
+        F.length("_red").alias("redacted_len"),
+        F.md5(F.col("_red")).alias("redacted_md5"),
+    )
+
+
+def _pii_sql_redact(expr: str) -> str:
+    """The DuckDB twin of pii_redact: same patterns, same placeholder
+    tokens, same order, global replacement."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        PII_PLACEHOLDERS,
+        PII_REDACTION_ORDER,
+    )
+
+    for name in PII_REDACTION_ORDER:
+        pat = PII_PATTERNS[name].replace("'", "''")
+        expr = (
+            f"regexp_replace({expr}, '{pat}',"
+            f" '{PII_PLACEHOLDERS[name]}', 'g')"
+        )
+    return expr
+
+
+_PII_PLANT_SQL = (
+    "text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 > 0 THEN ' from 10.' ||"
+    " CAST(doc_id % 200 AS VARCHAR) || '.0.1' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' tel +9115550' ||"
+    " lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') ELSE '' END"
+)
+
+
+def _pii_sql_count_expr(expr: str, pat: str) -> str:
+    esc = pat.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{esc}')) AS INT)"
+
+
+T_PII_REDACT_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, {_PII_PLANT_SQL} AS p FROM documents
+), red AS (
+  SELECT doc_id, p, {_pii_sql_redact('p')} AS r FROM planted
+)
+SELECT doc_id,
+       {_pii_sql_count_expr('p', PII_PATTERNS['emails'])}
+       + {_pii_sql_count_expr('p', PII_PATTERNS['ipv4'])}
+       + {_pii_sql_count_expr('p', PII_PATTERNS['intl_phones'])}
+         AS n_pii_before,
+       {_pii_sql_count_expr('r', PII_PATTERNS['emails'])}
+       + {_pii_sql_count_expr('r', PII_PATTERNS['ipv4'])}
+       + {_pii_sql_count_expr('r', PII_PATTERNS['intl_phones'])}
+         AS n_pii_after,
+       CAST(LENGTH(r) AS INT) AS redacted_len,
+       md5(r) AS redacted_md5
+FROM red
+"""
+
+
 def t_sample(spark, sf_dir):
     """Deterministic 1-in-10 corpus sample via content-addressed
     hash buckets (text/analysis.py hash_bucket) — reproducible across
@@ -1975,18 +2083,27 @@ def e10_release_pipeline(spark, sf_dir):
       raw crawled bytes (deterministic charset scrambling, id %% 4)
         -> charset detect + mojibake repair (text/encoding.py)
         -> IDN host canonicalization (text/idn.py) joined per doc
+        -> PII redaction of the repaired text (text/analysis.py
+           pii_redact; deterministic contact lines planted per doc so
+           the rewrite is non-vacuous — sum_pii_after certifies the
+           released text carries ZERO remaining detector hits)
         -> exact dedup on the REPAIRED text md5, keep min-doc_id
         -> deterministic epoch shuffle of the kept docs into 8
            loader shards (text/mixing.py)
         -> per-shard release stats
 
     Every stage is the operator its standalone query exercises
-    (t_encoding_repair, t_idn_hosts, d_exact_dedup's winner shape,
-    t_epoch_shuffle), and the oracle recomputes the whole chain from
-    the fixture formulas. max_pos == n_docs pins that the shard ranks
-    were computed over exactly the deduped set. Plan: two narrow
-    Arrow stages -> one dedup shuffle -> one shard window -> one
-    final agg; no driver loop."""
+    (t_encoding_repair, t_idn_hosts, t_pii_redact, d_exact_dedup's
+    winner shape, t_epoch_shuffle), and the oracle recomputes the
+    whole chain from the fixture formulas. max_pos == n_docs pins that
+    the shard ranks were computed over exactly the deduped set. Plan:
+    two narrow Arrow stages (the redaction chain is JVM regexp
+    columns riding the same stage) -> one dedup shuffle -> one shard
+    window -> one final agg; no driver loop."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        pii_counts,
+        pii_redact,
+    )
     from neuroimaging_data_pipeline_spark.text.encoding import (
         encoding_repair,
         synthesize_encoded_docs,
@@ -1998,11 +2115,29 @@ def e10_release_pipeline(spark, sf_dir):
     from neuroimaging_data_pipeline_spark.text.mixing import epoch_shuffle
 
     d = read_table(spark, sf_dir, "documents", min_partitions="cores")
-    repaired = encoding_repair(synthesize_encoded_docs(d))
+    repaired = encoding_repair(synthesize_encoded_docs(d), emit_text=True)
     hosts = idn_canonicalize(synthesize_idn_hosts(d)).select(
         "doc_id", "needs_idn"
     )
     enriched = repaired.join(hosts, "doc_id")
+    # release-grade sanitation: plant a deterministic contact line,
+    # then redact it — n_pii per doc is what the rewrite removed
+    planted = F.concat(
+        F.col("repaired"), F.lit(" contact doc"),
+        F.col("doc_id").cast("string"), F.lit("@crawl.example"),
+    )
+    red = pii_redact(planted)
+
+    def _total(col):
+        cs = pii_counts(col)
+        out = None
+        for k in sorted(cs):
+            out = cs[k] if out is None else out + cs[k]
+        return out
+
+    enriched = enriched.withColumn("n_pii", _total(planted)).withColumn(
+        "n_pii_left", _total(red)
+    )
     winners = enriched.groupBy("repaired_md5").agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -2013,23 +2148,45 @@ def e10_release_pipeline(spark, sf_dir):
         F.sum(F.col("mojibake").cast("long")).alias("n_mojibake"),
         F.sum(F.col("needs_idn").cast("long")).alias("n_idn"),
         F.sum("n_nonascii").alias("sum_nonascii"),
+        F.sum("n_pii").cast("long").alias("n_pii_redacted"),
+        F.sum("n_pii_left").cast("long").alias("sum_pii_after"),
         F.max("pos").cast("long").alias("max_pos"),
     )
 
 
-E10_SQL = """
-WITH rep AS (
+E10_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+               WHEN 0 THEN ' — naïve café №0'
+               WHEN 1 THEN ' café déjà ±1'
+               WHEN 2 THEN ' — smörgåsbord'
+               ELSE ' “quoted” – dash' END AS repaired,
+         text || CASE doc_id % 4
+               WHEN 0 THEN ' — naïve café №0'
+               WHEN 1 THEN ' café déjà ±1'
+               WHEN 2 THEN ' — smörgåsbord'
+               ELSE ' “quoted” – dash' END
+           || ' contact doc' || CAST(doc_id AS VARCHAR)
+           || '@crawl.example' AS p
+  FROM documents
+), rep AS (
   SELECT doc_id,
          (doc_id % 4 = 2) AS mojibake,
          (doc_id % 4 <> 0) AS needs_idn,
          CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 4 ELSE 3 END AS BIGINT)
            AS n_nonascii,
-         md5(text || CASE doc_id % 4
-               WHEN 0 THEN ' — naïve café №0'
-               WHEN 1 THEN ' café déjà ±1'
-               WHEN 2 THEN ' — smörgåsbord'
-               ELSE ' “quoted” – dash' END) AS repaired_md5
-  FROM documents
+         md5(repaired) AS repaired_md5,
+         {_pii_sql_count_expr('p', PII_PATTERNS['emails'])}
+         + {_pii_sql_count_expr('p', PII_PATTERNS['ipv4'])}
+         + {_pii_sql_count_expr('p', PII_PATTERNS['intl_phones'])}
+           AS n_pii,
+         {_pii_sql_count_expr(_pii_sql_redact('p'), PII_PATTERNS['emails'])}
+         + {_pii_sql_count_expr(_pii_sql_redact('p'), PII_PATTERNS['ipv4'])}
+         + {_pii_sql_count_expr(_pii_sql_redact('p'),
+                                PII_PATTERNS['intl_phones'])}
+           AS n_pii_left
+  FROM planted
 ), kept AS (
   SELECT * FROM rep
   WHERE doc_id = (SELECT MIN(r2.doc_id) FROM rep r2
@@ -2050,6 +2207,8 @@ SELECT shard,
        CAST(SUM(CASE WHEN mojibake THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake,
        CAST(SUM(CASE WHEN needs_idn THEN 1 ELSE 0 END) AS BIGINT) AS n_idn,
        CAST(SUM(n_nonascii) AS BIGINT) AS sum_nonascii,
+       CAST(SUM(n_pii) AS BIGINT) AS n_pii_redacted,
+       CAST(SUM(n_pii_left) AS BIGINT) AS sum_pii_after,
        CAST(MAX(pos) AS BIGINT) AS max_pos
 FROM ranked GROUP BY shard
 """
@@ -2078,6 +2237,7 @@ QUERIES = {
     "t_repetition": t_repetition,
     "e2_corpus_pipeline": e2_corpus_pipeline,
     "t_pii_signals": t_pii_signals,
+    "t_pii_redact": t_pii_redact,
     "t_sample": t_sample,
     "t_quality_signals": t_quality_signals,
     "t_lang_id": t_lang_id,
@@ -2106,6 +2266,7 @@ ORACLE = {
     "t_repetition": T_REPETITION_SQL,
     "e2_corpus_pipeline": E2_PIPE_SQL,
     "t_pii_signals": T_PII_SQL,
+    "t_pii_redact": T_PII_REDACT_SQL,
     "t_sample": T_SAMPLE_SQL,
     "t_quality_signals": T_QUALITY_SQL,
     "t_gopher_repetition": T_GOPHER_SQL,

@@ -274,6 +274,36 @@ def pii_counts(text: str | Column) -> dict[str, Column]:
     }
 
 
+#: Replacement tokens per detector; contain no regex-replacement
+#: metacharacters ($, \\) and do not themselves match any detector,
+#: so redaction is idempotent and order-stable.
+PII_PLACEHOLDERS: dict[str, str] = {
+    "emails": "<EMAIL>",
+    "ipv4": "<IP>",
+    "intl_phones": "<PHONE>",
+}
+
+#: Redaction ORDER is part of the operator contract: emails first
+#: (an email local part may contain '+digits' that the phone pattern
+#: would otherwise split), then IPs, then phones. Both engines apply
+#: the same order, so redacted text is byte-identical.
+PII_REDACTION_ORDER = ["emails", "ipv4", "intl_phones"]
+
+
+def pii_redact(text: str | Column) -> Column:
+    """REDACT (not just count) PII surface: rewrite every detector
+    match to its placeholder token, in PII_REDACTION_ORDER — the
+    transform half a corpus release actually ships, twin to
+    pii_counts' triage half. A chain of JVM regexp_replace calls:
+    narrow, codegen-friendly, zero shuffle, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name in PII_REDACTION_ORDER:
+        c = F.regexp_replace(
+            c, PII_PATTERNS[name], PII_PLACEHOLDERS[name]
+        )
+    return c
+
+
 def hash_bucket(
     col: str | Column, n_buckets: int, salt: str = "s42"
 ) -> Column:

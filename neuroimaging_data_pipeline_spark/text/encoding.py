@@ -148,30 +148,36 @@ def encoding_repair(
     raw_docs: DataFrame,
     id_col: str = "doc_id",
     raw_col: str = "raw",
+    emit_text: bool = False,
 ) -> DataFrame:
+    """``emit_text=True`` additionally carries the repaired text
+    itself (column ``repaired``) — what a release pipeline needs to
+    hand downstream sanitation stages (e10's PII redaction); the
+    stats-only default keeps the t_encoding_repair row narrow."""
     out_schema = (
         f"{id_col} long, charset string, mojibake boolean,"
         " n_nonascii long, repaired_md5 string"
     )
+    if emit_text:
+        out_schema += ", repaired string"
 
     def repair(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, raw in zip(pdf[id_col], pdf[raw_col]):
                 charset, moji, text = detect_and_repair(bytes(raw))
-                rows.append(
-                    (
-                        int(i),
-                        charset,
-                        moji,
-                        sum(1 for ch in text if ord(ch) > 0x7F),
-                        hashlib.md5(text.encode("utf-8")).hexdigest(),
-                    )
+                row = (
+                    int(i),
+                    charset,
+                    moji,
+                    sum(1 for ch in text if ord(ch) > 0x7F),
+                    hashlib.md5(text.encode("utf-8")).hexdigest(),
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "charset", "mojibake", "n_nonascii",
-                         "repaired_md5"],
-            )
+                rows.append(row + (text,) if emit_text else row)
+            cols = [id_col, "charset", "mojibake", "n_nonascii",
+                    "repaired_md5"]
+            if emit_text:
+                cols.append("repaired")
+            yield pd.DataFrame(rows, columns=cols)
 
     return raw_docs.mapInPandas(repair, out_schema)

@@ -242,6 +242,70 @@ def test_pii_counts_on_planted_text(spark):
     assert out.loc[3].to_dict() == {"emails": 0, "intl_phones": 0, "ipv4": 1}
 
 
+def test_pii_redact_round_trip_on_planted_text(spark):
+    """The transform twin of the counts: every detector hit rewritten
+    to its placeholder, count-before == hits removed, ZERO signals
+    after, untouched text byte-identical, and the placeholder tokens
+    land exactly where the matches were (Python re cross-check)."""
+    import re
+
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        PII_PATTERNS,
+        PII_PLACEHOLDERS,
+        PII_REDACTION_ORDER,
+        pii_counts,
+        pii_redact,
+    )
+
+    rows = [
+        (0, "contact a.smith+spam@mail-host.co.uk or bob@x.io today"),
+        (1, "server at 10.0.0.1 and 192.168.254.3, call +4915123456789"),
+        (2, "plain prose with no identifiers at all"),
+        # '+digits' inside an email local part: email redaction MUST
+        # run first or the phone pattern bites the local part
+        (3, "mail user+12345678@host.org then dial +870123456"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts("text")
+    total = None
+    for k in sorted(counts):
+        total = counts[k] if total is None else total + counts[k]
+    red = df.select(
+        "doc_id", "text",
+        total.alias("n_before"),
+        pii_redact("text").alias("red"),
+    )
+    after_counts = pii_counts(F.col("red"))
+    after = None
+    for k in sorted(after_counts):
+        after = after_counts[k] if after is None else after + after_counts[k]
+    out = red.select("doc_id", "text", "n_before", "red",
+                     after.alias("n_after")).toPandas().set_index("doc_id")
+
+    # python-re reference redaction in the same contract order
+    def ref(t):
+        for name in PII_REDACTION_ORDER:
+            t = re.sub(PII_PATTERNS[name], PII_PLACEHOLDERS[name], t)
+        return t
+
+    for i, text in rows:
+        assert out.loc[i, "red"] == ref(text), i
+        assert out.loc[i, "n_after"] == 0, i
+    assert out.loc[0, "red"] == "contact <EMAIL> or <EMAIL> today"
+    assert out.loc[1, "red"] == "server at <IP> and <IP>, call <PHONE>"
+    assert out.loc[2, "red"] == rows[2][1]  # clean text untouched
+    assert out.loc[3, "red"] == "mail <EMAIL> then dial <PHONE>"
+    # 8, not 7: the triage counts are per-pattern INDEPENDENT, so the
+    # '+12345678' inside the row-3 email local part is counted by both
+    # the email and phone detectors, while sequential redaction
+    # consumes it once (emails run first) — counts upper-bound rewrites
+    assert int(out["n_before"].sum()) == 8
+    # idempotence: redacting redacted text changes nothing
+    twice = red.select(pii_redact(F.col("red")).alias("r2"),
+                       "red").toPandas()
+    assert (twice["r2"] == twice["red"]).all()
+
+
 def test_hash_bucket_deterministic_and_balanced(spark):
     """hash_bucket: stable across repartitionings (same rows chosen),
     roughly uniform across buckets, and bucket counts must sum to n."""
