@@ -156,6 +156,7 @@ _RECHECK_R7 = []
 # driver coverage VERDICT r6 #1 asks r7 to complete.
 _ADDED_R7 = [
     "t_pii_redact",
+    "s25_zstd_meta",
 ]
 
 

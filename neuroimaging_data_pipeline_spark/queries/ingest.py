@@ -1115,6 +1115,57 @@ FROM documents
 """
 
 
+def s25_zstd_meta(spark, sf_dir):
+    """S25: zstd frame metadata source (sources/zstdmeta.py) — the
+    planner's walk over `.jsonl.zst`-style members: RFC 8878 frame
+    headers (descriptor bits, window descriptor, dictionary id, all
+    four content-size encodings incl. the flag-1 bias), skippable
+    frames, the 3-byte block chain, RAW and RLE blocks decoded for
+    real, and the content checksum RE-VERIFIED with a from-scratch
+    XXH64 (pinned in pytest against the spec's published check
+    values). Compressed blocks stay a declared capability gate
+    (header-walked for size, bytes only via an importable zstd
+    codec). Per-doc header variants ride pure id formulas the oracle
+    recomputes — checksum math included via checksum_ok. One narrow
+    mapInPandas pass, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.sources.zstdmeta import (
+        synthesize_zstd_docs,
+        zstd_meta_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
+    media = synthesize_zstd_docs(d, id_col="doc_id", text_col="text")
+    return zstd_meta_features(media)
+
+
+S25_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         strlen(text) AS nb,
+         CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 7 ELSE 0 END AS run
+  FROM documents
+)
+SELECT v.doc_id,
+       CAST(CASE WHEN v.doc_id % 6 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_skippable,
+       (v.doc_id % 2 = 1) AS single_segment,
+       ((v.doc_id % 2 = 1) OR (v.doc_id % 4 <> 0)) AS size_known,
+       CAST(CASE WHEN v.doc_id % 5 = 0 THEN (v.doc_id % 200) + 1
+            ELSE 0 END AS INT) AS dict_id,
+       CAST(CASE WHEN v.nb = 0 AND v.run = 0 THEN 1
+            ELSE CAST(CEIL(v.nb / 100.0) AS INT)
+                 + CASE WHEN v.run > 0 THEN 1 ELSE 0 END
+            END AS INT) AS n_blocks,
+       CAST(CASE WHEN v.run > 0 THEN 1 ELSE 0 END AS INT) AS n_rle,
+       CAST(v.nb + v.run AS BIGINT) AS content_len,
+       (v.doc_id % 4 <> 3) AS has_checksum,
+       (v.doc_id % 4 <> 3) AS checksum_ok,
+       md5(d.text || repeat('=', v.run)) AS text_md5
+FROM v JOIN documents d ON v.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -1138,6 +1189,7 @@ QUERIES = {
     "s22_zip_shards": s22_zip_shards,
     "s23_sqlite_shards": s23_sqlite_shards,
     "s24_cbor_shards": s24_cbor_shards,
+    "s25_zstd_meta": s25_zstd_meta,
 }
 
 ORACLE = {
@@ -1163,4 +1215,5 @@ ORACLE = {
     "s22_zip_shards": S22_SQL,
     "s23_sqlite_shards": S23_SQL,
     "s24_cbor_shards": S24_SQL,
+    "s25_zstd_meta": S25_SQL,
 }
