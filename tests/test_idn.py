@@ -67,3 +67,49 @@ def test_decode_rejects_garbage():
         punycode_decode("abc-zzzz" + "z" * 20)
     with pytest.raises(ValueError, match="non-basic"):
         punycode_decode("ü-3ya")
+
+
+def test_fuzz_mixed_script_adversarial_planes():
+    """VERDICT r6 #8: beyond the six smoke planes — RTL scripts,
+    combining marks, emoji, plane-16 extremes, and the codepoints
+    hugging the surrogate hole — mixed freely inside ONE label, in
+    both directions against the stdlib codec, plus longer labels than
+    the 12-char smoke fuzz."""
+    rng = random.Random(77)
+    planes = [
+        (0x0590, 0x06FF),    # Hebrew + Arabic (RTL)
+        (0x0300, 0x0370),    # combining diacritics
+        (0x1F300, 0x1FAFF),  # emoji blocks
+        (0x0E00, 0x0E80),    # Thai
+        (0x1100, 0x1200),    # Hangul Jamo
+        (0xFFF0, 0x10000),   # BMP tail incl. specials
+        (0x10FF00, 0x110000),  # plane-16 extreme tail
+    ]
+    edge = [0xD7FF, 0xE000, 0xFFFD, 0x10FFFF, 0x61, 0x2D]  # '-' too
+    for _ in range(4000):
+        chars = [
+            chr(rng.choice(edge)) if rng.random() < 0.15
+            else chr(rng.randrange(*rng.choice(planes)))
+            for _ in range(rng.randrange(0, 40))
+        ]
+        s = "".join(chars)
+        enc = punycode_encode(s)
+        assert enc == s.encode("punycode").decode(), repr(s)
+        assert punycode_decode(enc) == s, repr(s)
+
+
+def test_host_round_trip_on_mixed_script_labels():
+    # host-level: every label independently ACE-coded and recovered;
+    # case folding happens before coding (RFC 5890 lowercase contract)
+    rng = random.Random(9)
+    pool = "a-z9ü漢ж☃えאاก\U0001F600"
+    for _ in range(300):
+        labels = [
+            "".join(rng.choice(pool) for _ in range(rng.randrange(1, 8)))
+            .strip("-") or "x"
+            for _ in range(rng.randrange(1, 4))
+        ]
+        host = ".".join(labels)
+        ace = host_to_ascii(host)
+        assert all(ord(c) < 128 for c in ace), ace
+        assert host_to_unicode(ace) == host.lower()

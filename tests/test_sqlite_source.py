@@ -168,3 +168,84 @@ def test_writer_leaf_capacity_boundary_sweep():
     # (overflow chains are reader-side only)
     with pytest.raises(ValueError, match="overflow"):
         write_sqlite("docs", ["doc_id", "text"], [(1, ["z" * x_max])])
+
+
+def test_fuzz_reader_against_stdlib_written_layouts():
+    """Property-fuzz the UNTESTED direction (VERDICT r6 #8): arbitrary
+    stdlib-sqlite3 page layouts — deletions leave freeblocks inside
+    leaf pages, updates churn cell sizes, post-delete inserts reuse
+    freelist pages, and page sizes from 512 to 8192 move every split
+    boundary. The from-scratch reader must agree with a stdlib SELECT
+    row-for-row on every scenario."""
+    import random
+
+    rng = random.Random(20260815)
+    int_pool = [0, 1, -1, 127, -128, 32767, -32768, 2**31, -(2**31),
+                2**47, 2**63 - 1, -(2**63)]
+    for scenario in range(12):
+        page = rng.choice([512, 1024, 2048, 4096, 8192])
+        n = rng.randrange(0, 320)
+        with tempfile.NamedTemporaryFile(suffix=".db", delete=False) as f:
+            path = f.name
+        try:
+            con = sqlite3.connect(path)
+            con.execute(f"PRAGMA page_size={page}")
+            con.execute(
+                "CREATE TABLE fz(id INTEGER PRIMARY KEY, t TEXT,"
+                " i INTEGER, r REAL, b BLOB)"
+            )
+            rows = []
+            rowid = 0
+            for k in range(n):
+                rowid += rng.randrange(1, 4)  # non-contiguous, increasing
+                t = (
+                    None if rng.random() < 0.1
+                    else "日本語🎈" * rng.randrange(0, 9)
+                    + "x" * rng.randrange(0, 2 * page)  # overflow chains
+                )
+                i = rng.choice(int_pool) if rng.random() < 0.8 else None
+                r = (
+                    None if rng.random() < 0.2
+                    else rng.choice([0.0, -0.0, 1.5, -273.15, 1e300,
+                                     float("inf"), 2**53 + 1.0])
+                )
+                b = (
+                    None if rng.random() < 0.2
+                    else rng.randbytes(rng.randrange(0, 3 * page))
+                )
+                rows.append((rowid, t, i, r, b))
+            con.executemany("INSERT INTO fz VALUES (?,?,?,?,?)", rows)
+            # deletions -> freeblocks + freelist pages
+            doomed = [r[0] for r in rows if rng.random() < 0.3]
+            con.executemany(
+                "DELETE FROM fz WHERE id = ?", [(d,) for d in doomed]
+            )
+            # updates -> cell-size churn inside leaves
+            for r in rows:
+                if r[0] not in doomed and rng.random() < 0.2:
+                    con.execute(
+                        "UPDATE fz SET t = ? WHERE id = ?",
+                        ("upd" * rng.randrange(0, page), r[0]),
+                    )
+            # post-delete inserts -> freelist page reuse
+            base = max((r[0] for r in rows), default=0)
+            extra = [
+                (base + 1 + j, "re" * j, j, j / 3.0, b"\x00" * j)
+                for j in range(rng.randrange(0, 40))
+            ]
+            con.executemany("INSERT INTO fz VALUES (?,?,?,?,?)", extra)
+            con.commit()
+            want = list(
+                con.execute("SELECT id, t, i, r, b FROM fz ORDER BY id")
+            )
+            con.close()
+            buf = open(path, "rb").read()
+        finally:
+            os.unlink(path)
+        got = read_sqlite_table(buf, "fz")
+        assert len(got) == len(want), (scenario, page, len(got), len(want))
+        for (rowid, rec), exp in zip(got, want):
+            assert rowid == exp[0], (scenario, page)
+            # the INTEGER PRIMARY KEY alias rides the rowid (NULL cell)
+            assert rec[0] is None
+            assert tuple(rec[1:]) == tuple(exp[1:]), (scenario, page, rowid)
