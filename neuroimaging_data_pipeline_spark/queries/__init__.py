@@ -157,6 +157,7 @@ _RECHECK_R7 = []
 _ADDED_R7 = [
     "t_pii_redact",
     "s25_zstd_meta",
+    "s26_lz4_shards",
 ]
 
 

@@ -1166,6 +1166,49 @@ FROM v JOIN documents d ON v.doc_id = d.doc_id
 """
 
 
+def s26_lz4_shards(spark, sf_dir):
+    """S26: LZ4 frame shards (sources/lz4frame.py) — the fast-codec
+    sibling of s25's zstd walk, with NO capability gate: LZ4 has no
+    entropy stage, so block sequences (token splits, 255-saturated
+    lengths, overlap-copy matches, the end-of-block literal rules)
+    and the full frame grammar (FLG/BD descriptor, XXH32 header byte,
+    stored-vs-compressed block headers, EndMark, per-block + content
+    XXH32) are all implemented exactly, both directions, stdlib-only.
+    Per-doc header variants ride pure id formulas: compressible tail
+    for id%3==0 keeps compressed blocks hot, forced-stored frames for
+    id%7==0 keep the stored path hot, block checksums for even ids,
+    content size omitted for id%5==0. Every checksum is re-verified
+    on decode (checksum_ok is oracle-visible). One narrow mapInPandas
+    pass, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.sources.lz4frame import (
+        lz4_documents,
+        synthesize_lz4_docs,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
+    media = synthesize_lz4_docs(d, id_col="doc_id", text_col="text")
+    return lz4_documents(media)
+
+
+S26_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                 THEN repeat(' lz4', 8 + doc_id % 5) ELSE '' END AS body
+  FROM documents
+)
+SELECT doc_id,
+       CAST(GREATEST(CEIL(strlen(body) / 65536.0), 1) AS INT) AS n_blocks,
+       (doc_id % 5 <> 0) AS size_known,
+       (doc_id % 2 = 0) AS has_block_checksum,
+       TRUE AS checksum_ok,
+       CAST(strlen(body) AS BIGINT) AS content_len,
+       md5(body) AS text_md5
+FROM v
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -1190,6 +1233,7 @@ QUERIES = {
     "s23_sqlite_shards": s23_sqlite_shards,
     "s24_cbor_shards": s24_cbor_shards,
     "s25_zstd_meta": s25_zstd_meta,
+    "s26_lz4_shards": s26_lz4_shards,
 }
 
 ORACLE = {
@@ -1216,4 +1260,5 @@ ORACLE = {
     "s23_sqlite_shards": S23_SQL,
     "s24_cbor_shards": S24_SQL,
     "s25_zstd_meta": S25_SQL,
+    "s26_lz4_shards": S26_SQL,
 }
