@@ -1,10 +1,11 @@
-"""Media-container and codec queries (m8–m28): the multimodal
+"""Media-container and codec queries (m8–m29): the multimodal
 surface, every format implemented stdlib-only in ``multimodal/``.
 
 Containers: MP4/ISO-BMFF (m8/m8b/m16), TAR WebDataset (m13), GIF
 (m17), RIFF/WAVE incl. mu-law format 7 (m10/m23), MP3 with ID3v2
-(m26), FLAC with CRC-verified frames and the STREAMINFO PCM MD5
-(m28). Image codecs: PPM, PNG (incl. interlaced), BMP, baseline /
+(m26), FLAC with CRC-verified frames, the STREAMINFO PCM MD5 and all
+four subframe types incl. LPC (m28), gzip members through the
+from-scratch RFC 1951 inflate (m29). Image codecs: PPM, PNG (incl. interlaced), BMP, baseline /
 4:2:0 / progressive / 12-bit / arithmetic JPEG (m3–m5, m9, m11/m12,
 m15, m18/m19), EXIF TIFF-IFD metadata (m24), strip-based TIFF with
 early-change LZW (m27). Video: H.264 I_PCM
@@ -44,10 +45,9 @@ def m8_mp4_meta(spark, sf_dir):
         synthesize_mp4_clips,
     )
 
-    # single-row-group documents scan -> spread so the Python codec
-    # stages run on every core, not one worker ("cores" resolves to
-    # defaultParallelism; the heavy codecs ran ~1.5x faster at full
-    # width vs the old fixed 8-way, see BENCH_FULL at this commit)
+    # single-row-group documents scan -> "auto" width: light metadata
+    # parse, measured fastest at single-digit widths (r7 A/B in
+    # BENCH_DELTA.md; heavy pixel/entropy codecs keep "cores")
     d = read_table(spark, sf_dir, "documents", min_partitions="auto")
     media = synthesize_mp4_clips(d, id_col="doc_id")
     feats = mp4_meta_features(media)
@@ -1276,6 +1276,44 @@ FROM per GROUP BY doc_id
 """
 
 
+def m29_gzip_inflate(spark, sf_dir):
+    """M29: from-scratch DEFLATE/gzip decode (sources/inflate.py) —
+    the entropy layer under .gz shards, ZIP members and PNG IDAT,
+    independently verified: stdlib zlib WRITES each member at an
+    id-derived level (0 stored blocks, 1 fixed Huffman, 6/9 dynamic)
+    and the RFC 1951 decoder implemented here — canonical Huffman
+    construction, the permuted code-length alphabet with 16/17/18
+    run coding, LZ77 length/distance extra-bit tables, overlap
+    copies — must reproduce it bit-exactly, re-verifying the RFC 1952
+    CRC32 (from-scratch table), ISIZE, and the optional FHCRC header
+    checksum. Header features (FNAME/FCOMMENT/FEXTRA/FHCRC) ride id
+    formulas the oracle recomputes. One narrow mapInPandas pass,
+    zero shuffle."""
+    from neuroimaging_data_pipeline_spark.sources.inflate import (
+        gzip_inflate_features,
+        synthesize_gzip_members,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_gzip_members(d, id_col="doc_id", text_col="text")
+    return gzip_inflate_features(media)
+
+
+M29_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'doc-' || CAST(doc_id AS VARCHAR) || '.txt'
+            ELSE '' END AS fname,
+       (doc_id % 3 = 0) AS has_comment,
+       (doc_id % 5 = 0) AS has_extra,
+       (doc_id % 7 = 0) AS hcrc_checked,
+       TRUE AS crc_ok,
+       CAST(strlen(text) AS BIGINT) AS content_len,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -1300,6 +1338,7 @@ QUERIES = {
     "m26_mp3_meta": m26_mp3_meta,
     "m27_tiff_stats": m27_tiff_stats,
     "m28_flac_audio": m28_flac_audio,
+    "m29_gzip_inflate": m29_gzip_inflate,
 }
 
 ORACLE = {
@@ -1326,4 +1365,5 @@ ORACLE = {
     "m26_mp3_meta": M26_SQL,
     "m27_tiff_stats": M27_SQL,
     "m28_flac_audio": M28_SQL,
+    "m29_gzip_inflate": M29_SQL,
 }
