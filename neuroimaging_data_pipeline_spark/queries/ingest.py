@@ -1209,6 +1209,47 @@ FROM v
 """
 
 
+def s27_snappy_shards(spark, sf_dir):
+    """S27: Snappy framing streams (sources/snappy.py) — the codec
+    under classic Parquet/ORC/Avro data pages, from scratch with no
+    gate: raw-format literal/copy tags (incl. the 60-63 extended
+    lengths and all three copy forms), overlap copies, the framing
+    stream identifier / compressed / uncompressed / padding chunks,
+    and a from-scratch MASKED CRC-32C (Castagnoli; published check
+    value pinned) re-verified per chunk. Per-doc variants ride id
+    formulas: compressible tail (id%3==0), forced-uncompressed
+    chunks (id%4==0), padding chunk (id%5==0). One narrow
+    mapInPandas pass, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.sources.snappy import (
+        snappy_documents,
+        synthesize_snappy_docs,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
+    media = synthesize_snappy_docs(d, id_col="doc_id", text_col="text")
+    return snappy_documents(media)
+
+
+S27_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                 THEN repeat(' zip', 8 + doc_id % 5) ELSE '' END AS body
+  FROM documents
+)
+SELECT doc_id,
+       CAST(GREATEST(CEIL(strlen(body) / 65536.0), 1) AS INT) AS n_chunks,
+       CAST(CASE WHEN doc_id % 4 = 0
+            THEN GREATEST(CEIL(strlen(body) / 65536.0), 1)
+            ELSE 0 END AS INT) AS n_stored,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_padding,
+       CAST(strlen(body) AS BIGINT) AS content_len,
+       md5(body) AS text_md5
+FROM v
+"""
+
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -1234,6 +1275,7 @@ QUERIES = {
     "s24_cbor_shards": s24_cbor_shards,
     "s25_zstd_meta": s25_zstd_meta,
     "s26_lz4_shards": s26_lz4_shards,
+    "s27_snappy_shards": s27_snappy_shards,
 }
 
 ORACLE = {
@@ -1261,4 +1303,5 @@ ORACLE = {
     "s24_cbor_shards": S24_SQL,
     "s25_zstd_meta": S25_SQL,
     "s26_lz4_shards": S26_SQL,
+    "s27_snappy_shards": S27_SQL,
 }
