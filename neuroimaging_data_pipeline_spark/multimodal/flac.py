@@ -34,10 +34,17 @@ What is REAL here, both directions:
   Residuals are computed from the QUANTIZED predictor, so the round
   trip is bit-exact regardless of how the float fit behaved.
 
+- STEREO with per-frame CHANNEL DECORRELATION (r7): all four
+  RFC 9639 channel assignments — independent, left-side, right-side,
+  mid-side — chosen per frame by exact coded size; side channels
+  coded at 17 bits, the mid-side dropped-low-bit parity trick exact
+  on decode, STREAMINFO MD5 over the interleaved L,R stream. 3+
+  channels remain the declared gate.
+
 The m28 oracle recomputes frame counts, total samples and the PCM
-sample sum from the pure integer sample formula; the PCM MD5 check
-(STREAMINFO hash == hash of decoded samples) rides as an
-oracle-visible boolean.
+sample sum from the pure integer sample formula; m30 does the same
+per channel for stereo; the PCM MD5 check (STREAMINFO hash == hash
+of decoded samples) rides as an oracle-visible boolean on both.
 
 Scale: opaque binary + Arrow ``mapInPandas``, narrow, zero shuffle.
 """
@@ -130,10 +137,13 @@ def _pcm_bytes(samples: list[int]) -> bytes:
 # --- encoder ---------------------------------------------------------------------
 
 
-def _streaminfo(n_samples: int, md5: bytes) -> bytes:
+def _streaminfo(n_samples: int, md5: bytes, channels: int = 1) -> bytes:
     body = struct.pack(">HH", _BLOCK, _BLOCK)  # min/max blocksize
     body += b"\x00\x00\x00" * 2  # min/max frame size: unknown (0)
-    packed = (_SAMPLE_RATE << 44) | ((1 - 1) << 41) | ((_BITS - 1) << 36) | n_samples
+    packed = (
+        (_SAMPLE_RATE << 44) | ((channels - 1) << 41)
+        | ((_BITS - 1) << 36) | n_samples
+    )
     body += packed.to_bytes(8, "big")
     body += md5
     assert len(body) == 34
@@ -353,16 +363,13 @@ def _best_rice(residuals: list[int]) -> tuple[int, int]:
     return best_r, best_bits
 
 
-def _frame(idx: int, samples: list[int]) -> bytes:
-    if len(samples) != _BLOCK:
-        raise ValueError("fixed blocksize: every frame is _BLOCK samples")
-    hdr = bytearray(b"\xff\xf8")  # sync + fixed blocking strategy
-    hdr.append(0x69)  # blocksize 'get 8 bit' (0110) + rate 44.1k (1001)
-    hdr.append(0x08)  # mono (0000) + 16-bit (100) + reserved 0
-    hdr += _utf8_frame_number(idx)
-    hdr.append(_BLOCK - 1)  # the 8-bit blocksize-1 field
-    hdr.append(crc8(bytes(hdr)))
-    bits = _Bits()
+def _write_subframe(bits: _Bits, samples: list[int], depth: int) -> None:
+    """One subframe at ``depth`` bits per sample (a SIDE channel is
+    depth 17, RFC 9639 9.2.1): cheapest of CONSTANT / FIXED 0-4 /
+    LPC 2-4 / VERBATIM by exact rice-coded size. LPC candidates use
+    the residuals of the QUANTIZED predictor, so the costed size is
+    the emitted size."""
+    mask = (1 << depth) - 1
 
     def write_rice(res: list[int], r: int) -> None:
         bits.write(0, 2)   # residual method 0: 4-bit rice
@@ -375,57 +382,126 @@ def _frame(idx: int, samples: list[int]) -> bytes:
 
     if len(set(samples)) == 1:  # CONSTANT subframe
         bits.write(0b000000 << 1, 8)  # pad 0 + type + wasted 0
-        bits.write(int(samples[0]) & 0xFFFF, 16)
-    else:
-        # pick the cheapest of FIXED orders 0-4 and LPC orders 2/3/4
-        # by exact rice-coded size; keep VERBATIM when prediction
-        # doesn't actually pay (noisy blocks). LPC candidates use the
-        # residuals of the QUANTIZED predictor, so the costed size is
-        # the emitted size.
-        best = None  # (bits, kind, order, r, residuals, qcoef, shift)
-        for order in range(5):
-            res = _fixed_residuals(samples, order)
-            r, nbits = _best_rice(res)
-            total = 16 * order + 2 + 4 + 4 + nbits
-            if best is None or total < best[0]:
-                best = (total, "fixed", order, r, res, None, 0)
-        for order in (2, 3, 4):
-            coefs = _lpc_coeffs(samples, order)
-            if coefs is None:
-                continue
-            qs = _quantize_lpc(coefs)
-            if qs is None:
-                continue
-            qcoef, shift = qs
-            res = _lpc_residuals(samples, qcoef, shift)
-            r, nbits = _best_rice(res)
-            total = (
-                16 * order + 4 + 5 + _LPC_PRECISION * order
-                + 2 + 4 + 4 + nbits
-            )
-            if total < best[0]:
-                best = (total, "lpc", order, r, res, qcoef, shift)
-        if best[0] < 16 * _BLOCK:  # prediction wins over VERBATIM
-            _, kind, order, r, res, qcoef, shift = best
-            if kind == "fixed":
-                bits.write((0b001000 | order) << 1, 8)
-            else:
-                bits.write((0b100000 | (order - 1)) << 1, 8)
-            for s in samples[:order]:  # warm-up, 16-bit
-                bits.write(int(s) & 0xFFFF, 16)
-            if kind == "lpc":
-                bits.write(_LPC_PRECISION - 1, 4)
-                bits.write(shift, 5)
-                for c in qcoef:
-                    bits.write(c & ((1 << _LPC_PRECISION) - 1),
-                               _LPC_PRECISION)
-            write_rice(res, r)
-        else:  # VERBATIM subframe
-            bits.write(0b000001 << 1, 8)
-            for s in samples:
-                bits.write(int(s) & 0xFFFF, 16)
+        bits.write(int(samples[0]) & mask, depth)
+        return
+    best = None  # (bits, kind, order, r, residuals, qcoef, shift)
+    for order in range(5):
+        res = _fixed_residuals(samples, order)
+        r, nbits = _best_rice(res)
+        total = depth * order + 2 + 4 + 4 + nbits
+        if best is None or total < best[0]:
+            best = (total, "fixed", order, r, res, None, 0)
+    for order in (2, 3, 4):
+        coefs = _lpc_coeffs(samples, order)
+        if coefs is None:
+            continue
+        qs = _quantize_lpc(coefs)
+        if qs is None:
+            continue
+        qcoef, shift = qs
+        res = _lpc_residuals(samples, qcoef, shift)
+        r, nbits = _best_rice(res)
+        total = (
+            depth * order + 4 + 5 + _LPC_PRECISION * order
+            + 2 + 4 + 4 + nbits
+        )
+        if total < best[0]:
+            best = (total, "lpc", order, r, res, qcoef, shift)
+    if best[0] < depth * len(samples):  # prediction wins over VERBATIM
+        _, kind, order, r, res, qcoef, shift = best
+        if kind == "fixed":
+            bits.write((0b001000 | order) << 1, 8)
+        else:
+            bits.write((0b100000 | (order - 1)) << 1, 8)
+        for s in samples[:order]:  # warm-up at the channel depth
+            bits.write(int(s) & mask, depth)
+        if kind == "lpc":
+            bits.write(_LPC_PRECISION - 1, 4)
+            bits.write(shift, 5)
+            for c in qcoef:
+                bits.write(c & ((1 << _LPC_PRECISION) - 1),
+                           _LPC_PRECISION)
+        write_rice(res, r)
+    else:  # VERBATIM subframe
+        bits.write(0b000001 << 1, 8)
+        for s in samples:
+            bits.write(int(s) & mask, depth)
+
+
+def _subframe_cost(samples: list[int], depth: int) -> int:
+    """Exact coded size in bits (header byte included) — the encoder
+    writes each candidate, so cost == emitted size by construction."""
+    b = _Bits()
+    _write_subframe(b, samples, depth)
+    return len(b.out) * 8 + b.n
+
+
+# frame-header channel-assignment nibbles (RFC 9639 9.1.3)
+_CH_MONO = 0b0000
+_CH_STEREO = 0b0001       # independent L/R
+_CH_LEFT_SIDE = 0b1000    # L + (L-R)
+_CH_RIGHT_SIDE = 0b1001   # (L-R) + R
+_CH_MID_SIDE = 0b1010     # ((L+R)>>1 | parity trick) + (L-R)
+
+
+def _frame_header(idx: int, channel_nibble: int) -> bytearray:
+    hdr = bytearray(b"\xff\xf8")  # sync + fixed blocking strategy
+    hdr.append(0x69)  # blocksize 'get 8 bit' (0110) + rate 44.1k (1001)
+    hdr.append((channel_nibble << 4) | 0x08)  # channels + 16-bit + rsvd
+    hdr += _utf8_frame_number(idx)
+    hdr.append(_BLOCK - 1)  # the 8-bit blocksize-1 field
+    hdr.append(crc8(bytes(hdr)))
+    return hdr
+
+
+def _frame(idx: int, samples: list[int]) -> bytes:
+    if len(samples) != _BLOCK:
+        raise ValueError("fixed blocksize: every frame is _BLOCK samples")
+    hdr = _frame_header(idx, _CH_MONO)
+    bits = _Bits()
+    _write_subframe(bits, samples, 16)
     frame = bytes(hdr) + bits.done()
     return frame + crc16(frame).to_bytes(2, "big")
+
+
+def _frame_stereo(idx: int, left: list[int], right: list[int]) -> bytes:
+    """One stereo frame; the channel ASSIGNMENT is chosen per frame
+    by exact coded size across all four modes — the real encoder
+    decision. Side channels code at 17 bits (RFC 9639 9.2.1)."""
+    if len(left) != _BLOCK or len(right) != _BLOCK:
+        raise ValueError("fixed blocksize: every frame is _BLOCK samples")
+    side = [l - r for l, r in zip(left, right)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    cands = [
+        (_CH_STEREO, (left, 16), (right, 16)),
+        (_CH_LEFT_SIDE, (left, 16), (side, 17)),
+        (_CH_RIGHT_SIDE, (side, 17), (right, 16)),
+        (_CH_MID_SIDE, (mid, 16), (side, 17)),
+    ]
+    best = None
+    for nib, (s1, d1), (s2, d2) in cands:
+        cost = _subframe_cost(s1, d1) + _subframe_cost(s2, d2)
+        if best is None or cost < best[0]:
+            best = (cost, nib, (s1, d1), (s2, d2))
+    _, nib, (s1, d1), (s2, d2) = best
+    hdr = _frame_header(idx, nib)
+    bits = _Bits()
+    _write_subframe(bits, s1, d1)
+    _write_subframe(bits, s2, d2)
+    frame = bytes(hdr) + bits.done()
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+def _container(n_samples: int, channels: int, md5: bytes,
+               comments: dict[str, str]) -> bytearray:
+    out = bytearray(_MAGIC)
+    si = _streaminfo(n_samples, md5, channels)
+    out += bytes([0x00]) + len(si).to_bytes(3, "big") + si
+    vc = _vorbis_comment(comments)
+    out += bytes([0x04]) + len(vc).to_bytes(3, "big") + vc
+    pad = b"\x00" * 8
+    out += bytes([0x80 | 0x01]) + len(pad).to_bytes(3, "big") + pad
+    return out
 
 
 def encode_flac(samples: list[int], comments: dict[str, str]) -> bytes:
@@ -434,23 +510,80 @@ def encode_flac(samples: list[int], comments: dict[str, str]) -> bytes:
     if len(samples) % _BLOCK:
         raise ValueError("sample count must be a multiple of the blocksize")
     md5 = hashlib.md5(_pcm_bytes(samples)).digest()
-    out = bytearray(_MAGIC)
-    si = _streaminfo(len(samples), md5)
-    out += bytes([0x00]) + len(si).to_bytes(3, "big") + si
-    vc = _vorbis_comment(comments)
-    out += bytes([0x04]) + len(vc).to_bytes(3, "big") + vc
-    pad = b"\x00" * 8
-    out += bytes([0x80 | 0x01]) + len(pad).to_bytes(3, "big") + pad
+    out = _container(len(samples), 1, md5, comments)
     for i in range(0, len(samples), _BLOCK):
         out += _frame(i // _BLOCK, samples[i : i + _BLOCK])
+    return bytes(out)
+
+
+def encode_flac_stereo(
+    left: list[int], right: list[int], comments: dict[str, str]
+) -> bytes:
+    """Stereo 16-bit FLAC with per-frame channel-decorrelation choice
+    (independent / left-side / right-side / mid-side by exact coded
+    size). STREAMINFO total_samples counts INTERCHANNEL samples and
+    the PCM MD5 runs over the interleaved L,R stream, per spec."""
+    if len(left) != len(right):
+        raise ValueError("channel length mismatch")
+    if len(left) % _BLOCK:
+        raise ValueError("sample count must be a multiple of the blocksize")
+    inter = [v for pair in zip(left, right) for v in pair]
+    md5 = hashlib.md5(_pcm_bytes(inter)).digest()
+    out = _container(len(left), 2, md5, comments)
+    for i in range(0, len(left), _BLOCK):
+        out += _frame_stereo(
+            i // _BLOCK, left[i : i + _BLOCK], right[i : i + _BLOCK]
+        )
     return bytes(out)
 
 
 # --- decoder ---------------------------------------------------------------------
 
 
-def _signed16(v: int) -> int:
-    return v - 0x10000 if v & 0x8000 else v
+def _signed(v: int, depth: int) -> int:
+    return v - (1 << depth) if v & (1 << (depth - 1)) else v
+
+
+def _read_subframe(br: _BitsIn, blocksize: int, depth: int) -> list[int]:
+    """One subframe at ``depth`` bits per sample, header byte
+    included — everything through the bit reader, because a stereo
+    frame's second subframe is not byte-aligned."""
+    sub = br.read(8)
+    if sub & 0x81:
+        raise ValueError("bad subframe header padding/wasted bits")
+    stype = (sub >> 1) & 0x3F
+    if stype == 0:  # CONSTANT
+        return [_signed(br.read(depth), depth)] * blocksize
+    if stype == 1:  # VERBATIM
+        return [_signed(br.read(depth), depth) for _ in range(blocksize)]
+    if 0b001000 <= stype <= 0b001100:  # FIXED, order 0..4
+        order = stype & 0x07
+        warm = [_signed(br.read(depth), depth) for _ in range(order)]
+        res = _read_residuals(br, blocksize, order)
+        coef = _FIXED_COEF[order]
+        out = list(warm)
+        for e in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coef))
+            out.append(e + pred)
+        return out
+    if stype & 0b100000:  # LPC, order 1..32 (RFC 9639 9.2.3)
+        order = (stype & 0x1F) + 1
+        warm = [_signed(br.read(depth), depth) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC coefficient precision 0b1111")
+        shift = br.read(5)  # unsigned per RFC 9639 (never negative)
+        qcoef = [_signed(br.read(prec), prec) for _ in range(order)]
+        res = _read_residuals(br, blocksize, order)
+        out = list(warm)
+        for e in res:
+            # spec-mandated ARITHMETIC right shift of the (possibly
+            # negative) coefficient dot product — Python's >> is
+            # exactly that
+            pred = sum(c * out[-1 - j] for j, c in enumerate(qcoef))
+            out.append(e + (pred >> shift))
+        return out
+    raise NotImplementedError(f"reserved subframe type {stype}")
 
 
 def _read_residuals(br: _BitsIn, blocksize: int, order: int) -> list[int]:
@@ -531,16 +664,21 @@ def decode_flac(buf: bytes) -> dict:
             break
     if streaminfo is None:
         raise ValueError("missing STREAMINFO")
-    if streaminfo["channels"] != 1 or streaminfo["bits"] != 16:
-        raise NotImplementedError("mono 16-bit only")
+    if streaminfo["channels"] not in (1, 2) or streaminfo["bits"] != 16:
+        raise NotImplementedError("1-2 channel 16-bit only")
     samples: list[int] = []
     n_frames = 0
+    channels = streaminfo["channels"]
     while pos < len(buf):
         start = pos
         if buf[pos] != 0xFF or buf[pos + 1] & 0xFE != 0xF8:
             raise ValueError(f"lost frame sync at {pos}")
-        if buf[pos + 2] != 0x69 or buf[pos + 3] != 0x08:
-            raise NotImplementedError("unexpected frame coding")
+        if buf[pos + 2] != 0x69:
+            raise NotImplementedError("unexpected blocksize/rate coding")
+        ch_byte = buf[pos + 3]
+        if ch_byte & 0x01 or ((ch_byte >> 1) & 0x7) != 0b100:
+            raise NotImplementedError("unexpected sample-size coding")
+        nib = ch_byte >> 4
         idx, at = _read_utf8_number(buf, pos + 4)
         if idx != n_frames:
             raise ValueError("frame number out of sequence")
@@ -549,69 +687,50 @@ def decode_flac(buf: bytes) -> dict:
         if crc8(buf[start:at]) != buf[at]:
             raise ValueError(f"frame header CRC-8 mismatch at {start}")
         at += 1
-        sub = buf[at]
-        at += 1
-        if sub & 0x81:
-            raise ValueError("bad subframe header padding/wasted bits")
-        stype = (sub >> 1) & 0x3F
-        if stype == 0:  # CONSTANT
-            v = int.from_bytes(buf[at : at + 2], "big", signed=True)
-            at += 2
-            frame_samples = [v] * blocksize
-        elif stype == 1:  # VERBATIM
-            frame_samples = [
-                int.from_bytes(buf[at + 2 * k : at + 2 * k + 2], "big",
-                               signed=True)
-                for k in range(blocksize)
-            ]
-            at += 2 * blocksize
-        elif 0b001000 <= stype <= 0b001100:  # FIXED, order 0..4
-            order = stype & 0x07
-            br = _BitsIn(buf, at)
-            warm = [_signed16(br.read(16)) for _ in range(order)]
-            res = _read_residuals(br, blocksize, order)
-            at = br.align()
-            coef = _FIXED_COEF[order]
-            frame_samples = list(warm)
-            for e in res:
-                pred = sum(
-                    c * frame_samples[-1 - j] for j, c in enumerate(coef)
-                )
-                frame_samples.append(e + pred)
-        elif stype & 0b100000:  # LPC, order 1..32 (RFC 9639 9.2.3)
-            order = (stype & 0x1F) + 1
-            br = _BitsIn(buf, at)
-            warm = [_signed16(br.read(16)) for _ in range(order)]
-            prec = br.read(4) + 1
-            if prec == 16:
-                raise ValueError("invalid LPC coefficient precision 0b1111")
-            shift = br.read(5)  # unsigned per RFC 9639 (never negative)
-            qcoef = []
-            for _ in range(order):
-                c = br.read(prec)
-                if c & (1 << (prec - 1)):
-                    c -= 1 << prec
-                qcoef.append(c)
-            res = _read_residuals(br, blocksize, order)
-            at = br.align()
-            frame_samples = list(warm)
-            for e in res:
-                # spec-mandated ARITHMETIC right shift of the (possibly
-                # negative) coefficient dot product — Python's >> is
-                # exactly that
-                pred = sum(
-                    c * frame_samples[-1 - j] for j, c in enumerate(qcoef)
-                ) >> shift
-                frame_samples.append(e + pred)
+        br = _BitsIn(buf, at)
+        if nib == _CH_MONO:
+            if channels != 1:
+                raise ValueError("mono frame in a stereo stream")
+            frame_samples = _read_subframe(br, blocksize, 16)
         else:
-            raise NotImplementedError(f"reserved subframe type {stype}")
+            if channels != 2:
+                raise ValueError("stereo frame in a mono stream")
+            if nib == _CH_STEREO:
+                left = _read_subframe(br, blocksize, 16)
+                right = _read_subframe(br, blocksize, 16)
+            elif nib == _CH_LEFT_SIDE:
+                left = _read_subframe(br, blocksize, 16)
+                side = _read_subframe(br, blocksize, 17)
+                right = [l - s for l, s in zip(left, side)]
+            elif nib == _CH_RIGHT_SIDE:
+                side = _read_subframe(br, blocksize, 17)
+                right = _read_subframe(br, blocksize, 16)
+                left = [r + s for r, s in zip(right, side)]
+            elif nib == _CH_MID_SIDE:
+                mid = _read_subframe(br, blocksize, 16)
+                side = _read_subframe(br, blocksize, 17)
+                # RFC 9639 9.1.3: mid dropped the sum's low bit; it
+                # rides the side's parity: L=(2m+(s&1)+s)>>1, R=L-s
+                left, right = [], []
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+            else:
+                raise NotImplementedError(
+                    f"channel assignment {nib:#06b} (3+ channels)"
+                )
+            frame_samples = [
+                v for pair in zip(left, right) for v in pair
+            ]
+        at = br.align()
         if crc16(buf[start:at]) != int.from_bytes(buf[at : at + 2], "big"):
             raise ValueError(f"frame CRC-16 mismatch at {start}")
         at += 2
         samples += frame_samples
         n_frames += 1
         pos = at
-    if len(samples) != streaminfo["total_samples"]:
+    if len(samples) != streaminfo["total_samples"] * channels:
         raise ValueError("decoded sample count != STREAMINFO total")
     md5_ok = hashlib.md5(_pcm_bytes(samples)).digest() == streaminfo["md5"]
     return {
@@ -664,6 +783,120 @@ def _doc_samples(doc_id: int) -> list[int]:
                 for k in range(_BLOCK)
             ]
     return out
+
+
+def _doc_stereo(doc_id: int) -> tuple[list[int], list[int]]:
+    """(4 + id%5) stereo frames cycling four channel-correlation
+    textures so the per-frame assignment choice stays hot: f%4==0
+    flat L/R (independent CONSTANT), f%4==1 clean-ramp RIGHT with a
+    perturbed LEFT (right-side wins: side and R are both cheaper than
+    L), f%4==2 quadrature sines over different bases (mid-side /
+    LPC territory), f%4==3 independent hash noise (independent
+    VERBATIM). Pure integer formulas the oracle recomputes."""
+    n_frames = 4 + doc_id % 5
+    left: list[int] = []
+    right: list[int] = []
+    for f in range(n_frames):
+        base = (doc_id * 7 + f * 29) % 4096 - 2048
+        base2 = (doc_id * 11 + f * 17) % 4096 - 2048
+        if f == 5:
+            # the f%4==1 texture MIRRORED (clean LEFT, perturbed
+            # RIGHT) so left-side decorrelation wins too; only docs
+            # with >=6 frames (id%5>=2) carry it
+            ln = [
+                (doc_id * 7 + f * 29 + k * 13) % 4096 - 2048
+                for k in range(_BLOCK)
+            ]
+            left += ln
+            right += [
+                v + ((doc_id * 3 + k * 48271) % 23 - 11)
+                for k, v in enumerate(ln)
+            ]
+            continue
+        if f % 4 == 0:
+            left += [base] * _BLOCK
+            right += [base2] * _BLOCK
+        elif f % 4 == 1:
+            r = [
+                (doc_id * 7 + f * 29 + k * 13) % 4096 - 2048
+                for k in range(_BLOCK)
+            ]
+            right += r
+            left += [
+                v + ((doc_id * 3 + k * 48271) % 23 - 11)
+                for k, v in enumerate(r)
+            ]
+        elif f % 4 == 2:
+            left += [base + _SINE8[k % 8] for k in range(_BLOCK)]
+            right += [base2 + _SINE8[(k + 2) % 8] for k in range(_BLOCK)]
+        else:
+            left += [
+                (doc_id * 7 + f * 29 + k * 48271) % 65536 - 32768
+                for k in range(_BLOCK)
+            ]
+            right += [
+                (doc_id * 11 + f * 17 + k * 16807) % 65536 - 32768
+                for k in range(_BLOCK)
+            ]
+    return left, right
+
+
+def synthesize_flac_stereo_clips(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    out_schema = f"{id_col} long, content binary"
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                left, right = _doc_stereo(i)
+                blobs.append(
+                    encode_flac_stereo(left, right, {"TITLE": f"doc {i}"})
+                )
+                ids.append(i)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "content": pd.Series(blobs, dtype=object)})
+
+    return docs.select(id_col).mapInPandas(build, out_schema)
+
+
+def flac_stereo_features(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    out_schema = (
+        f"{id_col} long, n_channels int, n_frames int, n_samples long,"
+        " sum_left long, sum_right long, pcm_md5_ok boolean"
+    )
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf[id_col], pdf[content_col]):
+                d = decode_flac(bytes(content))
+                inter = d["samples"]
+                rows.append(
+                    (
+                        int(i),
+                        d["streaminfo"]["channels"],
+                        d["n_frames"],
+                        len(inter) // 2,
+                        sum(inter[0::2]),
+                        sum(inter[1::2]),
+                        d["md5_ok"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_channels", "n_frames", "n_samples",
+                         "sum_left", "sum_right", "pcm_md5_ok"],
+            )
+
+    return media.mapInPandas(feat, out_schema)
 
 
 def synthesize_flac_clips(

@@ -1314,6 +1314,85 @@ FROM documents
 """
 
 
+def m30_flac_stereo(spark, sf_dir):
+    """M30: stereo FLAC with per-frame CHANNEL DECORRELATION
+    (multimodal/flac.py) — all four RFC 9639 channel assignments hot
+    on the query path via correlation textures (independent /
+    left-side / right-side / mid-side, the encoder choosing per frame
+    by exact coded size), side channels coded at 17 bits, the
+    mid-side low-bit parity trick exact on decode, and the
+    STREAMINFO MD5 verified over the interleaved L,R PCM. The oracle
+    recomputes frame counts and BOTH channel sums from the pure
+    integer texture formulas. Narrow scan -> mapInPandas, zero
+    shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        flac_stereo_features,
+        synthesize_flac_stereo_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_flac_stereo_clips(d, id_col="doc_id")
+    return flac_stereo_features(media)
+
+
+# the _SINE8 table as SQL; sums recompute every per-sample formula in
+# multimodal/flac.py _doc_stereo including the f==5 mirrored texture
+def _sine_sql(expr):
+    return ("CASE " + expr + " WHEN 0 THEN 0 WHEN 1 THEN 5793"
+            " WHEN 2 THEN 8192 WHEN 3 THEN 5793 WHEN 4 THEN 0"
+            " WHEN 5 THEN -5793 WHEN 6 THEN -8192 ELSE -5793 END")
+
+
+M30_SQL = f"""
+WITH fr AS (
+  SELECT doc_id, f.f AS f
+  FROM documents, UNNEST(range(0, 9)) AS f(f)
+  WHERE f.f < 4 + doc_id % 5
+), per AS (
+  SELECT fr.doc_id, fr.f,
+         SUM(CASE
+             WHEN fr.f = 5 THEN
+               (fr.doc_id * 7 + fr.f * 29 + k.k * 13) % 4096 - 2048
+             WHEN fr.f % 4 = 0 THEN
+               (fr.doc_id * 7 + fr.f * 29) % 4096 - 2048
+             WHEN fr.f % 4 = 1 THEN
+               (fr.doc_id * 7 + fr.f * 29 + k.k * 13) % 4096 - 2048
+               + ((fr.doc_id * 3 + k.k * 48271) % 23 - 11)
+             WHEN fr.f % 4 = 2 THEN
+               (fr.doc_id * 7 + fr.f * 29) % 4096 - 2048
+               + {_sine_sql('k.k % 8')}
+             ELSE
+               (fr.doc_id * 7 + fr.f * 29 + k.k * 48271) % 65536 - 32768
+             END) AS lsum,
+         SUM(CASE
+             WHEN fr.f = 5 THEN
+               (fr.doc_id * 7 + fr.f * 29 + k.k * 13) % 4096 - 2048
+               + ((fr.doc_id * 3 + k.k * 48271) % 23 - 11)
+             WHEN fr.f % 4 = 0 THEN
+               (fr.doc_id * 11 + fr.f * 17) % 4096 - 2048
+             WHEN fr.f % 4 = 1 THEN
+               (fr.doc_id * 7 + fr.f * 29 + k.k * 13) % 4096 - 2048
+             WHEN fr.f % 4 = 2 THEN
+               (fr.doc_id * 11 + fr.f * 17) % 4096 - 2048
+               + {_sine_sql('(k.k + 2) % 8')}
+             ELSE
+               (fr.doc_id * 11 + fr.f * 17 + k.k * 16807) % 65536 - 32768
+             END) AS rsum
+  FROM fr, UNNEST(range(0, 16)) AS k(k)
+  GROUP BY fr.doc_id, fr.f
+)
+SELECT doc_id,
+       CAST(2 AS INT) AS n_channels,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(COUNT(*) * 16 AS BIGINT) AS n_samples,
+       CAST(SUM(lsum) AS BIGINT) AS sum_left,
+       CAST(SUM(rsum) AS BIGINT) AS sum_right,
+       TRUE AS pcm_md5_ok
+FROM per GROUP BY doc_id
+"""
+
+
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -1339,6 +1418,7 @@ QUERIES = {
     "m27_tiff_stats": m27_tiff_stats,
     "m28_flac_audio": m28_flac_audio,
     "m29_gzip_inflate": m29_gzip_inflate,
+    "m30_flac_stereo": m30_flac_stereo,
 }
 
 ORACLE = {
@@ -1366,4 +1446,5 @@ ORACLE = {
     "m27_tiff_stats": M27_SQL,
     "m28_flac_audio": M28_SQL,
     "m29_gzip_inflate": M29_SQL,
+    "m30_flac_stereo": M30_SQL,
 }

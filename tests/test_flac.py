@@ -324,3 +324,129 @@ def test_encoder_lpc_is_chosen_and_smaller_on_fixture_sine_frames():
                 assert st & 0b100000, (doc_id, f, st)
                 seen_lpc += 1
     assert seen_lpc >= 12
+
+
+# --- stereo channel decorrelation (RFC 9639 9.1.3) ----------------------------------
+
+
+def _hand_stereo_frame(nib: int, body_bits: list[tuple[int, int]]) -> bytes:
+    hdr = bytearray(b"\xff\xf8\x69")
+    hdr.append((nib << 4) | 0x08)
+    hdr.append(0x00)  # frame number 0
+    hdr.append(_BLOCK - 1)
+    hdr.append(crc8(bytes(hdr)))
+    acc, n = 0, 0
+    out = bytearray()
+    for v, w in body_bits:
+        acc = (acc << w) | v
+        n += w
+        while n >= 8:
+            n -= 8
+            out.append((acc >> n) & 0xFF)
+            acc &= (1 << n) - 1
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    frame = bytes(hdr) + bytes(out)
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+def _wrap_stereo(frame: bytes, left, right) -> bytes:
+    import hashlib as _h
+
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        _pcm_bytes,
+        _streaminfo,
+    )
+
+    inter = [v for p in zip(left, right) for v in p]
+    si = _streaminfo(len(left), _h.md5(_pcm_bytes(inter)).digest(),
+                     channels=2)
+    return (b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+            + frame)
+
+
+def test_hand_built_stereo_decorrelation_pins():
+    # CONSTANT subframes keep the arithmetic hand-checkable; the side
+    # channel is 17 bits wide
+    cases = [
+        # left/side: L=10, side=4 -> R = 6
+        (0b1000, [(0, 8), (10, 16), (0, 8), (4, 17)],
+         [10] * _BLOCK, [6] * _BLOCK),
+        # right/side: side=4, R=6 -> L = 10
+        (0b1001, [(0, 8), (4, 17), (0, 8), (6, 16)],
+         [10] * _BLOCK, [6] * _BLOCK),
+        # mid/side with ODD side (parity trick): L=5,R=2 -> mid=3,
+        # side=3; decode: m2=(3<<1)|1=7, L=(7+3)>>1=5, R=(7-3)>>1=2
+        (0b1010, [(0, 8), (3, 16), (0, 8), (3, 17)],
+         [5] * _BLOCK, [2] * _BLOCK),
+        # independent stereo
+        (0b0001, [(0, 8), (7, 16), (0, 8), ((-7) & 0xFFFF, 16)],
+         [7] * _BLOCK, [-7] * _BLOCK),
+    ]
+    for nib, bits, left, right in cases:
+        d = decode_flac(_wrap_stereo(_hand_stereo_frame(nib, bits),
+                                     left, right))
+        inter = [v for p in zip(left, right) for v in p]
+        assert d["samples"] == inter, nib
+        assert d["md5_ok"], nib
+
+
+def test_stereo_negative_side_reconstruction():
+    # side channels are SIGNED 17-bit: L=2, side=-5 -> R = 7
+    bits = [(0, 8), (2, 16), (0, 8), ((-5) & 0x1FFFF, 17)]
+    d = decode_flac(_wrap_stereo(_hand_stereo_frame(0b1000, bits),
+                                 [2] * _BLOCK, [7] * _BLOCK))
+    assert d["samples"] == [v for p in zip([2] * 16, [7] * 16) for v in p]
+    assert d["md5_ok"]
+
+
+def test_stereo_roundtrip_and_all_assignments_hot():
+    import collections
+
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        _doc_stereo,
+        encode_flac_stereo,
+    )
+
+    modes = collections.Counter()
+    for i in range(20):
+        left, right = _doc_stereo(i)
+        blob = encode_flac_stereo(left, right, {"TITLE": f"doc {i}"})
+        d = decode_flac(blob)
+        inter = [v for p in zip(left, right) for v in p]
+        assert d["samples"] == inter and d["md5_ok"], i
+        assert d["streaminfo"]["channels"] == 2
+        assert d["streaminfo"]["total_samples"] == len(left)
+        pos = blob.find(b"\xff\xf8", 4)
+        while pos != -1:
+            modes[blob[pos + 3] >> 4] += 1
+            pos = blob.find(b"\xff\xf8", pos + 2)
+    # the fixture textures keep every stereo assignment hot
+    assert set(modes) >= {0b0001, 0b1000, 0b1001, 0b1010}, dict(modes)
+
+
+def test_stereo_extreme_sample_values_roundtrip():
+    # side = L-R spans the full 17-bit range at int16 extremes
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        encode_flac_stereo,
+    )
+
+    left = [32767, -32768] * 8
+    right = [-32768, 32767] * 8
+    d = decode_flac(encode_flac_stereo(left, right, {}))
+    assert d["samples"] == [v for p in zip(left, right) for v in p]
+    assert d["md5_ok"]
+
+
+def test_channel_count_gate_still_loud():
+    # 3+ channels remain a declared gate
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        _pcm_bytes,
+        _streaminfo,
+    )
+    import hashlib as _h
+
+    si = _streaminfo(16, _h.md5(b"").digest(), channels=3)
+    blob = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    with pytest.raises(NotImplementedError, match="1-2 channel"):
+        decode_flac(blob)
