@@ -683,6 +683,96 @@ FROM red
 """
 
 
+def t_c4_line_filters(spark, sf_dir):
+    """C4-style line-level cleaning (text/analysis.py c4_keep_lines —
+    the published Raffel et al. 2020 rules: >=5 words, terminal
+    punctuation, no javascript / lorem ipsum / cookie / policy /
+    curly-brace lines). Each document becomes a deterministic "page"
+    of 7 candidate lines (the corpus text as a good sentence, plus
+    id-keyed decoration lines that each trip exactly one rule), both
+    engines build the identical page, and the kept-line set is
+    md5-pinned. One JVM higher-order filter expression: no Python,
+    no shuffle, page-parallel at any corpus size."""
+    from neuroimaging_data_pipeline_spark.text.analysis import (
+        c4_keep_lines,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    did = F.col("doc_id")
+    lines = F.array(
+        F.concat(F.col("text"), F.lit(".")),
+        F.when(did % 2 == 0, F.lit("too short line.")).otherwise(
+            F.lit("this perfectly fine sentence has enough words.")
+        ),
+        F.when(did % 3 == 0,
+               F.lit("please enable javascript to view this page."))
+        .otherwise(F.lit("a second good sentence keeps the page alive.")),
+        F.when(did % 5 == 0, F.lit("lorem ipsum dolor sit amet consectetur."))
+        .otherwise(F.lit("genuine prose continues with more words here.")),
+        F.when(did % 4 == 0, F.lit("function f() { return 1; }"))
+        .otherwise(F.lit("no code markers appear in this line at all.")),
+        F.when(did % 7 == 0,
+               F.lit("read our cookie policy before continuing today."))
+        .otherwise(F.lit("closing sentence wraps the page up nicely.")),
+        F.concat(F.lit("trailing line without terminal punctuation doc "),
+                 did.cast("string")),
+    )
+    kept = c4_keep_lines(lines)
+    return d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        (F.size(kept) >= 4).alias("keep_page"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
+    )
+
+
+def _c4_sql_lines() -> str:
+    return """[
+      text || '.',
+      CASE WHEN doc_id % 2 = 0 THEN 'too short line.'
+           ELSE 'this perfectly fine sentence has enough words.' END,
+      CASE WHEN doc_id % 3 = 0
+           THEN 'please enable javascript to view this page.'
+           ELSE 'a second good sentence keeps the page alive.' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN 'lorem ipsum dolor sit amet consectetur.'
+           ELSE 'genuine prose continues with more words here.' END,
+      CASE WHEN doc_id % 4 = 0 THEN 'function f() { return 1; }'
+           ELSE 'no code markers appear in this line at all.' END,
+      CASE WHEN doc_id % 7 = 0
+           THEN 'read our cookie policy before continuing today.'
+           ELSE 'closing sentence wraps the page up nicely.' END,
+      'trailing line without terminal punctuation doc '
+        || CAST(doc_id AS VARCHAR)
+    ]"""
+
+
+T_C4_SQL = f"""
+WITH pages AS (
+  SELECT doc_id, {_c4_sql_lines()} AS lines FROM documents
+), kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x ->
+           len(regexp_split_to_array(trim(x), '\\s+')) >= 5
+           AND regexp_matches(lower(x), '[.!?"]$')
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'lorem ipsum')
+           AND NOT contains(lower(x), 'cookie')
+           AND NOT contains(lower(x), 'policy')
+           AND NOT contains(lower(x), '{{')
+         ) AS keep
+  FROM pages
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(keep) AS INT) AS n_kept,
+       (len(keep) >= 4) AS keep_page,
+       md5(list_aggregate(keep, 'string_agg', chr(10))) AS clean_md5
+FROM kept
+"""
+
+
 def t_sample(spark, sf_dir):
     """Deterministic 1-in-10 corpus sample via content-addressed
     hash buckets (text/analysis.py hash_bucket) — reproducible across
@@ -1110,6 +1200,126 @@ SELECT bg.doc_id,
 FROM bg
 JOIN pair_c USING (bg)
 JOIN w1_c USING (w1)
+GROUP BY bg.doc_id
+"""
+
+
+def t_kn_bigram(spark, sf_dir):
+    """Per-document cross-entropy under an interpolated KNESER-NEY
+    bigram model trained on the corpus itself — the smoothing KenLM
+    actually ships (t_bigram_xent is the MLE baseline; KN replaces
+    raw frequency with absolute discounting plus a CONTINUATION
+    distribution, so words that appear in many contexts get backoff
+    mass even when a specific transition is rare):
+
+      P(w|v) = (c(vw) - D)/c(v) + (D * N1+(v.)/c(v)) * N1+(.w)/T
+
+    with D = 0.75, N1+(v.) = distinct continuations of v, N1+(.w) =
+    distinct contexts of w, T = distinct bigram types. Training and
+    scoring share the corpus, so every scored bigram has c(vw) >= 1
+    and the discounted term stays positive; the continuation term is
+    exercised on every evaluation. Both engines compute P with the
+    IDENTICAL operation order (same IEEE doubles in, same bits out),
+    and per-doc log sums use the decimal-exact discipline.
+
+    Scale: one bigram explode; the model-side joins (pair counts x
+    context stats) run at bigram-TYPE scale; ONE fact-to-model
+    equi-join at occurrence scale (AQE-skew-safe, same shape as
+    t_bigram_xent); T rides a broadcast single-row aggregate."""
+    from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    bg = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .filter(F.col("bg").contains(" "))
+    )
+    pair_c = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .withColumn("w2", F.split(F.col("bg"), " ")[1])
+    )
+    w1_c = bg.groupBy(F.split(F.col("bg"), " ")[0].alias("w1")).agg(
+        F.count(F.lit(1)).alias("c_w1")
+    )
+    n1_fwd = pair_c.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
+    n1_bwd = pair_c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = pair_c.agg(F.count(F.lit(1)).alias("t_types"))
+    model = (
+        pair_c.join(w1_c, "w1")
+        .join(n1_fwd, "w1")
+        .join(n1_bwd, "w2")
+        .crossJoin(F.broadcast(types))
+    )
+    dd = F.lit(0.75)
+    p_kn = (
+        (F.col("c_bg").cast("double") - dd)
+        / F.col("c_w1").cast("double")
+        + (dd * F.col("n1f").cast("double") / F.col("c_w1").cast("double"))
+        * (F.col("n1b").cast("double") / F.col("t_types").cast("double"))
+    )
+    scored = bg.join(model.select("bg", p_kn.alias("p")), "bg")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.round(
+                -F.try_divide(
+                    dec_sum(F.log(F.col("p"))),
+                    F.count(F.lit(1)).cast("double"),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("xent_kn"),
+    )
+
+
+T_KN_BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, B AS bg FROM (
+    SELECT doc_id,
+           UNNEST([array_to_string(t[i:i+1], ' ')
+                   for i in generate_series(1, GREATEST(len(t) - 1, 1))]) AS B
+    FROM toks
+  ) WHERE contains(B, ' ')
+), pair_c AS (
+  SELECT bg, COUNT(*) AS c_bg,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM bg GROUP BY bg
+), w1_c AS (
+  SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS c_w1
+  FROM bg GROUP BY 1
+), n1_fwd AS (
+  SELECT w1, COUNT(*) AS n1f FROM pair_c GROUP BY w1
+), n1_bwd AS (
+  SELECT w2, COUNT(*) AS n1b FROM pair_c GROUP BY w2
+), model AS (
+  SELECT pair_c.bg,
+         (CAST(c_bg AS DOUBLE) - 0.75) / CAST(c_w1 AS DOUBLE)
+         + (0.75 * CAST(n1f AS DOUBLE) / CAST(c_w1 AS DOUBLE))
+         * (CAST(n1b AS DOUBLE)
+            / CAST((SELECT COUNT(*) FROM pair_c) AS DOUBLE)) AS p
+  FROM pair_c
+  JOIN w1_c USING (w1)
+  JOIN n1_fwd USING (w1)
+  JOIN n1_bwd USING (w2)
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       (ROUND(-(CAST(SUM(CAST(ln(model.p) AS DECIMAL(28,10))) AS DOUBLE))
+              / COUNT(*), 6) + 0.0) AS xent_kn
+FROM bg JOIN model USING (bg)
 GROUP BY bg.doc_id
 """
 
@@ -2234,10 +2444,12 @@ QUERIES = {
     "e8_entity_resolution": e8_entity_resolution,
     "d_contamination": d_contamination,
     "t_bigram_xent": t_bigram_xent,
+    "t_kn_bigram": t_kn_bigram,
     "t_repetition": t_repetition,
     "e2_corpus_pipeline": e2_corpus_pipeline,
     "t_pii_signals": t_pii_signals,
     "t_pii_redact": t_pii_redact,
+    "t_c4_line_filters": t_c4_line_filters,
     "t_sample": t_sample,
     "t_quality_signals": t_quality_signals,
     "t_lang_id": t_lang_id,
@@ -2263,10 +2475,12 @@ ORACLE = {
     "e8_entity_resolution": E8_SQL,
     "d_contamination": D_CONTAM_SQL,
     "t_bigram_xent": T_BIGRAM_XENT_SQL,
+    "t_kn_bigram": T_KN_BIGRAM_SQL,
     "t_repetition": T_REPETITION_SQL,
     "e2_corpus_pipeline": E2_PIPE_SQL,
     "t_pii_signals": T_PII_SQL,
     "t_pii_redact": T_PII_REDACT_SQL,
+    "t_c4_line_filters": T_C4_SQL,
     "t_sample": T_SAMPLE_SQL,
     "t_quality_signals": T_QUALITY_SQL,
     "t_gopher_repetition": T_GOPHER_SQL,

@@ -290,6 +290,33 @@ PII_PLACEHOLDERS: dict[str, str] = {
 PII_REDACTION_ORDER = ["emails", "ipv4", "intl_phones"]
 
 
+#: C4-style line filters (Raffel et al. 2020, the public C4 cleaning
+#: rules): a line survives iff it has >= C4_MIN_WORDS words, ends in
+#: terminal punctuation, and contains none of the C4_BANNED markers
+#: (the curly brace is the paper's code heuristic). Kept as data so
+#: the DuckDB oracle twin applies literally the same constants.
+C4_MIN_WORDS = 5
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_BANNED = ["javascript", "lorem ipsum", "cookie", "policy", "{"]
+
+
+def c4_keep_lines(lines: Column) -> Column:
+    """Filter an array-of-lines column by the C4 rules — one JVM
+    higher-order expression (no Python, no shuffle): the line-level
+    cleaning pass a web corpus runs before any quality scoring."""
+    def keep(line: Column) -> Column:
+        low = F.lower(line)
+        cond = (
+            (F.size(F.split(F.trim(line), r"\s+")) >= C4_MIN_WORDS)
+            & (low.rlike(C4_TERMINAL_RE))
+        )
+        for marker in C4_BANNED:
+            cond = cond & ~low.contains(F.lit(marker))
+        return cond
+
+    return F.filter(lines, keep)
+
+
 def pii_redact(text: str | Column) -> Column:
     """REDACT (not just count) PII surface: rewrite every detector
     match to its placeholder token, in PII_REDACTION_ORDER — the

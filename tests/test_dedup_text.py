@@ -625,3 +625,62 @@ def test_entity_resolution_transitive_across_channels(spark):
     got = {r.id: r.cluster_id for r in cc.collect()}
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == 4
+
+
+def test_c4_line_filter_rules(spark):
+    from neuroimaging_data_pipeline_spark.text.analysis import c4_keep_lines
+
+    rows = [
+        (["this sentence has exactly enough words here.",   # keep
+          "four words too few.",                             # < 5 words
+          "plenty of words but no terminal punctuation",     # no punct
+          "please enable JavaScript to continue browsing.",  # banned (ci)
+          "lorem ipsum filler text goes on and on.",         # banned
+          "accept our cookie policy to read further today.", # banned
+          "var f = function() { return 1; } extra words.",   # brace
+          'he said "this quoted sentence should be kept."',  # quote end
+          "short one!",                                      # < 5 words
+          "is this a kept question with enough words?"],     # ? end
+         ),
+    ]
+    df = spark.createDataFrame(rows, "lines array<string>")
+    kept = df.select(c4_keep_lines(F.col("lines")).alias("k")).head().k
+    assert kept == [
+        "this sentence has exactly enough words here.",
+        'he said "this quoted sentence should be kept."',
+        "is this a kept question with enough words?",
+    ]
+
+
+def test_kn_bigram_hand_computed_probability(spark):
+    """Interpolated KN on a corpus small enough to do by hand:
+    docs 'a b a b' and 'a c'. Bigrams: ab(x2), ba(x1), ac(x1).
+    c(a.)=3, c(b.)=1; N1+(a.)=2, N1+(b.)=1; N1+(.b)=1, N1+(.a)=1,
+    N1+(.c)=1; T=3. D=0.75.
+      P(b|a) = (2-.75)/3 + (.75*2/3)*(1/3) = 0.41666.. + 0.16666..
+      P(a|b) = (1-.75)/1 + (.75*1/1)*(1/3) = 0.25 + 0.25 = 0.5
+      P(c|a) = (1-.75)/3 + (.75*2/3)*(1/3) = 0.0833.. + 0.16666..
+    doc0 xent = -(2*ln(0.58333..) + ln(0.5))/3
+    doc1 xent = -ln(0.25)
+    """
+    import math
+
+    from neuroimaging_data_pipeline_spark.queries.textops import t_kn_bigram
+    import os
+    import tempfile
+
+    # run the registered query against a miniature documents table
+    tmp = tempfile.mkdtemp(prefix="kn_bigram_")
+    spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: (r.n_bigrams, r.xent_kn)
+           for r in t_kn_bigram(spark, tmp).collect()}
+    p_ab = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+    p_ba = 0.5
+    p_ac = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+    assert out[0][0] == 3
+    assert out[0][1] == pytest.approx(
+        -(2 * math.log(p_ab) + math.log(p_ba)) / 3, abs=1e-6)
+    assert out[1][0] == 1
+    assert out[1][1] == pytest.approx(-math.log(p_ac), abs=1e-6)
