@@ -1250,6 +1250,42 @@ FROM v
 """
 
 
+
+def s28_tfrecord_shards(spark, sf_dir):
+    """S28: TFRecord + tf.train.Example shards (sources/tfrecord.py)
+    — THE classic ML training-shard format, with both the frame layer
+    and the protobuf WIRE FORMAT implemented from scratch (no
+    tensorflow, no protobuf lib): LE64-length frames double-guarded
+    by masked CRC-32C checksums (shared with the snappy module's
+    from-scratch Castagnoli table), varints with the 10-byte negative
+    form (odd ids ship NEGATED to keep it hot), length-delimited
+    map<string, Feature> entries, BytesList, packed Int64List and
+    packed float32 FloatList (quarter-step scores so f32 is exact
+    cross-engine), unknown fields skipped by wire type. The oracle
+    recomputes every per-doc feature from the documents table — any
+    framing, varint, zigzag-less negative, packing or checksum bug
+    breaks the hash. One keyed shuffle to pack, then narrow
+    mapInPandas."""
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.sources.tfrecord import (
+        synthesize_tfrecord_shards,
+        tfrecord_documents,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
+    shards = synthesize_tfrecord_shards(d, id_col="doc_id", text_col="text")
+    return tfrecord_documents(shards)
+
+
+S28_SQL = """
+SELECT doc_id,
+       lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       ((doc_id % 100) / 4.0 + (doc_id % 7) / 2.0) AS score_sum,
+       md5(text) AS text_md5
+FROM documents
+"""
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -1276,6 +1312,7 @@ QUERIES = {
     "s25_zstd_meta": s25_zstd_meta,
     "s26_lz4_shards": s26_lz4_shards,
     "s27_snappy_shards": s27_snappy_shards,
+    "s28_tfrecord_shards": s28_tfrecord_shards,
 }
 
 ORACLE = {
@@ -1304,4 +1341,5 @@ ORACLE = {
     "s25_zstd_meta": S25_SQL,
     "s26_lz4_shards": S26_SQL,
     "s27_snappy_shards": S27_SQL,
+    "s28_tfrecord_shards": S28_SQL,
 }
