@@ -185,6 +185,17 @@ class _Bits:
             q -= 32
         self.write(1, q + 1)
 
+    def extend(self, other: "_Bits") -> None:
+        """Append another writer's bitstream (no byte alignment
+        assumed on either side)."""
+        for b in other.out:
+            self.write(b, 8)
+        if other.n:
+            self.write(other.acc, other.n)
+
+    def bit_length(self) -> int:
+        return len(self.out) * 8 + self.n
+
     def done(self) -> bytes:
         if self.n:
             self.out.append((self.acc << (8 - self.n)) & 0xFF)
@@ -355,9 +366,14 @@ def _rice_bits(residuals: list[int], r: int) -> int:
 
 
 def _best_rice(residuals: list[int]) -> tuple[int, int]:
-    best_r, best_bits = 0, _rice_bits(residuals, 0)
+    # zigzag once; the per-parameter cost is then a cheap shift-sum
+    us = [_zigzag(e) for e in residuals]
+    n = len(us)
+    best_r, best_bits = 0, sum(us) + n
     for r in range(1, 15):
-        b = _rice_bits(residuals, r)
+        if n * (1 + r) >= best_bits:
+            break  # exact floor: cost(r') >= n*(1+r') for all r' >= r
+        b = sum(u >> r for u in us) + n * (1 + r)
         if b < best_bits:
             best_r, best_bits = r, b
     return best_r, best_bits
@@ -391,7 +407,15 @@ def _write_subframe(bits: _Bits, samples: list[int], depth: int) -> None:
         total = depth * order + 2 + 4 + 4 + nbits
         if best is None or total < best[0]:
             best = (total, "fixed", order, r, res, None, 0)
-    for order in (2, 3, 4):
+    # exact LPC floor: warm-up + precision/shift headers + coefs +
+    # rice header + >=1 bit per residual. If FIXED already beats the
+    # floor of the CHEAPEST LPC order, the covariance fits cannot pay
+    # — skip them (constant-ish and ramp blocks take this exit).
+    lpc_floor = (
+        depth * 2 + 4 + 5 + _LPC_PRECISION * 2 + 10 + (len(samples) - 2)
+    )
+    orders = (2, 3, 4) if best[0] > lpc_floor else ()
+    for order in orders:
         coefs = _lpc_coeffs(samples, order)
         if coefs is None:
             continue
@@ -428,12 +452,13 @@ def _write_subframe(bits: _Bits, samples: list[int], depth: int) -> None:
             bits.write(int(s) & mask, depth)
 
 
-def _subframe_cost(samples: list[int], depth: int) -> int:
-    """Exact coded size in bits (header byte included) — the encoder
-    writes each candidate, so cost == emitted size by construction."""
+def _coded_subframe(samples: list[int], depth: int) -> _Bits:
+    """Encode once, reuse everywhere: the returned writer IS both the
+    exact cost (bit_length) and the bits the frame emits — candidate
+    channels are never encoded twice."""
     b = _Bits()
     _write_subframe(b, samples, depth)
-    return len(b.out) * 8 + b.n
+    return b
 
 
 # frame-header channel-assignment nibbles (RFC 9639 9.1.3)
@@ -472,22 +497,24 @@ def _frame_stereo(idx: int, left: list[int], right: list[int]) -> bytes:
         raise ValueError("fixed blocksize: every frame is _BLOCK samples")
     side = [l - r for l, r in zip(left, right)]
     mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    # each distinct channel array is coded exactly ONCE; assignments
+    # are compared and assembled from the cached encodings
+    c_left = _coded_subframe(left, 16)
+    c_right = _coded_subframe(right, 16)
+    c_side = _coded_subframe(side, 17)
+    c_mid = _coded_subframe(mid, 16)
     cands = [
-        (_CH_STEREO, (left, 16), (right, 16)),
-        (_CH_LEFT_SIDE, (left, 16), (side, 17)),
-        (_CH_RIGHT_SIDE, (side, 17), (right, 16)),
-        (_CH_MID_SIDE, (mid, 16), (side, 17)),
+        (_CH_STEREO, c_left, c_right),
+        (_CH_LEFT_SIDE, c_left, c_side),
+        (_CH_RIGHT_SIDE, c_side, c_right),
+        (_CH_MID_SIDE, c_mid, c_side),
     ]
-    best = None
-    for nib, (s1, d1), (s2, d2) in cands:
-        cost = _subframe_cost(s1, d1) + _subframe_cost(s2, d2)
-        if best is None or cost < best[0]:
-            best = (cost, nib, (s1, d1), (s2, d2))
-    _, nib, (s1, d1), (s2, d2) = best
+    best = min(cands, key=lambda c: c[1].bit_length() + c[2].bit_length())
+    nib, b1, b2 = best
     hdr = _frame_header(idx, nib)
     bits = _Bits()
-    _write_subframe(bits, s1, d1)
-    _write_subframe(bits, s2, d2)
+    bits.extend(b1)
+    bits.extend(b2)
     frame = bytes(hdr) + bits.done()
     return frame + crc16(frame).to_bytes(2, "big")
 
