@@ -1225,7 +1225,13 @@ def t_kn_bigram(spark, sf_dir):
     Scale: one bigram explode; the model-side joins (pair counts x
     context stats) run at bigram-TYPE scale; ONE fact-to-model
     equi-join at occurrence scale (AQE-skew-safe, same shape as
-    t_bigram_xent); T rides a broadcast single-row aggregate."""
+    t_bigram_xent); T rides a broadcast single-row aggregate. r7 A/B
+    (interleaved same-session at sf0.1, 4 runs each): c(v) derived as
+    SUM(c_bg) from the type-scale pair table (chained) median 2.90 s
+    vs a parallel occurrence-scale w1 aggregate 3.12 s — KN must
+    chain through pair_c for N1+(v.) anyway, so unlike t_bigram_xent
+    (whose r6 A/B kept parallel aggregates) the chained form is
+    strictly less work here."""
     from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
 
     d = read_table(spark, sf_dir, "documents", min_partitions="cores")
@@ -1247,15 +1253,17 @@ def t_kn_bigram(spark, sf_dir):
         .withColumn("w1", F.split(F.col("bg"), " ")[0])
         .withColumn("w2", F.split(F.col("bg"), " ")[1])
     )
-    w1_c = bg.groupBy(F.split(F.col("bg"), " ")[0].alias("w1")).agg(
-        F.count(F.lit(1)).alias("c_w1")
+    # c(v) = sum_w c(vw) and N1+(v.) come from ONE type-scale
+    # aggregate over the pair table — no second occurrence-scale
+    # shuffle (unlike t_bigram_xent, whose A/B kept the parallel
+    # occurrence aggregates, the KN model must touch pair_c anyway)
+    w1_stats = pair_c.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_w1"), F.count(F.lit(1)).alias("n1f")
     )
-    n1_fwd = pair_c.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
     n1_bwd = pair_c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
     types = pair_c.agg(F.count(F.lit(1)).alias("t_types"))
     model = (
-        pair_c.join(w1_c, "w1")
-        .join(n1_fwd, "w1")
+        pair_c.join(w1_stats, "w1")
         .join(n1_bwd, "w2")
         .crossJoin(F.broadcast(types))
     )
@@ -1297,11 +1305,8 @@ WITH toks AS (
          string_split(bg, ' ')[1] AS w1,
          string_split(bg, ' ')[2] AS w2
   FROM bg GROUP BY bg
-), w1_c AS (
-  SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS c_w1
-  FROM bg GROUP BY 1
-), n1_fwd AS (
-  SELECT w1, COUNT(*) AS n1f FROM pair_c GROUP BY w1
+), w1_stats AS (
+  SELECT w1, SUM(c_bg) AS c_w1, COUNT(*) AS n1f FROM pair_c GROUP BY w1
 ), n1_bwd AS (
   SELECT w2, COUNT(*) AS n1b FROM pair_c GROUP BY w2
 ), model AS (
@@ -1311,8 +1316,7 @@ WITH toks AS (
          * (CAST(n1b AS DOUBLE)
             / CAST((SELECT COUNT(*) FROM pair_c) AS DOUBLE)) AS p
   FROM pair_c
-  JOIN w1_c USING (w1)
-  JOIN n1_fwd USING (w1)
+  JOIN w1_stats USING (w1)
   JOIN n1_bwd USING (w2)
 )
 SELECT bg.doc_id,
