@@ -1286,6 +1286,54 @@ SELECT doc_id,
 FROM documents
 """
 
+
+def s29_ogg_stream(spark, sf_dir):
+    """S29: Ogg container streams (sources/ogg.py) — RFC 3533 page
+    framing walked for real, both directions: capture pattern,
+    BOS/EOS/continued flags (consistency re-verified page by page),
+    granule positions (-1 on pages completing no packet), strictly
+    sequential page numbers, the 255-byte lacing scheme incl. the
+    zero-lacing terminator for exact-multiple packets, packet
+    reassembly ACROSS pages (a forced 2-page packet for id%3==0
+    keeps the continued path hot), and Ogg's own non-reflected
+    CRC-32 (poly 0x04C11DB7, init 0 — a third CRC flavor next to
+    zlib's and Castagnoli's) re-verified per page. The oracle
+    recomputes page/packet/span counts from the lacing arithmetic
+    and md5 of the payload packet. One narrow mapInPandas pass,
+    zero shuffle."""
+    from neuroimaging_data_pipeline_spark.sources.ogg import (
+        ogg_documents,
+        synthesize_ogg_docs,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
+    media = synthesize_ogg_docs(d, id_col="doc_id", text_col="text")
+    return ogg_documents(media)
+
+
+# lacing arithmetic (sources/ogg.py): header packet = 1 segment,
+# text packet = strlen//255 + 1, forced-span tail (id%3==0) =
+# 255*42 bytes = 43 segments; pages of 40 segments. Corpus texts are
+# far below one page of segments, so only the forced tail spans.
+S29_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         1 + (strlen(text) // 255 + 1)
+           + CASE WHEN doc_id % 3 = 0 THEN 43 ELSE 0 END AS segs
+  FROM documents
+)
+SELECT v.doc_id,
+       CAST(CEIL(v.segs / 40.0) AS INT) AS n_pages,
+       CAST(CASE WHEN v.doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT)
+         AS n_packets,
+       CAST(CASE WHEN v.doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_spanning,
+       CAST(strlen(d.text) AS BIGINT) AS content_len,
+       md5(d.text) AS text_md5
+FROM v JOIN documents d USING (doc_id)
+"""
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -1313,6 +1361,7 @@ QUERIES = {
     "s26_lz4_shards": s26_lz4_shards,
     "s27_snappy_shards": s27_snappy_shards,
     "s28_tfrecord_shards": s28_tfrecord_shards,
+    "s29_ogg_stream": s29_ogg_stream,
 }
 
 ORACLE = {
@@ -1342,4 +1391,5 @@ ORACLE = {
     "s26_lz4_shards": S26_SQL,
     "s27_snappy_shards": S27_SQL,
     "s28_tfrecord_shards": S28_SQL,
+    "s29_ogg_stream": S29_SQL,
 }
