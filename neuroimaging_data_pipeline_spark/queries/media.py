@@ -1393,6 +1393,45 @@ FROM per GROUP BY doc_id
 
 
 
+
+def m31_lzma_alone(spark, sf_dir):
+    """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
+    deepest entropy coder in the repo: an adaptive binary RANGE CODER
+    (11-bit probabilities, 2^24 normalization, direct bits, bit trees
+    and reverse trees) driving LZ77 with the 12-state machine, the
+    rep0-rep3 distance cache, matched literals and the shared
+    SpecPos/Align position trees. STDLIB liblzma is the reference
+    WRITER: members ship at id-cycled presets (0/1/6/9e) plus
+    non-default lc/lp/pb filters for id%5==0, and the decoder must
+    reproduce them bit-exactly — the md5 oracle breaks on ANY
+    divergence anywhere in the coder. Repetitive tails (id%3==0)
+    keep long matches and the rep cache hot. One narrow mapInPandas
+    pass, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.sources.lzma_alone import (
+        lzma_documents,
+        synthesize_lzma_docs,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_lzma_docs(d, id_col="doc_id", text_col="text")
+    return lzma_documents(media)
+
+
+M31_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 3 END AS INT) AS lc,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS INT) AS lp,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INT) AS pb,
+       FALSE AS size_known,
+       CAST(strlen(text)
+            + CASE WHEN doc_id % 3 = 0
+              THEN 3 * (20 + doc_id % 9) ELSE 0 END AS BIGINT)
+         AS content_len,
+       md5(text || CASE WHEN doc_id % 3 = 0
+           THEN repeat(' xz', 20 + doc_id % 9) ELSE '' END) AS text_md5
+FROM documents
+"""
+
 QUERIES = {
     "m8_mp4_meta": m8_mp4_meta,
     "m16_mjpeg_frames": m16_mjpeg_frames,
@@ -1419,6 +1458,7 @@ QUERIES = {
     "m28_flac_audio": m28_flac_audio,
     "m29_gzip_inflate": m29_gzip_inflate,
     "m30_flac_stereo": m30_flac_stereo,
+    "m31_lzma_alone": m31_lzma_alone,
 }
 
 ORACLE = {
@@ -1447,4 +1487,5 @@ ORACLE = {
     "m28_flac_audio": M28_SQL,
     "m29_gzip_inflate": M29_SQL,
     "m30_flac_stereo": M30_SQL,
+    "m31_lzma_alone": M31_SQL,
 }
