@@ -1334,6 +1334,44 @@ SELECT v.doc_id,
 FROM v JOIN documents d USING (doc_id)
 """
 
+
+def s30_xz_shards(spark, sf_dir):
+    """S30: .xz members decoded END TO END from scratch
+    (sources/xz.py on the sources/lzma_alone.py LZMA1 core) — the
+    format Wikipedia dumps and Pile mirrors ship in, with stdlib
+    liblzma as the reference writer: stream header/footer CRCs,
+    block-header grammar (reserved bits loud), LZMA2 chunk control
+    bytes with all four reset modes over a persistent window, block
+    padding, the per-block integrity check (NONE/CRC32/CRC64/SHA256
+    cycling by id%4 — CRC64-XZ from scratch, published check value
+    pinned), and the index/footer cross-checked against what the
+    blocks actually measured. One narrow mapInPandas pass, zero
+    shuffle."""
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.sources.xz import (
+        synthesize_xz_docs,
+        xz_documents,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_xz_docs(d, id_col="doc_id", text_col="text")
+    return xz_documents(media)
+
+
+S30_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'crc32'
+            WHEN 2 THEN 'crc64' ELSE 'sha256' END AS check,
+       CAST(1 AS INT) AS n_blocks,
+       CAST(strlen(text)
+            + CASE WHEN doc_id % 3 = 0
+              THEN 4 * (15 + doc_id % 9) ELSE 0 END AS BIGINT)
+         AS content_len,
+       md5(text || CASE WHEN doc_id % 3 = 0
+           THEN repeat(' xz2', 15 + doc_id % 9) ELSE '' END) AS text_md5
+FROM documents
+"""
+
 QUERIES = {
     "s1_tsv_scan": s1_tsv_scan,
     "s12_parquet_meta": s12_parquet_meta,
@@ -1362,6 +1400,7 @@ QUERIES = {
     "s27_snappy_shards": s27_snappy_shards,
     "s28_tfrecord_shards": s28_tfrecord_shards,
     "s29_ogg_stream": s29_ogg_stream,
+    "s30_xz_shards": s30_xz_shards,
 }
 
 ORACLE = {
@@ -1392,4 +1431,5 @@ ORACLE = {
     "s27_snappy_shards": S27_SQL,
     "s28_tfrecord_shards": S28_SQL,
     "s29_ogg_stream": S29_SQL,
+    "s30_xz_shards": S30_SQL,
 }

@@ -124,6 +124,145 @@ class _LenDecoder:
         return 18 + rc.tree(self.high, 8)
 
 
+class Lzma1Decoder:
+    """Raw LZMA1 decode with PERSISTENT window / probability state —
+    the shape LZMA2 chunking needs (sources/xz.py): a chunk may keep
+    the dictionary, the probability contexts and the state machine
+    from the previous chunk, reset any of them, or change props.
+    ``lzma_decode_raw`` below wraps one-shot use (the ALONE format).
+    """
+
+    def __init__(self, lc: int, lp: int, pb: int) -> None:
+        self.set_props(lc, lp, pb)
+        self.reset_state()
+
+    def set_props(self, lc: int, lp: int, pb: int) -> None:
+        self.lc, self.lp, self.pb = lc, lp, pb
+        self.pos_mask = (1 << pb) - 1
+        self.lit_pos_mask = (1 << lp) - 1
+
+    def reset_state(self) -> None:
+        self.is_match = [[_INIT_PROB] * 16 for _ in range(12)]
+        self.is_rep = [_INIT_PROB] * 12
+        self.is_rep_g0 = [_INIT_PROB] * 12
+        self.is_rep_g1 = [_INIT_PROB] * 12
+        self.is_rep_g2 = [_INIT_PROB] * 12
+        self.is_rep0_long = [[_INIT_PROB] * 16 for _ in range(12)]
+        self.pos_slot = [[_INIT_PROB] * 64 for _ in range(4)]
+        self.spec_pos = [_INIT_PROB] * 115
+        self.align = [_INIT_PROB] * 16
+        self.len_dec = _LenDecoder()
+        self.rep_len_dec = _LenDecoder()
+        self.literal = [
+            [_INIT_PROB] * 0x300 for _ in range(1 << (self.lc + self.lp))
+        ]
+        self.state = 0
+        self.rep0 = self.rep1 = self.rep2 = self.rep3 = 0
+
+    def decode(
+        self,
+        rc: _RangeDecoder,
+        out: bytearray,
+        out_size: int | None,
+        dict_start: int = 0,
+    ) -> None:
+        """Decode into ``out`` (which may already hold window bytes
+        from earlier chunks) until ``len(out) - dict_start`` reaches
+        ``out_size``, or to the EOS marker when ``out_size`` is None
+        ... positions (pos_state / literal context) count from
+        dict_start=0 semantics: LZMA2 positions continue across
+        chunks, so the caller passes dict_start=0 and sizes in
+        absolute terms; the ALONE wrapper starts empty."""
+        lc, lp = self.lc, self.lp
+        target = None if out_size is None else len(out) + out_size
+        while target is None or len(out) < target:
+            pos_state = len(out) & self.pos_mask
+            if not rc.bit(self.is_match[self.state], pos_state):
+                prev = out[-1] if out else 0
+                lit_state = (
+                    ((len(out) & self.lit_pos_mask) << lc)
+                    + (prev >> (8 - lc))
+                    if lc or lp
+                    else 0
+                )
+                probs = self.literal[lit_state]
+                if self.state >= 7:
+                    match_byte = out[len(out) - self.rep0 - 1]
+                    sym = 1
+                    while sym < 0x100:
+                        match_bit = (match_byte >> 7) & 1
+                        match_byte = (match_byte << 1) & 0xFF
+                        b = rc.bit(probs, ((1 + match_bit) << 8) + sym)
+                        sym = (sym << 1) | b
+                        if match_bit != b:
+                            while sym < 0x100:
+                                sym = (sym << 1) | rc.bit(probs, sym)
+                            break
+                else:
+                    sym = 1
+                    while sym < 0x100:
+                        sym = (sym << 1) | rc.bit(probs, sym)
+                out.append(sym & 0xFF)
+                s = self.state
+                self.state = 0 if s < 4 else (s - 3 if s < 10 else s - 6)
+                continue
+            if rc.bit(self.is_rep, self.state):
+                if not out:
+                    raise ValueError("rep match with empty window")
+                if not rc.bit(self.is_rep_g0, self.state):
+                    if not rc.bit(
+                        self.is_rep0_long[self.state], pos_state
+                    ):
+                        self.state = 9 if self.state < 7 else 11
+                        out.append(out[len(out) - self.rep0 - 1])
+                        continue
+                else:
+                    if not rc.bit(self.is_rep_g1, self.state):
+                        dist = self.rep1
+                    else:
+                        if not rc.bit(self.is_rep_g2, self.state):
+                            dist = self.rep2
+                        else:
+                            dist = self.rep3
+                            self.rep3 = self.rep2
+                        self.rep2 = self.rep1
+                    self.rep1 = self.rep0
+                    self.rep0 = dist
+                length = self.rep_len_dec.decode(rc, pos_state)
+                self.state = 8 if self.state < 7 else 11
+            else:
+                self.rep3, self.rep2, self.rep1 = (
+                    self.rep2, self.rep1, self.rep0,
+                )
+                length = self.len_dec.decode(rc, pos_state)
+                self.state = 7 if self.state < 7 else 10
+                len_state = min(length - 2, 3)
+                slot = rc.tree(self.pos_slot[len_state], 6)
+                if slot < 4:
+                    self.rep0 = slot
+                else:
+                    n_direct = (slot >> 1) - 1
+                    self.rep0 = (2 | (slot & 1)) << n_direct
+                    if slot < 14:
+                        self.rep0 += rc.rtree(
+                            self.spec_pos, self.rep0 - slot - 1, n_direct
+                        )
+                    else:
+                        self.rep0 += rc.direct_bits(n_direct - 4) << 4
+                        self.rep0 += rc.rtree(self.align, 0, 4)
+                if self.rep0 == 0xFFFFFFFF:
+                    if not rc.finished():
+                        raise ValueError("EOS marker with nonzero code")
+                    if target is not None and len(out) != target:
+                        raise ValueError("EOS before declared size")
+                    return
+            if self.rep0 >= len(out):
+                raise ValueError("LZMA distance beyond output start")
+            start = len(out) - self.rep0 - 1
+            for k in range(length):
+                out.append(out[start + k])
+
+
 def lzma_decode_raw(
     buf: bytes,
     pos: int,
@@ -136,118 +275,9 @@ def lzma_decode_raw(
     ``out_size=None`` decodes to the end-of-stream marker. Returns
     (bytes, offset past the stream)."""
     rc = _RangeDecoder(buf, pos)
-    pos_mask = (1 << pb) - 1
-    lit_pos_mask = (1 << lp) - 1
-
-    is_match = [[_INIT_PROB] * 16 for _ in range(12)]
-    is_rep = [_INIT_PROB] * 12
-    is_rep_g0 = [_INIT_PROB] * 12
-    is_rep_g1 = [_INIT_PROB] * 12
-    is_rep_g2 = [_INIT_PROB] * 12
-    is_rep0_long = [[_INIT_PROB] * 16 for _ in range(12)]
-    pos_slot = [[_INIT_PROB] * 64 for _ in range(4)]
-    spec_pos = [_INIT_PROB] * 115
-    align = [_INIT_PROB] * 16
-    len_dec = _LenDecoder()
-    rep_len_dec = _LenDecoder()
-    literal = [
-        [_INIT_PROB] * 0x300 for _ in range(1 << (lc + lp))
-    ]
-
+    dec = Lzma1Decoder(lc, lp, pb)
     out = bytearray()
-    state = 0
-    rep0 = rep1 = rep2 = rep3 = 0
-    while out_size is None or len(out) < out_size:
-        pos_state = len(out) & pos_mask
-        if not rc.bit(is_match[state], pos_state):
-            # literal
-            prev = out[-1] if out else 0
-            lit_state = (
-                ((len(out) & lit_pos_mask) << lc) + (prev >> (8 - lc))
-                if lc or lp
-                else 0
-            )
-            probs = literal[lit_state]
-            if state >= 7:
-                # matched literal: track the byte at rep0 until the
-                # decoded bit diverges from the match byte's bit
-                match_byte = out[len(out) - rep0 - 1]
-                sym = 1
-                while sym < 0x100:
-                    match_bit = (match_byte >> 7) & 1
-                    match_byte = (match_byte << 1) & 0xFF
-                    b = rc.bit(
-                        probs, ((1 + match_bit) << 8) + sym
-                    )
-                    sym = (sym << 1) | b
-                    if match_bit != b:
-                        while sym < 0x100:
-                            sym = (sym << 1) | rc.bit(probs, sym)
-                        break
-            else:
-                sym = 1
-                while sym < 0x100:
-                    sym = (sym << 1) | rc.bit(probs, sym)
-            out.append(sym & 0xFF)
-            state = 0 if state < 4 else (state - 3 if state < 10 else state - 6)
-            continue
-        # match path
-        if rc.bit(is_rep, state):
-            # repeated distance
-            if not out:
-                raise ValueError("rep match with empty window")
-            if not rc.bit(is_rep_g0, state):
-                if not rc.bit(is_rep0_long[state], pos_state):
-                    # short rep: one byte at rep0
-                    state = 9 if state < 7 else 11
-                    out.append(out[len(out) - rep0 - 1])
-                    continue
-            else:
-                if not rc.bit(is_rep_g1, state):
-                    dist = rep1
-                else:
-                    if not rc.bit(is_rep_g2, state):
-                        dist = rep2
-                    else:
-                        dist = rep3
-                        rep3 = rep2
-                    rep2 = rep1
-                rep1 = rep0
-                rep0 = dist
-            length = rep_len_dec.decode(rc, pos_state)
-            state = 8 if state < 7 else 11
-        else:
-            # new distance
-            rep3, rep2, rep1 = rep2, rep1, rep0
-            length = len_dec.decode(rc, pos_state)
-            state = 7 if state < 7 else 10
-            len_state = min(length - 2, 3)
-            slot = rc.tree(pos_slot[len_state], 6)
-            if slot < 4:
-                rep0 = slot
-            else:
-                n_direct = (slot >> 1) - 1
-                rep0 = (2 | (slot & 1)) << n_direct
-                if slot < 14:
-                    rep0 += rc.rtree(
-                        spec_pos, rep0 - slot - 1, n_direct
-                    )
-                else:
-                    rep0 += rc.direct_bits(n_direct - 4) << 4
-                    rep0 += rc.rtree(align, 0, 4)
-            if rep0 == 0xFFFFFFFF:
-                # end-of-stream marker
-                if not rc.finished():
-                    raise ValueError("EOS marker with nonzero code")
-                if out_size is not None and len(out) != out_size:
-                    raise ValueError("EOS before declared size")
-                return bytes(out), rc.pos
-        if rep0 >= len(out):
-            raise ValueError("LZMA distance beyond output start")
-        start = len(out) - rep0 - 1
-        for k in range(length):
-            out.append(out[start + k])
-    # known size reached; liblzma may or may not append an EOS marker
+    dec.decode(rc, out, out_size)
     return bytes(out), rc.pos
 
 
