@@ -1,11 +1,12 @@
-"""Media-container and codec queries (m8–m29): the multimodal
+"""Media-container and codec queries (m8–m31): the multimodal
 surface, every format implemented stdlib-only in ``multimodal/``.
 
 Containers: MP4/ISO-BMFF (m8/m8b/m16), TAR WebDataset (m13), GIF
 (m17), RIFF/WAVE incl. mu-law format 7 (m10/m23), MP3 with ID3v2
-(m26), FLAC with CRC-verified frames, the STREAMINFO PCM MD5 and all
-four subframe types incl. LPC (m28), gzip members through the
-from-scratch RFC 1951 inflate (m29). Image codecs: PPM, PNG (incl. interlaced), BMP, baseline /
+(m26), FLAC with CRC-verified frames, the STREAMINFO PCM MD5, all
+four subframe types incl. LPC (m28) and stereo channel decorrelation
+(m30), gzip members through the from-scratch RFC 1951 inflate (m29),
+LZMA members through the from-scratch range coder (m31). Image codecs: PPM, PNG (incl. interlaced), BMP, baseline /
 4:2:0 / progressive / 12-bit / arithmetic JPEG (m3–m5, m9, m11/m12,
 m15, m18/m19), EXIF TIFF-IFD metadata (m24), strip-based TIFF with
 early-change LZW (m27). Video: H.264 I_PCM

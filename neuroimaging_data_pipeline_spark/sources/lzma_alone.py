@@ -332,16 +332,23 @@ def synthesize_lzma_docs(
                 body = ("" if text is None else str(text)).encode()
                 if i % 3 == 0:
                     body += b" xz" * (20 + i % 9)
+                # dict_size pinned small: liblzma otherwise
+                # allocates the preset's FULL dictionary (64 MiB at
+                # preset 9) per compress() call — ~100x the work for
+                # KB documents, with zero effect on coverage (the
+                # decoder reads the header's dict size either way)
                 presets = [0, 1, 6, 9 | lzma.PRESET_EXTREME]
                 if i % 5 == 0:
                     filters = [
                         {"id": lzma.FILTER_LZMA1, "preset": 6,
-                         "lc": 0, "lp": 2, "pb": 1}
+                         "lc": 0, "lp": 2, "pb": 1,
+                         "dict_size": 1 << 16}
                     ]
                 else:
                     filters = [
                         {"id": lzma.FILTER_LZMA1,
-                         "preset": presets[i % 4]}
+                         "preset": presets[i % 4],
+                         "dict_size": 1 << 16}
                     ]
                 blobs.append(
                     lzma.compress(

@@ -311,11 +311,16 @@ def synthesize_xz_docs(
                 body = ("" if text is None else str(text)).encode()
                 if i % 3 == 0:
                     body += b" xz2" * (15 + i % 9)
+                # small dict_size: see sources/lzma_alone.py — the
+                # preset's full-dictionary alloc per call is ~100x
+                # the work for KB docs and changes nothing downstream
                 blobs.append(
                     lzma.compress(
                         body, format=lzma.FORMAT_XZ,
                         check=checks[i % 4],
-                        preset=[0, 1, 6, 9][i % 4],
+                        filters=[{"id": lzma.FILTER_LZMA2,
+                                  "preset": [0, 1, 6, 9][i % 4],
+                                  "dict_size": 1 << 16}],
                     )
                 )
                 ids.append(i)
