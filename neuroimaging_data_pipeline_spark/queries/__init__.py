@@ -67,7 +67,7 @@ from neuroimaging_data_pipeline_spark.queries import (
 _MODULES = [media, eventsops, sqlsurface, retrieval, textops, simsearch, ingest, neuro, spatial, relational, misc]
 
 # name -> last driver round with a CORRECTNESS row (union of
-# CORRECTNESS_r01..r05; absent = never driver-checked).
+# CORRECTNESS_r01..r07; absent = never driver-checked).
 _LAST_DRIVER_ROUND = {}
 for _r, _names in {
     1: ["w8b_gaussian_smooth_sep"],
@@ -139,34 +139,59 @@ for _r, _names in {
         "t_inverted_index", "t_pii_signals", "t_repetition", "t_sample",
         "t_tfidf",
     ],
+    # frozen from CORRECTNESS_r07.json (all 50 green) — VERDICT r7 #2:
+    # 19 r6-late + 12 r7 newcomers + 19 r3-era re-checks. With this
+    # fold the union r1–r7 covers every registered query; the r8
+    # window rotates to the oldest remaining coverage (13 r3-era rows
+    # not re-checked in r7, then r4's 50).
+    7: [
+        "d_embedding_neardup", "d_exact_dedup", "d_minhash_lsh",
+        "d_ngram_jaccard", "d_simhash", "e10_release_pipeline",
+        "e3_motion_outlier_hist", "j13_cidr_join", "m24_jpeg_exif",
+        "m25_h264_i4x4", "m26_mp3_meta", "m27_tiff_stats",
+        "m28_flac_audio", "m29_gzip_inflate", "m30_flac_stereo",
+        "m31_lzma_alone", "s18_warc_ingest", "s19_mbox_ingest",
+        "s1_tsv_scan", "s20_avro_shards", "s21_arrow_ipc",
+        "s22_zip_shards", "s23_sqlite_shards", "s24_cbor_shards",
+        "s25_zstd_meta", "s26_lz4_shards", "s27_snappy_shards",
+        "s28_tfrecord_shards", "s29_ogg_stream", "s2_dir_listing",
+        "s30_xz_shards", "s4_sidecar_lookup", "s_cosine_topk",
+        "s_ivf_topk", "s_lsh_topk", "sv_time_travel",
+        "t_c4_line_filters", "t_encoding_repair", "t_entropy",
+        "t_epoch_shuffle", "t_fingerprint", "t_gopher_repetition",
+        "t_idn_hosts", "t_kn_bigram", "t_lang_id", "t_pii_redact",
+        "t_quality_signals", "t_robots_filter", "t_token_count",
+        "t_winnow",
+    ],
 }.items():
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _r
 
-# r7-modified operators + standing perf-watch queries: re-check right
-# after the never-checked blocks. (The min_partitions perf cluster —
-# m6/m8/m10/m13–m15/s13/e4 — is graded from the driver BENCH, which
-# runs all queries, so it needs no correctness-window slots.)
-_RECHECK_R7 = []
+# r8-modified operators + standing perf-watch queries: re-check right
+# after the never-checked blocks.
+_RECHECK_R8 = []
 
-# Queries added in round 7, AFTER CORRECTNESS_r06 froze the backlog:
-# never-driver-checked too, but ranked BEHIND the 19-query r6-late
-# backlog so that if the 50-slot window overflows it is these
-# newcomers that wait for r8 — never one of the r6 backlog whose
-# driver coverage VERDICT r6 #1 asks r7 to complete.
-_ADDED_R7 = [
-    "t_pii_redact",
-    "s25_zstd_meta",
-    "s26_lz4_shards",
+# Queries added in round 8, AFTER CORRECTNESS_r07 froze the backlog.
+# Never-driver-checked, so they lead the window (rank 0) — the r1–r7
+# union already covers every pre-r8 query, so unlike r7 there is no
+# older never-checked backlog for them to queue behind. VERDICT r7 #3
+# lesson: list EVERY newcomer here, not a subset, so the ordering
+# invariant holds if the window ever overflows.
+_ADDED_R8 = [
+    "s25b_zstd_decode",
+    "m32_flac_surround",
+    "s31_xz_filters",
+    "d_image_neardup",
+    "t_unigram_train",
+    "t_unigram_tokens",
 ]
 
 
 def _window_rank(name: str) -> int:
     if name not in _LAST_DRIVER_ROUND:
-        # never driver-checked: the 19 r6-late queries lead (rank 0),
-        # r7 additions queue behind them (rank 1).
-        return 1 if name in _ADDED_R7 else 0
-    if name in _RECHECK_R7:
+        # never driver-checked: r8 additions lead the window.
+        return 0 if name in _ADDED_R8 else 1
+    if name in _RECHECK_R8:
         return 2
     return 2 + _LAST_DRIVER_ROUND[name]
 

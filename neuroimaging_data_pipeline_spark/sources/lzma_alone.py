@@ -261,6 +261,16 @@ class Lzma1Decoder:
             start = len(out) - self.rep0 - 1
             for k in range(length):
                 out.append(out[start + k])
+        # known-size decode: the loop tests the target only at the top,
+        # so a match can land past it — a corrupt stream must raise
+        # rather than silently return MORE than the declared size
+        # (ADVICE r7 #4; the LZMA2 chunk caller has its own size check,
+        # the ALONE wrapper relies on this one)
+        if target is not None and len(out) != target:
+            raise ValueError(
+                f"decoded {len(out) - (target - out_size)} bytes past "
+                f"declared uncompressed size {out_size}"
+            )
 
 
 def lzma_decode_raw(

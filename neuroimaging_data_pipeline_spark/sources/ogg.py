@@ -226,6 +226,19 @@ def synthesize_ogg_docs(
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 i = int(i)
                 body = ("" if text is None else str(text)).encode()
+                # the S29 oracle's page/span SQL assumes the text
+                # packet never itself crosses a page boundary and the
+                # forced tail crosses exactly one; both silently break
+                # once header+text segments approach a full page, so
+                # oversized corpora must fail loudly here instead of
+                # diverging (ADVICE r7 #5)
+                if 2 + len(body) // 255 > _MAX_SEGS - 3:
+                    raise ValueError(
+                        f"doc {i}: body of {len(body)} bytes needs "
+                        f"{len(body) // 255 + 1} segments — too close "
+                        f"to a {_MAX_SEGS}-segment page for the S29 "
+                        "oracle's fixed lacing arithmetic"
+                    )
                 pkts = [b"NDPA" + str(i).encode(), body]
                 if i % 3 == 0:
                     pkts.append(b"=" * (255 * (_MAX_SEGS + 2)))

@@ -294,7 +294,7 @@ def synthesize_tfrecord_shards(
                         "text": body,
                         "lang": str(lang).encode(),
                         "id": [i if i % 2 == 0 else -i],
-                        "n_chars": [len(str(text))],
+                        "n_chars": [len("" if text is None else str(text))],
                         "score": [float((i % 100) / 4.0),
                                   float((i % 7) / 2.0)],
                     }

@@ -280,19 +280,30 @@ def parse_zstd(buf: bytes) -> dict:
         parts: list[bytes] = []
         gated = False
         while True:
+            # truncation is a loud error, not an infinite loop: a
+            # 3-byte read past EOF would decode as a non-last RAW
+            # block of size 0, forever (ADVICE r7 #1)
+            if pos + 3 > len(buf):
+                raise ValueError(f"truncated frame: block header at {pos} past end of buffer")
             bh = int.from_bytes(buf[pos : pos + 3], "little")
             pos += 3
             last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
             n_blocks += 1
             if btype == 0:
+                if pos + bsize > len(buf):
+                    raise ValueError("truncated frame: RAW block body past end of buffer")
                 n_raw += 1
                 parts.append(buf[pos : pos + bsize])
                 pos += bsize
             elif btype == 1:
+                if pos + 1 > len(buf):
+                    raise ValueError("truncated frame: RLE block byte past end of buffer")
                 n_rle += 1
                 parts.append(buf[pos : pos + 1] * bsize)
                 pos += 1
             elif btype == 2:
+                if pos + bsize > len(buf):
+                    raise ValueError("truncated frame: compressed block body past end of buffer")
                 n_compressed += 1
                 gated = True
                 pos += bsize
