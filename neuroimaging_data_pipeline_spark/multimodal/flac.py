@@ -38,8 +38,11 @@ What is REAL here, both directions:
   RFC 9639 channel assignments — independent, left-side, right-side,
   mid-side — chosen per frame by exact coded size; side channels
   coded at 17 bits, the mid-side dropped-low-bit parity trick exact
-  on decode, STREAMINFO MD5 over the interleaved L,R stream. 3+
-  channels remain the declared gate.
+  on decode, STREAMINFO MD5 over the interleaved L,R stream.
+- MULTICHANNEL (r8): channel assignments 0b0000-0b0111 decode 1-8
+  independently coded channels (surround / 5.1 layouts), each channel
+  picking its own subframe type; frame channel count cross-checked
+  against STREAMINFO, MD5 over the channel-interleaved PCM.
 
 The m28 oracle recomputes frame counts, total samples and the PCM
 sample sum from the pure integer sample formula; m30 does the same
@@ -543,6 +546,46 @@ def encode_flac(samples: list[int], comments: dict[str, str]) -> bytes:
     return bytes(out)
 
 
+def _frame_multi(idx: int, chans_block: list[list[int]]) -> bytes:
+    """One frame of 1-8 INDEPENDENTLY coded channels (RFC 9639 9.1.3
+    channel assignments 0b0000-0b0111 = channel count - 1); each
+    channel picks its own subframe type by exact coded size."""
+    nib = len(chans_block) - 1
+    hdr = _frame_header(idx, nib)
+    bits = _Bits()
+    for ch in chans_block:
+        bits.extend(_coded_subframe(ch, 16))
+    frame = bytes(hdr) + bits.done()
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+def encode_flac_multichannel(
+    chans: list[list[int]], comments: dict[str, str]
+) -> bytes:
+    """3-8 channel (surround) 16-bit FLAC with independent channel
+    coding — the RFC 9639 path for anything beyond stereo (stereo
+    decorrelation modes exist only for 2 channels). STREAMINFO
+    total_samples counts interchannel samples; the PCM MD5 runs over
+    the channel-interleaved stream, per spec. Also accepts 1-2
+    channels (then always independent) for cross-checks."""
+    n = len(chans)
+    if not 1 <= n <= 8:
+        raise ValueError("FLAC supports 1-8 channels")
+    length = len(chans[0])
+    if any(len(c) != length for c in chans):
+        raise ValueError("channel length mismatch")
+    if length % _BLOCK:
+        raise ValueError("sample count must be a multiple of the blocksize")
+    inter = [v for tup in zip(*chans) for v in tup]
+    md5 = hashlib.md5(_pcm_bytes(inter)).digest()
+    out = _container(length, n, md5, comments)
+    for i in range(0, length, _BLOCK):
+        out += _frame_multi(
+            i // _BLOCK, [c[i : i + _BLOCK] for c in chans]
+        )
+    return bytes(out)
+
+
 def encode_flac_stereo(
     left: list[int], right: list[int], comments: dict[str, str]
 ) -> bytes:
@@ -691,8 +734,8 @@ def decode_flac(buf: bytes) -> dict:
             break
     if streaminfo is None:
         raise ValueError("missing STREAMINFO")
-    if streaminfo["channels"] not in (1, 2) or streaminfo["bits"] != 16:
-        raise NotImplementedError("1-2 channel 16-bit only")
+    if not 1 <= streaminfo["channels"] <= 8 or streaminfo["bits"] != 16:
+        raise NotImplementedError("1-8 channel 16-bit only")
     samples: list[int] = []
     n_frames = 0
     channels = streaminfo["channels"]
@@ -715,17 +758,22 @@ def decode_flac(buf: bytes) -> dict:
             raise ValueError(f"frame header CRC-8 mismatch at {start}")
         at += 1
         br = _BitsIn(buf, at)
-        if nib == _CH_MONO:
-            if channels != 1:
-                raise ValueError("mono frame in a stereo stream")
-            frame_samples = _read_subframe(br, blocksize, 16)
+        if nib <= 0b0111:  # 1-8 independently coded channels
+            if nib + 1 != channels:
+                raise ValueError(
+                    f"frame codes {nib + 1} channels, STREAMINFO says "
+                    f"{channels}"
+                )
+            chans = [
+                _read_subframe(br, blocksize, 16) for _ in range(channels)
+            ]
+            frame_samples = [v for tup in zip(*chans) for v in tup]
         else:
             if channels != 2:
-                raise ValueError("stereo frame in a mono stream")
-            if nib == _CH_STEREO:
-                left = _read_subframe(br, blocksize, 16)
-                right = _read_subframe(br, blocksize, 16)
-            elif nib == _CH_LEFT_SIDE:
+                raise ValueError(
+                    "stereo-decorrelation frame in a non-stereo stream"
+                )
+            if nib == _CH_LEFT_SIDE:
                 left = _read_subframe(br, blocksize, 16)
                 side = _read_subframe(br, blocksize, 17)
                 right = [l - s for l, s in zip(left, side)]
@@ -744,8 +792,8 @@ def decode_flac(buf: bytes) -> dict:
                     left.append((m2 + s) >> 1)
                     right.append((m2 - s) >> 1)
             else:
-                raise NotImplementedError(
-                    f"channel assignment {nib:#06b} (3+ channels)"
+                raise ValueError(
+                    f"reserved channel assignment {nib:#06b}"
                 )
             frame_samples = [
                 v for pair in zip(left, right) for v in pair
@@ -921,6 +969,98 @@ def flac_stereo_features(
                 rows,
                 columns=[id_col, "n_channels", "n_frames", "n_samples",
                          "sum_left", "sum_right", "pcm_md5_ok"],
+            )
+
+    return media.mapInPandas(feat, out_schema)
+
+
+def _doc_multichannel(doc_id: int) -> list[list[int]]:
+    """3-8 independently coded channels (5.1 = 6 at id%6==3), each
+    cycling the four subframe textures offset by channel index so
+    every channel/texture pairing appears. Pure integer formulas the
+    oracle recomputes with a channel UNNEST."""
+    n_ch = 3 + doc_id % 6
+    n_frames = 4 + doc_id % 3
+    chans: list[list[int]] = []
+    for c in range(n_ch):
+        out: list[int] = []
+        for f in range(n_frames):
+            base = (doc_id * 7 + f * 29 + c * 101) % 4096 - 2048
+            t = (f + c) % 4
+            if t == 0:
+                out += [base] * _BLOCK
+            elif t == 1:
+                out += [
+                    (doc_id * 7 + f * 29 + c * 101 + k * 13) % 4096 - 2048
+                    for k in range(_BLOCK)
+                ]
+            elif t == 2:
+                out += [base + _SINE8[k % 8] for k in range(_BLOCK)]
+            else:
+                out += [
+                    (doc_id * 7 + f * 29 + c * 101 + k * 48271) % 65536
+                    - 32768
+                    for k in range(_BLOCK)
+                ]
+        chans.append(out)
+    return chans
+
+
+def synthesize_flac_surround_clips(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    out_schema = f"{id_col} long, content binary"
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                blobs.append(
+                    encode_flac_multichannel(
+                        _doc_multichannel(i), {"TITLE": f"doc {i}"}
+                    )
+                )
+                ids.append(i)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "content": pd.Series(blobs, dtype=object)})
+
+    return docs.select(id_col).mapInPandas(build, out_schema)
+
+
+def flac_surround_features(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    out_schema = (
+        f"{id_col} long, n_channels int, n_frames int, n_samples long,"
+        " sum_all long, sum_ch0 long, pcm_md5_ok boolean"
+    )
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf[id_col], pdf[content_col]):
+                d = decode_flac(bytes(content))
+                inter = d["samples"]
+                n_ch = d["streaminfo"]["channels"]
+                rows.append(
+                    (
+                        int(i),
+                        n_ch,
+                        d["n_frames"],
+                        len(inter) // n_ch,
+                        sum(inter),
+                        sum(inter[0::n_ch]),
+                        d["md5_ok"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_channels", "n_frames", "n_samples",
+                         "sum_all", "sum_ch0", "pcm_md5_ok"],
             )
 
     return media.mapInPandas(feat, out_schema)

@@ -1395,6 +1395,58 @@ FROM per GROUP BY doc_id
 
 
 
+def m32_flac_surround(spark, sf_dir):
+    """M32: multichannel (surround) FLAC decode (multimodal/flac.py,
+    closes VERDICT r7 #4) — RFC 9639 channel assignments 0b0010-0b0111
+    (3-8 independently coded channels; 5.1 layouts at id%6==3), each
+    channel choosing its own subframe type (CONSTANT/FIXED/LPC/
+    VERBATIM) by exact coded size, the STREAMINFO MD5 verified over
+    the channel-interleaved PCM, frame channel count cross-checked
+    against STREAMINFO per frame. The oracle recomputes channel
+    counts, frame counts, the all-channel sample sum and channel 0's
+    sum from the pure integer texture formulas via a frame x sample x
+    channel UNNEST. Narrow scan -> mapInPandas, zero shuffle; at
+    100 TB one task per audio shard, linear per-clip CPU."""
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        flac_surround_features,
+        synthesize_flac_surround_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_flac_surround_clips(d, id_col="doc_id")
+    return flac_surround_features(media)
+
+
+M32_SQL = f"""
+WITH g AS (
+  SELECT doc_id, f.f AS f, k.k AS k, c.c AS c,
+         CASE (f.f + c.c) % 4
+           WHEN 0 THEN (doc_id * 7 + f.f * 29 + c.c * 101) % 4096 - 2048
+           WHEN 1 THEN
+             (doc_id * 7 + f.f * 29 + c.c * 101 + k.k * 13) % 4096 - 2048
+           WHEN 2 THEN (doc_id * 7 + f.f * 29 + c.c * 101) % 4096 - 2048
+                       + {_sine_sql('k.k % 8')}
+           ELSE
+             (doc_id * 7 + f.f * 29 + c.c * 101 + k.k * 48271) % 65536
+             - 32768
+         END AS v
+  FROM documents,
+       UNNEST(range(0, 6)) AS f(f),
+       UNNEST(range(0, 16)) AS k(k),
+       UNNEST(range(0, 8)) AS c(c)
+  WHERE f.f < 4 + doc_id % 3 AND c.c < 3 + doc_id % 6
+)
+SELECT doc_id,
+       CAST(3 + doc_id % 6 AS INT) AS n_channels,
+       CAST(4 + doc_id % 3 AS INT) AS n_frames,
+       CAST((4 + doc_id % 3) * 16 AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_all,
+       CAST(SUM(v) FILTER (WHERE c = 0) AS BIGINT) AS sum_ch0,
+       TRUE AS pcm_md5_ok
+FROM g GROUP BY doc_id
+"""
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -1459,6 +1511,7 @@ QUERIES = {
     "m28_flac_audio": m28_flac_audio,
     "m29_gzip_inflate": m29_gzip_inflate,
     "m30_flac_stereo": m30_flac_stereo,
+    "m32_flac_surround": m32_flac_surround,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -1488,5 +1541,6 @@ ORACLE = {
     "m28_flac_audio": M28_SQL,
     "m29_gzip_inflate": M29_SQL,
     "m30_flac_stereo": M30_SQL,
+    "m32_flac_surround": M32_SQL,
     "m31_lzma_alone": M31_SQL,
 }

@@ -1,0 +1,584 @@
+"""Zstandard compressed-block decoder (RFC 8878), from scratch —
+the FSE + Huffman half that upgrades the frame walker in
+``zstdmeta.py`` from metadata-only to a full ``.jsonl.zst`` reader.
+
+Everything here is implemented against the public spec (RFC 8878
+sections 4.1 "FSE" and 4.2 "Huffman Coding", and 3.1.1.3 "Blocks"):
+
+- the BACKWARD bitstream shared by FSE and Huffman payloads: bits are
+  written LSB-first, then read from the last byte, below a mandatory
+  1-bit sentinel (the highest set bit of the final byte); reads past
+  the start are an error except for Huffman's final table-log peeks,
+  which the spec zero-pads;
+- FSE distribution headers (``FSE_readNCount``): 4-bit accuracy log
+  (+5 bias), variable-width counts whose width shrinks as the
+  remaining probability mass shrinks, the ``-1`` "less than 1"
+  probability, and 2-bit zero-run repeat flags;
+- FSE decoding-table construction: "less than 1" symbols pinned to
+  the table's top cells, the (tableSize/2 + tableSize/8 + 3) spread
+  step skipping pinned cells, and per-cell (symbol, nbBits, baseline)
+  from the symbol's occurrence counter;
+- Huffman tree descriptions, both encodings: direct 4-bit weights
+  and FSE-compressed weights (a complete nested FSE stream with two
+  interleaved states that terminates on bitstream exhaustion), the
+  IMPLIED last weight that completes the weight sum to a power of
+  two, and the canonical table fill (low weights = long codes first,
+  ties by symbol order);
+- literals sections: Raw / RLE / Compressed / Treeless (reusing the
+  previous block's table), all size formats, and the 4-stream split
+  with its 6-byte jump table (streams 1-3 decode ceil(regen/4)
+  bytes each, stream 4 the remainder);
+- the sequences section: variable-length sequence count, the
+  Predefined / RLE / FSE / Repeat compression modes per code type,
+  the spec's predefined distributions for literal lengths (alog 6),
+  offsets (alog 5) and match lengths (alog 6), the code->baseline+
+  extra-bits tables, interleaved state initialization (LL, OF, ML)
+  and per-sequence reads (OF extras, ML extras, LL extras, then LL/
+  ML/OF state updates, none after the final sequence);
+- the three repeated-offset slots with their litLength==0 twist
+  (Offset_Value 1..3 shift by one, value 3 meaning rep[0]-1) and the
+  frame-initial values (1, 4, 8);
+- sequence execution over the WHOLE frame window (matches may reach
+  into earlier blocks), overlapping matches as periodic repetition.
+
+Conformance: this container ships TWO independent real writers —
+pyarrow's bundled libzstd (``pa.Codec("zstd", level)``) and the
+``zstd`` CLI — and the tests pin bit-exact decode of their output
+across levels and data textures; corrupt inputs fail loudly.
+
+Reference parity: the reference repo's pipelines read compressed
+archives via system tools (preprocess_parallel.sh); this module is
+the Spark-side equivalent capability for the dominant training-corpus
+container format.
+"""
+
+from __future__ import annotations
+
+# --- backward bitstream --------------------------------------------------------------
+
+
+class _BackBits:
+    """RFC 8878 backward bitstream: payload bits live below a 1-bit
+    sentinel at the top of the last byte; ``read`` consumes the bits
+    just below the cursor (underflow raises), ``peek`` zero-pads past
+    the start (the Huffman final-peek rule)."""
+
+    __slots__ = ("val", "pos")
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ValueError("empty backward bitstream")
+        if data[-1] == 0:
+            raise ValueError("corrupt bitstream: no sentinel bit in last byte")
+        self.val = int.from_bytes(data, "little")
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def read(self, n: int) -> int:
+        self.pos -= n
+        if self.pos < 0:
+            raise ValueError("bitstream underflow")
+        if n == 0:
+            return 0
+        return (self.val >> self.pos) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        if self.pos >= n:
+            return (self.val >> (self.pos - n)) & ((1 << n) - 1)
+        p = self.pos if self.pos > 0 else 0
+        return ((self.val & ((1 << p) - 1)) << (n - p)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.pos -= n
+
+
+# --- FSE ------------------------------------------------------------------------------
+
+
+def read_ncount(
+    buf: bytes, pos: int, max_alog: int, max_symbol: int
+) -> tuple[int, list[int], int]:
+    """Parse an FSE distribution header (forward, LSB-first bits).
+    Returns (accuracy_log, normalized counts with -1 for "less than
+    1", byte offset past the header)."""
+    bitpos = pos * 8
+
+    def peek(n: int) -> int:
+        byte0, off = bitpos >> 3, bitpos & 7
+        need = (off + n + 7) // 8
+        chunk = buf[byte0 : byte0 + need]
+        if len(chunk) < need:
+            chunk = chunk + b"\x00" * (need - len(chunk))
+        return (int.from_bytes(chunk, "little") >> off) & ((1 << n) - 1)
+
+    alog = peek(4) + 5
+    bitpos += 4
+    if alog > max_alog:
+        raise ValueError(f"FSE accuracy log {alog} exceeds cap {max_alog}")
+    remaining = (1 << alog) + 1
+    threshold = 1 << alog
+    nbits = alog + 1
+    counts: list[int] = []
+    prev0 = False
+    while remaining > 1:
+        if prev0:
+            # zero-run repeat flags: each 2-bit value appends that
+            # many extra zero-probability symbols; 3 chains
+            while True:
+                rep = peek(2)
+                bitpos += 2
+                counts.extend([0] * rep)
+                if len(counts) > max_symbol + 1:
+                    raise ValueError("FSE header names too many symbols")
+                if rep < 3:
+                    break
+            prev0 = False
+            continue
+        small_cut = (2 * threshold - 1) - remaining
+        v = peek(nbits)
+        if (v & (threshold - 1)) < small_cut:
+            count = v & (threshold - 1)
+            bitpos += nbits - 1
+        else:
+            count = v & (2 * threshold - 1)
+            if count >= threshold:
+                count -= small_cut
+            bitpos += nbits
+        count -= 1  # -1 = "less than 1" probability
+        remaining -= -count if count < 0 else count
+        counts.append(count)
+        if len(counts) > max_symbol + 1:
+            raise ValueError("FSE header names too many symbols")
+        if remaining < 0:
+            raise ValueError("FSE counts exceed table size")
+        prev0 = count == 0
+        while 1 < remaining < threshold:
+            nbits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("FSE counts do not sum to table size")
+    end = (bitpos + 7) // 8
+    if end > len(buf):
+        raise ValueError("truncated FSE header")
+    return alog, counts, end
+
+
+def build_fse_dtable(counts: list[int], alog: int) -> list[tuple[int, int, int]]:
+    """RFC 8878 §4.1.1 decoding table: cell -> (symbol, nbBits,
+    baseline)."""
+    tsize = 1 << alog
+    spread = [0] * tsize
+    high = tsize - 1
+    occ: dict[int, int] = {}
+    for s, c in enumerate(counts):
+        if c == -1:
+            spread[high] = s
+            high -= 1
+            occ[s] = 1
+        elif c > 0:
+            occ[s] = c
+    step = (tsize >> 1) + (tsize >> 3) + 3
+    mask = tsize - 1
+    p = 0
+    for s, c in enumerate(counts):
+        if c <= 0:
+            continue
+        for _ in range(c):
+            spread[p] = s
+            p = (p + step) & mask
+            while p > high:
+                p = (p + step) & mask
+    if p != 0:
+        raise ValueError("FSE spread did not close the cycle")
+    table = []
+    for u in range(tsize):
+        s = spread[u]
+        nxt = occ[s]
+        occ[s] = nxt + 1
+        nb = alog - (nxt.bit_length() - 1)
+        table.append((s, nb, (nxt << nb) - tsize))
+    return table
+
+
+def _fse_decompress_weights(blob: bytes) -> list[int]:
+    """Huffman weights as a complete nested FSE stream: distribution
+    header + backward bitstream with TWO interleaved states, emitting
+    until the stream is exhausted (the final flush emits the other
+    state's symbol without an update)."""
+    alog, counts, hdr_end = read_ncount(blob, 0, 6, 255)
+    table = build_fse_dtable(counts, alog)
+    bb = _BackBits(blob[hdr_end:])
+    s1 = bb.read(alog)
+    s2 = bb.read(alog)
+    out: list[int] = []
+    while True:
+        sym, nb, base = table[s1]
+        out.append(sym)
+        if bb.pos < nb:  # s1's update would underflow: flush s2, done
+            out.append(table[s2][0])
+            break
+        s1 = base + bb.read(nb)
+        sym, nb, base = table[s2]
+        out.append(sym)
+        if bb.pos < nb:
+            out.append(table[s1][0])
+            break
+        s2 = base + bb.read(nb)
+        if len(out) > 255:
+            raise ValueError("more than 255 Huffman weights")
+    if len(out) > 255:
+        raise ValueError("more than 255 Huffman weights")
+    return out
+
+
+# --- Huffman --------------------------------------------------------------------------
+
+
+def read_huf_dtable(
+    block: bytes, pos: int
+) -> tuple[list[tuple[int, int]], int, int]:
+    """Huffman_Tree_Description -> (dtable, tableLog, new pos). The
+    dtable has 2^tableLog cells of (symbol, nbBits); decode peeks
+    tableLog bits as the index."""
+    hb = block[pos]
+    pos += 1
+    if hb >= 128:  # direct 4-bit weights
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        if pos + nbytes > len(block):
+            raise ValueError("truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            byte = block[pos + (i >> 1)]
+            weights.append((byte >> 4) if i % 2 == 0 else (byte & 15))
+        pos += nbytes
+    else:
+        if pos + hb > len(block):
+            raise ValueError("truncated FSE-compressed Huffman weights")
+        weights = _fse_decompress_weights(block[pos : pos + hb])
+        pos += hb
+    total = 0
+    for w in weights:
+        if w > 11:
+            raise ValueError(f"Huffman weight {w} exceeds the spec max 11")
+        if w:
+            total += 1 << (w - 1)
+    if total == 0:
+        raise ValueError("all-zero Huffman weights")
+    tlog = total.bit_length()  # smallest 2^t > total (last weight >= 1)
+    if tlog > 11:
+        raise ValueError("Huffman table log beyond the spec max 11")
+    left = (1 << tlog) - total
+    if left & (left - 1):
+        raise ValueError("Huffman weights do not complete to a power of 2")
+    weights.append(left.bit_length())  # implied last weight
+    # canonical fill: weight w occupies runs of 2^(w-1) cells, lowest
+    # weights (longest codes) first, ties by symbol order
+    rank_count = [0] * (tlog + 2)
+    for w in weights:
+        if w > tlog:
+            raise ValueError("Huffman weight exceeds table log")
+        rank_count[w] += 1
+    rank_start = [0] * (tlog + 2)
+    nxt = 0
+    for w in range(1, tlog + 1):
+        rank_start[w] = nxt
+        nxt += rank_count[w] << (w - 1)
+    if nxt != (1 << tlog):
+        raise ValueError("Huffman weight ranks do not fill the table")
+    dtable: list[tuple[int, int]] = [(0, 0)] * (1 << tlog)
+    for s, w in enumerate(weights):
+        if w == 0:
+            continue
+        run = 1 << (w - 1)
+        st = rank_start[w]
+        entry = (s, tlog + 1 - w)
+        for i in range(st, st + run):
+            dtable[i] = entry
+        rank_start[w] += run
+    return dtable, tlog, pos
+
+
+def _huf_decode_stream(
+    dtable: list[tuple[int, int]], tlog: int, data: bytes, n_out: int
+) -> bytes:
+    bb = _BackBits(data)
+    out = bytearray()
+    for _ in range(n_out):
+        sym, nb = dtable[bb.peek(tlog)]
+        bb.skip(nb)
+        if bb.pos < 0:
+            raise ValueError("Huffman stream underflow")
+        out.append(sym)
+    if bb.pos != 0:
+        raise ValueError("Huffman stream not fully consumed")
+    return bytes(out)
+
+
+# --- literals section -----------------------------------------------------------------
+
+
+def _decode_literals(block: bytes, pos: int, state: "ZstdBlockState") -> tuple[bytes, int]:
+    b0 = block[pos]
+    btype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if btype <= 1:  # Raw / RLE
+        if sf in (0, 2):  # 1-bit size format, 5-bit size
+            size = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            size = (b0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:
+            size = (b0 >> 4) | (block[pos + 1] << 4) | (block[pos + 2] << 12)
+            pos += 3
+        if btype == 0:
+            lit = bytes(block[pos : pos + size])
+            if len(lit) != size:
+                raise ValueError("truncated raw literals")
+            return lit, pos + size
+        if pos >= len(block):
+            raise ValueError("truncated RLE literal byte")
+        return bytes([block[pos]]) * size, pos + 1
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        h = int.from_bytes(block[pos : pos + 3], "little")
+        regen, comp = (h >> 4) & 0x3FF, (h >> 14) & 0x3FF
+        pos += 3
+        streams = 1
+    elif sf == 1:
+        h = int.from_bytes(block[pos : pos + 3], "little")
+        regen, comp = (h >> 4) & 0x3FF, (h >> 14) & 0x3FF
+        pos += 3
+        streams = 4
+    elif sf == 2:
+        h = int.from_bytes(block[pos : pos + 4], "little")
+        regen, comp = (h >> 4) & 0x3FFF, (h >> 18) & 0x3FFF
+        pos += 4
+        streams = 4
+    else:
+        h = int.from_bytes(block[pos : pos + 5], "little")
+        regen, comp = (h >> 4) & 0x3FFFF, (h >> 22) & 0x3FFFF
+        pos += 5
+        streams = 4
+    end = pos + comp
+    if end > len(block):
+        raise ValueError("literals Compressed_Size past end of block")
+    if btype == 2:
+        dtable, tlog, pos = read_huf_dtable(block, pos)
+        state.huf = (dtable, tlog)
+    else:
+        if state.huf is None:
+            raise ValueError("treeless literals with no previous Huffman table")
+        dtable, tlog = state.huf
+    if streams == 1:
+        return _huf_decode_stream(dtable, tlog, block[pos:end], regen), end
+    if pos + 6 > end:
+        raise ValueError("truncated 4-stream jump table")
+    s1 = int.from_bytes(block[pos : pos + 2], "little")
+    s2 = int.from_bytes(block[pos + 2 : pos + 4], "little")
+    s3 = int.from_bytes(block[pos + 4 : pos + 6], "little")
+    pos += 6
+    s4 = end - pos - s1 - s2 - s3
+    if s4 <= 0:
+        raise ValueError("4-stream jump table sizes exceed section")
+    per = (regen + 3) // 4
+    last = regen - 3 * per
+    if last < 0:
+        raise ValueError("regenerated size too small for 4 streams")
+    parts = []
+    for sz, n_out in zip((s1, s2, s3, s4), (per, per, per, last)):
+        parts.append(_huf_decode_stream(dtable, tlog, block[pos : pos + sz], n_out))
+        pos += sz
+    return b"".join(parts), end
+
+
+# --- sequences section ----------------------------------------------------------------
+
+# predefined distributions (RFC 8878 §3.1.1.3.2.2)
+_LL_DEFAULT = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1,
+]
+_ML_DEFAULT = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1,
+]
+_OF_DEFAULT = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1,
+]
+
+# code -> (baseline, number of extra bits)
+_LL_CODE = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+    (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9),
+    (1024, 10), (2048, 11), (4096, 12), (8192, 13), (16384, 14),
+    (32768, 15), (65536, 16),
+]
+_ML_CODE = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+    (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9),
+    (1027, 10), (2051, 11), (4099, 12), (8195, 13), (16387, 14),
+    (32771, 15), (65539, 16),
+]
+
+_MAX_CODE = {"ll": 35, "of": 31, "ml": 52}
+_MAX_ALOG = {"ll": 9, "of": 8, "ml": 9}
+_DEFAULTS = {
+    "ll": (_LL_DEFAULT, 6),
+    "of": (_OF_DEFAULT, 5),
+    "ml": (_ML_DEFAULT, 6),
+}
+_PREDEFINED: dict[str, tuple[list[tuple[int, int, int]], int]] = {}
+
+
+def _predefined(kind: str) -> tuple[list[tuple[int, int, int]], int]:
+    if kind not in _PREDEFINED:
+        dist, alog = _DEFAULTS[kind]
+        _PREDEFINED[kind] = (build_fse_dtable(dist, alog), alog)
+    return _PREDEFINED[kind]
+
+
+def _seq_table(
+    block: bytes,
+    pos: int,
+    mode: int,
+    kind: str,
+    prev: tuple[list[tuple[int, int, int]], int] | None,
+) -> tuple[tuple[list[tuple[int, int, int]], int], int]:
+    if mode == 0:
+        return _predefined(kind), pos
+    if mode == 1:  # RLE: a single symbol, zero-bit state
+        sym = block[pos]
+        if sym > _MAX_CODE[kind]:
+            raise ValueError(f"{kind} RLE symbol {sym} beyond max code")
+        return ([(sym, 0, 0)], 0), pos + 1
+    if mode == 2:
+        alog, counts, pos = read_ncount(block, pos, _MAX_ALOG[kind], _MAX_CODE[kind])
+        return (build_fse_dtable(counts, alog), alog), pos
+    if prev is None:
+        raise ValueError(f"{kind} Repeat_Mode with no previous table")
+    return prev, pos
+
+
+class ZstdBlockState:
+    """Per-frame decoder state persisting across blocks: the Huffman
+    literals table (Treeless_Literals_Block), the three sequence FSE
+    tables (Repeat_Mode), and the repeated offsets (frame-initial
+    1, 4, 8)."""
+
+    __slots__ = ("huf", "ll", "of", "ml", "reps")
+
+    def __init__(self) -> None:
+        self.huf: tuple[list[tuple[int, int]], int] | None = None
+        self.ll: tuple[list[tuple[int, int, int]], int] | None = None
+        self.of: tuple[list[tuple[int, int, int]], int] | None = None
+        self.ml: tuple[list[tuple[int, int, int]], int] | None = None
+        self.reps: list[int] = [1, 4, 8]
+
+
+def decode_block(block: bytes, state: ZstdBlockState, window: bytearray) -> int:
+    """Decode one Compressed_Block into ``window`` (the frame output
+    so far — matches may reference earlier blocks). Returns the
+    number of bytes appended."""
+    lits, pos = _decode_literals(block, 0, state)
+    if pos >= len(block):
+        raise ValueError("missing sequences section")
+    b0 = block[pos]
+    pos += 1
+    if b0 == 0:
+        if pos != len(block):
+            raise ValueError("trailing bytes after empty sequences section")
+        window += lits
+        return len(lits)
+    if b0 < 128:
+        nseq = b0
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) + block[pos]
+        pos += 1
+    else:
+        nseq = int.from_bytes(block[pos : pos + 2], "little") + 0x7F00
+        pos += 2
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("reserved sequence-mode bits set")
+    state.ll, pos = _seq_table(block, pos, (modes >> 6) & 3, "ll", state.ll)
+    state.of, pos = _seq_table(block, pos, (modes >> 4) & 3, "of", state.of)
+    state.ml, pos = _seq_table(block, pos, (modes >> 2) & 3, "ml", state.ml)
+    ll_tab, ll_log = state.ll
+    of_tab, of_log = state.of
+    ml_tab, ml_log = state.ml
+    bb = _BackBits(block[pos:])
+    ll_st = bb.read(ll_log)
+    of_st = bb.read(of_log)
+    ml_st = bb.read(ml_log)
+    reps = state.reps
+    base_len = len(window)
+    litpos = 0
+    for i in range(nseq):
+        of_sym = of_tab[of_st][0]
+        ml_sym = ml_tab[ml_st][0]
+        ll_sym = ll_tab[ll_st][0]
+        if of_sym > 31:
+            raise ValueError("offset code beyond 31")
+        # read order within a sequence: OF extras, ML extras, LL extras
+        ofv = (1 << of_sym) + bb.read(of_sym)
+        mb, mx = _ML_CODE[ml_sym]
+        ml = mb + bb.read(mx)
+        lb, lx = _LL_CODE[ll_sym]
+        ll = lb + bb.read(lx)
+        if ofv > 3:
+            off = ofv - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = off
+        else:
+            idx = ofv - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                off = reps[0]
+            elif idx == 1:
+                off = reps[1]
+                reps[1] = reps[0]
+                reps[0] = off
+            elif idx == 2:
+                off = reps[2]
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = off
+            else:  # litLength == 0 and Offset_Value == 3
+                off = reps[0] - 1
+                if off == 0:
+                    raise ValueError("corrupt stream: repeat offset 0")
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = off
+        # state updates (LL, ML, OF) — skipped after the last sequence
+        if i != nseq - 1:
+            _, nb, base = ll_tab[ll_st]
+            ll_st = base + bb.read(nb)
+            _, nb, base = ml_tab[ml_st]
+            ml_st = base + bb.read(nb)
+            _, nb, base = of_tab[of_st]
+            of_st = base + bb.read(nb)
+        # execute
+        if litpos + ll > len(lits):
+            raise ValueError("sequence literals run past the literals section")
+        if ll:
+            window += lits[litpos : litpos + ll]
+            litpos += ll
+        if off > len(window):
+            raise ValueError("match offset reaches before frame start")
+        if off >= ml:
+            start = len(window) - off
+            window += window[start : start + ml]
+        else:  # overlap = periodic repetition of the last `off` bytes
+            rep = bytes(window[-off:])
+            window += (rep * (ml // off + 1))[:ml]
+    if bb.pos != 0:
+        raise ValueError("sequence bitstream not fully consumed")
+    window += lits[litpos:]
+    return len(window) - base_len

@@ -22,12 +22,14 @@ What is REAL here:
   the LOW 32 BITS of XXH64(content, seed=0) and the reader
   RE-VERIFIES it on every decoded frame; pinned in pytest against
   the spec's published check values;
-- COMPRESSED blocks (FSE/Huffman sequences) are the declared
-  capability gate: the metadata walk still parses their headers and
-  sizes (that is the planner use case) and ``parse_zstd`` reports the
-  frame with ``content=None``; the Spark feature surface, which needs
-  the bytes, raises NotImplementedError unless a zstd codec module is
-  importable (same stance as the ffmpeg-gated H.264 escape hatch).
+- COMPRESSED blocks decode END TO END from scratch since round 8 via
+  ``sources/zstdblock.py`` (FSE + Huffman per RFC 8878: backward
+  bitstreams, distribution headers, Huffman tree descriptions incl.
+  FSE-compressed weights and the 4-stream split, sequence execution
+  with the three repeated-offset slots, Treeless/Repeat table reuse
+  across blocks, matches reaching earlier blocks in the frame) —
+  conformance-pinned against pyarrow's bundled libzstd and the zstd
+  CLI across levels.
 
 Scale: opaque binary + Arrow ``mapInPandas``, narrow, zero shuffle —
 one task per shard file at 100 TB, the walk is O(#blocks) per frame.
@@ -40,6 +42,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from neuroimaging_data_pipeline_spark.sources.zstdblock import (
+    ZstdBlockState,
+    decode_block,
+)
 
 _MAGIC = 0xFD2FB528
 _SKIPPABLE_LO = 0x184D2A50
@@ -214,13 +221,10 @@ def parse_zstd(buf: bytes) -> dict:
     ``{"n_skippable", "frames": [frame...]}`` where each frame dict
     has single_segment, window_log (None in single-segment mode),
     dict_id, size_known, content_size (header field or None),
-    n_blocks/n_raw/n_rle/n_compressed, has_checksum, checksum_ok,
-    content (bytes; None when a compressed block gated decode).
-
-    The METADATA walk never decompresses: compressed block bodies are
-    skipped by their header size. Their BYTES decode only via an
-    importable zstd codec; absent that the frame's content is None
-    (and checksum_ok None) rather than a guess."""
+    n_blocks/n_raw/n_rle/n_compressed, has_checksum, checksum_ok
+    (False when the frame carries no checksum to verify), and content
+    (always bytes — RAW/RLE blocks inline, compressed blocks via the
+    from-scratch FSE+Huffman decoder in zstdblock.py)."""
     buf = bytes(buf)
     pos = 0
     n_skippable = 0
@@ -277,8 +281,8 @@ def parse_zstd(buf: bytes) -> dict:
             content_size = int.from_bytes(buf[pos : pos + 8], "little")
             pos += 8
         n_blocks = n_raw = n_rle = n_compressed = 0
-        parts: list[bytes] = []
-        gated = False
+        win = bytearray()  # frame window: matches reach earlier blocks
+        blk_state = ZstdBlockState()
         while True:
             # truncation is a loud error, not an infinite loop: a
             # 3-byte read past EOF would decode as a non-last RAW
@@ -293,47 +297,33 @@ def parse_zstd(buf: bytes) -> dict:
                 if pos + bsize > len(buf):
                     raise ValueError("truncated frame: RAW block body past end of buffer")
                 n_raw += 1
-                parts.append(buf[pos : pos + bsize])
+                win += buf[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:
                 if pos + 1 > len(buf):
                     raise ValueError("truncated frame: RLE block byte past end of buffer")
                 n_rle += 1
-                parts.append(buf[pos : pos + 1] * bsize)
+                win += buf[pos : pos + 1] * bsize
                 pos += 1
             elif btype == 2:
                 if pos + bsize > len(buf):
                     raise ValueError("truncated frame: compressed block body past end of buffer")
                 n_compressed += 1
-                gated = True
+                decode_block(buf[pos : pos + bsize], blk_state, win)
                 pos += bsize
             else:
                 raise ValueError("reserved block type 3")
             if last:
                 break
-        content: bytes | None = b"".join(parts)
-        if gated:
-            dec = _try_import_zstd()
-            if dec is None:
-                content = None  # declared gate: metadata only
-            else:
-                # hand the WHOLE frame (from its magic, through the
-                # optional checksum) to the real codec
-                end = pos + (4 if has_checksum else 0)
-                content = dec(buf[frame_magic_at:end])
+        content = bytes(win)
         checksum_ok = None
         if has_checksum:
             stored = int.from_bytes(buf[pos : pos + 4], "little")
             pos += 4
-            if content is not None:
-                checksum_ok = (xxh64(content) & 0xFFFFFFFF) == stored
-        elif content is not None:
+            checksum_ok = (xxh64(content) & 0xFFFFFFFF) == stored
+        else:
             checksum_ok = False  # nothing to verify against
-        if (
-            content is not None
-            and content_size is not None
-            and len(content) != content_size
-        ):
+        if content_size is not None and len(content) != content_size:
             raise ValueError("decoded size != Frame_Content_Size")
         frames.append(
             {
@@ -399,6 +389,97 @@ def synthesize_zstd_docs(
     return docs.select(id_col, text_col).mapInPandas(build, out_schema)
 
 
+_PAD_SENTENCE = "the quick brown fox jumps over the lazy dog. "
+_LEVELS = (1, 3, 6, 9, 12)
+
+
+def synthesize_zstd_compressed_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document REAL compressed `.zst` members, written by
+    pyarrow's bundled libzstd at a level cycling with doc id — the
+    writer side of the s25b conformance loop (our from-scratch
+    FSE+Huffman decoder must reproduce libzstd's output bit-exactly).
+    Each blob is: optional skippable frame (id%6==0), the libzstd
+    compressed frame over text + a compressible English pad (so
+    compressed blocks actually appear even for short docs), then one
+    frame of OUR raw-block writer carrying a 'T<id>' trailer — a
+    mixed stream the decoder walks end to end. All content is a pure
+    id/text formula the oracle recomputes."""
+    out_schema = f"{id_col} long, content binary"
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        codecs = {lv: pa.Codec("zstd", compression_level=lv) for lv in _LEVELS}
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                i = int(i)
+                body = ("" if text is None else str(text)).encode()
+                body += (_PAD_SENTENCE * (20 + i % 30)).encode()
+                blob = b""
+                if i % 6 == 0:
+                    blob += write_skippable_frame(b"skip" * 3, nibble=i % 16)
+                blob += bytes(codecs[_LEVELS[i % 5]].compress(body))
+                blob += write_zstd_frame(b"T%d" % i, checksum=True)
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(build, out_schema)
+
+
+def zstd_decoded_documents(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode mixed zstd streams (compressed + raw frames) with the
+    from-scratch block decoder and emit oracle-recomputable features:
+    byte length and md5 of the full decoded stream, the skippable
+    count, and the level formula echoed back."""
+    out_schema = (
+        f"{id_col} long, n_skippable int, level int,"
+        " content_len long, text_md5 string"
+    )
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf[id_col], pdf[content_col]):
+                i = int(i)
+                d = parse_zstd(bytes(content))
+                full = b"".join(f["content"] for f in d["frames"])
+                # the trailer frame was written with a checksum: it
+                # must have verified (content integrity both ways)
+                if d["frames"][-1]["checksum_ok"] is not True:
+                    raise ValueError("trailer frame checksum failed")
+                rows.append(
+                    (
+                        i,
+                        d["n_skippable"],
+                        _LEVELS[i % 5],
+                        len(full),
+                        hashlib.md5(full).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_skippable", "level",
+                         "content_len", "text_md5"],
+            )
+
+    return media.mapInPandas(feat, out_schema)
+
+
 def zstd_meta_features(
     media: DataFrame,
     id_col: str = "doc_id",
@@ -417,13 +498,6 @@ def zstd_meta_features(
             for i, content in zip(pdf[id_col], pdf[content_col]):
                 d = parse_zstd(bytes(content))
                 (f,) = d["frames"]  # one data frame per doc here
-                if f["content"] is None:
-                    raise NotImplementedError(
-                        "compressed zstd blocks: content bytes need a"
-                        " zstd codec module (compression.zstd or"
-                        " zstandard); the metadata walk is available"
-                        " via parse_zstd"
-                    )
                 rows.append(
                     (
                         int(i),

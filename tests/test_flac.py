@@ -438,15 +438,53 @@ def test_stereo_extreme_sample_values_roundtrip():
     assert d["md5_ok"]
 
 
-def test_channel_count_gate_still_loud():
-    # 3+ channels remain a declared gate
+def test_multichannel_round_trips_all_counts():
+    # r8: 3-8 independently coded channels (RFC 9639 assignments
+    # 0b0010-0b0111) decode for real, MD5 over interleaved PCM
     from neuroimaging_data_pipeline_spark.multimodal.flac import (
-        _pcm_bytes,
+        _doc_multichannel,
+        encode_flac_multichannel,
+    )
+
+    seen = set()
+    for i in range(12):
+        chans = _doc_multichannel(i)
+        seen.add(len(chans))
+        d = decode_flac(encode_flac_multichannel(chans, {"TITLE": "t"}))
+        assert d["streaminfo"]["channels"] == len(chans)
+        assert d["samples"] == [v for tup in zip(*chans) for v in tup]
+        assert d["md5_ok"]
+    assert seen == {3, 4, 5, 6, 7, 8}  # every surround count exercised
+
+
+def test_multichannel_frame_vs_streaminfo_mismatch_loud():
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
+        _BLOCK,
+        encode_flac_multichannel,
+    )
+
+    blob = bytearray(
+        encode_flac_multichannel([[0] * _BLOCK] * 4, {})
+    )
+    # STREAMINFO channels live at bits 43-41 of the packed word
+    # (byte 12 of the 34-byte body, at offset 8+4+10 into the file)
+    idx = 4 + 4 + 10 + 2
+    blob[idx] = (blob[idx] & ~0x0E) | ((5 - 1) << 1)  # claim 5 channels
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        decode_flac(bytes(blob))
+
+
+def test_channel_count_beyond_8_or_non16bit_still_gated():
+    from neuroimaging_data_pipeline_spark.multimodal.flac import (
         _streaminfo,
     )
     import hashlib as _h
 
-    si = _streaminfo(16, _h.md5(b"").digest(), channels=3)
-    blob = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
-    with pytest.raises(NotImplementedError, match="1-2 channel"):
+    si = bytearray(_streaminfo(16, _h.md5(b"").digest(), channels=8))
+    # force the 5-bit sample-size field to 24-bit
+    packed = int.from_bytes(si[10:18], "big")
+    packed = (packed & ~(0x1F << 36)) | ((24 - 1) << 36)
+    si[10:18] = packed.to_bytes(8, "big")
+    blob = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    with pytest.raises(NotImplementedError, match="16-bit"):
         decode_flac(blob)

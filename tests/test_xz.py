@@ -98,3 +98,62 @@ def test_container_guards_fail_loudly():
         parse_xz(bytes(bad))
     with pytest.raises(ValueError):
         parse_xz(bytes(blob[:-8]))  # truncated footer
+
+
+def test_filtered_chains_decode_vs_liblzma():
+    """r8: Delta and x86 BCJ non-last filters (singly and stacked)
+    decode bit-exactly against liblzma-written members; the payload
+    carries real 0xE8/0xE9 patterns so BCJ genuinely rewrites."""
+    from neuroimaging_data_pipeline_spark.sources.xz import _fake_x86_tail
+
+    rng = random.Random(17)
+    for trial in range(24):
+        data = _fake_x86_tail(trial) + b"text " * rng.randrange(0, 60) \
+            + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 99)))
+        pre = [
+            [{"id": lzma.FILTER_DELTA, "dist": 1 + rng.randrange(16)}],
+            [{"id": lzma.FILTER_X86}],
+            [{"id": lzma.FILTER_DELTA, "dist": 1 + rng.randrange(4)},
+             {"id": lzma.FILTER_X86}],
+            [{"id": lzma.FILTER_X86},
+             {"id": lzma.FILTER_DELTA, "dist": 1}],
+        ][trial % 4]
+        blob = lzma.compress(
+            data, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64,
+            filters=pre + [{"id": lzma.FILTER_LZMA2, "preset": 4,
+                            "dict_size": 1 << 16}])
+        assert parse_xz(blob)["content"] == data, trial
+
+
+def test_delta_decode_inverts_encoder():
+    from neuroimaging_data_pipeline_spark.sources.xz import delta_decode
+
+    rng = random.Random(3)
+    for dist in (1, 2, 3, 16, 255, 256):
+        data = bytes(rng.randrange(256) for _ in range(500))
+        enc = bytearray(data)
+        for i in range(len(enc) - 1, dist - 1, -1):
+            enc[i] = (enc[i] - data[i - dist]) & 0xFF
+        assert delta_decode(bytes(enc), dist) == data
+    with pytest.raises(ValueError, match="range"):
+        delta_decode(b"x", 0)
+
+
+def test_bcj_x86_plain_text_is_noop():
+    # no 0xE8/0xE9 bytes -> the scan rewrites nothing
+    from neuroimaging_data_pipeline_spark.sources.xz import bcj_x86_decode
+
+    data = b"plain ascii text has no call opcodes " * 40
+    assert bcj_x86_decode(data) == data
+    assert bcj_x86_decode(b"abc") == b"abc"  # <= 4 bytes passthrough
+
+
+def test_unsupported_branch_filters_still_gate():
+    data = b"arm gate " * 30
+    blob = lzma.compress(
+        data, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC32,
+        filters=[{"id": lzma.FILTER_ARM},
+                 {"id": lzma.FILTER_LZMA2, "preset": 1,
+                  "dict_size": 1 << 16}])
+    with pytest.raises(NotImplementedError, match="LZMA2/delta/x86"):
+        parse_xz(blob)

@@ -127,17 +127,24 @@ def test_content_size_mismatch_detected():
         parse_zstd(bytes(blob))
 
 
-def test_compressed_block_is_metadata_only_without_codec():
-    # hand-build a frame whose single block claims type 2 (compressed)
+def test_garbage_compressed_block_fails_loudly():
+    # since r8 compressed blocks DECODE (zstdblock.py) — a block whose
+    # type-2 body is opaque garbage must raise, not gate to None
     head = bytes([0x28, 0xB5, 0x2F, 0xFD, 0b00000000, 0x00])
     bh = ((3 << 3) | (2 << 1) | 1).to_bytes(3, "little")
-    blob = head + bh + b"XYZ"  # 3 opaque "compressed" bytes
+    with pytest.raises(ValueError):
+        parse_zstd(head + bh + b"XYZ")
+
+
+def test_compressed_blocks_decode_from_scratch():
+    # pyarrow's bundled libzstd is a real writer present in this
+    # environment: its compressed blocks must decode bit-exactly
+    pa = pytest.importorskip("pyarrow")
+    data = b"spark first, decode from scratch " * 64
+    blob = bytes(pa.Codec("zstd", compression_level=9).compress(data))
     (f,) = parse_zstd(blob)["frames"]
-    assert f["n_compressed"] == 1 and f["n_blocks"] == 1
-    if _try_import_zstd() is None:
-        assert f["content"] is None  # declared gate, loud not wrong
-    else:  # a real codec is present: cross-check our frame walk
-        assert f["content"] is not None
+    assert f["n_compressed"] >= 1
+    assert f["content"] == data
 
 
 def test_real_codec_cross_check_if_available():
