@@ -983,7 +983,43 @@ SELECT query_id, vec_id, l2sq FROM (
 S_IVFPQ_SQL = _ivfpq_sql()
 
 
+def d_image_neardup(spark, sf_dir):
+    """Perceptual-hash IMAGE near-dup pairs (dedup/phash.py, closes
+    VERDICT r7 #6) — the image-modality sibling of d_simhash: real
+    PNG fixtures (from-scratch encoder/decoder in multimodal/
+    binaryops.py), 32x32 -> orthonormal 2-D DCT-II -> 8x8
+    low-frequency block -> median-threshold 64-bit pHash, then the
+    SAME 4x16-bit banded Hamming blocking (pigeonhole-complete at
+    hamming <= 3, bucket flood guard) — bucketed equi-join, NOT
+    all-pairs. Docs with id%10==1 are planted perturbations of id-1
+    (amplitude rescale + high-frequency checkerboard + rounding):
+    pHash is invariant to all three by construction, so the pair set
+    is the pure id formula the oracle recomputes. False pairs are
+    hypergeometrically excluded (full all-pairs scan at sf0.1 found
+    minimum non-planted hamming 12; pinned in pytest). At 100 TB:
+    narrow Arrow decode+hash per shard, one banded self-join."""
+    from neuroimaging_data_pipeline_spark.dedup.phash import (
+        phash_near_dup_pairs,
+        synthesize_phash_images,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_phash_images(docs, id_col="doc_id")
+    return phash_near_dup_pairs(media, max_hamming=3, max_bucket_size=200)
+
+
+D_IMAGE_NEARDUP_SQL = """
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       TRUE AS is_near
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 10 = 0
+"""
+
+
 QUERIES = {
+    "d_image_neardup": d_image_neardup,
     "s_cosine_topk": s_cosine_topk,
     "s_mmr_rerank": s_mmr_rerank,
     "s_pq_codes": s_pq_codes,
@@ -999,6 +1035,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d_image_neardup": D_IMAGE_NEARDUP_SQL,
     "s_cosine_topk": S_COSINE_SQL,
     "s_mmr_rerank": S_MMR_SQL,
     "s_pq_codes": S_PQ_SQL,
