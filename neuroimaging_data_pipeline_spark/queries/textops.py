@@ -2428,7 +2428,191 @@ FROM ranked GROUP BY shard
 """
 
 
+def t_unigram_train(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING
+    (text/unigram.py, closes VERDICT r7 #7) — the subword algorithm
+    real pipelines choose against BPE (Kudo 2018): substring seed
+    vocab (top-48 + all chars), then 2 hard-EM rounds of distributed
+    Viterbi segmentation (E-step: one narrow Arrow pass over the
+    DISTINCT-word table) and integer piece recount (M-step: one
+    map-side-combinable groupBy; zero-count pieces pruned). Log-probs
+    quantize to scaled int64 (round(ln(cnt/T)*1e9)) so every DP score
+    is an exact integer — no float order dependence, ties resolved by
+    the longer piece. The oracle unrolls BOTH rounds in SQL: forward
+    Viterbi as a recursive CTE carrying a 4-deep best/token history,
+    backtrack as a second recursive CTE over the recorded argmax
+    choices — training is oracle-checked round-for-round, the BPE
+    discipline. KB driver state per round (the <=75-piece vocab)."""
+    from neuroimaging_data_pipeline_spark.text.unigram import unigram_train
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    return unigram_train(docs)
+
+
+def t_unigram_tokens(spark, sf_dir):
+    """Unigram-LM train-then-tokenize end-to-end: learn the final
+    vocabulary (2 EM rounds), then per-document token counts and the
+    exact integer total log-likelihood via Viterbi over DISTINCT
+    words joined back to the doc->word explosion (word multiplicity
+    preserved, per_word broadcast). The oracle replays training plus
+    a third forward DP and the same join/aggregation."""
+    from neuroimaging_data_pipeline_spark.text.unigram import (
+        unigram_token_counts,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    return unigram_token_counts(docs)
+
+
+_UNI_TOKS = (
+    "list_filter(string_split(regexp_replace(lower(trim(text)),"
+    " '\\s+', ' ', 'g'), ' '), t -> t <> '')"
+)
+_UNI_SENT = "-9223372036854775807"
+
+
+def _unigram_round_sql(r: int, prev: str, forward_only: bool = False) -> str:
+    """CTE fragments for EM round r over vocabulary ``prev``: scaled
+    int64 log-probs, forward Viterbi (recursive, 4-deep history +
+    argmax choice), and unless forward_only the backtrack + recount
+    producing vocab{r}."""
+    c = [
+        f"COALESCE(d.b0 + i1.ilp, {_UNI_SENT})",
+        f"COALESCE(d.b1 + i2.ilp, {_UNI_SENT})",
+        f"COALESCE(d.b2 + i3.ilp, {_UNI_SENT})",
+        f"COALESCE(d.b3 + i4.ilp, {_UNI_SENT})",
+    ]
+    m = f"GREATEST({c[0]}, {c[1]}, {c[2]}, {c[3]})"
+    lch = (
+        f"CASE WHEN {c[3]} = {m} THEN 4 WHEN {c[2]} = {m} THEN 3"
+        f" WHEN {c[1]} = {m} THEN 2 ELSE 1 END"
+    )
+    tok = (
+        f"CASE {lch} WHEN 1 THEN d.t0 + 1 WHEN 2 THEN d.t1 + 1"
+        f" WHEN 3 THEN d.t2 + 1 ELSE d.t3 + 1 END"
+    )
+    out = f"""
+tot{r} AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM {prev}),
+ilp{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / (SELECT tot FROM tot{r}))
+              * 1000000000.0) AS BIGINT) AS ilp
+  FROM {prev}
+),
+dp{r} AS (
+  SELECT w.word, 0 AS k,
+         CAST(0 AS BIGINT) AS b0, CAST(NULL AS BIGINT) AS b1,
+         CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS b3,
+         0 AS t0, 0 AS t1, 0 AS t2, 0 AS t3, 0 AS lch
+  FROM words w
+  UNION ALL
+  -- NULLIF: an uncoverable prefix stays NULL (the Python side's
+  -- None) so it can never feed a checked int64 add of the sentinel
+  SELECT d.word, d.k + 1,
+         NULLIF({m}, {_UNI_SENT}), d.b0, d.b1, d.b2,
+         {tok}, d.t0, d.t1, d.t2,
+         {lch}
+  FROM dp{r} d
+  LEFT JOIN ilp{r} i1 ON i1.piece = substring(d.word, d.k + 1, 1)
+  LEFT JOIN ilp{r} i2 ON d.k >= 1 AND i2.piece = substring(d.word, d.k, 2)
+  LEFT JOIN ilp{r} i3 ON d.k >= 2 AND i3.piece = substring(d.word, d.k - 1, 3)
+  LEFT JOIN ilp{r} i4 ON d.k >= 3 AND i4.piece = substring(d.word, d.k - 2, 4)
+  WHERE d.k < strlen(d.word)
+)"""
+    if forward_only:
+        return out
+    return out + f""",
+bt{r} AS (
+  SELECT w.word, CAST(strlen(w.word) AS INT) AS pos,
+         CAST(NULL AS VARCHAR) AS piece
+  FROM words w
+  UNION ALL
+  SELECT b.word, b.pos - f.lch,
+         substring(b.word, b.pos - f.lch + 1, f.lch)
+  FROM bt{r} b JOIN dp{r} f ON f.word = b.word AND f.k = b.pos
+  WHERE b.pos > 0
+),
+vocab{r} AS MATERIALIZED (
+  SELECT b.piece, CAST(SUM(w.freq) AS BIGINT) AS cnt
+  FROM bt{r} b JOIN words w ON w.word = b.word
+  WHERE b.piece IS NOT NULL
+  GROUP BY b.piece
+)"""
+
+
+_UNI_BASE_SQL = f"""
+words AS MATERIALIZED (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, UNNEST({_UNI_TOKS}) AS u(tok)
+  GROUP BY tok
+),
+subs AS MATERIALIZED (
+  SELECT substring(w.word, CAST(p.p AS INT), CAST(l.l AS INT)) AS piece,
+         l.l AS l, SUM(w.freq) AS cnt
+  FROM words w,
+       UNNEST(range(1, CAST(strlen(w.word) AS BIGINT) + 1)) AS p(p),
+       UNNEST(range(1, 5)) AS l(l)
+  WHERE p.p + l.l - 1 <= strlen(w.word)
+  GROUP BY 1, 2
+),
+vocab0 AS MATERIALIZED (
+  -- explicit UNION ALL + GROUP BY (the Spark side's union+max),
+  -- NOT bare UNION: inside WITH RECURSIVE DuckDB gives a two-branch
+  -- UNION the recursive anchor/step treatment and skips the dedup
+  SELECT piece, MAX(cnt) AS cnt FROM (
+    SELECT piece, cnt FROM
+      (SELECT piece, cnt FROM subs ORDER BY cnt DESC, piece LIMIT 48) q
+    UNION ALL
+    SELECT piece, cnt FROM subs WHERE l = 1
+  ) u GROUP BY piece
+)"""
+
+
+T_UNIGRAM_TRAIN_SQL = (
+    "WITH RECURSIVE "
+    + _UNI_BASE_SQL
+    + ","
+    + _unigram_round_sql(1, "vocab0")
+    + ","
+    + _unigram_round_sql(2, "vocab1")
+    + """
+SELECT piece, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank
+FROM vocab2
+"""
+)
+
+
+T_UNIGRAM_TOKENS_SQL = (
+    "WITH RECURSIVE "
+    + _UNI_BASE_SQL
+    + ","
+    + _unigram_round_sql(1, "vocab0")
+    + ","
+    + _unigram_round_sql(2, "vocab1")
+    + ","
+    + _unigram_round_sql(3, "vocab2", forward_only=True)
+    + f""",
+per_word AS MATERIALIZED (
+  SELECT word, t0 AS n_tokens, b0 AS score
+  FROM dp3 WHERE k = strlen(word)
+),
+docw AS MATERIALIZED (
+  SELECT doc_id, tok AS word
+  FROM documents, UNNEST({_UNI_TOKS}) AS u(tok)
+)
+SELECT doc_id,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(score) AS BIGINT) AS score
+FROM docw JOIN per_word USING (word)
+GROUP BY doc_id
+"""
+)
+
+
 QUERIES = {
+    "t_unigram_train": t_unigram_train,
+    "t_unigram_tokens": t_unigram_tokens,
     "t_html_extract": t_html_extract,
     "e9_web_pipeline": e9_web_pipeline,
     "d_dup_spans": d_dup_spans,
@@ -2465,6 +2649,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t_unigram_train": T_UNIGRAM_TRAIN_SQL,
+    "t_unigram_tokens": T_UNIGRAM_TOKENS_SQL,
     "t_html_extract": T_HTML_SQL,
     "e9_web_pipeline": E9_WEB_SQL,
     "d_dup_spans": D_DUP_SPANS_SQL,
