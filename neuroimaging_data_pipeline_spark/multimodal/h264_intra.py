@@ -1209,8 +1209,14 @@ def decode_h264_frame(
             r.ue()
             if r.u(1):
                 raise NotImplementedError(
-                    "CABAC entropy coding — use decoder='ffmpeg' in "
-                    "binaryops.decode_features"
+                    "CABAC entropy coding — the arithmetic decoder "
+                    "itself is small, but conformance requires the "
+                    "~1000-entry context-initialization tables "
+                    "(ITU-T H.264 tables 9-12..9-33); they are "
+                    "published, and the blocker is transcription "
+                    "effort + verification, not availability. Use "
+                    "decoder='ffmpeg' in binaryops.decode_features "
+                    "meanwhile"
                 )
         elif ntype == 5:
             if sps is None:

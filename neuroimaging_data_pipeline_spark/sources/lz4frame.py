@@ -27,9 +27,13 @@ What is REAL:
   re-verified on decode.
 
 The compressor emits a STORED block whenever compression does not
-win (the spec's rule), so both block kinds stay hot; pytest pins
-interop with the reference implementation via `lz4.frame` when that
-package exists (absent here — the pin activates where available).
+win (the spec's rule), so both block kinds stay hot. Since r8 the
+decoder also handles block-LINKED frames (Block_Indep = 0): each
+compressed block's match window is the previous 64 KiB of frame
+output — the lz4 CLI's -BD mode. Conformance is pinned BOTH ways
+against the real `lz4` CLI present in this environment (levels,
+small blocks, block checksums, linked mode), plus the `lz4.frame`
+package interop pin where that package exists.
 
 Scale: opaque binary + Arrow ``mapInPandas``, narrow, zero shuffle.
 """
@@ -174,8 +178,14 @@ def lz4_compress_block(src: bytes) -> bytes:
     return bytes(out)
 
 
-def lz4_decompress_block(src: bytes, max_out: int | None = None) -> bytes:
-    out = bytearray()
+def lz4_decompress_block(
+    src: bytes, max_out: int | None = None, window: bytes = b""
+) -> bytes:
+    """``window``: up to the last 64 KiB of previously decoded frame
+    output — block-LINKED frames (FLG block-independence bit 0) let
+    matches reach across block boundaries into it (r8)."""
+    out = bytearray(window)
+    base = len(out)
     pos = 0
     n = len(src)
     while True:
@@ -215,9 +225,9 @@ def lz4_decompress_block(src: bytes, max_out: int | None = None) -> bytes:
         start = len(out) - offset
         for k in range(mlen):
             out.append(out[start + k])
-        if max_out is not None and len(out) > max_out:
+        if max_out is not None and len(out) - base > max_out:
             raise ValueError("LZ4 output exceeds declared size")
-    return bytes(out)
+    return bytes(out[base:])
 
 
 # --- frame codec --------------------------------------------------------------------
@@ -327,7 +337,13 @@ def parse_lz4_frame(buf: bytes) -> dict:
             n_stored += 1
             parts.append(blob)
         else:
-            parts.append(lz4_decompress_block(blob, max_out=bmax))
+            # linked frames: the previous 64 KiB of frame output is
+            # match window for this block (no-op when independent —
+            # lz4 CLI/liblz4 never emit cross-block offsets then)
+            win = b"" if block_indep else b"".join(parts)[-65536:]
+            parts.append(
+                lz4_decompress_block(blob, max_out=bmax, window=win)
+            )
     content = b"".join(parts)
     checksum_ok = None
     if has_csum:

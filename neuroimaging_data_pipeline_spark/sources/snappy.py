@@ -25,8 +25,10 @@ What is REAL:
   ``((crc >> 15) | (crc << 17)) + 0xa282ead8`` — re-verified on
   every chunk at decode.
 
-Interop pins against the real `python-snappy`/`cramjam` activate
-when those packages exist (absent here).
+Conformance: the RAW block codec is pinned BOTH WAYS against
+pyarrow's bundled real snappy (present in this environment) across
+textures; interop pins against `python-snappy`/`cramjam` additionally
+activate when those packages exist.
 
 Scale: opaque binary + Arrow ``mapInPandas``, narrow, zero shuffle.
 """

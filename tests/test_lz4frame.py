@@ -6,6 +6,7 @@ implementation interop pin that activates when `lz4` is installed."""
 from __future__ import annotations
 
 import random
+import shutil
 
 import pytest
 
@@ -149,3 +150,58 @@ def test_reference_lz4_interop_if_available():
     body = b"interop body " * 300
     assert ref.decompress(write_lz4_frame(body)) == body
     assert parse_lz4_frame(ref.compress(body))["content"] == body
+
+
+@pytest.mark.skipif(shutil.which("lz4") is None, reason="no lz4 CLI")
+def test_lz4_cli_conformance_both_directions(tmp_path):
+    """r8 (VERDICT r7 #8): the real lz4 CLI as conformance peer —
+    its frames (levels, small blocks, block checksums, LINKED
+    blocks) decode through us bit-exactly, and our frames decode
+    through it."""
+    import random
+    import subprocess
+
+    rng = random.Random(9)
+    parts = [
+        bytes([rng.randrange(97, 123)]) * rng.randrange(5, 50)
+        + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+        for _ in range(150)
+    ]
+    data = b"".join(parts) * 10  # > 64 KiB: forces multi-block at -B4
+    src = tmp_path / "c.bin"
+    src.write_bytes(data)
+    for args in (["-1"], ["-9"], ["-1", "-B4"], ["-9", "-B4", "-BX"],
+                 ["-1", "-B4", "-BD"], ["-9", "-B5", "-BD", "-BX"]):
+        out = tmp_path / "c.lz4"
+        subprocess.run(
+            ["lz4", "-z", "-f", "-q", *args, str(src), str(out)],
+            check=True,
+        )
+        d = parse_lz4_frame(out.read_bytes())
+        assert d["content"] == data, args
+        if "-B4" in args:  # multi-block: the flag is meaningful
+            assert d["block_indep"] == ("-BD" not in args)
+    # our encoder's frames through the reference decoder
+    ours = tmp_path / "o.lz4"
+    ours.write_bytes(write_lz4_frame(data, block_max_code=4,
+                                     block_checksum=True))
+    dec = tmp_path / "o.out"
+    subprocess.run(
+        ["lz4", "-d", "-f", "-q", str(ours), str(dec)], check=True
+    )
+    assert dec.read_bytes() == data
+
+
+def test_linked_block_window_decode():
+    """Block-linked frames: a match in block 2 reaching into block 1
+    decodes through the window parameter (r8)."""
+    from neuroimaging_data_pipeline_spark.sources.lz4frame import (
+        lz4_decompress_block,
+    )
+
+    # literals 'abcd' then, in a second block, a match of offset 4
+    # copying them: token lit=0 match_len=4-4... build by hand:
+    # block2 = one sequence: 0 literals, offset 4, matchlen 4
+    blk2 = bytes([0x00, 0x04, 0x00, 0x00])  # + literals-only end token
+    got = lz4_decompress_block(blk2, window=b"abcd")
+    assert got == b"abcd"

@@ -129,3 +129,27 @@ def test_reference_snappy_interop_if_available():
     body = b"interop body " * 200
     assert decomp_ref(snappy_compress(body)) == body
     assert snappy_decompress(comp_ref(body)) == body
+
+
+def test_pyarrow_snappy_conformance_both_directions():
+    """r8 (VERDICT r7 #8): pyarrow's bundled real snappy as the
+    conformance peer for the RAW block codec, both directions,
+    fuzzed across textures."""
+    pa = pytest.importorskip("pyarrow")
+    import random
+
+    codec = pa.Codec("snappy")
+    rng = random.Random(11)
+    samples = [
+        b"",
+        b"a",
+        b"snappy conformance " * 500,
+        bytes(range(256)) * 30,
+        bytes(rng.randrange(256) for _ in range(4000)),
+        (b"runrunrun" * 400) + bytes(rng.randrange(8) for _ in range(999)),
+    ]
+    for data in samples:
+        assert snappy_decompress(bytes(codec.compress(data))) == data
+        assert bytes(
+            codec.decompress(snappy_compress(data), len(data))
+        ) == data
