@@ -184,6 +184,7 @@ _ADDED_R8 = [
     "d_image_neardup",
     "t_unigram_train",
     "t_unigram_tokens",
+    "s32_bzip2_shards",
 ]
 
 
