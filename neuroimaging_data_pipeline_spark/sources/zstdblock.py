@@ -39,12 +39,18 @@ sections 4.1 "FSE" and 4.2 "Huffman Coding", and 3.1.1.3 "Blocks"):
   (Offset_Value 1..3 shift by one, value 3 meaning rep[0]-1) and the
   frame-initial values (1, 4, 8);
 - sequence execution over the WHOLE frame window (matches may reach
-  into earlier blocks), overlapping matches as periodic repetition.
+  into earlier blocks), overlapping matches as periodic repetition;
+- DICTIONARIES (RFC 8878 §5): magic + Dictionary_ID, the embedded
+  entropy tables (Huffman literals, FSE offsets/match-lengths/
+  literals-lengths), the three initial repeat offsets, and the
+  content prefixing every frame's match window; raw-content
+  dictionaries pass through as pure prefixes.
 
 Conformance: this container ships TWO independent real writers —
 pyarrow's bundled libzstd (``pa.Codec("zstd", level)``) and the
-``zstd`` CLI — and the tests pin bit-exact decode of their output
-across levels and data textures; corrupt inputs fail loudly.
+``zstd`` CLI (including ``--train``-built dictionaries with ``-D``)
+— and the tests pin bit-exact decode of their output across levels
+and data textures; corrupt inputs fail loudly.
 
 Reference parity: the reference repo's pipelines read compressed
 archives via system tools (preprocess_parallel.sh); this module is
@@ -478,6 +484,44 @@ class ZstdBlockState:
         self.of: tuple[list[tuple[int, int, int]], int] | None = None
         self.ml: tuple[list[tuple[int, int, int]], int] | None = None
         self.reps: list[int] = [1, 4, 8]
+
+
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dictionary(buf: bytes) -> dict:
+    """RFC 8878 §5 dictionary: magic, Dictionary_ID, entropy tables
+    (Huffman literals, then FSE Offsets / Match_Lengths /
+    Literals_Lengths), the three initial repeated offsets, then the
+    raw content that seeds every frame's match window. A buffer
+    without the magic is a RAW-CONTENT dictionary (content only).
+    Returns {"dict_id", "content", "state"} where state is a
+    ready-to-use ZstdBlockState."""
+    buf = bytes(buf)
+    state = ZstdBlockState()
+    if len(buf) < 8 or int.from_bytes(buf[:4], "little") != _DICT_MAGIC:
+        return {"dict_id": 0, "content": buf, "state": state}
+    dict_id = int.from_bytes(buf[4:8], "little")
+    if dict_id == 0:
+        raise ValueError("structured zstd dictionary with ID 0")
+    pos = 8
+    dtable, tlog, pos = read_huf_dtable(buf, pos)
+    state.huf = (dtable, tlog)
+    for kind, attr in (("of", "of"), ("ml", "ml"), ("ll", "ll")):
+        alog, counts, pos = read_ncount(buf, pos, _MAX_ALOG[kind], _MAX_CODE[kind])
+        setattr(state, attr, (build_fse_dtable(counts, alog), alog))
+    reps = [
+        int.from_bytes(buf[pos + 4 * i : pos + 4 * i + 4], "little")
+        for i in range(3)
+    ]
+    pos += 12
+    content = buf[pos:]
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError("dictionary repeat offset outside content")
+    state.reps = reps
+    return {"dict_id": dict_id, "content": content, "state": state}
+
 
 
 def decode_block(block: bytes, state: ZstdBlockState, window: bytearray) -> int:

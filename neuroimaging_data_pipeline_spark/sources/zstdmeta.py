@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from neuroimaging_data_pipeline_spark.sources.zstdblock import (
     ZstdBlockState,
     decode_block,
+    parse_zstd_dictionary,
 )
 
 _MAGIC = 0xFD2FB528
@@ -216,7 +217,7 @@ def _try_import_zstd():
         return None
 
 
-def parse_zstd(buf: bytes) -> dict:
+def parse_zstd(buf: bytes, dictionary: bytes | dict | None = None) -> dict:
     """Walk every frame in ``buf``. Returns
     ``{"n_skippable", "frames": [frame...]}`` where each frame dict
     has single_segment, window_log (None in single-segment mode),
@@ -281,8 +282,37 @@ def parse_zstd(buf: bytes) -> dict:
             content_size = int.from_bytes(buf[pos : pos + 8], "little")
             pos += 8
         n_blocks = n_raw = n_rle = n_compressed = 0
-        win = bytearray()  # frame window: matches reach earlier blocks
-        blk_state = ZstdBlockState()
+        # dictionary frames (RFC 8878 §5): the dict's entropy tables
+        # and repeat offsets seed the state, its content prefixes the
+        # match window (and is excluded from the frame's output).
+        # A declared dict_id WITHOUT a supplied dictionary is not an
+        # upfront error: frames whose blocks never reference the
+        # dictionary (raw/RLE, or self-contained compressed blocks)
+        # decode fine; genuine references fail loudly below and the
+        # except wraps them with the dictionary hint.
+        if dict_id and dictionary is not None:
+            dparsed = (
+                dictionary
+                if isinstance(dictionary, dict)
+                else parse_zstd_dictionary(dictionary)
+            )
+            if dparsed["dict_id"] not in (0, dict_id):
+                raise ValueError(
+                    f"frame wants dictionary {dict_id}, got "
+                    f"{dparsed['dict_id']}"
+                )
+            dstate = dparsed["state"]
+            blk_state = ZstdBlockState()
+            blk_state.huf = dstate.huf
+            blk_state.ll, blk_state.of, blk_state.ml = (
+                dstate.ll, dstate.of, dstate.ml,
+            )
+            blk_state.reps = list(dstate.reps)
+            win = bytearray(dparsed["content"])
+        else:
+            win = bytearray()  # frame window: matches reach earlier blocks
+            blk_state = ZstdBlockState()
+        win_base = len(win)
         while True:
             # truncation is a loud error, not an infinite loop: a
             # 3-byte read past EOF would decode as a non-last RAW
@@ -309,13 +339,21 @@ def parse_zstd(buf: bytes) -> dict:
                 if pos + bsize > len(buf):
                     raise ValueError("truncated frame: compressed block body past end of buffer")
                 n_compressed += 1
-                decode_block(buf[pos : pos + bsize], blk_state, win)
+                try:
+                    decode_block(buf[pos : pos + bsize], blk_state, win)
+                except ValueError as e:
+                    if dict_id and dictionary is None:
+                        raise ValueError(
+                            f"frame declares dictionary {dict_id} and "
+                            f"decoding without it failed: {e}"
+                        ) from e
+                    raise
                 pos += bsize
             else:
                 raise ValueError("reserved block type 3")
             if last:
                 break
-        content = bytes(win)
+        content = bytes(win[win_base:])
         checksum_ok = None
         if has_checksum:
             stored = int.from_bytes(buf[pos : pos + 4], "little")

@@ -210,3 +210,61 @@ def test_corrupt_payload_raises_or_mismatches_never_hangs():
         except (ValueError, IndexError, KeyError):
             pass
         blob[i] = old
+
+
+@pytest.mark.skipif(shutil.which("zstd") is None, reason="no zstd CLI")
+def test_dictionary_frames_decode(tmp_path):
+    """RFC 8878 §5 dictionaries (r8): train a real dictionary with
+    the zstd CLI, decode dict-compressed frames — entropy tables,
+    repeat offsets and content-prefix window all live."""
+    from neuroimaging_data_pipeline_spark.sources.zstdblock import (
+        parse_zstd_dictionary,
+    )
+
+    rng = random.Random(4)
+    words = ["alpha", "beta", "gamma", "delta", "query", "spark"]
+    samples = []
+    for i in range(120):
+        p = tmp_path / f"s{i}.json"
+        p.write_bytes(
+            ('{"id": %d, "text": "%s"}\n'
+             % (i, " ".join(rng.choices(words, k=40)))).encode()
+        )
+        samples.append(str(p))
+    dpath = tmp_path / "dict.bin"
+    subprocess.run(
+        ["zstd", "--train", *samples, "-o", str(dpath), "-f", "-q"],
+        check=True, capture_output=True,
+    )
+    dictbuf = dpath.read_bytes()
+    parsed = parse_zstd_dictionary(dictbuf)
+    assert parsed["dict_id"] != 0 and parsed["content"]
+    assert parsed["state"].huf is not None
+    body = ('{"id": 7, "text": "%s"}\n'
+            % " ".join(words * 10)).encode()
+    src = tmp_path / "t.json"
+    src.write_bytes(body)
+    for lvl in ("-1", "-19"):
+        out = tmp_path / "t.zst"
+        subprocess.run(
+            ["zstd", "-f", "-q", lvl, "-D", str(dpath), str(src),
+             "-o", str(out)], check=True,
+        )
+        d = parse_zstd(out.read_bytes(), dictionary=dictbuf)
+        (f,) = d["frames"]
+        assert f["content"] == body and f["dict_id"] == parsed["dict_id"]
+    # a dict frame whose blocks genuinely reference the dictionary
+    # must raise WITH the dictionary hint when decoded without it
+    with pytest.raises(ValueError, match="declares dictionary"):
+        parse_zstd(out.read_bytes())
+
+
+def test_raw_content_dictionary_passthrough():
+    from neuroimaging_data_pipeline_spark.sources.zstdblock import (
+        parse_zstd_dictionary,
+    )
+
+    d = parse_zstd_dictionary(b"just raw prefix bytes")
+    assert d["dict_id"] == 0
+    assert d["content"] == b"just raw prefix bytes"
+    assert d["state"].reps == [1, 4, 8]
