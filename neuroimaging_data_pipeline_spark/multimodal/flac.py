@@ -980,7 +980,7 @@ def _doc_multichannel(doc_id: int) -> list[list[int]]:
     every channel/texture pairing appears. Pure integer formulas the
     oracle recomputes with a channel UNNEST."""
     n_ch = 3 + doc_id % 6
-    n_frames = 4 + doc_id % 3
+    n_frames = 3 + doc_id % 3
     chans: list[list[int]] = []
     for c in range(n_ch):
         out: list[int] = []

@@ -1434,12 +1434,12 @@ WITH g AS (
        UNNEST(range(0, 6)) AS f(f),
        UNNEST(range(0, 16)) AS k(k),
        UNNEST(range(0, 8)) AS c(c)
-  WHERE f.f < 4 + doc_id % 3 AND c.c < 3 + doc_id % 6
+  WHERE f.f < 3 + doc_id % 3 AND c.c < 3 + doc_id % 6
 )
 SELECT doc_id,
        CAST(3 + doc_id % 6 AS INT) AS n_channels,
-       CAST(4 + doc_id % 3 AS INT) AS n_frames,
-       CAST((4 + doc_id % 3) * 16 AS BIGINT) AS n_samples,
+       CAST(3 + doc_id % 3 AS INT) AS n_frames,
+       CAST((3 + doc_id % 3) * 16 AS BIGINT) AS n_samples,
        CAST(SUM(v) AS BIGINT) AS sum_all,
        CAST(SUM(v) FILTER (WHERE c = 0) AS BIGINT) AS sum_ch0,
        TRUE AS pcm_md5_ok
