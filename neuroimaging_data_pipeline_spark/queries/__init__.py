@@ -185,6 +185,7 @@ _ADDED_R8 = [
     "t_unigram_train",
     "t_unigram_tokens",
     "s32_bzip2_shards",
+    "e11_zstd_corpus_pipeline",
 ]
 
 

@@ -1408,6 +1408,51 @@ def s30_xz_shards(spark, sf_dir):
     return xz_documents(media)
 
 
+def e11_zstd_corpus_pipeline(spark, sf_dir):
+    """E11: the realistic compressed-corpus ingest chain END TO END —
+    documents pack into multi-doc `.jsonl.zst` shards (50 docs/shard,
+    ONE keyed shuffle, pyarrow's real libzstd as the writer at a
+    level cycling by shard), then the FROM-SCRATCH zstd decoder
+    (sources/zstdblock.py) + JSONL/JSON unescaping reassemble every
+    document, and a per-shard verification aggregate pins exact
+    reassembly: doc counts, byte totals, and an ORDER-PINNED md5 over
+    the shard's texts. Any FSE/Huffman/sequence/JSON bug anywhere in
+    the stack breaks the hash. Shape at 100 TB: one pack shuffle,
+    narrow decode (one task per shard), one map-side-combinable
+    aggregate — the standard training-data ingest plan."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.sources.zstdmeta import (
+        synthesize_jsonl_zst_shards,
+        zstd_shard_documents,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
+    shards = synthesize_jsonl_zst_shards(d, id_col="doc_id", text_col="text")
+    docs = zstd_shard_documents(shards, id_col="doc_id")
+    texts_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"],
+    )
+    return docs.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("long").alias("sum_bytes"),
+        F.md5(F.array_join(texts_sorted, "|")).alias("docs_md5"),
+    )
+
+
+E11_SQL = """
+SELECT CAST(doc_id // 50 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) AS sum_bytes,
+       md5(string_agg(COALESCE(text, ''), '|' ORDER BY doc_id))
+         AS docs_md5
+FROM documents
+GROUP BY 1
+"""
+
+
 def s32_bzip2_shards(spark, sf_dir):
     """S32: bzip2 decoded END TO END from scratch (sources/bzip2.py)
     — the third big corpus container next to gzip and xz (Wikipedia
@@ -1543,6 +1588,7 @@ QUERIES = {
     "s30_xz_shards": s30_xz_shards,
     "s31_xz_filters": s31_xz_filters,
     "s32_bzip2_shards": s32_bzip2_shards,
+    "e11_zstd_corpus_pipeline": e11_zstd_corpus_pipeline,
 }
 
 ORACLE = {
@@ -1577,4 +1623,5 @@ ORACLE = {
     "s30_xz_shards": S30_SQL,
     "s31_xz_filters": S31_SQL,
     "s32_bzip2_shards": S32_SQL,
+    "e11_zstd_corpus_pipeline": E11_SQL,
 }

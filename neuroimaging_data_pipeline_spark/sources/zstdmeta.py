@@ -518,6 +518,85 @@ def zstd_decoded_documents(
     return media.mapInPandas(feat, out_schema)
 
 
+_DOCS_PER_ZSHARD = 50
+
+
+def synthesize_jsonl_zst_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into multi-doc ``.jsonl.zst`` shards — THE
+    training-corpus layout: 50 docs per shard (shard = id // 50, one
+    keyed shuffle), each shard one JSONL text (``json.dumps`` lines,
+    id-sorted so the bytes are deterministic) compressed by pyarrow's
+    bundled libzstd at a level cycling with shard id. The decoder
+    side must reverse the whole stack — frame, FSE/Huffman blocks,
+    JSONL, JSON escaping — to reassemble the exact documents."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    out_schema = "shard_id long, content binary"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["_shard"].iloc[0])
+        lines = [
+            _json.dumps(
+                {"id": int(i), "text": "" if t is None else str(t)},
+                sort_keys=True,
+            )
+            for i, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        body = ("\n".join(lines) + "\n").encode()
+        codec = pa.Codec("zstd", compression_level=(1, 3, 6, 9)[shard % 4])
+        return pd.DataFrame(
+            {"shard_id": [shard], "content": [bytes(codec.compress(body))]}
+        )
+
+    keyed = docs.select(
+        id_col, text_col,
+        (F.col(id_col) / _DOCS_PER_ZSHARD).cast("long").alias("_shard"),
+    )
+    return keyed.groupBy("_shard").applyInPandas(pack, out_schema)
+
+
+def zstd_shard_documents(
+    shards: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unpack ``.jsonl.zst`` shards with the FROM-SCRATCH decoder and
+    re-emit one row per document — the inverse of
+    synthesize_jsonl_zst_shards, one narrow Arrow pass."""
+    import json as _json
+
+    out_schema = f"shard_id long, {id_col} long, text string"
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shard_ids, ids, texts = [], [], []
+            for sid, content in zip(pdf["shard_id"], pdf["content"]):
+                d = parse_zstd(bytes(content))
+                (f,) = d["frames"]
+                for line in f["content"].decode().splitlines():
+                    rec = _json.loads(line)
+                    shard_ids.append(int(sid))
+                    ids.append(int(rec["id"]))
+                    texts.append(rec["text"])
+            yield pd.DataFrame(
+                {
+                    "shard_id": pd.Series(shard_ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "text": pd.Series(texts, dtype=object),
+                }
+            )
+
+    return shards.mapInPandas(unpack, out_schema)
+
+
 def zstd_meta_features(
     media: DataFrame,
     id_col: str = "doc_id",

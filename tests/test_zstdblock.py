@@ -268,3 +268,37 @@ def test_raw_content_dictionary_passthrough():
     assert d["dict_id"] == 0
     assert d["content"] == b"just raw prefix bytes"
     assert d["state"].reps == [1, 4, 8]
+
+
+def test_jsonl_zst_shard_round_trip(spark):
+    """e11's pack/unpack pair: multi-doc .jsonl.zst shards written by
+    libzstd reassemble exactly through the from-scratch decoder,
+    including JSON-escaped newlines/quotes and null text."""
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.sources.zstdmeta import (
+        synthesize_jsonl_zst_shards,
+        zstd_shard_documents,
+    )
+
+    texts = ['line one\nline two', 'quote " and \\ backslash', None,
+             'plain', 'unicode é中文'] * 25
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(len(texts)), dtype="int64"),
+                "text": texts,
+            }
+        )
+    )
+    shards = synthesize_jsonl_zst_shards(docs, id_col="doc_id",
+                                         text_col="text")
+    back = {
+        r["doc_id"]: (r["shard_id"], r["text"])
+        for r in zstd_shard_documents(shards).collect()
+    }
+    assert len(back) == len(texts)
+    for i, t in enumerate(texts):
+        sid, got = back[i]
+        assert sid == i // 50
+        assert got == ("" if t is None else t)
