@@ -163,37 +163,50 @@ for _r, _names in {
         "t_quality_signals", "t_robots_filter", "t_token_count",
         "t_winnow",
     ],
+    # frozen from CORRECTNESS_r08.json (49 green + the by-design
+    # no-oracle sketch row) — VERDICT r8 #1: 8 r8 newcomers + 42
+    # oldest-r3/r4 re-checks. With this fold the r9 window leads with
+    # r9 newcomers, then rotates to the now-oldest driver coverage
+    # (the r4-era f/m/t rows not re-checked in r8, then r5's 50).
+    8: [
+        "a1_pricing_summary", "a2_global_signal", "a3_mean_image",
+        "a4_count_distinct", "a5_histogram", "a7_correlation", "a8_mode",
+        "a9_ols_normal_eq", "a_approx_sketches", "a_key_skew",
+        "a_mad_outliers", "a_rollup", "d_image_neardup",
+        "e11_zstd_corpus_pipeline", "f5_json_extract", "j1_aligned_concat",
+        "j2_interval_grid", "j3_semi_join", "j3b_anti_join",
+        "j4_stencil_mode", "j5_nearest_resample", "j6_first_match_rules",
+        "j_broadcast_3way", "m32_flac_surround", "o2_topk",
+        "p1_projection_filter", "p6_like_predicate", "p7_isin_label",
+        "p8_binarize", "p9_null_fill", "s25b_zstd_decode",
+        "s31_xz_filters", "s32_bzip2_shards", "sd_stream_dedup",
+        "st_enrich_join", "st_session_window", "st_tumbling_window",
+        "st_watermark_late_discard", "t_profile", "t_unigram_tokens",
+        "t_unigram_train", "u4_intersect_all", "w12_range_frame",
+        "w1_zscore", "w2_lag_diff", "w4_fir_convolve", "w5_dct_basis",
+        "w6_poly_trend", "w8_gaussian_smooth", "w8b_gaussian_smooth_cube",
+    ],
 }.items():
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _r
 
-# r8-modified operators + standing perf-watch queries: re-check right
+# r9-modified operators + standing perf-watch queries: re-check right
 # after the never-checked blocks.
-_RECHECK_R8 = []
+_RECHECK_R9 = []
 
-# Queries added in round 8, AFTER CORRECTNESS_r07 froze the backlog.
-# Never-driver-checked, so they lead the window (rank 0) — the r1–r7
-# union already covers every pre-r8 query, so unlike r7 there is no
-# older never-checked backlog for them to queue behind. VERDICT r7 #3
-# lesson: list EVERY newcomer here, not a subset, so the ordering
-# invariant holds if the window ever overflows.
-_ADDED_R8 = [
-    "s25b_zstd_decode",
-    "m32_flac_surround",
-    "s31_xz_filters",
-    "d_image_neardup",
-    "t_unigram_train",
-    "t_unigram_tokens",
-    "s32_bzip2_shards",
-    "e11_zstd_corpus_pipeline",
-]
+# Queries added in round 9, AFTER CORRECTNESS_r08 froze the backlog.
+# Never-driver-checked, so they lead the window (rank 0) — the r1–r8
+# union already covers every pre-r9 query. VERDICT r7 #3 lesson: list
+# EVERY newcomer here, not a subset, so the ordering invariant holds
+# if the window ever overflows.
+_ADDED_R9 = []
 
 
 def _window_rank(name: str) -> int:
     if name not in _LAST_DRIVER_ROUND:
-        # never driver-checked: r8 additions lead the window.
-        return 0 if name in _ADDED_R8 else 1
-    if name in _RECHECK_R8:
+        # never driver-checked: r9 additions lead the window.
+        return 0 if name in _ADDED_R9 else 1
+    if name in _RECHECK_R9:
         return 2
     return 2 + _LAST_DRIVER_ROUND[name]
 
