@@ -192,7 +192,12 @@ for _r, _names in {
 
 # r9-modified operators + standing perf-watch queries: re-check right
 # after the never-checked blocks.
-_RECHECK_R9 = []
+_RECHECK_R9 = [
+    # reshaped to the hash-matchable exact-value + epsilon-boolean
+    # form (VERDICT r8 #2) — needs its first-ever full green driver
+    # row in CORRECTNESS_r09.
+    "a_approx_sketches",
+]
 
 # Queries added in round 9, AFTER CORRECTNESS_r08 froze the backlog.
 # Never-driver-checked, so they lead the window (rank 0) — the r1–r8

@@ -1106,15 +1106,76 @@ def a_approx_sketches(spark, sf_dir):
     """Approximate sketch aggregations — the 100 TB summarization path
     (HLL distinct + quantile sketch; one pass, bounded memory,
     mergeable across partitions — what exact distinct/percentile can't
-    do at corpus scale). Rows-only: sketch internals are
-    engine-specific; relative-error bounds vs exact are pinned in
-    tests/test_sketches.py."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+    do at corpus scale).
+
+    Hash-matchable form (VERDICT r8 #2): the raw sketch outputs are
+    engine-internal, so instead of emitting them the query emits the
+    EXACT per-group values (row count, distinct parts) plus
+    deterministic error-bound booleans — Spark's HLL++ and KLL-style
+    sketches are deterministic for a fixed input, so each boolean is a
+    stable fact the DuckDB oracle asserts as literal TRUE:
+
+    - ``parts_within_3rsd``: |HLL estimate − exact| / exact ≤ 3·rsd
+      (rsd = 0.02 → 6%).
+    - ``median_rank_ok`` / ``p95_rank_ok``: percentile_approx returns
+      an actual element; the count of rows ≤ that element must sit
+      within the sketch's rank-error guarantee (n/accuracy, accuracy
+      10000) of the target rank — checked with a generous
+      0.02·n + 16 tolerance that also absorbs duplicate-price ties.
+
+    Plan: one partial-agg shuffle for the sketches, a 3-row broadcast
+    back onto the scan, one partial-agg shuffle for the exact
+    rank/distinct counts — both shuffles carry only
+    (returnflag, partkey, price). Raw-sketch relative-error bounds
+    stay pinned in tests/test_sketches.py."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_extendedprice"
     )
+    sk = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx_median"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_approx_p95"),
+    )
+    joined = li.join(F.broadcast(sk), "l_returnflag")
+    agg = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.max("_approx_parts").alias("_ap"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("_approx_median"), 1).otherwise(0)
+        ).alias("_le_med"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("_approx_p95"), 1).otherwise(0)
+        ).alias("_le_p95"),
+    )
+    tol = F.lit(0.02) * F.col("n_rows") + F.lit(16.0)
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (
+            F.abs(F.col("_ap") - F.col("exact_parts"))
+            <= F.lit(0.06) * F.col("exact_parts")
+        ).alias("parts_within_3rsd"),
+        (F.abs(F.col("_le_med") - F.lit(0.5) * F.col("n_rows")) <= tol).alias(
+            "median_rank_ok"
+        ),
+        (F.abs(F.col("_le_p95") - F.lit(0.95) * F.col("n_rows")) <= tol).alias(
+            "p95_rank_ok"
+        ),
+    )
+
+
+A_APPROX_SKETCHES_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS parts_within_3rsd,
+       TRUE AS median_rank_ok,
+       TRUE AS p95_rank_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def a_hll_distinct(spark, sf_dir):
@@ -1569,6 +1630,7 @@ def _sketch_oracles() -> dict[str, str]:
 
 ORACLE = {
     **_sketch_oracles(),
+    "a_approx_sketches": A_APPROX_SKETCHES_SQL,
     "a_equidepth_hist": A_EQUIDEPTH_SQL,
     "a_equidepth_sketch": A_EQUIDEPTH_SKETCH_SQL,
     "q_ansi_sql_surface": ANSI_SURFACE_SQL,

