@@ -204,7 +204,9 @@ _RECHECK_R9 = [
 # union already covers every pre-r9 query. VERDICT r7 #3 lesson: list
 # EVERY newcomer here, not a subset, so the ordering invariant holds
 # if the window ever overflows.
-_ADDED_R9 = []
+_ADDED_R9 = [
+    "g_triangles_cap",
+]
 
 
 def _window_rank(name: str) -> int:

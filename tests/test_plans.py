@@ -135,6 +135,12 @@ def test_no_row_python_or_sortmerge_anywhere(spark, queries):
         "d_semdedup",
         "e5_shard_pipeline",
         "g_triangles",
+        # g_triangles_cap: same fact-to-fact edge joins as
+        # g_triangles, but wedge generation is bounded to cap^2/2 per
+        # vertex by the capped adjacency — the skew-proof scale
+        # sibling. The closure semi-join stays co-partitioned on the
+        # (lo, hi) edge key; AQE broadcasts at bench sizes.
+        "g_triangles_cap",
         "e6_decontam_split",
         "s_ivfpq_topk",
         # j8_interval_overlap: both interval sets scale with the fact
