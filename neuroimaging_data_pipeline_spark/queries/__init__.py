@@ -197,6 +197,11 @@ _RECHECK_R9 = [
     # form (VERDICT r8 #2) — needs its first-ever full green driver
     # row in CORRECTNESS_r09.
     "a_approx_sketches",
+    # r9 ADVICE fix: the formula-echo level column was replaced by the
+    # parsed trailer-checksum verdict (schema change).
+    "s25b_zstd_decode",
+    # r9: lz4 linked-frame rolling-window rewrite (O(n^2) -> O(n)).
+    "s26_lz4_shards",
 ]
 
 # Queries added in round 9, AFTER CORRECTNESS_r08 froze the backlog.

@@ -1181,8 +1181,7 @@ WITH v AS (
 SELECT doc_id,
        CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS INT)
          AS n_skippable,
-       CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 6
-            WHEN 3 THEN 9 ELSE 12 END AS INT) AS level,
+       TRUE AS trailer_checksum_ok,
        CAST(strlen(full_text) AS BIGINT) AS content_len,
        md5(full_text) AS text_md5
 FROM v

@@ -344,6 +344,16 @@ def synthesize_bzip2_docs(
                         " level-1 blocks — the s32 oracle's n_blocks"
                         " formula assumes one block per stream"
                     )
+                if not body:
+                    # bz2.compress(b"") emits a ZERO-block stream,
+                    # silently diverging from the oracle's
+                    # one-block-per-stream formula — fail loudly like
+                    # the oversized guard above (ADVICE r8)
+                    raise ValueError(
+                        f"doc {i}: empty body would emit a zero-block"
+                        " stream — the s32 oracle assumes one block"
+                        " per stream"
+                    )
                 blob = bz2.compress(body, compresslevel=(1, 5, 9)[i % 3])
                 if i % 5 == 0:
                     blob += bz2.compress(b"S%d" % i, compresslevel=9)

@@ -313,6 +313,7 @@ def parse_lz4_frame(buf: bytes) -> dict:
         raise ValueError("LZ4 frame header checksum mismatch")
     n_blocks = n_stored = 0
     parts: list[bytes] = []
+    tail = b""  # rolling 64 KiB match window (linked frames only)
     bmax = _BD_SIZES[bmax_code]
     while True:
         word = int.from_bytes(buf[pos : pos + 4], "little")
@@ -335,15 +336,17 @@ def parse_lz4_frame(buf: bytes) -> dict:
         n_blocks += 1
         if stored:
             n_stored += 1
-            parts.append(blob)
+            out = blob
         else:
             # linked frames: the previous 64 KiB of frame output is
             # match window for this block (no-op when independent —
             # lz4 CLI/liblz4 never emit cross-block offsets then)
-            win = b"" if block_indep else b"".join(parts)[-65536:]
-            parts.append(
-                lz4_decompress_block(blob, max_out=bmax, window=win)
-            )
+            out = lz4_decompress_block(blob, max_out=bmax, window=tail)
+        parts.append(out)
+        if not block_indep:
+            # maintain the rolling window incrementally — re-joining
+            # all parts per block is O(n^2) in block count
+            tail = out[-65536:] if len(out) >= 65536 else (tail + out)[-65536:]
     content = b"".join(parts)
     checksum_ok = None
     if has_csum:

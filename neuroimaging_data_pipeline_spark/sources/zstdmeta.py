@@ -290,13 +290,18 @@ def parse_zstd(buf: bytes, dictionary: bytes | dict | None = None) -> dict:
         # dictionary (raw/RLE, or self-contained compressed blocks)
         # decode fine; genuine references fail loudly below and the
         # except wraps them with the dictionary hint.
-        if dict_id and dictionary is not None:
+        # A SUPPLIED dictionary applies even when the frame omits
+        # Dictionary_ID (ADVICE r8): RFC 8878 allows encoders to
+        # suppress the ID on dictionary-compressed frames, so the
+        # caller's explicit dictionary wins; the id cross-check only
+        # runs when both sides declare one.
+        if dictionary is not None:
             dparsed = (
                 dictionary
                 if isinstance(dictionary, dict)
                 else parse_zstd_dictionary(dictionary)
             )
-            if dparsed["dict_id"] not in (0, dict_id):
+            if dict_id and dparsed["dict_id"] not in (0, dict_id):
                 raise ValueError(
                     f"frame wants dictionary {dict_id}, got "
                     f"{dparsed['dict_id']}"
@@ -483,9 +488,12 @@ def zstd_decoded_documents(
     """Decode mixed zstd streams (compressed + raw frames) with the
     from-scratch block decoder and emit oracle-recomputable features:
     byte length and md5 of the full decoded stream, the skippable
-    count, and the level formula echoed back."""
+    count, and the trailer frame's PARSED XXH64 checksum verdict (the
+    r8 ADVICE fix: the old ``level`` column was the synthesis formula
+    echoed back — it compared a formula to itself; compression level
+    is not recorded in a zstd stream, so it cannot be parsed)."""
     out_schema = (
-        f"{id_col} long, n_skippable int, level int,"
+        f"{id_col} long, n_skippable int, trailer_checksum_ok boolean,"
         " content_len long, text_md5 string"
     )
 
@@ -496,22 +504,21 @@ def zstd_decoded_documents(
                 i = int(i)
                 d = parse_zstd(bytes(content))
                 full = b"".join(f["content"] for f in d["frames"])
-                # the trailer frame was written with a checksum: it
-                # must have verified (content integrity both ways)
-                if d["frames"][-1]["checksum_ok"] is not True:
-                    raise ValueError("trailer frame checksum failed")
+                # the trailer frame was written with a checksum: the
+                # from-scratch XXH64 verdict goes to the OUTPUT so the
+                # oracle's literal TRUE verifies the checksum math ran
                 rows.append(
                     (
                         i,
                         d["n_skippable"],
-                        _LEVELS[i % 5],
+                        d["frames"][-1]["checksum_ok"] is True,
                         len(full),
                         hashlib.md5(full).hexdigest(),
                     )
                 )
             yield pd.DataFrame(
                 rows,
-                columns=[id_col, "n_skippable", "level",
+                columns=[id_col, "n_skippable", "trailer_checksum_ok",
                          "content_len", "text_md5"],
             )
 

@@ -257,6 +257,17 @@ def test_dictionary_frames_decode(tmp_path):
     # must raise WITH the dictionary hint when decoded without it
     with pytest.raises(ValueError, match="declares dictionary"):
         parse_zstd(out.read_bytes())
+    # RFC 8878 lets encoders SUPPRESS Dictionary_ID on dict frames
+    # (zstd --no-dictID); a supplied dictionary must still apply
+    # (ADVICE r8)
+    out2 = tmp_path / "t2.zst"
+    subprocess.run(
+        ["zstd", "-f", "-q", "-19", "--no-dictID", "-D", str(dpath),
+         str(src), "-o", str(out2)], check=True,
+    )
+    d2 = parse_zstd(out2.read_bytes(), dictionary=dictbuf)
+    (f2,) = d2["frames"]
+    assert f2["content"] == body and f2["dict_id"] == 0
 
 
 def test_raw_content_dictionary_passthrough():
