@@ -1208,16 +1208,15 @@ def decode_h264_frame(
             r.ue()
             r.ue()
             if r.u(1):
-                raise NotImplementedError(
-                    "CABAC entropy coding — the arithmetic decoder "
-                    "itself is small, but conformance requires the "
-                    "~1000-entry context-initialization tables "
-                    "(ITU-T H.264 tables 9-12..9-33); they are "
-                    "published, and the blocker is transcription "
-                    "effort + verification, not availability. Use "
-                    "decoder='ffmpeg' in binaryops.decode_features "
-                    "meanwhile"
+                # CABAC entropy coding (r9, closes the r8 gate):
+                # delegate the whole stream to the CABAC intra
+                # decoder — shared prediction/transform layer,
+                # separate entropy layer.
+                from neuroimaging_data_pipeline_spark.multimodal.h264_cabac import (  # noqa: E501
+                    decode_h264_cabac,
                 )
+
+                return decode_h264_cabac(bytes(payload))
         elif ntype == 5:
             if sps is None:
                 raise ValueError("IDR slice before SPS")

@@ -211,6 +211,7 @@ _RECHECK_R9 = [
 # if the window ever overflows.
 _ADDED_R9 = [
     "g_triangles_cap",
+    "m33_h264_cabac",
 ]
 
 

@@ -1447,6 +1447,59 @@ FROM g GROUP BY doc_id
 """
 
 
+def m33_h264_cabac(spark, sf_dir):
+    """M33: H.264 CABAC intra decode (multimodal/h264_cabac.py) —
+    closes the r8 declared gate on the entropy coder virtually all
+    real-world H.264 uses: the binary arithmetic engine (rangeTabLPS,
+    state machine, bypass/terminate), the published I-slice context
+    initialization tables, the I mb_type binarization with its
+    mid-string terminate bin, neighbor-context CBP and
+    coded_block_flag derivations, frame-coded significance maps and
+    UEG0 level coding. Each document is a 32x32 IDR frame of MIXED
+    Intra_16x16 / I_4x4 macroblocks on a checkerboard (both mb_type
+    neighbor classes fire), per-4x4-constant luma at QP 0 — the
+    proven-exact path — so the oracle recomputes every decoded
+    sample from the id formulas. Prediction/transform are SHARED
+    with the CAVLC codec (m21/m25); this query isolates the entropy
+    layer. Narrow scan -> mapInPandas, zero shuffle; at 100 TB one
+    task per video shard, linear per-frame CPU."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_cabac import (
+        h264_cabac_frame_features,
+        synthesize_h264_cabac_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_cabac_frames(d, id_col="doc_id")
+    return h264_cabac_frame_features(media).select(
+        "doc_id",
+        "width",
+        "height",
+        (F.round("mean_y", 6) + F.lit(0.0)).alias("mean_y"),
+        "sum_y",
+        "sum_cb",
+        "sum_cr",
+    )
+
+
+M33_SQL = """
+WITH blk AS (
+  SELECT doc_id,
+         (doc_id * 13 + by.by * 41 + bx.bx * 59) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 8)) AS by(by),
+       UNNEST(range(0, 8)) AS bx(bx)
+)
+SELECT doc_id,
+       CAST(32 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       (ROUND(SUM(v) / 64.0, 6) + 0.0) AS mean_y,
+       CAST(SUM(v) * 16 AS BIGINT) AS sum_y,
+       CAST(32768 AS BIGINT) AS sum_cb,
+       CAST(32768 AS BIGINT) AS sum_cr
+FROM blk GROUP BY doc_id
+"""
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -1512,6 +1565,7 @@ QUERIES = {
     "m29_gzip_inflate": m29_gzip_inflate,
     "m30_flac_stereo": m30_flac_stereo,
     "m32_flac_surround": m32_flac_surround,
+    "m33_h264_cabac": m33_h264_cabac,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -1542,5 +1596,6 @@ ORACLE = {
     "m29_gzip_inflate": M29_SQL,
     "m30_flac_stereo": M30_SQL,
     "m32_flac_surround": M32_SQL,
+    "m33_h264_cabac": M33_SQL,
     "m31_lzma_alone": M31_SQL,
 }

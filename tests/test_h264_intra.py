@@ -169,15 +169,16 @@ def test_residual_block_roundtrip_randomized():
 def test_gates_raise_not_implemented():
     y = np.full((16, 16), 77, np.uint8)
     stream, _, _, _ = encode_h264_i16x16(y, qp=0)
-    # corrupt mb_type to 0 (I_4x4): slice RBSP starts after the fixed
-    # 26-bit header written by _slice_header at QP 0 -> rewrite bits
-    # is fiddly, so instead drive the gate through the PPS CABAC flag
+    # the CABAC gate is CLOSED since r9 (decode_h264_frame dispatches
+    # to h264_cabac) — but a CAVLC-coded slice mislabeled as CABAC
+    # via a flipped PPS flag must still fail LOUDLY, not decode to
+    # garbage silently
     pps_cabac = bytearray(stream)
     # find PPS NAL (type 8) and flip entropy_coding_mode_flag: PPS
     # RBSP is ue(0) ue(0) u(1)... = bits 1,1,then flag at bit 2
     idx = stream.find(b"\x00\x00\x00\x01\x68")
     pps_cabac[idx + 5] = 0b11100000 | (pps_cabac[idx + 5] & 0x0F)
-    with pytest.raises(NotImplementedError, match="CABAC"):
+    with pytest.raises((ValueError, NotImplementedError, KeyError)):
         decode_h264_frame(bytes(pps_cabac))
     with pytest.raises(ValueError, match="QP"):
         encode_h264_i16x16(y, qp=52)
