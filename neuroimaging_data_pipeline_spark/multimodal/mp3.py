@@ -18,10 +18,12 @@ What is REAL here, both directions:
   bitrate and sample-exact duration (1152 samples per frame) come
   out of the walk.
 
-Honest gate: the frames' PAYLOAD (Huffman-coded subband samples) is
-carried as deterministic filler and NOT decoded — real MP3 audio
-decode needs a DSP stack and stays behind decoder='ffmpeg' in
-binaryops, same as H.264 inter frames.
+Payload decode: THIS module's fixtures carry deterministic filler
+(the metadata stage never looks inside a frame), but since r9 the
+sibling ``multimodal/mp3l3.py`` decodes real Layer III main data —
+side info, bit reservoir, scalefactors, Annex B Huffman, down to
+spec-exact frequency lines (m34). The remaining gates live THERE
+(ESC Huffman tables, synthesis filterbank) and are loud.
 
 Scale: opaque binary + Arrow ``mapInPandas``, narrow, zero shuffle.
 """

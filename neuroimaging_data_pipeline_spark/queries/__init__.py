@@ -212,6 +212,7 @@ _RECHECK_R9 = [
 _ADDED_R9 = [
     "g_triangles_cap",
     "m33_h264_cabac",
+    "m34_mp3_samples",
 ]
 
 

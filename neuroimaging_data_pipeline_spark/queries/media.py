@@ -1500,6 +1500,63 @@ FROM blk GROUP BY doc_id
 """
 
 
+def m34_mp3_samples(spark, sf_dir):
+    """M34: MP3 Layer III PAYLOAD decode (multimodal/mp3l3.py) —
+    closes the r8 audio gate (m26 walked frame headers; payloads were
+    filler). Per document a real mono Layer III stream: side-info
+    parse, a LIVE bit reservoir (frames deliberately under-fill so
+    main_data_begin is non-zero — corrupting an earlier frame's data
+    region breaks a later frame, pinned in pytest), scalefactor
+    decode with the slen table, Annex B Huffman decode of big-value
+    pairs (tables 1/2/3/5/6, each a pinned complete prefix code) and
+    count1 quadruples (tables A and B), down to spec-exact integer
+    frequency lines; requantization to float xr is pinned in pytest.
+    The oracle recomputes the per-granule line formulas and asserts
+    the reservoir fact. ESC-family tables (7..31) remain a loud,
+    NAMED gate. Narrow scan -> mapInPandas, zero shuffle; at 100 TB
+    one task per audio shard, linear per-clip CPU."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        mp3_l3_features,
+        synthesize_mp3_l3_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_mp3_l3_clips(d, id_col="doc_id")
+    return mp3_l3_features(media)
+
+
+M34_SQL = """
+WITH g AS (
+  SELECT doc_id, k.k AS k,
+         40 + (doc_id * 7 + k.k * 11) % 30 AS big,
+         8 + (doc_id + k.k) % 8 AS c1,
+         CASE WHEN 1 + (doc_id + k.k) % 3 = 1 THEN 1 ELSE 2 END AS m0
+  FROM documents, UNNEST(range(0, 10)) AS k(k)
+  WHERE k.k < 2 * (3 + doc_id % 3)
+), v AS (
+  SELECT doc_id, k, i.i AS i,
+         CASE
+           WHEN i.i < 24 THEN
+             (doc_id + k + i.i * 3) % (2 * m0 + 1) - m0
+           WHEN i.i < 2 * big THEN
+             (doc_id * 3 + k * 5 + i.i * 7) % 7 - 3
+           ELSE (doc_id + k + (i.i - 2 * big)) % 3 - 1
+         END AS val
+  FROM g, UNNEST(range(0, 576)) AS i(i)
+  WHERE i.i < 2 * big + 4 * c1
+)
+SELECT doc_id,
+       CAST(3 + doc_id % 3 AS INT) AS n_frames,
+       CAST(2 * (3 + doc_id % 3) AS INT) AS n_granules,
+       TRUE AS reservoir_used,
+       CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,
+       CAST(SUM(CASE WHEN val <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonzero,
+       CAST(SUM(val * (i + 1) * (k + 1)) AS BIGINT) AS weighted_sum
+FROM v GROUP BY doc_id
+"""
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -1566,6 +1623,7 @@ QUERIES = {
     "m30_flac_stereo": m30_flac_stereo,
     "m32_flac_surround": m32_flac_surround,
     "m33_h264_cabac": m33_h264_cabac,
+    "m34_mp3_samples": m34_mp3_samples,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -1597,5 +1655,6 @@ ORACLE = {
     "m30_flac_stereo": M30_SQL,
     "m32_flac_surround": M32_SQL,
     "m33_h264_cabac": M33_SQL,
+    "m34_mp3_samples": M34_SQL,
     "m31_lzma_alone": M31_SQL,
 }

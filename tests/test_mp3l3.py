@@ -1,0 +1,186 @@
+"""MP3 Layer III payload decode: Huffman-table transcription checks,
+round trips (mono/stereo/scfsi/reservoir), requantization, gates."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+    _HUFF_BIG,
+    _HUFF_C1A_LEN,
+    _PRETAB,
+    _SFB_LONG_44,
+    _SLEN,
+    GranuleSpec,
+    _fixture_granule,
+    decode_mp3_l3,
+    encode_mp3_l3,
+    requantize_long,
+)
+
+
+def test_huffman_tables_are_complete_prefix_codes():
+    """Transcription check on the Annex B tables: every shipped table
+    must be a COMPLETE prefix code (Kraft sum exactly 1) with unique
+    codes — a mis-transcribed entry essentially always breaks this."""
+    for t, (nx, lens, cods) in _HUFF_BIG.items():
+        assert len(lens) == nx * nx and len(cods) == nx * nx, t
+        keys = {format(c, f"0{n}b") for n, c in zip(lens, cods)}
+        assert len(keys) == nx * nx, f"table {t}: duplicate codes"
+        kraft = sum(2.0 ** -n for n in lens)
+        assert kraft == 1.0, f"table {t}: Kraft sum {kraft}"
+        # prefix-freeness
+        for a in keys:
+            for b in keys:
+                if a != b:
+                    assert not b.startswith(a), (t, a, b)
+    kraft = sum(2.0 ** -n for n in _HUFF_C1A_LEN)
+    assert kraft == 1.0
+    # structural constants
+    assert len(_SFB_LONG_44) == 23 and _SFB_LONG_44[-1] == 576
+    assert len(_SLEN) == 16 and len(_PRETAB) == 21
+
+
+def test_fixture_roundtrip_lines_exact():
+    for d in (0, 1, 2, 7, 13, 100, 499):
+        n_frames = 3 + d % 3
+        gs = [_fixture_granule(d, k) for k in range(2 * n_frames)]
+        out = decode_mp3_l3(encode_mp3_l3(gs))
+        assert out["n_frames"] == n_frames
+        assert out["reservoir_used"] is True
+        for k, g in enumerate(out["granules"]):
+            assert g["lines"] == gs[k].lines, (d, k)
+            assert g["scalefacs"] == gs[k].scalefacs, (d, k)
+
+
+def test_stereo_roundtrip():
+    gs = [_fixture_granule(7, k) for k in range(8)]
+    out = decode_mp3_l3(encode_mp3_l3(gs, nch=2))
+    assert out["n_frames"] == 2 and out["n_granules"] == 8
+    for k, g in enumerate(out["granules"]):
+        assert g["lines"] == gs[k].lines, k
+        assert (g["frame"], g["granule"], g["channel"]) == (
+            k // 4, (k // 2) % 2, k % 2
+        )
+
+
+def test_scfsi_reuses_granule0_scalefactors():
+    g0, g1 = _fixture_granule(3, 0), _fixture_granule(3, 1)
+    g1.scalefac_compress = g0.scalefac_compress
+    slen1, slen2 = _SLEN[g1.scalefac_compress]
+    g1.scalefacs = [
+        min(v, (1 << (slen1 if b < 11 else slen2)) - 1)
+        if (slen1 if b < 11 else slen2) else 0
+        for b, v in enumerate(g1.scalefacs)
+    ]
+    # groups 0 (bands 0-5) and 2 (bands 11-15) reused -> must be equal
+    g1.scalefacs = (
+        g0.scalefacs[:6] + g1.scalefacs[6:11]
+        + g0.scalefacs[11:16] + g1.scalefacs[16:]
+    )
+    out = decode_mp3_l3(encode_mp3_l3([g0, g1], scfsi=0b1010))
+    assert out["granules"][0]["scalefacs"] == g0.scalefacs
+    assert out["granules"][1]["scalefacs"] == g1.scalefacs
+    assert out["granules"][1]["lines"] == g1.lines
+
+
+def test_bit_reservoir_really_used():
+    """main_data_begin must be non-zero somewhere (the packer
+    guarantees it), and corrupting a PREVIOUS frame's data region
+    must break a LATER frame's decode — proof the decode really
+    reads across frame boundaries."""
+    d = 4
+    gs = [_fixture_granule(d, k) for k in range(8)]
+    buf = bytearray(encode_mp3_l3(gs))
+    out = decode_mp3_l3(bytes(buf))
+    assert out["reservoir_used"] is True
+    # find the second frame header (first 0xFF sync after the ID3+1st)
+    first = buf.find(b"\xff\xfb")
+    second = buf.find(b"\xff\xfb", first + 2)
+    assert second > first
+    # corrupt the last byte of frame 1's data region (reservoir bytes
+    # belonging to frame 2)
+    buf[second - 1] ^= 0xFF
+    broken = decode_mp3_l3(bytes(buf))
+    frame2 = [g for g in broken["granules"] if g["frame"] >= 1]
+    want2 = gs[2:]
+    assert any(
+        g["lines"] != w.lines for g, w in zip(frame2, want2)
+    ), "corrupting reservoir bytes did not affect later frames"
+
+
+def test_requantization_matches_direct_formula():
+    g = _fixture_granule(9, 1)
+    out = decode_mp3_l3(encode_mp3_l3([_fixture_granule(9, 0), g]))
+    got = out["granules"][1]["xr"]
+    v = np.asarray(g.lines, np.float64)
+    want = np.sign(v) * np.abs(v) ** (4.0 / 3.0)
+    want *= 2.0 ** ((g.global_gain - 210) / 4.0)
+    mult = 0.5 * (g.scalefac_scale + 1)
+    for b in range(21):
+        lo, hi = _SFB_LONG_44[b], _SFB_LONG_44[b + 1]
+        want[lo:hi] *= 2.0 ** (
+            -mult * (g.scalefacs[b] + g.preflag * _PRETAB[b])
+        )
+    np.testing.assert_array_equal(got, want)
+    # independent spot value: line 30 sits in band 7
+    i = 30
+    if g.lines[i]:
+        b = max(j for j in range(22) if _SFB_LONG_44[j] <= i)
+        direct = (
+            np.sign(g.lines[i]) * abs(g.lines[i]) ** (4.0 / 3.0)
+            * 2.0 ** ((g.global_gain - 210) / 4.0)
+            * 2.0 ** (-mult * (g.scalefacs[b] + g.preflag * _PRETAB[b]))
+        )
+        assert got[i] == direct
+
+
+def test_esc_table_gate_is_loud():
+    """A stream selecting an untranscribed table must raise the named
+    gate, not desync silently."""
+    g = _fixture_granule(2, 0)
+    g2 = _fixture_granule(2, 1)
+    buf = bytearray(encode_mp3_l3([g, g2]))
+    # side info of frame 0: byte offset = ID3 + 4 (header); mono side
+    # info layout: 9+5+4 bits, then gr0: 12+9+8+4+1 = 34 bits -> the
+    # first table_select starts at bit 18+34 = 52 of the side info
+    first = buf.find(b"\xff\xfb")
+    si_off = (first + 4) * 8 + 52
+    # overwrite the 5-bit table_select with 16 (an ESC table)
+    for k in range(5):
+        bit = (16 >> (4 - k)) & 1
+        byte, sh = (si_off + k) >> 3, 7 - ((si_off + k) & 7)
+        buf[byte] = (buf[byte] & ~(1 << sh)) | (bit << sh)
+    with pytest.raises(NotImplementedError, match="table 16"):
+        decode_mp3_l3(bytes(buf))
+
+
+def test_encoder_input_validation():
+    g = _fixture_granule(0, 0)
+    with pytest.raises(ValueError, match="whole frames"):
+        encode_mp3_l3([g])
+    bad = _fixture_granule(0, 0)
+    bad.lines = [5] + bad.lines[1:]  # exceeds table range in region 0
+    with pytest.raises(ValueError, match="exceeds table"):
+        encode_mp3_l3([bad, _fixture_granule(0, 1)])
+
+
+@pytest.mark.skipif(shutil.which("ffmpeg") is None, reason="no ffmpeg")
+def test_mp3_ffmpeg_accepts_stream(tmp_path):
+    """Conformance smoke where ffmpeg exists: libavcodec must parse
+    and fully decode the stream without errors (frequency lines feed
+    its synthesis filterbank; our decode stops at the lines, so the
+    check is acceptance + duration, not PCM equality)."""
+    gs = [_fixture_granule(1, k) for k in range(8)]
+    src = tmp_path / "t.mp3"
+    src.write_bytes(encode_mp3_l3(gs))
+    out = tmp_path / "t.wav"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", str(src), str(out)],
+        check=True, capture_output=True,
+    )
+    assert out.stat().st_size > 44
