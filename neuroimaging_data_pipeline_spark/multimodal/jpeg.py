@@ -35,9 +35,19 @@ Real ITU-T T.81 coverage (grown r4 round by round):
   the deeper DC/AC categories, level shift 2048 and uint16 output
   natively).
 
-Remaining declared gates (raise, never silent): arithmetic coding
-interop (see ``jpeg_arith.py`` for the syntax+coder coverage),
-12-bit progressive/color, restart markers inside progressive scans.
+- RESTART MARKERS INSIDE PROGRESSIVE SCANS (r9): DRI applies to
+  every scan kind — MCU-counted units in interleaved DC scans,
+  block-counted units in non-interleaved DC/AC scans; DC predictors
+  and EOB runs reset at each RSTn, the mod-8 counter is verified,
+  and an EOB run crossing a restart boundary raises;
+- 12-BIT PROGRESSIVE (r9): SOF2 at precision 12, grayscale AND
+  color — Pq=1 16-bit quantization tables, the T.81 F.1.2
+  extended-range DC (categories to 15) and AC (sizes to 14) Huffman
+  tables, 2048-centered level shift and chroma offsets; lossless on
+  constant blocks at unit quant like the 8-bit profiles.
+
+Remaining declared gate (raise, never silent): arithmetic coding
+interop (see ``jpeg_arith.py`` for the syntax+coder coverage).
 
 JPEG is lossy in general, so the oracle-checked fixture uses images
 whose 8x8 blocks are CONSTANT: a constant block's DCT is DC-only with
@@ -279,41 +289,46 @@ def encode_jpeg_gray(
     return bytes(out)
 
 
-def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
-    """JFIF RGB -> YCbCr, rounded + clipped to uint8 planes."""
+def _rgb_to_ycbcr(px: np.ndarray, precision: int = 8) -> np.ndarray:
+    """JFIF RGB -> YCbCr, rounded + clipped to uint8/uint16 planes
+    (chroma centered at 2^(P-1) per T.81 for P-bit samples)."""
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     r = px[..., 0].astype(np.float64)
     g = px[..., 1].astype(np.float64)
     b = px[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(
-        np.uint8
+    cb = mid - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = mid + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, maxv).astype(
+        np.uint8 if precision == 8 else np.uint16
     )
 
 
-def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
-    """JFIF YCbCr -> RGB, rounded + clipped to uint8."""
+def _ycbcr_to_rgb(planes: np.ndarray, precision: int = 8) -> np.ndarray:
+    """JFIF YCbCr -> RGB, rounded + clipped to uint8/uint16."""
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     y = planes[..., 0].astype(np.float64)
-    cb = planes[..., 1].astype(np.float64) - 128.0
-    cr = planes[..., 2].astype(np.float64) - 128.0
+    cb = planes[..., 1].astype(np.float64) - mid
+    cr = planes[..., 2].astype(np.float64) - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
-        np.uint8
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxv).astype(
+        np.uint8 if precision == 8 else np.uint16
     )
 
 
 def _color_planes(
-    pixels: np.ndarray, subsampling: str
+    pixels: np.ndarray, subsampling: str, precision: int = 8
 ) -> tuple[list[np.ndarray], list[tuple[int, int]]]:
     """RGB -> per-component YCbCr sample planes + sampling factors.
     420 averages chroma over 2x2 pixel cells (odd dims edge-padded
     first). Shared by the baseline and progressive encoders so both
     produce IDENTICAL quantized coefficients for the same image."""
     h, w, _ = pixels.shape
-    ycc = _rgb_to_ycbcr(pixels)
+    ycc = _rgb_to_ycbcr(pixels, precision)
     if subsampling == "444":
         return [ycc[..., c].astype(np.float64) for c in range(3)], [
             (1, 1), (1, 1), (1, 1),
@@ -451,6 +466,22 @@ _PROG_AC_VALS = (
 )
 _PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
+# 12-bit extended-range tables (T.81 F.1.2): DC diff categories reach
+# 15 and AC sizes reach 14, so the 8-bit tables can't carry them.
+# Flat canonical tables: every DC symbol at length 5 (16/32 Kraft),
+# every AC symbol at length 8 (240/256 Kraft) — legal incomplete
+# codes any conformant decoder reconstructs from the DHT segment.
+_DC12_VALS = list(range(16))
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC12_VALS = (
+    [n << 4 for n in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(run << 4) | size for run in range(16) for size in range(1, 15)]
+)
+_PROG_AC12_BITS = [
+    0, 0, 0, 0, 0, 0, 0, len(_PROG_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0,
+]
+
 
 def _quantized_blocks(plane: np.ndarray, qflat: np.ndarray) -> np.ndarray:
     """FDCT + quantize every 8x8 block of a level-shifted plane:
@@ -508,31 +539,35 @@ def _point_transform(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
-def _dc_block_order(
+def _dc_unit_order(
     comp_idx: list[int],
     factors: list[tuple[int, int]],
     mcus_y: int,
     mcus_x: int,
     true_grid: dict[int, tuple[int, int]],
-) -> Iterator[tuple[int, int, int]]:
-    """Yield (comp, by, bx) in DC-scan order: MCU-interleaved with
-    fvxfh raster per component when the scan carries several
-    components, the component's own (non-MCU-padded) grid when it
-    carries one — the T.81 interleaving rule."""
+) -> Iterator[list[tuple[int, int, int]]]:
+    """Yield restart UNITS of (comp, by, bx) blocks in DC-scan order:
+    one MCU per unit (fvxfh raster per component) when the scan
+    carries several components, one block per unit on the
+    component's own (non-MCU-padded) grid when it carries one — the
+    T.81 interleaving rule; the unit is what a restart interval
+    counts."""
     if len(comp_idx) > 1:
         for my in range(mcus_y):
             for mx in range(mcus_x):
-                for c in comp_idx:
-                    fh, fv = factors[c]
-                    for iv in range(fv):
-                        for ih in range(fh):
-                            yield c, my * fv + iv, mx * fh + ih
+                yield [
+                    (c, my * fv + iv, mx * fh + ih)
+                    for c in comp_idx
+                    for fh, fv in (factors[c],)
+                    for iv in range(fv)
+                    for ih in range(fh)
+                ]
     else:
         c = comp_idx[0]
         tb_h, tb_w = true_grid[c]
         for by in range(tb_h):
             for bx in range(tb_w):
-                yield c, by, bx
+                yield [(c, by, bx)]
 
 
 def _encode_dc_scan(
@@ -546,22 +581,28 @@ def _encode_dc_scan(
     mcus_y: int,
     mcus_x: int,
     true_grid: dict[int, tuple[int, int]],
+    restart_interval: int = 0,
 ) -> None:
-    order = _dc_block_order(comp_idx, factors, mcus_y, mcus_x, true_grid)
-    if ah == 0:
-        prev_dc = {c: 0 for c in comp_idx}
-        for c, by, bx in order:
-            v = int(comps[c][by, bx, 0]) >> al  # arithmetic shift
-            diff = v - prev_dc[c]
-            prev_dc[c] = v
-            s = _category(diff)
-            bw.put(*dc_codes[s])
-            if s:
-                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-    else:
-        # refinement: one raw bit per block per component
-        for c, by, bx in order:
-            bw.put((int(comps[c][by, bx, 0]) >> al) & 1, 1)
+    units = _dc_unit_order(comp_idx, factors, mcus_y, mcus_x, true_grid)
+    prev_dc = {c: 0 for c in comp_idx}
+    rst_m = 0
+    for ui, unit in enumerate(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            bw.put_marker(0xD0 + rst_m)
+            rst_m = (rst_m + 1) % 8
+            prev_dc = {c: 0 for c in comp_idx}  # predictors reset
+        for c, by, bx in unit:
+            if ah == 0:
+                v = int(comps[c][by, bx, 0]) >> al  # arithmetic shift
+                diff = v - prev_dc[c]
+                prev_dc[c] = v
+                s = _category(diff)
+                bw.put(*dc_codes[s])
+                if s:
+                    bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            else:
+                # refinement: one raw bit per block per component
+                bw.put((int(comps[c][by, bx, 0]) >> al) & 1, 1)
 
 
 def _encode_ac_first_scan(
@@ -572,9 +613,12 @@ def _encode_ac_first_scan(
     al: int,
     ac_codes: dict,
     grid: tuple[int, int] | None = None,
+    restart_interval: int = 0,
 ) -> None:
     bh, bw_ = grid if grid is not None else blocks.shape[:2]
     eobrun = 0
+    units = 0
+    rst_m = 0
 
     def flush_eobrun() -> None:
         nonlocal eobrun
@@ -587,6 +631,12 @@ def _encode_ac_first_scan(
 
     for by in range(bh):
         for bx in range(bw_):
+            if restart_interval and units and units % restart_interval == 0:
+                # an EOB run shall not cross a restart boundary
+                flush_eobrun()
+                bw.put_marker(0xD0 + rst_m)
+                rst_m = (rst_m + 1) % 8
+            units += 1
             band = [
                 _point_transform(int(blocks[by, bx, k]), al)
                 for k in range(ss, se + 1)
@@ -624,6 +674,7 @@ def _encode_ac_refine_scan(
     al: int,
     ac_codes: dict,
     grid: tuple[int, int] | None = None,
+    restart_interval: int = 0,
 ) -> None:
     """AC successive-approximation refinement (T.81 G.1.2.3 /
     libjpeg encode_mcu_AC_refine): newly-significant coefficients
@@ -636,6 +687,8 @@ def _encode_ac_refine_scan(
     bh, bw_ = grid if grid is not None else blocks.shape[:2]
     eobrun = 0
     pending_bits: list[int] = []  # correction bits owed with next EOBn
+    units = 0
+    rst_m = 0
 
     def flush_eobrun() -> None:
         nonlocal eobrun
@@ -652,6 +705,11 @@ def _encode_ac_refine_scan(
 
     for by in range(bh):
         for bx in range(bw_):
+            if restart_interval and units and units % restart_interval == 0:
+                flush_eobrun()
+                bw.put_marker(0xD0 + rst_m)
+                rst_m = (rst_m + 1) % 8
+            units += 1
             absvals = []
             eob_idx = -1  # last index whose magnitude becomes exactly 1
             for i, k in enumerate(range(ss, se + 1)):
@@ -705,6 +763,8 @@ def encode_jpeg_progressive(
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     script: list[tuple[list[int], int, int, int, int]] | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Real PROGRESSIVE JPEG writer (SOF2): grayscale (H, W) or color
     (H, W, 3) uint8 at 4:4:4, 4:2:2 or 4:2:0 chroma subsampling,
@@ -721,6 +781,9 @@ def encode_jpeg_progressive(
     (pinned in tests). AC scans code EOBn runs over each component's
     OWN (non-MCU-padded) block grid per T.81's non-interleaved rule;
     only the interleaved DC scan walks the padded MCU grid."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    mid = float(1 << (precision - 1))
     if pixels.ndim == 2:
         h, w = pixels.shape
         planes = [pixels.astype(np.float64)]
@@ -731,7 +794,7 @@ def encode_jpeg_progressive(
             raise ValueError(f"expected (H, W) or (H, W, 3), got {pixels.shape}")
         if subsampling not in ("444", "422", "420"):
             raise ValueError(f"unsupported subsampling {subsampling!r}")
-        planes, factors = _color_planes(pixels, subsampling)
+        planes, factors = _color_planes(pixels, subsampling, precision)
     ncomp = len(planes)
     if script is None:
         script = spectral_script(ncomp, bands)
@@ -759,12 +822,22 @@ def encode_jpeg_progressive(
         th, tw = mcus_y * fv * 8, mcus_x * fh * 8
         ph, pw = plane.shape
         padded = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
-        comps.append(_quantized_blocks(padded - 128.0, qflat))
+        comps.append(_quantized_blocks(padded - mid, qflat))
         # non-interleaved scans iterate the component's OWN grid
         true_grid[c] = ((ph + 7) // 8, (pw + 7) // 8)
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    if precision == 8:
+        dc_bits, dc_vals = _DC_BITS, _DC_VALS
+        ac_bits, ac_vals = _PROG_AC_BITS, _PROG_AC_VALS
+    else:
+        # 12-bit: DC diff categories reach 15 and AC sizes reach 14
+        # (T.81 F.1.2 extended ranges) — flat spec-valid canonical
+        # tables (all DC symbols at length 5, all AC symbols at
+        # length 8; Kraft sums < 1, legal incomplete codes)
+        dc_bits, dc_vals = _DC12_BITS, _DC12_VALS
+        ac_bits, ac_vals = _PROG_AC12_BITS, _PROG_AC12_VALS
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
 
     scans = []
     for comp_idx, ss, se, ah, al in script:
@@ -773,16 +846,19 @@ def encode_jpeg_progressive(
             _encode_dc_scan(
                 bw, comps, comp_idx, ah, al, dc_codes,
                 factors, mcus_y, mcus_x, true_grid,
+                restart_interval=restart_interval,
             )
         elif ah == 0:
             _encode_ac_first_scan(
                 bw, comps[comp_idx[0]], ss, se, al, ac_codes,
                 grid=true_grid[comp_idx[0]],
+                restart_interval=restart_interval,
             )
         else:
             _encode_ac_refine_scan(
                 bw, comps[comp_idx[0]], ss, se, al, ac_codes,
                 grid=true_grid[comp_idx[0]],
+                restart_interval=restart_interval,
             )
         header = (
             bytes([len(comp_idx)])
@@ -794,16 +870,28 @@ def encode_jpeg_progressive(
     out = bytearray()
     out += b"\xff\xd8"
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xFFDB, b"\x00" + q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    if precision == 8:
+        out += _seg(
+            0xFFDB,
+            b"\x00" + q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes(),
+        )
+    else:
+        out += _seg(
+            0xFFDB,
+            b"\x10"
+            + q.reshape(-1)[_ZIGZAG].astype(">u2").tobytes(),
+        )
     sof_comps = b"".join(
         bytes([cid + 1, (factors[cid][0] << 4) | factors[cid][1], 0])
         for cid in range(ncomp)
     )
-    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
-    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(
-        0xFFC4, b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+        0xFFC2, struct.pack(">BHHB", precision, h, w, ncomp) + sof_comps
     )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _seg(0xFFC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    out += _seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
     for header, scan_data in scans:
         out += _seg(0xFFDA, header)
         out += scan_data
@@ -947,16 +1035,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     f"only 8/12-bit 1- or 3-component supported, got "
                     f"precision={prec} components={ncomp}"
                 )
-            if prec == 12 and marker != 0xFFC1:
-                # T.81 restricts baseline (SOF0) to 8-bit; 12-bit
-                # progressive stays a declared gate
+            if prec == 12 and marker == 0xFFC0:
+                # T.81 restricts baseline (SOF0) to 8-bit samples;
+                # 12-bit rides SOF1 (extended sequential) or SOF2
+                # (progressive — r9, closes the declared remnant)
                 raise ValueError(
-                    "12-bit samples supported for extended sequential "
-                    "(SOF1) only"
-                )
-            if prec == 12 and ncomp != 1:
-                raise ValueError(
-                    "12-bit color unsupported (grayscale only)"
+                    "12-bit samples are not legal under baseline SOF0"
                 )
             precision = prec
             for c in range(ncomp):
@@ -1002,29 +1086,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan_tsel = {seg[1 + 2 * c]: seg[2 + 2 * c] for c in range(ns)}
             ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             ah, al = a >> 4, a & 0xF
-            if restart_interval:
-                raise ValueError("restart markers in progressive scans unsupported")
             br = _BitReader(data[pos:])
+            ri = restart_interval  # restart UNITS (MCUs / blocks)
 
-            def scan_block_order():
-                """DC-scan block order: MCU-interleaved (fv x fh
-                raster per component) for multi-component scans, the
-                component's own non-padded grid otherwise — mirrors
-                T.81's interleaving rule and the encoder."""
+            def scan_unit_order():
+                """DC-scan restart units: one MCU (fv x fh raster per
+                component) for multi-component scans, one block of
+                the component's own non-padded grid otherwise —
+                mirrors T.81's interleaving rule and the encoder."""
                 if len(scan_cids) > 1:
                     for my in range(mcus_y_p):
                         for mx in range(mcus_x_p):
-                            for cid in scan_cids:
-                                fh, fv = comp_samp[cid]
-                                for iv in range(fv):
-                                    for ih in range(fh):
-                                        yield cid, my * fv + iv, mx * fh + ih
+                            yield [
+                                (cid, my * fv + iv, mx * fh + ih)
+                                for cid in scan_cids
+                                for fh, fv in (comp_samp[cid],)
+                                for iv in range(fv)
+                                for ih in range(fh)
+                            ]
                 else:
                     cid = scan_cids[0]
                     tb_h, tb_w = comp_true_grid[cid]
                     for by in range(tb_h):
                         for bx in range(tb_w):
-                            yield cid, by, bx
+                            yield [(cid, by, bx)]
 
             if ss == 0 and ah == 0:
                 # DC first scan; Al>0 holds back low bits
@@ -1034,17 +1119,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     cid: huff[(0, scan_tsel[cid] >> 4)] for cid in scan_cids
                 }
                 prev_dc = {cid: 0 for cid in scan_cids}
-                for cid, by, bx in scan_block_order():
-                    s = br.huff(dc_tbls[cid])
-                    diff = _extend(br.bits(s), s) if s else 0
-                    prev_dc[cid] += diff
-                    coef_store[cid][by, bx, 0] = prev_dc[cid] << al
+                rst_m = 0
+                for ui, unit in enumerate(scan_unit_order()):
+                    if ri and ui and ui % ri == 0:
+                        br.restart(rst_m)
+                        rst_m = (rst_m + 1) % 8
+                        prev_dc = {cid: 0 for cid in scan_cids}
+                    for cid, by, bx in unit:
+                        s = br.huff(dc_tbls[cid])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev_dc[cid] += diff
+                        coef_store[cid][by, bx, 0] = prev_dc[cid] << al
             elif ss == 0:
                 # DC refinement: one raw bit appends the Al-th bit
                 # (two's-complement OR reconstructs negatives exactly)
-                for cid, by, bx in scan_block_order():
-                    if br.bits(1):
-                        coef_store[cid][by, bx, 0] |= 1 << al
+                rst_m = 0
+                for ui, unit in enumerate(scan_unit_order()):
+                    if ri and ui and ui % ri == 0:
+                        br.restart(rst_m)
+                        rst_m = (rst_m + 1) % 8
+                    for cid, by, bx in unit:
+                        if br.bits(1):
+                            coef_store[cid][by, bx, 0] |= 1 << al
             elif ah == 0:
                 # AC first scan: single component, EOBn run-length
                 # coding, values arrive at Al-bit-truncated precision
@@ -1054,8 +1150,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ac_tbl = huff[(1, scan_tsel[cid] & 0xF)]
                 tb_h, tb_w = comp_true_grid[cid]
                 eobrun = 0
+                units = 0
+                rst_m = 0
                 for by in range(tb_h):
                     for bx in range(tb_w):
+                        if ri and units and units % ri == 0:
+                            if eobrun:
+                                raise ValueError(
+                                    "EOB run crosses a restart boundary"
+                                )
+                            br.restart(rst_m)
+                            rst_m = (rst_m + 1) % 8
+                        units += 1
                         if eobrun:
                             eobrun -= 1
                             continue
@@ -1096,6 +1202,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tb_h, tb_w = comp_true_grid[cid]
                 p1 = 1 << al
                 eobrun = 0
+                units = 0
+                rst_m = 0
 
                 def correct(blk: np.ndarray, k: int) -> None:
                     if br.bits(1) and not (abs(int(blk[k])) & p1):
@@ -1103,6 +1211,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
                 for by in range(tb_h):
                     for bx in range(tb_w):
+                        if ri and units and units % ri == 0:
+                            if eobrun:
+                                raise ValueError(
+                                    "EOB run crosses a restart boundary"
+                                )
+                            br.restart(rst_m)
+                            rst_m = (rst_m + 1) % 8
+                        units += 1
                         blk = store[by, bx]
                         if eobrun:
                             for k in range(ss, se + 1):
@@ -1245,7 +1361,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
             if ns == 1:
                 return samples[..., 0]
-            return _ycbcr_to_rgb(samples)
+            return _ycbcr_to_rgb(samples, precision)
     if progressive and coef_store:
         # all scans accumulated; dequantize + IDCT once at the end,
         # then replication-upsample subsampled components and crop —
@@ -1272,10 +1388,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     axis=1,
                 )
             full[..., ci] = plane[:h, :w]
-        samples = np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)
+        mid = float(1 << (precision - 1))
+        maxv = (1 << precision) - 1
+        samples = np.clip(np.round(full + mid), 0, maxv).astype(
+            np.uint8 if precision == 8 else np.uint16
+        )
         if len(comp_order) == 1:
             return samples[..., 0]
-        return _ycbcr_to_rgb(samples)
+        return _ycbcr_to_rgb(samples, precision)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -1373,7 +1493,15 @@ def synthesize_jpeg_progressive_images(
     are pure EOBn runs while the DC successive-approximation first +
     refine bits reconstruct every value exactly — the whole SA
     machinery runs on every image and the decode stays bit-exact for
-    the formula-recomputing oracle."""
+    the formula-recomputing oracle.
+
+    r9 extension: docs with id%3==1 write RESTART MARKERS inside the
+    progressive scans (DRI 1 + RSTn between every restart unit of
+    every scan — DC predictors and EOB runs reset at each marker);
+    id%3==2 additionally uses interval 2. Restarts change the
+    bitstream framing, never the decoded samples, so the oracle
+    formula is untouched while the new profile runs on 2/3 of the
+    corpus."""
     out_schema = "media_id long, content binary"
     bys = np.arange(blocks_y)[:, None]
     bxs = np.arange(blocks_x)[None, :]
@@ -1386,7 +1514,11 @@ def synthesize_jpeg_progressive_images(
                 blocks = ((int(i) * 23 + base) % 256).astype(np.uint8)
                 img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
                 payloads.append(
-                    encode_jpeg_progressive(img, script=sa_script(1))
+                    encode_jpeg_progressive(
+                        img,
+                        script=sa_script(1),
+                        restart_interval=int(i) % 3,
+                    )
                 )
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 

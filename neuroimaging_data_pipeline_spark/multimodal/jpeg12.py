@@ -255,19 +255,35 @@ def synthesize_jpeg12_images(
     nothing short of a true 12-bit pipeline reproduces them. Exact
     through the lossy path (DC-only blocks, unit quant), so the
     oracle recomputes decoded features from the formula while the
-    deep-category Huffman machinery runs for real."""
+    deep-category Huffman machinery runs for real.
+
+    r9 extension: docs with id%2==1 are written as 12-bit
+    PROGRESSIVE (SOF2, successive-approximation script, Pq=1 16-bit
+    quant table, the extended-range DC/AC tables) — closing the
+    declared 12-bit-progressive remnant. Profile changes the
+    bitstream, never the decoded samples, so the oracle formula is
+    untouched while half the corpus exercises the new profile."""
     out_schema = "media_id long, content binary"
     bys = np.arange(blocks_y)[:, None]
     bxs = np.arange(blocks_x)[None, :]
     base = bys * 67 + bxs * 61
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import encode_jpeg_progressive, sa_script
+
         for pdf in batches:
             payloads = []
             for i in pdf[id_col]:
                 blocks = ((int(i) * 29 + base) % 4096).astype(np.uint16)
                 img = np.kron(blocks, np.ones((8, 8), dtype=np.uint16))
-                payloads.append(encode_jpeg_gray12(img))
+                if int(i) % 2:
+                    payloads.append(
+                        encode_jpeg_progressive(
+                            img, script=sa_script(1), precision=12
+                        )
+                    )
+                else:
+                    payloads.append(encode_jpeg_gray12(img))
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 
     return docs.select(id_col).mapInPandas(encode_batches, out_schema)

@@ -202,6 +202,10 @@ _RECHECK_R9 = [
     "s25b_zstd_decode",
     # r9: lz4 linked-frame rolling-window rewrite (O(n^2) -> O(n)).
     "s26_lz4_shards",
+    # r9: fixtures extended to restart-in-progressive (m11) and
+    # 12-bit progressive (m18) profiles.
+    "m11_jpeg_progressive",
+    "m18_jpeg12_stats",
 ]
 
 # Queries added in round 9, AFTER CORRECTNESS_r08 froze the backlog.

@@ -128,5 +128,5 @@ def test_error_paths():
     )
     i = payload.index(b"\xff\xc1")
     payload[i + 1] = 0xC0
-    with pytest.raises(ValueError, match="SOF1"):
+    with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg_gray(bytes(payload))
