@@ -33,6 +33,33 @@ Determinism discipline (applies to every pair):
   (numpy mean in applyInPandas vs SQL AVG — divergence absorbed by
   rounding centroids to 6 per component between passes), and the w8
   Gaussian smooth (separable 3-pass vs the oracle's direct cube).
+
+Determinism cookbook (r8/r9 — the tricks that gate the unigram, KN,
+IVF and pHash oracle families; future operators should reach for
+these before inventing new ones):
+
+1. SCALED-INT64 LOG-PROBS for any argmax/Viterbi/DP oracle: quantize
+   every log-probability to ``round(ln(x) * 1e9)`` and run the whole
+   DP on exact integers. Float summation order can never flip an
+   argmax, ties become TRUE ties you break by an explicit rule (the
+   unigram tokenizer's longer-piece rule), and the DuckDB recursive
+   CTE reproduces the DP bit-for-bit (text/unigram.py, t_kn_bigram).
+2. SPLITMIX64-STYLE MIXERS for keyed subset/sample picks — NEVER a
+   linear rank key: sorting by ``(base*A + slot*B) % P`` yields only
+   ~n_slots distinct orderings across bases (rotation cut-points), so
+   unrelated keys collide en masse (bit d_image_neardup's pHash mode
+   subsets in r8; caught only by a full all-pairs scan). A multiply-
+   xorshift mixer gives per-key-independent orderings both engines
+   can compute (dedup/phash.py).
+3. ROUND-THEN-AGREE for iterative float state: when engines must
+   iterate DIFFERENT float formulas (Lloyd passes), round the shared
+   state (centroids) to a fixed precision BETWEEN passes so the
+   iteration contracts to identical state on both sides
+   (similarity/cosine.py).
+4. WITH RECURSIVE in DuckDB 1.x: a bare two-branch UNION body gets
+   anchor/step treatment and SKIPS dedup — use UNION ALL + GROUP BY;
+   and mark feeder CTEs ``AS MATERIALIZED`` or they are re-inlined
+   per recursion reference (exponential re-evaluation).
 """
 
 from __future__ import annotations
@@ -217,6 +244,7 @@ _ADDED_R9 = [
     "g_triangles_cap",
     "m33_h264_cabac",
     "m34_mp3_samples",
+    "e12_mixed_corpus_pipeline",
 ]
 
 

@@ -1452,6 +1452,56 @@ GROUP BY 1
 """
 
 
+def e12_mixed_corpus_pipeline(spark, sf_dir):
+    """E12: the container-HETEROGENEOUS corpus ingest chain (VERDICT
+    r8 #8) — real corpora mix archives: Wikipedia ships .bz2,
+    research dumps ship .xz, one release plan ingests both. Documents
+    pack into 50-doc JSONL shards whose container ALTERNATES by shard
+    id (even: stdlib libbzip2 writer; odd: stdlib liblzma xz writer,
+    CRC64 check), then the r8 FROM-SCRATCH decoders reverse the
+    stack — bzip2's selector-switched Huffman / MTF / inverse BWT /
+    RLE layers with CRC-32 verified, xz's LZMA2 range coder — and a
+    per-(shard, container) verification aggregate pins exact
+    reassembly with an ORDER-PINNED md5 over the shard's texts. Any
+    bit-level bug in either entropy stack breaks the hash. Shape at
+    100 TB: one pack shuffle, narrow decode (one task per shard),
+    one map-side-combinable aggregate — identical to e11's plan, now
+    container-dispatching per shard."""
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.sources.compshards import (
+        bxz_shard_documents,
+        synthesize_jsonl_bxz_shards,
+    )
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
+    shards = synthesize_jsonl_bxz_shards(d, id_col="doc_id", text_col="text")
+    docs = bxz_shard_documents(shards, id_col="doc_id")
+    texts_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"],
+    )
+    return docs.groupBy("shard_id", "container").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("long").alias("sum_bytes"),
+        F.md5(F.array_join(texts_sorted, "|")).alias("docs_md5"),
+    )
+
+
+E12_SQL = """
+SELECT CAST(doc_id // 50 AS BIGINT) AS shard_id,
+       CASE WHEN (doc_id // 50) % 2 = 0 THEN 'bz2' ELSE 'xz' END
+         AS container,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) AS sum_bytes,
+       md5(string_agg(COALESCE(text, ''), '|' ORDER BY doc_id))
+         AS docs_md5
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def s32_bzip2_shards(spark, sf_dir):
     """S32: bzip2 decoded END TO END from scratch (sources/bzip2.py)
     — the third big corpus container next to gzip and xz (Wikipedia
@@ -1588,6 +1638,7 @@ QUERIES = {
     "s31_xz_filters": s31_xz_filters,
     "s32_bzip2_shards": s32_bzip2_shards,
     "e11_zstd_corpus_pipeline": e11_zstd_corpus_pipeline,
+    "e12_mixed_corpus_pipeline": e12_mixed_corpus_pipeline,
 }
 
 ORACLE = {
@@ -1623,4 +1674,5 @@ ORACLE = {
     "s31_xz_filters": S31_SQL,
     "s32_bzip2_shards": S32_SQL,
     "e11_zstd_corpus_pipeline": E11_SQL,
+    "e12_mixed_corpus_pipeline": E12_SQL,
 }
