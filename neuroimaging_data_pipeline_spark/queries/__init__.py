@@ -245,6 +245,7 @@ _ADDED_R9 = [
     "m33_h264_cabac",
     "m34_mp3_samples",
     "e12_mixed_corpus_pipeline",
+    "m35_h264_inter",
 ]
 
 

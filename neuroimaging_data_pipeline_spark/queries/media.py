@@ -1557,6 +1557,69 @@ FROM v GROUP BY doc_id
 """
 
 
+def m35_h264_inter(spark, sf_dir):
+    """M35: H.264 INTER (P-slice) decode (multimodal/h264_inter.py) —
+    the round-9 stretch on the last big video gate: a real corpus is
+    mostly inter frames. Per document a 2-frame sequence: an
+    Intra_16x16 IDR anchor plus one CAVLC P frame with REAL
+    motion-compensated prediction — per-MB full-pel motion vectors
+    (partition modes cycling P_L0_16x16 / 16x8 / 8x16 with
+    per-partition mvd against the 8.4.1.3 median/directional
+    predictors), quarter/eighth-pel interpolation machinery
+    (exercised at sub-pel fractions in pytest; fixture MVs are
+    full-pel so the oracle stays formula-exact), the Table 9-4 INTER
+    coded_block_pattern mapping, full 16-coefficient luma residuals
+    and the shared chroma DC path. At QP 0 the whole chain is exact,
+    so the oracle recomputes EVERY decoded pixel of BOTH frames —
+    motion shift, edge clamping and residual delta included — in
+    pure SQL. mb_skip_run / P_Skip MV derivation are pinned in
+    pytest (skip MVs depend on the median rule, deliberately kept
+    out of the fixture formulas). Narrow scan -> mapInPandas, zero
+    shuffle; at 100 TB one task per video shard."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        h264_inter_frame_features,
+        synthesize_h264_inter_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_inter_frames(d, id_col="doc_id")
+    return h264_inter_frame_features(media)
+
+
+M35_SQL = """
+WITH px AS (
+  SELECT doc_id, py.py AS py, qx.px AS px
+  FROM documents,
+       UNNEST(range(0, 32)) AS py(py),
+       UNNEST(range(0, 32)) AS qx(px)
+), v AS (
+  SELECT doc_id, py, px,
+         16 + (doc_id * 13 + (py // 4) * 41 + (px // 4) * 59) % 224
+           AS y0,
+         LEAST(GREATEST(
+           py + 4 * ((doc_id * 2 + 3 * (px // 16) + (py // 16)) % 3 - 1),
+           0), 31) AS sy,
+         LEAST(GREATEST(
+           px + 4 * ((doc_id + (px // 16) + 2 * (py // 16)) % 3 - 1),
+           0), 31) AS sx,
+         (doc_id + (py // 4) * 7 + (px // 4) * 11) % 9 - 4 AS delta
+  FROM px
+)
+SELECT doc_id,
+       CAST(2 AS INT) AS n_frames,
+       CAST(32 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       CAST(SUM(y0) AS BIGINT) AS sum_y_idr,
+       CAST(SUM(
+         16 + (doc_id * 13 + (sy // 4) * 41 + (sx // 4) * 59) % 224
+         + delta
+       ) AS BIGINT) AS sum_y_p,
+       CAST(32768 AS BIGINT) AS sum_cb_p,
+       CAST(32768 AS BIGINT) AS sum_cr_p
+FROM v GROUP BY doc_id
+"""
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -1624,6 +1687,7 @@ QUERIES = {
     "m32_flac_surround": m32_flac_surround,
     "m33_h264_cabac": m33_h264_cabac,
     "m34_mp3_samples": m34_mp3_samples,
+    "m35_h264_inter": m35_h264_inter,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -1656,5 +1720,6 @@ ORACLE = {
     "m32_flac_surround": M32_SQL,
     "m33_h264_cabac": M33_SQL,
     "m34_mp3_samples": M34_SQL,
+    "m35_h264_inter": M35_SQL,
     "m31_lzma_alone": M31_SQL,
 }
