@@ -331,7 +331,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         r.se()
         for _ in range(r.ue()):
             r.se()
-    r.ue()  # max_num_ref_frames
+    max_refs = r.ue()  # max_num_ref_frames
     r.u(1)
     mbw = r.ue() + 1
     mbh_units = r.ue() + 1
@@ -345,6 +345,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         crop_t, crop_b = r.ue(), r.ue()
     return dict(
         log2_mfn=log2_mfn,
+        max_refs=max_refs,
         mbw=mbw,
         mbh=mbh_units,
         w=mbw * 16 - 2 * (crop_l + crop_r),

@@ -14,22 +14,35 @@ missing #2). CAVLC P slices on top of the proven intra stack:
   P_Skip zero-MV conditions;
 - P macroblock syntax (CAVLC): mb_skip_run, P_L0_16x16 /
   P_L0_L0_16x8 / P_L0_L0_8x16 partitions with per-partition mvd_l0,
-  the INTER coded_block_pattern me(v) mapping (Table 9-4), full
-  16-coefficient luma residual blocks and the shared chroma
-  DC-Hadamard path, nC neighbor tracking across skipped MBs;
-- sequence framing: SPS with max_num_ref_frames=1, a PPS with
-  deblocking control so every slice header disables the loop filter
-  (the stream's nominal conformant output IS this codec family's
-  reconstruction), an IDR Intra_16x16 anchor re-headered from the
-  proven CAVLC encoder, and non-IDR (NAL type 1) P slices
-  referencing the decoded anchor.
+  P_8x8 sub-macroblock partitions (sub_mb_type 8x8/8x4/4x8/4x4 with
+  per-sub-partition mvd and z-scan-order MV prediction), the INTER
+  coded_block_pattern me(v) mapping (Table 9-4), full 16-coefficient
+  luma residual blocks and the shared chroma DC-Hadamard path, nC
+  neighbor tracking across skipped MBs;
+- INTRA macroblocks inside P slices (mb_type >= 5): Intra_16x16 on
+  the shared prediction/transform layer — intra neighbors are marked
+  unavailable-for-MV-prediction (refIdx -1, mv 0) exactly as
+  8.4.1.3.2 requires, WITHOUT triggering the out-of-picture D
+  substitution or only-A fallback;
+- MULTIPLE REFERENCE FRAMES (up to 2): list0 ordered most-recently-
+  decoded first (8.2.4.2.1 PicNum descending), per-partition
+  ref_idx_l0 coded te(v), sliding-window DPB eviction, and the
+  refIdx-aware predictor rules (the exactly-one-matching-neighbor
+  shortcut and the refIdx-conditioned 16x8/8x16 directional rules);
+- sequence framing: SPS with max_num_ref_frames in {1, 2}, a PPS
+  with deblocking control so every slice header disables the loop
+  filter (the stream's nominal conformant output IS this codec
+  family's reconstruction), an IDR Intra_16x16 anchor re-headered
+  from the proven CAVLC encoder, and non-IDR (NAL type 1) P slices
+  referencing the decoded-frame DPB.
 
-Declared gates (raise, never silent): P_8x8 sub-partitions, intra
-macroblocks inside P slices, B slices, multiple reference frames.
-The encoder<->decoder round-trip is bit-exact by construction
-(pinned across QPs, partition shapes and quarter-pel fractions in
-tests/test_h264_inter.py); a capability-gated ffmpeg cross-pin
-covers machines that have ffmpeg.
+Declared gates (raise, never silent): I_4x4 / I_PCM inside P slices,
+B slices (see h264_bslice.py once present), >2 reference frames,
+CABAC inter. The encoder<->decoder round-trip is bit-exact by
+construction (pinned across QPs, partition shapes, sub-partition
+splits, intra-in-P placements, ref_idx patterns and quarter-pel
+fractions in tests/test_h264_inter.py); a capability-gated ffmpeg
+cross-pin covers machines that have ffmpeg.
 
 Reference parity: preprocess_parallel.sh shells out for video; this
 is the engine-side equivalent for the inter frames that dominate any
@@ -55,6 +68,7 @@ from neuroimaging_data_pipeline_spark.multimodal.h264 import (
 from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
     _CF,
     _H2,
+    _H4,
     _MF,
     _ZBLK,
     _ZIG,
@@ -64,6 +78,7 @@ from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
     _fwd4x4,
     _inv4x4,
     _nc_for,
+    _pred8_chroma_dc,
     _pred16,
     _quant,
     _quant_dc4,
@@ -223,100 +238,127 @@ def interp_chroma(
 
 
 class _MvState:
-    """Per-4x4-block motion field: mv (qpel) + inter flag (refIdx 0
-    when True, 'not available for prediction' when False — intra
-    never occurs inside these P slices by construction)."""
+    """Per-4x4-block motion field (extended for P_8x8 / intra-in-P /
+    multi-ref): tracks which 4x4 blocks are DECODED (partition
+    availability in decode order — inside a macroblock that is z-scan
+    sub-partition order, so 'above-right inside the same MB but later
+    in decode order' is correctly unavailable and D-substituted),
+    which carry inter prediction (predFlagL0), and each block's
+    refIdxL0. 8.4.1.3.2 semantics: an INTRA neighbor is 'available
+    but not inter' — it contributes mv (0,0) / refIdx -1 to the
+    median and does NOT trigger the D substitution or the only-A
+    fallback, which fire on genuinely unavailable partitions only."""
 
     def __init__(self, mbw: int, mbh: int) -> None:
         self.mv = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        self.decoded = np.zeros((mbh * 4, mbw * 4), bool)
         self.inter = np.zeros((mbh * 4, mbw * 4), bool)
+        self.ref = np.full((mbh * 4, mbw * 4), -1, np.int64)
 
-    def _nbr(self, gy: int, gx: int):
-        h, w = self.inter.shape
+    def _info(self, gy: int, gx: int):
+        """None when the partition is unavailable (outside the
+        picture or not yet decoded); else (mv, refIdx) with
+        ((0, 0), -1) for intra blocks."""
+        h, w = self.decoded.shape
         if gy < 0 or gx < 0 or gy >= h or gx >= w:
             return None
-        if not self.inter[gy, gx]:
+        if not self.decoded[gy, gx]:
             return None
-        return self.mv[gy, gx]
+        if not self.inter[gy, gx]:
+            return (np.zeros(2, np.int64), -1)
+        return (self.mv[gy, gx], int(self.ref[gy, gx]))
 
     def neighbors(self, gx: int, gy: int, pw4: int):
-        """(A, B, C) partition neighbor MVs for a partition whose
+        """(A, B, C) partition neighbor infos for a partition whose
         top-left 4x4 block is (gx, gy) and whose width is pw4 4x4
-        units; C falls back to D (above-left) when not available.
-        In these all-inter P slices 'decoded' == 'inter', so the
-        inter flag doubles as the availability test (covers frame
-        edges AND not-yet-decoded positions to the right)."""
-        a = self._nbr(gy, gx - 1)
-        b = self._nbr(gy - 1, gx)
-        c = self._nbr(gy - 1, gx + pw4)
+        units; C falls back to D (above-left) only when the C
+        partition itself is unavailable."""
+        a = self._info(gy, gx - 1)
+        b = self._info(gy - 1, gx)
+        c = self._info(gy - 1, gx + pw4)
         if c is None:
-            c = self._nbr(gy - 1, gx - 1)  # D substitution
+            c = self._info(gy - 1, gx - 1)  # D substitution
         return a, b, c
 
     def pred_for_partition(
-        self, mode: str, pidx: int, gx: int, gy: int, pw4: int
+        self, mode: str, pidx: int, gx: int, gy: int, pw4: int,
+        ref: int = 0,
     ) -> np.ndarray:
         """8.4.1.3.1 directional shortcuts for the two-partition
-        modes (all reference indices are 0 here), falling back to the
-        median predictor."""
+        modes — each conditioned on the neighbor carrying the SAME
+        refIdx — falling back to the median predictor."""
         if mode == "16x8":
             if pidx == 0:
-                b = self._nbr(gy - 1, gx)
-                if b is not None:
-                    return b.copy()
+                b = self._info(gy - 1, gx)
+                if b is not None and b[1] == ref:
+                    return b[0].copy()
             else:
-                a = self._nbr(gy, gx - 1)
-                if a is not None:
-                    return a.copy()
+                a = self._info(gy, gx - 1)
+                if a is not None and a[1] == ref:
+                    return a[0].copy()
         elif mode == "8x16":
             if pidx == 0:
-                a = self._nbr(gy, gx - 1)
-                if a is not None:
-                    return a.copy()
+                a = self._info(gy, gx - 1)
+                if a is not None and a[1] == ref:
+                    return a[0].copy()
             else:
-                c = self._nbr(gy - 1, gx + pw4)
+                c = self._info(gy - 1, gx + pw4)
                 if c is None:
-                    c = self._nbr(gy - 1, gx - 1)
-                if c is not None:
-                    return c.copy()
-        return self.predict(gx, gy, pw4)
+                    c = self._info(gy - 1, gx - 1)
+                if c is not None and c[1] == ref:
+                    return c[0].copy()
+        return self.predict(gx, gy, pw4, ref)
 
-    def predict(self, gx: int, gy: int, pw4: int) -> np.ndarray:
-        """Median MV predictor with the spec's special cases; all
-        reference indices are 0 here, so the 'exactly one neighbor
-        with the same refIdx' rule reduces to 'exactly one inter
-        neighbor'."""
+    def predict(
+        self, gx: int, gy: int, pw4: int, ref: int = 0
+    ) -> np.ndarray:
+        """Median MV predictor (8.4.1.3.1): the exactly-one-neighbor-
+        with-the-same-refIdx shortcut first, then the only-A fallback
+        (B and C partitions genuinely unavailable), then the
+        component-wise median with unavailable/intra neighbors
+        contributing zero vectors."""
         a, b, c = self.neighbors(gx, gy, pw4)
+        match = [n for n in (a, b, c) if n is not None and n[1] == ref]
+        if len(match) == 1:
+            return match[0][0].copy()
         if b is None and c is None and a is not None:
-            return a.copy()
-        avail = [v for v in (a, b, c) if v is not None]
-        if len(avail) == 1:
-            return avail[0].copy()
-        va = a if a is not None else np.zeros(2, np.int64)
-        vb = b if b is not None else np.zeros(2, np.int64)
-        vc = c if c is not None else np.zeros(2, np.int64)
+            return a[0].copy()
+        va = a[0] if a is not None else np.zeros(2, np.int64)
+        vb = b[0] if b is not None else np.zeros(2, np.int64)
+        vc = c[0] if c is not None else np.zeros(2, np.int64)
         return np.median(np.stack([va, vb, vc]), axis=0).astype(np.int64)
 
     def skip_mv(self, mx: int, my: int) -> np.ndarray:
-        """P_Skip MV (8.4.1.1): zero when the left or top MB edge is
-        unavailable or a zero-MV ref-0 neighbor exists; else the
-        16x16 median predictor."""
+        """P_Skip MV (8.4.1.1): zero when the left or top MB is
+        unavailable or a zero-MV ref-0 INTER neighbor exists; else
+        the 16x16 median predictor at refIdx 0. An intra left/top MB
+        is available, so it forces neither zero nor the fallback."""
         gx, gy = mx * 4, my * 4
-        a = self._nbr(gy, gx - 1)
-        b = self._nbr(gy - 1, gx)
-        left_edge_missing = gx - 1 < 0
-        top_edge_missing = gy - 1 < 0
-        if left_edge_missing or top_edge_missing:
+        if gx - 1 < 0 or gy - 1 < 0:
             return np.zeros(2, np.int64)
-        if a is not None and a[0] == 0 and a[1] == 0:
+        a = self._info(gy, gx - 1)
+        b = self._info(gy - 1, gx)
+        if a is None or b is None:
             return np.zeros(2, np.int64)
-        if b is not None and b[0] == 0 and b[1] == 0:
+        if a[1] == 0 and a[0][0] == 0 and a[0][1] == 0:
             return np.zeros(2, np.int64)
-        return self.predict(gx, gy, 4)
+        if b[1] == 0 and b[0][0] == 0 and b[0][1] == 0:
+            return np.zeros(2, np.int64)
+        return self.predict(gx, gy, 4, 0)
 
-    def fill(self, gx: int, gy: int, pw4: int, ph4: int, mv) -> None:
+    def fill(
+        self, gx: int, gy: int, pw4: int, ph4: int, mv, ref: int = 0
+    ) -> None:
         self.mv[gy : gy + ph4, gx : gx + pw4] = mv
+        self.decoded[gy : gy + ph4, gx : gx + pw4] = True
         self.inter[gy : gy + ph4, gx : gx + pw4] = True
+        self.ref[gy : gy + ph4, gx : gx + pw4] = ref
+
+    def mark_intra(self, mx: int, my: int) -> None:
+        gx, gy = mx * 4, my * 4
+        self.decoded[gy : gy + 4, gx : gx + 4] = True
+        self.inter[gy : gy + 4, gx : gx + 4] = False
+        self.ref[gy : gy + 4, gx : gx + 4] = -1
 
 
 # partition geometry per mode: list of (off_x4, off_y4, w4, h4)
@@ -328,15 +370,28 @@ _PARTS = {
 _MB_TYPE = {"16x16": 0, "16x8": 1, "8x16": 2}
 _MB_TYPE_INV = {v: k for k, v in _MB_TYPE.items()}
 
+# sub-macroblock partition geometry (offsets in 4x4 units within the
+# 8x8 sub-macroblock, z-scan order per Table 7-17 / figure 6-14)
+_SUBPARTS = {
+    "8x8": [(0, 0, 2, 2)],
+    "8x4": [(0, 0, 2, 1), (0, 1, 2, 1)],
+    "4x8": [(0, 0, 1, 2), (1, 0, 1, 2)],
+    "4x4": [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+}
+_SUB_TYPE = {"8x8": 0, "8x4": 1, "4x8": 2, "4x4": 3}
+_SUB_TYPE_INV = {v: k for k, v in _SUB_TYPE.items()}
+
 
 # ---------------------------------------------------------------------------
 # Sequence framing
 # ---------------------------------------------------------------------------
 
 
-def _sps_rbsp_ref1(mbw: int, mbh: int, w: int, h: int) -> bytes:
+def _sps_rbsp_ref1(
+    mbw: int, mbh: int, w: int, h: int, num_refs: int = 1
+) -> bytes:
     """SPS for IDR + P sequences: identical to the shared intra SPS
-    except max_num_ref_frames = 1 (one decoded reference)."""
+    except max_num_ref_frames (1 or 2 decoded references)."""
     if w % 16 or h % 16:
         raise ValueError("inter sequences require dimensions % 16 == 0")
     sps = _BitW()
@@ -346,7 +401,7 @@ def _sps_rbsp_ref1(mbw: int, mbh: int, w: int, h: int) -> bytes:
     sps.ue(0)  # seq_parameter_set_id
     sps.ue(0)  # log2_max_frame_num_minus4 -> 4-bit frame_num
     sps.ue(2)  # pic_order_cnt_type
-    sps.ue(1)  # max_num_ref_frames
+    sps.ue(num_refs)  # max_num_ref_frames
     sps.u(0, 1)
     sps.ue(mbw - 1)
     sps.ue(mbh - 1)
@@ -447,19 +502,26 @@ def _idr_slice_strip_idc(rbsp: bytes) -> bytes:
     return w.bytes_()
 
 
-def _p_slice_header(sl: _BitW, qp: int) -> None:
+def _p_slice_header(
+    sl: _BitW, qp: int, frame_num: int = 1, num_refs_active: int = 1
+) -> None:
     sl.ue(0)  # first_mb_in_slice
     sl.ue(5)  # slice_type: P (all slices)
     sl.ue(0)  # pic_parameter_set_id
-    sl.u(1, 4)  # frame_num = 1
-    sl.u(0, 1)  # num_ref_idx_active_override_flag
+    sl.u(frame_num % 16, 4)  # frame_num
+    if num_refs_active != 1:
+        sl.u(1, 1)  # num_ref_idx_active_override_flag
+        sl.ue(num_refs_active - 1)
+    else:
+        sl.u(0, 1)  # no override (PPS default: 1 active)
     sl.u(0, 1)  # ref_pic_list_modification_flag_l0
     sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
     sl.se(qp - 26)  # slice_qp_delta
     sl.ue(1)  # disable_deblocking_filter_idc
 
 
-def _parse_p_slice_header(r: _BitR) -> int:
+def _parse_p_slice_header(r: _BitR) -> tuple[int, int]:
+    """Returns (slice_qp, num_ref_idx_l0_active)."""
     r.ue()  # first_mb
     stype = r.ue()
     if stype % 5 != 0:
@@ -469,15 +531,21 @@ def _parse_p_slice_header(r: _BitR) -> int:
         )
     r.ue()  # pps id
     r.u(4)  # frame_num
+    nra = 1  # PPS num_ref_idx_l0_default_active_minus1 is written 0
     if r.u(1):
-        raise NotImplementedError("num_ref_idx override unsupported")
+        nra = r.ue() + 1
+        if nra > 2:
+            raise NotImplementedError(
+                f"num_ref_idx_l0_active {nra} — at most 2 reference "
+                "frames are implemented"
+            )
     if r.u(1):
         raise NotImplementedError("ref_pic_list_modification unsupported")
     if r.u(1):
         raise NotImplementedError("adaptive ref marking unsupported")
     qp = 26 + r.se()
     r.ue()  # disable_deblocking_filter_idc
-    return qp
+    return qp, nra
 
 
 # ---------------------------------------------------------------------------
@@ -485,48 +553,41 @@ def _parse_p_slice_header(r: _BitR) -> int:
 # ---------------------------------------------------------------------------
 
 
-def encode_h264_p_sequence(
-    frame0: tuple[np.ndarray, np.ndarray, np.ndarray],
-    frame1: tuple[np.ndarray, np.ndarray, np.ndarray],
+def _mv_ref(entry) -> tuple[np.ndarray, int]:
+    """Normalize a partition spec entry: either a bare (mvx, mvy)
+    pair (refIdx 0) or ((mvx, mvy), ref_idx)."""
+    if (
+        isinstance(entry, (tuple, list))
+        and len(entry) == 2
+        and not np.isscalar(entry[0])
+        and np.isscalar(entry[1])
+    ):
+        return np.asarray(entry[0], np.int64), int(entry[1])
+    return np.asarray(entry, np.int64), 0
+
+
+def _encode_p_frame(
+    target: tuple[np.ndarray, np.ndarray, np.ndarray],
+    refs: list,
     mb_specs: list,
-    qp: int = 0,
-) -> tuple[bytes, tuple, tuple]:
-    """Encode a 2-frame sequence: an Intra_16x16 IDR anchor (the
-    proven CAVLC encoder, re-headered for the deblocking-control
-    PPS) followed by one CAVLC P frame predicting from the DECODED
-    anchor. ``mb_specs`` is raster-ordered, one entry per macroblock:
-    ("skip",) — P_Skip (the MV is derived; the caller's frame1 is
-    ignored for that MB, recon = MC prediction); or
-    (mode, [mv, ...]) with mode in {"16x16", "16x8", "8x16"} and one
-    (mvx, mvy) quarter-pel pair per partition. Returns
-    (annex_b_bytes, recon0_planes, recon1_planes) — both recon
-    tuples are the decoder-mirrored bit-exact contract."""
-    from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
-        encode_h264_i16x16,
-    )
-
-    y0, cb0, cr0 = frame0
-    y1, cb1, cr1 = frame1
-    h, w = y0.shape
-    if h % 16 or w % 16:
-        raise ValueError("inter sequences require dimensions % 16 == 0")
+    qp: int,
+    frame_num: int,
+    nra: int,
+) -> tuple[bytes, tuple]:
+    """Encode one CAVLC P slice against the decoded reference list
+    (most recent first). Returns (slice_rbsp, recon_planes)."""
+    y1, cb1, cr1 = target
+    h, w = y1.shape
     mbw, mbh = w // 16, h // 16
-    if len(mb_specs) != mbw * mbh:
-        raise ValueError("one mb_spec per macroblock required")
-    # anchor: full intra stream; reuse its slice NAL re-headered
-    intra_stream, r0y, r0cb, r0cr = encode_h264_i16x16(y0, cb0, cr0, qp=qp)
-    nals = _split_nals(intra_stream)
-    idr_rbsp = next(
-        _ep_remove(n[1:]) for n in nals if (n[0] & 0x1F) == 5
-    )
-    idr2 = _idr_slice_add_idc(idr_rbsp, qp)
-
-    # padded references (decoded anchor)
-    ref_y = np.pad(r0y.astype(np.int64), _PAD, mode="edge")
-    ref_cb = np.pad(r0cb.astype(np.int64), _PAD // 2, mode="edge")
-    ref_cr = np.pad(r0cr.astype(np.int64), _PAD // 2, mode="edge")
+    padded = [
+        (
+            np.pad(ry_.astype(np.int64), _PAD, mode="edge"),
+            np.pad(rcb_.astype(np.int64), _PAD // 2, mode="edge"),
+            np.pad(rcr_.astype(np.int64), _PAD // 2, mode="edge"),
+        )
+        for ry_, rcb_, rcr_ in refs
+    ]
     qpc = _chroma_qp(qp)
-
     ry = np.zeros((h, w), np.int64)
     rcb = np.zeros((h // 2, w // 2), np.int64)
     rcr = np.zeros((h // 2, w // 2), np.int64)
@@ -536,15 +597,18 @@ def encode_h264_p_sequence(
     mvs = _MvState(mbw, mbh)
 
     sl = _BitW()
-    _p_slice_header(sl, qp)
+    _p_slice_header(sl, qp, frame_num, nra)
     skip_run = 0
-    cur_qp = qp
 
-    def predict_mb(mx: int, my: int, mode: str, part_mvs):
+    def predict_mb(mx, my, placed):
+        """Motion-compensate the whole MB from a list of
+        (ox4, oy4, w4, h4, mv, ref) placements (4x4-unit offsets
+        within the MB)."""
         py = np.zeros((16, 16), np.int64)
         pcb = np.zeros((8, 8), np.int64)
         pcr = np.zeros((8, 8), np.int64)
-        for (ox4, oy4, w4, h4), mv in zip(_PARTS[mode], part_mvs):
+        for ox4, oy4, w4, h4, mv, ref in placed:
+            ref_y, ref_cb, ref_cr = padded[ref]
             lx, ly = mx * 16 + ox4 * 4, my * 16 + oy4 * 4
             py[oy4 * 4 : oy4 * 4 + h4 * 4, ox4 * 4 : ox4 * 4 + w4 * 4] = (
                 interp_luma(
@@ -561,12 +625,187 @@ def encode_h264_p_sequence(
                 )
         return py, pcb, pcr
 
+    def compute_residual(mx, my, py, pcb, pcr):
+        tgt = y1[my * 16 : my * 16 + 16,
+                 mx * 16 : mx * 16 + 16].astype(np.int64)
+        resid = tgt - py
+        blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+        zl = _quant(np.matmul(np.matmul(_CF, blocks), _CF.T), qp)
+        cbp_luma = 0
+        for g in range(4):
+            gy8, gx8 = g >> 1, g & 1
+            if zl[gy8 * 2 : gy8 * 2 + 2, gx8 * 2 : gx8 * 2 + 2].any():
+                cbp_luma |= 1 << g
+        cdcz, cacz = {}, {}
+        for pi, (srcp, pred) in enumerate(((cb1, pcb), (cr1, pcr))):
+            cres = srcp[my * 8 : my * 8 + 8,
+                        mx * 8 : mx * 8 + 8].astype(np.int64) - pred
+            cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+            wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
+            dc2 = wmc[..., 0, 0]
+            az = _quant(wmc, qpc)
+            az[..., 0, 0] = 0
+            qbits = 15 + qpc // 6
+            f = (1 << qbits) // 3
+            yd = _H2 @ dc2 @ _H2
+            cdcz[pi] = np.sign(yd) * (
+                (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
+            )
+            cacz[pi] = az
+        any_cac = any(cacz[p].any() for p in (0, 1))
+        any_cdc = any(cdcz[p].any() for p in (0, 1))
+        cbpc = 2 if any_cac else (1 if any_cdc else 0)
+        return cbp_luma | (cbpc << 4), zl, cdcz, cacz
+
+    def emit_residuals(mx, my, cbp, zl, cdcz, cacz):
+        cbp_luma, cbpc = cbp & 15, cbp >> 4
+        for g in range(4):
+            if not cbp_luma & (1 << g):
+                for k in range(4):
+                    bx, by = _ZBLK[g * 4 + k]
+                    luma_nnz[my * 4 + by, mx * 4 + bx] = 0
+                continue
+            for k in range(4):
+                bx, by = _ZBLK[g * 4 + k]
+                gx, gy = mx * 4 + bx, my * 4 + by
+                nc = _nc_for(luma_nnz, gx, gy)
+                coeffs = [int(zl[by, bx].flat[i]) for i in _ZIG]
+                luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 16)
+        if cbpc > 0:
+            for pi in (0, 1):
+                zd = cdcz[pi]
+                encode_residual_block(
+                    sl,
+                    [int(zd[0, 0]), int(zd[0, 1]),
+                     int(zd[1, 0]), int(zd[1, 1])],
+                    -1, 4,
+                )
+        if cbpc > 1:
+            for pi in (0, 1):
+                for by in range(2):
+                    for bx in range(2):
+                        gx, gy = mx * 2 + bx, my * 2 + by
+                        nc = _nc_for(cnnz[pi], gx, gy)
+                        coeffs = [int(cacz[pi][by, bx].flat[i])
+                                  for i in _ZIG[1:]]
+                        cnnz[pi][gy, gx] = encode_residual_block(
+                            sl, coeffs, nc, 15
+                        )
+        else:
+            for pi in (0, 1):
+                cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+
+    def recon_inter(mx, my, py, pcb, pcr, cbp, zl, cdcz, cacz):
+        cbpc = cbp >> 4
+        blk = (_inv4x4(_dequant_ac(zl, qp)) + 32) >> 6
+        ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
+            py + blk.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255
+        )
+        for pi, reconp in ((0, rcb), (1, rcr)):
+            pred = (pcb, pcr)[pi]
+            reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                _recon_chroma8(
+                    pred,
+                    cacz[pi] if cbpc > 1 else None,
+                    cdcz[pi] if cbpc > 0 else None,
+                    qpc,
+                )
+            )
+
+    def encode_i16_mb(mx, my):
+        """Intra_16x16 macroblock inside the P slice (DC luma + DC
+        chroma prediction, mb_type 5 + intra type), mirroring the
+        proven I-slice encoder on the shared transform layer."""
+        pred = _pred16(ry, my, mx, 2)
+        resid = y1[my * 16 : my * 16 + 16,
+                   mx * 16 : mx * 16 + 16].astype(np.int64) - pred
+        blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+        wm = np.matmul(np.matmul(_CF, blocks), _CF.T)
+        dc = wm[..., 0, 0]
+        acz = _quant(wm, qp)
+        acz[..., 0, 0] = 0
+        zdc = _quant_dc4((_H4 @ dc @ _H4) // 2, qp)
+        cbpl = 15 if acz.any() else 0
+        cpred, cdcz, cacz = {}, {}, {}
+        for pi, (srcp, reconp) in enumerate(((cb1, rcb), (cr1, rcr))):
+            cp = _pred8_chroma_dc(reconp, my, mx)
+            cres = srcp[my * 8 : my * 8 + 8,
+                        mx * 8 : mx * 8 + 8].astype(np.int64) - cp
+            cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+            wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
+            dc2 = wmc[..., 0, 0]
+            az = _quant(wmc, qpc)
+            az[..., 0, 0] = 0
+            qbits = 15 + qpc // 6
+            f = (1 << qbits) // 3
+            yd = _H2 @ dc2 @ _H2
+            zd = np.sign(yd) * (
+                (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
+            )
+            cpred[pi], cdcz[pi], cacz[pi] = cp, zd, az
+        any_cac = any(cacz[p].any() for p in (0, 1))
+        any_cdc = any(cdcz[p].any() for p in (0, 1))
+        cbpc = 2 if any_cac else (1 if any_cdc else 0)
+        # Intra_16x16 mb_type in P slices: 5 + I-slice type (DC pred)
+        sl.ue(5 + 1 + 2 + 4 * cbpc + 12 * (1 if cbpl else 0))
+        sl.ue(0)  # intra_chroma_pred_mode: DC
+        sl.se(0)  # mb_qp_delta
+        nc = _nc_for(luma_nnz, mx * 4, my * 4)
+        encode_residual_block(sl, [int(zdc.flat[i]) for i in _ZIG], nc, 16)
+        if cbpl:
+            for bx, by in _ZBLK:
+                gx, gy = mx * 4 + bx, my * 4 + by
+                nc = _nc_for(luma_nnz, gx, gy)
+                coeffs = [int(acz[by, bx].flat[i]) for i in _ZIG[1:]]
+                luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 15)
+        else:
+            luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+        if cbpc > 0:
+            for pi in (0, 1):
+                zd = cdcz[pi]
+                encode_residual_block(
+                    sl,
+                    [int(zd[0, 0]), int(zd[0, 1]),
+                     int(zd[1, 0]), int(zd[1, 1])],
+                    -1, 4,
+                )
+        if cbpc > 1:
+            for pi in (0, 1):
+                for by in range(2):
+                    for bx in range(2):
+                        gx, gy = mx * 2 + bx, my * 2 + by
+                        nc = _nc_for(cnnz[pi], gx, gy)
+                        coeffs = [int(cacz[pi][by, bx].flat[i])
+                                  for i in _ZIG[1:]]
+                        cnnz[pi][gy, gx] = encode_residual_block(
+                            sl, coeffs, nc, 15
+                        )
+        else:
+            for pi in (0, 1):
+                cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+        ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _recon_mb16(
+            pred, acz if cbpl else None, zdc, qp
+        )
+        for pi, reconp in ((0, rcb), (1, rcr)):
+            reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                _recon_chroma8(
+                    cpred[pi],
+                    cacz[pi] if cbpc > 1 else None,
+                    cdcz[pi] if cbpc > 0 else None,
+                    qpc,
+                )
+            )
+        mvs.mark_intra(mx, my)
+
     for my in range(mbh):
         for mx in range(mbw):
             spec = mb_specs[my * mbw + mx]
-            if spec[0] == "skip":
+            kind = spec[0]
+            if kind == "skip":
                 mv = mvs.skip_mv(mx, my)
-                py, pcb, pcr = predict_mb(mx, my, "16x16", [mv])
+                py, pcb, pcr = predict_mb(
+                    mx, my, [(0, 0, 4, 4, mv, 0)]
+                )
                 ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
                     np.clip(py, 0, 255)
                 )
@@ -576,139 +815,199 @@ def encode_h264_p_sequence(
                 rcr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
                     pcr, 0, 255
                 )
-                mvs.fill(mx * 4, my * 4, 4, 4, mv)
+                mvs.fill(mx * 4, my * 4, 4, 4, mv, 0)
                 luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
                 for pi in (0, 1):
                     cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
                 skip_run += 1
                 continue
-            mode, part_mvs = spec[0], [np.asarray(m, np.int64)
-                                       for m in spec[1]]
+            if kind == "i16":
+                sl.ue(skip_run)
+                skip_run = 0
+                encode_i16_mb(mx, my)
+                continue
+            if kind == "8x8":
+                subs = spec[1]
+                if len(subs) != 4:
+                    raise ValueError("P_8x8 needs four sub-MB specs")
+                submodes, subrefs, submvs = [], [], []
+                for entry in subs:
+                    if len(entry) == 2:
+                        sm, mvl = entry
+                        rf = 0
+                    else:
+                        sm, mvl, rf = entry
+                    if sm not in _SUBPARTS:
+                        raise ValueError(f"bad sub_mb_type {sm!r}")
+                    if len(mvl) != len(_SUBPARTS[sm]):
+                        raise ValueError("one MV per sub-partition")
+                    if not 0 <= rf < nra:
+                        raise ValueError(f"ref_idx {rf} out of range")
+                    submodes.append(sm)
+                    subrefs.append(rf)
+                    submvs.append([np.asarray(m, np.int64) for m in mvl])
+                sl.ue(skip_run)
+                skip_run = 0
+                sl.ue(3)  # P_8x8
+                for sm in submodes:
+                    sl.ue(_SUB_TYPE[sm])
+                if nra == 2:
+                    for rf in subrefs:
+                        sl.u(1 - rf, 1)  # ref_idx_l0, te(v) range 1
+                placed = []
+                for k in range(4):
+                    ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
+                    for (sx4, sy4, w4, h4), mv in zip(
+                        _SUBPARTS[submodes[k]], submvs[k]
+                    ):
+                        gx, gy = mx * 4 + ox8 + sx4, my * 4 + oy8 + sy4
+                        pred_mv = mvs.predict(gx, gy, w4, subrefs[k])
+                        sl.se(int(mv[0] - pred_mv[0]))
+                        sl.se(int(mv[1] - pred_mv[1]))
+                        mvs.fill(gx, gy, w4, h4, mv, subrefs[k])
+                        placed.append(
+                            (ox8 + sx4, oy8 + sy4, w4, h4, mv, subrefs[k])
+                        )
+                py, pcb, pcr = predict_mb(mx, my, placed)
+                cbp, zl, cdcz, cacz = compute_residual(mx, my, py, pcb, pcr)
+                sl.ue(_CBP_INTER_INV[cbp])
+                if cbp:
+                    sl.se(0)  # mb_qp_delta
+                emit_residuals(mx, my, cbp, zl, cdcz, cacz)
+                recon_inter(mx, my, py, pcb, pcr, cbp, zl, cdcz, cacz)
+                continue
+            mode = kind
             if mode not in _PARTS:
                 raise NotImplementedError(
-                    f"P macroblock mode {mode!r} — P_8x8 sub-partitions "
-                    "and intra-in-P stay gated"
+                    f"P macroblock mode {mode!r} — B slices and "
+                    "I_4x4/I_PCM inside P slices stay gated"
                 )
-            if len(part_mvs) != len(_PARTS[mode]):
+            entries = spec[1]
+            if len(entries) != len(_PARTS[mode]):
                 raise ValueError("one MV per partition required")
-            py, pcb, pcr = predict_mb(mx, my, mode, part_mvs)
-            # residual, luma: 16 full 4x4 blocks
-            tgt = y1[my * 16 : my * 16 + 16,
-                     mx * 16 : mx * 16 + 16].astype(np.int64)
-            resid = tgt - py
-            blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
-            zl = _quant(np.matmul(np.matmul(_CF, blocks), _CF.T), qp)
-            cbp_luma = 0
-            for g in range(4):
-                gy8, gx8 = g >> 1, g & 1
-                if zl[gy8 * 2 : gy8 * 2 + 2, gx8 * 2 : gx8 * 2 + 2].any():
-                    cbp_luma |= 1 << g
-            # chroma residual (shared DC-split machinery)
-            cdcz, cacz = {}, {}
-            for pi, (srcp, pred) in enumerate(((cb1, pcb), (cr1, pcr))):
-                cres = srcp[my * 8 : my * 8 + 8,
-                            mx * 8 : mx * 8 + 8].astype(np.int64) - pred
-                cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
-                wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
-                dc2 = wmc[..., 0, 0]
-                az = _quant(wmc, qpc)
-                az[..., 0, 0] = 0
-                qbits = 15 + qpc // 6
-                f = (1 << qbits) // 3
-                yd = _H2 @ dc2 @ _H2
-                cdcz[pi] = np.sign(yd) * (
-                    (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
-                )
-                cacz[pi] = az
-            any_cac = any(cacz[p].any() for p in (0, 1))
-            any_cdc = any(cdcz[p].any() for p in (0, 1))
-            cbpc = 2 if any_cac else (1 if any_cdc else 0)
-            cbp = cbp_luma | (cbpc << 4)
-            # --- syntax ---
+            parts = [_mv_ref(e) for e in entries]
+            for _, rf in parts:
+                if not 0 <= rf < nra:
+                    raise ValueError(f"ref_idx {rf} out of range")
             sl.ue(skip_run)
             skip_run = 0
             sl.ue(_MB_TYPE[mode])
-            for pidx, ((ox4, oy4, w4, h4), mv) in enumerate(
-                zip(_PARTS[mode], part_mvs)
+            if nra == 2:
+                for _, rf in parts:
+                    sl.u(1 - rf, 1)  # ref_idx_l0, te(v) range 1
+            placed = []
+            for pidx, ((ox4, oy4, w4, h4), (mv, rf)) in enumerate(
+                zip(_PARTS[mode], parts)
             ):
                 pred_mv = mvs.pred_for_partition(
-                    mode, pidx, mx * 4 + ox4, my * 4 + oy4, w4
+                    mode, pidx, mx * 4 + ox4, my * 4 + oy4, w4, rf
                 )
                 sl.se(int(mv[0] - pred_mv[0]))
                 sl.se(int(mv[1] - pred_mv[1]))
-                mvs.fill(mx * 4 + ox4, my * 4 + oy4, w4, h4, mv)
+                mvs.fill(mx * 4 + ox4, my * 4 + oy4, w4, h4, mv, rf)
+                placed.append((ox4, oy4, w4, h4, mv, rf))
+            py, pcb, pcr = predict_mb(mx, my, placed)
+            cbp, zl, cdcz, cacz = compute_residual(mx, my, py, pcb, pcr)
             sl.ue(_CBP_INTER_INV[cbp])
             if cbp:
                 sl.se(0)  # mb_qp_delta
-            for g in range(4):
-                if not cbp_luma & (1 << g):
-                    for k in range(4):
-                        bx, by = _ZBLK[g * 4 + k]
-                        luma_nnz[my * 4 + by, mx * 4 + bx] = 0
-                    continue
-                for k in range(4):
-                    bx, by = _ZBLK[g * 4 + k]
-                    gx, gy = mx * 4 + bx, my * 4 + by
-                    nc = _nc_for(luma_nnz, gx, gy)
-                    coeffs = [int(zl[by, bx].flat[i]) for i in _ZIG]
-                    luma_nnz[gy, gx] = encode_residual_block(
-                        sl, coeffs, nc, 16
-                    )
-            if cbpc > 0:
-                for pi in (0, 1):
-                    zd = cdcz[pi]
-                    encode_residual_block(
-                        sl,
-                        [int(zd[0, 0]), int(zd[0, 1]),
-                         int(zd[1, 0]), int(zd[1, 1])],
-                        -1, 4,
-                    )
-            if cbpc > 1:
-                for pi in (0, 1):
-                    for by in range(2):
-                        for bx in range(2):
-                            gx, gy = mx * 2 + bx, my * 2 + by
-                            nc = _nc_for(cnnz[pi], gx, gy)
-                            coeffs = [int(cacz[pi][by, bx].flat[i])
-                                      for i in _ZIG[1:]]
-                            cnnz[pi][gy, gx] = encode_residual_block(
-                                sl, coeffs, nc, 15
-                            )
-            else:
-                for pi in (0, 1):
-                    cnnz[pi][my * 2 : my * 2 + 2,
-                             mx * 2 : mx * 2 + 2] = 0
-            # --- reconstruction ---
-            blk = (_inv4x4(_dequant_ac(zl, cur_qp)) + 32) >> 6
-            ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
-                py + blk.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255
-            )
-            for pi, reconp in ((0, rcb), (1, rcr)):
-                pred = (pcb, pcr)[pi]
-                reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                    _recon_chroma8(
-                        pred,
-                        cacz[pi] if cbpc > 1 else None,
-                        cdcz[pi] if cbpc > 0 else None,
-                        qpc,
-                    )
-                )
+            emit_residuals(mx, my, cbp, zl, cdcz, cacz)
+            recon_inter(mx, my, py, pcb, pcr, cbp, zl, cdcz, cacz)
     if skip_run:
         sl.ue(skip_run)  # trailing skipped macroblocks
     sl.trailing()
-
-    stream = (
-        _nal(3, 7, _sps_rbsp_ref1(mbw, mbh, w, h))
-        + _nal(3, 8, _pps_rbsp_deblock())
-        + _nal(3, 5, idr2)
-        + _nal(2, 1, sl.bytes_())
-    )
-    recon1 = (
+    recon = (
         ry.astype(np.uint8),
         rcb.astype(np.uint8),
         rcr.astype(np.uint8),
     )
-    return stream, (r0y, r0cb, r0cr), recon1
+    return sl.bytes_(), recon
+
+
+def encode_h264_p_gop(
+    frames: list,
+    specs_per_p: list,
+    qp: int = 0,
+    num_refs: int = 1,
+) -> tuple[bytes, list]:
+    """Encode a GOP: frames[0] becomes an Intra_16x16 IDR anchor (the
+    proven CAVLC encoder, re-headered for the deblocking-control
+    PPS); every later frame becomes a CAVLC P frame predicting from
+    up to ``num_refs`` previously DECODED frames (list0 most recent
+    first, per 8.2.4.2.1; ref_idx_l0 coded te(v) when two are
+    active; sliding-window DPB eviction beyond ``num_refs``).
+
+    ``specs_per_p`` holds one raster-ordered mb_specs list per P
+    frame; each entry is one of
+      ("skip",)                                   — P_Skip;
+      ("i16",)                                    — Intra_16x16 DC
+        macroblock coded from the target frame;
+      (mode, [mv | (mv, ref), ...])               — mode in
+        {"16x16", "16x8", "8x16"}, one quarter-pel MV (and optional
+        refIdx) per partition;
+      ("8x8", [(sub_mode, [mv, ...]) |
+               (sub_mode, [mv, ...], ref), ...])  — four 8x8 entries,
+        sub_mode in {"8x8", "8x4", "4x8", "4x4"}, one MV per
+        sub-partition, optional per-8x8 refIdx.
+
+    Returns (annex_b_bytes, [recon planes per frame]) where every
+    recon triple is the decoder-mirrored bit-exact contract."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+        encode_h264_i16x16,
+    )
+
+    if len(frames) < 2:
+        raise ValueError("a GOP needs an anchor + at least one P frame")
+    if len(specs_per_p) != len(frames) - 1:
+        raise ValueError("one mb_specs list per P frame required")
+    if num_refs not in (1, 2):
+        raise ValueError("num_refs must be 1 or 2")
+    y0, cb0, cr0 = frames[0]
+    h, w = y0.shape
+    if h % 16 or w % 16:
+        raise ValueError("inter sequences require dimensions % 16 == 0")
+    mbw, mbh = w // 16, h // 16
+    intra_stream, r0y, r0cb, r0cr = encode_h264_i16x16(y0, cb0, cr0, qp=qp)
+    nals = _split_nals(intra_stream)
+    idr_rbsp = next(
+        _ep_remove(n[1:]) for n in nals if (n[0] & 0x1F) == 5
+    )
+    idr2 = _idr_slice_add_idc(idr_rbsp, qp)
+    stream = (
+        _nal(3, 7, _sps_rbsp_ref1(mbw, mbh, w, h, num_refs))
+        + _nal(3, 8, _pps_rbsp_deblock())
+        + _nal(3, 5, idr2)
+    )
+    recons = [(r0y, r0cb, r0cr)]
+    refs = [(r0y, r0cb, r0cr)]
+    for fi, (target, specs) in enumerate(zip(frames[1:], specs_per_p), 1):
+        if len(specs) != mbw * mbh:
+            raise ValueError("one mb_spec per macroblock required")
+        nra = min(num_refs, len(refs))
+        rbsp, recon = _encode_p_frame(
+            target, refs[:nra], specs, qp, fi, nra
+        )
+        stream += _nal(2, 1, rbsp)
+        recons.append(recon)
+        refs.insert(0, recon)
+        del refs[num_refs:]
+    return stream, recons
+
+
+def encode_h264_p_sequence(
+    frame0: tuple[np.ndarray, np.ndarray, np.ndarray],
+    frame1: tuple[np.ndarray, np.ndarray, np.ndarray],
+    mb_specs: list,
+    qp: int = 0,
+) -> tuple[bytes, tuple, tuple]:
+    """Encode a 2-frame sequence (IDR anchor + one single-ref CAVLC P
+    frame): the original r9 entry point, now a thin wrapper over
+    encode_h264_p_gop — the emitted bytes are unchanged. Returns
+    (annex_b_bytes, recon0_planes, recon1_planes)."""
+    stream, recons = encode_h264_p_gop(
+        [frame0, frame1], [mb_specs], qp=qp, num_refs=1
+    )
+    return stream, recons[0], recons[1]
 
 
 # ---------------------------------------------------------------------------
@@ -722,7 +1021,10 @@ def decode_h264_sequence(
     """Decode an IDR + P CAVLC sequence; returns the decoded frames
     in order. The IDR anchor is delegated to the proven intra decoder
     (its slice re-headered back to the control-flag-0 PPS layout);
-    P slices decode here against the previous decoded frame."""
+    P slices decode here against a sliding-window DPB of previously
+    decoded frames (list0 most recent first), with P_8x8
+    sub-partitions, Intra_16x16 macroblocks and te(v) ref_idx_l0
+    handled per 7.3.5 / 8.4.1.3."""
     from neuroimaging_data_pipeline_spark.multimodal.h264 import (
         _pps_rbsp as _pps_plain,
     )
@@ -734,6 +1036,7 @@ def decode_h264_sequence(
     sps_rbsp = None
     deblock_present = False
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    refs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for nal in _split_nals(bytes(payload)):
         ntype = nal[0] & 0x1F
         rbsp = _ep_remove(nal[1:])
@@ -769,25 +1072,42 @@ def decode_h264_sequence(
                 + _nal(3, 8, _pps_plain())
                 + _nal(3, 5, idr_rbsp)
             )
-            frames.append(decode_h264_frame(sub))
+            frame = decode_h264_frame(sub)
+            frames.append(frame)
+            refs = [frame]  # IDR resets the DPB
         elif ntype == 1:
-            if not frames:
+            if not refs:
                 raise ValueError("P slice before any reference frame")
             r = _BitR(rbsp)
-            qp = _parse_p_slice_header(r)
-            frames.append(_decode_p_frame(r, sps, qp, frames[-1]))
+            qp, nra = _parse_p_slice_header(r)
+            if nra > len(refs):
+                raise ValueError(
+                    f"{nra} active references but only {len(refs)} "
+                    "decoded"
+                )
+            frame = _decode_p_frame(r, sps, qp, refs, nra)
+            frames.append(frame)
+            if (nal[0] >> 5) & 3:  # nal_ref_idc: reference picture
+                refs.insert(0, frame)
+                del refs[max(1, sps.get("max_refs", 1)):]
     if not frames:
         raise ValueError("no coded frames found")
     return frames
 
 
-def _decode_p_frame(r: _BitR, sps: dict, qp: int, ref_planes):
+def _decode_p_frame(
+    r: _BitR, sps: dict, qp: int, refs: list, nra: int
+):
     mbw, mbh = sps["mbw"], sps["mbh"]
     h, w = mbh * 16, mbw * 16
-    r0y, r0cb, r0cr = ref_planes
-    ref_y = np.pad(r0y.astype(np.int64), _PAD, mode="edge")
-    ref_cb = np.pad(r0cb.astype(np.int64), _PAD // 2, mode="edge")
-    ref_cr = np.pad(r0cr.astype(np.int64), _PAD // 2, mode="edge")
+    padded = [
+        (
+            np.pad(ry_.astype(np.int64), _PAD, mode="edge"),
+            np.pad(rcb_.astype(np.int64), _PAD // 2, mode="edge"),
+            np.pad(rcr_.astype(np.int64), _PAD // 2, mode="edge"),
+        )
+        for ry_, rcb_, rcr_ in refs[:nra]
+    ]
     qpc = _chroma_qp(qp)
 
     ry = np.zeros((h, w), np.int64)
@@ -798,11 +1118,12 @@ def _decode_p_frame(r: _BitR, sps: dict, qp: int, ref_planes):
             1: np.zeros((mbh * 2, mbw * 2), np.int64)}
     mvs = _MvState(mbw, mbh)
 
-    def predict_mb(mx, my, mode, part_mvs):
+    def predict_mb(mx, my, placed):
         py = np.zeros((16, 16), np.int64)
         pcb = np.zeros((8, 8), np.int64)
         pcr = np.zeros((8, 8), np.int64)
-        for (ox4, oy4, w4, h4), mv in zip(_PARTS[mode], part_mvs):
+        for ox4, oy4, w4, h4, mv, ref in placed:
+            ref_y, ref_cb, ref_cr = padded[ref]
             lx, ly = mx * 16 + ox4 * 4, my * 16 + oy4 * 4
             py[oy4 * 4 : oy4 * 4 + h4 * 4, ox4 * 4 : ox4 * 4 + w4 * 4] = (
                 interp_luma(
@@ -821,13 +1142,13 @@ def _decode_p_frame(r: _BitR, sps: dict, qp: int, ref_planes):
 
     def decode_skip(mx, my):
         mv = mvs.skip_mv(mx, my)
-        py, pcb, pcr = predict_mb(mx, my, "16x16", [mv])
+        py, pcb, pcr = predict_mb(mx, my, [(0, 0, 4, 4, mv, 0)])
         ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
             py, 0, 255
         )
         rcb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(pcb, 0, 255)
         rcr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(pcr, 0, 255)
-        mvs.fill(mx * 4, my * 4, 4, 4, mv)
+        mvs.fill(mx * 4, my * 4, 4, 4, mv, 0)
         luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
         for pi in (0, 1):
             cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
@@ -847,24 +1168,132 @@ def _decode_p_frame(r: _BitR, sps: dict, qp: int, ref_planes):
         mx, my = addr % mbw, addr // mbw
         mb_type = r.ue()
         if mb_type >= 5:
-            raise NotImplementedError(
-                f"intra mb_type {mb_type} inside a P slice — gated"
+            # ----- intra macroblock inside the P slice -----
+            itype = mb_type - 5
+            if itype == 0:
+                raise NotImplementedError(
+                    "I_4x4 inside a P slice — gated (Intra_16x16 is "
+                    "implemented)"
+                )
+            if itype >= 25:
+                raise NotImplementedError(
+                    "I_PCM inside a P slice — gated"
+                )
+            t = itype - 1
+            cbpl = 15 if t >= 12 else 0
+            t %= 12
+            cbpc, pm = t // 4, t % 4
+            chroma_mode = r.ue()
+            if chroma_mode != 0:
+                raise NotImplementedError(
+                    f"chroma prediction mode {chroma_mode} — only DC "
+                    "is implemented"
+                )
+            cur_qp = (cur_qp + r.se() + 52) % 52
+            qpc = _chroma_qp(cur_qp)
+            nc = _nc_for(luma_nnz, mx * 4, my * 4)
+            dccf, _ = decode_residual_block(r, nc, 16)
+            zdc = np.zeros(16, np.int64)
+            zdc[_ZIG] = dccf
+            zdc = zdc.reshape(4, 4)
+            acz = np.zeros((4, 4, 4, 4), np.int64)
+            if cbpl:
+                for bx, by in _ZBLK:
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    nc = _nc_for(luma_nnz, gx, gy)
+                    cf, tot = decode_residual_block(r, nc, 15)
+                    z = np.zeros(16, np.int64)
+                    z[_ZIG[1:]] = cf
+                    acz[by, bx] = z.reshape(4, 4)
+                    luma_nnz[gy, gx] = tot
+            else:
+                luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+            cdcz = {0: np.zeros((2, 2), np.int64),
+                    1: np.zeros((2, 2), np.int64)}
+            cacz = {0: np.zeros((2, 2, 4, 4), np.int64),
+                    1: np.zeros((2, 2, 4, 4), np.int64)}
+            if cbpc > 0:
+                for pi in (0, 1):
+                    cf, _ = decode_residual_block(r, -1, 4)
+                    cdcz[pi] = np.array(
+                        [[cf[0], cf[1]], [cf[2], cf[3]]], np.int64
+                    )
+            if cbpc > 1:
+                for pi in (0, 1):
+                    for by in range(2):
+                        for bx in range(2):
+                            gx, gy = mx * 2 + bx, my * 2 + by
+                            nc = _nc_for(cnnz[pi], gx, gy)
+                            cf, tot = decode_residual_block(r, nc, 15)
+                            z = np.zeros(16, np.int64)
+                            z[_ZIG[1:]] = cf
+                            cacz[pi][by, bx] = z.reshape(4, 4)
+                            cnnz[pi][gy, gx] = tot
+            else:
+                for pi in (0, 1):
+                    cnnz[pi][my * 2 : my * 2 + 2,
+                             mx * 2 : mx * 2 + 2] = 0
+            pred = _pred16(ry, my, mx, pm)
+            ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                _recon_mb16(pred, acz if cbpl else None, zdc, cur_qp)
             )
+            for pi, reconp in ((0, rcb), (1, rcr)):
+                cp = _pred8_chroma_dc(reconp, my, mx)
+                reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    _recon_chroma8(
+                        cp,
+                        cacz[pi] if cbpc > 1 else None,
+                        cdcz[pi] if cbpc > 0 else None,
+                        qpc,
+                    )
+                )
+            mvs.mark_intra(mx, my)
+            addr += 1
+            continue
         if mb_type in (3, 4):
-            raise NotImplementedError(
-                "P_8x8 sub-macroblock partitions — gated"
-            )
-        mode = _MB_TYPE_INV[mb_type]
-        part_mvs = []
-        for pidx, (ox4, oy4, w4, h4) in enumerate(_PARTS[mode]):
-            mvdx, mvdy = r.se(), r.se()
-            pred_mv = mvs.pred_for_partition(
-                mode, pidx, mx * 4 + ox4, my * 4 + oy4, w4
-            )
-            mv = np.array([pred_mv[0] + mvdx, pred_mv[1] + mvdy], np.int64)
-            mvs.fill(mx * 4 + ox4, my * 4 + oy4, w4, h4, mv)
-            part_mvs.append(mv)
-        py, pcb, pcr = predict_mb(mx, my, mode, part_mvs)
+            # ----- P_8x8 / P_8x8ref0 sub-macroblock partitions -----
+            submodes = []
+            for _ in range(4):
+                st = r.ue()
+                if st > 3:
+                    raise ValueError(f"bad sub_mb_type {st}")
+                submodes.append(_SUB_TYPE_INV[st])
+            subrefs = [0] * 4
+            if mb_type == 3 and nra == 2:
+                subrefs = [1 - r.u(1) for _ in range(4)]
+            placed = []
+            for k in range(4):
+                ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
+                for sx4, sy4, w4, h4 in _SUBPARTS[submodes[k]]:
+                    mvdx, mvdy = r.se(), r.se()
+                    gx, gy = mx * 4 + ox8 + sx4, my * 4 + oy8 + sy4
+                    pred_mv = mvs.predict(gx, gy, w4, subrefs[k])
+                    mv = np.array(
+                        [pred_mv[0] + mvdx, pred_mv[1] + mvdy], np.int64
+                    )
+                    mvs.fill(gx, gy, w4, h4, mv, subrefs[k])
+                    placed.append(
+                        (ox8 + sx4, oy8 + sy4, w4, h4, mv, subrefs[k])
+                    )
+        else:
+            mode = _MB_TYPE_INV[mb_type]
+            prefs = [0] * len(_PARTS[mode])
+            if nra == 2:
+                prefs = [1 - r.u(1) for _ in range(len(_PARTS[mode]))]
+            placed = []
+            for pidx, (ox4, oy4, w4, h4) in enumerate(_PARTS[mode]):
+                mvdx, mvdy = r.se(), r.se()
+                pred_mv = mvs.pred_for_partition(
+                    mode, pidx, mx * 4 + ox4, my * 4 + oy4, w4,
+                    prefs[pidx],
+                )
+                mv = np.array(
+                    [pred_mv[0] + mvdx, pred_mv[1] + mvdy], np.int64
+                )
+                mvs.fill(mx * 4 + ox4, my * 4 + oy4, w4, h4, mv,
+                         prefs[pidx])
+                placed.append((ox4, oy4, w4, h4, mv, prefs[pidx]))
+        py, pcb, pcr = predict_mb(mx, my, placed)
         cbp = _CBP_INTER[r.ue()]
         cbp_luma, cbpc = cbp & 15, cbp >> 4
         if cbp:
@@ -1045,6 +1474,176 @@ def h264_inter_frame_features(
                 rows,
                 columns=[id_col, "n_frames", "width", "height",
                          "sum_y_idr", "sum_y_p", "sum_cb_p", "sum_cr_p"],
+            )
+
+    return media.mapInPandas(feat, out_schema)
+
+def synthesize_h264_gop_frames(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document 3-frame 32x32 multi-ref GOP exercising the r9
+    P-slice extension end to end: an Intra_16x16 IDR anchor (same
+    formula as the m35 fixture), a P1 frame of P_L0_16x16 MBs (full-
+    pel motion + per-4x4 residual), and a P2 frame at num_refs=2
+    whose four MBs are, in raster order:
+
+      (0,0) Intra_16x16-in-P (DC prediction = 128 at the frame
+            corner; per-4x4-constant content, QP-0 exact);
+      (1,0) P_L0_16x16 at ref_idx 1 — predicts from the ANCHOR, not
+            P1 (te(v)-coded reference selection);
+      (0,1) P_8x8 with sub_mb_type cycling 8x8/8x4/4x8/4x4 by
+            (id + k) % 4 and one full-pel MV per 8x8 (each
+            sub-partition carries its own mvd against the z-scan
+            median predictor);
+      (1,1) P_L0_16x16 at ref_idx 0 with zero MV (pure residual).
+
+    At QP 0 every stage is exact, so the oracle recomputes EVERY
+    decoded pixel of all three frames from id formulas — including
+    the composed two-hop motion (P2 pixels that sample P1 pixels
+    that sample anchor pixels). Chroma constant 128 throughout."""
+    out_schema = f"{id_col} long, content binary"
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                gy, gx = np.mgrid[0:8, 0:8]
+                y0 = (16 + (i * 13 + gy * 41 + gx * 59) % 224).repeat(
+                    4, 0
+                ).repeat(4, 1)
+                cb = np.full((16, 16), 128, np.uint8)
+                py, px = np.mgrid[0:32, 0:32]
+                mxg, myg = px // 16, py // 16
+                # --- P1: same motion/residual family as m35 ---
+                dx1 = 4 * ((i + mxg + 2 * myg) % 3 - 1)
+                dy1 = 4 * ((i * 2 + 3 * mxg + myg) % 3 - 1)
+                d1 = (i + (py // 4) * 7 + (px // 4) * 11) % 9 - 4
+                y1 = y0[np.clip(py + dy1, 0, 31),
+                        np.clip(px + dx1, 0, 31)] + d1
+                specs1 = []
+                for my_ in range(2):
+                    for mx_ in range(2):
+                        specs1.append(
+                            ("16x16",
+                             [(16 * ((i + mx_ + 2 * my_) % 3 - 1),
+                               16 * ((i * 2 + 3 * mx_ + my_) % 3 - 1))])
+                        )
+                # --- P2: intra / ref1 / P_8x8 / zero-MV regions ---
+                y2 = np.zeros((32, 32), np.int64)
+                # (0,0) intra
+                y2[0:16, 0:16] = (
+                    16 + (i * 17 + (py[0:16, 0:16] // 4) * 43
+                          + (px[0:16, 0:16] // 4) * 61) % 224
+                )
+                # (1,0) ref_idx 1 -> anchor
+                dxa = 4 * (i % 3 - 1)
+                dya = 4 * (i // 3 % 3 - 1)
+                reg = np.s_[0:16, 16:32]
+                d2a = (i * 3 + (py[reg] // 4) * 5
+                       + (px[reg] // 4) * 13) % 9 - 4
+                y2[reg] = y0[np.clip(py[reg] + dya, 0, 31),
+                             np.clip(px[reg] + dxa, 0, 31)] + d2a
+                # (0,1) P_8x8 from P1, per-8x8 motion
+                reg = np.s_[16:32, 0:16]
+                k8 = (px[reg] % 16) // 8 + 2 * ((py[reg] % 16) // 8)
+                dxk = 4 * ((i + k8) % 3 - 1)
+                dyk = 4 * ((i * 2 + k8) % 3 - 1)
+                d2b = (i + (py[reg] // 4) * 3
+                       + (px[reg] // 4) * 7) % 9 - 4
+                y2[reg] = y1[np.clip(py[reg] + dyk, 0, 31),
+                             np.clip(px[reg] + dxk, 0, 31)] + d2b
+                # (1,1) zero-MV residual from P1
+                reg = np.s_[16:32, 16:32]
+                d2c = (i * 5 + (py[reg] // 4) * 11
+                       + (px[reg] // 4) * 3) % 9 - 4
+                y2[reg] = y1[reg] + d2c
+                assert y2.min() >= 0 and y2.max() <= 255
+                submodes = ("8x8", "8x4", "4x8", "4x4")
+                nsub = {"8x8": 1, "8x4": 2, "4x8": 2, "4x4": 4}
+                subs = []
+                for k in range(4):
+                    sm = submodes[(i + k) % 4]
+                    mvk = (16 * ((i + k) % 3 - 1),
+                           16 * ((i * 2 + k) % 3 - 1))
+                    subs.append((sm, [mvk] * nsub[sm], 0))
+                specs2 = [
+                    ("i16",),
+                    ("16x16", [((16 * (i % 3 - 1),
+                                 16 * (i // 3 % 3 - 1)), 1)]),
+                    ("8x8", subs),
+                    ("16x16", [((0, 0), 0)]),
+                ]
+                stream, recons = encode_h264_p_gop(
+                    [
+                        (y0.astype(np.uint8), cb, cb.copy()),
+                        (y1.astype(np.uint8), cb.copy(), cb.copy()),
+                        (y2.astype(np.uint8), cb.copy(), cb.copy()),
+                    ],
+                    [specs1, specs2],
+                    qp=0,
+                    num_refs=2,
+                )
+                if not (
+                    np.array_equal(recons[0][0], y0)
+                    and np.array_equal(recons[1][0], y1)
+                    and np.array_equal(recons[2][0], y2)
+                ):
+                    raise AssertionError(
+                        f"doc {i}: QP-0 GOP fixture not exact"
+                    )
+                ids.append(i)
+                blobs.append(stream)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(build, out_schema)
+
+
+def h264_gop_frame_features(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode 3-frame multi-ref GOPs and emit per-frame plane sums
+    the oracle recomputes from the fixture formulas."""
+    out_schema = (
+        f"{id_col} long, n_frames int, width int, height int,"
+        " sum_y_idr long, sum_y_p1 long, sum_y_p2 long,"
+        " sum_cb_p2 long, sum_cr_p2 long"
+    )
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf[id_col], pdf[content_col]):
+                frames = decode_h264_sequence(bytes(content))
+                y_i = frames[0][0]
+                y_p1 = frames[1][0]
+                y_p2, cb_p2, cr_p2 = frames[2]
+                rows.append(
+                    (
+                        int(i),
+                        len(frames),
+                        int(y_p2.shape[1]),
+                        int(y_p2.shape[0]),
+                        int(y_i.sum()),
+                        int(y_p1.sum()),
+                        int(y_p2.sum()),
+                        int(cb_p2.sum()),
+                        int(cr_p2.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "width", "height",
+                         "sum_y_idr", "sum_y_p1", "sum_y_p2",
+                         "sum_cb_p2", "sum_cr_p2"],
             )
 
     return media.mapInPandas(feat, out_schema)

@@ -246,6 +246,7 @@ _ADDED_R9 = [
     "m34_mp3_samples",
     "e12_mixed_corpus_pipeline",
     "m35_h264_inter",
+    "m36_h264_gop",
 ]
 
 

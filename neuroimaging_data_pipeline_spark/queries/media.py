@@ -1620,6 +1620,92 @@ FROM v GROUP BY doc_id
 """
 
 
+def m36_h264_gop(spark, sf_dir):
+    """M36: H.264 multi-reference GOP decode — the r9 P-slice
+    EXTENSION (multimodal/h264_inter.py): P_8x8 sub-macroblock
+    partitions (all four sub_mb_types with per-sub-partition mvd
+    against z-scan median predictors), Intra_16x16 macroblocks
+    INSIDE P slices (intra neighbors correctly unavailable for MV
+    prediction), and TWO reference frames with te(v)-coded
+    per-partition ref_idx_l0 over a sliding-window DPB. Per document
+    a 3-frame 32x32 GOP: IDR anchor -> P1 (16x16 motion) -> P2 whose
+    four MBs are intra-in-P / ref_idx-1-from-anchor / P_8x8-from-P1 /
+    zero-MV-residual. At QP 0 the whole chain is exact, so the
+    oracle recomputes EVERY decoded pixel of all three frames —
+    including the two-hop composed motion (P2 sampling P1 sampling
+    the anchor) — in pure SQL. Sub-pel fractions, random planes and
+    every QP are pinned by bit-exact round trips in pytest. Narrow
+    scan -> mapInPandas, zero shuffle; one task per video shard at
+    100 TB."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        h264_gop_frame_features,
+        synthesize_h264_gop_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_gop_frames(d, id_col="doc_id")
+    return h264_gop_frame_features(media)
+
+
+M36_SQL = """
+WITH px AS (
+  SELECT doc_id, py.py AS py, qx.px AS px
+  FROM documents,
+       UNNEST(range(0, 32)) AS py(py),
+       UNNEST(range(0, 32)) AS qx(px)
+), c AS (
+  SELECT doc_id, py, px,
+         16 + (doc_id * 13 + (py // 4) * 41 + (px // 4) * 59) % 224
+           AS y0,
+         16 + (doc_id * 13
+           + (LEAST(GREATEST(py + 4 * ((doc_id * 2 + 3 * (px // 16)
+               + (py // 16)) % 3 - 1), 0), 31) // 4) * 41
+           + (LEAST(GREATEST(px + 4 * ((doc_id + (px // 16)
+               + 2 * (py // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
+         + (doc_id + (py // 4) * 7 + (px // 4) * 11) % 9 - 4
+           AS y1,
+         LEAST(GREATEST(py + 4 * (doc_id // 3 % 3 - 1), 0), 31) AS ra,
+         LEAST(GREATEST(px + 4 * (doc_id % 3 - 1), 0), 31) AS ca,
+         LEAST(GREATEST(py + 4 * ((doc_id * 2 + ((px % 16) // 8
+           + 2 * ((py % 16) // 8))) % 3 - 1), 0), 31) AS rb,
+         LEAST(GREATEST(px + 4 * ((doc_id + ((px % 16) // 8
+           + 2 * ((py % 16) // 8))) % 3 - 1), 0), 31) AS cb
+  FROM px
+), d AS (
+  SELECT doc_id, y0, y1,
+         CASE
+           WHEN py < 16 AND px < 16 THEN
+             16 + (doc_id * 17 + (py // 4) * 43 + (px // 4) * 61) % 224
+           WHEN py < 16 THEN
+             16 + (doc_id * 13 + (ra // 4) * 41 + (ca // 4) * 59) % 224
+             + (doc_id * 3 + (py // 4) * 5 + (px // 4) * 13) % 9 - 4
+           WHEN px < 16 THEN
+             16 + (doc_id * 13
+           + (LEAST(GREATEST(rb + 4 * ((doc_id * 2 + 3 * (cb // 16)
+               + (rb // 16)) % 3 - 1), 0), 31) // 4) * 41
+           + (LEAST(GREATEST(cb + 4 * ((doc_id + (cb // 16)
+               + 2 * (rb // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
+         + (doc_id + (rb // 4) * 7 + (cb // 4) * 11) % 9 - 4
+             + (doc_id + (py // 4) * 3 + (px // 4) * 7) % 9 - 4
+           ELSE
+             y1 + (doc_id * 5 + (py // 4) * 11 + (px // 4) * 3) % 9 - 4
+         END AS y2
+  FROM c
+)
+SELECT doc_id,
+       CAST(3 AS INT) AS n_frames,
+       CAST(32 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       CAST(SUM(y0) AS BIGINT) AS sum_y_idr,
+       CAST(SUM(y1) AS BIGINT) AS sum_y_p1,
+       CAST(SUM(y2) AS BIGINT) AS sum_y_p2,
+       CAST(32768 AS BIGINT) AS sum_cb_p2,
+       CAST(32768 AS BIGINT) AS sum_cr_p2
+FROM d GROUP BY doc_id
+"""
+
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -1688,6 +1774,7 @@ QUERIES = {
     "m33_h264_cabac": m33_h264_cabac,
     "m34_mp3_samples": m34_mp3_samples,
     "m35_h264_inter": m35_h264_inter,
+    "m36_h264_gop": m36_h264_gop,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -1721,5 +1808,6 @@ ORACLE = {
     "m33_h264_cabac": M33_SQL,
     "m34_mp3_samples": M34_SQL,
     "m35_h264_inter": M35_SQL,
+    "m36_h264_gop": M36_SQL,
     "m31_lzma_alone": M31_SQL,
 }

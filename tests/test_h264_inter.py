@@ -148,12 +148,23 @@ def test_skip_runs_roundtrip():
 
 def test_gates_raise():
     f0, f1 = _rand_frames(3, 32, 32)
-    with pytest.raises(NotImplementedError, match="P_8x8"):
-        encode_h264_p_sequence(f0, f1, [("8x8", [(0, 0)] * 4)] * 4)
+    with pytest.raises(NotImplementedError, match="B slices"):
+        encode_h264_p_sequence(f0, f1, [("16x4", [(0, 0)])] * 4)
     with pytest.raises(ValueError, match="16"):
         encode_h264_p_sequence(
             (f0[0][:24], f0[1][:12], f0[2][:12]), f1,
             [("16x16", [(0, 0)])] * 2,
+        )
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    with pytest.raises(ValueError, match="num_refs"):
+        encode_h264_p_gop([f0, f1], [[("16x16", [(0, 0)])] * 4],
+                          num_refs=3)
+    with pytest.raises(ValueError, match="ref_idx"):
+        encode_h264_p_gop(
+            [f0, f1], [[("16x16", [((0, 0), 1)])] * 4], num_refs=2
         )
 
 
@@ -178,6 +189,182 @@ def test_inter_ffmpeg_cross_pin(tmp_path):
     fsz = h * w * 3 // 2
     assert len(raw) == 2 * fsz
     for fi, rec in ((0, rec0), (1, rec1)):
+        buf = raw[fi * fsz : (fi + 1) * fsz]
+        fy = np.frombuffer(buf[: h * w], np.uint8).reshape(h, w)
+        fcb = np.frombuffer(
+            buf[h * w : h * w + h * w // 4], np.uint8
+        ).reshape(h // 2, w // 2)
+        fcr = np.frombuffer(buf[h * w + h * w // 4 :], np.uint8).reshape(
+            h // 2, w // 2
+        )
+        np.testing.assert_array_equal(fy, rec[0])
+        np.testing.assert_array_equal(fcb, rec[1])
+        np.testing.assert_array_equal(fcr, rec[2])
+
+
+# --- r9 extension: P_8x8 / intra-in-P / multi-ref ---------------------------
+
+
+def _rand_sub_specs(rng, mbw, mbh, nra=1, with_i16=True):
+    """Random mixed MB specs exercising every partition shape, every
+    sub_mb_type, quarter-pel fractions, intra-in-P and per-partition
+    ref_idx (when nra == 2)."""
+    submodes = ("8x8", "8x4", "4x8", "4x4")
+    nsub = {"8x8": 1, "8x4": 2, "4x8": 2, "4x4": 4}
+    specs = []
+    for i in range(mbw * mbh):
+        pick = int(rng.integers(0, 6 if with_i16 else 5))
+        mv = lambda: tuple(int(v) for v in rng.integers(-17, 18, 2))
+        rf = lambda: int(rng.integers(0, nra))
+        if pick == 0:
+            specs.append(("skip",))
+        elif pick == 1:
+            specs.append(("16x16", [(mv(), rf())]))
+        elif pick == 2:
+            specs.append(("16x8", [(mv(), rf()), (mv(), rf())]))
+        elif pick == 3:
+            specs.append(("8x16", [(mv(), rf()), (mv(), rf())]))
+        elif pick == 4:
+            subs = []
+            for k in range(4):
+                sm = submodes[int(rng.integers(0, 4))]
+                subs.append((sm, [mv() for _ in range(nsub[sm])], rf()))
+            specs.append(("8x8", subs))
+        else:
+            specs.append(("i16",))
+    return specs
+
+
+@pytest.mark.parametrize("qp", [0, 18, 33])
+def test_p8x8_intra_in_p_roundtrip(qp):
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    rng = np.random.default_rng(100 + qp)
+    f0, f1 = _rand_frames(200 + qp, 48, 48)
+    specs = _rand_sub_specs(rng, 3, 3, nra=1)
+    stream, recons = encode_h264_p_gop([f0, f1], [specs], qp=qp)
+    frames = decode_h264_sequence(stream)
+    assert len(frames) == 2
+    for fi in range(2):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("qp", [0, 26])
+def test_multi_ref_gop_roundtrip(qp):
+    """3-frame GOP at num_refs=2: the last P frame mixes ref_idx 0/1
+    per partition (te(v) coded) across every partition shape."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    rng = np.random.default_rng(300 + qp)
+    f0, f1 = _rand_frames(400 + qp, 48, 32)
+    f2 = _rand_frames(500 + qp, 48, 32)[0]
+    specs1 = _rand_sub_specs(rng, 2, 3, nra=1)
+    specs2 = _rand_sub_specs(rng, 2, 3, nra=2)
+    stream, recons = encode_h264_p_gop(
+        [f0, f1, f2], [specs1, specs2], qp=qp, num_refs=2
+    )
+    frames = decode_h264_sequence(stream)
+    assert len(frames) == 3
+    for fi in range(3):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_ref1_actually_selects_the_older_frame():
+    """A P2 macroblock at ref_idx 1 with zero MV and zero residual
+    must reproduce the ANCHOR's pixels, not P1's."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    y0 = np.full((16, 16), 50, np.uint8)
+    y1 = np.full((16, 16), 200, np.uint8)
+    c = np.full((8, 8), 128, np.uint8)
+    f0 = (y0, c, c.copy())
+    f1 = (y1, c.copy(), c.copy())
+    # P2 target == anchor content, predicted from ref 1 (the anchor)
+    f2 = (y0.copy(), c.copy(), c.copy())
+    stream, recons = encode_h264_p_gop(
+        [f0, f1, f2],
+        [[("16x16", [(0, 0)])], [("16x16", [((0, 0), 1)])]],
+        qp=0, num_refs=2,
+    )
+    frames = decode_h264_sequence(stream)
+    np.testing.assert_array_equal(frames[2][0], frames[0][0])
+    assert not np.array_equal(frames[2][0], frames[1][0])
+
+
+def test_intra_in_p_neighbors_unavailable_for_mv_pred():
+    """An intra MB between two inter MBs: the right MB's median
+    predictor must treat the intra neighbor as mv (0,0) / refIdx -1
+    (not trigger the only-A rule), pinned by bit-exact round trip."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    f0, f1 = _rand_frames(77, 16, 48)
+    specs = [("16x16", [(8, 4)]), ("i16",), ("16x16", [(-4, 8)])]
+    stream, recons = encode_h264_p_gop([f0, f1], [specs], qp=12)
+    frames = decode_h264_sequence(stream)
+    for a, b in zip(frames[1], recons[1]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sub_partition_zscan_mv_prediction_roundtrip():
+    """All-4x4 P_8x8 macroblocks: sixteen chained sub-partition
+    predictions per MB, each depending on z-scan decode order —
+    any predictor divergence breaks the bit-exact round trip."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    rng = np.random.default_rng(9)
+    f0, f1 = _rand_frames(88, 32, 32)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    specs = [
+        ("8x8", [("4x4", [mv() for _ in range(4)]) for _ in range(4)])
+        for _ in range(4)
+    ]
+    stream, recons = encode_h264_p_gop([f0, f1], [specs], qp=20)
+    frames = decode_h264_sequence(stream)
+    for a, b in zip(frames[1], recons[1]):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(shutil.which("ffmpeg") is None, reason="no ffmpeg")
+def test_gop_ffmpeg_cross_pin(tmp_path):
+    """libavcodec must reproduce the 3-frame multi-ref GOP with
+    P_8x8 sub-partitions and intra-in-P macroblocks exactly."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    rng = np.random.default_rng(123)
+    f0, f1 = _rand_frames(321, 32, 48)
+    f2 = _rand_frames(654, 32, 48)[0]
+    specs1 = _rand_sub_specs(rng, 3, 2, nra=1)
+    specs2 = _rand_sub_specs(rng, 3, 2, nra=2)
+    stream, recons = encode_h264_p_gop(
+        [f0, f1, f2], [specs1, specs2], qp=28, num_refs=2
+    )
+    src = tmp_path / "t.h264"
+    src.write_bytes(stream)
+    out = tmp_path / "t.yuv"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", str(src), "-f", "rawvideo",
+         "-pix_fmt", "yuv420p", str(out)],
+        check=True,
+    )
+    raw = out.read_bytes()
+    h, w = recons[0][0].shape
+    fsz = h * w * 3 // 2
+    assert len(raw) == 3 * fsz
+    for fi, rec in enumerate(recons):
         buf = raw[fi * fsz : (fi + 1) * fsz]
         fy = np.frombuffer(buf[: h * w], np.uint8).reshape(h, w)
         fcb = np.frombuffer(
