@@ -323,8 +323,9 @@ def _parse_sps(rbsp: bytes) -> dict:
         raise ValueError("high-profile SPS unsupported")
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
+    log2_poc = None
     if poc_type == 0:
-        r.ue()
+        log2_poc = r.ue() + 4
     elif poc_type == 1:
         r.u(1)
         r.se()
@@ -345,6 +346,8 @@ def _parse_sps(rbsp: bytes) -> dict:
         crop_t, crop_b = r.ue(), r.ue()
     return dict(
         log2_mfn=log2_mfn,
+        poc_type=poc_type,
+        log2_poc=log2_poc,
         max_refs=max_refs,
         mbw=mbw,
         mbh=mbh_units,

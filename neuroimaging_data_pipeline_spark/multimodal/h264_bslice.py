@@ -1,0 +1,850 @@
+"""H.264 B-slice prediction (CAVLC) — bi-predictive frames, the last
+major inter gate after r9's P_8x8 / intra-in-P / multi-ref work.
+
+What is REAL here (ITU-T H.264 clause references, all from scratch):
+
+- POC TYPE 0 framing: a Main-profile SPS (profile_idc 77 — B slices
+  are not allowed in Baseline) carrying
+  log2_max_pic_order_cnt_lsb_minus4, and pic_order_cnt_lsb in EVERY
+  slice header, so a B frame can reference a future-in-display-order
+  frame that was decoded earlier (decode order != output order);
+- reference list initialization per 8.2.4.2.3: for a B picture,
+  list0 = past references by POC descending then future ascending,
+  list1 = future ascending then past descending; one active
+  reference per list (the nearest picture in each direction), so no
+  ref_idx syntax is present;
+- B macroblock types 1..21 (Table 7-14): B_L0/L1/Bi_16x16 and every
+  two-partition 16x8 / 8x16 list combination, with the 7.3.5.1
+  syntax order (all mvd_l0 first, then all mvd_l1) and PER-LIST
+  motion-vector prediction — two independent _MvState fields where a
+  partition that does not use a list is 'decoded but predFlagLX = 0'
+  (contributes mv (0,0) / refIdx -1 to that list's median, exactly
+  like an intra neighbor);
+- DEFAULT (unweighted) bi-prediction (8.4.2.3.2,
+  weighted_bipred_idc 0): final = (predL0 + predL1 + 1) >> 1 on the
+  clipped interpolated samples, luma and chroma;
+- Intra_16x16 macroblocks inside B slices (mb_type 23 + intra type);
+- frame_num tracking for non-reference pictures (a B slice repeats
+  PrevRefFrameNum + 1) and a DPB keyed by POC that only reference
+  pictures (nal_ref_idc > 0) enter;
+- the P frames inside a B GOP reuse h264_inter's proven encoder and
+  decoder wholesale — their slices are re-headered to insert the
+  poc-type-0 pic_order_cnt_lsb field, the same technique the P
+  module uses for the deblocking-control IDR re-header.
+
+Declared gates (raise, never silent): B_Skip / B_Direct_16x16
+(direct-mode prediction, spatial and temporal), B_8x8 sub-partitions
+in B slices, more than one active reference per list, weighted
+prediction, I_4x4 / I_PCM inside B slices.
+
+The encoder<->decoder round trip is bit-exact by construction
+(pinned across QPs, every mb_type 1..21, sub-pel fractions and
+intra-in-B in tests/test_h264_bslice.py); a capability-gated ffmpeg
+cross-pin (display-order reordered) covers machines with ffmpeg.
+
+Reference parity: preprocess_parallel.sh shells out for video; B
+frames are the bulk of any broadcast/streaming H.264 corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from neuroimaging_data_pipeline_spark.multimodal.h264 import (
+    _BitR,
+    _BitW,
+    _ep_remove,
+    _nal,
+    _parse_sps,
+    _pps_rbsp,
+    _split_nals,
+    _sps_rbsp,
+)
+from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+    _PARTS,
+    _chroma_qp,
+    _copy_bits,
+    _decode_i16_mb,
+    _decode_p_frame,
+    _encode_i16_mb,
+    _encode_p_frame,
+    _mc_mb,
+    _MvState,
+    _pad_refs,
+    _pps_rbsp_deblock,
+    _read_residuals,
+    _recon_inter_mb,
+    _residual_from_target,
+    _write_residuals,
+)
+
+# Table 7-14 (mb_type 1..21): decode as (partition mode, per-partition
+# list usage). 0 = B_Direct_16x16 and 22 = B_8x8 stay gated.
+_B_USES = {
+    1: ("16x16", ("l0",)),
+    2: ("16x16", ("l1",)),
+    3: ("16x16", ("bi",)),
+    4: ("16x8", ("l0", "l0")),
+    5: ("8x16", ("l0", "l0")),
+    6: ("16x8", ("l1", "l1")),
+    7: ("8x16", ("l1", "l1")),
+    8: ("16x8", ("l0", "l1")),
+    9: ("8x16", ("l0", "l1")),
+    10: ("16x8", ("l1", "l0")),
+    11: ("8x16", ("l1", "l0")),
+    12: ("16x8", ("l0", "bi")),
+    13: ("8x16", ("l0", "bi")),
+    14: ("16x8", ("l1", "bi")),
+    15: ("8x16", ("l1", "bi")),
+    16: ("16x8", ("bi", "l0")),
+    17: ("8x16", ("bi", "l0")),
+    18: ("16x8", ("bi", "l1")),
+    19: ("8x16", ("bi", "l1")),
+    20: ("16x8", ("bi", "bi")),
+    21: ("8x16", ("bi", "bi")),
+}
+_B_TYPE = {v: k for k, v in _B_USES.items()}
+
+_POC_BITS = 6  # log2_max_pic_order_cnt_lsb_minus4 = 2
+
+
+# ---------------------------------------------------------------------------
+# Framing (POC type 0)
+# ---------------------------------------------------------------------------
+
+
+def _sps_rbsp_poc0(mbw: int, mbh: int, w: int, h: int) -> bytes:
+    """Main-profile SPS with pic_order_cnt_type 0 and two reference
+    frames — the framing B slices require."""
+    if w % 16 or h % 16:
+        raise ValueError("B sequences require dimensions % 16 == 0")
+    sps = _BitW()
+    sps.u(77, 8)  # profile_idc: Main (B slices are not in Baseline)
+    sps.u(0x40, 8)  # constraint_set1_flag only
+    sps.u(20, 8)
+    sps.ue(0)  # seq_parameter_set_id
+    sps.ue(0)  # log2_max_frame_num_minus4 -> 4-bit frame_num
+    sps.ue(0)  # pic_order_cnt_type 0
+    sps.ue(_POC_BITS - 4)  # log2_max_pic_order_cnt_lsb_minus4
+    sps.ue(2)  # max_num_ref_frames
+    sps.u(0, 1)
+    sps.ue(mbw - 1)
+    sps.ue(mbh - 1)
+    sps.u(1, 1)  # frame_mbs_only_flag
+    sps.u(1, 1)  # direct_8x8_inference_flag
+    sps.u(0, 1)  # no cropping
+    sps.u(0, 1)  # no VUI
+    sps.trailing()
+    return sps.bytes_()
+
+
+def _idr_reheader_poc0(rbsp: bytes) -> bytes:
+    """Re-header the intra encoder's IDR slice for the POC-type-0
+    SPS + deblocking-control PPS: insert pic_order_cnt_lsb (= 0)
+    after idr_pic_id and append disable_deblocking_filter_idc."""
+    r = _BitR(rbsp)
+    first_mb, stype, ppsid = r.ue(), r.ue(), r.ue()
+    frame_num = r.u(4)
+    idr_id = r.ue()
+    noout, longterm = r.u(1), r.u(1)
+    qpd = r.se()
+    w = _BitW()
+    w.ue(first_mb)
+    w.ue(stype)
+    w.ue(ppsid)
+    w.u(frame_num, 4)
+    w.ue(idr_id)
+    w.u(0, _POC_BITS)  # pic_order_cnt_lsb
+    w.u(noout, 1)
+    w.u(longterm, 1)
+    w.se(qpd)
+    w.ue(1)  # disable_deblocking_filter_idc
+    _copy_bits(r, w, rbsp)
+    return w.bytes_()
+
+
+def _idr_strip_poc0(rbsp: bytes) -> bytes:
+    """Inverse of _idr_reheader_poc0: drop the poc_lsb and the
+    deblocking idc so the slice can be delegated to the plain intra
+    decoder (poc-type-2 SPS, control-flag-0 PPS)."""
+    r = _BitR(rbsp)
+    fields = (r.ue(), r.ue(), r.ue())
+    frame_num = r.u(4)
+    idr_id = r.ue()
+    poc = r.u(_POC_BITS)
+    if poc != 0:
+        raise ValueError("IDR pic_order_cnt_lsb must be 0")
+    noout, longterm = r.u(1), r.u(1)
+    qpd = r.se()
+    idc = r.ue()
+    if idc != 1:
+        raise ValueError(f"expected disable_deblocking idc 1, got {idc}")
+    w = _BitW()
+    for v in fields:
+        w.ue(v)
+    w.u(frame_num, 4)
+    w.ue(idr_id)
+    w.u(noout, 1)
+    w.u(longterm, 1)
+    w.se(qpd)
+    _copy_bits(r, w, rbsp)
+    return w.bytes_()
+
+
+def _p_reheader_poc0(rbsp: bytes, poc_lsb: int) -> bytes:
+    """Insert pic_order_cnt_lsb into a P slice produced by
+    h264_inter._encode_p_frame (single-ref layout, no override)."""
+    r = _BitR(rbsp)
+    first_mb, stype, ppsid = r.ue(), r.ue(), r.ue()
+    fn = r.u(4)
+    if r.u(1):
+        raise ValueError("unexpected num_ref_idx override in P slice")
+    lm, am = r.u(1), r.u(1)
+    qpd = r.se()
+    idc = r.ue()
+    w = _BitW()
+    w.ue(first_mb)
+    w.ue(stype)
+    w.ue(ppsid)
+    w.u(fn, 4)
+    w.u(poc_lsb % (1 << _POC_BITS), _POC_BITS)
+    w.u(0, 1)
+    w.u(lm, 1)
+    w.u(am, 1)
+    w.se(qpd)
+    w.ue(idc)
+    _copy_bits(r, w, rbsp)
+    return w.bytes_()
+
+
+def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
+                    poc_lsb: int) -> None:
+    sl.ue(0)  # first_mb_in_slice
+    sl.ue(6)  # slice_type: B (all slices)
+    sl.ue(0)  # pic_parameter_set_id
+    sl.u(frame_num % 16, 4)
+    sl.u(poc_lsb % (1 << _POC_BITS), _POC_BITS)
+    sl.u(0, 1)  # direct_spatial_mv_pred_flag (direct is gated)
+    sl.u(0, 1)  # num_ref_idx_active_override (1 per list, PPS default)
+    sl.u(0, 1)  # ref_pic_list_modification_flag_l0
+    sl.u(0, 1)  # ref_pic_list_modification_flag_l1
+    # nal_ref_idc == 0: no dec_ref_pic_marking
+    sl.se(qp - 26)  # slice_qp_delta
+    sl.ue(1)  # disable_deblocking_filter_idc
+
+
+def _parse_inter_header(r: _BitR) -> tuple[str, int, int]:
+    """Parse a non-IDR slice header under the POC-type-0 SPS.
+    Returns (kind 'p'|'b', slice_qp, poc_lsb); the reader is left at
+    the first macroblock element."""
+    r.ue()  # first_mb
+    stype = r.ue() % 5
+    if stype == 0:
+        kind = "p"
+    elif stype == 1:
+        kind = "b"
+    else:
+        raise NotImplementedError(
+            f"slice_type family {stype} — only P and B slices decode"
+        )
+    r.ue()  # pps id
+    r.u(4)  # frame_num
+    poc = r.u(_POC_BITS)
+    if kind == "b":
+        r.u(1)  # direct_spatial_mv_pred_flag (direct gated per-MB)
+        if r.u(1):
+            raise NotImplementedError(
+                "num_ref_idx override — one active reference per "
+                "list is implemented for B slices"
+            )
+        if r.u(1):
+            raise NotImplementedError("ref_pic_list_modification (l0)")
+        if r.u(1):
+            raise NotImplementedError("ref_pic_list_modification (l1)")
+        # non-reference B: no dec_ref_pic_marking
+    else:
+        if r.u(1):
+            raise NotImplementedError("num_ref_idx override in P slice")
+        if r.u(1):
+            raise NotImplementedError("ref_pic_list_modification")
+        if r.u(1):
+            raise NotImplementedError("adaptive ref marking")
+    qp = 26 + r.se()
+    r.ue()  # disable_deblocking_filter_idc
+    return kind, qp, poc
+
+
+# ---------------------------------------------------------------------------
+# B-frame encode / decode
+# ---------------------------------------------------------------------------
+
+
+def _part_spec(entry):
+    """Normalize a B partition spec: ("l0", mv) | ("l1", mv) |
+    ("bi", mv0, mv1) -> (use, mv0 | None, mv1 | None)."""
+    use = entry[0]
+    if use == "l0":
+        return "l0", np.asarray(entry[1], np.int64), None
+    if use == "l1":
+        return "l1", None, np.asarray(entry[1], np.int64)
+    if use == "bi":
+        return ("bi", np.asarray(entry[1], np.int64),
+                np.asarray(entry[2], np.int64))
+    raise ValueError(f"bad B partition use {use!r}")
+
+
+def _bi_combine(p0, p1):
+    return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+
+
+def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
+                    poc_lsb):
+    """Encode one CAVLC B slice. ``ref_l0`` / ``ref_l1`` are single
+    decoded reference plane triples (one active ref per list).
+    Returns (slice_rbsp, recon_planes)."""
+    y1, cb1, cr1 = target
+    h, w = y1.shape
+    mbw, mbh = w // 16, h // 16
+    if len(mb_specs) != mbw * mbh:
+        raise ValueError("one mb_spec per macroblock required")
+    padded0 = _pad_refs([ref_l0])
+    padded1 = _pad_refs([ref_l1])
+    qpc = _chroma_qp(qp)
+    ry = np.zeros((h, w), np.int64)
+    rcb = np.zeros((h // 2, w // 2), np.int64)
+    rcr = np.zeros((h // 2, w // 2), np.int64)
+    recons = (ry, rcb, rcr)
+    luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
+    cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
+            1: np.zeros((mbh * 2, mbw * 2), np.int64)}
+    mvs0 = _MvState(mbw, mbh)
+    mvs1 = _MvState(mbw, mbh)
+
+    sl = _BitW()
+    _b_slice_header(sl, qp, frame_num, poc_lsb)
+
+    for my in range(mbh):
+        for mx in range(mbw):
+            spec = mb_specs[my * mbw + mx]
+            kind = spec[0]
+            sl.ue(0)  # mb_skip_run (B_Skip stays gated)
+            if kind == "i16":
+                _encode_i16_mb(sl, target, recons, luma_nnz, cnnz,
+                               mx, my, qp, qpc, base=23)
+                mvs0.mark_intra(mx, my)
+                mvs1.mark_intra(mx, my)
+                continue
+            mode = kind
+            if mode not in ("16x16", "16x8", "8x16"):
+                raise NotImplementedError(
+                    f"B macroblock mode {mode!r} — B_8x8 and "
+                    "B_Skip/B_Direct stay gated"
+                )
+            parts = [_part_spec(e) for e in spec[1]]
+            if len(parts) != len(_PARTS[mode]):
+                raise ValueError("one partition spec per partition")
+            uses = tuple(p[0] for p in parts)
+            sl.ue(_B_TYPE[(mode, uses)])
+            # mvd_l0 for every partition in order, then mvd_l1
+            placed = {0: [], 1: []}
+            for li, mvsX in ((0, mvs0), (1, mvs1)):
+                for pidx, ((ox4, oy4, w4, h4), (use, m0, m1)) in (
+                    enumerate(zip(_PARTS[mode], parts))
+                ):
+                    gx, gy = mx * 4 + ox4, my * 4 + oy4
+                    mv = (m0, m1)[li]
+                    if mv is None:  # predFlagLX == 0
+                        mvsX.mark_off(gx, gy, w4, h4)
+                        continue
+                    pred_mv = mvsX.pred_for_partition(
+                        mode, pidx, gx, gy, w4, 0
+                    )
+                    sl.se(int(mv[0] - pred_mv[0]))
+                    sl.se(int(mv[1] - pred_mv[1]))
+                    mvsX.fill(gx, gy, w4, h4, mv, 0)
+                    placed[li].append((ox4, oy4, w4, h4, mv, 0))
+            # prediction: per partition, combine lists
+            py = np.zeros((16, 16), np.int64)
+            pcb = np.zeros((8, 8), np.int64)
+            pcr = np.zeros((8, 8), np.int64)
+            for (ox4, oy4, w4, h4), (use, m0, m1) in zip(
+                _PARTS[mode], parts
+            ):
+                geom = (ox4, oy4, w4, h4)
+                if use == "l0":
+                    pp = _mc_mb(padded0, mx, my, [geom + (m0, 0)])
+                elif use == "l1":
+                    pp = _mc_mb(padded1, mx, my, [geom + (m1, 0)])
+                else:
+                    pp = _bi_combine(
+                        _mc_mb(padded0, mx, my, [geom + (m0, 0)]),
+                        _mc_mb(padded1, mx, my, [geom + (m1, 0)]),
+                    )
+                ys = np.s_[oy4 * 4 : oy4 * 4 + h4 * 4,
+                           ox4 * 4 : ox4 * 4 + w4 * 4]
+                cs = np.s_[oy4 * 2 : oy4 * 2 + h4 * 2,
+                           ox4 * 2 : ox4 * 2 + w4 * 2]
+                py[ys] = pp[0][ys]
+                pcb[cs] = pp[1][cs]
+                pcr[cs] = pp[2][cs]
+            cbp, zl, cdcz, cacz = _residual_from_target(
+                target, mx, my, py, pcb, pcr, qp, qpc
+            )
+            _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz,
+                             luma_nnz, cnnz)
+            _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
+                            zl, cdcz, cacz, qp, qpc)
+    sl.trailing()
+    recon = (
+        ry.astype(np.uint8),
+        rcb.astype(np.uint8),
+        rcr.astype(np.uint8),
+    )
+    return sl.bytes_(), recon
+
+
+def _decode_b_frame(r, sps, qp, ref_l0, ref_l1):
+    mbw, mbh = sps["mbw"], sps["mbh"]
+    h, w = mbh * 16, mbw * 16
+    padded0 = _pad_refs([ref_l0])
+    padded1 = _pad_refs([ref_l1])
+    qpc = _chroma_qp(qp)
+    ry = np.zeros((h, w), np.int64)
+    rcb = np.zeros((h // 2, w // 2), np.int64)
+    rcr = np.zeros((h // 2, w // 2), np.int64)
+    recons = (ry, rcb, rcr)
+    luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
+    cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
+            1: np.zeros((mbh * 2, mbw * 2), np.int64)}
+    mvs0 = _MvState(mbw, mbh)
+    mvs1 = _MvState(mbw, mbh)
+    cur_qp = qp
+    for my in range(mbh):
+        for mx in range(mbw):
+            skip_run = r.ue()
+            if skip_run:
+                raise NotImplementedError(
+                    "B_Skip — direct-mode prediction stays gated"
+                )
+            mb_type = r.ue()
+            if mb_type == 0:
+                raise NotImplementedError(
+                    "B_Direct_16x16 — direct-mode prediction stays "
+                    "gated"
+                )
+            if mb_type == 22:
+                raise NotImplementedError(
+                    "B_8x8 sub-partitions in B slices — gated"
+                )
+            if mb_type > 22:
+                itype = mb_type - 23
+                if itype == 0:
+                    raise NotImplementedError(
+                        "I_4x4 inside a B slice — gated"
+                    )
+                if itype >= 25:
+                    raise NotImplementedError(
+                        "I_PCM inside a B slice — gated"
+                    )
+                cur_qp = _decode_i16_mb(
+                    r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp
+                )
+                qpc = _chroma_qp(cur_qp)
+                mvs0.mark_intra(mx, my)
+                mvs1.mark_intra(mx, my)
+                continue
+            mode, uses = _B_USES[mb_type]
+            mvs_by_part: list[list] = [[None, None]
+                                       for _ in _PARTS[mode]]
+            for li, mvsX in ((0, mvs0), (1, mvs1)):
+                want = ("l0", "bi") if li == 0 else ("l1", "bi")
+                for pidx, (ox4, oy4, w4, h4) in enumerate(_PARTS[mode]):
+                    gx, gy = mx * 4 + ox4, my * 4 + oy4
+                    if uses[pidx] not in want:
+                        mvsX.mark_off(gx, gy, w4, h4)
+                        continue
+                    mvdx, mvdy = r.se(), r.se()
+                    pred_mv = mvsX.pred_for_partition(
+                        mode, pidx, gx, gy, w4, 0
+                    )
+                    mv = np.array(
+                        [pred_mv[0] + mvdx, pred_mv[1] + mvdy],
+                        np.int64,
+                    )
+                    mvsX.fill(gx, gy, w4, h4, mv, 0)
+                    mvs_by_part[pidx][li] = mv
+            py = np.zeros((16, 16), np.int64)
+            pcb = np.zeros((8, 8), np.int64)
+            pcr = np.zeros((8, 8), np.int64)
+            for pidx, (ox4, oy4, w4, h4) in enumerate(_PARTS[mode]):
+                geom = (ox4, oy4, w4, h4)
+                m0, m1 = mvs_by_part[pidx]
+                use = uses[pidx]
+                if use == "l0":
+                    pp = _mc_mb(padded0, mx, my, [geom + (m0, 0)])
+                elif use == "l1":
+                    pp = _mc_mb(padded1, mx, my, [geom + (m1, 0)])
+                else:
+                    pp = _bi_combine(
+                        _mc_mb(padded0, mx, my, [geom + (m0, 0)]),
+                        _mc_mb(padded1, mx, my, [geom + (m1, 0)]),
+                    )
+                ys = np.s_[oy4 * 4 : oy4 * 4 + h4 * 4,
+                           ox4 * 4 : ox4 * 4 + w4 * 4]
+                cs = np.s_[oy4 * 2 : oy4 * 2 + h4 * 2,
+                           ox4 * 2 : ox4 * 2 + w4 * 2]
+                py[ys] = pp[0][ys]
+                pcb[cs] = pp[1][cs]
+                pcr[cs] = pp[2][cs]
+            cbp, qpd, zl, cdcz, cacz = _read_residuals(
+                r, mx, my, luma_nnz, cnnz
+            )
+            if cbp:
+                cur_qp = (cur_qp + qpd + 52) % 52
+                qpc = _chroma_qp(cur_qp)
+            _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
+                            zl, cdcz, cacz, cur_qp, qpc)
+    return (
+        ry.astype(np.uint8),
+        rcb.astype(np.uint8),
+        rcr.astype(np.uint8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence entry points
+# ---------------------------------------------------------------------------
+
+
+def encode_h264_b_sequence(entries: list, qp: int = 0):
+    """Encode a decode-order sequence with B frames. ``entries``:
+
+      ("idr", planes)                 — Intra_16x16 anchor, POC 0;
+      ("p", planes, mb_specs, poc)    — single-ref CAVLC P frame
+        (reference = most recent reference picture); mb_specs in
+        encode_h264_p_gop's single-ref language;
+      ("b", planes, mb_specs, poc)    — non-reference CAVLC B frame;
+        each mb_spec is ("i16",) or (mode, [part, ...]) with mode in
+        {"16x16", "16x8", "8x16"} and part ("l0", mv) / ("l1", mv) /
+        ("bi", mv0, mv1). list0 = nearest PAST reference by POC,
+        list1 = nearest FUTURE reference by POC (both must exist).
+
+    Returns (annex_b_bytes, [recon planes in decode order],
+    [poc per frame])."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+        encode_h264_i16x16,
+    )
+
+    if not entries or entries[0][0] != "idr":
+        raise ValueError("sequence must start with an IDR entry")
+    y0 = entries[0][1][0]
+    h, w = y0.shape
+    if h % 16 or w % 16:
+        raise ValueError("B sequences require dimensions % 16 == 0")
+    mbw, mbh = w // 16, h // 16
+    stream = (
+        _nal(3, 7, _sps_rbsp_poc0(mbw, mbh, w, h))
+        + _nal(3, 8, _pps_rbsp_deblock())
+    )
+    recons: list = []
+    pocs: list = []
+    ref_dpb: list = []  # (poc, planes), newest decoded first
+    n_refs_decoded = 0
+    for ei, entry in enumerate(entries):
+        kind = entry[0]
+        if kind == "idr":
+            if ei != 0:
+                raise ValueError("IDR only as the first entry")
+            planes = entry[1]
+            intra_stream, r0y, r0cb, r0cr = encode_h264_i16x16(
+                planes[0], planes[1], planes[2], qp=qp
+            )
+            idr_rbsp = next(
+                _ep_remove(n[1:])
+                for n in _split_nals(intra_stream)
+                if (n[0] & 0x1F) == 5
+            )
+            stream += _nal(3, 5, _idr_reheader_poc0(idr_rbsp))
+            recon = (r0y, r0cb, r0cr)
+            recons.append(recon)
+            pocs.append(0)
+            ref_dpb = [(0, recon)]
+            n_refs_decoded = 1
+            continue
+        _, planes, mb_specs, poc = entry
+        fn = n_refs_decoded  # PrevRefFrameNum + 1 rule
+        if kind == "p":
+            rbsp, recon = _encode_p_frame(
+                planes, [ref_dpb[0][1]], mb_specs, qp, fn, 1
+            )
+            stream += _nal(2, 1, _p_reheader_poc0(rbsp, poc))
+            ref_dpb.insert(0, (poc, recon))
+            del ref_dpb[2:]  # max_num_ref_frames = 2
+            n_refs_decoded += 1
+        elif kind == "b":
+            past = [e for e in ref_dpb if e[0] < poc]
+            future = [e for e in ref_dpb if e[0] > poc]
+            if not past or not future:
+                raise ValueError(
+                    "a B frame needs one past and one future "
+                    "reference in the DPB"
+                )
+            l0 = max(past, key=lambda e: e[0])[1]
+            l1 = min(future, key=lambda e: e[0])[1]
+            rbsp, recon = _encode_b_frame(
+                planes, l0, l1, mb_specs, qp, fn, poc
+            )
+            stream += _nal(0, 1, rbsp)  # non-reference picture
+        else:
+            raise ValueError(f"bad entry kind {kind!r}")
+        recons.append(recon)
+        pocs.append(poc)
+    return stream, recons, pocs
+
+
+def decode_h264_b_stream(payload: bytes):
+    """Decode a POC-type-0 IDR + P + B stream. Returns
+    (frames in DECODE order, poc per frame) — sort by POC for display
+    order. P slices are delegated to h264_inter._decode_p_frame; B
+    slices decode here against the POC-ordered reference lists."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+        decode_h264_frame,
+    )
+
+    sps = None
+    frames: list = []
+    pocs: list = []
+    ref_dpb: list = []  # (poc, planes), newest decoded first
+    for nal in _split_nals(bytes(payload)):
+        ntype = nal[0] & 0x1F
+        rbsp = _ep_remove(nal[1:])
+        if ntype == 7:
+            sps = _parse_sps(rbsp)
+            if sps.get("poc_type") != 0:
+                raise ValueError("B streams require pic_order_cnt_type 0")
+        elif ntype == 8:
+            r = _BitR(rbsp)
+            r.ue()
+            r.ue()
+            if r.u(1):
+                raise NotImplementedError("CABAC B slices — gated")
+        elif ntype == 5:
+            if sps is None:
+                raise ValueError("IDR before SPS")
+            sub = (
+                _nal(3, 7, _sps_rbsp(sps["mbw"], sps["mbh"],
+                                     sps["mbw"] * 16, sps["mbh"] * 16))
+                + _nal(3, 8, _pps_rbsp())
+                + _nal(3, 5, _idr_strip_poc0(rbsp))
+            )
+            frame = decode_h264_frame(sub)
+            frames.append(frame)
+            pocs.append(0)
+            ref_dpb = [(0, frame)]
+        elif ntype == 1:
+            if sps is None or not ref_dpb:
+                raise ValueError("coded slice before references exist")
+            r = _BitR(rbsp)
+            kind, qp, poc = _parse_inter_header(r)
+            if kind == "p":
+                frame = _decode_p_frame(
+                    r, sps, qp, [ref_dpb[0][1]], 1
+                )
+            else:
+                past = [e for e in ref_dpb if e[0] < poc]
+                future = [e for e in ref_dpb if e[0] > poc]
+                if not past or not future:
+                    raise ValueError(
+                        "B slice without a past and a future reference"
+                    )
+                l0 = max(past, key=lambda e: e[0])[1]
+                l1 = min(future, key=lambda e: e[0])[1]
+                frame = _decode_b_frame(r, sps, qp, l0, l1)
+            frames.append(frame)
+            pocs.append(poc)
+            if (nal[0] >> 5) & 3:  # reference picture
+                ref_dpb.insert(0, (poc, frame))
+                del ref_dpb[max(1, sps.get("max_refs") or 1):]
+    if not frames:
+        raise ValueError("no coded frames found")
+    return frames, pocs
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def synthesize_h264_b_frames(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document 3-frame 32x32 B GOP in decode order IDR(poc 0) ->
+    P(poc 4) -> B(poc 2). The anchor and P frame reuse the m35/m36
+    formula family; the B frame's four MBs are, in raster order:
+
+      (0,0) B_L0_16x16   — full-pel motion from the ANCHOR;
+      (1,0) B_L1_16x16   — full-pel motion from the FUTURE P frame
+            (list1 selection through the POC-ordered DPB);
+      (0,1) B_Bi_16x16   — rounded average of one block from each
+            list: (predL0 + predL1 + 1) >> 1;
+      (1,1) B_L0_L1_16x8 — top partition from the anchor, bottom
+            from the P frame (mixed lists inside one macroblock,
+            mvd_l0-then-mvd_l1 syntax order).
+
+    All MVs full-pel and every residual per-4x4 constant, so at QP 0
+    the oracle recomputes EVERY decoded pixel of all three frames in
+    pure SQL — including the bi-predictive rounded average and the
+    two-hop P-frame composition. Chroma constant 128 throughout."""
+    out_schema = f"{id_col} long, content binary"
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                gy, gx = np.mgrid[0:8, 0:8]
+                y0 = (16 + (i * 13 + gy * 41 + gx * 59) % 224).repeat(
+                    4, 0
+                ).repeat(4, 1)
+                cb = np.full((16, 16), 128, np.uint8)
+                py, px = np.mgrid[0:32, 0:32]
+                mxg, myg = px // 16, py // 16
+                # P frame (poc 4): m35/m36 motion family
+                dx1 = 4 * ((i + mxg + 2 * myg) % 3 - 1)
+                dy1 = 4 * ((i * 2 + 3 * mxg + myg) % 3 - 1)
+                d1 = (i + (py // 4) * 7 + (px // 4) * 11) % 9 - 4
+                y1 = y0[np.clip(py + dy1, 0, 31),
+                        np.clip(px + dx1, 0, 31)] + d1
+                specs_p = []
+                for my_ in range(2):
+                    for mx_ in range(2):
+                        specs_p.append(
+                            ("16x16",
+                             [(16 * ((i + mx_ + 2 * my_) % 3 - 1),
+                               16 * ((i * 2 + 3 * mx_ + my_) % 3 - 1))])
+                        )
+                # B frame (poc 2)
+                yb = np.zeros((32, 32), np.int64)
+                # (0,0) L0 from anchor
+                dxa, dya = 4 * ((i + 1) % 3 - 1), 4 * ((i * 2) % 3 - 1)
+                reg = np.s_[0:16, 0:16]
+                da = (i + (py[reg] // 4) * 7 + (px[reg] // 4) * 11) % 9 - 4
+                yb[reg] = y0[np.clip(py[reg] + dya, 0, 31),
+                             np.clip(px[reg] + dxa, 0, 31)] + da
+                # (1,0) L1 from the P frame
+                dxb, dyb = 4 * ((i * 2 + 1) % 3 - 1), 4 * ((i + 2) % 3 - 1)
+                reg = np.s_[0:16, 16:32]
+                db = (i * 3 + (py[reg] // 4) * 5
+                      + (px[reg] // 4) * 13) % 9 - 4
+                yb[reg] = y1[np.clip(py[reg] + dyb, 0, 31),
+                             np.clip(px[reg] + dxb, 0, 31)] + db
+                # (0,1) Bi: rounded average of both lists
+                dx0, dy0 = 4 * (i % 3 - 1), 4 * ((i * 2 + 2) % 3 - 1)
+                dx9, dy9 = 4 * ((i + 2) % 3 - 1), 4 * ((i * 2 + 1) % 3 - 1)
+                reg = np.s_[16:32, 0:16]
+                p0 = y0[np.clip(py[reg] + dy0, 0, 31),
+                        np.clip(px[reg] + dx0, 0, 31)]
+                p1 = y1[np.clip(py[reg] + dy9, 0, 31),
+                        np.clip(px[reg] + dx9, 0, 31)]
+                dc_ = (i + (py[reg] // 4) * 3 + (px[reg] // 4) * 7) % 9 - 4
+                yb[reg] = ((p0 + p1 + 1) >> 1) + dc_
+                # (1,1) 16x8: top L0 from anchor, bottom L1 from P
+                dxt, dyt = 4 * ((i + 1) % 3 - 1), 4 * ((i * 2) % 3 - 1)
+                dxu, dyu = 4 * ((i * 2 + 2) % 3 - 1), 4 * ((i + 1) % 3 - 1)
+                regt = np.s_[16:24, 16:32]
+                regu = np.s_[24:32, 16:32]
+                dd = lambda r_: (i * 5 + (py[r_] // 4) * 11
+                                 + (px[r_] // 4) * 3) % 9 - 4
+                yb[regt] = y0[np.clip(py[regt] + dyt, 0, 31),
+                              np.clip(px[regt] + dxt, 0, 31)] + dd(regt)
+                yb[regu] = y1[np.clip(py[regu] + dyu, 0, 31),
+                              np.clip(px[regu] + dxu, 0, 31)] + dd(regu)
+                assert yb.min() >= 0 and yb.max() <= 255
+                # quarter-pel units = 4 * full-pel pixels
+                q = lambda dx, dy: (4 * dx, 4 * dy)
+                specs_b = [
+                    ("16x16", [("l0", q(dxa, dya))]),
+                    ("16x16", [("l1", q(dxb, dyb))]),
+                    ("16x16", [("bi", q(dx0, dy0), q(dx9, dy9))]),
+                    ("16x8", [("l0", q(dxt, dyt)),
+                              ("l1", q(dxu, dyu))]),
+                ]
+                stream, recons, pocs = encode_h264_b_sequence(
+                    [
+                        ("idr", (y0.astype(np.uint8), cb, cb.copy())),
+                        ("p", (y1.astype(np.uint8), cb.copy(),
+                               cb.copy()), specs_p, 4),
+                        ("b", (yb.astype(np.uint8), cb.copy(),
+                               cb.copy()), specs_b, 2),
+                    ],
+                    qp=0,
+                )
+                if not (
+                    np.array_equal(recons[0][0], y0)
+                    and np.array_equal(recons[1][0], y1)
+                    and np.array_equal(recons[2][0], yb)
+                ):
+                    raise AssertionError(
+                        f"doc {i}: QP-0 B fixture not exact"
+                    )
+                ids.append(i)
+                blobs.append(stream)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(build, out_schema)
+
+
+def h264_b_frame_features(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode B GOPs and emit per-frame plane sums plus the display
+    position of the B frame (sorted POC rank) for the oracle."""
+    out_schema = (
+        f"{id_col} long, n_frames int, width int, height int,"
+        " b_display_idx int, sum_y_idr long, sum_y_p long,"
+        " sum_y_b long, sum_cb_b long, sum_cr_b long"
+    )
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf[id_col], pdf[content_col]):
+                frames, pocs = decode_h264_b_stream(bytes(content))
+                y_i = frames[0][0]
+                y_p = frames[1][0]
+                y_b, cb_b, cr_b = frames[2]
+                display = sorted(range(len(pocs)), key=lambda k: pocs[k])
+                rows.append(
+                    (
+                        int(i),
+                        len(frames),
+                        int(y_b.shape[1]),
+                        int(y_b.shape[0]),
+                        int(display.index(2)),
+                        int(y_i.sum()),
+                        int(y_p.sum()),
+                        int(y_b.sum()),
+                        int(cb_b.sum()),
+                        int(cr_b.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "width", "height",
+                         "b_display_idx", "sum_y_idr", "sum_y_p",
+                         "sum_y_b", "sum_cb_b", "sum_cr_b"],
+            )
+
+    return media.mapInPandas(feat, out_schema)

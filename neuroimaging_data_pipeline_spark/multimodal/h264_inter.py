@@ -354,11 +354,16 @@ class _MvState:
         self.inter[gy : gy + ph4, gx : gx + pw4] = True
         self.ref[gy : gy + ph4, gx : gx + pw4] = ref
 
+    def mark_off(self, gx: int, gy: int, pw4: int, ph4: int) -> None:
+        """Mark a partition decoded but NOT predicted from this
+        list (intra, or predFlagLX == 0 in B slices): available as a
+        neighbor, contributing mv (0, 0) / refIdx -1."""
+        self.decoded[gy : gy + ph4, gx : gx + pw4] = True
+        self.inter[gy : gy + ph4, gx : gx + pw4] = False
+        self.ref[gy : gy + ph4, gx : gx + pw4] = -1
+
     def mark_intra(self, mx: int, my: int) -> None:
-        gx, gy = mx * 4, my * 4
-        self.decoded[gy : gy + 4, gx : gx + 4] = True
-        self.inter[gy : gy + 4, gx : gx + 4] = False
-        self.ref[gy : gy + 4, gx : gx + 4] = -1
+        self.mark_off(mx * 4, my * 4, 4, 4)
 
 
 # partition geometry per mode: list of (off_x4, off_y4, w4, h4)
@@ -566,6 +571,359 @@ def _mv_ref(entry) -> tuple[np.ndarray, int]:
     return np.asarray(entry, np.int64), 0
 
 
+# --- shared per-macroblock machinery (used by the B-slice module too) --------
+
+
+def _pad_refs(refs: list) -> list:
+    """Edge-pad decoded reference planes for unrestricted MVs."""
+    return [
+        (
+            np.pad(ry_.astype(np.int64), _PAD, mode="edge"),
+            np.pad(rcb_.astype(np.int64), _PAD // 2, mode="edge"),
+            np.pad(rcr_.astype(np.int64), _PAD // 2, mode="edge"),
+        )
+        for ry_, rcb_, rcr_ in refs
+    ]
+
+
+def _mc_mb(padded: list, mx: int, my: int, placed: list):
+    """Motion-compensate one MB from (ox4, oy4, w4, h4, mv, ref)
+    placements (4x4-unit offsets within the MB; ref indexes
+    ``padded``). Returns (pred_y16, pred_cb8, pred_cr8)."""
+    py = np.zeros((16, 16), np.int64)
+    pcb = np.zeros((8, 8), np.int64)
+    pcr = np.zeros((8, 8), np.int64)
+    for ox4, oy4, w4, h4, mv, ref in placed:
+        ref_y, ref_cb, ref_cr = padded[ref]
+        lx, ly = mx * 16 + ox4 * 4, my * 16 + oy4 * 4
+        py[oy4 * 4 : oy4 * 4 + h4 * 4, ox4 * 4 : ox4 * 4 + w4 * 4] = (
+            interp_luma(
+                ref_y, ly + _PAD, lx + _PAD, h4 * 4, w4 * 4,
+                int(mv[0]), int(mv[1]),
+            )
+        )
+        cx, cy = mx * 8 + ox4 * 2, my * 8 + oy4 * 2
+        for plane, out in ((ref_cb, pcb), (ref_cr, pcr)):
+            out[oy4 * 2 : oy4 * 2 + h4 * 2,
+                ox4 * 2 : ox4 * 2 + w4 * 2] = interp_chroma(
+                plane, cy + _PAD // 2, cx + _PAD // 2,
+                h4 * 2, w4 * 2, int(mv[0]), int(mv[1]),
+            )
+    return py, pcb, pcr
+
+
+def _residual_from_target(targets, mx, my, py, pcb, pcr, qp, qpc):
+    """Quantize (target - prediction) for one inter MB. Returns
+    (cbp, zl, cdcz, cacz)."""
+    y1, cb1, cr1 = targets
+    tgt = y1[my * 16 : my * 16 + 16,
+             mx * 16 : mx * 16 + 16].astype(np.int64)
+    resid = tgt - py
+    blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+    zl = _quant(np.matmul(np.matmul(_CF, blocks), _CF.T), qp)
+    cbp_luma = 0
+    for g in range(4):
+        gy8, gx8 = g >> 1, g & 1
+        if zl[gy8 * 2 : gy8 * 2 + 2, gx8 * 2 : gx8 * 2 + 2].any():
+            cbp_luma |= 1 << g
+    cdcz, cacz = {}, {}
+    for pi, (srcp, pred) in enumerate(((cb1, pcb), (cr1, pcr))):
+        cres = srcp[my * 8 : my * 8 + 8,
+                    mx * 8 : mx * 8 + 8].astype(np.int64) - pred
+        cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
+        dc2 = wmc[..., 0, 0]
+        az = _quant(wmc, qpc)
+        az[..., 0, 0] = 0
+        qbits = 15 + qpc // 6
+        f = (1 << qbits) // 3
+        yd = _H2 @ dc2 @ _H2
+        cdcz[pi] = np.sign(yd) * (
+            (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
+        )
+        cacz[pi] = az
+    any_cac = any(cacz[p].any() for p in (0, 1))
+    any_cdc = any(cdcz[p].any() for p in (0, 1))
+    cbpc = 2 if any_cac else (1 if any_cdc else 0)
+    return cbp_luma | (cbpc << 4), zl, cdcz, cacz
+
+
+def _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz, luma_nnz, cnnz):
+    """Emit coded_block_pattern (INTER me(v)), mb_qp_delta 0 when
+    coded, and the CAVLC residual blocks; updates nnz grids."""
+    sl.ue(_CBP_INTER_INV[cbp])
+    if cbp:
+        sl.se(0)  # mb_qp_delta
+    cbp_luma, cbpc = cbp & 15, cbp >> 4
+    for g in range(4):
+        if not cbp_luma & (1 << g):
+            for k in range(4):
+                bx, by = _ZBLK[g * 4 + k]
+                luma_nnz[my * 4 + by, mx * 4 + bx] = 0
+            continue
+        for k in range(4):
+            bx, by = _ZBLK[g * 4 + k]
+            gx, gy = mx * 4 + bx, my * 4 + by
+            nc = _nc_for(luma_nnz, gx, gy)
+            coeffs = [int(zl[by, bx].flat[i]) for i in _ZIG]
+            luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 16)
+    if cbpc > 0:
+        for pi in (0, 1):
+            zd = cdcz[pi]
+            encode_residual_block(
+                sl,
+                [int(zd[0, 0]), int(zd[0, 1]),
+                 int(zd[1, 0]), int(zd[1, 1])],
+                -1, 4,
+            )
+    if cbpc > 1:
+        for pi in (0, 1):
+            for by in range(2):
+                for bx in range(2):
+                    gx, gy = mx * 2 + bx, my * 2 + by
+                    nc = _nc_for(cnnz[pi], gx, gy)
+                    coeffs = [int(cacz[pi][by, bx].flat[i])
+                              for i in _ZIG[1:]]
+                    cnnz[pi][gy, gx] = encode_residual_block(
+                        sl, coeffs, nc, 15
+                    )
+    else:
+        for pi in (0, 1):
+            cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+
+
+def _read_residuals(r, mx, my, luma_nnz, cnnz):
+    """Parse coded_block_pattern + optional mb_qp_delta + CAVLC
+    residual blocks for one inter MB. Returns
+    (cbp, qp_delta, zl, cdcz, cacz); nnz grids updated."""
+    cbp = _CBP_INTER[r.ue()]
+    cbp_luma, cbpc = cbp & 15, cbp >> 4
+    qpd = r.se() if cbp else 0
+    zl = np.zeros((4, 4, 4, 4), np.int64)
+    for g in range(4):
+        for k in range(4):
+            bx, by = _ZBLK[g * 4 + k]
+            gx, gy = mx * 4 + bx, my * 4 + by
+            if not cbp_luma & (1 << g):
+                luma_nnz[gy, gx] = 0
+                continue
+            nc = _nc_for(luma_nnz, gx, gy)
+            cf, tot = decode_residual_block(r, nc, 16)
+            z = np.zeros(16, np.int64)
+            z[_ZIG] = cf
+            zl[by, bx] = z.reshape(4, 4)
+            luma_nnz[gy, gx] = tot
+    cdcz = {0: np.zeros((2, 2), np.int64), 1: np.zeros((2, 2), np.int64)}
+    cacz = {0: np.zeros((2, 2, 4, 4), np.int64),
+            1: np.zeros((2, 2, 4, 4), np.int64)}
+    if cbpc > 0:
+        for pi in (0, 1):
+            cf, _ = decode_residual_block(r, -1, 4)
+            cdcz[pi] = np.array(
+                [[cf[0], cf[1]], [cf[2], cf[3]]], np.int64
+            )
+    if cbpc > 1:
+        for pi in (0, 1):
+            for by in range(2):
+                for bx in range(2):
+                    gx, gy = mx * 2 + bx, my * 2 + by
+                    nc = _nc_for(cnnz[pi], gx, gy)
+                    cf, tot = decode_residual_block(r, nc, 15)
+                    z = np.zeros(16, np.int64)
+                    z[_ZIG[1:]] = cf
+                    cacz[pi][by, bx] = z.reshape(4, 4)
+                    cnnz[pi][gy, gx] = tot
+    else:
+        for pi in (0, 1):
+            cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    return cbp, qpd, zl, cdcz, cacz
+
+
+def _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp, zl, cdcz, cacz,
+                    qp, qpc):
+    """Add the dequantized residual to the MC prediction and write
+    the reconstructed MB into (ry, rcb, rcr)."""
+    ry, rcb, rcr = recons
+    cbpc = cbp >> 4
+    blk = (_inv4x4(_dequant_ac(zl, qp)) + 32) >> 6
+    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
+        py + blk.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255
+    )
+    for pi, reconp in ((0, rcb), (1, rcr)):
+        pred = (pcb, pcr)[pi]
+        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+            _recon_chroma8(
+                pred,
+                cacz[pi] if cbpc > 1 else None,
+                cdcz[pi] if cbpc > 0 else None,
+                qpc,
+            )
+        )
+
+
+def _encode_i16_mb(sl, targets, recons, luma_nnz, cnnz, mx, my, qp, qpc,
+                   base):
+    """Intra_16x16 macroblock inside an inter slice (DC luma + DC
+    chroma prediction), mirroring the proven I-slice encoder on the
+    shared transform layer. ``base`` is the slice-type mb_type offset
+    for intra macroblocks (5 in P slices, 23 in B slices)."""
+    y1, cb1, cr1 = targets
+    ry, rcb, rcr = recons
+    pred = _pred16(ry, my, mx, 2)
+    resid = y1[my * 16 : my * 16 + 16,
+               mx * 16 : mx * 16 + 16].astype(np.int64) - pred
+    blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+    wm = np.matmul(np.matmul(_CF, blocks), _CF.T)
+    dc = wm[..., 0, 0]
+    acz = _quant(wm, qp)
+    acz[..., 0, 0] = 0
+    zdc = _quant_dc4((_H4 @ dc @ _H4) // 2, qp)
+    cbpl = 15 if acz.any() else 0
+    cpred, cdcz, cacz = {}, {}, {}
+    for pi, (srcp, reconp) in enumerate(((cb1, rcb), (cr1, rcr))):
+        cp = _pred8_chroma_dc(reconp, my, mx)
+        cres = srcp[my * 8 : my * 8 + 8,
+                    mx * 8 : mx * 8 + 8].astype(np.int64) - cp
+        cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
+        dc2 = wmc[..., 0, 0]
+        az = _quant(wmc, qpc)
+        az[..., 0, 0] = 0
+        qbits = 15 + qpc // 6
+        f = (1 << qbits) // 3
+        yd = _H2 @ dc2 @ _H2
+        zd = np.sign(yd) * (
+            (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
+        )
+        cpred[pi], cdcz[pi], cacz[pi] = cp, zd, az
+    any_cac = any(cacz[p].any() for p in (0, 1))
+    any_cdc = any(cdcz[p].any() for p in (0, 1))
+    cbpc = 2 if any_cac else (1 if any_cdc else 0)
+    sl.ue(base + 1 + 2 + 4 * cbpc + 12 * (1 if cbpl else 0))
+    sl.ue(0)  # intra_chroma_pred_mode: DC
+    sl.se(0)  # mb_qp_delta
+    nc = _nc_for(luma_nnz, mx * 4, my * 4)
+    encode_residual_block(sl, [int(zdc.flat[i]) for i in _ZIG], nc, 16)
+    if cbpl:
+        for bx, by in _ZBLK:
+            gx, gy = mx * 4 + bx, my * 4 + by
+            nc = _nc_for(luma_nnz, gx, gy)
+            coeffs = [int(acz[by, bx].flat[i]) for i in _ZIG[1:]]
+            luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 15)
+    else:
+        luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+    if cbpc > 0:
+        for pi in (0, 1):
+            zd = cdcz[pi]
+            encode_residual_block(
+                sl,
+                [int(zd[0, 0]), int(zd[0, 1]),
+                 int(zd[1, 0]), int(zd[1, 1])],
+                -1, 4,
+            )
+    if cbpc > 1:
+        for pi in (0, 1):
+            for by in range(2):
+                for bx in range(2):
+                    gx, gy = mx * 2 + bx, my * 2 + by
+                    nc = _nc_for(cnnz[pi], gx, gy)
+                    coeffs = [int(cacz[pi][by, bx].flat[i])
+                              for i in _ZIG[1:]]
+                    cnnz[pi][gy, gx] = encode_residual_block(
+                        sl, coeffs, nc, 15
+                    )
+    else:
+        for pi in (0, 1):
+            cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _recon_mb16(
+        pred, acz if cbpl else None, zdc, qp
+    )
+    for pi, reconp in ((0, rcb), (1, rcr)):
+        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+            _recon_chroma8(
+                cpred[pi],
+                cacz[pi] if cbpc > 1 else None,
+                cdcz[pi] if cbpc > 0 else None,
+                qpc,
+            )
+        )
+
+
+def _decode_i16_mb(r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp):
+    """Decode one Intra_16x16 macroblock inside an inter slice
+    (itype = mb_type - base, in 1..24). Returns the updated slice
+    QP (mb_qp_delta is always present for Intra_16x16)."""
+    ry, rcb, rcr = recons
+    t = itype - 1
+    cbpl = 15 if t >= 12 else 0
+    t %= 12
+    cbpc, pm = t // 4, t % 4
+    chroma_mode = r.ue()
+    if chroma_mode != 0:
+        raise NotImplementedError(
+            f"chroma prediction mode {chroma_mode} — only DC is "
+            "implemented"
+        )
+    cur_qp = (cur_qp + r.se() + 52) % 52
+    qpc = _chroma_qp(cur_qp)
+    nc = _nc_for(luma_nnz, mx * 4, my * 4)
+    dccf, _ = decode_residual_block(r, nc, 16)
+    zdc = np.zeros(16, np.int64)
+    zdc[_ZIG] = dccf
+    zdc = zdc.reshape(4, 4)
+    acz = np.zeros((4, 4, 4, 4), np.int64)
+    if cbpl:
+        for bx, by in _ZBLK:
+            gx, gy = mx * 4 + bx, my * 4 + by
+            nc = _nc_for(luma_nnz, gx, gy)
+            cf, tot = decode_residual_block(r, nc, 15)
+            z = np.zeros(16, np.int64)
+            z[_ZIG[1:]] = cf
+            acz[by, bx] = z.reshape(4, 4)
+            luma_nnz[gy, gx] = tot
+    else:
+        luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+    cdcz = {0: np.zeros((2, 2), np.int64),
+            1: np.zeros((2, 2), np.int64)}
+    cacz = {0: np.zeros((2, 2, 4, 4), np.int64),
+            1: np.zeros((2, 2, 4, 4), np.int64)}
+    if cbpc > 0:
+        for pi in (0, 1):
+            cf, _ = decode_residual_block(r, -1, 4)
+            cdcz[pi] = np.array(
+                [[cf[0], cf[1]], [cf[2], cf[3]]], np.int64
+            )
+    if cbpc > 1:
+        for pi in (0, 1):
+            for by in range(2):
+                for bx in range(2):
+                    gx, gy = mx * 2 + bx, my * 2 + by
+                    nc = _nc_for(cnnz[pi], gx, gy)
+                    cf, tot = decode_residual_block(r, nc, 15)
+                    z = np.zeros(16, np.int64)
+                    z[_ZIG[1:]] = cf
+                    cacz[pi][by, bx] = z.reshape(4, 4)
+                    cnnz[pi][gy, gx] = tot
+    else:
+        for pi in (0, 1):
+            cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    pred = _pred16(ry, my, mx, pm)
+    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+        _recon_mb16(pred, acz if cbpl else None, zdc, cur_qp)
+    )
+    for pi, reconp in ((0, rcb), (1, rcr)):
+        cp = _pred8_chroma_dc(reconp, my, mx)
+        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+            _recon_chroma8(
+                cp,
+                cacz[pi] if cbpc > 1 else None,
+                cdcz[pi] if cbpc > 0 else None,
+                qpc,
+            )
+        )
+    return cur_qp
+
+
 def _encode_p_frame(
     target: tuple[np.ndarray, np.ndarray, np.ndarray],
     refs: list,
@@ -579,18 +937,12 @@ def _encode_p_frame(
     y1, cb1, cr1 = target
     h, w = y1.shape
     mbw, mbh = w // 16, h // 16
-    padded = [
-        (
-            np.pad(ry_.astype(np.int64), _PAD, mode="edge"),
-            np.pad(rcb_.astype(np.int64), _PAD // 2, mode="edge"),
-            np.pad(rcr_.astype(np.int64), _PAD // 2, mode="edge"),
-        )
-        for ry_, rcb_, rcr_ in refs
-    ]
+    padded = _pad_refs(refs)
     qpc = _chroma_qp(qp)
     ry = np.zeros((h, w), np.int64)
     rcb = np.zeros((h // 2, w // 2), np.int64)
     rcr = np.zeros((h // 2, w // 2), np.int64)
+    recons = (ry, rcb, rcr)
     luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
     cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
             1: np.zeros((mbh * 2, mbw * 2), np.int64)}
@@ -600,211 +952,14 @@ def _encode_p_frame(
     _p_slice_header(sl, qp, frame_num, nra)
     skip_run = 0
 
-    def predict_mb(mx, my, placed):
-        """Motion-compensate the whole MB from a list of
-        (ox4, oy4, w4, h4, mv, ref) placements (4x4-unit offsets
-        within the MB)."""
-        py = np.zeros((16, 16), np.int64)
-        pcb = np.zeros((8, 8), np.int64)
-        pcr = np.zeros((8, 8), np.int64)
-        for ox4, oy4, w4, h4, mv, ref in placed:
-            ref_y, ref_cb, ref_cr = padded[ref]
-            lx, ly = mx * 16 + ox4 * 4, my * 16 + oy4 * 4
-            py[oy4 * 4 : oy4 * 4 + h4 * 4, ox4 * 4 : ox4 * 4 + w4 * 4] = (
-                interp_luma(
-                    ref_y, ly + _PAD, lx + _PAD, h4 * 4, w4 * 4,
-                    int(mv[0]), int(mv[1]),
-                )
-            )
-            cx, cy = mx * 8 + ox4 * 2, my * 8 + oy4 * 2
-            for plane, out in ((ref_cb, pcb), (ref_cr, pcr)):
-                out[oy4 * 2 : oy4 * 2 + h4 * 2,
-                    ox4 * 2 : ox4 * 2 + w4 * 2] = interp_chroma(
-                    plane, cy + _PAD // 2, cx + _PAD // 2,
-                    h4 * 2, w4 * 2, int(mv[0]), int(mv[1]),
-                )
-        return py, pcb, pcr
-
-    def compute_residual(mx, my, py, pcb, pcr):
-        tgt = y1[my * 16 : my * 16 + 16,
-                 mx * 16 : mx * 16 + 16].astype(np.int64)
-        resid = tgt - py
-        blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
-        zl = _quant(np.matmul(np.matmul(_CF, blocks), _CF.T), qp)
-        cbp_luma = 0
-        for g in range(4):
-            gy8, gx8 = g >> 1, g & 1
-            if zl[gy8 * 2 : gy8 * 2 + 2, gx8 * 2 : gx8 * 2 + 2].any():
-                cbp_luma |= 1 << g
-        cdcz, cacz = {}, {}
-        for pi, (srcp, pred) in enumerate(((cb1, pcb), (cr1, pcr))):
-            cres = srcp[my * 8 : my * 8 + 8,
-                        mx * 8 : mx * 8 + 8].astype(np.int64) - pred
-            cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
-            wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
-            dc2 = wmc[..., 0, 0]
-            az = _quant(wmc, qpc)
-            az[..., 0, 0] = 0
-            qbits = 15 + qpc // 6
-            f = (1 << qbits) // 3
-            yd = _H2 @ dc2 @ _H2
-            cdcz[pi] = np.sign(yd) * (
-                (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
-            )
-            cacz[pi] = az
-        any_cac = any(cacz[p].any() for p in (0, 1))
-        any_cdc = any(cdcz[p].any() for p in (0, 1))
-        cbpc = 2 if any_cac else (1 if any_cdc else 0)
-        return cbp_luma | (cbpc << 4), zl, cdcz, cacz
-
-    def emit_residuals(mx, my, cbp, zl, cdcz, cacz):
-        cbp_luma, cbpc = cbp & 15, cbp >> 4
-        for g in range(4):
-            if not cbp_luma & (1 << g):
-                for k in range(4):
-                    bx, by = _ZBLK[g * 4 + k]
-                    luma_nnz[my * 4 + by, mx * 4 + bx] = 0
-                continue
-            for k in range(4):
-                bx, by = _ZBLK[g * 4 + k]
-                gx, gy = mx * 4 + bx, my * 4 + by
-                nc = _nc_for(luma_nnz, gx, gy)
-                coeffs = [int(zl[by, bx].flat[i]) for i in _ZIG]
-                luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 16)
-        if cbpc > 0:
-            for pi in (0, 1):
-                zd = cdcz[pi]
-                encode_residual_block(
-                    sl,
-                    [int(zd[0, 0]), int(zd[0, 1]),
-                     int(zd[1, 0]), int(zd[1, 1])],
-                    -1, 4,
-                )
-        if cbpc > 1:
-            for pi in (0, 1):
-                for by in range(2):
-                    for bx in range(2):
-                        gx, gy = mx * 2 + bx, my * 2 + by
-                        nc = _nc_for(cnnz[pi], gx, gy)
-                        coeffs = [int(cacz[pi][by, bx].flat[i])
-                                  for i in _ZIG[1:]]
-                        cnnz[pi][gy, gx] = encode_residual_block(
-                            sl, coeffs, nc, 15
-                        )
-        else:
-            for pi in (0, 1):
-                cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
-
-    def recon_inter(mx, my, py, pcb, pcr, cbp, zl, cdcz, cacz):
-        cbpc = cbp >> 4
-        blk = (_inv4x4(_dequant_ac(zl, qp)) + 32) >> 6
-        ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
-            py + blk.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255
-        )
-        for pi, reconp in ((0, rcb), (1, rcr)):
-            pred = (pcb, pcr)[pi]
-            reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                _recon_chroma8(
-                    pred,
-                    cacz[pi] if cbpc > 1 else None,
-                    cdcz[pi] if cbpc > 0 else None,
-                    qpc,
-                )
-            )
-
-    def encode_i16_mb(mx, my):
-        """Intra_16x16 macroblock inside the P slice (DC luma + DC
-        chroma prediction, mb_type 5 + intra type), mirroring the
-        proven I-slice encoder on the shared transform layer."""
-        pred = _pred16(ry, my, mx, 2)
-        resid = y1[my * 16 : my * 16 + 16,
-                   mx * 16 : mx * 16 + 16].astype(np.int64) - pred
-        blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
-        wm = np.matmul(np.matmul(_CF, blocks), _CF.T)
-        dc = wm[..., 0, 0]
-        acz = _quant(wm, qp)
-        acz[..., 0, 0] = 0
-        zdc = _quant_dc4((_H4 @ dc @ _H4) // 2, qp)
-        cbpl = 15 if acz.any() else 0
-        cpred, cdcz, cacz = {}, {}, {}
-        for pi, (srcp, reconp) in enumerate(((cb1, rcb), (cr1, rcr))):
-            cp = _pred8_chroma_dc(reconp, my, mx)
-            cres = srcp[my * 8 : my * 8 + 8,
-                        mx * 8 : mx * 8 + 8].astype(np.int64) - cp
-            cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
-            wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
-            dc2 = wmc[..., 0, 0]
-            az = _quant(wmc, qpc)
-            az[..., 0, 0] = 0
-            qbits = 15 + qpc // 6
-            f = (1 << qbits) // 3
-            yd = _H2 @ dc2 @ _H2
-            zd = np.sign(yd) * (
-                (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
-            )
-            cpred[pi], cdcz[pi], cacz[pi] = cp, zd, az
-        any_cac = any(cacz[p].any() for p in (0, 1))
-        any_cdc = any(cdcz[p].any() for p in (0, 1))
-        cbpc = 2 if any_cac else (1 if any_cdc else 0)
-        # Intra_16x16 mb_type in P slices: 5 + I-slice type (DC pred)
-        sl.ue(5 + 1 + 2 + 4 * cbpc + 12 * (1 if cbpl else 0))
-        sl.ue(0)  # intra_chroma_pred_mode: DC
-        sl.se(0)  # mb_qp_delta
-        nc = _nc_for(luma_nnz, mx * 4, my * 4)
-        encode_residual_block(sl, [int(zdc.flat[i]) for i in _ZIG], nc, 16)
-        if cbpl:
-            for bx, by in _ZBLK:
-                gx, gy = mx * 4 + bx, my * 4 + by
-                nc = _nc_for(luma_nnz, gx, gy)
-                coeffs = [int(acz[by, bx].flat[i]) for i in _ZIG[1:]]
-                luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 15)
-        else:
-            luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
-        if cbpc > 0:
-            for pi in (0, 1):
-                zd = cdcz[pi]
-                encode_residual_block(
-                    sl,
-                    [int(zd[0, 0]), int(zd[0, 1]),
-                     int(zd[1, 0]), int(zd[1, 1])],
-                    -1, 4,
-                )
-        if cbpc > 1:
-            for pi in (0, 1):
-                for by in range(2):
-                    for bx in range(2):
-                        gx, gy = mx * 2 + bx, my * 2 + by
-                        nc = _nc_for(cnnz[pi], gx, gy)
-                        coeffs = [int(cacz[pi][by, bx].flat[i])
-                                  for i in _ZIG[1:]]
-                        cnnz[pi][gy, gx] = encode_residual_block(
-                            sl, coeffs, nc, 15
-                        )
-        else:
-            for pi in (0, 1):
-                cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
-        ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _recon_mb16(
-            pred, acz if cbpl else None, zdc, qp
-        )
-        for pi, reconp in ((0, rcb), (1, rcr)):
-            reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                _recon_chroma8(
-                    cpred[pi],
-                    cacz[pi] if cbpc > 1 else None,
-                    cdcz[pi] if cbpc > 0 else None,
-                    qpc,
-                )
-            )
-        mvs.mark_intra(mx, my)
-
     for my in range(mbh):
         for mx in range(mbw):
             spec = mb_specs[my * mbw + mx]
             kind = spec[0]
             if kind == "skip":
                 mv = mvs.skip_mv(mx, my)
-                py, pcb, pcr = predict_mb(
-                    mx, my, [(0, 0, 4, 4, mv, 0)]
+                py, pcb, pcr = _mc_mb(
+                    padded, mx, my, [(0, 0, 4, 4, mv, 0)]
                 )
                 ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
                     np.clip(py, 0, 255)
@@ -824,7 +979,9 @@ def _encode_p_frame(
             if kind == "i16":
                 sl.ue(skip_run)
                 skip_run = 0
-                encode_i16_mb(mx, my)
+                _encode_i16_mb(sl, target, recons, luma_nnz, cnnz,
+                               mx, my, qp, qpc, base=5)
+                mvs.mark_intra(mx, my)
                 continue
             if kind == "8x8":
                 subs = spec[1]
@@ -868,13 +1025,14 @@ def _encode_p_frame(
                         placed.append(
                             (ox8 + sx4, oy8 + sy4, w4, h4, mv, subrefs[k])
                         )
-                py, pcb, pcr = predict_mb(mx, my, placed)
-                cbp, zl, cdcz, cacz = compute_residual(mx, my, py, pcb, pcr)
-                sl.ue(_CBP_INTER_INV[cbp])
-                if cbp:
-                    sl.se(0)  # mb_qp_delta
-                emit_residuals(mx, my, cbp, zl, cdcz, cacz)
-                recon_inter(mx, my, py, pcb, pcr, cbp, zl, cdcz, cacz)
+                py, pcb, pcr = _mc_mb(padded, mx, my, placed)
+                cbp, zl, cdcz, cacz = _residual_from_target(
+                    target, mx, my, py, pcb, pcr, qp, qpc
+                )
+                _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz,
+                                 luma_nnz, cnnz)
+                _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
+                                zl, cdcz, cacz, qp, qpc)
                 continue
             mode = kind
             if mode not in _PARTS:
@@ -906,13 +1064,14 @@ def _encode_p_frame(
                 sl.se(int(mv[1] - pred_mv[1]))
                 mvs.fill(mx * 4 + ox4, my * 4 + oy4, w4, h4, mv, rf)
                 placed.append((ox4, oy4, w4, h4, mv, rf))
-            py, pcb, pcr = predict_mb(mx, my, placed)
-            cbp, zl, cdcz, cacz = compute_residual(mx, my, py, pcb, pcr)
-            sl.ue(_CBP_INTER_INV[cbp])
-            if cbp:
-                sl.se(0)  # mb_qp_delta
-            emit_residuals(mx, my, cbp, zl, cdcz, cacz)
-            recon_inter(mx, my, py, pcb, pcr, cbp, zl, cdcz, cacz)
+            py, pcb, pcr = _mc_mb(padded, mx, my, placed)
+            cbp, zl, cdcz, cacz = _residual_from_target(
+                target, mx, my, py, pcb, pcr, qp, qpc
+            )
+            _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz,
+                             luma_nnz, cnnz)
+            _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
+                            zl, cdcz, cacz, qp, qpc)
     if skip_run:
         sl.ue(skip_run)  # trailing skipped macroblocks
     sl.trailing()
@@ -1100,49 +1259,21 @@ def _decode_p_frame(
 ):
     mbw, mbh = sps["mbw"], sps["mbh"]
     h, w = mbh * 16, mbw * 16
-    padded = [
-        (
-            np.pad(ry_.astype(np.int64), _PAD, mode="edge"),
-            np.pad(rcb_.astype(np.int64), _PAD // 2, mode="edge"),
-            np.pad(rcr_.astype(np.int64), _PAD // 2, mode="edge"),
-        )
-        for ry_, rcb_, rcr_ in refs[:nra]
-    ]
+    padded = _pad_refs(refs[:nra])
     qpc = _chroma_qp(qp)
 
     ry = np.zeros((h, w), np.int64)
     rcb = np.zeros((h // 2, w // 2), np.int64)
     rcr = np.zeros((h // 2, w // 2), np.int64)
+    recons = (ry, rcb, rcr)
     luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
     cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
             1: np.zeros((mbh * 2, mbw * 2), np.int64)}
     mvs = _MvState(mbw, mbh)
 
-    def predict_mb(mx, my, placed):
-        py = np.zeros((16, 16), np.int64)
-        pcb = np.zeros((8, 8), np.int64)
-        pcr = np.zeros((8, 8), np.int64)
-        for ox4, oy4, w4, h4, mv, ref in placed:
-            ref_y, ref_cb, ref_cr = padded[ref]
-            lx, ly = mx * 16 + ox4 * 4, my * 16 + oy4 * 4
-            py[oy4 * 4 : oy4 * 4 + h4 * 4, ox4 * 4 : ox4 * 4 + w4 * 4] = (
-                interp_luma(
-                    ref_y, ly + _PAD, lx + _PAD, h4 * 4, w4 * 4,
-                    int(mv[0]), int(mv[1]),
-                )
-            )
-            cx, cy = mx * 8 + ox4 * 2, my * 8 + oy4 * 2
-            for plane, out in ((ref_cb, pcb), (ref_cr, pcr)):
-                out[oy4 * 2 : oy4 * 2 + h4 * 2,
-                    ox4 * 2 : ox4 * 2 + w4 * 2] = interp_chroma(
-                    plane, cy + _PAD // 2, cx + _PAD // 2,
-                    h4 * 2, w4 * 2, int(mv[0]), int(mv[1]),
-                )
-        return py, pcb, pcr
-
     def decode_skip(mx, my):
         mv = mvs.skip_mv(mx, my)
-        py, pcb, pcr = predict_mb(mx, my, [(0, 0, 4, 4, mv, 0)])
+        py, pcb, pcr = _mc_mb(padded, mx, my, [(0, 0, 4, 4, mv, 0)])
         ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
             py, 0, 255
         )
@@ -1179,74 +1310,10 @@ def _decode_p_frame(
                 raise NotImplementedError(
                     "I_PCM inside a P slice — gated"
                 )
-            t = itype - 1
-            cbpl = 15 if t >= 12 else 0
-            t %= 12
-            cbpc, pm = t // 4, t % 4
-            chroma_mode = r.ue()
-            if chroma_mode != 0:
-                raise NotImplementedError(
-                    f"chroma prediction mode {chroma_mode} — only DC "
-                    "is implemented"
-                )
-            cur_qp = (cur_qp + r.se() + 52) % 52
-            qpc = _chroma_qp(cur_qp)
-            nc = _nc_for(luma_nnz, mx * 4, my * 4)
-            dccf, _ = decode_residual_block(r, nc, 16)
-            zdc = np.zeros(16, np.int64)
-            zdc[_ZIG] = dccf
-            zdc = zdc.reshape(4, 4)
-            acz = np.zeros((4, 4, 4, 4), np.int64)
-            if cbpl:
-                for bx, by in _ZBLK:
-                    gx, gy = mx * 4 + bx, my * 4 + by
-                    nc = _nc_for(luma_nnz, gx, gy)
-                    cf, tot = decode_residual_block(r, nc, 15)
-                    z = np.zeros(16, np.int64)
-                    z[_ZIG[1:]] = cf
-                    acz[by, bx] = z.reshape(4, 4)
-                    luma_nnz[gy, gx] = tot
-            else:
-                luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
-            cdcz = {0: np.zeros((2, 2), np.int64),
-                    1: np.zeros((2, 2), np.int64)}
-            cacz = {0: np.zeros((2, 2, 4, 4), np.int64),
-                    1: np.zeros((2, 2, 4, 4), np.int64)}
-            if cbpc > 0:
-                for pi in (0, 1):
-                    cf, _ = decode_residual_block(r, -1, 4)
-                    cdcz[pi] = np.array(
-                        [[cf[0], cf[1]], [cf[2], cf[3]]], np.int64
-                    )
-            if cbpc > 1:
-                for pi in (0, 1):
-                    for by in range(2):
-                        for bx in range(2):
-                            gx, gy = mx * 2 + bx, my * 2 + by
-                            nc = _nc_for(cnnz[pi], gx, gy)
-                            cf, tot = decode_residual_block(r, nc, 15)
-                            z = np.zeros(16, np.int64)
-                            z[_ZIG[1:]] = cf
-                            cacz[pi][by, bx] = z.reshape(4, 4)
-                            cnnz[pi][gy, gx] = tot
-            else:
-                for pi in (0, 1):
-                    cnnz[pi][my * 2 : my * 2 + 2,
-                             mx * 2 : mx * 2 + 2] = 0
-            pred = _pred16(ry, my, mx, pm)
-            ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-                _recon_mb16(pred, acz if cbpl else None, zdc, cur_qp)
+            cur_qp = _decode_i16_mb(
+                r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp
             )
-            for pi, reconp in ((0, rcb), (1, rcr)):
-                cp = _pred8_chroma_dc(reconp, my, mx)
-                reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                    _recon_chroma8(
-                        cp,
-                        cacz[pi] if cbpc > 1 else None,
-                        cdcz[pi] if cbpc > 0 else None,
-                        qpc,
-                    )
-                )
+            qpc = _chroma_qp(cur_qp)
             mvs.mark_intra(mx, my)
             addr += 1
             continue
@@ -1293,63 +1360,15 @@ def _decode_p_frame(
                 mvs.fill(mx * 4 + ox4, my * 4 + oy4, w4, h4, mv,
                          prefs[pidx])
                 placed.append((ox4, oy4, w4, h4, mv, prefs[pidx]))
-        py, pcb, pcr = predict_mb(mx, my, placed)
-        cbp = _CBP_INTER[r.ue()]
-        cbp_luma, cbpc = cbp & 15, cbp >> 4
-        if cbp:
-            cur_qp = (cur_qp + r.se() + 52) % 52
-            qpc = _chroma_qp(cur_qp)
-        zl = np.zeros((4, 4, 4, 4), np.int64)
-        for g in range(4):
-            for k in range(4):
-                bx, by = _ZBLK[g * 4 + k]
-                gx, gy = mx * 4 + bx, my * 4 + by
-                if not cbp_luma & (1 << g):
-                    luma_nnz[gy, gx] = 0
-                    continue
-                nc = _nc_for(luma_nnz, gx, gy)
-                cf, tot = decode_residual_block(r, nc, 16)
-                z = np.zeros(16, np.int64)
-                z[_ZIG] = cf
-                zl[by, bx] = z.reshape(4, 4)
-                luma_nnz[gy, gx] = tot
-        cdcz = {0: np.zeros((2, 2), np.int64), 1: np.zeros((2, 2), np.int64)}
-        cacz = {0: np.zeros((2, 2, 4, 4), np.int64),
-                1: np.zeros((2, 2, 4, 4), np.int64)}
-        if cbpc > 0:
-            for pi in (0, 1):
-                cf, _ = decode_residual_block(r, -1, 4)
-                cdcz[pi] = np.array(
-                    [[cf[0], cf[1]], [cf[2], cf[3]]], np.int64
-                )
-        if cbpc > 1:
-            for pi in (0, 1):
-                for by in range(2):
-                    for bx in range(2):
-                        gx, gy = mx * 2 + bx, my * 2 + by
-                        nc = _nc_for(cnnz[pi], gx, gy)
-                        cf, tot = decode_residual_block(r, nc, 15)
-                        z = np.zeros(16, np.int64)
-                        z[_ZIG[1:]] = cf
-                        cacz[pi][by, bx] = z.reshape(4, 4)
-                        cnnz[pi][gy, gx] = tot
-        else:
-            for pi in (0, 1):
-                cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
-        blk = (_inv4x4(_dequant_ac(zl, cur_qp)) + 32) >> 6
-        ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
-            py + blk.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255
+        py, pcb, pcr = _mc_mb(padded, mx, my, placed)
+        cbp, qpd, zl, cdcz, cacz = _read_residuals(
+            r, mx, my, luma_nnz, cnnz
         )
-        for pi, reconp in ((0, rcb), (1, rcr)):
-            pred = (pcb, pcr)[pi]
-            reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                _recon_chroma8(
-                    pred,
-                    cacz[pi] if cbpc > 1 else None,
-                    cdcz[pi] if cbpc > 0 else None,
-                    qpc,
-                )
-            )
+        if cbp:
+            cur_qp = (cur_qp + qpd + 52) % 52
+            qpc = _chroma_qp(cur_qp)
+        _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
+                        zl, cdcz, cacz, cur_qp, qpc)
         addr += 1
     return (
         ry.astype(np.uint8),

@@ -247,6 +247,7 @@ _ADDED_R9 = [
     "e12_mixed_corpus_pipeline",
     "m35_h264_inter",
     "m36_h264_gop",
+    "m37_h264_bslice",
 ]
 
 

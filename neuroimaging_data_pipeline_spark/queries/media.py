@@ -1706,6 +1706,113 @@ FROM d GROUP BY doc_id
 
 
 
+def m37_h264_bslice(spark, sf_dir):
+    """M37: H.264 B-SLICE decode (multimodal/h264_bslice.py) — the
+    bi-predictive frame family: POC-type-0 framing (decode order !=
+    display order), 8.2.4.2.3 reference-list initialization (list0 =
+    nearest past by POC, list1 = nearest future), Table 7-14 B
+    macroblock types with per-list MV prediction and the
+    mvd_l0-then-mvd_l1 syntax order, and DEFAULT unweighted
+    bi-prediction (predL0 + predL1 + 1) >> 1. Per document a 3-frame
+    32x32 GOP in decode order IDR(poc 0) -> P(poc 4) -> B(poc 2)
+    whose four B macroblocks are L0-from-anchor / L1-from-future-P /
+    Bi rounded average / mixed 16x8 (top L0, bottom L1). At QP 0
+    every stage is exact, so the oracle recomputes EVERY decoded
+    pixel of all three frames in pure SQL — including the rounded
+    bi-predictive average and the two-hop P composition — plus the
+    display rank of the B frame. Full QP/mb_type coverage is pinned
+    by bit-exact round trips in pytest. Narrow scan -> mapInPandas,
+    zero shuffle; one task per video shard at 100 TB."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_bslice import (
+        h264_b_frame_features,
+        synthesize_h264_b_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_b_frames(d, id_col="doc_id")
+    return h264_b_frame_features(media)
+
+
+M37_SQL = """
+WITH px AS (
+  SELECT doc_id, py.py AS py, qx.px AS px
+  FROM documents,
+       UNNEST(range(0, 32)) AS py(py),
+       UNNEST(range(0, 32)) AS qx(px)
+), c AS (
+  SELECT doc_id, py, px,
+         16 + (doc_id * 13 + (py // 4) * 41 + (px // 4) * 59) % 224 AS y0,
+         16 + (doc_id * 13
+           + (LEAST(GREATEST(py + 4 * ((doc_id * 2 + 3 * (px // 16)
+               + (py // 16)) % 3 - 1), 0), 31) // 4) * 41
+           + (LEAST(GREATEST(px + 4 * ((doc_id + (px // 16)
+               + 2 * (py // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
+         + (doc_id + (py // 4) * 7 + (px // 4) * 11) % 9 - 4 AS y1,
+         LEAST(GREATEST(py + 4 * ((doc_id * 2) % 3 - 1), 0), 31) AS ra,
+         LEAST(GREATEST(px + 4 * ((doc_id + 1) % 3 - 1), 0), 31) AS ca,
+         LEAST(GREATEST(py + 4 * ((doc_id + 2) % 3 - 1), 0), 31) AS rb,
+         LEAST(GREATEST(px + 4 * ((doc_id * 2 + 1) % 3 - 1), 0), 31) AS cb,
+         LEAST(GREATEST(py + 4 * ((doc_id * 2 + 2) % 3 - 1), 0), 31) AS r0,
+         LEAST(GREATEST(px + 4 * (doc_id % 3 - 1), 0), 31) AS c0,
+         LEAST(GREATEST(py + 4 * ((doc_id * 2 + 1) % 3 - 1), 0), 31) AS r9,
+         LEAST(GREATEST(px + 4 * ((doc_id + 2) % 3 - 1), 0), 31) AS c9,
+         LEAST(GREATEST(py + 4 * ((doc_id * 2) % 3 - 1), 0), 31) AS rt,
+         LEAST(GREATEST(px + 4 * ((doc_id + 1) % 3 - 1), 0), 31) AS ct,
+         LEAST(GREATEST(py + 4 * ((doc_id + 1) % 3 - 1), 0), 31) AS ru,
+         LEAST(GREATEST(px + 4 * ((doc_id * 2 + 2) % 3 - 1), 0), 31) AS cu
+  FROM px
+), d AS (
+  SELECT doc_id, y0, y1,
+         CASE
+           WHEN py < 16 AND px < 16 THEN
+             16 + (doc_id * 13 + (ra // 4) * 41 + (ca // 4) * 59) % 224
+             + (doc_id + (py // 4) * 7 + (px // 4) * 11) % 9 - 4
+           WHEN py < 16 THEN
+             (16 + (doc_id * 13
+           + (LEAST(GREATEST(rb + 4 * ((doc_id * 2 + 3 * (cb // 16)
+               + (rb // 16)) % 3 - 1), 0), 31) // 4) * 41
+           + (LEAST(GREATEST(cb + 4 * ((doc_id + (cb // 16)
+               + 2 * (rb // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
+         + (doc_id + (rb // 4) * 7 + (cb // 4) * 11) % 9 - 4)
+             + (doc_id * 3 + (py // 4) * 5 + (px // 4) * 13) % 9 - 4
+           WHEN px < 16 THEN
+             ((16 + (doc_id * 13 + (r0 // 4) * 41 + (c0 // 4) * 59) % 224)
+              + (16 + (doc_id * 13
+           + (LEAST(GREATEST(r9 + 4 * ((doc_id * 2 + 3 * (c9 // 16)
+               + (r9 // 16)) % 3 - 1), 0), 31) // 4) * 41
+           + (LEAST(GREATEST(c9 + 4 * ((doc_id + (c9 // 16)
+               + 2 * (r9 // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
+         + (doc_id + (r9 // 4) * 7 + (c9 // 4) * 11) % 9 - 4) + 1) // 2
+             + (doc_id + (py // 4) * 3 + (px // 4) * 7) % 9 - 4
+           WHEN py < 24 THEN
+             16 + (doc_id * 13 + (rt // 4) * 41 + (ct // 4) * 59) % 224
+             + (doc_id * 5 + (py // 4) * 11 + (px // 4) * 3) % 9 - 4
+           ELSE
+             (16 + (doc_id * 13
+           + (LEAST(GREATEST(ru + 4 * ((doc_id * 2 + 3 * (cu // 16)
+               + (ru // 16)) % 3 - 1), 0), 31) // 4) * 41
+           + (LEAST(GREATEST(cu + 4 * ((doc_id + (cu // 16)
+               + 2 * (ru // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
+         + (doc_id + (ru // 4) * 7 + (cu // 4) * 11) % 9 - 4)
+             + (doc_id * 5 + (py // 4) * 11 + (px // 4) * 3) % 9 - 4
+         END AS yb
+  FROM c
+)
+SELECT doc_id,
+       CAST(3 AS INT) AS n_frames,
+       CAST(32 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       CAST(1 AS INT) AS b_display_idx,
+       CAST(SUM(y0) AS BIGINT) AS sum_y_idr,
+       CAST(SUM(y1) AS BIGINT) AS sum_y_p,
+       CAST(SUM(yb) AS BIGINT) AS sum_y_b,
+       CAST(32768 AS BIGINT) AS sum_cb_b,
+       CAST(32768 AS BIGINT) AS sum_cr_b
+FROM d GROUP BY doc_id
+"""
+
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -1775,6 +1882,7 @@ QUERIES = {
     "m34_mp3_samples": m34_mp3_samples,
     "m35_h264_inter": m35_h264_inter,
     "m36_h264_gop": m36_h264_gop,
+    "m37_h264_bslice": m37_h264_bslice,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -1809,5 +1917,6 @@ ORACLE = {
     "m34_mp3_samples": M34_SQL,
     "m35_h264_inter": M35_SQL,
     "m36_h264_gop": M36_SQL,
+    "m37_h264_bslice": M37_SQL,
     "m31_lzma_alone": M31_SQL,
 }

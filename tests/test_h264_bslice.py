@@ -1,0 +1,180 @@
+"""H.264 B slices: bit-exact round trips across QPs and all 21
+mb_types, bi-prediction averaging pin, POC-ordered reference
+selection, gates, ffmpeg cross-pin (display-order reordered)."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from neuroimaging_data_pipeline_spark.multimodal.h264_bslice import (
+    _B_USES,
+    decode_h264_b_stream,
+    encode_h264_b_sequence,
+)
+
+
+def _planes(h, w, seed):
+    r = np.random.default_rng(seed)
+    return (
+        r.integers(0, 256, (h, w), dtype=np.uint8),
+        r.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+        r.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+    )
+
+
+def _rand_b_specs(rng, n_mbs, with_i16=True):
+    mv = lambda: tuple(int(v) for v in rng.integers(-13, 14, 2))
+    specs = []
+    for i in range(n_mbs):
+        pick = int(rng.integers(0, 22 if with_i16 else 21)) + 1
+        if pick == 22:
+            specs.append(("i16",))
+            continue
+        mode, uses = _B_USES[pick]
+        parts = []
+        for u in uses:
+            if u == "bi":
+                parts.append(("bi", mv(), mv()))
+            else:
+                parts.append((u, mv()))
+        specs.append((mode, parts))
+    return specs
+
+
+@pytest.mark.parametrize("qp", [0, 20, 37])
+def test_b_sequence_roundtrip_bit_exact(qp):
+    rng = np.random.default_rng(qp)
+    f0, fp, fb = (_planes(48, 48, 10 + qp), _planes(48, 48, 20 + qp),
+                  _planes(48, 48, 30 + qp))
+    specs_p = _rand_b_specs(rng, 9, with_i16=False)
+    # P specs use the P language: translate l0/l1/bi picks to 16x16 l0
+    specs_p = [("16x16", [tuple(int(v) for v in rng.integers(-9, 10, 2))])
+               for _ in range(9)]
+    specs_b = _rand_b_specs(rng, 9)
+    stream, recons, pocs = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, specs_p, 4), ("b", fb, specs_b, 2)],
+        qp=qp,
+    )
+    frames, dpocs = decode_h264_b_stream(stream)
+    assert dpocs == pocs == [0, 4, 2]
+    for fi in range(3):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_all_21_b_mb_types_roundtrip():
+    rng = np.random.default_rng(5)
+    f0, fp, fb = (_planes(48, 112, 1), _planes(48, 112, 2),
+                  _planes(48, 112, 3))
+    mv = lambda: tuple(int(v) for v in rng.integers(-13, 14, 2))
+    specs_b = []
+    for t in range(1, 22):
+        mode, uses = _B_USES[t]
+        parts = []
+        for u in uses:
+            if u == "bi":
+                parts.append(("bi", mv(), mv()))
+            else:
+                parts.append((u, mv()))
+        specs_b.append((mode, parts))
+    stream, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(0, 0)])] * 21, 4),
+         ("b", fb, specs_b, 2)], qp=14,
+    )
+    frames, _ = decode_h264_b_stream(stream)
+    for fi in range(3):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_bi_prediction_is_rounded_average():
+    """Constant references, zero MVs, target == rounded average:
+    the B frame must decode with zero residual to (c0 + c1 + 1) >> 1
+    on every plane."""
+    c = np.full((8, 8), 128, np.uint8)
+    f0 = (np.full((16, 16), 51, np.uint8), c, c.copy())
+    fp = (np.full((16, 16), 200, np.uint8), c.copy(), c.copy())
+    avg = (51 + 200 + 1) >> 1
+    fb = (np.full((16, 16), avg, np.uint8), c.copy(), c.copy())
+    stream, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(0, 0)])], 4),
+         ("b", fb, [("16x16", [("bi", (0, 0), (0, 0))])], 2)], qp=0,
+    )
+    frames, _ = decode_h264_b_stream(stream)
+    assert frames[2][0].min() == frames[2][0].max() == avg
+
+
+def test_two_b_frames_between_references():
+    rng = np.random.default_rng(7)
+    f0, fp = _planes(32, 32, 4), _planes(32, 32, 5)
+    fb1, fb2 = _planes(32, 32, 6), _planes(32, 32, 7)
+    sb1 = _rand_b_specs(rng, 4)
+    sb2 = _rand_b_specs(rng, 4)
+    stream, recons, pocs = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(2, 2)])] * 4, 6),
+         ("b", fb1, sb1, 2), ("b", fb2, sb2, 4)], qp=24,
+    )
+    frames, dpocs = decode_h264_b_stream(stream)
+    assert dpocs == [0, 6, 2, 4]
+    for fi in range(4):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+    # display order = sorted by POC: idr, b1, b2, p
+    assert [dpocs.index(p) for p in sorted(dpocs)] == [0, 2, 3, 1]
+
+
+def test_b_gates_raise():
+    f0, fp, fb = _planes(32, 32, 8), _planes(32, 32, 9), _planes(32, 32, 10)
+    base = [("idr", f0), ("p", fp, [("16x16", [(0, 0)])] * 4, 4)]
+    with pytest.raises(NotImplementedError, match="B_8x8"):
+        encode_h264_b_sequence(
+            base + [("b", fb, [("8x8", [])] * 4, 2)], qp=0
+        )
+    with pytest.raises(ValueError, match="past and one future"):
+        encode_h264_b_sequence(
+            base + [("b", fb, [("16x16", [("l0", (0, 0))])] * 4, 8)],
+            qp=0,
+        )
+
+
+@pytest.mark.skipif(shutil.which("ffmpeg") is None, reason="no ffmpeg")
+def test_b_ffmpeg_cross_pin(tmp_path):
+    """libavcodec must reproduce the 3-frame B GOP exactly; ffmpeg
+    emits display order, so compare after POC reordering."""
+    rng = np.random.default_rng(42)
+    f0, fp, fb = (_planes(32, 48, 11), _planes(32, 48, 12),
+                  _planes(32, 48, 13))
+    specs_b = _rand_b_specs(rng, 6)
+    stream, recons, pocs = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(1, -1)])] * 6, 4),
+         ("b", fb, specs_b, 2)], qp=27,
+    )
+    src = tmp_path / "t.h264"
+    src.write_bytes(stream)
+    out = tmp_path / "t.yuv"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", str(src), "-f", "rawvideo",
+         "-pix_fmt", "yuv420p", str(out)],
+        check=True,
+    )
+    raw = out.read_bytes()
+    h, w = recons[0][0].shape
+    fsz = h * w * 3 // 2
+    assert len(raw) == 3 * fsz
+    display = [recons[i] for i in np.argsort(pocs, kind="stable")]
+    for fi, rec in enumerate(display):
+        buf = raw[fi * fsz : (fi + 1) * fsz]
+        fy = np.frombuffer(buf[: h * w], np.uint8).reshape(h, w)
+        fcb = np.frombuffer(
+            buf[h * w : h * w + h * w // 4], np.uint8
+        ).reshape(h // 2, w // 2)
+        fcr = np.frombuffer(buf[h * w + h * w // 4 :], np.uint8).reshape(
+            h // 2, w // 2
+        )
+        np.testing.assert_array_equal(fy, rec[0])
+        np.testing.assert_array_equal(fcb, rec[1])
+        np.testing.assert_array_equal(fcr, rec[2])
