@@ -248,6 +248,7 @@ _ADDED_R9 = [
     "m35_h264_inter",
     "m36_h264_gop",
     "m37_h264_bslice",
+    "m38_jpeg_hierarchical",
 ]
 
 

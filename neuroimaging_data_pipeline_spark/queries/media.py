@@ -1813,6 +1813,51 @@ FROM d GROUP BY doc_id
 
 
 
+def m38_jpeg_hierarchical(spark, sf_dir):
+    """M38: JPEG HIERARCHICAL mode (T.81 Annex J,
+    multimodal/jpeg_hier.py) — the last JPEG coding-mode gap: a DHP
+    hierarchical-progression header, a non-differential SOF0 base
+    frame at 8x8, then TWO EXP reference expansions (the J.1.1.2
+    (a + b + 1) >> 1 interpolation filter) each followed by a
+    DIFFERENTIAL sequential-DCT frame (SOF5, no level shift,
+    extended-range Huffman tables, per-frame DC prediction). The
+    fixture keeps intermediate levels constant and the final 32x32
+    level per-8x8-block constant, so every differential frame is
+    DC-only and the pyramid round-trips bit-exactly at unit
+    quantization — the oracle recomputes each level's pixels from
+    the id formulas. Interpolation arithmetic and lossy random
+    pyramids are pinned in pytest. Narrow scan -> mapInPandas, zero
+    shuffle; one task per image shard at 100 TB."""
+    from neuroimaging_data_pipeline_spark.multimodal.jpeg_hier import (
+        jpeg_hier_features,
+        synthesize_jpeg_hier_images,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_jpeg_hier_images(d, id_col="doc_id")
+    return jpeg_hier_features(media)
+
+
+M38_SQL = """
+WITH blocks AS (
+  SELECT doc_id, b.by AS by, c.bx AS bx
+  FROM documents,
+       UNNEST(range(0, 4)) AS b(by),
+       UNNEST(range(0, 4)) AS c(bx)
+)
+SELECT doc_id,
+       CAST(3 AS INT) AS n_levels,
+       CAST(32 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       CAST(16 + (doc_id * 29) % 224 AS INT) AS base_val,
+       CAST(16 + (doc_id * 57) % 224 AS INT) AS mid_val,
+       CAST(SUM(64 * (16 + (doc_id * 13 + by * 37 + bx * 53) % 224))
+         AS BIGINT) AS sum_y_final
+FROM blocks GROUP BY doc_id
+"""
+
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -1883,6 +1928,7 @@ QUERIES = {
     "m35_h264_inter": m35_h264_inter,
     "m36_h264_gop": m36_h264_gop,
     "m37_h264_bslice": m37_h264_bslice,
+    "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -1918,5 +1964,6 @@ ORACLE = {
     "m35_h264_inter": M35_SQL,
     "m36_h264_gop": M36_SQL,
     "m37_h264_bslice": M37_SQL,
+    "m38_jpeg_hierarchical": M38_SQL,
     "m31_lzma_alone": M31_SQL,
 }
