@@ -15,7 +15,10 @@ path down to spec-exact frequency lines, the way FLAC pinned PCM —
   exercises it (frames deliberately under-fill so the next frame's
   data starts inside an earlier frame);
 - SCALEFACTOR decode (2.4.2.7): the 16-entry slen1/slen2 table,
-  long-block band groups with scfsi reuse, short-block windows;
+  long-block band groups with scfsi reuse, short-block windows, AND
+  (r9 second pass) MIXED blocks — 8 long scalefactors plus short
+  bands 3..11, with requantize_mixed applying the long/pretab path
+  to the first 36 lines and the subblock_gain short path above;
 - HUFFMAN decode of the big_values and count1 regions (2.4.2.7 /
   Annex B Table B.7). Shipped tables: 0, 1, 2, 3, 5, 6 and both
   count1 tables A/B — every table the fixture encoder emits, each
@@ -33,11 +36,17 @@ path down to spec-exact frequency lines, the way FLAC pinned PCM —
 
 The integer spectral lines are emitted as oracle features (sums,
 counts, an order-weighted checksum) — exact integers, recomputable
-from the fixture formulas in pure SQL. The synthesis filterbank
-(IMDCT + polyphase) is deliberately out of scope: frequency lines
-are the boundary VERDICT r8 #4 set, mirroring how FLAC stopped at
-PCM. A capability-gated ffmpeg cross-check belongs on machines that
-have ffmpeg (this container has none).
+from the fixture formulas in pure SQL. r9 second pass: MS joint
+stereo (mode 1 / mode_extension MS bit: the 1/sqrt(2) butterfly on
+requantized lines, both encode and decode), pure-SHORT and MIXED
+granules encode+decode with subblock_gain requantization, and the
+HYBRID FILTERBANK (alias reduction, IMDCT, all four windows,
+overlap-add, frequency inversion) in the sibling ``mp3synth.py``
+down to subband time samples (m39). Remaining loud gates: the
+ESC/linbits Huffman family (tables 7..31), intensity stereo
+positions, and the polyphase Table B.3 window. A capability-gated
+ffmpeg cross-check belongs on machines that have ffmpeg (this
+container has none).
 
 Scale: opaque binary + Arrow ``mapInPandas``, narrow, zero shuffle;
 at 100 TB one task per audio shard, linear per-clip CPU.
@@ -198,6 +207,10 @@ class GranuleSpec:
         scalefac_scale: int = 0,
         region0_count: int = 5,
         region1_count: int = 5,
+        block_type: int = 0,
+        mixed: bool = False,
+        subblock_gain: tuple[int, int, int] = (0, 0, 0),
+        short_scalefacs: list | None = None,
     ) -> None:
         assert len(lines) == 576
         self.lines = lines
@@ -212,6 +225,27 @@ class GranuleSpec:
         self.scalefac_scale = scalefac_scale
         self.region0_count = region0_count
         self.region1_count = region1_count
+        # window switching (r9 extension): block_type 2 = short
+        # windows; mixed = long low subbands + short above
+        self.block_type = block_type
+        self.mixed = mixed
+        self.subblock_gain = subblock_gain
+        # pure short: 12 bands x 3 windows; mixed: dict with
+        # "long" (8 values, bands 0..7) and "short" (bands 3..11 x 3)
+        self.short_scalefacs = short_scalefacs
+        if block_type == 2:
+            if mixed:
+                assert short_scalefacs is not None
+                assert len(short_scalefacs["long"]) == 8
+                assert len(short_scalefacs["short"]) == 9
+            else:
+                assert short_scalefacs is not None
+                assert len(short_scalefacs) == 12
+        elif block_type != 0:
+            raise NotImplementedError(
+                "start/stop block types in the fixture encoder — "
+                "only long (0) and short (2) granules are written"
+            )
 
 
 def _encode_granule_maindata(
@@ -220,21 +254,42 @@ def _encode_granule_maindata(
     """Returns (bit writer with part2+part3 data, part2_3_length)."""
     bw = _BW()
     slen1, slen2 = _SLEN[g.scalefac_compress]
-    # part2: scalefactors (long blocks; scfsi groups skipped in gr1)
-    groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
-    for gi, (lo, hi, sl) in enumerate(groups):
-        if not first_granule and (scfsi >> (3 - gi)) & 1:
-            continue  # reused from granule 0
-        for b in range(lo, hi):
-            if g.scalefacs[b] >= (1 << sl):
-                raise ValueError("scalefactor exceeds slen")
-            bw.u(g.scalefacs[b], sl)
+    if g.block_type == 2:
+        if scfsi:
+            raise ValueError("scfsi must be 0 when short blocks occur")
+        if g.mixed:
+            for b in range(8):  # long bands 0..7, slen1
+                bw.u(g.short_scalefacs["long"][b], slen1)
+            for bi, b in enumerate(range(3, 12)):  # short bands 3..11
+                sl = slen1 if b < 6 else slen2
+                for w in range(3):
+                    bw.u(g.short_scalefacs["short"][bi][w], sl)
+        else:
+            for b in range(12):
+                sl = slen1 if b < 6 else slen2
+                for w in range(3):
+                    bw.u(g.short_scalefacs[b][w], sl)
+    else:
+        # part2: scalefactors (long; scfsi groups skipped in gr1)
+        groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+                  (16, 21, slen2))
+        for gi, (lo, hi, sl) in enumerate(groups):
+            if not first_granule and (scfsi >> (3 - gi)) & 1:
+                continue  # reused from granule 0
+            for b in range(lo, hi):
+                if g.scalefacs[b] >= (1 << sl):
+                    raise ValueError("scalefactor exceeds slen")
+                bw.u(g.scalefacs[b], sl)
     # part3: big values
-    r0_end = min(_SFB_LONG_44[g.region0_count + 1], 2 * g.big_values)
-    r1_end = min(
-        _SFB_LONG_44[g.region0_count + g.region1_count + 2],
-        2 * g.big_values,
-    )
+    if g.block_type == 2:
+        r0_end = min(36, 2 * g.big_values)
+        r1_end = 2 * g.big_values
+    else:
+        r0_end = min(_SFB_LONG_44[g.region0_count + 1], 2 * g.big_values)
+        r1_end = min(
+            _SFB_LONG_44[g.region0_count + g.region1_count + 2],
+            2 * g.big_values,
+        )
     for i in range(0, 2 * g.big_values, 2):
         region = 0 if i < r0_end else (1 if i < r1_end else 2)
         _huff_enc_pair(
@@ -258,6 +313,7 @@ def encode_mp3_l3(
     scfsi: int = 0,
     tags: dict[str, str] | None = None,
     nch: int = 1,
+    ms: bool = False,
 ) -> bytes:
     """Write a mono or stereo MPEG-1 Layer III stream (44.1 kHz)
     whose frames carry the given granules — ordered (frame, granule,
@@ -270,6 +326,8 @@ def encode_mp3_l3(
     groups equal)."""
     if nch not in (1, 2):
         raise ValueError("nch must be 1 or 2")
+    if ms and nch != 2:
+        raise ValueError("MS stereo requires two channels")
     if len(granules) % (2 * nch):
         raise ValueError("granules must fill whole frames")
     n_frames = len(granules) // (2 * nch)
@@ -337,7 +395,9 @@ def encode_mp3_l3(
             raise AssertionError(f"reservoir out of range: {begin}")
         # header: MPEG-1 Layer III, no CRC
         b3 = (brs[f] << 4) | (0 << 2) | (0 << 1)
-        out += bytes([0xFF, 0xFB, b3, 0xC0 if nch == 1 else 0x00])
+        # mode/mode_extension: mono, plain stereo, or joint (MS only)
+        mode_byte = 0xC0 if nch == 1 else (0x60 if ms else 0x00)
+        out += bytes([0xFF, 0xFB, b3, mode_byte])
         si = _BW()
         si.u(begin, 9)
         si.u(0, 5 if nch == 1 else 3)  # private_bits
@@ -349,12 +409,21 @@ def encode_mp3_l3(
             si.u(g.big_values, 9)
             si.u(g.global_gain, 8)
             si.u(g.scalefac_compress, 4)
-            si.u(0, 1)  # windows_switching_flag: long block
-            si.u(g.table_sel[0], 5)
-            si.u(g.table_sel[1], 5)
-            si.u(g.table_sel[2], 5)
-            si.u(g.region0_count, 4)
-            si.u(g.region1_count, 3)
+            if g.block_type == 2:
+                si.u(1, 1)  # windows_switching_flag
+                si.u(2, 2)  # block_type: short
+                si.u(1 if g.mixed else 0, 1)
+                si.u(g.table_sel[0], 5)
+                si.u(g.table_sel[1], 5)
+                for w in range(3):
+                    si.u(g.subblock_gain[w], 3)
+            else:
+                si.u(0, 1)  # windows_switching_flag: long block
+                si.u(g.table_sel[0], 5)
+                si.u(g.table_sel[1], 5)
+                si.u(g.table_sel[2], 5)
+                si.u(g.region0_count, 4)
+                si.u(g.region1_count, 3)
             si.u(g.preflag, 1)
             si.u(g.scalefac_scale, 1)
             si.u(1 if g.count1_table_b else 0, 1)
@@ -464,10 +533,15 @@ def _decode_scalefacs(br: _BR, g: dict, scfsi: int, gr0_sf, first: bool):
     slen1, slen2 = _SLEN[g["scalefac_compress"]]
     if g["windows_switching"] and g["block_type"] == 2:
         if g["mixed_block_flag"]:
-            raise NotImplementedError(
-                "mixed blocks — long+short hybrid granules are the "
-                "remaining window-switching gate"
-            )
+            # mixed granule (2.4.2.7): 8 long scalefactors (bands
+            # 0..7, slen1), then short bands 3..5 at slen1 and
+            # 6..11 at slen2, three windows each
+            longsf = [br.u(slen1) for _ in range(8)]
+            short = []
+            for b in range(3, 12):
+                sl = slen1 if b < 6 else slen2
+                short.append([br.u(sl) for _ in range(3)])
+            return {"long": longsf, "short": short}
         sf = []
         for b in range(6):
             sf.append([br.u(slen1) for _ in range(3)])
@@ -529,6 +603,70 @@ def requantize_long(
     return xr
 
 
+def requantize_short(
+    lines, global_gain: int, scalefacs, scalefac_scale: int,
+    subblock_gain,
+) -> np.ndarray:
+    """Spec-exact frequency lines (2.4.3.4), PURE SHORT blocks, in
+    bitstream order (band, window, position): per band b / window w,
+    xr = sign*|is|^(4/3) * 2^((gg - 210 - 8*sbg[w])/4)
+       * 2^(-(scalefac_scale+1)/2 * sf[b][w]); the 136..192 tail
+    carries no scalefactor."""
+    v = np.asarray(lines, dtype=np.float64)
+    xr = np.sign(v) * np.abs(v) ** (4.0 / 3.0)
+    mult = 0.5 * (scalefac_scale + 1)
+    gains = np.zeros(576)
+    for b in range(13):
+        lo, hi = _SFB_SHORT_44[b], _SFB_SHORT_44[b + 1]
+        width = hi - lo
+        for w in range(3):
+            sf = scalefacs[b][w] if b < 12 else 0
+            g = (
+                2.0 ** ((global_gain - 210 - 8 * subblock_gain[w]) / 4.0)
+                * 2.0 ** (-mult * sf)
+            )
+            s = 3 * lo + w * width
+            gains[s : s + width] = g
+    return xr * gains
+
+
+def requantize_mixed(
+    lines, global_gain: int, scalefacs, scalefac_scale: int,
+    subblock_gain, preflag: int,
+) -> np.ndarray:
+    """Spec-exact frequency lines for MIXED granules: the first 36
+    lines requantize as LONG bands 0..7 (with pretab), the rest as
+    short bands 3..12 in bitstream order."""
+    v = np.asarray(lines, dtype=np.float64)
+    xr = np.sign(v) * np.abs(v) ** (4.0 / 3.0)
+    mult = 0.5 * (scalefac_scale + 1)
+    gains = np.zeros(576)
+    gg = 2.0 ** ((global_gain - 210) / 4.0)
+    for b in range(8):
+        lo, hi = _SFB_LONG_44[b], _SFB_LONG_44[b + 1]
+        gains[lo:hi] = gg * 2.0 ** (
+            -mult * (scalefacs["long"][b] + preflag * _PRETAB[b])
+        )
+    for b in range(3, 13):
+        lo, hi = _SFB_SHORT_44[b], _SFB_SHORT_44[b + 1]
+        width = hi - lo
+        for w in range(3):
+            sf = scalefacs["short"][b - 3][w] if b < 12 else 0
+            g = (
+                2.0 ** ((global_gain - 210 - 8 * subblock_gain[w]) / 4.0)
+                * 2.0 ** (-mult * sf)
+            )
+            s = 3 * lo + w * width
+            gains[s : s + width] = g
+    return xr * gains
+
+
+def ms_butterfly(xr_m: np.ndarray, xr_s: np.ndarray):
+    """MS joint stereo (2.4.3.4.9.1): left/right from mid/side."""
+    inv = 1.0 / np.sqrt(2.0)
+    return (xr_m + xr_s) * inv, (xr_m - xr_s) * inv
+
+
 def decode_mp3_l3(buf: bytes) -> dict:
     """Decode an MPEG-1 Layer III mono/stereo 44.1 kHz stream down to
     integer frequency lines + requantized xr per granule/channel.
@@ -553,7 +691,14 @@ def decode_mp3_l3(buf: bytes) -> dict:
         si_idx = (h[2] >> 2) & 3
         padding = (h[2] >> 1) & 1
         mode = h[3] >> 6
+        mode_ext = (h[3] >> 4) & 3
         nch = 1 if mode == 3 else 2
+        ms_stereo = mode == 1 and bool(mode_ext & 2)
+        if mode == 1 and (mode_ext & 1):
+            raise NotImplementedError(
+                "intensity stereo — MS joint stereo is implemented, "
+                "the intensity position path stays gated"
+            )
         flen = (
             144000 * _BITRATE_KBPS[bi] // _SAMPLE_RATES[si_idx] + padding
         )
@@ -582,14 +727,22 @@ def decode_mp3_l3(buf: bytes) -> dict:
                     gi == 0,
                 )
                 lines = _decode_granule_lines(br, g, limit)
-                xr = (
-                    requantize_long(
+                if g["block_type"] != 2:
+                    xr = requantize_long(
                         lines, g["global_gain"], sf,
                         g["scalefac_scale"], g["preflag"],
                     )
-                    if g["block_type"] != 2
-                    else None
-                )
+                elif g["mixed_block_flag"]:
+                    xr = requantize_mixed(
+                        lines, g["global_gain"], sf,
+                        g["scalefac_scale"], g["subblock_gain"],
+                        g["preflag"],
+                    )
+                else:
+                    xr = requantize_short(
+                        lines, g["global_gain"], sf,
+                        g["scalefac_scale"], g["subblock_gain"],
+                    )
                 granules.append(
                     {
                         "frame": n_frames,
@@ -600,8 +753,14 @@ def decode_mp3_l3(buf: bytes) -> dict:
                         "xr": xr,
                         "global_gain": g["global_gain"],
                         "big_values": g["big_values"],
+                        "block_type": g["block_type"],
+                        "mixed": bool(g["mixed_block_flag"]),
                     }
                 )
+            if ms_stereo:
+                gl, gr_ = granules[-2], granules[-1]
+                gl["xr"], gr_["xr"] = ms_butterfly(gl["xr"], gr_["xr"])
+                gl["ms"] = gr_["ms"] = True
         n_frames += 1
         pos += flen
         # trailing stuffing after the last frame is all zeros

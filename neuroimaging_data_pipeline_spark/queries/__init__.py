@@ -249,6 +249,7 @@ _ADDED_R9 = [
     "m36_h264_gop",
     "m37_h264_bslice",
     "m38_jpeg_hierarchical",
+    "m39_mp3_subband",
 ]
 
 

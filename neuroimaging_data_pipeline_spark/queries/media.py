@@ -1858,6 +1858,163 @@ FROM blocks GROUP BY doc_id
 
 
 
+def m39_mp3_subband(spark, sf_dir):
+    """M39: MP3 HYBRID FILTERBANK (multimodal/mp3synth.py) — the
+    time-domain continuation of m34's spec-exact frequency lines:
+    alias-reduction butterflies (eight per adjacent-subband
+    boundary), the 36-point IMDCT with the closed-form sine window,
+    granule overlap-add, and frequency inversion, producing the
+    18x32 subband time samples the polyphase stage consumes (the
+    polyphase 512-tap Table B.3 window is the declared remaining
+    gate). The oracle exploits LINEARITY: the per-(granule, subband)
+    sum of 18 output samples collapses IMDCT + window + overlap-add
+    + inversion into an 18-term dot product with constants DuckDB
+    computes from the same closed forms — so pure SQL recomputes the
+    features from the fixture's integer lines through requantization
+    (POWER), alias butterflies (a position self-join) and the
+    constant dot. Both sides round to 3 decimals: the engines sum
+    identical doubles in different groupings (the w8/IVF exception
+    class; observed divergence ~1e-10 vs the 5e-4 boundary).
+    Short/mixed-block and MS-stereo paths are pinned by bit-exact
+    encoder<->decoder round trips and TDAC perfect-reconstruction
+    tests in pytest. Narrow scan -> mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        synthesize_mp3_l3_clips,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.mp3synth import (
+        mp3_subband_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_mp3_l3_clips(d, id_col="doc_id")
+    return mp3_subband_features(media)
+
+
+M39_SQL = """
+WITH g AS (
+  SELECT doc_id, k.k AS k,
+         40 + (doc_id * 7 + k.k * 11) % 30 AS big,
+         8 + (doc_id + k.k) % 8 AS c1,
+         CASE WHEN 1 + (doc_id + k.k) % 3 = 1 THEN 1 ELSE 2 END AS m0,
+         120 + (doc_id + k.k) % 64 AS gg,
+         (doc_id + k.k) % 16 AS scomp,
+         (doc_id + k.k) % 2 AS preflag,
+         0.5 * (doc_id % 2 + 1) AS mult
+  FROM documents, UNNEST(range(0, 10)) AS k(k)
+  WHERE k.k < 2 * (3 + doc_id % 3)
+), slen(idx, s1, s2) AS (VALUES
+  (0,0,0),(1,0,1),(2,0,2),(3,0,3),(4,3,0),(5,1,1),(6,1,2),(7,1,3),
+  (8,2,1),(9,2,2),(10,2,3),(11,3,1),(12,3,2),(13,3,3),(14,4,2),(15,4,3)
+), bands(b, lo, hi, pre) AS (VALUES
+  (0,0,4,0),(1,4,8,0),(2,8,12,0),(3,12,16,0),(4,16,20,0),(5,20,24,0),
+  (6,24,30,0),(7,30,36,0),(8,36,44,0),(9,44,52,0),(10,52,62,0),
+  (11,62,74,1),(12,74,90,1),(13,90,110,1),(14,110,134,1),(15,134,162,2),
+  (16,162,196,2),(17,196,238,3),(18,238,288,3),(19,288,342,3),
+  (20,342,418,2),(21,418,576,0)
+), ib AS (
+  -- per-line metadata, 576 rows: scalefactor band + the alias
+  -- butterfly partner position and coefficient index (NULL when the
+  -- line is not part of a butterfly)
+  SELECT i.i AS i, b.b AS b, b.pre AS pre,
+         CASE
+           WHEN i.i % 18 >= 10 AND i.i // 18 < 31 THEN
+             (i.i // 18 + 1) * 18 + (17 - i.i % 18)
+           WHEN i.i % 18 <= 7 AND i.i // 18 > 0 THEN
+             (i.i // 18) * 18 - 1 - (i.i % 18)
+         END AS part_i,
+         CASE
+           WHEN i.i % 18 >= 10 AND i.i // 18 < 31 THEN 17 - i.i % 18
+           WHEN i.i % 18 <= 7 AND i.i // 18 > 0 THEN i.i % 18
+         END AS ai,
+         CASE WHEN i.i % 18 >= 10 THEN -1.0 ELSE 1.0 END AS bside
+  FROM UNNEST(range(0, 576)) AS i(i)
+  JOIN bands b ON i.i >= b.lo AND i.i < b.hi
+), ac(ai, cs, ca) AS (
+  SELECT ai, 1.0 / SQRT(1.0 + ci * ci) AS cs,
+         ci * (1.0 / SQRT(1.0 + ci * ci)) AS ca
+  FROM (VALUES (0,-0.6),(1,-0.535),(2,-0.33),(3,-0.185),(4,-0.095),
+               (5,-0.041),(6,-0.0142),(7,-0.0037)) AS t(ai, ci)
+), x AS (
+  -- requantized lines over the coded region + butterfly reach
+  -- (positions past 2*big + 4*c1 + 26 are zero AND have zero
+  -- partners, so they cannot contribute to any output)
+  SELECT v.doc_id, v.k, v.i, v.part_i, v.ai, v.bside,
+         SIGN(v.val) * POWER(ABS(v.val), 4.0 / 3.0)
+         * POWER(2.0, (v.gg - 210) / 4.0)
+         * POWER(2.0, -v.mult * (
+             CASE WHEN v.b < 21 THEN
+               (CASE WHEN (CASE WHEN v.b < 11 THEN sl.s1 ELSE sl.s2
+                           END) = 0 THEN 0
+                ELSE (v.doc_id + v.k + v.b)
+                     % (1 << (CASE WHEN v.b < 11 THEN sl.s1
+                              ELSE sl.s2 END)) END)
+               + v.preflag * v.pre
+             ELSE 0 END)) AS xr
+  FROM (
+    SELECT g.*, ib.i, ib.b, ib.pre, ib.part_i, ib.ai, ib.bside,
+           CASE
+             WHEN ib.i < 24 THEN
+               (doc_id + k + ib.i * 3) % (2 * m0 + 1) - m0
+             WHEN ib.i < 2 * big THEN
+               (doc_id * 3 + k * 5 + ib.i * 7) % 7 - 3
+             WHEN ib.i < 2 * big + 4 * c1 THEN
+               (doc_id + k + (ib.i - 2 * big)) % 3 - 1
+             ELSE 0
+           END AS val
+    FROM g JOIN ib ON ib.i < 2 * big + 4 * c1 + 26
+  ) v
+  JOIN slen sl ON sl.idx = v.scomp
+), ar AS (
+  SELECT x.doc_id, x.k, x.i,
+         CASE
+           WHEN x.ai IS NULL THEN x.xr
+           ELSE x.xr * c.cs + x.bside * COALESCE(p.xr, 0.0) * c.ca
+         END AS xr
+  FROM x
+  LEFT JOIN x p ON p.doc_id = x.doc_id AND p.k = x.k
+    AND p.i = x.part_i
+  LEFT JOIN ac c ON c.ai = x.ai
+), consts AS (
+  SELECT t.t AS t, p.p AS par,
+         SUM((CASE WHEN p.p = 1 AND j.j % 2 = 1 THEN -1.0 ELSE 1.0 END)
+             * SIN(PI() / 36 * (j.j + 0.5))
+             * COS(PI() / 72 * (2 * j.j + 1 + 18) * (2 * t.t + 1)))
+           AS a_c,
+         SUM((CASE WHEN p.p = 1 AND j.j % 2 = 1 THEN -1.0 ELSE 1.0 END)
+             * SIN(PI() / 36 * (j.j + 18 + 0.5))
+             * COS(PI() / 72 * (2 * (j.j + 18) + 1 + 18)
+                   * (2 * t.t + 1))) AS b_c
+  FROM UNNEST(range(0, 18)) AS t(t), UNNEST(range(0, 2)) AS p(p),
+       UNNEST(range(0, 18)) AS j(j)
+  GROUP BY t.t, p.p
+), cur AS (
+  SELECT ar.doc_id, ar.k, ar.i // 18 AS sb,
+         SUM(ar.xr * c.a_c) AS s_cur,
+         SUM(ar.xr * c.b_c) AS s_tail
+  FROM ar
+  JOIN consts c ON c.t = ar.i % 18 AND c.par = (ar.i // 18) % 2
+  GROUP BY ar.doc_id, ar.k, ar.i // 18
+), grid AS (
+  SELECT g.doc_id, g.k, sb.sb AS sb
+  FROM g, UNNEST(range(0, 32)) AS sb(sb)
+), s AS (
+  SELECT grid.doc_id, grid.k, grid.sb,
+         COALESCE(c1.s_cur, 0.0) + COALESCE(c0.s_tail, 0.0) AS sval
+  FROM grid
+  LEFT JOIN cur c1 ON c1.doc_id = grid.doc_id AND c1.k = grid.k
+    AND c1.sb = grid.sb
+  LEFT JOIN cur c0 ON c0.doc_id = grid.doc_id AND c0.sb = grid.sb
+    AND c0.k = grid.k - 1
+)
+SELECT doc_id,
+       CAST(2 * (3 + doc_id % 3) AS INT) AS n_granules,
+       ROUND(SUM(ABS(sval)), 3) AS sum_abs_s,
+       ROUND(SUM(sval * (k + 1) * (sb + 1)), 3) AS weighted_s
+FROM s GROUP BY doc_id
+"""
+
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -1929,6 +2086,7 @@ QUERIES = {
     "m36_h264_gop": m36_h264_gop,
     "m37_h264_bslice": m37_h264_bslice,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
+    "m39_mp3_subband": m39_mp3_subband,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -1965,5 +2123,6 @@ ORACLE = {
     "m36_h264_gop": M36_SQL,
     "m37_h264_bslice": M37_SQL,
     "m38_jpeg_hierarchical": M38_SQL,
+    "m39_mp3_subband": M39_SQL,
     "m31_lzma_alone": M31_SQL,
 }

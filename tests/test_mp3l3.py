@@ -184,3 +184,165 @@ def test_mp3_ffmpeg_accepts_stream(tmp_path):
         check=True, capture_output=True,
     )
     assert out.stat().st_size > 44
+
+
+# --- r9 extension: short/mixed blocks + MS stereo ---------------------------
+
+
+def _short_granule(d, k):
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        _SLEN, GranuleSpec,
+    )
+
+    big = 30 + (d + k) % 10
+    count1 = 6
+    lines = [0] * 576
+    for i in range(2 * big):
+        lines[i] = (d + k + i) % 3 - 1
+    base = 2 * big
+    for j in range(4 * count1):
+        lines[base + j] = (d + j) % 3 - 1
+    scomp = (d + k) % 16
+    slen1, slen2 = _SLEN[scomp]
+    ssf = [
+        [
+            (d + b + w) % (1 << (slen1 if b < 6 else slen2))
+            if (slen1 if b < 6 else slen2)
+            else 0
+            for w in range(3)
+        ]
+        for b in range(12)
+    ]
+    return GranuleSpec(
+        lines=lines, big_values=big, table_sel=(1, 1, 0), count1=count1,
+        count1_table_b=False, global_gain=130 + d % 40,
+        scalefac_compress=scomp, scalefacs=[0] * 21,
+        block_type=2, subblock_gain=(d % 8, (d + 1) % 8, (d + 2) % 8),
+        short_scalefacs=ssf,
+    )
+
+
+def test_short_block_roundtrip_and_requant():
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        decode_mp3_l3, encode_mp3_l3, requantize_short,
+    )
+
+    gs = [_short_granule(3, k) for k in range(4)]
+    d = decode_mp3_l3(encode_mp3_l3(gs, scfsi=0))
+    assert d["n_granules"] == 4
+    for k, g in enumerate(d["granules"]):
+        assert g["lines"] == gs[k].lines
+        assert g["block_type"] == 2 and not g["mixed"]
+        want = requantize_short(
+            gs[k].lines, gs[k].global_gain, gs[k].short_scalefacs,
+            0, gs[k].subblock_gain,
+        )
+        np.testing.assert_allclose(g["xr"], want)
+
+
+def test_requantize_short_matches_scalar_formula():
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        _SFB_SHORT_44, requantize_short,
+    )
+
+    lines = [0] * 576
+    lines[0] = 2       # band 0, window 0
+    lines[4] = -3      # band 0, window 1 (width 4 -> src 3*0 + 4)
+    sf = [[b + w for w in range(3)] for b in range(12)]
+    xr = requantize_short(lines, 140, sf, 1, (1, 2, 3))
+    g0 = 2.0 ** ((140 - 210 - 8 * 1) / 4.0) * 2.0 ** (-1.0 * sf[0][0])
+    assert abs(xr[0] - (2 ** (4 / 3)) * g0) < 1e-12
+    g1 = 2.0 ** ((140 - 210 - 8 * 2) / 4.0) * 2.0 ** (-1.0 * sf[0][1])
+    assert abs(xr[4] + (3 ** (4 / 3)) * g1) < 1e-12
+    # the 136..192 tail has no scalefactor
+    lines2 = [0] * 576
+    lines2[3 * 136] = 1
+    xr2 = requantize_short(lines2, 210, sf, 0, (0, 0, 0))
+    assert xr2[3 * 136] == 1.0
+
+
+def test_mixed_block_roundtrip():
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        _SLEN, GranuleSpec, decode_mp3_l3, encode_mp3_l3,
+        requantize_mixed,
+    )
+
+    def mk(d, k):
+        big = 30
+        lines = [0] * 576
+        for i in range(2 * big):
+            lines[i] = (d + k + i) % 3 - 1
+        scomp = 9
+        slen1, slen2 = _SLEN[scomp]
+        ssf = {
+            "long": [(d + b) % (1 << slen1) for b in range(8)],
+            "short": [
+                [(d + b + w) % (1 << (slen1 if b < 6 else slen2))
+                 for w in range(3)]
+                for b in range(3, 12)
+            ],
+        }
+        return GranuleSpec(
+            lines=lines, big_values=big, table_sel=(2, 3, 0), count1=0,
+            count1_table_b=True, global_gain=150,
+            scalefac_compress=scomp, scalefacs=[0] * 21,
+            block_type=2, mixed=True, subblock_gain=(1, 2, 3),
+            short_scalefacs=ssf,
+        )
+
+    gs = [mk(7, k) for k in range(2)]
+    d = decode_mp3_l3(encode_mp3_l3(gs))
+    for k, g in enumerate(d["granules"]):
+        assert g["lines"] == gs[k].lines
+        assert g["mixed"]
+        want = requantize_mixed(
+            gs[k].lines, 150, gs[k].short_scalefacs, 0, (1, 2, 3), 0
+        )
+        np.testing.assert_allclose(g["xr"], want)
+
+
+def test_ms_stereo_butterfly():
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        GranuleSpec, decode_mp3_l3, encode_mp3_l3, requantize_long,
+    )
+
+    def mk(d, k):
+        big = 30
+        lines = [0] * 576
+        for i in range(2 * big):
+            lines[i] = (d + k + i) % 3 - 1
+        return GranuleSpec(
+            lines=lines, big_values=big, table_sel=(1, 1, 0), count1=0,
+            count1_table_b=False, global_gain=120 + d,
+            scalefac_compress=0, scalefacs=[0] * 21,
+        )
+
+    gs = [mk(2, k) for k in range(8)]
+    d = decode_mp3_l3(encode_mp3_l3(gs, nch=2, ms=True))
+    g0, g1 = d["granules"][0], d["granules"][1]
+    m = requantize_long(gs[0].lines, gs[0].global_gain, [0] * 21, 0, 0)
+    s = requantize_long(gs[1].lines, gs[1].global_gain, [0] * 21, 0, 0)
+    np.testing.assert_allclose(g0["xr"], (m + s) / np.sqrt(2))
+    np.testing.assert_allclose(g1["xr"], (m - s) / np.sqrt(2))
+    assert g0.get("ms") and g1.get("ms")
+    # intensity stereo stays a loud gate
+    blob = bytearray(encode_mp3_l3(gs, nch=2, ms=True))
+    # flip mode_extension to 01 (intensity) on every frame header
+    pos = 0
+    while pos + 4 <= len(blob):
+        if blob[pos] == 0xFF and (blob[pos + 1] & 0xE0) == 0xE0:
+            blob[pos + 3] = (blob[pos + 3] & 0xCF) | 0x10
+            break
+        pos += 1
+    with pytest.raises(NotImplementedError, match="intensity"):
+        decode_mp3_l3(bytes(blob))
+
+
+def test_scfsi_forbidden_with_short_blocks():
+    gs = [_short_granule(1, k) for k in range(2)]
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        encode_mp3_l3,
+    )
+
+    with pytest.raises(ValueError, match="scfsi"):
+        encode_mp3_l3(gs, scfsi=8)
