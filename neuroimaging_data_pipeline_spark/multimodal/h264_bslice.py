@@ -32,10 +32,15 @@ What is REAL here (ITU-T H.264 clause references, all from scratch):
   poc-type-0 pic_order_cnt_lsb field, the same technique the P
   module uses for the deblocking-control IDR re-header.
 
-Declared gates (raise, never silent): B_Skip / B_Direct_16x16
-(direct-mode prediction, spatial and temporal), B_8x8 sub-partitions
-in B slices, more than one active reference per list, weighted
-prediction, I_4x4 / I_PCM inside B slices.
+- B_8x8 sub-macroblock partitions (second pass): all twelve coded
+  Table 7-18 sub_mb_types — per-8x8 list usage l0/l1/bi with
+  8x8/8x4/4x8/4x4 splits, per-sub-partition mvd against the z-scan
+  per-list median predictor, bi sub-blocks averaged per 8.4.2.3.2.
+
+Declared gates (raise, never silent): B_Skip / B_Direct_16x16 /
+B_Direct_8x8 (direct-mode prediction, spatial and temporal), more
+than one active reference per list, weighted prediction,
+I_4x4 / I_PCM inside B slices.
 
 The encoder<->decoder round trip is bit-exact by construction
 (pinned across QPs, every mb_type 1..21, sub-pel fractions and
@@ -66,6 +71,7 @@ from neuroimaging_data_pipeline_spark.multimodal.h264 import (
 )
 from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
     _PARTS,
+    _SUBPARTS,
     _chroma_qp,
     _copy_bits,
     _decode_i16_mb,
@@ -108,6 +114,15 @@ _B_USES = {
     21: ("8x16", ("bi", "bi")),
 }
 _B_TYPE = {v: k for k, v in _B_USES.items()}
+
+# Table 7-18 (sub_mb_type in B slices): 0 = B_Direct_8x8 stays gated
+_B_SUB_USES = {
+    1: ("l0", "8x8"), 2: ("l1", "8x8"), 3: ("bi", "8x8"),
+    4: ("l0", "8x4"), 5: ("l0", "4x8"), 6: ("l1", "8x4"),
+    7: ("l1", "4x8"), 8: ("bi", "8x4"), 9: ("bi", "4x8"),
+    10: ("l0", "4x4"), 11: ("l1", "4x4"), 12: ("bi", "4x4"),
+}
+_B_SUB_TYPE = {v: k for k, v in _B_SUB_USES.items()}
 
 _POC_BITS = 6  # log2_max_pic_order_cnt_lsb_minus4 = 2
 
@@ -338,10 +353,95 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                 mvs0.mark_intra(mx, my)
                 mvs1.mark_intra(mx, my)
                 continue
+            if kind == "8x8":
+                subs = spec[1]
+                if len(subs) != 4:
+                    raise ValueError("B_8x8 needs four sub-MB specs")
+                norm = []
+                for use, sm, mvl in subs:
+                    if (use, sm) not in _B_SUB_TYPE:
+                        raise ValueError(
+                            f"bad B sub_mb spec ({use!r}, {sm!r})"
+                        )
+                    if len(mvl) != len(_SUBPARTS[sm]):
+                        raise ValueError(
+                            "one MV (or bi pair) per sub-partition"
+                        )
+                    if use == "bi":
+                        mv0 = [np.asarray(p[0], np.int64) for p in mvl]
+                        mv1 = [np.asarray(p[1], np.int64) for p in mvl]
+                    elif use == "l0":
+                        mv0 = [np.asarray(p, np.int64) for p in mvl]
+                        mv1 = None
+                    else:
+                        mv0 = None
+                        mv1 = [np.asarray(p, np.int64) for p in mvl]
+                    norm.append((use, sm, mv0, mv1))
+                sl.ue(22)  # B_8x8
+                for use, sm, _, _ in norm:
+                    sl.ue(_B_SUB_TYPE[(use, sm)])
+                # mvd_l0 over all four 8x8s (sub-partitions in z-scan),
+                # then mvd_l1 — one active ref per list, no ref_idx
+                for li, mvsX in ((0, mvs0), (1, mvs1)):
+                    for k in range(4):
+                        use, sm, mv0, mv1 = norm[k]
+                        ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
+                        mvl = (mv0, mv1)[li]
+                        if mvl is None:  # predFlagLX == 0
+                            mvsX.mark_off(mx * 4 + ox8, my * 4 + oy8,
+                                          2, 2)
+                            continue
+                        for (sx4, sy4, w4, h4), mv in zip(
+                            _SUBPARTS[sm], mvl
+                        ):
+                            gx = mx * 4 + ox8 + sx4
+                            gy = my * 4 + oy8 + sy4
+                            pred_mv = mvsX.predict(gx, gy, w4, 0)
+                            sl.se(int(mv[0] - pred_mv[0]))
+                            sl.se(int(mv[1] - pred_mv[1]))
+                            mvsX.fill(gx, gy, w4, h4, mv, 0)
+                py = np.zeros((16, 16), np.int64)
+                pcb = np.zeros((8, 8), np.int64)
+                pcr = np.zeros((8, 8), np.int64)
+                for k in range(4):
+                    use, sm, mv0, mv1 = norm[k]
+                    ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
+                    for si, (sx4, sy4, w4, h4) in enumerate(
+                        _SUBPARTS[sm]
+                    ):
+                        geom = (ox8 + sx4, oy8 + sy4, w4, h4)
+                        if use == "l0":
+                            pp = _mc_mb(padded0, mx, my,
+                                        [geom + (mv0[si], 0)])
+                        elif use == "l1":
+                            pp = _mc_mb(padded1, mx, my,
+                                        [geom + (mv1[si], 0)])
+                        else:
+                            pp = _bi_combine(
+                                _mc_mb(padded0, mx, my,
+                                       [geom + (mv0[si], 0)]),
+                                _mc_mb(padded1, mx, my,
+                                       [geom + (mv1[si], 0)]),
+                            )
+                        ys = np.s_[geom[1] * 4 : geom[1] * 4 + h4 * 4,
+                                   geom[0] * 4 : geom[0] * 4 + w4 * 4]
+                        cs = np.s_[geom[1] * 2 : geom[1] * 2 + h4 * 2,
+                                   geom[0] * 2 : geom[0] * 2 + w4 * 2]
+                        py[ys] = pp[0][ys]
+                        pcb[cs] = pp[1][cs]
+                        pcr[cs] = pp[2][cs]
+                cbp, zl, cdcz, cacz = _residual_from_target(
+                    target, mx, my, py, pcb, pcr, qp, qpc
+                )
+                _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz,
+                                 luma_nnz, cnnz)
+                _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
+                                zl, cdcz, cacz, qp, qpc)
+                continue
             mode = kind
             if mode not in ("16x16", "16x8", "8x16"):
                 raise NotImplementedError(
-                    f"B macroblock mode {mode!r} — B_8x8 and "
+                    f"B macroblock mode {mode!r} — "
                     "B_Skip/B_Direct stay gated"
                 )
             parts = [_part_spec(e) for e in spec[1]]
@@ -437,9 +537,81 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1):
                     "gated"
                 )
             if mb_type == 22:
-                raise NotImplementedError(
-                    "B_8x8 sub-partitions in B slices — gated"
+                # ----- B_8x8 sub-macroblock partitions -----
+                subtypes = []
+                for _ in range(4):
+                    st_ = r.ue()
+                    if st_ == 0:
+                        raise NotImplementedError(
+                            "B_Direct_8x8 — direct-mode prediction "
+                            "stays gated"
+                        )
+                    if st_ > 12:
+                        raise ValueError(f"bad B sub_mb_type {st_}")
+                    subtypes.append(_B_SUB_USES[st_])
+                mv_store = [[None, None] for _ in range(4)]
+                for li, mvsX in ((0, mvs0), (1, mvs1)):
+                    want = ("l0", "bi") if li == 0 else ("l1", "bi")
+                    for k in range(4):
+                        use, sm = subtypes[k]
+                        ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
+                        if use not in want:
+                            mvsX.mark_off(mx * 4 + ox8, my * 4 + oy8,
+                                          2, 2)
+                            continue
+                        mvl = []
+                        for sx4, sy4, w4, h4 in _SUBPARTS[sm]:
+                            gx = mx * 4 + ox8 + sx4
+                            gy = my * 4 + oy8 + sy4
+                            mvdx, mvdy = r.se(), r.se()
+                            pred_mv = mvsX.predict(gx, gy, w4, 0)
+                            mv = np.array(
+                                [pred_mv[0] + mvdx, pred_mv[1] + mvdy],
+                                np.int64,
+                            )
+                            mvsX.fill(gx, gy, w4, h4, mv, 0)
+                            mvl.append(mv)
+                        mv_store[k][li] = mvl
+                py = np.zeros((16, 16), np.int64)
+                pcb = np.zeros((8, 8), np.int64)
+                pcr = np.zeros((8, 8), np.int64)
+                for k in range(4):
+                    use, sm = subtypes[k]
+                    ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
+                    mv0, mv1 = mv_store[k]
+                    for si, (sx4, sy4, w4, h4) in enumerate(
+                        _SUBPARTS[sm]
+                    ):
+                        geom = (ox8 + sx4, oy8 + sy4, w4, h4)
+                        if use == "l0":
+                            pp = _mc_mb(padded0, mx, my,
+                                        [geom + (mv0[si], 0)])
+                        elif use == "l1":
+                            pp = _mc_mb(padded1, mx, my,
+                                        [geom + (mv1[si], 0)])
+                        else:
+                            pp = _bi_combine(
+                                _mc_mb(padded0, mx, my,
+                                       [geom + (mv0[si], 0)]),
+                                _mc_mb(padded1, mx, my,
+                                       [geom + (mv1[si], 0)]),
+                            )
+                        ys = np.s_[geom[1] * 4 : geom[1] * 4 + h4 * 4,
+                                   geom[0] * 4 : geom[0] * 4 + w4 * 4]
+                        cs = np.s_[geom[1] * 2 : geom[1] * 2 + h4 * 2,
+                                   geom[0] * 2 : geom[0] * 2 + w4 * 2]
+                        py[ys] = pp[0][ys]
+                        pcb[cs] = pp[1][cs]
+                        pcr[cs] = pp[2][cs]
+                cbp, qpd, zl, cdcz, cacz = _read_residuals(
+                    r, mx, my, luma_nnz, cnnz
                 )
+                if cbp:
+                    cur_qp = (cur_qp + qpd + 52) % 52
+                    qpc = _chroma_qp(cur_qp)
+                _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
+                                zl, cdcz, cacz, cur_qp, qpc)
+                continue
             if mb_type > 22:
                 itype = mb_type - 23
                 if itype == 0:
@@ -690,8 +862,12 @@ def synthesize_h264_b_frames(
       (0,0) B_L0_16x16   — full-pel motion from the ANCHOR;
       (1,0) B_L1_16x16   — full-pel motion from the FUTURE P frame
             (list1 selection through the POC-ordered DPB);
-      (0,1) B_Bi_16x16   — rounded average of one block from each
-            list: (predL0 + predL1 + 1) >> 1;
+      (0,1) B_8x8        — four sub-macroblocks whose list usage
+            cycles l0 / l1 / bi by (id + k) % 3 and whose
+            sub_mb_type cycles 8x8/8x4/4x8/4x4 by (id + k) % 4 (each
+            sub-partition carries its own mvd against the z-scan
+            per-list median predictor; bi sub-blocks are the rounded
+            average of one block from each list);
       (1,1) B_L0_L1_16x8 — top partition from the anchor, bottom
             from the P frame (mixed lists inside one macroblock,
             mvd_l0-then-mvd_l1 syntax order).
@@ -743,16 +919,26 @@ def synthesize_h264_b_frames(
                       + (px[reg] // 4) * 13) % 9 - 4
                 yb[reg] = y1[np.clip(py[reg] + dyb, 0, 31),
                              np.clip(px[reg] + dxb, 0, 31)] + db
-                # (0,1) Bi: rounded average of both lists
-                dx0, dy0 = 4 * (i % 3 - 1), 4 * ((i * 2 + 2) % 3 - 1)
-                dx9, dy9 = 4 * ((i + 2) % 3 - 1), 4 * ((i * 2 + 1) % 3 - 1)
+                # (0,1) B_8x8: per-8x8 list usage l0/l1/bi by
+                # (i + k) % 3, per-8x8 motion in both lists
                 reg = np.s_[16:32, 0:16]
-                p0 = y0[np.clip(py[reg] + dy0, 0, 31),
-                        np.clip(px[reg] + dx0, 0, 31)]
-                p1 = y1[np.clip(py[reg] + dy9, 0, 31),
-                        np.clip(px[reg] + dx9, 0, 31)]
+                kk = (px[reg] % 16) // 8 + 2 * ((py[reg] % 16) // 8)
+                d0x = 4 * ((i + kk) % 3 - 1)
+                d0y = 4 * ((i * 2 + kk) % 3 - 1)
+                d1x = 4 * ((i + kk + 1) % 3 - 1)
+                d1y = 4 * ((i * 2 + kk + 2) % 3 - 1)
+                p0 = y0[np.clip(py[reg] + d0y, 0, 31),
+                        np.clip(px[reg] + d0x, 0, 31)]
+                p1 = y1[np.clip(py[reg] + d1y, 0, 31),
+                        np.clip(px[reg] + d1x, 0, 31)]
+                usek = (i + kk) % 3  # 0 = l0, 1 = l1, 2 = bi
                 dc_ = (i + (py[reg] // 4) * 3 + (px[reg] // 4) * 7) % 9 - 4
-                yb[reg] = ((p0 + p1 + 1) >> 1) + dc_
+                yb[reg] = (
+                    np.where(usek == 0, p0,
+                             np.where(usek == 1, p1,
+                                      (p0 + p1 + 1) >> 1))
+                    + dc_
+                )
                 # (1,1) 16x8: top L0 from anchor, bottom L1 from P
                 dxt, dyt = 4 * ((i + 1) % 3 - 1), 4 * ((i * 2) % 3 - 1)
                 dxu, dyu = 4 * ((i * 2 + 2) % 3 - 1), 4 * ((i + 1) % 3 - 1)
@@ -767,10 +953,27 @@ def synthesize_h264_b_frames(
                 assert yb.min() >= 0 and yb.max() <= 255
                 # quarter-pel units = 4 * full-pel pixels
                 q = lambda dx, dy: (4 * dx, 4 * dy)
+                submodes = ("8x8", "8x4", "4x8", "4x4")
+                nsub = {"8x8": 1, "8x4": 2, "4x8": 2, "4x4": 4}
+                subs = []
+                for k in range(4):
+                    sm = submodes[(i + k) % 4]
+                    mv0 = q(4 * ((i + k) % 3 - 1),
+                            4 * ((i * 2 + k) % 3 - 1))
+                    mv1 = q(4 * ((i + k + 1) % 3 - 1),
+                            4 * ((i * 2 + k + 2) % 3 - 1))
+                    use = ("l0", "l1", "bi")[(i + k) % 3]
+                    if use == "bi":
+                        subs.append((use, sm,
+                                     [(mv0, mv1)] * nsub[sm]))
+                    elif use == "l0":
+                        subs.append((use, sm, [mv0] * nsub[sm]))
+                    else:
+                        subs.append((use, sm, [mv1] * nsub[sm]))
                 specs_b = [
                     ("16x16", [("l0", q(dxa, dya))]),
                     ("16x16", [("l1", q(dxb, dyb))]),
-                    ("16x16", [("bi", q(dx0, dy0), q(dx9, dy9))]),
+                    ("8x8", subs),
                     ("16x8", [("l0", q(dxt, dyt)),
                               ("l1", q(dxu, dyu))]),
                 ]

@@ -1748,14 +1748,15 @@ WITH px AS (
            + (LEAST(GREATEST(px + 4 * ((doc_id + (px // 16)
                + 2 * (py // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
          + (doc_id + (py // 4) * 7 + (px // 4) * 11) % 9 - 4 AS y1,
+         (doc_id + ((px % 16) // 8 + 2 * ((py % 16) // 8))) % 3 AS usek,
          LEAST(GREATEST(py + 4 * ((doc_id * 2) % 3 - 1), 0), 31) AS ra,
          LEAST(GREATEST(px + 4 * ((doc_id + 1) % 3 - 1), 0), 31) AS ca,
          LEAST(GREATEST(py + 4 * ((doc_id + 2) % 3 - 1), 0), 31) AS rb,
          LEAST(GREATEST(px + 4 * ((doc_id * 2 + 1) % 3 - 1), 0), 31) AS cb,
-         LEAST(GREATEST(py + 4 * ((doc_id * 2 + 2) % 3 - 1), 0), 31) AS r0,
-         LEAST(GREATEST(px + 4 * (doc_id % 3 - 1), 0), 31) AS c0,
-         LEAST(GREATEST(py + 4 * ((doc_id * 2 + 1) % 3 - 1), 0), 31) AS r9,
-         LEAST(GREATEST(px + 4 * ((doc_id + 2) % 3 - 1), 0), 31) AS c9,
+         LEAST(GREATEST(py + 4 * ((doc_id * 2 + ((px % 16) // 8 + 2 * ((py % 16) // 8))) % 3 - 1), 0), 31) AS r0,
+         LEAST(GREATEST(px + 4 * ((doc_id + ((px % 16) // 8 + 2 * ((py % 16) // 8))) % 3 - 1), 0), 31) AS c0,
+         LEAST(GREATEST(py + 4 * ((doc_id * 2 + ((px % 16) // 8 + 2 * ((py % 16) // 8)) + 2) % 3 - 1), 0), 31) AS r9,
+         LEAST(GREATEST(px + 4 * ((doc_id + ((px % 16) // 8 + 2 * ((py % 16) // 8)) + 1) % 3 - 1), 0), 31) AS c9,
          LEAST(GREATEST(py + 4 * ((doc_id * 2) % 3 - 1), 0), 31) AS rt,
          LEAST(GREATEST(px + 4 * ((doc_id + 1) % 3 - 1), 0), 31) AS ct,
          LEAST(GREATEST(py + 4 * ((doc_id + 1) % 3 - 1), 0), 31) AS ru,
@@ -1776,13 +1777,22 @@ WITH px AS (
          + (doc_id + (rb // 4) * 7 + (cb // 4) * 11) % 9 - 4)
              + (doc_id * 3 + (py // 4) * 5 + (px // 4) * 13) % 9 - 4
            WHEN px < 16 THEN
-             ((16 + (doc_id * 13 + (r0 // 4) * 41 + (c0 // 4) * 59) % 224)
-              + (16 + (doc_id * 13
+             CASE usek
+               WHEN 0 THEN 16 + (doc_id * 13 + (r0 // 4) * 41 + (c0 // 4) * 59) % 224
+               WHEN 1 THEN (16 + (doc_id * 13
+           + (LEAST(GREATEST(r9 + 4 * ((doc_id * 2 + 3 * (c9 // 16)
+               + (r9 // 16)) % 3 - 1), 0), 31) // 4) * 41
+           + (LEAST(GREATEST(c9 + 4 * ((doc_id + (c9 // 16)
+               + 2 * (r9 // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
+         + (doc_id + (r9 // 4) * 7 + (c9 // 4) * 11) % 9 - 4)
+               ELSE ((16 + (doc_id * 13 + (r0 // 4) * 41 + (c0 // 4) * 59) % 224)
+                     + (16 + (doc_id * 13
            + (LEAST(GREATEST(r9 + 4 * ((doc_id * 2 + 3 * (c9 // 16)
                + (r9 // 16)) % 3 - 1), 0), 31) // 4) * 41
            + (LEAST(GREATEST(c9 + 4 * ((doc_id + (c9 // 16)
                + 2 * (r9 // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
          + (doc_id + (r9 // 4) * 7 + (c9 // 4) * 11) % 9 - 4) + 1) // 2
+             END
              + (doc_id + (py // 4) * 3 + (px // 4) * 7) % 9 - 4
            WHEN py < 24 THEN
              16 + (doc_id * 13 + (rt // 4) * 41 + (ct // 4) * 59) % 224

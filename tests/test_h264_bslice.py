@@ -130,9 +130,9 @@ def test_two_b_frames_between_references():
 def test_b_gates_raise():
     f0, fp, fb = _planes(32, 32, 8), _planes(32, 32, 9), _planes(32, 32, 10)
     base = [("idr", f0), ("p", fp, [("16x16", [(0, 0)])] * 4, 4)]
-    with pytest.raises(NotImplementedError, match="B_8x8"):
+    with pytest.raises(NotImplementedError, match="B_Skip/B_Direct"):
         encode_h264_b_sequence(
-            base + [("b", fb, [("8x8", [])] * 4, 2)], qp=0
+            base + [("b", fb, [("direct", [])] * 4, 2)], qp=0
         )
     with pytest.raises(ValueError, match="past and one future"):
         encode_h264_b_sequence(
@@ -178,3 +178,76 @@ def test_b_ffmpeg_cross_pin(tmp_path):
         np.testing.assert_array_equal(fy, rec[0])
         np.testing.assert_array_equal(fcb, rec[1])
         np.testing.assert_array_equal(fcr, rec[2])
+
+
+# --- B_8x8 sub-macroblock partitions -----------------------------------------
+
+
+def test_all_12_b_sub_mb_types_roundtrip():
+    from neuroimaging_data_pipeline_spark.multimodal.h264_bslice import (
+        _B_SUB_USES,
+    )
+
+    rng = np.random.default_rng(77)
+    mv = lambda: tuple(int(v) for v in rng.integers(-13, 14, 2))
+    nsub = {"8x8": 1, "8x4": 2, "4x8": 2, "4x4": 4}
+    f0, fp, fb = (_planes(48, 64, 21), _planes(48, 64, 22),
+                  _planes(48, 64, 23))
+    specs_b = []
+    for t in range(1, 13):
+        use, sm = _B_SUB_USES[t]
+
+        def mksub(use=use, sm=sm):
+            if use == "bi":
+                return (use, sm, [(mv(), mv()) for _ in range(nsub[sm])])
+            return (use, sm, [mv() for _ in range(nsub[sm])])
+
+        specs_b.append(("8x8", [mksub() for _ in range(4)]))
+    stream, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(1, 1)])] * 12, 4),
+         ("b", fb, specs_b, 2)], qp=19,
+    )
+    frames, _ = decode_h264_b_stream(stream)
+    for fi in range(3):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_b8x8_mixed_with_other_mb_kinds():
+    rng = np.random.default_rng(88)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(32, 48, 24), _planes(32, 48, 25),
+                  _planes(32, 48, 26))
+    specs_b = [
+        ("8x8", [("bi", "4x4", [(mv(), mv()) for _ in range(4)]),
+                 ("l0", "8x4", [mv(), mv()]),
+                 ("l1", "4x8", [mv(), mv()]),
+                 ("bi", "8x8", [(mv(), mv())])]),
+        ("i16",),
+        ("16x8", [("l0", mv()), ("bi", mv(), mv())]),
+        ("8x8", [("l1", "4x4", [mv() for _ in range(4)]),
+                 ("bi", "8x8", [(mv(), mv())]),
+                 ("l0", "8x8", [mv()]),
+                 ("l1", "8x4", [mv(), mv()])]),
+        ("16x16", [("bi", mv(), mv())]),
+        ("8x16", [("l1", mv()), ("l0", mv())]),
+    ]
+    stream, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(0, 0)])] * 6, 4),
+         ("b", fb, specs_b, 2)], qp=31,
+    )
+    frames, _ = decode_h264_b_stream(stream)
+    for fi in range(3):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_b_direct_8x8_stays_gated():
+    f0, fp, fb = (_planes(16, 16, 27), _planes(16, 16, 28),
+                  _planes(16, 16, 29))
+    with pytest.raises(ValueError, match="bad B sub_mb spec"):
+        encode_h264_b_sequence(
+            [("idr", f0), ("p", fp, [("16x16", [(0, 0)])], 4),
+             ("b", fb, [("8x8", [("direct", "8x8", [])] * 4)], 2)],
+            qp=0,
+        )
