@@ -42,9 +42,13 @@ requantized lines, both encode and decode), pure-SHORT and MIXED
 granules encode+decode with subblock_gain requantization, and the
 HYBRID FILTERBANK (alias reduction, IMDCT, all four windows,
 overlap-add, frequency inversion) in the sibling ``mp3synth.py``
-down to subband time samples (m39). Remaining loud gates: the
-ESC/linbits Huffman family (tables 7..31), intensity stereo
-positions, and the polyphase Table B.3 window. A capability-gated
+down to subband time samples (m39), and INTENSITY STEREO (long
+blocks): bands in the right channel's zero part pan the left
+channel by ratio = tan(is_pos * pi/12), is_pos 7 falling back to
+MS/passthrough, composing with MS below the intensity bound.
+Remaining loud gates: the ESC/linbits Huffman family (tables
+7..31), short-block intensity positions, and the polyphase Table
+B.3 window. A capability-gated
 ffmpeg cross-check belongs on machines that have ffmpeg (this
 container has none).
 
@@ -314,6 +318,7 @@ def encode_mp3_l3(
     tags: dict[str, str] | None = None,
     nch: int = 1,
     ms: bool = False,
+    intensity: bool = False,
 ) -> bytes:
     """Write a mono or stereo MPEG-1 Layer III stream (44.1 kHz)
     whose frames carry the given granules — ordered (frame, granule,
@@ -326,8 +331,8 @@ def encode_mp3_l3(
     groups equal)."""
     if nch not in (1, 2):
         raise ValueError("nch must be 1 or 2")
-    if ms and nch != 2:
-        raise ValueError("MS stereo requires two channels")
+    if (ms or intensity) and nch != 2:
+        raise ValueError("joint stereo requires two channels")
     if len(granules) % (2 * nch):
         raise ValueError("granules must fill whole frames")
     n_frames = len(granules) // (2 * nch)
@@ -395,8 +400,12 @@ def encode_mp3_l3(
             raise AssertionError(f"reservoir out of range: {begin}")
         # header: MPEG-1 Layer III, no CRC
         b3 = (brs[f] << 4) | (0 << 2) | (0 << 1)
-        # mode/mode_extension: mono, plain stereo, or joint (MS only)
-        mode_byte = 0xC0 if nch == 1 else (0x60 if ms else 0x00)
+        # mode/mode_extension: mono, plain stereo, or joint stereo
+        # (mode_extension bit1 = MS, bit0 = intensity)
+        ext = (2 if ms else 0) | (1 if intensity else 0)
+        mode_byte = 0xC0 if nch == 1 else (
+            0x40 | (ext << 4) if ext else 0x00
+        )
         out += bytes([0xFF, 0xFB, b3, mode_byte])
         si = _BW()
         si.u(begin, 9)
@@ -667,6 +676,45 @@ def ms_butterfly(xr_m: np.ndarray, xr_s: np.ndarray):
     return (xr_m + xr_s) * inv, (xr_m - xr_s) * inv
 
 
+def intensity_process(
+    xr_l: np.ndarray,
+    xr_r: np.ndarray,
+    right_sf,
+    right_lines,
+    ms_on: bool,
+):
+    """Intensity stereo (2.4.3.4.9.3), long blocks: scalefactor bands
+    lying entirely in the right channel's zero part are intensity
+    bands — the right granule's scalefactor there is a POSITION
+    is_pos, and the left channel's lines are panned by
+    ratio = tan(is_pos * pi / 12):
+      L = xr * ratio / (1 + ratio),  R = xr * 1 / (1 + ratio).
+    is_pos == 7 is the illegal position: the band falls back to MS
+    (when mode_extension also has MS) or L/R passthrough. Bands below
+    the intensity bound take MS when enabled, else passthrough. The
+    418..576 tail (no scalefactor of its own) uses band 20's
+    position, the conventional decoder choice."""
+    nz = [i for i, v in enumerate(right_lines) if v]
+    bound = (nz[-1] + 1) if nz else 0
+    out_l = xr_l.copy()
+    out_r = xr_r.copy()
+    inv = 1.0 / np.sqrt(2.0)
+    for b in range(22):
+        lo = _SFB_LONG_44[b]
+        hi = _SFB_LONG_44[b + 1]
+        if lo >= bound:  # intensity band
+            is_pos = right_sf[min(b, 20)]
+            if is_pos != 7:
+                ratio = np.tan(is_pos * np.pi / 12.0)
+                out_l[lo:hi] = xr_l[lo:hi] * (ratio / (1.0 + ratio))
+                out_r[lo:hi] = xr_l[lo:hi] * (1.0 / (1.0 + ratio))
+                continue
+        if ms_on:
+            out_l[lo:hi] = (xr_l[lo:hi] + xr_r[lo:hi]) * inv
+            out_r[lo:hi] = (xr_l[lo:hi] - xr_r[lo:hi]) * inv
+    return out_l, out_r
+
+
 def decode_mp3_l3(buf: bytes) -> dict:
     """Decode an MPEG-1 Layer III mono/stereo 44.1 kHz stream down to
     integer frequency lines + requantized xr per granule/channel.
@@ -694,11 +742,7 @@ def decode_mp3_l3(buf: bytes) -> dict:
         mode_ext = (h[3] >> 4) & 3
         nch = 1 if mode == 3 else 2
         ms_stereo = mode == 1 and bool(mode_ext & 2)
-        if mode == 1 and (mode_ext & 1):
-            raise NotImplementedError(
-                "intensity stereo — MS joint stereo is implemented, "
-                "the intensity position path stays gated"
-            )
+        is_stereo = mode == 1 and bool(mode_ext & 1)
         flen = (
             144000 * _BITRATE_KBPS[bi] // _SAMPLE_RATES[si_idx] + padding
         )
@@ -757,10 +801,25 @@ def decode_mp3_l3(buf: bytes) -> dict:
                         "mixed": bool(g["mixed_block_flag"]),
                     }
                 )
-            if ms_stereo:
+            if ms_stereo or is_stereo:
                 gl, gr_ = granules[-2], granules[-1]
-                gl["xr"], gr_["xr"] = ms_butterfly(gl["xr"], gr_["xr"])
-                gl["ms"] = gr_["ms"] = True
+                if is_stereo:
+                    if side["granules"][gi][1]["block_type"] == 2:
+                        raise NotImplementedError(
+                            "short-block intensity stereo — long-"
+                            "block intensity + MS are implemented"
+                        )
+                    gl["xr"], gr_["xr"] = intensity_process(
+                        gl["xr"], gr_["xr"], gr_["scalefacs"],
+                        gr_["lines"], ms_stereo,
+                    )
+                    gl["intensity"] = gr_["intensity"] = True
+                else:
+                    gl["xr"], gr_["xr"] = ms_butterfly(
+                        gl["xr"], gr_["xr"]
+                    )
+                if ms_stereo:
+                    gl["ms"] = gr_["ms"] = True
         n_frames += 1
         pos += flen
         # trailing stuffing after the last frame is all zeros

@@ -325,17 +325,6 @@ def test_ms_stereo_butterfly():
     np.testing.assert_allclose(g0["xr"], (m + s) / np.sqrt(2))
     np.testing.assert_allclose(g1["xr"], (m - s) / np.sqrt(2))
     assert g0.get("ms") and g1.get("ms")
-    # intensity stereo stays a loud gate
-    blob = bytearray(encode_mp3_l3(gs, nch=2, ms=True))
-    # flip mode_extension to 01 (intensity) on every frame header
-    pos = 0
-    while pos + 4 <= len(blob):
-        if blob[pos] == 0xFF and (blob[pos + 1] & 0xE0) == 0xE0:
-            blob[pos + 3] = (blob[pos + 3] & 0xCF) | 0x10
-            break
-        pos += 1
-    with pytest.raises(NotImplementedError, match="intensity"):
-        decode_mp3_l3(bytes(blob))
 
 
 def test_scfsi_forbidden_with_short_blocks():
@@ -346,3 +335,63 @@ def test_scfsi_forbidden_with_short_blocks():
 
     with pytest.raises(ValueError, match="scfsi"):
         encode_mp3_l3(gs, scfsi=8)
+
+
+def test_intensity_stereo_long_blocks():
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        _SFB_LONG_44, GranuleSpec, decode_mp3_l3, encode_mp3_l3,
+        intensity_process, requantize_long,
+    )
+
+    def mk(d, k, zero_above=None, sf=None):
+        big = 30
+        lines = [0] * 576
+        for i in range(2 * big):
+            lines[i] = (d + k + i) % 3 - 1
+        if zero_above is not None:
+            for i in range(zero_above, 576):
+                lines[i] = 0
+        return GranuleSpec(
+            lines=lines, big_values=big, table_sel=(1, 1, 0), count1=0,
+            count1_table_b=False, global_gain=130 + d,
+            scalefac_compress=5 if sf else 0, scalefacs=sf or [0] * 21,
+        )
+
+    pos_sf = [0] * 21
+    for b in range(8, 21):
+        pos_sf[b] = b % 2  # positions 0/1 (slen1 = 1 at scomp 5)
+    left = mk(4, 0)
+    right = mk(4, 1, zero_above=36, sf=pos_sf)
+    gs = [left, right, mk(4, 2), mk(4, 3, zero_above=36, sf=pos_sf)]
+    d = decode_mp3_l3(encode_mp3_l3(gs, nch=2, intensity=True))
+    g0, g1 = d["granules"][0], d["granules"][1]
+    assert g0.get("intensity") and g1.get("intensity")
+    xl = requantize_long(left.lines, left.global_gain, [0] * 21, 0, 0)
+    b = 8
+    lo, hi = _SFB_LONG_44[b], _SFB_LONG_44[b + 1]
+    ratio = np.tan(pos_sf[b] * np.pi / 12)
+    np.testing.assert_allclose(
+        g0["xr"][lo:hi], xl[lo:hi] * ratio / (1 + ratio)
+    )
+    np.testing.assert_allclose(
+        g1["xr"][lo:hi], xl[lo:hi] * 1 / (1 + ratio)
+    )
+    # below the intensity bound: L/R passthrough without MS
+    np.testing.assert_allclose(g0["xr"][:36], xl[:36])
+    # with MS enabled, bands below the bound take the butterfly
+    d2 = decode_mp3_l3(encode_mp3_l3(gs, nch=2, ms=True, intensity=True))
+    xr_ = requantize_long(right.lines, right.global_gain, pos_sf, 0, 0)
+    np.testing.assert_allclose(
+        d2["granules"][0]["xr"][:36], (xl[:36] + xr_[:36]) / np.sqrt(2)
+    )
+    # is_pos == 7 falls back (illegal position)
+    pos7 = [7 if b >= 8 else 0 for b in range(21)]
+    right7 = mk(4, 1, zero_above=36, sf=pos7)
+    gs7 = [left, right7, mk(4, 2), mk(4, 3, zero_above=36, sf=pos7)]
+    # scomp must give slen >= 3 to carry value 7: use scomp 13 (3,3)
+    for g in (gs7[1], gs7[3]):
+        g.scalefac_compress = 13
+    d7 = decode_mp3_l3(encode_mp3_l3(gs7, nch=2, intensity=True))
+    np.testing.assert_allclose(d7["granules"][0]["xr"], xl)
