@@ -35,11 +35,18 @@ What is REAL here (ITU-T H.264 clause references, all from scratch):
 - B_8x8 sub-macroblock partitions (second pass): all twelve coded
   Table 7-18 sub_mb_types — per-8x8 list usage l0/l1/bi with
   8x8/8x4/4x8/4x4 splits, per-sub-partition mvd against the z-scan
-  per-list median predictor, bi sub-blocks averaged per 8.4.2.3.2.
+  per-list median predictor, bi sub-blocks averaged per 8.4.2.3.2;
+- EXPLICIT WEIGHTED PREDICTION (third pass, weighted_bipred_idc 1):
+  pred_weight_table in every B slice header (luma/chroma
+  log2_weight_denom, per-list weight/offset with flag-0 defaults),
+  uni-directional weighting Clip(((p*w + 2^(d-1)) >> d) + o) and
+  weighted bi-prediction Clip(((p0*w0 + p1*w1 + 2^d) >> (d+1)) +
+  ((o0+o1+1) >> 1)) per 8.4.2.3.2, formula-pinned in pytest.
 
 Declared gates (raise, never silent): B_Skip / B_Direct_16x16 /
 B_Direct_8x8 (direct-mode prediction, spatial and temporal), more
-than one active reference per list, weighted prediction,
+than one active reference per list, IMPLICIT weighted prediction
+(idc 2) and weighted P slices, distinct Cb/Cr weights,
 I_4x4 / I_PCM inside B slices.
 
 The encoder<->decoder round trip is bit-exact by construction
@@ -236,8 +243,145 @@ def _p_reheader_poc0(rbsp: bytes, poc_lsb: int) -> bytes:
     return w.bytes_()
 
 
+def _pps_rbsp_deblock_wp() -> bytes:
+    """CAVLC PPS like h264_inter's deblocking-control PPS but with
+    weighted_bipred_idc = 1 (EXPLICIT weighted bi-prediction): B
+    slice headers then carry a pred_weight_table."""
+    pps = _BitW()
+    pps.ue(0)
+    pps.ue(0)
+    pps.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    pps.u(0, 1)
+    pps.ue(0)
+    pps.ue(0)  # num_ref_idx_l0_default_active_minus1
+    pps.ue(0)  # num_ref_idx_l1_default_active_minus1
+    pps.u(0, 1)  # weighted_pred_flag (P slices stay unweighted)
+    pps.u(1, 2)  # weighted_bipred_idc: explicit
+    pps.se(0)
+    pps.se(0)
+    pps.se(0)
+    pps.u(1, 1)  # deblocking_filter_control_present_flag
+    pps.u(0, 1)
+    pps.u(0, 1)
+    pps.trailing()
+    return pps.bytes_()
+
+
+_DEFAULT_W = {"wy": None, "oy": 0, "wc": None, "oc": 0}
+
+
+def _norm_weights(weights):
+    """Normalize the user weights dict: luma/chroma denominators plus
+    per-list (weight, offset) for luma and one shared chroma pair.
+    None weights mean 'flag 0' (default 1 << denom, offset 0)."""
+    w = {
+        "luma_denom": int(weights.get("luma_denom", 0)),
+        "chroma_denom": int(weights.get("chroma_denom", 0)),
+    }
+    for li in ("l0", "l1"):
+        e = dict(_DEFAULT_W)
+        e.update(weights.get(li, {}))
+        w[li] = e
+    return w
+
+
+def _write_pred_weight_table(sl: _BitW, w) -> None:
+    """7.3.3.2 pred_weight_table, one active reference per list."""
+    sl.ue(w["luma_denom"])
+    sl.ue(w["chroma_denom"])
+    for li in ("l0", "l1"):
+        e = w[li]
+        if e["wy"] is not None:
+            sl.u(1, 1)
+            sl.se(e["wy"])
+            sl.se(e["oy"])
+        else:
+            sl.u(0, 1)
+        if e["wc"] is not None:
+            sl.u(1, 1)
+            for _ in range(2):  # Cb then Cr, same pair here
+                sl.se(e["wc"])
+                sl.se(e["oc"])
+        else:
+            sl.u(0, 1)
+
+
+def _resolve_weights(w):
+    """Fill flag-0 defaults (1 << denom, offset 0) for prediction."""
+    out = {"luma_denom": w["luma_denom"],
+           "chroma_denom": w["chroma_denom"]}
+    for li in ("l0", "l1"):
+        e = dict(w[li])
+        if e["wy"] is None:
+            e["wy"] = 1 << w["luma_denom"]
+            e["oy"] = 0
+        if e["wc"] is None:
+            e["wc"] = 1 << w["chroma_denom"]
+            e["oc"] = 0
+        out[li] = e
+    return out
+
+
+def _parse_pred_weight_table(r: _BitR):
+    w = {"luma_denom": r.ue(), "chroma_denom": r.ue()}
+    for li in ("l0", "l1"):
+        e = {}
+        if r.u(1):
+            e["wy"] = r.se()
+            e["oy"] = r.se()
+        else:
+            e["wy"] = 1 << w["luma_denom"]
+            e["oy"] = 0
+        if r.u(1):
+            pairs = [(r.se(), r.se()) for _ in range(2)]
+            if pairs[0] != pairs[1]:
+                raise NotImplementedError(
+                    "distinct Cb/Cr weights — one shared chroma pair "
+                    "is implemented"
+                )
+            e["wc"], e["oc"] = pairs[0]
+        else:
+            e["wc"] = 1 << w["chroma_denom"]
+            e["oc"] = 0
+        w[li] = e
+    return w
+
+
+def _wp_uni(planes, e, w):
+    """8.4.2.3.2 explicit uni-directional weighting, per plane."""
+    ldy, ldc = w["luma_denom"], w["chroma_denom"]
+    out = []
+    for pi, p in enumerate(planes):
+        ld = ldy if pi == 0 else ldc
+        ww = e["wy"] if pi == 0 else e["wc"]
+        oo = e["oy"] if pi == 0 else e["oc"]
+        if ld >= 1:
+            v = ((p * ww + (1 << (ld - 1))) >> ld) + oo
+        else:
+            v = p * ww + oo
+        out.append(np.clip(v, 0, 255))
+    return tuple(out)
+
+
+def _wp_bi(p0, p1, w):
+    """8.4.2.3.2 explicit weighted bi-prediction, per plane."""
+    ldy, ldc = w["luma_denom"], w["chroma_denom"]
+    out = []
+    for pi, (a, b) in enumerate(zip(p0, p1)):
+        ld = ldy if pi == 0 else ldc
+        w0 = w["l0"]["wy"] if pi == 0 else w["l0"]["wc"]
+        w1 = w["l1"]["wy"] if pi == 0 else w["l1"]["wc"]
+        o0 = w["l0"]["oy"] if pi == 0 else w["l0"]["oc"]
+        o1 = w["l1"]["oy"] if pi == 0 else w["l1"]["oc"]
+        v = ((a * w0 + b * w1 + (1 << ld)) >> (ld + 1)) + (
+            (o0 + o1 + 1) >> 1
+        )
+        out.append(np.clip(v, 0, 255))
+    return tuple(out)
+
+
 def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
-                    poc_lsb: int) -> None:
+                    poc_lsb: int, weights=None) -> None:
     sl.ue(0)  # first_mb_in_slice
     sl.ue(6)  # slice_type: B (all slices)
     sl.ue(0)  # pic_parameter_set_id
@@ -247,15 +391,20 @@ def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
     sl.u(0, 1)  # num_ref_idx_active_override (1 per list, PPS default)
     sl.u(0, 1)  # ref_pic_list_modification_flag_l0
     sl.u(0, 1)  # ref_pic_list_modification_flag_l1
+    if weights is not None:  # explicit weighted bipred PPS
+        _write_pred_weight_table(sl, weights)
     # nal_ref_idc == 0: no dec_ref_pic_marking
     sl.se(qp - 26)  # slice_qp_delta
     sl.ue(1)  # disable_deblocking_filter_idc
 
 
-def _parse_inter_header(r: _BitR) -> tuple[str, int, int]:
+def _parse_inter_header(
+    r: _BitR, bipred_idc: int = 0
+) -> tuple[str, int, int, dict | None]:
     """Parse a non-IDR slice header under the POC-type-0 SPS.
-    Returns (kind 'p'|'b', slice_qp, poc_lsb); the reader is left at
-    the first macroblock element."""
+    Returns (kind 'p'|'b', slice_qp, poc_lsb, weights-or-None); the
+    reader is left at the first macroblock element."""
+    weights = None
     r.ue()  # first_mb
     stype = r.ue() % 5
     if stype == 0:
@@ -280,6 +429,8 @@ def _parse_inter_header(r: _BitR) -> tuple[str, int, int]:
             raise NotImplementedError("ref_pic_list_modification (l0)")
         if r.u(1):
             raise NotImplementedError("ref_pic_list_modification (l1)")
+        if bipred_idc == 1:
+            weights = _parse_pred_weight_table(r)
         # non-reference B: no dec_ref_pic_marking
     else:
         if r.u(1):
@@ -290,7 +441,7 @@ def _parse_inter_header(r: _BitR) -> tuple[str, int, int]:
             raise NotImplementedError("adaptive ref marking")
     qp = 26 + r.se()
     r.ue()  # disable_deblocking_filter_idc
-    return kind, qp, poc
+    return kind, qp, poc, weights
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +468,7 @@ def _bi_combine(p0, p1):
 
 
 def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
-                    poc_lsb):
+                    poc_lsb, wtab=None):
     """Encode one CAVLC B slice. ``ref_l0`` / ``ref_l1`` are single
     decoded reference plane triples (one active ref per list).
     Returns (slice_rbsp, recon_planes)."""
@@ -339,8 +490,9 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
     mvs0 = _MvState(mbw, mbh)
     mvs1 = _MvState(mbw, mbh)
 
+    weights = _resolve_weights(wtab) if wtab is not None else None
     sl = _BitW()
-    _b_slice_header(sl, qp, frame_num, poc_lsb)
+    _b_slice_header(sl, qp, frame_num, poc_lsb, wtab)
 
     for my in range(mbh):
         for mx in range(mbw):
@@ -413,15 +565,22 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                         if use == "l0":
                             pp = _mc_mb(padded0, mx, my,
                                         [geom + (mv0[si], 0)])
+                            if weights is not None:
+                                pp = _wp_uni(pp, weights["l0"], weights)
                         elif use == "l1":
                             pp = _mc_mb(padded1, mx, my,
                                         [geom + (mv1[si], 0)])
+                            if weights is not None:
+                                pp = _wp_uni(pp, weights["l1"], weights)
                         else:
-                            pp = _bi_combine(
-                                _mc_mb(padded0, mx, my,
-                                       [geom + (mv0[si], 0)]),
-                                _mc_mb(padded1, mx, my,
-                                       [geom + (mv1[si], 0)]),
+                            p0_ = _mc_mb(padded0, mx, my,
+                                         [geom + (mv0[si], 0)])
+                            p1_ = _mc_mb(padded1, mx, my,
+                                         [geom + (mv1[si], 0)])
+                            pp = (
+                                _wp_bi(p0_, p1_, weights)
+                                if weights is not None
+                                else _bi_combine(p0_, p1_)
                             )
                         ys = np.s_[geom[1] * 4 : geom[1] * 4 + h4 * 4,
                                    geom[0] * 4 : geom[0] * 4 + w4 * 4]
@@ -477,12 +636,19 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                 geom = (ox4, oy4, w4, h4)
                 if use == "l0":
                     pp = _mc_mb(padded0, mx, my, [geom + (m0, 0)])
+                    if weights is not None:
+                        pp = _wp_uni(pp, weights["l0"], weights)
                 elif use == "l1":
                     pp = _mc_mb(padded1, mx, my, [geom + (m1, 0)])
+                    if weights is not None:
+                        pp = _wp_uni(pp, weights["l1"], weights)
                 else:
-                    pp = _bi_combine(
-                        _mc_mb(padded0, mx, my, [geom + (m0, 0)]),
-                        _mc_mb(padded1, mx, my, [geom + (m1, 0)]),
+                    p0_ = _mc_mb(padded0, mx, my, [geom + (m0, 0)])
+                    p1_ = _mc_mb(padded1, mx, my, [geom + (m1, 0)])
+                    pp = (
+                        _wp_bi(p0_, p1_, weights)
+                        if weights is not None
+                        else _bi_combine(p0_, p1_)
                     )
                 ys = np.s_[oy4 * 4 : oy4 * 4 + h4 * 4,
                            ox4 * 4 : ox4 * 4 + w4 * 4]
@@ -507,7 +673,7 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
     return sl.bytes_(), recon
 
 
-def _decode_b_frame(r, sps, qp, ref_l0, ref_l1):
+def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None):
     mbw, mbh = sps["mbw"], sps["mbh"]
     h, w = mbh * 16, mbw * 16
     padded0 = _pad_refs([ref_l0])
@@ -586,15 +752,22 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1):
                         if use == "l0":
                             pp = _mc_mb(padded0, mx, my,
                                         [geom + (mv0[si], 0)])
+                            if weights is not None:
+                                pp = _wp_uni(pp, weights["l0"], weights)
                         elif use == "l1":
                             pp = _mc_mb(padded1, mx, my,
                                         [geom + (mv1[si], 0)])
+                            if weights is not None:
+                                pp = _wp_uni(pp, weights["l1"], weights)
                         else:
-                            pp = _bi_combine(
-                                _mc_mb(padded0, mx, my,
-                                       [geom + (mv0[si], 0)]),
-                                _mc_mb(padded1, mx, my,
-                                       [geom + (mv1[si], 0)]),
+                            p0_ = _mc_mb(padded0, mx, my,
+                                         [geom + (mv0[si], 0)])
+                            p1_ = _mc_mb(padded1, mx, my,
+                                         [geom + (mv1[si], 0)])
+                            pp = (
+                                _wp_bi(p0_, p1_, weights)
+                                if weights is not None
+                                else _bi_combine(p0_, p1_)
                             )
                         ys = np.s_[geom[1] * 4 : geom[1] * 4 + h4 * 4,
                                    geom[0] * 4 : geom[0] * 4 + w4 * 4]
@@ -658,12 +831,19 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1):
                 use = uses[pidx]
                 if use == "l0":
                     pp = _mc_mb(padded0, mx, my, [geom + (m0, 0)])
+                    if weights is not None:
+                        pp = _wp_uni(pp, weights["l0"], weights)
                 elif use == "l1":
                     pp = _mc_mb(padded1, mx, my, [geom + (m1, 0)])
+                    if weights is not None:
+                        pp = _wp_uni(pp, weights["l1"], weights)
                 else:
-                    pp = _bi_combine(
-                        _mc_mb(padded0, mx, my, [geom + (m0, 0)]),
-                        _mc_mb(padded1, mx, my, [geom + (m1, 0)]),
+                    p0_ = _mc_mb(padded0, mx, my, [geom + (m0, 0)])
+                    p1_ = _mc_mb(padded1, mx, my, [geom + (m1, 0)])
+                    pp = (
+                        _wp_bi(p0_, p1_, weights)
+                        if weights is not None
+                        else _bi_combine(p0_, p1_)
                     )
                 ys = np.s_[oy4 * 4 : oy4 * 4 + h4 * 4,
                            ox4 * 4 : ox4 * 4 + w4 * 4]
@@ -692,7 +872,7 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1):
 # ---------------------------------------------------------------------------
 
 
-def encode_h264_b_sequence(entries: list, qp: int = 0):
+def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None):
     """Encode a decode-order sequence with B frames. ``entries``:
 
       ("idr", planes)                 — Intra_16x16 anchor, POC 0;
@@ -718,9 +898,14 @@ def encode_h264_b_sequence(entries: list, qp: int = 0):
     if h % 16 or w % 16:
         raise ValueError("B sequences require dimensions % 16 == 0")
     mbw, mbh = w // 16, h // 16
+    wtab = _norm_weights(weights) if weights is not None else None
     stream = (
         _nal(3, 7, _sps_rbsp_poc0(mbw, mbh, w, h))
-        + _nal(3, 8, _pps_rbsp_deblock())
+        + _nal(
+            3, 8,
+            _pps_rbsp_deblock_wp() if wtab is not None
+            else _pps_rbsp_deblock(),
+        )
     )
     recons: list = []
     pocs: list = []
@@ -768,7 +953,7 @@ def encode_h264_b_sequence(entries: list, qp: int = 0):
             l0 = max(past, key=lambda e: e[0])[1]
             l1 = min(future, key=lambda e: e[0])[1]
             rbsp, recon = _encode_b_frame(
-                planes, l0, l1, mb_specs, qp, fn, poc
+                planes, l0, l1, mb_specs, qp, fn, poc, wtab
             )
             stream += _nal(0, 1, rbsp)  # non-reference picture
         else:
@@ -788,6 +973,7 @@ def decode_h264_b_stream(payload: bytes):
     )
 
     sps = None
+    bipred_idc = 0
     frames: list = []
     pocs: list = []
     ref_dpb: list = []  # (poc, planes), newest decoded first
@@ -804,6 +990,20 @@ def decode_h264_b_stream(payload: bytes):
             r.ue()
             if r.u(1):
                 raise NotImplementedError("CABAC B slices — gated")
+            r.u(1)  # bottom_field_pic_order_in_frame_present
+            r.ue()  # num_slice_groups_minus1
+            r.ue()  # num_ref_idx_l0_default_active_minus1
+            r.ue()  # num_ref_idx_l1_default_active_minus1
+            if r.u(1):
+                raise NotImplementedError(
+                    "weighted_pred_flag (weighted P slices) — gated"
+                )
+            bipred_idc = r.u(2)
+            if bipred_idc == 2:
+                raise NotImplementedError(
+                    "implicit weighted bi-prediction — explicit "
+                    "(idc 1) is implemented"
+                )
         elif ntype == 5:
             if sps is None:
                 raise ValueError("IDR before SPS")
@@ -821,7 +1021,7 @@ def decode_h264_b_stream(payload: bytes):
             if sps is None or not ref_dpb:
                 raise ValueError("coded slice before references exist")
             r = _BitR(rbsp)
-            kind, qp, poc = _parse_inter_header(r)
+            kind, qp, poc, wts = _parse_inter_header(r, bipred_idc)
             if kind == "p":
                 frame = _decode_p_frame(
                     r, sps, qp, [ref_dpb[0][1]], 1
@@ -835,7 +1035,7 @@ def decode_h264_b_stream(payload: bytes):
                     )
                 l0 = max(past, key=lambda e: e[0])[1]
                 l1 = min(future, key=lambda e: e[0])[1]
-                frame = _decode_b_frame(r, sps, qp, l0, l1)
+                frame = _decode_b_frame(r, sps, qp, l0, l1, wts)
             frames.append(frame)
             pocs.append(poc)
             if (nal[0] >> 5) & 3:  # reference picture

@@ -251,3 +251,68 @@ def test_b_direct_8x8_stays_gated():
              ("b", fb, [("8x8", [("direct", "8x8", [])] * 4)], 2)],
             qp=0,
         )
+
+
+# --- explicit weighted prediction --------------------------------------------
+
+
+def test_explicit_weighted_prediction_roundtrip():
+    rng = np.random.default_rng(15)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(32, 48, 31), _planes(32, 48, 32),
+                  _planes(32, 48, 33))
+    specs_b = [
+        ("16x16", [("l0", mv())]),
+        ("16x16", [("l1", mv())]),
+        ("16x16", [("bi", mv(), mv())]),
+        ("16x8", [("bi", mv(), mv()), ("l0", mv())]),
+        ("8x8", [("bi", "4x4", [(mv(), mv()) for _ in range(4)]),
+                 ("l0", "8x4", [mv(), mv()]),
+                 ("l1", "4x8", [mv(), mv()]),
+                 ("bi", "8x8", [(mv(), mv())])]),
+        ("i16",),
+    ]
+    weights = {
+        "luma_denom": 5, "chroma_denom": 4,
+        "l0": {"wy": 40, "oy": -3, "wc": 20, "oc": 2},
+        "l1": {"wy": 24, "oy": 5},  # chroma defaults for l1
+    }
+    stream, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(2, -2)])] * 6, 4),
+         ("b", fb, specs_b, 2)], qp=23, weights=weights,
+    )
+    frames, _ = decode_h264_b_stream(stream)
+    for fi in range(3):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_explicit_wp_formula_pins():
+    """Constant references + zero MVs: the decoded B macroblock must
+    equal the 8.4.2.3.2 explicit formulas exactly (zero residual)."""
+    c = np.full((8, 8), 100, np.uint8)
+    f0 = (np.full((16, 16), 80, np.uint8), c, c.copy())
+    fp = (np.full((16, 16), 160, np.uint8), c.copy(), c.copy())
+    wy0, oy0, wy1, oy1, ld = 40, -3, 24, 5, 5
+    w = {"luma_denom": ld, "chroma_denom": 0,
+         "l0": {"wy": wy0, "oy": oy0}, "l1": {"wy": wy1, "oy": oy1}}
+    want_bi = ((80 * wy0 + 160 * wy1 + (1 << ld)) >> (ld + 1)) + (
+        (oy0 + oy1 + 1) >> 1
+    )
+    fb = (np.full((16, 16), want_bi, np.uint8), c.copy(), c.copy())
+    st, _, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(0, 0)])], 4),
+         ("b", fb, [("16x16", [("bi", (0, 0), (0, 0))])], 2)],
+        qp=0, weights=w,
+    )
+    fr, _ = decode_h264_b_stream(st)
+    assert fr[2][0].min() == fr[2][0].max() == want_bi
+    want_l0 = ((80 * wy0 + (1 << (ld - 1))) >> ld) + oy0
+    fbu = (np.full((16, 16), want_l0, np.uint8), c.copy(), c.copy())
+    st2, _, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(0, 0)])], 4),
+         ("b", fbu, [("16x16", [("l0", (0, 0))])], 2)],
+        qp=0, weights=w,
+    )
+    fr2, _ = decode_h264_b_stream(st2)
+    assert fr2[2][0].min() == fr2[2][0].max() == want_l0
