@@ -250,6 +250,7 @@ _ADDED_R9 = [
     "m37_h264_bslice",
     "m38_jpeg_hierarchical",
     "m39_mp3_subband",
+    "e13_video_shard_pipeline",
 ]
 
 

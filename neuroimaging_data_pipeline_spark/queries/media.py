@@ -2025,6 +2025,101 @@ FROM s GROUP BY doc_id
 
 
 
+def e13_video_shard_pipeline(spark, sf_dir):
+    """E13: the COMPOSED VIDEO corpus pipeline — the multimodal
+    sibling of e11/e12's compressed-text chains, exercising the r9
+    video stack end to end in the WebDataset shape a training corpus
+    actually uses: per-document 3-frame multi-ref H.264 GOPs (the
+    m36 fixture: P_8x8 sub-partitions, intra-in-P, te(v) ref_idx)
+    are packed 25-per-shard into REAL USTAR tar archives (the
+    from-scratch writer in multimodal/tar.py), then the pipeline
+    reverses the whole stack — tar member walk, Annex B NAL parse,
+    CAVLC entropy decode, motion compensation over the DPB — and
+    pins exact per-shard reassembly with an ORDER-PINNED md5 over
+    per-document decoded-frame checksums. Any bit-level bug anywhere
+    in the container or codec chain breaks the hash. Shape at
+    100 TB: ONE pack shuffle (groupBy shard), then a single narrow
+    decode+aggregate task per shard — tar members stream in-task,
+    nothing widens."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.multimodal.h264_gop_helpers import (  # noqa: E501
+        decode_shard_features,
+        pack_gop_shard,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        synthesize_h264_gop_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_gop_frames(d, id_col="doc_id")
+    shards = (
+        media.withColumn(
+            "shard_id", (F.col("doc_id") / 25).cast("long")
+        )
+        .groupBy("shard_id")
+        .applyInPandas(pack_gop_shard, "shard_id long, tar binary")
+    )
+    return decode_shard_features(shards)
+
+
+E13_SQL = """
+WITH px AS (
+  SELECT doc_id, py.py AS py, qx.px AS px
+  FROM documents,
+       UNNEST(range(0, 32)) AS py(py),
+       UNNEST(range(0, 32)) AS qx(px)
+), c AS (
+  SELECT doc_id, py, px,
+         16 + (doc_id * 13
+           + (LEAST(GREATEST(py + 4 * ((doc_id * 2 + 3 * (px // 16)
+               + (py // 16)) % 3 - 1), 0), 31) // 4) * 41
+           + (LEAST(GREATEST(px + 4 * ((doc_id + (px // 16)
+               + 2 * (py // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
+         + (doc_id + (py // 4) * 7 + (px // 4) * 11) % 9 - 4
+           AS y1,
+         LEAST(GREATEST(py + 4 * (doc_id // 3 % 3 - 1), 0), 31) AS ra,
+         LEAST(GREATEST(px + 4 * (doc_id % 3 - 1), 0), 31) AS ca,
+         LEAST(GREATEST(py + 4 * ((doc_id * 2 + ((px % 16) // 8
+           + 2 * ((py % 16) // 8))) % 3 - 1), 0), 31) AS rb,
+         LEAST(GREATEST(px + 4 * ((doc_id + ((px % 16) // 8
+           + 2 * ((py % 16) // 8))) % 3 - 1), 0), 31) AS cb
+  FROM px
+), d AS (
+  SELECT doc_id,
+         CASE
+           WHEN py < 16 AND px < 16 THEN
+             16 + (doc_id * 17 + (py // 4) * 43 + (px // 4) * 61) % 224
+           WHEN py < 16 THEN
+             16 + (doc_id * 13 + (ra // 4) * 41 + (ca // 4) * 59) % 224
+             + (doc_id * 3 + (py // 4) * 5 + (px // 4) * 13) % 9 - 4
+           WHEN px < 16 THEN
+             16 + (doc_id * 13
+           + (LEAST(GREATEST(rb + 4 * ((doc_id * 2 + 3 * (cb // 16)
+               + (rb // 16)) % 3 - 1), 0), 31) // 4) * 41
+           + (LEAST(GREATEST(cb + 4 * ((doc_id + (cb // 16)
+               + 2 * (rb // 16)) % 3 - 1), 0), 31) // 4) * 59) % 224
+         + (doc_id + (rb // 4) * 7 + (cb // 4) * 11) % 9 - 4
+             + (doc_id + (py // 4) * 3 + (px // 4) * 7) % 9 - 4
+           ELSE
+             y1 + (doc_id * 5 + (py // 4) * 11 + (px // 4) * 3) % 9 - 4
+         END AS y2
+  FROM c
+), perdoc AS (
+  SELECT doc_id, CAST(SUM(y2) AS BIGINT) AS sum_y_p2
+  FROM d GROUP BY doc_id
+)
+SELECT CAST(doc_id // 25 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sum_y_p2) AS BIGINT) AS sum_y_p2_total,
+       md5(string_agg(doc_id || ':' || sum_y_p2, '|' ORDER BY doc_id))
+         AS docs_md5
+FROM perdoc GROUP BY 1
+"""
+
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -2097,6 +2192,7 @@ QUERIES = {
     "m37_h264_bslice": m37_h264_bslice,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m39_mp3_subband": m39_mp3_subband,
+    "e13_video_shard_pipeline": e13_video_shard_pipeline,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -2134,5 +2230,6 @@ ORACLE = {
     "m37_h264_bslice": M37_SQL,
     "m38_jpeg_hierarchical": M38_SQL,
     "m39_mp3_subband": M39_SQL,
+    "e13_video_shard_pipeline": E13_SQL,
     "m31_lzma_alone": M31_SQL,
 }

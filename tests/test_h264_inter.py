@@ -376,3 +376,66 @@ def test_gop_ffmpeg_cross_pin(tmp_path):
         np.testing.assert_array_equal(fy, rec[0])
         np.testing.assert_array_equal(fcb, rec[1])
         np.testing.assert_array_equal(fcr, rec[2])
+
+
+def test_e13_shard_pack_decode_and_corruption():
+    """Pack GOP blobs into a ustar shard, decode back, and verify a
+    single flipped byte anywhere in a member breaks the decode or
+    changes the digest (the e13 pipeline's verification property)."""
+    import hashlib
+
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.multimodal.h264_gop_helpers import (  # noqa: E501
+        pack_gop_shard,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.tar import parse_tar
+
+    # build three tiny GOP blobs via the encoder directly
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    blobs = []
+    for i in range(3):
+        y0 = np.full((16, 16), 40 + 10 * i, np.uint8)
+        y1 = np.full((16, 16), 60 + 10 * i, np.uint8)
+        c = np.full((8, 8), 128, np.uint8)
+        stream, _ = encode_h264_p_gop(
+            [(y0, c, c.copy()), (y1, c.copy(), c.copy())],
+            [[("16x16", [(0, 0)])]], qp=0,
+        )
+        blobs.append(stream)
+    pdf = pd.DataFrame(
+        {"shard_id": [0, 0, 0], "doc_id": [2, 0, 1],
+         "content": [blobs[2], blobs[0], blobs[1]]}
+    )
+    out = pack_gop_shard(pdf)
+    tar = bytes(out["tar"].iloc[0])
+    members = parse_tar(tar)
+    assert [m[0] for m in members] == [
+        "00000000.h264", "00000001.h264", "00000002.h264"
+    ]  # ascending doc order regardless of input order
+    sums = []
+    for name, data in members:
+        frames = decode_h264_sequence(bytes(data))
+        sums.append(int(frames[-1][0].sum()))
+    assert sums == [256 * 60, 256 * 70, 256 * 80]
+    digest = hashlib.md5(
+        "|".join(f"{i}:{s}" for i, s in enumerate(sums)).encode()
+    ).hexdigest()
+    # corrupt one payload byte of member 1 inside the tar
+    pos = tar.index(blobs[1][40:56])  # unique run inside member 1
+    bad = bytearray(tar)
+    bad[pos + 3] ^= 0x40
+    try:
+        sums2 = []
+        for name, data in parse_tar(bytes(bad)):
+            frames = decode_h264_sequence(bytes(data))
+            sums2.append(int(frames[-1][0].sum()))
+        digest2 = hashlib.md5(
+            "|".join(f"{i}:{s}" for i, s in enumerate(sums2)).encode()
+        ).hexdigest()
+        assert digest2 != digest
+    except (ValueError, NotImplementedError, IndexError, KeyError):
+        pass  # loud decode failure is equally acceptable
