@@ -36,6 +36,13 @@ What is REAL here (ITU-T H.264 clause references, all from scratch):
   Table 7-18 sub_mb_types — per-8x8 list usage l0/l1/bi with
   8x8/8x4/4x8/4x4 splits, per-sub-partition mvd against the z-scan
   per-list median predictor, bi sub-blocks averaged per 8.4.2.3.2;
+- SPATIAL DIRECT MODE (fourth pass): B_Skip (mb_skip_run) and
+  B_Direct_16x16 per 8.4.1.2.2 — per-list MinPositive reference
+  derivation over the MB neighbors, the median motion predictor,
+  directZeroPrediction when neither list has a neighbor reference,
+  and the colocated-block colZeroFlag test (direct_8x8_inference:
+  each 8x8 reads the colocated CORNER 4x4 of RefPicList1[0], whose
+  motion field rides the DPB) — composing with weighted prediction;
 - EXPLICIT WEIGHTED PREDICTION (third pass, weighted_bipred_idc 1):
   pred_weight_table in every B slice header (luma/chroma
   log2_weight_denom, per-list weight/offset with flag-0 defaults),
@@ -43,8 +50,8 @@ What is REAL here (ITU-T H.264 clause references, all from scratch):
   weighted bi-prediction Clip(((p0*w0 + p1*w1 + 2^d) >> (d+1)) +
   ((o0+o1+1) >> 1)) per 8.4.2.3.2, formula-pinned in pytest.
 
-Declared gates (raise, never silent): B_Skip / B_Direct_16x16 /
-B_Direct_8x8 (direct-mode prediction, spatial and temporal), more
+Declared gates (raise, never silent): TEMPORAL direct
+(direct_spatial_mv_pred_flag 0), B_Direct_8x8 inside B_8x8, more
 than one active reference per list, IMPLICIT weighted prediction
 (idc 2) and weighted P slices, distinct Cb/Cr weights,
 I_4x4 / I_PCM inside B slices.
@@ -387,7 +394,7 @@ def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
     sl.ue(0)  # pic_parameter_set_id
     sl.u(frame_num % 16, 4)
     sl.u(poc_lsb % (1 << _POC_BITS), _POC_BITS)
-    sl.u(0, 1)  # direct_spatial_mv_pred_flag (direct is gated)
+    sl.u(1, 1)  # direct_spatial_mv_pred_flag: spatial direct
     sl.u(0, 1)  # num_ref_idx_active_override (1 per list, PPS default)
     sl.u(0, 1)  # ref_pic_list_modification_flag_l0
     sl.u(0, 1)  # ref_pic_list_modification_flag_l1
@@ -402,8 +409,9 @@ def _parse_inter_header(
     r: _BitR, bipred_idc: int = 0
 ) -> tuple[str, int, int, dict | None]:
     """Parse a non-IDR slice header under the POC-type-0 SPS.
-    Returns (kind 'p'|'b', slice_qp, poc_lsb, weights-or-None); the
-    reader is left at the first macroblock element."""
+    Returns (kind 'p'|'b', slice_qp, poc_lsb, weights-or-None,
+    direct_spatial_flag); the reader is left at the first macroblock
+    element."""
     weights = None
     r.ue()  # first_mb
     stype = r.ue() % 5
@@ -418,8 +426,9 @@ def _parse_inter_header(
     r.ue()  # pps id
     r.u(4)  # frame_num
     poc = r.u(_POC_BITS)
+    spatial = True
     if kind == "b":
-        r.u(1)  # direct_spatial_mv_pred_flag (direct gated per-MB)
+        spatial = bool(r.u(1))
         if r.u(1):
             raise NotImplementedError(
                 "num_ref_idx override — one active reference per "
@@ -441,7 +450,7 @@ def _parse_inter_header(
             raise NotImplementedError("adaptive ref marking")
     qp = 26 + r.se()
     r.ue()  # disable_deblocking_filter_idc
-    return kind, qp, poc, weights
+    return kind, qp, poc, weights, spatial
 
 
 # ---------------------------------------------------------------------------
@@ -463,12 +472,117 @@ def _part_spec(entry):
     raise ValueError(f"bad B partition use {use!r}")
 
 
+def _min_positive_ref(state, mx, my):
+    """MinPositive of the MB neighbors' refIdx for one list
+    (8.4.1.2.2): the minimum non-negative neighbor refIdx, or -1
+    when no neighbor predicts from the list."""
+    gx, gy = mx * 4, my * 4
+    a = state._info(gy, gx - 1)
+    b = state._info(gy - 1, gx)
+    c = state._info(gy - 1, gx + 4)
+    if c is None:
+        c = state._info(gy - 1, gx - 1)
+    pos = [n[1] for n in (a, b, c) if n is not None and n[1] >= 0]
+    return min(pos) if pos else -1
+
+
+def _spatial_direct(mvs0, mvs1, mx, my, col):
+    """8.4.1.2.2 spatial direct luma motion for one macroblock at
+    8x8 granularity (direct_8x8_inference_flag = 1: each 8x8 uses
+    the colocated CORNER 4x4 of the macroblock). ``col`` is the
+    RefPicList1[0] picture's exported motion field (all pictures
+    here are short-term). Returns (ref0, ref1,
+    [(mv0, mv1) per 8x8]) with refIdx -1 meaning predFlagLX = 0."""
+    ref0 = _min_positive_ref(mvs0, mx, my)
+    ref1 = _min_positive_ref(mvs1, mx, my)
+    if ref0 < 0 and ref1 < 0:  # directZeroPredictionFlag
+        zero = np.zeros(2, np.int64)
+        return 0, 0, [(zero, zero)] * 4
+    mvp0 = (mvs0.predict(mx * 4, my * 4, 4, ref0)
+            if ref0 >= 0 else np.zeros(2, np.int64))
+    mvp1 = (mvs1.predict(mx * 4, my * 4, 4, ref1)
+            if ref1 >= 0 else np.zeros(2, np.int64))
+    out = []
+    for k in range(4):
+        # colocated corner 4x4 of this 8x8 (outer MB corner)
+        cgx = mx * 4 + (k & 1) * 3
+        cgy = my * 4 + (k >> 1) * 3
+        col_inter = bool(col["inter"][cgy, cgx])
+        col_zero = (
+            col_inter
+            and int(col["ref"][cgy, cgx]) == 0
+            and abs(int(col["mv"][cgy, cgx, 0])) <= 1
+            and abs(int(col["mv"][cgy, cgx, 1])) <= 1
+        )
+        m0 = (np.zeros(2, np.int64)
+              if (ref0 == 0 and col_zero) else mvp0.copy())
+        m1 = (np.zeros(2, np.int64)
+              if (ref1 == 0 and col_zero) else mvp1.copy())
+        out.append((m0, m1))
+    return ref0, ref1, out
+
+
 def _bi_combine(p0, p1):
     return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
 
 
+def _intra_motion(mbw: int, mbh: int) -> dict:
+    """Motion field of an all-intra picture (the IDR anchor)."""
+    return {
+        "mv": np.zeros((mbh * 4, mbw * 4, 2), np.int64),
+        "ref": np.full((mbh * 4, mbw * 4), -1, np.int64),
+        "inter": np.zeros((mbh * 4, mbw * 4), bool),
+    }
+
+
+def _direct_mb(mvs0, mvs1, mx, my, col, padded0, padded1, weights):
+    """Spatial-direct prediction for one whole macroblock (B_Skip /
+    B_Direct_16x16): derive per-8x8 motion, motion-compensate with
+    the same (possibly weighted) combination rules as coded MBs, and
+    fill both lists' motion states. Returns (py, pcb, pcr)."""
+    ref0, ref1, mvpairs = _spatial_direct(mvs0, mvs1, mx, my, col)
+    py = np.zeros((16, 16), np.int64)
+    pcb = np.zeros((8, 8), np.int64)
+    pcr = np.zeros((8, 8), np.int64)
+    for k in range(4):
+        ox4, oy4 = (k & 1) * 2, (k >> 1) * 2
+        m0, m1 = mvpairs[k]
+        geom = (ox4, oy4, 2, 2)
+        if ref0 >= 0 and ref1 >= 0:
+            p0_ = _mc_mb(padded0, mx, my, [geom + (m0, 0)])
+            p1_ = _mc_mb(padded1, mx, my, [geom + (m1, 0)])
+            pp = (
+                _wp_bi(p0_, p1_, weights)
+                if weights is not None
+                else _bi_combine(p0_, p1_)
+            )
+        elif ref0 >= 0:
+            pp = _mc_mb(padded0, mx, my, [geom + (m0, 0)])
+            if weights is not None:
+                pp = _wp_uni(pp, weights["l0"], weights)
+        else:
+            pp = _mc_mb(padded1, mx, my, [geom + (m1, 0)])
+            if weights is not None:
+                pp = _wp_uni(pp, weights["l1"], weights)
+        ys = np.s_[oy4 * 4 : oy4 * 4 + 8, ox4 * 4 : ox4 * 4 + 8]
+        cs = np.s_[oy4 * 2 : oy4 * 2 + 4, ox4 * 2 : ox4 * 2 + 4]
+        py[ys] = pp[0][ys]
+        pcb[cs] = pp[1][cs]
+        pcr[cs] = pp[2][cs]
+        gx, gy = mx * 4 + ox4, my * 4 + oy4
+        if ref0 >= 0:
+            mvs0.fill(gx, gy, 2, 2, m0, ref0)
+        else:
+            mvs0.mark_off(gx, gy, 2, 2)
+        if ref1 >= 0:
+            mvs1.fill(gx, gy, 2, 2, m1, ref1)
+        else:
+            mvs1.mark_off(gx, gy, 2, 2)
+    return py, pcb, pcr
+
+
 def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
-                    poc_lsb, wtab=None):
+                    poc_lsb, wtab=None, col=None):
     """Encode one CAVLC B slice. ``ref_l0`` / ``ref_l1`` are single
     decoded reference plane triples (one active ref per list).
     Returns (slice_rbsp, recon_planes)."""
@@ -491,14 +605,49 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
     mvs1 = _MvState(mbw, mbh)
 
     weights = _resolve_weights(wtab) if wtab is not None else None
+    if col is None:
+        col = _intra_motion(mbw, mbh)
     sl = _BitW()
     _b_slice_header(sl, qp, frame_num, poc_lsb, wtab)
+    skip_run = 0
 
     for my in range(mbh):
         for mx in range(mbw):
             spec = mb_specs[my * mbw + mx]
             kind = spec[0]
-            sl.ue(0)  # mb_skip_run (B_Skip stays gated)
+            if kind == "skip":
+                # B_Skip: spatial-direct motion, prediction only
+                py, pcb, pcr = _direct_mb(
+                    mvs0, mvs1, mx, my, col, padded0, padded1, weights
+                )
+                ry[my * 16 : my * 16 + 16,
+                   mx * 16 : mx * 16 + 16] = np.clip(py, 0, 255)
+                rcb[my * 8 : my * 8 + 8,
+                    mx * 8 : mx * 8 + 8] = np.clip(pcb, 0, 255)
+                rcr[my * 8 : my * 8 + 8,
+                    mx * 8 : mx * 8 + 8] = np.clip(pcr, 0, 255)
+                luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+                for pi in (0, 1):
+                    cnnz[pi][my * 2 : my * 2 + 2,
+                             mx * 2 : mx * 2 + 2] = 0
+                skip_run += 1
+                continue
+            sl.ue(skip_run)  # mb_skip_run
+            skip_run = 0
+            if kind == "direct":
+                # B_Direct_16x16: direct motion + coded residual
+                sl.ue(0)
+                py, pcb, pcr = _direct_mb(
+                    mvs0, mvs1, mx, my, col, padded0, padded1, weights
+                )
+                cbp, zl, cdcz, cacz = _residual_from_target(
+                    target, mx, my, py, pcb, pcr, qp, qpc
+                )
+                _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz,
+                                 luma_nnz, cnnz)
+                _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
+                                zl, cdcz, cacz, qp, qpc)
+                continue
             if kind == "i16":
                 _encode_i16_mb(sl, target, recons, luma_nnz, cnnz,
                                mx, my, qp, qpc, base=23)
@@ -599,10 +748,7 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                 continue
             mode = kind
             if mode not in ("16x16", "16x8", "8x16"):
-                raise NotImplementedError(
-                    f"B macroblock mode {mode!r} — "
-                    "B_Skip/B_Direct stay gated"
-                )
+                raise ValueError(f"unknown B macroblock mode {mode!r}")
             parts = [_part_spec(e) for e in spec[1]]
             if len(parts) != len(_PARTS[mode]):
                 raise ValueError("one partition spec per partition")
@@ -664,6 +810,8 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                              luma_nnz, cnnz)
             _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
                             zl, cdcz, cacz, qp, qpc)
+    if skip_run:
+        sl.ue(skip_run)  # trailing skipped macroblocks
     sl.trailing()
     recon = (
         ry.astype(np.uint8),
@@ -673,7 +821,8 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
     return sl.bytes_(), recon
 
 
-def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None):
+def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
+                    col=None, spatial=True):
     mbw, mbh = sps["mbw"], sps["mbh"]
     h, w = mbh * 16, mbw * 16
     padded0 = _pad_refs([ref_l0])
@@ -688,20 +837,65 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None):
             1: np.zeros((mbh * 2, mbw * 2), np.int64)}
     mvs0 = _MvState(mbw, mbh)
     mvs1 = _MvState(mbw, mbh)
+    if col is None:
+        col = _intra_motion(mbw, mbh)
     cur_qp = qp
-    for my in range(mbh):
-        for mx in range(mbw):
+
+    def decode_skip(mx, my):
+        py, pcb, pcr = _direct_mb(
+            mvs0, mvs1, mx, my, col, padded0, padded1, weights
+        )
+        ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
+            py, 0, 255
+        )
+        rcb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+            pcb, 0, 255
+        )
+        rcr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+            pcr, 0, 255
+        )
+        luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+        for pi in (0, 1):
+            cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+
+    n_mbs = mbw * mbh
+    addr = 0
+    while addr < n_mbs:
             skip_run = r.ue()
-            if skip_run:
+            if skip_run and not spatial:
                 raise NotImplementedError(
-                    "B_Skip — direct-mode prediction stays gated"
+                    "temporal direct (B_Skip with "
+                    "direct_spatial_mv_pred_flag 0) — gated"
                 )
+            for _ in range(skip_run):
+                if addr >= n_mbs:
+                    raise ValueError("mb_skip_run overflows the picture")
+                decode_skip(addr % mbw, addr // mbw)
+                addr += 1
+            if addr >= n_mbs:
+                break
+            mx, my = addr % mbw, addr // mbw
             mb_type = r.ue()
             if mb_type == 0:
-                raise NotImplementedError(
-                    "B_Direct_16x16 — direct-mode prediction stays "
-                    "gated"
+                if not spatial:
+                    raise NotImplementedError(
+                        "temporal direct (B_Direct_16x16 with "
+                        "direct_spatial_mv_pred_flag 0) — gated"
+                    )
+                py, pcb, pcr = _direct_mb(
+                    mvs0, mvs1, mx, my, col, padded0, padded1,
+                    weights,
                 )
+                cbp, qpd, zl, cdcz, cacz = _read_residuals(
+                    r, mx, my, luma_nnz, cnnz
+                )
+                if cbp:
+                    cur_qp = (cur_qp + qpd + 52) % 52
+                    qpc = _chroma_qp(cur_qp)
+                _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
+                                zl, cdcz, cacz, cur_qp, qpc)
+                addr += 1
+                continue
             if mb_type == 22:
                 # ----- B_8x8 sub-macroblock partitions -----
                 subtypes = []
@@ -784,6 +978,7 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None):
                     qpc = _chroma_qp(cur_qp)
                 _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
                                 zl, cdcz, cacz, cur_qp, qpc)
+                addr += 1
                 continue
             if mb_type > 22:
                 itype = mb_type - 23
@@ -801,6 +996,7 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None):
                 qpc = _chroma_qp(cur_qp)
                 mvs0.mark_intra(mx, my)
                 mvs1.mark_intra(mx, my)
+                addr += 1
                 continue
             mode, uses = _B_USES[mb_type]
             mvs_by_part: list[list] = [[None, None]
@@ -860,6 +1056,7 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None):
                 qpc = _chroma_qp(cur_qp)
             _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
                             zl, cdcz, cacz, cur_qp, qpc)
+            addr += 1
     return (
         ry.astype(np.uint8),
         rcb.astype(np.uint8),
@@ -929,17 +1126,17 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None):
             recon = (r0y, r0cb, r0cr)
             recons.append(recon)
             pocs.append(0)
-            ref_dpb = [(0, recon)]
+            ref_dpb = [(0, recon, _intra_motion(mbw, mbh))]
             n_refs_decoded = 1
             continue
         _, planes, mb_specs, poc = entry
         fn = n_refs_decoded  # PrevRefFrameNum + 1 rule
         if kind == "p":
-            rbsp, recon = _encode_p_frame(
+            rbsp, recon, motion = _encode_p_frame(
                 planes, [ref_dpb[0][1]], mb_specs, qp, fn, 1
             )
             stream += _nal(2, 1, _p_reheader_poc0(rbsp, poc))
-            ref_dpb.insert(0, (poc, recon))
+            ref_dpb.insert(0, (poc, recon, motion))
             del ref_dpb[2:]  # max_num_ref_frames = 2
             n_refs_decoded += 1
         elif kind == "b":
@@ -951,9 +1148,10 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None):
                     "reference in the DPB"
                 )
             l0 = max(past, key=lambda e: e[0])[1]
-            l1 = min(future, key=lambda e: e[0])[1]
+            l1e = min(future, key=lambda e: e[0])
             rbsp, recon = _encode_b_frame(
-                planes, l0, l1, mb_specs, qp, fn, poc, wtab
+                planes, l0, l1e[1], mb_specs, qp, fn, poc, wtab,
+                col=l1e[2],
             )
             stream += _nal(0, 1, rbsp)  # non-reference picture
         else:
@@ -1016,15 +1214,20 @@ def decode_h264_b_stream(payload: bytes):
             frame = decode_h264_frame(sub)
             frames.append(frame)
             pocs.append(0)
-            ref_dpb = [(0, frame)]
+            ref_dpb = [(0, frame, _intra_motion(sps["mbw"],
+                                                sps["mbh"]))]
         elif ntype == 1:
             if sps is None or not ref_dpb:
                 raise ValueError("coded slice before references exist")
             r = _BitR(rbsp)
-            kind, qp, poc, wts = _parse_inter_header(r, bipred_idc)
+            kind, qp, poc, wts, spatial = _parse_inter_header(
+                r, bipred_idc
+            )
+            motion = None
             if kind == "p":
-                frame = _decode_p_frame(
-                    r, sps, qp, [ref_dpb[0][1]], 1
+                frame, motion = _decode_p_frame(
+                    r, sps, qp, [ref_dpb[0][1]], 1,
+                    return_motion=True,
                 )
             else:
                 past = [e for e in ref_dpb if e[0] < poc]
@@ -1034,12 +1237,15 @@ def decode_h264_b_stream(payload: bytes):
                         "B slice without a past and a future reference"
                     )
                 l0 = max(past, key=lambda e: e[0])[1]
-                l1 = min(future, key=lambda e: e[0])[1]
-                frame = _decode_b_frame(r, sps, qp, l0, l1, wts)
+                l1e = min(future, key=lambda e: e[0])
+                frame = _decode_b_frame(
+                    r, sps, qp, l0, l1e[1], wts,
+                    col=l1e[2], spatial=spatial,
+                )
             frames.append(frame)
             pocs.append(poc)
             if (nal[0] >> 5) & 3:  # reference picture
-                ref_dpb.insert(0, (poc, frame))
+                ref_dpb.insert(0, (poc, frame, motion))
                 del ref_dpb[max(1, sps.get("max_refs") or 1):]
     if not frames:
         raise ValueError("no coded frames found")

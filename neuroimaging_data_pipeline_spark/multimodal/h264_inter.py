@@ -354,6 +354,15 @@ class _MvState:
         self.inter[gy : gy + ph4, gx : gx + pw4] = True
         self.ref[gy : gy + ph4, gx : gx + pw4] = ref
 
+    def export(self) -> dict:
+        """Snapshot the decoded motion field — the colocated-picture
+        data spatial direct mode (h264_bslice) reads."""
+        return {
+            "mv": self.mv.copy(),
+            "ref": self.ref.copy(),
+            "inter": self.inter.copy(),
+        }
+
     def mark_off(self, gx: int, gy: int, pw4: int, ph4: int) -> None:
         """Mark a partition decoded but NOT predicted from this
         list (intra, or predFlagLX == 0 in B slices): available as a
@@ -931,9 +940,11 @@ def _encode_p_frame(
     qp: int,
     frame_num: int,
     nra: int,
-) -> tuple[bytes, tuple]:
+) -> tuple[bytes, tuple, dict]:
     """Encode one CAVLC P slice against the decoded reference list
-    (most recent first). Returns (slice_rbsp, recon_planes)."""
+    (most recent first). Returns (slice_rbsp, recon_planes,
+    motion_field) — the motion field feeds spatial-direct colocated
+    lookups in the B-slice module."""
     y1, cb1, cr1 = target
     h, w = y1.shape
     mbw, mbh = w // 16, h // 16
@@ -1080,7 +1091,7 @@ def _encode_p_frame(
         rcb.astype(np.uint8),
         rcr.astype(np.uint8),
     )
-    return sl.bytes_(), recon
+    return sl.bytes_(), recon, mvs.export()
 
 
 def encode_h264_p_gop(
@@ -1143,7 +1154,7 @@ def encode_h264_p_gop(
         if len(specs) != mbw * mbh:
             raise ValueError("one mb_spec per macroblock required")
         nra = min(num_refs, len(refs))
-        rbsp, recon = _encode_p_frame(
+        rbsp, recon, _motion = _encode_p_frame(
             target, refs[:nra], specs, qp, fi, nra
         )
         stream += _nal(2, 1, rbsp)
@@ -1255,7 +1266,8 @@ def decode_h264_sequence(
 
 
 def _decode_p_frame(
-    r: _BitR, sps: dict, qp: int, refs: list, nra: int
+    r: _BitR, sps: dict, qp: int, refs: list, nra: int,
+    return_motion: bool = False,
 ):
     mbw, mbh = sps["mbw"], sps["mbh"]
     h, w = mbh * 16, mbw * 16
@@ -1370,11 +1382,12 @@ def _decode_p_frame(
         _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
                         zl, cdcz, cacz, cur_qp, qpc)
         addr += 1
-    return (
+    planes = (
         ry.astype(np.uint8),
         rcb.astype(np.uint8),
         rcr.astype(np.uint8),
     )
+    return (planes, mvs.export()) if return_motion else planes
 
 
 # ---------------------------------------------------------------------------

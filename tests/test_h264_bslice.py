@@ -130,9 +130,9 @@ def test_two_b_frames_between_references():
 def test_b_gates_raise():
     f0, fp, fb = _planes(32, 32, 8), _planes(32, 32, 9), _planes(32, 32, 10)
     base = [("idr", f0), ("p", fp, [("16x16", [(0, 0)])] * 4, 4)]
-    with pytest.raises(NotImplementedError, match="B_Skip/B_Direct"):
+    with pytest.raises(ValueError, match="unknown B macroblock mode"):
         encode_h264_b_sequence(
-            base + [("b", fb, [("direct", [])] * 4, 2)], qp=0
+            base + [("b", fb, [("16x4", [])] * 4, 2)], qp=0
         )
     with pytest.raises(ValueError, match="past and one future"):
         encode_h264_b_sequence(
@@ -316,3 +316,107 @@ def test_explicit_wp_formula_pins():
     )
     fr2, _ = decode_h264_b_stream(st2)
     assert fr2[2][0].min() == fr2[2][0].max() == want_l0
+
+
+# --- B_Skip / B_Direct_16x16 (spatial direct) --------------------------------
+
+
+def test_b_skip_and_direct_roundtrip():
+    rng = np.random.default_rng(99)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(48, 48, 41), _planes(48, 48, 42),
+                  _planes(48, 48, 43))
+    specs_p = [("16x16", [mv()]) for _ in range(9)]
+    specs_b = [
+        ("direct",), ("skip",), ("16x16", [("bi", mv(), mv())]),
+        ("skip",), ("skip",), ("direct",),
+        ("i16",), ("direct",), ("skip",),  # trailing skip run
+    ]
+    stream, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, specs_p, 4), ("b", fb, specs_b, 2)],
+        qp=21,
+    )
+    frames, _ = decode_h264_b_stream(stream)
+    for fi in range(3):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+    # all-skip B frame
+    stream2, recons2, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, specs_p, 4),
+         ("b", fb, [("skip",)] * 9, 2)], qp=21,
+    )
+    frames2, _ = decode_h264_b_stream(stream2)
+    for a, b in zip(frames2[2], recons2[2]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_spatial_direct_derivation_units():
+    from neuroimaging_data_pipeline_spark.multimodal.h264_bslice import (
+        _intra_motion, _spatial_direct,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        _MvState,
+    )
+
+    # no neighbors, intra colocated: directZeroPrediction — both
+    # lists active with zero MVs
+    s0, s1 = _MvState(2, 2), _MvState(2, 2)
+    col = _intra_motion(2, 2)
+    r0, r1, pairs = _spatial_direct(s0, s1, 0, 0, col)
+    assert (r0, r1) == (0, 0)
+    for m0, m1 in pairs:
+        assert not m0.any() and not m1.any()
+
+    # left neighbor L0 mv (8, 8): refIdxL0 = 0, refIdxL1 = -1;
+    # colocated zero-motion ref-0 block forces mvL0 = 0, a moving
+    # colocated block keeps the median predictor
+    s0, s1 = _MvState(2, 1), _MvState(2, 1)
+    s0.fill(0, 0, 4, 4, np.array([8, 8]), 0)
+    s1.mark_off(0, 0, 4, 4)
+    col_zero = _intra_motion(2, 1)
+    col_zero["inter"][:, 4:] = True
+    col_zero["ref"][:, 4:] = 0
+    r0, r1, pairs = _spatial_direct(s0, s1, 1, 0, col_zero)
+    assert r0 == 0 and r1 == -1
+    for m0, _ in pairs:
+        assert not m0.any()  # colZeroFlag forces zero
+    col_move = _intra_motion(2, 1)
+    col_move["inter"][:, 4:] = True
+    col_move["ref"][:, 4:] = 0
+    col_move["mv"][:, 4:] = [12, -8]
+    r0, r1, pairs = _spatial_direct(s0, s1, 1, 0, col_move)
+    for m0, _ in pairs:
+        np.testing.assert_array_equal(m0, [8, 8])  # only-A median
+
+
+@pytest.mark.skipif(shutil.which("ffmpeg") is None, reason="no ffmpeg")
+def test_direct_ffmpeg_cross_pin(tmp_path):
+    """libavcodec must reproduce skip/direct macroblocks exactly —
+    the only cross-check of the spatial-direct DERIVATION itself
+    (round trips share the derivation code)."""
+    rng = np.random.default_rng(7)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(32, 48, 51), _planes(32, 48, 52),
+                  _planes(32, 48, 53))
+    specs_b = [("16x16", [("l0", mv())]), ("direct",), ("skip",),
+               ("16x16", [("bi", mv(), mv())]), ("direct",), ("skip",)]
+    stream, recons, pocs = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [mv()])] * 6, 4),
+         ("b", fb, specs_b, 2)], qp=26,
+    )
+    src = tmp_path / "t.h264"
+    src.write_bytes(stream)
+    out = tmp_path / "t.yuv"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", str(src), "-f", "rawvideo",
+         "-pix_fmt", "yuv420p", str(out)],
+        check=True,
+    )
+    raw = out.read_bytes()
+    h, w = recons[0][0].shape
+    fsz = h * w * 3 // 2
+    display = [recons[i] for i in np.argsort(pocs, kind="stable")]
+    for fi, rec in enumerate(display):
+        buf = raw[fi * fsz : (fi + 1) * fsz]
+        fy = np.frombuffer(buf[: h * w], np.uint8).reshape(h, w)
+        np.testing.assert_array_equal(fy, rec[0])
