@@ -36,13 +36,16 @@ What is REAL here (ITU-T H.264 clause references, all from scratch):
   Table 7-18 sub_mb_types — per-8x8 list usage l0/l1/bi with
   8x8/8x4/4x8/4x4 splits, per-sub-partition mvd against the z-scan
   per-list median predictor, bi sub-blocks averaged per 8.4.2.3.2;
-- SPATIAL DIRECT MODE (fourth pass): B_Skip (mb_skip_run) and
-  B_Direct_16x16 per 8.4.1.2.2 — per-list MinPositive reference
+- DIRECT MODES (fourth pass): B_Skip (mb_skip_run) and
+  B_Direct_16x16 — SPATIAL per 8.4.1.2.2 — per-list MinPositive reference
   derivation over the MB neighbors, the median motion predictor,
   directZeroPrediction when neither list has a neighbor reference,
   and the colocated-block colZeroFlag test (direct_8x8_inference:
   each 8x8 reads the colocated CORNER 4x4 of RefPicList1[0], whose
-  motion field rides the DPB) — composing with weighted prediction;
+  motion field rides the DPB) AND TEMPORAL per 8.4.1.2.3 (POC-
+  distance scaling: distScaleFactor from tb/td, mvL0 = scaled
+  colocated MV, mvL1 = mvL0 - mvCol) selected by
+  direct_spatial_mv_pred_flag — composing with weighted prediction;
 - EXPLICIT WEIGHTED PREDICTION (third pass, weighted_bipred_idc 1):
   pred_weight_table in every B slice header (luma/chroma
   log2_weight_denom, per-list weight/offset with flag-0 defaults),
@@ -50,8 +53,8 @@ What is REAL here (ITU-T H.264 clause references, all from scratch):
   weighted bi-prediction Clip(((p0*w0 + p1*w1 + 2^d) >> (d+1)) +
   ((o0+o1+1) >> 1)) per 8.4.2.3.2, formula-pinned in pytest.
 
-Declared gates (raise, never silent): TEMPORAL direct
-(direct_spatial_mv_pred_flag 0), B_Direct_8x8 inside B_8x8, more
+Declared gates (raise, never silent): B_Direct_8x8 inside B_8x8,
+more
 than one active reference per list, IMPLICIT weighted prediction
 (idc 2) and weighted P slices, distinct Cb/Cr weights,
 I_4x4 / I_PCM inside B slices.
@@ -388,13 +391,14 @@ def _wp_bi(p0, p1, w):
 
 
 def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
-                    poc_lsb: int, weights=None) -> None:
+                    poc_lsb: int, weights=None,
+                    spatial: bool = True) -> None:
     sl.ue(0)  # first_mb_in_slice
     sl.ue(6)  # slice_type: B (all slices)
     sl.ue(0)  # pic_parameter_set_id
     sl.u(frame_num % 16, 4)
     sl.u(poc_lsb % (1 << _POC_BITS), _POC_BITS)
-    sl.u(1, 1)  # direct_spatial_mv_pred_flag: spatial direct
+    sl.u(1 if spatial else 0, 1)  # direct_spatial_mv_pred_flag
     sl.u(0, 1)  # num_ref_idx_active_override (1 per list, PPS default)
     sl.u(0, 1)  # ref_pic_list_modification_flag_l0
     sl.u(0, 1)  # ref_pic_list_modification_flag_l1
@@ -526,6 +530,30 @@ def _bi_combine(p0, p1):
     return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
 
 
+def _temporal_direct(mx, my, col, tb, td):
+    """8.4.1.2.3 temporal direct luma motion at 8x8 granularity:
+    scale the colocated block's motion by the POC distances
+    (tb = POCcur - POC(list0 ref), td = POC(list1 ref) -
+    POC(list0 ref), both clipped to [-128, 127]); an intra colocated
+    block contributes zero motion. Both lists predict (refIdx 0)."""
+    tb = max(-128, min(127, tb))
+    td = max(-128, min(127, td))
+    tx = (16384 + abs(td) // 2) // td
+    dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+    out = []
+    for k in range(4):
+        cgx = mx * 4 + (k & 1) * 3
+        cgy = my * 4 + (k >> 1) * 3
+        if col["inter"][cgy, cgx]:
+            mvcol = col["mv"][cgy, cgx].astype(np.int64)
+        else:
+            mvcol = np.zeros(2, np.int64)
+        m0 = (dsf * mvcol + 128) >> 8
+        m1 = m0 - mvcol
+        out.append((m0, m1))
+    return out
+
+
 def _intra_motion(mbw: int, mbh: int) -> dict:
     """Motion field of an all-intra picture (the IDR anchor)."""
     return {
@@ -535,12 +563,18 @@ def _intra_motion(mbw: int, mbh: int) -> dict:
     }
 
 
-def _direct_mb(mvs0, mvs1, mx, my, col, padded0, padded1, weights):
-    """Spatial-direct prediction for one whole macroblock (B_Skip /
-    B_Direct_16x16): derive per-8x8 motion, motion-compensate with
-    the same (possibly weighted) combination rules as coded MBs, and
-    fill both lists' motion states. Returns (py, pcb, pcr)."""
-    ref0, ref1, mvpairs = _spatial_direct(mvs0, mvs1, mx, my, col)
+def _direct_mb(mvs0, mvs1, mx, my, col, padded0, padded1, weights,
+               mode="spatial", tbtd=None):
+    """Direct prediction for one whole macroblock (B_Skip /
+    B_Direct_16x16), spatial or temporal: derive per-8x8 motion,
+    motion-compensate with the same (possibly weighted) combination
+    rules as coded MBs, and fill both lists' motion states. Returns
+    (py, pcb, pcr)."""
+    if mode == "temporal":
+        ref0, ref1 = 0, 0
+        mvpairs = _temporal_direct(mx, my, col, *tbtd)
+    else:
+        ref0, ref1, mvpairs = _spatial_direct(mvs0, mvs1, mx, my, col)
     py = np.zeros((16, 16), np.int64)
     pcb = np.zeros((8, 8), np.int64)
     pcr = np.zeros((8, 8), np.int64)
@@ -582,7 +616,8 @@ def _direct_mb(mvs0, mvs1, mx, my, col, padded0, padded1, weights):
 
 
 def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
-                    poc_lsb, wtab=None, col=None):
+                    poc_lsb, wtab=None, col=None,
+                    direct_mode="spatial", tbtd=None):
     """Encode one CAVLC B slice. ``ref_l0`` / ``ref_l1`` are single
     decoded reference plane triples (one active ref per list).
     Returns (slice_rbsp, recon_planes)."""
@@ -608,7 +643,8 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
     if col is None:
         col = _intra_motion(mbw, mbh)
     sl = _BitW()
-    _b_slice_header(sl, qp, frame_num, poc_lsb, wtab)
+    _b_slice_header(sl, qp, frame_num, poc_lsb, wtab,
+                    spatial=direct_mode == "spatial")
     skip_run = 0
 
     for my in range(mbh):
@@ -618,7 +654,8 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
             if kind == "skip":
                 # B_Skip: spatial-direct motion, prediction only
                 py, pcb, pcr = _direct_mb(
-                    mvs0, mvs1, mx, my, col, padded0, padded1, weights
+                    mvs0, mvs1, mx, my, col, padded0, padded1,
+                    weights, direct_mode, tbtd,
                 )
                 ry[my * 16 : my * 16 + 16,
                    mx * 16 : mx * 16 + 16] = np.clip(py, 0, 255)
@@ -638,7 +675,8 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                 # B_Direct_16x16: direct motion + coded residual
                 sl.ue(0)
                 py, pcb, pcr = _direct_mb(
-                    mvs0, mvs1, mx, my, col, padded0, padded1, weights
+                    mvs0, mvs1, mx, my, col, padded0, padded1,
+                    weights, direct_mode, tbtd,
                 )
                 cbp, zl, cdcz, cacz = _residual_from_target(
                     target, mx, my, py, pcb, pcr, qp, qpc
@@ -822,7 +860,7 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
 
 
 def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
-                    col=None, spatial=True):
+                    col=None, spatial=True, tbtd=None):
     mbw, mbh = sps["mbw"], sps["mbh"]
     h, w = mbh * 16, mbw * 16
     padded0 = _pad_refs([ref_l0])
@@ -841,9 +879,12 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
         col = _intra_motion(mbw, mbh)
     cur_qp = qp
 
+    dmode = "spatial" if spatial else "temporal"
+
     def decode_skip(mx, my):
         py, pcb, pcr = _direct_mb(
-            mvs0, mvs1, mx, my, col, padded0, padded1, weights
+            mvs0, mvs1, mx, my, col, padded0, padded1, weights,
+            dmode, tbtd,
         )
         ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
             py, 0, 255
@@ -862,11 +903,6 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
     addr = 0
     while addr < n_mbs:
             skip_run = r.ue()
-            if skip_run and not spatial:
-                raise NotImplementedError(
-                    "temporal direct (B_Skip with "
-                    "direct_spatial_mv_pred_flag 0) — gated"
-                )
             for _ in range(skip_run):
                 if addr >= n_mbs:
                     raise ValueError("mb_skip_run overflows the picture")
@@ -877,14 +913,9 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
             mx, my = addr % mbw, addr // mbw
             mb_type = r.ue()
             if mb_type == 0:
-                if not spatial:
-                    raise NotImplementedError(
-                        "temporal direct (B_Direct_16x16 with "
-                        "direct_spatial_mv_pred_flag 0) — gated"
-                    )
                 py, pcb, pcr = _direct_mb(
                     mvs0, mvs1, mx, my, col, padded0, padded1,
-                    weights,
+                    weights, dmode, tbtd,
                 )
                 cbp, qpd, zl, cdcz, cacz = _read_residuals(
                     r, mx, my, luma_nnz, cnnz
@@ -1069,7 +1100,8 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
 # ---------------------------------------------------------------------------
 
 
-def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None):
+def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
+                           direct_mode: str = "spatial"):
     """Encode a decode-order sequence with B frames. ``entries``:
 
       ("idr", planes)                 — Intra_16x16 anchor, POC 0;
@@ -1147,11 +1179,12 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None):
                     "a B frame needs one past and one future "
                     "reference in the DPB"
                 )
-            l0 = max(past, key=lambda e: e[0])[1]
+            l0e = max(past, key=lambda e: e[0])
             l1e = min(future, key=lambda e: e[0])
             rbsp, recon = _encode_b_frame(
-                planes, l0, l1e[1], mb_specs, qp, fn, poc, wtab,
-                col=l1e[2],
+                planes, l0e[1], l1e[1], mb_specs, qp, fn, poc, wtab,
+                col=l1e[2], direct_mode=direct_mode,
+                tbtd=(poc - l0e[0], l1e[0] - l0e[0]),
             )
             stream += _nal(0, 1, rbsp)  # non-reference picture
         else:
@@ -1236,11 +1269,12 @@ def decode_h264_b_stream(payload: bytes):
                     raise ValueError(
                         "B slice without a past and a future reference"
                     )
-                l0 = max(past, key=lambda e: e[0])[1]
+                l0e = max(past, key=lambda e: e[0])
                 l1e = min(future, key=lambda e: e[0])
                 frame = _decode_b_frame(
-                    r, sps, qp, l0, l1e[1], wts,
+                    r, sps, qp, l0e[1], l1e[1], wts,
                     col=l1e[2], spatial=spatial,
+                    tbtd=(poc - l0e[0], l1e[0] - l0e[0]),
                 )
             frames.append(frame)
             pocs.append(poc)

@@ -420,3 +420,42 @@ def test_direct_ffmpeg_cross_pin(tmp_path):
         buf = raw[fi * fsz : (fi + 1) * fsz]
         fy = np.frombuffer(buf[: h * w], np.uint8).reshape(h, w)
         np.testing.assert_array_equal(fy, rec[0])
+
+
+def test_temporal_direct_roundtrip_and_scaling():
+    from neuroimaging_data_pipeline_spark.multimodal.h264_bslice import (
+        _intra_motion, _temporal_direct,
+    )
+
+    rng = np.random.default_rng(31)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(32, 48, 61), _planes(32, 48, 62),
+                  _planes(32, 48, 63))
+    specs_b = [("direct",), ("skip",), ("16x16", [("bi", mv(), mv())]),
+               ("skip",), ("direct",), ("i16",)]
+    st, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [mv()])] * 6, 4),
+         ("b", fb, specs_b, 2)], qp=18, direct_mode="temporal",
+    )
+    fr, _ = decode_h264_b_stream(st)
+    for fi in range(3):
+        for a, b in zip(fr[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+    # POC-midpoint scaling: tb=2, td=4 halves the colocated MV and
+    # mvL1 = mvL0 - mvCol points back symmetrically
+    col = _intra_motion(1, 1)
+    col["inter"][:] = True
+    col["ref"][:] = 0
+    col["mv"][:, :] = [12, -8]
+    pairs = _temporal_direct(0, 0, col, 2, 4)
+    tx = (16384 + 2) // 4
+    dsf = (2 * tx + 32) >> 6
+    for m0, m1 in pairs:
+        np.testing.assert_array_equal(
+            m0, [(dsf * 12 + 128) >> 8, (dsf * -8 + 128) >> 8]
+        )
+        np.testing.assert_array_equal(m1, m0 - [12, -8])
+    # intra colocated: zero motion both lists
+    pairs0 = _temporal_direct(0, 0, _intra_motion(1, 1), 2, 4)
+    for m0, m1 in pairs0:
+        assert not m0.any() and not m1.any()
