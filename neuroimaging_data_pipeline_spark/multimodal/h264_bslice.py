@@ -53,8 +53,10 @@ What is REAL here (ITU-T H.264 clause references, all from scratch):
   weighted bi-prediction Clip(((p0*w0 + p1*w1 + 2^d) >> (d+1)) +
   ((o0+o1+1) >> 1)) per 8.4.2.3.2, formula-pinned in pytest.
 
-Declared gates (raise, never silent): B_Direct_8x8 inside B_8x8,
-more
+B_Direct_8x8 (sub_mb_type 0 inside B_8x8, fifth pass) shares the
+same derivation per 8x8.
+
+Declared gates (raise, never silent): more
 than one active reference per list, IMPLICIT weighted prediction
 (idc 2) and weighted P slices, distinct Cb/Cr weights,
 I_4x4 / I_PCM inside B slices.
@@ -697,7 +699,11 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                 if len(subs) != 4:
                     raise ValueError("B_8x8 needs four sub-MB specs")
                 norm = []
-                for use, sm, mvl in subs:
+                for entry in subs:
+                    if entry[0] == "direct":  # B_Direct_8x8
+                        norm.append(("direct", None, None, None))
+                        continue
+                    use, sm, mvl = entry
                     if (use, sm) not in _B_SUB_TYPE:
                         raise ValueError(
                             f"bad B sub_mb spec ({use!r}, {sm!r})"
@@ -716,15 +722,38 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                         mv0 = None
                         mv1 = [np.asarray(p, np.int64) for p in mvl]
                     norm.append((use, sm, mv0, mv1))
+                # direct sub-blocks derive from MB-level neighbors
+                # (all reads fall outside this MB, so deriving once
+                # up front matches per-sub-block derivation)
+                dref0 = dref1 = -1
+                dpairs = None
+                if any(n[0] == "direct" for n in norm):
+                    if direct_mode == "temporal":
+                        dref0, dref1 = 0, 0
+                        dpairs = _temporal_direct(mx, my, col, *tbtd)
+                    else:
+                        dref0, dref1, dpairs = _spatial_direct(
+                            mvs0, mvs1, mx, my, col
+                        )
                 sl.ue(22)  # B_8x8
                 for use, sm, _, _ in norm:
-                    sl.ue(_B_SUB_TYPE[(use, sm)])
+                    sl.ue(0 if use == "direct"
+                          else _B_SUB_TYPE[(use, sm)])
                 # mvd_l0 over all four 8x8s (sub-partitions in z-scan),
                 # then mvd_l1 — one active ref per list, no ref_idx
                 for li, mvsX in ((0, mvs0), (1, mvs1)):
                     for k in range(4):
                         use, sm, mv0, mv1 = norm[k]
                         ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
+                        if use == "direct":  # derived, no mvd bits
+                            dref = (dref0, dref1)[li]
+                            if dref >= 0:
+                                mvsX.fill(mx * 4 + ox8, my * 4 + oy8,
+                                          2, 2, dpairs[k][li], dref)
+                            else:
+                                mvsX.mark_off(mx * 4 + ox8,
+                                              my * 4 + oy8, 2, 2)
+                            continue
                         mvl = (mv0, mv1)[li]
                         if mvl is None:  # predFlagLX == 0
                             mvsX.mark_off(mx * 4 + ox8, my * 4 + oy8,
@@ -745,6 +774,16 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                 for k in range(4):
                     use, sm, mv0, mv1 = norm[k]
                     ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
+                    if use == "direct":
+                        sm = "8x8"
+                        m0d, m1d = dpairs[k]
+                        if dref0 >= 0 and dref1 >= 0:
+                            mv0, mv1 = [m0d], [m1d]
+                            use = "bi"
+                        elif dref0 >= 0:
+                            mv0, use = [m0d], "l0"
+                        else:
+                            mv1, use = [m1d], "l1"
                     for si, (sx4, sy4, w4, h4) in enumerate(
                         _SUBPARTS[sm]
                     ):
@@ -932,20 +971,38 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
                 subtypes = []
                 for _ in range(4):
                     st_ = r.ue()
-                    if st_ == 0:
-                        raise NotImplementedError(
-                            "B_Direct_8x8 — direct-mode prediction "
-                            "stays gated"
-                        )
                     if st_ > 12:
                         raise ValueError(f"bad B sub_mb_type {st_}")
-                    subtypes.append(_B_SUB_USES[st_])
+                    subtypes.append(
+                        ("direct", None) if st_ == 0
+                        else _B_SUB_USES[st_]
+                    )
+                dref0 = dref1 = -1
+                dpairs = None
+                if any(u == "direct" for u, _ in subtypes):
+                    if spatial:
+                        dref0, dref1, dpairs = _spatial_direct(
+                            mvs0, mvs1, mx, my, col
+                        )
+                    else:
+                        dref0, dref1 = 0, 0
+                        dpairs = _temporal_direct(mx, my, col, *tbtd)
                 mv_store = [[None, None] for _ in range(4)]
                 for li, mvsX in ((0, mvs0), (1, mvs1)):
                     want = ("l0", "bi") if li == 0 else ("l1", "bi")
                     for k in range(4):
                         use, sm = subtypes[k]
                         ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
+                        if use == "direct":  # derived, no mvd bits
+                            dref = (dref0, dref1)[li]
+                            if dref >= 0:
+                                mvsX.fill(mx * 4 + ox8, my * 4 + oy8,
+                                          2, 2, dpairs[k][li], dref)
+                                mv_store[k][li] = [dpairs[k][li]]
+                            else:
+                                mvsX.mark_off(mx * 4 + ox8,
+                                              my * 4 + oy8, 2, 2)
+                            continue
                         if use not in want:
                             mvsX.mark_off(mx * 4 + ox8, my * 4 + oy8,
                                           2, 2)
@@ -970,6 +1027,14 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
                     use, sm = subtypes[k]
                     ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
                     mv0, mv1 = mv_store[k]
+                    if use == "direct":
+                        sm = "8x8"
+                        if dref0 >= 0 and dref1 >= 0:
+                            use = "bi"
+                        elif dref0 >= 0:
+                            use = "l0"
+                        else:
+                            use = "l1"
                     for si, (sx4, sy4, w4, h4) in enumerate(
                         _SUBPARTS[sm]
                     ):

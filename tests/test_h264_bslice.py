@@ -242,13 +242,13 @@ def test_b8x8_mixed_with_other_mb_kinds():
             np.testing.assert_array_equal(a, b)
 
 
-def test_b_direct_8x8_stays_gated():
+def test_bad_sub_mb_spec_raises():
     f0, fp, fb = (_planes(16, 16, 27), _planes(16, 16, 28),
                   _planes(16, 16, 29))
     with pytest.raises(ValueError, match="bad B sub_mb spec"):
         encode_h264_b_sequence(
             [("idr", f0), ("p", fp, [("16x16", [(0, 0)])], 4),
-             ("b", fb, [("8x8", [("direct", "8x8", [])] * 4)], 2)],
+             ("b", fb, [("8x8", [("l0", "16x16", [])] * 4)], 2)],
             qp=0,
         )
 
@@ -459,3 +459,29 @@ def test_temporal_direct_roundtrip_and_scaling():
     pairs0 = _temporal_direct(0, 0, _intra_motion(1, 1), 2, 4)
     for m0, m1 in pairs0:
         assert not m0.any() and not m1.any()
+
+
+def test_b_direct_8x8_roundtrip_both_modes():
+    rng = np.random.default_rng(3)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(32, 48, 71), _planes(32, 48, 72),
+                  _planes(32, 48, 73))
+    specs_b = [
+        ("8x8", [("direct",), ("l0", "8x4", [mv(), mv()]),
+                 ("direct",), ("bi", "8x8", [(mv(), mv())])]),
+        ("16x16", [("l0", mv())]),
+        ("8x8", [("direct",)] * 4),
+        ("direct",),
+        ("8x8", [("l1", "4x4", [mv()] * 4), ("direct",),
+                 ("bi", "4x8", [(mv(), mv())] * 2), ("direct",)]),
+        ("skip",),
+    ]
+    for dm in ("spatial", "temporal"):
+        st, recons, _ = encode_h264_b_sequence(
+            [("idr", f0), ("p", fp, [("16x16", [mv()])] * 6, 4),
+             ("b", fb, specs_b, 2)], qp=17, direct_mode=dm,
+        )
+        fr, _ = decode_h264_b_stream(st)
+        for fi in range(3):
+            for a, b in zip(fr[fi], recons[fi]):
+                np.testing.assert_array_equal(a, b)
