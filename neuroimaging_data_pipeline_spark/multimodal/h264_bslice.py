@@ -56,10 +56,13 @@ What is REAL here (ITU-T H.264 clause references, all from scratch):
 B_Direct_8x8 (sub_mb_type 0 inside B_8x8, fifth pass) shares the
 same derivation per 8x8.
 
-Declared gates (raise, never silent): more
-than one active reference per list, IMPLICIT weighted prediction
-(idc 2) and weighted P slices, distinct Cb/Cr weights,
-I_4x4 / I_PCM inside B slices.
+IMPLICIT weighted bi-prediction (sixth pass, idc 2) derives
+logWD-5 weights from POC distances (w1 = distScaleFactor >> 2,
+w0 = 64 - w1, 32/32 fallbacks), leaving uni partitions unweighted.
+
+Declared gates (raise, never silent): more than one active
+reference per list, weighted P slices (weighted_pred_flag),
+distinct Cb/Cr explicit weights, I_4x4 / I_PCM inside B slices.
 
 The encoder<->decoder round trip is bit-exact by construction
 (pinned across QPs, every mb_type 1..21, sub-pel fractions and
@@ -255,10 +258,11 @@ def _p_reheader_poc0(rbsp: bytes, poc_lsb: int) -> bytes:
     return w.bytes_()
 
 
-def _pps_rbsp_deblock_wp() -> bytes:
+def _pps_rbsp_deblock_wp(idc: int = 1) -> bytes:
     """CAVLC PPS like h264_inter's deblocking-control PPS but with
-    weighted_bipred_idc = 1 (EXPLICIT weighted bi-prediction): B
-    slice headers then carry a pred_weight_table."""
+    weighted_bipred_idc set: 1 = EXPLICIT (B slice headers carry a
+    pred_weight_table), 2 = IMPLICIT (weights derived from POC
+    distances, no table)."""
     pps = _BitW()
     pps.ue(0)
     pps.ue(0)
@@ -268,7 +272,7 @@ def _pps_rbsp_deblock_wp() -> bytes:
     pps.ue(0)  # num_ref_idx_l0_default_active_minus1
     pps.ue(0)  # num_ref_idx_l1_default_active_minus1
     pps.u(0, 1)  # weighted_pred_flag (P slices stay unweighted)
-    pps.u(1, 2)  # weighted_bipred_idc: explicit
+    pps.u(idc, 2)  # weighted_bipred_idc
     pps.se(0)
     pps.se(0)
     pps.se(0)
@@ -359,8 +363,33 @@ def _parse_pred_weight_table(r: _BitR):
     return w
 
 
+def _implicit_weights(tb: int, td: int) -> dict:
+    """8.4.2.3.2 IMPLICIT weighted bi-prediction weights from POC
+    distances (logWD = 5, offsets 0): w1 = distScaleFactor >> 2 and
+    w0 = 64 - w1, falling back to 32/32 when the pictures share a
+    POC or the scale leaves [-64, 128]. Uni-predicted partitions are
+    unweighted in implicit mode."""
+    tb = max(-128, min(127, tb))
+    td = max(-128, min(127, td))
+    if td == 0:
+        w0 = w1 = 32
+    else:
+        tx = (16384 + abs(td) // 2) // td
+        dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+        w1c = dsf >> 2
+        if w1c < -64 or w1c > 128:
+            w0 = w1 = 32
+        else:
+            w1, w0 = w1c, 64 - w1c
+    return {"implicit": True, "w0": w0, "w1": w1,
+            "l0": None, "l1": None}
+
+
 def _wp_uni(planes, e, w):
-    """8.4.2.3.2 explicit uni-directional weighting, per plane."""
+    """8.4.2.3.2 explicit uni-directional weighting, per plane
+    (implicit mode leaves uni-predicted partitions unweighted)."""
+    if w.get("implicit"):
+        return planes
     ldy, ldc = w["luma_denom"], w["chroma_denom"]
     out = []
     for pi, p in enumerate(planes):
@@ -376,7 +405,14 @@ def _wp_uni(planes, e, w):
 
 
 def _wp_bi(p0, p1, w):
-    """8.4.2.3.2 explicit weighted bi-prediction, per plane."""
+    """8.4.2.3.2 weighted bi-prediction, per plane (explicit table
+    weights, or implicit POC-derived w0/w1 with logWD 5)."""
+    if w.get("implicit"):
+        w0, w1 = w["w0"], w["w1"]
+        return tuple(
+            np.clip((a * w0 + b * w1 + 32) >> 6, 0, 255)
+            for a, b in zip(p0, p1)
+        )
     ldy, ldc = w["luma_denom"], w["chroma_denom"]
     out = []
     for pi, (a, b) in enumerate(zip(p0, p1)):
@@ -619,7 +655,8 @@ def _direct_mb(mvs0, mvs1, mx, my, col, padded0, padded1, weights,
 
 def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                     poc_lsb, wtab=None, col=None,
-                    direct_mode="spatial", tbtd=None):
+                    direct_mode="spatial", tbtd=None,
+                    implicit=False):
     """Encode one CAVLC B slice. ``ref_l0`` / ``ref_l1`` are single
     decoded reference plane triples (one active ref per list).
     Returns (slice_rbsp, recon_planes)."""
@@ -641,7 +678,12 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
     mvs0 = _MvState(mbw, mbh)
     mvs1 = _MvState(mbw, mbh)
 
-    weights = _resolve_weights(wtab) if wtab is not None else None
+    if wtab is not None:
+        weights = _resolve_weights(wtab)
+    elif implicit:
+        weights = _implicit_weights(*tbtd)
+    else:
+        weights = None
     if col is None:
         col = _intra_motion(mbw, mbh)
     sl = _BitW()
@@ -899,7 +941,8 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
 
 
 def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
-                    col=None, spatial=True, tbtd=None):
+                    col=None, spatial=True, tbtd=None,
+                    implicit=False):
     mbw, mbh = sps["mbw"], sps["mbh"]
     h, w = mbh * 16, mbw * 16
     padded0 = _pad_refs([ref_l0])
@@ -916,6 +959,8 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
     mvs1 = _MvState(mbw, mbh)
     if col is None:
         col = _intra_motion(mbw, mbh)
+    if weights is None and implicit:
+        weights = _implicit_weights(*tbtd)
     cur_qp = qp
 
     dmode = "spatial" if spatial else "temporal"
@@ -1167,6 +1212,9 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
 
 def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
                            direct_mode: str = "spatial"):
+    implicit = weights == "implicit"
+    if implicit:
+        weights = None
     """Encode a decode-order sequence with B frames. ``entries``:
 
       ("idr", planes)                 — Intra_16x16 anchor, POC 0;
@@ -1193,13 +1241,15 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
         raise ValueError("B sequences require dimensions % 16 == 0")
     mbw, mbh = w // 16, h // 16
     wtab = _norm_weights(weights) if weights is not None else None
+    if wtab is not None:
+        pps = _pps_rbsp_deblock_wp(1)
+    elif implicit:
+        pps = _pps_rbsp_deblock_wp(2)
+    else:
+        pps = _pps_rbsp_deblock()
     stream = (
         _nal(3, 7, _sps_rbsp_poc0(mbw, mbh, w, h))
-        + _nal(
-            3, 8,
-            _pps_rbsp_deblock_wp() if wtab is not None
-            else _pps_rbsp_deblock(),
-        )
+        + _nal(3, 8, pps)
     )
     recons: list = []
     pocs: list = []
@@ -1250,6 +1300,7 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
                 planes, l0e[1], l1e[1], mb_specs, qp, fn, poc, wtab,
                 col=l1e[2], direct_mode=direct_mode,
                 tbtd=(poc - l0e[0], l1e[0] - l0e[0]),
+                implicit=implicit,
             )
             stream += _nal(0, 1, rbsp)  # non-reference picture
         else:
@@ -1295,11 +1346,6 @@ def decode_h264_b_stream(payload: bytes):
                     "weighted_pred_flag (weighted P slices) — gated"
                 )
             bipred_idc = r.u(2)
-            if bipred_idc == 2:
-                raise NotImplementedError(
-                    "implicit weighted bi-prediction — explicit "
-                    "(idc 1) is implemented"
-                )
         elif ntype == 5:
             if sps is None:
                 raise ValueError("IDR before SPS")
@@ -1340,6 +1386,7 @@ def decode_h264_b_stream(payload: bytes):
                     r, sps, qp, l0e[1], l1e[1], wts,
                     col=l1e[2], spatial=spatial,
                     tbtd=(poc - l0e[0], l1e[0] - l0e[0]),
+                    implicit=bipred_idc == 2,
                 )
             frames.append(frame)
             pocs.append(poc)

@@ -485,3 +485,51 @@ def test_b_direct_8x8_roundtrip_both_modes():
         for fi in range(3):
             for a, b in zip(fr[fi], recons[fi]):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_implicit_weighted_prediction():
+    from neuroimaging_data_pipeline_spark.multimodal.h264_bslice import (
+        _implicit_weights,
+    )
+
+    rng = np.random.default_rng(5)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(32, 48, 81), _planes(32, 48, 82),
+                  _planes(32, 48, 83))
+    specs_b = [("16x16", [("bi", mv(), mv())]), ("direct",), ("skip",),
+               ("16x16", [("l0", mv())]),
+               ("8x8", [("direct",), ("bi", "8x8", [(mv(), mv())]),
+                        ("l1", "8x4", [mv(), mv()]), ("direct",)]),
+               ("i16",)]
+    st, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [mv()])] * 6, 4),
+         ("b", fb, specs_b, 2)], qp=19, weights="implicit",
+    )
+    fr, _ = decode_h264_b_stream(st)
+    for fi in range(3):
+        for a, b in zip(fr[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+    # POC midpoint -> 32/32; asymmetric POC -> dsf >> 2 split
+    assert (_implicit_weights(2, 4)["w0"],
+            _implicit_weights(2, 4)["w1"]) == (32, 32)
+    tx = (16384 + 2) // 4
+    w1 = ((1 * tx + 32) >> 6) >> 2
+    w = _implicit_weights(1, 4)
+    assert (w["w0"], w["w1"]) == (64 - w1, w1)
+    # equal POCs fall back to the average
+    assert (_implicit_weights(2, 0)["w0"],
+            _implicit_weights(2, 0)["w1"]) == (32, 32)
+    # bi formula uses logWD 5: constant planes pin
+    c = np.full((8, 8), 128, np.uint8)
+    f0c = (np.full((16, 16), 60, np.uint8), c, c.copy())
+    fpc = (np.full((16, 16), 180, np.uint8), c.copy(), c.copy())
+    # B at poc 1 between 0 and 4: w0/w1 asymmetric
+    want = (60 * (64 - w1) + 180 * w1 + 32) >> 6
+    fbc = (np.full((16, 16), want, np.uint8), c.copy(), c.copy())
+    st2, _, _ = encode_h264_b_sequence(
+        [("idr", f0c), ("p", fpc, [("16x16", [(0, 0)])], 4),
+         ("b", fbc, [("16x16", [("bi", (0, 0), (0, 0))])], 1)],
+        qp=0, weights="implicit",
+    )
+    fr2, _ = decode_h264_b_stream(st2)
+    assert fr2[2][0].min() == fr2[2][0].max() == want
