@@ -60,9 +60,12 @@ IMPLICIT weighted bi-prediction (sixth pass, idc 2) derives
 logWD-5 weights from POC distances (w1 = distScaleFactor >> 2,
 w0 = 64 - w1, 32/32 fallbacks), leaving uni partitions unweighted.
 
+I_4x4 macroblocks inside B slices (mb_type 23) share the P
+module's helpers.
+
 Declared gates (raise, never silent): more than one active
 reference per list, weighted P slices (weighted_pred_flag),
-distinct Cb/Cr explicit weights, I_4x4 / I_PCM inside B slices.
+distinct Cb/Cr explicit weights, I_PCM inside B slices.
 
 The encoder<->decoder round trip is bit-exact by construction
 (pinned across QPs, every mb_type 1..21, sub-pel fractions and
@@ -96,8 +99,10 @@ from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
     _SUBPARTS,
     _chroma_qp,
     _copy_bits,
+    _decode_i4x4_mb,
     _decode_i16_mb,
     _decode_p_frame,
+    _encode_i4x4_mb,
     _encode_i16_mb,
     _encode_p_frame,
     _mc_mb,
@@ -675,6 +680,7 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
     luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
     cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
             1: np.zeros((mbh * 2, mbw * 2), np.int64)}
+    modes4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
     mvs0 = _MvState(mbw, mbh)
     mvs1 = _MvState(mbw, mbh)
 
@@ -733,6 +739,16 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
             if kind == "i16":
                 _encode_i16_mb(sl, target, recons, luma_nnz, cnnz,
                                mx, my, qp, qpc, base=23)
+                mvs0.mark_intra(mx, my)
+                mvs1.mark_intra(mx, my)
+                continue
+            if kind == "i4":
+                sl.ue(23)  # mb_type: I_4x4 inside a B slice
+                _encode_i4x4_mb(
+                    sl, target, recons, luma_nnz, cnnz, modes4,
+                    mx, my, qp, qpc,
+                    mode=spec[1] if len(spec) > 1 else 2,
+                )
                 mvs0.mark_intra(mx, my)
                 mvs1.mark_intra(mx, my)
                 continue
@@ -955,6 +971,7 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
     luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
     cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
             1: np.zeros((mbh * 2, mbw * 2), np.int64)}
+    modes4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
     mvs0 = _MvState(mbw, mbh)
     mvs1 = _MvState(mbw, mbh)
     if col is None:
@@ -1124,9 +1141,15 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
             if mb_type > 22:
                 itype = mb_type - 23
                 if itype == 0:
-                    raise NotImplementedError(
-                        "I_4x4 inside a B slice — gated"
+                    cur_qp = _decode_i4x4_mb(
+                        r, recons, luma_nnz, cnnz, modes4, mx, my,
+                        cur_qp,
                     )
+                    qpc = _chroma_qp(cur_qp)
+                    mvs0.mark_intra(mx, my)
+                    mvs1.mark_intra(mx, my)
+                    addr += 1
+                    continue
                 if itype >= 25:
                     raise NotImplementedError(
                         "I_PCM inside a B slice — gated"

@@ -36,9 +36,12 @@ missing #2). CAVLC P slices on top of the proven intra stack:
   from the proven CAVLC encoder, and non-IDR (NAL type 1) P slices
   referencing the decoded-frame DPB.
 
-Declared gates (raise, never silent): I_4x4 / I_PCM inside P slices,
-B slices (see h264_bslice.py once present), >2 reference frames,
-CABAC inter. The encoder<->decoder round-trip is bit-exact by
+I_4x4 macroblocks inside P slices landed in a later pass (shared
+_encode_i4x4_mb/_decode_i4x4_mb helpers, neighbor modes from
+non-I_4x4 macroblocks treated as DC per 8.3.1.1).
+
+Declared gates (raise, never silent): I_PCM inside inter slices,
+>2 reference frames, CABAC inter. B slices live in h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
 construction (pinned across QPs, partition shapes, sub-partition
 splits, intra-in-P placements, ref_idx patterns and quarter-pel
 fractions in tests/test_h264_inter.py); a capability-gated ffmpeg
@@ -66,18 +69,23 @@ from neuroimaging_data_pipeline_spark.multimodal.h264 import (
     _split_nals,
 )
 from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+    _CBP_INTRA,
+    _CBP_INTRA_INV,
     _CF,
     _H2,
     _H4,
     _MF,
+    _MODE_NEEDS,
     _ZBLK,
     _ZIG,
     _chroma_qp,
+    _decoded_before_factory,
     _dequant_ac,
     _dequant_dc2,
     _fwd4x4,
     _inv4x4,
     _nc_for,
+    _pred4,
     _pred8_chroma_dc,
     _pred16,
     _quant,
@@ -933,6 +941,214 @@ def _decode_i16_mb(r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp):
     return cur_qp
 
 
+def _encode_i4x4_mb(sl, targets, recons, luma_nnz, cnnz, modes4,
+                    mx, my, qp, qpc, mode=2):
+    """I_4x4 macroblock inside an inter slice (the caller emits
+    mb_skip_run and the slice-type-offset mb_type first): per-4x4
+    chained intra prediction with the prev-mode flag coding,
+    Table 9-4 INTRA coded_block_pattern, DC chroma — mirroring the
+    I-slice encoder on the shared transform layer. Blocks whose
+    neighbors cannot support ``mode`` fall back to DC; the modes4
+    grid keeps -1 on non-I_4x4 macroblocks so neighbor mode
+    prediction sees DC there, per 8.3.1.1."""
+    y1, cb1, cr1 = targets
+    ry, rcb, rcr = recons
+    mbw4 = modes4.shape[1]
+    before = _decoded_before_factory(mbw4 // 4)
+    coefs = {}
+    chosen = {}
+    for bx, by in _ZBLK:
+        gx, gy = mx * 4 + bx, my * 4 + by
+        m = mode
+        need_t, need_l = _MODE_NEEDS[m]
+        if (need_t and gy == 0) or (need_l and gx == 0):
+            m = 2
+        chosen[(bx, by)] = m
+        modes4[gy, gx] = m
+        pred = _pred4(
+            ry, gx, gy, m, mbw4,
+            lambda a, b, _gx=gx, _gy=gy: before(a, b, _gx, _gy),
+        )
+        srcb = y1[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4]
+        z = _quant(_fwd4x4(srcb.astype(np.int64) - pred), qp)
+        coefs[(bx, by)] = z
+        blk = (_inv4x4(_dequant_ac(z, qp)) + 32) >> 6
+        ry[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(
+            pred + blk, 0, 255
+        )
+    cbp_luma = 0
+    for g in range(4):
+        if any(coefs[_ZBLK[g * 4 + k]].any() for k in range(4)):
+            cbp_luma |= 1 << g
+    cpred, cdcz, cacz = {}, {}, {}
+    for pi, (srcp, reconp) in enumerate(((cb1, rcb), (cr1, rcr))):
+        cp = _pred8_chroma_dc(reconp, my, mx)
+        cres = srcp[my * 8 : my * 8 + 8,
+                    mx * 8 : mx * 8 + 8].astype(np.int64) - cp
+        cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
+        dc2 = wmc[..., 0, 0]
+        az = _quant(wmc, qpc)
+        az[..., 0, 0] = 0
+        qbits = 15 + qpc // 6
+        f = (1 << qbits) // 3
+        yd = _H2 @ dc2 @ _H2
+        zd = np.sign(yd) * (
+            (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
+        )
+        cpred[pi], cdcz[pi], cacz[pi] = cp, zd, az
+    any_cac = any(cacz[p].any() for p in (0, 1))
+    any_cdc = any(cdcz[p].any() for p in (0, 1))
+    cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+    for bx, by in _ZBLK:
+        gx, gy = mx * 4 + bx, my * 4 + by
+        ma = modes4[gy, gx - 1] if gx > 0 else -1
+        mb_ = modes4[gy - 1, gx] if gy > 0 else -1
+        pred_mode = min(
+            2 if ma < 0 else int(ma), 2 if mb_ < 0 else int(mb_)
+        )
+        m = chosen[(bx, by)]
+        if m == pred_mode:
+            sl.u(1, 1)
+        else:
+            sl.u(0, 1)
+            sl.u(m - (1 if m > pred_mode else 0), 3)
+    sl.ue(0)  # intra_chroma_pred_mode: DC
+    sl.ue(_CBP_INTRA_INV[cbp])
+    if cbp:
+        sl.se(0)  # mb_qp_delta
+    for g in range(4):
+        if not cbp_luma & (1 << g):
+            for k in range(4):
+                bx, by = _ZBLK[g * 4 + k]
+                luma_nnz[my * 4 + by, mx * 4 + bx] = 0
+            continue
+        for k in range(4):
+            bx, by = _ZBLK[g * 4 + k]
+            gx, gy = mx * 4 + bx, my * 4 + by
+            nc = _nc_for(luma_nnz, gx, gy)
+            coeffs = [int(coefs[(bx, by)].flat[i]) for i in _ZIG]
+            luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 16)
+    if cbp_chroma > 0:
+        for pi in (0, 1):
+            zd = cdcz[pi]
+            encode_residual_block(
+                sl,
+                [int(zd[0, 0]), int(zd[0, 1]),
+                 int(zd[1, 0]), int(zd[1, 1])],
+                -1, 4,
+            )
+    if cbp_chroma > 1:
+        for pi in (0, 1):
+            for by in range(2):
+                for bx in range(2):
+                    gx, gy = mx * 2 + bx, my * 2 + by
+                    nc = _nc_for(cnnz[pi], gx, gy)
+                    coeffs = [int(cacz[pi][by, bx].flat[i])
+                              for i in _ZIG[1:]]
+                    cnnz[pi][gy, gx] = encode_residual_block(
+                        sl, coeffs, nc, 15
+                    )
+    else:
+        for pi in (0, 1):
+            cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    for pi, reconp in ((0, rcb), (1, rcr)):
+        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+            _recon_chroma8(
+                cpred[pi],
+                cacz[pi] if cbp_chroma > 1 else None,
+                cdcz[pi] if cbp_chroma > 0 else None,
+                qpc,
+            )
+        )
+
+
+def _decode_i4x4_mb(r, recons, luma_nnz, cnnz, modes4, mx, my, cur_qp):
+    """Decode one I_4x4 macroblock inside an inter slice (after the
+    caller consumed mb_type). Returns the updated slice QP."""
+    ry, rcb, rcr = recons
+    mbw4 = modes4.shape[1]
+    before = _decoded_before_factory(mbw4 // 4)
+    for bx, by in _ZBLK:
+        gx, gy = mx * 4 + bx, my * 4 + by
+        ma = modes4[gy, gx - 1] if gx > 0 else -1
+        mb_ = modes4[gy - 1, gx] if gy > 0 else -1
+        pm4 = min(2 if ma < 0 else int(ma), 2 if mb_ < 0 else int(mb_))
+        if r.u(1):
+            modes4[gy, gx] = pm4
+        else:
+            rem = r.u(3)
+            modes4[gy, gx] = rem if rem < pm4 else rem + 1
+    if r.ue() != 0:
+        raise NotImplementedError(
+            "chroma prediction mode != DC — only DC is implemented"
+        )
+    cbp = _CBP_INTRA[r.ue()]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        cur_qp = (cur_qp + r.se() + 52) % 52
+    qpc = _chroma_qp(cur_qp)
+    coefs4 = {}
+    for g in range(4):
+        for k in range(4):
+            bx, by = _ZBLK[g * 4 + k]
+            gx, gy = mx * 4 + bx, my * 4 + by
+            if not cbp_luma & (1 << g):
+                coefs4[(bx, by)] = np.zeros((4, 4), np.int64)
+                luma_nnz[gy, gx] = 0
+                continue
+            nc = _nc_for(luma_nnz, gx, gy)
+            cf, tot = decode_residual_block(r, nc, 16)
+            z = np.zeros(16, np.int64)
+            z[_ZIG] = cf
+            coefs4[(bx, by)] = z.reshape(4, 4)
+            luma_nnz[gy, gx] = tot
+    cdcz = {0: np.zeros((2, 2), np.int64), 1: np.zeros((2, 2), np.int64)}
+    cacz = {0: np.zeros((2, 2, 4, 4), np.int64),
+            1: np.zeros((2, 2, 4, 4), np.int64)}
+    if cbp_chroma > 0:
+        for pi in (0, 1):
+            cf, _ = decode_residual_block(r, -1, 4)
+            cdcz[pi] = np.array([[cf[0], cf[1]], [cf[2], cf[3]]],
+                                np.int64)
+    if cbp_chroma > 1:
+        for pi in (0, 1):
+            for by in range(2):
+                for bx in range(2):
+                    gx, gy = mx * 2 + bx, my * 2 + by
+                    nc = _nc_for(cnnz[pi], gx, gy)
+                    cf, tot = decode_residual_block(r, nc, 15)
+                    z = np.zeros(16, np.int64)
+                    z[_ZIG[1:]] = cf
+                    cacz[pi][by, bx] = z.reshape(4, 4)
+                    cnnz[pi][gy, gx] = tot
+    else:
+        for pi in (0, 1):
+            cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    for bx, by in _ZBLK:
+        gx, gy = mx * 4 + bx, my * 4 + by
+        pred = _pred4(
+            ry, gx, gy, int(modes4[gy, gx]), mbw4,
+            lambda a, b, _gx=gx, _gy=gy: before(a, b, _gx, _gy),
+        )
+        blk = (_inv4x4(_dequant_ac(coefs4[(bx, by)], cur_qp)) + 32) >> 6
+        ry[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(
+            pred + blk, 0, 255
+        )
+    for pi, reconp in ((0, rcb), (1, rcr)):
+        cp = _pred8_chroma_dc(reconp, my, mx)
+        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+            _recon_chroma8(
+                cp,
+                cacz[pi] if cbp_chroma > 1 else None,
+                cdcz[pi] if cbp_chroma > 0 else None,
+                qpc,
+            )
+        )
+    return cur_qp
+
+
 def _encode_p_frame(
     target: tuple[np.ndarray, np.ndarray, np.ndarray],
     refs: list,
@@ -957,6 +1173,7 @@ def _encode_p_frame(
     luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
     cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
             1: np.zeros((mbh * 2, mbw * 2), np.int64)}
+    modes4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
     mvs = _MvState(mbw, mbh)
 
     sl = _BitW()
@@ -992,6 +1209,17 @@ def _encode_p_frame(
                 skip_run = 0
                 _encode_i16_mb(sl, target, recons, luma_nnz, cnnz,
                                mx, my, qp, qpc, base=5)
+                mvs.mark_intra(mx, my)
+                continue
+            if kind == "i4":
+                sl.ue(skip_run)
+                skip_run = 0
+                sl.ue(5)  # mb_type: I_4x4 inside a P slice
+                _encode_i4x4_mb(
+                    sl, target, recons, luma_nnz, cnnz, modes4,
+                    mx, my, qp, qpc,
+                    mode=spec[1] if len(spec) > 1 else 2,
+                )
                 mvs.mark_intra(mx, my)
                 continue
             if kind == "8x8":
@@ -1281,6 +1509,7 @@ def _decode_p_frame(
     luma_nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
     cnnz = {0: np.zeros((mbh * 2, mbw * 2), np.int64),
             1: np.zeros((mbh * 2, mbw * 2), np.int64)}
+    modes4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
     mvs = _MvState(mbw, mbh)
 
     def decode_skip(mx, my):
@@ -1314,10 +1543,13 @@ def _decode_p_frame(
             # ----- intra macroblock inside the P slice -----
             itype = mb_type - 5
             if itype == 0:
-                raise NotImplementedError(
-                    "I_4x4 inside a P slice — gated (Intra_16x16 is "
-                    "implemented)"
+                cur_qp = _decode_i4x4_mb(
+                    r, recons, luma_nnz, cnnz, modes4, mx, my, cur_qp
                 )
+                qpc = _chroma_qp(cur_qp)
+                mvs.mark_intra(mx, my)
+                addr += 1
+                continue
             if itype >= 25:
                 raise NotImplementedError(
                     "I_PCM inside a P slice — gated"

@@ -533,3 +533,20 @@ def test_implicit_weighted_prediction():
     )
     fr2, _ = decode_h264_b_stream(st2)
     assert fr2[2][0].min() == fr2[2][0].max() == want
+
+
+def test_i4x4_inside_b_slices():
+    rng = np.random.default_rng(19)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(32, 48, 91), _planes(32, 48, 92),
+                  _planes(32, 48, 93))
+    specs_b = [("i4",), ("direct",), ("16x16", [("bi", mv(), mv())]),
+               ("i4", 6), ("skip",), ("i16",)]
+    st, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [mv()])] * 6, 4),
+         ("b", fb, specs_b, 2)], qp=15,
+    )
+    fr, _ = decode_h264_b_stream(st)
+    for fi in range(3):
+        for a, b in zip(fr[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)

@@ -439,3 +439,23 @@ def test_e13_shard_pack_decode_and_corruption():
         assert digest2 != digest
     except (ValueError, NotImplementedError, IndexError, KeyError):
         pass  # loud decode failure is equally acceptable
+
+
+def test_i4x4_inside_p_slices():
+    """I_4x4 macroblocks (mb_type 5) mixed with inter MBs in a P
+    slice: per-4x4 chained prediction with prev-mode flags, neighbor
+    modes from non-I4x4 MBs treated as DC, bit-exact round trip."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    rng = np.random.default_rng(17)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    for qp in (0, 24, 39):
+        f0, f1 = _rand_frames(170 + qp, 32, 48)
+        specs = [("i4",), ("16x16", [mv()]), ("i4", 4), ("skip",),
+                 ("i16",), ("i4", 8)]
+        st, recons = encode_h264_p_gop([f0, f1], [specs], qp=qp)
+        fr = decode_h264_sequence(st)
+        for a, b in zip(fr[1], recons[1]):
+            np.testing.assert_array_equal(a, b)
