@@ -65,7 +65,7 @@ module's helpers.
 
 Declared gates (raise, never silent): more than one active
 reference per list, weighted P slices (weighted_pred_flag),
-distinct Cb/Cr explicit weights, I_PCM inside B slices.
+distinct Cb/Cr explicit weights.
 
 The encoder<->decoder round trip is bit-exact by construction
 (pinned across QPs, every mb_type 1..21, sub-pel fractions and
@@ -101,9 +101,11 @@ from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
     _copy_bits,
     _decode_i4x4_mb,
     _decode_i16_mb,
+    _decode_ipcm_mb,
     _decode_p_frame,
     _encode_i4x4_mb,
     _encode_i16_mb,
+    _encode_ipcm_mb,
     _encode_p_frame,
     _mc_mb,
     _MvState,
@@ -742,6 +744,13 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                 mvs0.mark_intra(mx, my)
                 mvs1.mark_intra(mx, my)
                 continue
+            if kind == "ipcm":
+                sl.ue(48)  # mb_type: I_PCM inside a B slice
+                _encode_ipcm_mb(sl, target, recons, luma_nnz, cnnz,
+                                mx, my)
+                mvs0.mark_intra(mx, my)
+                mvs1.mark_intra(mx, my)
+                continue
             if kind == "i4":
                 sl.ue(23)  # mb_type: I_4x4 inside a B slice
                 _encode_i4x4_mb(
@@ -1150,9 +1159,15 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
                     mvs1.mark_intra(mx, my)
                     addr += 1
                     continue
-                if itype >= 25:
-                    raise NotImplementedError(
-                        "I_PCM inside a B slice — gated"
+                if itype == 25:
+                    _decode_ipcm_mb(r, recons, luma_nnz, cnnz, mx, my)
+                    mvs0.mark_intra(mx, my)
+                    mvs1.mark_intra(mx, my)
+                    addr += 1
+                    continue
+                if itype > 25:
+                    raise ValueError(
+                        f"invalid mb_type {mb_type} in B slice"
                     )
                 cur_qp = _decode_i16_mb(
                     r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp

@@ -40,8 +40,11 @@ I_4x4 macroblocks inside P slices landed in a later pass (shared
 _encode_i4x4_mb/_decode_i4x4_mb helpers, neighbor modes from
 non-I_4x4 macroblocks treated as DC per 8.3.1.1).
 
-Declared gates (raise, never silent): I_PCM inside inter slices,
->2 reference frames, CABAC inter. B slices live in h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
+Intra-in-inter is COMPLETE: Intra_16x16, I_4x4 and I_PCM all code
+inside P slices (and B slices via h264_bslice's shared helpers).
+
+Declared gates (raise, never silent): >2 reference frames, CABAC
+inter. B slices live in h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
 construction (pinned across QPs, partition shapes, sub-partition
 splits, intra-in-P placements, ref_idx patterns and quarter-pel
 fractions in tests/test_h264_inter.py); a capability-gated ffmpeg
@@ -1149,6 +1152,49 @@ def _decode_i4x4_mb(r, recons, luma_nnz, cnnz, modes4, mx, my, cur_qp):
     return cur_qp
 
 
+def _encode_ipcm_mb(sl, targets, recons, luma_nnz, cnnz, mx, my):
+    """I_PCM macroblock inside an inter slice: alignment bit padding
+    then 256 raw luma + 2x64 raw chroma samples — lossless, recon ==
+    target; PCM neighbors count as 16 coefficients for nC (9.2.1)."""
+    y1, cb1, cr1 = targets
+    ry, rcb, rcr = recons
+    sl.align_zero()
+    for yy in range(16):
+        for xx in range(16):
+            sl.u(int(y1[my * 16 + yy, mx * 16 + xx]), 8)
+    for plane in (cb1, cr1):
+        for yy in range(8):
+            for xx in range(8):
+                sl.u(int(plane[my * 8 + yy, mx * 8 + xx]), 8)
+    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+        y1[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+    )
+    rcb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+        cb1[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+    )
+    rcr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+        cr1[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+    )
+    luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+    for pi in (0, 1):
+        cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+
+
+def _decode_ipcm_mb(r, recons, luma_nnz, cnnz, mx, my):
+    ry, rcb, rcr = recons
+    r.align()
+    for yy in range(16):
+        for xx in range(16):
+            ry[my * 16 + yy, mx * 16 + xx] = r.u(8)
+    for plane in (rcb, rcr):
+        for yy in range(8):
+            for xx in range(8):
+                plane[my * 8 + yy, mx * 8 + xx] = r.u(8)
+    luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+    for pi in (0, 1):
+        cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+
+
 def _encode_p_frame(
     target: tuple[np.ndarray, np.ndarray, np.ndarray],
     refs: list,
@@ -1209,6 +1255,14 @@ def _encode_p_frame(
                 skip_run = 0
                 _encode_i16_mb(sl, target, recons, luma_nnz, cnnz,
                                mx, my, qp, qpc, base=5)
+                mvs.mark_intra(mx, my)
+                continue
+            if kind == "ipcm":
+                sl.ue(skip_run)
+                skip_run = 0
+                sl.ue(30)  # mb_type: I_PCM inside a P slice
+                _encode_ipcm_mb(sl, target, recons, luma_nnz, cnnz,
+                                mx, my)
                 mvs.mark_intra(mx, my)
                 continue
             if kind == "i4":
@@ -1550,10 +1604,13 @@ def _decode_p_frame(
                 mvs.mark_intra(mx, my)
                 addr += 1
                 continue
-            if itype >= 25:
-                raise NotImplementedError(
-                    "I_PCM inside a P slice — gated"
-                )
+            if itype == 25:
+                _decode_ipcm_mb(r, recons, luma_nnz, cnnz, mx, my)
+                mvs.mark_intra(mx, my)
+                addr += 1
+                continue
+            if itype > 25:
+                raise ValueError(f"invalid mb_type {mb_type} in P slice")
             cur_qp = _decode_i16_mb(
                 r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp
             )

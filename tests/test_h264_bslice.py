@@ -550,3 +550,21 @@ def test_i4x4_inside_b_slices():
     for fi in range(3):
         for a, b in zip(fr[fi], recons[fi]):
             np.testing.assert_array_equal(a, b)
+
+
+def test_ipcm_inside_b_slices_is_lossless():
+    rng = np.random.default_rng(29)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(32, 48, 94), _planes(32, 48, 95),
+                  _planes(32, 48, 96))
+    specs_b = [("ipcm",), ("direct",), ("16x16", [("bi", mv(), mv())]),
+               ("i4",), ("skip",), ("ipcm",)]
+    st, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [mv()])] * 6, 4),
+         ("b", fb, specs_b, 2)], qp=33,
+    )
+    fr, _ = decode_h264_b_stream(st)
+    for fi in range(3):
+        for a, b in zip(fr[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(fr[2][0][:16, :16], fb[0][:16, :16])

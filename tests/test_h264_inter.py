@@ -459,3 +459,22 @@ def test_i4x4_inside_p_slices():
         fr = decode_h264_sequence(st)
         for a, b in zip(fr[1], recons[1]):
             np.testing.assert_array_equal(a, b)
+
+
+def test_ipcm_inside_p_slices_is_lossless():
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    rng = np.random.default_rng(23)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, f1 = _rand_frames(230, 32, 48)
+    specs = [("ipcm",), ("16x16", [mv()]), ("i4",), ("skip",),
+             ("ipcm",), ("i16",)]
+    st, recons = encode_h264_p_gop([f0, f1], [specs], qp=27)
+    fr = decode_h264_sequence(st)
+    for a, b in zip(fr[1], recons[1]):
+        np.testing.assert_array_equal(a, b)
+    # PCM macroblocks reproduce the TARGET exactly at any QP
+    np.testing.assert_array_equal(fr[1][0][:16, :16], f1[0][:16, :16])
+    np.testing.assert_array_equal(fr[1][1][:8, :8], f1[1][:8, :8])
