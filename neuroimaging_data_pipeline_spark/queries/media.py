@@ -2061,7 +2061,13 @@ def e13_video_shard_pipeline(spark, sf_dir):
         .groupBy("shard_id")
         .applyInPandas(pack_gop_shard, "shard_id long, tar binary")
     )
-    return decode_shard_features(shards)
+    # AQE coalesces the tiny pack shuffle (~KBs) to 1-2 partitions,
+    # which would serialize the EXPENSIVE per-shard Python decode —
+    # the classic post-shuffle-CPU blind spot. Re-spread the shards
+    # across the executor cores before the decode stage (at 100 TB
+    # the shard count dwarfs the cores and this is a no-op).
+    ncores = spark.sparkContext.defaultParallelism
+    return decode_shard_features(shards.repartition(ncores))
 
 
 E13_SQL = """
