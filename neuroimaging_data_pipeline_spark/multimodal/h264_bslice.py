@@ -64,8 +64,9 @@ I_4x4 macroblocks inside B slices (mb_type 23) share the P
 module's helpers.
 
 Declared gates (raise, never silent): more than one active
-reference per list, weighted P slices (weighted_pred_flag),
-distinct Cb/Cr explicit weights.
+reference per list, distinct Cb/Cr explicit weights. (Weighted P
+slices live in h264_inter.py; the P frames of a B GOP keep
+weighted_pred_flag 0.)
 
 The encoder<->decoder round trip is bit-exact by construction
 (pinned across QPs, every mb_type 1..21, sub-pel fractions and

@@ -43,8 +43,15 @@ non-I_4x4 macroblocks treated as DC per 8.3.1.1).
 Intra-in-inter is COMPLETE: Intra_16x16, I_4x4 and I_PCM all code
 inside P slices (and B slices via h264_bslice's shared helpers).
 
+Weighted P slices (weighted_pred_flag, a later pass): a list-0
+pred_weight_table in every P slice header, per-REFERENCE
+weight/offset pairs applied to every partition through the shared
+motion-compensation helper — skip, sub-partitions and multi-ref
+included.
+
 Declared gates (raise, never silent): >2 reference frames, CABAC
-inter. B slices live in h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
+inter, distinct Cb/Cr explicit weights. B slices live in
+h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
 construction (pinned across QPs, partition shapes, sub-partition
 splits, intra-in-P placements, ref_idx patterns and quarter-pel
 fractions in tests/test_h264_inter.py); a capability-gated ffmpeg
@@ -438,10 +445,12 @@ def _sps_rbsp_ref1(
     return sps.bytes_()
 
 
-def _pps_rbsp_deblock() -> bytes:
+def _pps_rbsp_deblock(weighted_pred: bool = False) -> bytes:
     """CAVLC PPS with deblocking_filter_control_present_flag set so
     slice headers can disable the loop filter (stream output ==
-    unfiltered reconstruction, same choice as the CABAC module)."""
+    unfiltered reconstruction, same choice as the CABAC module).
+    ``weighted_pred`` sets weighted_pred_flag: P slice headers then
+    carry a list-0 pred_weight_table."""
     pps = _BitW()
     pps.ue(0)
     pps.ue(0)
@@ -450,7 +459,7 @@ def _pps_rbsp_deblock() -> bytes:
     pps.ue(0)
     pps.ue(0)  # num_ref_idx_l0_default_active_minus1 = 0 (one ref)
     pps.ue(0)
-    pps.u(0, 1)
+    pps.u(1 if weighted_pred else 0, 1)  # weighted_pred_flag
     pps.u(0, 2)
     pps.se(0)
     pps.se(0)
@@ -527,8 +536,88 @@ def _idr_slice_strip_idc(rbsp: bytes) -> bytes:
     return w.bytes_()
 
 
+def _norm_p_weights(weights: dict, num_refs: int) -> dict:
+    """Normalize user P weights: luma/chroma log2 denominators plus
+    one (wy, oy, wc, oc) entry per reference index; None weight =
+    flag 0 = default (1 << denom, offset 0)."""
+    out = {
+        "luma_denom": int(weights.get("luma_denom", 0)),
+        "chroma_denom": int(weights.get("chroma_denom", 0)),
+        "refs": [],
+    }
+    user = weights.get("refs", [])
+    for ri in range(num_refs):
+        e = {"wy": None, "oy": 0, "wc": None, "oc": 0}
+        if ri < len(user):
+            e.update(user[ri])
+        out["refs"].append(e)
+    return out
+
+
+def _resolve_p_weights(w: dict) -> dict:
+    out = {"luma_denom": w["luma_denom"],
+           "chroma_denom": w["chroma_denom"], "refs": []}
+    for e in w["refs"]:
+        e = dict(e)
+        if e["wy"] is None:
+            e["wy"] = 1 << w["luma_denom"]
+            e["oy"] = 0
+        if e["wc"] is None:
+            e["wc"] = 1 << w["chroma_denom"]
+            e["oc"] = 0
+        out["refs"].append(e)
+    return out
+
+
+def _write_pwt_p(sl: _BitW, w: dict, nra: int) -> None:
+    """7.3.3.2 pred_weight_table, list 0 only (P slices)."""
+    sl.ue(w["luma_denom"])
+    sl.ue(w["chroma_denom"])
+    for ri in range(nra):
+        e = w["refs"][ri]
+        if e["wy"] is not None:
+            sl.u(1, 1)
+            sl.se(e["wy"])
+            sl.se(e["oy"])
+        else:
+            sl.u(0, 1)
+        if e["wc"] is not None:
+            sl.u(1, 1)
+            for _ in range(2):  # Cb then Cr, one shared pair
+                sl.se(e["wc"])
+                sl.se(e["oc"])
+        else:
+            sl.u(0, 1)
+
+
+def _parse_pwt_p(r: _BitR, nra: int) -> dict:
+    w = {"luma_denom": r.ue(), "chroma_denom": r.ue(), "refs": []}
+    for _ in range(nra):
+        e = {}
+        if r.u(1):
+            e["wy"] = r.se()
+            e["oy"] = r.se()
+        else:
+            e["wy"] = 1 << w["luma_denom"]
+            e["oy"] = 0
+        if r.u(1):
+            pairs = [(r.se(), r.se()) for _ in range(2)]
+            if pairs[0] != pairs[1]:
+                raise NotImplementedError(
+                    "distinct Cb/Cr weights — one shared chroma pair "
+                    "is implemented"
+                )
+            e["wc"], e["oc"] = pairs[0]
+        else:
+            e["wc"] = 1 << w["chroma_denom"]
+            e["oc"] = 0
+        w["refs"].append(e)
+    return w
+
+
 def _p_slice_header(
-    sl: _BitW, qp: int, frame_num: int = 1, num_refs_active: int = 1
+    sl: _BitW, qp: int, frame_num: int = 1, num_refs_active: int = 1,
+    wtab: dict | None = None,
 ) -> None:
     sl.ue(0)  # first_mb_in_slice
     sl.ue(5)  # slice_type: P (all slices)
@@ -540,13 +629,17 @@ def _p_slice_header(
     else:
         sl.u(0, 1)  # no override (PPS default: 1 active)
     sl.u(0, 1)  # ref_pic_list_modification_flag_l0
+    if wtab is not None:  # PPS weighted_pred_flag: pred_weight_table
+        _write_pwt_p(sl, wtab, num_refs_active)
     sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
     sl.se(qp - 26)  # slice_qp_delta
     sl.ue(1)  # disable_deblocking_filter_idc
 
 
-def _parse_p_slice_header(r: _BitR) -> tuple[int, int]:
-    """Returns (slice_qp, num_ref_idx_l0_active)."""
+def _parse_p_slice_header(
+    r: _BitR, weighted_pred: bool = False
+) -> tuple[int, int, dict | None]:
+    """Returns (slice_qp, num_ref_idx_l0_active, weights-or-None)."""
     r.ue()  # first_mb
     stype = r.ue()
     if stype % 5 != 0:
@@ -566,11 +659,12 @@ def _parse_p_slice_header(r: _BitR) -> tuple[int, int]:
             )
     if r.u(1):
         raise NotImplementedError("ref_pic_list_modification unsupported")
+    weights = _parse_pwt_p(r, nra) if weighted_pred else None
     if r.u(1):
         raise NotImplementedError("adaptive ref marking unsupported")
     qp = 26 + r.se()
     r.ue()  # disable_deblocking_filter_idc
-    return qp, nra
+    return qp, nra, weights
 
 
 # ---------------------------------------------------------------------------
@@ -606,29 +700,53 @@ def _pad_refs(refs: list) -> list:
     ]
 
 
-def _mc_mb(padded: list, mx: int, my: int, placed: list):
+def _mc_mb(padded: list, mx: int, my: int, placed: list,
+           weights: dict | None = None):
     """Motion-compensate one MB from (ox4, oy4, w4, h4, mv, ref)
     placements (4x4-unit offsets within the MB; ref indexes
-    ``padded``). Returns (pred_y16, pred_cb8, pred_cr8)."""
+    ``padded``). With ``weights`` (a resolved P pred_weight_table),
+    each partition is explicitly weighted by ITS reference's
+    weight/offset per 8.4.2.3.2 uni-prediction. Returns
+    (pred_y16, pred_cb8, pred_cr8)."""
     py = np.zeros((16, 16), np.int64)
     pcb = np.zeros((8, 8), np.int64)
     pcr = np.zeros((8, 8), np.int64)
     for ox4, oy4, w4, h4, mv, ref in placed:
         ref_y, ref_cb, ref_cr = padded[ref]
         lx, ly = mx * 16 + ox4 * 4, my * 16 + oy4 * 4
-        py[oy4 * 4 : oy4 * 4 + h4 * 4, ox4 * 4 : ox4 * 4 + w4 * 4] = (
-            interp_luma(
-                ref_y, ly + _PAD, lx + _PAD, h4 * 4, w4 * 4,
-                int(mv[0]), int(mv[1]),
-            )
+        lb = interp_luma(
+            ref_y, ly + _PAD, lx + _PAD, h4 * 4, w4 * 4,
+            int(mv[0]), int(mv[1]),
         )
         cx, cy = mx * 8 + ox4 * 2, my * 8 + oy4 * 2
-        for plane, out in ((ref_cb, pcb), (ref_cr, pcr)):
-            out[oy4 * 2 : oy4 * 2 + h4 * 2,
-                ox4 * 2 : ox4 * 2 + w4 * 2] = interp_chroma(
-                plane, cy + _PAD // 2, cx + _PAD // 2,
-                h4 * 2, w4 * 2, int(mv[0]), int(mv[1]),
-            )
+        cb_b = interp_chroma(
+            ref_cb, cy + _PAD // 2, cx + _PAD // 2,
+            h4 * 2, w4 * 2, int(mv[0]), int(mv[1]),
+        )
+        cr_b = interp_chroma(
+            ref_cr, cy + _PAD // 2, cx + _PAD // 2,
+            h4 * 2, w4 * 2, int(mv[0]), int(mv[1]),
+        )
+        if weights is not None:
+            e = weights["refs"][ref]
+            ldy = weights["luma_denom"]
+            ldc = weights["chroma_denom"]
+            if ldy >= 1:
+                lb = ((lb * e["wy"] + (1 << (ldy - 1))) >> ldy) + e["oy"]
+            else:
+                lb = lb * e["wy"] + e["oy"]
+            if ldc >= 1:
+                cb_b = ((cb_b * e["wc"] + (1 << (ldc - 1))) >> ldc) + e["oc"]
+                cr_b = ((cr_b * e["wc"] + (1 << (ldc - 1))) >> ldc) + e["oc"]
+            else:
+                cb_b = cb_b * e["wc"] + e["oc"]
+                cr_b = cr_b * e["wc"] + e["oc"]
+            lb = np.clip(lb, 0, 255)
+            cb_b = np.clip(cb_b, 0, 255)
+            cr_b = np.clip(cr_b, 0, 255)
+        py[oy4 * 4 : oy4 * 4 + h4 * 4, ox4 * 4 : ox4 * 4 + w4 * 4] = lb
+        pcb[oy4 * 2 : oy4 * 2 + h4 * 2, ox4 * 2 : ox4 * 2 + w4 * 2] = cb_b
+        pcr[oy4 * 2 : oy4 * 2 + h4 * 2, ox4 * 2 : ox4 * 2 + w4 * 2] = cr_b
     return py, pcb, pcr
 
 
@@ -1202,6 +1320,7 @@ def _encode_p_frame(
     qp: int,
     frame_num: int,
     nra: int,
+    wtab: dict | None = None,
 ) -> tuple[bytes, tuple, dict]:
     """Encode one CAVLC P slice against the decoded reference list
     (most recent first). Returns (slice_rbsp, recon_planes,
@@ -1221,9 +1340,10 @@ def _encode_p_frame(
             1: np.zeros((mbh * 2, mbw * 2), np.int64)}
     modes4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
     mvs = _MvState(mbw, mbh)
+    pweights = _resolve_p_weights(wtab) if wtab is not None else None
 
     sl = _BitW()
-    _p_slice_header(sl, qp, frame_num, nra)
+    _p_slice_header(sl, qp, frame_num, nra, wtab)
     skip_run = 0
 
     for my in range(mbh):
@@ -1233,7 +1353,7 @@ def _encode_p_frame(
             if kind == "skip":
                 mv = mvs.skip_mv(mx, my)
                 py, pcb, pcr = _mc_mb(
-                    padded, mx, my, [(0, 0, 4, 4, mv, 0)]
+                    padded, mx, my, [(0, 0, 4, 4, mv, 0)], pweights
                 )
                 ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
                     np.clip(py, 0, 255)
@@ -1318,7 +1438,7 @@ def _encode_p_frame(
                         placed.append(
                             (ox8 + sx4, oy8 + sy4, w4, h4, mv, subrefs[k])
                         )
-                py, pcb, pcr = _mc_mb(padded, mx, my, placed)
+                py, pcb, pcr = _mc_mb(padded, mx, my, placed, pweights)
                 cbp, zl, cdcz, cacz = _residual_from_target(
                     target, mx, my, py, pcb, pcr, qp, qpc
                 )
@@ -1357,7 +1477,7 @@ def _encode_p_frame(
                 sl.se(int(mv[1] - pred_mv[1]))
                 mvs.fill(mx * 4 + ox4, my * 4 + oy4, w4, h4, mv, rf)
                 placed.append((ox4, oy4, w4, h4, mv, rf))
-            py, pcb, pcr = _mc_mb(padded, mx, my, placed)
+            py, pcb, pcr = _mc_mb(padded, mx, my, placed, pweights)
             cbp, zl, cdcz, cacz = _residual_from_target(
                 target, mx, my, py, pcb, pcr, qp, qpc
             )
@@ -1381,6 +1501,7 @@ def encode_h264_p_gop(
     specs_per_p: list,
     qp: int = 0,
     num_refs: int = 1,
+    weights: dict | None = None,
 ) -> tuple[bytes, list]:
     """Encode a GOP: frames[0] becomes an Intra_16x16 IDR anchor (the
     proven CAVLC encoder, re-headered for the deblocking-control
@@ -1425,9 +1546,13 @@ def encode_h264_p_gop(
         _ep_remove(n[1:]) for n in nals if (n[0] & 0x1F) == 5
     )
     idr2 = _idr_slice_add_idc(idr_rbsp, qp)
+    wtab = (
+        _norm_p_weights(weights, num_refs) if weights is not None
+        else None
+    )
     stream = (
         _nal(3, 7, _sps_rbsp_ref1(mbw, mbh, w, h, num_refs))
-        + _nal(3, 8, _pps_rbsp_deblock())
+        + _nal(3, 8, _pps_rbsp_deblock(weighted_pred=wtab is not None))
         + _nal(3, 5, idr2)
     )
     recons = [(r0y, r0cb, r0cr)]
@@ -1437,7 +1562,7 @@ def encode_h264_p_gop(
             raise ValueError("one mb_spec per macroblock required")
         nra = min(num_refs, len(refs))
         rbsp, recon, _motion = _encode_p_frame(
-            target, refs[:nra], specs, qp, fi, nra
+            target, refs[:nra], specs, qp, fi, nra, wtab
         )
         stream += _nal(2, 1, rbsp)
         recons.append(recon)
@@ -1487,6 +1612,7 @@ def decode_h264_sequence(
     sps = None
     sps_rbsp = None
     deblock_present = False
+    weighted_pred = False
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     refs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for nal in _split_nals(bytes(payload)):
@@ -1507,7 +1633,7 @@ def decode_h264_sequence(
             r.ue()
             r.ue()
             r.ue()
-            r.u(1)
+            weighted_pred = bool(r.u(1))
             r.u(2)
             r.se()
             r.se()
@@ -1531,13 +1657,13 @@ def decode_h264_sequence(
             if not refs:
                 raise ValueError("P slice before any reference frame")
             r = _BitR(rbsp)
-            qp, nra = _parse_p_slice_header(r)
+            qp, nra, pw = _parse_p_slice_header(r, weighted_pred)
             if nra > len(refs):
                 raise ValueError(
                     f"{nra} active references but only {len(refs)} "
                     "decoded"
                 )
-            frame = _decode_p_frame(r, sps, qp, refs, nra)
+            frame = _decode_p_frame(r, sps, qp, refs, nra, weights=pw)
             frames.append(frame)
             if (nal[0] >> 5) & 3:  # nal_ref_idc: reference picture
                 refs.insert(0, frame)
@@ -1550,6 +1676,7 @@ def decode_h264_sequence(
 def _decode_p_frame(
     r: _BitR, sps: dict, qp: int, refs: list, nra: int,
     return_motion: bool = False,
+    weights: dict | None = None,
 ):
     mbw, mbh = sps["mbw"], sps["mbh"]
     h, w = mbh * 16, mbw * 16
@@ -1568,7 +1695,8 @@ def _decode_p_frame(
 
     def decode_skip(mx, my):
         mv = mvs.skip_mv(mx, my)
-        py, pcb, pcr = _mc_mb(padded, mx, my, [(0, 0, 4, 4, mv, 0)])
+        py, pcb, pcr = _mc_mb(padded, mx, my, [(0, 0, 4, 4, mv, 0)],
+                              weights)
         ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
             py, 0, 255
         )
@@ -1661,7 +1789,7 @@ def _decode_p_frame(
                 mvs.fill(mx * 4 + ox4, my * 4 + oy4, w4, h4, mv,
                          prefs[pidx])
                 placed.append((ox4, oy4, w4, h4, mv, prefs[pidx]))
-        py, pcb, pcr = _mc_mb(padded, mx, my, placed)
+        py, pcb, pcr = _mc_mb(padded, mx, my, placed, weights)
         cbp, qpd, zl, cdcz, cacz = _read_residuals(
             r, mx, my, luma_nnz, cnnz
         )

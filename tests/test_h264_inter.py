@@ -478,3 +478,51 @@ def test_ipcm_inside_p_slices_is_lossless():
     # PCM macroblocks reproduce the TARGET exactly at any QP
     np.testing.assert_array_equal(fr[1][0][:16, :16], f1[0][:16, :16])
     np.testing.assert_array_equal(fr[1][1][:8, :8], f1[1][:8, :8])
+
+
+def test_weighted_p_slices():
+    """Explicit weighted prediction in P slices (weighted_pred_flag):
+    per-reference weight/offset pairs applied to every partition —
+    skip, 8x8 sub-partitions and multi-ref included — with the
+    8.4.2.3.2 uni formula pinned on constant planes."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    rng = np.random.default_rng(6)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, f1 = _rand_frames(260, 32, 48)
+    f2 = _rand_frames(261, 32, 48)[0]
+    w = {"luma_denom": 5, "chroma_denom": 3,
+         "refs": [{"wy": 40, "oy": -4, "wc": 10, "oc": 3},
+                  {"wy": 20, "oy": 6}]}
+    specs1 = [("16x16", [mv()]), ("skip",),
+              ("8x8", [("4x4", [mv()] * 4), ("8x8", [mv()]),
+                       ("8x4", [mv(), mv()]), ("4x8", [mv(), mv()])]),
+              ("i16",), ("16x8", [mv(), mv()]), ("i4",)]
+    specs2 = [("16x16", [(mv(), 1)]), ("16x16", [(mv(), 0)]),
+              ("skip",),
+              ("8x8", [("8x8", [mv()], 1), ("8x8", [mv()], 0),
+                       ("4x4", [mv()] * 4, 1),
+                       ("8x4", [mv(), mv()], 0)]),
+              ("ipcm",), ("8x16", [(mv(), 0), (mv(), 1)])]
+    st, recons = encode_h264_p_gop(
+        [f0, f1, f2], [specs1, specs2], qp=21, num_refs=2, weights=w
+    )
+    fr = decode_h264_sequence(st)
+    for fi in range(3):
+        for a, b in zip(fr[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+    # formula pin
+    c = np.full((8, 8), 128, np.uint8)
+    f0c = (np.full((16, 16), 100, np.uint8), c, c.copy())
+    ld, wy, oy = 5, 40, -4
+    want = int(np.clip(((100 * wy + (1 << (ld - 1))) >> ld) + oy, 0, 255))
+    f1c = (np.full((16, 16), want, np.uint8), c.copy(), c.copy())
+    w2 = {"luma_denom": ld, "chroma_denom": 0,
+          "refs": [{"wy": wy, "oy": oy}]}
+    st2, _ = encode_h264_p_gop(
+        [f0c, f1c], [[("16x16", [(0, 0)])]], qp=0, weights=w2
+    )
+    fr2 = decode_h264_sequence(st2)
+    assert fr2[1][0].min() == fr2[1][0].max() == want
