@@ -291,7 +291,8 @@ def _pps_rbsp_deblock_wp(idc: int = 1) -> bytes:
     return pps.bytes_()
 
 
-_DEFAULT_W = {"wy": None, "oy": 0, "wc": None, "oc": 0}
+_DEFAULT_W = {"wy": None, "oy": 0, "wc": None, "oc": 0,
+              "wcr": None, "ocr": None}
 
 
 def _norm_weights(weights):
@@ -321,11 +322,14 @@ def _write_pred_weight_table(sl: _BitW, w) -> None:
             sl.se(e["oy"])
         else:
             sl.u(0, 1)
-        if e["wc"] is not None:
+        if e["wc"] is not None or e.get("wcr") is not None:
             sl.u(1, 1)
-            for _ in range(2):  # Cb then Cr, same pair here
-                sl.se(e["wc"])
-                sl.se(e["oc"])
+            wcb = e["wc"] if e["wc"] is not None else e["wcr"]
+            wcr = e.get("wcr") if e.get("wcr") is not None else wcb
+            sl.se(wcb)
+            sl.se(e["oc"])
+            sl.se(wcr)
+            sl.se(e.get("ocr") if e.get("ocr") is not None else e["oc"])
         else:
             sl.u(0, 1)
 
@@ -339,9 +343,15 @@ def _resolve_weights(w):
         if e["wy"] is None:
             e["wy"] = 1 << w["luma_denom"]
             e["oy"] = 0
-        if e["wc"] is None:
+        if e["wc"] is None and e.get("wcr") is None:
             e["wc"] = 1 << w["chroma_denom"]
             e["oc"] = 0
+        elif e["wc"] is None:
+            e["wc"] = 1 << w["chroma_denom"]
+        if e.get("wcr") is None:
+            e["wcr"] = e["wc"]
+        if e.get("ocr") is None:
+            e["ocr"] = e["oc"]
         out[li] = e
     return out
 
@@ -357,16 +367,13 @@ def _parse_pred_weight_table(r: _BitR):
             e["wy"] = 1 << w["luma_denom"]
             e["oy"] = 0
         if r.u(1):
-            pairs = [(r.se(), r.se()) for _ in range(2)]
-            if pairs[0] != pairs[1]:
-                raise NotImplementedError(
-                    "distinct Cb/Cr weights — one shared chroma pair "
-                    "is implemented"
-                )
-            e["wc"], e["oc"] = pairs[0]
+            e["wc"], e["oc"] = r.se(), r.se()
+            e["wcr"], e["ocr"] = r.se(), r.se()
         else:
             e["wc"] = 1 << w["chroma_denom"]
             e["oc"] = 0
+            e["wcr"] = e["wc"]
+            e["ocr"] = 0
         w[li] = e
     return w
 
@@ -402,8 +409,8 @@ def _wp_uni(planes, e, w):
     out = []
     for pi, p in enumerate(planes):
         ld = ldy if pi == 0 else ldc
-        ww = e["wy"] if pi == 0 else e["wc"]
-        oo = e["oy"] if pi == 0 else e["oc"]
+        ww = (e["wy"], e["wc"], e.get("wcr", e["wc"]))[pi]
+        oo = (e["oy"], e["oc"], e.get("ocr", e["oc"]))[pi]
         if ld >= 1:
             v = ((p * ww + (1 << (ld - 1))) >> ld) + oo
         else:
@@ -425,10 +432,11 @@ def _wp_bi(p0, p1, w):
     out = []
     for pi, (a, b) in enumerate(zip(p0, p1)):
         ld = ldy if pi == 0 else ldc
-        w0 = w["l0"]["wy"] if pi == 0 else w["l0"]["wc"]
-        w1 = w["l1"]["wy"] if pi == 0 else w["l1"]["wc"]
-        o0 = w["l0"]["oy"] if pi == 0 else w["l0"]["oc"]
-        o1 = w["l1"]["oy"] if pi == 0 else w["l1"]["oc"]
+        e0, e1 = w["l0"], w["l1"]
+        w0 = (e0["wy"], e0["wc"], e0.get("wcr", e0["wc"]))[pi]
+        w1 = (e1["wy"], e1["wc"], e1.get("wcr", e1["wc"]))[pi]
+        o0 = (e0["oy"], e0["oc"], e0.get("ocr", e0["oc"]))[pi]
+        o1 = (e1["oy"], e1["oc"], e1.get("ocr", e1["oc"]))[pi]
         v = ((a * w0 + b * w1 + (1 << ld)) >> (ld + 1)) + (
             (o0 + o1 + 1) >> 1
         )

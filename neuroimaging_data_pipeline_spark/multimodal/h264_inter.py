@@ -547,7 +547,8 @@ def _norm_p_weights(weights: dict, num_refs: int) -> dict:
     }
     user = weights.get("refs", [])
     for ri in range(num_refs):
-        e = {"wy": None, "oy": 0, "wc": None, "oc": 0}
+        e = {"wy": None, "oy": 0, "wc": None, "oc": 0,
+             "wcr": None, "ocr": None}
         if ri < len(user):
             e.update(user[ri])
         out["refs"].append(e)
@@ -562,9 +563,15 @@ def _resolve_p_weights(w: dict) -> dict:
         if e["wy"] is None:
             e["wy"] = 1 << w["luma_denom"]
             e["oy"] = 0
-        if e["wc"] is None:
+        if e["wc"] is None and e.get("wcr") is None:
             e["wc"] = 1 << w["chroma_denom"]
             e["oc"] = 0
+        elif e["wc"] is None:
+            e["wc"] = 1 << w["chroma_denom"]
+        if e.get("wcr") is None:
+            e["wcr"] = e["wc"]
+        if e.get("ocr") is None:
+            e["ocr"] = e["oc"]
         out["refs"].append(e)
     return out
 
@@ -581,11 +588,15 @@ def _write_pwt_p(sl: _BitW, w: dict, nra: int) -> None:
             sl.se(e["oy"])
         else:
             sl.u(0, 1)
-        if e["wc"] is not None:
+        if e["wc"] is not None or e.get("wcr") is not None:
             sl.u(1, 1)
-            for _ in range(2):  # Cb then Cr, one shared pair
-                sl.se(e["wc"])
-                sl.se(e["oc"])
+            wcb = e["wc"] if e["wc"] is not None else e["wcr"]
+            wcr = e.get("wcr") if e.get("wcr") is not None else wcb
+            ocr = e.get("ocr") if e.get("ocr") is not None else e["oc"]
+            sl.se(wcb)
+            sl.se(e["oc"])
+            sl.se(wcr)
+            sl.se(ocr)
         else:
             sl.u(0, 1)
 
@@ -601,16 +612,13 @@ def _parse_pwt_p(r: _BitR, nra: int) -> dict:
             e["wy"] = 1 << w["luma_denom"]
             e["oy"] = 0
         if r.u(1):
-            pairs = [(r.se(), r.se()) for _ in range(2)]
-            if pairs[0] != pairs[1]:
-                raise NotImplementedError(
-                    "distinct Cb/Cr weights — one shared chroma pair "
-                    "is implemented"
-                )
-            e["wc"], e["oc"] = pairs[0]
+            e["wc"], e["oc"] = r.se(), r.se()
+            e["wcr"], e["ocr"] = r.se(), r.se()
         else:
             e["wc"] = 1 << w["chroma_denom"]
             e["oc"] = 0
+            e["wcr"] = e["wc"]
+            e["ocr"] = 0
         w["refs"].append(e)
     return w
 
@@ -735,12 +743,14 @@ def _mc_mb(padded: list, mx: int, my: int, placed: list,
                 lb = ((lb * e["wy"] + (1 << (ldy - 1))) >> ldy) + e["oy"]
             else:
                 lb = lb * e["wy"] + e["oy"]
+            wcr = e.get("wcr", e["wc"])
+            ocr = e.get("ocr", e["oc"])
             if ldc >= 1:
                 cb_b = ((cb_b * e["wc"] + (1 << (ldc - 1))) >> ldc) + e["oc"]
-                cr_b = ((cr_b * e["wc"] + (1 << (ldc - 1))) >> ldc) + e["oc"]
+                cr_b = ((cr_b * wcr + (1 << (ldc - 1))) >> ldc) + ocr
             else:
                 cb_b = cb_b * e["wc"] + e["oc"]
-                cr_b = cr_b * e["wc"] + e["oc"]
+                cr_b = cr_b * wcr + ocr
             lb = np.clip(lb, 0, 255)
             cb_b = np.clip(cb_b, 0, 255)
             cr_b = np.clip(cr_b, 0, 255)

@@ -191,9 +191,17 @@ def _dequant_dc4(zd: np.ndarray, qp: int) -> np.ndarray:
 
 
 def _dequant_dc2(zd: np.ndarray, qp: int) -> np.ndarray:
-    """Inverse-Hadamard + scale of the 2x2 chroma DC block (8.5.11)."""
+    """Inverse-Hadamard + scale of the 2x2 chroma DC block (8.5.11).
+
+    The spec's ``>> 5`` assumes LevelScale carries its x16 factor;
+    this codebase's _V holds the PLAIN normAdjust (the same -4 shift
+    convention _dequant_dc4 encodes as ``qp//6 - 2`` / ``2 - qp//6``),
+    so the net shift here is ``>> 1``. The old ``>> 5`` silently
+    shrank every nonzero chroma DC residual by 16x — latent for
+    eight rounds because all oracle fixtures keep chroma residuals
+    at zero and the encoder recon mirrors the decoder bit-for-bit."""
     f = _H2 @ zd.astype(np.int64) @ _H2
-    return ((f * _V[qp % 6][0]) << (qp // 6)) >> 5
+    return ((f * _V[qp % 6][0]) << (qp // 6)) >> 1
 
 
 # --- CAVLC tables (clause 9.2, transcribed from Tables 9-5..9-10) ------------

@@ -279,3 +279,34 @@ def test_ffmpeg_decodes_i4x4_bitstream_identically():
     ).stdout
     n = 32 * 32
     assert (np.frombuffer(out[:n], np.uint8).reshape(32, 32) == ry).all()
+
+
+def test_chroma_dc_dequant_magnitude():
+    """Regression pin for the chroma DC x16 dequant bug: a constant
+    nonzero chroma residual must survive the DC-Hadamard quant round
+    trip at QP 0 (the old >>5 shrank every chroma DC by 16x; all
+    fixtures carried zero chroma residual so only lossy error bounds
+    could have seen it)."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+        decode_h264_frame, encode_h264_i16x16,
+    )
+
+    for cval in (100, 37, 201):
+        c = np.full((8, 8), cval, np.uint8)
+        st, _, rcb, _ = encode_h264_i16x16(
+            np.full((16, 16), 128, np.uint8), c, c.copy(), qp=0
+        )
+        dec = decode_h264_frame(st)
+        assert int(dec[1][0, 0]) == cval  # DC-only residual, exact
+        assert int(rcb[0, 0]) == cval
+    # random planes: QP0 chroma error bounded by quant rounding, not 16x
+    rng = np.random.default_rng(3)
+    cb = rng.integers(0, 256, (16, 16), np.uint8)
+    cr = rng.integers(0, 256, (16, 16), np.uint8)
+    y = rng.integers(0, 256, (32, 32), np.uint8)
+    st, _, _, _ = encode_h264_i16x16(y, cb, cr, qp=0)
+    d = decode_h264_frame(st)
+    assert np.abs(d[1].astype(int) - cb.astype(int)).max() <= 2
+    assert np.abs(d[2].astype(int) - cr.astype(int)).max() <= 2
