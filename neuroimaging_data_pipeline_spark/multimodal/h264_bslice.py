@@ -63,10 +63,13 @@ w0 = 64 - w1, 32/32 fallbacks), leaving uni partitions unweighted.
 I_4x4 macroblocks inside B slices (mb_type 23) share the P
 module's helpers.
 
+Distinct Cb/Cr explicit weights (wcr/ocr per list) are supported,
+including wcr-only entries (writer and resolver both fall back
+Cb = wcr per chroma_weight_flag semantics).
+
 Declared gates (raise, never silent): more than one active
-reference per list, distinct Cb/Cr explicit weights. (Weighted P
-slices live in h264_inter.py; the P frames of a B GOP keep
-weighted_pred_flag 0.)
+reference per list. (Weighted P slices live in h264_inter.py; the
+P frames of a B GOP keep weighted_pred_flag 0.)
 
 The encoder<->decoder round trip is bit-exact by construction
 (pinned across QPs, every mb_type 1..21, sub-pel fractions and
@@ -347,7 +350,10 @@ def _resolve_weights(w):
             e["wc"] = 1 << w["chroma_denom"]
             e["oc"] = 0
         elif e["wc"] is None:
-            e["wc"] = 1 << w["chroma_denom"]
+            # wcr-only entry: the writer emits wcb = wcr into the
+            # bitstream (chroma_weight_flag covers both planes), so the
+            # encoder-side resolver must predict Cb with wcr too.
+            e["wc"] = e["wcr"]
         if e.get("wcr") is None:
             e["wcr"] = e["wc"]
         if e.get("ocr") is None:
@@ -1429,6 +1435,15 @@ def decode_h264_b_stream(payload: bytes):
                     )
                 l0e = max(past, key=lambda e: e[0])
                 l1e = min(future, key=lambda e: e[0])
+                if l1e[2] is None:
+                    # A reference B picture carries no exported motion
+                    # field; silently treating it as all-intra would
+                    # corrupt temporal/spatial direct derivation.
+                    raise ValueError(
+                        "colocated picture (poc %d) is a reference B "
+                        "frame without an exported motion field; "
+                        "reference-B colocation is a declared gate"
+                        % l1e[0])
                 frame = _decode_b_frame(
                     r, sps, qp, l0e[1], l1e[1], wts,
                     col=l1e[2], spatial=spatial,

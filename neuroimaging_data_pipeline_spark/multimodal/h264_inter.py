@@ -49,9 +49,12 @@ weight/offset pairs applied to every partition through the shared
 motion-compensation helper — skip, sub-partitions and multi-ref
 included.
 
+Distinct Cb/Cr explicit weights (wcr/ocr per reference) are
+supported end-to-end, including wcr-only entries (writer and
+resolver both fall back Cb = wcr per chroma_weight_flag semantics).
+
 Declared gates (raise, never silent): >2 reference frames, CABAC
-inter, distinct Cb/Cr explicit weights. B slices live in
-h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
+inter. B slices live in h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
 construction (pinned across QPs, partition shapes, sub-partition
 splits, intra-in-P placements, ref_idx patterns and quarter-pel
 fractions in tests/test_h264_inter.py); a capability-gated ffmpeg
@@ -135,6 +138,14 @@ def interp_luma(
     edge-padded by _PAD; coordinates are into the padded plane."""
     fy, fx = mvy & 3, mvx & 3
     iy, ix = y0 + (mvy >> 2), x0 + (mvx >> 2)
+    # Bounds check: a corrupt/hostile stream can carry an MV that
+    # escapes the _PAD apron; a negative slice index would silently
+    # wrap and a short window would mis-broadcast. Fail loudly.
+    if (iy - 2 < 0 or ix - 2 < 0
+            or iy + h + 3 > ref.shape[0] or ix + w + 3 > ref.shape[1]):
+        raise ValueError(
+            f"motion vector ({mvx},{mvy}) at ({y0},{x0}) escapes the "
+            f"padded reference plane {ref.shape}")
     # working window with the filter apron
     win = ref[iy - 2 : iy + h + 3, ix - 2 : ix + w + 3].astype(np.int64)
     G = win[2 : 2 + h, 2 : 2 + w]
@@ -237,6 +248,11 @@ def interp_chroma(
     edge-padded by _PAD//2."""
     fy, fx = mvy & 7, mvx & 7
     iy, ix = y0 + (mvy >> 3), x0 + (mvx >> 3)
+    if (iy < 0 or ix < 0
+            or iy + h + 1 > ref.shape[0] or ix + w + 1 > ref.shape[1]):
+        raise ValueError(
+            f"chroma motion vector ({mvx},{mvy}) at ({y0},{x0}) escapes "
+            f"the padded reference plane {ref.shape}")
     A = ref[iy : iy + h, ix : ix + w].astype(np.int64)
     B = ref[iy : iy + h, ix + 1 : ix + 1 + w].astype(np.int64)
     C = ref[iy + 1 : iy + 1 + h, ix : ix + w].astype(np.int64)
@@ -567,7 +583,10 @@ def _resolve_p_weights(w: dict) -> dict:
             e["wc"] = 1 << w["chroma_denom"]
             e["oc"] = 0
         elif e["wc"] is None:
-            e["wc"] = 1 << w["chroma_denom"]
+            # wcr-only entry: the writer emits wcb = wcr into the
+            # bitstream (chroma_weight_flag covers both planes), so the
+            # encoder-side resolver must predict Cb with wcr too.
+            e["wc"] = e["wcr"]
         if e.get("wcr") is None:
             e["wcr"] = e["wc"]
         if e.get("ocr") is None:

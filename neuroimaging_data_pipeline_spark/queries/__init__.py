@@ -82,19 +82,16 @@ from neuroimaging_data_pipeline_spark.queries import (
 # the driver checks the first 50 registered). Ordering is COMPUTED,
 # not hand-sorted (rotation policy since r6 / VERDICT r5 #2): every
 # query is ranked by the last round a driver CORRECTNESS artifact
-# checked it (frozen below from CORRECTNESS_r01–r06), never-checked
-# first. Entering r7: rank 0 = the 19 queries added after the r6
-# window was sized (m24–m28, s18–s24, t_encoding_repair,
-# t_epoch_shuffle, t_idn_hosts, t_gopher_repetition, t_robots_filter,
-# j13_cidr_join, e10_release_pipeline — all replica-green at sf0.01
-# and sf0.1 in r6, VERDICT r6 #1 asks r7 to give them driver rows);
-# rank 1 = _ADDED_R7 newcomers; rank 2 = _RECHECK_R7; remaining
-# window slots fall to the queries with the OLDEST driver rows
-# (r1/r3 first), so coverage keeps rotating.
+# checked it (frozen below from CORRECTNESS_r01–r09), never-checked
+# first. Entering r10: rank 0 = _ADDED_R10 newcomers (never
+# driver-checked); rank 1 = any other never-checked query; rank 2 =
+# _RECHECK_R10 (operators whose implementation changed this round);
+# remaining window slots fall to the queries with the OLDEST driver
+# rows (r1/r3 first), so coverage keeps rotating.
 _MODULES = [media, eventsops, sqlsurface, retrieval, textops, simsearch, ingest, neuro, spatial, relational, misc]
 
 # name -> last driver round with a CORRECTNESS row (union of
-# CORRECTNESS_r01..r07; absent = never driver-checked).
+# CORRECTNESS_r01..r09; absent = never driver-checked).
 _LAST_DRIVER_ROUND = {}
 for _r, _names in {
     1: ["w8b_gaussian_smooth_sep"],
@@ -213,13 +210,37 @@ for _r, _names in {
         "w1_zscore", "w2_lag_diff", "w4_fir_convolve", "w5_dct_basis",
         "w6_poly_trend", "w8_gaussian_smooth", "w8b_gaussian_smooth_cube",
     ],
+    9: [
+        "a10_vif", "a9_mass_ols", "a_approx_sketches", "c_contrast_estimate",
+        "e12_mixed_corpus_pipeline", "e13_video_shard_pipeline",
+        "e4_multimodal_pipeline", "ev_funnel", "f1_math", "f2_string_funcs",
+        "f3_date_trunc", "f4_conditional", "f6_array_ops", "g_group_ttest",
+        "g_triangles_cap", "j12_salted_join", "m10_audio_frames",
+        "m11_jpeg_progressive", "m12_png_interlaced", "m13_tar_samples",
+        "m14_jsonl_shards", "m15_bmp_stats", "m16_mjpeg_frames",
+        "m17_gif_frames", "m18_jpeg12_stats", "m1_binary_digest",
+        "m2_wav_rms", "m33_h264_cabac", "m34_mp3_samples", "m35_h264_inter",
+        "m36_h264_gop", "m37_h264_bslice", "m38_jpeg_hierarchical",
+        "m39_mp3_subband", "m3_ppm_stats", "m4_png_stats", "m5_jpeg_stats",
+        "m8_mp4_meta", "m8b_mp4_frames", "m9_jpeg_420", "s10_json_update",
+        "s25b_zstd_decode", "s26_lz4_shards", "s3_catalog_entities",
+        "sv_incremental_agg", "u1_union", "u2_intersect",
+        "w3_motion_expansion", "w7_spike_regressors", "w7b_find_spikes",
+    ],
 }.items():
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _r
 
-# r9-modified operators + standing perf-watch queries: re-check right
+# r10-modified operators + standing perf-watch queries: re-check right
 # after the never-checked blocks.
-_RECHECK_R9 = [
+_RECHECK_R10 = [
+    # ADVICE r9 fix: wcr-only weighted-prediction resolver asymmetry
+    # in h264_inter/h264_bslice (affects m36/m37 stream families).
+    "m36_h264_gop",
+    "m37_h264_bslice",
+]
+
+_RECHECK_R9_FOLDED = [
     # reshaped to the hash-matchable exact-value + epsilon-boolean
     # form (VERDICT r8 #2) — needs its first-ever full green driver
     # row in CORRECTNESS_r09.
@@ -235,30 +256,19 @@ _RECHECK_R9 = [
     "m18_jpeg12_stats",
 ]
 
-# Queries added in round 9, AFTER CORRECTNESS_r08 froze the backlog.
-# Never-driver-checked, so they lead the window (rank 0) — the r1–r8
-# union already covers every pre-r9 query. VERDICT r7 #3 lesson: list
+# Queries added in round 10, AFTER CORRECTNESS_r09 froze the backlog.
+# Never-driver-checked, so they lead the window (rank 0) — the r1–r9
+# union already covers every pre-r10 query. VERDICT r7 #3 lesson: list
 # EVERY newcomer here, not a subset, so the ordering invariant holds
 # if the window ever overflows.
-_ADDED_R9 = [
-    "g_triangles_cap",
-    "m33_h264_cabac",
-    "m34_mp3_samples",
-    "e12_mixed_corpus_pipeline",
-    "m35_h264_inter",
-    "m36_h264_gop",
-    "m37_h264_bslice",
-    "m38_jpeg_hierarchical",
-    "m39_mp3_subband",
-    "e13_video_shard_pipeline",
-]
+_ADDED_R10 = []
 
 
 def _window_rank(name: str) -> int:
     if name not in _LAST_DRIVER_ROUND:
-        # never driver-checked: r9 additions lead the window.
-        return 0 if name in _ADDED_R9 else 1
-    if name in _RECHECK_R9:
+        # never driver-checked: r10 additions lead the window.
+        return 0 if name in _ADDED_R10 else 1
+    if name in _RECHECK_R10:
         return 2
     return 2 + _LAST_DRIVER_ROUND[name]
 

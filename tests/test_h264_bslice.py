@@ -568,3 +568,60 @@ def test_ipcm_inside_b_slices_is_lossless():
         for a, b in zip(fr[fi], recons[fi]):
             np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(fr[2][0][:16, :16], fb[0][:16, :16])
+
+
+def test_b_wcr_only_and_distinct_chroma_weights():
+    """ADVICE r9: wcr-only B weights round-trip (writer falls back
+    wcb = wcr; the resolver must mirror it), and distinct Cb/Cr
+    weights hit the per-plane bi formula exactly."""
+    rng = np.random.default_rng(91)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, fp, fb = (_planes(32, 48, 71), _planes(32, 48, 72),
+                  _planes(32, 48, 73))
+    weights = {
+        "luma_denom": 4, "chroma_denom": 3,
+        "l0": {"wy": 20, "oy": 1, "wcr": 11, "ocr": -2},  # wcr only
+        "l1": {"wy": 14, "oy": -1, "wc": 6, "oc": 0, "wcr": 9,
+               "ocr": 2},  # distinct Cb/Cr
+    }
+    specs_b = [
+        ("16x16", [("l0", mv())]),
+        ("16x16", [("l1", mv())]),
+        ("16x16", [("bi", mv(), mv())]),
+        ("16x8", [("bi", mv(), mv()), ("l0", mv())]),
+        ("8x8", [("bi", "8x8", [(mv(), mv())]),
+                 ("l0", "8x4", [mv(), mv()]),
+                 ("l1", "4x8", [mv(), mv()]),
+                 ("bi", "4x4", [(mv(), mv()) for _ in range(4)])]),
+        ("i16",),
+    ]
+    stream, recons, _ = encode_h264_b_sequence(
+        [("idr", f0), ("p", fp, [("16x16", [(1, -1)])] * 6, 4),
+         ("b", fb, specs_b, 2)], qp=22, weights=weights,
+    )
+    frames, _ = decode_h264_b_stream(stream)
+    for fi in range(3):
+        for a, b in zip(frames[fi], recons[fi]):
+            np.testing.assert_array_equal(a, b)
+    # formula pin: uni-l0 Cb uses wcr (the emitted wcb), Cr uses wcr
+    cd, wcr, ocr = 3, 11, -2
+    c0 = np.full((8, 8), 192, np.uint8)
+    f0c = (np.full((16, 16), 100, np.uint8), c0, c0.copy())
+    fpc = (np.full((16, 16), 100, np.uint8), c0.copy(), c0.copy())
+    want_c = int(np.clip(((192 * wcr + (1 << (cd - 1))) >> cd) + ocr,
+                         0, 255))
+    fbc = (np.full((16, 16), 100, np.uint8),
+           np.full((8, 8), want_c, np.uint8),
+           np.full((8, 8), want_c, np.uint8))
+    w2 = {"luma_denom": 0, "chroma_denom": cd,
+          "l0": {"wcr": wcr, "ocr": ocr}, "l1": {}}
+    st2, rec2, _ = encode_h264_b_sequence(
+        [("idr", f0c), ("p", fpc, [("16x16", [(0, 0)])], 4),
+         ("b", fbc, [("16x16", [("l0", (0, 0))])], 2)],
+        qp=0, weights=w2,
+    )
+    fr2, _ = decode_h264_b_stream(st2)
+    for a, b in zip(fr2[2], rec2[2]):
+        np.testing.assert_array_equal(a, b)
+    assert fr2[2][1].min() == fr2[2][1].max() == want_c
+    assert fr2[2][2].min() == fr2[2][2].max() == want_c

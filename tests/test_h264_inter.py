@@ -526,3 +526,103 @@ def test_weighted_p_slices():
     )
     fr2 = decode_h264_sequence(st2)
     assert fr2[1][0].min() == fr2[1][0].max() == want
+
+
+def test_weighted_p_wcr_only_roundtrip():
+    """ADVICE r9: a weights entry giving wcr but no wc must decode to
+    the encoder recon — the writer emits Cb weight = wcr into the
+    bitstream (one chroma_weight_flag covers both planes), so the
+    resolver must predict Cb with wcr too."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    rng = np.random.default_rng(77)
+    mv = lambda: tuple(int(v) for v in rng.integers(-9, 10, 2))
+    f0, f1 = _rand_frames(301, 32, 48)
+    w = {"luma_denom": 4, "chroma_denom": 3,
+         "refs": [{"wy": 20, "oy": 2, "wcr": 12, "ocr": -2}]}
+    specs = [("16x16", [mv()]), ("skip",), ("16x8", [mv(), mv()]),
+             ("8x8", [("8x8", [mv()]), ("4x4", [mv()] * 4),
+                      ("8x4", [mv(), mv()]), ("4x8", [mv(), mv()])]),
+             ("i16",), ("16x16", [mv()])]
+    st, recons = encode_h264_p_gop([f0, f1], [specs], qp=24, weights=w)
+    fr = decode_h264_sequence(st)
+    for a, b in zip(fr[1], recons[1]):
+        np.testing.assert_array_equal(a, b)
+    # formula pin: Cb is weighted with wcr (= the emitted wcb), not
+    # the default 1 << chroma_denom
+    cd, wcr, ocr = 3, 12, -2
+    cb0 = np.full((8, 8), 200, np.uint8)
+    f0c = (np.full((16, 16), 100, np.uint8), cb0, cb0.copy())
+    want_c = int(np.clip(((200 * wcr + (1 << (cd - 1))) >> cd) + ocr,
+                         0, 255))
+    f1c = (np.full((16, 16), 100, np.uint8),
+           np.full((8, 8), want_c, np.uint8),
+           np.full((8, 8), want_c, np.uint8))
+    w2 = {"luma_denom": 0, "chroma_denom": cd,
+          "refs": [{"wcr": wcr, "ocr": ocr}]}
+    st2, rec2 = encode_h264_p_gop(
+        [f0c, f1c], [[("16x16", [(0, 0)])]], qp=0, weights=w2
+    )
+    fr2 = decode_h264_sequence(st2)
+    for a, b in zip(fr2[1], rec2[1]):
+        np.testing.assert_array_equal(a, b)
+    assert fr2[1][1].min() == fr2[1][1].max() == want_c
+    assert fr2[1][2].min() == fr2[1][2].max() == want_c
+
+
+def test_weighted_p_distinct_cb_cr():
+    """Distinct Cb/Cr explicit weights survive the round trip and hit
+    the 8.4.2.3.2 per-plane formulas."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+
+    cd = 2
+    wc, oc, wcr, ocr = 6, 1, 10, -3
+    cbv, crv = 120, 80
+    f0 = (np.full((16, 16), 90, np.uint8),
+          np.full((8, 8), cbv, np.uint8),
+          np.full((8, 8), crv, np.uint8))
+    want_cb = int(np.clip(((cbv * wc + (1 << (cd - 1))) >> cd) + oc,
+                          0, 255))
+    want_cr = int(np.clip(((crv * wcr + (1 << (cd - 1))) >> cd) + ocr,
+                          0, 255))
+    f1 = (np.full((16, 16), 90, np.uint8),
+          np.full((8, 8), want_cb, np.uint8),
+          np.full((8, 8), want_cr, np.uint8))
+    w = {"luma_denom": 0, "chroma_denom": cd,
+         "refs": [{"wc": wc, "oc": oc, "wcr": wcr, "ocr": ocr}]}
+    st, rec = encode_h264_p_gop(
+        [f0, f1], [[("16x16", [(0, 0)])]], qp=0, weights=w
+    )
+    fr = decode_h264_sequence(st)
+    for a, b in zip(fr[1], rec[1]):
+        np.testing.assert_array_equal(a, b)
+    assert fr[1][1].min() == fr[1][1].max() == want_cb
+    assert fr[1][2].min() == fr[1][2].max() == want_cr
+
+
+def test_interp_mv_bounds_check():
+    """Corrupt/hostile MVs that escape the _PAD apron raise ValueError
+    instead of silently wrapping with negative slice indices."""
+    import pytest
+
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        _PAD, interp_chroma, interp_luma,
+    )
+
+    plane = np.pad(np.zeros((32, 32), np.int64), _PAD, mode="edge")
+    # in-bounds works
+    interp_luma(plane, _PAD, _PAD, 16, 16, 0, 0)
+    with pytest.raises(ValueError):
+        interp_luma(plane, _PAD, _PAD, 16, 16, -4 * (_PAD + 1), 0)
+    with pytest.raises(ValueError):
+        interp_luma(plane, _PAD, _PAD, 16, 16, 0, 4 * (_PAD + 20))
+    cplane = np.pad(np.zeros((16, 16), np.int64), _PAD // 2,
+                    mode="edge")
+    interp_chroma(cplane, _PAD // 2, _PAD // 2, 8, 8, 0, 0)
+    with pytest.raises(ValueError):
+        interp_chroma(cplane, _PAD // 2, _PAD // 2, 8, 8,
+                      -8 * (_PAD // 2 + 1), 0)
