@@ -88,6 +88,7 @@ def encode_mp4(
     height: int = 48,
     payloads: list[bytes] | None = None,
     codec: bytes = b"mp4v",
+    config: bytes = b"",
 ) -> bytes:
     """Build a genuine minimal MP4: one video track whose sample
     tables come from ``_sample_plan(doc_id)``, sample payloads in
@@ -97,7 +98,12 @@ def encode_mp4(
     ``payloads`` overrides the synthetic sample bytes (sizes are
     derived from them; durations keep the plan formula) — the MJPEG
     profile passes real JPEG frames here with ``codec=b'jpeg'``, the
-    QuickTime/ISO motion-JPEG VisualSampleEntry fourcc."""
+    QuickTime/ISO motion-JPEG VisualSampleEntry fourcc.
+
+    ``config`` is an already-boxed codec configuration record
+    appended inside the VisualSampleEntry — the AVC profile passes
+    the ``avcC`` box (ISO 14496-15 §5.4.2.1.2) here with
+    ``codec=b'avc1'``."""
     if payloads is None:
         durs, sizes = _sample_plan(doc_id)
         n = len(durs)
@@ -179,7 +185,8 @@ def encode_mp4(
         + struct.pack(">I", 0)
         + struct.pack(">H", 1)  # frame_count
         + b"\x00" * 32  # compressorname
-        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+        + config,
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
     runs = _stts_runs(durs)

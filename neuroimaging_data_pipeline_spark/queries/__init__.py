@@ -261,7 +261,9 @@ _RECHECK_R9_FOLDED = [
 # union already covers every pre-r10 query. VERDICT r7 #3 lesson: list
 # EVERY newcomer here, not a subset, so the ordering invariant holds
 # if the window ever overflows.
-_ADDED_R10 = []
+_ADDED_R10 = [
+    "m40_h264_mp4",
+]
 
 
 def _window_rank(name: str) -> int:

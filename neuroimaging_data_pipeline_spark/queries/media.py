@@ -1706,6 +1706,48 @@ FROM d GROUP BY doc_id
 
 
 
+def m40_h264_mp4(spark, sf_dir):
+    """M40: H.264-INSIDE-MP4 end-to-end (multimodal/h264_mp4.py) —
+    the shape real video corpora actually arrive in: an ``avc1``
+    track whose SPS/PPS travel OUT-OF-BAND in the avcC box
+    (AVCDecoderConfigurationRecord, ISO 14496-15 §5.3.3.1) and whose
+    access units are 4-byte LENGTH-PREFIXED NAL units resolved
+    through the stts/stsc/stsz/stco sample tables (samples split
+    across two chunks). Per document the m36 multi-reference GOP
+    (IDR -> P1 -> P2 with intra-in-P / ref_idx 1 / P_8x8 / zero-MV
+    regions) is muxed into MP4 and decoded back out container-first:
+    stsd walk -> avcC parse -> per-sample NAL re-framing -> the
+    from-scratch CAVLC inter decoder. At QP 0 the pixel chain is
+    exact, so the oracle recomputes every decoded pixel of all three
+    frames (the m36 formulas) in pure SQL, plus the container
+    constants the demux must produce (sample count, baseline
+    profile 66 / level 20 from the SPS bytes avcC copies, NAL length
+    size, stsd dimensions). Narrow scan -> mapInPandas, zero
+    shuffle; one task per video shard at 100 TB."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_mp4 import (
+        h264_mp4_frame_features,
+        synthesize_h264_mp4_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_mp4_clips(d, id_col="doc_id")
+    return h264_mp4_frame_features(media)
+
+
+# The pixel oracle IS the m36 formula family (the mux wraps the same
+# fixture); the container adds formula-constant columns.
+def _m40_sql() -> str:
+    return M36_SQL.replace(
+        """CAST(3 AS INT) AS n_frames,
+       CAST(32 AS INT) AS width,""",
+        """CAST(3 AS INT) AS n_samples,
+       CAST(66 AS INT) AS avc_profile,
+       CAST(20 AS INT) AS avc_level,
+       CAST(4 AS INT) AS nal_length_size,
+       CAST(32 AS INT) AS width,""",
+    )
+
+
 def m37_h264_bslice(spark, sf_dir):
     """M37: H.264 B-SLICE decode (multimodal/h264_bslice.py) — the
     bi-predictive frame family: POC-type-0 framing (decode order !=
@@ -2196,6 +2238,7 @@ QUERIES = {
     "m35_h264_inter": m35_h264_inter,
     "m36_h264_gop": m36_h264_gop,
     "m37_h264_bslice": m37_h264_bslice,
+    "m40_h264_mp4": m40_h264_mp4,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m39_mp3_subband": m39_mp3_subband,
     "e13_video_shard_pipeline": e13_video_shard_pipeline,
@@ -2234,6 +2277,7 @@ ORACLE = {
     "m35_h264_inter": M35_SQL,
     "m36_h264_gop": M36_SQL,
     "m37_h264_bslice": M37_SQL,
+    "m40_h264_mp4": _m40_sql(),
     "m38_jpeg_hierarchical": M38_SQL,
     "m39_mp3_subband": M39_SQL,
     "e13_video_shard_pipeline": E13_SQL,
