@@ -263,6 +263,7 @@ _RECHECK_R9_FOLDED = [
 # if the window ever overflows.
 _ADDED_R10 = [
     "m40_h264_mp4",
+    "m41_mp3_intensity",
 ]
 
 

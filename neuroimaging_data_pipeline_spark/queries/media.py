@@ -1748,6 +1748,111 @@ def _m40_sql() -> str:
     )
 
 
+def m41_mp3_intensity(spark, sf_dir):
+    """M41: MP3 mid-range Huffman tables + INTENSITY STEREO
+    (multimodal/mp3l3.py, r10) — per document a STEREO Layer III
+    stream (mode_extension intensity bit): frame 0 long-block
+    granules decode through the newly transcribed Annex B tables
+    7/10/12 (left, values to the table limits +-5/+-7) and 8/9
+    (right), frame 1 pure-short granules through 9/10 and 8. The
+    right channels zero out above line 36, so the long granules hit
+    the band-8 intensity bound and the short granules hit PER-WINDOW
+    bounds at band 3; right-channel scalefactors above the bound are
+    intensity positions, pan ratio tan(is_pos*pi/12). The oracle
+    recomputes the integer lines of all 8 granules exactly (sum_abs /
+    n_nonzero / order-weighted checksum — any Huffman mistranscription
+    desyncs these) and the intensity-panned xr channel sums via
+    POWER/TAN, both sides rounded to 3 decimals (the m39/w8 grouping
+    exception class). Every shipped table is pinned as a complete
+    prefix code in pytest; tables 11/13/15 and the ESC code tables
+    16/24 remain loud gates (the linbits mechanism itself is
+    implemented and pinned). Narrow scan -> mapInPandas, zero
+    shuffle; one task per audio shard at 100 TB."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        mp3_intensity_features,
+        synthesize_mp3_intensity_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_mp3_intensity_clips(d, id_col="doc_id")
+    return mp3_intensity_features(media)
+
+
+M41_SQL = """
+WITH pairs AS (
+  SELECT doc_id, p.p AS p FROM documents, UNNEST(range(0, 4)) AS p(p)
+), g AS (
+  SELECT doc_id, p,
+         CASE WHEN p < 2 THEN 50 + (doc_id + p) % 10
+              ELSE 40 + (doc_id + p) % 6 END AS bigl,
+         CASE WHEN p < 2 THEN 4 + (doc_id + p) % 4 ELSE 0 END AS c1,
+         POWER(2, (206 + doc_id % 8 - 210) / 4.0) AS ga,
+         POWER(2, (200 + doc_id % 8 - 210) / 4.0) AS gb
+  FROM pairs
+), v AS (
+  SELECT doc_id, p, i.i AS i, bigl, c1, ga, gb,
+         -- left-granule line value
+         CASE
+           WHEN p < 2 THEN CASE
+             WHEN i.i < 20 THEN (doc_id + p + i.i * 3) % 11 - 5
+             WHEN i.i < 62 THEN (doc_id * 3 + p + i.i * 5) % 15 - 7
+             WHEN i.i < 2 * bigl THEN
+               (doc_id + p * 5 + i.i * 7) % 15 - 7
+             WHEN i.i < 2 * bigl + 4 * c1 THEN
+               (doc_id + p + (i.i - 2 * bigl)) % 3 - 1
+             ELSE 0 END
+           ELSE CASE
+             WHEN i.i < 36 THEN (doc_id + p + i.i * 3) % 11 - 5
+             WHEN i.i < 2 * bigl THEN
+               (doc_id * 5 + p + i.i * 7) % 15 - 7
+             ELSE 0 END
+         END AS vl,
+         -- right-granule line value (zero above 36)
+         CASE WHEN i.i < 36 THEN (doc_id + p + i.i * 3) % 11 - 5
+              ELSE 0 END AS vr,
+         -- intensity position for line i (NULL below the bound)
+         CASE
+           WHEN i.i < 36 THEN NULL
+           WHEN p < 2 THEN (doc_id + CASE
+             WHEN i.i < 44 THEN 8 WHEN i.i < 52 THEN 9
+             WHEN i.i < 62 THEN 10 WHEN i.i < 74 THEN 11
+             WHEN i.i < 90 THEN 12 WHEN i.i < 110 THEN 13
+             WHEN i.i < 134 THEN 14 ELSE 15 END) % 3
+           ELSE (doc_id + CASE
+             WHEN i.i < 48 THEN 3 + (i.i - 36) // 4
+             WHEN i.i < 66 THEN 4 + (i.i - 48) // 6
+             ELSE 5 + (i.i - 66) // 8 END) % 3
+         END AS ipos
+  FROM g, UNNEST(range(0, 162)) AS i(i)
+), x AS (
+  SELECT doc_id, p, i, vl, vr,
+         SIGN(vl) * POWER(ABS(vl), 4.0 / 3.0) * ga AS xl,
+         SIGN(vr) * POWER(ABS(vr), 4.0 / 3.0) * gb AS xr,
+         CASE WHEN ipos IS NULL THEN NULL
+              ELSE TAN(ipos * PI() / 12) END AS ratio
+  FROM v
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS n_granules,
+       CAST(SUM(CASE WHEN vl <> 0 THEN ABS(vl) ELSE 0 END
+              + CASE WHEN vr <> 0 THEN ABS(vr) ELSE 0 END)
+            AS BIGINT) AS sum_abs,
+       CAST(SUM(CASE WHEN vl <> 0 THEN 1 ELSE 0 END
+              + CASE WHEN vr <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nonzero,
+       CAST(SUM(vl * (i + 1) * (2 * p + 1)
+              + vr * (i + 1) * (2 * p + 2)) AS BIGINT)
+         AS weighted_sum,
+       ROUND(SUM(CASE WHEN ratio IS NULL THEN xl
+                      ELSE xl * ratio / (1 + ratio) END), 3)
+         AS sum_xl,
+       ROUND(SUM(CASE WHEN ratio IS NULL THEN xr
+                      ELSE xl * 1 / (1 + ratio) END), 3)
+         AS sum_xr
+FROM x GROUP BY doc_id
+"""
+
+
 def m37_h264_bslice(spark, sf_dir):
     """M37: H.264 B-SLICE decode (multimodal/h264_bslice.py) — the
     bi-predictive frame family: POC-type-0 framing (decode order !=
@@ -2239,6 +2344,7 @@ QUERIES = {
     "m36_h264_gop": m36_h264_gop,
     "m37_h264_bslice": m37_h264_bslice,
     "m40_h264_mp4": m40_h264_mp4,
+    "m41_mp3_intensity": m41_mp3_intensity,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m39_mp3_subband": m39_mp3_subband,
     "e13_video_shard_pipeline": e13_video_shard_pipeline,
@@ -2278,6 +2384,7 @@ ORACLE = {
     "m36_h264_gop": M36_SQL,
     "m37_h264_bslice": M37_SQL,
     "m40_h264_mp4": _m40_sql(),
+    "m41_mp3_intensity": M41_SQL,
     "m38_jpeg_hierarchical": M38_SQL,
     "m39_mp3_subband": M39_SQL,
     "e13_video_shard_pipeline": E13_SQL,

@@ -395,3 +395,149 @@ def test_intensity_stereo_long_blocks():
         g.scalefac_compress = 13
     d7 = decode_mp3_l3(encode_mp3_l3(gs7, nch=2, intensity=True))
     np.testing.assert_allclose(d7["granules"][0]["xr"], xl)
+
+
+def test_midrange_tables_roundtrip():
+    """r10: tables 7,8,9 (6x6) and 10,12 (8x8) — values up to 5 / 7
+    survive the encode/decode round trip through every region."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        GranuleSpec, decode_mp3_l3, encode_mp3_l3,
+    )
+
+    for tabs, vmax in (((7, 8, 9), 5), ((10, 12, 10), 7)):
+        for d in (0, 3, 11):
+            big = 60
+            lines = [0] * 576
+            for i in range(2 * big):
+                lines[i] = ((d + i) % (2 * vmax + 1)) - vmax
+            gs = []
+            for k in range(2):
+                gs.append(GranuleSpec(
+                    lines=lines, big_values=big, table_sel=tabs,
+                    count1=0, count1_table_b=False,
+                    global_gain=140 + d, scalefac_compress=0,
+                    scalefacs=[0] * 21, region0_count=4,
+                    region1_count=3,
+                ))
+            out = decode_mp3_l3(encode_mp3_l3(gs))
+            for g in out["granules"]:
+                assert g["lines"] == lines, (tabs, d)
+
+
+def test_esc_linbits_mechanism():
+    """The ESC/linbits mechanism (2.4.2.7 syntax order: hcod,
+    linbits_x, sign_x, linbits_y, sign_y) round-trips values >= 15
+    through an EXPLICIT synthetic 16x16 table. The table is NOT a
+    spec table (16/24 remain transcription gates) — this pins the
+    mechanism so landing the table data is pure data entry."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        _BR, _BW, _esc_dec_pair, _esc_enc_pair, _invert_table,
+    )
+
+    # synthetic complete 16x16 prefix code: canonical code over
+    # lengths 7 (16 symbols) + 8 (208) + 9 (32)
+    lens = [7] * 16 + [8] * 208 + [9] * 32
+    cods, code = [], 0
+    prev = lens[0]
+    for ln in lens:
+        code <<= ln - prev
+        cods.append(code)
+        code += 1
+        prev = ln
+    assert sum(2.0 ** -l for l in lens) == 1.0
+    dmap = _invert_table(lens, cods)
+    for linbits in (1, 4, 13):
+        vals = [(0, 0), (15, -15), (14 + (1 << linbits), -3),
+                (-(15 + (1 << linbits) - 1), 15), (7, -14)]
+        bw = _BW()
+        for x, y in vals:
+            _esc_enc_pair(bw, 16, lens, cods, linbits, x, y)
+        br = _BR(bw.bytes_())
+        got = [_esc_dec_pair(br, 16, dmap, linbits) for _ in vals]
+        assert got == vals, linbits
+    # out-of-range value is a loud encoder error
+    bw = _BW()
+    with pytest.raises(ValueError, match="linbits"):
+        _esc_enc_pair(bw, 16, lens, cods, 1, 17, 0)
+
+
+def test_esc_spec_tables_still_gated():
+    """Selecting table 16/24 raises the narrowed per-table gate (code
+    table data, not mechanism)."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        _BW, _huff_enc_pair,
+    )
+
+    for t in (16, 24, 23, 31):
+        with pytest.raises(NotImplementedError, match="mechanism"):
+            _huff_enc_pair(_BW(), t, 1, 1)
+
+
+def test_intensity_stereo_short_blocks():
+    """r10: PURE-SHORT intensity stereo — per-window intensity bound,
+    tan(is_pos*pi/12) pan pinned per window, is_pos 7 fallback."""
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        _SFB_SHORT_44, decode_mp3_l3, encode_mp3_l3,
+        intensity_process_short, requantize_short,
+    )
+
+    def mk(d, k, zero_above=None, ssf=None):
+        big = 40
+        lines = [0] * 576
+        for i in range(2 * big):
+            lines[i] = (d + k + i) % 3 - 1
+        if zero_above is not None:
+            for i in range(zero_above, 576):
+                lines[i] = 0
+        from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+            GranuleSpec,
+        )
+
+        return GranuleSpec(
+            lines=lines, big_values=big, table_sel=(1, 1), count1=0,
+            count1_table_b=False, global_gain=130 + d,
+            scalefac_compress=5, scalefacs=None, block_type=2,
+            subblock_gain=(0, 0, 0),
+            short_scalefacs=ssf or [[0] * 3 for _ in range(12)],
+        )
+
+    # right channel zero above line 36 (= all three windows of bands
+    # 0..3 plus part of band 4's window 0 region); positions 0/1
+    pos = [[(b + w) % 2 for w in range(3)] for b in range(12)]
+    left = mk(6, 0)
+    right = mk(6, 1, zero_above=36, ssf=pos)
+    gs = [left, right, mk(6, 2), mk(6, 3, zero_above=36, ssf=pos)]
+    d = decode_mp3_l3(encode_mp3_l3(gs, nch=2, intensity=True))
+    g0, g1 = d["granules"][0], d["granules"][1]
+    assert g0.get("intensity") and g1.get("intensity")
+    xl = requantize_short(left.lines, left.global_gain,
+                          [[0] * 3 for _ in range(12)], 0, (0, 0, 0))
+    want_l, want_r = intensity_process_short(
+        xl,
+        requantize_short(right.lines, right.global_gain, pos, 0,
+                         (0, 0, 0)),
+        pos, right.lines, False,
+    )
+    np.testing.assert_allclose(g0["xr"], want_l)
+    np.testing.assert_allclose(g1["xr"], want_r)
+    # per-window formula pin on an intensity band: band 6, window 2
+    b, w = 6, 2
+    lo, hi = _SFB_SHORT_44[b], _SFB_SHORT_44[b + 1]
+    s = 3 * lo + w * (hi - lo)
+    ratio = np.tan(pos[b][w] * np.pi / 12)
+    np.testing.assert_allclose(
+        g0["xr"][s : s + (hi - lo)],
+        xl[s : s + (hi - lo)] * ratio / (1 + ratio),
+    )
+    np.testing.assert_allclose(
+        g1["xr"][s : s + (hi - lo)],
+        xl[s : s + (hi - lo)] * 1 / (1 + ratio),
+    )
+    # is_pos == 7 everywhere falls back to passthrough
+    pos7 = [[7] * 3 for _ in range(12)]
+    right7 = mk(6, 1, zero_above=36, ssf=pos7)
+    for g in (right7,):
+        g.scalefac_compress = 13  # slen 3 carries value 7
+    gs7 = [left, right7, mk(6, 2), right7]
+    d7 = decode_mp3_l3(encode_mp3_l3(gs7, nch=2, intensity=True))
+    np.testing.assert_allclose(d7["granules"][0]["xr"], xl)
