@@ -1488,8 +1488,13 @@ def synthesize_h264_b_frames(
 
     All MVs full-pel and every residual per-4x4 constant, so at QP 0
     the oracle recomputes EVERY decoded pixel of all three frames in
-    pure SQL — including the bi-predictive rounded average and the
-    two-hop P-frame composition. Chroma constant 128 throughout."""
+    pure SQL — including the bi-predictive rounded average, the
+    two-hop P-frame composition, AND the chroma planes (r10 fixture
+    sweep): per-4x4-constant chroma rides every B macroblock class
+    at half the luma displacement (L0/L1 selection, per-sub-block
+    B_8x8 motion with the chroma bi rounded average, the mixed-list
+    16x8 split) with its own per-4x4 residuals, pinning the chroma
+    requant/MC/bi-average scale in the oracle."""
     out_schema = f"{id_col} long, content binary"
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1501,7 +1506,11 @@ def synthesize_h264_b_frames(
                 y0 = (16 + (i * 13 + gy * 41 + gx * 59) % 224).repeat(
                     4, 0
                 ).repeat(4, 1)
-                cb = np.full((16, 16), 128, np.uint8)
+                cgy, cgx = np.mgrid[0:4, 0:4]
+                cb0 = (16 + (i * 23 + cgy * 31 + cgx * 41)
+                       % 200).repeat(4, 0).repeat(4, 1)
+                cr0 = (16 + (i * 29 + cgy * 37 + cgx * 43)
+                       % 200).repeat(4, 0).repeat(4, 1)
                 py, px = np.mgrid[0:32, 0:32]
                 mxg, myg = px // 16, py // 16
                 # P frame (poc 4): m35/m36 motion family
@@ -1510,6 +1519,16 @@ def synthesize_h264_b_frames(
                 d1 = (i + (py // 4) * 7 + (px // 4) * 11) % 9 - 4
                 y1 = y0[np.clip(py + dy1, 0, 31),
                         np.clip(px + dx1, 0, 31)] + d1
+                cy_, cx_ = np.mgrid[0:16, 0:16]
+                cmx, cmy = cx_ // 8, cy_ // 8
+                cdx1 = 2 * ((i + cmx + 2 * cmy) % 3 - 1)
+                cdy1 = 2 * ((i * 2 + 3 * cmx + cmy) % 3 - 1)
+                dcb1 = (i + (cy_ // 4) * 5 + (cx_ // 4) * 7) % 9 - 4
+                dcr1 = (i * 3 + (cy_ // 4) * 3 + (cx_ // 4) * 5) % 9 - 4
+                cb1 = cb0[np.clip(cy_ + cdy1, 0, 15),
+                          np.clip(cx_ + cdx1, 0, 15)] + dcb1
+                cr1 = cr0[np.clip(cy_ + cdy1, 0, 15),
+                          np.clip(cx_ + cdx1, 0, 15)] + dcr1
                 specs_p = []
                 for my_ in range(2):
                     for mx_ in range(2):
@@ -1565,6 +1584,68 @@ def synthesize_h264_b_frames(
                 yb[regu] = y1[np.clip(py[regu] + dyu, 0, 31),
                               np.clip(px[regu] + dxu, 0, 31)] + dd(regu)
                 assert yb.min() >= 0 and yb.max() <= 255
+                # --- B-frame chroma, same regions at half scale ---
+                cbb = np.zeros((16, 16), np.int64)
+                crb = np.zeros((16, 16), np.int64)
+                clip_ = lambda a: np.clip(a, 0, 15)
+                # (0,0) L0 from anchor
+                r = np.s_[0:8, 0:8]
+                dab = (i + (cy_[r] // 4) * 5 + (cx_[r] // 4) * 7) % 9 - 4
+                dar = (i * 3 + (cy_[r] // 4) * 3
+                       + (cx_[r] // 4) * 5) % 9 - 4
+                cbb[r] = cb0[clip_(cy_[r] + dya // 2),
+                             clip_(cx_[r] + dxa // 2)] + dab
+                crb[r] = cr0[clip_(cy_[r] + dya // 2),
+                             clip_(cx_[r] + dxa // 2)] + dar
+                # (1,0) L1 from the P frame
+                r = np.s_[0:8, 8:16]
+                dbb = (i * 3 + (cy_[r] // 4) * 5
+                       + (cx_[r] // 4) * 13) % 9 - 4
+                dbr = (i * 7 + (cy_[r] // 4) * 7
+                       + (cx_[r] // 4) * 11) % 9 - 4
+                cbb[r] = cb1[clip_(cy_[r] + dyb // 2),
+                             clip_(cx_[r] + dxb // 2)] + dbb
+                crb[r] = cr1[clip_(cy_[r] + dyb // 2),
+                             clip_(cx_[r] + dxb // 2)] + dbr
+                # (0,1) B_8x8 per-sub-block chroma motion + bi average
+                r = np.s_[8:16, 0:8]
+                ckk = (cx_[r] % 8) // 4 + 2 * ((cy_[r] % 8) // 4)
+                c0x = 2 * ((i + ckk) % 3 - 1)
+                c0y = 2 * ((i * 2 + ckk) % 3 - 1)
+                c1x = 2 * ((i + ckk + 1) % 3 - 1)
+                c1y = 2 * ((i * 2 + ckk + 2) % 3 - 1)
+                cusek = (i + ckk) % 3
+                for src_pl, dst, dl in (
+                    ((cb0, cb1), cbb,
+                     (i + (cy_[r] // 4) * 3 + (cx_[r] // 4) * 7) % 9 - 4),
+                    ((cr0, cr1), crb,
+                     (i * 5 + (cy_[r] // 4) * 9
+                      + (cx_[r] // 4) * 3) % 9 - 4),
+                ):
+                    q0 = src_pl[0][clip_(cy_[r] + c0y),
+                                   clip_(cx_[r] + c0x)]
+                    q1 = src_pl[1][clip_(cy_[r] + c1y),
+                                   clip_(cx_[r] + c1x)]
+                    dst[r] = (
+                        np.where(cusek == 0, q0,
+                                 np.where(cusek == 1, q1,
+                                          (q0 + q1 + 1) >> 1)) + dl
+                    )
+                # (1,1) 16x8: top L0 from anchor, bottom L1 from P
+                for r, ref_cb, ref_cr, ddy, ddx in (
+                    (np.s_[8:12, 8:16], cb0, cr0, dyt // 2, dxt // 2),
+                    (np.s_[12:16, 8:16], cb1, cr1, dyu // 2, dxu // 2),
+                ):
+                    dlb = (i * 5 + (cy_[r] // 4) * 11
+                           + (cx_[r] // 4) * 3) % 9 - 4
+                    dlr = (i * 9 + (cy_[r] // 4) * 13
+                           + (cx_[r] // 4) * 5) % 9 - 4
+                    cbb[r] = ref_cb[clip_(cy_[r] + ddy),
+                                    clip_(cx_[r] + ddx)] + dlb
+                    crb[r] = ref_cr[clip_(cy_[r] + ddy),
+                                    clip_(cx_[r] + ddx)] + dlr
+                for pl in (cb1, cr1, cbb, crb):
+                    assert pl.min() >= 0 and pl.max() <= 255
                 # quarter-pel units = 4 * full-pel pixels
                 q = lambda dx, dy: (4 * dx, 4 * dy)
                 submodes = ("8x8", "8x4", "4x8", "4x4")
@@ -1593,11 +1674,15 @@ def synthesize_h264_b_frames(
                 ]
                 stream, recons, pocs = encode_h264_b_sequence(
                     [
-                        ("idr", (y0.astype(np.uint8), cb, cb.copy())),
-                        ("p", (y1.astype(np.uint8), cb.copy(),
-                               cb.copy()), specs_p, 4),
-                        ("b", (yb.astype(np.uint8), cb.copy(),
-                               cb.copy()), specs_b, 2),
+                        ("idr", (y0.astype(np.uint8),
+                                 cb0.astype(np.uint8),
+                                 cr0.astype(np.uint8))),
+                        ("p", (y1.astype(np.uint8),
+                               cb1.astype(np.uint8),
+                               cr1.astype(np.uint8)), specs_p, 4),
+                        ("b", (yb.astype(np.uint8),
+                               cbb.astype(np.uint8),
+                               crb.astype(np.uint8)), specs_b, 2),
                     ],
                     qp=0,
                 )
@@ -1605,6 +1690,10 @@ def synthesize_h264_b_frames(
                     np.array_equal(recons[0][0], y0)
                     and np.array_equal(recons[1][0], y1)
                     and np.array_equal(recons[2][0], yb)
+                    and np.array_equal(recons[2][1], cbb)
+                    and np.array_equal(recons[2][2], crb)
+                    and np.array_equal(recons[1][1], cb1)
+                    and np.array_equal(recons[1][2], cr1)
                 ):
                     raise AssertionError(
                         f"doc {i}: QP-0 B fixture not exact"

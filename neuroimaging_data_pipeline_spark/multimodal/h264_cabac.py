@@ -1211,13 +1211,16 @@ def synthesize_h264_cabac_frames(
     giving each macroblock a neighbor of the OTHER class): luma
     per-4x4-constant v = (id*13 + gy*41 + gx*59) % 256 with the
     I_4x4 preferred mode cycling over the constant-prediction modes
-    (vertical/horizontal/DC by id%3), chroma constant 128, encoded
-    at QP 0 where this path is exact — so the decoded planes are
-    pure id formulas the oracle recomputes. (Chroma residual
-    contexts cat3/cat4 and the remaining luma modes are covered by
+    (vertical/horizontal/DC by id%3), chroma constant per 4x4 block
+    with (id*23 + cy*31 + cx*41) % 256 / (id*29 + cy*37 + cx*43)
+    % 256 — NONZERO chroma DC+AC residuals through the cat3/cat4
+    coded_block_flag / significance / level contexts (r10 fixture
+    sweep: the r9 chroma-DC 16x shrink hid for eight rounds behind
+    constant-128 chroma; per-4x4-constant chroma is exact at QP 0
+    through the fixed 2x2 Hadamard path, so the oracle now pins the
+    chroma scale independently). Remaining luma modes are covered by
     the random-plane bit-exact round-trips in
-    tests/test_h264_cabac.py — the QP-0 chroma DC quantizer is only
-    lossless at zero residual, same trade as the CAVLC fixtures.)"""
+    tests/test_h264_cabac.py."""
     out_schema = f"{id_col} long, content binary"
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1228,8 +1231,13 @@ def synthesize_h264_cabac_frames(
                 h, w = mb_rows * 16, mb_cols * 16
                 gy, gx = np.mgrid[0 : h // 4, 0 : w // 4]
                 y = ((i * 13 + gy * 41 + gx * 59) % 256).repeat(4, 0).repeat(4, 1)
-                cb = np.full((h // 2, w // 2), 128, np.uint8)
-                cr = np.full((h // 2, w // 2), 128, np.uint8)
+                cy_, cx_ = np.mgrid[0 : h // 8, 0 : w // 8]
+                cb = ((i * 23 + cy_ * 31 + cx_ * 41) % 256).repeat(
+                    4, 0
+                ).repeat(4, 1).astype(np.uint8)
+                cr = ((i * 29 + cy_ * 37 + cx_ * 43) % 256).repeat(
+                    4, 0
+                ).repeat(4, 1).astype(np.uint8)
                 stream, ryp, rcbp, rcrp = encode_h264_cabac_intra(
                     y.astype(np.uint8), cb, cr, qp=0, i4x4_mode=i % 3,
                 )

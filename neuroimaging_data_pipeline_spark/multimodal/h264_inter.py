@@ -1855,9 +1855,13 @@ def synthesize_h264_inter_frames(
     At QP 0 the whole chain is exact (anchor exact, full-pel MC is a
     clamped shift of the exact anchor, constant-residual blocks
     quantize exactly), so the oracle recomputes EVERY decoded pixel
-    of BOTH frames from id formulas. Chroma constant 128 (zero
-    residual; sub-pel chroma and residual paths are covered by the
-    random-plane bit-exact round-trips in tests)."""
+    of BOTH frames from id formulas — INCLUDING chroma (r10 fixture
+    sweep): the anchor carries per-4x4-constant chroma, the P frame
+    predicts it through the same full-pel motion (chroma shift =
+    half the luma displacement) and adds a per-4x4-constant chroma
+    residual, so the chroma requant/MC scale is pinned by the oracle
+    rather than held at 128. Sub-pel chroma is covered by the
+    random-plane bit-exact round-trips in tests."""
     out_schema = f"{id_col} long, content binary"
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1869,7 +1873,13 @@ def synthesize_h264_inter_frames(
                 y0 = (16 + (i * 13 + gy * 41 + gx * 59) % 224).repeat(
                     4, 0
                 ).repeat(4, 1)
-                cb = np.full((16, 16), 128, np.uint8)
+                cgy, cgx = np.mgrid[0:4, 0:4]
+                cb0 = (16 + (i * 23 + cgy * 31 + cgx * 41) % 200).repeat(
+                    4, 0
+                ).repeat(4, 1)
+                cr0 = (16 + (i * 29 + cgy * 37 + cgx * 43) % 200).repeat(
+                    4, 0
+                ).repeat(4, 1)
                 # frame1 = clamped full-pel shift of y0 + 4x4 delta
                 py, px = np.mgrid[0:32, 0:32]
                 mxg, myg = px // 16, py // 16
@@ -1880,6 +1890,19 @@ def synthesize_h264_inter_frames(
                 delta = (i + (py // 4) * 7 + (px // 4) * 11) % 9 - 4
                 y1 = y0[sy, sx] + delta
                 assert y1.min() >= 0 and y1.max() <= 255
+                # chroma: same motion at half displacement + delta
+                cy_, cx_ = np.mgrid[0:16, 0:16]
+                cmx, cmy = cx_ // 8, cy_ // 8
+                cdx = 2 * ((i + cmx + 2 * cmy) % 3 - 1)
+                cdy = 2 * ((i * 2 + 3 * cmx + cmy) % 3 - 1)
+                scy = np.clip(cy_ + cdy, 0, 15)
+                scx = np.clip(cx_ + cdx, 0, 15)
+                dcb = (i + (cy_ // 4) * 5 + (cx_ // 4) * 7) % 9 - 4
+                dcr = (i * 3 + (cy_ // 4) * 3 + (cx_ // 4) * 5) % 9 - 4
+                cb1 = cb0[scy, scx] + dcb
+                cr1 = cr0[scy, scx] + dcr
+                assert cb1.min() >= 0 and cb1.max() <= 255
+                assert cr1.min() >= 0 and cr1.max() <= 255
                 modes = ("16x16", "16x8", "8x16")
                 specs = []
                 for my_ in range(2):
@@ -1893,14 +1916,18 @@ def synthesize_h264_inter_frames(
                         nparts = 1 if mode == "16x16" else 2
                         specs.append((mode, [mv_q] * nparts))
                 stream, rec0, rec1 = encode_h264_p_sequence(
-                    (y0.astype(np.uint8), cb, cb.copy()),
-                    (y1.astype(np.uint8), cb, cb.copy()),
+                    (y0.astype(np.uint8), cb0.astype(np.uint8),
+                     cr0.astype(np.uint8)),
+                    (y1.astype(np.uint8), cb1.astype(np.uint8),
+                     cr1.astype(np.uint8)),
                     specs,
                     qp=0,
                 )
                 if not (
                     np.array_equal(rec0[0], y0)
                     and np.array_equal(rec1[0], y1)
+                    and np.array_equal(rec1[1], cb1)
+                    and np.array_equal(rec1[2], cr1)
                 ):
                     raise AssertionError(
                         f"doc {i}: QP-0 inter fixture not exact"
@@ -1979,7 +2006,12 @@ def synthesize_h264_gop_frames(
     At QP 0 every stage is exact, so the oracle recomputes EVERY
     decoded pixel of all three frames from id formulas — including
     the composed two-hop motion (P2 pixels that sample P1 pixels
-    that sample anchor pixels). Chroma constant 128 throughout."""
+    that sample anchor pixels) AND the chroma planes (r10 fixture
+    sweep): per-4x4-constant chroma rides the same motion at half
+    displacement with its own per-4x4 residuals through all four P2
+    macroblock classes (intra-in-P chroma DC, ref_idx-1 anchor hop,
+    per-sub-block P_8x8 shifts, zero-MV residual), so the chroma
+    requant/MC scale is oracle-pinned instead of held at 128."""
     out_schema = f"{id_col} long, content binary"
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1991,7 +2023,11 @@ def synthesize_h264_gop_frames(
                 y0 = (16 + (i * 13 + gy * 41 + gx * 59) % 224).repeat(
                     4, 0
                 ).repeat(4, 1)
-                cb = np.full((16, 16), 128, np.uint8)
+                cgy, cgx = np.mgrid[0:4, 0:4]
+                cb0 = (16 + (i * 23 + cgy * 31 + cgx * 41)
+                       % 200).repeat(4, 0).repeat(4, 1)
+                cr0 = (16 + (i * 29 + cgy * 37 + cgx * 43)
+                       % 200).repeat(4, 0).repeat(4, 1)
                 py, px = np.mgrid[0:32, 0:32]
                 mxg, myg = px // 16, py // 16
                 # --- P1: same motion/residual family as m35 ---
@@ -2000,6 +2036,17 @@ def synthesize_h264_gop_frames(
                 d1 = (i + (py // 4) * 7 + (px // 4) * 11) % 9 - 4
                 y1 = y0[np.clip(py + dy1, 0, 31),
                         np.clip(px + dx1, 0, 31)] + d1
+                # P1 chroma: same motion at half displacement + delta
+                cy_, cx_ = np.mgrid[0:16, 0:16]
+                cmx, cmy = cx_ // 8, cy_ // 8
+                cdx1 = 2 * ((i + cmx + 2 * cmy) % 3 - 1)
+                cdy1 = 2 * ((i * 2 + 3 * cmx + cmy) % 3 - 1)
+                dcb1 = (i + (cy_ // 4) * 5 + (cx_ // 4) * 7) % 9 - 4
+                dcr1 = (i * 3 + (cy_ // 4) * 3 + (cx_ // 4) * 5) % 9 - 4
+                cb1 = cb0[np.clip(cy_ + cdy1, 0, 15),
+                          np.clip(cx_ + cdx1, 0, 15)] + dcb1
+                cr1 = cr0[np.clip(cy_ + cdy1, 0, 15),
+                          np.clip(cx_ + cdx1, 0, 15)] + dcr1
                 specs1 = []
                 for my_ in range(2):
                     for mx_ in range(2):
@@ -2038,6 +2085,49 @@ def synthesize_h264_gop_frames(
                        + (px[reg] // 4) * 3) % 9 - 4
                 y2[reg] = y1[reg] + d2c
                 assert y2.min() >= 0 and y2.max() <= 255
+                # --- P2 chroma, same four regions at chroma scale ---
+                cb2 = np.zeros((16, 16), np.int64)
+                cr2 = np.zeros((16, 16), np.int64)
+                # (0,0) intra-in-P chroma
+                r = np.s_[0:8, 0:8]
+                cb2[r] = 16 + (i * 31 + (cy_[r] // 4) * 29
+                               + (cx_[r] // 4) * 47) % 200
+                cr2[r] = 16 + (i * 37 + (cy_[r] // 4) * 23
+                               + (cx_[r] // 4) * 41) % 200
+                # (1,0) ref_idx 1 -> anchor chroma
+                r = np.s_[0:8, 8:16]
+                cdxa, cdya = 2 * (i % 3 - 1), 2 * (i // 3 % 3 - 1)
+                dcb2a = (i * 3 + (cy_[r] // 4) * 5
+                         + (cx_[r] // 4) * 13) % 9 - 4
+                dcr2a = (i * 7 + (cy_[r] // 4) * 7
+                         + (cx_[r] // 4) * 11) % 9 - 4
+                sy_ = np.clip(cy_[r] + cdya, 0, 15)
+                sx_ = np.clip(cx_[r] + cdxa, 0, 15)
+                cb2[r] = cb0[sy_, sx_] + dcb2a
+                cr2[r] = cr0[sy_, sx_] + dcr2a
+                # (0,1) P_8x8 from P1, per-sub-block chroma motion
+                r = np.s_[8:16, 0:8]
+                ck8 = (cx_[r] % 8) // 4 + 2 * ((cy_[r] % 8) // 4)
+                cdxk = 2 * ((i + ck8) % 3 - 1)
+                cdyk = 2 * ((i * 2 + ck8) % 3 - 1)
+                dcb2b = (i + (cy_[r] // 4) * 3
+                         + (cx_[r] // 4) * 7) % 9 - 4
+                dcr2b = (i * 5 + (cy_[r] // 4) * 9
+                         + (cx_[r] // 4) * 3) % 9 - 4
+                sy_ = np.clip(cy_[r] + cdyk, 0, 15)
+                sx_ = np.clip(cx_[r] + cdxk, 0, 15)
+                cb2[r] = cb1[sy_, sx_] + dcb2b
+                cr2[r] = cr1[sy_, sx_] + dcr2b
+                # (1,1) zero-MV chroma residual from P1
+                r = np.s_[8:16, 8:16]
+                dcb2c = (i * 5 + (cy_[r] // 4) * 11
+                         + (cx_[r] // 4) * 3) % 9 - 4
+                dcr2c = (i * 9 + (cy_[r] // 4) * 13
+                         + (cx_[r] // 4) * 5) % 9 - 4
+                cb2[r] = cb1[r] + dcb2c
+                cr2[r] = cr1[r] + dcr2c
+                for pl in (cb1, cr1, cb2, cr2):
+                    assert pl.min() >= 0 and pl.max() <= 255
                 submodes = ("8x8", "8x4", "4x8", "4x4")
                 nsub = {"8x8": 1, "8x4": 2, "4x8": 2, "4x4": 4}
                 subs = []
@@ -2055,9 +2145,12 @@ def synthesize_h264_gop_frames(
                 ]
                 stream, recons = encode_h264_p_gop(
                     [
-                        (y0.astype(np.uint8), cb, cb.copy()),
-                        (y1.astype(np.uint8), cb.copy(), cb.copy()),
-                        (y2.astype(np.uint8), cb.copy(), cb.copy()),
+                        (y0.astype(np.uint8), cb0.astype(np.uint8),
+                         cr0.astype(np.uint8)),
+                        (y1.astype(np.uint8), cb1.astype(np.uint8),
+                         cr1.astype(np.uint8)),
+                        (y2.astype(np.uint8), cb2.astype(np.uint8),
+                         cr2.astype(np.uint8)),
                     ],
                     [specs1, specs2],
                     qp=0,
@@ -2067,6 +2160,10 @@ def synthesize_h264_gop_frames(
                     np.array_equal(recons[0][0], y0)
                     and np.array_equal(recons[1][0], y1)
                     and np.array_equal(recons[2][0], y2)
+                    and np.array_equal(recons[2][1], cb2)
+                    and np.array_equal(recons[2][2], cr2)
+                    and np.array_equal(recons[1][1], cb1)
+                    and np.array_equal(recons[1][2], cr1)
                 ):
                     raise AssertionError(
                         f"doc {i}: QP-0 GOP fixture not exact"

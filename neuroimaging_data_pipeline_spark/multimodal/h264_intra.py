@@ -1454,10 +1454,15 @@ def synthesize_h264_intra_frames(
 ) -> DataFrame:
     """Deterministic Intra_16x16 fixture: one CAVLC-coded IDR frame
     per document at QP 0, luma constant per macroblock with value
-    (id*11 + my*37 + mx*29) % 256 and chroma 128. Per-MB-constant
-    content makes the DC-prediction + DC-only-residual path PROVEN
-    bit-exact at QP 0 (the pytest scans all residuals in [-255,255]),
-    so the oracle recomputes every decoded sample in pure SQL."""
+    (id*11 + my*37 + mx*29) % 256 and chroma constant per MB with
+    values (id*7 + my*31 + mx*43) % 256 / (id*5 + my*23 + mx*47)
+    % 256 — NONZERO chroma residuals through the 2x2 chroma-DC
+    Hadamard path (the r10 fixture sweep after the r9 16x-shrink
+    lesson: a plane held constant hides scale bugs from the oracle).
+    Per-MB-constant content makes the DC-prediction +
+    DC-only-residual path PROVEN bit-exact at QP 0 (the pytest scans
+    all residuals in [-255,255]), so the oracle recomputes every
+    decoded sample in pure SQL."""
     out_schema = "media_id long, content binary"
     w, h = mb_cols * 16, mb_rows * 16
 
@@ -1469,13 +1474,23 @@ def synthesize_h264_intra_frames(
             for i in pdf[id_col]:
                 i = int(i)
                 y = np.zeros((h, w), np.uint8)
+                cb = np.zeros((h // 2, w // 2), np.uint8)
+                cr = np.zeros((h // 2, w // 2), np.uint8)
                 for my in range(mb_rows):
                     for mx in range(mb_cols):
                         y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
                             i * 11 + my * 37 + mx * 29
                         ) % 256
-                stream, ry, _, _ = encode_h264_i16x16(y, qp=0)
-                assert (ry == y).all(), "QP0 constant-MB path must be exact"
+                        cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                            i * 7 + my * 31 + mx * 43
+                        ) % 256
+                        cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                            i * 5 + my * 23 + mx * 47
+                        ) % 256
+                stream, ry, rcb, rcr = encode_h264_i16x16(y, cb, cr, qp=0)
+                assert (ry == y).all() and (rcb == cb).all() and (
+                    rcr == cr
+                ).all(), "QP0 constant-MB path must be exact"
                 payloads.append(stream)
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 
@@ -1488,7 +1503,10 @@ def synthesize_h264_i4x4_frames(
 ) -> DataFrame:
     """Deterministic I_4x4 fixture: one CAVLC-coded IDR macroblock
     per document at QP 0, luma constant per 4x4 BLOCK with value
-    (id*13 + by*41 + bx*59) % 256 and chroma 128 — sixteen chained
+    (id*13 + by*41 + bx*59) % 256 and chroma constant per 4x4 block
+    with (id*17 + cy*37 + cx*53) % 256 / (id*19 + cy*43 + cx*61)
+    % 256 (nonzero chroma DC+AC residuals, r10 fixture sweep) —
+    sixteen chained
     intra-4x4 DC predictions per frame, each residual proven exact
     at QP 0, so the oracle recomputes every decoded sample in SQL."""
     out_schema = "media_id long, content binary"
@@ -1501,13 +1519,25 @@ def synthesize_h264_i4x4_frames(
             for i in pdf[id_col]:
                 i = int(i)
                 y = np.zeros((16, 16), np.uint8)
+                cb = np.zeros((8, 8), np.uint8)
+                cr = np.zeros((8, 8), np.uint8)
                 for by in range(4):
                     for bx in range(4):
                         y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
                             i * 13 + by * 41 + bx * 59
                         ) % 256
-                stream, ry, _, _ = encode_h264_i4x4(y, qp=0)
-                assert (ry == y).all(), "QP0 constant-4x4 path must be exact"
+                for cy in range(2):
+                    for cx in range(2):
+                        cb[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4] = (
+                            i * 17 + cy * 37 + cx * 53
+                        ) % 256
+                        cr[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4] = (
+                            i * 19 + cy * 43 + cx * 61
+                        ) % 256
+                stream, ry, rcb, rcr = encode_h264_i4x4(y, cb, cr, qp=0)
+                assert (ry == y).all() and (rcb == cb).all() and (
+                    rcr == cr
+                ).all(), "QP0 constant-4x4 path must be exact"
                 payloads.append(stream)
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 

@@ -236,8 +236,16 @@ for _r, _names in {
 _RECHECK_R10 = [
     # ADVICE r9 fix: wcr-only weighted-prediction resolver asymmetry
     # in h264_inter/h264_bslice (affects m36/m37 stream families).
+    # r10 fixture sweep: every H.264 oracle fixture now carries
+    # NONZERO per-4x4-constant chroma residuals (motion-composed in
+    # the inter family) with matching oracle formulas — the r9
+    # chroma-DC lesson made permanent.
     "m36_h264_gop",
     "m37_h264_bslice",
+    "m35_h264_inter",
+    "m33_h264_cabac",
+    "m21_h264_intra",
+    "m25_h264_i4x4",
 ]
 
 _RECHECK_R9_FOLDED = [

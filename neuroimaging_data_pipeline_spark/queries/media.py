@@ -884,7 +884,9 @@ def m21_h264_intra(spark, sf_dir):
     makes the DC-only residual path PROVEN bit-exact at QP 0 (pytest
     scans every residual in [-255,255]), so the oracle recomputes
     every decoded sample from the fixture formula in pure SQL —
-    decoded chroma 128 exercises the prediction-only (CBP=0) path.
+    chroma carries NONZERO per-MB residuals through the 2x2 chroma-DC
+    Hadamard path (r10 fixture sweep; the path the r9 16x-shrink bug
+    hid in behind constant-128 fixtures).
     Narrow scan -> mapInPandas, zero shuffle."""
     from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
         h264_intra_frame_features,
@@ -907,7 +909,9 @@ def m21_h264_intra(spark, sf_dir):
 M21_SQL = """
 WITH mb AS (
   SELECT doc_id,
-         (doc_id * 11 + my.my * 37 + mx.mx * 29) % 256 AS v
+         (doc_id * 11 + my.my * 37 + mx.mx * 29) % 256 AS v,
+         (doc_id * 7 + my.my * 31 + mx.mx * 43) % 256 AS vcb,
+         (doc_id * 5 + my.my * 23 + mx.mx * 47) % 256 AS vcr
   FROM documents,
        UNNEST(range(0, 2)) AS my(my),
        UNNEST(range(0, 2)) AS mx(mx)
@@ -917,8 +921,8 @@ SELECT doc_id,
        CAST(32 AS INT) AS height,
        (ROUND(SUM(v) / 4.0, 6) + 0.0) AS mean_y,
        CAST(SUM(v) * 256 AS BIGINT) AS sum_y,
-       CAST(32768 AS BIGINT) AS sum_cb,
-       CAST(32768 AS BIGINT) AS sum_cr
+       CAST(SUM(vcb) * 64 AS BIGINT) AS sum_cb,
+       CAST(SUM(vcr) * 64 AS BIGINT) AS sum_cr
 FROM mb GROUP BY doc_id
 """
 
@@ -1110,15 +1114,27 @@ WITH blk AS (
   FROM documents,
        UNNEST(range(0, 4)) AS by(by),
        UNNEST(range(0, 4)) AS bx(bx)
+), cblk AS (
+  SELECT doc_id,
+         (doc_id * 17 + cy.cy * 37 + cx.cx * 53) % 256 AS vcb,
+         (doc_id * 19 + cy.cy * 43 + cx.cx * 61) % 256 AS vcr
+  FROM documents,
+       UNNEST(range(0, 2)) AS cy(cy),
+       UNNEST(range(0, 2)) AS cx(cx)
+), agg AS (
+  SELECT doc_id, SUM(v) AS sv FROM blk GROUP BY doc_id
+), cagg AS (
+  SELECT doc_id, SUM(vcb) AS scb, SUM(vcr) AS scr
+  FROM cblk GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT agg.doc_id AS doc_id,
        CAST(16 AS INT) AS width,
        CAST(16 AS INT) AS height,
-       (ROUND(SUM(v) / 16.0, 6) + 0.0) AS mean_y,
-       CAST(SUM(v) * 16 AS BIGINT) AS sum_y,
-       CAST(8192 AS BIGINT) AS sum_cb,
-       CAST(8192 AS BIGINT) AS sum_cr
-FROM blk GROUP BY doc_id
+       (ROUND(sv / 16.0, 6) + 0.0) AS mean_y,
+       CAST(sv * 16 AS BIGINT) AS sum_y,
+       CAST(scb * 16 AS BIGINT) AS sum_cb,
+       CAST(scr * 16 AS BIGINT) AS sum_cr
+FROM agg JOIN cagg ON agg.doc_id = cagg.doc_id
 """
 
 
@@ -1488,15 +1504,27 @@ WITH blk AS (
   FROM documents,
        UNNEST(range(0, 8)) AS by(by),
        UNNEST(range(0, 8)) AS bx(bx)
+), cblk AS (
+  SELECT doc_id,
+         (doc_id * 23 + cy.cy * 31 + cx.cx * 41) % 256 AS vcb,
+         (doc_id * 29 + cy.cy * 37 + cx.cx * 43) % 256 AS vcr
+  FROM documents,
+       UNNEST(range(0, 4)) AS cy(cy),
+       UNNEST(range(0, 4)) AS cx(cx)
+), agg AS (
+  SELECT doc_id, SUM(v) AS sv FROM blk GROUP BY doc_id
+), cagg AS (
+  SELECT doc_id, SUM(vcb) AS scb, SUM(vcr) AS scr
+  FROM cblk GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT agg.doc_id AS doc_id,
        CAST(32 AS INT) AS width,
        CAST(32 AS INT) AS height,
-       (ROUND(SUM(v) / 64.0, 6) + 0.0) AS mean_y,
-       CAST(SUM(v) * 16 AS BIGINT) AS sum_y,
-       CAST(32768 AS BIGINT) AS sum_cb,
-       CAST(32768 AS BIGINT) AS sum_cr
-FROM blk GROUP BY doc_id
+       (ROUND(sv / 64.0, 6) + 0.0) AS mean_y,
+       CAST(sv * 16 AS BIGINT) AS sum_y,
+       CAST(scb * 16 AS BIGINT) AS sum_cb,
+       CAST(scr * 16 AS BIGINT) AS sum_cr
+FROM agg JOIN cagg ON agg.doc_id = cagg.doc_id
 """
 
 
@@ -1604,19 +1632,44 @@ WITH px AS (
            0), 31) AS sx,
          (doc_id + (py // 4) * 7 + (px // 4) * 11) % 9 - 4 AS delta
   FROM px
+), cpx AS (
+  SELECT doc_id, cy.cy AS cy, cx.cx AS cx
+  FROM documents,
+       UNNEST(range(0, 16)) AS cy(cy),
+       UNNEST(range(0, 16)) AS cx(cx)
+), c AS (
+  SELECT doc_id,
+         LEAST(GREATEST(
+           cy + 2 * ((doc_id * 2 + 3 * (cx // 8) + (cy // 8)) % 3 - 1),
+           0), 15) AS scy,
+         LEAST(GREATEST(
+           cx + 2 * ((doc_id + (cx // 8) + 2 * (cy // 8)) % 3 - 1),
+           0), 15) AS scx,
+         (doc_id + (cy // 4) * 5 + (cx // 4) * 7) % 9 - 4 AS dcb,
+         (doc_id * 3 + (cy // 4) * 3 + (cx // 4) * 5) % 9 - 4 AS dcr
+  FROM cpx
+), yagg AS (
+  SELECT doc_id, SUM(y0) AS sy0,
+         SUM(16 + (doc_id * 13 + (sy // 4) * 41 + (sx // 4) * 59) % 224
+             + delta) AS sy1
+  FROM v GROUP BY doc_id
+), cagg AS (
+  SELECT doc_id,
+         SUM(16 + (doc_id * 23 + (scy // 4) * 31 + (scx // 4) * 41)
+             % 200 + dcb) AS scb,
+         SUM(16 + (doc_id * 29 + (scy // 4) * 37 + (scx // 4) * 43)
+             % 200 + dcr) AS scr
+  FROM c GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT yagg.doc_id AS doc_id,
        CAST(2 AS INT) AS n_frames,
        CAST(32 AS INT) AS width,
        CAST(32 AS INT) AS height,
-       CAST(SUM(y0) AS BIGINT) AS sum_y_idr,
-       CAST(SUM(
-         16 + (doc_id * 13 + (sy // 4) * 41 + (sx // 4) * 59) % 224
-         + delta
-       ) AS BIGINT) AS sum_y_p,
-       CAST(32768 AS BIGINT) AS sum_cb_p,
-       CAST(32768 AS BIGINT) AS sum_cr_p
-FROM v GROUP BY doc_id
+       CAST(sy0 AS BIGINT) AS sum_y_idr,
+       CAST(sy1 AS BIGINT) AS sum_y_p,
+       CAST(scb AS BIGINT) AS sum_cb_p,
+       CAST(scr AS BIGINT) AS sum_cr_p
+FROM yagg JOIN cagg ON yagg.doc_id = cagg.doc_id
 """
 
 
@@ -1691,17 +1744,83 @@ WITH px AS (
              y1 + (doc_id * 5 + (py // 4) * 11 + (px // 4) * 3) % 9 - 4
          END AS y2
   FROM c
+), cpx AS (
+  SELECT doc_id, cy.cy AS cy, cx.cx AS cx
+  FROM documents,
+       UNNEST(range(0, 16)) AS cy(cy),
+       UNNEST(range(0, 16)) AS cx(cx)
+), ch AS (
+  SELECT doc_id, cy, cx,
+         CASE WHEN cy < 8 AND cx >= 8 THEN
+             LEAST(GREATEST(cy + 2 * (doc_id // 3 % 3 - 1), 0), 15)
+           WHEN cy >= 8 AND cx < 8 THEN
+             LEAST(GREATEST(cy + 2 * ((doc_id * 2 + ((cx % 8) // 4
+               + 2 * ((cy % 8) // 4))) % 3 - 1), 0), 15)
+           ELSE cy END AS sy,
+         CASE WHEN cy < 8 AND cx >= 8 THEN
+             LEAST(GREATEST(cx + 2 * (doc_id % 3 - 1), 0), 15)
+           WHEN cy >= 8 AND cx < 8 THEN
+             LEAST(GREATEST(cx + 2 * ((doc_id + ((cx % 8) // 4
+               + 2 * ((cy % 8) // 4))) % 3 - 1), 0), 15)
+           ELSE cx END AS sx
+  FROM cpx
+), ch2 AS (
+  SELECT doc_id, cy, cx, sy, sx,
+         LEAST(GREATEST(sy + 2 * ((doc_id * 2 + 3 * (sx // 8)
+           + (sy // 8)) % 3 - 1), 0), 15) AS ay,
+         LEAST(GREATEST(sx + 2 * ((doc_id + (sx // 8)
+           + 2 * (sy // 8)) % 3 - 1), 0), 15) AS ax
+  FROM ch
+), cval AS (
+  SELECT doc_id,
+         CASE
+           WHEN cy < 8 AND cx < 8 THEN
+             16 + (doc_id * 31 + (cy // 4) * 29 + (cx // 4) * 47) % 200
+           WHEN cy < 8 THEN
+             16 + (doc_id * 23 + (sy // 4) * 31 + (sx // 4) * 41) % 200
+             + (doc_id * 3 + (cy // 4) * 5 + (cx // 4) * 13) % 9 - 4
+           WHEN cx < 8 THEN
+             16 + (doc_id * 23 + (ay // 4) * 31 + (ax // 4) * 41) % 200
+             + (doc_id + (sy // 4) * 5 + (sx // 4) * 7) % 9 - 4
+             + (doc_id + (cy // 4) * 3 + (cx // 4) * 7) % 9 - 4
+           ELSE
+             16 + (doc_id * 23 + (ay // 4) * 31 + (ax // 4) * 41) % 200
+             + (doc_id + (sy // 4) * 5 + (sx // 4) * 7) % 9 - 4
+             + (doc_id * 5 + (cy // 4) * 11 + (cx // 4) * 3) % 9 - 4
+         END AS cb2,
+         CASE
+           WHEN cy < 8 AND cx < 8 THEN
+             16 + (doc_id * 37 + (cy // 4) * 23 + (cx // 4) * 41) % 200
+           WHEN cy < 8 THEN
+             16 + (doc_id * 29 + (sy // 4) * 37 + (sx // 4) * 43) % 200
+             + (doc_id * 7 + (cy // 4) * 7 + (cx // 4) * 11) % 9 - 4
+           WHEN cx < 8 THEN
+             16 + (doc_id * 29 + (ay // 4) * 37 + (ax // 4) * 43) % 200
+             + (doc_id * 3 + (sy // 4) * 3 + (sx // 4) * 5) % 9 - 4
+             + (doc_id * 5 + (cy // 4) * 9 + (cx // 4) * 3) % 9 - 4
+           ELSE
+             16 + (doc_id * 29 + (ay // 4) * 37 + (ax // 4) * 43) % 200
+             + (doc_id * 3 + (sy // 4) * 3 + (sx // 4) * 5) % 9 - 4
+             + (doc_id * 9 + (cy // 4) * 13 + (cx // 4) * 5) % 9 - 4
+         END AS cr2
+  FROM ch2
+), yagg AS (
+  SELECT doc_id, SUM(y0) AS sy0, SUM(y1) AS sy1, SUM(y2) AS sy2
+  FROM d GROUP BY doc_id
+), cagg AS (
+  SELECT doc_id, SUM(cb2) AS scb2, SUM(cr2) AS scr2
+  FROM cval GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT yagg.doc_id AS doc_id,
        CAST(3 AS INT) AS n_frames,
        CAST(32 AS INT) AS width,
        CAST(32 AS INT) AS height,
-       CAST(SUM(y0) AS BIGINT) AS sum_y_idr,
-       CAST(SUM(y1) AS BIGINT) AS sum_y_p1,
-       CAST(SUM(y2) AS BIGINT) AS sum_y_p2,
-       CAST(32768 AS BIGINT) AS sum_cb_p2,
-       CAST(32768 AS BIGINT) AS sum_cr_p2
-FROM d GROUP BY doc_id
+       CAST(sy0 AS BIGINT) AS sum_y_idr,
+       CAST(sy1 AS BIGINT) AS sum_y_p1,
+       CAST(sy2 AS BIGINT) AS sum_y_p2,
+       CAST(scb2 AS BIGINT) AS sum_cb_p2,
+       CAST(scr2 AS BIGINT) AS sum_cr_p2
+FROM yagg JOIN cagg ON yagg.doc_id = cagg.doc_id
 """
 
 
@@ -1954,18 +2073,137 @@ WITH px AS (
              + (doc_id * 5 + (py // 4) * 11 + (px // 4) * 3) % 9 - 4
          END AS yb
   FROM c
+), cpx AS (
+  SELECT doc_id, cy.cy AS cy, cx.cx AS cx
+  FROM documents,
+       UNNEST(range(0, 16)) AS cy(cy),
+       UNNEST(range(0, 16)) AS cx(cx)
+), chh AS (
+  SELECT doc_id, cy, cx,
+         (cx % 8) // 4 + 2 * ((cy % 8) // 4) AS ckk
+  FROM cpx
+), chs AS (
+  SELECT doc_id, cy, cx, ckk,
+         -- anchor-list source coords (regions A, C-q0, D-top)
+         CASE
+           WHEN cy < 8 AND cx < 8 THEN
+             LEAST(GREATEST(cy + 2 * ((doc_id * 2) % 3 - 1), 0), 15)
+           WHEN cy >= 8 AND cx < 8 THEN
+             LEAST(GREATEST(cy + 2 * ((doc_id * 2 + ckk) % 3 - 1),
+               0), 15)
+           WHEN cy >= 8 AND cy < 12 AND cx >= 8 THEN
+             LEAST(GREATEST(cy + 2 * ((doc_id * 2) % 3 - 1), 0), 15)
+           ELSE NULL END AS s0y,
+         CASE
+           WHEN cy < 8 AND cx < 8 THEN
+             LEAST(GREATEST(cx + 2 * ((doc_id + 1) % 3 - 1), 0), 15)
+           WHEN cy >= 8 AND cx < 8 THEN
+             LEAST(GREATEST(cx + 2 * ((doc_id + ckk) % 3 - 1), 0), 15)
+           WHEN cy >= 8 AND cy < 12 AND cx >= 8 THEN
+             LEAST(GREATEST(cx + 2 * ((doc_id + 1) % 3 - 1), 0), 15)
+           ELSE NULL END AS s0x,
+         -- P-list source coords (regions B, C-q1, D-bottom)
+         CASE
+           WHEN cy < 8 AND cx >= 8 THEN
+             LEAST(GREATEST(cy + 2 * ((doc_id + 2) % 3 - 1), 0), 15)
+           WHEN cy >= 8 AND cx < 8 THEN
+             LEAST(GREATEST(cy + 2 * ((doc_id * 2 + ckk + 2) % 3 - 1),
+               0), 15)
+           WHEN cy >= 12 AND cx >= 8 THEN
+             LEAST(GREATEST(cy + 2 * ((doc_id + 1) % 3 - 1), 0), 15)
+           ELSE NULL END AS s1y,
+         CASE
+           WHEN cy < 8 AND cx >= 8 THEN
+             LEAST(GREATEST(cx + 2 * ((doc_id * 2 + 1) % 3 - 1),
+               0), 15)
+           WHEN cy >= 8 AND cx < 8 THEN
+             LEAST(GREATEST(cx + 2 * ((doc_id + ckk + 1) % 3 - 1),
+               0), 15)
+           WHEN cy >= 12 AND cx >= 8 THEN
+             LEAST(GREATEST(cx + 2 * ((doc_id * 2 + 2) % 3 - 1),
+               0), 15)
+           ELSE NULL END AS s1x
+  FROM chh
+), chv AS (
+  SELECT doc_id, cy, cx, ckk, s0y, s0x, s1y, s1x,
+         -- anchor value at the anchor-list source
+         16 + (doc_id * 23 + (s0y // 4) * 31 + (s0x // 4) * 41) % 200
+           AS q0b,
+         16 + (doc_id * 29 + (s0y // 4) * 37 + (s0x // 4) * 43) % 200
+           AS q0r,
+         -- P-frame value at the P-list source (one more anchor hop)
+         16 + (doc_id * 23
+           + (LEAST(GREATEST(s1y + 2 * ((doc_id * 2 + 3 * (s1x // 8)
+               + (s1y // 8)) % 3 - 1), 0), 15) // 4) * 31
+           + (LEAST(GREATEST(s1x + 2 * ((doc_id + (s1x // 8)
+               + 2 * (s1y // 8)) % 3 - 1), 0), 15) // 4) * 41) % 200
+         + (doc_id + (s1y // 4) * 5 + (s1x // 4) * 7) % 9 - 4 AS q1b,
+         16 + (doc_id * 29
+           + (LEAST(GREATEST(s1y + 2 * ((doc_id * 2 + 3 * (s1x // 8)
+               + (s1y // 8)) % 3 - 1), 0), 15) // 4) * 37
+           + (LEAST(GREATEST(s1x + 2 * ((doc_id + (s1x // 8)
+               + 2 * (s1y // 8)) % 3 - 1), 0), 15) // 4) * 43) % 200
+         + (doc_id * 3 + (s1y // 4) * 3 + (s1x // 4) * 5) % 9 - 4
+           AS q1r
+  FROM chs
+), cval AS (
+  SELECT doc_id,
+         CASE
+           WHEN cy < 8 AND cx < 8 THEN
+             q0b + (doc_id + (cy // 4) * 5 + (cx // 4) * 7) % 9 - 4
+           WHEN cy < 8 THEN
+             q1b + (doc_id * 3 + (cy // 4) * 5 + (cx // 4) * 13)
+               % 9 - 4
+           WHEN cx < 8 THEN
+             CASE (doc_id + ckk) % 3
+               WHEN 0 THEN q0b WHEN 1 THEN q1b
+               ELSE (q0b + q1b + 1) // 2 END
+             + (doc_id + (cy // 4) * 3 + (cx // 4) * 7) % 9 - 4
+           WHEN cy < 12 THEN
+             q0b + (doc_id * 5 + (cy // 4) * 11 + (cx // 4) * 3)
+               % 9 - 4
+           ELSE
+             q1b + (doc_id * 5 + (cy // 4) * 11 + (cx // 4) * 3)
+               % 9 - 4
+         END AS cbb,
+         CASE
+           WHEN cy < 8 AND cx < 8 THEN
+             q0r + (doc_id * 3 + (cy // 4) * 3 + (cx // 4) * 5)
+               % 9 - 4
+           WHEN cy < 8 THEN
+             q1r + (doc_id * 7 + (cy // 4) * 7 + (cx // 4) * 11)
+               % 9 - 4
+           WHEN cx < 8 THEN
+             CASE (doc_id + ckk) % 3
+               WHEN 0 THEN q0r WHEN 1 THEN q1r
+               ELSE (q0r + q1r + 1) // 2 END
+             + (doc_id * 5 + (cy // 4) * 9 + (cx // 4) * 3) % 9 - 4
+           WHEN cy < 12 THEN
+             q0r + (doc_id * 9 + (cy // 4) * 13 + (cx // 4) * 5)
+               % 9 - 4
+           ELSE
+             q1r + (doc_id * 9 + (cy // 4) * 13 + (cx // 4) * 5)
+               % 9 - 4
+         END AS crb
+  FROM chv
+), yagg AS (
+  SELECT doc_id, SUM(y0) AS sy0, SUM(y1) AS sy1, SUM(yb) AS syb
+  FROM d GROUP BY doc_id
+), cagg AS (
+  SELECT doc_id, SUM(cbb) AS scb, SUM(crb) AS scr
+  FROM cval GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT yagg.doc_id AS doc_id,
        CAST(3 AS INT) AS n_frames,
        CAST(32 AS INT) AS width,
        CAST(32 AS INT) AS height,
        CAST(1 AS INT) AS b_display_idx,
-       CAST(SUM(y0) AS BIGINT) AS sum_y_idr,
-       CAST(SUM(y1) AS BIGINT) AS sum_y_p,
-       CAST(SUM(yb) AS BIGINT) AS sum_y_b,
-       CAST(32768 AS BIGINT) AS sum_cb_b,
-       CAST(32768 AS BIGINT) AS sum_cr_b
-FROM d GROUP BY doc_id
+       CAST(sy0 AS BIGINT) AS sum_y_idr,
+       CAST(sy1 AS BIGINT) AS sum_y_p,
+       CAST(syb AS BIGINT) AS sum_y_b,
+       CAST(scb AS BIGINT) AS sum_cb_b,
+       CAST(scr AS BIGINT) AS sum_cr_b
+FROM yagg JOIN cagg ON yagg.doc_id = cagg.doc_id
 """
 
 
