@@ -1,0 +1,480 @@
+"""H.264 in-loop deblocking filter (ITU-T H.264 clause 8.7) —
+frame-coded 4:2:0 baseline: the last normative decode stage of this
+codec family (the gate named in h264_inter/h264_bslice since r9).
+
+Implemented from the published spec:
+
+- boundary-strength derivation (8.7.2.1, frame macroblocks): bS 4 on
+  macroblock edges with an intra side, 3 on internal edges with an
+  intra side, 2 when either adjacent luma 4x4 block carries nonzero
+  transform coefficient levels, 1 on reference / motion-vector
+  differences (>= 4 in quarter-pel units on either component), else
+  0 (edge unfiltered);
+- the alpha / beta threshold tables and the three-row tc0 table
+  (Table 8-16), indexed by the clipped average QP of the two
+  macroblocks (slice alpha/beta offsets 0 — the PPS this family
+  writes carries no offsets). The tables are pinned structurally in
+  tests (monotone in the index, tc0 rows ordered bS1 <= bS2 <= bS3,
+  published endpoint values);
+- the normal filter (8.7.2.3): filterSampleFlag thresholds, the
+  clipped delta ((q0-p0)*4 + (p1-q1) + 4) >> 3, the p1/q1 updates
+  gated on ap/aq for luma, and the chroma tc = tc0 + 1 variant;
+- the strong filter (8.7.2.4) for bS 4: the (alpha >> 2) + 2 lumen
+  test selecting the 3-tap vs 5-tap smoothing of p0..p2 / q0..q2,
+  and the chroma 3-tap;
+- spec filtering ORDER: macroblocks in raster order, each MB's
+  vertical edges left-to-right first, then horizontal edges
+  top-to-bottom, every edge reading samples already filtered by
+  earlier edges;
+- chroma (4:2:0) edges at the luma-edge positions 0 and 8 only,
+  each chroma sample row/column taking the bS of its corresponding
+  luma segment, at the chroma QP mapping.
+
+Field coding, slice alpha/beta offsets, and B-slice bS derivation
+(two motion vectors per side) are out of scope here and raise loud
+errors where they would be reached; the encoder<->decoder contract
+is bit-exact by construction (both sides run THIS filter on the same
+exported block info), and a capability-gated ffmpeg cross-pin covers
+machines that have libavcodec.
+
+Reference parity: preprocess_parallel.sh:59-182 shells out for video;
+every real H.264 stream a corpus ingests has deblocking enabled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Table 8-16: alpha / beta thresholds, indexA/indexB 0..51
+_ALPHA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144,
+    162, 182, 203, 226, 255, 255,
+)
+_BETA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+    16, 16, 17, 17, 18, 18,
+)
+# tc0 by bS (1, 2, 3) and index 0..51
+_TC0 = (
+    (0,) * 16 + (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1,
+                 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8,
+                 9, 10, 11, 13),
+    (0,) * 16 + (0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2,
+                 2, 2, 2, 3, 3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11,
+                 12, 13, 15, 17),
+    (0,) * 16 + (0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+                 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13,
+                 14, 16, 18, 20, 23),
+)
+
+assert len(_ALPHA) == 52 and len(_BETA) == 52
+assert all(len(t) == 52 for t in _TC0)
+
+
+def make_block_info(
+    mbw: int,
+    mbh: int,
+    inter: np.ndarray | None = None,
+    nnz: np.ndarray | None = None,
+    mv: np.ndarray | None = None,
+    ref: np.ndarray | None = None,
+) -> dict:
+    """Per-4x4-block info grid for bS derivation. Defaults describe
+    an ALL-INTRA frame (inter False everywhere). ``mv`` is quarter-
+    pel (bh, bw, 2) as (mvx, mvy); ``ref`` is the refIdx grid."""
+    bh, bw = mbh * 4, mbw * 4
+    return {
+        "inter": (np.zeros((bh, bw), bool) if inter is None
+                  else np.asarray(inter, bool)),
+        "nnz": (np.zeros((bh, bw), np.int64) if nnz is None
+                else np.asarray(nnz, np.int64)),
+        "mv": (np.zeros((bh, bw, 2), np.int64) if mv is None
+               else np.asarray(mv, np.int64)),
+        "ref": (np.zeros((bh, bw), np.int64) if ref is None
+                else np.asarray(ref, np.int64)),
+    }
+
+
+def _bs(info: dict, pby: int, pbx: int, qby: int, qbx: int,
+        mb_edge: bool) -> int:
+    """Boundary strength between 4x4 blocks P (pby, pbx) and
+    Q (qby, qbx), 8.7.2.1 frame-coded."""
+    p_intra = not info["inter"][pby, pbx]
+    q_intra = not info["inter"][qby, qbx]
+    if p_intra or q_intra:
+        return 4 if mb_edge else 3
+    if info["nnz"][pby, pbx] or info["nnz"][qby, qbx]:
+        return 2
+    if info["ref"][pby, pbx] != info["ref"][qby, qbx]:
+        return 1
+    dmv = np.abs(info["mv"][pby, pbx] - info["mv"][qby, qbx])
+    if dmv.max() >= 4:
+        return 1
+    return 0
+
+
+def _clip3(lo, hi, v):
+    return np.minimum(np.maximum(v, lo), hi)
+
+
+def _filter_segment(
+    p: list[np.ndarray], q: list[np.ndarray], bs: int,
+    alpha: int, beta: int, tc0: int, chroma: bool,
+) -> None:
+    """Filter one 4-sample (luma) or 2-sample (chroma) edge segment
+    in place. ``p[k]`` / ``q[k]`` are views of the sample vectors at
+    distance k from the edge."""
+    p0, p1, p2 = p[0], p[1], p[2]
+    q0, q1, q2 = q[0], q[1], q[2]
+    fs = (
+        (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    if not fs.any():
+        return
+    if bs < 4:
+        ap = np.abs(p2 - p0) < beta
+        aq = np.abs(q2 - q0) < beta
+        if chroma:
+            tc = tc0 + 1
+        else:
+            tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
+        delta = _clip3(-tc, tc, ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3)
+        p0n = _clip3(0, 255, p0 + delta)
+        q0n = _clip3(0, 255, q0 - delta)
+        if not chroma:
+            h = (p0 + q0 + 1) >> 1
+            p1n = p1 + _clip3(-tc0, tc0, (p2 + h - 2 * p1) >> 1)
+            q1n = q1 + _clip3(-tc0, tc0, (q2 + h - 2 * q1) >> 1)
+            m = fs & ap
+            p1[m] = p1n[m]
+            m = fs & aq
+            q1[m] = q1n[m]
+        p0[fs] = p0n[fs]
+        q0[fs] = q0n[fs]
+        return
+    # bS == 4: strong filter
+    if chroma:
+        p0n = (2 * p1 + p0 + q1 + 2) >> 2
+        q0n = (2 * q1 + q0 + p1 + 2) >> 2
+        p0[fs] = p0n[fs]
+        q0[fs] = q0n[fs]
+        return
+    p3, q3 = p[3], q[3]
+    small = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+    ap = (np.abs(p2 - p0) < beta) & small
+    aq = (np.abs(q2 - q0) < beta) & small
+    p0_strong = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+    p1_strong = (p2 + p1 + p0 + q0 + 2) >> 2
+    p2_strong = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+    p0_weak = (2 * p1 + p0 + q1 + 2) >> 2
+    q0_strong = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+    q1_strong = (q2 + q1 + q0 + p0 + 2) >> 2
+    q2_strong = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+    q0_weak = (2 * q1 + q0 + p1 + 2) >> 2
+    # all candidates are computed above from PRE-filter samples, so
+    # the stores below cannot feed each other
+    mp, mw = fs & ap, fs & ~ap
+    p0[mp] = p0_strong[mp]
+    p1[mp] = p1_strong[mp]
+    p2[mp] = p2_strong[mp]
+    p0[mw] = p0_weak[mw]
+    mq, mqw = fs & aq, fs & ~aq
+    q0[mq] = q0_strong[mq]
+    q1[mq] = q1_strong[mq]
+    q2[mq] = q2_strong[mq]
+    q0[mqw] = q0_weak[mqw]
+
+
+def _edge_luma(y: np.ndarray, info: dict, qp: int, x: int | None,
+               yrow: int | None, mby: int, mbx: int) -> None:
+    """Filter one luma MB edge column (x given) or row (yrow given)
+    spanning the 16 samples of macroblock (mby, mbx)."""
+    idx = min(max(qp, 0), 51)
+    alpha, beta = _ALPHA[idx], _BETA[idx]
+    if alpha == 0 or beta == 0:
+        return
+    if x is not None:
+        mb_edge = x % 16 == 0
+        for seg in range(4):  # 4-row segments = 4x4 block pairs
+            r0 = mby * 16 + seg * 4
+            pb = (r0 // 4, (x - 1) // 4)
+            qb = (r0 // 4, x // 4)
+            bs = _bs(info, pb[0], pb[1], qb[0], qb[1], mb_edge)
+            if bs == 0:
+                continue
+            rows = slice(r0, r0 + 4)
+            p = [y[rows, x - 1 - k] for k in range(4)]
+            q = [y[rows, x + k] for k in range(4)]
+            _filter_segment(p, q, bs, alpha, beta,
+                            _TC0[bs - 1][idx] if bs < 4 else 0,
+                            chroma=False)
+    else:
+        mb_edge = yrow % 16 == 0
+        for seg in range(4):
+            c0 = mbx * 16 + seg * 4
+            pb = ((yrow - 1) // 4, c0 // 4)
+            qb = (yrow // 4, c0 // 4)
+            bs = _bs(info, pb[0], pb[1], qb[0], qb[1], mb_edge)
+            if bs == 0:
+                continue
+            cols = slice(c0, c0 + 4)
+            p = [y[yrow - 1 - k, cols] for k in range(4)]
+            q = [y[yrow + k, cols] for k in range(4)]
+            _filter_segment(p, q, bs, alpha, beta,
+                            _TC0[bs - 1][idx] if bs < 4 else 0,
+                            chroma=False)
+
+
+def _edge_chroma(c: np.ndarray, info: dict, qpc: int, x: int | None,
+                 yrow: int | None, mby: int, mbx: int) -> None:
+    """Filter one chroma MB edge (chroma coordinates; 4:2:0). bS is
+    taken from the corresponding luma segments (luma pos = 2x)."""
+    idx = min(max(qpc, 0), 51)
+    alpha, beta = _ALPHA[idx], _BETA[idx]
+    if alpha == 0 or beta == 0:
+        return
+    if x is not None:
+        mb_edge = (2 * x) % 16 == 0
+        for seg in range(4):  # 2-row chroma segments per luma block
+            r0 = mby * 8 + seg * 2
+            lby = (2 * r0) // 4
+            pb = (lby, (2 * x - 1) // 4)
+            qb = (lby, (2 * x) // 4)
+            bs = _bs(info, pb[0], pb[1], qb[0], qb[1], mb_edge)
+            if bs == 0:
+                continue
+            rows = slice(r0, r0 + 2)
+            p = [c[rows, x - 1 - k] for k in range(2)] + [None]
+            q = [c[rows, x + k] for k in range(2)] + [None]
+            # chroma never reads p2/q2 in the normal path, but the
+            # shared helper indexes them — alias p1/q1 (unused)
+            p[2], q[2] = p[1], q[1]
+            _filter_segment(p, q, bs, alpha, beta,
+                            _TC0[bs - 1][idx] if bs < 4 else 0,
+                            chroma=True)
+    else:
+        mb_edge = (2 * yrow) % 16 == 0
+        for seg in range(4):
+            c0 = mbx * 8 + seg * 2
+            lbx = (2 * c0) // 4
+            pb = ((2 * yrow - 1) // 4, lbx)
+            qb = ((2 * yrow) // 4, lbx)
+            bs = _bs(info, pb[0], pb[1], qb[0], qb[1], mb_edge)
+            if bs == 0:
+                continue
+            cols = slice(c0, c0 + 2)
+            p = [c[yrow - 1 - k, cols] for k in range(2)] + [None]
+            q = [c[yrow + k, cols] for k in range(2)] + [None]
+            p[2], q[2] = p[1], q[1]
+            _filter_segment(p, q, bs, alpha, beta,
+                            _TC0[bs - 1][idx] if bs < 4 else 0,
+                            chroma=True)
+
+
+def deblock_frame(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qp: int,
+    info: dict | None = None,
+    qpc: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Apply the 8.7 deblocking filter to a reconstructed frame and
+    return new planes. ``info`` from make_block_info (None =
+    all-intra). ``qp`` is the (single) slice QP — this codec family
+    writes one QP per slice and no mb_qp_delta in inter frames, so
+    the edge-average QP equals it. ``qpc`` overrides the chroma QP
+    (defaults to the Table 8-15 mapping used by the codec)."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+        _chroma_qp,
+    )
+
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise ValueError("deblocking needs whole macroblocks")
+    mbh, mbw = h // 16, w // 16
+    if info is None:
+        info = make_block_info(mbw, mbh)
+    if qpc is None:
+        qpc = _chroma_qp(qp)
+    y = y.astype(np.int64).copy()
+    cb = cb.astype(np.int64).copy()
+    cr = cr.astype(np.int64).copy()
+    for mby in range(mbh):
+        for mbx in range(mbw):
+            # vertical edges, left to right
+            for ex in range(4):
+                x = mbx * 16 + ex * 4
+                if x == 0:
+                    continue  # picture edge is never filtered
+                _edge_luma(y, info, qp, x, None, mby, mbx)
+            for ex in (0, 2):  # chroma vertical edges (luma 0 and 8)
+                cx = mbx * 8 + ex * 2
+                if cx == 0:
+                    continue
+                _edge_chroma(cb, info, qpc, cx, None, mby, mbx)
+                _edge_chroma(cr, info, qpc, cx, None, mby, mbx)
+            # horizontal edges, top to bottom
+            for ey in range(4):
+                yy = mby * 16 + ey * 4
+                if yy == 0:
+                    continue
+                _edge_luma(y, info, qp, None, yy, mby, mbx)
+            for ey in (0, 2):
+                cyr = mby * 8 + ey * 2
+                if cyr == 0:
+                    continue
+                _edge_chroma(cb, info, qpc, None, cyr, mby, mbx)
+                _edge_chroma(cr, info, qpc, None, cyr, mby, mbx)
+    return (
+        y.astype(np.uint8),
+        cb.astype(np.uint8),
+        cr.astype(np.uint8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark surface (m42): oracle-exact deblocked decode
+# ---------------------------------------------------------------------------
+#
+# Fixture design notes (the tension this resolves: the filter only
+# acts at QPs where coding is lossy, but the oracle needs exact
+# plateaus): at QP 28 the Intra_16x16 DC path of this codec is exact
+# for EVERY per-MB-constant luma value and every EVEN chroma value
+# (probed exhaustively; pinned in tests), while alpha/beta at index
+# 28 are 20/7 — so a 1-MB-wide stacked frame gives closed-form
+# filtered output: only the horizontal MB edges act, on constant
+# plateaus, with the edge classes (strong 3-tap run, weak p0-only,
+# unfiltered) selected by the formula deltas.
+
+
+def _m42_values(d: int) -> tuple[list[int], list[int], list[int]]:
+    """Per-MB plateau values for doc d: 4 stacked MBs, luma any
+    value, chroma even (the QP-28 exact lattice); edge deltas span
+    all three filter classes (|D| < 7 strong, 7..19 weak p0-only,
+    >= 20 untouched at alpha 20)."""
+    v = [108 + d % 40]
+    cb = [128 + 2 * (d % 20 - 10)]
+    cr = [120 + 2 * (d % 24 - 12)]
+    for e in range(3):
+        v.append(v[-1] + (d * 7 + e * 11) % 45 - 22)
+        cb.append(cb[-1] + 2 * ((d * 5 + e * 13) % 23 - 11))
+        cr.append(cr[-1] + 2 * ((d * 3 + e * 17) % 23 - 11))
+    return v, cb, cr
+
+
+def synthesize_h264_deblock_clips(docs, id_col: str = "doc_id"):
+    """Per-document 2-frame 16x64 sequence with IN-LOOP DEBLOCKING
+    (disable_deblocking_filter_idc 0): a QP-28 Intra_16x16 IDR of 4
+    stacked per-MB-constant plateaus (exact at QP 28 — see module
+    notes), then a P frame of explicit zero-MV zero-residual
+    macroblocks predicting from the FILTERED anchor (in-loop
+    semantics: the reference is the deblocked frame; every P edge
+    derives bS 0, so frame 2 must equal the filtered anchor
+    bit-for-bit)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        encode_h264_p_gop,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+        encode_h264_i16x16,
+    )
+
+    out_schema = f"{id_col} long, content binary"
+
+    def build(batches) -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                v, cbv, crv = _m42_values(i)
+                y = np.zeros((64, 16), np.uint8)
+                cb = np.zeros((32, 8), np.uint8)
+                cr = np.zeros((32, 8), np.uint8)
+                for m in range(4):
+                    y[m * 16 : m * 16 + 16] = v[m]
+                    cb[m * 8 : m * 8 + 8] = cbv[m]
+                    cr[m * 8 : m * 8 + 8] = crv[m]
+                _, ry, rcb, rcr = encode_h264_i16x16(y, cb, cr, qp=28)
+                if not (np.array_equal(ry, y)
+                        and np.array_equal(rcb, cb)
+                        and np.array_equal(rcr, cr)):
+                    raise AssertionError(
+                        f"doc {i}: QP-28 plateau lattice not exact"
+                    )
+                target2 = deblock_frame(ry, rcb, rcr, 28)
+                specs = [("16x16", [(0, 0)])] * 4
+                stream, recons = encode_h264_p_gop(
+                    [(y, cb, cr), target2], [specs], qp=28,
+                    deblock=True,
+                )
+                for a, b in zip(recons[1], target2):
+                    if not np.array_equal(a, b):
+                        raise AssertionError(
+                            f"doc {i}: P frame != filtered anchor"
+                        )
+                ids.append(i)
+                blobs.append(stream)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(build, out_schema)
+
+
+def h264_deblock_features(
+    media,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+):
+    """Decode the deblocked sequences and emit plane sums of the
+    FILTERED anchor plus the P==filtered-anchor in-loop invariant."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        decode_h264_sequence,
+    )
+
+    out_schema = (
+        f"{id_col} long, n_frames int, width int, height int,"
+        " sum_y long, sum_cb long, sum_cr long,"
+        " p_equals_filtered_idr boolean"
+    )
+
+    def feat(batches) -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf[id_col], pdf[content_col]):
+                frames = decode_h264_sequence(bytes(content))
+                y, cb, cr = frames[0]
+                same = all(
+                    np.array_equal(a, b)
+                    for a, b in zip(frames[0], frames[1])
+                )
+                rows.append(
+                    (int(i), len(frames), int(y.shape[1]),
+                     int(y.shape[0]), int(y.sum()), int(cb.sum()),
+                     int(cr.sum()), bool(same))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "width", "height",
+                         "sum_y", "sum_cb", "sum_cr",
+                         "p_equals_filtered_idr"],
+            )
+
+    return media.mapInPandas(feat, out_schema)

@@ -53,8 +53,14 @@ Distinct Cb/Cr explicit weights (wcr/ocr per reference) are
 supported end-to-end, including wcr-only entries (writer and
 resolver both fall back Cb = wcr per chroma_weight_flag semantics).
 
+IN-LOOP DEBLOCKING (r10): encode_h264_p_gop(deblock=True) writes
+disable_deblocking_filter_idc 0 and both sides run the clause-8.7
+filter (h264_deblock.py) over the exported per-4x4 block info —
+filtered frames are the DPB references, per spec.
+
 Declared gates (raise, never silent): >2 reference frames, CABAC
-inter. B slices live in h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
+inter, slice-boundary deblocking control (idc 2) and alpha/beta
+slice offsets. B slices live in h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
 construction (pinned across QPs, partition shapes, sub-partition
 splits, intra-in-P placements, ref_idx patterns and quarter-pel
 fractions in tests/test_h264_inter.py); a capability-gated ffmpeg
@@ -504,9 +510,21 @@ def _copy_bits(r: _BitR, w: _BitW, rbsp: bytes) -> None:
     w.trailing()
 
 
-def _idr_slice_add_idc(rbsp: bytes, qp: int) -> bytes:
+def _idr_slice_qp(rbsp: bytes) -> int:
+    """Slice QP of a (control-PPS-stripped) IDR slice: 26 +
+    pic_init_qp_minus26 (0 in this family) + slice_qp_delta."""
+    r = _BitR(rbsp)
+    r.ue(), r.ue(), r.ue()
+    r.u(4)
+    r.ue()
+    r.u(1), r.u(1)
+    return 26 + r.se()
+
+
+def _idr_slice_add_idc(rbsp: bytes, qp: int, idc: int = 1) -> bytes:
     """Re-header the proven intra encoder's IDR slice for the
-    deblocking-control PPS: same fields + disable_deblocking idc."""
+    deblocking-control PPS: same fields + disable_deblocking idc
+    (1 = filter off; 0 = in-loop deblocking enabled, h264_deblock)."""
     r = _BitR(rbsp)
     first_mb, stype, ppsid = r.ue(), r.ue(), r.ue()
     frame_num = r.u(4)
@@ -522,15 +540,15 @@ def _idr_slice_add_idc(rbsp: bytes, qp: int) -> bytes:
     w.u(noout, 1)
     w.u(longterm, 1)
     w.se(qpd)
-    w.ue(1)  # disable_deblocking_filter_idc
+    w.ue(idc)  # disable_deblocking_filter_idc
     _copy_bits(r, w, rbsp)
     return w.bytes_()
 
 
-def _idr_slice_strip_idc(rbsp: bytes) -> bytes:
+def _idr_slice_strip_idc(rbsp: bytes) -> tuple[bytes, int]:
     """Inverse of _idr_slice_add_idc: drop the idc so the slice can
     be delegated to h264_intra.decode_h264_frame (whose PPS has no
-    deblocking control field)."""
+    deblocking control field). Returns (rbsp, idc)."""
     r = _BitR(rbsp)
     fields = (r.ue(), r.ue(), r.ue())
     frame_num = r.u(4)
@@ -538,8 +556,10 @@ def _idr_slice_strip_idc(rbsp: bytes) -> bytes:
     noout, longterm = r.u(1), r.u(1)
     qpd = r.se()
     idc = r.ue()
-    if idc != 1:
-        raise ValueError(f"expected disable_deblocking idc 1, got {idc}")
+    if idc not in (0, 1):
+        raise NotImplementedError(
+            f"disable_deblocking_filter_idc {idc} (slice-boundary "
+            "control 2 unsupported)")
     w = _BitW()
     for v in fields:
         w.ue(v)
@@ -549,7 +569,7 @@ def _idr_slice_strip_idc(rbsp: bytes) -> bytes:
     w.u(longterm, 1)
     w.se(qpd)
     _copy_bits(r, w, rbsp)
-    return w.bytes_()
+    return w.bytes_(), idc
 
 
 def _norm_p_weights(weights: dict, num_refs: int) -> dict:
@@ -644,7 +664,7 @@ def _parse_pwt_p(r: _BitR, nra: int) -> dict:
 
 def _p_slice_header(
     sl: _BitW, qp: int, frame_num: int = 1, num_refs_active: int = 1,
-    wtab: dict | None = None,
+    wtab: dict | None = None, deblock_idc: int = 1,
 ) -> None:
     sl.ue(0)  # first_mb_in_slice
     sl.ue(5)  # slice_type: P (all slices)
@@ -660,13 +680,14 @@ def _p_slice_header(
         _write_pwt_p(sl, wtab, num_refs_active)
     sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
     sl.se(qp - 26)  # slice_qp_delta
-    sl.ue(1)  # disable_deblocking_filter_idc
+    sl.ue(deblock_idc)  # disable_deblocking_filter_idc
 
 
 def _parse_p_slice_header(
     r: _BitR, weighted_pred: bool = False
-) -> tuple[int, int, dict | None]:
-    """Returns (slice_qp, num_ref_idx_l0_active, weights-or-None)."""
+) -> tuple[int, int, dict | None, int]:
+    """Returns (slice_qp, num_ref_idx_l0_active, weights-or-None,
+    disable_deblocking_filter_idc)."""
     r.ue()  # first_mb
     stype = r.ue()
     if stype % 5 != 0:
@@ -690,8 +711,12 @@ def _parse_p_slice_header(
     if r.u(1):
         raise NotImplementedError("adaptive ref marking unsupported")
     qp = 26 + r.se()
-    r.ue()  # disable_deblocking_filter_idc
-    return qp, nra, weights
+    idc = r.ue()  # disable_deblocking_filter_idc
+    if idc not in (0, 1):
+        raise NotImplementedError(
+            f"disable_deblocking_filter_idc {idc} (slice-boundary "
+            "control 2 unsupported)")
+    return qp, nra, weights, idc
 
 
 # ---------------------------------------------------------------------------
@@ -1350,6 +1375,7 @@ def _encode_p_frame(
     frame_num: int,
     nra: int,
     wtab: dict | None = None,
+    deblock_idc: int = 1,
 ) -> tuple[bytes, tuple, dict]:
     """Encode one CAVLC P slice against the decoded reference list
     (most recent first). Returns (slice_rbsp, recon_planes,
@@ -1372,7 +1398,7 @@ def _encode_p_frame(
     pweights = _resolve_p_weights(wtab) if wtab is not None else None
 
     sl = _BitW()
-    _p_slice_header(sl, qp, frame_num, nra, wtab)
+    _p_slice_header(sl, qp, frame_num, nra, wtab, deblock_idc)
     skip_run = 0
 
     for my in range(mbh):
@@ -1522,7 +1548,9 @@ def _encode_p_frame(
         rcb.astype(np.uint8),
         rcr.astype(np.uint8),
     )
-    return sl.bytes_(), recon, mvs.export()
+    motion = mvs.export()
+    motion["nnz"] = luma_nnz.copy()
+    return sl.bytes_(), recon, motion
 
 
 def encode_h264_p_gop(
@@ -1531,6 +1559,7 @@ def encode_h264_p_gop(
     qp: int = 0,
     num_refs: int = 1,
     weights: dict | None = None,
+    deblock: bool = False,
 ) -> tuple[bytes, list]:
     """Encode a GOP: frames[0] becomes an Intra_16x16 IDR anchor (the
     proven CAVLC encoder, re-headered for the deblocking-control
@@ -1574,7 +1603,7 @@ def encode_h264_p_gop(
     idr_rbsp = next(
         _ep_remove(n[1:]) for n in nals if (n[0] & 0x1F) == 5
     )
-    idr2 = _idr_slice_add_idc(idr_rbsp, qp)
+    idr2 = _idr_slice_add_idc(idr_rbsp, qp, idc=0 if deblock else 1)
     wtab = (
         _norm_p_weights(weights, num_refs) if weights is not None
         else None
@@ -1584,15 +1613,35 @@ def encode_h264_p_gop(
         + _nal(3, 8, _pps_rbsp_deblock(weighted_pred=wtab is not None))
         + _nal(3, 5, idr2)
     )
-    recons = [(r0y, r0cb, r0cr)]
-    refs = [(r0y, r0cb, r0cr)]
+    anchor = (r0y, r0cb, r0cr)
+    if deblock:
+        # in-loop: the FILTERED reconstruction is the reference
+        from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+            deblock_frame,
+        )
+
+        anchor = deblock_frame(r0y, r0cb, r0cr, qp)  # all-intra info
+    recons = [anchor]
+    refs = [anchor]
     for fi, (target, specs) in enumerate(zip(frames[1:], specs_per_p), 1):
         if len(specs) != mbw * mbh:
             raise ValueError("one mb_spec per macroblock required")
         nra = min(num_refs, len(refs))
-        rbsp, recon, _motion = _encode_p_frame(
-            target, refs[:nra], specs, qp, fi, nra, wtab
+        rbsp, recon, motion = _encode_p_frame(
+            target, refs[:nra], specs, qp, fi, nra, wtab,
+            deblock_idc=0 if deblock else 1,
         )
+        if deblock:
+            from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+                deblock_frame,
+                make_block_info,
+            )
+
+            info = make_block_info(
+                mbw, mbh, inter=motion["inter"], nnz=motion["nnz"],
+                mv=motion["mv"], ref=motion["ref"],
+            )
+            recon = deblock_frame(*recon, qp, info)
         stream += _nal(2, 1, rbsp)
         recons.append(recon)
         refs.insert(0, recon)
@@ -1671,28 +1720,54 @@ def decode_h264_sequence(
         elif ntype == 5:
             if sps is None:
                 raise ValueError("IDR before SPS")
-            idr_rbsp = (
-                _idr_slice_strip_idc(rbsp) if deblock_present else rbsp
-            )
+            idc = 1
+            idr_rbsp = rbsp
+            if deblock_present:
+                idr_rbsp, idc = _idr_slice_strip_idc(rbsp)
             sub = (
                 _nal(3, 7, sps_rbsp)
                 + _nal(3, 8, _pps_plain())
                 + _nal(3, 5, idr_rbsp)
             )
             frame = decode_h264_frame(sub)
+            if idc == 0:
+                from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+                    deblock_frame,
+                )
+
+                frame = deblock_frame(*frame, _idr_slice_qp(idr_rbsp))
             frames.append(frame)
             refs = [frame]  # IDR resets the DPB
         elif ntype == 1:
             if not refs:
                 raise ValueError("P slice before any reference frame")
             r = _BitR(rbsp)
-            qp, nra, pw = _parse_p_slice_header(r, weighted_pred)
+            qp, nra, pw, idc = _parse_p_slice_header(r, weighted_pred)
             if nra > len(refs):
                 raise ValueError(
                     f"{nra} active references but only {len(refs)} "
                     "decoded"
                 )
-            frame = _decode_p_frame(r, sps, qp, refs, nra, weights=pw)
+            if idc == 0:
+                from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+                    deblock_frame,
+                    make_block_info,
+                )
+
+                frame, motion = _decode_p_frame(
+                    r, sps, qp, refs, nra, weights=pw,
+                    return_motion=True,
+                )
+                info = make_block_info(
+                    sps["mbw"], sps["mbh"], inter=motion["inter"],
+                    nnz=motion["nnz"], mv=motion["mv"],
+                    ref=motion["ref"],
+                )
+                frame = deblock_frame(*frame, qp, info)
+            else:
+                frame = _decode_p_frame(
+                    r, sps, qp, refs, nra, weights=pw
+                )
             frames.append(frame)
             if (nal[0] >> 5) & 3:  # nal_ref_idc: reference picture
                 refs.insert(0, frame)
@@ -1833,7 +1908,11 @@ def _decode_p_frame(
         rcb.astype(np.uint8),
         rcr.astype(np.uint8),
     )
-    return (planes, mvs.export()) if return_motion else planes
+    if return_motion:
+        export = mvs.export()
+        export["nnz"] = luma_nnz.copy()
+        return planes, export
+    return planes
 
 
 # ---------------------------------------------------------------------------

@@ -272,6 +272,7 @@ _RECHECK_R9_FOLDED = [
 _ADDED_R10 = [
     "m40_h264_mp4",
     "m41_mp3_intensity",
+    "m42_h264_deblock",
 ]
 
 

@@ -2208,6 +2208,109 @@ FROM yagg JOIN cagg ON yagg.doc_id = cagg.doc_id
 
 
 
+def m42_h264_deblock(spark, sf_dir):
+    """M42: H.264 IN-LOOP DEBLOCKING (multimodal/h264_deblock.py,
+    clause 8.7) — the last normative decode stage, r10. Per document
+    a 2-frame 16x64 sequence with disable_deblocking_filter_idc 0: a
+    QP-28 Intra_16x16 IDR of four stacked per-MB-constant plateaus
+    (QP 28 is the exact lattice: every luma value and every even
+    chroma value codes losslessly — probed exhaustively, pinned in
+    pytest — while alpha/beta at index 28 are 20/7, so the filter
+    genuinely fires), then a P frame of explicit zero-MV
+    zero-residual macroblocks predicting from the FILTERED anchor.
+    The formula deltas span all three edge classes (strong 3-tap run
+    |D| < 7, weak p0-only 7..19, untouched >= 20), and the oracle
+    recomputes the filtered sums in closed form INCLUDING the
+    second-order pass (the spec's sequential edge order makes the
+    next internal bS-3 edge re-adjust q2 by clip3(+-tc0) — a real
+    8.7 subtlety the SQL reproduces). p_equals_filtered_idr pins the
+    in-loop semantics: the P frame must equal the deblocked anchor
+    bit-for-bit (bS 0 on every P edge). Narrow scan -> mapInPandas,
+    zero shuffle; one task per video shard at 100 TB."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (
+        h264_deblock_features,
+        synthesize_h264_deblock_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_deblock_clips(d, id_col="doc_id")
+    return h264_deblock_features(media)
+
+
+M42_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         108 + doc_id % 40 AS v0,
+         (doc_id * 7) % 45 - 22 AS dv0,
+         (doc_id * 7 + 11) % 45 - 22 AS dv1,
+         (doc_id * 7 + 22) % 45 - 22 AS dv2,
+         128 + 2 * (doc_id % 20 - 10) AS b0,
+         2 * ((doc_id * 5) % 23 - 11) AS db0,
+         2 * ((doc_id * 5 + 13) % 23 - 11) AS db1,
+         2 * ((doc_id * 5 + 26) % 23 - 11) AS db2,
+         120 + 2 * (doc_id % 24 - 12) AS r0,
+         2 * ((doc_id * 3) % 23 - 11) AS dr0,
+         2 * ((doc_id * 3 + 17) % 23 - 11) AS dr1,
+         2 * ((doc_id * 3 + 34) % 23 - 11) AS dr2
+  FROM documents
+), vals AS (
+  SELECT doc_id,
+         v0, v0 + dv0 AS v1, v0 + dv0 + dv1 AS v2,
+         v0 + dv0 + dv1 + dv2 AS v3,
+         b0, b0 + db0 AS b1, b0 + db0 + db1 AS b2,
+         b0 + db0 + db1 + db2 AS b3,
+         r0, r0 + dr0 AS r1, r0 + dr0 + dr1 AS r2,
+         r0 + dr0 + dr1 + dr2 AS r3
+  FROM base
+), edges AS (
+  SELECT doc_id, e.e AS e,
+         CASE e.e WHEN 0 THEN v0 WHEN 1 THEN v1 ELSE v2 END AS lp,
+         CASE e.e WHEN 0 THEN v1 WHEN 1 THEN v2 ELSE v3 END AS lq,
+         CASE e.e WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END AS bp,
+         CASE e.e WHEN 0 THEN b1 WHEN 1 THEN b2 ELSE b3 END AS bq,
+         CASE e.e WHEN 0 THEN r0 WHEN 1 THEN r1 ELSE r2 END AS rp,
+         CASE e.e WHEN 0 THEN r1 WHEN 1 THEN r2 ELSE r3 END AS rq
+  FROM vals, UNNEST(range(0, 3)) AS e(e)
+), adj AS (
+  SELECT doc_id,
+         CASE WHEN ABS(lq - lp) >= 20 THEN 0
+           WHEN ABS(lq - lp) < 7 THEN 16 * (
+             ((5 * lp + 3 * lq + 4) >> 3) + ((3 * lp + lq + 2) >> 2)
+             + ((7 * lp + lq + 4) >> 3)
+             + ((5 * lq + 3 * lp + 4) >> 3) + ((3 * lq + lp + 2) >> 2)
+             + ((7 * lq + lp + 4) >> 3)
+             + GREATEST(-2, LEAST(2,
+                 (((3 * lq + lp + 2) >> 2) + lq
+                  - 2 * ((7 * lq + lp + 4) >> 3)) >> 1))
+             - 3 * lp - 3 * lq)
+           ELSE 16 * (((3 * lp + lq + 2) >> 2)
+                      + ((3 * lq + lp + 2) >> 2) - lp - lq)
+         END AS al,
+         CASE WHEN ABS(bq - bp) >= 20 THEN 0
+           ELSE 8 * (((3 * bp + bq + 2) >> 2)
+                     + ((3 * bq + bp + 2) >> 2) - bp - bq)
+         END AS ab,
+         CASE WHEN ABS(rq - rp) >= 20 THEN 0
+           ELSE 8 * (((3 * rp + rq + 2) >> 2)
+                     + ((3 * rq + rp + 2) >> 2) - rp - rq)
+         END AS ar
+  FROM edges
+), asum AS (
+  SELECT doc_id, SUM(al) AS sal, SUM(ab) AS sab, SUM(ar) AS sar
+  FROM adj GROUP BY doc_id
+)
+SELECT vals.doc_id AS doc_id,
+       CAST(2 AS INT) AS n_frames,
+       CAST(16 AS INT) AS width,
+       CAST(64 AS INT) AS height,
+       CAST(256 * (v0 + v1 + v2 + v3) + sal AS BIGINT) AS sum_y,
+       CAST(64 * (b0 + b1 + b2 + b3) + sab AS BIGINT) AS sum_cb,
+       CAST(64 * (r0 + r1 + r2 + r3) + sar AS BIGINT) AS sum_cr,
+       TRUE AS p_equals_filtered_idr
+FROM vals JOIN asum ON vals.doc_id = asum.doc_id
+"""
+
+
 def m38_jpeg_hierarchical(spark, sf_dir):
     """M38: JPEG HIERARCHICAL mode (T.81 Annex J,
     multimodal/jpeg_hier.py) — the last JPEG coding-mode gap: a DHP
@@ -2583,6 +2686,7 @@ QUERIES = {
     "m37_h264_bslice": m37_h264_bslice,
     "m40_h264_mp4": m40_h264_mp4,
     "m41_mp3_intensity": m41_mp3_intensity,
+    "m42_h264_deblock": m42_h264_deblock,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m39_mp3_subband": m39_mp3_subband,
     "e13_video_shard_pipeline": e13_video_shard_pipeline,
@@ -2623,6 +2727,7 @@ ORACLE = {
     "m37_h264_bslice": M37_SQL,
     "m40_h264_mp4": _m40_sql(),
     "m41_mp3_intensity": M41_SQL,
+    "m42_h264_deblock": M42_SQL,
     "m38_jpeg_hierarchical": M38_SQL,
     "m39_mp3_subband": M39_SQL,
     "e13_video_shard_pipeline": E13_SQL,
