@@ -273,6 +273,7 @@ _ADDED_R10 = [
     "m40_h264_mp4",
     "m41_mp3_intensity",
     "m42_h264_deblock",
+    "e14_audio_shard_pipeline",
 ]
 
 

@@ -2614,6 +2614,81 @@ FROM perdoc GROUP BY 1
 
 
 
+def e14_audio_shard_pipeline(spark, sf_dir):
+    """E14: the COMPOSED AUDIO corpus pipeline — e13's sibling for
+    the audio stack, in the WebDataset shape an audio training
+    corpus uses: per-document mono MP3 Layer III streams (the m34
+    fixture: live bit reservoir, scfsi-free long-block granules,
+    Huffman tables 1/2/3/5/6) are packed 25-per-shard into REAL
+    USTAR tar archives, then the pipeline reverses the whole stack —
+    tar member walk, MPEG frame-header hop, bit-reservoir
+    reassembly across frames, side info, scalefactors, Annex B
+    Huffman decode down to integer spectral lines — and pins exact
+    per-shard reassembly with an ORDER-PINNED md5 over per-document
+    order-weighted spectral checksums. Any bit-level bug anywhere in
+    the container, framing or entropy chain breaks the hash. Shape
+    at 100 TB: ONE pack shuffle (groupBy shard), a deliberate
+    re-spread after it (the e13 AQE-coalesce lesson), then a single
+    narrow decode+aggregate task per shard."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.multimodal.mp3_shard_helpers import (  # noqa: E501
+        decode_mp3_shard_features,
+        pack_mp3_shard,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        synthesize_mp3_l3_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_mp3_l3_clips(d, id_col="doc_id")
+    shards = (
+        media.withColumn(
+            "shard_id", (F.col("doc_id") / 25).cast("long")
+        )
+        .groupBy("shard_id")
+        .applyInPandas(pack_mp3_shard, "shard_id long, tar binary")
+    )
+    ncores = spark.sparkContext.defaultParallelism
+    return decode_mp3_shard_features(shards.repartition(ncores))
+
+
+E14_SQL = """
+WITH g AS (
+  SELECT doc_id, k.k AS k,
+         40 + (doc_id * 7 + k.k * 11) % 30 AS big,
+         8 + (doc_id + k.k) % 8 AS c1,
+         CASE WHEN 1 + (doc_id + k.k) % 3 = 1 THEN 1 ELSE 2 END AS m0
+  FROM documents, UNNEST(range(0, 10)) AS k(k)
+  WHERE k.k < 2 * (3 + doc_id % 3)
+), v AS (
+  SELECT doc_id, k, i.i AS i,
+         CASE
+           WHEN i.i < 24 THEN
+             (doc_id + k + i.i * 3) % (2 * m0 + 1) - m0
+           WHEN i.i < 2 * big THEN
+             (doc_id * 3 + k * 5 + i.i * 7) % 7 - 3
+           ELSE (doc_id + k + (i.i - 2 * big)) % 3 - 1
+         END AS val
+  FROM g, UNNEST(range(0, 576)) AS i(i)
+  WHERE i.i < 2 * big + 4 * c1
+), perdoc AS (
+  SELECT doc_id,
+         CAST(2 * (3 + doc_id % 3) AS BIGINT) AS n_granules,
+         CAST(SUM(val * (i + 1) * (k + 1)) AS BIGINT) AS wsum
+  FROM v GROUP BY doc_id
+)
+SELECT CAST(doc_id // 25 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_granules) AS BIGINT) AS n_granules_total,
+       CAST(SUM(wsum) AS BIGINT) AS wsum_total,
+       md5(string_agg(doc_id || ':' || wsum, '|' ORDER BY doc_id))
+         AS docs_md5
+FROM perdoc GROUP BY 1
+"""
+
+
 def m31_lzma_alone(spark, sf_dir):
     """M31: LZMA decode from scratch (sources/lzma_alone.py) — the
     deepest entropy coder in the repo: an adaptive binary RANGE CODER
@@ -2690,6 +2765,7 @@ QUERIES = {
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m39_mp3_subband": m39_mp3_subband,
     "e13_video_shard_pipeline": e13_video_shard_pipeline,
+    "e14_audio_shard_pipeline": e14_audio_shard_pipeline,
     "m31_lzma_alone": m31_lzma_alone,
 }
 
@@ -2731,5 +2807,6 @@ ORACLE = {
     "m38_jpeg_hierarchical": M38_SQL,
     "m39_mp3_subband": M39_SQL,
     "e13_video_shard_pipeline": E13_SQL,
+    "e14_audio_shard_pipeline": E14_SQL,
     "m31_lzma_alone": M31_SQL,
 }

@@ -541,3 +541,52 @@ def test_intensity_stereo_short_blocks():
     gs7 = [left, right7, mk(6, 2), right7]
     d7 = decode_mp3_l3(encode_mp3_l3(gs7, nch=2, intensity=True))
     np.testing.assert_allclose(d7["granules"][0]["xr"], xl)
+
+
+def test_e14_shard_pack_decode_pair():
+    """mp3_shard_helpers: tar pack -> full Layer III decode round
+    trip with order-pinned member naming (the e14 pipeline unit)."""
+    import hashlib
+
+    import pandas as pd
+
+    from neuroimaging_data_pipeline_spark.multimodal.mp3_shard_helpers import (  # noqa: E501
+        pack_mp3_shard,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        _fixture_granule, encode_mp3_l3,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.tar import parse_tar
+
+    docs = [3, 1, 7]  # deliberately unsorted
+    blobs = {
+        d: encode_mp3_l3([_fixture_granule(d, k)
+                          for k in range(2 * (3 + d % 3))])
+        for d in docs
+    }
+    pdf = pd.DataFrame({
+        "shard_id": [0] * 3,
+        "doc_id": docs,
+        "content": [blobs[d] for d in docs],
+    })
+    out = pack_mp3_shard(pdf)
+    members = list(parse_tar(bytes(out["tar"].iloc[0])))
+    assert [m[0] for m in members] == [
+        "00000001.mp3", "00000003.mp3", "00000007.mp3"
+    ]
+    for name, data in members:
+        d = int(name.split(".")[0])
+        assert bytes(data) == blobs[d]
+    # decode path: weighted checksum matches a direct decode
+    wsums = {}
+    for name, data in members:
+        out_d = decode_mp3_l3(bytes(data))
+        assert out_d["reservoir_used"]
+        w = sum(v * (i + 1) * (k + 1)
+                for k, g in enumerate(out_d["granules"])
+                for i, v in enumerate(g["lines"]) if v)
+        wsums[int(name.split(".")[0])] = w
+    digest = hashlib.md5(
+        "|".join(f"{d}:{wsums[d]}" for d in sorted(docs)).encode()
+    ).hexdigest()
+    assert len(digest) == 32
