@@ -957,8 +957,10 @@ def _parse_slice_header_cabac(r: _BitR) -> int:
     stype = r.ue()
     if stype % 5 != 2:
         raise NotImplementedError(
-            f"slice_type {stype} — only I slices are implemented; "
-            "inter prediction stays gated on ffmpeg"
+            f"slice_type {stype} — this entry point decodes I "
+            "slices; CABAC P slices live in h264_cabac_inter.py "
+            "(machinery complete; the 9.3.1.1 P-column init data is "
+            "the remaining gate)"
         )
     r.ue()  # pps id
     r.u(4)  # frame_num

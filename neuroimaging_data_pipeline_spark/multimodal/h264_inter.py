@@ -58,9 +58,12 @@ disable_deblocking_filter_idc 0 and both sides run the clause-8.7
 filter (h264_deblock.py) over the exported per-4x4 block info —
 filtered frames are the DPB references, per spec.
 
-Declared gates (raise, never silent): >2 reference frames, CABAC
-inter, slice-boundary deblocking control (idc 2) and alpha/beta
-slice offsets. B slices live in h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
+Declared gates (raise, never silent): >2 reference frames,
+slice-boundary deblocking control (idc 2) and alpha/beta slice
+offsets. CABAC P-slice MACHINERY is complete in h264_cabac_inter.py
+(binarizations, neighbor contexts, full slice round trips); its
+remaining gate is the 9.3.1.1 P-column init DATA. B slices live in
+h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
 construction (pinned across QPs, partition shapes, sub-partition
 splits, intra-in-P placements, ref_idx patterns and quarter-pel
 fractions in tests/test_h264_inter.py); a capability-gated ffmpeg
