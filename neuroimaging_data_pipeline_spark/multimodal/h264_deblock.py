@@ -121,6 +121,20 @@ def _clip3(lo, hi, v):
     return np.minimum(np.maximum(v, lo), hi)
 
 
+def _runs(bss: list[int]):
+    """Group contiguous equal-bS segments: [(start, end, bs), ...].
+    The filter math is per-sample, so equal-bS neighbor segments are
+    safely filtered in one vectorized call (same thresholds, same
+    tc0) — a pure speedup, not a semantic change."""
+    out = []
+    s0 = 0
+    for i in range(1, 5):
+        if i == 4 or bss[i] != bss[s0]:
+            out.append((s0, i, bss[s0]))
+            s0 = i
+    return out
+
+
 def _filter_segment(
     p: list[np.ndarray], q: list[np.ndarray], bs: int,
     alpha: int, beta: int, tc0: int, chroma: bool,
@@ -201,14 +215,16 @@ def _edge_luma(y: np.ndarray, info: dict, qp: int, x: int | None,
         return
     if x is not None:
         mb_edge = x % 16 == 0
-        for seg in range(4):  # 4-row segments = 4x4 block pairs
-            r0 = mby * 16 + seg * 4
-            pb = (r0 // 4, (x - 1) // 4)
-            qb = (r0 // 4, x // 4)
-            bs = _bs(info, pb[0], pb[1], qb[0], qb[1], mb_edge)
+        bss = [
+            _bs(info, (mby * 16 + seg * 4) // 4, (x - 1) // 4,
+                (mby * 16 + seg * 4) // 4, x // 4, mb_edge)
+            for seg in range(4)
+        ]
+        # contiguous equal-bS segments filter as ONE vector call
+        for s0, s1, bs in _runs(bss):
             if bs == 0:
                 continue
-            rows = slice(r0, r0 + 4)
+            rows = slice(mby * 16 + s0 * 4, mby * 16 + s1 * 4)
             p = [y[rows, x - 1 - k] for k in range(4)]
             q = [y[rows, x + k] for k in range(4)]
             _filter_segment(p, q, bs, alpha, beta,
@@ -216,14 +232,15 @@ def _edge_luma(y: np.ndarray, info: dict, qp: int, x: int | None,
                             chroma=False)
     else:
         mb_edge = yrow % 16 == 0
-        for seg in range(4):
-            c0 = mbx * 16 + seg * 4
-            pb = ((yrow - 1) // 4, c0 // 4)
-            qb = (yrow // 4, c0 // 4)
-            bs = _bs(info, pb[0], pb[1], qb[0], qb[1], mb_edge)
+        bss = [
+            _bs(info, (yrow - 1) // 4, (mbx * 16 + seg * 4) // 4,
+                yrow // 4, (mbx * 16 + seg * 4) // 4, mb_edge)
+            for seg in range(4)
+        ]
+        for s0, s1, bs in _runs(bss):
             if bs == 0:
                 continue
-            cols = slice(c0, c0 + 4)
+            cols = slice(mbx * 16 + s0 * 4, mbx * 16 + s1 * 4)
             p = [y[yrow - 1 - k, cols] for k in range(4)]
             q = [y[yrow + k, cols] for k in range(4)]
             _filter_segment(p, q, bs, alpha, beta,
@@ -241,34 +258,36 @@ def _edge_chroma(c: np.ndarray, info: dict, qpc: int, x: int | None,
         return
     if x is not None:
         mb_edge = (2 * x) % 16 == 0
-        for seg in range(4):  # 2-row chroma segments per luma block
-            r0 = mby * 8 + seg * 2
-            lby = (2 * r0) // 4
-            pb = (lby, (2 * x - 1) // 4)
-            qb = (lby, (2 * x) // 4)
-            bs = _bs(info, pb[0], pb[1], qb[0], qb[1], mb_edge)
+        bss = [
+            _bs(info, (2 * (mby * 8 + seg * 2)) // 4, (2 * x - 1) // 4,
+                (2 * (mby * 8 + seg * 2)) // 4, (2 * x) // 4, mb_edge)
+            for seg in range(4)
+        ]
+        for s0, s1, bs in _runs(bss):
             if bs == 0:
                 continue
-            rows = slice(r0, r0 + 2)
-            p = [c[rows, x - 1 - k] for k in range(2)] + [None]
-            q = [c[rows, x + k] for k in range(2)] + [None]
+            rows = slice(mby * 8 + s0 * 2, mby * 8 + s1 * 2)
             # chroma never reads p2/q2 in the normal path, but the
             # shared helper indexes them — alias p1/q1 (unused)
+            p = [c[rows, x - 1 - k] for k in range(2)] + [None]
+            q = [c[rows, x + k] for k in range(2)] + [None]
             p[2], q[2] = p[1], q[1]
             _filter_segment(p, q, bs, alpha, beta,
                             _TC0[bs - 1][idx] if bs < 4 else 0,
                             chroma=True)
     else:
         mb_edge = (2 * yrow) % 16 == 0
-        for seg in range(4):
-            c0 = mbx * 8 + seg * 2
-            lbx = (2 * c0) // 4
-            pb = ((2 * yrow - 1) // 4, lbx)
-            qb = ((2 * yrow) // 4, lbx)
-            bs = _bs(info, pb[0], pb[1], qb[0], qb[1], mb_edge)
+        bss = [
+            _bs(info, (2 * yrow - 1) // 4,
+                (2 * (mbx * 8 + seg * 2)) // 4,
+                (2 * yrow) // 4,
+                (2 * (mbx * 8 + seg * 2)) // 4, mb_edge)
+            for seg in range(4)
+        ]
+        for s0, s1, bs in _runs(bss):
             if bs == 0:
                 continue
-            cols = slice(c0, c0 + 2)
+            cols = slice(mbx * 8 + s0 * 2, mbx * 8 + s1 * 2)
             p = [c[yrow - 1 - k, cols] for k in range(2)] + [None]
             q = [c[yrow + k, cols] for k in range(2)] + [None]
             p[2], q[2] = p[1], q[1]
@@ -303,6 +322,20 @@ def deblock_frame(
         info = make_block_info(mbw, mbh)
     if qpc is None:
         qpc = _chroma_qp(qp)
+    # fast path: a fully-inter frame with no residuals, one ref and
+    # uniform motion derives bS 0 on every edge — nothing to filter
+    # (the common shape for skip-dominated P frames)
+    if (
+        info["inter"].all()
+        and not info["nnz"].any()
+        and (info["ref"] == info["ref"].flat[0]).all()
+        and (info["mv"] == info["mv"][0, 0]).all()
+    ):
+        return (
+            np.asarray(y, np.uint8).copy(),
+            np.asarray(cb, np.uint8).copy(),
+            np.asarray(cr, np.uint8).copy(),
+        )
     y = y.astype(np.int64).copy()
     cb = cb.astype(np.int64).copy()
     cr = cr.astype(np.int64).copy()
