@@ -620,8 +620,9 @@ def _code_inter_residuals_enc(enc, ctxs, st, mx, my, cbp_luma, cbpc,
 
 
 def _pps_cabac_inter() -> bytes:
-    """PPS: entropy_coding_mode 1, no deblocking control field (the
-    CABAC-P path leaves the filter off)."""
+    """PPS: entropy_coding_mode 1, deblocking_filter_control_present
+    set (slice headers carry disable_deblocking_filter_idc=1, so the
+    field must be legal per 7.3.3; ADVICE r10)."""
     pps = _BitW()
     pps.ue(0)  # pps id
     pps.ue(0)  # sps id
@@ -635,7 +636,7 @@ def _pps_cabac_inter() -> bytes:
     pps.se(0)  # pic_init_qp_minus26
     pps.se(0)  # pic_init_qs_minus26
     pps.se(0)  # chroma_qp_index_offset
-    pps.u(0, 1)  # deblocking_filter_control_present_flag
+    pps.u(1, 1)  # deblocking_filter_control_present_flag
     pps.u(0, 1)  # constrained_intra_pred_flag
     pps.u(0, 1)  # redundant_pic_cnt_present_flag
     pps.trailing()

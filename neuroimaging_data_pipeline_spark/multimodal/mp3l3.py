@@ -46,9 +46,12 @@ down to subband time samples (m39), and INTENSITY STEREO (long
 blocks): bands in the right channel's zero part pan the left
 channel by ratio = tan(is_pos * pi/12), is_pos 7 falling back to
 MS/passthrough, composing with MS below the intensity bound.
-Remaining loud gates: the ESC/linbits Huffman family (tables
-7..31), short-block intensity positions, and the polyphase Table
-B.3 window. A capability-gated
+r10 third pass: Huffman tables 7/8/9/10/12 transcribed and
+Kraft-validated, the ESC/linbits mechanism (big-value escape
+decode), and pure-short intensity stereo. Remaining loud gates
+(matching the ``_huff_dec_pair`` error message): tables 11/13/15,
+the shared ESC code tables 16/24, mixed-block intensity positions,
+and the polyphase Table B.3 window. A capability-gated
 ffmpeg cross-check belongs on machines that have ffmpeg (this
 container has none).
 

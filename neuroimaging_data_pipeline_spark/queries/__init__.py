@@ -82,16 +82,16 @@ from neuroimaging_data_pipeline_spark.queries import (
 # the driver checks the first 50 registered). Ordering is COMPUTED,
 # not hand-sorted (rotation policy since r6 / VERDICT r5 #2): every
 # query is ranked by the last round a driver CORRECTNESS artifact
-# checked it (frozen below from CORRECTNESS_r01–r09), never-checked
-# first. Entering r10: rank 0 = _ADDED_R10 newcomers (never
+# checked it (frozen below from CORRECTNESS_r01–r10), never-checked
+# first. Entering r11: rank 0 = _ADDED_R11 newcomers (never
 # driver-checked); rank 1 = any other never-checked query; rank 2 =
-# _RECHECK_R10 (operators whose implementation changed this round);
+# _RECHECK_R11 (operators whose implementation changed this round);
 # remaining window slots fall to the queries with the OLDEST driver
 # rows (r1/r3 first), so coverage keeps rotating.
 _MODULES = [media, eventsops, sqlsurface, retrieval, textops, simsearch, ingest, neuro, spatial, relational, misc]
 
 # name -> last driver round with a CORRECTNESS row (union of
-# CORRECTNESS_r01..r09; absent = never driver-checked).
+# CORRECTNESS_r01..r10; absent = never driver-checked).
 _LAST_DRIVER_ROUND = {}
 for _r, _names in {
     1: ["w8b_gaussian_smooth_sep"],
@@ -227,61 +227,59 @@ for _r, _names in {
         "sv_incremental_agg", "u1_union", "u2_intersect",
         "w3_motion_expansion", "w7_spike_regressors", "w7b_find_spikes",
     ],
+    10: [
+        "a_cube", "a_grouping_sets", "a_logreg_gd", "a_percentiles",
+        "d_incremental_dedup", "d_semdedup", "e14_audio_shard_pipeline",
+        "e5_shard_pipeline", "e7_classifier_filter", "ev_ohlc",
+        "ev_retention", "j10_having_join", "j7_asof_join",
+        "j8_interval_overlap", "j9_correlated_scalar", "m19_jpeg_arith",
+        "m20_h264_ipcm", "m21_h264_intra", "m22_pdf_text",
+        "m23_mulaw_audio", "m25_h264_i4x4", "m33_h264_cabac",
+        "m35_h264_inter", "m36_h264_gop", "m37_h264_bslice",
+        "m40_h264_mp4", "m41_mp3_intensity", "m42_h264_deblock",
+        "o4_window_ranks", "p11_pivot", "p12_unpivot", "s_bm25_topk",
+        "s_knn_graph", "s_quantize_int8", "t_auc_drift", "t_bpe_tokens",
+        "t_bpe_train", "t_chunk", "t_html_extract", "t_ks_drift",
+        "t_mix_sample", "t_nb_lang", "t_pack_blocks", "t_source_cap",
+        "t_weighted_sample", "u3_except_all", "w10_sessionize",
+        "w11_ewma", "w13_event_dedup", "w9_locf_resample",
+    ],
 }.items():
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _r
 
-# r10-modified operators + standing perf-watch queries: re-check right
+# r11-modified operators + standing perf-watch queries: re-check right
 # after the never-checked blocks.
-_RECHECK_R10 = [
-    # ADVICE r9 fix: wcr-only weighted-prediction resolver asymmetry
-    # in h264_inter/h264_bslice (affects m36/m37 stream families).
-    # r10 fixture sweep: every H.264 oracle fixture now carries
-    # NONZERO per-4x4-constant chroma residuals (motion-composed in
-    # the inter family) with matching oracle formulas — the r9
-    # chroma-DC lesson made permanent.
-    "m36_h264_gop",
-    "m37_h264_bslice",
-    "m35_h264_inter",
-    "m33_h264_cabac",
-    "m21_h264_intra",
-    "m25_h264_i4x4",
-]
-
-_RECHECK_R9_FOLDED = [
-    # reshaped to the hash-matchable exact-value + epsilon-boolean
-    # form (VERDICT r8 #2) — needs its first-ever full green driver
-    # row in CORRECTNESS_r09.
-    "a_approx_sketches",
-    # r9 ADVICE fix: the formula-echo level column was replaced by the
-    # parsed trailer-checksum verdict (schema change).
-    "s25b_zstd_decode",
-    # r9: lz4 linked-frame rolling-window rewrite (O(n^2) -> O(n)).
-    "s26_lz4_shards",
-    # r9: fixtures extended to restart-in-progressive (m11) and
-    # 12-bit progressive (m18) profiles.
-    "m11_jpeg_progressive",
-    "m18_jpeg12_stats",
-]
-
-# Queries added in round 10, AFTER CORRECTNESS_r09 froze the backlog.
-# Never-driver-checked, so they lead the window (rank 0) — the r1–r9
-# union already covers every pre-r10 query. VERDICT r7 #3 lesson: list
-# EVERY newcomer here, not a subset, so the ordering invariant holds
-# if the window ever overflows.
-_ADDED_R10 = [
-    "m40_h264_mp4",
-    "m41_mp3_intensity",
+_RECHECK_R11 = [
+    # r11: B-slice deblocking (clause 8.7 completed for B slices) —
+    # affects the deblocked-stream family.
     "m42_h264_deblock",
-    "e14_audio_shard_pipeline",
+    "m37_h264_bslice",
+    # r11: MP3 Huffman table family extended (13/15 + ESC 16/24 work).
+    "m41_mp3_intensity",
+    "m34_mp3_samples",
 ]
+
+_RECHECK_R10_FOLDED = [
+    # kept for provenance: the r10 recheck list (wcr-only weighted
+    # prediction fix + residual-rich fixture sweep) all went green in
+    # CORRECTNESS_r10.json and is folded into _LAST_DRIVER_ROUND.
+    "m36_h264_gop", "m37_h264_bslice", "m35_h264_inter",
+    "m33_h264_cabac", "m21_h264_intra", "m25_h264_i4x4",
+]
+
+# Queries added in round 11, AFTER CORRECTNESS_r10 froze the backlog.
+# Never-driver-checked, so they lead the window (rank 0). VERDICT r7
+# #3 lesson: list EVERY newcomer here, not a subset, so the ordering
+# invariant holds if the window ever overflows.
+_ADDED_R11 = []
 
 
 def _window_rank(name: str) -> int:
     if name not in _LAST_DRIVER_ROUND:
         # never driver-checked: r10 additions lead the window.
-        return 0 if name in _ADDED_R10 else 1
-    if name in _RECHECK_R10:
+        return 0 if name in _ADDED_R11 else 1
+    if name in _RECHECK_R11:
         return 2
     return 2 + _LAST_DRIVER_ROUND[name]
 

@@ -1856,7 +1856,7 @@ def m40_h264_mp4(spark, sf_dir):
 # The pixel oracle IS the m36 formula family (the mux wraps the same
 # fixture); the container adds formula-constant columns.
 def _m40_sql() -> str:
-    return M36_SQL.replace(
+    out = M36_SQL.replace(
         """CAST(3 AS INT) AS n_frames,
        CAST(32 AS INT) AS width,""",
         """CAST(3 AS INT) AS n_samples,
@@ -1865,6 +1865,10 @@ def _m40_sql() -> str:
        CAST(4 AS INT) AS nal_length_size,
        CAST(32 AS INT) AS width,""",
     )
+    # ADVICE r10: a silent no-op here (M36_SQL reformatted) would ship
+    # the m36 column set as the m40 oracle and fail only at driver time.
+    assert out != M36_SQL, "_m40_sql: M36_SQL anchor text changed"
+    return out
 
 
 def m41_mp3_intensity(spark, sf_dir):
