@@ -114,7 +114,9 @@ from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
     _mc_mb,
     _MvState,
     _pad_refs,
+    _idr_slice_qp,
     _pps_rbsp_deblock,
+    _read_deblock_fields,
     _read_residuals,
     _recon_inter_mb,
     _residual_from_target,
@@ -190,10 +192,12 @@ def _sps_rbsp_poc0(mbw: int, mbh: int, w: int, h: int) -> bytes:
     return sps.bytes_()
 
 
-def _idr_reheader_poc0(rbsp: bytes) -> bytes:
+def _idr_reheader_poc0(rbsp: bytes, idc: int = 1,
+                       offs: tuple = (0, 0)) -> bytes:
     """Re-header the intra encoder's IDR slice for the POC-type-0
     SPS + deblocking-control PPS: insert pic_order_cnt_lsb (= 0)
-    after idr_pic_id and append disable_deblocking_filter_idc."""
+    after idr_pic_id and append disable_deblocking_filter_idc (+ the
+    7.3.3 slice filter offsets when idc != 1)."""
     r = _BitR(rbsp)
     first_mb, stype, ppsid = r.ue(), r.ue(), r.ue()
     frame_num = r.u(4)
@@ -210,15 +214,19 @@ def _idr_reheader_poc0(rbsp: bytes) -> bytes:
     w.u(noout, 1)
     w.u(longterm, 1)
     w.se(qpd)
-    w.ue(1)  # disable_deblocking_filter_idc
+    w.ue(idc)  # disable_deblocking_filter_idc
+    if idc != 1:
+        w.se(offs[0])  # slice_alpha_c0_offset_div2
+        w.se(offs[1])  # slice_beta_offset_div2
     _copy_bits(r, w, rbsp)
     return w.bytes_()
 
 
-def _idr_strip_poc0(rbsp: bytes) -> bytes:
+def _idr_strip_poc0(rbsp: bytes):
     """Inverse of _idr_reheader_poc0: drop the poc_lsb and the
-    deblocking idc so the slice can be delegated to the plain intra
-    decoder (poc-type-2 SPS, control-flag-0 PPS)."""
+    deblocking idc (+ offsets) so the slice can be delegated to the
+    plain intra decoder (poc-type-2 SPS, control-flag-0 PPS).
+    Returns (rbsp, idc, (a_div2, b_div2))."""
     r = _BitR(rbsp)
     fields = (r.ue(), r.ue(), r.ue())
     frame_num = r.u(4)
@@ -228,9 +236,7 @@ def _idr_strip_poc0(rbsp: bytes) -> bytes:
         raise ValueError("IDR pic_order_cnt_lsb must be 0")
     noout, longterm = r.u(1), r.u(1)
     qpd = r.se()
-    idc = r.ue()
-    if idc != 1:
-        raise ValueError(f"expected disable_deblocking idc 1, got {idc}")
+    idc, offs = _read_deblock_fields(r)
     w = _BitW()
     for v in fields:
         w.ue(v)
@@ -240,7 +246,7 @@ def _idr_strip_poc0(rbsp: bytes) -> bytes:
     w.u(longterm, 1)
     w.se(qpd)
     _copy_bits(r, w, rbsp)
-    return w.bytes_()
+    return w.bytes_(), idc, offs
 
 
 def _p_reheader_poc0(rbsp: bytes, poc_lsb: int) -> bytes:
@@ -452,7 +458,8 @@ def _wp_bi(p0, p1, w):
 
 def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
                     poc_lsb: int, weights=None,
-                    spatial: bool = True) -> None:
+                    spatial: bool = True, deblock_idc: int = 1,
+                    deblock_offs: tuple = (0, 0)) -> None:
     sl.ue(0)  # first_mb_in_slice
     sl.ue(6)  # slice_type: B (all slices)
     sl.ue(0)  # pic_parameter_set_id
@@ -466,7 +473,10 @@ def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
         _write_pred_weight_table(sl, weights)
     # nal_ref_idc == 0: no dec_ref_pic_marking
     sl.se(qp - 26)  # slice_qp_delta
-    sl.ue(1)  # disable_deblocking_filter_idc
+    sl.ue(deblock_idc)  # disable_deblocking_filter_idc
+    if deblock_idc != 1:  # 7.3.3: offsets present when idc != 1
+        sl.se(deblock_offs[0])  # slice_alpha_c0_offset_div2
+        sl.se(deblock_offs[1])  # slice_beta_offset_div2
 
 
 def _parse_inter_header(
@@ -474,8 +484,8 @@ def _parse_inter_header(
 ) -> tuple[str, int, int, dict | None]:
     """Parse a non-IDR slice header under the POC-type-0 SPS.
     Returns (kind 'p'|'b', slice_qp, poc_lsb, weights-or-None,
-    direct_spatial_flag); the reader is left at the first macroblock
-    element."""
+    direct_spatial_flag, idc, (a_div2, b_div2)); the reader is left
+    at the first macroblock element."""
     weights = None
     r.ue()  # first_mb
     stype = r.ue() % 5
@@ -513,8 +523,8 @@ def _parse_inter_header(
         if r.u(1):
             raise NotImplementedError("adaptive ref marking")
     qp = 26 + r.se()
-    r.ue()  # disable_deblocking_filter_idc
-    return kind, qp, poc, weights, spatial
+    idc, offs = _read_deblock_fields(r)
+    return kind, qp, poc, weights, spatial, idc, offs
 
 
 # ---------------------------------------------------------------------------
@@ -678,10 +688,13 @@ def _direct_mb(mvs0, mvs1, mx, my, col, padded0, padded1, weights,
 def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                     poc_lsb, wtab=None, col=None,
                     direct_mode="spatial", tbtd=None,
-                    implicit=False):
+                    implicit=False, deblock_idc=1,
+                    deblock_offs=(0, 0)):
     """Encode one CAVLC B slice. ``ref_l0`` / ``ref_l1`` are single
     decoded reference plane triples (one active ref per list).
-    Returns (slice_rbsp, recon_planes)."""
+    Returns (slice_rbsp, recon_planes, motion) — motion is the
+    per-4x4 two-list field (predFlag / mv per list + luma nnz) the
+    8.7.2.1 B boundary-strength derivation consumes."""
     y1, cb1, cr1 = target
     h, w = y1.shape
     mbw, mbh = w // 16, h // 16
@@ -711,7 +724,9 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
         col = _intra_motion(mbw, mbh)
     sl = _BitW()
     _b_slice_header(sl, qp, frame_num, poc_lsb, wtab,
-                    spatial=direct_mode == "spatial")
+                    spatial=direct_mode == "spatial",
+                    deblock_idc=deblock_idc,
+                    deblock_offs=deblock_offs)
     skip_run = 0
 
     for my in range(mbh):
@@ -977,7 +992,21 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
         rcb.astype(np.uint8),
         rcr.astype(np.uint8),
     )
-    return sl.bytes_(), recon
+    motion = _b_motion(mvs0, mvs1, luma_nnz)
+    return sl.bytes_(), recon, motion
+
+
+def _b_motion(mvs0, mvs1, luma_nnz) -> dict:
+    """Export the two-list per-4x4 motion field of a B frame for
+    the deblocking filter's 8.7.2.1 bS derivation."""
+    return {
+        "inter": mvs0.inter | mvs1.inter,
+        "nnz": luma_nnz.copy(),
+        "mv0": mvs0.mv.copy(),
+        "mv1": mvs1.mv.copy(),
+        "pf0": mvs0.inter.copy(),
+        "pf1": mvs1.inter.copy(),
+    }
 
 
 def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
@@ -1251,11 +1280,12 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
             _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp,
                             zl, cdcz, cacz, cur_qp, qpc)
             addr += 1
-    return (
+    frame = (
         ry.astype(np.uint8),
         rcb.astype(np.uint8),
         rcr.astype(np.uint8),
     )
+    return frame, _b_motion(mvs0, mvs1, luma_nnz)
 
 
 # ---------------------------------------------------------------------------
@@ -1264,10 +1294,24 @@ def _decode_b_frame(r, sps, qp, ref_l0, ref_l1, weights=None,
 
 
 def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
-                           direct_mode: str = "spatial"):
+                           direct_mode: str = "spatial",
+                           deblock: bool = False,
+                           deblock_offsets: tuple = (0, 0)):
     implicit = weights == "implicit"
     if implicit:
         weights = None
+    d_idc = 1 if not deblock else (2 if deblock == 2 else 0)
+    aoff, boff = 2 * deblock_offsets[0], 2 * deblock_offsets[1]
+
+    def _filt(recon, cur_qp, info=None):
+        if not deblock:
+            return recon
+        from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+            deblock_frame,
+        )
+
+        return deblock_frame(*recon, cur_qp, info,
+                             alpha_off=aoff, beta_off=boff)
     """Encode a decode-order sequence with B frames. ``entries``:
 
       ("idr", planes)                 — Intra_16x16 anchor, POC 0;
@@ -1322,8 +1366,9 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
                 for n in _split_nals(intra_stream)
                 if (n[0] & 0x1F) == 5
             )
-            stream += _nal(3, 5, _idr_reheader_poc0(idr_rbsp))
-            recon = (r0y, r0cb, r0cr)
+            stream += _nal(3, 5, _idr_reheader_poc0(
+                idr_rbsp, idc=d_idc, offs=deblock_offsets))
+            recon = _filt((r0y, r0cb, r0cr), qp)  # all-intra info
             recons.append(recon)
             pocs.append(0)
             ref_dpb = [(0, recon, _intra_motion(mbw, mbh))]
@@ -1333,9 +1378,20 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
         fn = n_refs_decoded  # PrevRefFrameNum + 1 rule
         if kind == "p":
             rbsp, recon, motion = _encode_p_frame(
-                planes, [ref_dpb[0][1]], mb_specs, qp, fn, 1
+                planes, [ref_dpb[0][1]], mb_specs, qp, fn, 1,
+                deblock_idc=d_idc, deblock_offs=deblock_offsets,
             )
             stream += _nal(2, 1, _p_reheader_poc0(rbsp, poc))
+            if deblock:
+                from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+                    make_block_info,
+                )
+
+                recon = _filt(recon, qp, make_block_info(
+                    mbw, mbh, inter=motion["inter"],
+                    nnz=motion["nnz"], mv=motion["mv"],
+                    ref=motion["ref"],
+                ))
             ref_dpb.insert(0, (poc, recon, motion))
             del ref_dpb[2:]  # max_num_ref_frames = 2
             n_refs_decoded += 1
@@ -1349,13 +1405,25 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
                 )
             l0e = max(past, key=lambda e: e[0])
             l1e = min(future, key=lambda e: e[0])
-            rbsp, recon = _encode_b_frame(
+            rbsp, recon, bmotion = _encode_b_frame(
                 planes, l0e[1], l1e[1], mb_specs, qp, fn, poc, wtab,
                 col=l1e[2], direct_mode=direct_mode,
                 tbtd=(poc - l0e[0], l1e[0] - l0e[0]),
-                implicit=implicit,
+                implicit=implicit, deblock_idc=d_idc,
+                deblock_offs=deblock_offsets,
             )
             stream += _nal(0, 1, rbsp)  # non-reference picture
+            if deblock:
+                from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+                    make_block_info_b,
+                )
+
+                recon = _filt(recon, qp, make_block_info_b(
+                    mbw, mbh, inter=bmotion["inter"],
+                    nnz=bmotion["nnz"], mv0=bmotion["mv0"],
+                    mv1=bmotion["mv1"], pf0=bmotion["pf0"],
+                    pf1=bmotion["pf1"], pic0=l0e[0], pic1=l1e[0],
+                ))
         else:
             raise ValueError(f"bad entry kind {kind!r}")
         recons.append(recon)
@@ -1402,13 +1470,25 @@ def decode_h264_b_stream(payload: bytes):
         elif ntype == 5:
             if sps is None:
                 raise ValueError("IDR before SPS")
+            idr_rbsp, d_idc, d_offs = _idr_strip_poc0(rbsp)
             sub = (
                 _nal(3, 7, _sps_rbsp(sps["mbw"], sps["mbh"],
                                      sps["mbw"] * 16, sps["mbh"] * 16))
                 + _nal(3, 8, _pps_rbsp())
-                + _nal(3, 5, _idr_strip_poc0(rbsp))
+                + _nal(3, 5, idr_rbsp)
             )
             frame = decode_h264_frame(sub)
+            if d_idc != 1:
+                # idc 2 == idc 0 for single-slice frames (no
+                # slice-boundary internal edges to exclude)
+                from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+                    deblock_frame,
+                )
+
+                frame = deblock_frame(
+                    *frame, _idr_slice_qp(idr_rbsp),
+                    alpha_off=2 * d_offs[0], beta_off=2 * d_offs[1],
+                )
             frames.append(frame)
             pocs.append(0)
             ref_dpb = [(0, frame, _intra_motion(sps["mbw"],
@@ -1417,8 +1497,8 @@ def decode_h264_b_stream(payload: bytes):
             if sps is None or not ref_dpb:
                 raise ValueError("coded slice before references exist")
             r = _BitR(rbsp)
-            kind, qp, poc, wts, spatial = _parse_inter_header(
-                r, bipred_idc
+            kind, qp, poc, wts, spatial, d_idc, d_offs = (
+                _parse_inter_header(r, bipred_idc)
             )
             motion = None
             if kind == "p":
@@ -1426,6 +1506,22 @@ def decode_h264_b_stream(payload: bytes):
                     r, sps, qp, [ref_dpb[0][1]], 1,
                     return_motion=True,
                 )
+                if d_idc != 1:
+                    from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+                        deblock_frame,
+                        make_block_info,
+                    )
+
+                    frame = deblock_frame(
+                        *frame, qp, make_block_info(
+                            sps["mbw"], sps["mbh"],
+                            inter=motion["inter"],
+                            nnz=motion["nnz"], mv=motion["mv"],
+                            ref=motion["ref"],
+                        ),
+                        alpha_off=2 * d_offs[0],
+                        beta_off=2 * d_offs[1],
+                    )
             else:
                 past = [e for e in ref_dpb if e[0] < poc]
                 future = [e for e in ref_dpb if e[0] > poc]
@@ -1444,12 +1540,30 @@ def decode_h264_b_stream(payload: bytes):
                         "frame without an exported motion field; "
                         "reference-B colocation is a declared gate"
                         % l1e[0])
-                frame = _decode_b_frame(
+                frame, bmotion = _decode_b_frame(
                     r, sps, qp, l0e[1], l1e[1], wts,
                     col=l1e[2], spatial=spatial,
                     tbtd=(poc - l0e[0], l1e[0] - l0e[0]),
                     implicit=bipred_idc == 2,
                 )
+                if d_idc != 1:
+                    from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
+                        deblock_frame,
+                        make_block_info_b,
+                    )
+
+                    frame = deblock_frame(
+                        *frame, qp, make_block_info_b(
+                            sps["mbw"], sps["mbh"],
+                            inter=bmotion["inter"],
+                            nnz=bmotion["nnz"],
+                            mv0=bmotion["mv0"], mv1=bmotion["mv1"],
+                            pf0=bmotion["pf0"], pf1=bmotion["pf1"],
+                            pic0=l0e[0], pic1=l1e[0],
+                        ),
+                        alpha_off=2 * d_offs[0],
+                        beta_off=2 * d_offs[1],
+                    )
             frames.append(frame)
             pocs.append(poc)
             if (nal[0] >> 5) & 3:  # reference picture

@@ -56,11 +56,13 @@ resolver both fall back Cb = wcr per chroma_weight_flag semantics).
 IN-LOOP DEBLOCKING (r10): encode_h264_p_gop(deblock=True) writes
 disable_deblocking_filter_idc 0 and both sides run the clause-8.7
 filter (h264_deblock.py) over the exported per-4x4 block info —
-filtered frames are the DPB references, per spec.
+filtered frames are the DPB references, per spec. r11: slice
+alpha/beta filter offsets (written/parsed per 7.3.3 when idc != 1,
+applied per 8.7.2.2 indexA/indexB) and idc 2 emission
+(deblock=2; identical to idc 0 for single-slice frames).
 
-Declared gates (raise, never silent): >2 reference frames,
-slice-boundary deblocking control (idc 2) and alpha/beta slice
-offsets. CABAC P-slice MACHINERY is complete in h264_cabac_inter.py
+Declared gates (raise, never silent): >2 reference frames.
+CABAC P-slice MACHINERY is complete in h264_cabac_inter.py
 (binarizations, neighbor contexts, full slice round trips); its
 remaining gate is the 9.3.1.1 P-column init DATA. B slices live in
 h264_bslice.py. The encoder<->decoder round-trip is bit-exact by
@@ -524,10 +526,16 @@ def _idr_slice_qp(rbsp: bytes) -> int:
     return 26 + r.se()
 
 
-def _idr_slice_add_idc(rbsp: bytes, qp: int, idc: int = 1) -> bytes:
+def _idr_slice_add_idc(
+    rbsp: bytes, qp: int, idc: int = 1, offs: tuple = (0, 0)
+) -> bytes:
     """Re-header the proven intra encoder's IDR slice for the
     deblocking-control PPS: same fields + disable_deblocking idc
-    (1 = filter off; 0 = in-loop deblocking enabled, h264_deblock)."""
+    (1 = filter off; 0 = in-loop deblocking enabled, h264_deblock;
+    2 = enabled, slice-boundary edges excluded — identical to 0 for
+    the single-slice frames this codec writes). Per 7.3.3, when idc
+    != 1 the slice_alpha_c0_offset_div2 / slice_beta_offset_div2
+    fields follow (``offs``, div2 values)."""
     r = _BitR(rbsp)
     first_mb, stype, ppsid = r.ue(), r.ue(), r.ue()
     frame_num = r.u(4)
@@ -544,25 +552,43 @@ def _idr_slice_add_idc(rbsp: bytes, qp: int, idc: int = 1) -> bytes:
     w.u(longterm, 1)
     w.se(qpd)
     w.ue(idc)  # disable_deblocking_filter_idc
+    if idc != 1:
+        w.se(offs[0])  # slice_alpha_c0_offset_div2
+        w.se(offs[1])  # slice_beta_offset_div2
     _copy_bits(r, w, rbsp)
     return w.bytes_()
 
 
-def _idr_slice_strip_idc(rbsp: bytes) -> tuple[bytes, int]:
-    """Inverse of _idr_slice_add_idc: drop the idc so the slice can
-    be delegated to h264_intra.decode_h264_frame (whose PPS has no
-    deblocking control field). Returns (rbsp, idc)."""
+def _read_deblock_fields(r: "_BitR") -> tuple[int, tuple]:
+    """Parse disable_deblocking_filter_idc and, when != 1, the two
+    slice filter offsets (7.3.3). Returns (idc, (a_div2, b_div2))."""
+    idc = r.ue()
+    if idc > 2:
+        raise ValueError(
+            f"disable_deblocking_filter_idc {idc} out of range")
+    offs = (0, 0)
+    if idc != 1:
+        a = r.se()
+        b = r.se()
+        if not (-6 <= a <= 6 and -6 <= b <= 6):
+            raise ValueError(
+                f"slice filter offsets ({a}, {b}) out of range")
+        offs = (a, b)
+    return idc, offs
+
+
+def _idr_slice_strip_idc(rbsp: bytes) -> tuple[bytes, int, tuple]:
+    """Inverse of _idr_slice_add_idc: drop the idc (+ offsets) so
+    the slice can be delegated to h264_intra.decode_h264_frame
+    (whose PPS has no deblocking control field). Returns
+    (rbsp, idc, (a_div2, b_div2))."""
     r = _BitR(rbsp)
     fields = (r.ue(), r.ue(), r.ue())
     frame_num = r.u(4)
     idr_id = r.ue()
     noout, longterm = r.u(1), r.u(1)
     qpd = r.se()
-    idc = r.ue()
-    if idc not in (0, 1):
-        raise NotImplementedError(
-            f"disable_deblocking_filter_idc {idc} (slice-boundary "
-            "control 2 unsupported)")
+    idc, offs = _read_deblock_fields(r)
     w = _BitW()
     for v in fields:
         w.ue(v)
@@ -572,7 +598,7 @@ def _idr_slice_strip_idc(rbsp: bytes) -> tuple[bytes, int]:
     w.u(longterm, 1)
     w.se(qpd)
     _copy_bits(r, w, rbsp)
-    return w.bytes_(), idc
+    return w.bytes_(), idc, offs
 
 
 def _norm_p_weights(weights: dict, num_refs: int) -> dict:
@@ -668,6 +694,7 @@ def _parse_pwt_p(r: _BitR, nra: int) -> dict:
 def _p_slice_header(
     sl: _BitW, qp: int, frame_num: int = 1, num_refs_active: int = 1,
     wtab: dict | None = None, deblock_idc: int = 1,
+    deblock_offs: tuple = (0, 0),
 ) -> None:
     sl.ue(0)  # first_mb_in_slice
     sl.ue(5)  # slice_type: P (all slices)
@@ -684,13 +711,16 @@ def _p_slice_header(
     sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
     sl.se(qp - 26)  # slice_qp_delta
     sl.ue(deblock_idc)  # disable_deblocking_filter_idc
+    if deblock_idc != 1:  # 7.3.3: offsets present when idc != 1
+        sl.se(deblock_offs[0])  # slice_alpha_c0_offset_div2
+        sl.se(deblock_offs[1])  # slice_beta_offset_div2
 
 
 def _parse_p_slice_header(
     r: _BitR, weighted_pred: bool = False
-) -> tuple[int, int, dict | None, int]:
+) -> tuple[int, int, dict | None, int, tuple]:
     """Returns (slice_qp, num_ref_idx_l0_active, weights-or-None,
-    disable_deblocking_filter_idc)."""
+    disable_deblocking_filter_idc, (a_div2, b_div2))."""
     r.ue()  # first_mb
     stype = r.ue()
     if stype % 5 != 0:
@@ -714,12 +744,8 @@ def _parse_p_slice_header(
     if r.u(1):
         raise NotImplementedError("adaptive ref marking unsupported")
     qp = 26 + r.se()
-    idc = r.ue()  # disable_deblocking_filter_idc
-    if idc not in (0, 1):
-        raise NotImplementedError(
-            f"disable_deblocking_filter_idc {idc} (slice-boundary "
-            "control 2 unsupported)")
-    return qp, nra, weights, idc
+    idc, offs = _read_deblock_fields(r)
+    return qp, nra, weights, idc, offs
 
 
 # ---------------------------------------------------------------------------
@@ -1379,6 +1405,7 @@ def _encode_p_frame(
     nra: int,
     wtab: dict | None = None,
     deblock_idc: int = 1,
+    deblock_offs: tuple = (0, 0),
 ) -> tuple[bytes, tuple, dict]:
     """Encode one CAVLC P slice against the decoded reference list
     (most recent first). Returns (slice_rbsp, recon_planes,
@@ -1401,7 +1428,8 @@ def _encode_p_frame(
     pweights = _resolve_p_weights(wtab) if wtab is not None else None
 
     sl = _BitW()
-    _p_slice_header(sl, qp, frame_num, nra, wtab, deblock_idc)
+    _p_slice_header(sl, qp, frame_num, nra, wtab, deblock_idc,
+                    deblock_offs)
     skip_run = 0
 
     for my in range(mbh):
@@ -1563,6 +1591,7 @@ def encode_h264_p_gop(
     num_refs: int = 1,
     weights: dict | None = None,
     deblock: bool = False,
+    deblock_offsets: tuple = (0, 0),
 ) -> tuple[bytes, list]:
     """Encode a GOP: frames[0] becomes an Intra_16x16 IDR anchor (the
     proven CAVLC encoder, re-headered for the deblocking-control
@@ -1606,7 +1635,13 @@ def encode_h264_p_gop(
     idr_rbsp = next(
         _ep_remove(n[1:]) for n in nals if (n[0] & 0x1F) == 5
     )
-    idr2 = _idr_slice_add_idc(idr_rbsp, qp, idc=0 if deblock else 1)
+    # deblock False -> idc 1 (off); True -> idc 0; 2 -> idc 2
+    # (filtering on, slice-boundary edges excluded — identical to 0
+    # for the single-slice frames this encoder writes)
+    d_idc = 1 if not deblock else (2 if deblock == 2 else 0)
+    idr2 = _idr_slice_add_idc(
+        idr_rbsp, qp, idc=d_idc, offs=deblock_offsets,
+    )
     wtab = (
         _norm_p_weights(weights, num_refs) if weights is not None
         else None
@@ -1623,7 +1658,11 @@ def encode_h264_p_gop(
             deblock_frame,
         )
 
-        anchor = deblock_frame(r0y, r0cb, r0cr, qp)  # all-intra info
+        anchor = deblock_frame(  # all-intra info
+            r0y, r0cb, r0cr, qp,
+            alpha_off=2 * deblock_offsets[0],
+            beta_off=2 * deblock_offsets[1],
+        )
     recons = [anchor]
     refs = [anchor]
     for fi, (target, specs) in enumerate(zip(frames[1:], specs_per_p), 1):
@@ -1632,7 +1671,8 @@ def encode_h264_p_gop(
         nra = min(num_refs, len(refs))
         rbsp, recon, motion = _encode_p_frame(
             target, refs[:nra], specs, qp, fi, nra, wtab,
-            deblock_idc=0 if deblock else 1,
+            deblock_idc=d_idc,
+            deblock_offs=deblock_offsets,
         )
         if deblock:
             from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
@@ -1644,7 +1684,11 @@ def encode_h264_p_gop(
                 mbw, mbh, inter=motion["inter"], nnz=motion["nnz"],
                 mv=motion["mv"], ref=motion["ref"],
             )
-            recon = deblock_frame(*recon, qp, info)
+            recon = deblock_frame(
+                *recon, qp, info,
+                alpha_off=2 * deblock_offsets[0],
+                beta_off=2 * deblock_offsets[1],
+            )
         stream += _nal(2, 1, rbsp)
         recons.append(recon)
         refs.insert(0, recon)
@@ -1724,34 +1768,42 @@ def decode_h264_sequence(
             if sps is None:
                 raise ValueError("IDR before SPS")
             idc = 1
+            offs = (0, 0)
             idr_rbsp = rbsp
             if deblock_present:
-                idr_rbsp, idc = _idr_slice_strip_idc(rbsp)
+                idr_rbsp, idc, offs = _idr_slice_strip_idc(rbsp)
             sub = (
                 _nal(3, 7, sps_rbsp)
                 + _nal(3, 8, _pps_plain())
                 + _nal(3, 5, idr_rbsp)
             )
             frame = decode_h264_frame(sub)
-            if idc == 0:
+            if idc != 1:
+                # idc 2 == idc 0 for single-slice frames (there are
+                # no slice-boundary internal edges to exclude)
                 from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
                     deblock_frame,
                 )
 
-                frame = deblock_frame(*frame, _idr_slice_qp(idr_rbsp))
+                frame = deblock_frame(
+                    *frame, _idr_slice_qp(idr_rbsp),
+                    alpha_off=2 * offs[0], beta_off=2 * offs[1],
+                )
             frames.append(frame)
             refs = [frame]  # IDR resets the DPB
         elif ntype == 1:
             if not refs:
                 raise ValueError("P slice before any reference frame")
             r = _BitR(rbsp)
-            qp, nra, pw, idc = _parse_p_slice_header(r, weighted_pred)
+            qp, nra, pw, idc, offs = _parse_p_slice_header(
+                r, weighted_pred
+            )
             if nra > len(refs):
                 raise ValueError(
                     f"{nra} active references but only {len(refs)} "
                     "decoded"
                 )
-            if idc == 0:
+            if idc != 1:
                 from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
                     deblock_frame,
                     make_block_info,
@@ -1766,7 +1818,10 @@ def decode_h264_sequence(
                     nnz=motion["nnz"], mv=motion["mv"],
                     ref=motion["ref"],
                 )
-                frame = deblock_frame(*frame, qp, info)
+                frame = deblock_frame(
+                    *frame, qp, info,
+                    alpha_off=2 * offs[0], beta_off=2 * offs[1],
+                )
             else:
                 frame = _decode_p_frame(
                     r, sps, qp, refs, nra, weights=pw

@@ -272,7 +272,9 @@ _RECHECK_R10_FOLDED = [
 # Never-driver-checked, so they lead the window (rank 0). VERDICT r7
 # #3 lesson: list EVERY newcomer here, not a subset, so the ordering
 # invariant holds if the window ever overflows.
-_ADDED_R11 = []
+_ADDED_R11 = [
+    "m43_h264_bdeblock",
+]
 
 
 def _window_rank(name: str) -> int:

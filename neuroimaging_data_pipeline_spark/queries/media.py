@@ -2315,6 +2315,98 @@ FROM vals JOIN asum ON vals.doc_id = asum.doc_id
 """
 
 
+def m43_h264_bdeblock(spark, sf_dir):
+    """M43: B-SLICE IN-LOOP DEBLOCKING (multimodal/h264_deblock.py
+    + h264_bslice.py, r11) — clause 8.7 completed for every slice
+    type the engine emits. Per document a 3-frame 16x64 POC-type-0
+    sequence (IDR poc 0, all-skip P poc 8, non-reference B poc 4)
+    with disable_deblocking_filter_idc 0 in every slice header
+    (incl. the 7.3.3 slice_alpha/beta_offset fields). The anchor's
+    plateau deltas all sit at/above alpha(28) = 20, so the filter
+    RUNS but the anchor stays the exact QP-28 lattice; the B frame
+    re-orders the plateaus via per-MB motion with mixed list usage
+    (l0 / bi / l1 / l0-shifted), so the 8.7.2.1 B boundary-strength
+    rules decide real edges: edge 16 fires via 'different number of
+    motion vectors' (l0-only vs bi), edge 48 via 'different
+    reference pictures' (l1 from the future picture vs l0 from the
+    past). The normal filter's p0/p1/q0/q1 updates land at known
+    rows, pinned by position-weighted checksums the oracle
+    recomputes in closed form — a mis-derived bS 0 shifts every
+    value. Narrow scan -> mapInPandas, zero shuffle; one task per
+    video shard at 100 TB."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (
+        h264_bdeblock_features,
+        synthesize_h264_bdeblock_clips,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_bdeblock_clips(d, id_col="doc_id")
+    return h264_bdeblock_features(media)
+
+
+# Closed forms mirror _m43_values/_m43_luma_adj: D/A/B are the bS-1
+# normal-filter updates on constant plateaus (tc0 1 at index 28 =>
+# luma tc 3, chroma tc 2); DuckDB's >> is an arithmetic shift, same
+# floor semantics as numpy's.
+M43_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         80 + doc_id % 30 AS v0,
+         26 + (doc_id * 7) % 5 AS e0,
+         (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+           * (1 + (doc_id * 5) % 6) AS d1,
+         7 + (doc_id * 3) % 13 AS d2m,
+         120 + 2 * (doc_id % 12) AS cb0,
+         26 + 2 * ((doc_id * 3) % 3) AS ec0,
+         (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE -1 END)
+           * (2 + 2 * ((doc_id * 5) % 3)) AS dc1,
+         8 + 2 * ((doc_id * 7) % 6) AS dc2m,
+         116 + 2 * (doc_id % 14) AS cr0,
+         26 + 2 * ((doc_id * 7) % 3) AS er0,
+         (CASE WHEN doc_id % 8 < 4 THEN 1 ELSE -1 END)
+           * (2 + 2 * ((doc_id * 11) % 3)) AS dr1,
+         8 + 2 * ((doc_id * 5) % 6) AS dr2m
+  FROM documents
+), vals AS (
+  SELECT doc_id, v0, v0 + e0 AS v1, v0 + d1 AS v2,
+         v0 + e0 + d2m AS v3, d1, -d2m AS d2,
+         cb0, cb0 + ec0 AS cb1, cb0 + dc1 AS cb2,
+         cb0 + ec0 + dc2m AS cb3, dc1, -dc2m AS dc2,
+         cr0, cr0 + er0 AS cr1, cr0 + dr1 AS cr2,
+         cr0 + er0 + dr2m AS cr3, dr1, -dr2m AS dr2
+  FROM params
+), adj AS (
+  SELECT doc_id,
+         GREATEST(-3, LEAST(3, (3 * d1 + 4) >> 3)) AS dd1,
+         GREATEST(-1, LEAST(1, ((d1 + 1) >> 1) >> 1)) AS a1,
+         GREATEST(-1, LEAST(1, (((d1 + 1) >> 1) - d1) >> 1)) AS b1,
+         GREATEST(-3, LEAST(3, (3 * d2 + 4) >> 3)) AS dd2,
+         GREATEST(-1, LEAST(1, ((d2 + 1) >> 1) >> 1)) AS a2,
+         GREATEST(-1, LEAST(1, (((d2 + 1) >> 1) - d2) >> 1)) AS b2,
+         GREATEST(-2, LEAST(2, (3 * dc1 + 4) >> 3)) AS e1,
+         GREATEST(-2, LEAST(2, (3 * dc2 + 4) >> 3)) AS e2,
+         GREATEST(-2, LEAST(2, (3 * dr1 + 4) >> 3)) AS f1,
+         GREATEST(-2, LEAST(2, (3 * dr2 + 4) >> 3)) AS f2
+  FROM vals
+)
+SELECT vals.doc_id AS doc_id,
+       CAST(3 AS INT) AS n_frames,
+       CAST(16 AS INT) AS width,
+       CAST(64 AS INT) AS height,
+       CAST(256 * (v0 + v1 + v2 + v3)
+            + 16 * (a1 + b1 + a2 + b2) AS BIGINT) AS sum_y_b,
+       CAST(16 * (136 * v0 + 392 * v2 + 648 * v3 + 904 * v1
+                  + 15 * a1 + 18 * b1 - dd1
+                  + 47 * a2 + 50 * b2 - dd2) AS BIGINT) AS wsum_y_b,
+       CAST(8 * (36 * cb0 + 100 * cb2 + 164 * cb3 + 228 * cb1
+                 - e1 - e2) AS BIGINT) AS wsum_cb_b,
+       CAST(8 * (36 * cr0 + 100 * cr2 + 164 * cr3 + 228 * cr1
+                 - f1 - f2) AS BIGINT) AS wsum_cr_b,
+       TRUE AS p_equals_idr
+FROM vals JOIN adj ON vals.doc_id = adj.doc_id
+"""
+
+
 def m38_jpeg_hierarchical(spark, sf_dir):
     """M38: JPEG HIERARCHICAL mode (T.81 Annex J,
     multimodal/jpeg_hier.py) — the last JPEG coding-mode gap: a DHP
@@ -2766,6 +2858,7 @@ QUERIES = {
     "m40_h264_mp4": m40_h264_mp4,
     "m41_mp3_intensity": m41_mp3_intensity,
     "m42_h264_deblock": m42_h264_deblock,
+    "m43_h264_bdeblock": m43_h264_bdeblock,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m39_mp3_subband": m39_mp3_subband,
     "e13_video_shard_pipeline": e13_video_shard_pipeline,
@@ -2808,6 +2901,7 @@ ORACLE = {
     "m40_h264_mp4": _m40_sql(),
     "m41_mp3_intensity": M41_SQL,
     "m42_h264_deblock": M42_SQL,
+    "m43_h264_bdeblock": M43_SQL,
     "m38_jpeg_hierarchical": M38_SQL,
     "m39_mp3_subband": M39_SQL,
     "e13_video_shard_pipeline": E13_SQL,

@@ -199,3 +199,42 @@ def test_fixture_qp_not_single():
     gains = {_fixture_granule(d, k).global_gain
              for d in range(20) for k in range(2)}
     assert len(gains) >= 8, "MP3 fixture global_gain collapsed"
+
+
+def test_m43_bdeblock_edges_genuinely_active():
+    """The m43 B-deblock fixture must keep both bS-1 B edges ACTIVE
+    (nonzero filter adjustments in luma and chroma), across both d1
+    signs — otherwise a wrong B bS derivation decodes identically
+    and the oracle cannot see it."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (
+        _m43_luma_adj,
+        _m43_values,
+        synthesize_h264_bdeblock_clips,
+    )
+
+    pos = neg = luma_moved = chroma_moved = 0
+    for d in range(64):
+        p = _m43_values(d)
+        assert 1 <= abs(p["d1"]) <= 6
+        assert 7 <= abs(p["d2"]) <= 19
+        assert 2 <= abs(p["dc1"]) <= 6 and p["dc1"] % 2 == 0
+        assert 8 <= abs(p["dc2"]) <= 18 and p["dc2"] % 2 == 0
+        # anchor-adjacent deltas stay out of the active range
+        v = p["v"]
+        assert all(abs(b - a) >= 20 for a, b in zip(v, v[1:]))
+        for plane in ("cb", "cr"):
+            c = p[plane]
+            assert all(abs(b - a) >= 20 for a, b in zip(c, c[1:]))
+        pos += p["d1"] > 0
+        neg += p["d1"] < 0
+        _, wadj = _m43_luma_adj(d)
+        luma_moved += wadj != 0
+        chroma_moved += (
+            ((3 * p["dc1"] + 4) >> 3) != 0 or ((3 * p["dc2"] + 4) >> 3) != 0
+        )
+    assert pos and neg, "d1 never changes sign"
+    assert luma_moved >= 48, "luma edge adjustments mostly vanish"
+    assert chroma_moved == 64, "chroma edges not always active"
+    # the real builder runs its own closed-form assertions per doc
+    blobs = _run_builder(synthesize_h264_bdeblock_clips, ids=[0, 1, 7, 23])
+    assert all(len(b) > 100 for b in blobs.values())

