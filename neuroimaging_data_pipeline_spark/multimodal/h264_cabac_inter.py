@@ -18,7 +18,15 @@ published spec defines ALGORITHMICALLY is implemented and pinned:
   P_8x8 sub-partitions, te(v)-equivalent ref_idx at nra 2, CBP,
   mb_qp_delta and cat-2/3/4 residuals through the SHARED arithmetic
   engine, residual coder and reconstruction helpers (h264_cabac /
-  h264_inter) — encoder<->decoder bit-exact by construction.
+  h264_inter) — encoder<->decoder bit-exact by construction;
+- INTRA-IN-P (r11): Intra_16x16 macroblocks inside CABAC P slices —
+  the 9.3.2.5 intra mb_type prefix '1' + I-style suffix on contexts
+  17..20 with the mid-string terminate bin, intra_chroma_pred_mode,
+  cat-0/1 luma + chroma residuals under the INTRA coded_block_flag
+  neighbor rule (the parent _MbState increments) bordering inter
+  neighbors under the inter rule — so the CABAC P layer is
+  structurally COMPLETE and the eventual 9.3.1.1 init-table
+  transcription is data-only.
 
 What is NOT here (the honest remaining gate, raised loudly): the
 P/B columns of the context-initialization tables (9.3.1.1, the
@@ -29,9 +37,6 @@ self-consistent arithmetic code, which is exactly why round trips
 pin the MACHINERY while conformance against externally-encoded
 CABAC-inter streams stays gated until the spec columns land).
 ``P_CTX_IDS`` enumerates precisely the contexts a table must cover.
-
-Intra-in-P macroblocks under CABAC stay gated too (the mb_type
-suffix shares the I-slice machinery but needs the same init data).
 
 Reference parity: preprocess_parallel.sh:59-182 shells out for
 video; CABAC+inter is the profile virtually all real H.264 uses.
@@ -58,18 +63,29 @@ from neuroimaging_data_pipeline_spark.multimodal.h264_cabac import (
     _enc_residual,
 )
 from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
+    _CF,
+    _H2,
+    _H4,
+    _MF,
     _ZBLK,
     _ZIG,
     _chroma_qp,
+    _pred8_chroma_dc,
+    _pred16,
+    _quant,
+    _quant_dc4,
+    _recon_chroma8,
+    _recon_mb16,
 )
 
 # Context ids a P-slice init table must cover (beyond the engine):
-# mb_skip 11..13, mb_type prefix 14..16, sub_mb_type 21..23,
-# mvd x/y 40..53, ref_idx 54..59, mb_qp_delta 60..63, CBP 73..84,
+# mb_skip 11..13, mb_type prefix 14..16 + intra suffix 17..20 (r11:
+# intra-in-P), sub_mb_type 21..23, mvd x/y 40..53, ref_idx 54..59,
+# mb_qp_delta 60..63, intra_chroma_pred_mode 64..67, CBP 73..84,
 # coded_block_flag 85..104, significance maps 105..226, levels
 # 227..275.
 P_CTX_IDS = tuple(
-    list(range(11, 17)) + list(range(21, 24)) + list(range(40, 64))
+    list(range(11, 24)) + list(range(40, 68))
     + list(range(73, 276))
 )
 
@@ -191,12 +207,45 @@ def _enc_mb_type_p(enc: _Enc, ctxs: _Ctx, mode: str) -> None:
         enc.decision(ctxs, 14 + i, b)
 
 
-def _dec_mb_type_p(dec: _Dec, ctxs: _Ctx) -> str:
+def _enc_mb_type_p_i16(enc: _Enc, ctxs: _Ctx, cbpl15: bool,
+                       cbpc: int, pm: int = 2) -> None:
+    """Intra_16x16 mb_type inside a P slice (9.3.2.5): prefix '1'
+    at ctx 14, then the I-slice-style suffix on the P suffix
+    contexts (Table 9-39 ctxIdxOffset 17: binIdx 0 -> 17,
+    1 -> terminate, 2 -> 18, 3 -> 19, binIdx >= 4 -> 20)."""
+    enc.decision(ctxs, 14, 1)  # intra prefix
+    enc.decision(ctxs, 17, 1)  # not I_4x4
+    enc.terminate(0)  # not I_PCM
+    enc.decision(ctxs, 18, 1 if cbpl15 else 0)
+    if cbpc == 0:
+        enc.decision(ctxs, 19, 0)
+    else:
+        enc.decision(ctxs, 19, 1)
+        enc.decision(ctxs, 20, 1 if cbpc == 2 else 0)
+    enc.decision(ctxs, 20, (pm >> 1) & 1)
+    enc.decision(ctxs, 20, pm & 1)
+
+
+def _dec_mb_type_p(dec: _Dec, ctxs: _Ctx):
+    """Inter partition mode string, or the tuple
+    ('i16', cbpl15, cbpc, pm) for an intra macroblock (r11)."""
     if dec.decision(ctxs, 14):
-        raise NotImplementedError(
-            "intra macroblock inside a CABAC P slice — gated with "
-            "the init-table data"
-        )
+        if not dec.decision(ctxs, 17):
+            raise NotImplementedError(
+                "I_4x4 inside a CABAC P slice — this encoder emits "
+                "Intra_16x16 only"
+            )
+        if dec.terminate():
+            raise NotImplementedError(
+                "I_PCM inside a CABAC P slice — never emitted"
+            )
+        cbpl15 = bool(dec.decision(ctxs, 18))
+        if dec.decision(ctxs, 19):
+            cbpc = 2 if dec.decision(ctxs, 20) else 1
+        else:
+            cbpc = 0
+        pm = (dec.decision(ctxs, 20) << 1) | dec.decision(ctxs, 20)
+        return ("i16", cbpl15, cbpc, pm)
     if dec.decision(ctxs, 15):
         return "16x8" if dec.decision(ctxs, 16) else "8x16"
     return "8x8" if dec.decision(ctxs, 16) else "16x16"
@@ -454,10 +503,17 @@ def encode_h264_cabac_p_gop(
                     st.prev_qp_delta_nz = 0
                     enc.terminate(0)
                     continue
-                if kind in ("i16", "i4", "ipcm"):
+                if kind == "i16":
+                    _enc_i16_in_p(enc, ctxs, st, mvs, recon, target,
+                                  mx, my, qp, qpc)
+                    enc.terminate(
+                        1 if my == mbh - 1 and mx == mbw - 1 else 0
+                    )
+                    continue
+                if kind in ("i4", "ipcm"):
                     raise NotImplementedError(
-                        "intra-in-P under CABAC — gated with the "
-                        "init-table data"
+                        "I_4x4 / I_PCM inside a CABAC P slice — "
+                        "only Intra_16x16 is emitted"
                     )
                 if kind == "8x8":
                     _enc_mb_type_p(enc, ctxs, "8x8")
@@ -578,6 +634,196 @@ def _dec_qp_delta0(dec: _Dec, ctxs: _Ctx, st: _MbStateP) -> None:
             "nonzero mb_qp_delta in the CABAC-P path"
         )
     st.prev_qp_delta_nz = 0
+
+
+def _i16_transform(recon, target, mx, my, qp, qpc):
+    """Intra_16x16 DC prediction + forward transform/quant for one
+    macroblock against the CURRENT reconstruction (identical math to
+    the I-slice module). Returns (pred, zdc, acz, cbp_luma,
+    {pi: (cpred, cdcz, cacz)}, cbpc)."""
+    ry, rcb, rcr = recon
+    pred = _pred16(ry, my, mx, 2)
+    ty, tcb, tcr = target
+    resid = ty[my * 16 : my * 16 + 16,
+               mx * 16 : mx * 16 + 16].astype(np.int64) - pred
+    blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+    wm = np.matmul(np.matmul(_CF, blocks), _CF.T)
+    dc = wm[..., 0, 0]
+    acz = _quant(wm, qp)
+    acz[..., 0, 0] = 0
+    zdc = _quant_dc4((_H4 @ dc @ _H4) // 2, qp)
+    cbp_luma = 15 if acz.any() else 0
+    chroma = {}
+    for pi, (srcp, reconp) in enumerate(((tcb, rcb), (tcr, rcr))):
+        cp = _pred8_chroma_dc(reconp, my, mx)
+        cres = srcp[my * 8 : my * 8 + 8,
+                    mx * 8 : mx * 8 + 8].astype(np.int64) - cp
+        cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        wmc = np.matmul(np.matmul(_CF, cblk), _CF.T)
+        dc2 = wmc[..., 0, 0]
+        az = _quant(wmc, qpc)
+        az[..., 0, 0] = 0
+        qbits = 15 + qpc // 6
+        f = (1 << qbits) // 3
+        yd = _H2 @ dc2 @ _H2
+        zd = np.sign(yd) * (
+            (np.abs(yd) * _MF[qpc % 6][0] + 2 * f) >> (qbits + 1)
+        )
+        chroma[pi] = (cp, zd, az)
+    any_cac = any(chroma[p][2].any() for p in (0, 1))
+    any_cdc = any(chroma[p][1].any() for p in (0, 1))
+    cbpc = 2 if any_cac else (1 if any_cdc else 0)
+    return pred, zdc, acz, cbp_luma, chroma, cbpc
+
+
+def _i16_in_p_recon_state(st, mvs, mx, my, cbp_luma, cbpc):
+    """Shared cross-mb state updates for an intra MB in a P slice:
+    the motion field sees an intra block; absMvdComp is 0
+    (9.3.3.1.1.7)."""
+    mvs.mark_intra(mx, my)
+    st.skip[my, mx] = False
+    st.coded[my, mx] = True
+    st.is_i4x4[my, mx] = False
+    st.cbp_luma[my, mx] = cbp_luma
+    st.cbp_chroma[my, mx] = cbpc
+    st.absmvd[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+
+
+def _enc_i16_in_p(enc, ctxs, st, mvs, recon, target, mx, my, qp,
+                  qpc) -> None:
+    """Encode one Intra_16x16 (DC) macroblock inside a CABAC P
+    slice and reconstruct it in place. coded_block_flag contexts use
+    the INTRA neighbor rule (current mb intra: unavailable neighbor
+    contributes 1) — the parent _MbState increments."""
+    pred, zdc, acz, cbp_luma, chroma, cbpc = _i16_transform(
+        recon, target, mx, my, qp, qpc
+    )
+    _enc_mb_type_p_i16(enc, ctxs, cbp_luma == 15, cbpc)
+    enc.decision(ctxs, 64, 0)  # intra_chroma_pred_mode: DC
+    _enc_qp_delta0(enc, ctxs, st)
+    dccf = [int(zdc.flat[i]) for i in _ZIG]
+    st.cbf_lumadc[my, mx] = _enc_residual(
+        enc, ctxs, dccf, 0, st.cbf_inc_lumadc(mx, my)
+    )
+    st.has_lumadc[my, mx] = True
+    if cbp_luma:
+        for bx, by in _ZBLK:
+            gx, gy = mx * 4 + bx, my * 4 + by
+            cf = [int(acz[by, bx].flat[i]) for i in _ZIG[1:]]
+            st.cbf_luma4[gy, gx] = _enc_residual(
+                enc, ctxs, cf, 1, st.cbf_inc_luma4(gx, gy)
+            )
+    else:
+        st.cbf_luma4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+    for pi in (0, 1):
+        if cbpc > 0:
+            zd = chroma[pi][1]
+            cf = [int(zd[0, 0]), int(zd[0, 1]),
+                  int(zd[1, 0]), int(zd[1, 1])]
+            st.cbf_cdc[pi][my, mx] = _enc_residual(
+                enc, ctxs, cf, 3, st.cbf_inc_cdc(mx, my, pi)
+            )
+        else:
+            st.cbf_cdc[pi][my, mx] = 0
+    for pi in (0, 1):
+        if cbpc > 1:
+            az = chroma[pi][2]
+            for by in range(2):
+                for bx in range(2):
+                    cx, cy = mx * 2 + bx, my * 2 + by
+                    cf = [int(az[by, bx].flat[i]) for i in _ZIG[1:]]
+                    st.cbf_c4[pi][cy, cx] = _enc_residual(
+                        enc, ctxs, cf, 4, st.cbf_inc_c4(cx, cy, pi)
+                    )
+        else:
+            st.cbf_c4[pi][my * 2 : my * 2 + 2,
+                          mx * 2 : mx * 2 + 2] = 0
+    ry, rcb, rcr = recon
+    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _recon_mb16(
+        pred, acz if cbp_luma else None, zdc, qp
+    )
+    for pi, reconp in ((0, rcb), (1, rcr)):
+        cp, zd, az = chroma[pi]
+        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+            _recon_chroma8(cp, az if cbpc > 1 else None,
+                           zd if cbpc > 0 else None, qpc)
+        )
+    _i16_in_p_recon_state(st, mvs, mx, my, cbp_luma, cbpc)
+
+
+def _dec_i16_in_p(dec, ctxs, st, mvs, recon, mx, my, qp, qpc,
+                  cbpl15, cbpc, pm) -> None:
+    """Decode the Intra_16x16 payload after _dec_mb_type_p returned
+    the intra tuple, and reconstruct in place."""
+    cbp_luma = 15 if cbpl15 else 0
+    if dec.decision(ctxs, 64):
+        raise NotImplementedError(
+            "chroma prediction mode != DC inside a CABAC P slice"
+        )
+    _dec_qp_delta0(dec, ctxs, st)
+    dccf, cbf = _dec_residual(
+        dec, ctxs, 0, st.cbf_inc_lumadc(mx, my), 16
+    )
+    zdc = np.zeros(16, np.int64)
+    zdc[_ZIG] = dccf
+    zdc = zdc.reshape(4, 4)
+    st.cbf_lumadc[my, mx] = cbf
+    st.has_lumadc[my, mx] = True
+    acz = np.zeros((4, 4, 4, 4), np.int64)
+    if cbp_luma:
+        for bx, by in _ZBLK:
+            gx, gy = mx * 4 + bx, my * 4 + by
+            cf, cbf4 = _dec_residual(
+                dec, ctxs, 1, st.cbf_inc_luma4(gx, gy), 15
+            )
+            z = np.zeros(16, np.int64)
+            z[_ZIG[1:]] = cf
+            acz[by, bx] = z.reshape(4, 4)
+            st.cbf_luma4[gy, gx] = cbf4
+    else:
+        st.cbf_luma4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+    cdcz = {0: np.zeros((2, 2), np.int64),
+            1: np.zeros((2, 2), np.int64)}
+    cacz = {0: np.zeros((2, 2, 4, 4), np.int64),
+            1: np.zeros((2, 2, 4, 4), np.int64)}
+    for pi in (0, 1):
+        if cbpc > 0:
+            cf, cbf = _dec_residual(
+                dec, ctxs, 3, st.cbf_inc_cdc(mx, my, pi), 4
+            )
+            cdcz[pi] = np.array(
+                [[cf[0], cf[1]], [cf[2], cf[3]]], np.int64
+            )
+            st.cbf_cdc[pi][my, mx] = cbf
+        else:
+            st.cbf_cdc[pi][my, mx] = 0
+    for pi in (0, 1):
+        if cbpc > 1:
+            for by in range(2):
+                for bx in range(2):
+                    cx, cy = mx * 2 + bx, my * 2 + by
+                    cf, cbf = _dec_residual(
+                        dec, ctxs, 4, st.cbf_inc_c4(cx, cy, pi), 15
+                    )
+                    z = np.zeros(16, np.int64)
+                    z[_ZIG[1:]] = cf
+                    cacz[pi][by, bx] = z.reshape(4, 4)
+                    st.cbf_c4[pi][cy, cx] = cbf
+        else:
+            st.cbf_c4[pi][my * 2 : my * 2 + 2,
+                          mx * 2 : mx * 2 + 2] = 0
+    ry, rcb, rcr = recon
+    pred = _pred16(ry, my, mx, pm)
+    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _recon_mb16(
+        pred, acz if cbp_luma else None, zdc, qp
+    )
+    for pi, reconp in ((0, rcb), (1, rcr)):
+        cp = _pred8_chroma_dc(reconp, my, mx)
+        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+            _recon_chroma8(cp, cacz[pi] if cbpc > 1 else None,
+                           cdcz[pi] if cbpc > 0 else None, qpc)
+        )
+    _i16_in_p_recon_state(st, mvs, mx, my, cbp_luma, cbpc)
 
 
 def _code_inter_residuals_enc(enc, ctxs, st, mx, my, cbp_luma, cbpc,
@@ -727,6 +973,14 @@ def decode_h264_cabac_p(
                             break
                         continue
                     mode = _dec_mb_type_p(dec, ctxs)
+                    if isinstance(mode, tuple):
+                        _, cbpl15, cbpc_i, pm = mode
+                        _dec_i16_in_p(dec, ctxs, st, mvs, recon,
+                                      mx, my, qp, qpc, cbpl15,
+                                      cbpc_i, pm)
+                        if dec.terminate():
+                            break
+                        continue
                     if mode == "8x8":
                         sms = [_dec_sub_mb_type(dec, ctxs)
                                for _ in range(4)]

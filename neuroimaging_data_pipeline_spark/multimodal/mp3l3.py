@@ -111,6 +111,12 @@ _HUFF_BIG: dict[int, tuple[int, tuple[int, ...], tuple[int, ...]]] = {
     # ffmpeg cross-pin in tests covers machines that have real
     # encoders. Table 11 did not survive that validation and stays a
     # loud gate rather than shipping a structurally-plausible fake.
+    # r11: a fresh table-11 length-matrix transcription attempt was
+    # made and failed the Kraft check again (sum 1033/1024) — the
+    # gate stands; 13/15 and the shared ESC code tables 16/24 (256
+    # entries each) were not attempted from memory at all, as the
+    # failure mode the validator guards against (confidently wrong
+    # verbatim data) is near-certain at that size.
     7: (6,
         (1, 3, 6, 8, 8, 9, 3, 4, 6, 7, 7, 8, 6, 5, 7, 8, 8, 9,
          7, 7, 8, 9, 9, 9, 7, 7, 8, 9, 9, 10, 8, 8, 9, 10, 10, 10),

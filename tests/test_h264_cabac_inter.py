@@ -126,3 +126,64 @@ def test_ctx_id_coverage():
               54, 58, 59, 60, 63, 73, 84, 85, 104, 105, 226, 227,
               275):
         assert c in s
+
+
+@pytest.mark.parametrize("qp", [0, 12, 26, 38, 51])
+def test_intra_in_p_roundtrip(qp):
+    """r11: Intra_16x16 macroblocks inside CABAC P slices — the
+    mb_type intra prefix + suffix (ctx 17..20 with the mid-string
+    terminate), chroma mode, qp_delta, cat-0/1 luma + chroma
+    residuals through the INTRA coded_block_flag neighbor rule —
+    bit-exact round trips across QPs, mixed with every inter class
+    so both neighbor regimes border each other."""
+    frames = [_planes(48, 32, 200 + qp), _planes(48, 32, 201 + qp),
+              _planes(48, 32, 202 + qp)]
+    specs = [
+        [("i16",), ("16x16", [(4, -4)]), ("skip",),
+         ("i16",), ("16x8", [(0, 0), (8, 8)]), ("i16",)],
+        [("16x16", [(0, 4)]), ("i16",),
+         ("8x8", [("8x8", [(1, 1)]), ("4x4", [(0, 0)] * 4),
+                  ("8x4", [(2, 0), (0, 2)]),
+                  ("4x8", [(1, 0), (0, 1)])]),
+         ("skip",), ("i16",), ("8x16", [(2, 2), (-2, -2)])],
+    ]
+    table = synthetic_p_init(qp)
+    st, recons = encode_h264_cabac_p_gop(
+        frames, specs, qp=qp, init_table=table
+    )
+    decoded = decode_h264_cabac_p(st, init_table=table)
+    assert len(decoded) == 3
+    for fr, rc in zip(decoded, recons):
+        for a, b in zip(fr, rc):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_intra_in_p_first_mb_and_full_intra_slice():
+    """Corner placements: an intra MB at (0,0) (unavailable
+    neighbors under the INTRA cbf rule) and a P slice that is
+    entirely intra macroblocks."""
+    frames = [_planes(32, 32, 300), _planes(32, 32, 301)]
+    specs = [[("i16",)] * 4]
+    table = synthetic_p_init(5)
+    st, recons = encode_h264_cabac_p_gop(
+        frames, specs, qp=20, init_table=table
+    )
+    decoded = decode_h264_cabac_p(st, init_table=table)
+    for fr, rc in zip(decoded, recons):
+        for a, b in zip(fr, rc):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_intra_in_p_ctx_coverage():
+    """The intra-in-P contexts are part of P_CTX_IDS (an init table
+    that omits them must be rejected loudly)."""
+    s = set(P_CTX_IDS)
+    for c in (17, 18, 19, 20, 64, 65, 66, 67):
+        assert c in s
+    table = synthetic_p_init(0)
+    del table[17]
+    frames = [_planes(32, 32, 1), _planes(32, 32, 2)]
+    with pytest.raises(NotImplementedError, match="ctxIdx 17"):
+        encode_h264_cabac_p_gop(
+            frames, [[("i16",)] * 4], qp=20, init_table=table
+        )
