@@ -536,7 +536,18 @@ def decode_residual_block(
         total_zeros = 0
     zeros_left = total_zeros
     pos = total_zeros + total - 1
+    if pos >= max_coeff:
+        # corrupt stream: total_zeros + total overruns the block —
+        # fail loudly instead of writing out of range
+        raise ValueError(
+            f"corrupt residual block: {total} coefficients with "
+            f"{total_zeros} leading zeros exceed {max_coeff} positions"
+        )
     for k, level in enumerate(levels):
+        if pos < 0:
+            raise ValueError(
+                "corrupt residual block: run_before underran position 0"
+            )
         coeffs[pos] = level
         if k == total - 1:
             break

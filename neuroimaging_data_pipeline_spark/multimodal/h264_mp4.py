@@ -101,20 +101,26 @@ def parse_avcc(payload: bytes) -> dict:
     length_size = (payload[4] & 3) + 1
     n_sps = payload[5] & 0x1F
     pos = 6
+
+    def take(n: int) -> bytes:
+        # hostile/truncated records must fail loudly as ValueError,
+        # never as a silent short slice or a stray IndexError
+        nonlocal pos
+        if pos + n > len(payload):
+            raise ValueError("truncated avcC parameter-set arrays")
+        out = payload[pos : pos + n]
+        pos += n
+        return out
+
     sps = []
     for _ in range(n_sps):
-        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
-        sps.append(payload[pos + 2 : pos + 2 + ln])
-        pos += 2 + ln
-    n_pps = payload[pos]
-    pos += 1
+        (ln,) = struct.unpack(">H", take(2))
+        sps.append(take(ln))
+    n_pps = take(1)[0]
     pps = []
     for _ in range(n_pps):
-        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
-        pps.append(payload[pos + 2 : pos + 2 + ln])
-        pos += 2 + ln
-    if len(sps) != n_sps or len(pps) != n_pps or pos > len(payload):
-        raise ValueError("truncated avcC parameter-set arrays")
+        (ln,) = struct.unpack(">H", take(2))
+        pps.append(take(ln))
     return {
         "profile": profile,
         "compat": compat,

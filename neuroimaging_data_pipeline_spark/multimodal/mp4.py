@@ -295,6 +295,13 @@ def decode_mp4_meta(payload: bytes, verify_payload: bool = True) -> dict:
     if len(data) < 8 or data[4:8] != b"ftyp":
         raise ValueError("not an MP4: missing leading ftyp box")
     idx = _index_boxes(data)
+    # hostile/corrupt containers: a flipped fourcc makes a required
+    # box vanish from the index — fail as ValueError, not KeyError
+    for req in (b"ftyp", b"mvhd", b"hdlr", b"stts", b"stsz", b"stsd"):
+        if req not in idx or not idx[req]:
+            raise ValueError(f"MP4 missing required box {req.decode()!r}")
+    if not (idx.get(b"stco") or idx.get(b"co64")):
+        raise ValueError("MP4 missing chunk-offset box (stco/co64)")
     major_brand = data[idx[b"ftyp"][0][0] : idx[b"ftyp"][0][0] + 4].decode()
 
     s, _ = idx[b"mvhd"][0]
