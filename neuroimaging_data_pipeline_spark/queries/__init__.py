@@ -274,6 +274,7 @@ _RECHECK_R10_FOLDED = [
 # invariant holds if the window ever overflows.
 _ADDED_R11 = [
     "m43_h264_bdeblock",
+    "e15_mp4_shard_pipeline",
 ]
 
 

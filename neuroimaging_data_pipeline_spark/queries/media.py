@@ -2315,6 +2315,65 @@ FROM vals JOIN asum ON vals.doc_id = asum.doc_id
 """
 
 
+def e15_mp4_shard_pipeline(spark, sf_dir):
+    """E15: the COMPOSED CONTAINER-FIRST video pipeline — e13's
+    sibling for the shape real video corpora actually ship in:
+    WebDataset-style USTAR tar shards whose members are MP4 FILES
+    (the m40 fixture: avc1 sample entry, out-of-band avcC parameter
+    sets, 4-byte length-prefixed samples, two-chunk stsc/stco
+    mapping, wrapping the m36 multi-ref CAVLC GOP). The pipeline
+    reverses the entire stack per shard — tar member walk, MP4 box
+    parse, avcC extraction, length-prefix re-framing, CAVLC entropy
+    decode + motion compensation over the DPB — verifies the
+    container metadata against the decoded stream, and pins exact
+    reassembly with an ORDER-PINNED md5 over five per-document
+    decoded-plane checksums. Any bit-level bug in the tar, box,
+    avcC, framing or codec layer breaks the hash. Shape at 100 TB:
+    ONE pack shuffle (groupBy shard), a deliberate re-spread after
+    it (the e13 AQE-coalesce lesson), then a single narrow
+    decode+aggregate task per shard."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.multimodal.h264_mp4 import (
+        synthesize_h264_mp4_clips,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.mp4_shard_helpers import (  # noqa: E501
+        decode_mp4_shard_features,
+        pack_mp4_shard,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_mp4_clips(d, id_col="doc_id")
+    shards = (
+        media.withColumn(
+            "shard_id", (F.col("doc_id") / 25).cast("long")
+        )
+        .groupBy("shard_id")
+        .applyInPandas(pack_mp4_shard, "shard_id long, tar binary")
+    )
+    ncores = spark.sparkContext.defaultParallelism
+    return decode_mp4_shard_features(shards.repartition(ncores))
+
+
+def _e15_sql() -> str:
+    # the per-doc pixel oracle IS the m36 formula family (the MP4
+    # wraps the same fixture) — embed M36_SQL and aggregate per
+    # shard with the same order-pinned md5 convention as e13/e14
+    return (
+        "WITH perdoc AS (" + M36_SQL + """)
+SELECT CAST(doc_id // 25 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(3 * COUNT(*) AS BIGINT) AS n_samples_total,
+       CAST(SUM(sum_y_p2) AS BIGINT) AS sum_y_p2_total,
+       md5(string_agg(
+         doc_id || ':' || sum_y_idr || ':' || sum_y_p1 || ':'
+           || sum_y_p2 || ':' || sum_cb_p2 || ':' || sum_cr_p2,
+         '|' ORDER BY doc_id)) AS docs_md5
+FROM perdoc GROUP BY 1
+""")
+
+
 def m43_h264_bdeblock(spark, sf_dir):
     """M43: B-SLICE IN-LOOP DEBLOCKING (multimodal/h264_deblock.py
     + h264_bslice.py, r11) — clause 8.7 completed for every slice
@@ -2859,6 +2918,7 @@ QUERIES = {
     "m41_mp3_intensity": m41_mp3_intensity,
     "m42_h264_deblock": m42_h264_deblock,
     "m43_h264_bdeblock": m43_h264_bdeblock,
+    "e15_mp4_shard_pipeline": e15_mp4_shard_pipeline,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m39_mp3_subband": m39_mp3_subband,
     "e13_video_shard_pipeline": e13_video_shard_pipeline,
@@ -2902,6 +2962,7 @@ ORACLE = {
     "m41_mp3_intensity": M41_SQL,
     "m42_h264_deblock": M42_SQL,
     "m43_h264_bdeblock": M43_SQL,
+    "e15_mp4_shard_pipeline": _e15_sql(),
     "m38_jpeg_hierarchical": M38_SQL,
     "m39_mp3_subband": M39_SQL,
     "e13_video_shard_pipeline": E13_SQL,

@@ -152,3 +152,78 @@ def test_ffprobe_cross_pin():
     codec, w, h, nb = out.split(",")[:4]
     assert codec == "h264" and (w, h) == ("48", "32")
     assert nb in ("3", "N/A")
+
+
+def test_e15_shard_pack_and_decode_features():
+    """e15 helpers end-to-end on plain pandas (no Spark): pack
+    m40-style MP4s into a USTAR shard, decode through the full
+    tar -> box -> avcC -> CAVLC stack, and pin the shard layer
+    (member order, metadata verification, md5 composition) against
+    independent per-document decodes."""
+    import hashlib
+
+    import pandas as pd
+
+    import neuroimaging_data_pipeline_spark.multimodal.mp4_shard_helpers as mh  # noqa: E501
+    from neuroimaging_data_pipeline_spark.multimodal.h264_mp4 import (
+        decode_h264_mp4,
+        synthesize_h264_mp4_clips,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.mp4_shard_helpers import (  # noqa: E501
+        pack_mp4_shard,
+    )
+
+    ids = [0, 1, 2, 7]
+    captured = {}
+
+    class _FakeDF:
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def select(self, *_):
+            return self
+
+        def mapInPandas(self, fn, _schema):
+            out = pd.concat(list(fn(iter([self._pdf]))),
+                            ignore_index=True)
+            for i, c in zip(out["doc_id"], out["content"]):
+                captured[int(i)] = bytes(c)
+            return _FakeDF(out)
+
+    synthesize_h264_mp4_clips(
+        _FakeDF(pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")}))
+    )
+    expect_parts = []
+    p2_total = 0
+    for i in ids:
+        frames, info = decode_h264_mp4(captured[i])
+        assert info["n_samples"] == 3
+        sums = (
+            int(frames[0][0].sum()), int(frames[1][0].sum()),
+            int(frames[2][0].sum()), int(frames[2][1].sum()),
+            int(frames[2][2].sum()),
+        )
+        p2_total += sums[2]
+        expect_parts.append(f"{i}:" + ":".join(str(v) for v in sums))
+    pdf = pd.DataFrame({
+        "shard_id": pd.Series([0] * len(ids), dtype="int64"),
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "content": pd.Series([captured[i] for i in ids], dtype=object),
+    })
+    shard = pack_mp4_shard(pdf)
+    feat_df = None
+
+    class _Fake2:
+        def mapInPandas(self, fn, _schema):
+            nonlocal feat_df
+            feat_df = pd.concat(list(fn(iter([shard]))),
+                                ignore_index=True)
+            return feat_df
+
+    mh.decode_mp4_shard_features(_Fake2())
+    row = feat_df.iloc[0]
+    assert row["n_docs"] == len(ids)
+    assert row["n_samples_total"] == 3 * len(ids)
+    assert row["sum_y_p2_total"] == p2_total
+    want = hashlib.md5("|".join(expect_parts).encode()).hexdigest()
+    assert row["docs_md5"] == want
