@@ -527,7 +527,7 @@ def encode_h264_cabac_p_gop(
                         )
                     for sm, _, _ in subs:
                         _enc_sub_mb_type(enc, ctxs, sm)
-                    if nra == 2:
+                    if nra >= 2:
                         for k, (_, _, rf) in enumerate(subs):
                             gx = mx * 4 + (k & 1) * 2
                             gy = my * 4 + (k >> 1) * 2
@@ -562,7 +562,7 @@ def encode_h264_cabac_p_gop(
                         raise ValueError(f"bad P mode {mode!r}")
                     parts = [_mv_ref(e) for e in spec[1]]
                     _enc_mb_type_p(enc, ctxs, mode)
-                    if nra == 2:
+                    if nra >= 2:
                         for pidx, ((ox4, oy4, w4, h4),
                                    (mv, rf)) in enumerate(
                             zip(_PARTS[mode], parts)
@@ -985,7 +985,7 @@ def decode_h264_cabac_p(
                         sms = [_dec_sub_mb_type(dec, ctxs)
                                for _ in range(4)]
                         srefs = [0] * 4
-                        if nra == 2:
+                        if nra >= 2:
                             for k in range(4):
                                 gx = mx * 4 + (k & 1) * 2
                                 gy = my * 4 + (k >> 1) * 2
@@ -1019,7 +1019,7 @@ def decode_h264_cabac_p(
                     else:
                         nparts = len(_PARTS[mode])
                         prefs = [0] * nparts
-                        if nra == 2:
+                        if nra >= 2:
                             for pidx, (ox4, oy4, w4, h4) in enumerate(
                                 _PARTS[mode]
                             ):

@@ -61,7 +61,9 @@ alpha/beta filter offsets (written/parsed per 7.3.3 when idc != 1,
 applied per 8.7.2.2 indexA/indexB) and idc 2 emission
 (deblock=2; identical to idc 0 for single-slice frames).
 
-Declared gates (raise, never silent): >2 reference frames.
+r11: >2 reference frames (num_refs up to 15, ref_idx_l0 as TRUE
+te(v): one inverted bit at range 1, ue(v) above — CAVLC and CABAC
+paths both; the m44 long-GOP oracle pins reference selection).
 CABAC P-slice MACHINERY is complete in h264_cabac_inter.py
 (binarizations, neighbor contexts, full slice round trips); its
 remaining gate is the 9.3.1.1 P-column init DATA. B slices live in
@@ -691,6 +693,23 @@ def _parse_pwt_p(r: _BitR, nra: int) -> dict:
     return w
 
 
+def _write_te_ref(sl: _BitW, v: int, nra: int) -> None:
+    """ref_idx_l0 as te(v) (9.1): range 1 -> one inverted bit,
+    range > 1 -> ue(v), range 0 -> absent."""
+    if nra == 2:
+        sl.u(1 - v, 1)
+    elif nra > 2:
+        sl.ue(v)
+
+
+def _read_te_ref(r: _BitR, nra: int) -> int:
+    if nra == 2:
+        return 1 - r.u(1)
+    if nra > 2:
+        return r.ue()
+    return 0
+
+
 def _p_slice_header(
     sl: _BitW, qp: int, frame_num: int = 1, num_refs_active: int = 1,
     wtab: dict | None = None, deblock_idc: int = 1,
@@ -733,10 +752,10 @@ def _parse_p_slice_header(
     nra = 1  # PPS num_ref_idx_l0_default_active_minus1 is written 0
     if r.u(1):
         nra = r.ue() + 1
-        if nra > 2:
-            raise NotImplementedError(
-                f"num_ref_idx_l0_active {nra} — at most 2 reference "
-                "frames are implemented"
+        if nra > 15:
+            raise ValueError(
+                f"num_ref_idx_l0_active {nra} exceeds the 4-bit "
+                "frame_num sliding window"
             )
     if r.u(1):
         raise NotImplementedError("ref_pic_list_modification unsupported")
@@ -1507,9 +1526,9 @@ def _encode_p_frame(
                 sl.ue(3)  # P_8x8
                 for sm in submodes:
                     sl.ue(_SUB_TYPE[sm])
-                if nra == 2:
+                if nra >= 2:
                     for rf in subrefs:
-                        sl.u(1 - rf, 1)  # ref_idx_l0, te(v) range 1
+                        _write_te_ref(sl, rf, nra)  # ref_idx_l0
                 placed = []
                 for k in range(4):
                     ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
@@ -1549,9 +1568,9 @@ def _encode_p_frame(
             sl.ue(skip_run)
             skip_run = 0
             sl.ue(_MB_TYPE[mode])
-            if nra == 2:
+            if nra >= 2:
                 for _, rf in parts:
-                    sl.u(1 - rf, 1)  # ref_idx_l0, te(v) range 1
+                    _write_te_ref(sl, rf, nra)  # ref_idx_l0
             placed = []
             for pidx, ((ox4, oy4, w4, h4), (mv, rf)) in enumerate(
                 zip(_PARTS[mode], parts)
@@ -1623,8 +1642,10 @@ def encode_h264_p_gop(
         raise ValueError("a GOP needs an anchor + at least one P frame")
     if len(specs_per_p) != len(frames) - 1:
         raise ValueError("one mb_specs list per P frame required")
-    if num_refs not in (1, 2):
-        raise ValueError("num_refs must be 1 or 2")
+    if not 1 <= num_refs <= 15:
+        # 4-bit frame_num (log2_max_frame_num 4): keep the sliding
+        # window clear of the wrap
+        raise ValueError("num_refs must be in 1..15")
     y0, cb0, cr0 = frames[0]
     h, w = y0.shape
     if h % 16 or w % 16:
@@ -1917,8 +1938,8 @@ def _decode_p_frame(
                     raise ValueError(f"bad sub_mb_type {st}")
                 submodes.append(_SUB_TYPE_INV[st])
             subrefs = [0] * 4
-            if mb_type == 3 and nra == 2:
-                subrefs = [1 - r.u(1) for _ in range(4)]
+            if mb_type == 3 and nra >= 2:
+                subrefs = [_read_te_ref(r, nra) for _ in range(4)]
             placed = []
             for k in range(4):
                 ox8, oy8 = (k & 1) * 2, (k >> 1) * 2
@@ -1936,8 +1957,9 @@ def _decode_p_frame(
         else:
             mode = _MB_TYPE_INV[mb_type]
             prefs = [0] * len(_PARTS[mode])
-            if nra == 2:
-                prefs = [1 - r.u(1) for _ in range(len(_PARTS[mode]))]
+            if nra >= 2:
+                prefs = [_read_te_ref(r, nra)
+                         for _ in range(len(_PARTS[mode]))]
             placed = []
             for pidx, (ox4, oy4, w4, h4) in enumerate(_PARTS[mode]):
                 mvdx, mvdy = r.se(), r.se()
@@ -2356,6 +2378,155 @@ def h264_gop_frame_features(
                 columns=[id_col, "n_frames", "width", "height",
                          "sum_y_idr", "sum_y_p1", "sum_y_p2",
                          "sum_cb_p2", "sum_cr_p2"],
+            )
+
+    return media.mapInPandas(feat, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface (m44): LONG-GOP multi-reference decode, oracle-exact
+# ---------------------------------------------------------------------------
+#
+# r11: num_refs > 2 (ref_idx_l0 as true te(v): ue(v) coding when more
+# than two references are active). Fixture design: five frames, all
+# P macroblocks are ZERO-MV with per-4x4-constant residuals, so each
+# frame's pixels are the REFERENCED frame's pixels plus a formula
+# delta — no motion composition, which keeps the oracle a chain of
+# four CASE expressions over which reference each macroblock picked.
+# A mis-decoded ref_idx (the new ue(v) path) lands on the wrong base
+# frame and shifts every downstream sum.
+
+
+def _m44_ref(d: int, k: int, m: int) -> int:
+    """refIdx of macroblock m in P frame k (1-based): cycles through
+    ALL active references (min(k, 3))."""
+    return (d + k + m) % min(k, 3)
+
+
+def _m44_delta(d: int, k: int, m: int, by: int, bx: int) -> int:
+    """Per-4x4 residual of macroblock m in frame k."""
+    return (d * (2 * k + 1) + by * (5 + k) + bx * (7 + 2 * k)
+            + m * 3) % 9 - 4
+
+
+def synthesize_h264_longgop_frames(docs, id_col: str = "doc_id"):
+    """Per-document 5-frame 32x32 QP-0 GOP at num_refs=3: an
+    Intra_16x16 IDR (the m35 value formula), then four P frames of
+    zero-MV P_L0_16x16 macroblocks whose refIdx cycles through every
+    active reference (te(v)-as-ue(v) when three are active) with
+    per-4x4 formula residuals. Base values sit in 16..239 and the
+    four deltas are +-4 each, so no clipping fires anywhere and
+    every decoded pixel is closed-form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    out_schema = f"{id_col} long, content binary"
+
+    def build(batches) -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                gy, gx = np.mgrid[0:8, 0:8]
+                y0 = (16 + (i * 13 + gy * 41 + gx * 59) % 224
+                      ).repeat(4, 0).repeat(4, 1)
+                cgy, cgx = np.mgrid[0:4, 0:4]
+                cb0 = (16 + (i * 23 + cgy * 31 + cgx * 41) % 200
+                       ).repeat(4, 0).repeat(4, 1)
+                cr0 = (16 + (i * 29 + cgy * 37 + cgx * 43) % 200
+                       ).repeat(4, 0).repeat(4, 1)
+                ys = [y0]
+                cbs = [cb0]
+                crs = [cr0]
+                specs_per_p = []
+                by, bx = np.mgrid[0:8, 0:8]
+                cby, cbx = np.mgrid[0:4, 0:4]
+                for k in range(1, 5):
+                    yk = np.zeros((32, 32), np.int64)
+                    cbk = np.zeros((16, 16), np.int64)
+                    crk = np.zeros((16, 16), np.int64)
+                    specs = []
+                    for m in range(4):
+                        mx_, my_ = m % 2, m // 2
+                        rf = _m44_ref(i, k, m)
+                        base = len(ys) - 1 - rf
+                        sly = np.s_[my_ * 16 : my_ * 16 + 16,
+                                    mx_ * 16 : mx_ * 16 + 16]
+                        slc = np.s_[my_ * 8 : my_ * 8 + 8,
+                                    mx_ * 8 : mx_ * 8 + 8]
+                        dl = (_m44_delta(i, k, m, by, bx)
+                              .repeat(4, 0).repeat(4, 1))[sly]
+                        dcb = (_m44_delta(i * 3 + 1, k, m, cby, cbx)
+                               .repeat(4, 0).repeat(4, 1))[slc]
+                        dcr = (_m44_delta(i * 5 + 2, k, m, cby, cbx)
+                               .repeat(4, 0).repeat(4, 1))[slc]
+                        yk[sly] = ys[base][sly] + dl
+                        cbk[slc] = cbs[base][slc] + dcb
+                        crk[slc] = crs[base][slc] + dcr
+                        specs.append(("16x16", [((0, 0), rf)]))
+                    ys.append(yk)
+                    cbs.append(cbk)
+                    crs.append(crk)
+                    specs_per_p.append(specs)
+                frames = [
+                    (y.astype(np.uint8), cb.astype(np.uint8),
+                     cr.astype(np.uint8))
+                    for y, cb, cr in zip(ys, cbs, crs)
+                ]
+                stream, recons = encode_h264_p_gop(
+                    frames, specs_per_p, qp=0, num_refs=3
+                )
+                for fa, fb in zip(recons, frames):
+                    for a, b in zip(fa, fb):
+                        if not np.array_equal(a, b):
+                            raise AssertionError(
+                                f"doc {i}: QP-0 long-GOP not exact")
+                ids.append(i)
+                blobs.append(stream)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(build, out_schema)
+
+
+def h264_longgop_features(
+    media,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+):
+    """Decode the 5-frame multi-ref sequences and emit per-frame
+    luma sums plus the final frame's chroma sums."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_frames int,"
+        " sum_y_f1 long, sum_y_f2 long, sum_y_f3 long, sum_y_f4 long,"
+        " sum_cb_f4 long, sum_cr_f4 long"
+    )
+
+    def feat(batches) -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf[id_col], pdf[content_col]):
+                frames = decode_h264_sequence(bytes(content))
+                rows.append(
+                    (int(i), len(frames),
+                     int(frames[1][0].sum()), int(frames[2][0].sum()),
+                     int(frames[3][0].sum()), int(frames[4][0].sum()),
+                     int(frames[4][1].sum()), int(frames[4][2].sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "sum_y_f1", "sum_y_f2",
+                         "sum_y_f3", "sum_y_f4", "sum_cb_f4",
+                         "sum_cr_f4"],
             )
 
     return media.mapInPandas(feat, out_schema)

@@ -275,6 +275,7 @@ _RECHECK_R10_FOLDED = [
 _ADDED_R11 = [
     "m43_h264_bdeblock",
     "e15_mp4_shard_pipeline",
+    "m44_h264_longgop",
 ]
 
 

@@ -2315,6 +2315,133 @@ FROM vals JOIN asum ON vals.doc_id = asum.doc_id
 """
 
 
+def m44_h264_longgop(spark, sf_dir):
+    """M44: LONG-GOP MULTI-REFERENCE H.264 (r11: num_refs > 2,
+    ref_idx_l0 as true te(v) — ue(v) coding when three references
+    are active; multimodal/h264_inter.py). Per document a 5-frame
+    QP-0 GOP at num_refs=3 whose P macroblocks are zero-MV with
+    per-4x4 formula residuals, each picking a DIFFERENT reference
+    (refIdx cycles through every active one), so each frame's pixels
+    are the referenced frame's pixels plus a delta — a closed-form
+    chain of reference choices the oracle re-derives with four
+    nested CASEs. A mis-decoded ue(v) ref_idx lands on the wrong
+    base frame and breaks every downstream sum. Narrow scan ->
+    mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        h264_longgop_features,
+        synthesize_h264_longgop_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_longgop_frames(d, id_col="doc_id")
+    return h264_longgop_features(media)
+
+
+M44_SQL = """
+WITH px AS (
+  SELECT doc_id, py.py AS py, qx.px AS px
+  FROM documents,
+       UNNEST(range(0, 32)) AS py(py),
+       UNNEST(range(0, 32)) AS qx(px)
+), base AS (
+  SELECT doc_id, py, px,
+         (px // 16) + 2 * (py // 16) AS m,
+         py // 4 AS by, px // 4 AS bx,
+         16 + (doc_id * 13 + (py // 4) * 41 + (px // 4) * 59) % 224
+           AS y0
+  FROM px
+), f1 AS (
+  SELECT *, y0 + (doc_id * 3 + by * 6 + bx * 9 + m * 3) % 9 - 4 AS y1
+  FROM base
+), f2 AS (
+  SELECT *,
+         (CASE (doc_id + 2 + m) % 2 WHEN 0 THEN y1 ELSE y0 END)
+         + (doc_id * 5 + by * 7 + bx * 11 + m * 3) % 9 - 4 AS y2
+  FROM f1
+), f3 AS (
+  SELECT *,
+         (CASE (doc_id + 3 + m) % 3
+            WHEN 0 THEN y2 WHEN 1 THEN y1 ELSE y0 END)
+         + (doc_id * 7 + by * 8 + bx * 13 + m * 3) % 9 - 4 AS y3
+  FROM f2
+), f4 AS (
+  SELECT *,
+         (CASE (doc_id + 4 + m) % 3
+            WHEN 0 THEN y3 WHEN 1 THEN y2 ELSE y1 END)
+         + (doc_id * 9 + by * 9 + bx * 15 + m * 3) % 9 - 4 AS y4
+  FROM f3
+), yagg AS (
+  SELECT doc_id, SUM(y1) AS s1, SUM(y2) AS s2, SUM(y3) AS s3,
+         SUM(y4) AS s4
+  FROM f4 GROUP BY doc_id
+), cpx AS (
+  SELECT doc_id, cy.cy AS cy, cx.cx AS cx
+  FROM documents,
+       UNNEST(range(0, 16)) AS cy(cy),
+       UNNEST(range(0, 16)) AS cx(cx)
+), cbase AS (
+  SELECT doc_id, cy, cx,
+         (cx // 8) + 2 * (cy // 8) AS m,
+         cy // 4 AS by, cx // 4 AS bx,
+         16 + (doc_id * 23 + (cy // 4) * 31 + (cx // 4) * 41) % 200
+           AS b0,
+         16 + (doc_id * 29 + (cy // 4) * 37 + (cx // 4) * 43) % 200
+           AS r0
+  FROM cpx
+), c1 AS (
+  SELECT *,
+         b0 + ((3 * doc_id + 1) * 3 + by * 6 + bx * 9 + m * 3) % 9 - 4
+           AS b1,
+         r0 + ((5 * doc_id + 2) * 3 + by * 6 + bx * 9 + m * 3) % 9 - 4
+           AS r1
+  FROM cbase
+), c2 AS (
+  SELECT *,
+         (CASE (doc_id + 2 + m) % 2 WHEN 0 THEN b1 ELSE b0 END)
+         + ((3 * doc_id + 1) * 5 + by * 7 + bx * 11 + m * 3) % 9 - 4
+           AS b2,
+         (CASE (doc_id + 2 + m) % 2 WHEN 0 THEN r1 ELSE r0 END)
+         + ((5 * doc_id + 2) * 5 + by * 7 + bx * 11 + m * 3) % 9 - 4
+           AS r2
+  FROM c1
+), c3 AS (
+  SELECT *,
+         (CASE (doc_id + 3 + m) % 3
+            WHEN 0 THEN b2 WHEN 1 THEN b1 ELSE b0 END)
+         + ((3 * doc_id + 1) * 7 + by * 8 + bx * 13 + m * 3) % 9 - 4
+           AS b3,
+         (CASE (doc_id + 3 + m) % 3
+            WHEN 0 THEN r2 WHEN 1 THEN r1 ELSE r0 END)
+         + ((5 * doc_id + 2) * 7 + by * 8 + bx * 13 + m * 3) % 9 - 4
+           AS r3
+  FROM c2
+), c4 AS (
+  SELECT *,
+         (CASE (doc_id + 4 + m) % 3
+            WHEN 0 THEN b3 WHEN 1 THEN b2 ELSE b1 END)
+         + ((3 * doc_id + 1) * 9 + by * 9 + bx * 15 + m * 3) % 9 - 4
+           AS b4,
+         (CASE (doc_id + 4 + m) % 3
+            WHEN 0 THEN r3 WHEN 1 THEN r2 ELSE r1 END)
+         + ((5 * doc_id + 2) * 9 + by * 9 + bx * 15 + m * 3) % 9 - 4
+           AS r4
+  FROM c3
+), cagg AS (
+  SELECT doc_id, SUM(b4) AS sb4, SUM(r4) AS sr4
+  FROM c4 GROUP BY doc_id
+)
+SELECT yagg.doc_id AS doc_id,
+       CAST(5 AS INT) AS n_frames,
+       CAST(s1 AS BIGINT) AS sum_y_f1,
+       CAST(s2 AS BIGINT) AS sum_y_f2,
+       CAST(s3 AS BIGINT) AS sum_y_f3,
+       CAST(s4 AS BIGINT) AS sum_y_f4,
+       CAST(sb4 AS BIGINT) AS sum_cb_f4,
+       CAST(sr4 AS BIGINT) AS sum_cr_f4
+FROM yagg JOIN cagg ON yagg.doc_id = cagg.doc_id
+"""
+
+
 def e15_mp4_shard_pipeline(spark, sf_dir):
     """E15: the COMPOSED CONTAINER-FIRST video pipeline — e13's
     sibling for the shape real video corpora actually ship in:
@@ -2919,6 +3046,7 @@ QUERIES = {
     "m42_h264_deblock": m42_h264_deblock,
     "m43_h264_bdeblock": m43_h264_bdeblock,
     "e15_mp4_shard_pipeline": e15_mp4_shard_pipeline,
+    "m44_h264_longgop": m44_h264_longgop,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m39_mp3_subband": m39_mp3_subband,
     "e13_video_shard_pipeline": e13_video_shard_pipeline,
@@ -2963,6 +3091,7 @@ ORACLE = {
     "m42_h264_deblock": M42_SQL,
     "m43_h264_bdeblock": M43_SQL,
     "e15_mp4_shard_pipeline": _e15_sql(),
+    "m44_h264_longgop": M44_SQL,
     "m38_jpeg_hierarchical": M38_SQL,
     "m39_mp3_subband": M39_SQL,
     "e13_video_shard_pipeline": E13_SQL,

@@ -160,8 +160,10 @@ def test_gates_raise():
     )
 
     with pytest.raises(ValueError, match="num_refs"):
+        # r11: 3+ references are supported; 16 overruns the 4-bit
+        # frame_num sliding window and must still be rejected
         encode_h264_p_gop([f0, f1], [[("16x16", [(0, 0)])] * 4],
-                          num_refs=3)
+                          num_refs=16)
     with pytest.raises(ValueError, match="ref_idx"):
         encode_h264_p_gop(
             [f0, f1], [[("16x16", [((0, 0), 1)])] * 4], num_refs=2
@@ -626,3 +628,63 @@ def test_interp_mv_bounds_check():
     with pytest.raises(ValueError):
         interp_chroma(cplane, _PAD // 2, _PAD // 2, 8, 8,
                       -8 * (_PAD // 2 + 1), 0)
+
+
+def test_multiref_gop_roundtrip_num_refs_3():
+    """r11: >2 reference frames — ref_idx_l0 coded ue(v) (true te(v)
+    with range > 1), 5-frame GOP, every MB class, bit-exact round
+    trip with and without in-loop deblocking."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_inter import (
+        decode_h264_sequence,
+        encode_h264_p_gop,
+    )
+
+    frames = [_rand_frames(400 + k, 32, 32)[0] for k in range(5)]
+    specs = []
+    for k in range(1, 5):
+        nra = min(k, 3)
+        specs.append([
+            ("16x16", [((0, 0), (k + m) % nra)]) for m in range(4)
+        ])
+    # mix in P_8x8 / 16x8 / i16 / skip at frame 4
+    specs[3] = [
+        ("8x8", [("8x8", [(4, 0)], 2), ("4x4", [(0, 0)] * 4, 0),
+                 ("8x4", [(0, 4), (4, 0)], 1),
+                 ("4x8", [(1, 0), (0, 1)], 2)]),
+        ("16x8", [((0, 0), 2), ((4, 4), 0)]),
+        ("skip",), ("i16",),
+    ]
+    for deblock in (False, True):
+        st, recons = encode_h264_p_gop(
+            frames, specs, qp=24, num_refs=3, deblock=deblock
+        )
+        out = decode_h264_sequence(st)
+        assert len(out) == 5
+        for fr, rc in zip(out, recons):
+            for a, b in zip(fr, rc):
+                np.testing.assert_array_equal(a, b)
+
+
+def test_multiref_cabac_roundtrip():
+    """CABAC P slices at num_refs=3: unary ref_idx past two."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_cabac_inter import (  # noqa: E501
+        decode_h264_cabac_p,
+        encode_h264_cabac_p_gop,
+        synthetic_p_init,
+    )
+
+    frames = [_rand_frames(500 + k, 32, 32)[0] for k in range(4)]
+    specs = []
+    for k in range(1, 4):
+        nra = min(k, 3)
+        specs.append([
+            ("16x16", [((0, 0), (k + m) % nra)]) for m in range(4)
+        ])
+    table = synthetic_p_init(11)
+    st, recons = encode_h264_cabac_p_gop(
+        frames, specs, qp=22, num_refs=3, init_table=table
+    )
+    out = decode_h264_cabac_p(st, init_table=table)
+    for fr, rc in zip(out, recons):
+        for a, b in zip(fr, rc):
+            np.testing.assert_array_equal(a, b)
