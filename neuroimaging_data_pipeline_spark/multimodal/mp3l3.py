@@ -48,10 +48,13 @@ channel by ratio = tan(is_pos * pi/12), is_pos 7 falling back to
 MS/passthrough, composing with MS below the intensity bound.
 r10 third pass: Huffman tables 7/8/9/10/12 transcribed and
 Kraft-validated, the ESC/linbits mechanism (big-value escape
-decode), and pure-short intensity stereo. Remaining loud gates
-(matching the ``_huff_dec_pair`` error message): tables 11/13/15,
-the shared ESC code tables 16/24, mixed-block intensity positions,
-and the polyphase Table B.3 window. A capability-gated
+decode), and pure-short intensity stereo. r11: MIXED-BLOCK
+intensity stereo (intensity_process_mixed: per-window short-region
+bound over bands 3..12 + long-region intensity when the zero part
+reaches below line 36). Remaining loud gates (matching the
+``_huff_dec_pair`` error message): tables 11/13/15, the shared ESC
+code tables 16/24, and the polyphase Table B.3 window. A
+capability-gated
 ffmpeg cross-check belongs on machines that have ffmpeg (this
 container has none).
 
@@ -853,6 +856,71 @@ def intensity_process_short(
     return out_l, out_r
 
 
+def intensity_process_mixed(
+    xr_l: np.ndarray,
+    xr_r: np.ndarray,
+    right_sf,
+    right_lines,
+    ms_on: bool,
+):
+    """Intensity stereo (2.4.3.4.9.3), MIXED blocks: the granule is
+    long bands 0..7 over lines 0..35 and short bands 3..12 above, so
+    the two regions compose the two existing rules. SHORT region:
+    the per-window bound/pan of intensity_process_short over bands
+    3..12, positions from the mixed granule's short scalefactors
+    (bands 3..11; band 12 reuses band 11, the pure-short
+    convention). LONG region: long bands become intensity bands only
+    when the right channel's zero part reaches down into them —
+    which requires the ENTIRE short region to be zero in every
+    window — using the mixed granule's long scalefactors as
+    positions. is_pos == 7 falls back to MS (when enabled) or
+    passthrough everywhere, and non-intensity bands take MS when
+    enabled, exactly as in the long/short variants."""
+    out_l = xr_l.copy()
+    out_r = xr_r.copy()
+    inv = 1.0 / np.sqrt(2.0)
+    r = np.asarray(right_lines)
+    for w in range(3):
+        bound_b = 3  # first short band of a mixed granule
+        for b in range(3, 13):
+            lo, hi = _SFB_SHORT_44[b], _SFB_SHORT_44[b + 1]
+            sidx = 3 * lo + w * (hi - lo)
+            if np.any(r[sidx : sidx + (hi - lo)]):
+                bound_b = b + 1
+        for b in range(3, 13):
+            lo, hi = _SFB_SHORT_44[b], _SFB_SHORT_44[b + 1]
+            sidx = 3 * lo + w * (hi - lo)
+            e = sidx + (hi - lo)
+            if b >= bound_b:  # intensity band (this window)
+                is_pos = right_sf["short"][min(b, 11) - 3][w]
+                if is_pos != 7:
+                    ratio = np.tan(is_pos * np.pi / 12.0)
+                    out_l[sidx:e] = xr_l[sidx:e] * (ratio / (1.0 + ratio))
+                    out_r[sidx:e] = xr_l[sidx:e] * (1.0 / (1.0 + ratio))
+                    continue
+            if ms_on:
+                out_l[sidx:e] = (xr_l[sidx:e] + xr_r[sidx:e]) * inv
+                out_r[sidx:e] = (xr_l[sidx:e] - xr_r[sidx:e]) * inv
+    if r[36:].any():
+        bound = 36  # zero part never reaches the long region
+    else:
+        nz = [i for i, v in enumerate(r[:36]) if v]
+        bound = (nz[-1] + 1) if nz else 0
+    for b in range(8):
+        lo, hi = _SFB_LONG_44[b], _SFB_LONG_44[b + 1]
+        if lo >= bound:  # intensity band
+            is_pos = right_sf["long"][b]
+            if is_pos != 7:
+                ratio = np.tan(is_pos * np.pi / 12.0)
+                out_l[lo:hi] = xr_l[lo:hi] * (ratio / (1.0 + ratio))
+                out_r[lo:hi] = xr_l[lo:hi] * (1.0 / (1.0 + ratio))
+                continue
+        if ms_on:
+            out_l[lo:hi] = (xr_l[lo:hi] + xr_r[lo:hi]) * inv
+            out_r[lo:hi] = (xr_l[lo:hi] - xr_r[lo:hi]) * inv
+    return out_l, out_r
+
+
 def ms_butterfly(xr_m: np.ndarray, xr_s: np.ndarray):
     """MS joint stereo (2.4.3.4.9.1): left/right from mid/side."""
     inv = 1.0 / np.sqrt(2.0)
@@ -988,13 +1056,13 @@ def decode_mp3_l3(buf: bytes) -> dict:
                 gl, gr_ = granules[-2], granules[-1]
                 if is_stereo:
                     gr_info = side["granules"][gi][1]
-                    if gr_info["block_type"] == 2:
-                        if gr_info["mixed_block_flag"]:
-                            raise NotImplementedError(
-                                "mixed-block intensity stereo — "
-                                "long-block and pure-short intensity "
-                                "are implemented"
-                            )
+                    if (gr_info["block_type"] == 2
+                            and gr_info["mixed_block_flag"]):
+                        gl["xr"], gr_["xr"] = intensity_process_mixed(
+                            gl["xr"], gr_["xr"], gr_["scalefacs"],
+                            gr_["lines"], ms_stereo,
+                        )
+                    elif gr_info["block_type"] == 2:
                         gl["xr"], gr_["xr"] = intensity_process_short(
                             gl["xr"], gr_["xr"], gr_["scalefacs"],
                             gr_["lines"], ms_stereo,

@@ -590,3 +590,106 @@ def test_e14_shard_pack_decode_pair():
         "|".join(f"{d}:{wsums[d]}" for d in sorted(docs)).encode()
     ).hexdigest()
     assert len(digest) == 32
+
+
+def test_intensity_stereo_mixed_blocks():
+    """r11: MIXED-block intensity — short-region per-window bound
+    with mixed short scalefactor positions, long-region intensity
+    when the right channel's zero part reaches below line 36, is_pos
+    7 fallback, MS composition below the bound."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        _SFB_LONG_44,
+        _SFB_SHORT_44,
+        GranuleSpec,
+        decode_mp3_l3,
+        encode_mp3_l3,
+        intensity_process_mixed,
+        requantize_mixed,
+    )
+
+    def mk(d, k, zero_above=None, msf=None):
+        big = 40
+        lines = [0] * 576
+        for i in range(2 * big):
+            lines[i] = (d + k + i) % 3 - 1
+        if zero_above is not None:
+            for i in range(zero_above, 576):
+                lines[i] = 0
+        return GranuleSpec(
+            lines=lines, big_values=big, table_sel=(1, 1), count1=0,
+            count1_table_b=False, global_gain=130 + d,
+            scalefac_compress=5, scalefacs=None, block_type=2,
+            mixed=True, subblock_gain=(0, 0, 0),
+            short_scalefacs=msf or {"long": [0] * 8,
+                                    "short": [[0] * 3] * 9},
+        )
+
+    zero_sf = {"long": [0] * 8, "short": [[0] * 3 for _ in range(9)]}
+    # positions: long bands 0/1 alternating, short bands (b+w) % 2
+    pos = {"long": [b % 2 for b in range(8)],
+           "short": [[(b + w) % 2 for w in range(3)] for b in range(9)]}
+
+    # case A: right zero above line 60 — short-region intensity only
+    left = mk(6, 0)
+    right = mk(6, 1, zero_above=60, msf=pos)
+    gs = [left, right, mk(6, 2), mk(6, 3, zero_above=60, msf=pos)]
+    d = decode_mp3_l3(encode_mp3_l3(gs, nch=2, intensity=True))
+    g0, g1 = d["granules"][0], d["granules"][1]
+    assert g0.get("intensity") and g1.get("intensity")
+    assert g0["mixed"] and g1["mixed"]
+    xl = requantize_mixed(left.lines, left.global_gain, zero_sf, 0,
+                          (0, 0, 0), 0)
+    xr_ = requantize_mixed(right.lines, right.global_gain, pos, 0,
+                           (0, 0, 0), 0)
+    want_l, want_r = intensity_process_mixed(
+        xl, xr_, pos, right.lines, False
+    )
+    np.testing.assert_allclose(g0["xr"], want_l)
+    np.testing.assert_allclose(g1["xr"], want_r)
+    # the long region is NOT intensity (right has content below 36):
+    np.testing.assert_allclose(g0["xr"][:36], xl[:36])
+    # short-region formula pin: band 8, window 1 is in the zero part
+    b, w = 8, 1
+    lo, hi = _SFB_SHORT_44[b], _SFB_SHORT_44[b + 1]
+    s = 3 * lo + w * (hi - lo)
+    ratio = np.tan(pos["short"][b - 3][w] * np.pi / 12)
+    np.testing.assert_allclose(
+        g0["xr"][s : s + (hi - lo)],
+        xl[s : s + (hi - lo)] * ratio / (1 + ratio),
+    )
+
+    # case B: right zero above line 20 — the zero part reaches the
+    # LONG region; long bands >= bound take long positions
+    rightB = mk(6, 1, zero_above=20, msf=pos)
+    gsB = [left, rightB, mk(6, 2), mk(6, 3, zero_above=20, msf=pos)]
+    dB = decode_mp3_l3(encode_mp3_l3(gsB, nch=2, intensity=True))
+    g0B = dB["granules"][0]
+    b = 6  # long band 6 spans 24..30, above the bound (20)
+    lo, hi = _SFB_LONG_44[b], _SFB_LONG_44[b + 1]
+    ratio = np.tan(pos["long"][b] * np.pi / 12)
+    np.testing.assert_allclose(
+        g0B["xr"][lo:hi], xl[lo:hi] * ratio / (1 + ratio)
+    )
+    # below the bound without MS: passthrough
+    np.testing.assert_allclose(g0B["xr"][:16], xl[:16])
+
+    # case C: MS composition below the bound
+    dC = decode_mp3_l3(
+        encode_mp3_l3(gsB, nch=2, ms=True, intensity=True)
+    )
+    xrB = requantize_mixed(rightB.lines, rightB.global_gain, pos, 0,
+                           (0, 0, 0), 0)
+    np.testing.assert_allclose(
+        dC["granules"][0]["xr"][:16],
+        (xl[:16] + xrB[:16]) / np.sqrt(2),
+    )
+
+    # case D: is_pos 7 everywhere falls back to passthrough
+    pos7 = {"long": [7] * 8, "short": [[7] * 3 for _ in range(9)]}
+    right7 = mk(6, 1, zero_above=20, msf=pos7)
+    right7.scalefac_compress = 13  # slen 3 carries value 7
+    gs7 = [left, right7, mk(6, 2), right7]
+    d7 = decode_mp3_l3(encode_mp3_l3(gs7, nch=2, intensity=True))
+    np.testing.assert_allclose(d7["granules"][0]["xr"], xl)
