@@ -91,10 +91,15 @@ class _BitR:
 
     def u(self, bits: int) -> int:
         v = 0
-        for _ in range(bits):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
+        try:
+            for _ in range(bits):
+                byte = self.data[self.pos >> 3]
+                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+                self.pos += 1
+        except IndexError:
+            # truncated/corrupt stream: the reader ran dry — loud
+            # ValueError, zero cost on the happy path
+            raise ValueError("bitstream exhausted mid-element") from None
         return v
 
     def ue(self) -> int:

@@ -936,7 +936,13 @@ def _read_residuals(r, mx, my, luma_nnz, cnnz):
     """Parse coded_block_pattern + optional mb_qp_delta + CAVLC
     residual blocks for one inter MB. Returns
     (cbp, qp_delta, zl, cdcz, cacz); nnz grids updated."""
-    cbp = _CBP_INTER[r.ue()]
+    cbp_code = r.ue()
+    if cbp_code >= len(_CBP_INTER):
+        raise ValueError(
+            f"corrupt coded_block_pattern code {cbp_code} (max "
+            f"{len(_CBP_INTER) - 1})"
+        )
+    cbp = _CBP_INTER[cbp_code]
     cbp_luma, cbpc = cbp & 15, cbp >> 4
     qpd = r.se() if cbp else 0
     zl = np.zeros((4, 4, 4, 4), np.int64)

@@ -1297,7 +1297,13 @@ def decode_h264_frame(
                                 "chroma prediction mode != DC — use "
                                 "decoder='ffmpeg'"
                             )
-                        cbp = _CBP_INTRA[r.ue()]
+                        cbp_code = r.ue()
+                        if cbp_code >= len(_CBP_INTRA):
+                            raise ValueError(
+                                f"corrupt coded_block_pattern code "
+                                f"{cbp_code} (max {len(_CBP_INTRA) - 1})"
+                            )
+                        cbp = _CBP_INTRA[cbp_code]
                         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
                         if cbp:
                             qp = (qp + r.se() + 52) % 52

@@ -279,6 +279,20 @@ def _full_header(data: bytes, s: int) -> tuple[int, int]:
     return data[s], s + 4
 
 
+
+def _checked_count(data: bytes, p: int, count: int, itemsize: int,
+                   what: str) -> None:
+    """Hostile containers carry flipped entry counts: validate the
+    declared table fits in the remaining bytes BEFORE unpacking (a
+    2^31 count would otherwise be an allocation bomb or a raw
+    struct.error)."""
+    if count < 0 or p + count * itemsize > len(data):
+        raise ValueError(
+            f"{what} declares {count} entries but only "
+            f"{len(data) - p} bytes remain"
+        )
+
+
 def decode_mp4_meta(payload: bytes, verify_payload: bool = True) -> dict:
     """REAL MP4 metadata extraction: walk the box tree, parse
     mvhd/mdhd (v0 AND v1), hdlr, and the full sample-table suite
@@ -297,7 +311,8 @@ def decode_mp4_meta(payload: bytes, verify_payload: bool = True) -> dict:
     idx = _index_boxes(data)
     # hostile/corrupt containers: a flipped fourcc makes a required
     # box vanish from the index — fail as ValueError, not KeyError
-    for req in (b"ftyp", b"mvhd", b"hdlr", b"stts", b"stsz", b"stsd"):
+    for req in (b"ftyp", b"mvhd", b"hdlr", b"stts", b"stsz", b"stsd",
+                b"stsc", b"mdat"):
         if req not in idx or not idx[req]:
             raise ValueError(f"MP4 missing required box {req.decode()!r}")
     if not (idx.get(b"stco") or idx.get(b"co64")):
@@ -318,29 +333,40 @@ def decode_mp4_meta(payload: bytes, verify_payload: bool = True) -> dict:
     s, _ = idx[b"stts"][0]
     _, p = _full_header(data, s)
     (n_runs,) = struct.unpack(">I", data[p : p + 4])
+    _checked_count(data, p + 4, n_runs, 8, "stts")
     runs = [
         struct.unpack(">II", data[p + 4 + 8 * i : p + 12 + 8 * i])
         for i in range(n_runs)
     ]
     n_samples = sum(c for c, _ in runs)
+    if n_samples > len(data):
+        # structural cap: more declared samples than container bytes
+        # is only reachable with corrupt run counts — reject before
+        # any O(n_samples) list materializes
+        raise ValueError(
+            f"stts declares {n_samples} samples in a "
+            f"{len(data)}-byte container"
+        )
     media_duration = sum(c * d for c, d in runs)
 
     s, _ = idx[b"stsz"][0]
     _, p = _full_header(data, s)
     fixed_size, count = struct.unpack(">II", data[p : p + 8])
+    if count != n_samples:
+        raise ValueError(f"stsz count {count} != stts samples {n_samples}")
     if fixed_size:
         sizes = [fixed_size] * count
     else:
+        _checked_count(data, p + 8, count, 4, "stsz")
         sizes = list(
             struct.unpack(f">{count}I", data[p + 8 : p + 8 + 4 * count])
         )
-    if count != n_samples:
-        raise ValueError(f"stsz count {count} != stts samples {n_samples}")
 
     if b"stco" in idx:
         s, _ = idx[b"stco"][0]
         _, p = _full_header(data, s)
         (n_chunks,) = struct.unpack(">I", data[p : p + 4])
+        _checked_count(data, p + 4, n_chunks, 4, "stco")
         offsets = list(
             struct.unpack(f">{n_chunks}I", data[p + 4 : p + 4 + 4 * n_chunks])
         )
@@ -349,6 +375,7 @@ def decode_mp4_meta(payload: bytes, verify_payload: bool = True) -> dict:
         s, _ = idx[b"co64"][0]
         _, p = _full_header(data, s)
         (n_chunks,) = struct.unpack(">I", data[p : p + 4])
+        _checked_count(data, p + 4, n_chunks, 8, "co64")
         offsets = list(
             struct.unpack(f">{n_chunks}Q", data[p + 4 : p + 4 + 8 * n_chunks])
         )
@@ -358,6 +385,7 @@ def decode_mp4_meta(payload: bytes, verify_payload: bool = True) -> dict:
     s, _ = idx[b"stsc"][0]
     _, p = _full_header(data, s)
     (n_stsc,) = struct.unpack(">I", data[p : p + 4])
+    _checked_count(data, p + 4, n_stsc, 12, "stsc")
     stsc = [
         struct.unpack(">III", data[p + 4 + 12 * i : p + 16 + 12 * i])
         for i in range(n_stsc)
@@ -367,7 +395,10 @@ def decode_mp4_meta(payload: bytes, verify_payload: bool = True) -> dict:
     per_chunk: list[int] = []
     for k, (first, spc, _sdi) in enumerate(stsc):
         last = stsc[k + 1][0] - 1 if k + 1 < n_stsc else n_chunks
-        per_chunk.extend([spc] * (last - first + 1))
+        span = last - first + 1
+        if span < 0 or spc * max(span, 0) > n_samples:
+            raise ValueError("corrupt stsc chunk map")
+        per_chunk.extend([spc] * span)
     if sum(per_chunk) != n_samples:
         raise ValueError(
             f"stsc chunk map covers {sum(per_chunk)} samples, expected {n_samples}"
