@@ -67,6 +67,13 @@ Distinct Cb/Cr explicit weights (wcr/ocr per list) are supported,
 including wcr-only entries (writer and resolver both fall back
 Cb = wcr per chroma_weight_flag semantics).
 
+REFERENCE B PICTURES (r11, B pyramid): a "bref" entry writes
+nal_ref_idc 2 + dec_ref_pic_marking, enters the DPB with its
+single-list colocated view (_col_view: L0 motion when predFlagL0,
+else L1, per 8.4.1.2), and later B pictures predict from it through
+both lists — including temporal/spatial direct reading its motion
+(max_num_ref_frames 3: anchor + Bref + P).
+
 Declared gates (raise, never silent): more than one active
 reference per list. (Weighted P slices live in h264_inter.py; the
 P frames of a B GOP keep weighted_pred_flag 0.)
@@ -180,7 +187,7 @@ def _sps_rbsp_poc0(mbw: int, mbh: int, w: int, h: int) -> bytes:
     sps.ue(0)  # log2_max_frame_num_minus4 -> 4-bit frame_num
     sps.ue(0)  # pic_order_cnt_type 0
     sps.ue(_POC_BITS - 4)  # log2_max_pic_order_cnt_lsb_minus4
-    sps.ue(2)  # max_num_ref_frames
+    sps.ue(3)  # max_num_ref_frames (pyramid: anchor + Bref + P)
     sps.u(0, 1)
     sps.ue(mbw - 1)
     sps.ue(mbh - 1)
@@ -459,7 +466,8 @@ def _wp_bi(p0, p1, w):
 def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
                     poc_lsb: int, weights=None,
                     spatial: bool = True, deblock_idc: int = 1,
-                    deblock_offs: tuple = (0, 0)) -> None:
+                    deblock_offs: tuple = (0, 0),
+                    is_ref: bool = False) -> None:
     sl.ue(0)  # first_mb_in_slice
     sl.ue(6)  # slice_type: B (all slices)
     sl.ue(0)  # pic_parameter_set_id
@@ -471,7 +479,8 @@ def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
     sl.u(0, 1)  # ref_pic_list_modification_flag_l1
     if weights is not None:  # explicit weighted bipred PPS
         _write_pred_weight_table(sl, weights)
-    # nal_ref_idc == 0: no dec_ref_pic_marking
+    if is_ref:  # reference B (pyramid): dec_ref_pic_marking present
+        sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
     sl.se(qp - 26)  # slice_qp_delta
     sl.ue(deblock_idc)  # disable_deblocking_filter_idc
     if deblock_idc != 1:  # 7.3.3: offsets present when idc != 1
@@ -480,7 +489,7 @@ def _b_slice_header(sl: _BitW, qp: int, frame_num: int,
 
 
 def _parse_inter_header(
-    r: _BitR, bipred_idc: int = 0
+    r: _BitR, bipred_idc: int = 0, is_ref: bool = False
 ) -> tuple[str, int, int, dict | None]:
     """Parse a non-IDR slice header under the POC-type-0 SPS.
     Returns (kind 'p'|'b', slice_qp, poc_lsb, weights-or-None,
@@ -514,7 +523,9 @@ def _parse_inter_header(
             raise NotImplementedError("ref_pic_list_modification (l1)")
         if bipred_idc == 1:
             weights = _parse_pred_weight_table(r)
-        # non-reference B: no dec_ref_pic_marking
+        if is_ref and r.u(1):  # dec_ref_pic_marking (reference B)
+            raise NotImplementedError(
+                "adaptive ref marking in a B slice")
     else:
         if r.u(1):
             raise NotImplementedError("num_ref_idx override in P slice")
@@ -689,7 +700,7 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
                     poc_lsb, wtab=None, col=None,
                     direct_mode="spatial", tbtd=None,
                     implicit=False, deblock_idc=1,
-                    deblock_offs=(0, 0)):
+                    deblock_offs=(0, 0), is_ref=False):
     """Encode one CAVLC B slice. ``ref_l0`` / ``ref_l1`` are single
     decoded reference plane triples (one active ref per list).
     Returns (slice_rbsp, recon_planes, motion) — motion is the
@@ -726,7 +737,7 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
     _b_slice_header(sl, qp, frame_num, poc_lsb, wtab,
                     spatial=direct_mode == "spatial",
                     deblock_idc=deblock_idc,
-                    deblock_offs=deblock_offs)
+                    deblock_offs=deblock_offs, is_ref=is_ref)
     skip_run = 0
 
     for my in range(mbh):
@@ -998,7 +1009,9 @@ def _encode_b_frame(target, ref_l0, ref_l1, mb_specs, qp, frame_num,
 
 def _b_motion(mvs0, mvs1, luma_nnz) -> dict:
     """Export the two-list per-4x4 motion field of a B frame for
-    the deblocking filter's 8.7.2.1 bS derivation."""
+    the deblocking filter's 8.7.2.1 bS derivation and (r11) for the
+    colocated view a later B picture's direct modes read when THIS
+    picture is a reference (B pyramid)."""
     return {
         "inter": mvs0.inter | mvs1.inter,
         "nnz": luma_nnz.copy(),
@@ -1006,6 +1019,21 @@ def _b_motion(mvs0, mvs1, luma_nnz) -> dict:
         "mv1": mvs1.mv.copy(),
         "pf0": mvs0.inter.copy(),
         "pf1": mvs1.inter.copy(),
+        "ref0": mvs0.ref.copy(),
+        "ref1": mvs1.ref.copy(),
+    }
+
+
+def _col_view(motion: dict) -> dict:
+    """Single-list colocated motion per 8.4.1.2.2/.3: a colocated
+    block contributes its L0 motion when predFlagL0Col, else its L1
+    motion (refIdxCol is the refIdx within the contributing list);
+    blocks with neither are intra."""
+    pf0 = motion["pf0"]
+    return {
+        "inter": motion["inter"].copy(),
+        "mv": np.where(pf0[..., None], motion["mv0"], motion["mv1"]),
+        "ref": np.where(pf0, motion["ref0"], motion["ref1"]),
     }
 
 
@@ -1393,9 +1421,9 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
                     ref=motion["ref"],
                 ))
             ref_dpb.insert(0, (poc, recon, motion))
-            del ref_dpb[2:]  # max_num_ref_frames = 2
+            del ref_dpb[3:]  # max_num_ref_frames = 3
             n_refs_decoded += 1
-        elif kind == "b":
+        elif kind in ("b", "bref"):
             past = [e for e in ref_dpb if e[0] < poc]
             future = [e for e in ref_dpb if e[0] > poc]
             if not past or not future:
@@ -1411,8 +1439,11 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
                 tbtd=(poc - l0e[0], l1e[0] - l0e[0]),
                 implicit=implicit, deblock_idc=d_idc,
                 deblock_offs=deblock_offsets,
+                is_ref=kind == "bref",
             )
-            stream += _nal(0, 1, rbsp)  # non-reference picture
+            # reference B (pyramid): nal_ref_idc 2, enters the DPB
+            # with its single-list colocated view; plain B: idc 0
+            stream += _nal(2 if kind == "bref" else 0, 1, rbsp)
             if deblock:
                 from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
                     make_block_info_b,
@@ -1424,6 +1455,10 @@ def encode_h264_b_sequence(entries: list, qp: int = 0, weights=None,
                     mv1=bmotion["mv1"], pf0=bmotion["pf0"],
                     pf1=bmotion["pf1"], pic0=l0e[0], pic1=l1e[0],
                 ))
+            if kind == "bref":
+                ref_dpb.insert(0, (poc, recon, _col_view(bmotion)))
+                del ref_dpb[3:]  # max_num_ref_frames = 3
+                n_refs_decoded += 1
         else:
             raise ValueError(f"bad entry kind {kind!r}")
         recons.append(recon)
@@ -1497,8 +1532,9 @@ def decode_h264_b_stream(payload: bytes):
             if sps is None or not ref_dpb:
                 raise ValueError("coded slice before references exist")
             r = _BitR(rbsp)
+            is_ref = bool((nal[0] >> 5) & 3)
             kind, qp, poc, wts, spatial, d_idc, d_offs = (
-                _parse_inter_header(r, bipred_idc)
+                _parse_inter_header(r, bipred_idc, is_ref=is_ref)
             )
             motion = None
             if kind == "p":
@@ -1546,6 +1582,8 @@ def decode_h264_b_stream(payload: bytes):
                     tbtd=(poc - l0e[0], l1e[0] - l0e[0]),
                     implicit=bipred_idc == 2,
                 )
+                if is_ref:  # reference B: its motion enters the DPB
+                    motion = _col_view(bmotion)
                 if d_idc != 1:
                     from neuroimaging_data_pipeline_spark.multimodal.h264_deblock import (  # noqa: E501
                         deblock_frame,
@@ -1865,6 +1903,173 @@ def h264_b_frame_features(
                 columns=[id_col, "n_frames", "width", "height",
                          "b_display_idx", "sum_y_idr", "sum_y_p",
                          "sum_y_b", "sum_cb_b", "sum_cr_b"],
+            )
+
+    return media.mapInPandas(feat, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface (m45): B-PYRAMID decode (reference B pictures)
+# ---------------------------------------------------------------------------
+#
+# r11: hierarchical GOPs — a reference B picture (nal_ref_idc 2,
+# dec_ref_pic_marking in its header) enters the DPB with its
+# single-list colocated view, and later B pictures predict FROM it
+# through both lists. Fixture: QP 0, zero-MV macroblocks with
+# per-4x4 formula residuals, per-MB list usage cycling l0/bi/l1 by
+# (doc + mb + poc) % 3 — every frame is a closed-form expression
+# over its two reference frames (bi = (l0 + l1 + 1) >> 1), so the
+# oracle re-derives the whole pyramid with chained CASEs. A decoder
+# that mis-wires the reference-B DPB entry (wrong picture, wrong
+# list) lands on the wrong base values everywhere.
+
+
+def _m45_delta(seed: int, k: int, m: int, by, bx):
+    return (seed * (2 * k + 1) + by * (5 + k) + bx * (7 + 2 * k)
+            + m * 3) % 9 - 4
+
+
+def synthesize_h264_bpyramid_frames(docs, id_col: str = "doc_id"):
+    """Per-document 5-frame 32x32 QP-0 pyramid in decode order
+    IDR(poc 0) -> P(8) -> Bref(4) -> B(2) -> B(6): B(2) predicts
+    from {IDR, Bref}, B(6) from {Bref, P} — the reference B is a
+    genuine prediction source through BOTH lists."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    out_schema = f"{id_col} long, content binary"
+
+    def build(batches) -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                by, bx = np.mgrid[0:8, 0:8]
+                cby, cbx = np.mgrid[0:4, 0:4]
+                mgrid = (bx // 4) + 2 * (by // 4)
+                cmgrid = (cbx // 2) + 2 * (cby // 2)
+
+                def expand(a, rep=4):
+                    return a.repeat(rep, 0).repeat(rep, 1)
+
+                y0 = expand(16 + (i * 13 + by * 41 + bx * 59) % 224)
+                cb0 = expand(16 + (i * 23 + cby * 31 + cbx * 41) % 200)
+                cr0 = expand(16 + (i * 29 + cby * 37 + cbx * 43) % 200)
+
+                def dl(k):
+                    return expand(_m45_delta(i, k, mgrid, by, bx))
+
+                def dc(seed, k):
+                    return expand(
+                        _m45_delta(seed, k, cmgrid, cby, cbx))
+
+                yp = y0 + dl(1)
+                cbp_ = cb0 + dc(3 * i + 1, 1)
+                crp_ = cr0 + dc(5 * i + 2, 1)
+
+                def mix(k, l0y, l1y, l0c, l1c, l0r, l1r):
+                    """Per-MB l0/bi/l1 selection by (i + m + k) % 3,
+                    plus the frame's deltas."""
+                    usel = expand((i + mgrid + k) % 3)
+                    usec = expand((i + cmgrid + k) % 3)
+                    yv = np.where(
+                        usel == 0, l0y,
+                        np.where(usel == 1, (l0y + l1y + 1) >> 1,
+                                 l1y)) + dl(k)
+                    cbv = np.where(
+                        usec == 0, l0c,
+                        np.where(usec == 1, (l0c + l1c + 1) >> 1,
+                                 l1c)) + dc(3 * i + 1, k)
+                    crv = np.where(
+                        usec == 0, l0r,
+                        np.where(usec == 1, (l0r + l1r + 1) >> 1,
+                                 l1r)) + dc(5 * i + 2, k)
+                    return yv, cbv, crv
+
+                yb4, cb4, cr4 = mix(4, y0, yp, cb0, cbp_, cr0, crp_)
+                yb2, cb2, cr2 = mix(2, y0, yb4, cb0, cb4, cr0, cr4)
+                yb6, cb6, cr6 = mix(6, yb4, yp, cb4, cbp_, cr4, crp_)
+
+                def u8(t):
+                    return tuple(a.astype(np.uint8) for a in t)
+
+                def specs(k):
+                    out = []
+                    for m in range(4):
+                        use = (i + m + k) % 3
+                        out.append(("16x16", [
+                            ("l0", (0, 0)) if use == 0 else
+                            ("bi", (0, 0), (0, 0)) if use == 1 else
+                            ("l1", (0, 0))
+                        ]))
+                    return out
+
+                entries = [
+                    ("idr", u8((y0, cb0, cr0))),
+                    ("p", u8((yp, cbp_, crp_)),
+                     [("16x16", [(0, 0)])] * 4, 8),
+                    ("bref", u8((yb4, cb4, cr4)), specs(4), 4),
+                    ("b", u8((yb2, cb2, cr2)), specs(2), 2),
+                    ("b", u8((yb6, cb6, cr6)), specs(6), 6),
+                ]
+                stream, recons, pocs = encode_h264_b_sequence(
+                    entries, qp=0
+                )
+                if pocs != [0, 8, 4, 2, 6]:
+                    raise AssertionError(f"doc {i}: poc order {pocs}")
+                for fa, (fb, _, _2) in zip(
+                    recons, [(e[1], 0, 0) for e in entries]
+                ):
+                    for a, b in zip(fa, fb):
+                        if not np.array_equal(a, b):
+                            raise AssertionError(
+                                f"doc {i}: QP-0 pyramid not exact")
+                ids.append(i)
+                blobs.append(stream)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "content": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(build, out_schema)
+
+
+def h264_bpyramid_features(
+    media,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+):
+    """Decode the pyramids and emit decode-order POC pin + per-frame
+    sums of the three B-family frames."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_frames int, poc_seq_ok boolean,"
+        " sum_y_bref long, sum_y_b2 long, sum_y_b6 long,"
+        " sum_cb_b6 long, sum_cr_b6 long"
+    )
+
+    def feat(batches) -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i, content in zip(pdf[id_col], pdf[content_col]):
+                frames, pocs = decode_h264_b_stream(bytes(content))
+                rows.append(
+                    (int(i), len(frames), pocs == [0, 8, 4, 2, 6],
+                     int(frames[2][0].sum()), int(frames[3][0].sum()),
+                     int(frames[4][0].sum()), int(frames[4][1].sum()),
+                     int(frames[4][2].sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "poc_seq_ok",
+                         "sum_y_bref", "sum_y_b2", "sum_y_b6",
+                         "sum_cb_b6", "sum_cr_b6"],
             )
 
     return media.mapInPandas(feat, out_schema)

@@ -276,6 +276,7 @@ _ADDED_R11 = [
     "m43_h264_bdeblock",
     "e15_mp4_shard_pipeline",
     "m44_h264_longgop",
+    "m45_h264_bpyramid",
 ]
 
 

@@ -2442,6 +2442,127 @@ FROM yagg JOIN cagg ON yagg.doc_id = cagg.doc_id
 """
 
 
+def m45_h264_bpyramid(spark, sf_dir):
+    """M45: B-PYRAMID / REFERENCE B PICTURES (r11,
+    multimodal/h264_bslice.py) — hierarchical GOPs, the structure
+    real encoders emit: a reference B (nal_ref_idc 2,
+    dec_ref_pic_marking in the slice header) enters the DPB with its
+    single-list colocated motion view, and later B pictures predict
+    FROM it through both lists (decode order IDR(0) P(8) Bref(4)
+    B(2) B(6); B(2) references {IDR, Bref}, B(6) {Bref, P}). QP-0
+    zero-MV fixture with per-4x4 formula residuals and per-MB list
+    usage cycling l0/bi/l1, so every frame is a closed-form chain
+    over its two reference frames (bi = (l0+l1+1) >> 1) the oracle
+    re-derives; a mis-wired reference-B DPB entry shifts every sum.
+    poc_seq_ok pins the decode-order/POC contract. Narrow scan ->
+    mapInPandas, zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.h264_bslice import (
+        h264_bpyramid_features,
+        synthesize_h264_bpyramid_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_bpyramid_frames(d, id_col="doc_id")
+    return h264_bpyramid_features(media)
+
+
+M45_SQL = """
+WITH px AS (
+  SELECT doc_id, py.py AS py, qx.px AS px
+  FROM documents,
+       UNNEST(range(0, 32)) AS py(py),
+       UNNEST(range(0, 32)) AS qx(px)
+), yb AS (
+  SELECT doc_id, py, px,
+         (px // 16) + 2 * (py // 16) AS m,
+         py // 4 AS by, px // 4 AS bx,
+         16 + (doc_id * 13 + (py // 4) * 41 + (px // 4) * 59) % 224
+           AS y0
+  FROM px
+), yp AS (
+  SELECT *, y0 + (doc_id * 3 + by * 6 + bx * 9 + m * 3) % 9 - 4 AS p
+  FROM yb
+), y4 AS (
+  SELECT *,
+         (CASE (doc_id + m + 4) % 3
+            WHEN 0 THEN y0 WHEN 1 THEN (y0 + p + 1) >> 1 ELSE p END)
+         + (doc_id * 9 + by * 9 + bx * 15 + m * 3) % 9 - 4 AS b4
+  FROM yp
+), y2 AS (
+  SELECT *,
+         (CASE (doc_id + m + 2) % 3
+            WHEN 0 THEN y0 WHEN 1 THEN (y0 + b4 + 1) >> 1
+            ELSE b4 END)
+         + (doc_id * 5 + by * 7 + bx * 11 + m * 3) % 9 - 4 AS b2
+  FROM y4
+), y6 AS (
+  SELECT *,
+         (CASE (doc_id + m + 6) % 3
+            WHEN 0 THEN b4 WHEN 1 THEN (b4 + p + 1) >> 1 ELSE p END)
+         + (doc_id * 13 + by * 11 + bx * 19 + m * 3) % 9 - 4 AS b6
+  FROM y2
+), yagg AS (
+  SELECT doc_id, SUM(b4) AS s4, SUM(b2) AS s2, SUM(b6) AS s6
+  FROM y6 GROUP BY doc_id
+), cpx AS (
+  SELECT doc_id, cy.cy AS cy, cx.cx AS cx
+  FROM documents,
+       UNNEST(range(0, 16)) AS cy(cy),
+       UNNEST(range(0, 16)) AS cx(cx)
+), cb AS (
+  SELECT doc_id, cy, cx,
+         (cx // 8) + 2 * (cy // 8) AS m,
+         cy // 4 AS by, cx // 4 AS bx,
+         16 + (doc_id * 23 + (cy // 4) * 31 + (cx // 4) * 41) % 200
+           AS b0,
+         16 + (doc_id * 29 + (cy // 4) * 37 + (cx // 4) * 43) % 200
+           AS r0
+  FROM cpx
+), cp AS (
+  SELECT *,
+         b0 + ((3 * doc_id + 1) * 3 + by * 6 + bx * 9 + m * 3) % 9 - 4
+           AS bp,
+         r0 + ((5 * doc_id + 2) * 3 + by * 6 + bx * 9 + m * 3) % 9 - 4
+           AS rp
+  FROM cb
+), c4 AS (
+  SELECT *,
+         (CASE (doc_id + m + 4) % 3
+            WHEN 0 THEN b0 WHEN 1 THEN (b0 + bp + 1) >> 1 ELSE bp END)
+         + ((3 * doc_id + 1) * 9 + by * 9 + bx * 15 + m * 3) % 9 - 4
+           AS b4,
+         (CASE (doc_id + m + 4) % 3
+            WHEN 0 THEN r0 WHEN 1 THEN (r0 + rp + 1) >> 1 ELSE rp END)
+         + ((5 * doc_id + 2) * 9 + by * 9 + bx * 15 + m * 3) % 9 - 4
+           AS r4
+  FROM cp
+), c6 AS (
+  SELECT *,
+         (CASE (doc_id + m + 6) % 3
+            WHEN 0 THEN b4 WHEN 1 THEN (b4 + bp + 1) >> 1 ELSE bp END)
+         + ((3 * doc_id + 1) * 13 + by * 11 + bx * 19 + m * 3) % 9 - 4
+           AS b6,
+         (CASE (doc_id + m + 6) % 3
+            WHEN 0 THEN r4 WHEN 1 THEN (r4 + rp + 1) >> 1 ELSE rp END)
+         + ((5 * doc_id + 2) * 13 + by * 11 + bx * 19 + m * 3) % 9 - 4
+           AS r6
+  FROM c4
+), cagg AS (
+  SELECT doc_id, SUM(b6) AS sb6, SUM(r6) AS sr6
+  FROM c6 GROUP BY doc_id
+)
+SELECT yagg.doc_id AS doc_id,
+       CAST(5 AS INT) AS n_frames,
+       TRUE AS poc_seq_ok,
+       CAST(s4 AS BIGINT) AS sum_y_bref,
+       CAST(s2 AS BIGINT) AS sum_y_b2,
+       CAST(s6 AS BIGINT) AS sum_y_b6,
+       CAST(sb6 AS BIGINT) AS sum_cb_b6,
+       CAST(sr6 AS BIGINT) AS sum_cr_b6
+FROM yagg JOIN cagg ON yagg.doc_id = cagg.doc_id
+"""
+
+
 def e15_mp4_shard_pipeline(spark, sf_dir):
     """E15: the COMPOSED CONTAINER-FIRST video pipeline — e13's
     sibling for the shape real video corpora actually ship in:
@@ -3047,6 +3168,7 @@ QUERIES = {
     "m43_h264_bdeblock": m43_h264_bdeblock,
     "e15_mp4_shard_pipeline": e15_mp4_shard_pipeline,
     "m44_h264_longgop": m44_h264_longgop,
+    "m45_h264_bpyramid": m45_h264_bpyramid,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
     "m39_mp3_subband": m39_mp3_subband,
     "e13_video_shard_pipeline": e13_video_shard_pipeline,
@@ -3092,6 +3214,7 @@ ORACLE = {
     "m43_h264_bdeblock": M43_SQL,
     "e15_mp4_shard_pipeline": _e15_sql(),
     "m44_h264_longgop": M44_SQL,
+    "m45_h264_bpyramid": M45_SQL,
     "m38_jpeg_hierarchical": M38_SQL,
     "m39_mp3_subband": M39_SQL,
     "e13_video_shard_pipeline": E13_SQL,

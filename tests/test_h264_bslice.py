@@ -625,3 +625,83 @@ def test_b_wcr_only_and_distinct_chroma_weights():
         np.testing.assert_array_equal(a, b)
     assert fr2[2][1].min() == fr2[2][1].max() == want_c
     assert fr2[2][2].min() == fr2[2][2].max() == want_c
+
+
+# --- r11: reference B pictures / B pyramid --------------------------------
+
+
+def test_b_pyramid_roundtrip_all_modes():
+    """Hierarchical GOP IDR(0) P(8) Bref(4) B(2) B(6): the reference
+    B enters the DPB (nal_ref_idc 2, dec_ref_pic_marking) and later
+    B pictures predict from it through both lists; bit-exact round
+    trips across direct modes and with in-loop deblocking."""
+    import numpy as np
+
+    def planes(seed):
+        r = np.random.default_rng(seed)
+        return (r.integers(0, 256, (32, 32), np.uint8),
+                r.integers(0, 256, (16, 16), np.uint8),
+                r.integers(0, 256, (16, 16), np.uint8))
+
+    f = {k: planes(700 + k) for k in range(5)}
+    bi = lambda a=(0, 0), b=(0, 0): ("16x16", [("bi", a, b)])  # noqa: E731
+    l0 = lambda mv=(0, 0): ("16x16", [("l0", mv)])  # noqa: E731
+    l1 = lambda mv=(0, 0): ("16x16", [("l1", mv)])  # noqa: E731
+    entries = [
+        ("idr", f[0]),
+        ("p", f[1], [("16x16", [(0, 0)])] * 4, 8),
+        ("bref", f[2], [l0((4, 0)), bi((0, 4), (4, 4)), l1((-4, 0)),
+                        ("i16",)], 4),
+        ("b", f[3], [l0(), bi(), ("direct",), ("skip",)], 2),
+        ("b", f[4], [l1((0, 4)), bi((4, 0), (0, 0)), l0(),
+                     ("direct",)], 6),
+    ]
+    for dm in ("spatial", "temporal"):
+        for deblock in (False, True):
+            stream, recons, pocs = encode_h264_b_sequence(
+                entries, qp=28, direct_mode=dm, deblock=deblock
+            )
+            frames, pocs2 = decode_h264_b_stream(stream)
+            assert pocs2 == pocs == [0, 8, 4, 2, 6]
+            for fa, fb in zip(recons, frames):
+                for a, b in zip(fa, fb):
+                    np.testing.assert_array_equal(a, b)
+
+
+def test_b_pyramid_temporal_direct_reads_bref_motion():
+    """Temporal direct in B(2) scales the COLOCATED (Bref) motion:
+    a Bref with nonzero MVs must produce a different B(2) than a
+    zero-MV Bref — proof the reference-B colocated view is wired,
+    not silently zeroed."""
+    import numpy as np
+
+    def planes(seed):
+        r = np.random.default_rng(seed)
+        return (r.integers(0, 256, (32, 32), np.uint8),
+                r.integers(0, 256, (16, 16), np.uint8),
+                r.integers(0, 256, (16, 16), np.uint8))
+
+    f = {k: planes(800 + k) for k in range(5)}
+
+    def run(bref_mv):
+        entries = [
+            ("idr", f[0]),
+            ("p", f[1], [("16x16", [(0, 0)])] * 4, 8),
+            ("bref", f[2],
+             [("16x16", [("l0", bref_mv)])] * 4, 4),
+            ("b", f[3], [("direct",)] * 4, 2),
+        ]
+        stream, recons, _ = encode_h264_b_sequence(
+            entries, qp=30, direct_mode="temporal"
+        )
+        frames, _ = decode_h264_b_stream(stream)
+        for fa, fb in zip(recons, frames):
+            for a, b in zip(fa, fb):
+                np.testing.assert_array_equal(a, b)
+        return frames[3]
+
+    still = run((0, 0))
+    moving = run((16, 8))
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(still, moving)
+    )
