@@ -25,8 +25,13 @@ m22 oracle checks md5 of the extracted text straight against the
 documents table — any framing, xref, inflate or escape bug breaks
 the hash match.
 
-Honest gates (raise, never silent): encrypted PDFs, cross-reference
-STREAMS (PDF 1.5 compressed xref), and non-Flate filters raise
+r11: PDF 1.5 — write_pdf15 emits object streams (/ObjStm) and a
+cross-reference STREAM (/Type /XRef, /W [1 4 2] binary rows under
+the PNG Up predictor), and the parser reverses it all (predictor
+un-filtering incl. Sub/Average/Paeth, /Index subsections, /Prev
+chains, type-2 resolution through the pair header).
+Honest gates (raise, never silent): encrypted PDFs and non-Flate
+filters raise
 NotImplementedError; glyph-level layout (font widths, CMaps,
 ToUnicode for composite fonts) is out of scope — the extractor reads
 the text operators, the same scope as a WET-style text dump.
@@ -117,12 +122,228 @@ def write_pdf(pages: list[list[str]]) -> bytes:
     return bytes(out)
 
 
+
+def write_pdf15(pages: list[list[str]]) -> bytes:
+    """PDF 1.5 twin of write_pdf: the same document expressed the
+    way modern producers write it — non-stream objects (catalog,
+    page tree, font, page dicts) packed into a compressed OBJECT
+    STREAM (/Type /ObjStm), and the cross-reference table as a
+    CROSS-REFERENCE STREAM (/Type /XRef, /W [1 4 2], FlateDecode
+    with the PNG Up predictor /Predictor 12, trailer fields inline).
+    Content streams stay top-level (streams cannot live inside an
+    object stream, 7.5.7)."""
+    n_pages = len(pages)
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    content_ids = [5 + 2 * i for i in range(n_pages)]
+    objstm_id = 4 + 2 * n_pages
+    xref_id = objstm_id + 1
+    size = xref_id + 1
+
+    kids = " ".join(f"{i} 0 R" for i in page_ids)
+    instream: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+            .encode()),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    contents: list[bytes] = []
+    for k, pieces in enumerate(pages):
+        shows = []
+        for j, piece in enumerate(pieces):
+            esc = _escape_pdf_string(piece)
+            shows.append(f"({esc}) Tj" if j % 2 == 0
+                         else f"[ ({esc}) -250 ] TJ")
+        content = ("BT /F1 12 Tf 72 720 Td " + " ".join(shows)
+                   + " ET").encode()
+        contents.append(zlib.compress(content))
+        instream.append((
+            page_ids[k],
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {content_ids[k]} 0 R >>".encode(),
+        ))
+    # object stream: "num off ..." header then bodies at /First
+    offs, body = [], bytearray()
+    for num, b in instream:
+        offs.append((num, len(body)))
+        body += b + b" "
+    header = " ".join(f"{n} {o}" for n, o in offs).encode() + b" "
+    stm_payload = zlib.compress(header + bytes(body))
+    objstm = (
+        f"<< /Type /ObjStm /N {len(instream)} /First {len(header)} "
+        f"/Length {len(stm_payload)} /Filter /FlateDecode >>\n"
+        f"stream\n".encode() + stm_payload + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    top_off: dict[int, int] = {}
+    for cid, flate in zip(content_ids, contents):
+        top_off[cid] = len(out)
+        out += (
+            f"{cid} 0 obj\n<< /Length {len(flate)} /Filter "
+            f"/FlateDecode >>\nstream\n".encode()
+            + flate + b"\nendstream\nendobj\n"
+        )
+    top_off[objstm_id] = len(out)
+    out += f"{objstm_id} 0 obj\n".encode() + objstm + b"\nendobj\n"
+    xref_at = len(out)
+    top_off[xref_id] = xref_at
+
+    # entry rows, W = [1 4 2]
+    rows = bytearray()
+
+    def row(t: int, f2: int, f3: int) -> bytes:
+        return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    stm_index = {num: i for i, (num, _) in enumerate(instream)}
+    rows += row(0, 0, 0xFFFF)  # object 0: free head
+    for num in range(1, size):
+        if num in stm_index:
+            rows += row(2, objstm_id, stm_index[num])
+        else:
+            rows += row(1, top_off[num], 0)
+    # PNG Up predictor over 7-byte rows (what real producers emit)
+    ncols = 7
+    pred = bytearray()
+    prev = bytes(ncols)
+    for i in range(0, len(rows), ncols):
+        cur = bytes(rows[i : i + ncols])
+        pred.append(2)  # Up
+        pred += bytes((c - p) & 0xFF for c, p in zip(cur, prev))
+        prev = cur
+    xref_payload = zlib.compress(bytes(pred))
+    out += (
+        f"{xref_id} 0 obj\n<< /Type /XRef /Size {size} /Root 1 0 R "
+        f"/W [1 4 2] /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns {ncols} >> "
+        f"/Length {len(xref_payload)} >>\nstream\n".encode()
+        + xref_payload + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
 # --- parser -------------------------------------------------------------------
 
 _OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
-def _parse_xref(buf: bytes) -> dict[int, int]:
+def _unpredict_png(data: bytes, ncols: int) -> bytes:
+    """Reverse PNG row predictors over ncols-byte rows, bpp 1 —
+    the /Predictor >= 10 form xref streams use (7.4.4.4)."""
+    stride = ncols + 1
+    if len(data) % stride:
+        raise ValueError("predicted xref data not a whole row count")
+    out = bytearray()
+    prev = bytes(ncols)
+    for i in range(0, len(data), stride):
+        ft = data[i]
+        line = data[i + 1 : i + stride]
+        if ft == 0:
+            cur = bytearray(line)
+        elif ft == 2:  # Up
+            cur = bytearray((c + p) & 0xFF for c, p in zip(line, prev))
+        elif ft in (1, 3, 4):
+            cur = bytearray(ncols)
+            for j in range(ncols):
+                a = cur[j - 1] if j else 0
+                b = prev[j]
+                c = prev[j - 1] if j else 0
+                if ft == 1:
+                    pr = a
+                elif ft == 3:
+                    pr = (a + b) >> 1
+                else:
+                    q = a + b - c
+                    qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+                    pr = a if qa <= qb and qa <= qc else (
+                        b if qb <= qc else c)
+                cur[j] = (line[j] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad predictor row tag {ft}")
+        out += cur
+        prev = bytes(cur)
+    return bytes(out)
+
+
+def _parse_xref_stream(buf: bytes, pos: int) -> dict[int, tuple]:
+    """Parse a PDF 1.5 cross-reference STREAM (7.5.8): /W-typed
+    binary rows, FlateDecode + optional PNG /Predictor, /Index
+    subsections, /Prev chain. Returns {obj: ('top', offset) |
+    ('stm', objstm_num, idx)} — later (newer) tables win."""
+    m = _OBJ_HEAD.match(buf, pos)
+    if not m:
+        raise ValueError("startxref points at no object")
+    end = buf.find(b"endobj", m.end())
+    if end < 0:
+        raise ValueError("xref stream without endobj")
+    body = buf[m.end() : end]
+    if not re.search(rb"/Type\s*/XRef\b", body):
+        raise ValueError("startxref object is not /Type /XRef")
+    wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", body)
+    sm = re.search(rb"/Size\s+(\d+)", body)
+    lm = re.search(rb"/Length\s+(\d+)", body)
+    if not (wm and sm and lm):
+        raise ValueError("xref stream missing /W, /Size or /Length")
+    if not re.search(rb"/Filter\s*/FlateDecode\b", body):
+        raise NotImplementedError("non-Flate xref stream")
+    w = tuple(int(g) for g in wm.groups())
+    size = int(sm.group(1))
+    im = re.search(rb"/Index\s*\[([\d\s]+)\]", body)
+    index = ([int(v) for v in im.group(1).split()] if im
+             else [0, size])
+    stm = re.search(rb"stream\r?\n", body)
+    if not stm:
+        raise ValueError("xref stream without stream data")
+    try:
+        raw = zlib.decompress(
+            body[stm.end() : stm.end() + int(lm.group(1))]
+        )
+    except zlib.error as e:
+        raise ValueError(f"corrupt xref stream deflate: {e}") from None
+    pm = re.search(
+        rb"/DecodeParms\s*<<[^>]*?/Predictor\s+(\d+)[^>]*?"
+        rb"/Columns\s+(\d+)", body,
+    )
+    if pm:
+        predictor, ncols = int(pm.group(1)), int(pm.group(2))
+        if predictor >= 10:
+            raw = _unpredict_png(raw, ncols)
+        elif predictor != 1:
+            raise NotImplementedError(f"/Predictor {predictor}")
+    entries: dict[int, tuple] = {}
+    pv = re.search(rb"/Prev\s+(\d+)", body)
+    if pv:
+        entries.update(_parse_xref_stream(buf, int(pv.group(1))))
+    rw = sum(w)
+    p = 0
+    for k in range(0, len(index), 2):
+        first, count = index[k], index[k + 1]
+        for n in range(first, first + count):
+            if p + rw > len(raw):
+                raise ValueError("xref stream rows truncated")
+            fields = []
+            for width in w:
+                fields.append(
+                    int.from_bytes(raw[p : p + width], "big")
+                    if width else None
+                )
+                p += width
+            t = fields[0] if w[0] else 1  # default type 1 (7.5.8.3)
+            if t == 1:
+                entries[n] = ("top", fields[1])
+            elif t == 2:
+                entries[n] = ("stm", fields[1], fields[2])
+            # type 0 (free) and unknown types: no entry
+    if not entries:
+        raise ValueError("empty xref stream")
+    return entries
+
+
+def _parse_xref(buf: bytes) -> dict[int, tuple]:
+    """Locate and parse the cross-reference data: a classic xref
+    TABLE or (PDF 1.5) a cross-reference STREAM. Returns
+    {obj: ('top', offset) | ('stm', objstm_num, idx)}."""
     tail = buf[-256:]
     m = re.search(rb"startxref\s+(\d+)\s*%%EOF", tail)
     if not m:
@@ -130,11 +351,9 @@ def _parse_xref(buf: bytes) -> dict[int, int]:
     pos = int(m.group(1))
     if buf[pos : pos + 4] != b"xref":
         if buf[pos : pos + 1].isdigit() or _OBJ_HEAD.match(buf, pos):
-            raise NotImplementedError(
-                "cross-reference streams (PDF 1.5) unsupported"
-            )
+            return _parse_xref_stream(buf, pos)
         raise ValueError("startxref does not point at an xref table")
-    offsets: dict[int, int] = {}
+    offsets: dict[int, tuple] = {}
     p = pos + 4
     while True:
         m = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", buf[p : p + 64])
@@ -148,7 +367,7 @@ def _parse_xref(buf: bytes) -> dict[int, int]:
                 raise ValueError("truncated xref entry")
             off, kind = entry[0:10], entry[17:18]
             if kind == b"n":
-                offsets[first + k] = int(off)
+                offsets[first + k] = ("top", int(off))
             p += 20
         if buf[p : p + 7] == b"trailer":
             break
@@ -157,17 +376,9 @@ def _parse_xref(buf: bytes) -> dict[int, int]:
     return offsets
 
 
-def _object_at(buf: bytes, off: int) -> tuple[dict, bytes | None]:
-    """Parse the object at a byte offset into (dict-ish fields,
-    stream payload or None). The dictionary scan is shallow: we pull
-    /Type, /Length, /Filter, /Count — what the extractor needs."""
-    m = _OBJ_HEAD.match(buf, off)
-    if not m:
-        raise ValueError(f"no object header at offset {off}")
-    end = buf.find(b"endobj", m.end())
-    if end < 0:
-        raise ValueError("object without endobj")
-    body = buf[m.end() : end]
+def _scan_fields(body: bytes) -> dict:
+    """Shallow dictionary scan shared by top-level and in-object-
+    stream objects: /Type, /Length, /Filter, /Count, /N, /First."""
     fields: dict[str, object] = {}
     tm = re.search(rb"/Type\s*/(\w+)", body)
     if tm:
@@ -181,6 +392,47 @@ def _object_at(buf: bytes, off: int) -> tuple[dict, bytes | None]:
     cm = re.search(rb"/Count\s+(\d+)", body)
     if cm:
         fields["count"] = int(cm.group(1))
+    for key, name in ((rb"/N\s+(\d+)", "n"),
+                      (rb"/First\s+(\d+)", "first")):
+        km = re.search(key, body)
+        if km:
+            fields[name] = int(km.group(1))
+    return fields
+
+
+def _load_objstm(buf: bytes, off: int) -> dict[int, bytes]:
+    """Inflate an object stream (7.5.7) and slice its contained
+    object bodies: {obj_num: body_bytes}."""
+    fields, stream = _object_at(buf, off)
+    if fields.get("type") != "ObjStm" or stream is None:
+        raise ValueError("xref type-2 entry points at no /ObjStm")
+    n, first = fields.get("n"), fields.get("first")
+    if n is None or first is None:
+        raise ValueError("/ObjStm missing /N or /First")
+    head = stream[:first].split()
+    if len(head) < 2 * n:
+        raise ValueError("/ObjStm pair header truncated")
+    pairs = [(int(head[2 * i]), int(head[2 * i + 1]))
+             for i in range(n)]
+    out: dict[int, bytes] = {}
+    for i, (num, rel) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < n else len(stream) - first
+        out[num] = stream[first + rel : first + end]
+    return out
+
+
+def _object_at(buf: bytes, off: int) -> tuple[dict, bytes | None]:
+    """Parse the object at a byte offset into (dict-ish fields,
+    stream payload or None). The dictionary scan is shallow: we pull
+    /Type, /Length, /Filter, /Count — what the extractor needs."""
+    m = _OBJ_HEAD.match(buf, off)
+    if not m:
+        raise ValueError(f"no object header at offset {off}")
+    end = buf.find(b"endobj", m.end())
+    if end < 0:
+        raise ValueError("object without endobj")
+    body = buf[m.end() : end]
+    fields = _scan_fields(body)
     if re.search(rb"/Encrypt\b", body):
         raise NotImplementedError("encrypted PDFs unsupported")
     stream = None
@@ -192,7 +444,11 @@ def _object_at(buf: bytes, off: int) -> tuple[dict, bytes | None]:
         stream = body[start : start + int(fields["length"])]
         filt = fields.get("filter")
         if filt == "FlateDecode":
-            stream = zlib.decompress(stream)
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error as e:
+                raise ValueError(
+                    f"corrupt FlateDecode stream: {e}") from None
         elif filt is not None:
             raise NotImplementedError(f"filter /{filt} unsupported")
     return fields, stream
@@ -261,17 +517,38 @@ def parse_pdf(buf: bytes) -> dict:
     trailer_at = buf.rfind(b"trailer")
     if trailer_at >= 0 and re.search(rb"/Encrypt\b", buf[trailer_at:]):
         raise NotImplementedError("encrypted PDFs unsupported")
-    offsets = _parse_xref(buf)
+    entries = _parse_xref(buf)
     n_pages = 0
     declared = None
     texts: list[tuple[int, str]] = []
-    for num in sorted(offsets):
-        fields, stream = _object_at(buf, offsets[num])
+    objstm_cache: dict[int, dict[int, bytes]] = {}
+    for num in sorted(entries):
+        e = entries[num]
+        if e[0] == "top":
+            fields, stream = _object_at(buf, e[1])
+        else:  # ('stm', objstm_num, idx): object inside an ObjStm
+            snum = e[1]
+            if snum not in objstm_cache:
+                se = entries.get(snum)
+                if se is None or se[0] != "top":
+                    raise ValueError(
+                        f"type-2 entry references missing /ObjStm "
+                        f"{snum}"
+                    )
+                objstm_cache[snum] = _load_objstm(buf, se[1])
+            body = objstm_cache[snum].get(num)
+            if body is None:
+                raise ValueError(
+                    f"object {num} not found in /ObjStm {e[1]}"
+                )
+            fields, stream = _scan_fields(body), None
         if fields.get("type") == "Page":
             n_pages += 1
         if fields.get("type") == "Pages":
             declared = fields.get("count")
-        if stream is not None:
+        if stream is not None and fields.get("type") not in (
+            "ObjStm", "XRef"
+        ):
             texts.append((num, extract_text(stream)))
     if declared is not None and declared != n_pages:
         raise ValueError(
@@ -279,7 +556,7 @@ def parse_pdf(buf: bytes) -> dict:
         )
     return {
         "n_pages": n_pages,
-        "n_objects": len(offsets),
+        "n_objects": len(entries),
         "text": "".join(t for _, t in sorted(texts)),
     }
 
@@ -291,11 +568,14 @@ def synthesize_pdfs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    version: str = "1.4",
 ) -> DataFrame:
     """Deterministic PDF fixture: each document becomes a PDF with
     1 + id % 3 pages, its text split evenly across pages and within
     a page across alternating Tj / TJ shows — extraction must
-    reassemble the exact original string."""
+    reassemble the exact original string. ``version='1.5'`` writes
+    the modern form (object streams + a cross-reference stream with
+    the PNG Up predictor) through write_pdf15."""
     out_schema = "media_id long, content binary"
 
     def encode_batches(
@@ -317,7 +597,10 @@ def synthesize_pdfs(
                     pages.append(
                         [chunk[j * step : (j + 1) * step] for j in range(k)]
                     )
-                payloads.append(write_pdf(pages))
+                payloads.append(
+                    write_pdf15(pages) if version == "1.5"
+                    else write_pdf(pages)
+                )
             yield pd.DataFrame({"media_id": pdf[id_col], "content": payloads})
 
     return docs.select(id_col, text_col).mapInPandas(

@@ -277,6 +277,7 @@ _ADDED_R11 = [
     "e15_mp4_shard_pipeline",
     "m44_h264_longgop",
     "m45_h264_bpyramid",
+    "m46_pdf_xrefstream",
 ]
 
 

@@ -966,6 +966,50 @@ FROM documents
 """
 
 
+def m46_pdf_xrefstream(spark, sf_dir):
+    """M46: PDF 1.5 — CROSS-REFERENCE STREAMS + OBJECT STREAMS
+    (multimodal/pdf.py, r11), the form virtually every modern PDF
+    producer emits (and what the m22 PDF-1.4 path declared as its
+    gate). Per document the same text corpus is written as a PDF 1.5:
+    catalog/page-tree/font/page dicts packed into a FlateDecode
+    /ObjStm, and the cross-reference table as a /Type /XRef stream
+    (/W [1 4 2] binary rows under the PNG Up predictor
+    /Predictor 12), trailer fields inline. The parser reverses it
+    all: predictor un-filtering, /W row decode, /Index subsections,
+    type-2 entry resolution through the object-stream pair header —
+    then the same Tj/TJ text reassembly, md5-checked against the
+    source table. A wrong predictor, row width, pair offset or
+    object-stream slice breaks the hash. Narrow scan -> mapInPandas,
+    zero shuffle."""
+    from neuroimaging_data_pipeline_spark.multimodal.pdf import (
+        pdf_text_features,
+        synthesize_pdfs,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="auto")
+    media = synthesize_pdfs(d, id_col="doc_id", text_col="text",
+                            version="1.5")
+    return pdf_text_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "n_pages",
+        "n_objects",
+        "n_chars",
+        "text_md5",
+    )
+
+
+# 1.5 layout: 3 shared dicts + n page dicts in the ObjStm, n content
+# streams + the ObjStm + the XRef stream top-level => 2n + 5 objects
+M46_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS INT) AS n_pages,
+       CAST(5 + 2 * (1 + doc_id % 3) AS INT) AS n_objects,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 def m23_mulaw_audio(spark, sf_dir):
     """M23: REAL G.711 mu-law audio codec (multimodal/mulaw.py) —
     the telephony companding format, carried in a genuine RIFF/WAVE
@@ -3148,6 +3192,7 @@ QUERIES = {
     "m20_h264_ipcm": m20_h264_ipcm,
     "m21_h264_intra": m21_h264_intra,
     "m22_pdf_text": m22_pdf_text,
+    "m46_pdf_xrefstream": m46_pdf_xrefstream,
     "m23_mulaw_audio": m23_mulaw_audio,
     "m24_jpeg_exif": m24_jpeg_exif,
     "m25_h264_i4x4": m25_h264_i4x4,
@@ -3194,6 +3239,7 @@ ORACLE = {
     "m20_h264_ipcm": M20_SQL,
     "m21_h264_intra": M21_SQL,
     "m22_pdf_text": M22_SQL,
+    "m46_pdf_xrefstream": M46_SQL,
     "m23_mulaw_audio": M23_SQL,
     "m24_jpeg_exif": M24_SQL,
     "m25_h264_i4x4": M25_SQL,

@@ -77,3 +77,86 @@ def test_page_count_crosscheck():
     broken = pdf.replace(b"/Count 2", b"/Count 3")
     with pytest.raises(ValueError, match="declares 3 pages"):
         parse_pdf(broken)
+
+
+# --- r11: PDF 1.5 (cross-reference streams + object streams) ---------------
+
+
+def test_pdf15_roundtrip_and_structure():
+    from neuroimaging_data_pipeline_spark.multimodal.pdf import (
+        parse_pdf,
+        write_pdf15,
+    )
+
+    for pages in ([["hello ", "world"]], [["a", "b", "c"], ["dd"]],
+                  [["x"], ["y("], ["z\\z", "w)"]]):
+        buf = write_pdf15(pages)
+        assert buf.startswith(b"%PDF-1.5")
+        info = parse_pdf(buf)
+        assert info["text"] == "".join(p for pg in pages for p in pg)
+        assert info["n_pages"] == len(pages)
+        assert info["n_objects"] == 2 * len(pages) + 5
+
+
+def test_pdf15_predictor_paths():
+    """The xref stream rows decode through the PNG Up predictor; the
+    un-predictor also handles Sub/Average/Paeth and rejects bad row
+    tags."""
+    from neuroimaging_data_pipeline_spark.multimodal.pdf import (
+        _unpredict_png,
+    )
+
+    rows = bytes(range(21))  # 3 rows x 7 cols
+    # identity (tag 0)
+    raw = b"".join(b"\x00" + rows[i : i + 7] for i in (0, 7, 14))
+    assert _unpredict_png(raw, 7) == rows
+    # Up (tag 2): encode then decode
+    enc = bytearray()
+    prev = bytes(7)
+    for i in (0, 7, 14):
+        cur = rows[i : i + 7]
+        enc.append(2)
+        enc += bytes((c - p) & 0xFF for c, p in zip(cur, prev))
+        prev = cur
+    assert _unpredict_png(bytes(enc), 7) == rows
+    # Sub (tag 1): delta against the left byte
+    enc = bytearray()
+    for i in (0, 7, 14):
+        cur = rows[i : i + 7]
+        enc.append(1)
+        left = 0
+        for c in cur:
+            enc.append((c - left) & 0xFF)
+            left = c
+    assert _unpredict_png(bytes(enc), 7) == rows
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="row tag"):
+        _unpredict_png(b"\x09" + bytes(7), 7)
+
+
+def test_pdf15_corruption_fails_loudly():
+    """Truncations and bit flips in the 1.5 structures must raise
+    controlled errors (ValueError / NotImplementedError)."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.multimodal.pdf import (
+        parse_pdf,
+        write_pdf15,
+    )
+
+    buf = write_pdf15([["some text"], ["more"]])
+    for cut in (10, len(buf) // 2, len(buf) - 4):
+        try:
+            parse_pdf(buf[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    rng = np.random.default_rng(4)
+    for _ in range(60):
+        data = bytearray(buf)
+        i = int(rng.integers(0, len(data)))
+        data[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            parse_pdf(bytes(data))
+        except (ValueError, NotImplementedError):
+            pass
