@@ -51,10 +51,11 @@ Kraft-validated, the ESC/linbits mechanism (big-value escape
 decode), and pure-short intensity stereo. r11: MIXED-BLOCK
 intensity stereo (intensity_process_mixed: per-window short-region
 bound over bands 3..12 + long-region intensity when the zero part
-reaches below line 36). Remaining loud gates (matching the
-``_huff_dec_pair`` error message): tables 11/13/15, the shared ESC
-code tables 16/24, and the polyphase Table B.3 window. A
-capability-gated
+reaches below line 36), and START/STOP window types (1/3: long
+layout under window-switching syntax, implied 7/13 region split).
+Remaining loud gates (matching the ``_huff_dec_pair`` error
+message): tables 11/13/15, the shared ESC code tables 16/24, and
+the polyphase Table B.3 window. A capability-gated
 ffmpeg cross-check belongs on machines that have ffmpeg (this
 container has none).
 
@@ -353,11 +354,15 @@ class GranuleSpec:
             else:
                 assert short_scalefacs is not None
                 assert len(short_scalefacs) == 12
+        elif block_type in (1, 3):
+            # START/STOP windows (r11): long-layout granules under
+            # window-switching syntax — 21 long scalefactors, the
+            # implied region split 7/13 (2.4.2.7), two table selects
+            assert scalefacs is not None and len(scalefacs) == 21
+            self.region0_count = 7
+            self.region1_count = 13
         elif block_type != 0:
-            raise NotImplementedError(
-                "start/stop block types in the fixture encoder — "
-                "only long (0) and short (2) granules are written"
-            )
+            raise ValueError(f"bad block_type {block_type}")
 
 
 def _encode_granule_maindata(
@@ -366,6 +371,8 @@ def _encode_granule_maindata(
     """Returns (bit writer with part2+part3 data, part2_3_length)."""
     bw = _BW()
     slen1, slen2 = _SLEN[g.scalefac_compress]
+    if g.block_type in (1, 3) and scfsi:
+        raise ValueError("scfsi must be 0 when window switching occurs")
     if g.block_type == 2:
         if scfsi:
             raise ValueError("scfsi must be 0 when short blocks occur")
@@ -526,9 +533,9 @@ def encode_mp3_l3(
             si.u(g.big_values, 9)
             si.u(g.global_gain, 8)
             si.u(g.scalefac_compress, 4)
-            if g.block_type == 2:
+            if g.block_type != 0:
                 si.u(1, 1)  # windows_switching_flag
-                si.u(2, 2)  # block_type: short
+                si.u(g.block_type, 2)  # 1 start / 2 short / 3 stop
                 si.u(1 if g.mixed else 0, 1)
                 si.u(g.table_sel[0], 5)
                 si.u(g.table_sel[1], 5)

@@ -693,3 +693,60 @@ def test_intensity_stereo_mixed_blocks():
     gs7 = [left, right7, mk(6, 2), right7]
     d7 = decode_mp3_l3(encode_mp3_l3(gs7, nch=2, intensity=True))
     np.testing.assert_allclose(d7["granules"][0]["xr"], xl)
+
+
+def test_start_stop_block_types_roundtrip():
+    """r11: block types 1 (start) and 3 (stop) — long-layout
+    granules under window-switching syntax: 21 long scalefactors +
+    preflag, the implied 7/13 region split, two table selects,
+    subblock_gain present-but-inert. Round trip + long-path
+    requantization pin, mixed into a GOP with long and short
+    granules."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
+        GranuleSpec,
+        decode_mp3_l3,
+        encode_mp3_l3,
+        requantize_long,
+    )
+
+    def mk(d, k, bt):
+        big = 30
+        lines = [0] * 576
+        for i in range(2 * big):
+            lines[i] = (d + k + i) % 3 - 1
+        return GranuleSpec(
+            lines=lines, big_values=big,
+            table_sel=(1, 2) if bt else (1, 2, 0),
+            count1=0, count1_table_b=False, global_gain=140 + d,
+            scalefac_compress=5,
+            scalefacs=[(d + k + b) % 2 for b in range(21)],
+            preflag=(d + k) % 2, block_type=bt,
+        )
+
+    def mks(d, k):
+        big = 30
+        lines = [0] * 576
+        for i in range(2 * big):
+            lines[i] = (d + k + i) % 3 - 1
+        return GranuleSpec(
+            lines=lines, big_values=big, table_sel=(1, 1),
+            count1=0, count1_table_b=False, global_gain=140 + d,
+            scalefac_compress=5, scalefacs=None, block_type=2,
+            subblock_gain=(0, 1, 0),
+            short_scalefacs=[[0] * 3 for _ in range(12)],
+        )
+
+    gs = [mk(3, 0, 1), mks(3, 1), mk(3, 2, 3), mk(3, 3, 0)]
+    out = decode_mp3_l3(encode_mp3_l3(gs))
+    for k in (0, 2, 3):
+        g = out["granules"][k]
+        assert g["lines"] == gs[k].lines
+        assert g["block_type"] == gs[k].block_type
+        want = requantize_long(
+            gs[k].lines, gs[k].global_gain, gs[k].scalefacs, 0,
+            gs[k].preflag,
+        )
+        np.testing.assert_allclose(g["xr"], want)
+    assert out["granules"][1]["block_type"] == 2
