@@ -9,10 +9,13 @@ framing (which this module reuses):
 - the Intra_16x16 macroblock layer: mb_type 1..24 encoding of
   (prediction mode, CodedBlockPatternChroma, CodedBlockPatternLuma),
   intra_chroma_pred_mode, mb_qp_delta;
-- all four Intra_16x16 luma prediction modes on the DECODE side
-  (Vertical / Horizontal / DC / Plane, clause 8.3.3) and chroma DC
-  prediction with the per-4x4 quadrant neighbor rules (8.3.4.1) —
-  the encoder emits DC mode (an encoder's legal freedom);
+- all four Intra_16x16 luma prediction modes (Vertical /
+  Horizontal / DC / Plane, clause 8.3.3) and all four chroma
+  prediction modes (DC with the per-4x4 quadrant neighbor rules
+  8.3.4.1, Horizontal, Vertical, Plane 8.3.4.4) on BOTH sides —
+  r11: the encoder emits any (pred_mode, chroma_mode) pair with
+  per-MB DC fallback at picture edges, round-trip-pinned across
+  every combination;
 - the forward/inverse 4x4 integer transform, the 4x4 luma-DC
   Hadamard and 2x2 chroma-DC Hadamard, and the full quantization /
   dequantization ladder (MF/V matrices, per-position classes,
@@ -815,6 +818,49 @@ def _pred8_chroma_dc(plane: np.ndarray, my: int, mx: int) -> np.ndarray:
     return out
 
 
+def _pred8_chroma(
+    plane: np.ndarray, my: int, mx: int, mode: int
+) -> np.ndarray:
+    """Chroma intra prediction, all four modes (clause 8.3.4,
+    4:2:0 8x8): 0 DC (quadrant rules), 1 Horizontal, 2 Vertical,
+    3 Plane."""
+    if mode == 0:
+        return _pred8_chroma_dc(plane, my, mx)
+    top = plane[my * 8 - 1, mx * 8 : mx * 8 + 8].astype(np.int64) \
+        if my > 0 else None
+    left = plane[my * 8 : my * 8 + 8, mx * 8 - 1].astype(np.int64) \
+        if mx > 0 else None
+    if mode == 1:  # Horizontal
+        if left is None:
+            raise ValueError("chroma Horizontal without left neighbor")
+        return np.tile(left[:, None], (1, 8))
+    if mode == 2:  # Vertical
+        if top is None:
+            raise ValueError("chroma Vertical without top neighbor")
+        return np.tile(top, (8, 1))
+    if mode == 3:  # Plane (8.3.4.4 with xCF = yCF = 0)
+        if top is None or left is None:
+            raise ValueError("chroma Plane needs both neighbors")
+        tl = int(plane[my * 8 - 1, mx * 8 - 1])
+        tr = np.concatenate([[tl], top])
+        hh = sum(
+            (x + 1) * (int(top[4 + x]) - int(tr[3 - x]))
+            for x in range(4)
+        )
+        lf = np.concatenate([[tl], left])
+        vv = sum(
+            (y + 1) * (int(left[4 + y]) - int(lf[3 - y]))
+            for y in range(4)
+        )
+        a = 16 * (int(top[7]) + int(left[7]))
+        b = (34 * hh + 32) >> 6
+        c = (34 * vv + 32) >> 6
+        yy, xx = np.mgrid[0:8, 0:8]
+        return np.clip((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5,
+                       0, 255)
+    raise ValueError(f"bad chroma prediction mode {mode}")
+
+
 def _nc_for(nnz: np.ndarray, bx: int, by: int) -> int:
     """Neighbor-predicted nC (clause 9.2.1) from a frame-level nnz
     grid; -1 entries mean 'outside the frame'."""
@@ -873,12 +919,24 @@ def encode_h264_i16x16(
     cb: np.ndarray | None = None,
     cr: np.ndarray | None = None,
     qp: int = 0,
+    pred_mode: int = 2,
+    chroma_mode: int = 0,
 ) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
-    """Encode one IDR frame as Intra_16x16 DC-predicted macroblocks
-    with CAVLC residuals at the given QP. Returns (annex_b_bytes,
-    recon_y, recon_cb, recon_cr) where the recon planes are the
-    encoder's own decoder-mirrored reconstruction — the bit-exact
-    contract a conformant decoder must reproduce."""
+    """Encode one IDR frame as Intra_16x16 macroblocks with CAVLC
+    residuals at the given QP. ``pred_mode`` selects the luma
+    Intra_16x16 prediction (0 V / 1 H / 2 DC / 3 Plane) and
+    ``chroma_mode`` the chroma prediction (0 DC / 1 H / 2 V /
+    3 Plane) — r11; macroblocks missing the neighbors a directional
+    mode needs fall back to DC, and the emitted mb_type /
+    intra_chroma_pred_mode per MB reflect the mode actually used.
+    Returns (annex_b_bytes, recon_y, recon_cb, recon_cr) where the
+    recon planes are the encoder's own decoder-mirrored
+    reconstruction — the bit-exact contract a conformant decoder
+    must reproduce."""
+    if pred_mode not in (0, 1, 2, 3):
+        raise ValueError("Intra_16x16 pred_mode must be 0..3")
+    if chroma_mode not in (0, 1, 2, 3):
+        raise ValueError("chroma_mode must be 0..3")
     if not 0 <= qp <= 51:
         raise ValueError("QP must be in 0..51")
     y, cb, cr = _check_planes(y, cb, cr)
@@ -899,9 +957,21 @@ def encode_h264_i16x16(
 
     sl = _BitW()
     _slice_header(sl, qp)
+    _PM_NEEDS = {0: (True, False), 1: (False, True), 2: (False, False),
+                 3: (True, True)}
+    _CM_NEEDS = {0: (False, False), 1: (False, True), 2: (True, False),
+                 3: (True, True)}
     for my in range(mbh):
         for mx in range(mbw):
-            pred = _pred16(ry, my, mx, 2)
+            need_t, need_l = _PM_NEEDS[pred_mode]
+            pm = pred_mode
+            if (need_t and my == 0) or (need_l and mx == 0):
+                pm = 2  # DC fallback at picture edges
+            need_t, need_l = _CM_NEEDS[chroma_mode]
+            cm = chroma_mode
+            if (need_t and my == 0) or (need_l and mx == 0):
+                cm = 0
+            pred = _pred16(ry, my, mx, pm)
             resid = yp[my * 16 : my * 16 + 16,
                        mx * 16 : mx * 16 + 16].astype(np.int64) - pred
             # all sixteen 4x4 sub-blocks transformed in one batch
@@ -912,12 +982,11 @@ def encode_h264_i16x16(
             acz[..., 0, 0] = 0
             zdc = _quant_dc4((_H4 @ dc @ _H4) // 2, qp)
             cbpl = 15 if acz.any() else 0
-            # chroma (DC prediction, mode 0)
             cpred = {}
             cdcz = {}
             cacz = {}
             for pi, (srcp, reconp) in enumerate(((cbp, rcb), (crp, rcr))):
-                cp = _pred8_chroma_dc(reconp, my, mx)
+                cp = _pred8_chroma(reconp, my, mx, cm)
                 cres = srcp[my * 8 : my * 8 + 8,
                             mx * 8 : mx * 8 + 8].astype(np.int64) - cp
                 cblk = cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
@@ -935,9 +1004,9 @@ def encode_h264_i16x16(
             any_cac = any(cacz[p].any() for p in (0, 1))
             any_cdc = any(cdcz[p].any() for p in (0, 1))
             cbpc = 2 if any_cac else (1 if any_cdc else 0)
-            mb_type = 1 + 2 + 4 * cbpc + 12 * (1 if cbpl else 0)
+            mb_type = 1 + pm + 4 * cbpc + 12 * (1 if cbpl else 0)
             sl.ue(mb_type)
-            sl.ue(0)  # intra_chroma_pred_mode: DC
+            sl.ue(cm)  # intra_chroma_pred_mode
             sl.se(0)  # mb_qp_delta
             # luma DC block: nC from the 4x4 grid at block (0,0)
             nc = _nc_for(luma_nnz, mx * 4, my * 4)
@@ -1382,10 +1451,10 @@ def decode_h264_frame(
                     t %= 12
                     cbpc, pm = t // 4, t % 4
                     chroma_mode = r.ue()
-                    if chroma_mode != 0:
-                        raise NotImplementedError(
-                            f"chroma prediction mode {chroma_mode} — "
-                            "only DC is implemented; use decoder='ffmpeg'"
+                    if chroma_mode > 3:
+                        raise ValueError(
+                            f"chroma prediction mode {chroma_mode} "
+                            "out of range"
                         )
                     qp = (qp + r.se() + 52) % 52  # mb_qp_delta
                     qpc = _chroma_qp(qp)
@@ -1442,7 +1511,8 @@ def decode_h264_frame(
                         pred, acz, zdc, qp
                     )
                     for pi, reconp in ((0, rcb), (1, rcr)):
-                        cp = _pred8_chroma_dc(reconp, my, mx)
+                        cp = _pred8_chroma(reconp, my, mx,
+                                           chroma_mode)
                         reconp[my * 8 : my * 8 + 8,
                                mx * 8 : mx * 8 + 8] = _recon_chroma8(
                             cp, cacz[pi], cdcz[pi], qpc
