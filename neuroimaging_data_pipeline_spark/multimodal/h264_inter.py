@@ -24,12 +24,14 @@ missing #2). CAVLC P slices on top of the proven intra stack:
   unavailable-for-MV-prediction (refIdx -1, mv 0) exactly as
   8.4.1.3.2 requires, WITHOUT triggering the out-of-picture D
   substitution or only-A fallback;
-- MULTIPLE REFERENCE FRAMES (up to 2): list0 ordered most-recently-
+- MULTIPLE REFERENCE FRAMES (up to 15 since the r11 multi-reference
+  work; the original 2-ref path is the common case): list0 ordered
+  most-recently-
   decoded first (8.2.4.2.1 PicNum descending), per-partition
   ref_idx_l0 coded te(v), sliding-window DPB eviction, and the
   refIdx-aware predictor rules (the exactly-one-matching-neighbor
   shortcut and the refIdx-conditioned 16x8/8x16 directional rules);
-- sequence framing: SPS with max_num_ref_frames in {1, 2}, a PPS
+- sequence framing: SPS with max_num_ref_frames in 1..15, a PPS
   with deblocking control so every slice header disables the loop
   filter (the stream's nominal conformant output IS this codec
   family's reconstruction), an IDR Intra_16x16 anchor re-headered
@@ -452,7 +454,7 @@ def _sps_rbsp_ref1(
     mbw: int, mbh: int, w: int, h: int, num_refs: int = 1
 ) -> bytes:
     """SPS for IDR + P sequences: identical to the shared intra SPS
-    except max_num_ref_frames (1 or 2 decoded references)."""
+    except max_num_ref_frames (1..15 decoded references)."""
     if w % 16 or h % 16:
         raise ValueError("inter sequences require dimensions % 16 == 0")
     sps = _BitW()

@@ -266,11 +266,19 @@ def _unpredict_png(data: bytes, ncols: int) -> bytes:
     return bytes(out)
 
 
-def _parse_xref_stream(buf: bytes, pos: int) -> dict[int, tuple]:
+def _parse_xref_stream(
+    buf: bytes, pos: int, _seen: frozenset = frozenset()
+) -> dict[int, tuple]:
     """Parse a PDF 1.5 cross-reference STREAM (7.5.8): /W-typed
     binary rows, FlateDecode + optional PNG /Predictor, /Index
     subsections, /Prev chain. Returns {obj: ('top', offset) |
-    ('stm', objstm_num, idx)} — later (newer) tables win."""
+    ('stm', objstm_num, idx)} — later (newer) tables win; a type-0
+    (free) row in a newer table DELETES the /Prev-chain entry it
+    shadows (7.5.8.3), so incrementally-freed objects don't
+    resurface. /Prev offsets are cycle-guarded via ``_seen``."""
+    if pos in _seen:
+        raise ValueError("xref stream /Prev cycle")
+    _seen = _seen | {pos}
     m = _OBJ_HEAD.match(buf, pos)
     if not m:
         raise ValueError("startxref points at no object")
@@ -301,20 +309,28 @@ def _parse_xref_stream(buf: bytes, pos: int) -> dict[int, tuple]:
         )
     except zlib.error as e:
         raise ValueError(f"corrupt xref stream deflate: {e}") from None
-    pm = re.search(
-        rb"/DecodeParms\s*<<[^>]*?/Predictor\s+(\d+)[^>]*?"
-        rb"/Columns\s+(\d+)", body,
-    )
-    if pm:
-        predictor, ncols = int(pm.group(1)), int(pm.group(2))
+    # /DecodeParms keys appear in arbitrary order (7.3.7) — match
+    # /Predictor and /Columns independently within the dict body.
+    dp = re.search(rb"/DecodeParms\s*<<([^>]*)>>", body)
+    if dp:
+        parms = dp.group(1)
+        prm = re.search(rb"/Predictor\s+(\d+)", parms)
+        clm = re.search(rb"/Columns\s+(\d+)", parms)
+        predictor = int(prm.group(1)) if prm else 1
         if predictor >= 10:
-            raw = _unpredict_png(raw, ncols)
+            if not clm:
+                raise ValueError(
+                    "PNG /Predictor without parseable /Columns"
+                )
+            raw = _unpredict_png(raw, int(clm.group(1)))
         elif predictor != 1:
             raise NotImplementedError(f"/Predictor {predictor}")
     entries: dict[int, tuple] = {}
     pv = re.search(rb"/Prev\s+(\d+)", body)
     if pv:
-        entries.update(_parse_xref_stream(buf, int(pv.group(1))))
+        entries.update(
+            _parse_xref_stream(buf, int(pv.group(1)), _seen)
+        )
     rw = sum(w)
     p = 0
     for k in range(0, len(index), 2):
@@ -334,7 +350,11 @@ def _parse_xref_stream(buf: bytes, pos: int) -> dict[int, tuple]:
                 entries[n] = ("top", fields[1])
             elif t == 2:
                 entries[n] = ("stm", fields[1], fields[2])
-            # type 0 (free) and unknown types: no entry
+            elif t == 0:
+                # free: a newer table's free row shadows (deletes)
+                # any in-use entry inherited from the /Prev chain.
+                entries.pop(n, None)
+            # unknown types: no entry
     if not entries:
         raise ValueError("empty xref stream")
     return entries
@@ -345,10 +365,13 @@ def _parse_xref(buf: bytes) -> dict[int, tuple]:
     TABLE or (PDF 1.5) a cross-reference STREAM. Returns
     {obj: ('top', offset) | ('stm', objstm_num, idx)}."""
     tail = buf[-256:]
-    m = re.search(rb"startxref\s+(\d+)\s*%%EOF", tail)
-    if not m:
+    # An incrementally-updated file has several startxref/%%EOF
+    # blocks; the LAST one is authoritative (7.5.6), so take the
+    # final match in the tail window, not the first.
+    ms = list(re.finditer(rb"startxref\s+(\d+)\s*%%EOF", tail))
+    if not ms:
         raise ValueError("PDF without startxref/%%EOF tail")
-    pos = int(m.group(1))
+    pos = int(ms[-1].group(1))
     if buf[pos : pos + 4] != b"xref":
         if buf[pos : pos + 1].isdigit() or _OBJ_HEAD.match(buf, pos):
             return _parse_xref_stream(buf, pos)

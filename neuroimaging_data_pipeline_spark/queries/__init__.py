@@ -82,10 +82,10 @@ from neuroimaging_data_pipeline_spark.queries import (
 # the driver checks the first 50 registered). Ordering is COMPUTED,
 # not hand-sorted (rotation policy since r6 / VERDICT r5 #2): every
 # query is ranked by the last round a driver CORRECTNESS artifact
-# checked it (frozen below from CORRECTNESS_r01–r10), never-checked
-# first. Entering r11: rank 0 = _ADDED_R11 newcomers (never
+# checked it (frozen below from CORRECTNESS_r01–r11), never-checked
+# first. Entering r12: rank 0 = _ADDED_R12 newcomers (never
 # driver-checked); rank 1 = any other never-checked query; rank 2 =
-# _RECHECK_R11 (operators whose implementation changed this round);
+# _RECHECK_R12 (operators whose implementation changed this round);
 # remaining window slots fall to the queries with the OLDEST driver
 # rows (r1/r3 first), so coverage keeps rotating.
 _MODULES = [media, eventsops, sqlsurface, retrieval, textops, simsearch, ingest, neuro, spatial, relational, misc]
@@ -244,48 +244,70 @@ for _r, _names in {
         "t_weighted_sample", "u3_except_all", "w10_sessionize",
         "w11_ewma", "w13_event_dedup", "w9_locf_resample",
     ],
+    # frozen from CORRECTNESS_r11.json (50/50 green): the 5 r11
+    # newcomers + the 4 r11 recheck rows + 41 rotation re-checks.
+    11: [
+        "a_cms_heavy_hitters", "a_equidepth_hist", "a_equidepth_sketch",
+        "a_hll_distinct", "d_bloom_probe", "d_cdc_chunks",
+        "d_contamination", "d_dup_clusters", "d_dup_spans",
+        "d_fuzzy_pairs", "d_passage_dedup", "d_url_dedup",
+        "e15_mp4_shard_pipeline", "e2_corpus_pipeline",
+        "e6_decontam_split", "e8_entity_resolution", "e9_web_pipeline",
+        "g_pagerank3", "g_triangles", "j11_zorder_key", "m34_mp3_samples",
+        "m37_h264_bslice", "m41_mp3_intensity", "m42_h264_deblock",
+        "m43_h264_bdeblock", "m44_h264_longgop", "m45_h264_bpyramid",
+        "m46_pdf_xrefstream", "m6_gzip_text", "q_ansi_sql_surface",
+        "s11_remote_fetch", "s12_parquet_meta", "s13_avro_scan",
+        "s14_tarshard_source", "s15_rowgroup_prune", "s16_orc_roundtrip",
+        "s17_xml_source", "s_ivfpq_topk", "s_mmr_rerank", "s_pq_codes",
+        "st_sliding_window", "sv_merge", "sv_vacuum", "sv_version_diff",
+        "t_bigram_xent", "t_inverted_index", "t_pii_signals",
+        "t_repetition", "t_sample", "t_tfidf",
+    ],
 }.items():
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _r
 
-# r11-modified operators + standing perf-watch queries: re-check right
+# r12-modified operators + standing perf-watch queries: re-check right
 # after the never-checked blocks.
-_RECHECK_R11 = [
-    # r11: B-slice deblocking (clause 8.7 completed for B slices) —
-    # affects the deblocked-stream family.
-    "m42_h264_deblock",
-    "m37_h264_bslice",
-    # r11: MP3 Huffman table family extended (13/15 + ESC 16/24 work).
+_RECHECK_R12 = [
+    # r12: H.264 motion-compensation / IDCT hot loops vectorized
+    # (identical hashes required) — re-check the inter-prediction family.
+    "m35_h264_inter",
+    "m36_h264_gop",
+    "m44_h264_longgop",
+    "m45_h264_bpyramid",
+    # r12: PDF xref-stream hardening (/Prev cycle guard, DecodeParms
+    # key order, type-0 free-row shadowing).
+    "m46_pdf_xrefstream",
+    "m22_pdf_text",
+    # r12: MP3 ESC/linbits Huffman tables landed (11/13/15/16/24).
     "m41_mp3_intensity",
     "m34_mp3_samples",
+    # r12: CABAC P/B init columns.
+    "m33_h264_cabac",
 ]
 
-_RECHECK_R10_FOLDED = [
-    # kept for provenance: the r10 recheck list (wcr-only weighted
-    # prediction fix + residual-rich fixture sweep) all went green in
-    # CORRECTNESS_r10.json and is folded into _LAST_DRIVER_ROUND.
-    "m36_h264_gop", "m37_h264_bslice", "m35_h264_inter",
-    "m33_h264_cabac", "m21_h264_intra", "m25_h264_i4x4",
+_RECHECK_R11_FOLDED = [
+    # kept for provenance: the r11 recheck list (B-slice deblocking +
+    # MP3 table family) all went green in CORRECTNESS_r11.json and is
+    # folded into _LAST_DRIVER_ROUND.
+    "m42_h264_deblock", "m37_h264_bslice",
+    "m41_mp3_intensity", "m34_mp3_samples",
 ]
 
-# Queries added in round 11, AFTER CORRECTNESS_r10 froze the backlog.
+# Queries added in round 12, AFTER CORRECTNESS_r11 froze the backlog.
 # Never-driver-checked, so they lead the window (rank 0). VERDICT r7
 # #3 lesson: list EVERY newcomer here, not a subset, so the ordering
 # invariant holds if the window ever overflows.
-_ADDED_R11 = [
-    "m43_h264_bdeblock",
-    "e15_mp4_shard_pipeline",
-    "m44_h264_longgop",
-    "m45_h264_bpyramid",
-    "m46_pdf_xrefstream",
-]
+_ADDED_R12 = []
 
 
 def _window_rank(name: str) -> int:
     if name not in _LAST_DRIVER_ROUND:
-        # never driver-checked: r10 additions lead the window.
-        return 0 if name in _ADDED_R11 else 1
-    if name in _RECHECK_R11:
+        # never driver-checked: r12 additions lead the window.
+        return 0 if name in _ADDED_R12 else 1
+    if name in _RECHECK_R12:
         return 2
     return 2 + _LAST_DRIVER_ROUND[name]
 

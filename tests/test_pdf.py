@@ -160,3 +160,129 @@ def test_pdf15_corruption_fails_loudly():
             parse_pdf(bytes(data))
         except (ValueError, NotImplementedError):
             pass
+
+
+# --- r12: incremental updates, /Prev hygiene, DecodeParms key order ---------
+
+
+def _xref_stream_obj(
+    obj_id: int,
+    size: int,
+    rows: list[tuple[int, int, int, int]],
+    prev: int | None,
+    at: int,
+) -> bytes:
+    """Minimal /Type /XRef object (W [1 4 2], Flate, no predictor)
+    whose /Index lists each row's object number as a 1-long
+    subsection. ``rows`` = [(num, type, f2, f3)]."""
+    payload = bytearray()
+    index = []
+    for num, t, f2, f3 in rows:
+        index += [num, 1]
+        payload += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    flate = zlib.compress(bytes(payload))
+    prev_s = f"/Prev {prev} " if prev is not None else ""
+    head = (
+        f"{obj_id} 0 obj\n<< /Type /XRef /Size {size} /Root 1 0 R "
+        f"/W [1 4 2] /Index [{' '.join(map(str, index))}] "
+        f"{prev_s}/Filter /FlateDecode /Length {len(flate)} "
+        f">>\nstream\n"
+    ).encode()
+    return (head + flate + b"\nendstream\nendobj\n"
+            + f"startxref\n{at}\n%%EOF\n".encode())
+
+
+def test_pdf15_prev_cycle_guard():
+    """A crafted /Prev that points back at itself (or loops) must
+    raise ValueError, not escape with RecursionError."""
+    from neuroimaging_data_pipeline_spark.multimodal.pdf import (
+        _parse_xref_stream,
+    )
+
+    buf = _xref_stream_obj(9, 10, [(9, 1, 0, 0)], prev=0, at=0)
+    with pytest.raises(ValueError, match="/Prev cycle"):
+        _parse_xref_stream(buf, 0)
+
+
+def test_pdf15_decodeparms_key_order():
+    """/DecodeParms keys appear in arbitrary order (7.3.7): the
+    /Columns-before-/Predictor spelling must decode identically, and
+    a PNG predictor without /Columns must fail loudly."""
+    from neuroimaging_data_pipeline_spark.multimodal.pdf import (
+        parse_pdf,
+        write_pdf15,
+    )
+
+    buf = write_pdf15([["hello ", "world"], ["again"]])
+    want = parse_pdf(buf)
+    old = b"/DecodeParms << /Predictor 12 /Columns 7 >>"
+    new = b"/DecodeParms << /Columns 7 /Predictor 12 >>"
+    assert buf.count(old) == 1 and len(old) == len(new)
+    swapped = buf.replace(old, new)
+    assert parse_pdf(swapped) == want
+    # /Predictor >= 10 with no parseable /Columns: loud failure
+    # (length-preserving blank-out keeps every offset valid).
+    gone = buf.replace(b"/Predictor 12 /Columns 7",
+                       b"/Predictor 12           ")
+    with pytest.raises(ValueError, match="/Columns"):
+        parse_pdf(gone)
+
+
+def test_pdf15_incremental_update_and_free_shadowing():
+    """End-to-end incremental updates through the /Prev chain: a
+    newer type-1 row replaces an object, a newer type-0 (free) row
+    DELETES the entry inherited from the /Prev chain, and the LAST
+    startxref in the file wins."""
+    from neuroimaging_data_pipeline_spark.multimodal.pdf import (
+        parse_pdf,
+        write_pdf15,
+    )
+
+    base = write_pdf15([["alpha "], ["beta"]])
+    info0 = parse_pdf(base)
+    assert info0["text"] == "alpha beta"
+    assert info0["n_objects"] == 9  # 1..9 (object 0 = free head)
+    xref0_at = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+
+    # update 1: replace page-1's content stream (object 5).
+    flate = zlib.compress(b"BT /F1 12 Tf 72 720 Td (ALPHA!) Tj ET")
+    upd = bytearray(base)
+    new5_at = len(upd)
+    upd += (
+        f"5 0 obj\n<< /Length {len(flate)} /Filter /FlateDecode "
+        f">>\nstream\n".encode() + flate + b"\nendstream\nendobj\n"
+    )
+    xref1_at = len(upd)
+    upd += _xref_stream_obj(
+        10, 11, [(5, 1, new5_at, 0), (10, 1, xref1_at, 0)],
+        prev=xref0_at, at=xref1_at,
+    )
+    info1 = parse_pdf(bytes(upd))
+    assert info1["text"] == "ALPHA!beta"
+    assert info1["n_objects"] == 10 and info1["n_pages"] == 2
+
+    # update 2: free object 5 — the newer free row must shadow BOTH
+    # older in-use entries (base and update-1), not resurface them.
+    xref2_at = len(upd)
+    upd += _xref_stream_obj(
+        11, 12, [(5, 0, 0, 0xFFFF), (11, 1, xref2_at, 0)],
+        prev=xref1_at, at=xref2_at,
+    )
+    info2 = parse_pdf(bytes(upd))
+    assert info2["text"] == "beta"
+    assert info2["n_objects"] == 10 and info2["n_pages"] == 2
+
+    # hostile-bytes sweep over the chained document: every bitflip
+    # must stay inside the ValueError/NotImplementedError contract.
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    final = bytes(upd)
+    for _ in range(200):
+        data = bytearray(final)
+        i = int(rng.integers(0, len(data)))
+        data[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            parse_pdf(bytes(data))
+        except (ValueError, NotImplementedError):
+            pass
