@@ -63,10 +63,10 @@ class _BitW:
         self.acc &= (1 << self.n) - 1
 
     def ue(self, v: int) -> None:
+        # Exp-Golomb codeword = (nbits-1) zeros then the nbits-bit
+        # code — exactly `code` written in a 2*nbits-1 bit field.
         code = v + 1
-        nbits = code.bit_length()
-        self.u(0, nbits - 1)
-        self.u(code, nbits)
+        self.u(code, 2 * code.bit_length() - 1)
 
     def se(self, v: int) -> None:
         self.ue(2 * v - 1 if v > 0 else -2 * v)
@@ -90,24 +90,38 @@ class _BitR:
         self.pos = 0  # bit position
 
     def u(self, bits: int) -> int:
-        v = 0
-        try:
-            for _ in range(bits):
-                byte = self.data[self.pos >> 3]
-                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-                self.pos += 1
-        except IndexError:
+        # Batched extraction: pull the spanned bytes in one slice and
+        # shift — O(bytes spanned), not O(bits). The hot loops (CAVLC
+        # levels, VLC tables, slice headers) funnel through here.
+        pos = self.pos
+        end = pos + bits
+        last = (end + 7) >> 3
+        if last > len(self.data):
             # truncated/corrupt stream: the reader ran dry — loud
             # ValueError, zero cost on the happy path
-            raise ValueError("bitstream exhausted mid-element") from None
-        return v
+            raise ValueError("bitstream exhausted mid-element")
+        self.pos = end
+        chunk = int.from_bytes(self.data[pos >> 3 : last], "big")
+        return (chunk >> ((last << 3) - end)) & ((1 << bits) - 1)
 
     def ue(self) -> int:
-        zeros = 0
-        while self.u(1) == 0:
-            zeros += 1
-            if zeros > 32:
-                raise ValueError("bad Exp-Golomb code")
+        # Scan the zero prefix without per-bit u() calls, then read
+        # the suffix in one batched u().
+        data = self.data
+        pos = self.pos
+        n = len(data) << 3
+        start = pos
+        try:
+            while not (data[pos >> 3] >> (7 - (pos & 7))) & 1:
+                pos += 1
+                if pos - start > 32:
+                    raise ValueError("bad Exp-Golomb code")
+                if pos >= n:
+                    raise IndexError
+        except IndexError:
+            raise ValueError("bitstream exhausted mid-element") from None
+        zeros = pos - start
+        self.pos = pos + 1
         return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
 
     def se(self) -> int:

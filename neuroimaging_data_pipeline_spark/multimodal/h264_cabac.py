@@ -68,6 +68,8 @@ from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
     _MODE_NEEDS,
     _ZBLK,
     _ZIG,
+    _ZIGA,
+    _ZIGA1,
     _chroma_qp,
     _decoded_before_factory,
     _dequant_ac,
@@ -854,7 +856,7 @@ def encode_h264_cabac_intra(
                         if not cbp_luma & (1 << g):
                             st.cbf_luma4[gy, gx] = 0
                             continue
-                        cf = [int(coefs[(bx, by)].flat[i]) for i in _ZIG]
+                        cf = coefs[(bx, by)].ravel()[_ZIGA].tolist()
                         st.cbf_luma4[gy, gx] = _enc_residual(
                             enc, ctxs, cf, 2, st.cbf_inc_luma4(gx, gy)
                         )
@@ -866,7 +868,7 @@ def encode_h264_cabac_intra(
                 enc.decision(ctxs, 64, 0)  # chroma DC mode
                 _enc_mb_qp_delta(enc, ctxs, st, 0)
                 # luma DC (cat0)
-                dccf = [int(zdc.flat[i]) for i in _ZIG]
+                dccf = zdc.ravel()[_ZIGA].tolist()
                 st.cbf_lumadc[my, mx] = _enc_residual(
                     enc, ctxs, dccf, 0, st.cbf_inc_lumadc(mx, my)
                 )
@@ -875,7 +877,7 @@ def encode_h264_cabac_intra(
                 if cbp_luma:
                     for bx, by in _ZBLK:
                         gx, gy = mx * 4 + bx, my * 4 + by
-                        cf = [int(acz[by, bx].flat[i]) for i in _ZIG[1:]]
+                        cf = acz[by, bx].ravel()[_ZIGA1].tolist()
                         st.cbf_luma4[gy, gx] = _enc_residual(
                             enc, ctxs, cf, 1, st.cbf_inc_luma4(gx, gy)
                         )
@@ -899,8 +901,7 @@ def encode_h264_cabac_intra(
                     for by in range(2):
                         for bx in range(2):
                             cx, cy = mx * 2 + bx, my * 2 + by
-                            cf = [int(cacz[pi][by, bx].flat[i])
-                                  for i in _ZIG[1:]]
+                            cf = cacz[pi][by, bx].ravel()[_ZIGA1].tolist()
                             st.cbf_c4[pi][cy, cx] = _enc_residual(
                                 enc, ctxs, cf, 4,
                                 st.cbf_inc_c4(cx, cy, pi),
@@ -1070,7 +1071,7 @@ def _decode_idr_cabac(rbsp: bytes, pos_bits: int, sps: dict, qp: int):
                             dec, ctxs, 2, st.cbf_inc_luma4(gx, gy), 16
                         )
                         z = np.zeros(16, np.int64)
-                        z[_ZIG] = cf
+                        z[_ZIGA] = cf
                         coefs4[(bx, by)] = z.reshape(4, 4)
                         st.cbf_luma4[gy, gx] = cbf
                 st.has_lumadc[my, mx] = False
@@ -1090,7 +1091,7 @@ def _decode_idr_cabac(rbsp: bytes, pos_bits: int, sps: dict, qp: int):
                     dec, ctxs, 0, st.cbf_inc_lumadc(mx, my), 16
                 )
                 zdc = np.zeros(16, np.int64)
-                zdc[_ZIG] = dccf
+                zdc[_ZIGA] = dccf
                 zdc = zdc.reshape(4, 4)
                 st.cbf_lumadc[my, mx] = cbf
                 st.has_lumadc[my, mx] = True
@@ -1102,7 +1103,7 @@ def _decode_idr_cabac(rbsp: bytes, pos_bits: int, sps: dict, qp: int):
                             dec, ctxs, 1, st.cbf_inc_luma4(gx, gy), 15
                         )
                         z = np.zeros(16, np.int64)
-                        z[_ZIG[1:]] = cf
+                        z[_ZIGA1] = cf
                         acz16[by, bx] = z.reshape(4, 4)
                         st.cbf_luma4[gy, gx] = cbf4
                 else:
@@ -1134,7 +1135,7 @@ def _decode_idr_cabac(rbsp: bytes, pos_bits: int, sps: dict, qp: int):
                                 dec, ctxs, 4, st.cbf_inc_c4(cx, cy, pi), 15
                             )
                             z = np.zeros(16, np.int64)
-                            z[_ZIG[1:]] = cf
+                            z[_ZIGA1] = cf
                             cacz[pi][by, bx] = z.reshape(4, 4)
                             st.cbf_c4[pi][cy, cx] = cbf
             else:

@@ -69,6 +69,8 @@ from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
     _MF,
     _ZBLK,
     _ZIG,
+    _ZIGA,
+    _ZIGA1,
     _chroma_qp,
     _pred8_chroma_dc,
     _pred16,
@@ -701,7 +703,7 @@ def _enc_i16_in_p(enc, ctxs, st, mvs, recon, target, mx, my, qp,
     _enc_mb_type_p_i16(enc, ctxs, cbp_luma == 15, cbpc)
     enc.decision(ctxs, 64, 0)  # intra_chroma_pred_mode: DC
     _enc_qp_delta0(enc, ctxs, st)
-    dccf = [int(zdc.flat[i]) for i in _ZIG]
+    dccf = zdc.ravel()[_ZIGA].tolist()
     st.cbf_lumadc[my, mx] = _enc_residual(
         enc, ctxs, dccf, 0, st.cbf_inc_lumadc(mx, my)
     )
@@ -709,7 +711,7 @@ def _enc_i16_in_p(enc, ctxs, st, mvs, recon, target, mx, my, qp,
     if cbp_luma:
         for bx, by in _ZBLK:
             gx, gy = mx * 4 + bx, my * 4 + by
-            cf = [int(acz[by, bx].flat[i]) for i in _ZIG[1:]]
+            cf = acz[by, bx].ravel()[_ZIGA1].tolist()
             st.cbf_luma4[gy, gx] = _enc_residual(
                 enc, ctxs, cf, 1, st.cbf_inc_luma4(gx, gy)
             )
@@ -731,7 +733,7 @@ def _enc_i16_in_p(enc, ctxs, st, mvs, recon, target, mx, my, qp,
             for by in range(2):
                 for bx in range(2):
                     cx, cy = mx * 2 + bx, my * 2 + by
-                    cf = [int(az[by, bx].flat[i]) for i in _ZIG[1:]]
+                    cf = az[by, bx].ravel()[_ZIGA1].tolist()
                     st.cbf_c4[pi][cy, cx] = _enc_residual(
                         enc, ctxs, cf, 4, st.cbf_inc_c4(cx, cy, pi)
                     )
@@ -765,7 +767,7 @@ def _dec_i16_in_p(dec, ctxs, st, mvs, recon, mx, my, qp, qpc,
         dec, ctxs, 0, st.cbf_inc_lumadc(mx, my), 16
     )
     zdc = np.zeros(16, np.int64)
-    zdc[_ZIG] = dccf
+    zdc[_ZIGA] = dccf
     zdc = zdc.reshape(4, 4)
     st.cbf_lumadc[my, mx] = cbf
     st.has_lumadc[my, mx] = True
@@ -777,7 +779,7 @@ def _dec_i16_in_p(dec, ctxs, st, mvs, recon, mx, my, qp, qpc,
                 dec, ctxs, 1, st.cbf_inc_luma4(gx, gy), 15
             )
             z = np.zeros(16, np.int64)
-            z[_ZIG[1:]] = cf
+            z[_ZIGA1] = cf
             acz[by, bx] = z.reshape(4, 4)
             st.cbf_luma4[gy, gx] = cbf4
     else:
@@ -806,7 +808,7 @@ def _dec_i16_in_p(dec, ctxs, st, mvs, recon, mx, my, qp, qpc,
                         dec, ctxs, 4, st.cbf_inc_c4(cx, cy, pi), 15
                     )
                     z = np.zeros(16, np.int64)
-                    z[_ZIG[1:]] = cf
+                    z[_ZIGA1] = cf
                     cacz[pi][by, bx] = z.reshape(4, 4)
                     st.cbf_c4[pi][cy, cx] = cbf
         else:
@@ -835,7 +837,7 @@ def _code_inter_residuals_enc(enc, ctxs, st, mx, my, cbp_luma, cbpc,
             if not cbp_luma & (1 << g):
                 st.cbf_luma4[gy, gx] = 0
                 continue
-            cf = [int(zl[by, bx].flat[i]) for i in _ZIG]
+            cf = zl[by, bx].ravel()[_ZIGA].tolist()
             st.cbf_luma4[gy, gx] = _enc_residual(
                 enc, ctxs, cf, 2, st.cbf_inc_luma4_inter(gx, gy)
             )
@@ -854,8 +856,7 @@ def _code_inter_residuals_enc(enc, ctxs, st, mx, my, cbp_luma, cbpc,
             for by in range(2):
                 for bx in range(2):
                     cx, cy = mx * 2 + bx, my * 2 + by
-                    cf = [int(cacz[pi][by, bx].flat[i])
-                          for i in _ZIG[1:]]
+                    cf = cacz[pi][by, bx].ravel()[_ZIGA1].tolist()
                     st.cbf_c4[pi][cy, cx] = _enc_residual(
                         enc, ctxs, cf, 4,
                         st.cbf_inc_c4_inter(cx, cy, pi),

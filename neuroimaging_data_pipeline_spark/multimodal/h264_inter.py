@@ -106,6 +106,8 @@ from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
     _MODE_NEEDS,
     _ZBLK,
     _ZIG,
+    _ZIGA,
+    _ZIGA1,
     _chroma_qp,
     _decoded_before_factory,
     _dequant_ac,
@@ -514,8 +516,10 @@ def _copy_bits(r: _BitR, w: _BitW, rbsp: bytes) -> None:
             break
     if last_one is None:
         raise ValueError("RBSP with no stop bit")
+    # bulk copy: move up to 32 bits per call instead of one
     while r.pos < last_one:
-        w.u(r.u(1), 1)
+        n = min(32, last_one - r.pos)
+        w.u(r.u(n), n)
     w.trailing()
 
 
@@ -907,7 +911,7 @@ def _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz, luma_nnz, cnnz):
             bx, by = _ZBLK[g * 4 + k]
             gx, gy = mx * 4 + bx, my * 4 + by
             nc = _nc_for(luma_nnz, gx, gy)
-            coeffs = [int(zl[by, bx].flat[i]) for i in _ZIG]
+            coeffs = zl[by, bx].ravel()[_ZIGA].tolist()
             luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 16)
     if cbpc > 0:
         for pi in (0, 1):
@@ -924,8 +928,7 @@ def _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz, luma_nnz, cnnz):
                 for bx in range(2):
                     gx, gy = mx * 2 + bx, my * 2 + by
                     nc = _nc_for(cnnz[pi], gx, gy)
-                    coeffs = [int(cacz[pi][by, bx].flat[i])
-                              for i in _ZIG[1:]]
+                    coeffs = cacz[pi][by, bx].ravel()[_ZIGA1].tolist()
                     cnnz[pi][gy, gx] = encode_residual_block(
                         sl, coeffs, nc, 15
                     )
@@ -958,7 +961,7 @@ def _read_residuals(r, mx, my, luma_nnz, cnnz):
             nc = _nc_for(luma_nnz, gx, gy)
             cf, tot = decode_residual_block(r, nc, 16)
             z = np.zeros(16, np.int64)
-            z[_ZIG] = cf
+            z[_ZIGA] = cf
             zl[by, bx] = z.reshape(4, 4)
             luma_nnz[gy, gx] = tot
     cdcz = {0: np.zeros((2, 2), np.int64), 1: np.zeros((2, 2), np.int64)}
@@ -978,7 +981,7 @@ def _read_residuals(r, mx, my, luma_nnz, cnnz):
                     nc = _nc_for(cnnz[pi], gx, gy)
                     cf, tot = decode_residual_block(r, nc, 15)
                     z = np.zeros(16, np.int64)
-                    z[_ZIG[1:]] = cf
+                    z[_ZIGA1] = cf
                     cacz[pi][by, bx] = z.reshape(4, 4)
                     cnnz[pi][gy, gx] = tot
     else:
@@ -1051,12 +1054,12 @@ def _encode_i16_mb(sl, targets, recons, luma_nnz, cnnz, mx, my, qp, qpc,
     sl.ue(0)  # intra_chroma_pred_mode: DC
     sl.se(0)  # mb_qp_delta
     nc = _nc_for(luma_nnz, mx * 4, my * 4)
-    encode_residual_block(sl, [int(zdc.flat[i]) for i in _ZIG], nc, 16)
+    encode_residual_block(sl, zdc.ravel()[_ZIGA].tolist(), nc, 16)
     if cbpl:
         for bx, by in _ZBLK:
             gx, gy = mx * 4 + bx, my * 4 + by
             nc = _nc_for(luma_nnz, gx, gy)
-            coeffs = [int(acz[by, bx].flat[i]) for i in _ZIG[1:]]
+            coeffs = acz[by, bx].ravel()[_ZIGA1].tolist()
             luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 15)
     else:
         luma_nnz[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
@@ -1075,8 +1078,7 @@ def _encode_i16_mb(sl, targets, recons, luma_nnz, cnnz, mx, my, qp, qpc,
                 for bx in range(2):
                     gx, gy = mx * 2 + bx, my * 2 + by
                     nc = _nc_for(cnnz[pi], gx, gy)
-                    coeffs = [int(cacz[pi][by, bx].flat[i])
-                              for i in _ZIG[1:]]
+                    coeffs = cacz[pi][by, bx].ravel()[_ZIGA1].tolist()
                     cnnz[pi][gy, gx] = encode_residual_block(
                         sl, coeffs, nc, 15
                     )
@@ -1117,7 +1119,7 @@ def _decode_i16_mb(r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp):
     nc = _nc_for(luma_nnz, mx * 4, my * 4)
     dccf, _ = decode_residual_block(r, nc, 16)
     zdc = np.zeros(16, np.int64)
-    zdc[_ZIG] = dccf
+    zdc[_ZIGA] = dccf
     zdc = zdc.reshape(4, 4)
     acz = np.zeros((4, 4, 4, 4), np.int64)
     if cbpl:
@@ -1126,7 +1128,7 @@ def _decode_i16_mb(r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp):
             nc = _nc_for(luma_nnz, gx, gy)
             cf, tot = decode_residual_block(r, nc, 15)
             z = np.zeros(16, np.int64)
-            z[_ZIG[1:]] = cf
+            z[_ZIGA1] = cf
             acz[by, bx] = z.reshape(4, 4)
             luma_nnz[gy, gx] = tot
     else:
@@ -1149,7 +1151,7 @@ def _decode_i16_mb(r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp):
                     nc = _nc_for(cnnz[pi], gx, gy)
                     cf, tot = decode_residual_block(r, nc, 15)
                     z = np.zeros(16, np.int64)
-                    z[_ZIG[1:]] = cf
+                    z[_ZIGA1] = cf
                     cacz[pi][by, bx] = z.reshape(4, 4)
                     cnnz[pi][gy, gx] = tot
     else:
@@ -1259,7 +1261,7 @@ def _encode_i4x4_mb(sl, targets, recons, luma_nnz, cnnz, modes4,
             bx, by = _ZBLK[g * 4 + k]
             gx, gy = mx * 4 + bx, my * 4 + by
             nc = _nc_for(luma_nnz, gx, gy)
-            coeffs = [int(coefs[(bx, by)].flat[i]) for i in _ZIG]
+            coeffs = coefs[(bx, by)].ravel()[_ZIGA].tolist()
             luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 16)
     if cbp_chroma > 0:
         for pi in (0, 1):
@@ -1276,8 +1278,7 @@ def _encode_i4x4_mb(sl, targets, recons, luma_nnz, cnnz, modes4,
                 for bx in range(2):
                     gx, gy = mx * 2 + bx, my * 2 + by
                     nc = _nc_for(cnnz[pi], gx, gy)
-                    coeffs = [int(cacz[pi][by, bx].flat[i])
-                              for i in _ZIG[1:]]
+                    coeffs = cacz[pi][by, bx].ravel()[_ZIGA1].tolist()
                     cnnz[pi][gy, gx] = encode_residual_block(
                         sl, coeffs, nc, 15
                     )
@@ -1332,7 +1333,7 @@ def _decode_i4x4_mb(r, recons, luma_nnz, cnnz, modes4, mx, my, cur_qp):
             nc = _nc_for(luma_nnz, gx, gy)
             cf, tot = decode_residual_block(r, nc, 16)
             z = np.zeros(16, np.int64)
-            z[_ZIG] = cf
+            z[_ZIGA] = cf
             coefs4[(bx, by)] = z.reshape(4, 4)
             luma_nnz[gy, gx] = tot
     cdcz = {0: np.zeros((2, 2), np.int64), 1: np.zeros((2, 2), np.int64)}
@@ -1351,7 +1352,7 @@ def _decode_i4x4_mb(r, recons, luma_nnz, cnnz, modes4, mx, my, cur_qp):
                     nc = _nc_for(cnnz[pi], gx, gy)
                     cf, tot = decode_residual_block(r, nc, 15)
                     z = np.zeros(16, np.int64)
-                    z[_ZIG[1:]] = cf
+                    z[_ZIGA1] = cf
                     cacz[pi][by, bx] = z.reshape(4, 4)
                     cnnz[pi][gy, gx] = tot
     else:

@@ -122,6 +122,10 @@ _CLS = np.array(
 )
 # zigzag scan of a 4x4 block (flat indices)
 _ZIG = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+# ndarray twins for the hot zigzag gathers/scatters (fancy indexing
+# with a ready ndarray skips the per-call list->array conversion)
+_ZIGA = np.asarray(_ZIG)
+_ZIGA1 = _ZIGA[1:]
 # luma4x4BlkIdx z-order -> (bx, by) within the MB's 4x4 grid of blocks
 _ZBLK = [
     (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
@@ -146,11 +150,14 @@ def _ipass(m: np.ndarray) -> np.ndarray:
     whole rows, which keeps the spec's per-term flooring exact."""
     m0, m1, m2, m3 = m[..., 0, :], m[..., 1, :], m[..., 2, :], m[..., 3, :]
     h1, h3 = m1 >> 1, m3 >> 1
-    return np.stack(
-        [m0 + m2 + m1 + h3, m0 - m2 + h1 - m3,
-         m0 - m2 - h1 + m3, m0 + m2 - m1 - h3],
-        axis=-2,
-    )
+    s02, d02 = m0 + m2, m0 - m2
+    a, b = m1 + h3, h1 - m3
+    out = np.empty_like(m)
+    out[..., 0, :] = s02 + a
+    out[..., 1, :] = d02 + b
+    out[..., 2, :] = d02 - b
+    out[..., 3, :] = s02 - a
+    return out
 
 
 def _inv4x4(w: np.ndarray) -> np.ndarray:
@@ -384,16 +391,25 @@ _RUN_DEC = {zl: _invert(v) for zl, v in _RUN.items()}
 
 
 def _write_bits(w: _BitW, bits: str) -> None:
-    for b in bits:
-        w.u(ord(b) - 48, 1)
+    # one batched write: the string is the MSB-first field value
+    w.u(int(bits, 2), len(bits))
 
 
 def _read_vlc(r: _BitR, dec: dict, what: str):
+    # bit-at-a-time table walk with the read inlined (no method-call
+    # per bit): VLC codes are <= 20 bits.
+    data, pos = r.data, r.pos
+    n = len(data) << 3
     bits = ""
     for _ in range(20):
-        bits += "01"[r.u(1)]
-        if bits in dec:
-            return dec[bits]
+        if pos >= n:
+            raise ValueError("bitstream exhausted mid-element")
+        bits += "01"[(data[pos >> 3] >> (7 - (pos & 7))) & 1]
+        pos += 1
+        hit = dec.get(bits)
+        if hit is not None:
+            r.pos = pos
+            return hit
     raise ValueError(f"invalid {what} VLC code")
 
 
@@ -430,11 +446,20 @@ def _encode_level(w: _BitW, level: int, suffix_len: int) -> None:
 
 
 def _decode_level(r: _BitR, suffix_len: int) -> int:
-    prefix = 0
-    while r.u(1) == 0:
-        prefix += 1
-        if prefix > 40:
+    # zero-prefix scan with the bit read inlined (hot CAVLC path)
+    data, pos = r.data, r.pos
+    n = len(data) << 3
+    start = pos
+    while True:
+        if pos >= n:
+            raise ValueError("bitstream exhausted mid-element")
+        if (data[pos >> 3] >> (7 - (pos & 7))) & 1:
+            break
+        pos += 1
+        if pos - start > 40:
             raise ValueError("bad level_prefix")
+    prefix = pos - start
+    r.pos = pos + 1
     if prefix == 14 and suffix_len == 0:
         code = 14 + r.u(4)
     elif prefix >= 15:
@@ -1011,13 +1036,13 @@ def encode_h264_i16x16(
             # luma DC block: nC from the 4x4 grid at block (0,0)
             nc = _nc_for(luma_nnz, mx * 4, my * 4)
             encode_residual_block(
-                sl, [int(zdc.flat[i]) for i in _ZIG], nc, 16
+                sl, zdc.ravel()[_ZIGA].tolist(), nc, 16
             )
             if cbpl:
                 for bx, by in _ZBLK:
                     gx, gy = mx * 4 + bx, my * 4 + by
                     nc = _nc_for(luma_nnz, gx, gy)
-                    coeffs = [int(acz[by, bx].flat[i]) for i in _ZIG[1:]]
+                    coeffs = acz[by, bx].ravel()[_ZIGA1].tolist()
                     luma_nnz[gy, gx] = encode_residual_block(
                         sl, coeffs, nc, 15
                     )
@@ -1036,10 +1061,7 @@ def encode_h264_i16x16(
                         for bx in range(2):
                             gx, gy = mx * 2 + bx, my * 2 + by
                             nc = _nc_for(cnnz[pi], gx, gy)
-                            coeffs = [
-                                int(cacz[pi][by, bx].flat[i])
-                                for i in _ZIG[1:]
-                            ]
+                            coeffs = cacz[pi][by, bx].ravel()[_ZIGA1].tolist()
                             cnnz[pi][gy, gx] = encode_residual_block(
                                 sl, coeffs, nc, 15
                             )
@@ -1217,9 +1239,7 @@ def encode_h264_i4x4(
                     bx, by = _ZBLK[g * 4 + k]
                     gx, gy = mx * 4 + bx, my * 4 + by
                     nc = _nc_for(luma_nnz, gx, gy)
-                    coeffs = [
-                        int(coefs[(bx, by)].flat[i]) for i in _ZIG
-                    ]
+                    coeffs = coefs[(bx, by)].ravel()[_ZIGA].tolist()
                     luma_nnz[gy, gx] = encode_residual_block(
                         sl, coeffs, nc, 16
                     )
@@ -1238,10 +1258,7 @@ def encode_h264_i4x4(
                         for bx in range(2):
                             gx, gy = mx * 2 + bx, my * 2 + by
                             nc = _nc_for(cnnz[pi], gx, gy)
-                            coeffs = [
-                                int(cacz[pi][by, bx].flat[i])
-                                for i in _ZIG[1:]
-                            ]
+                            coeffs = cacz[pi][by, bx].ravel()[_ZIGA1].tolist()
                             cnnz[pi][gy, gx] = encode_residual_block(
                                 sl, coeffs, nc, 15
                             )
@@ -1391,7 +1408,7 @@ def decode_h264_frame(
                                 nc = _nc_for(luma_nnz, gx, gy)
                                 cf, tot = decode_residual_block(r, nc, 16)
                                 z = np.zeros(16, np.int64)
-                                z[_ZIG] = cf
+                                z[_ZIGA] = cf
                                 coefs4[(bx, by)] = z.reshape(4, 4)
                                 luma_nnz[gy, gx] = tot
                         cdcz = {0: np.zeros((2, 2), np.int64),
@@ -1416,7 +1433,7 @@ def decode_h264_frame(
                                             r, nc, 15
                                         )
                                         z = np.zeros(16, np.int64)
-                                        z[_ZIG[1:]] = cf
+                                        z[_ZIGA1] = cf
                                         cacz[pi][by, bx] = z.reshape(4, 4)
                                         cnnz[pi][gy, gx] = tot
                         else:
@@ -1461,7 +1478,7 @@ def decode_h264_frame(
                     nc = _nc_for(luma_nnz, mx * 4, my * 4)
                     dccf, _ = decode_residual_block(r, nc, 16)
                     zdc = np.zeros(16, np.int64)
-                    zdc[_ZIG] = dccf
+                    zdc[_ZIGA] = dccf
                     zdc = zdc.reshape(4, 4)
                     acz = np.zeros((4, 4, 4, 4), np.int64)
                     if cbpl:
@@ -1470,7 +1487,7 @@ def decode_h264_frame(
                             nc = _nc_for(luma_nnz, gx, gy)
                             cf, tot = decode_residual_block(r, nc, 15)
                             z = np.zeros(16, np.int64)
-                            z[_ZIG[1:]] = cf
+                            z[_ZIGA1] = cf
                             acz[by, bx] = z.reshape(4, 4)
                             luma_nnz[gy, gx] = tot
                     else:
@@ -1497,7 +1514,7 @@ def decode_h264_frame(
                                         r, nc, 15
                                     )
                                     z = np.zeros(16, np.int64)
-                                    z[_ZIG[1:]] = cf
+                                    z[_ZIGA1] = cf
                                     cacz[pi][by, bx] = z.reshape(4, 4)
                                     cnnz[pi][gy, gx] = tot
                     else:
