@@ -95,6 +95,15 @@ class _BitR:
         # levels, VLC tables, slice headers) funnel through here.
         pos = self.pos
         end = pos + bits
+        if bits == 1:  # single-flag reads dominate; skip the slice
+            try:
+                byte = self.data[pos >> 3]
+            except IndexError:
+                raise ValueError(
+                    "bitstream exhausted mid-element"
+                ) from None
+            self.pos = end
+            return (byte >> (7 - (pos & 7))) & 1
         last = (end + 7) >> 3
         if last > len(self.data):
             # truncated/corrupt stream: the reader ran dry — loud
@@ -136,30 +145,49 @@ class _BitR:
 
 
 def _ep_insert(rbsp: bytes) -> bytes:
+    # find()-driven scan: O(zero-pairs), not O(bytes) — escape sites
+    # are rare in real payloads, so the common case is one memchr
+    # sweep plus a few splices.
     out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
+    start = 0  # copied-up-to cursor
+    i = 0
+    n = len(rbsp)
+    while True:
+        j = rbsp.find(b"\x00\x00", i)
+        if j < 0 or j + 2 >= n:
+            break
+        if rbsp[j + 2] <= 3:
+            out += rbsp[start : j + 2]
             out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
+            start = j + 2
+            i = j + 2  # the escape resets the zero run
+        else:
+            i = j + 1  # overlapping pairs: re-check from the next byte
+    out += rbsp[start:]
     return bytes(out)
 
 
 def _ep_remove(nal: bytes) -> bytes:
+    # fast path: no emulation-prevention marker at all
+    if b"\x00\x00\x03" not in nal:
+        return nal
     out = bytearray()
-    zeros = 0
+    start = 0
     i = 0
-    while i < len(nal):
-        b = nal[i]
-        if zeros >= 2 and b == 3 and (i + 1 >= len(nal) or nal[i + 1] <= 3):
-            zeros = 0
-            i += 1
-            continue
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-        i += 1
+    n = len(nal)
+    while True:
+        j = nal.find(b"\x00\x00\x03", i)
+        if j < 0:
+            break
+        if j + 3 >= n or nal[j + 3] <= 3:
+            # strict rule: the 0x03 is an escape only when followed
+            # by <= 0x03 (or at payload end)
+            out += nal[start : j + 2]
+            start = j + 3
+            i = j + 3
+        else:
+            i = j + 1
+    out += nal[start:]
     return bytes(out)
 
 

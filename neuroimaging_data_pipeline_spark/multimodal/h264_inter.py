@@ -135,6 +135,7 @@ _CBP_INTER = [
 _CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
 
 _PAD = 32  # reference-plane edge extension (unrestricted MVs)
+_ZERO_MV = np.zeros(2, np.int64)  # read-only zero vector (never mutated)
 
 
 # ---------------------------------------------------------------------------
@@ -374,10 +375,19 @@ class _MvState:
             return match[0][0].copy()
         if b is None and c is None and a is not None:
             return a[0].copy()
-        va = a[0] if a is not None else np.zeros(2, np.int64)
-        vb = b[0] if b is not None else np.zeros(2, np.int64)
-        vc = c[0] if c is not None else np.zeros(2, np.int64)
-        return np.median(np.stack([va, vb, vc]), axis=0).astype(np.int64)
+        va = a[0] if a is not None else _ZERO_MV
+        vb = b[0] if b is not None else _ZERO_MV
+        vc = c[0] if c is not None else _ZERO_MV
+        # median of three = sum - min - max, per component (exact for
+        # ints; avoids np.median's sort machinery on 3x2 arrays)
+        ax, ay = int(va[0]), int(va[1])
+        bx, by = int(vb[0]), int(vb[1])
+        cx, cy = int(vc[0]), int(vc[1])
+        return np.array(
+            [ax + bx + cx - min(ax, bx, cx) - max(ax, bx, cx),
+             ay + by + cy - min(ay, by, cy) - max(ay, by, cy)],
+            np.int64,
+        )
 
     def skip_mv(self, mx: int, my: int) -> np.ndarray:
         """P_Skip MV (8.4.1.1): zero when the left or top MB is
@@ -794,13 +804,26 @@ def _mv_ref(entry) -> tuple[np.ndarray, int]:
 # --- shared per-macroblock machinery (used by the B-slice module too) --------
 
 
+def _edge_pad(a: np.ndarray, p: int) -> np.ndarray:
+    """Edge-replicate pad (np.pad mode='edge' twin, ~5x faster: six
+    slice assignments instead of the generic pad machinery)."""
+    h, w = a.shape
+    out = np.empty((h + 2 * p, w + 2 * p), np.int64)
+    out[p : p + h, p : p + w] = a
+    out[p : p + h, :p] = out[p : p + h, p : p + 1]
+    out[p : p + h, p + w :] = out[p : p + h, p + w - 1 : p + w]
+    out[:p] = out[p]
+    out[p + h :] = out[p + h - 1]
+    return out
+
+
 def _pad_refs(refs: list) -> list:
     """Edge-pad decoded reference planes for unrestricted MVs."""
     return [
         (
-            np.pad(ry_.astype(np.int64), _PAD, mode="edge"),
-            np.pad(rcb_.astype(np.int64), _PAD // 2, mode="edge"),
-            np.pad(rcr_.astype(np.int64), _PAD // 2, mode="edge"),
+            _edge_pad(ry_, _PAD),
+            _edge_pad(rcb_, _PAD // 2),
+            _edge_pad(rcr_, _PAD // 2),
         )
         for ry_, rcb_, rcr_ in refs
     ]
@@ -951,6 +974,7 @@ def _read_residuals(r, mx, my, luma_nnz, cnnz):
     cbp_luma, cbpc = cbp & 15, cbp >> 4
     qpd = r.se() if cbp else 0
     zl = np.zeros((4, 4, 4, 4), np.int64)
+    cfs, slots = [], []
     for g in range(4):
         for k in range(4):
             bx, by = _ZBLK[g * 4 + k]
@@ -960,10 +984,15 @@ def _read_residuals(r, mx, my, luma_nnz, cnnz):
                 continue
             nc = _nc_for(luma_nnz, gx, gy)
             cf, tot = decode_residual_block(r, nc, 16)
-            z = np.zeros(16, np.int64)
-            z[_ZIGA] = cf
-            zl[by, bx] = z.reshape(4, 4)
+            cfs.append(cf)
+            slots.append((by, bx))
             luma_nnz[gy, gx] = tot
+    if cfs:
+        # one batched zigzag scatter for every coded block in the MB
+        blocks = np.zeros((len(cfs), 16), np.int64)
+        blocks[:, _ZIGA] = cfs
+        for (by, bx), blk in zip(slots, blocks.reshape(-1, 4, 4)):
+            zl[by, bx] = blk
     cdcz = {0: np.zeros((2, 2), np.int64), 1: np.zeros((2, 2), np.int64)}
     cacz = {0: np.zeros((2, 2, 4, 4), np.int64),
             1: np.zeros((2, 2, 4, 4), np.int64)}
@@ -974,16 +1003,21 @@ def _read_residuals(r, mx, my, luma_nnz, cnnz):
                 [[cf[0], cf[1]], [cf[2], cf[3]]], np.int64
             )
     if cbpc > 1:
+        ccfs = []
         for pi in (0, 1):
             for by in range(2):
                 for bx in range(2):
                     gx, gy = mx * 2 + bx, my * 2 + by
                     nc = _nc_for(cnnz[pi], gx, gy)
                     cf, tot = decode_residual_block(r, nc, 15)
-                    z = np.zeros(16, np.int64)
-                    z[_ZIGA1] = cf
-                    cacz[pi][by, bx] = z.reshape(4, 4)
+                    ccfs.append(cf)
                     cnnz[pi][gy, gx] = tot
+        # one batched zigzag scatter for the eight chroma AC blocks
+        cblocks = np.zeros((8, 16), np.int64)
+        cblocks[:, _ZIGA1] = ccfs
+        cblocks = cblocks.reshape(2, 2, 2, 4, 4)
+        cacz[0][...] = cblocks[0]
+        cacz[1][...] = cblocks[1]
     else:
         for pi in (0, 1):
             cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
@@ -993,23 +1027,34 @@ def _read_residuals(r, mx, my, luma_nnz, cnnz):
 def _recon_inter_mb(recons, mx, my, py, pcb, pcr, cbp, zl, cdcz, cacz,
                     qp, qpc):
     """Add the dequantized residual to the MC prediction and write
-    the reconstructed MB into (ry, rcb, rcr)."""
+    the reconstructed MB into (ry, rcb, rcr). The sixteen luma and
+    eight chroma 4x4 blocks go through ONE batched inverse transform
+    (dequant is per-plane, the butterfly is shape-agnostic)."""
     ry, rcb, rcr = recons
     cbpc = cbp >> 4
-    blk = (_inv4x4(_dequant_ac(zl, qp)) + 32) >> 6
+    wr = np.empty((24, 4, 4), np.int64)
+    wr[:16] = _dequant_ac(zl, qp).reshape(16, 4, 4)
+    if cbpc > 1:
+        wr[16:20] = _dequant_ac(cacz[0], qpc).reshape(4, 4, 4)
+        wr[20:24] = _dequant_ac(cacz[1], qpc).reshape(4, 4, 4)
+    else:
+        wr[16:] = 0
+    if cbpc > 0:
+        wr[16:20, 0, 0] = _dequant_dc2(cdcz[0], qpc).ravel()
+        wr[20:24, 0, 0] = _dequant_dc2(cdcz[1], qpc).ravel()
+    blk = (_inv4x4(wr) + 32) >> 6
     ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.clip(
-        py + blk.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255
+        py + blk[:16].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+        .reshape(16, 16), 0, 255
     )
-    for pi, reconp in ((0, rcb), (1, rcr)):
-        pred = (pcb, pcr)[pi]
-        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-            _recon_chroma8(
-                pred,
-                cacz[pi] if cbpc > 1 else None,
-                cdcz[pi] if cbpc > 0 else None,
-                qpc,
-            )
-        )
+    rcb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+        pcb + blk[16:20].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3)
+        .reshape(8, 8), 0, 255
+    )
+    rcr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+        pcr + blk[20:24].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3)
+        .reshape(8, 8), 0, 255
+    )
 
 
 def _encode_i16_mb(sl, targets, recons, luma_nnz, cnnz, mx, my, qp, qpc,

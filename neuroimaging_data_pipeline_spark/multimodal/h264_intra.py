@@ -210,7 +210,14 @@ def _dequant_dc2(zd: np.ndarray, qp: int) -> np.ndarray:
     shrank every nonzero chroma DC residual by 16x — latent for
     eight rounds because all oracle fixtures keep chroma residuals
     at zero and the encoder recon mirrors the decoder bit-for-bit."""
-    f = _H2 @ zd.astype(np.int64) @ _H2
+    # scalar butterfly (2x2 Hadamard unrolled: two tiny matmuls cost
+    # more than four int adds on this hot path)
+    a, b = int(zd[0, 0]), int(zd[0, 1])
+    c, d = int(zd[1, 0]), int(zd[1, 1])
+    f = np.array(
+        [[a + b + c + d, a - b + c - d],
+         [a + b - c - d, a - b - c + d]], np.int64,
+    )
     return ((f * _V[qp % 6][0]) << (qp // 6)) >> 1
 
 
@@ -380,14 +387,29 @@ def _ct_table(nc: int) -> dict | None:
 
 
 def _invert(table: dict | list) -> dict:
+    """Decode map keyed by (codeword length, codeword value) — the
+    int pair a bit-walk accumulates, so lookups never build strings.
+    Prefix-freedom makes the pair unique."""
     items = table.items() if isinstance(table, dict) else enumerate(table)
-    return {bits: key for key, bits in items}
+    return {(len(bits), int(bits, 2)): key for key, bits in items}
+
+
+def _to_int_table(table: dict | list) -> dict:
+    """Encode map: key -> (codeword value, codeword length)."""
+    items = table.items() if isinstance(table, dict) else enumerate(table)
+    return {key: (int(bits, 2), len(bits)) for key, bits in items}
 
 
 _CT_DEC = {id(t): _invert(t) for t in (_CT_N0, _CT_N2, _CT_N4, _CT_CDC)}
 _TZ4_DEC = {tc: _invert(v) for tc, v in _TZ4.items()}
 _TZC_DEC = {tc: _invert(v) for tc, v in _TZC.items()}
 _RUN_DEC = {zl: _invert(v) for zl, v in _RUN.items()}
+
+_CT_ENC = {id(t): _to_int_table(t) for t in (_CT_N0, _CT_N2, _CT_N4,
+                                             _CT_CDC)}
+_TZ4_ENC = {tc: _to_int_table(v) for tc, v in _TZ4.items()}
+_TZC_ENC = {tc: _to_int_table(v) for tc, v in _TZC.items()}
+_RUN_ENC = {zl: _to_int_table(v) for zl, v in _RUN.items()}
 
 
 def _write_bits(w: _BitW, bits: str) -> None:
@@ -397,16 +419,17 @@ def _write_bits(w: _BitW, bits: str) -> None:
 
 def _read_vlc(r: _BitR, dec: dict, what: str):
     # bit-at-a-time table walk with the read inlined (no method-call
-    # per bit): VLC codes are <= 20 bits.
+    # per bit), accumulating the (length, value) int pair the decode
+    # maps are keyed by: VLC codes are <= 20 bits.
     data, pos = r.data, r.pos
     n = len(data) << 3
-    bits = ""
-    for _ in range(20):
+    v = 0
+    for ln in range(1, 21):
         if pos >= n:
             raise ValueError("bitstream exhausted mid-element")
-        bits += "01"[(data[pos >> 3] >> (7 - (pos & 7))) & 1]
+        v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
         pos += 1
-        hit = dec.get(bits)
+        hit = dec.get((ln, v))
         if hit is not None:
             r.pos = pos
             return hit
@@ -417,20 +440,22 @@ def _read_vlc(r: _BitR, dec: dict, what: str):
 
 
 def _encode_level(w: _BitW, level: int, suffix_len: int) -> None:
+    # a zero-prefix-then-one unary codeword of p zeros is the value 1
+    # in a (p+1)-bit field — one batched write per element
     code = 2 * level - 2 if level > 0 else -2 * level - 1
     if suffix_len == 0:
         if code < 14:
-            _write_bits(w, "0" * code + "1")
+            w.u(1, code + 1)
             return
         if code < 30:
-            _write_bits(w, "0" * 14 + "1")
+            w.u(1, 15)
             w.u(code - 14, 4)
             return
         code -= 30  # prefix >= 15 escape (levelCode += 15 on decode)
         prefix, size = 15, 12
     else:
         if code < (15 << suffix_len):
-            _write_bits(w, "0" * (code >> suffix_len) + "1")
+            w.u(1, (code >> suffix_len) + 1)
             w.u(code & ((1 << suffix_len) - 1), suffix_len)
             return
         code -= 15 << suffix_len
@@ -441,7 +466,7 @@ def _encode_level(w: _BitW, level: int, suffix_len: int) -> None:
         code -= 1 << size
         prefix += 1
         size += 1
-    _write_bits(w, "0" * prefix + "1")
+    w.u(1, prefix + 1)
     w.u(code, size)
 
 
@@ -495,11 +520,12 @@ def encode_residual_block(
         w.u(3 if total == 0 else ((total - 1) << 2) | t1s, 6)
     else:
         try:
-            _write_bits(w, table[(t1s, total)])
+            cv, cn = _CT_ENC[id(table)][(t1s, total)]
         except KeyError:
             raise ValueError(
                 f"coeff_token ({t1s},{total}) out of range for nC={nc}"
             ) from None
+        w.u(cv, cn)
     if total == 0:
         return 0
     # trailing-one signs, then levels, highest frequency first
@@ -518,14 +544,14 @@ def encode_residual_block(
             suffix_len += 1
     total_zeros = nz[-1] + 1 - total
     if total < max_coeff:
-        tz_tab = _TZC if max_coeff == 4 else _TZ4
-        _write_bits(w, tz_tab[total][total_zeros])
+        tz_tab = _TZC_ENC if max_coeff == 4 else _TZ4_ENC
+        w.u(*tz_tab[total][total_zeros])
     zeros_left = total_zeros
     for idx in range(total - 1):
         if zeros_left == 0:
             break
         run = nz[total - 1 - idx] - nz[total - 2 - idx] - 1
-        _write_bits(w, _RUN[min(zeros_left, 7)][run])
+        w.u(*_RUN_ENC[min(zeros_left, 7)][run])
         zeros_left -= run
     return total
 
