@@ -924,6 +924,8 @@ def _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz, luma_nnz, cnnz):
     if cbp:
         sl.se(0)  # mb_qp_delta
     cbp_luma, cbpc = cbp & 15, cbp >> 4
+    # one batched zigzag gather for the whole MB's 16 luma blocks
+    zz = zl.reshape(4, 4, 16)[:, :, _ZIGA].tolist() if cbp_luma else None
     for g in range(4):
         if not cbp_luma & (1 << g):
             for k in range(4):
@@ -934,8 +936,9 @@ def _write_residuals(sl, mx, my, cbp, zl, cdcz, cacz, luma_nnz, cnnz):
             bx, by = _ZBLK[g * 4 + k]
             gx, gy = mx * 4 + bx, my * 4 + by
             nc = _nc_for(luma_nnz, gx, gy)
-            coeffs = zl[by, bx].ravel()[_ZIGA].tolist()
-            luma_nnz[gy, gx] = encode_residual_block(sl, coeffs, nc, 16)
+            luma_nnz[gy, gx] = encode_residual_block(
+                sl, zz[by][bx], nc, 16
+            )
     if cbpc > 0:
         for pi in (0, 1):
             zd = cdcz[pi]
