@@ -300,7 +300,9 @@ _RECHECK_R11_FOLDED = [
 # Never-driver-checked, so they lead the window (rank 0). VERDICT r7
 # #3 lesson: list EVERY newcomer here, not a subset, so the ordering
 # invariant holds if the window ever overflows.
-_ADDED_R12 = []
+_ADDED_R12 = [
+    "e16_mp4_ffmpeg_pipeline",
+]
 
 
 def _window_rank(name: str) -> int:

@@ -2666,6 +2666,65 @@ FROM perdoc GROUP BY 1
 """)
 
 
+def e16_mp4_ffmpeg_pipeline(spark, sf_dir):
+    """E16: the e15 tar-of-MP4 pipeline routed through the FFMPEG
+    DECODER BOUNDARY (multimodal/binaryops.py decoder='ffmpeg', the
+    production decode path at 100 TB) as a first-class, tested
+    pipeline rather than a docstring. Per shard: tar member walk,
+    MP4 box parse, avcC extraction, Annex-B re-framing, then (a) the
+    from-scratch CAVLC+DPB decode — always, the source of every
+    emitted feature so the oracle is machine-independent — and (b)
+    when the ffmpeg binary is on PATH, a REAL decode of the same
+    Annex-B stream through ffmpeg with a bit-exact luma cross-check
+    per frame (divergence raises, never passes silently; the streams
+    disable the in-loop filter so nominal output IS the
+    reconstruction). Features: per-shard member count, total frame
+    count, the sum over every frame's luma plane, and an
+    ORDER-PINNED md5 over per-doc per-frame luma sums. Shape at
+    100 TB: one pack shuffle, re-spread, one narrow decode task per
+    shard — with the per-member decode handed to a native binary."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from neuroimaging_data_pipeline_spark.multimodal.h264_mp4 import (
+        synthesize_h264_mp4_clips,
+    )
+    from neuroimaging_data_pipeline_spark.multimodal.mp4_shard_helpers import (  # noqa: E501
+        decode_mp4_shard_features_xcheck,
+        pack_mp4_shard,
+    )
+
+    d = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    media = synthesize_h264_mp4_clips(d, id_col="doc_id")
+    shards = (
+        media.withColumn(
+            "shard_id", (F.col("doc_id") / 25).cast("long")
+        )
+        .groupBy("shard_id")
+        .applyInPandas(pack_mp4_shard, "shard_id long, tar binary")
+    )
+    ncores = spark.sparkContext.defaultParallelism
+    return decode_mp4_shard_features_xcheck(shards.repartition(ncores))
+
+
+def _e16_sql() -> str:
+    # per-frame luma sums ARE the m36 formula family's per-frame
+    # columns (the MP4 wraps the same fixture): 3 frames per doc
+    return (
+        "WITH perdoc AS (" + M36_SQL + """)
+SELECT CAST(doc_id // 25 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(3 * COUNT(*) AS BIGINT) AS n_frames_total,
+       CAST(SUM(sum_y_idr + sum_y_p1 + sum_y_p2) AS BIGINT)
+         AS sum_y_frames_total,
+       md5(string_agg(
+         doc_id || ':' || sum_y_idr || ':' || sum_y_p1 || ':'
+           || sum_y_p2,
+         '|' ORDER BY doc_id)) AS frames_md5
+FROM perdoc GROUP BY 1
+""")
+
+
 def m43_h264_bdeblock(spark, sf_dir):
     """M43: B-SLICE IN-LOOP DEBLOCKING (multimodal/h264_deblock.py
     + h264_bslice.py, r11) — clause 8.7 completed for every slice
@@ -3212,6 +3271,7 @@ QUERIES = {
     "m42_h264_deblock": m42_h264_deblock,
     "m43_h264_bdeblock": m43_h264_bdeblock,
     "e15_mp4_shard_pipeline": e15_mp4_shard_pipeline,
+    "e16_mp4_ffmpeg_pipeline": e16_mp4_ffmpeg_pipeline,
     "m44_h264_longgop": m44_h264_longgop,
     "m45_h264_bpyramid": m45_h264_bpyramid,
     "m38_jpeg_hierarchical": m38_jpeg_hierarchical,
@@ -3259,6 +3319,7 @@ ORACLE = {
     "m42_h264_deblock": M42_SQL,
     "m43_h264_bdeblock": M43_SQL,
     "e15_mp4_shard_pipeline": _e15_sql(),
+    "e16_mp4_ffmpeg_pipeline": _e16_sql(),
     "m44_h264_longgop": M44_SQL,
     "m45_h264_bpyramid": M45_SQL,
     "m38_jpeg_hierarchical": M38_SQL,
