@@ -34,11 +34,25 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    n_salt: int = 0,
 ) -> DataFrame:
     """Label every node with the MIN node id reachable from it
     (undirected). Returns (id, cluster_id). Nodes absent from any
     edge keep their own id — singleton clusters are explicit, so the
     output is a total labeling of ``nodes``.
+
+    ``n_salt > 1`` routes the per-round edge<->label join through
+    ``operators.salting.salted_equi_join``: a HOT VERTEX (a hub whose
+    degree dominates the edge list — boilerplate documents in dedup
+    graphs produce exactly this) otherwise lands its entire edge
+    fan-out in one shuffle task every round. Salting spreads each hot
+    key across ``n_salt`` sub-keys at the cost of replicating the
+    label side ``n_salt``x; results are identical (pinned in
+    tests/test_skew.py). AQE's skew-join split cannot be relied on
+    here because each round's join input is a freshly checkpointed
+    small plan that AQE may plan as a broadcast join — planned
+    salting is the deterministic fix at the 100 TB edge-list scale
+    where the label side cannot broadcast.
     """
     sym = (
         edges.select(
@@ -61,9 +75,22 @@ def connected_components(
     # rounds still gets the confirming changed==0 round — otherwise
     # effective capacity would silently be max_iter - 1
     for _ in range(max_iter + 1):
-        nbr = sym.join(
-            labels, sym["_s"] == labels["id"], "inner"
-        ).select(F.col("_d").alias("id"), F.col("lbl"))
+        if n_salt > 1:
+            from neuroimaging_data_pipeline_spark.operators.salting import (
+                salted_equi_join,
+            )
+
+            nbr = salted_equi_join(
+                sym.select(F.col("_s").alias("id"), "_d"),
+                labels,
+                ["id"],
+                discriminator="_d",
+                n_salt=n_salt,
+            ).select(F.col("_d").alias("id"), F.col("lbl"))
+        else:
+            nbr = sym.join(
+                labels, sym["_s"] == labels["id"], "inner"
+            ).select(F.col("_d").alias("id"), F.col("lbl"))
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("id")

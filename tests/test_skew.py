@@ -116,3 +116,93 @@ def test_salted_join_left_outer_variant(spark):
     assert {r.k for r in unmatched.collect()} == {10, 11}
     # keys 10 and 11 appear 8x each among ids 0..99
     assert unmatched.count() == 16
+
+
+def test_connected_components_salted_hot_vertex(spark):
+    """VERDICT r11 #7: the one iterative shape whose join-key
+    cardinality follows the data. A hub vertex with 3000 edges (a
+    boilerplate flood in a dedup graph) is a hot join key every
+    round; n_salt routes the edge<->label join through
+    salted_equi_join and the labeling must be IDENTICAL to the plain
+    path."""
+    from neuroimaging_data_pipeline_spark.dedup.cluster import (
+        connected_components,
+    )
+
+    # star around hub 0 (3000 leaves) + a disjoint 6-node chain +
+    # two isolated singletons
+    hub_edges = [(0, i) for i in range(10, 3010)]
+    chain = [(5000 + i, 5001 + i) for i in range(5)]
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"id": (
+            [0] + list(range(10, 3010))
+            + list(range(5000, 5006)) + [9000, 9001]
+        )})
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame(hub_edges + chain, columns=["src", "dst"])
+    )
+    plain = (
+        connected_components(nodes, edges)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    salted = (
+        connected_components(nodes, edges, n_salt=8)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+    # the star collapses to cluster 0, the chain to 5000, singletons
+    # keep their own ids
+    lbl = dict(zip(plain["id"], plain["cluster_id"]))
+    assert lbl[3009] == 0 and lbl[5005] == 5000 and lbl[9001] == 9001
+
+
+def test_salting_engages_and_spreads_the_hot_key(spark):
+    """Physical evidence that the salting path ENGAGES: on the
+    hot-vertex join shape, the plain join lands every hub row in ONE
+    shuffle task while the salted join spreads them across multiple
+    salt sub-keys (and the salted plan carries the _salt key)."""
+    from neuroimaging_data_pipeline_spark.operators.salting import (
+        salted_equi_join,
+    )
+
+    big = spark.createDataFrame(
+        pd.DataFrame({
+            "id": [0] * 4000 + list(range(1, 41)),
+            "_d": list(range(4000)) + list(range(1, 41)),
+        })
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"id": range(0, 41), "lbl": range(0, 41)})
+    )
+    n_salt = 8
+    salted = salted_equi_join(big, small, ["id"], "_d", n_salt=n_salt)
+    plan = salted._jdf.queryExecution().toString()
+    assert "_salt" in plan, "salting did not reach the physical plan"
+    # the hot key's rows spread across >1 salt sub-key (deterministic
+    # md5 salts: measure the actual spread, not just the plan shape)
+    spread = (
+        salted.filter(F.col("id") == 0)
+        .withColumn(
+            "salt",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("salt:"),
+                                   F.col("_d").cast("string"))), 1, 4
+                ), 16, 10,
+            ).cast("long") % n_salt,
+        )
+        .select("salt").distinct().count()
+    )
+    assert spread == n_salt, (
+        f"hot key occupied {spread}/{n_salt} salt buckets"
+    )
+    # exactness on the skewed shape
+    got = salted.groupBy("id").count().toPandas().sort_values("id")
+    want = (
+        big.join(small, "id").groupBy("id").count()
+        .toPandas().sort_values("id")
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
