@@ -302,6 +302,7 @@ _RECHECK_R11_FOLDED = [
 # invariant holds if the window ever overflows.
 _ADDED_R12 = [
     "e16_mp4_ffmpeg_pipeline",
+    "sv_compaction",
 ]
 
 

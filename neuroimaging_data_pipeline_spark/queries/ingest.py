@@ -24,6 +24,7 @@ import os
 import tempfile
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from neuroimaging_data_pipeline_spark.functions.stats import dec_avg, dec_sum
 
@@ -409,6 +410,107 @@ SV_VAC_SQL = """
 SELECT doc_id, 'xx' AS lang, n_chars
 FROM documents
 WHERE n_chars >= 300 OR n_chars IS NULL
+"""
+
+
+def sv_compaction(spark, sf_dir):
+    """S10+++: versioned-table COMPACTION/OPTIMIZE
+    (sources/versioned.py compact) — the file-layout maintenance
+    verb that completes the lakehouse family (write / update /
+    delete / merge / time-travel / vacuum / exactly-once append):
+    bin-pack small-file debris into few range-clustered files as a
+    NEW committed version, rows identical.
+
+    v0 writes the documents projection deliberately shattered across
+    64 files (the small-file debris shape per-batch appends leave);
+    compact() rewrites it into 4 files range-clustered by doc_id.
+    The query asserts the layout actually changed (files_after <
+    files_before), derives the range-clustering evidence FROM THE
+    PHYSICAL FILES (per-file min/max doc_id via input_file_name:
+    sorted by min, every file's min must exceed the previous file's
+    max — disjoint ranges are the footer-stat pruning contract), and
+    emits a deterministic summary the oracle recomputes: file count,
+    the disjointness verdict, and the row/char totals that prove the
+    rewrite lost nothing. Per-file row counts are NOT emitted —
+    repartitionByRange samples its bounds, so exact splits are an
+    engine detail, while disjointness and totals are the contract.
+    Exact file counts are additionally pinned in
+    tests/test_versioned.py."""
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from neuroimaging_data_pipeline_spark.sources.tables import read_table
+    from neuroimaging_data_pipeline_spark.sources.versioned import (
+        compact,
+        list_data_files,
+        read_version,
+        write_version,
+    )
+
+    root = os.path.join(
+        _tf.gettempdir(),
+        "ndp_spark_warehouse",
+        f"sv_compact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    write_version(docs.repartition(64), root, operation="create")  # v0
+    info = compact(spark, root, target_files=4, sort_by=["doc_id"])
+    assert info["files_after"] < info["files_before"], info
+    assert info["files_after"] == 4, info
+    latest = read_version(spark, root)
+    # range-clustering evidence from the physical file boundary
+    per_file = (
+        latest.withColumn(
+            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .groupBy("_file")
+        .agg(
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+    w = Window.orderBy("min_doc")
+    disjoint = (
+        per_file.withColumn(
+            "_prev_max",
+            F.coalesce(F.lag("max_doc").over(w), F.lit(-1)),
+        )
+        .agg(
+            F.min(
+                (F.col("min_doc") > F.col("_prev_max")).cast("int")
+            ).alias("ok"),
+            F.count(F.lit(1)).alias("nf"),
+        )
+    )
+    totals = latest.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    return totals.crossJoin(F.broadcast(disjoint)).select(
+        F.col("nf").cast("int").alias("n_files"),
+        (F.col("ok") == 1).alias("ranges_disjoint"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "sum_chars",
+        "min_doc",
+        "max_doc",
+    )
+
+
+SV_COMPACT_SQL = """
+SELECT CAST(4 AS INT) AS n_files,
+       TRUE AS ranges_disjoint,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
 """
 
 
@@ -1619,6 +1721,7 @@ QUERIES = {
     "sv_version_diff": sv_version_diff,
     "sv_merge": sv_merge,
     "sv_vacuum": sv_vacuum,
+    "sv_compaction": sv_compaction,
     "s16_orc_roundtrip": s16_orc_roundtrip,
     "s17_xml_source": s17_xml_source,
     "s18_warc_ingest": s18_warc_ingest,
@@ -1655,6 +1758,7 @@ ORACLE = {
     "sv_version_diff": SV_DIFF_SQL,
     "sv_merge": SV_MERGE_SQL,
     "sv_vacuum": SV_VAC_SQL,
+    "sv_compaction": SV_COMPACT_SQL,
     "s16_orc_roundtrip": S16_SQL,
     "s17_xml_source": S17_SQL,
     "s18_warc_ingest": S18_SQL,

@@ -220,3 +220,57 @@ def read_all_appends(spark: SparkSession, root: str) -> DataFrame:
     if not paths:
         raise FileNotFoundError(f"no committed versions under {root}")
     return spark.read.parquet(*paths)
+
+
+def list_data_files(root: str, version: int | None = None) -> list[str]:
+    """Parquet part files of a version's data directory (latest when
+    ``version`` is None) — the observable surface of layout ops."""
+    doc = _read_manifest(root)
+    versions = {v["version"]: v for v in doc["versions"]}
+    live = [n for n, v in versions.items() if not v.get("expired")]
+    v = max(live) if version is None else version
+    d = os.path.join(root, versions[v]["path"])
+    return sorted(
+        f for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_files: int,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE-style file-layout maintenance (the one lakehouse
+    verb the DML family above doesn't cover): rewrite the LATEST
+    version's rows into ``target_files`` parquet files — bin-packing
+    the small-file debris that per-micro-batch appends and
+    copy-on-write updates accumulate — optionally range-clustering by
+    ``sort_by`` (repartitionByRange + sortWithinPartitions, so each
+    output file owns a disjoint key range and min/max footer stats
+    prune like a coarse index). Rows are IDENTICAL; the rewrite
+    commits as a new version (operation='compact'), so time travel
+    still reaches the un-compacted layout and a crashed compaction is
+    invisible (no manifest entry). Returns {"version",
+    "files_before", "files_after"}.
+
+    Scale: the rewrite is one distributed shuffle-write sized by
+    ``target_files`` (pick bytes/file ~ 128-512 MB at 100 TB); the
+    commit is the same single atomic manifest rename as every other
+    mutation."""
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    files_before = len(list_data_files(root))
+    df = read_version(spark, root)
+    if sort_by:
+        out = df.repartitionByRange(target_files, *sort_by)
+        out = out.sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(target_files)
+    v = write_version(out, root, operation="compact")
+    return {
+        "version": v,
+        "files_before": files_before,
+        "files_after": len(list_data_files(root, v)),
+    }

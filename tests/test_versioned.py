@@ -167,3 +167,57 @@ def test_vacuum_expires_history_keeps_latest(spark, tmp_path):
     ]
     # vacuuming again is a no-op
     assert vacuum(root, keep_last=1) == []
+
+
+def test_compact_binpacks_and_range_clusters(spark, root):
+    """OPTIMIZE-style compaction: exact file counts, identical rows,
+    disjoint per-file key ranges, auditable as a new version (time
+    travel still reaches the shattered layout)."""
+    from neuroimaging_data_pipeline_spark.sources.versioned import (
+        compact,
+        list_data_files,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("val")
+    )
+    write_version(df.repartition(16), root)  # small-file debris
+    assert len(list_data_files(root)) == 16
+    info = compact(spark, root, target_files=3, sort_by=["id"])
+    assert info == {"version": 1, "files_before": 16, "files_after": 3}
+    assert list_data_files(root, 1) == list_data_files(root)
+    # identical rows
+    latest = read_version(spark, root)
+    assert latest.count() == 1000
+    assert {r.id for r in latest.collect()} == set(range(1000))
+    # range clustering: per-file [min, max] key spans are disjoint
+    spans = sorted(
+        (r.mn, r.mx)
+        for r in latest.withColumn(
+            "_f", F.input_file_name()
+        ).groupBy("_f").agg(
+            F.min("id").alias("mn"), F.max("id").alias("mx")
+        ).collect()
+    )
+    assert len(spans) == 3
+    for (_, mx_prev), (mn, _) in zip(spans, spans[1:]):
+        assert mn > mx_prev
+    # the pre-compaction layout is still reachable via time travel
+    assert read_version(spark, root, 0).count() == 1000
+    assert table_versions(root) == [0, 1]
+    # bad target is loud
+    with pytest.raises(ValueError, match="target_files"):
+        compact(spark, root, target_files=0)
+
+
+def test_compact_without_sort_is_pure_binpack(spark, root):
+    from neuroimaging_data_pipeline_spark.sources.versioned import (
+        compact,
+        list_data_files,
+    )
+
+    df = spark.range(200).select(F.col("id"))
+    write_version(df.repartition(8), root)
+    info = compact(spark, root, target_files=2)
+    assert info["files_after"] == len(list_data_files(root)) == 2
+    assert read_version(spark, root).count() == 200
