@@ -242,10 +242,23 @@ _FIXED_COEF = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
 
 
 def _fixed_residuals(samples: list[int], order: int) -> list[int]:
-    coef = _FIXED_COEF[order]
+    # unrolled per order (hot path: every block costs 5 of these);
+    # identical values to the generic coefficient sum
+    s = samples
+    if order == 0:
+        return list(s)
+    if order == 1:
+        return [a - b for a, b in zip(s[1:], s)]
+    if order == 2:
+        return [a - 2 * b + c for a, b, c in zip(s[2:], s[1:], s)]
+    if order == 3:
+        return [
+            a - 3 * b + 3 * c - d
+            for a, b, c, d in zip(s[3:], s[2:], s[1:], s)
+        ]
     return [
-        samples[t] - sum(c * samples[t - 1 - j] for j, c in enumerate(coef))
-        for t in range(order, len(samples))
+        a - 4 * b + 6 * c - 4 * d + e
+        for a, b, c, d, e in zip(s[4:], s[3:], s[2:], s[1:], s)
     ]
 
 
@@ -269,23 +282,23 @@ def _lpc_coeffs(samples: list[int], order: int) -> list[float] | None:
     if order >= n:
         return None
     # normal equations: mat[j][k] = sum s[t-1-j]s[t-1-k],
-    # rhs[j] = sum s[t]s[t-1-j]  (sums over t = order..n-1)
-    mat = [
-        [
-            float(
-                sum(
-                    samples[t - 1 - j] * samples[t - 1 - k]
-                    for t in range(order, n)
-                )
-            )
-            for k in range(order)
-        ]
-        for j in range(order)
-    ]
-    rhs = [
-        float(sum(samples[t] * samples[t - 1 - j] for t in range(order, n)))
-        for j in range(order)
-    ]
+    # rhs[j] = sum s[t]s[t-1-j]  (sums over t = order..n-1).
+    # Lag slices + exact-int dot products (map/mul beats a genexpr
+    # ~2x on these 16-sample blocks), mirrored across the symmetric
+    # matrix — values identical to the nested-sum form (integer
+    # arithmetic, then one float cast).
+    from operator import mul
+
+    lag = [samples[order - 1 - j : n - 1 - j] for j in range(order)]
+    cur = samples[order:n]
+    mat = [[0.0] * order for _ in range(order)]
+    for j in range(order):
+        lj = lag[j]
+        for k in range(j, order):
+            v = float(sum(map(mul, lj, lag[k])))
+            mat[j][k] = v
+            mat[k][j] = v
+    rhs = [float(sum(map(mul, cur, lag[j]))) for j in range(order)]
     scale = max(abs(mat[j][j]) for j in range(order))
     if scale == 0.0:
         return None
@@ -369,8 +382,9 @@ def _rice_bits(residuals: list[int], r: int) -> int:
 
 
 def _best_rice(residuals: list[int]) -> tuple[int, int]:
-    # zigzag once; the per-parameter cost is then a cheap shift-sum
-    us = [_zigzag(e) for e in residuals]
+    # zigzag once (inlined — a function call per element dominates at
+    # 16-sample blocks); the per-parameter cost is then a shift-sum
+    us = [(e << 1) if e >= 0 else ((-e << 1) - 1) for e in residuals]
     n = len(us)
     best_r, best_bits = 0, sum(us) + n
     for r in range(1, 15):
