@@ -177,14 +177,39 @@ _HUFF_C1A_COD = (1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1)
 
 
 def _invert_table(lens, cods):
-    """(code_bits_string -> index) decode map."""
+    """((code length, code value) -> index) decode map — int-pair
+    keys, so the bit-walk never builds strings. Prefix-freedom makes
+    the pair unique."""
     out = {}
     for i, (ln, cd) in enumerate(zip(lens, cods)):
-        key = format(cd, f"0{ln}b")
+        key = (ln, cd)
         if key in out:
             raise ValueError("duplicate Huffman code")
         out[key] = i
     return out
+
+
+def _walk_code(br: _BR, dmap: dict, max_len: int, what: str) -> int:
+    """Read one Huffman codeword via the (length, value) decode map,
+    bit probe inlined. Raises ValueError past ``max_len`` bits and
+    IndexError when the reader runs dry (both as the string walk
+    did)."""
+    data, pos = br.data, br.pos
+    total = len(data) << 3
+    v = 0
+    ln = 0
+    while True:
+        if pos >= total:
+            raise IndexError("bit reader exhausted")
+        v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+        pos += 1
+        ln += 1
+        if ln > max_len:
+            raise ValueError(f"bad Huffman code ({what})")
+        hit = dmap.get((ln, v))
+        if hit is not None:
+            br.pos = pos
+            return hit
 
 
 _DEC_BIG = {
@@ -199,40 +224,60 @@ _DEC_ESC = {
 
 
 class _BW:
-    """MSB-first bit writer."""
+    """MSB-first bit writer (byte-accumulating: whole fields land in
+    one shift-or instead of a list append per bit)."""
 
     def __init__(self) -> None:
-        self.bits: list[int] = []
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0  # bits pending below byte alignment
 
     def u(self, v: int, n: int) -> None:
-        for k in range(n - 1, -1, -1):
-            self.bits.append((v >> k) & 1)
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
 
     def nbits(self) -> int:
-        return len(self.bits)
+        return (len(self.out) << 3) + self.n
+
+    def extend(self, other: "_BW") -> None:
+        """Append another writer's whole bitstream."""
+        for b in other.out:
+            self.u(b, 8)
+        if other.n:
+            self.u(other.acc, other.n)
 
     def bytes_(self) -> bytes:
-        bits = self.bits + [0] * (-len(self.bits) % 8)
-        return bytes(
-            int("".join(map(str, bits[i : i + 8])), 2)
-            for i in range(0, len(bits), 8)
-        )
+        if self.n:
+            return bytes(self.out) + bytes(
+                [(self.acc << (8 - self.n)) & 0xFF]
+            )
+        return bytes(self.out)
 
 
 class _BR:
-    """MSB-first bit reader over bytes."""
+    """MSB-first bit reader over bytes (batched field extraction)."""
 
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
         self.pos = pos
 
     def u(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return v
+        pos = self.pos
+        if n == 1:  # single-flag fast path (sign bits dominate)
+            byte = self.data[pos >> 3]  # IndexError past end, as before
+            self.pos = pos + 1
+            return (byte >> (7 - (pos & 7))) & 1
+        end = pos + n
+        last = (end + 7) >> 3
+        if last > len(self.data):
+            raise IndexError("bit reader exhausted")
+        self.pos = end
+        chunk = int.from_bytes(self.data[pos >> 3 : last], "big")
+        return (chunk >> ((last << 3) - end)) & ((1 << n) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -462,7 +507,7 @@ def encode_mp3_l3(
             for ch in range(nch):
                 g = granules[(2 * f + gi) * nch + ch]
                 bw, n = _encode_granule_maindata(g, scfsi, gi == 0)
-                bw_f.bits.extend(bw.bits)
+                bw_f.extend(bw)
                 p23.append(n)
         frame_md.append(bw_f.bytes_())
         part23.append(p23)
@@ -590,13 +635,7 @@ def _huff_dec_pair(br: _BR, table: int) -> tuple[int, int]:
             "Table B.7)"
         )
     nx, dmap = _DEC_BIG[table]
-    key = ""
-    while key not in dmap:
-        key += str(br.u(1))
-        if len(key) > 19:
-            raise ValueError("bad Huffman code (big values)")
-    idx = dmap[key]
-    x, y = divmod(idx, nx)
+    x, y = divmod(_walk_code(br, dmap, 19, "big values"), nx)
     if x and br.u(1):
         x = -x
     if y and br.u(1):
@@ -608,12 +647,7 @@ def _esc_dec_pair(
     br: _BR, nx: int, dmap: dict, linbits: int
 ) -> tuple[int, int]:
     """Decode one ESC/linbits big-value pair (2.4.2.7 syntax order)."""
-    key = ""
-    while key not in dmap:
-        key += str(br.u(1))
-        if len(key) > 19:
-            raise ValueError("bad Huffman code (big values)")
-    x, y = divmod(dmap[key], nx)
+    x, y = divmod(_walk_code(br, dmap, 19, "big values"), nx)
     if x == 15 and linbits:
         x += br.u(linbits)
     if x and br.u(1):
@@ -629,12 +663,7 @@ def _huff_dec_quad(br: _BR, table_b: bool) -> list[int]:
     if table_b:
         idx = 15 - br.u(4)
     else:
-        key = ""
-        while key not in _DEC_C1A:
-            key += str(br.u(1))
-            if len(key) > 6:
-                raise ValueError("bad Huffman code (count1)")
-        idx = _DEC_C1A[key]
+        idx = _walk_code(br, _DEC_C1A, 6, "count1")
     quad = [(idx >> k) & 1 for k in (3, 2, 1, 0)]
     return [(-v if v and br.u(1) else v) for v in quad]
 
