@@ -121,6 +121,7 @@ from neuroimaging_data_pipeline_spark.multimodal.h264_intra import (
     _quant,
     _quant_dc4,
     _recon_chroma8,
+    _recon_i16_planes,
     _recon_mb16,
     decode_residual_block,
     encode_residual_block,
@@ -1133,18 +1134,18 @@ def _encode_i16_mb(sl, targets, recons, luma_nnz, cnnz, mx, my, qp, qpc,
     else:
         for pi in (0, 1):
             cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
-    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _recon_mb16(
-        pred, acz if cbpl else None, zdc, qp
+    y16, cb8, cr8 = _recon_i16_planes(
+        pred, cpred[0], cpred[1],
+        acz if cbpl else None, zdc,
+        cacz[0] if cbpc > 1 else None,
+        cacz[1] if cbpc > 1 else None,
+        cdcz[0] if cbpc > 0 else None,
+        cdcz[1] if cbpc > 0 else None,
+        qp, qpc,
     )
-    for pi, reconp in ((0, rcb), (1, rcr)):
-        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-            _recon_chroma8(
-                cpred[pi],
-                cacz[pi] if cbpc > 1 else None,
-                cdcz[pi] if cbpc > 0 else None,
-                qpc,
-            )
-        )
+    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = y16
+    rcb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cb8
+    rcr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cr8
 
 
 def _decode_i16_mb(r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp):
@@ -1206,19 +1207,19 @@ def _decode_i16_mb(r, recons, luma_nnz, cnnz, mx, my, itype, cur_qp):
         for pi in (0, 1):
             cnnz[pi][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
     pred = _pred16(ry, my, mx, pm)
-    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-        _recon_mb16(pred, acz if cbpl else None, zdc, cur_qp)
+    cpb = _pred8_chroma_dc(rcb, my, mx)
+    cpr = _pred8_chroma_dc(rcr, my, mx)
+    y16, cb8, cr8 = _recon_i16_planes(
+        pred, cpb, cpr, acz if cbpl else None, zdc,
+        cacz[0] if cbpc > 1 else None,
+        cacz[1] if cbpc > 1 else None,
+        cdcz[0] if cbpc > 0 else None,
+        cdcz[1] if cbpc > 0 else None,
+        cur_qp, qpc,
     )
-    for pi, reconp in ((0, rcb), (1, rcr)):
-        cp = _pred8_chroma_dc(reconp, my, mx)
-        reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-            _recon_chroma8(
-                cp,
-                cacz[pi] if cbpc > 1 else None,
-                cdcz[pi] if cbpc > 0 else None,
-                qpc,
-            )
-        )
+    ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = y16
+    rcb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cb8
+    rcr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cr8
     return cur_qp
 
 

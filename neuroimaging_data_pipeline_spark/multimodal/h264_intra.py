@@ -943,6 +943,55 @@ def _recon_mb16(
     return np.clip(pred + blk.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
 
 
+def _recon_i16_planes(
+    pred_y: np.ndarray,
+    pred_cb: np.ndarray,
+    pred_cr: np.ndarray,
+    acz: np.ndarray | None,
+    zdc: np.ndarray,
+    cacz0: np.ndarray | None,
+    cacz1: np.ndarray | None,
+    cdcz0: np.ndarray | None,
+    cdcz1: np.ndarray | None,
+    qp: int,
+    qpc: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-MB Intra_16x16 reconstruction: the sixteen luma + eight
+    chroma 4x4 blocks through ONE batched inverse transform — the
+    same math as _recon_mb16 + two _recon_chroma8 calls, minus two
+    numpy dispatch rounds per macroblock. Returns (y16, cb8, cr8)."""
+    wr = np.empty((24, 4, 4), np.int64)
+    if acz is not None:
+        wr[:16] = _dequant_ac(acz, qp).reshape(16, 4, 4)
+    else:
+        wr[:16] = 0
+    wr[:16, 0, 0] = _dequant_dc4(zdc, qp).ravel()
+    for az, dz, sl in (
+        (cacz0, cdcz0, slice(16, 20)),
+        (cacz1, cdcz1, slice(20, 24)),
+    ):
+        if az is not None:
+            wr[sl] = _dequant_ac(az, qpc).reshape(4, 4, 4)
+        else:
+            wr[sl] = 0
+        if dz is not None:
+            wr[sl, 0, 0] = _dequant_dc2(dz, qpc).ravel()
+    blk = (_inv4x4(wr) + 32) >> 6
+    y = np.clip(
+        pred_y + blk[:16].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+        .reshape(16, 16), 0, 255,
+    )
+    cb = np.clip(
+        pred_cb + blk[16:20].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3)
+        .reshape(8, 8), 0, 255,
+    )
+    cr = np.clip(
+        pred_cr + blk[20:24].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3)
+        .reshape(8, 8), 0, 255,
+    )
+    return y, cb, cr
+
+
 def _recon_chroma8(
     pred: np.ndarray,
     acz: np.ndarray | None,
@@ -1091,19 +1140,19 @@ def encode_h264_i16x16(
                             cnnz[pi][gy, gx] = encode_residual_block(
                                 sl, coeffs, nc, 15
                             )
-            # --- reconstruction (decoder-mirrored, batched) ---
-            ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-                _recon_mb16(pred, acz if cbpl else None, zdc, qp)
+            # --- reconstruction (decoder-mirrored, one fused pass) ---
+            y16, cb8, cr8 = _recon_i16_planes(
+                pred, cpred[0], cpred[1],
+                acz if cbpl else None, zdc,
+                cacz[0] if cbpc > 1 else None,
+                cacz[1] if cbpc > 1 else None,
+                cdcz[0] if cbpc > 0 else None,
+                cdcz[1] if cbpc > 0 else None,
+                qp, qpc,
             )
-            for pi, reconp in ((0, rcb), (1, rcr)):
-                reconp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                    _recon_chroma8(
-                        cpred[pi],
-                        cacz[pi] if cbpc > 1 else None,
-                        cdcz[pi] if cbpc > 0 else None,
-                        qpc,
-                    )
-                )
+            ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = y16
+            rcb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cb8
+            rcr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cr8
     sl.trailing()
     stream = (
         _nal(3, 7, _sps_rbsp(mbw, mbh, w, h))
@@ -1547,19 +1596,21 @@ def decode_h264_frame(
                         for pi in (0, 1):
                             cnnz[pi][my * 2 : my * 2 + 2,
                                      mx * 2 : mx * 2 + 2] = 0
-                    # --- reconstruction (batched) ---
+                    # --- reconstruction (one fused pass) ---
                     pred = _pred16(ry, my, mx, pm)
-                    ry[my * 16 : my * 16 + 16,
-                       mx * 16 : mx * 16 + 16] = _recon_mb16(
-                        pred, acz, zdc, qp
+                    cpb = _pred8_chroma(rcb, my, mx, chroma_mode)
+                    cpr = _pred8_chroma(rcr, my, mx, chroma_mode)
+                    y16, cb8, cr8 = _recon_i16_planes(
+                        pred, cpb, cpr, acz, zdc,
+                        cacz[0], cacz[1], cdcz[0], cdcz[1],
+                        qp, qpc,
                     )
-                    for pi, reconp in ((0, rcb), (1, rcr)):
-                        cp = _pred8_chroma(reconp, my, mx,
-                                           chroma_mode)
-                        reconp[my * 8 : my * 8 + 8,
-                               mx * 8 : mx * 8 + 8] = _recon_chroma8(
-                            cp, cacz[pi], cdcz[pi], qpc
-                        )
+                    ry[my * 16 : my * 16 + 16,
+                       mx * 16 : mx * 16 + 16] = y16
+                    rcb[my * 8 : my * 8 + 8,
+                        mx * 8 : mx * 8 + 8] = cb8
+                    rcr[my * 8 : my * 8 + 8,
+                        mx * 8 : mx * 8 + 8] = cr8
             x0, y0, w, h = sps["x0"], sps["y0"], sps["w"], sps["h"]
             planes = (
                 ry[y0 : y0 + h, x0 : x0 + w].astype(np.uint8),
