@@ -249,9 +249,11 @@ class _Enc:
             self.first = False
         else:
             self.w.u(b, 1)
-        while self.outstanding:
-            self.w.u(1 - b, 1)
-            self.outstanding -= 1
+        k = self.outstanding
+        if k:
+            # k copies of (1-b) as ONE field write
+            self.w.u((1 << k) - 1 if b == 0 else 0, k)
+            self.outstanding = 0
 
     def _renorm(self) -> None:
         while self.range < 256:
@@ -331,29 +333,51 @@ class _Dec:
         return (self.data[byte] >> (7 - (i & 7))) & 1
 
     def decision(self, ctxs: _Ctx, ctx: int) -> int:
-        st, mps = ctxs.state[ctx], ctxs.mps[ctx]
-        lps = _RANGE_LPS[st][(self.range >> 6) & 3]
-        self.range -= lps
-        if self.offset >= self.range:
+        # hot loop: local caching + inlined renorm bit fetch (same
+        # math as the attribute-access form, bit-for-bit)
+        rng = self.range
+        off = self.offset
+        st = ctxs.state[ctx]
+        mps = ctxs.mps[ctx]
+        lps = _RANGE_LPS[st][(rng >> 6) & 3]
+        rng -= lps
+        if off >= rng:
             b = 1 - mps
-            self.offset -= self.range
-            self.range = lps
+            off -= rng
+            rng = lps
             if st == 0:
-                ctxs.mps[ctx] = 1 - mps
+                ctxs.mps[ctx] = b
             ctxs.state[ctx] = _TRANS_LPS[st]
         else:
             b = mps
-            ctxs.state[ctx] = min(st + 1, 62)
-        while self.range < 256:
-            self.range <<= 1
-            self.offset = (self.offset << 1) | self._bit()
+            if st < 62:
+                ctxs.state[ctx] = st + 1
+        if rng < 256:
+            data = self.data
+            pos = self.pos
+            n = len(data)
+            while rng < 256:
+                rng <<= 1
+                i = pos >> 3
+                off = (off << 1) | (
+                    (data[i] >> (7 - (pos & 7))) & 1 if i < n else 0
+                )
+                pos += 1
+            self.pos = pos
+        self.range = rng
+        self.offset = off
         return b
 
     def bypass(self) -> int:
-        self.offset = (self.offset << 1) | self._bit()
-        if self.offset >= self.range:
-            self.offset -= self.range
+        pos = self.pos
+        self.pos = pos + 1
+        i = pos >> 3
+        bit = (self.data[i] >> (7 - (pos & 7))) & 1 if i < len(self.data) else 0
+        off = (self.offset << 1) | bit
+        if off >= self.range:
+            self.offset = off - self.range
             return 1
+        self.offset = off
         return 0
 
     def terminate(self) -> int:
