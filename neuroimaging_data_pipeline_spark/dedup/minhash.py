@@ -95,6 +95,45 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Band the signatures into LSH buckets: (id, [keep_cols...],
+    band, band_hash). band_hash = md5 of the '|'-joined band slice —
+    a compact 32-char join key DuckDB reproduces exactly (vs
+    F.hash/murmur, which has no SQL twin); per-doc not per-shingle,
+    so cost is noise. ``keep_cols`` ride along unchanged (the
+    streaming caller needs the event time without a self-join)."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        id_col,
+        *keep_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, *keep_cols, "bh.band", "bh.band_hash")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -114,33 +153,7 @@ def lsh_candidate_pairs(
     bounded recall — a pair only hashed together in flooded buckets is
     missed — for a hard ceiling on join fan-out; run exact dedup first
     so identical-document floods never reach this operator."""
-    rows_per_band = num_hashes // bands
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # md5 of the '|'-joined band slice: a compact
-                        # 32-char join key DuckDB reproduces exactly
-                        # (vs F.hash/murmur, which has no SQL twin);
-                        # per-doc not per-shingle, so cost is noise
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
+    banded = band_buckets(sigs, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         flooded = (
             banded.groupBy("band", "band_hash")
@@ -230,3 +243,58 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket_size)
     return jaccard_verify(cand, sh, id_col, threshold)
+
+
+def row_minhash_sigs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """MAP-ONLY MinHash signatures: sig computed per row with
+    higher-order functions — the same shingle normalization, 60-bit
+    md5 shingle hash and affine permutation family as
+    shingles() + minhash_signatures(), but with zero shuffle (a
+    document's signature is a pure function of its own text). This is
+    the streaming-legal form (no aggregation upstream of a stateful
+    operator) and the preferred 100 TB batch form when downstream
+    only needs signatures/buckets, not the shingle table. Rows whose
+    shingle set is empty are dropped (parity with the groupBy form,
+    where they simply produce no signature row)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.filter(
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+            )
+        ),
+        lambda x: x != "",
+    )
+    hs = F.transform(
+        sh,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+            )
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return (
+        docs.withColumn("_hs", hs)
+        .filter(F.size("_hs") > 0)
+        .select(
+            "*",
+            F.array(
+                *[m for m in mins]
+            ).alias("_sigtmp"),
+        )
+        .drop("_hs")
+        .withColumnRenamed("_sigtmp", "sig")
+    )

@@ -303,6 +303,7 @@ _RECHECK_R11_FOLDED = [
 _ADDED_R12 = [
     "e16_mp4_ffmpeg_pipeline",
     "sv_compaction",
+    "sd_stream_neardup",
 ]
 
 

@@ -406,6 +406,99 @@ FROM r WHERE rn = 1
 """
 
 
+def sd_stream_neardup(spark, sf_dir):
+    """§2.9: batch-checkable twin of streaming/dedup.py
+    ``neardup_stream_minhash`` + ``fold_claims`` — streaming NEAR-dup
+    suppression. Per document: row-wise MinHash signature (map-only
+    higher-order functions, the streaming-legal form — bit-identical
+    to the groupBy family, pinned in tests), 4 LSH band buckets, and
+    the keep rule: a document survives iff it is the FIRST arrival
+    (doc_id order here; (event-sec, id) in the stream) in EVERY one
+    of its buckets — i.e. suppressed the moment any band collides
+    with an earlier document. One bucket-claim aggregate + one
+    per-doc fold; the per-bucket min is the same keyed state the
+    streaming operator keeps. Emits (doc_id, kept, n_coll_buckets)."""
+    from neuroimaging_data_pipeline_spark.dedup.minhash import (
+        band_buckets,
+        row_minhash_sigs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
+    sigs = row_minhash_sigs(docs.select("doc_id", "text")).select(
+        "doc_id", "sig"
+    )
+    banded = band_buckets(sigs)
+    claim = banded.groupBy("band", "band_hash").agg(
+        F.min("doc_id").alias("claimed_by")
+    )
+    j = banded.join(claim, ["band", "band_hash"])
+    coll = F.sum((F.col("claimed_by") != F.col("doc_id")).cast("int"))
+    return (
+        j.groupBy("doc_id")
+        .agg(coll.alias("_n"))
+        .select(
+            "doc_id",
+            (F.col("_n") == 0).alias("kept"),
+            F.col("_n").cast("long").alias("n_coll_buckets"),
+        )
+    )
+
+
+def _sd_neardup_sql(k: int = 3, num_hashes: int = 16, bands: int = 4) -> str:
+    from neuroimaging_data_pipeline_spark.dedup.minhash import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    band_keys = ",\n                 ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + "))"
+        for b in range(bands)
+    )
+    band_ids = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), shs AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i + 1, i + {k}), ' ') AS shingle
+  FROM base, UNNEST(range(0, greatest(len(toks) - {k}, 0) + 1)) AS t(i)
+  WHERE array_to_string(list_slice(toks, i + 1, i + {k}), ' ') <> ''
+), sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+  FROM shs
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM (SELECT doc_id, shingle AS h FROM sh) GROUP BY doc_id
+), exploded AS (
+  SELECT doc_id,
+         UNNEST([{band_ids}]) AS band,
+         UNNEST([{band_keys}]) AS band_key
+  FROM sigs
+), claim AS (
+  SELECT band, band_key, MIN(doc_id) AS claimed_by
+  FROM exploded GROUP BY band, band_key
+)
+SELECT e.doc_id AS doc_id,
+       (SUM(CASE WHEN c.claimed_by <> e.doc_id THEN 1 ELSE 0 END) = 0)
+         AS kept,
+       CAST(SUM(CASE WHEN c.claimed_by <> e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_coll_buckets
+FROM exploded e JOIN claim c USING (band, band_key)
+GROUP BY e.doc_id
+"""
+
+
 def st_enrich_join(spark, sf_dir):
     """§2.9: batch-checkable twin of streaming/dedup.py
     ``enrich_stream`` — the stream-stream inner join with an
@@ -510,6 +603,7 @@ QUERIES = {
     "st_session_window": st_session_window,
     "st_watermark_late_discard": st_watermark_late_discard,
     "sd_stream_dedup": sd_stream_dedup,
+    "sd_stream_neardup": sd_stream_neardup,
     "st_enrich_join": st_enrich_join,
     "a9_ols_normal_eq": a9_ols_normal_eq,
     "a2_global_signal": a2_global_signal,
@@ -525,6 +619,7 @@ ORACLE = {
     "st_session_window": ST_SESSION_SQL,
     "st_watermark_late_discard": ST_WATERMARK_SQL,
     "sd_stream_dedup": SD_DEDUP_SQL,
+    "sd_stream_neardup": _sd_neardup_sql(),
     "st_enrich_join": ST_ENRICH_SQL,
     "st_sliding_window": ST_SLIDING_SQL,
 }

@@ -93,3 +93,109 @@ def enrich_stream_outer(
     )
     meta_cols = [c for c in meta.columns if c != key]
     return joined.select("e.*", *[F.col(f"m.{c}") for c in meta_cols])
+
+
+def neardup_stream_minhash(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression — the MinHash-LSH sibling
+    of :func:`dedup_stream_exact`, for re-crawls that differ by a few
+    edits and so slip past the exact digest.
+
+    Per arriving document: k-word shingles -> MinHash signature ->
+    ``bands`` LSH band buckets (dedup/minhash.py — the exact same
+    deterministic md5-parity family the batch operators and their
+    DuckDB oracles use). The ONE stateful stage keys on
+    (band, band_hash) via ``applyInPandasWithState``: state is the
+    bucket's first claimant (sec, id), and every claim row is emitted
+    as (id, band, band_hash, claimed_by). A document is a KEEPER iff
+    it claimed ALL of its buckets — that fold is one non-stateful
+    aggregate the caller runs in ``foreachBatch`` (fold_claims below),
+    because Spark does not allow an aggregation downstream of
+    flatMapGroupsWithState in the same streaming query. This
+    claims + foreachBatch-fold split IS the production shape: the
+    fold is per-micro-batch local work, and the exactly-once sink
+    (sources/versioned.append_txn) makes replays idempotent.
+
+    State: one (sec, id) tuple per DISTINCT band bucket — bounded by
+    corpus vocabulary, not stream length, and ~bands x smaller than a
+    signature store. First-claim order is (event-second, id) within a
+    micro-batch and processing order across batches (the standard
+    streaming-dedup contract, same as dropDuplicatesWithinWatermark).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from neuroimaging_data_pipeline_spark.dedup.minhash import (
+        band_buckets,
+        row_minhash_sigs,
+    )
+
+    docs = stream.select(
+        F.col(id_col), F.col(text_col), F.unix_timestamp(ts_col).alias("_sec")
+    )
+    # signatures are computed ROW-WISE (higher-order functions, no
+    # groupBy): a streaming query may not put an aggregation upstream
+    # of applyInPandasWithState, and a document's signature is a pure
+    # function of its own text anyway — the map-only form is the
+    # correct streaming (and 100 TB batch) shape.
+    sigs = row_minhash_sigs(
+        docs, text_col=text_col, num_hashes=num_hashes, k=shingle_k
+    ).select(id_col, "sig", "_sec")
+    claims_in = band_buckets(
+        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands,
+        keep_cols=("_sec",),
+    )
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        band, band_hash = key_tuple
+        if state.exists:
+            fsec, fid = state.get
+        else:
+            fsec, fid = None, None
+        rows = []
+        for pdf in pdf_iter:
+            sub = pdf.sort_values(["_sec", id_col])
+            # itertuples mangles underscore-prefixed names — pull the
+            # two columns as plain lists instead
+            for sec, did in zip(
+                sub["_sec"].astype("int64").tolist(),
+                sub[id_col].astype("int64").tolist(),
+            ):
+                if fid is None:
+                    fsec, fid = sec, did
+                rows.append((did, int(band), band_hash, fid))
+        if fid is not None:
+            state.update((fsec, fid))
+        yield pd.DataFrame(
+            rows, columns=[id_col, "band", "band_hash", "claimed_by"]
+        )
+
+    return claims_in.groupBy("band", "band_hash").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{id_col} long, band int, band_hash string, claimed_by long"
+        ),
+        stateStructType="fsec long, fid long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fold_claims(claims: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The per-batch fold for :func:`neardup_stream_minhash` claims:
+    (id, kept, n_coll_buckets) — kept iff the document claimed every
+    one of its band buckets. Non-stateful; run inside foreachBatch."""
+    return claims.groupBy(id_col).agg(
+        (F.sum((F.col("claimed_by") != F.col(id_col)).cast("int")) == 0)
+        .alias("kept"),
+        F.sum((F.col("claimed_by") != F.col(id_col)).cast("int"))
+        .cast("long")
+        .alias("n_coll_buckets"),
+    )

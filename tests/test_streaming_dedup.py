@@ -167,3 +167,95 @@ def test_stream_stream_left_outer_enrich(spark, tmp_path):
     rest = out[out.user_id != 2]
     assert rest.segment.notna().all()
     assert set(rest.segment) == {"a", "b", "d"}
+
+
+def test_stream_neardup_minhash_suppresses_edited_recrawls(spark, tmp_path):
+    """neardup_stream_minhash + fold_claims over a real file stream:
+    re-crawls with small edits (which slip past the exact digest) are
+    suppressed, distinct documents survive, and the per-batch fold
+    matches the batch-twin keep rule (first arrival in EVERY band
+    bucket)."""
+    import numpy as np
+
+    from neuroimaging_data_pipeline_spark.dedup.minhash import (
+        band_buckets,
+        row_minhash_sigs,
+    )
+    from neuroimaging_data_pipeline_spark.streaming.dedup import (
+        fold_claims,
+        neardup_stream_minhash,
+    )
+
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2026-01-01")
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(30):
+        if i % 3 == 2:
+            # near-dup of doc i-1: same body, ONE word changed
+            body = rows[-1]["text"].split()
+            body[5] = "EDITED"
+            text = " ".join(body)
+        else:
+            text = " ".join(
+                words[int(j)] for j in rng.integers(0, 40, size=30)
+            )
+        rows.append(
+            {"doc_id": i, "ts": base + pd.Timedelta(minutes=i),
+             "text": text}
+        )
+    pdf = pd.DataFrame(rows)
+    src = tmp_path / "docs"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(str(src))
+    claims = neardup_stream_minhash(stream)
+    q = (
+        claims.writeStream.format("memory")
+        .queryName("neardup_claims")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        fold_claims(spark.table("neardup_claims"))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # batch-twin expectation: first (sec, doc_id) arrival per bucket
+    docs = spark.createDataFrame(pdf).withColumn(
+        "_sec", F.unix_timestamp("ts")
+    )
+    sigs = row_minhash_sigs(docs).select("doc_id", "sig", "_sec")
+    banded = band_buckets(sigs, keep_cols=("_sec",))
+    claim = banded.groupBy("band", "band_hash").agg(
+        F.min(F.struct("_sec", "doc_id")).alias("_f")
+    )
+    j = banded.join(claim, ["band", "band_hash"])
+    want = (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.col("_f.doc_id") != F.col("doc_id")).cast("int")
+            ).alias("n")
+        )
+        .select(
+            "doc_id",
+            (F.col("n") == 0).alias("kept"),
+            F.col("n").cast("long").alias("n_coll_buckets"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the semantic point: edited re-crawls are SUPPRESSED even though
+    # their exact digests differ, and their predecessors survive
+    kept = got["kept"]
+    assert not kept.loc[2] and not kept.loc[5] and not kept.loc[8]
+    assert kept.loc[1] and kept.loc[4] and kept.loc[7]
