@@ -278,23 +278,37 @@ def row_minhash_sigs(
         lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
         % F.lit(MINHASH_P),
     )
-    mins = [
-        F.array_min(
-            F.transform(
-                hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+    # ONE fold over the hashed-shingle array: sig = aggregate(hs,
+    # [P]*n, (acc, h) -> zip_with(acc, coeffs, least(...))). The
+    # naive form — sixteen array_min(transform(hs, ...)) columns —
+    # makes Catalyst re-inline the md5 array build per permutation
+    # (the t_repetition trap; measured ~8x slower at sf0.1). Here
+    # ``hs`` is referenced once, so even inlined it is evaluated
+    # once. P is a safe +inf sentinel (every permuted value is % P)
+    # and never survives because empty-shingle rows are filtered.
+    coeff_arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
             )
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+    sig = F.aggregate(
+        F.col("_hs"),
+        F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            coeff_arr,
+            lambda m, c: F.least(
+                m, (c["a"] * h + c["b"]) % F.lit(MINHASH_P)
+            ),
+        ),
+    )
     return (
         docs.withColumn("_hs", hs)
         .filter(F.size("_hs") > 0)
-        .select(
-            "*",
-            F.array(
-                *[m for m in mins]
-            ).alias("_sigtmp"),
-        )
+        .select("*", sig.alias("sig"))
         .drop("_hs")
-        .withColumnRenamed("_sigtmp", "sig")
     )

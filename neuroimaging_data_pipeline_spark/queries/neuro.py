@@ -409,9 +409,10 @@ FROM r WHERE rn = 1
 def sd_stream_neardup(spark, sf_dir):
     """§2.9: batch-checkable twin of streaming/dedup.py
     ``neardup_stream_minhash`` + ``fold_claims`` — streaming NEAR-dup
-    suppression. Per document: row-wise MinHash signature (map-only
-    higher-order functions, the streaming-legal form — bit-identical
-    to the groupBy family, pinned in tests), 4 LSH band buckets, and
+    suppression. Per document: MinHash signature (the explode+groupBy family here;
+    the streaming operator computes the BIT-IDENTICAL signature
+    row-wise with a single higher-order fold — parity pinned in
+    tests), 4 LSH band buckets, and
     the keep rule: a document survives iff it is the FIRST arrival
     (doc_id order here; (event-sec, id) in the stream) in EVERY one
     of its buckets — i.e. suppressed the moment any band collides
@@ -420,13 +421,15 @@ def sd_stream_neardup(spark, sf_dir):
     streaming operator keeps. Emits (doc_id, kept, n_coll_buckets)."""
     from neuroimaging_data_pipeline_spark.dedup.minhash import (
         band_buckets,
-        row_minhash_sigs,
+        minhash_signatures,
+        shingles,
     )
 
     docs = read_table(spark, sf_dir, "documents", min_partitions="cores")
-    sigs = row_minhash_sigs(docs.select("doc_id", "text")).select(
-        "doc_id", "sig"
-    )
+    # the explode+groupBy signature family — bit-identical to the
+    # streaming op's row-wise fold (pinned in tests) and ~5x faster
+    # in batch, where the aggregation is legal
+    sigs = minhash_signatures(shingles(docs.select("doc_id", "text")))
     banded = band_buckets(sigs)
     claim = banded.groupBy("band", "band_hash").agg(
         F.min("doc_id").alias("claimed_by")
