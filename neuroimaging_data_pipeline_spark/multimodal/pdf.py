@@ -318,11 +318,9 @@ def _parse_xref_stream(
         clm = re.search(rb"/Columns\s+(\d+)", parms)
         predictor = int(prm.group(1)) if prm else 1
         if predictor >= 10:
-            if not clm:
-                raise ValueError(
-                    "PNG /Predictor without parseable /Columns"
-                )
-            raw = _unpredict_png(raw, int(clm.group(1)))
+            # ISO 32000-1 Table 8 gives /Columns a default of 1, so a
+            # conforming stream may omit it (ADVICE r12).
+            raw = _unpredict_png(raw, int(clm.group(1)) if clm else 1)
         elif predictor != 1:
             raise NotImplementedError(f"/Predictor {predictor}")
     entries: dict[int, tuple] = {}

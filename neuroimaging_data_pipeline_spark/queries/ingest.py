@@ -429,7 +429,10 @@ def sv_compaction(spark, sf_dir):
     PHYSICAL FILES (per-file min/max doc_id via input_file_name:
     sorted by min, every file's min must exceed the previous file's
     max — disjoint ranges are the footer-stat pruning contract), and
-    emits a deterministic summary the oracle recomputes: file count,
+    emits a deterministic summary the oracle recomputes: a
+    files-within-target verdict (1 <= n <= target — NOT a pinned
+    exact count: repartitionByRange samples its bounds and may emit
+    fewer non-empty files on tight key distributions, ADVICE r12),
     the disjointness verdict, and the row/char totals that prove the
     rewrite lost nothing. Per-file row counts are NOT emitted —
     repartitionByRange samples its bounds, so exact splits are an
@@ -461,7 +464,11 @@ def sv_compaction(spark, sf_dir):
     write_version(docs.repartition(64), root, operation="create")  # v0
     info = compact(spark, root, target_files=4, sort_by=["doc_id"])
     assert info["files_after"] < info["files_before"], info
-    assert info["files_after"] == 4, info
+    # repartitionByRange samples its bounds, so it may legitimately
+    # emit FEWER than target_files non-empty files when the sort-key
+    # distribution is tight (ADVICE r12) — the contract is "at most
+    # target, far fewer than the debris count", not "exactly 4".
+    assert 1 <= info["files_after"] <= 4, info
     latest = read_version(spark, root)
     # range-clustering evidence from the physical file boundary
     per_file = (
@@ -494,7 +501,9 @@ def sv_compaction(spark, sf_dir):
         F.max("doc_id").alias("max_doc"),
     )
     return totals.crossJoin(F.broadcast(disjoint)).select(
-        F.col("nf").cast("int").alias("n_files"),
+        ((F.col("nf") >= 1) & (F.col("nf") <= 4)).alias(
+            "files_within_target"
+        ),
         (F.col("ok") == 1).alias("ranges_disjoint"),
         F.col("n_rows").cast("long").alias("n_rows"),
         "sum_chars",
@@ -504,7 +513,7 @@ def sv_compaction(spark, sf_dir):
 
 
 SV_COMPACT_SQL = """
-SELECT CAST(4 AS INT) AS n_files,
+SELECT TRUE AS files_within_target,
        TRUE AS ranges_disjoint,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -128,6 +128,10 @@ def neardup_stream_minhash(
     signature store. First-claim order is (event-second, id) within a
     micro-batch and processing order across batches (the standard
     streaming-dedup contract, same as dropDuplicatesWithinWatermark).
+
+    ``id_col`` may be any orderable type: the claim/state schemas are
+    derived from the input column's actual Spark type rather than
+    pinned to ``long`` (ADVICE r12), so string document ids work too.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -140,6 +144,8 @@ def neardup_stream_minhash(
     docs = stream.select(
         F.col(id_col), F.col(text_col), F.unix_timestamp(ts_col).alias("_sec")
     )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    id_is_int = id_type in ("tinyint", "smallint", "int", "bigint", "long")
     # signatures are computed ROW-WISE (higher-order functions, no
     # groupBy): a streaming query may not put an aggregation upstream
     # of applyInPandasWithState, and a document's signature is a pure
@@ -159,18 +165,28 @@ def neardup_stream_minhash(
             fsec, fid = state.get
         else:
             fsec, fid = None, None
+        # a hot bucket's rows can span several Arrow chunks; the
+        # (sec, id)-minimum claimant must be chosen over the WHOLE
+        # micro-batch, so concatenate before sorting (per-chunk sorts
+        # could crown a claimant that is not the batch minimum —
+        # ADVICE r12).
+        chunks = list(pdf_iter)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else (chunks[0] if chunks else None)
+        )
         rows = []
-        for pdf in pdf_iter:
-            sub = pdf.sort_values(["_sec", id_col])
+        if batch is not None and len(batch):
+            sub = batch.sort_values(["_sec", id_col])
             # itertuples mangles underscore-prefixed names — pull the
             # two columns as plain lists instead
-            for sec, did in zip(
-                sub["_sec"].astype("int64").tolist(),
-                sub[id_col].astype("int64").tolist(),
-            ):
-                if fid is None:
-                    fsec, fid = sec, did
-                rows.append((did, int(band), band_hash, fid))
+            secs = sub["_sec"].astype("int64").tolist()
+            ids = sub[id_col]
+            dids = (ids.astype("int64") if id_is_int else ids).tolist()
+            if fid is None:
+                fsec, fid = secs[0], dids[0]
+            rows = [(did, int(band), band_hash, fid) for did in dids]
         if fid is not None:
             state.update((fsec, fid))
         yield pd.DataFrame(
@@ -180,9 +196,10 @@ def neardup_stream_minhash(
     return claims_in.groupBy("band", "band_hash").applyInPandasWithState(
         fn,
         outputStructType=(
-            f"{id_col} long, band int, band_hash string, claimed_by long"
+            f"{id_col} {id_type}, band int, band_hash string, "
+            f"claimed_by {id_type}"
         ),
-        stateStructType="fsec long, fid long",
+        stateStructType=f"fsec long, fid {id_type}",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -206,8 +206,7 @@ def test_pdf15_prev_cycle_guard():
 
 def test_pdf15_decodeparms_key_order():
     """/DecodeParms keys appear in arbitrary order (7.3.7): the
-    /Columns-before-/Predictor spelling must decode identically, and
-    a PNG predictor without /Columns must fail loudly."""
+    /Columns-before-/Predictor spelling must decode identically."""
     from neuroimaging_data_pipeline_spark.multimodal.pdf import (
         parse_pdf,
         write_pdf15,
@@ -220,12 +219,33 @@ def test_pdf15_decodeparms_key_order():
     assert buf.count(old) == 1 and len(old) == len(new)
     swapped = buf.replace(old, new)
     assert parse_pdf(swapped) == want
-    # /Predictor >= 10 with no parseable /Columns: loud failure
-    # (length-preserving blank-out keeps every offset valid).
-    gone = buf.replace(b"/Predictor 12 /Columns 7",
-                       b"/Predictor 12           ")
-    with pytest.raises(ValueError, match="/Columns"):
-        parse_pdf(gone)
+
+
+def test_pdf15_columns_defaults_to_one():
+    """ISO 32000-1 Table 8 gives /Columns a default of 1: a
+    conforming xref stream using a PNG predictor over true 1-byte
+    columns may omit /Columns entirely and must still decode
+    (ADVICE r12 — the old behavior rejected it). /W [0 1 0] makes
+    the row width genuinely 1 (type defaults to 1 per 7.5.8.3)."""
+    from neuroimaging_data_pipeline_spark.multimodal.pdf import (
+        _parse_xref_stream,
+    )
+
+    offsets = [5, 9, 17]
+    payload = bytearray()
+    prev = 0
+    for off in offsets:  # predictor 12 = PNG Up over 1-byte rows
+        payload += bytes([2, (off - prev) & 0xFF])
+        prev = off
+    flate = zlib.compress(bytes(payload))
+    buf = (
+        f"7 0 obj\n<< /Type /XRef /Size 10 /Root 1 0 R /W [0 1 0] "
+        f"/Index [3 3] /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 >> /Length {len(flate)} "
+        f">>\nstream\n"
+    ).encode() + flate + b"\nendstream\nendobj\n"
+    entries = _parse_xref_stream(buf, 0)
+    assert entries == {3: ("top", 5), 4: ("top", 9), 5: ("top", 17)}
 
 
 def test_pdf15_incremental_update_and_free_shadowing():

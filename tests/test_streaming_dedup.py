@@ -259,3 +259,49 @@ def test_stream_neardup_minhash_suppresses_edited_recrawls(spark, tmp_path):
     kept = got["kept"]
     assert not kept.loc[2] and not kept.loc[5] and not kept.loc[8]
     assert kept.loc[1] and kept.loc[4] and kept.loc[7]
+
+
+def test_stream_neardup_minhash_string_ids(spark, tmp_path):
+    """ADVICE r12: id_col looked generic but the operator pinned
+    'long' in its output/state schemas. The schemas are now derived
+    from the input column's type — string document ids must work
+    end-to-end, with the same first-claim (sec, id) ordering."""
+    from neuroimaging_data_pipeline_spark.streaming.dedup import (
+        fold_claims,
+        neardup_stream_minhash,
+    )
+
+    base = pd.Timestamp("2026-01-01")
+    text_a = " ".join(f"w{i}" for i in range(30))
+    edited = text_a.split()
+    edited[5] = "EDITED"
+    rows = [
+        {"doc_id": "crawl/a", "ts": base, "text": text_a},
+        {"doc_id": "crawl/b", "ts": base + pd.Timedelta(minutes=1),
+         "text": " ".join(edited)},
+        {"doc_id": "crawl/c", "ts": base + pd.Timedelta(minutes=2),
+         "text": " ".join(f"z{i}" for i in range(30))},
+    ]
+    src = tmp_path / "docs_str"
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema(
+        "doc_id string, ts timestamp, text string"
+    ).parquet(str(src))
+    claims = neardup_stream_minhash(stream)
+    q = (
+        claims.writeStream.format("memory")
+        .queryName("neardup_claims_str")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        fold_claims(spark.table("neardup_claims_str"))
+        .toPandas()
+        .set_index("doc_id")["kept"]
+    )
+    assert got.loc["crawl/a"] and got.loc["crawl/c"]
+    assert not got.loc["crawl/b"]  # edited re-crawl suppressed
