@@ -264,54 +264,69 @@ for _r, _names in {
         "t_bigram_xent", "t_inverted_index", "t_pii_signals",
         "t_repetition", "t_sample", "t_tfidf",
     ],
+    # frozen from CORRECTNESS_r12.json (50/50 green): the 3 r12
+    # newcomers + the 9 r12 recheck rows + 38 rotation re-checks.
+    12: [
+        "d_embedding_neardup", "d_exact_dedup", "d_minhash_lsh",
+        "d_ngram_jaccard", "d_simhash", "e10_release_pipeline",
+        "e16_mp4_ffmpeg_pipeline", "e3_motion_outlier_hist",
+        "j13_cidr_join", "m22_pdf_text", "m24_jpeg_exif", "m26_mp3_meta",
+        "m27_tiff_stats", "m28_flac_audio", "m29_gzip_inflate",
+        "m30_flac_stereo", "m31_lzma_alone", "m33_h264_cabac",
+        "m34_mp3_samples", "m35_h264_inter", "m36_h264_gop",
+        "m41_mp3_intensity", "m44_h264_longgop", "m45_h264_bpyramid",
+        "m46_pdf_xrefstream", "m7_jpeg_color", "s1_tsv_scan",
+        "s2_dir_listing", "s4_sidecar_lookup", "s5_nifti_stats",
+        "s_cosine_topk", "s_ivf_topk", "s_lsh_topk", "sd_stream_neardup",
+        "sv_compaction", "sv_time_travel", "t_c4_line_filters",
+        "t_encoding_repair", "t_entropy", "t_epoch_shuffle",
+        "t_fingerprint", "t_gopher_repetition", "t_idn_hosts",
+        "t_kn_bigram", "t_lang_id", "t_pii_redact", "t_quality_signals",
+        "t_robots_filter", "t_token_count", "t_winnow",
+    ],
 }.items():
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _r
 
-# r12-modified operators + standing perf-watch queries: re-check right
+# r13-modified operators + standing perf-watch queries: re-check right
 # after the never-checked blocks.
-_RECHECK_R12 = [
-    # r12: H.264 motion-compensation / IDCT hot loops vectorized
-    # (identical hashes required) — re-check the inter-prediction family.
-    "m35_h264_inter",
-    "m36_h264_gop",
-    "m44_h264_longgop",
-    "m45_h264_bpyramid",
-    # r12: PDF xref-stream hardening (/Prev cycle guard, DecodeParms
-    # key order, type-0 free-row shadowing).
+_RECHECK_R13 = [
+    # r13 ADVICE fixes: sv_compaction's output schema CHANGED
+    # (files_within_target verdict replaced the pinned n_files), and
+    # the streaming near-dup claimant pick + id typing changed.
+    "sv_compaction",
+    "sd_stream_neardup",
+    # r13: PDF /Columns default-1 (ADVICE r12) touches the xref-stream
+    # decode path both PDF queries ride.
     "m46_pdf_xrefstream",
     "m22_pdf_text",
-    # r12: MP3 ESC/linbits Huffman tables landed (11/13/15/16/24).
-    "m41_mp3_intensity",
-    "m34_mp3_samples",
-    # r12: CABAC P/B init columns.
-    "m33_h264_cabac",
+    # standing perf-watch rows from VERDICT r12 (driver-bench
+    # outliers pinned this round): re-check alongside.
+    "t_bigram_xent",
+    "t_profile",
 ]
 
-_RECHECK_R11_FOLDED = [
-    # kept for provenance: the r11 recheck list (B-slice deblocking +
-    # MP3 table family) all went green in CORRECTNESS_r11.json and is
-    # folded into _LAST_DRIVER_ROUND.
-    "m42_h264_deblock", "m37_h264_bslice",
-    "m41_mp3_intensity", "m34_mp3_samples",
+_RECHECK_R12_FOLDED = [
+    # kept for provenance: the r12 recheck list (H.264 vectorization,
+    # PDF hardening, MP3/CABAC gates) all went green in
+    # CORRECTNESS_r12.json and is folded into _LAST_DRIVER_ROUND.
+    "m35_h264_inter", "m36_h264_gop", "m44_h264_longgop",
+    "m45_h264_bpyramid", "m46_pdf_xrefstream", "m22_pdf_text",
+    "m41_mp3_intensity", "m34_mp3_samples", "m33_h264_cabac",
 ]
 
-# Queries added in round 12, AFTER CORRECTNESS_r11 froze the backlog.
+# Queries added in round 13, AFTER CORRECTNESS_r12 froze the backlog.
 # Never-driver-checked, so they lead the window (rank 0). VERDICT r7
 # #3 lesson: list EVERY newcomer here, not a subset, so the ordering
 # invariant holds if the window ever overflows.
-_ADDED_R12 = [
-    "e16_mp4_ffmpeg_pipeline",
-    "sv_compaction",
-    "sd_stream_neardup",
-]
+_ADDED_R13 = []
 
 
 def _window_rank(name: str) -> int:
     if name not in _LAST_DRIVER_ROUND:
-        # never driver-checked: r12 additions lead the window.
-        return 0 if name in _ADDED_R12 else 1
-    if name in _RECHECK_R12:
+        # never driver-checked: r13 additions lead the window.
+        return 0 if name in _ADDED_R13 else 1
+    if name in _RECHECK_R13:
         return 2
     return 2 + _LAST_DRIVER_ROUND[name]
 
