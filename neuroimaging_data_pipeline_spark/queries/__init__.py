@@ -319,7 +319,9 @@ _RECHECK_R12_FOLDED = [
 # Never-driver-checked, so they lead the window (rank 0). VERDICT r7
 # #3 lesson: list EVERY newcomer here, not a subset, so the ordering
 # invariant holds if the window ever overflows.
-_ADDED_R13 = []
+_ADDED_R13 = [
+    "e17_flagship_betas",
+]
 
 
 def _window_rank(name: str) -> int:

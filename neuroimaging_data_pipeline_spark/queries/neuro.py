@@ -595,6 +595,108 @@ FROM hop GROUP BY 1, 2
 """
 
 
+def e17_flagship_betas(spark, sf_dir):
+    """E17 (r13): the FULL flagship pipeline as an oracle-checked
+    query — events -> boxcar design + response on the TR grid (J2
+    range join, one fused pass) -> 8-tap double-gamma HRF convolution
+    (W4) -> per-(run, regressor) simple OLS (A9 summation form).
+    Identical code path to ``__spark_entry__.entry`` (shared stages in
+    operators/flagship.py) and to the streaming foreachBatch flagship
+    (streaming/flagship.py; state parity pinned in
+    tests/test_streaming_flagship.py). Exact-sum discipline: the
+    convolved values are bit-identical between the engines (same tap
+    literals, same left-assoc summation order), so the DECIMAL(28,10)
+    moments agree exactly; betas rounded to 6."""
+    from neuroimaging_data_pipeline_spark.operators.flagship import (
+        flagship_betas,
+        flagship_events,
+        flagship_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.min(F.unix_timestamp("ts"))).first()[0]
+    state = flagship_state(spark, flagship_events(ev, anchor))
+    return flagship_betas(state)
+
+
+def _e17_sql(n_tr: int = 296, tr: float = 60.0) -> str:
+    """DuckDB twin of the flagship: taps inlined as repr() literals
+    (shortest-round-trip strings parse to the identical double), the
+    convolution written in the same left-assoc order fir_convolve
+    sums, and the OLS moments under the registry's decimal-sum
+    discipline."""
+    from neuroimaging_data_pipeline_spark.operators.flagship import (
+        FLAGSHIP_TYPES,
+        N_RUNS,
+        flagship_kernel,
+    )
+
+    taps = flagship_kernel(tr)
+    span = int(n_tr * tr)
+    boxcars = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN e.trial_type = '{tt}' THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) AS {tt}"
+        for tt in FLAGSHIP_TYPES
+    )
+    convs = ",\n         ".join(
+        " + ".join(
+            (f"{tt} * {taps[0]!r}" if k == 0 else
+             f"COALESCE(LAG({tt}, {k}) OVER w, 0.0) * {taps[k]!r}")
+            for k in range(len(taps))
+        ) + f" AS {tt}_c0"
+        for tt in FLAGSHIP_TYPES
+    )
+    parts = []
+    for tt in FLAGSHIP_TYPES:
+        parts.append(f"""
+SELECT 'cohort' AS subject, CAST(run AS INT) AS run,
+       '{tt}' AS regressor,
+       (ROUND((sxy - n * mx * my) / NULLIF(sxx - n * mx * mx, 0), 6)
+        + 0.0) AS beta
+FROM (
+  SELECT run, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST({tt}_c0 AS DECIMAL(28,10))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mx,
+         SUM(y) / CAST(COUNT(*) AS DOUBLE) AS my,
+         CAST(SUM(CAST({tt}_c0 * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST({tt}_c0 * {tt}_c0 AS DECIMAL(28,10))) AS DOUBLE)
+           AS sxx
+  FROM conv GROUP BY run
+)""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH anchor AS (
+  SELECT MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS a0 FROM events
+), ev AS (
+  SELECT CAST(user_id % {N_RUNS} AS INT) AS run,
+         CAST((CAST(FLOOR(EPOCH(ts)) AS BIGINT) - a0) % {span}
+              AS DOUBLE) AS onset,
+         (value + 1.0) AS duration,
+         event_type AS trial_type
+  FROM events, anchor
+), grid AS (
+  SELECT CAST(r.run AS INT) AS run, t.t AS t,
+         CAST(t.t AS DOUBLE) * {tr!r} AS t_sec
+  FROM (SELECT UNNEST(RANGE(0, {N_RUNS})) AS run) r,
+       (SELECT UNNEST(RANGE(0, {n_tr})) AS t) t
+), state AS (
+  SELECT g.run, g.t,
+         {boxcars},
+         CAST(COUNT(e.trial_type) AS DOUBLE) AS y
+  FROM grid g LEFT JOIN ev e
+    ON g.run = e.run AND g.t_sec >= e.onset
+   AND g.t_sec < e.onset + e.duration
+  GROUP BY g.run, g.t
+), conv AS (
+  SELECT run, t, y,
+         {convs}
+  FROM state WINDOW w AS (PARTITION BY run ORDER BY t)
+)
+{union}
+"""
+
+
+
 # Registration order matters downstream: the driver's correctness
 # window checks the first 50 registered queries, and this module sits
 # on the cutoff. Streaming twins first (their ingest path changed in
@@ -612,6 +714,7 @@ QUERIES = {
     "a2_global_signal": a2_global_signal,
     "j2_interval_grid": j2_interval_grid,
     "st_sliding_window": st_sliding_window,
+    "e17_flagship_betas": e17_flagship_betas,
 }
 
 ORACLE = {
@@ -625,4 +728,5 @@ ORACLE = {
     "sd_stream_neardup": _sd_neardup_sql(),
     "st_enrich_join": ST_ENRICH_SQL,
     "st_sliding_window": ST_SLIDING_SQL,
+    "e17_flagship_betas": _e17_sql(),
 }

@@ -86,11 +86,22 @@ def _parquet_ts_unit(path: str, col: str) -> tuple[str, bool] | None:
             if not parts:
                 return None
             probe = os.path.join(path, parts[0])
-        field = pq.ParquetFile(probe).schema_arrow.field(col)
+        pf = pq.ParquetFile(probe)
+        field = pf.schema_arrow.field(col)
         import pyarrow as pa
 
         if not pa.types.is_timestamp(field.type):
             return None
+        # Legacy INT96 (Spark's own default writer format): pyarrow
+        # surfaces it as timestamp[ns], but it is NOT readable as long
+        # — report it distinctly so stream schemas declare
+        # ``timestamp`` (Spark reads INT96 natively) instead of the
+        # NANOS-as-long shape (r13: a Spark-written landing dir fed
+        # back into stream_parquet_dir hit exactly this).
+        for i in range(len(pf.schema)):
+            leaf = pf.schema.column(i)
+            if leaf.name == col and leaf.physical_type == "INT96":
+                return "int96", True
         return field.type.unit, field.type.tz is not None
     except Exception:
         return None
@@ -249,7 +260,10 @@ def pin_timestamp(df: DataFrame, c: str, source_path: str | None = None) -> Data
             probed = _parquet_ts_unit(source_path, c)
             if probed is not None:
                 unit = probed[0]
-        if unit == "ns":
+        if unit in ("ns", "int96"):
+            # int96 can't actually surface as bigint (Spark maps it to
+            # TimestampType and the no-op branch above wins); treat
+            # like ns defensively rather than KeyError.
             expr = F.expr(f"`{c}` div 1000")
         else:
             expr = F.expr(f"`{c}` * {_UNIT_TO_MICROS[unit]}")

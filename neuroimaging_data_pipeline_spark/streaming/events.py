@@ -60,7 +60,11 @@ def _events_schema_for(path: str, ts_col: str) -> str:
         ts_type = "timestamp_ntz"
     else:
         unit, adjusted = probed
-        if unit == "ns":
+        if unit == "int96":
+            # legacy INT96 (Spark's own writer default): readable
+            # ONLY as TimestampType — declaring long fails the scan
+            ts_type = "timestamp"
+        elif unit == "ns":
             ts_type = "long"
         elif adjusted:
             ts_type = "timestamp"
@@ -86,6 +90,7 @@ def stream_parquet_dir(
     path: str,
     schema: str | None = None,
     ts_col: str | None = "ts",
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
     """File-source stream over a landing directory of parquet files.
 
@@ -101,7 +106,7 @@ def stream_parquet_dir(
         )
     df = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
     if ts_col and ts_col in df.columns:

@@ -43,6 +43,10 @@ ENCODINGS = {
     "us_ntz": (pa.timestamp("us"), US),
     "ms_ntz": (pa.timestamp("ms"), [u // 1000 for u in US]),
     "us_utc": (pa.timestamp("us", tz="UTC"), US),
+    # legacy INT96 — Spark's own writer default, so any landing dir a
+    # Spark job wrote upstream looks like this (r13 streaming-flagship
+    # lesson: declaring it long fails the scan)
+    "int96": (pa.timestamp("ns"), [u * 1000 for u in US]),
 }
 
 
@@ -59,7 +63,11 @@ def _write_events(tmp_path, name, ts_type, ts_vals):
     )
     d = tmp_path / name
     d.mkdir()
-    pq.write_table(table, d / "events.parquet")
+    pq.write_table(
+        table,
+        d / "events.parquet",
+        use_deprecated_int96_timestamps=(name == "int96"),
+    )
     return d
 
 
@@ -82,7 +90,7 @@ def test_footer_probe_units(tmp_path):
         d = _write_events(tmp_path, enc, ts_type, ts_vals)
         unit, adjusted = _parquet_ts_unit(str(d), "ts")
         assert unit == enc.split("_")[0]
-        assert adjusted == (enc == "us_utc")
+        assert adjusted == (enc in ("us_utc", "int96"))
     # non-timestamp column and missing file are None, not exceptions
     assert _parquet_ts_unit(str(d), "event_id") is None
     assert _parquet_ts_unit(str(tmp_path / "nope"), "ts") is None
@@ -94,6 +102,7 @@ def test_stream_schema_matches_footer(tmp_path):
         "us_ntz": "ts timestamp_ntz",
         "ms_ntz": "ts timestamp_ntz",
         "us_utc": "ts timestamp",
+        "int96": "ts timestamp",
     }
     for enc, (ts_type, ts_vals) in ENCODINGS.items():
         d = _write_events(tmp_path, enc, ts_type, ts_vals)
@@ -104,7 +113,7 @@ def test_stream_schema_matches_footer(tmp_path):
     assert "ts timestamp_ntz" in _events_schema_for(str(empty), "ts")
 
 
-@pytest.mark.parametrize("enc", ["ns", "us_ntz", "us_utc"])
+@pytest.mark.parametrize("enc", ["ns", "us_ntz", "us_utc", "int96"])
 def test_stream_events_land_in_2024_for_every_encoding(spark, tmp_path, enc):
     """The r3 failure mode, pinned: a live stream over each encoding
     yields the same 2024-range instants as the batch read — never
