@@ -129,6 +129,7 @@ def pagerank(
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    n_salt: int = 0,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair graph — the
     importance score of the duplicate-cluster world: which document
@@ -147,7 +148,18 @@ def pagerank(
     double per node. The symmetrized edge list is localCheckpoint-ed
     ONCE (same discipline as the CC operator above): it is referenced
     2 x n_iter times, and leaving it lazy would recompute the whole
-    upstream pair pipeline (MinHash bands etc.) on every reference."""
+    upstream pair pipeline (MinHash bands etc.) on every reference.
+
+    ``n_salt > 1`` (VERDICT r12 #7, same opt-in as
+    ``connected_components``): a HUB vertex — a boilerplate document
+    near-duplicating a large corpus fraction — makes its out-edge key
+    hot in the per-iteration edge<->rank shuffle join; the salted path
+    pre-joins rank and degree into one per-vertex frame and routes the
+    single edge join through ``operators.salting.salted_equi_join``
+    (hot key spread over ``n_salt`` sub-keys, rank side replicated).
+    Results identical (pinned in tests/test_skew.py); the hot IN-edge
+    side needs no salting because the in-sum is a partial-aggregated
+    (map-side combined) decimal sum, not a join."""
     from neuroimaging_data_pipeline_spark.functions.stats import dec_sum
 
     sym = pairs.select(
@@ -160,11 +172,25 @@ def pagerank(
     base = nodes.select(F.col(id_col).alias("id")).crossJoin(F.broadcast(n))
     pr = base.select("id", "n_nodes", (1.0 / F.col("n_nodes")).alias("pr"))
     for _ in range(n_iter):
-        contrib = (
-            sym.join(pr.select("id", "pr"), sym.s == F.col("id"))
-            .join(deg, "s")
-            .select(F.col("d"), (F.col("pr") / F.col("deg")).alias("c"))
-        )
+        if n_salt > 1:
+            from neuroimaging_data_pipeline_spark.operators.salting import (
+                salted_equi_join,
+            )
+
+            ranked = (
+                pr.select("id", "pr")
+                .join(deg, pr.id == deg.s)
+                .select("s", "pr", "deg")
+            )
+            contrib = salted_equi_join(
+                sym, ranked, ["s"], "d", n_salt=n_salt
+            ).select(F.col("d"), (F.col("pr") / F.col("deg")).alias("c"))
+        else:
+            contrib = (
+                sym.join(pr.select("id", "pr"), sym.s == F.col("id"))
+                .join(deg, "s")
+                .select(F.col("d"), (F.col("pr") / F.col("deg")).alias("c"))
+            )
         sums = contrib.groupBy("d").agg(dec_sum("c").alias("in_sum"))
         pr = (
             base.join(sums, base.id == sums.d, "left")

@@ -525,6 +525,7 @@ def bucketed_neardup_pairs(
     threshold: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm_block_rows: int = 8192,
 ) -> DataFrame:
     """All near-duplicate pairs (cosine >= threshold) within each
     bucket, via one dense GEMM per bucket (applyInPandas + numpy).
@@ -536,6 +537,17 @@ def bucketed_neardup_pairs(
     an independent task (1000 executors, 1000+ buckets: linear
     scale-out). Emits (id_a, id_b, bucket, cosine) with id_a < id_b,
     cosine rounded to 6 so results hash-match the relational oracle.
+
+    HOT-BUCKET memory bound (r13, VERDICT r12 #7): a skewed cluster —
+    one boilerplate family holding most of a corpus — would
+    materialize an n x n similarity matrix in a single task
+    (n=500k -> 2 TB). Buckets larger than ``gemm_block_rows`` switch
+    to a row-blocked GEMM: per block, ``A_blk @ A.T`` is
+    (block x n) — memory linear in n at a fixed block height, same
+    BLAS throughput, bit-identical pairs (pinned in tests/test_skew.py).
+    The n^2 COMPUTE is inherent to exact within-bucket dedup; the
+    recall-capped families (minhash df-caps) are the declared answer
+    when even that is too much.
     """
     import numpy as np
     import pandas as pd
@@ -555,16 +567,31 @@ def bucketed_neardup_pairs(
         A, ids = A[order], ids[order]
         norms = np.sqrt((A * A).sum(axis=1))
         norms[norms == 0] = np.inf
-        S = (A @ A.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        cos = np.round(S[iu, ju], 6)
-        keep = cos >= threshold
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n, gemm_block_rows):
+            hi = min(lo + gemm_block_rows, n)
+            # rows [lo:hi) against ALL columns; keep strictly-upper
+            # (j > i) entries so the blocked union is exactly
+            # triu_indices(n, k=1)
+            S = (A[lo:hi] @ A.T) / np.outer(norms[lo:hi], norms)
+            ib, jb = np.nonzero(
+                np.arange(n)[None, :] > (lo + np.arange(hi - lo))[:, None]
+            )
+            cos = np.round(S[ib, jb], 6)
+            keep = cos >= threshold
+            out_a.append(ids[lo + ib[keep]])
+            out_b.append(ids[jb[keep]])
+            out_c.append(cos[keep])
+        id_a = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
+        id_b = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
+        cosv = np.concatenate(out_c) if out_c else np.array([], dtype=np.float64)
         return pd.DataFrame(
             {
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                bucket_col: np.repeat(pdf[bucket_col].iloc[0], int(keep.sum())),
-                "cosine": cos[keep],
+                "id_a": id_a,
+                "id_b": id_b,
+                bucket_col: np.repeat(pdf[bucket_col].iloc[0], len(id_a)),
+                "cosine": cosv,
             }
         )
 
