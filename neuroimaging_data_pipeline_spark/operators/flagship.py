@@ -175,33 +175,38 @@ def flagship_betas(
     types = types or FLAGSHIP_TYPES
     dm = fir_convolve(state, types, flagship_kernel(tr))
     msum = dec_sum if exact_sums else (lambda c: F.sum(c))
-    outs = []
+    # ONE aggregate pass computes every regressor's moments (a 5-way
+    # union of per-type aggs would rescan + reshuffle the design 5x —
+    # the plan audit showed 10 exchanges; this shape is 2), then a
+    # stack() unpivot emits the per-regressor rows. Expressions are
+    # identical to the per-branch form, so values are unchanged.
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("y").alias("_sy")]
     for tt in types:
         c = F.col(tt + "_c0")
-        agg = dm.groupBy("subject", "run").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.try_divide(
-                msum(c), F.count(F.lit(1)).cast("double")
-            ).alias("mx"),
-            F.try_divide(
-                F.sum("y"), F.count(F.lit(1)).cast("double")
-            ).alias("my"),
-            msum(c * F.col("y")).alias("sxy"),
-            msum(c * c).alias("sxx"),
-        )
+        aggs += [
+            msum(c).alias(f"_sx_{tt}"),
+            msum(c * F.col("y")).alias(f"_sxy_{tt}"),
+            msum(c * c).alias(f"_sxx_{tt}"),
+        ]
+    agg = dm.groupBy("subject", "run").agg(*aggs)
+    nd = F.col("n").cast("double")
+    beta_cols = []
+    for tt in types:
+        mx = F.try_divide(F.col(f"_sx_{tt}"), nd)
+        my = F.try_divide(F.col("_sy"), nd)
         beta = F.try_divide(
-            F.col("sxy") - F.col("n") * F.col("mx") * F.col("my"),
-            F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx"),
+            F.col(f"_sxy_{tt}") - F.col("n") * mx * my,
+            F.col(f"_sxx_{tt}") - F.col("n") * mx * mx,
         )
-        outs.append(
-            agg.select(
-                "subject",
-                "run",
-                F.lit(tt).alias("regressor"),
-                (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
-            )
+        beta_cols.append(
+            (F.round(beta, 6) + F.lit(0.0)).alias(f"_b_{tt}")
         )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+    wide = agg.select("subject", "run", *beta_cols)
+    stack = ", ".join(f"'{tt}', _b_{tt}" for tt in types)
+    return wide.select(
+        "subject",
+        "run",
+        F.expr(
+            f"stack({len(types)}, {stack}) AS (regressor, beta)"
+        ),
+    ).select("subject", "run", "regressor", "beta")
