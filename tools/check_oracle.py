@@ -91,6 +91,27 @@ def main() -> int:
     failures, rows_only = [], []
     records: dict[str, dict] = {}
     n_ran = 0
+
+    def _flush() -> None:
+        # incremental write after EVERY query (r13): a multi-hour
+        # battery killed mid-run keeps its completed records instead
+        # of losing everything to the end-of-run write.
+        if not json_path:
+            return
+        import json
+
+        doc = {
+            "sf_dir": sf_dir,
+            "n_queries": n_ran,
+            "n_ok": n_ran - len(failures) - len(rows_only),
+            "n_rows_only": len(rows_only),
+            "n_failed": len(failures),
+            "results": records,
+        }
+        tmp = json_path + ".tmp"
+        Path(tmp).write_text(json.dumps(doc, indent=1))
+        Path(tmp).replace(json_path)
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -105,6 +126,7 @@ def main() -> int:
                 "err": f"spark error: {e}"[:300],
             }
             print(f"FAIL {name}: spark error: {e}")
+            _flush()
             continue
         if name not in oracles:
             rows_only.append(name)
@@ -113,6 +135,7 @@ def main() -> int:
                 "rows": len(sdf),
             }
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            _flush()
             continue
         try:
             ddf = con.execute(oracles[name]).df()
@@ -123,6 +146,7 @@ def main() -> int:
                 "err": f"duckdb error: {e}"[:300],
             }
             print(f"FAIL {name}: duckdb error: {e}")
+            _flush()
             continue
         problems = []
         if sorted(sdf.columns) != sorted(ddf.columns):
@@ -146,12 +170,14 @@ def main() -> int:
                 "rows": len(sdf), "err": "; ".join(problems)[:300],
             }
             print(f"FAIL {name}: {'; '.join(problems)}")
+            _flush()
         else:
             records[name] = {
                 "status": "ok", "secs": round(time.time() - t0, 2),
                 "rows": len(sdf),
             }
             print(f"OK   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            _flush()
 
     print(
         f"\n{n_ran - len(failures) - len(rows_only)} ok, "
