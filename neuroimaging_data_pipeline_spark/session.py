@@ -26,6 +26,19 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE coalescing floor (r13, guide §2.2/§2.5): AQE sizes
+    # post-shuffle partitions by BYTES, but several operators hang
+    # expensive per-row Python work (shard pack/parse, codec decode)
+    # off a tiny keyed shuffle — at bench SFs the default 1 MB floor
+    # coalesces those stages to 1-3 tasks and serializes the CPU-bound
+    # part (s19 mbox 3.1 s -> 1.0 s, s28 tfrecord 1.7 s -> 0.7 s at
+    # sf0.1/local[32] from this one floor). parallelismFirst=true
+    # (default) already targets defaultParallelism first, so the floor
+    # only binds when partitions are genuinely small; at cluster scale
+    # post-shuffle partitions are orders of magnitude above 64 KB and
+    # this setting is inert — advisoryPartitionSizeInBytes (the
+    # at-scale knob) stays untouched for cluster overrides.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Pandas UDF batches: large enough to amortize Arrow transfer for
