@@ -114,23 +114,27 @@ class _BitR:
         return (chunk >> ((last << 3) - end)) & ((1 << bits) - 1)
 
     def ue(self) -> int:
-        # Scan the zero prefix without per-bit u() calls, then read
-        # the suffix in one batched u().
+        # r13: one 48-bit window + bit_length replaces the per-bit
+        # zero-prefix scan (the prefix is capped at 32, so six bytes
+        # always cover it when the stream has the bits; a shorter
+        # window means the stream tail).
         data = self.data
         pos = self.pos
         n = len(data) << 3
-        start = pos
-        try:
-            while not (data[pos >> 3] >> (7 - (pos & 7))) & 1:
-                pos += 1
-                if pos - start > 32:
-                    raise ValueError("bad Exp-Golomb code")
-                if pos >= n:
-                    raise IndexError
-        except IndexError:
-            raise ValueError("bitstream exhausted mid-element") from None
-        zeros = pos - start
-        self.pos = pos + 1
+        if pos >= n:
+            raise ValueError("bitstream exhausted mid-element")
+        byte_i = pos >> 3
+        win = int.from_bytes(data[byte_i : byte_i + 6], "big")
+        m = ((min(byte_i + 6, len(data)) - byte_i) << 3) - (pos & 7)
+        val = win & ((1 << m) - 1)  # the next m real bits
+        if val == 0:
+            if m > 32:
+                raise ValueError("bad Exp-Golomb code")
+            raise ValueError("bitstream exhausted mid-element")
+        zeros = m - val.bit_length()
+        if zeros > 32:
+            raise ValueError("bad Exp-Golomb code")
+        self.pos = pos + zeros + 1
         return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
 
     def se(self) -> int:
