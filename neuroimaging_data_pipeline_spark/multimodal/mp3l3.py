@@ -189,15 +189,51 @@ def _invert_table(lens, cods):
     return out
 
 
-def _walk_code(br: _BR, dmap: dict, max_len: int, what: str) -> int:
-    """Read one Huffman codeword via the (length, value) decode map,
-    bit probe inlined. Raises ValueError past ``max_len`` bits and
-    IndexError when the reader runs dry (both as the string walk
-    did)."""
+def _lut8(dmap: dict) -> list:
+    """256-entry first-level decode LUT over the next 8 bits (r13,
+    same scheme as the H.264 CAVLC tables): entry = (symbol, code
+    length) for codes of <= 8 bits, None for the longer tail.
+    Prefix-freedom makes the shortest dict hit on any 8-bit window
+    the transmitted code."""
+    lut: list = [None] * 256
+    for p8 in range(256):
+        for ln in range(1, 9):
+            hit = dmap.get((ln, p8 >> (8 - ln)))
+            if hit is not None:
+                lut[p8] = (hit, ln)
+                break
+    return lut
+
+
+def _walk_code(br: _BR, dtab: tuple[dict, list], max_len: int,
+               what: str) -> int:
+    """Read one Huffman codeword. r13 fast path: one 16-bit window +
+    one 256-entry LUT probe resolves every code of <= 8 bits; longer
+    codes resume the original bit walk from the accumulated 8-bit
+    prefix. Raises ValueError past ``max_len`` bits and IndexError
+    when the reader runs dry (both as the string walk did)."""
+    dmap, lut = dtab
     data, pos = br.data, br.pos
     total = len(data) << 3
-    v = 0
-    ln = 0
+    if pos >= total:
+        raise IndexError("bit reader exhausted")
+    byte_i = pos >> 3
+    win = int.from_bytes(data[byte_i : byte_i + 2], "big")
+    pad = byte_i + 2 - len(data)
+    if pad > 0:
+        win <<= pad << 3
+    p8 = (win >> (8 - (pos & 7))) & 0xFF
+    hit = lut[p8]
+    if hit is not None:
+        sym, ln = hit
+        pos += ln
+        if pos > total:
+            raise IndexError("bit reader exhausted")
+        br.pos = pos
+        return sym
+    v = p8
+    pos += 8
+    ln = 8
     while True:
         if pos >= total:
             raise IndexError("bit reader exhausted")
@@ -212,13 +248,18 @@ def _walk_code(br: _BR, dmap: dict, max_len: int, what: str) -> int:
             return hit
 
 
+def _dec_pair_tab(lens, cods) -> tuple[dict, list]:
+    dmap = _invert_table(lens, cods)
+    return dmap, _lut8(dmap)
+
+
 _DEC_BIG = {
-    t: (_nx, _invert_table(lens, cods))
+    t: (_nx, _dec_pair_tab(lens, cods))
     for t, (_nx, lens, cods) in _HUFF_BIG.items()
 }
-_DEC_C1A = _invert_table(_HUFF_C1A_LEN, _HUFF_C1A_COD)
+_DEC_C1A = _dec_pair_tab(_HUFF_C1A_LEN, _HUFF_C1A_COD)
 _DEC_ESC = {
-    t: (_nx, _invert_table(lens, cods))
+    t: (_nx, _dec_pair_tab(lens, cods))
     for t, (_nx, lens, cods) in _HUFF_ESC.items()
 }
 
@@ -303,11 +344,16 @@ def _huff_enc_pair(bw: _BW, table: int, x: int, y: int) -> None:
     if ax >= nx or ay >= nx:
         raise ValueError(f"value ({x},{y}) exceeds table {table} range")
     idx = ax * nx + ay
-    bw.u(cods[idx], lens[idx])
+    # fold code + sign bits into ONE writer call (r13: the per-field
+    # _BW.u calls were the encoder's hottest leaf)
+    acc, n = cods[idx], lens[idx]
     if ax:
-        bw.u(1 if x < 0 else 0, 1)
+        acc = (acc << 1) | (1 if x < 0 else 0)
+        n += 1
     if ay:
-        bw.u(1 if y < 0 else 0, 1)
+        acc = (acc << 1) | (1 if y < 0 else 0)
+        n += 1
+    bw.u(acc, n)
 
 
 def _esc_enc_pair(
@@ -324,15 +370,21 @@ def _esc_enc_pair(
         )
     cx, cy = min(ax, 15), min(ay, 15)
     idx = cx * nx + cy
-    bw.u(cods[idx], lens[idx])
+    # hcod, linbits_x, sign_x, linbits_y, sign_y folded into one write
+    acc, n = cods[idx], lens[idx]
     if cx == 15 and linbits:
-        bw.u(ax - 15, linbits)
+        acc = (acc << linbits) | (ax - 15)
+        n += linbits
     if ax:
-        bw.u(1 if x < 0 else 0, 1)
+        acc = (acc << 1) | (1 if x < 0 else 0)
+        n += 1
     if cy == 15 and linbits:
-        bw.u(ay - 15, linbits)
+        acc = (acc << linbits) | (ay - 15)
+        n += linbits
     if ay:
-        bw.u(1 if y < 0 else 0, 1)
+        acc = (acc << 1) | (1 if y < 0 else 0)
+        n += 1
+    bw.u(acc, n)
 
 
 def _huff_enc_quad(bw: _BW, table_b: bool, quad: list[int]) -> None:
@@ -340,12 +392,14 @@ def _huff_enc_quad(bw: _BW, table_b: bool, quad: list[int]) -> None:
     for v in quad:
         idx = (idx << 1) | (1 if v else 0)
     if table_b:
-        bw.u(15 - idx, 4)
+        acc, n = 15 - idx, 4
     else:
-        bw.u(_HUFF_C1A_COD[idx], _HUFF_C1A_LEN[idx])
+        acc, n = _HUFF_C1A_COD[idx], _HUFF_C1A_LEN[idx]
     for v in quad:
         if v:
-            bw.u(1 if v < 0 else 0, 1)
+            acc = (acc << 1) | (1 if v < 0 else 0)
+            n += 1
+    bw.u(acc, n)
 
 
 class GranuleSpec:

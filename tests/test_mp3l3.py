@@ -431,7 +431,7 @@ def test_esc_linbits_mechanism():
     spec table (16/24 remain transcription gates) — this pins the
     mechanism so landing the table data is pure data entry."""
     from neuroimaging_data_pipeline_spark.multimodal.mp3l3 import (
-        _BR, _BW, _esc_dec_pair, _esc_enc_pair, _invert_table,
+        _BR, _BW, _esc_dec_pair, _esc_enc_pair, _invert_table, _lut8,
     )
 
     # synthetic complete 16x16 prefix code: canonical code over
@@ -445,7 +445,8 @@ def test_esc_linbits_mechanism():
         code += 1
         prev = ln
     assert sum(2.0 ** -l for l in lens) == 1.0
-    dmap = _invert_table(lens, cods)
+    raw = _invert_table(lens, cods)
+    dmap = (raw, _lut8(raw))  # r13 decode-table shape: (map, 8-bit LUT)
     for linbits in (1, 4, 13):
         vals = [(0, 0), (15, -15), (14 + (1 << linbits), -3),
                 (-(15 + (1 << linbits) - 1), 15), (7, -14)]
