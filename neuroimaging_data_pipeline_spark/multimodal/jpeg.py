@@ -899,6 +899,22 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+def _dec_tab(dec: dict) -> tuple[dict, list]:
+    """Decode-table shape consumed by _BitReader.huff (r13): the
+    (code, length)-keyed map plus a 256-entry first-level LUT over
+    the next 8 bits — (symbol, length) for codes of <= 8 bits, None
+    for the longer tail. Prefix-freedom makes the shortest map hit
+    on any 8-bit window the transmitted code."""
+    lut: list = [None] * 256
+    for p8 in range(256):
+        for ln in range(1, 9):
+            sym = dec.get((p8 >> (8 - ln), ln))
+            if sym is not None:
+                lut[p8] = (sym, ln)
+                break
+    return dec, lut
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -928,7 +944,7 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1  # same O(n^2) guard as the writer
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
+    def _huff_walk(self, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
         while length < 16:
             code = (code << 1) | self.bits(1)
@@ -936,6 +952,32 @@ class _BitReader:
             if (code, length) in table:
                 return table[(code, length)]
         raise ValueError("invalid Huffman code in JPEG scan")
+
+    def huff(self, dtab: tuple[dict, list]) -> int:
+        """Decode one Huffman symbol. r13 fast path: buffer 8 bits and
+        probe a 256-entry first-level LUT (resolves every code of <= 8
+        bits); longer codes and the scan tail (where refilling to 8
+        bits would cross the trailing marker) fall back to the
+        original bit walk. The refill is snapshot-rolled-back on
+        failure because _fill advances pos before raising on a marker
+        byte, and the walk must then consume the true remaining
+        bits."""
+        table, lut = dtab
+        if self.nbits < 8:
+            pos0, acc0, nb0 = self.pos, self.acc, self.nbits
+            try:
+                while self.nbits < 8:
+                    self._fill()
+            except ValueError:
+                self.pos, self.acc, self.nbits = pos0, acc0, nb0
+                return self._huff_walk(table)
+        hit = lut[(self.acc >> (self.nbits - 8)) & 0xFF]
+        if hit is not None:
+            sym, ln = hit
+            self.nbits -= ln
+            self.acc &= (1 << self.nbits) - 1
+            return sym
+        return self._huff_walk(table)
 
     def restart(self, expected_m: int) -> None:
         """Consume an RSTm marker at a restart boundary: discard the
@@ -1022,10 +1064,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[s + 1 : s + 17])
                 n = sum(bits)
                 vals = list(seg[s + 17 : s + 17 + n])
-                huff[(cls, tid)] = {
+                huff[(cls, tid)] = _dec_tab({
                     (code, length): sym
                     for sym, (code, length) in _canonical_codes(bits, vals).items()
-                }
+                })
                 s += 17 + n
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             progressive = marker == 0xFFC2

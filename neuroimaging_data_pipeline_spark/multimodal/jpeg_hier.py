@@ -64,6 +64,7 @@ from neuroimaging_data_pipeline_spark.multimodal.jpeg import (
     _DC_VALS,
     _ZIGZAG,
     _canonical_codes,
+    _dec_tab,
     _encode_block,
     _extend,
     _seg,
@@ -267,7 +268,7 @@ def decode_jpeg_hierarchical(payload: bytes) -> list:
                 dec = {}
                 for sym, (code, ln_) in codes.items():
                     dec[(code, ln_)] = sym
-                huff[(tc, th)] = dec
+                huff[(tc, th)] = _dec_tab(dec)
                 p += 17 + n
         elif marker == 0xDE:  # DHP
             _prec, fh, fw, _nc = struct.unpack(">BHHB", seg[:6])
