@@ -225,10 +225,26 @@ class _BitsIn:
         return v
 
     def unary(self) -> int:
+        # r13: consume whole zero chunks from the accumulator with
+        # bit_length instead of a read(1) call per bit; refill a byte
+        # at a time exactly as read() does, so truncation raises the
+        # same error at the same point.
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if self.n:
+                if self.acc:
+                    lead = self.n - self.acc.bit_length()
+                    q += lead
+                    self.n -= lead + 1  # drop zeros + the marker bit
+                    self.acc &= (1 << self.n) - 1
+                    return q
+                q += self.n
+                self.n = 0
+            if self.pos >= len(self.buf):
+                raise ValueError("FLAC frame truncated mid-subframe")
+            self.acc = self.buf[self.pos]
+            self.pos += 1
+            self.n = 8
 
     def align(self) -> int:
         """Drop the sub-byte remainder; -> byte position."""
