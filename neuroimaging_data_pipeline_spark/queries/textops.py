@@ -1253,6 +1253,17 @@ def t_kn_bigram(spark, sf_dir):
         .withColumn("w1", F.split(F.col("bg"), " ")[0])
         .withColumn("w2", F.split(F.col("bg"), " ")[1])
     )
+    # r14 (guide §1.2 "remove unnecessary passes"): pair_c feeds FOUR
+    # consumers (w1_stats, n1_bwd, types, the model join) and Catalyst
+    # does not share the subtree across join branches — the committed
+    # r13 plan re-scanned and re-exploded the corpus five times for
+    # one logical tokenize. Persisting the TYPE-scale pair table (931
+    # rows at sf0.1; always |types| <= |occurrences|) cuts the query
+    # to two corpus passes (model build + scoring probe), the same
+    # mid-plan-reuse discipline as dedup/minhash.py.
+    from pyspark import StorageLevel
+
+    pair_c = pair_c.persist(StorageLevel.MEMORY_AND_DISK)
     # c(v) = sum_w c(vw) and N1+(v.) come from ONE type-scale
     # aggregate over the pair table — no second occurrence-scale
     # shuffle (unlike t_bigram_xent, whose A/B kept the parallel
@@ -1274,7 +1285,17 @@ def t_kn_bigram(spark, sf_dir):
         + (dd * F.col("n1f").cast("double") / F.col("c_w1").cast("double"))
         * (F.col("n1b").cast("double") / F.col("t_types").cast("double"))
     )
-    scored = bg.join(model.select("bg", p_kn.alias("p")), "bg")
+    # r14: force the TYPE-scale model to be the broadcast build side.
+    # Catalyst's estimate for the 3-join model chain is far above the
+    # post-explode bg estimate, so it was broadcasting the OCCURRENCE
+    # side (BuildLeft, 265k rows / 931 distinct keys at sf0.1) — a
+    # duplicate-chained HashedRelation whose build cost scales with
+    # corpus size and whose driver-heap footprint made this query the
+    # slowest text row under full-suite heap pressure (6.1 s in-suite
+    # vs 2.4 s isolated). The model is bigram-TYPE scale — strictly
+    # smaller than the occurrence side at any corpus size — the same
+    # model-broadcast decision nbayes/tfidf already make explicitly.
+    scored = bg.join(F.broadcast(model.select("bg", p_kn.alias("p"))), "bg")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (

@@ -1,4 +1,4 @@
-"""Write .explain('formatted') for named queries to plans/r13/.
+"""Write .explain('formatted') for named queries to plans/$NDP_PLANS_ROUND/ (default r14).
 
 Usage: python tools/capture_plan.py <suffix> query [query ...]
 (suffix is 'before' or 'after'; sf dir via $SPARK_GRAFT_SF_DIR,
@@ -25,7 +25,8 @@ def main() -> int:
 
     spark = get_spark(app_name="ndp-capture-plan")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    round_dir = os.environ.get("NDP_PLANS_ROUND", "r14")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / round_dir
     out_dir.mkdir(parents=True, exist_ok=True)
     qs = entrymod.queries()
     for name in names:
@@ -34,7 +35,7 @@ def main() -> int:
         with redirect_stdout(buf):
             df.explain("formatted")
         (out_dir / f"{name}_{suffix}.txt").write_text(buf.getvalue())
-        print(f"wrote plans/r13/{name}_{suffix}.txt")
+        print(f"wrote plans/{round_dir}/{name}_{suffix}.txt")
     spark.stop()
     return 0
 
