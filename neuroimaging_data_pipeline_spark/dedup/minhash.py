@@ -154,6 +154,16 @@ def lsh_candidate_pairs(
     missed — for a hard ceiling on join fan-out; run exact dedup first
     so identical-document floods never reach this operator."""
     banded = band_buckets(sigs, id_col, num_hashes, bands)
+    # r14: `banded` feeds THREE consumers (the flood census, the `a`
+    # side, the `b` side) and Catalyst does not share the subtree —
+    # the committed r13 plan recomputed the whole signature pipeline
+    # (a full groupBy shuffle of the shingle table with 16 min-aggs)
+    # once per consumer. The banded frame is docs x bands rows (a few
+    # dozen bytes each at any corpus size), so persist it and compute
+    # the signatures exactly once.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         flooded = (
             banded.groupBy("band", "band_hash")
@@ -187,10 +197,27 @@ def jaccard_verify(
     """Exact n-gram Jaccard for candidate pairs:
     |A ∩ B| / |A ∪ B| via a shingle equi-join restricted to candidates.
     Accepts raw (string) or hashed (long) shingles — hashed longs make
-    the equi-join key 8 bytes instead of a ~20-char string."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    the equi-join key 8 bytes instead of a ~20-char string.
+
+    r14 (guide §3.2 semi-join prefilter): every shingle row of a doc
+    that is in NO candidate pair is dead weight here, yet the r13 plan
+    broadcast the FULL shingle table twice (once per join side) and
+    ran the size aggregate over the full table twice. Restrict the
+    shingle table to candidate doc ids first — the id set is bounded
+    by 2x the LSH candidate count, which the flood guard already caps,
+    so the broadcast is always small — then every downstream join and
+    the size aggregate run at candidate scale. Jaccard values are
+    unchanged: the restriction drops whole DOCUMENTS that cannot
+    appear in the output, never shingles of a surviving document."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sizes = shc.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shc.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shc.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         pairs.join(sa, on="id_a")
         .join(sb, on=["id_b", "shingle"])
@@ -242,6 +269,15 @@ def minhash_dedup_pairs(
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket_size)
+    if persist_shingles:
+        # r14: jaccard_verify references the candidate pairs three
+        # times (both id projections for the semi-join prefilter plus
+        # the intersection probe); the pair set is tiny by the flood
+        # guard's construction, so persist it rather than re-running
+        # the bucket join per reference.
+        from pyspark import StorageLevel
+
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_verify(cand, sh, id_col, threshold)
 
 

@@ -58,28 +58,39 @@ def ngram_jaccard_pairs(
         )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
+    # r14 (guide §2.4 "remove shuffles outright"): the r13 shape
+    # self-joined the shingle table on (shingle[, block]) — a
+    # sort-merge join that shuffled AND sorted the occurrence-scale
+    # table twice before the pair aggregate (three occurrence-scale
+    # exchanges total). The df cap bounds every posting list at
+    # df_cap ids, so the pair set of a shingle is enumerable in-place:
+    # ONE groupBy collects each shingle's (block-restricted) sorted id
+    # list and a higher-order transform emits the i<j pairs map-side —
+    # one occurrence-scale exchange, no sorts, identical pair counts
+    # (each shared shingle contributes exactly one (id_a, id_b) row
+    # either way; ids are distinct per doc by shingles()'s contract).
     if block_col is not None:
         blocks = docs.select(id_col, block_col)
         side = sh.join(blocks, id_col)
-        a = side.select(
-            F.col(id_col).alias("id_a"),
-            F.col(block_col).alias("_blk_a"),
-            "shingle",
-        )
-        b = side.select(
-            F.col(id_col).alias("id_b"),
-            F.col(block_col).alias("_blk_b"),
-            "shingle",
-        )
-        joined = a.join(
-            b, on=[a.shingle == b.shingle, a._blk_a == b._blk_b]
+        grouped = side.groupBy("shingle", block_col).agg(
+            F.sort_array(F.collect_list(id_col)).alias("_ids")
         )
     else:
-        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-        joined = a.join(b, on="shingle")
+        grouped = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(id_col)).alias("_ids")
+        )
+    pair_arr = F.flatten(
+        F.transform(
+            "_ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        joined.filter(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode(pair_arr).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -2370,13 +2370,30 @@ def e10_release_pipeline(spark, sf_dir):
             out = cs[k] if out is None else out + cs[k]
         return out
 
-    enriched = enriched.withColumn("n_pii", _total(planted)).withColumn(
-        "n_pii_left", _total(red)
-    )
-    winners = enriched.groupBy("repaired_md5").agg(
+    # r14 (guide §8 "decide with small rows"): every decision below —
+    # dedup winners, epoch shards, the per-shard report — depends only
+    # on doc_id + per-doc STATS, never on the repaired text. The old
+    # shape reused `enriched` (two Arrow stages + the whole pii regexp
+    # chain over KB texts) from four plan branches, and Catalyst
+    # re-executed that chain per branch. Project the narrow stats frame
+    # once, persist it (~50 B/row at any corpus scale), and let the
+    # winner/shard branches reuse it; the heavy text chain runs exactly
+    # once. Isolated min-of-3 at sf0.1: 3.38 -> measured below.
+    from pyspark import StorageLevel
+
+    stats = enriched.select(
+        "doc_id",
+        "repaired_md5",
+        "mojibake",
+        "needs_idn",
+        "n_nonascii",
+        _total(planted).alias("n_pii"),
+        _total(red).alias("n_pii_left"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    winners = stats.groupBy("repaired_md5").agg(
         F.min("doc_id").alias("doc_id")
     )
-    kept = enriched.join(winners, ["repaired_md5", "doc_id"], "left_semi")
+    kept = stats.join(winners, ["repaired_md5", "doc_id"], "left_semi")
     sharded = kept.join(epoch_shuffle(kept.select("doc_id")), "doc_id")
     return sharded.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),

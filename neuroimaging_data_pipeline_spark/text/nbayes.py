@@ -64,6 +64,16 @@ def nb_train_score(
     # re-tokenizing the corpus cuts the corpus passes from 4 to 2
     # (model count + scoring), which is the difference that matters
     # at 100 TB; identical values by construction.
+    # r14: that 4-to-2 cut only happens if the model table is
+    # MATERIALIZED — Catalyst does not share the class_tok subtree
+    # across the class_tot / vocab / broadcast-join branches, so the
+    # un-persisted form re-tokenized the corpus once per branch (the
+    # committed plan carried four Generate subtrees). Persist the
+    # KB-scale model table; the broadcast dims then derive from the
+    # cached frame and the corpus is tokenized exactly twice.
+    from pyspark import StorageLevel
+
+    class_tok = class_tok.persist(StorageLevel.MEMORY_AND_DISK)
     class_tot = class_tok.groupBy("_cls").agg(F.sum("_cwc").alias("_nc"))
     vocab = class_tok.select("_w").distinct().agg(
         F.count(F.lit(1)).alias("_v")
