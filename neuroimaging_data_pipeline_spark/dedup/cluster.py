@@ -170,6 +170,23 @@ def pagerank(
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     base = nodes.select(F.col(id_col).alias("id")).crossJoin(F.broadcast(n))
+    # r14: `base` is referenced n_iter + 1 times and `deg` once per
+    # iteration; un-persisted, every reference re-ran the node scan +
+    # count-broadcast (base) and the degree aggregate over the edge
+    # list (deg). Both are node-scale frames (one row per vertex /
+    # out-vertex), so persist them and pre-join the degree onto the
+    # checkpointed edge list ONCE — each iteration is then a single
+    # edge<->rank join plus the map-side-combined in-sum, the minimal
+    # per-round shape. Values unchanged: the same c = pr/deg terms
+    # feed the same decimal-exact sum.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    symd = (
+        sym.join(deg, "s").persist(StorageLevel.MEMORY_AND_DISK)
+        if n_salt <= 1
+        else None
+    )
     pr = base.select("id", "n_nodes", (1.0 / F.col("n_nodes")).alias("pr"))
     for _ in range(n_iter):
         if n_salt > 1:
@@ -187,8 +204,7 @@ def pagerank(
             ).select(F.col("d"), (F.col("pr") / F.col("deg")).alias("c"))
         else:
             contrib = (
-                sym.join(pr.select("id", "pr"), sym.s == F.col("id"))
-                .join(deg, "s")
+                symd.join(pr.select("id", "pr"), symd.s == F.col("id"))
                 .select(F.col("d"), (F.col("pr") / F.col("deg")).alias("c"))
             )
         sums = contrib.groupBy("d").agg(dec_sum("c").alias("in_sum"))
