@@ -494,6 +494,298 @@ def _coded_subframe(samples: list[int], depth: int) -> _Bits:
     return b
 
 
+# --- batched subframe planner (r14) ----------------------------------------------
+#
+# _write_subframe decides per 16-sample block, so a whole channel pays
+# ~600k Python-level _best_rice / _lpc_coeffs calls per task (the r13
+# profile's top rows). The per-block numpy forms hit the dispatch floor
+# (r13's recorded falsification), but ACROSS the channel every decision
+# is independent: _plan_channel computes all of them in one numpy pass
+# (guide §4.2 — hand whole batches to vectorized code) and returns one
+# plan per block with decisions IDENTICAL to _write_subframe's (same
+# costs, same strict-< / first-minimum tie-breaks, same float operation
+# order in the covariance solve — pinned by tests against the scalar
+# path). _emit_subframe then folds each planned subframe's codewords
+# into a single accumulated-int write (the r13 CAVLC fold pattern).
+
+
+def _best_rice_rows(res):
+    """Vectorized _best_rice over rows: (best_r, best_bits) arrays.
+    argmin's first-minimum matches the scalar loop's strict-< ladder,
+    and the scalar early break never skips a true minimum (its bound
+    cost(r') >= n*(1+r') only prunes provably-worse parameters)."""
+    import numpy as np
+
+    us = np.where(res >= 0, res << 1, ((-res) << 1) - 1)
+    m = res.shape[1]
+    rs = np.arange(15, dtype=np.int64)
+    costs = (us[:, None, :] >> rs[None, :, None]).sum(axis=2) + m * (1 + rs)
+    best_r = np.argmin(costs, axis=1)
+    return best_r, costs[np.arange(res.shape[0]), best_r]
+
+
+def _lpc_solve_rows(rows, order):
+    """Vectorized _lpc_coeffs for one order over (nb, _BLOCK) rows:
+    returns (ok mask, coefs array). Every float operation replicates
+    the scalar path's order and guards (first-max pivot, the
+    ``if f:`` zero-skip, genexpr summation order in back-substitution)
+    so accepted blocks produce bit-identical coefficients."""
+    import numpy as np
+
+    nb, n = rows.shape
+    lag = [rows[:, order - 1 - j : n - 1 - j] for j in range(order)]
+    cur = rows[:, order:n]
+    mat = np.empty((nb, order, order))
+    for j in range(order):
+        for k in range(j, order):
+            v = (lag[j] * lag[k]).sum(axis=1).astype(np.float64)
+            mat[:, j, k] = v
+            mat[:, k, j] = v
+    rhs = np.stack(
+        [(cur * lag[j]).sum(axis=1).astype(np.float64)
+         for j in range(order)],
+        axis=1,
+    )
+    diag = np.abs(mat[:, np.arange(order), np.arange(order)])
+    scale = diag.max(axis=1)
+    sing = scale == 0.0
+    idx = np.arange(nb)
+    with np.errstate(all="ignore"):
+        for col in range(order):
+            piv = col + np.argmax(np.abs(mat[:, col:, col]), axis=1)
+            sing |= np.abs(mat[idx, piv, col]) < 1e-9 * scale
+            tmp = mat[idx, piv].copy()
+            mat[idx, piv] = mat[idx, col]
+            mat[idx, col] = tmp
+            tmpr = rhs[idx, piv].copy()
+            rhs[idx, piv] = rhs[idx, col]
+            rhs[idx, col] = tmpr
+            d = mat[:, col, col]
+            inv = 1.0 / np.where(d == 0.0, 1.0, d)
+            for r in range(col + 1, order):
+                f = mat[:, r, col] * inv
+                nz = f != 0.0
+                mat[:, r, col:] = np.where(
+                    nz[:, None],
+                    mat[:, r, col:] - f[:, None] * mat[:, col, col:],
+                    mat[:, r, col:],
+                )
+                rhs[:, r] = np.where(nz, rhs[:, r] - f * rhs[:, col],
+                                     rhs[:, r])
+        a = np.empty((nb, order))
+        for r in range(order - 1, -1, -1):
+            if r + 1 < order:
+                s = mat[:, r, r + 1] * a[:, r + 1]
+                for c in range(r + 2, order):
+                    s = s + mat[:, r, c] * a[:, c]
+                acc = rhs[:, r] - s
+            else:
+                acc = rhs[:, r]
+            a[:, r] = acc / np.where(mat[:, r, r] == 0.0, 1.0,
+                                     mat[:, r, r])
+    ok = ~sing & ~(np.abs(a) > 32.0).any(axis=1) & np.isfinite(a).all(axis=1)
+    return ok, a
+
+
+def _quantize_rows(coefs):
+    """Vectorized _quantize_lpc: (ok, qcoef int array, shift array).
+    np.rint is round-half-even, exactly Python round()."""
+    import numpy as np
+
+    nb, order = coefs.shape
+    cmax = np.abs(coefs).max(axis=1)
+    ok = cmax != 0.0
+    safe = np.where(ok, cmax, 1.0)
+    shift = _LPC_PRECISION - 1 - (
+        np.floor(np.log2(safe)).astype(np.int64) + 1
+    )
+    shift = np.clip(shift, 0, 31)
+    lim = 1 << (_LPC_PRECISION - 1)
+    q = np.empty((nb, order), np.int64)
+    e = np.zeros(nb)
+    pw = np.exp2(shift.astype(np.float64))
+    for j in range(order):
+        v = coefs[:, j] * pw + e
+        qi = np.clip(np.rint(v).astype(np.int64), -lim, lim - 1)
+        e = v - qi
+        q[:, j] = qi
+    return ok, q, shift
+
+
+def _plan_channel(samples: list[int], depth: int):
+    """(plans, costs) for every block of a whole channel — see
+    _plan_blocks."""
+    import numpy as np
+
+    return _plan_blocks(
+        np.asarray(samples, np.int64).reshape(-1, _BLOCK), depth
+    )
+
+
+def _plan_many(channels: list[list[int]], depth: int):
+    """Batch-plan MANY channels (e.g. every doc of an Arrow batch) in
+    ONE numpy pass — per-doc clips are only 4-8 blocks, far below the
+    numpy dispatch floor, but stacked across a batch the planner runs
+    on thousands of rows at once. Returns (plans, costs) lists per
+    channel, identical to per-channel _plan_channel calls."""
+    import numpy as np
+
+    if not channels:
+        return [], []
+    stacked = np.concatenate(
+        [np.asarray(c, np.int64).reshape(-1, _BLOCK) for c in channels]
+    )
+    plans, costs = _plan_blocks(stacked, depth)
+    out_p, out_c = [], []
+    at = 0
+    for c in channels:
+        nb = len(c) // _BLOCK
+        out_p.append(plans[at : at + nb])
+        out_c.append(costs[at : at + nb])
+        at += nb
+    return out_p, out_c
+
+
+def _plan_blocks(rows, depth: int):
+    """(plans, costs) for (nb, _BLOCK) sample rows, decisions
+    identical to _write_subframe; costs[b] is the exact subframe size
+    in bits (header byte included) that _emit_subframe will write —
+    equal to the scalar encoding's bit_length(). Plans are
+    ('const',) | ('verbatim',) | ('fixed', order, r, res)
+    | ('lpc', order, r, res, qcoef, shift)."""
+    import numpy as np
+
+    nb = rows.shape[0]
+    const = (rows == rows[:, :1]).all(axis=1)
+    # FIXED orders 0..4: order-k residuals are the k-th differences
+    res_o = [rows]
+    for _ in range(4):
+        res_o.append(np.diff(res_o[-1], axis=1))
+    fixed_tot = np.empty((nb, 5), np.int64)
+    fixed_r = np.empty((nb, 5), np.int64)
+    for o in range(5):
+        r, bits_ = _best_rice_rows(res_o[o])
+        fixed_r[:, o] = r
+        fixed_tot[:, o] = depth * o + 2 + 4 + 4 + bits_
+    best_o = np.argmin(fixed_tot, axis=1)
+    best_tot = fixed_tot[np.arange(nb), best_o]
+    kind = np.where(const, 0, 1)  # 0 const, 1 fixed, 2 lpc
+    best_r = fixed_r[np.arange(nb), best_o]
+    best_order = best_o.copy()
+    lpc_q = {}
+    lpc_shift = {}
+    lpc_res = {}
+    lpc_floor = (
+        depth * 2 + 4 + 5 + _LPC_PRECISION * 2 + 10 + (_BLOCK - 2)
+    )
+    try_lpc = ~const & (best_tot > lpc_floor)
+    if try_lpc.any():
+        sub_idx = np.nonzero(try_lpc)[0]
+        sub = rows[sub_idx]
+        for order in (2, 3, 4):
+            ok, coefs = _lpc_solve_rows(sub, order)
+            qok, qcoef, shift = _quantize_rows(
+                np.where(ok[:, None], coefs, 1.0)
+            )
+            ok &= qok
+            if not ok.any():
+                continue
+            # residuals under the QUANTIZED predictor (int64 exact)
+            pred = np.zeros((len(sub_idx), _BLOCK - order), np.int64)
+            for j in range(order):
+                pred += qcoef[:, j : j + 1] * sub[
+                    :, order - 1 - j : _BLOCK - 1 - j
+                ]
+            res = sub[:, order:] - (pred >> shift[:, None])
+            r, bits_ = _best_rice_rows(res)
+            tot = (
+                depth * order + 4 + 5 + _LPC_PRECISION * order
+                + 2 + 4 + 4 + bits_
+            )
+            win = ok & (tot < best_tot[sub_idx])
+            if not win.any():
+                continue
+            w = sub_idx[win]
+            best_tot[w] = tot[win]
+            best_r[w] = r[win]
+            best_order[w] = order
+            kind[w] = 2
+            for pos, bi in zip(np.nonzero(win)[0], w):
+                lpc_q[int(bi)] = qcoef[pos].tolist()
+                lpc_shift[int(bi)] = int(shift[pos])
+                lpc_res[int(bi)] = res[pos].tolist()
+    plans: list[tuple] = []
+    verb = depth * _BLOCK
+    costs = (8 + np.where(const, depth,
+                          np.minimum(best_tot, verb))).tolist()
+    for b in range(nb):
+        if const[b]:
+            plans.append(("const",))
+        elif best_tot[b] >= verb:
+            plans.append(("verbatim",))
+        elif kind[b] == 2:
+            plans.append(
+                ("lpc", int(best_order[b]), int(best_r[b]),
+                 lpc_res[b], lpc_q[b], lpc_shift[b])
+            )
+        else:
+            o = int(best_order[b])
+            plans.append(
+                ("fixed", o, int(best_r[b]), res_o[o][b].tolist())
+            )
+    return plans, costs
+
+
+def _emit_subframe(
+    bits: _Bits, samples: list[int], depth: int, plan: tuple
+) -> None:
+    """Emit one planned subframe — the exact bit sequence
+    _write_subframe produces, folded into a single writer call."""
+    mask = (1 << depth) - 1
+    k = plan[0]
+    if k == "const":
+        bits.write(0, 8)
+        bits.write(int(samples[0]) & mask, depth)
+        return
+    if k == "verbatim":
+        acc, n = 0b000001 << 1, 8
+        for s in samples:
+            acc = (acc << depth) | (int(s) & mask)
+            n += depth
+        bits.write(acc, n)
+        return
+    if k == "fixed":
+        _, order, r, res = plan
+        acc, n = (0b001000 | order) << 1, 8
+    else:
+        _, order, r, res, qcoef, shift = plan
+        acc, n = (0b100000 | (order - 1)) << 1, 8
+    for s in samples[:order]:
+        acc = (acc << depth) | (int(s) & mask)
+        n += depth
+    if k == "lpc":
+        acc = (acc << 4) | (_LPC_PRECISION - 1)
+        acc = (acc << 5) | shift
+        n += 9
+        cmask = (1 << _LPC_PRECISION) - 1
+        for c in qcoef:
+            acc = (acc << _LPC_PRECISION) | (c & cmask)
+            n += _LPC_PRECISION
+    # rice header (method 0, partition order 0, parameter) + residuals
+    acc = (acc << 10) | r
+    n += 10
+    rmask = (1 << r) - 1
+    for e in res:
+        u = (e << 1) if e >= 0 else ((-e << 1) - 1)
+        q = u >> r
+        acc = (acc << (q + 1)) | 1
+        acc = (acc << r) | (u & rmask)
+        n += q + 1 + r
+    bits.write(acc, n)
+
+
+
+
 # frame-header channel-assignment nibbles (RFC 9639 9.1.3)
 _CH_MONO = 0b0000
 _CH_STEREO = 0b0001       # independent L/R
@@ -512,42 +804,71 @@ def _frame_header(idx: int, channel_nibble: int) -> bytearray:
     return hdr
 
 
-def _frame(idx: int, samples: list[int]) -> bytes:
+def _frame(idx: int, samples: list[int], plan: tuple | None = None) -> bytes:
     if len(samples) != _BLOCK:
         raise ValueError("fixed blocksize: every frame is _BLOCK samples")
     hdr = _frame_header(idx, _CH_MONO)
     bits = _Bits()
-    _write_subframe(bits, samples, 16)
+    if plan is None:
+        _write_subframe(bits, samples, 16)
+    else:
+        _emit_subframe(bits, samples, 16, plan)
     frame = bytes(hdr) + bits.done()
     return frame + crc16(frame).to_bytes(2, "big")
 
 
-def _frame_stereo(idx: int, left: list[int], right: list[int]) -> bytes:
+def _frame_stereo(
+    idx: int,
+    left: list[int],
+    right: list[int],
+    planned: tuple | None = None,
+) -> bytes:
     """One stereo frame; the channel ASSIGNMENT is chosen per frame
     by exact coded size across all four modes — the real encoder
-    decision. Side channels code at 17 bits (RFC 9639 9.2.1)."""
+    decision. Side channels code at 17 bits (RFC 9639 9.2.1).
+    ``planned`` carries ((plan, cost) per candidate channel) from the
+    batched planner; plan costs equal the scalar encodings'
+    bit_length(), so the assignment choice (min, first-of-equals) is
+    identical — but only the two WINNING subframes are emitted."""
     if len(left) != _BLOCK or len(right) != _BLOCK:
         raise ValueError("fixed blocksize: every frame is _BLOCK samples")
     side = [l - r for l, r in zip(left, right)]
     mid = [(l + r) >> 1 for l, r in zip(left, right)]
-    # each distinct channel array is coded exactly ONCE; assignments
-    # are compared and assembled from the cached encodings
-    c_left = _coded_subframe(left, 16)
-    c_right = _coded_subframe(right, 16)
-    c_side = _coded_subframe(side, 17)
-    c_mid = _coded_subframe(mid, 16)
-    cands = [
-        (_CH_STEREO, c_left, c_right),
-        (_CH_LEFT_SIDE, c_left, c_side),
-        (_CH_RIGHT_SIDE, c_side, c_right),
-        (_CH_MID_SIDE, c_mid, c_side),
-    ]
-    best = min(cands, key=lambda c: c[1].bit_length() + c[2].bit_length())
-    nib, b1, b2 = best
-    hdr = _frame_header(idx, nib)
-    bits = _Bits()
-    bits.extend(b1)
-    bits.extend(b2)
+    if planned is None:
+        # each distinct channel array is coded exactly ONCE;
+        # assignments are compared and assembled from the cached
+        # encodings
+        c_left = _coded_subframe(left, 16)
+        c_right = _coded_subframe(right, 16)
+        c_side = _coded_subframe(side, 17)
+        c_mid = _coded_subframe(mid, 16)
+        cands = [
+            (_CH_STEREO, c_left, c_right),
+            (_CH_LEFT_SIDE, c_left, c_side),
+            (_CH_RIGHT_SIDE, c_side, c_right),
+            (_CH_MID_SIDE, c_mid, c_side),
+        ]
+        best = min(
+            cands, key=lambda c: c[1].bit_length() + c[2].bit_length()
+        )
+        nib, b1, b2 = best
+        hdr = _frame_header(idx, nib)
+        bits = _Bits()
+        bits.extend(b1)
+        bits.extend(b2)
+    else:
+        (pl, cl), (pr, cr), (ps, cs), (pm, cm) = planned
+        cands2 = [
+            (_CH_STEREO, cl + cr, (left, 16, pl), (right, 16, pr)),
+            (_CH_LEFT_SIDE, cl + cs, (left, 16, pl), (side, 17, ps)),
+            (_CH_RIGHT_SIDE, cs + cr, (side, 17, ps), (right, 16, pr)),
+            (_CH_MID_SIDE, cm + cs, (mid, 16, pm), (side, 17, ps)),
+        ]
+        nib, _, ch1, ch2 = min(cands2, key=lambda c: c[1])
+        hdr = _frame_header(idx, nib)
+        bits = _Bits()
+        for samples_, depth_, plan_ in (ch1, ch2):
+            _emit_subframe(bits, samples_, depth_, plan_)
     frame = bytes(hdr) + bits.done()
     return frame + crc16(frame).to_bytes(2, "big")
 
@@ -564,33 +885,52 @@ def _container(n_samples: int, channels: int, md5: bytes,
     return out
 
 
-def encode_flac(samples: list[int], comments: dict[str, str]) -> bytes:
+def encode_flac(
+    samples: list[int],
+    comments: dict[str, str],
+    plans: list[tuple] | None = None,
+) -> bytes:
     """Mono 16-bit fixed-blocksize FLAC; len(samples) must divide
-    into whole blocks (the synthesizer guarantees it)."""
+    into whole blocks (the synthesizer guarantees it). ``plans``
+    optionally carries this channel's _plan_many/_plan_channel output
+    (the batch writers plan a whole Arrow batch at once)."""
     if len(samples) % _BLOCK:
         raise ValueError("sample count must be a multiple of the blocksize")
     md5 = hashlib.md5(_pcm_bytes(samples)).digest()
     out = _container(len(samples), 1, md5, comments)
+    if plans is None:
+        plans, _ = _plan_channel(samples, 16)
     for i in range(0, len(samples), _BLOCK):
-        out += _frame(i // _BLOCK, samples[i : i + _BLOCK])
+        out += _frame(
+            i // _BLOCK, samples[i : i + _BLOCK], plans[i // _BLOCK]
+        )
     return bytes(out)
 
 
-def _frame_multi(idx: int, chans_block: list[list[int]]) -> bytes:
+def _frame_multi(
+    idx: int,
+    chans_block: list[list[int]],
+    plans: list[tuple] | None = None,
+) -> bytes:
     """One frame of 1-8 INDEPENDENTLY coded channels (RFC 9639 9.1.3
     channel assignments 0b0000-0b0111 = channel count - 1); each
     channel picks its own subframe type by exact coded size."""
     nib = len(chans_block) - 1
     hdr = _frame_header(idx, nib)
     bits = _Bits()
-    for ch in chans_block:
-        bits.extend(_coded_subframe(ch, 16))
+    for ci, ch in enumerate(chans_block):
+        if plans is None:
+            bits.extend(_coded_subframe(ch, 16))
+        else:
+            _emit_subframe(bits, ch, 16, plans[ci])
     frame = bytes(hdr) + bits.done()
     return frame + crc16(frame).to_bytes(2, "big")
 
 
 def encode_flac_multichannel(
-    chans: list[list[int]], comments: dict[str, str]
+    chans: list[list[int]],
+    comments: dict[str, str],
+    ch_plans: list[list[tuple]] | None = None,
 ) -> bytes:
     """3-8 channel (surround) 16-bit FLAC with independent channel
     coding — the RFC 9639 path for anything beyond stereo (stereo
@@ -609,15 +949,23 @@ def encode_flac_multichannel(
     inter = [v for tup in zip(*chans) for v in tup]
     md5 = hashlib.md5(_pcm_bytes(inter)).digest()
     out = _container(length, n, md5, comments)
+    if ch_plans is None:
+        ch_plans = [_plan_channel(c, 16)[0] for c in chans]
     for i in range(0, length, _BLOCK):
+        bi = i // _BLOCK
         out += _frame_multi(
-            i // _BLOCK, [c[i : i + _BLOCK] for c in chans]
+            bi,
+            [c[i : i + _BLOCK] for c in chans],
+            [p[bi] for p in ch_plans],
         )
     return bytes(out)
 
 
 def encode_flac_stereo(
-    left: list[int], right: list[int], comments: dict[str, str]
+    left: list[int],
+    right: list[int],
+    comments: dict[str, str],
+    planned: tuple | None = None,
 ) -> bytes:
     """Stereo 16-bit FLAC with per-frame channel-decorrelation choice
     (independent / left-side / right-side / mid-side by exact coded
@@ -630,9 +978,27 @@ def encode_flac_stereo(
     inter = [v for pair in zip(left, right) for v in pair]
     md5 = hashlib.md5(_pcm_bytes(inter)).digest()
     out = _container(len(left), 2, md5, comments)
+    side = [l - r for l, r in zip(left, right)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    if planned is not None:
+        (pl, cl), (pr, cr), (ps, cs), (pm, cm) = planned
+    else:
+        pl, cl = _plan_channel(left, 16)
+        pr, cr = _plan_channel(right, 16)
+        ps, cs = _plan_channel(side, 17)
+        pm, cm = _plan_channel(mid, 16)
     for i in range(0, len(left), _BLOCK):
+        bi = i // _BLOCK
         out += _frame_stereo(
-            i // _BLOCK, left[i : i + _BLOCK], right[i : i + _BLOCK]
+            bi,
+            left[i : i + _BLOCK],
+            right[i : i + _BLOCK],
+            (
+                (pl[bi], cl[bi]),
+                (pr[bi], cr[bi]),
+                (ps[bi], cs[bi]),
+                (pm[bi], cm[bi]),
+            ),
         )
     return bytes(out)
 
@@ -955,11 +1321,32 @@ def synthesize_flac_stereo_clips(
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
+            # r14: plan every doc's four candidate channels in ONE
+            # numpy pass per depth class — per-doc clips are 4-8
+            # blocks, below the numpy dispatch floor on their own
+            chans = []
             for i in pdf[id_col]:
+                left, right = _doc_stereo(int(i))
+                side = [l - r for l, r in zip(left, right)]
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                chans.append((left, right, side, mid))
+            p16, c16 = _plan_many(
+                [c for ch in chans for c in (ch[0], ch[1], ch[3])], 16
+            )
+            p17, c17 = _plan_many([ch[2] for ch in chans], 17)
+            for k, i in enumerate(pdf[id_col]):
                 i = int(i)
-                left, right = _doc_stereo(i)
+                left, right, _side, _mid = chans[k]
+                planned = (
+                    (p16[3 * k], c16[3 * k]),
+                    (p16[3 * k + 1], c16[3 * k + 1]),
+                    (p17[k], c17[k]),
+                    (p16[3 * k + 2], c16[3 * k + 2]),
+                )
                 blobs.append(
-                    encode_flac_stereo(left, right, {"TITLE": f"doc {i}"})
+                    encode_flac_stereo(
+                        left, right, {"TITLE": f"doc {i}"}, planned
+                    )
                 )
                 ids.append(i)
             yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
@@ -1045,13 +1432,22 @@ def synthesize_flac_surround_clips(
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
-            for i in pdf[id_col]:
+            # r14: one numpy planning pass over every channel of every
+            # doc in the Arrow batch (channel counts vary per doc)
+            docs_ch = [_doc_multichannel(int(i)) for i in pdf[id_col]]
+            flat = [c for chans in docs_ch for c in chans]
+            plans, _ = _plan_many(flat, 16)
+            at = 0
+            for k, i in enumerate(pdf[id_col]):
                 i = int(i)
+                chans = docs_ch[k]
                 blobs.append(
                     encode_flac_multichannel(
-                        _doc_multichannel(i), {"TITLE": f"doc {i}"}
+                        chans, {"TITLE": f"doc {i}"},
+                        plans[at : at + len(chans)],
                     )
                 )
+                at += len(chans)
                 ids.append(i)
             yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
                                 "content": pd.Series(blobs, dtype=object)})
@@ -1105,12 +1501,16 @@ def synthesize_flac_clips(
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
-            for i in pdf[id_col]:
+            # r14: one numpy planning pass over the whole Arrow batch
+            clips = [_doc_samples(int(i)) for i in pdf[id_col]]
+            plans, _ = _plan_many(clips, 16)
+            for k, i in enumerate(pdf[id_col]):
                 i = int(i)
                 blobs.append(
                     encode_flac(
-                        _doc_samples(i),
+                        clips[k],
                         {"TITLE": f"doc {i}", "TRACKNUMBER": str(i % 100)},
+                        plans[k],
                     )
                 )
                 ids.append(i)
