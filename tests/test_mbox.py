@@ -49,3 +49,53 @@ def test_deterministic_bytes():
 def test_bad_container_raises():
     with pytest.raises(ValueError, match="From "):
         parse_mbox(b"not an mbox at all")
+
+
+def test_fast_walker_matches_stdlib():
+    """r14: the bounded MIME walker must agree with the stdlib email
+    parser on the source's message family and on crafted edge shapes,
+    and must DELEGATE unsupported shapes to the stdlib parser."""
+    from email import message_from_bytes
+
+    from neuroimaging_data_pipeline_spark.sources.mbox import (
+        build_message,
+        extract_parts,
+    )
+
+    def stdlib_extract(raw):
+        msg = message_from_bytes(raw)
+        parts = []
+        for part in msg.walk():
+            if part.get_content_maintype() == "multipart":
+                continue
+            parts.append(
+                {
+                    "content_type": part.get_content_type(),
+                    "cte": (
+                        part.get("Content-Transfer-Encoding") or "7bit"
+                    ).lower(),
+                    "body": part.get_payload(decode=True) or b"",
+                }
+            )
+        return {
+            "subject": msg.get("Subject", ""),
+            "from": msg.get("From", ""),
+            "message_id": msg.get("Message-ID", ""),
+            "parts": parts,
+        }
+
+    for i in range(0, 60, 7):
+        raw = build_message(i, f"body From line\nFrom x {i}\nünicode ⇒")
+        assert extract_parts(raw) == stdlib_extract(raw)
+    single = b"From: x@y\r\nSubject: hi\r\n\r\nplain body\r\n"
+    assert extract_parts(single) == stdlib_extract(single)
+    nested = (
+        b"From: x\r\nContent-Type: multipart/mixed; boundary=\"outer\"\r\n"
+        b"\r\n--outer\r\n"
+        b"Content-Type: multipart/alternative; boundary=\"inner\"\r\n\r\n"
+        b"--inner\r\nContent-Type: text/plain\r\n\r\nA\r\n--inner--\r\n"
+        b"\r\n--outer--\r\n"
+    )
+    assert extract_parts(nested) == stdlib_extract(nested)
+    exotic = b"From: x\r\nContent-Transfer-Encoding: x-uuencode\r\n\r\nb\r\n"
+    assert extract_parts(exotic) == stdlib_extract(exotic)
