@@ -49,6 +49,15 @@ from pyspark.sql import DataFrame
 
 
 class _BitW:
+    """r14: ``u`` no longer splits bytes per call — pending bits pile
+    up in the integer accumulator and are flushed to the bytearray in
+    one ``to_bytes`` per ~16 bytes (the per-call byte loop was ~10%
+    of CAVLC encode CPU across the H.264 queries; a 128-bit flush
+    threshold measured fastest — larger ones make every call shift a
+    big accumulator). ``n`` counts ALL
+    pending bits, so external ``n % 8`` alignment checks keep their
+    meaning; the byte stream is unchanged."""
+
     def __init__(self) -> None:
         self.out = bytearray()
         self.acc = 0
@@ -56,11 +65,13 @@ class _BitW:
 
     def u(self, v: int, bits: int) -> None:
         self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
-        self.n += bits
-        while self.n >= 8:
-            self.n -= 8
-            self.out.append((self.acc >> self.n) & 0xFF)
-        self.acc &= (1 << self.n) - 1
+        n = self.n + bits
+        if n >= 128:
+            rem = n & 7
+            self.out += (self.acc >> rem).to_bytes((n - rem) >> 3, "big")
+            self.acc &= (1 << rem) - 1
+            n = rem
+        self.n = n
 
     def ue(self, v: int) -> None:
         # Exp-Golomb codeword = (nbits-1) zeros then the nbits-bit
@@ -71,15 +82,28 @@ class _BitW:
     def se(self, v: int) -> None:
         self.ue(2 * v - 1 if v > 0 else -2 * v)
 
+    def _flush(self) -> None:
+        if self.n >= 8:
+            rem = self.n & 7
+            self.out += (
+                (self.acc >> rem).to_bytes((self.n - rem) >> 3, "big")
+            )
+            self.acc &= (1 << rem) - 1
+            self.n = rem
+
     def align_zero(self) -> None:
-        if self.n:
-            self.u(0, 8 - self.n)
+        pad = (-self.n) % 8
+        if pad:
+            self.acc <<= pad
+            self.n += pad
+        self._flush()
 
     def trailing(self) -> None:
         self.u(1, 1)
         self.align_zero()
 
     def bytes_(self) -> bytes:
+        self._flush()
         assert self.n == 0, "unaligned RBSP"
         return bytes(self.out)
 
