@@ -97,6 +97,11 @@ def summarize(timings: dict[str, float], sf: str) -> tuple[dict, dict]:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # r14 (VERDICT r13 item 4): stamp the side artifact with the
+        # core count so a 32-core and an 8-core run are
+        # self-describing. The stdout line's keys are UNCHANGED — the
+        # driver contract is untouched.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", 0) or 0),
     }
     full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))

@@ -251,9 +251,10 @@ class _Enc:
 
     #: flush the accumulator down to _KEEP bits once it crosses _LIM
     #: (keeps bigint shifts bounded; any split point preserves the
-    #: MSB-first stream)
-    _LIM = 4096
-    _KEEP = 512
+    #: MSB-first stream; 512/64 measured fastest — larger windows make
+    #: every bin shift a big accumulator)
+    _LIM = 512
+    _KEEP = 64
 
     def __init__(self, w: _BitW) -> None:
         self.w = w
