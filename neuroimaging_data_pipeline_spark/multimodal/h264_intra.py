@@ -395,7 +395,13 @@ def _invert(table: dict | list) -> dict:
 
 
 def _lut8(dec: dict) -> list:
-    """256-entry first-level decode LUT over the next 8 bits
+    """256-entry first-level decode LUT over the next 8 bits.
+
+    NOTE (ADVICE r13): this 8-bit first-level LUT builder has siblings
+    in mp3l3.py (_lut8, (len, code)-keyed) and jpeg.py (_dec_tab,
+    (code, length)-keyed) — a fix or extension to the scheme must be
+    propagated to all three; the key orders differ by module on
+    purpose (each mirrors its table's native form).
     (r13, guide §4.2 per-task work): entry = (decoded value, code
     length) for codes of <= 8 bits, None for longer codes. Built once
     at import; prefix-freedom means the shortest dict hit on any

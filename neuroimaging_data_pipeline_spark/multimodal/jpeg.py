@@ -904,7 +904,9 @@ def _dec_tab(dec: dict) -> tuple[dict, list]:
     (code, length)-keyed map plus a 256-entry first-level LUT over
     the next 8 bits — (symbol, length) for codes of <= 8 bits, None
     for the longer tail. Prefix-freedom makes the shortest map hit
-    on any 8-bit window the transmitted code."""
+    on any 8-bit window the transmitted code. Siblings: h264_intra._lut8 and
+    mp3l3._lut8 (ADVICE r13) — propagate fixes across all three.
+    """
     lut: list = [None] * 256
     for p8 in range(256):
         for ln in range(1, 9):

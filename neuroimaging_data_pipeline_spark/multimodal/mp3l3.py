@@ -190,7 +190,8 @@ def _invert_table(lens, cods):
 
 
 def _lut8(dmap: dict) -> list:
-    """256-entry first-level decode LUT over the next 8 bits (r13,
+    """256-entry first-level decode LUT over the next 8 bits (r13;
+    siblings: h264_intra._lut8 and jpeg._dec_tab — propagate fixes,
     same scheme as the H.264 CAVLC tables): entry = (symbol, code
     length) for codes of <= 8 bits, None for the longer tail.
     Prefix-freedom makes the shortest dict hit on any 8-bit window

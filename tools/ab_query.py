@@ -30,6 +30,9 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from neuroimaging_data_pipeline_spark.session import get_spark
 
+    for kv in args.conf:
+        if "=" not in kv:
+            ap.error(f"--conf expects key=value, got {kv!r}")
     extra = dict(kv.split("=", 1) for kv in args.conf)
     spark = get_spark(app_name="ndp-ab", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")

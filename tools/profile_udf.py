@@ -7,7 +7,9 @@ Python evaluation node in its plan — the in-situ view of where the
 Arrow-batch codec time actually goes (guide §1/§4: measure before
 touching per-task work).
 
-Usage: python tools/profile_udf.py [sf_dir] query [query ...]
+Usage: python tools/profile_udf.py [--sf DIR] query [query ...]
+(an explicit --sf flag, r14: the old positional-path sniffing silently
+ate a mistyped query name containing '/')
 """
 
 from __future__ import annotations
@@ -19,14 +21,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    if args and "/" in args[0]:
-        sf_dir, names = args[0], args[1:]
-    else:
-        sf_dir, names = "/root/testdata/sf0.1", args
-    if not names:
-        print("usage: profile_udf.py [sf_dir] query [query ...]")
-        return 2
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("queries", nargs="+")
+    args_ns = ap.parse_args()
+    sf_dir, names = args_ns.sf, args_ns.queries
 
     import __spark_entry__ as entrymod
     from neuroimaging_data_pipeline_spark.session import get_spark
